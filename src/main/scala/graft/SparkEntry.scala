@@ -1,13 +1,558 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.operators._
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver contract — see /root/repo/SURVEY.md §2 (operator inventory)
+  * and §7 (build plan). Each `queries` key is one operator; each
+  * `oracleSql` entry is the DuckDB-equivalent ANSI SQL over the same
+  * parquet tables.
+  *
+  * Oracle-parity conventions (SURVEY.md §5):
+  *  - identical column aliases on both sides;
+  *  - money/double aggregations via DECIMAL inner sums (order-
+  *    independent) cast back to DOUBLE;
+  *  - timestamp outputs cast to TIMESTAMP_NTZ (session tz = UTC) so
+  *    parquet files carry naive timestamps, matching DuckDB's;
+  *  - every query totally ordered by a unique key on both sides.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(spark, dir, name)
+
+  /** timestamp → naive (NTZ) for parquet/oracle comparison. */
+  private def ntz(c: Column): Column = c.cast("timestamp_ntz")
+
+  private val batchTs = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Analytics.q1Pricing(
+      t(spark, "/root/testdata/sf0.001", "lineitem"))
+
+  // ---------------------------------------------------------------
+  // Query registry: one entry per SURVEY.md §2 operator.
+  // ---------------------------------------------------------------
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §2.1 lakehouse core -----------------------------------------
+    "ingest_metadata" -> ((s, d) =>
+      Tables.withIngestMetadata(
+        t(s, d, "lineitem").select(col("l_orderkey"), col("l_linenumber")),
+        "parquet:lineitem", batchTs)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          ntz(col("ingest_ts")).as("ingest_ts"), col("ingest_source"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))),
+
+    "latest_per_key" -> ((s, d) =>
+      Scd.latestPerKey(t(s, d, "orders"), Seq("o_custkey"),
+        Seq(col("o_orderdate"), col("o_orderkey")))
+        .select(col("o_custkey"), col("o_orderkey"),
+          ntz(col("o_orderdate")).as("o_orderdate"), col("o_totalprice"))
+        .orderBy(col("o_custkey"))),
+
+    "scd2_build" -> ((s, d) =>
+      Scd.scd2FromHistory(t(s, d, "events"), Seq("user_id"), "ts",
+        Seq("event_type"), Seq("event_id"))
+        .select(col("user_id"), col("event_type"),
+          ntz(col("valid_from")).as("valid_from"),
+          ntz(col("valid_to")).as("valid_to"), col("is_current"))
+        .orderBy(col("user_id"), col("valid_from"))),
+
+    "scd2_current" -> ((s, d) =>
+      Scd.scd2Current(
+        Scd.scd2FromHistory(t(s, d, "events"), Seq("user_id"), "ts",
+          Seq("event_type"), Seq("event_id")))
+        .select(col("user_id"), col("event_type"),
+          ntz(col("valid_from")).as("valid_from"))
+        .orderBy(col("user_id"))),
+
+    "scd1_upsert" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      def latest(df: DataFrame) =
+        Scd.latestPerKey(df, Seq("user_id"), Seq(col("ts"), col("event_id")))
+          .select(col("user_id"), col("event_type"), col("ts"))
+      val base = latest(ev.filter(col("ts") < lit("2024-01-15").cast("timestamp")))
+      val upd = latest(ev.filter(col("ts") >= lit("2024-01-15").cast("timestamp")))
+      Scd.scd1Upsert(base, upd, Seq("user_id"), Seq("event_type", "ts"))
+        .select(col("user_id"), col("event_type"), ntz(col("ts")).as("last_ts"))
+        .orderBy(col("user_id"))
+    }),
+
+    "change_detect" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      def latest(df: DataFrame) =
+        Scd.latestPerKey(df, Seq("user_id"), Seq(col("ts"), col("event_id")))
+          .select(col("user_id"), col("event_type"))
+      val current = latest(ev.filter(col("ts") < lit("2024-01-15").cast("timestamp")))
+      val incoming = latest(ev)
+      Scd.changeDetect(incoming, current, Seq("user_id"), Seq("event_type"))
+        .select(col("user_id"), col("event_type"), col("change_type"))
+        .orderBy(col("user_id"))
+    }),
+
+    "string_clean" -> ((s, d) =>
+      Scd.cleanStrings(t(s, d, "customer"), Seq("c_name", "c_mktsegment"))
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+        .orderBy(col("c_custkey"))),
+
+    "csv_ingest" -> ((s, d) => {
+      // deterministic fixture: write a small CSV, read it back with
+      // option-driven parsing (rows-only check; no CSV in testdata).
+      val tmp = java.nio.file.Files.createTempDirectory("graft_csv")
+      val f = tmp.resolve("kosten.csv")
+      java.nio.file.Files.writeString(f,
+        "Kostenstelle;Bezeichnung;Bereich\n1000;IT;Zentral\n2000;HR;Verwaltung\n")
+      Tables.readCsv(s, f.toString, delimiter = ";")
+        .orderBy(col("Kostenstelle"))
+    }),
+
+    "incremental_files" -> ((s, d) => {
+      val listing = t(s, d, "documents").select(col("source").as("name")).distinct()
+      val log = listing.filter(col("name").isin("src0", "src1"))
+      Tables.newFiles(listing, log).orderBy(col("name"))
+    }),
+
+    // §2.2 relational analytics -----------------------------------
+    "q1_pricing" -> ((s, d) => Analytics.q1Pricing(t(s, d, "lineitem"))),
+
+    "q3_shipping" -> ((s, d) =>
+      Analytics.q3Shipping(t(s, d, "customer"), t(s, d, "orders"),
+        t(s, d, "lineitem"))
+        .select(col("l_orderkey"), ntz(col("o_orderdate")).as("o_orderdate"),
+          col("o_orderpriority"), col("revenue"))),
+
+    "q5_local_volume" -> ((s, d) =>
+      Analytics.q5LocalVolume(t(s, d, "region"), t(s, d, "nation"),
+        t(s, d, "customer"), t(s, d, "supplier"), t(s, d, "orders"),
+        t(s, d, "lineitem"))),
+
+    "topk_per_group" -> ((s, d) =>
+      Analytics.topKPerGroup(t(s, d, "orders"), Seq("o_custkey"),
+        Seq(col("o_totalprice").desc, col("o_orderkey").asc), 3)
+        .select(col("o_custkey"), col("rn"), col("o_orderkey"),
+          col("o_totalprice"))
+        .orderBy(col("o_custkey"), col("rn"))),
+
+    "rollup_agg" -> ((s, d) =>
+      Analytics.rollupAgg(t(s, d, "region"), t(s, d, "nation"),
+        t(s, d, "customer"), t(s, d, "orders"))),
+
+    "anti_semi_join" -> ((s, d) =>
+      Analytics.customersWithoutOrders(t(s, d, "customer"),
+        t(s, d, "orders")
+          .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp")))),
+
+    "semi_join" -> ((s, d) =>
+      Analytics.customersWithOrders(t(s, d, "customer"),
+        t(s, d, "orders")
+          .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp")))),
+
+    "windowed_events" -> ((s, d) =>
+      Analytics.windowedEvents(t(s, d, "events"))
+        .withColumn("win_start", ntz(col("win_start")))),
+
+    "sessionize" -> ((s, d) =>
+      Analytics.sessionize(t(s, d, "events"))
+        .withColumn("session_start", ntz(col("session_start")))
+        .withColumn("session_end", ntz(col("session_end")))),
+
+    "percentiles" -> ((s, d) => Analytics.percentiles(t(s, d, "orders"))),
+
+    "running_agg" -> ((s, d) =>
+      Analytics.runningAgg(t(s, d, "orders"))
+        .withColumn("o_orderdate", ntz(col("o_orderdate")))),
+
+    "pivot_agg" -> ((s, d) =>
+      Analytics.pivotAgg(t(s, d, "events"),
+        Seq("click", "error", "purchase", "signup", "view"))),
+
+    // §2.3 dedup family -------------------------------------------
+    "dedup_exact" -> ((s, d) =>
+      Dedup.exact(t(s, d, "documents")).orderBy(col("keep_id"))),
+
+    "dedup_minhash_lsh" -> ((s, d) =>
+      Dedup.minhashLsh(t(s, d, "documents"), threshold = 0.5)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    "dedup_simhash" -> ((s, d) =>
+      Dedup.simhashPairs(t(s, d, "documents"), maxHamming = 10)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    "ngram_jaccard" -> ((s, d) =>
+      Dedup.ngramJaccard(t(s, d, "documents"), threshold = 0.35)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    "dedup_embedding" -> ((s, d) =>
+      Dedup.embeddingNearDup(t(s, d, "embeddings"), threshold = 0.4)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // §2.4 similarity search --------------------------------------
+    "ann_bruteforce" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.bruteForceTopK(
+        emb.filter(pmod(col("vec_id"), lit(25)) === 0), emb, k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    "ann_lsh" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.lshTopK(
+        emb.filter(pmod(col("vec_id"), lit(25)) === 0), emb, k = 5, bits = 4)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // §2.5 text analysis ------------------------------------------
+    "lang_id" -> ((s, d) =>
+      TextAnalysis.langIdTable(t(s, d, "documents")).orderBy(col("doc_id"))),
+
+    "quality_score" -> ((s, d) =>
+      TextAnalysis.qualityScore(t(s, d, "documents")).orderBy(col("doc_id"))),
+
+    "token_count" -> ((s, d) =>
+      TextAnalysis.tokenCounts(t(s, d, "documents")).orderBy(col("doc_id"))),
+
+    "doc_fingerprint" -> ((s, d) =>
+      TextAnalysis.fingerprints(t(s, d, "documents")).orderBy(col("doc_id"))),
+
+    // §2.6 multimodal ---------------------------------------------
+    "mm_schema" -> ((s, d) =>
+      Multimodal.asMediaTable(t(s, d, "documents"))
+        .select(col("media_id"), col("media_type"), col("meta.width"),
+          col("meta.height"), col("meta.n_bytes"), col("meta.format"))
+        .orderBy(col("media_id"))),
+
+    "mm_features" -> ((s, d) =>
+      Multimodal.extractFeatures(Multimodal.asMediaTable(t(s, d, "documents")))
+        .orderBy(col("media_id"))),
+
+    "mm_frame_plan" -> ((s, d) =>
+      Multimodal.framePlan(Multimodal.asMediaTable(t(s, d, "documents")))
+        .select(col("media_id"), col("n_frames"))
+        .orderBy(col("media_id")))
+  )
+
+  // ---------------------------------------------------------------
+  // DuckDB oracle SQL — same aliases, same ordering, decimal-stable
+  // aggregation, naive timestamps.
+  // ---------------------------------------------------------------
+  def oracleSql: Map[String, String] = Map(
+    "ingest_metadata" ->
+      """SELECT l_orderkey, l_linenumber,
+         TIMESTAMP '2026-01-01 00:00:00' AS ingest_ts,
+         'parquet:lineitem' AS ingest_source
+         FROM lineitem ORDER BY l_orderkey, l_linenumber""",
+
+    "latest_per_key" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice FROM (
+           SELECT *, row_number() OVER (PARTITION BY o_custkey
+             ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn FROM orders)
+         WHERE rn = 1 ORDER BY o_custkey""",
+
+    "scd2_build" ->
+      """WITH h AS (
+           SELECT user_id, ts, event_id, event_type,
+                  lag(event_type) OVER w AS prev_et,
+                  lag(ts) OVER w AS prev_ts
+           FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         starts AS (
+           SELECT * FROM h
+           WHERE prev_ts IS NULL OR event_type IS DISTINCT FROM prev_et),
+         v AS (
+           SELECT user_id, event_type, ts AS valid_from,
+                  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                    AS valid_to
+           FROM starts)
+         SELECT user_id, event_type, valid_from, valid_to,
+                (valid_to IS NULL) AS is_current
+         FROM v ORDER BY user_id, valid_from""",
+
+    "scd2_current" ->
+      """WITH h AS (
+           SELECT user_id, ts, event_id, event_type,
+                  lag(event_type) OVER w AS prev_et,
+                  lag(ts) OVER w AS prev_ts
+           FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         starts AS (
+           SELECT * FROM h
+           WHERE prev_ts IS NULL OR event_type IS DISTINCT FROM prev_et),
+         v AS (
+           SELECT user_id, event_type, ts AS valid_from,
+                  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                    AS valid_to
+           FROM starts)
+         SELECT user_id, event_type, valid_from
+         FROM v WHERE valid_to IS NULL ORDER BY user_id""",
+
+    "scd1_upsert" ->
+      """WITH latest AS (
+           SELECT user_id, event_type, ts, row_number() OVER (
+             PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+           FROM events),
+         base AS (SELECT user_id, event_type, ts FROM (
+           SELECT user_id, event_type, ts, row_number() OVER (
+             PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+           FROM events WHERE ts < TIMESTAMP '2024-01-15') WHERE rn = 1),
+         upd AS (SELECT user_id, event_type, ts FROM (
+           SELECT user_id, event_type, ts, row_number() OVER (
+             PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+           FROM events WHERE ts >= TIMESTAMP '2024-01-15') WHERE rn = 1)
+         SELECT COALESCE(b.user_id, u.user_id) AS user_id,
+                CASE WHEN u.user_id IS NOT NULL THEN u.event_type
+                     ELSE b.event_type END AS event_type,
+                CASE WHEN u.user_id IS NOT NULL THEN u.ts ELSE b.ts END
+                  AS last_ts
+         FROM base b FULL JOIN upd u ON b.user_id = u.user_id
+         ORDER BY user_id""",
+
+    "change_detect" ->
+      """WITH cur AS (SELECT user_id, event_type FROM (
+           SELECT user_id, event_type, row_number() OVER (
+             PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+           FROM events WHERE ts < TIMESTAMP '2024-01-15') WHERE rn = 1),
+         inc AS (SELECT user_id, event_type FROM (
+           SELECT user_id, event_type, row_number() OVER (
+             PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+           FROM events) WHERE rn = 1)
+         SELECT i.user_id AS user_id, i.event_type AS event_type,
+                CASE WHEN c.user_id IS NULL THEN 'new'
+                     WHEN i.event_type IS DISTINCT FROM c.event_type
+                       THEN 'changed'
+                     ELSE 'unchanged' END AS change_type
+         FROM inc i LEFT JOIN cur c ON i.user_id = c.user_id
+         ORDER BY user_id""",
+
+    "string_clean" ->
+      """SELECT c_custkey, trim(c_name) AS c_name,
+                trim(c_mktsegment) AS c_mktsegment
+         FROM customer ORDER BY c_custkey""",
+
+    "incremental_files" ->
+      """SELECT DISTINCT source AS name FROM documents
+         WHERE source NOT IN ('src0', 'src1') ORDER BY name""",
+
+    "q1_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sum_qty,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE)
+           AS sum_base_price,
+         CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+           AS DECIMAL(28,4))) AS DOUBLE) AS sum_disc_price,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE)
+           / COUNT(l_quantity) AS avg_qty,
+         CAST(SUM(CAST(l_discount AS DECIMAL(28,6))) AS DOUBLE)
+           / COUNT(l_discount) AS avg_disc,
+         COUNT(*) AS count_order
+         FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+         GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+
+    "q3_shipping" ->
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+         CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+           AS DECIMAL(28,4))) AS DOUBLE) AS revenue
+         FROM customer JOIN orders ON c_custkey = o_custkey
+         JOIN lineitem ON o_orderkey = l_orderkey
+         WHERE c_mktsegment = 'BUILDING'
+           AND o_orderdate < TIMESTAMP '1998-03-15'
+           AND l_shipdate > TIMESTAMP '1995-03-15'
+         GROUP BY l_orderkey, o_orderdate, o_orderpriority
+         ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+
+    "q5_local_volume" ->
+      """SELECT n_name,
+         CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+           AS DECIMAL(28,4))) AS DOUBLE) AS revenue
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN customer ON o_custkey = c_custkey
+           AND c_nationkey = s_nationkey
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         WHERE r_name = 'ASIA'
+           AND o_orderdate >= TIMESTAMP '1996-01-01'
+           AND o_orderdate < TIMESTAMP '1998-01-01'
+         GROUP BY n_name ORDER BY revenue DESC, n_name""",
+
+    "topk_per_group" ->
+      """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+           SELECT o_custkey, o_orderkey, o_totalprice,
+                  row_number() OVER (PARTITION BY o_custkey
+                    ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+           FROM orders)
+         WHERE rn <= 3 ORDER BY o_custkey, rn""",
+
+    "rollup_agg" ->
+      """SELECT r_name, n_name,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE)
+           AS total_price,
+         COUNT(*) AS n_orders
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY ROLLUP(r_name, n_name)
+         ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""",
+
+    "anti_semi_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer c
+         WHERE NOT EXISTS (SELECT 1 FROM orders o
+           WHERE o.o_custkey = c.c_custkey
+             AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+         ORDER BY c_custkey""",
+
+    "semi_join" ->
+      """SELECT c_custkey, c_name FROM customer c
+         WHERE EXISTS (SELECT 1 FROM orders o
+           WHERE o.o_custkey = c.c_custkey
+             AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+         ORDER BY c_custkey""",
+
+    "windowed_events" ->
+      """SELECT date_trunc('hour', ts) AS win_start, event_type,
+         COUNT(*) AS n_events,
+         CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+         FROM events GROUP BY win_start, event_type
+         ORDER BY win_start, event_type""",
+
+    "sessionize" ->
+      """WITH g AS (
+           SELECT user_id, ts, event_id,
+                  CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                         OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                            > 1800000000 THEN 1 ELSE 0 END AS new_session
+           FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         s AS (
+           SELECT user_id, ts,
+                  CAST(SUM(new_session) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+           FROM g)
+         SELECT user_id, session_seq, COUNT(*) AS n_events,
+                MIN(ts) AS session_start, MAX(ts) AS session_end
+         FROM s GROUP BY user_id, session_seq
+         ORDER BY user_id, session_seq""",
+
+    "percentiles" ->
+      """SELECT o_orderpriority,
+         round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+         round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+         round(quantile_cont(o_totalprice, 0.99), 4) AS p99
+         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
+    "running_agg" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4))) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cum_total
+         FROM orders ORDER BY o_custkey, o_orderdate, o_orderkey""",
+
+    "pivot_agg" ->
+      """SELECT user_id,
+         COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+         COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+         COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+         COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+         COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS "view"
+         FROM events GROUP BY user_id ORDER BY user_id""",
+
+    "dedup_exact" ->
+      """SELECT min(doc_id) AS keep_id, COUNT(*) AS n_copies
+         FROM documents GROUP BY text ORDER BY keep_id""",
+
+    "dedup_embedding" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round(
+           list_sum(list_transform(range(1, 65),
+             i -> CAST(a.embedding[i] AS DOUBLE)
+                * CAST(b.embedding[i] AS DOUBLE)))
+           / (sqrt(list_sum(list_transform(range(1, 65),
+                i -> CAST(a.embedding[i] AS DOUBLE)
+                   * CAST(a.embedding[i] AS DOUBLE))))
+            * sqrt(list_sum(list_transform(range(1, 65),
+                i -> CAST(b.embedding[i] AS DOUBLE)
+                   * CAST(b.embedding[i] AS DOUBLE))))), 6) AS cosine
+         FROM embeddings a, embeddings b
+         WHERE a.vec_id < b.vec_id
+           AND list_sum(list_transform(range(1, 65),
+             i -> CAST(a.embedding[i] AS DOUBLE)
+                * CAST(b.embedding[i] AS DOUBLE)))
+           / (sqrt(list_sum(list_transform(range(1, 65),
+                i -> CAST(a.embedding[i] AS DOUBLE)
+                   * CAST(a.embedding[i] AS DOUBLE))))
+            * sqrt(list_sum(list_transform(range(1, 65),
+                i -> CAST(b.embedding[i] AS DOUBLE)
+                   * CAST(b.embedding[i] AS DOUBLE))))) >= 0.4
+         ORDER BY id_a, id_b""",
+
+    "ann_bruteforce" ->
+      """WITH scored AS (
+           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             list_sum(list_transform(range(1, 65),
+               i -> CAST(q.embedding[i] AS DOUBLE)
+                  * CAST(c.embedding[i] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(range(1, 65),
+                  i -> CAST(q.embedding[i] AS DOUBLE)
+                     * CAST(q.embedding[i] AS DOUBLE))))
+              * sqrt(list_sum(list_transform(range(1, 65),
+                  i -> CAST(c.embedding[i] AS DOUBLE)
+                     * CAST(c.embedding[i] AS DOUBLE))))) AS cos
+           FROM embeddings q JOIN embeddings c
+             ON q.vec_id % 25 = 0 AND q.vec_id <> c.vec_id),
+         ranked AS (
+           SELECT query_id, neighbor_id, cos, row_number() OVER (
+             PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS "rank"
+           FROM scored)
+         SELECT query_id, "rank", neighbor_id, round(cos, 6) AS cosine
+         FROM ranked WHERE "rank" <= 5 ORDER BY query_id, "rank"""",
+
+    "lang_id" ->
+      """WITH f AS (
+           SELECT doc_id,
+             len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+               t -> t IN ('the','and','of','to','is'))) AS s_en,
+             len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+               t -> t IN ('der','die','und','das','ist'))) AS s_de,
+             len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+               t -> t IN ('le','la','et','les','est'))) AS s_fr,
+             len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+               t -> t IN ('el','la','que','de','es'))) AS s_es
+           FROM documents)
+         SELECT doc_id,
+           CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+                WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+                WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+                WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+                WHEN s_es = greatest(s_en, s_de, s_fr, s_es) THEN 'es'
+                ELSE 'und' END AS lang_guess
+         FROM f ORDER BY doc_id""",
+
+    "quality_score" ->
+      """SELECT doc_id,
+         length(text) AS n_chars,
+         len(string_split_regex(trim(lower(text)), '\s+')) AS n_words,
+         round((length(text) - length(regexp_replace(text,
+             '[!-/:-@\[-`{-~]', '', 'g')))
+           / CAST(length(text) AS DOUBLE), 6) AS punct_ratio,
+         round(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+             t -> t IN ('the','and','of','to','is')))
+           / CAST(len(string_split_regex(trim(lower(text)), '\s+'))
+             AS DOUBLE), 6) AS stopword_ratio,
+         round((CAST(length(text) AS DOUBLE)
+             - (len(string_split_regex(trim(lower(text)), '\s+')) - 1))
+           / CAST(len(string_split_regex(trim(lower(text)), '\s+'))
+             AS DOUBLE), 6) AS mean_word_len
+         FROM documents ORDER BY doc_id""",
+
+    "token_count" ->
+      """SELECT doc_id,
+         len(string_split_regex(trim(lower(text)), '\s+'))
+           AS n_whitespace_tokens,
+         len(list_filter(string_split_regex(regexp_replace(lower(text),
+             '([a-z]+|[0-9]+|[^a-z0-9 ])', '\1 ', 'g'), ' +'),
+           x -> length(x) > 0)) AS n_bpe_tokens,
+         CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_chars_div4
+         FROM documents ORDER BY doc_id"""
+  )
 }

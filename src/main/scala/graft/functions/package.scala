@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Shared column-level building blocks. All pure `functions._`
+  * compositions (no UDFs) so they stay inside whole-stage codegen
+  * and are usable from any operator.
+  */
+package object functions {
+
+  /** Elementwise double-cast of a float array column. Products of two
+    * float32 values are exact in double (24+24 bit mantissas), so
+    * casting before multiplying keeps dot products deterministic. */
+  def asDoubles(a: Column): Column = transform(a, _.cast("double"))
+
+  /** Sequential-fold dot product of two numeric array columns.
+    * Deterministic (left-to-right) — same result on any partitioning. */
+  def dotProduct(a: Column, b: Column): Column =
+    aggregate(zip_with(asDoubles(a), asDoubles(b), _ * _), lit(0.0), _ + _)
+
+  /** L2 norm via sequential fold. */
+  def l2Norm(a: Column): Column =
+    sqrt(aggregate(asDoubles(a), lit(0.0), (acc, x) => acc + x * x))
+
+  /** Cosine similarity of two float-array columns. */
+  def cosineSim(a: Column, b: Column): Column =
+    dotProduct(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /** Lower-cased whitespace word tokens. */
+  def wordTokens(text: Column): Column =
+    split(trim(lower(text)), "\\s+")
+
+  /** Sliding word n-gram shingles of a text column:
+    * ["a","b","c"], n=2 → ["a b","b c"]. Built from sequence +
+    * transform + slice — no UDF, no explode needed at this stage. */
+  def wordShingles(text: Column, n: Int): Column = {
+    val toks = wordTokens(text)
+    when(size(toks) < n, array(concat_ws(" ", toks)))
+      .otherwise(transform(
+        sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+  }
+
+  /** Character n-grams of a text column. */
+  def charNgrams(text: Column, n: Int): Column = {
+    val t = lower(text)
+    when(length(t) < n, array(t))
+      .otherwise(array_distinct(transform(
+        sequence(lit(1), length(t) - (n - 1)),
+        i => t.substr(i, lit(n)))))
+  }
+
+  /** Jaccard similarity of two array columns (as sets). */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    val uni = size(array_union(a, b)).cast("double")
+    when(uni === 0, lit(1.0)).otherwise(inter / uni)
+  }
+
+  /** A cheap 64-bit mix of xxhash64 with a seed salt — gives k
+    * independent-ish hash families for minhash from one codegen'd
+    * hash primitive. */
+  def seededHash(c: Column, seed: Int): Column =
+    xxhash64(c, lit(seed))
+
+  /** Polynomial rolling-hash fingerprint of a token array —
+    * deterministic, order-sensitive (unlike a set hash). Modular
+    * (mod 2^31-1) so the fold never overflows ANSI long arithmetic:
+    * acc < 2^31, so acc*P + h < 2^51 + 2^31. */
+  def rollingFingerprint(tokens: Column): Column = {
+    val m = lit(2147483647L)
+    aggregate(tokens, lit(0L),
+      (acc, t) => pmod(acc * lit(1000003L) + pmod(xxhash64(t), m), m))
+  }
+}

@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column handling: image/audio/video payloads ride along
+  * as opaque `binary` columns with a typed metadata struct; decode /
+  * feature-extraction runs batched per partition.
+  *
+  * The actual codec step is STUBBED (no image/audio libs in this
+  * environment): `decodeStub` produces deterministic fake features
+  * from the bytes. Everything around it — the schema contract, the
+  * per-partition batching, the partition sizing story — is real: at
+  * 100 TB the binary column dominates row size, so these tables want
+  * small `files.maxPartitionBytes`, the metadata struct split into
+  * its own (pruned) columns, and feature extraction as a map-only
+  * pass with no shuffle.
+  */
+object Multimodal {
+
+  /** Canonical multimodal schema: payload + typed metadata. */
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("payload", BinaryType, nullable = true),
+    StructField("media_type", StringType, nullable = false),
+    StructField("meta", StructType(Seq(
+      StructField("width", IntegerType, nullable = true),
+      StructField("height", IntegerType, nullable = true),
+      StructField("n_bytes", LongType, nullable = false),
+      StructField("format", StringType, nullable = true))), nullable = false)))
+
+  /** Wrap the documents table into the multimodal shape: text bytes
+    * play the role of an encoded payload (deterministic stand-in for
+    * real image/audio bytes). */
+  def asMediaTable(docs: DataFrame, idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame =
+    docs.select(
+      col(idCol).as("media_id"),
+      encode(col(textCol), "UTF-8").as("payload"),
+      lit("image/stub").as("media_type"),
+      struct(
+        (pmod(xxhash64(col(textCol)), lit(1920L)) + 1).cast("int").as("width"),
+        (pmod(xxhash64(col(textCol), lit(1)), lit(1080L)) + 1).cast("int")
+          .as("height"),
+        length(encode(col(textCol), "UTF-8")).cast("long").as("n_bytes"),
+        lit("stub").as("format")).as("meta"))
+
+  /** STUB decode: in production this would call into an image/audio
+    * codec over each payload batch (the mapInPandas/mapPartitions
+    * slot). Here it derives a deterministic 8-dim "feature vector"
+    * from the payload bytes so the plumbing is end-to-end testable. */
+  def decodeStub(payload: Array[Byte]): Array[Double] = {
+    val acc = new Array[Double](8)
+    var i = 0
+    while (i < payload.length) {
+      acc(i % 8) += (payload(i) & 0xFF) / 255.0
+      i += 1
+    }
+    acc
+  }
+
+  /** Batched per-partition feature extraction over the payload
+    * column — map-only, no shuffle; the Scala analogue of a
+    * mapInPandas batch UDF. Output: (media_id, width, height,
+    * features array<double>). */
+  def extractFeatures(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("width", IntegerType, nullable = true),
+      StructField("height", IntegerType, nullable = true),
+      StructField("features", ArrayType(DoubleType, containsNull = false))))
+    val pruned = media.select(col("media_id"), col("payload"),
+      col("meta.width").as("width"), col("meta.height").as("height"))
+    val rdd = pruned.rdd.mapPartitions { rows =>
+      // batch loop: one iterator pass, codec state could be reused
+      // across the partition here (the expensive part in production).
+      rows.map { r =>
+        val payload = r.getAs[Array[Byte]]("payload")
+        val feats = if (payload == null) Array.empty[Double]
+        else decodeStub(payload)
+        Row(r.getAs[Long]("media_id"),
+          r.getAs[java.lang.Integer]("width"),
+          r.getAs[java.lang.Integer]("height"), feats.toSeq)
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Deterministic frame-sampling plan for video-ish payloads: which
+    * byte offsets ("frames") to decode, every `stride` bytes — the
+    * shape of frame-sample without a video lib. Pure column ops. */
+  def framePlan(media: DataFrame, stride: Int = 1024): DataFrame =
+    media.select(col("media_id"),
+      sequence(lit(0L), greatest(col("meta.n_bytes") - 1, lit(0L)),
+        lit(stride.toLong)).as("frame_offsets"))
+      .withColumn("n_frames", size(col("frame_offsets")))
+}

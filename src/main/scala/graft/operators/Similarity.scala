@@ -1,0 +1,76 @@
+package graft.operators
+
+import graft.functions._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbour search over an embedding column.
+  *
+  * Scale design: the brute-force path broadcasts the (small) query
+  * set against the (huge) corpus — a map-only pass over the corpus,
+  * then per-query top-k via partial top-k aggregation; no corpus
+  * shuffle. The LSH path buckets the corpus by sign-random-projection
+  * so each query only scans its bucket(s) — the 100 TB route, with
+  * recall traded via number of projection bits / probes.
+  */
+object Similarity {
+
+  /** Brute-force cosine top-k: for each query vector, the k nearest
+    * corpus vectors. Query side must be small (broadcast). */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosineSim(col("__qv"), col("__cv")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cos"), 6).as("cosine"))
+  }
+
+  /** Deterministic pseudo-random projection hyperplanes: component j
+    * of plane p derived from xxhash64 — no RNG state, reproducible
+    * across runs/executors. Returns sign-bit bucket id per vector. */
+  private def srpBucket(vec: org.apache.spark.sql.Column, bits: Int) = {
+    val dims = size(vec)
+    (0 until bits).map { p =>
+      // pseudo-weight for (p, j): map hash to [-1, 1)
+      val dot = aggregate(
+        zip_with(asDoubles(vec),
+          transform(sequence(lit(0), dims - 1),
+            j => (pmod(xxhash64(j, lit(p)), lit(2000001L)) - 1000000L) / 1000000.0),
+          _ * _),
+        lit(0.0), _ + _)
+      when(dot >= 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+  }
+
+  /** LSH (sign-random-projection) bucketed ANN: corpus is bucketed
+    * once (a write-time/materializable pass at scale); each query
+    * joins only its bucket. Approximate — recall measured against
+    * bruteForceTopK in tests. */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+              bits: Int = 8, idCol: String = "vec_id",
+              vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+      .withColumn("bucket", srpBucket(col("__cv"), bits))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+      .withColumn("bucket", srpBucket(col("__qv"), bits))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    c.join(broadcast(q), "bucket")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosineSim(col("__qv"), col("__cv")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cos"), 6).as("cosine"))
+  }
+}

@@ -1,0 +1,92 @@
+package graft.operators
+
+import graft.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over the `documents` table: language id,
+  * quality scoring, token counting, fingerprinting. All pure
+  * column-expression pipelines (whole-stage-codegen friendly, no
+  * UDFs) — a single map-only pass per operator at any scale.
+  */
+object TextAnalysis {
+
+  /** Tiny per-language stopword profiles for the n-gram/stopword
+    * language-ID heuristic. ASCII-only on purpose: deterministic
+    * across JVM/engine collations. */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "is"),
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "fr" -> Seq("le", "la", "et", "les", "est"),
+    "es" -> Seq("el", "la", "que", "de", "es"))
+
+  private def countWordHits(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => words.map(w => t === w).reduce(_ || _)))
+
+  /** Stopword-profile language guess: the language whose stopword
+    * list hits the most tokens; "und" (unknown) if nothing hits.
+    * Ties break by profile order en>de>fr>es (deterministic). */
+  def langId(text: Column): Column = {
+    val toks = wordTokens(text)
+    val scores = Seq("en", "de", "fr", "es").map(l =>
+      l -> countWordHits(toks, stopwords(l)))
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldLeft(when(best === 0, lit("und"))) {
+      case (acc, (l, s)) => acc.when(s === best, lit(l))
+    }.otherwise(lit("und"))
+  }
+
+  /** Quality features: char/word lengths, punctuation ratio,
+    * stopword ratio, mean word length — the standard cheap quality
+    * signals for pretraining-data filtering. */
+  def qualityScore(docs: DataFrame, idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val toks = wordTokens(t)
+    // explicit ASCII punctuation class — identical semantics in any
+    // regex dialect (vs \p{Punct} whose definition varies).
+    val punct = length(t) - length(regexp_replace(t, "[!-/:-@\\[-`{-~]", ""))
+    val nChars = length(t).cast("double")
+    val nWords = size(toks).cast("double")
+    val stopHits = countWordHits(toks, stopwords("en")).cast("double")
+    docs.select(
+      col(idCol),
+      length(t).cast("long").as("n_chars"),
+      size(toks).cast("long").as("n_words"),
+      round(punct / nChars, 6).as("punct_ratio"),
+      round(stopHits / nWords, 6).as("stopword_ratio"),
+      round((nChars - (nWords - 1)) / nWords, 6).as("mean_word_len"))
+  }
+
+  /** Token counts: whitespace words and a BPE-ish segmentation
+    * (letter-runs, digit-runs, single punctuation marks — the
+    * GPT-2-style pre-tokenizer shape). */
+  def tokenCounts(docs: DataFrame, idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val bpeish = size(filter(
+      split(regexp_replace(lower(t), "([a-z]+|[0-9]+|[^a-z0-9 ])", "$1 "),
+        "[ ]+"),
+      x => length(x) > 0))
+    docs.select(
+      col(idCol),
+      size(wordTokens(t)).cast("long").as("n_whitespace_tokens"),
+      bpeish.cast("long").as("n_bpe_tokens"),
+      ceil(length(t).cast("double") / 4.0).cast("long").as("n_chars_div4"))
+  }
+
+  /** Rolling-hash document fingerprints: order-sensitive polynomial
+    * hash over word tokens + order-insensitive content hash. */
+  def fingerprints(docs: DataFrame, idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame =
+    docs.select(
+      col(idCol),
+      rollingFingerprint(wordTokens(col(textCol))).as("rolling_fp"),
+      xxhash64(concat_ws(" ", array_sort(wordTokens(col(textCol)))))
+        .as("bag_fp"))
+
+  /** Language-ID applied over a documents table. */
+  def langIdTable(docs: DataFrame, idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame =
+    docs.select(col(idCol), langId(col(textCol)).as("lang_guess"))
+}

@@ -1,0 +1,74 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Schema-checked readers for the lakehouse tables.
+  *
+  * Mirrors the reference's raw-layer loaders
+  * (reference: notebooks/pipeline_core.py:50-77 `load_raw`) but
+  * Spark-first: parquet scans stay declarative so Catalyst pushes
+  * filters/column pruning into the scan; CSV ingest is option-driven
+  * like the reference's config map
+  * (reference: notebooks/Mini-ETL-Pipeline in Databricks.py defaults).
+  */
+object Tables {
+  val tpch: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Read one table from an sf directory.
+    *
+    * Parquet TIMESTAMP(NANOS) (the events table) is unsupported by
+    * Spark's reader; read it as raw long nanos and convert to a
+    * micros timestamp (floor division — the same truncation DuckDB
+    * applies when reading nanos into its micros timestamps).
+    */
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    if (name == "events")
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else df
+  }
+
+  /** Register all tables as temp views (for spark.sql use). */
+  def registerAll(spark: SparkSession, sfDir: String): Unit =
+    tpch.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))
+
+  /** Ingest metadata, as the reference's `with_ingest_metadata`
+    * (reference: notebooks/pipeline_core.py:33-44) — but with an
+    * injectable batch timestamp so pipelines are replayable /
+    * deterministic; wall-clock defaults live at the call site, not
+    * inside the operator.
+    */
+  def withIngestMetadata(df: DataFrame, source: String,
+                         batchTs: java.sql.Timestamp): DataFrame =
+    df.withColumn("ingest_ts", lit(batchTs))
+      .withColumn("ingest_source", lit(source))
+
+  /** Option-driven CSV reader (delimiter / header / encoding /
+    * quote), the reference's per-file config map semantics.
+    */
+  def readCsv(spark: SparkSession, path: String,
+              delimiter: String = ",", header: Boolean = true,
+              encoding: String = "UTF-8", quote: String = "\"",
+              inferSchema: Boolean = true): DataFrame =
+    spark.read
+      .option("sep", delimiter)
+      .option("header", header.toString)
+      .option("encoding", encoding)
+      .option("quote", quote)
+      .option("inferSchema", inferSchema.toString)
+      .csv(path)
+
+  /** New-file detection: which candidate files are not yet ingested.
+    * The reference lists blobs and pattern-matches client-side
+    * (reference: notebooks/Mini-ETL-Pipeline in Databricks.py blob
+    * listing); at scale this is an anti-join of the listing against
+    * the ingest log, distributed rather than a driver loop.
+    */
+  def newFiles(listing: DataFrame, ingestLog: DataFrame,
+               nameCol: String = "name"): DataFrame =
+    listing.join(ingestLog, Seq(nameCol), "left_anti")
+}
