@@ -36,37 +36,52 @@ object Similarity {
   }
 
   /** Deterministic pseudo-random projection hyperplanes: component j
-    * of plane p derived from xxhash64 — no RNG state, reproducible
-    * across runs/executors. Returns sign-bit bucket id per vector. */
-  private def srpBucket(vec: org.apache.spark.sql.Column, bits: Int) = {
+    * of plane p (within table t) derived from xxhash64 — no RNG
+    * state, reproducible across runs/executors. Returns sign-bit
+    * bucket id per vector. */
+  private def srpBucket(vec: org.apache.spark.sql.Column, bits: Int,
+                        table: Int) = {
     val dims = size(vec)
     (0 until bits).map { p =>
-      // pseudo-weight for (p, j): map hash to [-1, 1)
+      // pseudo-weight for (table, p, j): map hash to [-1, 1)
       val dot = aggregate(
         zip_with(asDoubles(vec),
           transform(sequence(lit(0), dims - 1),
-            j => (pmod(xxhash64(j, lit(p)), lit(2000001L)) - 1000000L) / 1000000.0),
+            j => (pmod(xxhash64(j, lit(table * 97 + p)), lit(2000001L))
+              - 1000000L) / 1000000.0),
           _ * _),
         lit(0.0), _ + _)
       when(dot >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_.bitwiseOR(_))
   }
 
-  /** LSH (sign-random-projection) bucketed ANN: corpus is bucketed
-    * once (a write-time/materializable pass at scale); each query
-    * joins only its bucket. Approximate — recall measured against
-    * bruteForceTopK in tests. */
+  /** Multi-table LSH (sign-random-projection) bucketed ANN: the
+    * corpus is bucketed into `tables` independent hash tables (a
+    * write-time/materializable pass at scale — corpus storage ×L,
+    * probe cost |bucket|·L instead of |corpus|); each query joins
+    * only its bucket per table, candidates are deduped, then exact
+    * cosine ranks them. Recall grows with `tables`, probe cost with
+    * 2^-bits — measured against bruteForceTopK in tests. */
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-              bits: Int = 8, idCol: String = "vec_id",
+              bits: Int = 8, tables: Int = 8, idCol: String = "vec_id",
               vecCol: String = "embedding"): DataFrame = {
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
-      .withColumn("bucket", srpBucket(col("__cv"), bits))
+      .withColumn("tb", explode(array((0 until tables).map(t =>
+        struct(lit(t).as("t"), srpBucket(col("__cv"), bits, t).as("b"))): _*)))
+      .select(col("neighbor_id"), col("__cv"),
+        col("tb.t").as("t"), col("tb.b").as("b"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
-      .withColumn("bucket", srpBucket(col("__qv"), bits))
+      .withColumn("tb", explode(array((0 until tables).map(t =>
+        struct(lit(t).as("t"), srpBucket(col("__qv"), bits, t).as("b"))): _*)))
+      .select(col("query_id"), col("__qv"),
+        col("tb.t").as("t"), col("tb.b").as("b"))
+    val cands = c.join(broadcast(q), Seq("t", "b"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("__qv"), col("__cv"))
+      .dropDuplicates("query_id", "neighbor_id")
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("neighbor_id"))
-    c.join(broadcast(q), "bucket")
-      .filter(col("query_id") =!= col("neighbor_id"))
+    cands
       .withColumn("cos", cosineSim(col("__qv"), col("__cv")))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)

@@ -1,0 +1,43 @@
+package graft
+
+import graft.operators.Analytics
+import org.apache.spark.sql.functions._
+
+class AnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("sessionize splits on >30min gaps per user") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1L, "click", 1.0),
+      (2L, ts("2024-01-01 00:10:00"), 1L, "view", 1.0),
+      (3L, ts("2024-01-01 01:00:00"), 1L, "click", 1.0),  // 50min gap → new
+      (4L, ts("2024-01-01 00:05:00"), 2L, "click", 1.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = Analytics.sessionize(ev)
+      .select("user_id", "session_seq", "n_events")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 1L, 2L), (1L, 2L, 1L), (2L, 1L, 1L)))
+  }
+
+  test("topKPerGroup ranks within groups deterministically") {
+    val df = Seq((1, 10.0, 100L), (1, 20.0, 101L), (1, 20.0, 102L),
+      (2, 5.0, 103L)).toDF("g", "v", "id")
+    val out = Analytics.topKPerGroup(df, Seq("g"),
+      Seq(col("v").desc, col("id").asc), 2)
+      .select("g", "rn", "id").as[(Int, Long, Long)].collect().toSeq
+      .sortBy(r => (r._1, r._2))
+    assert(out == Seq((1, 1L, 101L), (1, 2L, 102L), (2, 1L, 103L)))
+  }
+
+  test("dsum is exact and partitioning-independent") {
+    val vals = (1 to 10000).map(i => i * 0.01)
+    val one = vals.toDF("v").coalesce(1)
+      .agg(Analytics.dsum(col("v"))).as[Double].head()
+    val many = vals.toDF("v").repartition(17)
+      .agg(Analytics.dsum(col("v"))).as[Double].head()
+    assert(one == many) // bit-identical, not just close
+    assert(math.abs(one - 500050.0) < 1e-9)
+  }
+}

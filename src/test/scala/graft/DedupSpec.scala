@@ -1,0 +1,84 @@
+package graft
+
+import graft.operators.Dedup
+import graft.functions._
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog " +
+    "while the cat sleeps on the warm mat near the door and the bird " +
+    "sings a song about the morning sun above the hills"
+  // near-dup: one word changed; far doc: disjoint vocabulary
+  private val nearDup = base.replace("warm", "cold")
+  private val far = "completely different content talking about spark " +
+    "catalyst optimizer plans and shuffle partitions at massive scale"
+
+  private lazy val docs = Seq(
+    (0L, base), (1L, nearDup), (2L, far),
+    (3L, base + " extra tail words here"), (4L, "tiny")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups identical texts") {
+    val dup = Seq((0L, "same"), (1L, "same"), (2L, "other"))
+      .toDF("doc_id", "text")
+    val out = Dedup.exact(dup).orderBy("keep_id")
+      .as[(Long, Long)].collect()
+    assert(out.toSeq == Seq((0L, 2L), (2L, 1L)))
+  }
+
+  test("minhash estimates jaccard within tolerance") {
+    val sigs = Dedup.minhashSignatures(docs, "doc_id", "text", 3, 128)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val sh = docs.select(col("doc_id"),
+      array_distinct(wordShingles(col("text"), 3)).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    for (a <- Seq(0L); b <- Seq(1L, 2L)) {
+      val est = sigs(a).zip(sigs(b)).count { case (x, y) => x == y } / 128.0
+      val exact = sh(a).intersect(sh(b)).size.toDouble / sh(a).union(sh(b)).size
+      assert(math.abs(est - exact) < 0.15,
+        s"pair ($a,$b): est $est vs exact $exact")
+    }
+  }
+
+  test("minhashLsh surfaces planted near-dups, not far pairs") {
+    val pairs = Dedup.minhashLsh(docs, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
+  }
+
+  test("simhash: identical docs equal, near-dups close, far docs far") {
+    val fp = Dedup.simhash(docs.union(Seq((5L, base)).toDF("doc_id", "text")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(0L) == fp(5L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(fp(0L), fp(1L)) < ham(fp(0L), fp(2L)))
+  }
+
+  test("simhashPairs verifies hamming bound") {
+    val pairs = Dedup.simhashPairs(docs, maxHamming = 10).collect()
+    pairs.foreach(r => assert(r.getAs[Int]("hamming") <= 10))
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).contains((0L, 1L)))
+  }
+
+  test("ngramJaccard finds near-dup with correct score") {
+    val out = Dedup.ngramJaccard(docs, threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(out.contains((0L, 1L)))
+    assert(out((0L, 1L)) > 0.5 && out((0L, 1L)) < 1.0)
+    assert(!out.keys.exists(p => p._1 == 2L || p._2 == 2L))
+  }
+
+  test("embeddingNearDup on handcrafted vectors") {
+    val emb = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)),
+      (1L, Array(0.99f, 0.1f, 0f, 0f)), // ~cos 0.995 with 0
+      (2L, Array(0f, 1f, 0f, 0f))       // orthogonal to 0
+    ).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDup(emb, threshold = 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((0L, 1L)))
+  }
+}

@@ -1,0 +1,44 @@
+package graft
+
+import graft.operators.Multimodal
+import org.apache.spark.sql.types._
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (0L, "hello world"), (1L, "a"), (2L, "multimodal payload bytes here")
+  ).toDF("doc_id", "text")
+
+  test("asMediaTable produces the canonical schema") {
+    val media = Multimodal.asMediaTable(docs)
+    assert(media.schema.fieldNames.toSeq ==
+      Seq("media_id", "payload", "media_type", "meta"))
+    assert(media.schema("payload").dataType == BinaryType)
+    val meta = media.schema("meta").dataType.asInstanceOf[StructType]
+    assert(meta.fieldNames.toSeq == Seq("width", "height", "n_bytes", "format"))
+    val r = media.orderBy("media_id").collect()(0)
+    assert(new String(r.getAs[Array[Byte]]("payload"), "UTF-8") == "hello world")
+  }
+
+  test("extractFeatures is deterministic and shaped") {
+    val media = Multimodal.asMediaTable(docs)
+    val f1 = Multimodal.extractFeatures(media).orderBy("media_id").collect()
+    val f2 = Multimodal.extractFeatures(media).orderBy("media_id").collect()
+    assert(f1.length == 3)
+    f1.zip(f2).foreach { case (a, b) =>
+      assert(a.getSeq[Double](3) == b.getSeq[Double](3))
+    }
+    // feature fold matches the stub applied directly
+    val expected = Multimodal.decodeStub("hello world".getBytes("UTF-8"))
+    assert(f1(0).getSeq[Double](3) == expected.toSeq)
+  }
+
+  test("framePlan samples offsets by stride") {
+    val out = Multimodal.framePlan(Multimodal.asMediaTable(docs), stride = 8)
+      .orderBy("media_id").collect()
+    // "hello world" = 11 bytes → offsets 0, 8 → 2 frames
+    assert(out(0).getAs[Int]("n_frames") == 2)
+    assert(out(1).getAs[Int]("n_frames") == 1)
+  }
+}

@@ -1,0 +1,31 @@
+package graft
+
+import graft.operators.Similarity
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bruteForceTopK matches a hand-computed ranking") {
+    val emb = Seq(
+      (0L, Array(1f, 0f)), (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0.5f, 0.5f)), (3L, Array(0f, 1f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.bruteForceTopK(
+      emb.filter(col("vec_id") === 0), emb, k = 3)
+      .select("rank", "neighbor_id").as[(Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 1L), (2L, 2L), (3L, 3L)))
+  }
+
+  test("lshTopK achieves reasonable recall@5 vs brute force on testdata") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val queries = emb.filter(pmod(col("vec_id"), lit(25)) === 0)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val exact = pairs(Similarity.bruteForceTopK(queries, emb, 5))
+    val approx = pairs(Similarity.lshTopK(queries, emb, 5, bits = 4))
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall > 0.6, s"recall@5 = $recall")
+  }
+}

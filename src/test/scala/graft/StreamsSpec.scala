@@ -1,0 +1,66 @@
+package graft
+
+import graft.operators.Analytics
+import graft.streaming.Streams
+import graft.streaming.Streams.Event
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+class StreamsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  private val events = Seq(
+    Event(1L, ts("2024-01-01 00:10:00"), 1L, "click", 1.0),
+    Event(2L, ts("2024-01-01 00:20:00"), 2L, "view", 2.0),
+    Event(3L, ts("2024-01-01 01:10:00"), 1L, "click", 3.0),
+    Event(4L, ts("2024-01-01 01:40:00"), 1L, "purchase", 4.0),
+    Event(5L, ts("2024-01-01 02:05:00"), 2L, "click", 5.0))
+
+  test("streaming windowedAgg matches the batch twin on bounded input") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    mem.addData(events: _*)
+    val q = Streams.windowedAgg(mem.toDF())
+      .writeStream.format("memory").queryName("win_out")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("win_out")
+      .orderBy("win_start", "event_type")
+      .collect().map(_.toSeq).toSeq
+    val batch = Analytics.windowedEvents(events.toDF())
+      .collect().map(_.toSeq).toSeq
+    assert(streamed == batch)
+  }
+
+  test("streamingScd1 keeps last-writer-wins state across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = Streams.streamingScd1(mem.toDS())
+      .writeStream.format("memory").queryName("scd1_out")
+      .outputMode("update").start()
+    try {
+      mem.addData(events.take(2): _*)
+      q.processAllAvailable()
+      mem.addData(events.drop(2): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val state = spark.table("scd1_out")
+      .groupBy("user_id").agg(last("event_type").as("event_type"))
+      .orderBy("user_id")
+      .as[(Long, String)].collect().toSeq
+    assert(state == Seq((1L, "purchase"), (2L, "click")))
+  }
+
+  test("streamingDedup drops duplicate keys within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    mem.addData(events ++ Seq(events.head.copy(value = 99.0)): _*)
+    val q = Streams.streamingDedup(mem.toDF(), Seq("event_id"))
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    assert(spark.table("dedup_out").count() == 5)
+  }
+}

@@ -1,0 +1,50 @@
+package graft
+
+import graft.operators.TextAnalysis
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("langId picks the profile with most stopword hits") {
+    val docs = Seq(
+      (0L, "the cat and the dog is of to the house"),
+      (1L, "der hund und die katze ist das haus"),
+      (2L, "le chat et la maison les arbres est"),
+      (3L, "xyzzy plugh qwerty")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.langIdTable(docs).orderBy("doc_id")
+      .as[(Long, String)].collect().map(_._2).toSeq
+    assert(out == Seq("en", "de", "fr", "und"))
+  }
+
+  test("tokenCounts: whitespace and BPE-ish segmentation") {
+    val docs = Seq((0L, "Hello world, 42 times!")).toDF("doc_id", "text")
+    val r = TextAnalysis.tokenCounts(docs).collect()(0)
+    assert(r.getAs[Long]("n_whitespace_tokens") == 4L)
+    // hello | world | , | 42 | times | ! → 6
+    assert(r.getAs[Long]("n_bpe_tokens") == 6L)
+    assert(r.getAs[Long]("n_chars_div4") == 6L) // 22 chars / 4 → ceil 6
+  }
+
+  test("qualityScore ratios are consistent") {
+    val docs = Seq((0L, "the cat, the hat!")).toDF("doc_id", "text")
+    val r = TextAnalysis.qualityScore(docs).collect()(0)
+    assert(r.getAs[Long]("n_chars") == 17L)
+    assert(r.getAs[Long]("n_words") == 4L)
+    // operator rounds ratios to 6 decimals
+    assert(math.abs(r.getAs[Double]("punct_ratio") - 2.0 / 17) < 1e-6)
+    assert(math.abs(r.getAs[Double]("stopword_ratio") - 0.5) < 1e-6)
+  }
+
+  test("fingerprints: rolling is order-sensitive, bag is not") {
+    val docs = Seq(
+      (0L, "alpha beta gamma"), (1L, "gamma beta alpha"),
+      (2L, "alpha beta gamma")
+    ).toDF("doc_id", "text")
+    val fp = TextAnalysis.fingerprints(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(fp(0L)._1 == fp(2L)._1 && fp(0L)._2 == fp(2L)._2)
+    assert(fp(0L)._1 != fp(1L)._1) // order matters for rolling
+    assert(fp(0L)._2 == fp(1L)._2) // bag hash ignores order
+  }
+}
