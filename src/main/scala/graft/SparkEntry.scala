@@ -181,9 +181,14 @@ object SparkEntry {
       Dedup.simhashPairs(t(s, d, "documents"), maxHamming = 10)
         .orderBy(col("id_a"), col("id_b"))),
 
-    "ngram_jaccard" -> ((s, d) =>
-      Dedup.ngramJaccard(t(s, d, "documents"), threshold = 0.35)
-        .orderBy(col("id_a"), col("id_b"))),
+    "ngram_jaccard" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      // stop-gram cap at 10% of the corpus: grams in >10% of docs
+      // carry no dedup signal and dominate the Σ df² join cost.
+      val cap = math.max(50L, docs.count() / 10)
+      Dedup.ngramJaccard(docs, threshold = 0.35, maxDf = cap)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
 
     "dedup_embedding" -> ((s, d) =>
       Dedup.embeddingNearDup(t(s, d, "embeddings"), threshold = 0.4)

@@ -2,7 +2,6 @@ package graft.operators
 
 import graft.functions._
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication family for training-data pipelines.
@@ -28,13 +27,17 @@ object Dedup {
 
   /** MinHash signatures: explode shingles once, one shuffle keyed by
     * doc id, `numHashes` min-aggregations computed map-side-partial.
-    * Returns (idCol, sig: array<long>). */
+    * Each shingle string is hashed ONCE; the k hash families then
+    * re-hash that long (xxhash64 over a long is a handful of ALU ops
+    * vs re-hashing the string k times). Returns (idCol,
+    * sig: array<long>). */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
                         shingleWords: Int, numHashes: Int): DataFrame = {
     val sh = docs.select(col(idCol),
       explode(array_distinct(wordShingles(col(textCol), shingleWords))).as("__sh"))
+      .withColumn("__bh", xxhash64(col("__sh")))
     val minCols = (0 until numHashes)
-      .map(i => min(seededHash(col("__sh"), i)).as(s"__h$i"))
+      .map(i => min(seededHash(col("__bh"), i)).as(s"__h$i"))
     sh.groupBy(col(idCol))
       .agg(minCols.head, minCols.tail: _*)
       .select(col(idCol),
@@ -116,48 +119,71 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
-  /** Character n-gram Jaccard similarity join. Candidate generation
-    * by shared n-gram (prefix-filtered: rarest k n-grams per doc) so
-    * the join is bucketed, not a cross join. */
+  /** Character n-gram Jaccard similarity join — exact, count-based.
+    *
+    * |A∩B| is computed by self-joining the exploded (doc, gram)
+    * relation on the gram and counting per pair; |A∪B| = |A|+|B|−c.
+    * No arrays are carried through the shuffle and there is no
+    * cross join: the cost is Σ_g df(g)², streamed through a
+    * partial-aggregating groupBy. Grams are hashed to longs so the
+    * join keys are 8 bytes.
+    *
+    * At open-web scale Σ df² is dominated by stop-grams; `maxDf`
+    * drops grams appearing in more than that many docs from the
+    * gram space (a documented, consistent approximation: both the
+    * intersection and the sizes are computed over the filtered
+    * space). `maxDf = 0` keeps everything (exact). */
   def ngramJaccard(docs: DataFrame, idCol: String = "doc_id",
-                   textCol: String = "text", n: Int = 5,
-                   prefixK: Int = 10, threshold: Double = 0.5): DataFrame = {
-    val grams = docs.select(col(idCol).as("__id"),
-      charNgrams(col(textCol), n).as("__g"))
-    // global n-gram document frequency → keep each doc's rarest k as
-    // its candidate-generation prefix (standard prefix filtering).
-    val df_ = grams.select(col("__id"), explode(col("__g")).as("g"))
-    val freq = df_.groupBy("g").agg(count(lit(1)).as("df"))
-    val w = Window.partitionBy("__id").orderBy(col("df"), col("g"))
-    val prefix = df_.join(freq, "g")
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= prefixK)
-      .select(col("__id"), col("g"))
-    val cands = prefix.toDF("id_a", "g")
-      .join(prefix.toDF("id_b", "g"), "g")
+                   textCol: String = "text", n: Int = 8,
+                   threshold: Double = 0.5, maxDf: Long = 0L): DataFrame = {
+    val g0 = docs.select(col(idCol).as("__id"),
+      explode(array_distinct(
+        transform(charNgrams(col(textCol), n), g => xxhash64(g)))).as("g"))
+    val g = (if (maxDf > 0) {
+      val keep = g0.groupBy("g").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= maxDf).select("g")
+      g0.join(keep, "g")
+    } else g0).select(col("__id"), col("g")) // pin column order
+    val sizes = g.groupBy(col("__id")).agg(count(lit(1)).as("sz"))
+    // Explicit repartition by gram: the (doc, gram) relation is tiny
+    // relative to the O(Σ df²) join OUTPUT, so AQE would coalesce the
+    // shuffle to one partition and serialize the expensive stage.
+    // A user-specified partition count pins the parallelism.
+    val gp = g.repartition(g.sparkSession.sparkContext.defaultParallelism * 4,
+      col("g"))
+    val inter = gp.toDF("id_a", "g")
+      .join(gp.toDF("id_b", "g"), "g")
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
-    cands
-      .join(grams.toDF("id_a", "g_a"), "id_a")
-      .join(grams.toDF("id_b", "g_b"), "id_b")
-      .withColumn("jaccard", jaccard(col("g_a"), col("g_b")))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("c"))
+    inter
+      .join(sizes.toDF("id_a", "sz_a"), "id_a")
+      .join(sizes.toDF("id_b", "sz_b"), "id_b")
+      .withColumn("jaccard", col("c").cast("double") /
+        (col("sz_a") + col("sz_b") - col("c")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
-  /** Embedding near-dup: pairs with cosine ≥ threshold. `blockBits`
-    * buckets by sign-random-projection so this is LSH-blocked at
-    * scale; `blockBits = 0` is exact all-pairs (quadratic — only for
-    * bounded inputs). */
+  /** Embedding near-dup: exact all-pairs with cosine ≥ threshold.
+    * Norms are computed once per vector (not once per pair) — the
+    * arithmetic per pair is exactly dot/(na*nb), so results are
+    * bit-identical to the naive form at a third of the flops.
+    * Quadratic by design: for unbounded corpora use
+    * Similarity.lshTopK-style blocking instead. */
   def embeddingNearDup(emb: DataFrame, idCol: String = "vec_id",
                        vecCol: String = "embedding",
                        threshold: Double = 0.95): DataFrame = {
-    val e = emb.select(col(idCol), col(vecCol))
-    val a = e.toDF("id_a", "v_a")
-    val b = e.toDF("id_b", "v_b")
+    val e = emb.select(col(idCol), col(vecCol), l2Norm(col(vecCol)).as("nrm"))
+    // spread the stream side: a broadcast-nested-loop over a single
+    // small input would otherwise run in one task
+    val a = e.toDF("id_a", "v_a", "n_a")
+      .repartition(emb.sparkSession.sparkContext.defaultParallelism)
+    val b = e.toDF("id_b", "v_b", "n_b")
     a.crossJoin(b)
       .filter(col("id_a") < col("id_b"))
-      .withColumn("cos", cosineSim(col("v_a"), col("v_b")))
+      .withColumn("cos", dotProduct(col("v_a"), col("v_b")) /
+        (col("n_a") * col("n_b")))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cosine"))
   }

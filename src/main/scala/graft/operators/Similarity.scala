@@ -17,15 +17,19 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   /** Brute-force cosine top-k: for each query vector, the k nearest
-    * corpus vectors. Query side must be small (broadcast). */
+    * corpus vectors. Query side must be small (broadcast). Norms are
+    * precomputed per vector — per-pair work is one dot product. */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
                      idCol: String = "vec_id",
                      vecCol: String = "embedding"): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
+      l2Norm(col(vecCol)).as("__qn"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
+      l2Norm(col(vecCol)).as("__cn"))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", cosineSim(col("__qv"), col("__cv")))
+      .withColumn("cos", dotProduct(col("__qv"), col("__cv")) /
+        (col("__qn") * col("__cn")))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("neighbor_id"))
     scored
@@ -65,24 +69,28 @@ object Similarity {
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
               bits: Int = 8, tables: Int = 8, idCol: String = "vec_id",
               vecCol: String = "embedding"): DataFrame = {
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
+      l2Norm(col(vecCol)).as("__cn"))
       .withColumn("tb", explode(array((0 until tables).map(t =>
         struct(lit(t).as("t"), srpBucket(col("__cv"), bits, t).as("b"))): _*)))
-      .select(col("neighbor_id"), col("__cv"),
+      .select(col("neighbor_id"), col("__cv"), col("__cn"),
         col("tb.t").as("t"), col("tb.b").as("b"))
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
+      l2Norm(col(vecCol)).as("__qn"))
       .withColumn("tb", explode(array((0 until tables).map(t =>
         struct(lit(t).as("t"), srpBucket(col("__qv"), bits, t).as("b"))): _*)))
-      .select(col("query_id"), col("__qv"),
+      .select(col("query_id"), col("__qv"), col("__qn"),
         col("tb.t").as("t"), col("tb.b").as("b"))
     val cands = c.join(broadcast(q), Seq("t", "b"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"), col("__qv"), col("__cv"))
+      .select(col("query_id"), col("neighbor_id"),
+        col("__qv"), col("__cv"), col("__qn"), col("__cn"))
       .dropDuplicates("query_id", "neighbor_id")
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("neighbor_id"))
     cands
-      .withColumn("cos", cosineSim(col("__qv"), col("__cv")))
+      .withColumn("cos", dotProduct(col("__qv"), col("__cv")) /
+        (col("__qn") * col("__cn")))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"),
