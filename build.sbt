@@ -27,4 +27,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
+  // Many queries × large whole-stage-codegen classes exhaust the
+  // default ~240MB code cache; the JIT then silently disables itself
+  // and later queries run interpreted (10-30× slower).
+  "-XX:ReservedCodeCacheSize=1g",
 )

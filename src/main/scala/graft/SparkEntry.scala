@@ -169,6 +169,30 @@ object SparkEntry {
       Analytics.pivotAgg(t(s, d, "events"),
         Seq("click", "error", "purchase", "signup", "view"))),
 
+    "distinct_count" -> ((s, d) =>
+      Analytics.distinctCounts(t(s, d, "events"))),
+
+    "approx_distinct" -> ((s, d) =>
+      Analytics.approxDistinctCounts(t(s, d, "events"))),
+
+    "asof_join" -> ((s, d) =>
+      Temporal.asOfJoin(
+        t(s, d, "events").select(col("event_id"), col("user_id"), col("ts")),
+        "user_id", "ts",
+        t(s, d, "orders"), "o_custkey", "o_orderdate",
+        Seq("o_orderkey", "o_totalprice"))
+        .select(col("event_id"), col("user_id"), ntz(col("ts")).as("ts"),
+          col("o_orderkey").as("last_order_key"),
+          col("o_totalprice").as("last_order_total"))
+        .orderBy(col("event_id"))),
+
+    "dup_clusters" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val pairs = Dedup.embeddingNearDup(emb, threshold = 0.4)
+      Clustering.dupClusters(emb, "vec_id", pairs)
+        .orderBy(col("vec_id"))
+    }),
+
     // §2.3 dedup family -------------------------------------------
     "dedup_exact" -> ((s, d) =>
       Dedup.exact(t(s, d, "documents")).orderBy(col("keep_id"))),
@@ -461,6 +485,49 @@ object SparkEntry {
          COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
          COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS "view"
          FROM events GROUP BY user_id ORDER BY user_id""",
+
+    "distinct_count" ->
+      """SELECT event_type, COUNT(DISTINCT user_id) AS n_users,
+         COUNT(*) AS n_events
+         FROM events GROUP BY event_type ORDER BY event_type""",
+
+    "asof_join" ->
+      """WITH ranked AS (
+           SELECT e.event_id, o.o_orderkey, o.o_totalprice,
+                  row_number() OVER (PARTITION BY e.event_id
+                    ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+           FROM events e JOIN orders o
+             ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts)
+         SELECT e.event_id, e.user_id, e.ts,
+                r.o_orderkey AS last_order_key,
+                r.o_totalprice AS last_order_total
+         FROM events e LEFT JOIN (SELECT * FROM ranked WHERE rn = 1) r
+           USING (event_id)
+         ORDER BY event_id""",
+
+    "dup_clusters" ->
+      """WITH RECURSIVE pairs AS (
+           SELECT a.vec_id AS id_a, b.vec_id AS id_b
+           FROM embeddings a, embeddings b
+           WHERE a.vec_id < b.vec_id
+             AND list_sum(list_transform(range(1, 65),
+               i -> CAST(a.embedding[i] AS DOUBLE)
+                  * CAST(b.embedding[i] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(range(1, 65),
+                  i -> CAST(a.embedding[i] AS DOUBLE)
+                     * CAST(a.embedding[i] AS DOUBLE))))
+              * sqrt(list_sum(list_transform(range(1, 65),
+                  i -> CAST(b.embedding[i] AS DOUBLE)
+                     * CAST(b.embedding[i] AS DOUBLE))))) >= 0.4),
+         e AS (SELECT id_a AS src, id_b AS dst FROM pairs
+               UNION ALL SELECT id_b, id_a FROM pairs),
+         cc(id, lbl) AS (
+           SELECT vec_id, vec_id FROM embeddings
+           UNION
+           SELECT e.dst, cc.lbl FROM cc JOIN e ON e.src = cc.id)
+         SELECT id AS vec_id, MIN(lbl) AS cluster_id,
+                (id = MIN(lbl)) AS is_representative
+         FROM cc GROUP BY id ORDER BY vec_id""",
 
     "dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, COUNT(*) AS n_copies

@@ -156,6 +156,22 @@ object Analytics {
       .orderBy(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
   }
 
+  /** Exact distinct counts per group (shuffle-dedup then count). */
+  def distinctCounts(events: DataFrame): DataFrame =
+    events.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("event_type"))
+
+  /** Approximate distinct counts via HyperLogLog++ — the 100 TB path:
+    * constant memory per group, no dedup shuffle, mergeable partials.
+    * rsd = relative standard deviation target. */
+  def approxDistinctCounts(events: DataFrame, rsd: Double = 0.02): DataFrame =
+    events.groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id"), rsd).as("n_users_approx"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("event_type"))
+
   /** Pivot event_type into per-type count columns per user. */
   def pivotAgg(events: DataFrame, types: Seq[String]): DataFrame =
     events.groupBy(col("user_id"))

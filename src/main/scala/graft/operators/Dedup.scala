@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.functions._
+import graft.plans.FloatVectorExpressions.{floatDot, floatNorm}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -174,7 +175,7 @@ object Dedup {
   def embeddingNearDup(emb: DataFrame, idCol: String = "vec_id",
                        vecCol: String = "embedding",
                        threshold: Double = 0.95): DataFrame = {
-    val e = emb.select(col(idCol), col(vecCol), l2Norm(col(vecCol)).as("nrm"))
+    val e = emb.select(col(idCol), col(vecCol), floatNorm(col(vecCol)).as("nrm"))
     // spread the stream side: a broadcast-nested-loop over a single
     // small input would otherwise run in one task
     val a = e.toDF("id_a", "v_a", "n_a")
@@ -182,7 +183,7 @@ object Dedup {
     val b = e.toDF("id_b", "v_b", "n_b")
     a.crossJoin(b)
       .filter(col("id_a") < col("id_b"))
-      .withColumn("cos", dotProduct(col("v_a"), col("v_b")) /
+      .withColumn("cos", floatDot(col("v_a"), col("v_b")) /
         (col("n_a") * col("n_b")))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cosine"))

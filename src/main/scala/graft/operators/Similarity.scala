@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.functions._
+import graft.plans.FloatVectorExpressions.{floatDot, floatNorm}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -23,12 +24,12 @@ object Similarity {
                      idCol: String = "vec_id",
                      vecCol: String = "embedding"): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
-      l2Norm(col(vecCol)).as("__qn"))
+      floatNorm(col(vecCol)).as("__qn"))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
-      l2Norm(col(vecCol)).as("__cn"))
+      floatNorm(col(vecCol)).as("__cn"))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", dotProduct(col("__qv"), col("__cv")) /
+      .withColumn("cos", floatDot(col("__qv"), col("__cv")) /
         (col("__qn") * col("__cn")))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("neighbor_id"))
@@ -70,13 +71,13 @@ object Similarity {
               bits: Int = 8, tables: Int = 8, idCol: String = "vec_id",
               vecCol: String = "embedding"): DataFrame = {
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
-      l2Norm(col(vecCol)).as("__cn"))
+      floatNorm(col(vecCol)).as("__cn"))
       .withColumn("tb", explode(array((0 until tables).map(t =>
         struct(lit(t).as("t"), srpBucket(col("__cv"), bits, t).as("b"))): _*)))
       .select(col("neighbor_id"), col("__cv"), col("__cn"),
         col("tb.t").as("t"), col("tb.b").as("b"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
-      l2Norm(col(vecCol)).as("__qn"))
+      floatNorm(col(vecCol)).as("__qn"))
       .withColumn("tb", explode(array((0 until tables).map(t =>
         struct(lit(t).as("t"), srpBucket(col("__qv"), bits, t).as("b"))): _*)))
       .select(col("query_id"), col("__qv"), col("__qn"),
@@ -89,7 +90,7 @@ object Similarity {
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("neighbor_id"))
     cands
-      .withColumn("cos", dotProduct(col("__qv"), col("__cv")) /
+      .withColumn("cos", floatDot(col("__qv"), col("__cv")) /
         (col("__qn") * col("__cn")))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)

@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal joins. */
+object Temporal {
+
+  /** As-of (point-in-time) left join: for every left row, attach the
+    * latest right row with the same key and `rightTs <= leftTs`.
+    *
+    * Implemented as the union-merge algorithm, not a join: both
+    * sides are tagged and unioned, one window per key ordered by
+    * (time, tag, attrs) carries the most recent right state forward
+    * (`last_value ignoreNulls`), and left rows are then filtered
+    * back out. One hash-partitioned shuffle on the key, zero row
+    * amplification — a key×key equi-join with a time filter would
+    * produce |left|·|right-per-key| intermediate rows and a top-1
+    * window over them, which is quadratic per key at scale.
+    *
+    * Right rows sharing (key, ts) tie-break by the struct order of
+    * `rightAttrs` (greatest wins), so list the tie-break column
+    * first. */
+  def asOfJoin(left: DataFrame, leftKey: String, leftTs: String,
+               right: DataFrame, rightKey: String, rightTs: String,
+               rightAttrs: Seq[String]): DataFrame = {
+    val leftCols = left.columns
+    val rstruct = struct(rightAttrs.map(col): _*)
+    val r = right.select(col(rightKey).as("__k"),
+      col(rightTs).as("__t"), lit(0).as("__tag"), rstruct.as("__r"),
+      lit(null).cast(org.apache.spark.sql.types.StructType(
+        left.schema.fields)).as("__l"))
+    val l = left.select(col(leftKey).as("__k"), col(leftTs).as("__t"),
+      lit(1).as("__tag"),
+      lit(null).cast(r.schema("__r").dataType).as("__r"),
+      struct(leftCols.map(col): _*).as("__l"))
+    val w = Window.partitionBy("__k")
+      .orderBy(col("__t"), col("__tag"), col("__r"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    r.unionByName(l)
+      .withColumn("__last", last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__tag") === 1)
+      .select(leftCols.map(c => col(s"__l.$c").as(c)) ++
+        rightAttrs.map(a => col(s"__last.$a").as(a)): _*)
+  }
+}
