@@ -21,10 +21,10 @@ object BenchOne {
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
-    val df = SparkEntry.queries(name)(spark, sfDir)
-    if (sys.env.contains("EXPLAIN")) df.explain("formatted")
+    if (sys.env.contains("EXPLAIN"))
+      SparkEntry.queries(name)(spark, sfDir).explain("formatted")
     val t0 = System.nanoTime()
-    val n = df.count()
+    val n = SparkEntry.queries(name)(spark, sfDir).count()
     println(f"[benchone] $name: $n rows in ${(System.nanoTime() - t0) / 1e9}%.2f s")
     spark.stop()
   }
