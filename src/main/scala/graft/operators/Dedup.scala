@@ -26,24 +26,15 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
       .select(col("keep_id"), col("n_copies"))
 
-  /** MinHash signatures: explode shingles once, one shuffle keyed by
-    * doc id, `numHashes` min-aggregations computed map-side-partial.
-    * Each shingle string is hashed ONCE; the k hash families then
-    * re-hash that long (xxhash64 over a long is a handful of ALU ops
-    * vs re-hashing the string k times). Returns (idCol,
-    * sig: array<long>). */
+  /** MinHash signatures via the native one-pass expression — a pure
+    * map-side projection, no shuffle (see plans.MinHashSignature).
+    * Returns (idCol, sig: array<long>). */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
-                        shingleWords: Int, numHashes: Int): DataFrame = {
-    val sh = docs.select(col(idCol),
-      explode(array_distinct(wordShingles(col(textCol), shingleWords))).as("__sh"))
-      .withColumn("__bh", xxhash64(col("__sh")))
-    val minCols = (0 until numHashes)
-      .map(i => min(seededHash(col("__bh"), i)).as(s"__h$i"))
-    sh.groupBy(col(idCol))
-      .agg(minCols.head, minCols.tail: _*)
-      .select(col(idCol),
-        array((0 until numHashes).map(i => col(s"__h$i")): _*).as("sig"))
-  }
+                        shingleWords: Int, numHashes: Int): DataFrame =
+    docs.select(col(idCol),
+      graft.plans.FloatVectorExpressions.minhashSig(
+        array_distinct(wordShingles(col(textCol), shingleWords)), numHashes)
+        .as("sig"))
 
   /** Candidate pairs via LSH banding: hash each band of the
     * signature, bucket-join docs sharing any (band, bucket). */
@@ -69,8 +60,13 @@ object Dedup {
                  threshold: Double = 0.8): DataFrame = {
     val sigs = minhashSignatures(docs, idCol, textCol, shingleWords, numHashes)
     val cands = lshCandidates(sigs, idCol, bands, numHashes / bands)
+    // verify on hashed shingle sets: long-array intersection is far
+    // cheaper than string-array, and jaccard is unchanged modulo
+    // 64-bit hash collisions
     val shingled = docs.select(col(idCol).as("__id"),
-      array_distinct(wordShingles(col(textCol), shingleWords)).as("__sh"))
+      array_distinct(transform(
+        wordShingles(col(textCol), shingleWords), s => xxhash64(s)))
+        .as("__sh"))
     cands
       .join(shingled.toDF("id_a", "sh_a"), "id_a")
       .join(shingled.toDF("id_b", "sh_b"), "id_b")

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions._
-import graft.plans.FloatVectorExpressions.{floatDot, floatNorm}
+import graft.plans.FloatVectorExpressions.{floatDot, floatNorm, srpBuckets}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -40,26 +40,6 @@ object Similarity {
         round(col("cos"), 6).as("cosine"))
   }
 
-  /** Deterministic pseudo-random projection hyperplanes: component j
-    * of plane p (within table t) derived from xxhash64 — no RNG
-    * state, reproducible across runs/executors. Returns sign-bit
-    * bucket id per vector. */
-  private def srpBucket(vec: org.apache.spark.sql.Column, bits: Int,
-                        table: Int) = {
-    val dims = size(vec)
-    (0 until bits).map { p =>
-      // pseudo-weight for (table, p, j): map hash to [-1, 1)
-      val dot = aggregate(
-        zip_with(asDoubles(vec),
-          transform(sequence(lit(0), dims - 1),
-            j => (pmod(xxhash64(j, lit(table * 97 + p)), lit(2000001L))
-              - 1000000L) / 1000000.0),
-          _ * _),
-        lit(0.0), _ + _)
-      when(dot >= 0, lit(1L << p)).otherwise(lit(0L))
-    }.reduce(_.bitwiseOR(_))
-  }
-
   /** Multi-table LSH (sign-random-projection) bucketed ANN: the
     * corpus is bucketed into `tables` independent hash tables (a
     * write-time/materializable pass at scale — corpus storage ×L,
@@ -72,16 +52,12 @@ object Similarity {
               vecCol: String = "embedding"): DataFrame = {
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
       floatNorm(col(vecCol)).as("__cn"))
-      .withColumn("tb", explode(array((0 until tables).map(t =>
-        struct(lit(t).as("t"), srpBucket(col("__cv"), bits, t).as("b"))): _*)))
-      .select(col("neighbor_id"), col("__cv"), col("__cn"),
-        col("tb.t").as("t"), col("tb.b").as("b"))
+      .select(col("*"), posexplode(srpBuckets(col("__cv"), bits, tables))
+        .as(Seq("t", "b")))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
       floatNorm(col(vecCol)).as("__qn"))
-      .withColumn("tb", explode(array((0 until tables).map(t =>
-        struct(lit(t).as("t"), srpBucket(col("__qv"), bits, t).as("b"))): _*)))
-      .select(col("query_id"), col("__qv"), col("__qn"),
-        col("tb.t").as("t"), col("tb.b").as("b"))
+      .select(col("*"), posexplode(srpBuckets(col("__qv"), bits, tables))
+        .as(Seq("t", "b")))
     val cands = c.join(broadcast(q), Seq("t", "b"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),

@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XxHash64Function}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.GraftColumnShim
@@ -73,6 +73,210 @@ case class FloatDotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Deterministic sign-random-projection hyperplane weights, derived
+  * from xxhash64 exactly like the declarative formulation in
+  * Similarity.srpBucket: weight(plane q, dim j) =
+  * (pmod(xxhash64(j, seed_q), 2000001) - 1000000) / 1e6 ∈ [-1, 1).
+  * The table is row-independent, so it's computed once per (dims)
+  * and cached — the declarative fold recomputed every hash for
+  * every row.
+  */
+final class SrpWeightCache(bits: Int, tables: Int) extends Serializable {
+  @transient @volatile private var cachedDims = -1
+  @transient @volatile private var cachedW: Array[Array[Double]] = _
+
+  /** planes are flattened q = table*bits+plane; seed = table*97+plane. */
+  def get(dims: Int): Array[Array[Double]] = {
+    val w0 = cachedW
+    if (w0 != null && cachedDims == dims) return w0
+    val w = Array.ofDim[Double](tables * bits, dims)
+    var t = 0
+    while (t < tables) {
+      var p = 0
+      while (p < bits) {
+        val seed = t * 97 + p
+        var j = 0
+        while (j < dims) {
+          // xxhash64(col_j:int, lit(seed):int) with initial seed 42
+          val h1 = XxHash64Function.hash(j,
+            org.apache.spark.sql.types.IntegerType, 42L)
+          val h2 = XxHash64Function.hash(seed,
+            org.apache.spark.sql.types.IntegerType, h1)
+          val m = 2000001L
+          val pm = ((h2 % m) + m) % m
+          w(t * bits + p)(j) = (pm - 1000000L) / 1000000.0
+          j += 1
+        }
+        p += 1
+      }
+      t += 1
+    }
+    cachedDims = dims
+    cachedW = w
+    w
+  }
+}
+
+/** All `tables` SRP bucket ids for a float vector in one compiled
+  * pass: bucket(t) = Σ_p [dot(vec, w_{t,p}) >= 0] << p. Replaces
+  * `tables × bits` interpreted HigherOrderFunction pipelines per row
+  * with one loop over a cached weight table. */
+case class SrpBuckets(child: Expression, bits: Int, tables: Int)
+  extends UnaryExpression {
+
+  private lazy val cache = new SrpWeightCache(bits, tables)
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"srp_buckets expects array<float>, got ${other.simpleString}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val vec = input.asInstanceOf[ArrayData]
+    val n = vec.numElements()
+    val w = cache.get(n)
+    val out = new Array[Long](tables)
+    var t = 0
+    while (t < tables) {
+      var bucket = 0L
+      var p = 0
+      while (p < bits) {
+        val wq = w(t * bits + p)
+        var acc = 0.0
+        var j = 0
+        while (j < n) { acc += vec.getFloat(j).toDouble * wq(j); j += 1 }
+        if (acc >= 0) bucket |= (1L << p)
+        p += 1
+      }
+      out(t) = bucket
+      t += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cacheRef = ctx.addReferenceObj("srpCache", cache,
+      classOf[SrpWeightCache].getName)
+    nullSafeCodeGen(ctx, ev, vec => {
+      val n = ctx.freshName("n")
+      val w = ctx.freshName("w")
+      val out = ctx.freshName("out")
+      val t = ctx.freshName("t")
+      val p = ctx.freshName("p")
+      val j = ctx.freshName("j")
+      val acc = ctx.freshName("acc")
+      val bucket = ctx.freshName("bucket")
+      val wq = ctx.freshName("wq")
+      s"""
+         |int $n = $vec.numElements();
+         |double[][] $w = $cacheRef.get($n);
+         |long[] $out = new long[$tables];
+         |for (int $t = 0; $t < $tables; $t++) {
+         |  long $bucket = 0L;
+         |  for (int $p = 0; $p < $bits; $p++) {
+         |    double[] $wq = $w[$t * $bits + $p];
+         |    double $acc = 0.0;
+         |    for (int $j = 0; $j < $n; $j++) {
+         |      $acc += (double) $vec.getFloat($j) * $wq[$j];
+         |    }
+         |    if ($acc >= 0) $bucket |= (1L << $p);
+         |  }
+         |  $out[$t] = $bucket;
+         |}
+         |${ev.value} =
+         |  org.apache.spark.sql.catalyst.util.ArrayData.toArrayData($out);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SrpBuckets =
+    copy(child = newChild)
+}
+
+/** MinHash signature of a shingle-set in one compiled pass: for each
+  * of `numHashes` families i, sig[i] = min over shingles s of
+  * xxhash64(xxhash64(s), i). Identical values to the declarative
+  * explode → groupBy → 128×min formulation (same hash composition),
+  * but with no shuffle at all — signatures become a map-side
+  * projection, which is the difference between one pass and an extra
+  * |docs|·|shingles| exchange at 100 TB. */
+case class MinHashSignature(child: Expression, numHashes: Int)
+  extends UnaryExpression {
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.StringType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"minhash expects array<string>, got ${other.simpleString}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    var s = 0
+    while (s < n) {
+      val base = XxHash64Function.hash(arr.getUTF8String(s),
+        org.apache.spark.sql.types.StringType, 42L)
+      var i = 0
+      while (i < numHashes) {
+        val h1 = XxHash64Function.hash(base,
+          org.apache.spark.sql.types.LongType, 42L)
+        val h = XxHash64Function.hash(i,
+          org.apache.spark.sql.types.IntegerType, h1)
+        if (h < sig(i)) sig(i) = h
+        i += 1
+      }
+      s += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(sig)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // static, unboxed XXH64 primitives — the megamorphic
+    // InterpretedHashFunction.hash dispatcher would box ~|shingles|×k
+    // values per row
+    val xxh = "org.apache.spark.sql.catalyst.expressions.XXH64"
+    nullSafeCodeGen(ctx, ev, arr => {
+      val n = ctx.freshName("n")
+      val sig = ctx.freshName("sig")
+      val s = ctx.freshName("s")
+      val i = ctx.freshName("i")
+      val u = ctx.freshName("u")
+      val base = ctx.freshName("base")
+      val h1 = ctx.freshName("h1")
+      val h = ctx.freshName("h")
+      s"""
+         |int $n = $arr.numElements();
+         |long[] $sig = new long[$numHashes];
+         |java.util.Arrays.fill($sig, Long.MAX_VALUE);
+         |for (int $s = 0; $s < $n; $s++) {
+         |  org.apache.spark.unsafe.types.UTF8String $u = $arr.getUTF8String($s);
+         |  long $base = $xxh.hashUnsafeBytes(
+         |    $u.getBaseObject(), $u.getBaseOffset(), $u.numBytes(), 42L);
+         |  long $h1 = $xxh.hashLong($base, 42L);
+         |  for (int $i = 0; $i < $numHashes; $i++) {
+         |    long $h = $xxh.hashInt($i, $h1);
+         |    if ($h < $sig[$i]) $sig[$i] = $h;
+         |  }
+         |}
+         |${ev.value} =
+         |  org.apache.spark.sql.catalyst.util.ArrayData.toArrayData($sig);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
+    copy(child = newChild)
+}
+
 object FloatVectorExpressions {
   /** Column-level handle for the native dot product. */
   def floatDot(a: Column, b: Column): Column =
@@ -82,4 +286,14 @@ object FloatVectorExpressions {
   /** L2 norm via the native dot product (sqrt of self-dot). */
   def floatNorm(a: Column): Column =
     org.apache.spark.sql.functions.sqrt(floatDot(a, a))
+
+  /** All SRP table buckets for a vector as array<long>. */
+  def srpBuckets(a: Column, bits: Int, tables: Int): Column =
+    GraftColumnShim.column(SrpBuckets(GraftColumnShim.expression(a),
+      bits, tables))
+
+  /** One-pass MinHash signature of an array<string> shingle set. */
+  def minhashSig(shingles: Column, numHashes: Int): Column =
+    GraftColumnShim.column(MinHashSignature(
+      GraftColumnShim.expression(shingles), numHashes))
 }
