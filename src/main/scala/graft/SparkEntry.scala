@@ -210,7 +210,7 @@ object SparkEntry {
       // stop-gram cap at 10% of the corpus: grams in >10% of docs
       // carry no dedup signal and dominate the Σ df² join cost.
       val cap = math.max(50L, docs.count() / 10)
-      Dedup.ngramJaccard(docs, threshold = 0.35, maxDf = cap)
+      Dedup.ngramJaccard(docs, threshold = 0.8, maxDf = cap)
         .orderBy(col("id_a"), col("id_b"))
     }),
 

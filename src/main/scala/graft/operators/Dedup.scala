@@ -60,17 +60,19 @@ object Dedup {
                  threshold: Double = 0.8): DataFrame = {
     val sigs = minhashSignatures(docs, idCol, textCol, shingleWords, numHashes)
     val cands = lshCandidates(sigs, idCol, bands, numHashes / bands)
-    // verify on hashed shingle sets: long-array intersection is far
-    // cheaper than string-array, and jaccard is unchanged modulo
-    // 64-bit hash collisions
+    // verify on sorted hashed shingle sets: the merge-scan intersect
+    // is one compiled pass per pair (vs hash-set array_intersect),
+    // and jaccard is unchanged modulo 64-bit hash collisions
     val shingled = docs.select(col(idCol).as("__id"),
-      array_distinct(transform(
-        wordShingles(col(textCol), shingleWords), s => xxhash64(s)))
+      sort_array(array_distinct(transform(
+        wordShingles(col(textCol), shingleWords), s => xxhash64(s))))
         .as("__sh"))
+    val c = graft.plans.FloatVectorExpressions
+      .sortedIntersectCount(col("sh_a"), col("sh_b")).cast("double")
     cands
       .join(shingled.toDF("id_a", "sh_a"), "id_a")
       .join(shingled.toDF("id_b", "sh_b"), "id_b")
-      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .withColumn("jaccard", c / (size(col("sh_a")) + size(col("sh_b")) - c))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
@@ -116,48 +118,72 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
-  /** Character n-gram Jaccard similarity join — exact, count-based.
+  /** Character n-gram Jaccard similarity join — exact, via AllPairs
+    * prefix filtering (Bayardo et al., WWW'07; Xiao et al. PPJoin).
     *
-    * |A∩B| is computed by self-joining the exploded (doc, gram)
-    * relation on the gram and counting per pair; |A∪B| = |A|+|B|−c.
-    * No arrays are carried through the shuffle and there is no
-    * cross join: the cost is Σ_g df(g)², streamed through a
-    * partial-aggregating groupBy. Grams are hashed to longs so the
-    * join keys are 8 bytes.
+    * Grams are hashed to longs and globally ordered by ascending
+    * document frequency. A pair with jaccard ≥ t must share at least
+    * one gram among each document's first `sz − ceil(t·sz) + 1`
+    * rarest grams (the prefix) — so candidates are generated only
+    * from prefix postings lists, which skews toward rare grams and
+    * collapses the Σ df² pair space. Candidates are then verified
+    * exactly with a single merge-scan intersect over the full sorted
+    * gram sets (native codegen'd expression). No false negatives.
     *
     * At open-web scale Σ df² is dominated by stop-grams; `maxDf`
     * drops grams appearing in more than that many docs from the
-    * gram space (a documented, consistent approximation: both the
-    * intersection and the sizes are computed over the filtered
-    * space). `maxDf = 0` keeps everything (exact). */
+    * gram space (a documented, consistent approximation: prefixes,
+    * intersections and sizes are all computed over the filtered
+    * space). `maxDf = 0` keeps everything (exact). The verify join
+    * broadcasts gram sets when small; at corpus sizes beyond
+    * broadcast range the same plan degrades to a shuffled join —
+    * the Vernica et al. (SIGMOD'10) replicated-kernel layout is the
+    * documented upgrade path. */
   def ngramJaccard(docs: DataFrame, idCol: String = "doc_id",
                    textCol: String = "text", n: Int = 8,
                    threshold: Double = 0.5, maxDf: Long = 0L): DataFrame = {
     val g0 = docs.select(col(idCol).as("__id"),
       explode(array_distinct(
         transform(charNgrams(col(textCol), n), g => xxhash64(g)))).as("g"))
-    val g = (if (maxDf > 0) {
-      val keep = g0.groupBy("g").agg(count(lit(1)).as("df"))
-        .filter(col("df") <= maxDf).select("g")
-      g0.join(keep, "g")
-    } else g0).select(col("__id"), col("g")) // pin column order
-    val sizes = g.groupBy(col("__id")).agg(count(lit(1)).as("sz"))
-    // Explicit repartition by gram: the (doc, gram) relation is tiny
-    // relative to the O(Σ df²) join OUTPUT, so AQE would coalesce the
-    // shuffle to one partition and serialize the expensive stage.
-    // A user-specified partition count pins the parallelism.
-    val gp = g.repartition(g.sparkSession.sparkContext.defaultParallelism * 4,
-      col("g"))
-    val inter = gp.toDF("id_a", "g")
-      .join(gp.toDF("id_b", "g"), "g")
-      .filter(col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b")
-      .agg(count(lit(1)).as("c"))
-    inter
-      .join(sizes.toDF("id_a", "sz_a"), "id_a")
-      .join(sizes.toDF("id_b", "sz_b"), "id_b")
-      .withColumn("jaccard", col("c").cast("double") /
-        (col("sz_a") + col("sz_b") - col("c")))
+    val dfs = g0.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    val dfsKept = if (maxDf > 0) dfs.filter(col("df") <= maxDf) else dfs
+    // one shuffle by doc: grams rarest-first (global (df, g) order)
+    val perDoc = g0.join(dfsKept, "g")
+      .groupBy(col("__id"))
+      .agg(sort_array(collect_list(struct(col("df"), col("g")))).as("byDf"))
+    val prefLen = (size(col("byDf"))
+      - ceil(lit(threshold) * size(col("byDf"))) + 1).cast("int")
+    // consumed three times (candidate gen + both verify sides) with
+    // no common exchange to reuse — persist instead of recomputing
+    // the gram/df pipeline per consumer (MEMORY_AND_DISK: size is
+    // proportional to the input's distinct-gram volume, spills fine)
+    val docsets = perDoc.select(col("__id"),
+      sort_array(transform(col("byDf"), x => x("g"))).as("set"),
+      slice(col("byDf"), lit(1), prefLen).as("pref"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // candidate pairs off prefix postings lists only; a df=1-in-
+    // prefix gram can never pair. Explicit repartition pins the
+    // stage's parallelism (the pair OUTPUT dwarfs the input, so AQE
+    // would coalesce it to a single task otherwise).
+    val prefix = docsets.select(col("__id"),
+      explode(col("pref")).as("pg")).select(col("__id"), col("pg.g").as("g"))
+    val cands = prefix
+      .repartition(prefix.sparkSession.sparkContext.defaultParallelism * 4,
+        col("g"))
+      .groupBy(col("g")).agg(collect_list(col("__id")).as("ids"))
+      .filter(size(col("ids")) >= 2)
+      .select(explode(col("ids")).as("id_a"), col("ids"))
+      .select(col("id_a"),
+        explode(filter(col("ids"), x => x > col("id_a"))).as("id_b"))
+      .distinct()
+    // exact verify on full sorted gram sets: c/(|A|+|B|−c)
+    val c = graft.plans.FloatVectorExpressions
+      .sortedIntersectCount(col("set_a"), col("set_b")).cast("double")
+    cands
+      .join(docsets.select(col("__id").as("id_a"), col("set").as("set_a")), "id_a")
+      .join(docsets.select(col("__id").as("id_b"), col("set").as("set_b")), "id_b")
+      .withColumn("jaccard",
+        c / (size(col("set_a")) + size(col("set_b")) - c))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }

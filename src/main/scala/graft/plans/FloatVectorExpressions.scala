@@ -277,6 +277,63 @@ case class MinHashSignature(child: Expression, numHashes: Int)
     copy(child = newChild)
 }
 
+/** Intersection size of two SORTED long arrays via a single merge
+  * scan — no hash set, no result-array allocation (unlike
+  * `size(array_intersect(a, b))`). Inputs must be sorted ascending
+  * and duplicate-free (both hold for `sort_array(array_distinct(…))`
+  * outputs); used by the similarity-join verify steps where the
+  * intersect runs once per candidate pair. */
+case class SortedIntersectCount(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(org.apache.spark.sql.types.LongType, _),
+            ArrayType(org.apache.spark.sql.types.LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"sorted_intersect_count expects two array<bigint>, got $other")
+    }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val nx = x.numElements(); val ny = y.numElements()
+    var i = 0; var j = 0; var c = 0L
+    while (i < nx && j < ny) {
+      val vx = x.getLong(i); val vy = y.getLong(j)
+      if (vx == vy) { c += 1; i += 1; j += 1 }
+      else if (vx < vy) i += 1
+      else j += 1
+    }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val nx = ctx.freshName("nx"); val ny = ctx.freshName("ny")
+      val vx = ctx.freshName("vx"); val vy = ctx.freshName("vy")
+      val c = ctx.freshName("c")
+      s"""
+         |int $nx = $a.numElements(); int $ny = $b.numElements();
+         |int $i = 0; int $j = 0; long $c = 0L;
+         |while ($i < $nx && $j < $ny) {
+         |  long $vx = $a.getLong($i); long $vy = $b.getLong($j);
+         |  if ($vx == $vy) { $c++; $i++; $j++; }
+         |  else if ($vx < $vy) { $i++; } else { $j++; }
+         |}
+         |${ev.value} = $c;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedIntersectCount =
+    copy(left = newLeft, right = newRight)
+}
+
 object FloatVectorExpressions {
   /** Column-level handle for the native dot product. */
   def floatDot(a: Column, b: Column): Column =
@@ -296,4 +353,9 @@ object FloatVectorExpressions {
   def minhashSig(shingles: Column, numHashes: Int): Column =
     GraftColumnShim.column(MinHashSignature(
       GraftColumnShim.expression(shingles), numHashes))
+
+  /** Merge-scan |a ∩ b| of two sorted duplicate-free long arrays. */
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    GraftColumnShim.column(SortedIntersectCount(
+      GraftColumnShim.expression(a), GraftColumnShim.expression(b)))
 }
