@@ -26,15 +26,16 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
       .select(col("keep_id"), col("n_copies"))
 
-  /** MinHash signatures via the native one-pass expression — a pure
-    * map-side projection, no shuffle (see plans.MinHashSignature).
+  /** MinHash signatures via the fused native kernel — tokenize stays
+    * declarative (codegen'd split), shingling + hashing is one pass
+    * over a joined byte buffer with no per-shingle allocation (see
+    * plans.TextHash). A pure map-side projection, no shuffle.
     * Returns (idCol, sig: array<long>). */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
                         shingleWords: Int, numHashes: Int): DataFrame =
     docs.select(col(idCol),
-      graft.plans.FloatVectorExpressions.minhashSig(
-        array_distinct(wordShingles(col(textCol), shingleWords)), numHashes)
-        .as("sig"))
+      graft.plans.TextHashExpressions.shingleMinHash(
+        wordTokens(col(textCol)), shingleWords, numHashes).as("sig"))
 
   /** Candidate pairs via LSH banding: hash each band of the
     * signature, bucket-join docs sharing any (band, bucket). */
@@ -64,9 +65,8 @@ object Dedup {
     // is one compiled pass per pair (vs hash-set array_intersect),
     // and jaccard is unchanged modulo 64-bit hash collisions
     val shingled = docs.select(col(idCol).as("__id"),
-      sort_array(array_distinct(transform(
-        wordShingles(col(textCol), shingleWords), s => xxhash64(s))))
-        .as("__sh"))
+      graft.plans.TextHashExpressions.shingleHashes(
+        wordTokens(col(textCol)), shingleWords).as("__sh"))
     val c = graft.plans.FloatVectorExpressions
       .sortedIntersectCount(col("sh_a"), col("sh_b")).cast("double")
     cands
@@ -143,8 +143,11 @@ object Dedup {
                    textCol: String = "text", n: Int = 8,
                    threshold: Double = 0.5, maxDf: Long = 0L): DataFrame = {
     val g0 = docs.select(col(idCol).as("__id"),
-      explode(array_distinct(
-        transform(charNgrams(col(textCol), n), g => xxhash64(g)))).as("g"))
+      explode(graft.plans.TextHashExpressions.charNgramHashes(
+        lower(col(textCol)), n)).as("g"))
+    // df via groupBy + rejoin (measured faster than a count window:
+    // partial aggregation shrinks the shuffle and avoids the
+    // window's per-partition sort)
     val dfs = g0.groupBy(col("g")).agg(count(lit(1)).as("df"))
     val dfsKept = if (maxDf > 0) dfs.filter(col("df") <= maxDf) else dfs
     // one shuffle by doc: grams rarest-first (global (df, g) order)
@@ -159,22 +162,37 @@ object Dedup {
     // proportional to the input's distinct-gram volume, spills fine)
     val docsets = perDoc.select(col("__id"),
       sort_array(transform(col("byDf"), x => x("g"))).as("set"),
-      slice(col("byDf"), lit(1), prefLen).as("pref"))
+      slice(col("byDf"), lit(1), prefLen).as("pref"),
+      size(col("byDf")).as("sz"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // candidate pairs off prefix postings lists only; a df=1-in-
-    // prefix gram can never pair. Explicit repartition pins the
-    // stage's parallelism (the pair OUTPUT dwarfs the input, so AQE
-    // would coalesce it to a single task otherwise).
-    val prefix = docsets.select(col("__id"),
-      explode(col("pref")).as("pg")).select(col("__id"), col("pg.g").as("g"))
+    // candidate pairs off prefix postings lists only, pruned by the
+    // PPJoin length + positional filters (Xiao et al., WWW'08):
+    //  - length: jaccard ≥ t forces t·sz_a ≤ sz_b ≤ sz_a/t;
+    //  - positional: for the FIRST shared prefix gram (positions
+    //    pa, pb in the global rarest-first order) the overlap is
+    //    bounded by 1 + min(sz_a−pa, sz_b−pb), which must reach
+    //    ceil(t/(1+t)·(sz_a+sz_b)) — the overlap a jaccard-t pair
+    //    needs. Applied per shared-gram occurrence (OR over
+    //    occurrences via distinct), which keeps the first-gram
+    //    guarantee and so admits every true pair.
+    // Explicit repartition pins the stage's parallelism (the pair
+    // OUTPUT dwarfs the input, so AQE would coalesce it otherwise).
+    val prefix = docsets.select(col("__id"), col("sz"),
+      posexplode(col("pref")).as(Seq("p0", "pg")))
+      .select(col("__id"), col("sz"), (col("p0") + 1).as("pos"),
+        col("pg.g").as("g"))
+    // one shuffle groups each gram's postings; pairs are generated
+    // and filter-pruned by the native PpjoinPairs kernel inside the
+    // same stage (no join, no materialized all-pairs intermediate)
     val cands = prefix
-      .repartition(prefix.sparkSession.sparkContext.defaultParallelism * 4,
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism * 4,
         col("g"))
-      .groupBy(col("g")).agg(collect_list(col("__id")).as("ids"))
-      .filter(size(col("ids")) >= 2)
-      .select(explode(col("ids")).as("id_a"), col("ids"))
-      .select(col("id_a"),
-        explode(filter(col("ids"), x => x > col("id_a"))).as("id_b"))
+      .groupBy(col("g"))
+      .agg(collect_list(struct(col("__id"), col("sz"), col("pos"))).as("xs"))
+      .filter(size(col("xs")) >= 2)
+      .select(explode(graft.plans.TextHashExpressions
+        .ppjoinPairs(col("xs"), threshold)).as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
       .distinct()
     // exact verify on full sorted gram sets: c/(|A|+|B|−c)
     val c = graft.plans.FloatVectorExpressions

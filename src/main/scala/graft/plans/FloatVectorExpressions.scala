@@ -197,86 +197,6 @@ case class SrpBuckets(child: Expression, bits: Int, tables: Int)
     copy(child = newChild)
 }
 
-/** MinHash signature of a shingle-set in one compiled pass: for each
-  * of `numHashes` families i, sig[i] = min over shingles s of
-  * xxhash64(xxhash64(s), i). Identical values to the declarative
-  * explode → groupBy → 128×min formulation (same hash composition),
-  * but with no shuffle at all — signatures become a map-side
-  * projection, which is the difference between one pass and an extra
-  * |docs|·|shingles| exchange at 100 TB. */
-case class MinHashSignature(child: Expression, numHashes: Int)
-  extends UnaryExpression {
-
-  override def dataType: DataType =
-    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
-
-  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(org.apache.spark.sql.types.StringType, _) =>
-      TypeCheckResult.TypeCheckSuccess
-    case other => TypeCheckResult.TypeCheckFailure(
-      s"minhash expects array<string>, got ${other.simpleString}")
-  }
-
-  override protected def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
-    val n = arr.numElements()
-    val sig = Array.fill(numHashes)(Long.MaxValue)
-    var s = 0
-    while (s < n) {
-      val base = XxHash64Function.hash(arr.getUTF8String(s),
-        org.apache.spark.sql.types.StringType, 42L)
-      var i = 0
-      while (i < numHashes) {
-        val h1 = XxHash64Function.hash(base,
-          org.apache.spark.sql.types.LongType, 42L)
-        val h = XxHash64Function.hash(i,
-          org.apache.spark.sql.types.IntegerType, h1)
-        if (h < sig(i)) sig(i) = h
-        i += 1
-      }
-      s += 1
-    }
-    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(sig)
-  }
-
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    // static, unboxed XXH64 primitives — the megamorphic
-    // InterpretedHashFunction.hash dispatcher would box ~|shingles|×k
-    // values per row
-    val xxh = "org.apache.spark.sql.catalyst.expressions.XXH64"
-    nullSafeCodeGen(ctx, ev, arr => {
-      val n = ctx.freshName("n")
-      val sig = ctx.freshName("sig")
-      val s = ctx.freshName("s")
-      val i = ctx.freshName("i")
-      val u = ctx.freshName("u")
-      val base = ctx.freshName("base")
-      val h1 = ctx.freshName("h1")
-      val h = ctx.freshName("h")
-      s"""
-         |int $n = $arr.numElements();
-         |long[] $sig = new long[$numHashes];
-         |java.util.Arrays.fill($sig, Long.MAX_VALUE);
-         |for (int $s = 0; $s < $n; $s++) {
-         |  org.apache.spark.unsafe.types.UTF8String $u = $arr.getUTF8String($s);
-         |  long $base = $xxh.hashUnsafeBytes(
-         |    $u.getBaseObject(), $u.getBaseOffset(), $u.numBytes(), 42L);
-         |  long $h1 = $xxh.hashLong($base, 42L);
-         |  for (int $i = 0; $i < $numHashes; $i++) {
-         |    long $h = $xxh.hashInt($i, $h1);
-         |    if ($h < $sig[$i]) $sig[$i] = $h;
-         |  }
-         |}
-         |${ev.value} =
-         |  org.apache.spark.sql.catalyst.util.ArrayData.toArrayData($sig);
-       """.stripMargin
-    })
-  }
-
-  override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
-    copy(child = newChild)
-}
-
 /** Intersection size of two SORTED long arrays via a single merge
   * scan — no hash set, no result-array allocation (unlike
   * `size(array_intersect(a, b))`). Inputs must be sorted ascending
@@ -349,10 +269,6 @@ object FloatVectorExpressions {
     GraftColumnShim.column(SrpBuckets(GraftColumnShim.expression(a),
       bits, tables))
 
-  /** One-pass MinHash signature of an array<string> shingle set. */
-  def minhashSig(shingles: Column, numHashes: Int): Column =
-    GraftColumnShim.column(MinHashSignature(
-      GraftColumnShim.expression(shingles), numHashes))
 
   /** Merge-scan |a ∩ b| of two sorted duplicate-free long arrays. */
   def sortedIntersectCount(a: Column, b: Column): Column =

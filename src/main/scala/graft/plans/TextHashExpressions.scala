@@ -1,0 +1,316 @@
+package graft.plans
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+import org.apache.spark.sql.GraftColumnShim
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.Platform
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Fused tokenize→shingle→hash kernels.
+  *
+  * The declarative formulations (`transform(sequence(…), i =>
+  * concat_ws(" ", slice(toks, i, n)))` + `xxhash64` per shingle, or
+  * `substr` per char n-gram) run as interpreted higher-order
+  * functions and allocate one string per shingle per row — the
+  * dominant cost of the dedup family at any scale. These kernels
+  * produce bit-identical hash values with zero per-shingle
+  * allocation:
+  *
+  *  - word shingles: all tokens are joined with single spaces into
+  *    ONE buffer per row; every n-token shingle is then a contiguous
+  *    byte range of that buffer, hashed in place with XXH64 (the
+  *    same primitive behind `xxhash64`, seed 42);
+  *  - char n-grams: every n-codepoint gram is a contiguous byte
+  *    range of the input's UTF-8 bytes — hashed in place, distinct
+  *    via an open-addressed long set, no substring objects.
+  *
+  * Used by Dedup.minhashLsh / ngramJaccard; parity with the
+  * declarative composition is asserted in PlansSpec.
+  */
+object TextHash {
+
+  /** byte offsets: starts(i) = start of token i in the joined
+    * buffer; token i ends at starts(i+1) - 1 (the space); the last
+    * ends at buf.length. Returns (buffer, starts, ends). */
+  private def joinTokens(tokens: ArrayData): (Array[Byte], Array[Int], Array[Int]) = {
+    val m = tokens.numElements()
+    val starts = new Array[Int](m)
+    val ends = new Array[Int](m)
+    var total = if (m > 0) m - 1 else 0 // the joining spaces
+    var i = 0
+    while (i < m) {
+      total += tokens.getUTF8String(i).numBytes(); i += 1
+    }
+    val buf = new Array[Byte](total)
+    var pos = 0
+    i = 0
+    while (i < m) {
+      val u = tokens.getUTF8String(i)
+      starts(i) = pos
+      u.writeToMemory(buf, Platform.BYTE_ARRAY_OFFSET + pos)
+      pos += u.numBytes()
+      ends(i) = pos
+      if (i < m - 1) { buf(pos) = ' '.toByte; pos += 1 }
+      i += 1
+    }
+    (buf, starts, ends)
+  }
+
+  /** MinHash signature over word shingles: for shingle s,
+    * base = xxh64(bytes(s), 42); family k: xxh64_int(k, xxh64_long
+    * (base, 42)); sig(k) = min over shingles. Bit-identical to
+    * hashing the `concat_ws(" ", slice(tokens, i, n))` strings
+    * (duplicates don't move a min, so no distinct pass needed). */
+  def shingleMinHash(tokens: ArrayData, n: Int, numHashes: Int): ArrayData = {
+    val (buf, starts, ends) = joinTokens(tokens)
+    val m = tokens.numElements()
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    val nShingles = if (m < n) 1 else m - n + 1
+    var i = 0
+    while (i < nShingles) {
+      val from = if (m < n) 0 else starts(i)
+      val to = if (m < n) buf.length else ends(i + n - 1)
+      val base = XXH64.hashUnsafeBytes(buf,
+        Platform.BYTE_ARRAY_OFFSET + from, to - from, 42L)
+      val h1 = XXH64.hashLong(base, 42L)
+      var k = 0
+      while (k < numHashes) {
+        val h = XXH64.hashInt(k, h1)
+        if (h < sig(k)) sig(k) = h
+        k += 1
+      }
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(sig)
+  }
+
+  /** Sorted distinct hashed word shingles — the verify-side set for
+    * minhash LSH. Same byte ranges and seed as shingleMinHash. */
+  def shingleHashes(tokens: ArrayData, n: Int): ArrayData = {
+    val (buf, starts, ends) = joinTokens(tokens)
+    val m = tokens.numElements()
+    val nShingles = if (m < n) 1 else m - n + 1
+    val hs = new Array[Long](nShingles)
+    var i = 0
+    while (i < nShingles) {
+      val from = if (m < n) 0 else starts(i)
+      val to = if (m < n) buf.length else ends(i + n - 1)
+      hs(i) = XXH64.hashUnsafeBytes(buf,
+        Platform.BYTE_ARRAY_OFFSET + from, to - from, 42L)
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(sortedDistinct(hs))
+  }
+
+  /** Sorted distinct hashed char n-grams of an (already lowercased)
+    * string: gram i = codepoints [i, i+n), hashed as its UTF-8 byte
+    * range with seed 42 — the same value `xxhash64(substr(…))`
+    * yields. Strings shorter than n hash as one whole-string gram. */
+  def charNgramHashes(s: UTF8String, n: Int): ArrayData = {
+    val nBytes = s.numBytes()
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    // codepoint start offsets (UTF-8 continuation bytes are 10xxxxxx)
+    val bounds = new Array[Int](nBytes + 1)
+    var nChars = 0
+    var b = 0
+    while (b < nBytes) {
+      if ((Platform.getByte(base, off + b) & 0xC0) != 0x80) {
+        bounds(nChars) = b; nChars += 1
+      }
+      b += 1
+    }
+    bounds(nChars) = nBytes
+    if (nChars < n) {
+      val h = XXH64.hashUnsafeBytes(base, off, nBytes, 42L)
+      return UnsafeArrayData.fromPrimitiveArray(Array(h))
+    }
+    val hs = new Array[Long](nChars - n + 1)
+    var i = 0
+    while (i <= nChars - n) {
+      hs(i) = XXH64.hashUnsafeBytes(base, off + bounds(i),
+        bounds(i + n) - bounds(i), 42L)
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(sortedDistinct(hs))
+  }
+
+  /** See PpjoinPairs. */
+  def ppjoinPairs(xs: ArrayData, t: Double): ArrayData = {
+    val n = xs.numElements()
+    val ids = new Array[Long](n)
+    val szs = new Array[Int](n)
+    val poss = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      val r = xs.getStruct(i, 3)
+      ids(i) = r.getLong(0); szs(i) = r.getInt(1); poss(i) = r.getInt(2)
+      i += 1
+    }
+    val out = new java.util.ArrayList[org.apache.spark.sql.catalyst.InternalRow]()
+    val frac = t / (1.0 + t)
+    i = 0
+    while (i < n) {
+      var j = i + 1
+      while (j < n) {
+        val sa = szs(i); val sb = szs(j)
+        if (sa * t <= sb && sb * t <= sa &&
+          1 + math.min(sa - poss(i), sb - poss(j)) >=
+            math.ceil(frac * (sa + sb)) &&
+          ids(i) != ids(j)) {
+          val a = math.min(ids(i), ids(j)); val b = math.max(ids(i), ids(j))
+          out.add(new org.apache.spark.sql.catalyst.expressions
+            .GenericInternalRow(Array[Any](a, b)))
+        }
+        j += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      out.toArray(new Array[org.apache.spark.sql.catalyst.InternalRow](out.size())))
+  }
+
+  private def sortedDistinct(hs: Array[Long]): Array[Long] = {
+    if (hs.length <= 1) return hs
+    java.util.Arrays.sort(hs)
+    var w = 1
+    var i = 1
+    while (i < hs.length) {
+      if (hs(i) != hs(w - 1)) { hs(w) = hs(i); w += 1 }
+      i += 1
+    }
+    if (w == hs.length) hs else java.util.Arrays.copyOf(hs, w)
+  }
+}
+
+private[plans] trait LongArrayResult { self: Expression =>
+  def dataType: DataType = ArrayType(LongType, containsNull = false)
+}
+
+/** MinHash signature straight from a token array — see
+  * TextHash.shingleMinHash. */
+case class ShingleMinHash(child: Expression, n: Int, numHashes: Int)
+  extends UnaryExpression with LongArrayResult {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"shingle_minhash expects array<string>, got ${other.simpleString}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextHash.shingleMinHash(input.asInstanceOf[ArrayData], n, numHashes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.plans.TextHash.shingleMinHash($c, $n, $numHashes)")
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleMinHash =
+    copy(child = newChild)
+}
+
+/** Sorted distinct hashed word shingles from a token array — see
+  * TextHash.shingleHashes. */
+case class ShingleHashes(child: Expression, n: Int)
+  extends UnaryExpression with LongArrayResult {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"shingle_hashes expects array<string>, got ${other.simpleString}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextHash.shingleHashes(input.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.TextHash.shingleHashes($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
+    copy(child = newChild)
+}
+
+/** Sorted distinct hashed char n-grams of a string — see
+  * TextHash.charNgramHashes. */
+case class CharNgramHashes(child: Expression, n: Int)
+  extends UnaryExpression with LongArrayResult {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"char_ngram_hashes expects string, got ${other.simpleString}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextHash.charNgramHashes(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.TextHash.charNgramHashes($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): CharNgramHashes =
+    copy(child = newChild)
+}
+
+/** Filtered candidate-pair generation for PPJoin-style similarity
+  * joins: input is one gram's postings list as array<struct<__id:
+  * long, sz:int, pos:int>> (document id, gram-set size, 1-based
+  * prefix position); output is every unordered pair passing the
+  * length filter (t·sz_a ≤ sz_b ≤ sz_a/t) and positional filter
+  * (1 + min(sz_a−pos_a, sz_b−pos_b) ≥ ceil(t/(1+t)·(sz_a+sz_b))),
+  * as array<struct<id_a, id_b>> with id_a < id_b. One compiled
+  * quadratic pass per bucket — the declarative explode+filter HOF
+  * formulation runs the same pair space through interpreted lambdas.
+  */
+case class PpjoinPairs(child: Expression, threshold: Double)
+  extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("id_a", LongType, nullable = false),
+    StructField("id_b", LongType, nullable = false))), containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(s: StructType, _) if s.length == 3 &&
+      s(0).dataType == LongType && s(1).dataType == IntegerType &&
+      s(2).dataType == IntegerType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"ppjoin_pairs expects array<struct<long,int,int>>, got ${other.simpleString}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextHash.ppjoinPairs(input.asInstanceOf[ArrayData], threshold)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.TextHash.ppjoinPairs($c, $threshold)")
+
+  override protected def withNewChildInternal(newChild: Expression): PpjoinPairs =
+    copy(child = newChild)
+}
+
+object TextHashExpressions {
+  /** MinHash signature (numHashes longs) over word shingles of a
+    * token array. */
+  def shingleMinHash(tokens: Column, n: Int, numHashes: Int): Column =
+    GraftColumnShim.column(ShingleMinHash(
+      GraftColumnShim.expression(tokens), n, numHashes))
+
+  /** Sorted distinct hashed word shingles of a token array. */
+  def shingleHashes(tokens: Column, n: Int): Column =
+    GraftColumnShim.column(ShingleHashes(
+      GraftColumnShim.expression(tokens), n))
+
+  /** Sorted distinct hashed char n-grams of a string column. */
+  def charNgramHashes(text: Column, n: Int): Column =
+    GraftColumnShim.column(CharNgramHashes(
+      GraftColumnShim.expression(text), n))
+
+  /** Length+position-filtered candidate pairs from one postings
+    * bucket (array<struct<id,sz,pos>>) — see PpjoinPairs. */
+  def ppjoinPairs(postings: Column, threshold: Double): Column =
+    GraftColumnShim.column(PpjoinPairs(
+      GraftColumnShim.expression(postings), threshold))
+}

@@ -52,6 +52,63 @@ class PlansSpec extends SparkSpec {
     }
   }
 
+  test("fused text-hash kernels match the declarative compositions") {
+    import graft.plans.TextHashExpressions._
+    val docs = graft.sources.Tables.load(spark, "/root/testdata/sf0.001",
+      "documents")
+    // declarative references: interpreted HOF shingles + xxhash64,
+    // with the exact hash composition the kernels fuse
+    val n = 3
+    val refSig = {
+      val sh = explode(array_distinct(wordShingles(col("text"), n)))
+      // per-shingle base hash, then k chained family mins per doc:
+      // sig(k) = min over shingles of xxhash64(xxhash64(s), k)
+      docs.select(col("doc_id"), sh.as("__s"))
+        .select(col("doc_id"), xxhash64(col("__s")).as("bh"))
+        .groupBy(col("doc_id"))
+        .agg(array((0 until 8).map(k =>
+          min(xxhash64(col("bh"), lit(k)))): _*).as("ref_sig"))
+    }
+    val gotSig = docs.select(col("doc_id"),
+      shingleMinHash(wordTokens(col("text")), n, 8).as("sig"))
+    assert(gotSig.join(refSig, "doc_id")
+      .filter(col("sig") =!= col("ref_sig")).count() == 0)
+
+    val refSet = docs.select(col("doc_id"),
+      sort_array(array_distinct(transform(
+        wordShingles(col("text"), n), s => xxhash64(s)))).as("ref_set"))
+    val gotSet = docs.select(col("doc_id"),
+      shingleHashes(wordTokens(col("text")), n).as("set"))
+    assert(gotSet.join(refSet, "doc_id")
+      .filter(col("set") =!= col("ref_set")).count() == 0)
+
+    val refGrams = docs.select(col("doc_id"),
+      sort_array(array_distinct(transform(
+        charNgrams(col("text"), 8), g => xxhash64(g)))).as("ref_g"))
+    val gotGrams = docs.select(col("doc_id"),
+      charNgramHashes(lower(col("text")), 8).as("g"))
+    assert(gotGrams.join(refGrams, "doc_id")
+      .filter(col("g") =!= col("ref_g")).count() == 0)
+  }
+
+  test("text-hash kernels: edge cases (empty, short, unicode)") {
+    import graft.plans.TextHashExpressions._
+    val df = Seq("", "one", "a b", "héllo wörld çafé über",
+      "日本語 テスト 文字").toDF("text")
+    val both = df.select(
+      shingleHashes(wordTokens(col("text")), 3).as("set"),
+      sort_array(array_distinct(transform(
+        wordShingles(col("text"), 3), s => xxhash64(s)))).as("ref_set"),
+      charNgramHashes(lower(col("text")), 8).as("g"),
+      sort_array(array_distinct(transform(
+        charNgrams(col("text"), 8), g => xxhash64(g)))).as("ref_g"))
+      .collect()
+    both.foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1))
+      assert(r.getSeq[Long](2) == r.getSeq[Long](3))
+    }
+  }
+
   test("native dot handles nulls and empty arrays") {
     val df = Seq(
       (Some(Array(1f, 2f)), Some(Array(3f, 4f))),
