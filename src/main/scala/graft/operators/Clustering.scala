@@ -28,24 +28,39 @@ object Clustering {
   def connectedComponents(vertices: DataFrame, edges: DataFrame,
                           maxIter: Int = 20): DataFrame = {
     val spark = vertices.sparkSession
-    val sym = edges.select(col("src"), col("dst"))
+    // ckpt truncates lineage AND plan statistics: localCheckpoint
+    // alone carries the origin plan's BigInt size estimates into the
+    // new leaf, and in a self-joining loop those multiply per round
+    // until the driver stalls inside stats estimation (see
+    // GraftPlanReset).
+    def ckpt(df: DataFrame): DataFrame =
+      org.apache.spark.sql.GraftPlanReset.freshLeaf(
+        df.localCheckpoint(eager = true))
+    val sym = ckpt(edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
-      .localCheckpoint(eager = true)
-    var labels = vertices.select(col("id"), col("id").as("lbl"))
-      .localCheckpoint(eager = true)
+      .distinct())
+    var labels = ckpt(vertices.select(col("id"), col("id").as("lbl")))
     // Size the loop's shuffles to the graph, not the session default:
     // each round is several shuffles over |E'| rows, and fixed
     // per-partition overhead dominates when the dup graph is far
     // smaller than the corpus (the common case).
     val edgeCount = sym.count()
+    val vertexCount = labels.count()
     val parts = math.max(1L, math.min(
       spark.sparkContext.defaultParallelism.toLong, edgeCount / 100000 + 1))
+    // The stats truncation above also wipes the row estimates that
+    // would let Catalyst broadcast the (usually tiny) label table on
+    // its own — so the hint is explicit, gated by the measured
+    // vertex count (~24 B/row ⇒ 3M vertices ≈ 72 MB broadcast).
+    // Broadcasting labels makes each propagate round a map-side join
+    // over the edge relation: the |E| rows are never shuffled.
+    val small = vertexCount < 3000000L
+    def maybeB(df: DataFrame): DataFrame = if (small) broadcast(df) else df
     var iter = 0
     var converged = false
     def runLoop(): Unit = while (iter < maxIter && !converged) {
       val neighborMin = sym
-        .join(labels.withColumnRenamed("id", "src"), "src")
+        .join(maybeB(labels.withColumnRenamed("id", "src")), "src")
         .groupBy(col("dst").as("id"))
         .agg(min(col("lbl")).as("nlbl"))
       val updated = labels.join(neighborMin, Seq("id"), "left")
@@ -55,16 +70,16 @@ object Clustering {
       // pointer jumping: lbl ← lbl(lbl). Labels are themselves vertex
       // ids, so one self-join halves the remaining path length each
       // round — convergence in O(log diameter) instead of O(diameter).
-      // (only one jump per round: jump(df) references df twice, so
-      // nesting jumps without a checkpoint between them makes the
-      // uncheckpointed subplan grow 4× per extra jump)
+      // (measured: extra jumps per round do NOT reduce rounds on
+      // near-dup graphs — label chains are already shallow — so one
+      // jump is the sweet spot; more just add fixed per-job cost)
       val jumped = updated.as("a")
-        .join(updated.select(col("id").as("lbl"),
-          col("lbl").as("lbl2")).as("b"), Seq("lbl"), "left")
+        .join(maybeB(updated.select(col("id").as("lbl"),
+          col("lbl").as("lbl2"))).as("b"), Seq("lbl"), "left")
         .select(col("a.id").as("id"),
           coalesce(col("b.lbl2"), col("lbl")).as("lbl"),
           col("a.__chg").as("__chg"))
-      val next = jumped.localCheckpoint(eager = true)
+      val next = ckpt(jumped)
       converged = next.filter(col("__chg")).isEmpty
       labels = next.select(col("id"), col("lbl"))
       iter += 1

@@ -13,3 +13,25 @@ object GraftColumnShim {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 }
+
+/** Plan-truncation helper for iterative DataFrame algorithms.
+  *
+  * `Dataset.localCheckpoint` truncates LINEAGE but
+  * `LogicalRDD.fromDataset` deliberately carries the origin plan's
+  * cost statistics into the new leaf. In a loop whose body joins the
+  * previous iteration's result with itself, those BigInt size
+  * estimates MULTIPLY every round — after ~10 rounds the driver
+  * spends whole seconds multiplying million-digit BigIntegers inside
+  * stats estimation. Rebuilding the frame from the checkpointed RDD
+  * through `internalCreateDataFrame` yields a leaf with default
+  * stats, keeping per-round planning cost constant.
+  */
+object GraftPlanReset {
+  /** Re-wrap a materialized (checkpointed/cached) DataFrame's RDD in
+    * a fresh leaf with no inherited statistics. */
+  def freshLeaf(df: DataFrame): DataFrame = {
+    val cs = df.sparkSession.asInstanceOf[classic.SparkSession]
+    cs.internalCreateDataFrame(
+      df.queryExecution.toRdd, df.schema, isStreaming = false)
+  }
+}
