@@ -233,6 +233,14 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    "ann_ivf" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.ivfTopK(
+        emb.filter(pmod(col("vec_id"), lit(25)) === 0), emb, k = 5,
+        nlist = 32, nprobe = 8)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // §2.5 text analysis ------------------------------------------
     "lang_id" -> ((s, d) =>
       TextAnalysis.langIdTable(t(s, d, "documents")).orderBy(col("doc_id"))),

@@ -28,4 +28,27 @@ class SimilaritySpec extends SparkSpec {
     val recall = exact.intersect(approx).size.toDouble / exact.size
     assert(recall > 0.6, s"recall@5 = $recall")
   }
+
+  test("ivfTopK achieves reasonable recall@5 vs brute force on testdata") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val queries = emb.filter(pmod(col("vec_id"), lit(25)) === 0)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val exact = pairs(Similarity.bruteForceTopK(queries, emb, 5))
+    val approx = pairs(Similarity.ivfTopK(queries, emb, 5,
+      nlist = 16, nprobe = 6))
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall > 0.6, s"recall@5 = $recall")
+  }
+
+  test("ivf centroids are deterministic, normalized, and cover cells") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val c1 = Similarity.trainIvfCentroids(emb, nlist = 8, iters = 2)
+    val c2 = Similarity.trainIvfCentroids(emb, nlist = 8, iters = 2)
+    assert(c1 == c2) // deterministic init + deterministic aggregation
+    c1.foreach { c =>
+      val n = math.sqrt(c.map(x => x.toDouble * x).sum)
+      assert(math.abs(n - 1.0) < 1e-3, s"centroid norm $n")
+    }
+  }
 }
