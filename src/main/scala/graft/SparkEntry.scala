@@ -115,6 +115,47 @@ object SparkEntry {
       Tables.newFiles(listing, log).orderBy(col("name"))
     }),
 
+    "bucketed_join" -> ((s, d) => {
+      // the shuffle paid at write time: both facts bucketed by the
+      // join key co-locate, so the join plans with zero exchange
+      // (asserted in LayoutSpec)
+      // project to the query's columns before the write: bucket
+      // files carry only what downstream joins need
+      val tag = java.lang.Integer.toHexString(d.hashCode)
+      Tables.writeBucketed(
+        t(s, d, "orders").select(col("o_orderkey"), col("o_orderpriority")),
+        s"g_orders_$tag", s"/tmp/graft_buckets_$tag/orders", 16,
+        Seq("o_orderkey"))
+      Tables.writeBucketed(
+        t(s, d, "lineitem").select(col("l_orderkey"), col("l_extendedprice")),
+        s"g_lineitem_$tag", s"/tmp/graft_buckets_$tag/lineitem", 16,
+        Seq("l_orderkey"))
+      s.table(s"g_orders_$tag")
+        .join(s.table(s"g_lineitem_$tag"),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_extendedprice").cast("decimal(28,4)")).cast("double")
+            .as("total_price"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    "partitioned_scan" -> ((s, d) => {
+      // hive-style partition layout: the event_type predicate becomes
+      // a PartitionFilter (whole directories skipped, no data read)
+      val tag = java.lang.Integer.toHexString(d.hashCode)
+      val path = s"/tmp/graft_part_$tag/events"
+      Tables.writePartitioned(t(s, d, "events"), path, Seq("event_type"))
+      s.read.parquet(path)
+        .filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(28,6)")).cast("double")
+            .as("total_value"))
+        .orderBy(col("user_id"))
+        .select(col("user_id"), col("n_events"), col("total_value"))
+    }),
+
     // §2.2 relational analytics -----------------------------------
     "q1_pricing" -> ((s, d) => Analytics.q1Pricing(t(s, d, "lineitem"))),
 
@@ -369,6 +410,19 @@ object SparkEntry {
     "incremental_files" ->
       """SELECT DISTINCT source AS name FROM documents
          WHERE source NOT IN ('src0', 'src1') ORDER BY name""",
+
+    "bucketed_join" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_items,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE)
+           AS total_price
+         FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
+    "partitioned_scan" ->
+      """SELECT user_id, COUNT(*) AS n_events,
+         CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_value
+         FROM events WHERE event_type = 'purchase'
+         GROUP BY user_id ORDER BY user_id""",
 
     "q1_pricing" ->
       """SELECT l_returnflag, l_linestatus,

@@ -62,6 +62,32 @@ object Tables {
       .option("inferSchema", inferSchema.toString)
       .csv(path)
 
+  /** Write a table bucketed (and sorted) by join/aggregation keys.
+    *
+    * Bucketing is THE storage-layout lever for repeated big joins at
+    * scale: two tables bucketed by the same keys into the same
+    * bucket count join with zero exchange — the shuffle is paid once
+    * at write time instead of per query. Bucket counts should be
+    * sized so one bucket of the big table fits an executor core
+    * (hundreds to thousands at 100 TB, not 16).
+    */
+  def writeBucketed(df: DataFrame, name: String, path: String,
+                    buckets: Int, keys: Seq[String]): Unit =
+    df.write.format("parquet").mode("overwrite")
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .option("path", path)
+      .saveAsTable(name)
+
+  /** Write a table hive-partitioned by low-cardinality columns, so
+    * partition pruning turns predicate queries into partial scans
+    * (PartitionFilters in the physical plan, not data filters). */
+  def writePartitioned(df: DataFrame, path: String,
+                       partitionCols: Seq[String]): Unit =
+    df.write.mode("overwrite")
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+
   /** New-file detection: which candidate files are not yet ingested.
     * The reference lists blobs and pattern-matches client-side
     * (reference: notebooks/Mini-ETL-Pipeline in Databricks.py blob
