@@ -56,6 +56,59 @@ object Streams {
       }
   }
 
+  case class SessionState(start: java.sql.Timestamp,
+                          last: java.sql.Timestamp, n: Long)
+  case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
+                        session_end: java.sql.Timestamp, n_events: Long)
+
+  /** Streaming sessionization: per-user sessions closed after `gap`
+    * of event-time silence, via flatMapGroupsWithState with an
+    * event-time timeout — the incremental twin of
+    * Analytics.sessionize (which lag/sums over bounded data).
+    *
+    * State is one small record per ACTIVE user, evicted by the
+    * timeout as the watermark passes session_end + gap — bounded by
+    * concurrently-active users, not history, which is what makes it
+    * run forever at ingest scale. Sessions that close within a
+    * single micro-batch (two events > gap apart) are emitted
+    * immediately without waiting for the timeout. */
+  def streamingSessionize(events: Dataset[Event], gapMinutes: Int = 30,
+                          watermark: String = "2 hours"): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60L * 1000L
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, batch: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(SessionOut(uid, s.start, s.last, s.n))
+          } else {
+            val ts = batch.map(_.ts).toArray.sortBy(_.getTime)
+            var cur = state.getOption
+            val closed = scala.collection.mutable.ListBuffer[SessionOut]()
+            ts.foreach { t =>
+              cur = cur match {
+                case Some(s) if t.getTime - s.last.getTime > gapMs =>
+                  // gap inside the batch: close and start a new one
+                  closed += SessionOut(uid, s.start, s.last, s.n)
+                  Some(SessionState(t, t, 1L))
+                case Some(s) => Some(SessionState(s.start, t, s.n + 1))
+                case None => Some(SessionState(t, t, 1L))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.last.getTime + gapMs)
+            }
+            closed.iterator
+          }
+      }
+  }
+
   /** Streaming exact dedup on a key column with state TTL via
     * dropDuplicatesWithinWatermark — bounded state at 100 TB/day
     * ingest rates (unbounded dropDuplicates state would OOM). */

@@ -53,6 +53,36 @@ class StreamsSpec extends SparkSpec {
     assert(state == Seq((1L, "purchase"), (2L, "click")))
   }
 
+  test("streamingSessionize closes sessions on gap and on timeout") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = Streams.streamingSessionize(mem.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    try {
+      // user 1: two events 10 min apart (one session), then a 50-min
+      // gap inside the same batch → first session closes in-batch
+      mem.addData(
+        Event(1L, ts("2024-01-01 00:00:00"), 1L, "click", 1.0),
+        Event(2L, ts("2024-01-01 00:10:00"), 1L, "view", 1.0),
+        Event(3L, ts("2024-01-01 01:00:00"), 1L, "click", 1.0))
+      q.processAllAvailable()
+      // advance the watermark far past user 1's last event + gap so
+      // the open session times out and flushes
+      mem.addData(Event(9L, ts("2024-01-01 09:00:00"), 2L, "click", 1.0))
+      q.processAllAvailable()
+      mem.addData(Event(10L, ts("2024-01-01 23:00:00"), 2L, "click", 1.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("sess_out")
+      .orderBy("user_id", "session_start")
+      .as[Streams.SessionOut].collect().toSeq
+    val u1 = out.filter(_.user_id == 1L)
+    assert(u1.map(s => (s.session_start, s.session_end, s.n_events)) == Seq(
+      (ts("2024-01-01 00:00:00"), ts("2024-01-01 00:10:00"), 2L),
+      (ts("2024-01-01 01:00:00"), ts("2024-01-01 01:00:00"), 1L)))
+  }
+
   test("streamingDedup drops duplicate keys within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
