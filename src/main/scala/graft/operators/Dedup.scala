@@ -78,25 +78,15 @@ object Dedup {
   }
 
   /** 64-bit SimHash per document: per-token hash bits vote ±1,
-    * weighted by token frequency; sign of each bit-sum forms the
-    * fingerprint. Explode + single groupBy; bit-sums via one
-    * aggregate over 64 positions. */
+    * weighted by token occurrence; sign of each bit-sum forms the
+    * fingerprint. Computed by the native one-pass kernel — a pure
+    * map-side projection (the exploded 64-sum formulation shuffled
+    * the whole token relation for the same numbers). */
   def simhash(docs: DataFrame, idCol: String = "doc_id",
-              textCol: String = "text"): DataFrame = {
-    val toks = docs.select(col(idCol),
-      explode(wordTokens(col(textCol))).as("__t"))
-      .withColumn("__h", xxhash64(col("__t")))
-    val bitSums = (0 until 64).map { i =>
-      sum(when(col("__h").bitwiseAND(lit(1L << i)) =!= 0, 1).otherwise(-1))
-        .as(s"__b$i")
-    }
-    toks.groupBy(col(idCol))
-      .agg(bitSums.head, bitSums.tail: _*)
-      .select(col(idCol),
-        (0 until 64).map(i =>
-          when(col(s"__b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
-          .reduce(_.bitwiseOR(_)).as("simhash"))
-  }
+              textCol: String = "text"): DataFrame =
+    docs.select(col(idCol),
+      graft.plans.TextHashExpressions.simHash64(wordTokens(col(textCol)))
+        .as("simhash"))
 
   /** Near-dup pairs by SimHash: band the 64-bit fingerprint into 4
     * 16-bit chunks (pigeonhole: hamming ≤ 3 ⇒ some chunk equal),

@@ -140,6 +140,36 @@ object TextHash {
     UnsafeArrayData.fromPrimitiveArray(sortedDistinct(hs))
   }
 
+  /** 64-bit SimHash of a token array in one pass: each token's
+    * xxh64 (seed 42) votes +1/−1 per bit position by occurrence
+    * (duplicates vote again — same semantics as the exploded
+    * formulation); fingerprint bit i is set when the vote sum is
+    * positive. Bit-identical to explode → 64 conditional sums →
+    * recombine, with no shuffle at all. */
+  def simHash64(tokens: ArrayData): Long = {
+    val m = tokens.numElements()
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < m) {
+      val u = tokens.getUTF8String(i)
+      val h = XXH64.hashUnsafeBytes(u.getBaseObject, u.getBaseOffset,
+        u.numBytes(), 42L)
+      var b = 0
+      while (b < 64) {
+        votes(b) += (((h >>> b) & 1L).toInt << 1) - 1
+        b += 1
+      }
+      i += 1
+    }
+    var fp = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) fp |= (1L << b)
+      b += 1
+    }
+    fp
+  }
+
   /** See PpjoinPairs. */
   def ppjoinPairs(xs: ArrayData, t: Double): ArrayData = {
     val n = xs.numElements()
@@ -256,6 +286,28 @@ case class CharNgramHashes(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** One-pass 64-bit SimHash of a token array — see TextHash.simHash64. */
+case class SimHash64(child: Expression)
+  extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"simhash64 expects array<string>, got ${other.simpleString}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextHash.simHash64(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.TextHash.simHash64($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
 /** Filtered candidate-pair generation for PPJoin-style similarity
   * joins: input is one gram's postings list as array<struct<__id:
   * long, sz:int, pos:int>> (document id, gram-set size, 1-based
@@ -307,6 +359,10 @@ object TextHashExpressions {
   def charNgramHashes(text: Column, n: Int): Column =
     GraftColumnShim.column(CharNgramHashes(
       GraftColumnShim.expression(text), n))
+
+  /** One-pass 64-bit SimHash of a token-array column. */
+  def simHash64(tokens: Column): Column =
+    GraftColumnShim.column(SimHash64(GraftColumnShim.expression(tokens)))
 
   /** Length+position-filtered candidate pairs from one postings
     * bucket (array<struct<id,sz,pos>>) — see PpjoinPairs. */

@@ -91,6 +91,31 @@ class PlansSpec extends SparkSpec {
       .filter(col("g") =!= col("ref_g")).count() == 0)
   }
 
+  test("native SimHash64 matches the exploded 64-sum formulation") {
+    import graft.plans.TextHashExpressions.simHash64
+    val docs = graft.sources.Tables.load(spark, "/root/testdata/sf0.001",
+      "documents")
+    val ref = {
+      val toks = docs.select(col("doc_id"),
+        explode(wordTokens(col("text"))).as("__t"))
+        .withColumn("__h", xxhash64(col("__t")))
+      val bitSums = (0 until 64).map { i =>
+        sum(when(col("__h").bitwiseAND(lit(1L << i)) =!= 0, 1).otherwise(-1))
+          .as(s"__b$i")
+      }
+      toks.groupBy(col("doc_id"))
+        .agg(bitSums.head, bitSums.tail: _*)
+        .select(col("doc_id"),
+          (0 until 64).map(i =>
+            when(col(s"__b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+            .reduce(_.bitwiseOR(_)).as("ref_fp"))
+    }
+    val got = docs.select(col("doc_id"),
+      simHash64(wordTokens(col("text"))).as("fp"))
+    assert(got.join(ref, "doc_id")
+      .filter(col("fp") =!= col("ref_fp")).count() == 0)
+  }
+
   test("text-hash kernels: edge cases (empty, short, unicode)") {
     import graft.plans.TextHashExpressions._
     val df = Seq("", "one", "a b", "héllo wörld çafé über",
