@@ -63,10 +63,13 @@ object Clustering {
         .join(maybeB(labels.withColumnRenamed("id", "src")), "src")
         .groupBy(col("dst").as("id"))
         .agg(min(col("lbl")).as("nlbl"))
-      val updated = labels.join(neighborMin, Seq("id"), "left")
+      // checkpoint BEFORE the self-join: the jump references this
+      // frame twice, and without materialization the whole O(|E|)
+      // propagate subtree would execute once per reference
+      val updated = ckpt(labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"),
           least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"),
-          (col("nlbl").isNotNull && col("nlbl") < col("lbl")).as("__chg"))
+          (col("nlbl").isNotNull && col("nlbl") < col("lbl")).as("__chg")))
       // pointer jumping: lbl ← lbl(lbl). Labels are themselves vertex
       // ids, so one self-join halves the remaining path length each
       // round — convergence in O(log diameter) instead of O(diameter).
