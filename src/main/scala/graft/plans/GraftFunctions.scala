@@ -1,0 +1,73 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.IntegerType
+
+/** SQL surface for the native kernels: every graft expression is
+  * registered as a `graft_*` SQL function, so `spark.sql` users get
+  * the same compiled one-pass kernels the DataFrame operators use.
+  *
+  * Two registration paths:
+  *  - `spark.sql.extensions=graft.plans.GraftExtensions` at session
+  *    build (the standard extension-library mechanism);
+  *  - `GraftSqlFunctions.register(spark)` on a live session.
+  */
+object GraftFunctions {
+
+  private def intLit(fn: String, e: Expression): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn expects a literal int argument, got $other")
+  }
+
+  private def arity(fn: String, args: Seq[Expression], n: Int): Unit =
+    if (args.length != n) throw new IllegalArgumentException(
+      s"$fn expects $n arguments, got ${args.length}")
+
+  /** (name, builder) for every graft SQL function. */
+  val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "graft_minhash" -> { args =>
+      arity("graft_minhash", args, 3)
+      ShingleMinHash(args(0), intLit("graft_minhash", args(1)),
+        intLit("graft_minhash", args(2)))
+    },
+    "graft_shingle_hashes" -> { args =>
+      arity("graft_shingle_hashes", args, 2)
+      ShingleHashes(args(0), intLit("graft_shingle_hashes", args(1)))
+    },
+    "graft_char_ngram_hashes" -> { args =>
+      arity("graft_char_ngram_hashes", args, 2)
+      CharNgramHashes(args(0), intLit("graft_char_ngram_hashes", args(1)))
+    },
+    "graft_simhash64" -> { args =>
+      arity("graft_simhash64", args, 1)
+      SimHash64(args(0))
+    },
+    "graft_float_dot" -> { args =>
+      arity("graft_float_dot", args, 2)
+      FloatDotProduct(args(0), args(1))
+    },
+    "graft_sorted_intersect_count" -> { args =>
+      arity("graft_sorted_intersect_count", args, 2)
+      SortedIntersectCount(args(0), args(1))
+    },
+    "graft_srp_buckets" -> { args =>
+      arity("graft_srp_buckets", args, 3)
+      SrpBuckets(args(0), intLit("graft_srp_buckets", args(1)),
+        intLit("graft_srp_buckets", args(2)))
+    })
+
+  def info(name: String): ExpressionInfo =
+    new ExpressionInfo("graft", name)
+}
+
+/** `spark.sql.extensions` entry point. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.all.foreach { case (name, builder) =>
+      ext.injectFunction((FunctionIdentifier(name),
+        GraftFunctions.info(name), builder))
+    }
+}

@@ -35,3 +35,17 @@ object GraftPlanReset {
       df.queryExecution.toRdd, df.schema, isStreaming = false)
   }
 }
+
+/** Runtime registration of the graft_* SQL functions on a live
+  * session (the extensions route only applies at session build). The
+  * function registry is private[sql], hence registration lives here.
+  */
+object GraftSqlFunctions {
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.asInstanceOf[classic.SparkSession]
+      .sessionState.functionRegistry
+    graft.plans.GraftFunctions.all.foreach { case (name, builder) =>
+      reg.createOrReplaceTempFunction(name, builder, "scala_udf")
+    }
+  }
+}

@@ -1,0 +1,63 @@
+package graft
+
+import graft.functions._
+import org.apache.spark.sql.GraftSqlFunctions
+import org.apache.spark.sql.functions._
+
+class SqlFunctionsSpec extends SparkSpec {
+
+  test("graft_* SQL functions run the native kernels") {
+    GraftSqlFunctions.register(spark)
+    graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .createOrReplaceTempView("docs_v")
+    val sql = spark.sql(
+      """SELECT doc_id,
+           graft_simhash64(split(trim(lower(text)), '\\s+')) AS fp,
+           graft_minhash(split(trim(lower(text)), '\\s+'), 3, 16) AS sig,
+           graft_char_ngram_hashes(lower(text), 8) AS grams
+         FROM docs_v""")
+    val df = graft.sources.Tables.load(spark, "/root/testdata/sf0.001",
+      "documents")
+      .select(col("doc_id"),
+        graft.plans.TextHashExpressions.simHash64(wordTokens(col("text")))
+          .as("fp2"),
+        graft.plans.TextHashExpressions.shingleMinHash(
+          wordTokens(col("text")), 3, 16).as("sig2"),
+        graft.plans.TextHashExpressions.charNgramHashes(
+          lower(col("text")), 8).as("grams2"))
+    val joined = sql.join(df, "doc_id")
+    assert(joined.filter(col("fp") =!= col("fp2") ||
+      col("sig") =!= col("sig2") || col("grams") =!= col("grams2"))
+      .count() == 0)
+  }
+
+  test("graft_float_dot and graft_sorted_intersect_count from SQL") {
+    GraftSqlFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT
+           graft_float_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)),
+                           array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d,
+           graft_sorted_intersect_count(array(1L, 2L, 5L),
+                                        array(2L, 3L, 5L)) AS c""").head()
+    assert(r.getDouble(0) == 11.0)
+    assert(r.getLong(1) == 2L)
+  }
+
+  test("GraftExtensions is reflectively constructible and injects all functions") {
+    // the spark.sql.extensions mechanism instantiates by class name
+    val cls = Class.forName("graft.plans.GraftExtensions")
+    val ext = cls.getConstructor().newInstance()
+      .asInstanceOf[org.apache.spark.sql.SparkSessionExtensions => Unit]
+    ext(new org.apache.spark.sql.SparkSessionExtensions) // must not throw
+  }
+
+  test("bad arguments to graft_* functions fail analysis, not execution") {
+    GraftSqlFunctions.register(spark)
+    intercept[Exception] {
+      spark.sql("SELECT graft_minhash(array('a'), 3)").collect()
+    }
+    intercept[Exception] {
+      spark.sql("SELECT graft_simhash64(array(1, 2))").collect()
+    }
+  }
+}
