@@ -156,6 +156,29 @@ object SparkEntry {
         .select(col("user_id"), col("n_events"), col("total_value"))
     }),
 
+    "pipeline_e2e" -> ((s, d) => {
+      // the reference's full per-table loop: two raw batches (orders
+      // split at 1998) staged latest-per-key and SCD2-merged in
+      // sequence into a customer-keyed dimension
+      val cfg = Pipeline.TableConfig("cust_orders",
+        keyCols = Seq("o_custkey"),
+        attrCols = Seq("o_orderpriority", "o_totalprice"),
+        recencyCols = Seq("o_orderdate", "o_orderkey"))
+      val orders = t(s, d, "orders")
+      val split = lit("1998-01-01").cast("timestamp")
+      val ts1 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+      val ts2 = java.sql.Timestamp.valueOf("2026-01-02 00:00:00")
+      val dim0 = Pipeline.emptyDim(s, orders, cfg)
+      val dim1 = Pipeline.runIncrement(
+        orders.filter(col("o_orderdate") < split), dim0, cfg, "b1", ts1)
+      val dim2 = Pipeline.runIncrement(
+        orders.filter(col("o_orderdate") >= split), dim1, cfg, "b2", ts2)
+      dim2.select(col("o_custkey"), col("o_orderpriority"),
+        col("o_totalprice"), ntz(col("valid_from")).as("valid_from"),
+        ntz(col("valid_to")).as("valid_to"), col("is_current"))
+        .orderBy(col("o_custkey"), col("valid_from"))
+    }),
+
     // §2.2 relational analytics -----------------------------------
     "q1_pricing" -> ((s, d) => Analytics.q1Pricing(t(s, d, "lineitem"))),
 
@@ -410,6 +433,42 @@ object SparkEntry {
     "incremental_files" ->
       """SELECT DISTINCT source AS name FROM documents
          WHERE source NOT IN ('src0', 'src1') ORDER BY name""",
+
+    "pipeline_e2e" ->
+      """WITH s1 AS (
+           SELECT o_custkey, o_orderpriority, o_totalprice FROM (
+             SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey
+               ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+             FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01')
+           WHERE rn = 1),
+         s2 AS (
+           SELECT o_custkey, o_orderpriority, o_totalprice FROM (
+             SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey
+               ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+             FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01')
+           WHERE rn = 1),
+         j AS (
+           SELECT COALESCE(s1.o_custkey, s2.o_custkey) AS k,
+             s1.o_custkey IS NOT NULL AS in1,
+             s2.o_custkey IS NOT NULL AS in2,
+             s1.o_orderpriority AS p1, s1.o_totalprice AS t1,
+             s2.o_orderpriority AS p2, s2.o_totalprice AS t2
+           FROM s1 FULL JOIN s2 ON s1.o_custkey = s2.o_custkey)
+         SELECT k AS o_custkey, o_orderpriority, o_totalprice,
+                valid_from, valid_to, is_current FROM (
+           SELECT k, p1 AS o_orderpriority, t1 AS o_totalprice,
+             TIMESTAMP '2026-01-01 00:00:00' AS valid_from,
+             CAST(NULL AS TIMESTAMP) AS valid_to, TRUE AS is_current
+           FROM j WHERE in1 AND (NOT in2 OR (p1 = p2 AND t1 = t2))
+           UNION ALL
+           SELECT k, p1, t1, TIMESTAMP '2026-01-01 00:00:00',
+             TIMESTAMP '2026-01-02 00:00:00', FALSE
+           FROM j WHERE in1 AND in2 AND (p1 <> p2 OR t1 <> t2)
+           UNION ALL
+           SELECT k, p2, t2, TIMESTAMP '2026-01-02 00:00:00',
+             CAST(NULL AS TIMESTAMP), TRUE
+           FROM j WHERE in2 AND (NOT in1 OR p1 <> p2 OR t1 <> t2))
+         ORDER BY o_custkey, valid_from""",
 
     "bucketed_join" ->
       """SELECT o_orderpriority, COUNT(*) AS n_items,

@@ -1,0 +1,69 @@
+package graft
+
+import graft.operators.Pipeline
+import graft.operators.Pipeline.TableConfig
+import org.apache.spark.sql.functions._
+
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  private val cfg = TableConfig("kunden",
+    keyCols = Seq("kunde_id"), attrCols = Seq("name", "stadt"),
+    recencyCols = Seq("ingest_ts"), scdType = 2,
+    cleanCols = Seq("name", "stadt"))
+
+  test("two SCD2 increments: new, changed and unchanged keys") {
+    val t1 = ts("2026-01-01 00:00:00")
+    val t2 = ts("2026-01-02 00:00:00")
+    val b1 = Seq((1L, " Alice ", "Berlin"), (2L, "Bob", "Hamburg"))
+      .toDF("kunde_id", "name", "stadt")
+    val dim0 = Pipeline.emptyDim(spark, b1, cfg)
+    val dim1 = Pipeline.runIncrement(b1, dim0, cfg, "b1", t1)
+    // batch 2: key 1 unchanged (after trim), key 2 moves, key 3 new
+    val b2 = Seq((1L, "Alice", "Berlin"), (2L, "Bob", "München"),
+      (3L, "Cara", "Köln")).toDF("kunde_id", "name", "stadt")
+    val dim2 = Pipeline.runIncrement(b2, dim1, cfg, "b2", t2)
+      .orderBy(col("kunde_id"), col("valid_from"))
+      .select("kunde_id", "name", "stadt", "valid_from", "valid_to",
+        "is_current")
+      .as[(Long, String, String, java.sql.Timestamp,
+        Option[java.sql.Timestamp], Boolean)]
+      .collect().toSeq
+    assert(dim2 == Seq(
+      (1L, "Alice", "Berlin", t1, None, true),
+      (2L, "Bob", "Hamburg", t1, Some(t2), false),
+      (2L, "Bob", "München", t2, None, true),
+      (3L, "Cara", "Köln", t2, None, true)))
+  }
+
+  test("SCD1 config keeps only last-writer state") {
+    val c1 = cfg.copy(scdType = 1)
+    val t1 = ts("2026-01-01 00:00:00")
+    val b1 = Seq((1L, "Alice", "Berlin"), (2L, "Bob", "Hamburg"))
+      .toDF("kunde_id", "name", "stadt")
+    val dim1 = Pipeline.runIncrement(b1,
+      b1.limit(0), c1, "b1", t1)
+    val b2 = Seq((2L, "Bob", "München")).toDF("kunde_id", "name", "stadt")
+    val dim2 = Pipeline.runIncrement(b2, dim1, c1, "b2", t1)
+      .orderBy("kunde_id")
+      .as[(Long, String, String)].collect().toSeq
+    assert(dim2 == Seq((1L, "Alice", "Berlin"), (2L, "Bob", "München")))
+  }
+
+  test("runAll drives multiple table configs in one call") {
+    val t1 = ts("2026-01-01 00:00:00")
+    val orte = TableConfig("orte", Seq("ort_id"), Seq("plz"),
+      Seq("ingest_ts"), scdType = 1)
+    val batches = Map(
+      "kunden" -> Seq((1L, "Alice", "Berlin"))
+        .toDF("kunde_id", "name", "stadt"),
+      "orte" -> Seq((10L, "10115")).toDF("ort_id", "plz"))
+    val dims = Pipeline.runAll(spark, Seq(cfg, orte), batches,
+      Map.empty, t1)
+    assert(dims("kunden").count() == 1)
+    assert(dims("orte").as[(Long, String)].collect().toSeq ==
+      Seq((10L, "10115")))
+  }
+}
