@@ -179,6 +179,25 @@ object SparkEntry {
         .orderBy(col("o_custkey"), col("valid_from"))
     }),
 
+    "skew_join" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+      val o = t(s, d, "orders")
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+      Skew.saltedJoin(li, o, Seq("l_orderkey"), salts = 8,
+        saltBy = struct(col("l_orderkey"), col("l_linenumber")))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_extendedprice").cast("decimal(28,4)")).cast("double")
+            .as("total_price"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    "skew_distinct" -> ((s, d) =>
+      Skew.skewedDistinctCount(t(s, d, "lineitem"), Seq("l_orderkey"),
+        "l_suppkey", salts = 16)
+        .orderBy(col("l_orderkey"))),
+
     // §2.2 relational analytics -----------------------------------
     "q1_pricing" -> ((s, d) => Analytics.q1Pricing(t(s, d, "lineitem"))),
 
@@ -469,6 +488,17 @@ object SparkEntry {
              CAST(NULL AS TIMESTAMP), TRUE
            FROM j WHERE in2 AND (NOT in1 OR p1 <> p2 OR t1 <> t2))
          ORDER BY o_custkey, valid_from""",
+
+    "skew_join" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_items,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE)
+           AS total_price
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
+    "skew_distinct" ->
+      """SELECT l_orderkey, COUNT(DISTINCT l_suppkey) AS n_distinct
+         FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""",
 
     "bucketed_join" ->
       """SELECT o_orderpriority, COUNT(*) AS n_items,
