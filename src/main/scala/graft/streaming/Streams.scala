@@ -117,6 +117,45 @@ object Streams {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Incremental dimension maintenance from a stream: each
+    * micro-batch runs the batch pipeline's stage + SCD merge against
+    * the parquet dimension at `dimPath` and rewrites it — the
+    * reference's scheduled MERGE loop as a continuously-running
+    * stream (reference: notebooks/pipeline_core.py:274-296).
+    *
+    * The batch timestamp is data-derived (max of `tsCol` in the
+    * batch), so replays after checkpoint recovery produce identical
+    * dimensions. The merged frame is materialized BEFORE the
+    * overwrite (read-your-own-input hazard); a table format with
+    * transactional commit (Delta/Iceberg) replaces the
+    * persist+rewrite at production scale — the merge plan itself is
+    * unchanged. */
+  def sinkToDim(stream: DataFrame, cfg: graft.operators.Pipeline.TableConfig,
+                tsCol: String, dimPath: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val batchTs = new java.sql.Timestamp(
+            batch.agg(max(col(tsCol))).head.getTimestamp(0).getTime)
+          val dim =
+            if (new java.io.File(dimPath).exists)
+              spark.read.parquet(dimPath)
+            else graft.operators.Pipeline.emptyDim(spark, batch, cfg)
+          val merged = graft.operators.Pipeline.runIncrement(
+            batch, dim, cfg, s"stream:batch$batchId", batchTs)
+            .persist()
+          merged.count() // materialize before overwriting the input
+          merged.write.mode("overwrite").parquet(dimPath)
+          merged.unpersist()
+          ()
+        }
+      }
+      .start()
+
   /** Output mode for the windowed agg sink. */
   val defaultOutputMode: OutputMode = OutputMode.Update()
 }

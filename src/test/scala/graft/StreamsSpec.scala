@@ -83,6 +83,33 @@ class StreamsSpec extends SparkSpec {
       (ts("2024-01-01 01:00:00"), ts("2024-01-01 01:00:00"), 1L)))
   }
 
+  test("sinkToDim maintains an SCD2 dimension across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_sink").toString
+    val cfg = graft.operators.Pipeline.TableConfig("user_dim",
+      keyCols = Seq("user_id"), attrCols = Seq("event_type"),
+      recencyCols = Seq("ts", "event_id"))
+    val mem = MemoryStream[Event]
+    val q = Streams.sinkToDim(mem.toDF(), cfg, "ts",
+      s"$dir/dim", s"$dir/ckpt")
+    try {
+      mem.addData(Event(1L, ts("2024-01-01 00:00:00"), 1L, "click", 1.0))
+      q.processAllAvailable()
+      mem.addData(
+        Event(2L, ts("2024-01-02 00:00:00"), 1L, "purchase", 1.0),
+        Event(3L, ts("2024-01-02 00:00:00"), 2L, "view", 1.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val dim = spark.read.parquet(s"$dir/dim")
+      .orderBy("user_id", "valid_from")
+      .select("user_id", "event_type", "is_current")
+      .as[(Long, String, Boolean)].collect().toSeq
+    assert(dim == Seq(
+      (1L, "click", false),
+      (1L, "purchase", true),
+      (2L, "view", true)))
+  }
+
   test("streamingDedup drops duplicate keys within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
