@@ -244,6 +244,9 @@ object SparkEntry {
 
     "percentiles" -> ((s, d) => Analytics.percentiles(t(s, d, "orders"))),
 
+    "approx_percentiles" -> ((s, d) =>
+      Analytics.approxPercentiles(t(s, d, "orders"))),
+
     "running_agg" -> ((s, d) =>
       Analytics.runningAgg(t(s, d, "orders"))
         .withColumn("o_orderdate", ntz(col("o_orderdate")))),
@@ -257,6 +260,19 @@ object SparkEntry {
 
     "approx_distinct" -> ((s, d) =>
       Analytics.approxDistinctCounts(t(s, d, "events"))),
+
+    "interval_join" -> ((s, d) => {
+      // SCD2 lookup: each event joined to the dimension version
+      // whose [valid_from, valid_to) covers its timestamp
+      val ev = t(s, d, "events")
+      val facts = ev.select(col("event_id"), col("user_id"), col("ts"))
+      val dim = Scd.scd2FromHistory(ev, Seq("user_id"), "ts",
+        Seq("event_type"), Seq("event_id"))
+      Temporal.intervalJoin(facts, "user_id", "ts", dim, "user_id")
+        .select(col("event_id"), col("user_id"), ntz(col("ts")).as("ts"),
+          col("event_type"), ntz(col("valid_from")).as("valid_from"))
+        .orderBy(col("event_id"))
+    }),
 
     "asof_join" -> ((s, d) =>
       Temporal.asOfJoin(
@@ -641,6 +657,26 @@ object SparkEntry {
       """SELECT event_type, COUNT(DISTINCT user_id) AS n_users,
          COUNT(*) AS n_events
          FROM events GROUP BY event_type ORDER BY event_type""",
+
+    "interval_join" ->
+      """WITH h AS (
+           SELECT user_id, ts, event_id, event_type,
+                  lag(event_type) OVER w AS prev_et,
+                  lag(ts) OVER w AS prev_ts
+           FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         starts AS (
+           SELECT * FROM h
+           WHERE prev_ts IS NULL OR event_type IS DISTINCT FROM prev_et),
+         v AS (
+           SELECT user_id, event_type, ts AS valid_from,
+                  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                    AS valid_to
+           FROM starts)
+         SELECT e.event_id, e.user_id, e.ts, v.event_type, v.valid_from
+         FROM events e JOIN v ON e.user_id = v.user_id
+           AND e.ts >= v.valid_from
+           AND (v.valid_to IS NULL OR e.ts < v.valid_to)
+         ORDER BY e.event_id""",
 
     "asof_join" ->
       """WITH ranked AS (

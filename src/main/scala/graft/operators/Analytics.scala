@@ -172,6 +172,22 @@ object Analytics {
         count(lit(1)).as("n_events"))
       .orderBy(col("event_type"))
 
+  /** Approximate percentiles per group (Greenwald-Khanna sketch):
+    * the 100 TB path for quantiles — bounded memory per group,
+    * mergeable partials, no per-group sort. `accuracy` trades sketch
+    * size for error (1/accuracy relative rank error); tested against
+    * the exact percentiles within tolerance. */
+  def approxPercentiles(orders: DataFrame, accuracy: Int = 10000): DataFrame =
+    orders.groupBy(col("o_orderpriority"))
+      .agg(
+        percentile_approx(col("o_totalprice"), lit(0.5), lit(accuracy))
+          .as("p50"),
+        percentile_approx(col("o_totalprice"), lit(0.9), lit(accuracy))
+          .as("p90"),
+        percentile_approx(col("o_totalprice"), lit(0.99), lit(accuracy))
+          .as("p99"))
+      .orderBy(col("o_orderpriority"))
+
   /** Pivot event_type into per-type count columns per user. */
   def pivotAgg(events: DataFrame, types: Seq[String]): DataFrame =
     events.groupBy(col("user_id"))

@@ -44,4 +44,27 @@ object Temporal {
       .select(leftCols.map(c => col(s"__l.$c").as(c)) ++
         rightAttrs.map(a => col(s"__last.$a").as(a)): _*)
   }
+
+  /** Point-in-interval (range) join: enrich each fact with the
+    * dimension version whose `[validFrom, validTo)` interval covers
+    * the fact's timestamp — the SCD2 lookup.
+    *
+    * Formulated as a key equi-join with the range predicate as join
+    * condition: Catalyst plans a hash join on the key and evaluates
+    * the range residually, so row amplification is bounded by
+    * versions-per-key (small by construction for SCD dims), never
+    * |facts|×|dim|. An open `validTo` (null) matches everything from
+    * `validFrom` on. Inner by default; `leftOuter = true` keeps
+    * unmatched facts with null dim attrs. */
+  def intervalJoin(facts: DataFrame, factKey: String, factTs: String,
+                   dim: DataFrame, dimKey: String,
+                   validFrom: String = "valid_from",
+                   validTo: String = "valid_to",
+                   leftOuter: Boolean = false): DataFrame = {
+    val cond = facts(factKey) === dim(dimKey) &&
+      facts(factTs) >= dim(validFrom) &&
+      (dim(validTo).isNull || facts(factTs) < dim(validTo))
+    facts.join(dim, cond, if (leftOuter) "left" else "inner")
+      .drop(dim(dimKey))
+  }
 }

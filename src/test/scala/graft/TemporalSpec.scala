@@ -49,6 +49,42 @@ class TemporalSpec extends SparkSpec {
     assert(out == Seq((10L, 10L, true), (11L, 11L, true), (12L, 10L, false)))
   }
 
+  test("intervalJoin picks the covering SCD2 version") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val dim = Seq(
+      (1L, "v1", ts("2024-01-01 00:00:00"), Some(ts("2024-02-01 00:00:00")), false),
+      (1L, "v2", ts("2024-02-01 00:00:00"), None, true),
+      (2L, "w1", ts("2024-01-15 00:00:00"), None, true))
+      .toDF("user_id", "ver", "valid_from", "valid_to", "is_current")
+    val facts = Seq(
+      (100L, 1L, ts("2024-01-10 00:00:00")), // inside v1
+      (101L, 1L, ts("2024-02-01 00:00:00")), // boundary → v2 (half-open)
+      (102L, 2L, ts("2024-01-01 00:00:00")), // before w1 → no match
+      (103L, 3L, ts("2024-01-01 00:00:00"))) // unknown key
+      .toDF("fact_id", "user_id", "ts")
+    val inner = Temporal.intervalJoin(facts, "user_id", "ts", dim, "user_id")
+      .select("fact_id", "ver").as[(Long, String)].collect().toSeq.sorted
+    assert(inner == Seq((100L, "v1"), (101L, "v2")))
+    val outer = Temporal.intervalJoin(facts, "user_id", "ts", dim,
+      "user_id", leftOuter = true)
+      .select("fact_id", "ver").as[(Long, Option[String])]
+      .collect().toSeq.sorted
+    assert(outer == Seq((100L, Some("v1")), (101L, Some("v2")),
+      (102L, None), (103L, None)))
+  }
+
+  test("approx percentiles within 1% of exact") {
+    val orders = Tables("orders")
+    val exact = Analytics.percentiles(orders)
+      .select("o_orderpriority", "p99").as[(String, Double)].collect().toMap
+    val approx = Analytics.approxPercentiles(orders)
+      .select("o_orderpriority", "p99").as[(String, Double)].collect().toMap
+    exact.foreach { case (k, v) =>
+      assert(math.abs(approx(k) - v) / math.abs(v) < 0.01,
+        s"$k: approx ${approx(k)} vs exact $v")
+    }
+  }
+
   test("approx distinct within 5% of exact") {
     val ev = Tables("events")
     val exact = Analytics.distinctCounts(ev)
