@@ -317,6 +317,34 @@ object SparkEntry {
       Dedup.embeddingNearDup(t(s, d, "embeddings"), threshold = 0.4)
         .orderBy(col("id_a"), col("id_b"))),
 
+    "corpus_curation" -> ((s, d) => {
+      // the whole training-data pipeline end-to-end: quality gate →
+      // exact dedup → minhash near-dup clustering → one
+      // representative per cluster, annotated with language and
+      // token counts. Every stage is an operator verified on its own
+      // above; this entry proves they compose as one plan.
+      val docs = t(s, d, "documents")
+      val quality = TextAnalysis.qualityScore(docs)
+        .filter(col("n_words") >= lit(5) && col("punct_ratio") < lit(0.25))
+        .select(col("doc_id"))
+      val kept = docs.join(quality, "doc_id")
+      val keepIds = Dedup.exact(kept).select(col("keep_id").as("doc_id"))
+      val uniq = kept.join(keepIds, "doc_id")
+      val pairs = Dedup.minhashLsh(uniq, threshold = 0.5)
+      val clusters = Clustering.dupClusters(
+        uniq.select(col("doc_id")), "doc_id", pairs)
+      val sizes = clusters.groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("n_members"))
+      val reps = clusters.filter(col("is_representative"))
+        .join(sizes, "cluster_id")
+        .select(col("doc_id"), col("n_members"))
+      TextAnalysis.langIdTable(uniq)
+        .join(TextAnalysis.tokenCounts(uniq)
+          .select(col("doc_id"), col("n_bpe_tokens")), "doc_id")
+        .join(reps, "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+
     // §2.4 similarity search --------------------------------------
     "ann_bruteforce" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
@@ -367,6 +395,14 @@ object SparkEntry {
     "mm_frame_plan" -> ((s, d) =>
       Multimodal.framePlan(Multimodal.asMediaTable(t(s, d, "documents")))
         .select(col("media_id"), col("n_frames"))
+        .orderBy(col("media_id"))),
+
+    "mm_resize" -> ((s, d) =>
+      Multimodal.resizeStub(
+        Multimodal.asMediaTable(t(s, d, "documents")), 224, 224)
+        .select(col("media_id"), col("meta.width").as("width"),
+          col("meta.height").as("height"),
+          col("meta.n_bytes").as("n_bytes"))
         .orderBy(col("media_id")))
   )
 

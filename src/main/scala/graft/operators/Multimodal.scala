@@ -88,6 +88,35 @@ object Multimodal {
     spark.createDataFrame(rdd, outSchema)
   }
 
+  /** STUB resize: production would decode, scale to (targetW,
+    * targetH) and re-encode per batch. The stub keeps every
+    * (len/targetBytes)-th byte — deterministic, size-reducing, and
+    * exercising the real contract: payload transformed in place,
+    * meta rewritten to the target dimensions, map-only plan. */
+  def resizeStub(media: DataFrame, targetW: Int, targetH: Int): DataFrame = {
+    val spark = media.sparkSession
+    val targetBytes = math.max(1, targetW * targetH / 256)
+    val outSchema = StructType(mediaSchema.fields.clone())
+    val rdd = media.select(col("media_id"), col("payload"),
+      col("media_type"), col("meta")).rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val payload = r.getAs[Array[Byte]]("payload")
+        val resized = if (payload == null || payload.isEmpty) payload
+        else {
+          val step = math.max(1, payload.length / targetBytes)
+          payload.indices.by(step).map(payload).toArray
+        }
+        val meta = r.getAs[Row]("meta")
+        Row(r.getAs[Long]("media_id"), resized,
+          r.getAs[String]("media_type"),
+          Row(targetW, targetH,
+            if (resized == null) 0L else resized.length.toLong,
+            meta.getAs[String]("format")))
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
   /** Deterministic frame-sampling plan for video-ish payloads: which
     * byte offsets ("frames") to decode, every `stride` bytes — the
     * shape of frame-sample without a video lib. Pure column ops. */

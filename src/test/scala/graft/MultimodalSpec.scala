@@ -34,6 +34,27 @@ class MultimodalSpec extends SparkSpec {
     assert(f1(0).getSeq[Double](3) == expected.toSeq)
   }
 
+  test("resizeStub shrinks payloads and rewrites meta to the target") {
+    val media = Multimodal.asMediaTable(docs)
+    val out = Multimodal.resizeStub(media, 224, 224)
+      .orderBy("media_id").collect()
+    assert(out.forall(_.getAs[org.apache.spark.sql.Row]("meta")
+      .getAs[Int]("width") == 224))
+    out.foreach { r =>
+      val meta = r.getAs[org.apache.spark.sql.Row]("meta")
+      val payload = r.getAs[Array[Byte]]("payload")
+      assert(meta.getAs[Long]("n_bytes") == payload.length.toLong)
+      assert(payload.length <= math.max(1, 224 * 224 / 256))
+    }
+    // deterministic
+    val again = Multimodal.resizeStub(media, 224, 224)
+      .orderBy("media_id").collect()
+    out.zip(again).foreach { case (a, b) =>
+      assert(a.getAs[Array[Byte]]("payload").toSeq ==
+        b.getAs[Array[Byte]]("payload").toSeq)
+    }
+  }
+
   test("framePlan samples offsets by stride") {
     val out = Multimodal.framePlan(Multimodal.asMediaTable(docs), stride = 8)
       .orderBy("media_id").collect()
