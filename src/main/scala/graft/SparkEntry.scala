@@ -109,6 +109,25 @@ object SparkEntry {
         .orderBy(col("Kostenstelle"))
     }),
 
+    "jsonl_ingest" -> ((s, d) => {
+      // deterministic fixture: write JSONL, read with explicit schema
+      // (rows-only check; no JSONL in testdata)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_jsonl")
+      val f = tmp.resolve("docs.jsonl")
+      java.nio.file.Files.writeString(f,
+        """{"id": 1, "text": "hallo welt", "score": 0.5}
+          |{"id": 2, "text": "zweite zeile", "score": 0.9}
+          |""".stripMargin)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("score",
+          org.apache.spark.sql.types.DoubleType)))
+      Tables.readJsonl(s, f.toString, Some(schema)).orderBy(col("id"))
+    }),
+
     "incremental_files" -> ((s, d) => {
       val listing = t(s, d, "documents").select(col("source").as("name")).distinct()
       val log = listing.filter(col("name").isin("src0", "src1"))

@@ -58,8 +58,9 @@ object Clustering {
     def maybeB(df: DataFrame): DataFrame = if (small) broadcast(df) else df
     var iter = 0
     var converged = false
+    var edges0 = sym
     def runLoop(): Unit = while (iter < maxIter && !converged) {
-      val neighborMin = sym
+      val neighborMin = edges0
         .join(maybeB(labels.withColumnRenamed("id", "src")), "src")
         .groupBy(col("dst").as("id"))
         .agg(min(col("lbl")).as("nlbl"))
@@ -85,6 +86,20 @@ object Clustering {
       val next = ckpt(jumped)
       converged = next.filter(col("__chg")).isEmpty
       labels = next.select(col("id"), col("lbl"))
+      // contraction: rewrite edges into label space (lbl(u), lbl(v))
+      // and drop intra-cluster loops. Connectivity of the LABEL
+      // graph is preserved, so min-label propagation on the
+      // contracted edges reaches the same fixpoint — but the edge
+      // relation collapses multiplicatively as clusters form, so
+      // late rounds shuffle thousands of label-edges instead of all
+      // of |E| every round.
+      val lbls = maybeB(labels)
+      edges0 = ckpt(edges0
+        .join(lbls.toDF("src", "ls"), "src")
+        .join(lbls.toDF("dst", "ld"), "dst")
+        .filter(col("ls") =!= col("ld"))
+        .select(col("ls").as("src"), col("ld").as("dst"))
+        .distinct())
       iter += 1
       if (sys.env.contains("GRAFT_CC_DEBUG"))
         System.err.println(s"[cc] iter $iter converged=$converged " +
@@ -94,7 +109,21 @@ object Clustering {
     spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
     try runLoop()
     finally spark.conf.set("spark.sql.shuffle.partitions", oldShuffle)
-    labels.withColumnRenamed("lbl", "cluster_id")
+    // contraction leaves non-representative vertices pointer hops
+    // behind their (now settled) representatives; pointer paths
+    // cannot exceed the round count, and each settle jump halves
+    // them, so ⌈log₂(maxIter)⌉+1 jumps compose the final mapping
+    var out = labels
+    val settles = 1 + (64 - java.lang.Long.numberOfLeadingZeros(
+      math.max(1, iter).toLong)).toInt
+    (0 until settles).foreach { _ =>
+      out = ckpt(out.as("a")
+        .join(out.select(col("id").as("lbl"), col("lbl").as("lbl2")).as("b"),
+          Seq("lbl"), "left")
+        .select(col("a.id").as("id"),
+          coalesce(col("b.lbl2"), col("lbl")).as("lbl")))
+    }
+    out.withColumnRenamed("lbl", "cluster_id")
   }
 
   /** Duplicate clusters from a near-dup pair set: cluster ids plus

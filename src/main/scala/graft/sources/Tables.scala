@@ -88,6 +88,19 @@ object Tables {
       .partitionBy(partitionCols: _*)
       .parquet(path)
 
+  /** Option-driven JSON-lines reader — the other ubiquitous
+    * training-data interchange format. Pass an explicit schema at
+    * scale (schema inference reads the data twice); `multiLine`
+    * stays false so files split by line across executors. */
+  def readJsonl(spark: SparkSession, path: String,
+                schema: Option[org.apache.spark.sql.types.StructType] = None,
+                timeZone: String = "UTC"): DataFrame = {
+    val r = spark.read
+      .option("timeZone", timeZone)
+      .option("multiLine", "false")
+    schema.fold(r)(s => r.schema(s)).json(path)
+  }
+
   /** New-file detection: which candidate files are not yet ingested.
     * The reference lists blobs and pattern-matches client-side
     * (reference: notebooks/Mini-ETL-Pipeline in Databricks.py blob
