@@ -348,7 +348,12 @@ object SparkEntry {
         .select(col("doc_id"))
       val kept = docs.join(quality, "doc_id")
       val keepIds = Dedup.exact(kept).select(col("keep_id").as("doc_id"))
+      // the curated base is scanned by six downstream consumers
+      // (minhash signatures + shingle sets, cluster vertices, lang,
+      // tokens, final join) — persist once instead of recomputing
+      // the quality/dedup joins per consumer
       val uniq = kept.join(keepIds, "doc_id")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val pairs = Dedup.minhashLsh(uniq, threshold = 0.5)
       val clusters = Clustering.dupClusters(
         uniq.select(col("doc_id")), "doc_id", pairs)
