@@ -231,6 +231,15 @@ object SparkEntry {
         t(s, d, "customer"), t(s, d, "supplier"), t(s, d, "orders"),
         t(s, d, "lineitem"))),
 
+    "q10_returned_items" -> ((s, d) =>
+      Analytics.q10ReturnedItems(t(s, d, "customer"), t(s, d, "orders"),
+        t(s, d, "lineitem"), t(s, d, "nation"))),
+
+    "q18_large_orders" -> ((s, d) =>
+      Analytics.q18LargeOrders(t(s, d, "customer"), t(s, d, "orders"),
+        t(s, d, "lineitem"))
+        .withColumn("o_orderdate", ntz(col("o_orderdate")))),
+
     "topk_per_group" -> ((s, d) =>
       Analytics.topKPerGroup(t(s, d, "orders"), Seq("o_custkey"),
         Seq(col("o_totalprice").desc, col("o_orderkey").asc), 3)
@@ -689,6 +698,34 @@ object SparkEntry {
                 MIN(ts) AS session_start, MAX(ts) AS session_end
          FROM s GROUP BY user_id, session_seq
          ORDER BY user_id, session_seq""",
+
+    "q10_returned_items" ->
+      """SELECT c_custkey, c_name, c_acctbal, n_name,
+         CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+           AS DECIMAL(28,4))) AS DOUBLE) AS revenue
+         FROM customer
+         JOIN orders ON c_custkey = o_custkey
+         JOIN lineitem ON o_orderkey = l_orderkey
+         JOIN nation ON c_nationkey = n_nationkey
+         WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+           AND o_orderdate < TIMESTAMP '1996-04-01'
+           AND l_returnflag = 'R'
+         GROUP BY c_custkey, c_name, c_acctbal, n_name
+         ORDER BY revenue DESC, c_custkey LIMIT 20""",
+
+    "q18_large_orders" ->
+      """WITH big AS (
+           SELECT l_orderkey,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE)
+               AS sum_qty
+           FROM lineitem GROUP BY l_orderkey
+           HAVING SUM(CAST(l_quantity AS DECIMAL(28,4))) > 250)
+         SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+                sum_qty
+         FROM orders
+         JOIN big ON o_orderkey = l_orderkey
+         JOIN customer ON c_custkey = o_custkey
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""",
 
     "percentiles" ->
       """SELECT o_orderpriority,

@@ -172,6 +172,46 @@ object Analytics {
         count(lit(1)).as("n_events"))
       .orderBy(col("event_type"))
 
+  /** TPC-H Q18 shape — customers with large-volume orders: the
+    * having-filter runs as a pre-aggregation on lineitem alone
+    * (map-side partial sums, tiny qualifying set), and only
+    * qualifying orders join through to customers (semi-join by
+    * construction, dims broadcast). */
+  def q18LargeOrders(customer: DataFrame, orders: DataFrame,
+                     lineitem: DataFrame, minQty: Double = 250): DataFrame = {
+    val big = lineitem.groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity").cast("decimal(28,4)")).as("__q"))
+      .filter(col("__q") > minQty)
+      .select(col("l_orderkey"), col("__q").cast("double").as("sum_qty"))
+    orders.join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(customer, col("c_custkey") === col("o_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"), col("sum_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
+  /** TPC-H Q10 shape — revenue lost to returned items per customer
+    * over a quarter: date + returnflag filters push to the scans;
+    * nation broadcasts; one shuffle for the customer aggregation. */
+  def q10ReturnedItems(customer: DataFrame, orders: DataFrame,
+                       lineitem: DataFrame, nation: DataFrame,
+                       qStart: String = "1996-01-01",
+                       qEnd: String = "1996-04-01"): DataFrame =
+    customer
+      .join(orders, col("c_custkey") === col("o_custkey"))
+      .join(lineitem, col("o_orderkey") === col("l_orderkey"))
+      .join(nation, col("c_nationkey") === col("n_nationkey"))
+      .filter(col("o_orderdate") >= lit(qStart).cast("timestamp") &&
+        col("o_orderdate") < lit(qEnd).cast("timestamp") &&
+        col("l_returnflag") === "R")
+      .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"),
+        col("n_name"))
+      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast("decimal(28,4)")).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+
   /** Approximate percentiles per group (Greenwald-Khanna sketch):
     * the 100 TB path for quantiles — bounded memory per group,
     * mergeable partials, no per-group sort. `accuracy` trades sketch
