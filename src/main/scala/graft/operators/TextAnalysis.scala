@@ -49,13 +49,17 @@ object TextAnalysis {
     val nChars = length(t).cast("double")
     val nWords = size(toks).cast("double")
     val stopHits = countWordHits(toks, stopwords("en")).cast("double")
+    // ANSI mode makes x/0 an ERROR, not infinity — empty documents
+    // exist in any real corpus, so zero denominators yield 0.0
+    def ratio(num: Column, den: Column): Column =
+      round(when(den === 0, lit(0.0)).otherwise(num / den), 6)
     docs.select(
       col(idCol),
       length(t).cast("long").as("n_chars"),
       size(toks).cast("long").as("n_words"),
-      round(punct / nChars, 6).as("punct_ratio"),
-      round(stopHits / nWords, 6).as("stopword_ratio"),
-      round((nChars - (nWords - 1)) / nWords, 6).as("mean_word_len"))
+      ratio(punct, nChars).as("punct_ratio"),
+      ratio(stopHits, nWords).as("stopword_ratio"),
+      ratio(nChars - (nWords - 1), nWords).as("mean_word_len"))
   }
 
   /** Token counts: whitespace words and a BPE-ish segmentation
