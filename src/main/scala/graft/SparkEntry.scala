@@ -231,6 +231,8 @@ object SparkEntry {
         t(s, d, "customer"), t(s, d, "supplier"), t(s, d, "orders"),
         t(s, d, "lineitem"))),
 
+    "cube_agg" -> ((s, d) => Analytics.cubeAgg(t(s, d, "documents"))),
+
     "q10_returned_items" -> ((s, d) =>
       Analytics.q10ReturnedItems(t(s, d, "customer"), t(s, d, "orders"),
         t(s, d, "lineitem"), t(s, d, "nation"))),
@@ -698,6 +700,13 @@ object SparkEntry {
                 MIN(ts) AS session_start, MAX(ts) AS session_end
          FROM s GROUP BY user_id, session_seq
          ORDER BY user_id, session_seq""",
+
+    "cube_agg" ->
+      """SELECT lang, source, COUNT(*) AS n_docs,
+         CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+         CAST(GROUPING(lang) * 2 + GROUPING(source) AS BIGINT) AS gid
+         FROM documents GROUP BY CUBE(lang, source)
+         ORDER BY gid, lang NULLS FIRST, source NULLS FIRST""",
 
     "q10_returned_items" ->
       """SELECT c_custkey, c_name, c_acctbal, n_name,

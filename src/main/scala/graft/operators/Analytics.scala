@@ -172,6 +172,18 @@ object Analytics {
         count(lit(1)).as("n_events"))
       .orderBy(col("event_type"))
 
+  /** Full cube over two document dimensions — every grouping-set
+    * combination in one pass (Spark expands the cube map-side;
+    * partial aggregation still applies per grouping set). */
+  def cubeAgg(docs: DataFrame): DataFrame =
+    docs.cube(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        (grouping(col("lang")) * 2 + grouping(col("source")))
+          .cast("long").as("gid"))
+      .orderBy(col("gid"), col("lang").asc_nulls_first,
+        col("source").asc_nulls_first)
+
   /** TPC-H Q18 shape — customers with large-volume orders: the
     * having-filter runs as a pre-aggregation on lineitem alone
     * (map-side partial sums, tiny qualifying set), and only
