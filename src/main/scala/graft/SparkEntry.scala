@@ -404,6 +404,12 @@ object SparkEntry {
     }),
 
     // §2.5 text analysis ------------------------------------------
+    "stratified_sample" -> ((s, d) =>
+      TextAnalysis.stratifiedSample(t(s, d, "documents"), "lang",
+        Map("de" -> 0.5, "en" -> 0.2), defaultRate = 0.1, idCol = "doc_id")
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy(col("doc_id"))),
+
     "lang_id" -> ((s, d) =>
       TextAnalysis.langIdTable(t(s, d, "documents")).orderBy(col("doc_id"))),
 
@@ -871,6 +877,12 @@ object SparkEntry {
            FROM scored)
          SELECT query_id, "rank", neighbor_id, round(cos, 6) AS cosine
          FROM ranked WHERE "rank" <= 5 ORDER BY query_id, "rank"""",
+
+    "stratified_sample" ->
+      """SELECT doc_id, lang, source FROM documents
+         WHERE ((doc_id % 1000003) * 2654435761) % 1000 <
+           CASE lang WHEN 'de' THEN 500 WHEN 'en' THEN 200 ELSE 100 END
+         ORDER BY doc_id""",
 
     "lang_id" ->
       """WITH f AS (

@@ -89,6 +89,29 @@ object TextAnalysis {
       xxhash64(concat_ws(" ", array_sort(wordTokens(col(textCol)))))
         .as("bag_fp"))
 
+  /** Deterministic stratified sampling: keep a per-stratum fraction
+    * of rows selected by key modulus — reproducible across runs,
+    * partitionings and retries (unlike `sample`/`sampleBy`, whose
+    * output depends on partition layout), and expressible in plain
+    * SQL for auditing. Rates are per-mille-resolved; strata missing
+    * from `rates` fall back to `defaultRate`. The selector is a
+    * Knuth multiplicative hash of the id, so clustered or
+    * sequential ids still sample at the configured rate. */
+  def stratifiedSample(df: DataFrame, stratumCol: String,
+                       rates: Map[String, Double], defaultRate: Double,
+                       idCol: String): DataFrame = {
+    val threshold = rates.foldLeft(
+      lit((defaultRate * 1000).toInt)) { case (acc, (k, v)) =>
+      when(col(stratumCol) === k, lit((v * 1000).toInt)).otherwise(acc)
+    }
+    // Knuth multiplicative hash (pre-modulus keeps the product under
+    // 2^63) — clustered/sequential ids still sample at rate, unlike
+    // a raw id modulus
+    val selector = pmod(
+      pmod(col(idCol), lit(1000003L)) * lit(2654435761L), lit(1000L))
+    df.filter(selector < threshold)
+  }
+
   /** Language-ID applied over a documents table. */
   def langIdTable(docs: DataFrame, idCol: String = "doc_id",
                   textCol: String = "text"): DataFrame =

@@ -1,9 +1,25 @@
 package graft
 
 import graft.operators.TextAnalysis
+import org.apache.spark.sql.functions._
 
 class TextAnalysisSpec extends SparkSpec {
   import spark.implicits._
+
+  test("stratifiedSample is deterministic and rate-accurate") {
+    val docs = graft.sources.Tables.load(spark, "/root/testdata/sf0.01",
+      "documents")
+    val s1 = TextAnalysis.stratifiedSample(docs, "lang",
+      Map("de" -> 0.5), defaultRate = 0.1, idCol = "doc_id")
+    val s2 = TextAnalysis.stratifiedSample(docs.repartition(7), "lang",
+      Map("de" -> 0.5), defaultRate = 0.1, idCol = "doc_id")
+    // identical selection regardless of partitioning
+    assert(s1.select("doc_id").except(s2.select("doc_id")).isEmpty)
+    assert(s2.select("doc_id").except(s1.select("doc_id")).isEmpty)
+    val de = docs.filter(col("lang") === "de").count().toDouble
+    val deKept = s1.filter(col("lang") === "de").count().toDouble
+    assert(math.abs(deKept / de - 0.5) < 0.1, s"de rate ${deKept / de}")
+  }
 
   test("langId picks the profile with most stopword hits") {
     val docs = Seq(
