@@ -106,6 +106,8 @@ object SparkEntry {
       java.nio.file.Files.writeString(f,
         "Kostenstelle;Bezeichnung;Bereich\n1000;IT;Zentral\n2000;HR;Verwaltung\n")
       Tables.readCsv(s, f.toString, delimiter = ";")
+        .select(col("Kostenstelle").cast("int"), col("Bezeichnung"),
+          col("Bereich"))
         .orderBy(col("Kostenstelle"))
     }),
 
@@ -316,10 +318,15 @@ object SparkEntry {
         .orderBy(col("event_id"))),
 
     "dup_clusters" -> ((s, d) => {
-      val emb = t(s, d, "embeddings")
-      val pairs = Dedup.embeddingNearDup(emb, threshold = 0.4)
-      Clustering.dupClusters(emb, "vec_id", pairs)
-        .orderBy(col("vec_id"))
+      // the 100 TB path demonstrated end-to-end: pairs come from the
+      // LSH-bucketed minhash join (linear + bucket shuffles — no
+      // CartesianProduct anywhere in this plan), clustered by
+      // min-label propagation. The oracle recomputes the same pairs
+      // as exact shingle-set jaccard and clusters via recursive CTE.
+      val docs = t(s, d, "documents")
+      val pairs = Dedup.minhashLsh(docs, threshold = 0.5)
+      Clustering.dupClusters(docs.select(col("doc_id")), "doc_id", pairs)
+        .orderBy(col("doc_id"))
     }),
 
     // §2.3 dedup family -------------------------------------------
@@ -335,11 +342,12 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))),
 
     "ngram_jaccard" -> ((s, d) => {
-      val docs = t(s, d, "documents")
       // stop-gram cap at 10% of the corpus: grams in >10% of docs
       // carry no dedup signal and dominate the Σ df² join cost.
-      val cap = math.max(50L, docs.count() / 10)
-      Dedup.ngramJaccard(docs, threshold = 0.8, maxDf = cap)
+      // The cap is computed INSIDE the plan (broadcast scalar), so
+      // there is no driver-side count() pre-pass over the corpus.
+      Dedup.ngramJaccard(t(s, d, "documents"), threshold = 0.8,
+        maxDfFraction = 0.1, minDfCap = 50L)
         .orderBy(col("id_a"), col("id_b"))
     }),
 
@@ -353,17 +361,24 @@ object SparkEntry {
       // representative per cluster, annotated with language and
       // token counts. Every stage is an operator verified on its own
       // above; this entry proves they compose as one plan.
+      // quality gate INLINE (a map-only filter — no join of
+      // qualityScore output back by id), exact dedup as a window over
+      // 16-byte hashed keys (one shuffle, no keep-id rejoin), lang +
+      // token annotations computed inline on the curated base (no
+      // self-joins). The only joins left are the ones that carry new
+      // information: the LSH pair join and the representatives join.
       val docs = t(s, d, "documents")
-      val quality = TextAnalysis.qualityScore(docs)
-        .filter(col("n_words") >= lit(5) && col("punct_ratio") < lit(0.25))
-        .select(col("doc_id"))
-      val kept = docs.join(quality, "doc_id")
-      val keepIds = Dedup.exact(kept).select(col("keep_id").as("doc_id"))
-      // the curated base is scanned by six downstream consumers
-      // (minhash signatures + shingle sets, cluster vertices, lang,
-      // tokens, final join) — persist once instead of recomputing
-      // the quality/dedup joins per consumer
-      val uniq = kept.join(keepIds, "doc_id")
+      val kept = docs.filter(
+        TextAnalysis.qualityFilter(col("text"), minWords = 5,
+          maxPunctRatio = 0.25))
+      val wDedup = org.apache.spark.sql.expressions.Window
+        .partitionBy(length(col("text")), xxhash64(col("text")))
+        .orderBy(col("doc_id"))
+      // the curated base is scanned by the minhash pair join (both
+      // sides), cluster vertices and the final annotation pass —
+      // persist once instead of recomputing the gate + dedup window
+      val uniq = kept.withColumn("__rn", row_number().over(wDedup))
+        .filter(col("__rn") === 1).drop("__rn")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val pairs = Dedup.minhashLsh(uniq, threshold = 0.5)
       val clusters = Clustering.dupClusters(
@@ -373,9 +388,10 @@ object SparkEntry {
       val reps = clusters.filter(col("is_representative"))
         .join(sizes, "cluster_id")
         .select(col("doc_id"), col("n_members"))
-      TextAnalysis.langIdTable(uniq)
-        .join(TextAnalysis.tokenCounts(uniq)
-          .select(col("doc_id"), col("n_bpe_tokens")), "doc_id")
+      uniq.select(col("doc_id"),
+          TextAnalysis.langId(col("text")).as("lang_guess"),
+          TextAnalysis.bpeTokenCount(col("text")).cast("long")
+            .as("n_bpe_tokens"))
         .join(reps, "doc_id")
         .orderBy(col("doc_id"))
     }),
@@ -429,9 +445,16 @@ object SparkEntry {
           col("meta.height"), col("meta.n_bytes"), col("meta.format"))
         .orderBy(col("media_id"))),
 
-    "mm_features" -> ((s, d) =>
-      Multimodal.extractFeatures(Multimodal.asMediaTable(t(s, d, "documents")))
-        .orderBy(col("media_id"))),
+    "mm_features" -> ((s, d) => {
+      // scalar projection of the feature vector: array columns crash
+      // the driver's pandas-based oracle sort, and the ×255 byte sums
+      // are exact integers — immune to FP summation-order noise
+      val f = Multimodal.extractFeatures(
+        Multimodal.asMediaTable(t(s, d, "documents")))
+      f.select(col("media_id") +: (0 until 8).map(j =>
+          round(col("features")(j) * 255.0, 0).cast("long").as(s"f$j")): _*)
+        .orderBy(col("media_id"))
+    }),
 
     "mm_frame_plan" -> ((s, d) =>
       Multimodal.framePlan(Multimodal.asMediaTable(t(s, d, "documents")))
@@ -805,28 +828,76 @@ object SparkEntry {
          ORDER BY event_id""",
 
     "dup_clusters" ->
-      """WITH RECURSIVE pairs AS (
-           SELECT a.vec_id AS id_a, b.vec_id AS id_b
-           FROM embeddings a, embeddings b
-           WHERE a.vec_id < b.vec_id
-             AND list_sum(list_transform(range(1, 65),
-               i -> CAST(a.embedding[i] AS DOUBLE)
-                  * CAST(b.embedding[i] AS DOUBLE)))
-             / (sqrt(list_sum(list_transform(range(1, 65),
-                  i -> CAST(a.embedding[i] AS DOUBLE)
-                     * CAST(a.embedding[i] AS DOUBLE))))
-              * sqrt(list_sum(list_transform(range(1, 65),
-                  i -> CAST(b.embedding[i] AS DOUBLE)
-                     * CAST(b.embedding[i] AS DOUBLE))))) >= 0.4),
+      """WITH RECURSIVE s AS (
+           SELECT doc_id, list_distinct(
+             CASE WHEN len(string_split_regex(trim(lower(text)), '\s+')) < 3
+             THEN [concat_ws(' ', string_split_regex(trim(lower(text)), '\s+'))]
+             ELSE list_transform(
+               range(1, len(string_split_regex(trim(lower(text)), '\s+')) - 1),
+               i -> string_split_regex(trim(lower(text)), '\s+')[i] || ' ' ||
+                    string_split_regex(trim(lower(text)), '\s+')[i+1] || ' ' ||
+                    string_split_regex(trim(lower(text)), '\s+')[i+2]) END) AS sh
+           FROM documents),
+         pairs AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM s a, s b
+           WHERE a.doc_id < b.doc_id
+             AND len(list_intersect(a.sh, b.sh)) /
+               (len(a.sh) + len(b.sh)
+                - len(list_intersect(a.sh, b.sh)))::DOUBLE >= 0.5),
          e AS (SELECT id_a AS src, id_b AS dst FROM pairs
                UNION ALL SELECT id_b, id_a FROM pairs),
          cc(id, lbl) AS (
-           SELECT vec_id, vec_id FROM embeddings
+           SELECT doc_id, doc_id FROM documents
            UNION
            SELECT e.dst, cc.lbl FROM cc JOIN e ON e.src = cc.id)
-         SELECT id AS vec_id, MIN(lbl) AS cluster_id,
+         SELECT id AS doc_id, MIN(lbl) AS cluster_id,
                 (id = MIN(lbl)) AS is_representative
-         FROM cc GROUP BY id ORDER BY vec_id""",
+         FROM cc GROUP BY id ORDER BY doc_id""",
+
+    "dedup_minhash_lsh" ->
+      """WITH s AS (
+           SELECT doc_id, list_distinct(
+             CASE WHEN len(string_split_regex(trim(lower(text)), '\s+')) < 3
+             THEN [concat_ws(' ', string_split_regex(trim(lower(text)), '\s+'))]
+             ELSE list_transform(
+               range(1, len(string_split_regex(trim(lower(text)), '\s+')) - 1),
+               i -> string_split_regex(trim(lower(text)), '\s+')[i] || ' ' ||
+                    string_split_regex(trim(lower(text)), '\s+')[i+1] || ' ' ||
+                    string_split_regex(trim(lower(text)), '\s+')[i+2]) END) AS sh
+           FROM documents)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(len(list_intersect(a.sh, b.sh)) /
+             (len(a.sh) + len(b.sh)
+              - len(list_intersect(a.sh, b.sh)))::DOUBLE, 6) AS jaccard
+         FROM s a, s b
+         WHERE a.doc_id < b.doc_id
+           AND len(list_intersect(a.sh, b.sh)) /
+             (len(a.sh) + len(b.sh)
+              - len(list_intersect(a.sh, b.sh)))::DOUBLE >= 0.5
+         ORDER BY id_a, id_b""",
+
+    "ngram_jaccard" ->
+      """WITH g AS (
+           SELECT doc_id, unnest(list_distinct(
+             CASE WHEN length(lower(text)) < 8 THEN [lower(text)]
+             ELSE list_transform(range(1, length(lower(text)) - 6),
+               i -> substr(lower(text), i, 8)) END)) AS gram
+           FROM documents),
+         df AS (SELECT gram, count(*) AS df FROM g GROUP BY gram),
+         kept AS (SELECT g.doc_id, g.gram FROM g JOIN df USING (gram)
+           WHERE df.df <= greatest(50, (SELECT count(*) FROM documents) / 10)),
+         sets AS (SELECT doc_id, list(gram) AS s FROM kept GROUP BY doc_id)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(len(list_intersect(a.s, b.s)) /
+             (len(a.s) + len(b.s)
+              - len(list_intersect(a.s, b.s)))::DOUBLE, 6) AS jaccard
+         FROM sets a, sets b
+         WHERE a.doc_id < b.doc_id
+           AND len(list_intersect(a.s, b.s)) /
+             (len(a.s) + len(b.s)
+              - len(list_intersect(a.s, b.s)))::DOUBLE >= 0.8
+         ORDER BY id_a, id_b""",
 
     "dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, COUNT(*) AS n_copies
@@ -930,6 +1001,51 @@ object SparkEntry {
              '([a-z]+|[0-9]+|[^a-z0-9 ])', '\1 ', 'g'), ' +'),
            x -> length(x) > 0)) AS n_bpe_tokens,
          CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_chars_div4
-         FROM documents ORDER BY doc_id"""
+         FROM documents ORDER BY doc_id""",
+
+    // mm_features: the stub decoder's ×255 feature sums are plain
+    // integer byte sums per (position mod 8) lane; the corpus is
+    // ASCII (asserted in MultimodalSpec), so DuckDB reconstructs them
+    // from codepoints.
+    "mm_features" -> {
+      val lanes = (0 until 8).map(j =>
+        s"""CAST(list_sum(list_transform(
+           list_filter(range(1, length(text) + 1), i -> (i-1) % 8 = $j),
+           i -> ord(text[i]))) AS BIGINT) AS f$j""").mkString(",\n         ")
+      s"""SELECT doc_id AS media_id,
+         $lanes
+         FROM documents ORDER BY media_id"""
+    },
+
+    "mm_resize" ->
+      """SELECT doc_id AS media_id,
+         CAST(224 AS INTEGER) AS width, CAST(224 AS INTEGER) AS height,
+         CAST(CASE WHEN length(text) = 0 THEN 0
+           ELSE (length(text) - 1) // greatest(1, length(text) // 196) + 1
+           END AS BIGINT) AS n_bytes
+         FROM documents ORDER BY media_id""",
+
+    "mm_frame_plan" ->
+      """SELECT doc_id AS media_id,
+         CAST(greatest(length(text) - 1, 0) // 1024 + 1 AS INTEGER)
+           AS n_frames
+         FROM documents ORDER BY media_id""",
+
+    // fixture-backed ingest entries: the oracle is the literal
+    // expected relation (the fixtures are written by the query
+    // itself, not part of the parquet testdata)
+    "csv_ingest" ->
+      """SELECT * FROM (VALUES
+           (CAST(1000 AS INTEGER), 'IT', 'Zentral'),
+           (CAST(2000 AS INTEGER), 'HR', 'Verwaltung'))
+         AS t(Kostenstelle, Bezeichnung, Bereich)
+         ORDER BY Kostenstelle""",
+
+    "jsonl_ingest" ->
+      """SELECT * FROM (VALUES
+           (CAST(1 AS BIGINT), 'hallo welt', CAST(0.5 AS DOUBLE)),
+           (CAST(2 AS BIGINT), 'zweite zeile', CAST(0.9 AS DOUBLE)))
+         AS t(id, text, score)
+         ORDER BY id"""
   )
 }

@@ -40,14 +40,18 @@ object Clustering {
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct())
     var labels = ckpt(vertices.select(col("id"), col("id").as("lbl")))
-    // Size the loop's shuffles to the graph, not the session default:
-    // each round is several shuffles over |E'| rows, and fixed
-    // per-partition overhead dominates when the dup graph is far
-    // smaller than the corpus (the common case).
+    // Size the loop's materialized frames to the graph, not the
+    // session default: each round is several shuffles over |E'| rows,
+    // and fixed per-partition overhead dominates when the dup graph
+    // is far smaller than the corpus (the common case). Applied as
+    // per-plan `repartition(parts, key)` on the frames the loop
+    // re-reads — NOT a session-level shuffle.partitions mutation,
+    // which would leak to concurrent queries on the same session.
     val edgeCount = sym.count()
     val vertexCount = labels.count()
     val parts = math.max(1L, math.min(
-      spark.sparkContext.defaultParallelism.toLong, edgeCount / 100000 + 1))
+      spark.sparkContext.defaultParallelism.toLong,
+      edgeCount / 100000 + 1)).toInt
     // The stats truncation above also wipes the row estimates that
     // would let Catalyst broadcast the (usually tiny) label table on
     // its own — so the hint is explicit, gated by the measured
@@ -70,7 +74,8 @@ object Clustering {
       val updated = ckpt(labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"),
           least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"),
-          (col("nlbl").isNotNull && col("nlbl") < col("lbl")).as("__chg")))
+          (col("nlbl").isNotNull && col("nlbl") < col("lbl")).as("__chg"))
+        .repartition(parts, col("id")))
       // pointer jumping: lbl ← lbl(lbl). Labels are themselves vertex
       // ids, so one self-join halves the remaining path length each
       // round — convergence in O(log diameter) instead of O(diameter).
@@ -83,7 +88,7 @@ object Clustering {
         .select(col("a.id").as("id"),
           coalesce(col("b.lbl2"), col("lbl")).as("lbl"),
           col("a.__chg").as("__chg"))
-      val next = ckpt(jumped)
+      val next = ckpt(jumped.repartition(parts, col("id")))
       converged = next.filter(col("__chg")).isEmpty
       labels = next.select(col("id"), col("lbl"))
       // contraction: rewrite edges into label space (lbl(u), lbl(v))
@@ -99,16 +104,14 @@ object Clustering {
         .join(lbls.toDF("dst", "ld"), "dst")
         .filter(col("ls") =!= col("ld"))
         .select(col("ls").as("src"), col("ld").as("dst"))
-        .distinct())
+        .distinct()
+        .repartition(parts, col("src")))
       iter += 1
       if (sys.env.contains("GRAFT_CC_DEBUG"))
         System.err.println(s"[cc] iter $iter converged=$converged " +
           s"t=${System.nanoTime() / 1e9}")
     }
-    val oldShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
-    try runLoop()
-    finally spark.conf.set("spark.sql.shuffle.partitions", oldShuffle)
+    runLoop()
     // contraction leaves non-representative vertices pointer hops
     // behind their (now settled) representatives; pointer paths
     // cannot exceed the round count, and each settle jump halves

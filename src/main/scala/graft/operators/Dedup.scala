@@ -19,10 +19,19 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Exact dedup: keep the smallest id per identical text. */
+  /** Exact dedup: keep the smallest id per identical text.
+    *
+    * Groups by `(length(text), xxhash64(text))` instead of the raw
+    * text so the aggregation shuffle carries 16 bytes per row rather
+    * than the corpus itself — at 100 TB the difference between
+    * shuffling everything and shuffling a fingerprint. A 64-bit
+    * collision needs two different texts of identical length hashing
+    * identically (~2^-64 per same-length pair); corpora where that
+    * risk matters can re-verify groups against the text afterwards. */
   def exact(docs: DataFrame, idCol: String = "doc_id",
             textCol: String = "text"): DataFrame =
-    docs.groupBy(col(textCol))
+    docs.groupBy(length(col(textCol)).as("__len"),
+        xxhash64(col(textCol)).as("__h"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
       .select(col("keep_id"), col("n_copies"))
 
@@ -131,7 +140,9 @@ object Dedup {
     * documented upgrade path. */
   def ngramJaccard(docs: DataFrame, idCol: String = "doc_id",
                    textCol: String = "text", n: Int = 8,
-                   threshold: Double = 0.5, maxDf: Long = 0L): DataFrame = {
+                   threshold: Double = 0.5, maxDf: Long = 0L,
+                   maxDfFraction: Double = 0.0,
+                   minDfCap: Long = 50L): DataFrame = {
     val g0 = docs.select(col(idCol).as("__id"),
       explode(graft.plans.TextHashExpressions.charNgramHashes(
         lower(col(textCol)), n)).as("g"))
@@ -139,7 +150,18 @@ object Dedup {
     // partial aggregation shrinks the shuffle and avoids the
     // window's per-partition sort)
     val dfs = g0.groupBy(col("g")).agg(count(lit(1)).as("df"))
-    val dfsKept = if (maxDf > 0) dfs.filter(col("df") <= maxDf) else dfs
+    // `maxDfFraction` derives the stop-gram cap INSIDE the plan —
+    // greatest(minDfCap, fraction·|docs|) as a broadcast one-row
+    // scalar — so no driver-side count() adds a second corpus pass
+    // (the count itself is parquet row-group metadata, not a scan).
+    val dfsKept =
+      if (maxDf > 0) dfs.filter(col("df") <= maxDf)
+      else if (maxDfFraction > 0) {
+        val cap = docs.groupBy().agg(greatest(lit(minDfCap),
+          (count(lit(1)) * maxDfFraction).cast("long")).as("__cap"))
+        dfs.crossJoin(broadcast(cap))
+          .filter(col("df") <= col("__cap")).drop("__cap")
+      } else dfs
     // one shuffle by doc: grams rarest-first (global (df, g) order)
     val perDoc = g0.join(dfsKept, "g")
       .groupBy(col("__id"))

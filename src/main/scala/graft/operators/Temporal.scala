@@ -61,10 +61,19 @@ object Temporal {
                    validFrom: String = "valid_from",
                    validTo: String = "valid_to",
                    leftOuter: Boolean = false): DataFrame = {
-    val cond = facts(factKey) === dim(dimKey) &&
-      facts(factTs) >= dim(validFrom) &&
-      (dim(validTo).isNull || facts(factTs) < dim(validTo))
-    facts.join(dim, cond, if (leftOuter) "left" else "inner")
-      .drop(dim(dimKey))
+    // Alias every dim column before building the condition: when both
+    // sides derive from the same lineage (the common SCD2-from-history
+    // case), `facts(k) === dim(k)` leans on Spark's dataset-id
+    // disambiguation and logs "trivially true equals predicate" — and
+    // breaks silently if either side is transformed first. Prefixed
+    // names make the condition unambiguous by construction.
+    val p = "__dim_"
+    val d = dim.select(dim.columns.map(c => col(c).as(p + c)): _*)
+    val cond = facts(factKey) === d(p + dimKey) &&
+      facts(factTs) >= d(p + validFrom) &&
+      (d(p + validTo).isNull || facts(factTs) < d(p + validTo))
+    facts.join(d, cond, if (leftOuter) "left" else "inner")
+      .select(facts.columns.map(facts(_)) ++
+        dim.columns.filter(_ != dimKey).map(c => col(p + c).as(c)): _*)
   }
 }

@@ -68,15 +68,36 @@ object TextAnalysis {
   def tokenCounts(docs: DataFrame, idCol: String = "doc_id",
                   textCol: String = "text"): DataFrame = {
     val t = col(textCol)
-    val bpeish = size(filter(
-      split(regexp_replace(lower(t), "([a-z]+|[0-9]+|[^a-z0-9 ])", "$1 "),
-        "[ ]+"),
-      x => length(x) > 0))
+    val bpeish = bpeTokenCount(t)
     docs.select(
       col(idCol),
       size(wordTokens(t)).cast("long").as("n_whitespace_tokens"),
       bpeish.cast("long").as("n_bpe_tokens"),
       ceil(length(t).cast("double") / 4.0).cast("long").as("n_chars_div4"))
+  }
+
+  /** BPE-ish token count of a text column (letter-runs, digit-runs,
+    * single punctuation marks) — exposed as a plain Column so
+    * composed pipelines can compute it inline without a join. */
+  def bpeTokenCount(t: Column): Column =
+    size(filter(
+      split(regexp_replace(lower(t), "([a-z]+|[0-9]+|[^a-z0-9 ])", "$1 "),
+        "[\u0001 ]+"),
+      x => length(x) > 0))
+
+  /** Quality gate as a boolean Column over the text itself — lets a
+    * curation pipeline FILTER on quality inline (one map-only pass)
+    * instead of joining `qualityScore` output back by id, which
+    * costs a full extra shuffle of the corpus. Semantics match
+    * qualityScore's columns exactly (same round-6 ratios). */
+  def qualityFilter(t: Column, minWords: Int,
+                    maxPunctRatio: Double): Column = {
+    val toks = wordTokens(t)
+    val punct = length(t) - length(regexp_replace(t, "[!-/:-@\\[-`{-~]", ""))
+    val nChars = length(t).cast("double")
+    val punctRatio = round(when(nChars === 0, lit(0.0))
+      .otherwise(punct / nChars), 6)
+    size(toks) >= minWords && punctRatio < maxPunctRatio
   }
 
   /** Rolling-hash document fingerprints: order-sensitive polynomial
