@@ -72,6 +72,50 @@ object Pipeline {
     mergeInto(dim, stage(ingest(rawBatch, source, batchTs), cfg),
       cfg, batchTs)
 
+  /** New dimension state + the merge's observability stats. */
+  case class MergeResult(dim: DataFrame, stats: DataFrame)
+
+  /** One-row merge statistics `{n_new, n_changed, n_unchanged}` —
+    * the split the reference reports per merge (reference:
+    * notebooks/pipeline_core.py:262-267). Computed from the same
+    * changeDetect classification the merge itself is built on: one
+    * aggregate over the staged batch, no extra scans of the
+    * dimension, and — unlike the reference's three separate
+    * `count()` jobs — a single job for all three numbers. */
+  def mergeStats(dim: DataFrame, staged: DataFrame,
+                 cfg: TableConfig): DataFrame = {
+    val current = if (cfg.scdType == 2) Scd.scd2Current(dim) else dim
+    Scd.changeDetect(staged, current, cfg.keyCols, cfg.attrCols)
+      .agg(
+        count(when(col("change_type") === "new", 1)).as("n_new"),
+        count(when(col("change_type") === "changed", 1)).as("n_changed"),
+        count(when(col("change_type") === "unchanged", 1))
+          .as("n_unchanged"))
+  }
+
+  /** `runIncrement` that also returns the merge stats frame (both
+    * lazy — evaluating the stats costs one aggregate job). */
+  def runIncrementWithStats(rawBatch: DataFrame, dim: DataFrame,
+                            cfg: TableConfig, source: String,
+                            batchTs: java.sql.Timestamp): MergeResult = {
+    val staged = stage(ingest(rawBatch, source, batchTs), cfg)
+    MergeResult(mergeInto(dim, staged, cfg, batchTs),
+      mergeStats(dim, staged, cfg))
+  }
+
+  /** One increment against a persistent dimension: load current
+    * state from the sink (empty dim on first run), merge, commit the
+    * new state back. The sink decides the storage format —
+    * parquet / Delta / Iceberg — the merge plan is identical. */
+  def runIncrementInto(sink: graft.sources.DimSink, rawBatch: DataFrame,
+                       cfg: TableConfig, source: String,
+                       batchTs: java.sql.Timestamp): Unit = {
+    val spark = rawBatch.sparkSession
+    val dim = sink.load(spark)
+      .getOrElse(emptyDim(spark, rawBatch, cfg))
+    sink.overwrite(runIncrement(rawBatch, dim, cfg, source, batchTs))
+  }
+
   /** Run a batch through every configured table (the reference's
     * for-loop over the config map); `batches` supplies each table's
     * raw input, `dims` the current dimension state (absent = first

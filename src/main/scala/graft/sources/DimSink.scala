@@ -1,0 +1,98 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Persistence binding for dimension tables — the seam between the
+  * engine's pure merge plans and a storage format.
+  *
+  * The reference maintains its dimensions as transactional Delta
+  * tables mutated in place with `MERGE INTO` (reference:
+  * notebooks/pipeline_core.py:119-268, notebooks/Load &
+  * SCD-Merge.py:24-38). This engine computes the post-merge state as
+  * a DataFrame instead — format-agnostic — and delegates the commit
+  * to a `DimSink`, so the same pipeline runs on plain parquet today
+  * and on a transactional table format (Delta/Iceberg) by swapping
+  * the sink, with the merge plan unchanged.
+  */
+trait DimSink {
+  /** Current dimension state, or None on first run. */
+  def load(spark: SparkSession): Option[DataFrame]
+
+  /** Commit a full post-merge dimension state. */
+  def overwrite(dim: DataFrame): Unit
+}
+
+/** Parquet-directory sink.
+  *
+  * Parquet has no transactional commit, and the merged frame READS
+  * the directory it is about to replace — so the frame is
+  * materialized (persist + count) before the overwrite. That closes
+  * the read-your-own-input hazard but is NOT atomic against
+  * concurrent readers: a reader racing the rewrite can see a partial
+  * directory. A table format with snapshot isolation (the sinks
+  * below) removes both caveats; this one exists so the engine runs
+  * with zero extra jars. */
+final class ParquetDimSink(path: String) extends DimSink {
+  override def load(spark: SparkSession): Option[DataFrame] =
+    if (new java.io.File(path).exists) Some(spark.read.parquet(path))
+    else None
+
+  override def overwrite(dim: DataFrame): Unit = {
+    val cached =
+      dim.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      cached.count() // materialize BEFORE overwriting our own input
+      cached.write.mode("overwrite").parquet(path)
+    } finally { cached.unpersist(); () }
+  }
+}
+
+/** Delta Lake sink — a thin binding that compiles against no Delta
+  * classes (the format is resolved by name at runtime), so it is
+  * usable the moment `delta-spark` jars are on the classpath and the
+  * session is configured with the Delta extension. Delta's MVCC log
+  * makes the overwrite a transactional snapshot swap: no
+  * materialize-first workaround, readers never see partial state.
+  * `DimSink.forPath` only selects this sink when the classes are
+  * actually loadable. */
+final class DeltaDimSink(path: String) extends DimSink {
+  override def load(spark: SparkSession): Option[DataFrame] =
+    if (new java.io.File(path, "_delta_log").exists)
+      Some(spark.read.format("delta").load(path))
+    else None
+
+  override def overwrite(dim: DataFrame): Unit =
+    dim.write.format("delta").mode("overwrite").save(path)
+}
+
+/** Iceberg sink bound to a catalog table name (Iceberg is
+  * catalog-first; paths are an anti-pattern there). Same
+  * string-bound, no-compile-time-dependency approach as Delta:
+  * `createOrReplace` is a transactional snapshot commit when an
+  * Iceberg catalog backs the name. */
+final class IcebergDimSink(table: String) extends DimSink {
+  override def load(spark: SparkSession): Option[DataFrame] =
+    if (spark.catalog.tableExists(table)) Some(spark.table(table))
+    else None
+
+  override def overwrite(dim: DataFrame): Unit =
+    dim.writeTo(table).using("iceberg").createOrReplace()
+}
+
+object DimSink {
+  /** Is a table-format implementation on the classpath? Checked by
+    * class name so this module never links against optional jars. */
+  def deltaAvailable: Boolean = classPresent("io.delta.tables.DeltaTable")
+  def icebergAvailable: Boolean =
+    classPresent("org.apache.iceberg.spark.source.SparkTable")
+
+  private def classPresent(name: String): Boolean =
+    try { Class.forName(name); true }
+    catch { case _: Throwable => false }
+
+  /** Pick the strongest sink available for a path: Delta when its
+    * jars are present, else plain parquet. */
+  def forPath(path: String): DimSink =
+    if (deltaAvailable) new DeltaDimSink(path)
+    else new ParquetDimSink(path)
+}

@@ -47,20 +47,51 @@ object Tables {
     df.withColumn("ingest_ts", lit(batchTs))
       .withColumn("ingest_source", lit(source))
 
-  /** Option-driven CSV reader (delimiter / header / encoding /
-    * quote), the reference's per-file config map semantics.
+  /** Option-driven CSV reader, covering the reference's full
+    * per-file defaults map (reference: notebooks/Mini-ETL-Pipeline
+    * in Databricks.py:6-14 — delimiter, header, encoding, AND
+    * `quoting=QUOTE_NONE`, `line_terminator='\r\n'`, `locale`):
+    *
+    *  - `quoting = false` disables quote handling entirely
+    *    (QUOTE_NONE): quote characters pass through as data;
+    *  - `\r\n` / `\r` / `\n` line endings are all covered by the
+    *    parser's default; `lineSep` pins an explicit single-char
+    *    separator for exotic files (the underlying parser caps
+    *    read-side separators at one character);
+    *  - `mode` is the malformed-row policy: PERMISSIVE (null-fill),
+    *    DROPMALFORMED, or FAILFAST;
+    *  - `locale` drives date/timestamp/decimal parsing (de-DE etc.);
+    *  - `encoding` accepts Spark 4's default charset allowlist
+    *    (utf-8/16/32, iso-8859-1, us-ascii); the wider JVM charset
+    *    set (cp1252, …) is gated behind
+    *    `spark.sql.legacy.javaCharsets=true`;
+    *  - an explicit `schema` skips inference's second pass over the
+    *    data — at scale always pass one.
     */
   def readCsv(spark: SparkSession, path: String,
               delimiter: String = ",", header: Boolean = true,
               encoding: String = "UTF-8", quote: String = "\"",
-              inferSchema: Boolean = true): DataFrame =
-    spark.read
+              inferSchema: Boolean = true,
+              quoting: Boolean = true,
+              lineSep: Option[String] = None,
+              mode: String = "PERMISSIVE",
+              nullValue: String = "",
+              locale: String = "en-US",
+              schema: Option[org.apache.spark.sql.types.StructType] = None)
+      : DataFrame = {
+    val r = spark.read
       .option("sep", delimiter)
       .option("header", header.toString)
       .option("encoding", encoding)
-      .option("quote", quote)
-      .option("inferSchema", inferSchema.toString)
-      .csv(path)
+      // an empty quote value disables quote handling (QUOTE_NONE)
+      .option("quote", if (quoting) quote else "")
+      .option("mode", mode)
+      .option("nullValue", nullValue)
+      .option("locale", locale)
+      .option("inferSchema", (inferSchema && schema.isEmpty).toString)
+    val r2 = lineSep.fold(r)(ls => r.option("lineSep", ls))
+    schema.fold(r2)(s => r2.schema(s)).csv(path)
+  }
 
   /** Write a table bucketed (and sorted) by join/aggregation keys.
     *
@@ -110,4 +141,47 @@ object Tables {
   def newFiles(listing: DataFrame, ingestLog: DataFrame,
                nameCol: String = "name"): DataFrame =
     listing.join(ingestLog, Seq(nameCol), "left_anti")
+
+  // ----------------------------------------------------------------
+  // Persistent ingest log: processed-files tracking across runs.
+  // The reference implies this state (its blob loop re-lists and
+  // skips already-loaded files); here it is an explicit append-only
+  // parquet log so the anti-join has a durable right side.
+  // ----------------------------------------------------------------
+
+  /** (name, batch_id, ingest_ts) — one row per file per ingest. */
+  val ingestLogSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("name",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("batch_id",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("ingest_ts",
+        org.apache.spark.sql.types.TimestampType, nullable = false)))
+
+  /** Read the ingest log (empty frame with the right schema if no
+    * run has written it yet). */
+  def readIngestLog(spark: SparkSession, logPath: String): DataFrame =
+    if (new java.io.File(logPath).exists)
+      spark.read.schema(ingestLogSchema).parquet(logPath)
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], ingestLogSchema)
+
+  /** Record a batch of ingested files. Append-only — each run adds
+    * its own parquet files, no rewrite of prior state (safe for
+    * concurrent pipelines on different batches). */
+  def appendIngestLog(files: DataFrame, logPath: String, batchId: String,
+                      batchTs: java.sql.Timestamp,
+                      nameCol: String = "name"): Unit =
+    files.select(col(nameCol).cast("string").as("name"))
+      .withColumn("batch_id", lit(batchId))
+      .withColumn("ingest_ts", lit(batchTs))
+      .write.mode("append").parquet(logPath)
+
+  /** New-file detection against the persistent log: list −
+    * already-ingested, as one distributed anti-join. */
+  def newFilesFromLog(spark: SparkSession, listing: DataFrame,
+                      logPath: String, nameCol: String = "name"): DataFrame =
+    newFiles(listing,
+      readIngestLog(spark, logPath).select(col("name").as(nameCol)), nameCol)
 }

@@ -119,42 +119,41 @@ object Streams {
 
   /** Incremental dimension maintenance from a stream: each
     * micro-batch runs the batch pipeline's stage + SCD merge against
-    * the parquet dimension at `dimPath` and rewrites it — the
+    * the dimension held by `sink` and commits the new state — the
     * reference's scheduled MERGE loop as a continuously-running
     * stream (reference: notebooks/pipeline_core.py:274-296).
     *
     * The batch timestamp is data-derived (max of `tsCol` in the
     * batch), so replays after checkpoint recovery produce identical
-    * dimensions. The merged frame is materialized BEFORE the
-    * overwrite (read-your-own-input hazard); a table format with
-    * transactional commit (Delta/Iceberg) replaces the
-    * persist+rewrite at production scale — the merge plan itself is
-    * unchanged. */
+    * dimensions. Storage format is the sink's concern: the parquet
+    * sink materializes before its non-transactional rewrite; a
+    * Delta/Iceberg sink commits a snapshot — the merge plan is
+    * identical either way. */
   def sinkToDim(stream: DataFrame, cfg: graft.operators.Pipeline.TableConfig,
-                tsCol: String, dimPath: String, checkpointDir: String)
+                tsCol: String, sink: graft.sources.DimSink,
+                checkpointDir: String)
       : org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode(OutputMode.Append)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
-          val spark = batch.sparkSession
           val batchTs = new java.sql.Timestamp(
             batch.agg(max(col(tsCol))).head.getTimestamp(0).getTime)
-          val dim =
-            if (new java.io.File(dimPath).exists)
-              spark.read.parquet(dimPath)
-            else graft.operators.Pipeline.emptyDim(spark, batch, cfg)
-          val merged = graft.operators.Pipeline.runIncrement(
-            batch, dim, cfg, s"stream:batch$batchId", batchTs)
-            .persist()
-          merged.count() // materialize before overwriting the input
-          merged.write.mode("overwrite").parquet(dimPath)
-          merged.unpersist()
+          graft.operators.Pipeline.runIncrementInto(
+            sink, batch, cfg, s"stream:batch$batchId", batchTs)
           ()
         }
       }
       .start()
+
+  /** Path-bound convenience overload: strongest available format for
+    * the path (Delta when its jars are present, else parquet). */
+  def sinkToDim(stream: DataFrame, cfg: graft.operators.Pipeline.TableConfig,
+                tsCol: String, dimPath: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    sinkToDim(stream, cfg, tsCol,
+      graft.sources.DimSink.forPath(dimPath), checkpointDir)
 
   /** Output mode for the windowed agg sink. */
   val defaultOutputMode: OutputMode = OutputMode.Update()

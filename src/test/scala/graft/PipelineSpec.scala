@@ -52,6 +52,25 @@ class PipelineSpec extends SparkSpec {
     assert(dim2 == Seq((1L, "Alice", "Berlin"), (2L, "Bob", "München")))
   }
 
+  test("merge stats report the new/changed/unchanged split in one job") {
+    val t1 = ts("2026-01-01 00:00:00")
+    val t2 = ts("2026-01-02 00:00:00")
+    val b1 = Seq((1L, "Alice", "Berlin"), (2L, "Bob", "Hamburg"))
+      .toDF("kunde_id", "name", "stadt")
+    val dim1 = Pipeline.runIncrement(b1,
+      Pipeline.emptyDim(spark, b1, cfg), cfg, "b1", t1)
+    // batch 2: key 1 unchanged, key 2 changed, keys 3+4 new
+    val b2 = Seq((1L, "Alice", "Berlin"), (2L, "Bob", "München"),
+      (3L, "Cara", "Köln"), (4L, "Dan", "Mainz"))
+      .toDF("kunde_id", "name", "stadt")
+    val result = Pipeline.runIncrementWithStats(b2, dim1, cfg, "b2", t2)
+    assert(result.stats.as[(Long, Long, Long)].collect().toSeq ==
+      Seq((2L, 1L, 1L))) // (n_new, n_changed, n_unchanged)
+    // and the returned dim is the same merge runIncrement produces
+    assert(result.dim.count() ==
+      Pipeline.runIncrement(b2, dim1, cfg, "b2", t2).count())
+  }
+
   test("runAll drives multiple table configs in one call") {
     val t1 = ts("2026-01-01 00:00:00")
     val orte = TableConfig("orte", Seq("ort_id"), Seq("plz"),

@@ -1,0 +1,120 @@
+package graft
+
+import graft.operators.Pipeline
+import graft.operators.Pipeline.TableConfig
+import graft.sources.{DimSink, ParquetDimSink, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import java.nio.charset.Charset
+import java.nio.file.Files
+
+class SourcesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  private def tmpDir(prefix: String) =
+    Files.createTempDirectory(prefix).toFile.getAbsolutePath
+
+  test("readCsv parses the reference defaults: \\r\\n, latin-1, no quoting") {
+    // the reference's defaults map carries quoting=QUOTE_NONE,
+    // line_terminator=\r\n and a non-UTF-8 single-byte encoding —
+    // one fixture exercising all three (ä in latin-1 is one 0xE4
+    // byte, same as cp1252; Spark 4's default charset allowlist
+    // admits iso-8859-1, cp1252 itself needs
+    // spark.sql.legacy.javaCharsets)
+    val dir = Files.createTempDirectory("graft_csv_ref")
+    val f = dir.resolve("bericht.csv")
+    val content = "Id;Text;Ort\r\n1;er sagte \"hallo\";München\r\n2;a;b\r\n"
+    Files.write(f, content.getBytes(Charset.forName("ISO-8859-1")))
+    val df = Tables.readCsv(spark, f.toString, delimiter = ";",
+      encoding = "iso-8859-1", quoting = false, inferSchema = false)
+    val rows = df.orderBy("Id").as[(String, String, String)].collect().toSeq
+    assert(rows == Seq(
+      ("1", "er sagte \"hallo\"", "München"), // quotes kept verbatim
+      ("2", "a", "b")))
+  }
+
+  test("readCsv malformed-row policies: DROPMALFORMED vs PERMISSIVE") {
+    val dir = Files.createTempDirectory("graft_csv_bad")
+    val f = dir.resolve("bad.csv")
+    Files.writeString(f, "id;wert\n1;10\nkaputt\n2;20\n")
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("wert", LongType)))
+    val dropped = Tables.readCsv(spark, f.toString, delimiter = ";",
+      schema = Some(schema), mode = "DROPMALFORMED")
+    assert(dropped.orderBy("id").as[(Long, Long)].collect().toSeq ==
+      Seq((1L, 10L), (2L, 20L)))
+    val permissive = Tables.readCsv(spark, f.toString, delimiter = ";",
+      schema = Some(schema), mode = "PERMISSIVE")
+    assert(permissive.count() == 3) // malformed row kept, null-filled
+  }
+
+  test("ingest log persists processed files across runs") {
+    val log = tmpDir("graft_ilog") + "/log"
+    val t1 = ts("2026-01-01 00:00:00")
+    def listing(names: String*) = names.toSeq.toDF("name")
+    // run 1: everything is new; ingest and record it
+    val run1 = Tables.newFilesFromLog(spark, listing("a.csv", "b.csv"), log)
+    assert(run1.as[String].collect().sorted.toSeq == Seq("a.csv", "b.csv"))
+    Tables.appendIngestLog(run1, log, "b1", t1)
+    // run 2 (fresh listing incl. one new file): only c.csv is new
+    val run2 = Tables.newFilesFromLog(spark,
+      listing("a.csv", "b.csv", "c.csv"), log)
+    assert(run2.as[String].collect().toSeq == Seq("c.csv"))
+    Tables.appendIngestLog(run2, log, "b2", ts("2026-01-02 00:00:00"))
+    // run 3: nothing new; log carries per-batch provenance
+    assert(Tables.newFilesFromLog(spark,
+      listing("a.csv", "b.csv", "c.csv"), log).isEmpty)
+    val byBatch = Tables.readIngestLog(spark, log)
+      .groupBy("batch_id").count().as[(String, Long)].collect().toMap
+    assert(byBatch == Map("b1" -> 2L, "b2" -> 1L))
+  }
+
+  // a second DimSink impl: proves pipelines are written against the
+  // trait, not a storage format (the Delta/Iceberg swap-in path)
+  private class MemoryDimSink extends DimSink {
+    var state: Option[Seq[org.apache.spark.sql.Row]] = None
+    var schema: StructType = _
+    override def load(s: SparkSession): Option[DataFrame] =
+      state.map(rows => s.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](
+          scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), schema))
+    override def overwrite(dim: DataFrame): Unit = {
+      schema = dim.schema
+      state = Some(dim.collect().toSeq)
+    }
+  }
+
+  private val cfg = TableConfig("kunden",
+    keyCols = Seq("kunde_id"), attrCols = Seq("stadt"),
+    recencyCols = Seq("ingest_ts"), scdType = 2)
+
+  private def driveTwoIncrements(sink: DimSink): Seq[(Long, String, Boolean)] = {
+    val b1 = Seq((1L, "Berlin"), (2L, "Hamburg")).toDF("kunde_id", "stadt")
+    Pipeline.runIncrementInto(sink, b1, cfg, "b1", ts("2026-01-01 00:00:00"))
+    val b2 = Seq((2L, "München")).toDF("kunde_id", "stadt")
+    Pipeline.runIncrementInto(sink, b2, cfg, "b2", ts("2026-01-02 00:00:00"))
+    sink.load(spark).get
+      .orderBy("kunde_id", "valid_from")
+      .select("kunde_id", "stadt", "is_current")
+      .as[(Long, String, Boolean)].collect().toSeq
+  }
+
+  test("runIncrementInto drives the same merge through any DimSink") {
+    val expected = Seq(
+      (1L, "Berlin", true),
+      (2L, "Hamburg", false), // closed by batch 2
+      (2L, "München", true))
+    assert(driveTwoIncrements(
+      new ParquetDimSink(tmpDir("graft_dimsink") + "/dim")) == expected)
+    assert(driveTwoIncrements(new MemoryDimSink) == expected)
+  }
+
+  test("forPath falls back to parquet when no table format is present") {
+    // no Delta/Iceberg jars ship in this environment
+    assert(!DimSink.deltaAvailable)
+    assert(DimSink.forPath("/tmp/x").isInstanceOf[ParquetDimSink])
+  }
+}
