@@ -136,6 +136,68 @@ object SparkEntry {
       Tables.newFiles(listing, log).orderBy(col("name"))
     }),
 
+    "ingest_log" -> ((s, d) => {
+      // the DURABLE form of incremental_files: run 1 records its
+      // files in the append-only parquet log; this run's listing
+      // anti-joins the log read back from disk (re-runs append the
+      // same names again — idempotent for the anti-join)
+      val tag = java.lang.Integer.toHexString(d.hashCode)
+      val log = s"/tmp/graft_ilog_$tag/log"
+      val listing = t(s, d, "documents")
+        .select(col("source").as("name")).distinct()
+      Tables.appendIngestLog(
+        listing.filter(col("name").isin("src0", "src1")), log, "b1", batchTs)
+      Tables.newFilesFromLog(s, listing, log).orderBy(col("name"))
+    }),
+
+    "merge_stats" -> ((s, d) => {
+      // merge observability: the new/changed/unchanged key split for
+      // the second pipeline_e2e batch, as ONE aggregate job (the
+      // reference computes the same three numbers as three count()s)
+      val cfg = Pipeline.TableConfig("cust_orders",
+        keyCols = Seq("o_custkey"),
+        attrCols = Seq("o_orderpriority", "o_totalprice"),
+        recencyCols = Seq("o_orderdate", "o_orderkey"))
+      val orders = t(s, d, "orders")
+      val split = lit("1998-01-01").cast("timestamp")
+      val ts1 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+      val ts2 = java.sql.Timestamp.valueOf("2026-01-02 00:00:00")
+      val dim1 = Pipeline.runIncrement(
+        orders.filter(col("o_orderdate") < split),
+        Pipeline.emptyDim(s, orders, cfg), cfg, "b1", ts1)
+      val staged2 = Pipeline.stage(
+        Pipeline.ingest(orders.filter(col("o_orderdate") >= split), "b2", ts2),
+        cfg)
+      Pipeline.mergeStats(dim1, staged2, cfg)
+    }),
+
+    "dim_sink_e2e" -> ((s, d) => {
+      // pipeline_e2e driven through the DimSink storage seam instead
+      // of in-memory frames: each increment loads current state from
+      // the sink and commits the merge back; the final read-back must
+      // equal the pure-DataFrame formulation (same oracle).
+      val cfg = Pipeline.TableConfig("cust_orders",
+        keyCols = Seq("o_custkey"),
+        attrCols = Seq("o_orderpriority", "o_totalprice"),
+        recencyCols = Seq("o_orderdate", "o_orderkey"))
+      val orders = t(s, d, "orders")
+      val split = lit("1998-01-01").cast("timestamp")
+      val ts1 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+      val ts2 = java.sql.Timestamp.valueOf("2026-01-02 00:00:00")
+      val tag = java.lang.Integer.toHexString(d.hashCode)
+      val dir = java.nio.file.Files.createTempDirectory(s"graft_sink_$tag")
+      val sink = new graft.sources.ParquetDimSink(s"$dir/dim")
+      Pipeline.runIncrementInto(sink,
+        orders.filter(col("o_orderdate") < split), cfg, "b1", ts1)
+      Pipeline.runIncrementInto(sink,
+        orders.filter(col("o_orderdate") >= split), cfg, "b2", ts2)
+      sink.load(s).get
+        .select(col("o_custkey"), col("o_orderpriority"),
+          col("o_totalprice"), ntz(col("valid_from")).as("valid_from"),
+          ntz(col("valid_to")).as("valid_to"), col("is_current"))
+        .orderBy(col("o_custkey"), col("valid_from"))
+    }),
+
     "bucketed_join" -> ((s, d) => {
       // the shuffle paid at write time: both facts bucketed by the
       // join key co-locate, so the join plans with zero exchange
@@ -569,7 +631,74 @@ object SparkEntry {
       """SELECT DISTINCT source AS name FROM documents
          WHERE source NOT IN ('src0', 'src1') ORDER BY name""",
 
+    "ingest_log" ->
+      """SELECT DISTINCT source AS name FROM documents
+         WHERE source NOT IN ('src0', 'src1') ORDER BY name""",
+
+    "merge_stats" ->
+      """WITH s1 AS (
+           SELECT o_custkey, o_orderpriority, o_totalprice FROM (
+             SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey
+               ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+             FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01')
+           WHERE rn = 1),
+         s2 AS (
+           SELECT o_custkey, o_orderpriority, o_totalprice FROM (
+             SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey
+               ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+             FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01')
+           WHERE rn = 1)
+         SELECT
+           COUNT(CASE WHEN s1.o_custkey IS NULL THEN 1 END) AS n_new,
+           COUNT(CASE WHEN s1.o_custkey IS NOT NULL
+             AND (s1.o_orderpriority <> s2.o_orderpriority
+               OR s1.o_totalprice <> s2.o_totalprice) THEN 1 END)
+             AS n_changed,
+           COUNT(CASE WHEN s1.o_custkey IS NOT NULL
+             AND s1.o_orderpriority = s2.o_orderpriority
+             AND s1.o_totalprice = s2.o_totalprice THEN 1 END)
+             AS n_unchanged
+         FROM s2 LEFT JOIN s1 ON s1.o_custkey = s2.o_custkey""",
+
     "pipeline_e2e" ->
+      """WITH s1 AS (
+           SELECT o_custkey, o_orderpriority, o_totalprice FROM (
+             SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey
+               ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+             FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01')
+           WHERE rn = 1),
+         s2 AS (
+           SELECT o_custkey, o_orderpriority, o_totalprice FROM (
+             SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey
+               ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+             FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01')
+           WHERE rn = 1),
+         j AS (
+           SELECT COALESCE(s1.o_custkey, s2.o_custkey) AS k,
+             s1.o_custkey IS NOT NULL AS in1,
+             s2.o_custkey IS NOT NULL AS in2,
+             s1.o_orderpriority AS p1, s1.o_totalprice AS t1,
+             s2.o_orderpriority AS p2, s2.o_totalprice AS t2
+           FROM s1 FULL JOIN s2 ON s1.o_custkey = s2.o_custkey)
+         SELECT k AS o_custkey, o_orderpriority, o_totalprice,
+                valid_from, valid_to, is_current FROM (
+           SELECT k, p1 AS o_orderpriority, t1 AS o_totalprice,
+             TIMESTAMP '2026-01-01 00:00:00' AS valid_from,
+             CAST(NULL AS TIMESTAMP) AS valid_to, TRUE AS is_current
+           FROM j WHERE in1 AND (NOT in2 OR (p1 = p2 AND t1 = t2))
+           UNION ALL
+           SELECT k, p1, t1, TIMESTAMP '2026-01-01 00:00:00',
+             TIMESTAMP '2026-01-02 00:00:00', FALSE
+           FROM j WHERE in1 AND in2 AND (p1 <> p2 OR t1 <> t2)
+           UNION ALL
+           SELECT k, p2, t2, TIMESTAMP '2026-01-02 00:00:00',
+             CAST(NULL AS TIMESTAMP), TRUE
+           FROM j WHERE in2 AND (NOT in1 OR p1 <> p2 OR t1 <> t2))
+         ORDER BY o_custkey, valid_from""",
+
+    // identical post-merge state expected whether increments run on
+    // in-memory frames (pipeline_e2e) or through the DimSink seam
+    "dim_sink_e2e" ->
       """WITH s1 AS (
            SELECT o_custkey, o_orderpriority, o_totalprice FROM (
              SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey
