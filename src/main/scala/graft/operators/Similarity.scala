@@ -137,8 +137,12 @@ object Similarity {
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
               nlist: Int = 64, nprobe: Int = 8, iters: Int = 3,
               idCol: String = "vec_id",
-              vecCol: String = "embedding"): DataFrame = {
-    val cents = trainIvfCentroids(corpus, nlist, iters, idCol, vecCol)
+              vecCol: String = "embedding",
+              centroids: Option[Seq[Seq[Float]]] = None): DataFrame = {
+    // centroids are reusable model state: pass them in to amortize
+    // training across calls (tuneNprobe, repeated query batches)
+    val cents = centroids.getOrElse(
+      trainIvfCentroids(corpus, nlist, iters, idCol, vecCol))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
       floatNorm(col(vecCol)).as("__cn"),
       graft.plans.IvfExpressions.topCentroids(col(vecCol), cents, 1)(0)
@@ -160,5 +164,53 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"),
         round(col("cos"), 6).as("cosine"))
+  }
+
+  /** Measured recall@k of an ANN result against the brute-force
+    * truth for the same queries: |ANN ∩ exact| / |exact|. */
+  def recallAtK(ann: DataFrame, exact: DataFrame): Double = {
+    val hit = ann.select(col("query_id"), col("neighbor_id"))
+      .join(exact.select(col("query_id"), col("neighbor_id")),
+        Seq("query_id", "neighbor_id"), "left_semi")
+    val Array(nHit, nExact) = Array(hit.count(), exact.count())
+    if (nExact == 0) 1.0 else nHit.toDouble / nExact
+  }
+
+  /** Probe auto-tuning: the smallest `nprobe` whose recall@k reaches
+    * `targetRecall`, measured on a deterministic sample of the query
+    * set against brute force over the corpus.
+    *
+    * This is MODEL TUNING, not a data-path operator: the sample is
+    * small by construction (brute force on it is |sample|·|corpus|
+    * map work — the thing IVF avoids for the full query load), the
+    * centroids are trained ONCE and reused across candidate probes,
+    * and the chosen nprobe then serves the whole query stream.
+    * Returns (nprobe, measured recall, centroids) so the caller can
+    * hand the trained model straight to `ivfTopK`. */
+  def tuneNprobe(queries: DataFrame, corpus: DataFrame, k: Int,
+                 nlist: Int = 64, targetRecall: Double = 0.9,
+                 sampleQueries: Int = 20, iters: Int = 3,
+                 idCol: String = "vec_id", vecCol: String = "embedding")
+      : (Int, Double, Seq[Seq[Float]]) = {
+    val sample = queries.orderBy(xxhash64(col(idCol))).limit(sampleQueries)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cents = trainIvfCentroids(corpus, nlist, iters, idCol, vecCol)
+    val exact = bruteForceTopK(sample, corpus, k, idCol, vecCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // geometric probe ladder: recall(nprobe) is monotone, so the
+      // first rung reaching target is within 2× of optimal
+      val ladder = Iterator.iterate(1)(_ * 2).takeWhile(_ < nlist)
+        .toSeq :+ nlist
+      var best: (Int, Double) = (nlist, 1.0)
+      val found = ladder.iterator.map { np =>
+        val r = recallAtK(
+          ivfTopK(sample, corpus, k, nlist, np, iters, idCol, vecCol,
+            centroids = Some(cents)), exact)
+        (np, r)
+      }.find(_._2 >= targetRecall)
+      best = found.getOrElse((nlist, 1.0))
+      (best._1, best._2, cents)
+    } finally { sample.unpersist(); exact.unpersist(); () }
   }
 }

@@ -71,6 +71,33 @@ class DedupSpec extends SparkSpec {
     assert(!out.keys.exists(p => p._1 == 2L || p._2 == 2L))
   }
 
+  test("exact dedup shuffles hashed keys, not the corpus") {
+    // the aggregation must group by (length, xxhash64) — 16 bytes/row
+    // through the exchange — never by the raw text column (asserted
+    // on the analyzed plan: the optimizer folds a LocalRelation's
+    // grouping expressions away in this in-memory test)
+    val plan = Dedup.exact(docs).queryExecution.analyzed.toString
+    val aggLine = plan.linesIterator
+      .find(_.contains("Aggregate")).getOrElse(plan)
+    assert(aggLine.contains("xxhash64"), plan)
+    assert(aggLine.contains("length"), plan)
+  }
+
+  test("minhashLsh and ngramJaccard plans are cross-join-free") {
+    // the scale guarantee: candidate generation is bucketed equi-join
+    // work; a CartesianProduct / nested-loop join anywhere means the
+    // pair space went quadratic. (ngramJaccard's one-row broadcast
+    // cap scalar is a BroadcastNestedLoopJoin by construction, so it
+    // is exercised with the static cap here.)
+    for (df <- Seq(
+        Dedup.minhashLsh(docs, threshold = 0.5),
+        Dedup.ngramJaccard(docs, threshold = 0.5, maxDf = 100))) {
+      val phys = df.queryExecution.executedPlan.toString
+      assert(!phys.contains("CartesianProduct"), phys.take(500))
+      assert(!phys.contains("BroadcastNestedLoopJoin"), phys.take(500))
+    }
+  }
+
   test("embeddingNearDup on handcrafted vectors") {
     val emb = Seq(
       (0L, Array(1f, 0f, 0f, 0f)),

@@ -41,6 +41,28 @@ class SimilaritySpec extends SparkSpec {
     assert(recall > 0.6, s"recall@5 = $recall")
   }
 
+  test("tuneNprobe picks the smallest probe count reaching target recall") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val queries = emb.filter(pmod(col("vec_id"), lit(25)) === 0)
+    val (np, recall, cents) = Similarity.tuneNprobe(queries, emb, k = 5,
+      nlist = 16, targetRecall = 0.8, sampleQueries = 10)
+    assert(recall >= 0.8, s"tuned recall $recall")
+    assert(np >= 1 && np <= 16)
+    assert(cents.length == 16)
+    // the tuned model actually delivers on the full query set
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val exact = pairs(Similarity.bruteForceTopK(queries, emb, 5))
+    val tuned = pairs(Similarity.ivfTopK(queries, emb, 5, nlist = 16,
+      nprobe = np, centroids = Some(cents)))
+    val fullRecall = exact.intersect(tuned).size.toDouble / exact.size
+    assert(fullRecall > 0.6, s"full-set recall $fullRecall")
+    // probing every cell IS brute force
+    val all = pairs(Similarity.ivfTopK(queries, emb, 5, nlist = 16,
+      nprobe = 16, centroids = Some(cents)))
+    assert(all == exact)
+  }
+
   test("ivf centroids are deterministic, normalized, and cover cells") {
     val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val c1 = Similarity.trainIvfCentroids(emb, nlist = 8, iters = 2)
