@@ -109,6 +109,22 @@ object Streams {
       }
   }
 
+  /** Windowed approximate distinct counts with a watermark — the
+    * streaming twin of Analytics.approxDistinctCounts. State per
+    * (window, group) is one mergeable HyperLogLog++ sketch, so
+    * memory is bounded by active windows × groups × sketch size
+    * regardless of ingest volume — an exact streaming distinct
+    * would hold every seen key. */
+  def windowedApproxDistinct(events: DataFrame,
+                             watermark: String = "2 hours",
+                             rsd: Double = 0.02): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour").getField("start").as("win_start"),
+        col("event_type"))
+      .agg(approx_count_distinct(col("user_id"), rsd).as("n_users"),
+        count(lit(1)).as("n_events"))
+
   /** Streaming exact dedup on a key column with state TTL via
     * dropDuplicatesWithinWatermark — bounded state at 100 TB/day
     * ingest rates (unbounded dropDuplicates state would OOM). */

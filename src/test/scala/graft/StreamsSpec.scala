@@ -34,6 +34,29 @@ class StreamsSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("streaming windowedApproxDistinct matches exact counts on bounded input") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    mem.addData(events: _*)
+    val q = Streams.windowedApproxDistinct(mem.toDF())
+      .writeStream.format("memory").queryName("adist_out")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("adist_out")
+      .orderBy("win_start", "event_type")
+      .as[(java.sql.Timestamp, String, Long, Long)].collect().toSeq
+    // at 5 events the HLL++ sketch is exact; window boundaries and
+    // group keys must line up with the batch formulation
+    val exact = events.toDF()
+      .groupBy(date_trunc("hour", col("ts")).as("win_start"),
+        col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"))
+      .orderBy("win_start", "event_type")
+      .as[(java.sql.Timestamp, String, Long, Long)].collect().toSeq
+    assert(streamed == exact)
+  }
+
   test("streamingScd1 keeps last-writer-wins state across batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
