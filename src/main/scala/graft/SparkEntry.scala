@@ -276,6 +276,24 @@ object SparkEntry {
         .orderBy(col("o_orderpriority"))
     }),
 
+    "skew_join_adaptive" -> ((s, d) => {
+      // hot keys (orders with >=5 line items here) get salted ×4;
+      // cold keys join plain — dim amplification only where skew is.
+      // Row-identical to the plain join, same oracle as skew_join.
+      val li = t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+      val o = t(s, d, "orders")
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+      Skew.adaptiveSaltedJoin(li, o, Seq("l_orderkey"), salts = 4,
+        saltBy = struct(col("l_orderkey"), col("l_linenumber")),
+        hotThreshold = 5L)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_extendedprice").cast("decimal(28,4)")).cast("double")
+            .as("total_price"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
     "skew_distinct" -> ((s, d) =>
       Skew.skewedDistinctCount(t(s, d, "lineitem"), Seq("l_orderkey"),
         "l_suppkey", salts = 16)
@@ -735,6 +753,13 @@ object SparkEntry {
          ORDER BY o_custkey, valid_from""",
 
     "skew_join" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_items,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE)
+           AS total_price
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
+    "skew_join_adaptive" ->
       """SELECT o_orderpriority, COUNT(*) AS n_items,
          CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE)
            AS total_price

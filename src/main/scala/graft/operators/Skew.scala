@@ -29,6 +29,43 @@ object Skew {
     f.join(d, keys :+ "__salt").drop("__salt")
   }
 
+  /** Salted join that only pays for skew where it exists: a cheap
+    * frequency pre-pass finds the keys above `hotThreshold`, and ONLY
+    * those fact rows are salted / dim rows replicated — cold keys
+    * join exactly as a plain shuffle join, so dim amplification is
+    * ×salts on the (by definition tiny) hot key set instead of the
+    * whole table.
+    *
+    * The pre-pass is itself skew-immune: groupBy(count) partially
+    * aggregates map-side, so a hot key contributes one row per task
+    * to its shuffle, and the hot set is broadcast (heavy hitters are
+    * few or they wouldn't be heavy). Result is row-identical to the
+    * plain join. This is the static-plan analogue of AQE's runtime
+    * skew split, usable where AQE can't reach (e.g. when the skewed
+    * side feeds an aggregation pipeline, or the plan must be fixed
+    * up front). */
+  def adaptiveSaltedJoin(fact: DataFrame, dim: DataFrame, keys: Seq[String],
+                         salts: Int, saltBy: Column,
+                         hotThreshold: Long): DataFrame = {
+    val keyCols = keys.map(col)
+    val hot = fact.groupBy(keyCols: _*).count()
+      .filter(col("count") >= hotThreshold)
+      .select(keyCols :+ lit(true).as("__hot"): _*)
+    val f = fact.join(broadcast(hot), keys, "left")
+      .withColumn("__salt",
+        when(col("__hot").isNotNull,
+          pmod(xxhash64(saltBy), lit(salts)).cast("int"))
+          .otherwise(lit(0)))
+      .drop("__hot")
+    val d = dim.join(broadcast(hot), keys, "left")
+      .withColumn("__salt", explode(
+        when(col("__hot").isNotNull,
+          sequence(lit(0), lit(salts - 1)).cast("array<int>"))
+          .otherwise(array(lit(0)))))
+      .drop("__hot")
+    f.join(d, keys :+ "__salt").drop("__salt")
+  }
+
   /** Exact distinct count per key that survives hot keys: values are
     * salted by their OWN hash, so every occurrence of one value
     * lands in the same salt bucket — per-bucket distinct counts are

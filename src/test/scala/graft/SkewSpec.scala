@@ -20,6 +20,26 @@ class SkewSpec extends SparkSpec {
     assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
   }
 
+  test("adaptiveSaltedJoin salts only hot keys and stays row-identical") {
+    import spark.implicits._
+    // key 1 is hot (200 rows), keys 2..20 are cold (1 row each)
+    val fact = ((1 to 200).map(i => (1L, i.toLong)) ++
+      (2 to 20).map(k => (k.toLong, 0L))).toDF("k", "row_id")
+    val dim = (1 to 25).map(k => (k.toLong, s"attr$k")).toDF("k", "attr")
+    val plain = fact.join(dim, Seq("k"))
+    val adaptive = Skew.adaptiveSaltedJoin(fact, dim, Seq("k"),
+      salts = 8, saltBy = col("row_id"), hotThreshold = 100L)
+    assert(adaptive.count() == plain.count())
+    assert(adaptive.exceptAll(plain).isEmpty &&
+      plain.exceptAll(adaptive).isEmpty)
+    // the hot key really spreads over multiple salt buckets, cold
+    // keys pay nothing (exactly one replica each in the dim side)
+    val hotSalts = fact.filter(col("k") === 1L)
+      .select(pmod(xxhash64(col("row_id")), lit(8)).cast("int").as("s"))
+      .distinct().count()
+    assert(hotSalts > 1)
+  }
+
   test("skewedDistinctCount matches exact distinct counts") {
     val sf = "/root/testdata/sf0.001"
     val li = Tables.load(spark, sf, "lineitem")
