@@ -435,6 +435,32 @@ object SparkEntry {
       Dedup.embeddingNearDup(t(s, d, "embeddings"), threshold = 0.4)
         .orderBy(col("id_a"), col("id_b"))),
 
+    "decontaminate" -> ((s, d) => {
+      // benchmark hygiene: doc_id % 10 == 0 plays the eval set, the
+      // rest the training corpus; a train doc sharing any 4-word
+      // shingle with the eval set is dropped.
+      val docs = t(s, d, "documents")
+      val bench = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+      val train = docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+      Decontam.decontaminate(train, bench, n = 4)
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "decontaminate_bloom" -> ((s, d) => {
+      // the same overlap through the 100 TB path: a Bloom filter
+      // built over the eval shingles by a distributed aggregate,
+      // attached as a scalar subquery, prefilters the corpus before
+      // the exact semi-join — identical output (no false negatives),
+      // same oracle as the exact path's hit counts.
+      val docs = t(s, d, "documents")
+      val bench = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+      val train = docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+      Decontam.contaminationHitsBloom(train, bench, n = 4,
+        expectedBenchShingles = 100000L)
+        .orderBy(col("doc_id"))
+    }),
+
     "corpus_curation" -> ((s, d) => {
       // the whole training-data pipeline end-to-end: quality gate →
       // exact dedup → minhash near-dup clustering → one
@@ -1056,6 +1082,45 @@ object SparkEntry {
     "dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, COUNT(*) AS n_copies
          FROM documents GROUP BY text ORDER BY keep_id""",
+
+    "decontaminate" ->
+      """WITH sh AS (
+           SELECT doc_id, unnest(list_distinct(
+             CASE WHEN len(string_split_regex(trim(lower(text)), '\s+')) < 4
+             THEN [concat_ws(' ', string_split_regex(trim(lower(text)), '\s+'))]
+             ELSE list_transform(
+               range(1, len(string_split_regex(trim(lower(text)), '\s+')) - 2),
+               i -> string_split_regex(trim(lower(text)), '\s+')[i] || ' ' ||
+                    string_split_regex(trim(lower(text)), '\s+')[i+1] || ' ' ||
+                    string_split_regex(trim(lower(text)), '\s+')[i+2] || ' ' ||
+                    string_split_regex(trim(lower(text)), '\s+')[i+3]) END)) AS s
+           FROM documents),
+         bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 10 = 0),
+         contaminated AS (
+           SELECT DISTINCT sh.doc_id FROM sh JOIN bench USING (s)
+           WHERE sh.doc_id % 10 <> 0)
+         SELECT doc_id, source FROM documents
+         WHERE doc_id % 10 <> 0
+           AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+         ORDER BY doc_id""",
+
+    "decontaminate_bloom" ->
+      """WITH sh AS (
+           SELECT doc_id, unnest(list_distinct(
+             CASE WHEN len(string_split_regex(trim(lower(text)), '\s+')) < 4
+             THEN [concat_ws(' ', string_split_regex(trim(lower(text)), '\s+'))]
+             ELSE list_transform(
+               range(1, len(string_split_regex(trim(lower(text)), '\s+')) - 2),
+               i -> string_split_regex(trim(lower(text)), '\s+')[i] || ' ' ||
+                    string_split_regex(trim(lower(text)), '\s+')[i+1] || ' ' ||
+                    string_split_regex(trim(lower(text)), '\s+')[i+2] || ' ' ||
+                    string_split_regex(trim(lower(text)), '\s+')[i+3]) END)) AS s
+           FROM documents),
+         bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 10 = 0)
+         SELECT sh.doc_id, count(DISTINCT sh.s) AS n_hits
+         FROM sh JOIN bench USING (s)
+         WHERE sh.doc_id % 10 <> 0
+         GROUP BY sh.doc_id ORDER BY doc_id""",
 
     "dedup_embedding" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
