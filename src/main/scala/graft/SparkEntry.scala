@@ -421,6 +421,10 @@ object SparkEntry {
       Dedup.simhashPairs(t(s, d, "documents"), maxHamming = 10)
         .orderBy(col("id_a"), col("id_b"))),
 
+    "segment_dedup" -> ((s, d) =>
+      Dedup.segmentDupStats(t(s, d, "documents"), k = 8)
+        .orderBy(col("doc_id"))),
+
     "ngram_jaccard" -> ((s, d) => {
       // stop-gram cap at 10% of the corpus: grams in >10% of docs
       // carry no dedup signal and dominate the Σ df² join cost.
@@ -543,6 +547,10 @@ object SparkEntry {
 
     "doc_fingerprint" -> ((s, d) =>
       TextAnalysis.fingerprints(t(s, d, "documents")).orderBy(col("doc_id"))),
+
+    "repetition_stats" -> ((s, d) =>
+      TextAnalysis.repetitionStats(t(s, d, "documents"))
+        .orderBy(col("doc_id"))),
 
     // §2.6 multimodal ---------------------------------------------
     "mm_schema" -> ((s, d) =>
@@ -1082,6 +1090,51 @@ object SparkEntry {
     "dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, COUNT(*) AS n_copies
          FROM documents GROUP BY text ORDER BY keep_id""",
+
+    "segment_dedup" ->
+      """WITH tok AS (
+           SELECT doc_id,
+                  string_split_regex(trim(lower(text)), '\s+') AS w
+           FROM documents),
+         segs AS (
+           SELECT doc_id,
+                  array_to_string(list_slice(w, i*8+1, i*8+8), ' ') AS seg
+           FROM tok, UNNEST(range(0,
+             CAST(greatest(ceil(len(w)/8.0), 1) AS BIGINT))) t(i)),
+         c AS (SELECT seg, count(*) AS n FROM segs GROUP BY seg)
+         SELECT s.doc_id, count(*) AS n_segs,
+           CAST(sum(CASE WHEN c.n > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_segs,
+           round(CAST(sum(CASE WHEN c.n > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS dup_frac
+         FROM segs s JOIN c USING (seg)
+         GROUP BY s.doc_id ORDER BY s.doc_id""",
+
+    "repetition_stats" ->
+      """WITH tok AS (
+           SELECT doc_id,
+                  unnest(string_split_regex(trim(lower(text)), '\s+')) AS g
+           FROM documents),
+         wc AS (SELECT doc_id, g, count(*) AS n FROM tok GROUP BY 1, 2),
+         wstat AS (
+           SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_words,
+             round(CAST(max(n) AS DOUBLE) / sum(n), 6) AS top_word_frac
+           FROM wc GROUP BY 1),
+         big AS (
+           SELECT doc_id, unnest(
+             CASE WHEN len(w) < 2 THEN [concat_ws(' ', w)]
+             ELSE list_transform(range(1, len(w)),
+               i -> w[i] || ' ' || w[i+1]) END) AS g
+           FROM (SELECT doc_id,
+                   string_split_regex(trim(lower(text)), '\s+') AS w
+                 FROM documents)),
+         bc AS (SELECT doc_id, g, count(*) AS n FROM big GROUP BY 1, 2),
+         bstat AS (
+           SELECT doc_id,
+             round(CAST(max(n) AS DOUBLE) / sum(n), 6) AS top_bigram_frac
+           FROM bc GROUP BY 1)
+         SELECT doc_id, n_words, top_word_frac, top_bigram_frac
+         FROM wstat JOIN bstat USING (doc_id) ORDER BY doc_id""",
 
     "decontaminate" ->
       """WITH sh AS (

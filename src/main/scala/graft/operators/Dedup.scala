@@ -35,6 +35,46 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
       .select(col("keep_id"), col("n_copies"))
 
+  /** Non-overlapping k-word segments per document — the unit for
+    * paragraph/line-level dedup on corpora without newline structure
+    * (for real corpora, substitute a `split(text, "\n")` segmenter;
+    * everything downstream only sees segment hashes). Returns
+    * (idCol, seg_idx, seg). */
+  def wordChunkSegments(docs: DataFrame, idCol: String, textCol: String,
+                        k: Int): DataFrame = {
+    val toks = wordTokens(col(textCol))
+    val nChunks = greatest(ceil(size(toks).cast("double") / k), lit(1))
+      .cast("int")
+    docs.select(col(idCol), posexplode(
+        transform(sequence(lit(0), nChunks - 1),
+          i => concat_ws(" ", slice(toks, i * k + 1, lit(k)))))
+      .as(Seq("seg_idx", "seg")))
+  }
+
+  /** Corpus-level duplicated-segment profile per document: how much
+    * of each doc is made of segments that appear elsewhere in the
+    * corpus (boilerplate headers, repeated paragraphs, licence
+    * blocks). (idCol, n_segs, n_dup_segs, dup_frac).
+    *
+    * Scale design: segments reduce to 8-byte hashes before any
+    * shuffle; the corpus-wide frequency is a window over the hash
+    * (one shuffle), the per-doc rollup a second (partial-agg) one.
+    * Degenerate hot segments (empty lines in real corpora) should be
+    * filtered by a min-length predicate before counting. */
+  def segmentDupStats(docs: DataFrame, idCol: String = "doc_id",
+                      textCol: String = "text", k: Int = 8): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("seg_h"))
+    val segs = wordChunkSegments(docs, idCol, textCol, k)
+      .select(col(idCol), xxhash64(col("seg")).as("seg_h"))
+    segs.withColumn("n", count(lit(1)).over(w))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_segs"),
+        sum(when(col("n") > 1, 1L).otherwise(0L)).as("n_dup_segs"))
+      .withColumn("dup_frac",
+        round(col("n_dup_segs").cast("double") / col("n_segs"), 6))
+  }
+
   /** MinHash signatures via the fused native kernel — tokenize stays
     * declarative (codegen'd split), shingling + hashing is one pass
     * over a joined byte buffer with no per-shingle allocation (see

@@ -133,6 +133,34 @@ object TextAnalysis {
     df.filter(selector < threshold)
   }
 
+  /** Intra-document repetition signals (the Gopher-rule family):
+    * the fraction of tokens taken by the most frequent word and by
+    * the most frequent bigram — high values mark degenerate or
+    * keyword-stuffed documents. (idCol, n_words, top_word_frac,
+    * top_bigram_frac).
+    *
+    * Scale design: explode + per-(doc, gram) counts partial-aggregate
+    * map-side, so the shuffle carries distinct grams per doc, not
+    * tokens; everything after is per-doc. */
+  def repetitionStats(docs: DataFrame, idCol: String = "doc_id",
+                      textCol: String = "text"): DataFrame = {
+    def topFrac(grams: Column): DataFrame =
+      docs.select(col(idCol), explode(grams).as("g"))
+        .groupBy(col(idCol), col("g")).agg(count(lit(1)).as("n"))
+        .groupBy(col(idCol))
+        .agg(max(col("n")).as("mx"), sum(col("n")).as("tot"))
+        .select(col(idCol), col("tot"),
+          round(col("mx").cast("double") / col("tot"), 6).as("frac"))
+    val words = topFrac(wordTokens(col(textCol)))
+      .withColumnRenamed("frac", "top_word_frac")
+      .withColumnRenamed("tot", "n_words")
+    val bigrams = topFrac(wordShingles(col(textCol), 2))
+      .select(col(idCol), col("frac").as("top_bigram_frac"))
+    words.join(bigrams, Seq(idCol))
+      .select(col(idCol), col("n_words"), col("top_word_frac"),
+        col("top_bigram_frac"))
+  }
+
   /** Language-ID applied over a documents table. */
   def langIdTable(docs: DataFrame, idCol: String = "doc_id",
                   textCol: String = "text"): DataFrame =

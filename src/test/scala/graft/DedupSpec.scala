@@ -98,6 +98,27 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("segmentDupStats profiles cross-corpus duplicated chunks") {
+    // docs 0 and 1 share their first 4-word chunk; doc 2 is unique
+    val docs = Seq(
+      (0L, "aa bb cc dd ee ff gg hh"),
+      (1L, "aa bb cc dd zz yy xx ww"),
+      (2L, "one two three four five six seven eight")
+    ).toDF("doc_id", "text")
+    val stats = Dedup.segmentDupStats(docs, k = 4).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(stats(0L) == (2L, 1L)) // 2 chunks, 1 duplicated
+    assert(stats(1L) == (2L, 1L))
+    assert(stats(2L) == (2L, 0L))
+  }
+
+  test("wordChunkSegments covers every token exactly once") {
+    val docs = Seq((0L, "a b c d e f g")).toDF("doc_id", "text")
+    val segs = Dedup.wordChunkSegments(docs, "doc_id", "text", 3)
+      .orderBy("seg_idx").select("seg").as[String].collect()
+    assert(segs.sameElements(Array("a b c", "d e f", "g")))
+  }
+
   test("embeddingNearDup on handcrafted vectors") {
     val emb = Seq(
       (0L, Array(1f, 0f, 0f, 0f)),

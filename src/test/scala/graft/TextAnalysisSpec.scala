@@ -52,6 +52,19 @@ class TextAnalysisSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("stopword_ratio") - 0.5) < 1e-6)
   }
 
+  test("repetitionStats: degenerate repetition scores high") {
+    val docs = Seq(
+      (0L, "spam spam spam spam"),             // one word everywhere
+      (1L, "alpha beta gamma delta")           // all distinct
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.repetitionStats(docs).collect()
+      .map(x => x.getLong(0) ->
+        (x.getLong(1), x.getDouble(2), x.getDouble(3))).toMap
+    assert(r(0L) == ((4L, 1.0, 1.0)))
+    assert(r(1L)._2 == 0.25)          // 1/4 words
+    assert(math.abs(r(1L)._3 - 0.333333) < 1e-6) // 1/3 bigrams
+  }
+
   test("fingerprints: rolling is order-sensitive, bag is not") {
     val docs = Seq(
       (0L, "alpha beta gamma"), (1L, "gamma beta alpha"),
