@@ -552,6 +552,36 @@ object SparkEntry {
       TextAnalysis.repetitionStats(t(s, d, "documents"))
         .orderBy(col("doc_id"))),
 
+    "pii_redact" -> ((s, d) => {
+      // the synthetic tables carry no PII, so the demo input is a
+      // deterministic contact string derived from customer keys
+      // (same construction in the oracle SQL) — what's under test is
+      // the redaction chain, not the synthesis.
+      val contact = concat(col("c_name"),
+        when(pmod(col("c_custkey"), lit(2)) === 0,
+          concat(lit(" user"), col("c_custkey").cast("string"),
+            lit("@mail.example"))).otherwise(lit("")),
+        when(pmod(col("c_custkey"), lit(3)) === 0,
+          concat(lit(" tel "),
+            (pmod(col("c_custkey"), lit(90)) + 10).cast("string"),
+            lit("-555-123-4567"))).otherwise(lit("")),
+        when(pmod(col("c_custkey"), lit(5)) === 0,
+          concat(lit(" ip 10.0."),
+            pmod(col("c_custkey"), lit(256)).cast("string"),
+            lit(".7"))).otherwise(lit("")))
+      val (ne, np, ni) = TextAnalysis.piiCounts(contact)
+      t(s, d, "customer").select(col("c_custkey"),
+          TextAnalysis.redactPii(contact).as("redacted"),
+          ne.cast("long").as("n_emails"),
+          np.cast("long").as("n_phones"),
+          ni.cast("long").as("n_ips"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    "seq_packing" -> ((s, d) =>
+      Packing.packDocuments(t(s, d, "documents"), budget = 128)
+        .orderBy(col("doc_id"))),
+
     // §2.6 multimodal ---------------------------------------------
     "mm_schema" -> ((s, d) =>
       Multimodal.asMediaTable(t(s, d, "documents"))
@@ -1090,6 +1120,56 @@ object SparkEntry {
     "dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, COUNT(*) AS n_copies
          FROM documents GROUP BY text ORDER BY keep_id""",
+
+    "pii_redact" ->
+      """WITH c2 AS (
+           SELECT c_custkey, c_name ||
+             CASE WHEN c_custkey % 2 = 0
+               THEN ' user' || c_custkey || '@mail.example' ELSE '' END ||
+             CASE WHEN c_custkey % 3 = 0
+               THEN ' tel ' || (c_custkey % 90 + 10) || '-555-123-4567'
+               ELSE '' END ||
+             CASE WHEN c_custkey % 5 = 0
+               THEN ' ip 10.0.' || (c_custkey % 256) || '.7' ELSE '' END
+             AS contact
+           FROM customer)
+         SELECT c_custkey,
+           regexp_replace(regexp_replace(regexp_replace(contact,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+             '[EMAIL]', 'g'),
+             '\d{2,3}-\d{3}-\d{3}-\d{4}', '[PHONE]', 'g'),
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g')
+             AS redacted,
+           CAST(len(regexp_extract_all(contact,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+             AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(contact,
+             '\d{2,3}-\d{3}-\d{3}-\d{4}')) AS BIGINT) AS n_phones,
+           CAST(len(regexp_extract_all(contact,
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT)
+             AS n_ips
+         FROM c2 ORDER BY c_custkey""",
+
+    "seq_packing" ->
+      """WITH n AS (
+           SELECT doc_id, source,
+             CAST(len(string_split_regex(trim(lower(text)), '\s+'))
+               AS BIGINT) AS n_tokens
+           FROM documents),
+         o AS (
+           SELECT doc_id, source, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id)
+               AS end_off
+           FROM n)
+         SELECT doc_id, source, n_tokens,
+           CAST(end_off - n_tokens AS BIGINT) AS start_off,
+           CAST(floor((end_off - n_tokens) / 128.0) AS BIGINT)
+             AS seq_first,
+           CAST(floor((end_off - 1) / 128.0) AS BIGINT) AS seq_last,
+           CAST(floor((end_off - 1) / 128.0)
+              - floor((end_off - n_tokens) / 128.0) AS BIGINT)
+             AS n_splits
+         FROM o ORDER BY doc_id""",
 
     "segment_dedup" ->
       """WITH tok AS (

@@ -133,6 +133,32 @@ object TextAnalysis {
     df.filter(selector < threshold)
   }
 
+  // PII patterns kept to syntax with identical semantics in Java's
+  // regex and RE2 (ASCII classes, no lookaround) so the same pattern
+  // string is auditable in any engine.
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val phoneRe = "\\d{2,3}-\\d{3}-\\d{3}-\\d{4}"
+  val ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** PII redaction: replace emails, dashed phone numbers and IPv4
+    * addresses with type tags. A chain of codegen'd regexp_replace
+    * calls — one map-only pass, no UDF. Email first (its domain
+    * would otherwise be chewed up by the IP rule), then phone, then
+    * IP. */
+  def redactPii(t: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(t, emailRe, "[EMAIL]"),
+        phoneRe, "[PHONE]"),
+      ipv4Re, "[IP]")
+
+  /** Per-row PII counts (for audit sampling / filtering decisions
+    * before redaction). */
+  def piiCounts(t: Column): (Column, Column, Column) =
+    (size(regexp_extract_all(t, lit(emailRe), lit(0))),
+      size(regexp_extract_all(t, lit(phoneRe), lit(0))),
+      size(regexp_extract_all(t, lit(ipv4Re), lit(0))))
+
   /** Intra-document repetition signals (the Gopher-rule family):
     * the fraction of tokens taken by the most frequent word and by
     * the most frequent bigram — high values mark degenerate or

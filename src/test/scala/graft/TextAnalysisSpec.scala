@@ -65,6 +65,27 @@ class TextAnalysisSpec extends SparkSpec {
     assert(math.abs(r(1L)._3 - 0.333333) < 1e-6) // 1/3 bigrams
   }
 
+  test("redactPii replaces emails, phones and IPs, leaves the rest") {
+    val docs = Seq(
+      (0L, "mail a.user+tag@sub.example.org or call 123-456-789-0123"),
+      (1L, "server at 192.168.0.1 port 8080"),
+      (2L, "no pii here, just 3.14 and v1.2.3-beta")
+    ).toDF("doc_id", "text")
+    val out = docs.select($"doc_id",
+        TextAnalysis.redactPii($"text").as("r"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(0L) == "mail [EMAIL] or call [PHONE]")
+    assert(out(1L) == "server at [IP] port 8080")
+    assert(out(2L) == "no pii here, just 3.14 and v1.2.3-beta")
+    val (ne, np, ni) = TextAnalysis.piiCounts($"text")
+    val counts = docs.select($"doc_id", ne.as("e"), np.as("p"), ni.as("i"))
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2),
+        r.getInt(3))).toMap
+    assert(counts(0L) == ((1, 1, 0)))
+    assert(counts(1L) == ((0, 0, 1)))
+    assert(counts(2L) == ((0, 0, 0)))
+  }
+
   test("fingerprints: rolling is order-sensitive, bag is not") {
     val docs = Seq(
       (0L, "alpha beta gamma"), (1L, "gamma beta alpha"),
