@@ -25,11 +25,16 @@ object Decontam {
 
   /** Distinct hashed k-word shingles per document:
     * (idCol, shingle_h: long). A doc shorter than n words yields its
-    * single whole-text shingle (matches `wordShingles`). */
+    * single whole-text shingle (matches `wordShingles`). Uses the
+    * fused shingle-hash kernel: one pass over a joined token buffer,
+    * bit-identical to `xxhash64(concat_ws(" ", slice(tokens, i, n)))`
+    * (same seed-42 hash over the same bytes) but without
+    * re-evaluating the tokenizer per shingle position. */
   def shingleHashSet(docs: DataFrame, idCol: String, textCol: String,
                      n: Int): DataFrame =
-    docs.select(col(idCol), explode(array_distinct(
-        transform(wordShingles(col(textCol), n), s => xxhash64(s))))
+    docs.select(col(idCol), explode(
+        graft.plans.TextHashExpressions.shingleHashes(
+          wordTokens(col(textCol)), n))
       .as("shingle_h"))
 
   /** Per-doc contamination evidence: training docs sharing at least

@@ -170,17 +170,28 @@ object TextAnalysis {
     * tokens; everything after is per-doc. */
   def repetitionStats(docs: DataFrame, idCol: String = "doc_id",
                       textCol: String = "text"): DataFrame = {
-    def topFrac(grams: Column): DataFrame =
-      docs.select(col(idCol), explode(grams).as("g"))
+    // tokenize into a column FIRST: a shingle lambda over
+    // `wordTokens(text)` re-evaluates the split per array element
+    // (codegen can't hoist an expression out of a lambda body), which
+    // is O(words²) per doc. Referencing the materialized `__toks`
+    // attribute makes each bigram O(k). CollapseProject keeps the
+    // hoist (multi-referenced non-trivial aliases aren't inlined).
+    def topFrac(grams: Column => Column): DataFrame =
+      docs.select(col(idCol), wordTokens(col(textCol)).as("__toks"))
+        .select(col(idCol), explode(grams(col("__toks"))).as("g"))
         .groupBy(col(idCol), col("g")).agg(count(lit(1)).as("n"))
         .groupBy(col(idCol))
         .agg(max(col("n")).as("mx"), sum(col("n")).as("tot"))
         .select(col(idCol), col("tot"),
           round(col("mx").cast("double") / col("tot"), 6).as("frac"))
-    val words = topFrac(wordTokens(col(textCol)))
+    def bigramsOf(toks: Column): Column =
+      when(size(toks) < 2, array(concat_ws(" ", toks)))
+        .otherwise(transform(sequence(lit(1), size(toks) - 1),
+          i => concat_ws(" ", slice(toks, i, lit(2)))))
+    val words = topFrac(identity)
       .withColumnRenamed("frac", "top_word_frac")
       .withColumnRenamed("tot", "n_words")
-    val bigrams = topFrac(wordShingles(col(textCol), 2))
+    val bigrams = topFrac(bigramsOf)
       .select(col(idCol), col("frac").as("top_bigram_frac"))
     words.join(bigrams, Seq(idCol))
       .select(col(idCol), col("n_words"), col("top_word_frac"),
