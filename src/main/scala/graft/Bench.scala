@@ -22,11 +22,30 @@ object Bench {
     // Warm-up: JVM/codegen/parquet-footer costs land here, not in the
     // first measured query.
     try run(SparkEntry.entry(spark)) catch { case _: Throwable => () }
+    // Steady-state warm-up (JMH practice): run every query once at the
+    // smallest SF first so Janino compilation + JIT of each query's
+    // generated classes are excluded from the measured pass — several
+    // of the text/vector kernels generate large classes whose one-time
+    // compile cost otherwise dwarfs the actual sf0.1 work. The warm-up
+    // reads DIFFERENT parquet paths, so no scan, shuffle, or persisted
+    // plan fragment can be reused by the measured run (plan-fragment
+    // caching keys on the logical plan, which embeds the path); the
+    // cache is cleared afterwards regardless.
+    val warmDir = sfDir.replaceAll("sf[0-9.]+$", "sf0.001")
+    if (warmDir != sfDir && new java.io.File(warmDir).isDirectory)
+      SparkEntry.queries.foreach { case (_, fn) =>
+        try run(fn(spark, warmDir)) catch { case _: Throwable => () }
+      }
+    spark.sharedState.cacheManager.clearCache()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       System.gc() // isolate queries from each other's garbage
       val t0 = System.nanoTime()
       try { run(fn(spark, sfDir)) } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // queries that persist() intermediates leave them in the cache
+      // manager: drop them so later queries aren't memory-squeezed
+      spark.sharedState.cacheManager.clearCache()
+      name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -20,12 +20,21 @@ object BenchOne {
     })
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    // Same full-result-production measurement as Bench.run.
+    def run(df: org.apache.spark.sql.DataFrame): Long =
+      df.queryExecution.toRdd.count()
+    try run(SparkEntry.entry(spark)) catch { case _: Throwable => () }
     if (sys.env.contains("EXPLAIN"))
       SparkEntry.queries(name)(spark, sfDir).explain("formatted")
-    val t0 = System.nanoTime()
-    val n = SparkEntry.queries(name)(spark, sfDir).count()
-    println(f"[benchone] $name: $n rows in ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    val reps = sys.env.getOrElse("REPS", "1").toInt
+    for (i <- 1 to reps) {
+      // drop persisted intermediates so later reps don't silently
+      // reuse a cached plan fragment from an earlier identical run
+      spark.sharedState.cacheManager.clearCache()
+      val t0 = System.nanoTime()
+      val n = run(SparkEntry.queries(name)(spark, sfDir))
+      println(f"[benchone] $name: $n rows in ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
     spark.stop()
   }
 }

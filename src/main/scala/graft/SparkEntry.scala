@@ -536,6 +536,35 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("source"))
         .orderBy(col("doc_id"))),
 
+    // §2.5b dataset assembly --------------------------------------
+    "mixture_sample" -> ((s, d) =>
+      Mixing.mixtureSample(t(s, d, "documents"), "lang", "doc_id",
+        temperature = 0.5, maxRate = 0.8)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))),
+
+    "dataset_split" -> ((s, d) =>
+      Mixing.datasetSplit(t(s, d, "documents"), "doc_id",
+        Seq("train" -> 900, "val" -> 50, "test" -> 50))
+        .select(col("doc_id"), col("split"))
+        .orderBy(col("doc_id"))),
+
+    "global_shuffle" -> ((s, d) =>
+      Mixing.globalShuffle(
+        t(s, d, "documents").select(col("doc_id"), col("source")),
+        "doc_id", nShards = 8)
+        .select(col("doc_id"), col("source"), col("shard"), col("pos"))
+        .orderBy(col("shard"), col("pos"))),
+
+    "quantile_gate" -> ((s, d) =>
+      Mixing.quantileGate(
+        t(s, d, "documents").select(col("doc_id"), col("lang"),
+          col("n_chars")),
+        "lang", "n_chars", q = 0.5)
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          col("q_cutoff"))
+        .orderBy(col("doc_id"))),
+
     "lang_id" -> ((s, d) =>
       TextAnalysis.langIdTable(t(s, d, "documents")).orderBy(col("doc_id"))),
 
@@ -1305,6 +1334,49 @@ object SparkEntry {
       """SELECT doc_id, lang, source FROM documents
          WHERE ((doc_id % 1000003) * 2654435761) % 1000 <
            CASE lang WHEN 'de' THEN 500 WHEN 'en' THEN 200 ELSE 100 END
+         ORDER BY doc_id""",
+
+    "mixture_sample" ->
+      """WITH stats AS (
+           SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+         rates AS (
+           SELECT lang, least(1000, CAST(floor(800.0 *
+             pow(CAST(n AS DOUBLE) / (SELECT max(n) FROM stats), -0.5))
+             AS INT)) AS rmille
+           FROM stats)
+         SELECT d.doc_id AS doc_id, d.lang AS lang
+         FROM documents d JOIN rates r ON d.lang = r.lang
+         WHERE ((d.doc_id % 1000003) * 2654435761) % 1000 < r.rmille
+         ORDER BY doc_id""",
+
+    "dataset_split" ->
+      """SELECT doc_id,
+           CASE WHEN ((doc_id % 999983) * 2246822519) % 1000 < 900
+                  THEN 'train'
+                WHEN ((doc_id % 999983) * 2246822519) % 1000 < 950
+                  THEN 'val'
+                ELSE 'test' END AS split
+         FROM documents ORDER BY doc_id""",
+
+    "global_shuffle" ->
+      """WITH h AS (
+           SELECT doc_id, source,
+             ((doc_id % 999983) * 2654435761) % 1000003 AS hk
+           FROM documents)
+         SELECT doc_id, source, CAST(hk % 8 AS INT) AS shard,
+           CAST(row_number() OVER (PARTITION BY hk % 8
+             ORDER BY hk, doc_id) - 1 AS BIGINT) AS pos
+         FROM h ORDER BY shard, pos""",
+
+    "quantile_gate" ->
+      """WITH cuts AS (
+           SELECT lang, percentile_cont(0.5) WITHIN GROUP
+             (ORDER BY n_chars) AS q_cutoff
+           FROM documents GROUP BY lang)
+         SELECT d.doc_id AS doc_id, d.lang AS lang, d.n_chars AS n_chars,
+                c.q_cutoff AS q_cutoff
+         FROM documents d JOIN cuts c ON d.lang = c.lang
+         WHERE d.n_chars >= c.q_cutoff
          ORDER BY doc_id""",
 
     "lang_id" ->

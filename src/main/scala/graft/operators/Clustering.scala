@@ -26,7 +26,8 @@ object Clustering {
     * @return (id, cluster_id) where cluster_id = min id in component
     */
   def connectedComponents(vertices: DataFrame, edges: DataFrame,
-                          maxIter: Int = 20): DataFrame = {
+                          maxIter: Int = 20,
+                          localSolveMaxEdges: Long = 2000000L): DataFrame = {
     val spark = vertices.sparkSession
     // ckpt truncates lineage AND plan statistics: localCheckpoint
     // alone carries the origin plan's BigInt size estimates into the
@@ -39,6 +40,18 @@ object Clustering {
     val sym = ckpt(edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct())
+    val edgeCount = sym.count()
+    // Endgame fast path, gated by the edge count just measured (no
+    // extra job): a near-dup pair graph is a vanishing fraction of
+    // its corpus — at 2M (deduplicated, symmetrized) edges ×16 B it
+    // fits in driver memory, and one collect + union-find replaces
+    // ~25 tiny distributed jobs of pure scheduling overhead. This is
+    // the same measured-size gating as the broadcast hint below: the
+    // distributed propagate/contract loop is the >2M-edge path (at
+    // 100 TB, one contraction round usually shrinks the label graph
+    // under the gate, after which THIS path finishes it).
+    if (edgeCount <= localSolveMaxEdges)
+      return localComponents(vertices, sym)
     var labels = ckpt(vertices.select(col("id"), col("id").as("lbl")))
     // Size the loop's materialized frames to the graph, not the
     // session default: each round is several shuffles over |E'| rows,
@@ -47,7 +60,6 @@ object Clustering {
     // per-plan `repartition(parts, key)` on the frames the loop
     // re-reads — NOT a session-level shuffle.partitions mutation,
     // which would leak to concurrent queries on the same session.
-    val edgeCount = sym.count()
     val vertexCount = labels.count()
     val parts = math.max(1L, math.min(
       spark.sparkContext.defaultParallelism.toLong,
@@ -127,6 +139,45 @@ object Clustering {
           coalesce(col("b.lbl2"), col("lbl")).as("lbl")))
     }
     out.withColumnRenamed("lbl", "cluster_id")
+  }
+
+  /** Union-find over a collected edge set — the endgame solver for
+    * graphs under the `localSolveMaxEdges` gate. Path-halving +
+    * union-by-min keeps the min-id-as-cluster-id contract of the
+    * distributed loop (results are identical). The label table goes
+    * back to the cluster as a broadcast map join, so downstream
+    * plans stay distributed. */
+  private def localComponents(vertices: DataFrame,
+                              symEdges: DataFrame): DataFrame = {
+    val parent = new java.util.HashMap[Long, Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrDefault(r, r) != r) {
+        val p = parent.getOrDefault(r, r)
+        parent.put(r, parent.getOrDefault(p, p)) // path halving
+        r = parent.getOrDefault(p, p)
+      }
+      r
+    }
+    def union(a: Long, b: Long): Unit = {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) {
+        // min root wins: cluster_id = min vertex id in component
+        if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
+      }
+    }
+    symEdges.select(col("src").cast("long"), col("dst").cast("long"))
+      .collect().foreach(r => union(r.getLong(0), r.getLong(1)))
+    val labels = parent.keySet.toArray(Array.empty[java.lang.Long])
+      .map(id => (id.longValue, find(id.longValue)))
+    val spark = vertices.sparkSession
+    import spark.implicits._
+    val labelDf = spark.createDataset(labels.toSeq).toDF("id", "lbl")
+    // tiny by the gate — broadcast so the vertex side never shuffles
+    vertices.select(col("id"))
+      .join(broadcast(labelDf), Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("lbl"), col("id")).as("cluster_id"))
   }
 
   /** Duplicate clusters from a near-dup pair set: cluster ids plus

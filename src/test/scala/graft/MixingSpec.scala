@@ -1,0 +1,94 @@
+package graft
+
+import graft.operators.Mixing
+import org.apache.spark.sql.functions._
+
+class MixingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = graft.sources.Tables.load(spark,
+    "/root/testdata/sf0.01", "documents")
+
+  test("mixtureSample flattens stratum proportions toward temperature") {
+    val out = Mixing.mixtureSample(docs, "lang", "doc_id",
+      temperature = 0.5, maxRate = 0.8)
+    val in = docs.groupBy("lang").count().as[(String, Long)].collect().toMap
+    val kept = out.groupBy("lang").count().as[(String, Long)].collect().toMap
+    val nMax = in.values.max.toDouble
+    in.foreach { case (lang, n) =>
+      val expectRate = math.min(1.0,
+        math.floor(800.0 * math.pow(n / nMax, -0.5)) / 1000.0)
+      val got = kept.getOrElse(lang, 0L).toDouble / n
+      assert(math.abs(got - expectRate) < 0.12,
+        s"$lang kept at $got, expected ~$expectRate")
+    }
+    // deterministic under repartitioning
+    val out2 = Mixing.mixtureSample(docs.repartition(7), "lang", "doc_id",
+      temperature = 0.5, maxRate = 0.8)
+    assert(out.select("doc_id").except(out2.select("doc_id")).isEmpty)
+    assert(out2.select("doc_id").except(out.select("doc_id")).isEmpty)
+  }
+
+  test("mixtureSample at temperature=1 keeps maxRate of every stratum") {
+    val out = Mixing.mixtureSample(docs, "lang", "doc_id",
+      temperature = 1.0, maxRate = 0.5)
+    val in = docs.groupBy("lang").count().as[(String, Long)].collect().toMap
+    val kept = out.groupBy("lang").count().as[(String, Long)].collect().toMap
+    in.foreach { case (lang, n) =>
+      val got = kept.getOrElse(lang, 0L).toDouble / n
+      assert(math.abs(got - 0.5) < 0.12, s"$lang kept at $got, expected ~0.5")
+    }
+  }
+
+  test("datasetSplit covers every row, is per-row stable, bands sized") {
+    val bands = Seq("train" -> 900, "val" -> 50, "test" -> 50)
+    val out = Mixing.datasetSplit(docs, "doc_id", bands)
+    assert(out.count() == docs.count())
+    val byBand = out.groupBy("split").count().as[(String, Long)]
+      .collect().toMap
+    val total = docs.count().toDouble
+    assert(math.abs(byBand("train") / total - 0.9) < 0.05)
+    assert(byBand.keySet == Set("train", "val", "test"))
+    // removing other rows never reassigns a surviving row
+    val sub = Mixing.datasetSplit(
+      docs.filter(col("doc_id") % 3 === 0), "doc_id", bands)
+    val joined = out.withColumnRenamed("split", "full_split")
+      .join(sub.select(col("doc_id"), col("split").as("sub_split")), "doc_id")
+    assert(joined.filter(col("full_split") =!= col("sub_split")).isEmpty)
+  }
+
+  test("globalShuffle: dense positions per shard, total deterministic order") {
+    val out = Mixing.globalShuffle(docs.select("doc_id"), "doc_id", 8)
+    assert(out.count() == docs.count())
+    // (shard, pos) is a key: positions dense 0..n_s-1 within shard
+    val perShard = out.groupBy("shard")
+      .agg(count(lit(1)).as("n"), max(col("pos")).as("mx"),
+        min(col("pos")).as("mn"))
+      .as[(Int, Long, Long, Long)].collect()
+    perShard.foreach { case (s, n, mx, mn) =>
+      assert(mn == 0L && mx == n - 1, s"shard $s not dense")
+    }
+    // same order regardless of input partitioning
+    val out2 = Mixing.globalShuffle(
+      docs.select("doc_id").repartition(13), "doc_id", 8)
+    assert(out.except(out2).isEmpty && out2.except(out).isEmpty)
+    // and the order is not the input order (it shuffles)
+    val firstShard = out.filter(col("shard") === 0).orderBy(col("pos"))
+      .select("doc_id").as[Long].collect()
+    assert(firstShard.length > 3 && !firstShard.sameElements(firstShard.sorted))
+  }
+
+  test("quantileGate keeps the upper half per group") {
+    val out = Mixing.quantileGate(
+      docs.select(col("doc_id"), col("lang"), col("n_chars")),
+      "lang", "n_chars", 0.5)
+    val in = docs.groupBy("lang").count().as[(String, Long)].collect().toMap
+    val kept = out.groupBy("lang").count().as[(String, Long)].collect().toMap
+    in.foreach { case (lang, n) =>
+      val frac = kept.getOrElse(lang, 0L).toDouble / n
+      assert(frac >= 0.45 && frac <= 0.65, s"$lang kept $frac")
+    }
+    // nothing below its group's cutoff survives
+    assert(out.filter(col("n_chars") < col("q_cutoff")).isEmpty)
+  }
+}

@@ -41,6 +41,21 @@ class TemporalSpec extends SparkSpec {
       4L -> 4L, 5L -> 4L, 6L -> 6L, 7L -> 7L, 8L -> 8L, 9L -> 9L))
   }
 
+  test("connectedComponents: distributed loop matches local union-find") {
+    // a chain (worst case for propagation), a clique, and singletons
+    val vertices = (0L to 19L).toDF("id")
+    val edges = ((0L to 8L).map(i => (i, i + 1)) ++
+      Seq((12L, 13L), (13L, 14L), (12L, 14L), (17L, 18L)))
+      .toDF("src", "dst")
+    val local = Clustering.connectedComponents(vertices, edges)
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    val dist = Clustering.connectedComponents(vertices, edges,
+      localSolveMaxEdges = 0L)
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    assert(local == dist)
+    assert(local.take(10).forall(_._2 == 0L))
+  }
+
   test("dupClusters marks representatives") {
     val ids = Seq(10L, 11L, 12L).toDF("vec_id")
     val pairs = Seq((10L, 12L)).toDF("id_a", "id_b")
