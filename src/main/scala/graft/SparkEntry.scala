@@ -198,6 +198,33 @@ object SparkEntry {
         .orderBy(col("o_custkey"), col("valid_from"))
     }),
 
+    "dim_sink_versions" -> ((s, d) => {
+      // snapshot versioning / time travel through the versioned sink:
+      // two SCD2 increments commit two immutable versions; the query
+      // reads BACK version 0 — the dimension as of batch 1 — after
+      // version 1 became current. The oracle recomputes batch 1's
+      // staged state directly from orders.
+      val cfg = Pipeline.TableConfig("cust_orders",
+        keyCols = Seq("o_custkey"),
+        attrCols = Seq("o_orderpriority", "o_totalprice"),
+        recencyCols = Seq("o_orderdate", "o_orderkey"))
+      val orders = t(s, d, "orders")
+      val split = lit("1998-01-01").cast("timestamp")
+      val ts1 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+      val ts2 = java.sql.Timestamp.valueOf("2026-01-02 00:00:00")
+      val dir = java.nio.file.Files.createTempDirectory("graft_vsink")
+      val sink = new graft.sources.VersionedParquetSink(s"$dir/dim")
+      Pipeline.runIncrementInto(sink,
+        orders.filter(col("o_orderdate") < split), cfg, "b1", ts1)
+      Pipeline.runIncrementInto(sink,
+        orders.filter(col("o_orderdate") >= split), cfg, "b2", ts2)
+      sink.loadVersion(s, 0)
+        .select(col("o_custkey"), col("o_orderpriority"),
+          col("o_totalprice"), ntz(col("valid_from")).as("valid_from"),
+          col("is_current"))
+        .orderBy(col("o_custkey"))
+    }),
+
     "bucketed_join" -> ((s, d) => {
       // the shuffle paid at write time: both facts bucketed by the
       // join key co-locate, so the join plans with zero exchange
@@ -770,6 +797,16 @@ object SparkEntry {
              AND s1.o_totalprice = s2.o_totalprice THEN 1 END)
              AS n_unchanged
          FROM s2 LEFT JOIN s1 ON s1.o_custkey = s2.o_custkey""",
+
+    "dim_sink_versions" ->
+      """SELECT o_custkey, o_orderpriority, o_totalprice,
+                TIMESTAMP '2026-01-01 00:00:00' AS valid_from,
+                TRUE AS is_current
+         FROM (
+           SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey
+             ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+           FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01')
+         WHERE rn = 1 ORDER BY o_custkey""",
 
     "pipeline_e2e" ->
       """WITH s1 AS (

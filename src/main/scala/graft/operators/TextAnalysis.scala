@@ -176,26 +176,31 @@ object TextAnalysis {
     // is O(words²) per doc. Referencing the materialized `__toks`
     // attribute makes each bigram O(k). CollapseProject keeps the
     // hoist (multi-referenced non-trivial aliases aren't inlined).
-    def topFrac(grams: Column => Column): DataFrame =
-      docs.select(col(idCol), wordTokens(col(textCol)).as("__toks"))
-        .select(col(idCol), explode(grams(col("__toks"))).as("g"))
-        .groupBy(col(idCol), col("g")).agg(count(lit(1)).as("n"))
-        .groupBy(col(idCol))
-        .agg(max(col("n")).as("mx"), sum(col("n")).as("tot"))
-        .select(col(idCol), col("tot"),
-          round(col("mx").cast("double") / col("tot"), 6).as("frac"))
+    // Words and bigrams ride ONE type-tagged explode and two
+    // partial-aggregating shuffles with conditional aggregates — the
+    // two-chain formulation paid four shuffles plus a per-doc join
+    // for the same numbers.
     def bigramsOf(toks: Column): Column =
       when(size(toks) < 2, array(concat_ws(" ", toks)))
         .otherwise(transform(sequence(lit(1), size(toks) - 1),
           i => concat_ws(" ", slice(toks, i, lit(2)))))
-    val words = topFrac(identity)
-      .withColumnRenamed("frac", "top_word_frac")
-      .withColumnRenamed("tot", "n_words")
-    val bigrams = topFrac(bigramsOf)
-      .select(col(idCol), col("frac").as("top_bigram_frac"))
-    words.join(bigrams, Seq(idCol))
-      .select(col(idCol), col("n_words"), col("top_word_frac"),
-        col("top_bigram_frac"))
+    docs.select(col(idCol), wordTokens(col(textCol)).as("__toks"))
+      .select(col(idCol), explode(concat(
+        transform(col("__toks"), t => struct(lit(0).as("typ"), t.as("g"))),
+        transform(bigramsOf(col("__toks")),
+          t => struct(lit(1).as("typ"), t.as("g"))))).as("tg"))
+      .groupBy(col(idCol), col("tg.typ").as("typ"), col("tg.g").as("g"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col(idCol))
+      .agg(sum(when(col("typ") === 0, col("n"))).as("n_words"),
+        max(when(col("typ") === 0, col("n"))).as("__wmx"),
+        sum(when(col("typ") === 1, col("n"))).as("__btot"),
+        max(when(col("typ") === 1, col("n"))).as("__bmx"))
+      .select(col(idCol), col("n_words"),
+        round(col("__wmx").cast("double") / col("n_words"), 6)
+          .as("top_word_frac"),
+        round(col("__bmx").cast("double") / col("__btot"), 6)
+          .as("top_bigram_frac"))
   }
 
   /** Language-ID applied over a documents table. */

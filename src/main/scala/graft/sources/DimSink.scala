@@ -47,6 +47,63 @@ final class ParquetDimSink(path: String) extends DimSink {
   }
 }
 
+/** Snapshot-versioned parquet sink: every commit writes a NEW
+  * immutable version directory (`v=N/`) and then atomically swaps a
+  * one-line manifest file pointing at it — the minimal form of the
+  * MVCC trick Delta/Iceberg use. Readers resolve the manifest first,
+  * so they always see a complete snapshot (no partial-directory
+  * window, unlike ParquetDimSink's in-place rewrite), concurrent
+  * with a writer; old versions stay readable for time travel and
+  * audits until `vacuum`. The manifest swap is a same-filesystem
+  * atomic rename; multi-writer coordination is out of scope (same
+  * as Delta without a locking LogStore on plain object stores). */
+final class VersionedParquetSink(path: String) extends DimSink {
+  private def manifest = new java.io.File(path, "_CURRENT")
+
+  /** Committed version numbers, oldest first. */
+  def versions: Seq[Long] =
+    Option(new java.io.File(path).listFiles()).toSeq.flatten
+      .flatMap(f => if (f.getName.startsWith("v="))
+        Some(f.getName.stripPrefix("v=").toLong) else None)
+      .sorted
+
+  /** Version the manifest currently points at, if any commit
+    * completed. */
+  def currentVersion: Option[Long] =
+    if (manifest.exists)
+      Some(java.nio.file.Files.readString(manifest.toPath).trim.toLong)
+    else None
+
+  /** Time travel: read an arbitrary committed version. */
+  def loadVersion(spark: SparkSession, v: Long): DataFrame =
+    spark.read.parquet(s"$path/v=$v")
+
+  override def load(spark: SparkSession): Option[DataFrame] =
+    currentVersion.map(loadVersion(spark, _))
+
+  override def overwrite(dim: DataFrame): Unit = {
+    val next = currentVersion.getOrElse(-1L) + 1L
+    // the new version is written BESIDE the current one — the frame
+    // may read the snapshot it replaces, and unlike an in-place
+    // rewrite that is safe here, so no materialize-first workaround
+    dim.write.mode("overwrite").parquet(s"$path/v=$next")
+    val tmp = new java.io.File(path, s"_CURRENT.tmp$next")
+    java.nio.file.Files.writeString(tmp.toPath, next.toString)
+    java.nio.file.Files.move(tmp.toPath, manifest.toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    ()
+  }
+
+  /** Drop all committed versions older than the current one. */
+  def vacuum(): Unit = currentVersion.foreach { cur =>
+    versions.filter(_ < cur).foreach { v =>
+      val dir = new java.io.File(path, s"v=$v")
+      dir.listFiles().foreach(_.delete()); dir.delete()
+    }
+  }
+}
+
 /** Delta Lake sink — a thin binding that compiles against no Delta
   * classes (the format is resolved by name at runtime), so it is
   * usable the moment `delta-spark` jars are on the classpath and the

@@ -171,6 +171,120 @@ object Streams {
     sinkToDim(stream, cfg, tsCol,
       graft.sources.DimSink.forPath(dimPath), checkpointDir)
 
+  /** Point-in-time enrichment of a stream against a static SCD2
+    * dimension: each fact joins the dimension version whose
+    * [valid_from, valid_to) interval covers its timestamp — the
+    * streaming twin of Temporal.intervalJoin. A stream-static join
+    * is stateless on the stream side (no watermark needed); the dim
+    * is broadcast, so enrichment is map-side at any ingest rate. Dim
+    * columns are aliased up front: both sides often derive from the
+    * same lineage, and un-aliased self-references break silently. */
+  def enrichWithScd2(facts: DataFrame, factKey: String, factTs: String,
+                     dim: DataFrame, dimKey: String): DataFrame = {
+    val d = dim.columns.foldLeft(dim) { (df, c) =>
+      df.withColumnRenamed(c, s"__d_$c")
+    }
+    facts.join(
+      org.apache.spark.sql.functions.broadcast(d),
+      col(factKey) === col(s"__d_$dimKey") &&
+        col(factTs) >= col("__d_valid_from") &&
+        (col("__d_valid_to").isNull || col(factTs) < col("__d_valid_to")))
+      .drop(s"__d_$dimKey", "__d_valid_from", "__d_valid_to",
+        "__d_is_current")
+      .withColumnsRenamed(
+        d.columns.filter(c => !Set(s"__d_$dimKey", "__d_valid_from",
+          "__d_valid_to", "__d_is_current").contains(c))
+          .map(c => c -> c.stripPrefix("__d_")).toMap)
+  }
+
+  /** Stream-stream attribution join: purchase events matched to the
+    * view events that preceded them within `attributionWindow`, per
+    * user. Both sides carry watermarks and the join condition bounds
+    * the event-time distance, so each side's state is evicted once
+    * the watermark passes the bound — the state store holds a sliding
+    * window of events, not history. Returns one row per (view,
+    * purchase) pair inside the window. */
+  def attributionJoin(events: DataFrame,
+                      attributionWindow: String = "1 hour",
+                      watermark: String = "2 hours"): DataFrame = {
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("view_ts"),
+        col("event_id").as("view_id"))
+      .withWatermark("view_ts", watermark)
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"), col("value"))
+      .withWatermark("purchase_ts", watermark)
+    views.join(purchases,
+      col("v_user") === col("p_user") &&
+        col("purchase_ts") >= col("view_ts") &&
+        col("purchase_ts") <= col("view_ts") + expr(
+          s"INTERVAL $attributionWindow"))
+      .select(col("p_user").as("user_id"), col("view_id"),
+        col("purchase_id"), col("view_ts"), col("purchase_ts"),
+        col("value"))
+  }
+
+  /** Streaming benchmark decontamination: drop stream documents that
+    * share any k-word shingle with a STATIC eval corpus — the
+    * streaming twin of Decontam.decontaminate, restructured to be
+    * completely STATELESS (no watermark, no state store, no
+    * streaming aggregation): the eval set is reduced ONCE at plan
+    * construction — it is static and small by definition — to a
+    * Bloom filter plus its exact sorted hash set, both embedded as
+    * literals. Per document the probe is then map-side: a Bloom
+    * membership test per shingle (no false negatives), and only
+    * Bloom-flagged docs pay the exact merge-scan verify against the
+    * sorted set — so output is EXACTLY the clean subset, at Bloom
+    * speed. */
+  def decontaminateStream(docs: DataFrame, bench: DataFrame,
+                          idCol: String = "doc_id",
+                          textCol: String = "text",
+                          n: Int = 13,
+                          expectedBenchShingles: Long = 4000000L)
+      : DataFrame = {
+    val benchSh = graft.operators.Decontam
+      .shingleHashSet(bench, idCol, textCol, n)
+      .select(col("shingle_h")).distinct()
+    val bloomBytes = benchSh
+      .agg(graft.plans.BloomExpressions.bloomAgg(col("shingle_h"),
+        expectedBenchShingles).as("b"))
+      .head.getAs[Array[Byte]]("b")
+    val exactSorted: Array[Long] = benchSh.orderBy(col("shingle_h"))
+      .collect().map(_.getLong(0))
+    // shingleHashes returns the sorted distinct hash set per doc —
+    // directly merge-scannable against the sorted eval set
+    val sh = graft.plans.TextHashExpressions.shingleHashes(
+      graft.functions.wordTokens(col(textCol)), n)
+    val bloomHit = exists(col("__sh"),
+      s => graft.plans.BloomExpressions.mightContain(lit(bloomBytes), s))
+    val exactHit = graft.plans.FloatVectorExpressions
+      .sortedIntersectCount(col("__sh"), typedLit(exactSorted)) > 0
+    docs.withColumn("__sh", sh)
+      // && short-circuits in codegen: the exact verify only runs on
+      // Bloom-flagged docs (~3% false positives + true hits)
+      .filter(!(bloomHit && exactHit))
+      .drop("__sh")
+  }
+
+  /** Map-only streaming curation: quality gate, PII redaction,
+    * language guess and token count over a document stream. Every
+    * transform is a stateless column expression (the same ones the
+    * batch operators use), so the stream needs no watermark and
+    * scales with ingest parallelism alone. */
+  def curateStream(docs: DataFrame, textCol: String = "text",
+                   minWords: Int = 5,
+                   maxPunctRatio: Double = 0.25): DataFrame = {
+    import graft.operators.TextAnalysis
+    docs
+      .filter(TextAnalysis.qualityFilter(col(textCol), minWords,
+        maxPunctRatio))
+      .withColumn("lang_guess", TextAnalysis.langId(col(textCol)))
+      .withColumn("n_bpe_tokens",
+        TextAnalysis.bpeTokenCount(col(textCol)).cast("long"))
+      .withColumn(textCol, TextAnalysis.redactPii(col(textCol)))
+  }
+
   /** Output mode for the windowed agg sink. */
   val defaultOutputMode: OutputMode = OutputMode.Update()
 }

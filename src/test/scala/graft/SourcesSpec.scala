@@ -112,6 +112,29 @@ class SourcesSpec extends SparkSpec {
     assert(driveTwoIncrements(new MemoryDimSink) == expected)
   }
 
+  test("versioned sink: snapshot commits, time travel, vacuum") {
+    val sink = new graft.sources.VersionedParquetSink(
+      tmpDir("graft_vsink") + "/dim")
+    val expected = Seq(
+      (1L, "Berlin", true),
+      (2L, "Hamburg", false),
+      (2L, "München", true))
+    assert(driveTwoIncrements(sink) == expected)
+    // two commits → two immutable versions, manifest at the latest
+    assert(sink.versions == Seq(0L, 1L))
+    assert(sink.currentVersion.contains(1L))
+    // time travel: version 0 is the post-batch-1 dimension
+    val v0 = sink.loadVersion(spark, 0L)
+      .orderBy("kunde_id")
+      .select("kunde_id", "stadt", "is_current")
+      .as[(Long, String, Boolean)].collect().toSeq
+    assert(v0 == Seq((1L, "Berlin", true), (2L, "Hamburg", true)))
+    // vacuum drops superseded versions, keeps the current snapshot
+    sink.vacuum()
+    assert(sink.versions == Seq(1L))
+    assert(sink.load(spark).get.count() == 3)
+  }
+
   test("forPath falls back to parquet when no table format is present") {
     // no Delta/Iceberg jars ship in this environment
     assert(!DimSink.deltaAvailable)

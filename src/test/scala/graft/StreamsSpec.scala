@@ -133,6 +133,94 @@ class StreamsSpec extends SparkSpec {
       (2L, "view", true)))
   }
 
+  test("enrichWithScd2 joins each fact to its covering dim version") {
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq(
+      (1L, "v1", ts("2024-01-01 00:00:00"),
+        Some(ts("2024-01-01 01:00:00")), false),
+      (1L, "v2", ts("2024-01-01 01:00:00"), None, true))
+      .toDF("user_id", "ver", "valid_from", "valid_to", "is_current")
+    val mem = MemoryStream[Event]
+    mem.addData(
+      Event(1L, ts("2024-01-01 00:30:00"), 1L, "click", 1.0), // → v1
+      Event(2L, ts("2024-01-01 01:00:00"), 1L, "view", 1.0),  // boundary → v2
+      Event(3L, ts("2024-01-01 02:00:00"), 2L, "click", 1.0)) // no dim row
+    val q = Streams.enrichWithScd2(mem.toDF(), "user_id", "ts",
+      dim, "user_id")
+      .writeStream.format("memory").queryName("enrich_out")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val out = spark.table("enrich_out").orderBy("event_id")
+      .select("event_id", "ver").as[(Long, String)].collect().toSeq
+    assert(out == Seq((1L, "v1"), (2L, "v2")))
+  }
+
+  test("attributionJoin pairs purchases with in-window views only") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    mem.addData(
+      Event(1L, ts("2024-01-01 00:00:00"), 1L, "view", 0.0),
+      Event(2L, ts("2024-01-01 00:30:00"), 1L, "purchase", 9.0), // ← e1
+      Event(3L, ts("2024-01-01 03:00:00"), 1L, "purchase", 7.0), // too late
+      Event(4L, ts("2024-01-01 00:10:00"), 2L, "view", 0.0))     // other user
+    val q = Streams.attributionJoin(mem.toDF(), "1 hour")
+      .writeStream.format("memory").queryName("attr_out")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val out = spark.table("attr_out")
+      .select("view_id", "purchase_id").as[(Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 2L)))
+  }
+
+  test("decontaminateStream drops exactly the docs overlapping the eval set") {
+    implicit val sqlCtx = spark.sqlContext
+    case class Doc(doc_id: Long, text: String)
+    val bench = Seq(
+      (100L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val mem = MemoryStream[(Long, String)]
+    mem.addData(
+      (1L, "alpha beta gamma delta epsilon zeta"), // shares 4-shingles
+      (2L, "one two three four five six"),         // clean
+      (3L, "beta gamma delta epsilon prefix"))     // shares one shingle
+    val q = Streams.decontaminateStream(
+      mem.toDF().toDF("doc_id", "text"), bench, n = 4)
+      .writeStream.format("memory").queryName("decon_out")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val kept = spark.table("decon_out").select("doc_id")
+      .as[Long].collect().toSeq.sorted
+    assert(kept == Seq(2L))
+    // batch twin agrees
+    val batchKept = graft.operators.Decontam.decontaminate(
+      Seq((1L, "alpha beta gamma delta epsilon zeta"),
+        (2L, "one two three four five six"),
+        (3L, "beta gamma delta epsilon prefix")).toDF("doc_id", "text"),
+      bench, n = 4)
+      .select("doc_id").as[Long].collect().toSeq.sorted
+    assert(batchKept == kept)
+  }
+
+  test("curateStream gates quality, redacts PII and annotates") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    mem.addData(
+      (1L, "the quick brown fox jumps over the dog from user1@mail.example"),
+      (2L, "short"),                                  // < minWords → dropped
+      (3L, "!!! ??? ... !!! ??? ... !!! ??? wat"))    // punct-heavy → dropped
+    val q = Streams.curateStream(mem.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("curate_out")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val out = spark.table("curate_out")
+      .select("doc_id", "text", "lang_guess", "n_bpe_tokens")
+      .as[(Long, String, String, Long)].collect().toSeq
+    assert(out.map(_._1) == Seq(1L))
+    assert(out.head._2.contains("[EMAIL]") &&
+      !out.head._2.contains("user1@mail.example"))
+    assert(out.head._3 == "en")
+    assert(out.head._4 > 8L)
+  }
+
   test("streamingDedup drops duplicate keys within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
