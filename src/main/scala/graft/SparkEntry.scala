@@ -548,6 +548,13 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    "kmeans_assign" -> ((s, d) =>
+      // model-dependent output → rows-only in the driver compare; the
+      // ScalaTest oracle measures cluster/label agreement instead
+      Similarity.kmeansAssign(t(s, d, "embeddings"), k = 10, iters = 5)
+        .select(col("vec_id"), col("label"), col("cell"))
+        .orderBy(col("vec_id"))),
+
     "ann_ivf" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
       Similarity.ivfTopK(
@@ -594,6 +601,10 @@ object SparkEntry {
 
     "lang_id" -> ((s, d) =>
       TextAnalysis.langIdTable(t(s, d, "documents")).orderBy(col("doc_id"))),
+
+    "tfidf_topk" -> ((s, d) =>
+      TextAnalysis.tfidfTopK(t(s, d, "documents"), k = 3)
+        .orderBy(col("doc_id"), col("rank"))),
 
     "quality_score" -> ((s, d) =>
       TextAnalysis.qualityScore(t(s, d, "documents")).orderBy(col("doc_id"))),
@@ -1415,6 +1426,27 @@ object SparkEntry {
          FROM documents d JOIN cuts c ON d.lang = c.lang
          WHERE d.n_chars >= c.q_cutoff
          ORDER BY doc_id""",
+
+    "tfidf_topk" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(string_split_regex(trim(lower(text)),
+             '\s+')) AS term
+           FROM documents),
+         tf AS (SELECT doc_id, term, count(*) AS tf
+                FROM toks GROUP BY doc_id, term),
+         dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         n AS (SELECT count(*) AS n_docs FROM documents),
+         ranked AS (
+           SELECT tf.doc_id AS doc_id, tf.term AS term, tf.tf AS tf,
+                  dfr.df AS df,
+                  tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dfr.df) AS score,
+                  row_number() OVER (PARTITION BY tf.doc_id
+                    ORDER BY tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dfr.df)
+                      DESC, tf.term) AS rank
+           FROM tf JOIN dfr ON tf.term = dfr.term CROSS JOIN n)
+         SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, tf, df,
+                round(score, 6) AS tfidf
+         FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""",
 
     "lang_id" ->
       """WITH f AS (

@@ -57,20 +57,27 @@ object Dedup {
     * blocks). (idCol, n_segs, n_dup_segs, dup_frac).
     *
     * Scale design: segments reduce to 8-byte hashes before any
-    * shuffle; the corpus-wide frequency is a window over the hash
-    * (one shuffle), the per-doc rollup a second (partial-agg) one.
-    * Degenerate hot segments (empty lines in real corpora) should be
-    * filtered by a min-length predicate before counting. */
+    * shuffle, and every aggregation partial-aggregates map-side —
+    * deliberately NOT a count window over `seg_h`: a window puts
+    * every occurrence of a hot segment (empty lines, licence
+    * boilerplate — guaranteed in web corpora) on ONE reducer with no
+    * map-side combine. Here the hot segment contributes one row per
+    * task to the frequency shuffle, and the frequency⋈occurrence
+    * join is AQE-skew-splittable. */
   def segmentDupStats(docs: DataFrame, idCol: String = "doc_id",
                       textCol: String = "text", k: Int = 8): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("seg_h"))
     val segs = wordChunkSegments(docs, idCol, textCol, k)
       .select(col(idCol), xxhash64(col("seg")).as("seg_h"))
-    segs.withColumn("n", count(lit(1)).over(w))
+    // per-(doc, segment) occurrence counts: one partial-agged shuffle
+    val perDoc = segs.groupBy(col(idCol), col("seg_h"))
+      .agg(count(lit(1)).as("k"))
+    // corpus-wide frequency per segment: partial-agged, skew-immune
+    val freq = perDoc.groupBy(col("seg_h"))
+      .agg(sum(col("k")).as("n"))
+    perDoc.join(freq, "seg_h")
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_segs"),
-        sum(when(col("n") > 1, 1L).otherwise(0L)).as("n_dup_segs"))
+      .agg(sum(col("k")).as("n_segs"),
+        sum(when(col("n") > 1, col("k")).otherwise(0L)).as("n_dup_segs"))
       .withColumn("dup_frac",
         round(col("n_dup_segs").cast("double") / col("n_segs"), 6))
   }
@@ -87,13 +94,39 @@ object Dedup {
         wordTokens(col(textCol)), shingleWords, numHashes).as("sig"))
 
   /** Candidate pairs via LSH banding: hash each band of the
-    * signature, bucket-join docs sharing any (band, bucket). */
+    * signature, bucket-join docs sharing any (band, bucket).
+    *
+    * `maxBucket > 0` drops (band, bucket) groups larger than that
+    * before the self-join — a degenerate bucket of B members (mass-
+    * produced boilerplate: every member hashes a band identically)
+    * generates B² candidate pairs on one join key, and at web scale
+    * such buckets exist by construction. The cap is a documented
+    * approximation (pairs inside dropped buckets can still surface
+    * via their other bands) and the standard industrial guard. The
+    * oversized set is found by a partial-agged count (skew-immune)
+    * and is tiny by definition, so the guard itself is a broadcast
+    * anti-join — map-side. */
   def lshCandidates(sigs: DataFrame, idCol: String,
-                    bands: Int, rows: Int): DataFrame = {
-    val banded = sigs.select(col(idCol), posexplode(
+                    bands: Int, rows: Int, maxBucket: Int = 0): DataFrame = {
+    val banded0 = sigs.select(col(idCol), posexplode(
       transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(slice(col("sig"), b * rows + 1, lit(rows)), b)))
       .as(Seq("band", "bucket")))
+    val banded =
+      if (maxBucket <= 0) banded0
+      else {
+        // renamed guard columns: the oversized set derives from the
+        // SAME frame, and a using-columns self-anti-join would
+        // resolve both sides to one attribute (trivially true) and
+        // drop every row
+        val oversized = banded0.groupBy(col("band"), col("bucket"))
+          .agg(count(lit(1)).as("__n"))
+          .filter(col("__n") > maxBucket)
+          .select(col("band").as("__oband"), col("bucket").as("__obucket"))
+        banded0.join(broadcast(oversized),
+          col("band") === col("__oband") &&
+            col("bucket") === col("__obucket"), "left_anti")
+      }
     val a = banded.toDF("id_a", "band", "bucket")
     val b = banded.toDF("id_b", "band", "bucket")
     a.join(b, Seq("band", "bucket"))
@@ -107,9 +140,9 @@ object Dedup {
   def minhashLsh(docs: DataFrame, idCol: String = "doc_id",
                  textCol: String = "text", shingleWords: Int = 3,
                  numHashes: Int = 128, bands: Int = 32,
-                 threshold: Double = 0.8): DataFrame = {
+                 threshold: Double = 0.8, maxBucket: Int = 0): DataFrame = {
     val sigs = minhashSignatures(docs, idCol, textCol, shingleWords, numHashes)
-    val cands = lshCandidates(sigs, idCol, bands, numHashes / bands)
+    val cands = lshCandidates(sigs, idCol, bands, numHashes / bands, maxBucket)
     // verify on sorted hashed shingle sets: the merge-scan intersect
     // is one compiled pass per pair (vs hash-set array_intersect),
     // and jaccard is unchanged modulo 64-bit hash collisions
@@ -139,14 +172,30 @@ object Dedup {
 
   /** Near-dup pairs by SimHash: band the 64-bit fingerprint into 4
     * 16-bit chunks (pigeonhole: hamming ≤ 3 ⇒ some chunk equal),
-    * bucket-join, verify with bit_count(xor) ≤ maxHamming. */
+    * bucket-join, verify with bit_count(xor) ≤ maxHamming.
+    * `maxBucket` guards degenerate chunk buckets exactly as in
+    * `lshCandidates`. */
   def simhashPairs(docs: DataFrame, idCol: String = "doc_id",
-                   textCol: String = "text", maxHamming: Int = 3): DataFrame = {
+                   textCol: String = "text", maxHamming: Int = 3,
+                   maxBucket: Int = 0): DataFrame = {
     val fp = simhash(docs, idCol, textCol)
-    val chunked = fp.select(col(idCol), col("simhash"), posexplode(
+    val chunked0 = fp.select(col(idCol), col("simhash"), posexplode(
       array((0 until 4).map(i =>
         shiftright(col("simhash"), i * 16).bitwiseAND(lit(0xFFFFL))): _*))
       .as(Seq("chunk", "val")))
+    val chunked =
+      if (maxBucket <= 0) chunked0
+      else {
+        // renamed guard columns — see lshCandidates on the self-anti-
+        // join trap
+        val oversized = chunked0.groupBy(col("chunk"), col("val"))
+          .agg(count(lit(1)).as("__n"))
+          .filter(col("__n") > maxBucket)
+          .select(col("chunk").as("__ochunk"), col("val").as("__oval"))
+        chunked0.join(broadcast(oversized),
+          col("chunk") === col("__ochunk") &&
+            col("val") === col("__oval"), "left_anti")
+      }
     val a = chunked.toDF("id_a", "sim_a", "chunk", "val")
     val b = chunked.toDF("id_b", "sim_b", "chunk", "val")
     a.join(b, Seq("chunk", "val"))

@@ -84,8 +84,11 @@ object Similarity {
     * nlist × dims partial sums (map-side aggregated). At real scale
     * train on `sampleFraction` of the corpus — k-means quality needs
     * a sample, not the population. Initialization is deterministic
-    * (nlist rows with the smallest xxhash64(id)). Empty clusters
-    * keep their previous centroid. */
+    * farthest-first (greedy k-center) over a hash-ordered seed pool
+    * collected to the driver: seeds spread maximally, so two seeds
+    * can't land inside one tight cluster (the lowest-hash-init
+    * failure mode that merges true clusters and strands duplicate
+    * centroids). Empty clusters keep their previous centroid. */
   def trainIvfCentroids(corpus: DataFrame, nlist: Int, iters: Int = 3,
                         idCol: String = "vec_id",
                         vecCol: String = "embedding",
@@ -98,10 +101,33 @@ object Similarity {
     val train = (if (sampleFraction < 1.0)
       corpus.sample(withReplacement = false, sampleFraction, seed = 42)
     else corpus).select(col(idCol).as("__id"), col(vecCol).as("__v"))
-    var cents: Seq[Seq[Float]] = train
-      .orderBy(xxhash64(col("__id"))).limit(nlist)
+    // deterministic seed pool: the 8·nlist lowest-hash rows (model
+    // state — nlist×8 vectors on the driver, not data movement)
+    val pool: Array[Array[Double]] = train
+      .orderBy(xxhash64(col("__id")), col("__id")).limit(8 * nlist)
       .select(col("__v")).collect()
-      .map(r => normed(r.getSeq[Float](0).map(_.toDouble).toArray)).toSeq
+      .map(r => normed(r.getSeq[Float](0).map(_.toDouble).toArray)
+        .map(_.toDouble).toArray)
+    // greedy k-center: start at the lowest-hash row; repeatedly add
+    // the pool vector whose max cosine to the chosen set is smallest
+    // (farthest point on the sphere), ties broken by pool order
+    val chosen = scala.collection.mutable.ArrayBuffer(0)
+    val maxCos = Array.fill(pool.length)(Double.MinValue)
+    while (chosen.length < math.min(nlist, pool.length)) {
+      val last = pool(chosen.last)
+      var bestI = -1
+      var bestScore = Double.MaxValue
+      pool.indices.foreach { i =>
+        if (!chosen.contains(i)) {
+          val c = last.zip(pool(i)).map(p => p._1 * p._2).sum
+          if (c > maxCos(i)) maxCos(i) = c
+          if (maxCos(i) < bestScore) { bestScore = maxCos(i); bestI = i }
+        }
+      }
+      chosen += bestI
+    }
+    var cents: Seq[Seq[Float]] =
+      chosen.toSeq.map(i => normed(pool(i)).toSeq)
     val dims = cents.head.length
     var it = 0
     while (it < iters) {
@@ -164,6 +190,24 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"),
         round(col("cos"), 6).as("cosine"))
+  }
+
+  /** K-means topic/cluster assignment over an embedding column: the
+    * centroid model is trained once (spherical Lloyd, deterministic
+    * init — same trainer as the IVF index) and each vector maps to
+    * its nearest centroid with the compiled argmax-dot kernel. One
+    * map-side pass over the corpus at assignment time; at 100 TB the
+    * trainer runs on a sample (`sampleFraction`) while assignment
+    * covers everything. Returns the input plus `cell`. */
+  def kmeansAssign(corpus: DataFrame, k: Int, iters: Int = 5,
+                   idCol: String = "vec_id",
+                   vecCol: String = "embedding",
+                   sampleFraction: Double = 1.0): DataFrame = {
+    val cents = trainIvfCentroids(corpus, k, iters, idCol, vecCol,
+      sampleFraction)
+    corpus.withColumn("cell",
+      graft.plans.IvfExpressions.topCentroids(col(vecCol), cents, 1)(0)
+        .cast("int"))
   }
 
   /** Measured recall@k of an ANN result against the brute-force

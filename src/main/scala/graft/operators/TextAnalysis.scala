@@ -203,6 +203,36 @@ object TextAnalysis {
           .as("top_bigram_frac"))
   }
 
+  /** Top-k TF-IDF terms per document: term frequency × ln(N/df),
+    * ranked per doc (ties broken by term). The standard keyword-
+    * extraction / topic-signal primitive.
+    *
+    * Scale design: tf is one partial-agged shuffle of (doc, word)
+    * hashes' worth of data; df reduces the tf relation again
+    * (partial-agged, skew-immune — a stopword contributes one row
+    * per task); N attaches as a broadcast one-row scalar, never a
+    * driver count(). The per-doc ranking windows over doc partitions
+    * only. */
+  def tfidfTopK(docs: DataFrame, idCol: String = "doc_id",
+                textCol: String = "text", k: Int = 3): DataFrame = {
+    val tf = docs
+      .select(col(idCol), explode(wordTokens(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.groupBy().agg(count(lit(1)).as("__n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol))
+      .orderBy(col("__score").desc, col("term"))
+    tf.join(df, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("__score", col("tf") * log(col("__n") / col("df")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("rank"), col("term"), col("tf"), col("df"),
+        round(col("__score"), 6).as("tfidf"))
+  }
+
   /** Language-ID applied over a documents table. */
   def langIdTable(docs: DataFrame, idCol: String = "doc_id",
                   textCol: String = "text"): DataFrame =

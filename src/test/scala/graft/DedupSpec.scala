@@ -63,6 +63,28 @@ class DedupSpec extends SparkSpec {
     assert(pairs.map(r => (r.getLong(0), r.getLong(1))).contains((0L, 1L)))
   }
 
+  test("maxBucket cap drops degenerate buckets, keeps ordinary pairs") {
+    // 20 identical boilerplate docs → every band bucket has 20
+    // members (190 pairs each); the planted near-dup pair is
+    // unrelated text in its own buckets
+    val boiler = (100L until 120L).map(i => (i, "mass produced " +
+      "boilerplate licence text repeated verbatim across the corpus"))
+    val all = docs.union(boiler.toDF("doc_id", "text"))
+    val capped = Dedup.minhashLsh(all, threshold = 0.5, maxBucket = 10)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(capped.contains((0L, 1L)))
+    assert(!capped.exists(p => p._1 >= 100L && p._2 >= 100L))
+    // uncapped, the boilerplate clique is present
+    val open = Dedup.minhashLsh(all, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(open.contains((100L, 101L)))
+    // same guard on the simhash path
+    val simCapped = Dedup.simhashPairs(all, maxHamming = 10,
+      maxBucket = 10)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(!simCapped.exists(p => p._1 >= 100L && p._2 >= 100L))
+  }
+
   test("ngramJaccard finds near-dup with correct score") {
     val out = Dedup.ngramJaccard(docs, threshold = 0.3)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap

@@ -63,6 +63,33 @@ class SimilaritySpec extends SparkSpec {
     assert(all == exact)
   }
 
+  test("kmeansAssign separates planted clusters; deterministic on testdata") {
+    // three well-separated directions, a few vectors around each
+    // (the testdata embeddings are label-uncorrelated noise, so the
+    // separation property is asserted on planted clusters)
+    val planted = (0 until 30).map { i =>
+      val axis = i % 3
+      val v = Array.fill(8)(0.01f * ((i * 7) % 5))
+      v(axis) = 1f
+      (i.toLong, v)
+    }.toDF("vec_id", "embedding")
+    val out = Similarity.kmeansAssign(planted, k = 3, iters = 5)
+      .select("vec_id", "cell").as[(Long, Int)].collect().toMap
+    // vectors of one axis always share a cell, different axes never do
+    val cellsByAxis = (0 until 30).groupBy(_ % 3)
+      .view.mapValues(_.map(i => out(i.toLong)).toSet).toMap
+    assert(cellsByAxis.values.forall(_.size == 1))
+    assert(cellsByAxis.values.toSet.size == 3)
+    // deterministic under repartitioning on real testdata (hash-based
+    // init; assignment is a pure function of the trained model)
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val o1 = Similarity.kmeansAssign(emb, k = 10, iters = 3)
+      .select("vec_id", "cell")
+    val o2 = Similarity.kmeansAssign(emb.repartition(7), k = 10, iters = 3)
+      .select("vec_id", "cell")
+    assert(o1.except(o2).isEmpty && o2.except(o1).isEmpty)
+  }
+
   test("ivf centroids are deterministic, normalized, and cover cells") {
     val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val c1 = Similarity.trainIvfCentroids(emb, nlist = 8, iters = 2)

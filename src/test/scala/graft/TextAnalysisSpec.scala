@@ -21,6 +21,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(math.abs(deKept / de - 0.5) < 0.1, s"de rate ${deKept / de}")
   }
 
+  test("tfidfTopK ranks rare repeated terms above common ones") {
+    val docs = Seq(
+      (0L, "spark spark spark common"),
+      (1L, "common other words here"),
+      (2L, "common entirely different things")
+    ).toDF("doc_id", "text")
+    val top = TextAnalysis.tfidfTopK(docs, k = 2)
+      .orderBy("doc_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    // doc 0: "spark" (tf=3, df=1) far outranks "common" (df=3, idf=0)
+    assert(top.head == (0L, 1L, "spark"))
+    // "common" appears in every doc → idf = ln(1) = 0 → never top
+    // unless nothing else is available
+    val doc0 = top.filter(_._1 == 0L).map(_._3)
+    assert(doc0.contains("spark") && doc0.last == "common")
+  }
+
   test("langId picks the profile with most stopword hits") {
     val docs = Seq(
       (0L, "the cat and the dog is of to the house"),
