@@ -606,6 +606,14 @@ object SparkEntry {
       TextAnalysis.tfidfTopK(t(s, d, "documents"), k = 3)
         .orderBy(col("doc_id"), col("rank"))),
 
+    "corpus_stats" -> ((s, d) =>
+      TextAnalysis.corpusStats(t(s, d, "documents"))
+        .orderBy(col("source"))),
+
+    "group_centroids" -> ((s, d) =>
+      Similarity.groupCentroids(t(s, d, "embeddings"), "label")
+        .orderBy(col("label"), col("dim"))),
+
     "quality_score" -> ((s, d) =>
       TextAnalysis.qualityScore(t(s, d, "documents")).orderBy(col("doc_id"))),
 
@@ -1447,6 +1455,27 @@ object SparkEntry {
          SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, tf, df,
                 round(score, 6) AS tfidf
          FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""",
+
+    "corpus_stats" ->
+      """SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(len(text)) AS BIGINT) AS n_chars,
+           CAST(sum(len(string_split_regex(trim(lower(text)), '\s+')))
+             AS BIGINT) AS n_words,
+           count(DISTINCT lang) AS n_langs,
+           round(CAST(sum(CAST(len(text) AS DECIMAL(28,6))) AS DOUBLE)
+             / count(*), 6) AS mean_chars
+         FROM documents GROUP BY source ORDER BY source""",
+
+    "group_centroids" ->
+      """SELECT label, dim, count(*) AS n,
+           round(CAST(sum(CAST(CAST(x AS DOUBLE) AS DECIMAL(28,10)))
+             AS DOUBLE) / count(*), 6) AS centroid
+         FROM (
+           SELECT label, unnest(embedding) AS x,
+                  generate_subscripts(embedding, 1) AS dim
+           FROM embeddings)
+         GROUP BY label, dim ORDER BY label, dim""",
 
     "lang_id" ->
       """WITH f AS (

@@ -210,6 +210,25 @@ object Similarity {
         .cast("int"))
   }
 
+  /** Per-group embedding centroids as (group, dim, n, centroid)
+    * rows — the vector-aggregation primitive behind class prototypes,
+    * source drift monitoring and IVF-style seeding from labels.
+    *
+    * Scale design: posexplode fans each vector into (dim, value)
+    * rows that partial-aggregate map-side, so the shuffle carries
+    * |groups|·dims partial sums per task — never vectors. Sums run
+    * in DECIMAL (exact, order-independent) and divide once at the
+    * end, so centroids are bit-reproducible under any partitioning
+    * (a double sum would drift with aggregation order). */
+  def groupCentroids(emb: DataFrame, groupCol: String,
+                     vecCol: String = "embedding"): DataFrame =
+    emb.select(col(groupCol), posexplode(col(vecCol)).as(Seq("__p", "__x")))
+      .groupBy(col(groupCol), (col("__p") + 1).cast("long").as("dim"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("__x").cast("double").cast("decimal(28,10)")).as("__s"))
+      .select(col(groupCol), col("dim"), col("n"),
+        round(col("__s").cast("double") / col("n"), 6).as("centroid"))
+
   /** Measured recall@k of an ANN result against the brute-force
     * truth for the same queries: |ANN ∩ exact| / |exact|. */
   def recallAtK(ann: DataFrame, exact: DataFrame): Double = {

@@ -233,6 +233,27 @@ object TextAnalysis {
         round(col("__score"), 6).as("tfidf"))
   }
 
+  /** Dataset-card summary per source: the corpus-level aggregate a
+    * curation run reports (doc counts, size, token volume, language
+    * spread, quality means). ONE partial-agged pass over the corpus —
+    * every statistic is a map-side-combinable aggregate (sums in
+    * decimal for bit-reproducibility, distinct langs exact via
+    * count_distinct: language cardinality is tiny; swap in
+    * approx_count_distinct for unbounded dimensions). */
+  def corpusStats(docs: DataFrame, sourceCol: String = "source",
+                  langCol: String = "lang",
+                  textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    docs.groupBy(col(sourceCol))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(length(t).cast("long")).as("n_chars"),
+        sum(size(wordTokens(t)).cast("long")).as("n_words"),
+        count_distinct(col(langCol)).as("n_langs"),
+        round(sum(length(t).cast("decimal(28,6)")).cast("double") /
+          count(lit(1)), 6).as("mean_chars"))
+  }
+
   /** Language-ID applied over a documents table. */
   def langIdTable(docs: DataFrame, idCol: String = "doc_id",
                   textCol: String = "text"): DataFrame =

@@ -90,6 +90,19 @@ class SimilaritySpec extends SparkSpec {
     assert(o1.except(o2).isEmpty && o2.except(o1).isEmpty)
   }
 
+  test("groupCentroids: exact means, invariant to partitioning") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val a = Similarity.groupCentroids(emb, "label")
+    val b = Similarity.groupCentroids(emb.repartition(13), "label")
+    // decimal sums ⇒ bit-identical centroids on any partitioning
+    assert(a.except(b).isEmpty && b.except(a).isEmpty)
+    val one = a.filter(col("label") === 0 && col("dim") === 1).head
+    val expected = emb.filter(col("label") === 0)
+      .select(avg(element_at(col("embedding"), 1).cast("double")))
+      .head.getDouble(0)
+    assert(math.abs(one.getAs[Double]("centroid") - expected) < 1e-5)
+  }
+
   test("ivf centroids are deterministic, normalized, and cover cells") {
     val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val c1 = Similarity.trainIvfCentroids(emb, nlist = 8, iters = 2)
