@@ -28,18 +28,43 @@ object Clustering {
   def connectedComponents(vertices: DataFrame, edges: DataFrame,
                           maxIter: Int = 20,
                           localSolveMaxEdges: Long = 2000000L): DataFrame = {
-    val spark = vertices.sparkSession
-    // ckpt truncates lineage AND plan statistics: localCheckpoint
-    // alone carries the origin plan's BigInt size estimates into the
-    // new leaf, and in a self-joining loop those multiply per round
-    // until the driver stalls inside stats estimation (see
-    // GraftPlanReset).
-    def ckpt(df: DataFrame): DataFrame =
-      org.apache.spark.sql.GraftPlanReset.freshLeaf(
-        df.localCheckpoint(eager = true))
     val sym = ckpt(edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct())
+    componentsOnSym(vertices, sym, maxIter, localSolveMaxEdges)
+  }
+
+  /** Connected components where the vertex set IS the edge-touched
+    * set: vertices are derived from the (checkpointed, symmetrized)
+    * edge relation instead of being recomputed from whatever
+    * expensive pipeline produced the pairs. `dupClusters` was
+    * re-running its whole pair generator (LSH signatures, bucket
+    * join, verify) a second time just to list the endpoint ids. */
+  def connectedComponentsFromEdges(edges: DataFrame,
+                                   maxIter: Int = 20,
+                                   localSolveMaxEdges: Long = 2000000L)
+      : DataFrame = {
+    val sym = ckpt(edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct())
+    // endpoints read the checkpointed RDD, not the pair pipeline
+    val touched = sym.select(col("src").as("id")).distinct()
+    componentsOnSym(touched, sym, maxIter, localSolveMaxEdges)
+  }
+
+  // ckpt truncates lineage AND plan statistics: localCheckpoint
+  // alone carries the origin plan's BigInt size estimates into the
+  // new leaf, and in a self-joining loop those multiply per round
+  // until the driver stalls inside stats estimation (see
+  // GraftPlanReset).
+  private def ckpt(df: DataFrame): DataFrame =
+    org.apache.spark.sql.GraftPlanReset.freshLeaf(
+      df.localCheckpoint(eager = true))
+
+  private def componentsOnSym(vertices: DataFrame, sym: DataFrame,
+                              maxIter: Int,
+                              localSolveMaxEdges: Long): DataFrame = {
+    val spark = vertices.sparkSession
     val edgeCount = sym.count()
     // Endgame fast path, gated by the edge count just measured (no
     // extra job): a near-dup pair graph is a vanishing fraction of
@@ -191,9 +216,9 @@ object Clustering {
   def dupClusters(ids: DataFrame, idCol: String,
                   pairs: DataFrame): DataFrame = {
     val e = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-    val touched = e.select(col("src").as("id"))
-      .union(e.select(col("dst").as("id"))).distinct()
-    val cc = connectedComponents(touched, e)
+    // the vertex set comes from the CHECKPOINTED edge relation — the
+    // pair generator (often a whole LSH pipeline) runs exactly once
+    val cc = connectedComponentsFromEdges(e)
     ids.select(col(idCol).as("id"))
       .join(cc, Seq("id"), "left")
       .select(col("id").as(idCol),
