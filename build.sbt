@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify contract is "print ONE JSON line": sbt's default
+// LoggedOutput strategy prefixes forked-process stdout with "[info] "
+// and appends a "[success] Total time" line, both of which break a
+// line-oriented JSON parser reading our output. Pass stdout through
+// raw and drop the success banner.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Compile / run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

