@@ -351,6 +351,44 @@ object SparkEntry {
         t(s, d, "lineitem"))
         .withColumn("o_orderdate", ntz(col("o_orderdate")))),
 
+    "q2_min_cost" -> ((s, d) =>
+      Analytics.q2MinCostSupplier(t(s, d, "part"), t(s, d, "supplier"),
+        t(s, d, "lineitem"))),
+
+    "q4_order_priority" -> ((s, d) =>
+      Analytics.q4OrderPriority(t(s, d, "orders"), t(s, d, "lineitem"))),
+
+    "q11_revenue_share" -> ((s, d) =>
+      Analytics.q11RevenueShare(t(s, d, "supplier"), t(s, d, "lineitem"))),
+
+    "q17_small_quantity" -> ((s, d) =>
+      Analytics.q17SmallQuantity(t(s, d, "part"), t(s, d, "lineitem"))),
+
+    "q21_late_suppliers" -> ((s, d) =>
+      Analytics.q21LateSuppliers(t(s, d, "supplier"), t(s, d, "orders"),
+        t(s, d, "lineitem"))),
+
+    "q22_idle_customers" -> ((s, d) =>
+      Analytics.q22IdleCustomers(t(s, d, "customer"), t(s, d, "orders"))),
+
+    "moving_window" -> ((s, d) =>
+      Analytics.movingWindow(t(s, d, "events"))
+        .withColumn("ts", ntz(col("ts")))
+        .orderBy(col("user_id"), col("event_id"))),
+
+    "ntile_bands" -> ((s, d) =>
+      Analytics.ntileBands(t(s, d, "orders"))),
+
+    "set_reconcile" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val mid = lit("2024-01-16").cast("timestamp")
+      Analytics.setReconcile(
+        ev.filter(col("ts") < mid).select(col("user_id")),
+        ev.filter(col("ts") >= mid).select(col("user_id")),
+        "h1_only", "h2_only")
+        .orderBy(col("cohort"), col("user_id"))
+    }),
+
     "topk_per_group" -> ((s, d) =>
       Analytics.topKPerGroup(t(s, d, "orders"), Seq("o_custkey"),
         Seq(col("o_totalprice").desc, col("o_orderkey").asc), 3)
@@ -1067,6 +1105,129 @@ object SparkEntry {
          JOIN big ON o_orderkey = l_orderkey
          JOIN customer ON c_custkey = o_custkey
          ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""",
+
+    "q2_min_cost" ->
+      """WITH minp AS (
+           SELECT l_partkey AS mp_partkey, MIN(l_extendedprice) AS min_price
+           FROM lineitem GROUP BY 1),
+         best AS (
+           SELECT l.l_partkey, m.min_price, MIN(l.l_suppkey) AS s_suppkey
+           FROM lineitem l JOIN minp m ON l.l_partkey = m.mp_partkey
+             AND l.l_extendedprice = m.min_price
+           GROUP BY 1, 2)
+         SELECT p.p_partkey, p.p_name, b.min_price, b.s_suppkey, s.s_name
+         FROM best b
+         JOIN part p ON b.l_partkey = p.p_partkey
+         JOIN supplier s ON b.s_suppkey = s.s_suppkey
+         ORDER BY p.p_partkey""",
+
+    "q4_order_priority" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_orders
+         FROM orders o
+         WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+           AND o.o_orderdate < TIMESTAMP '1996-04-01'
+           AND EXISTS (SELECT 1 FROM lineitem l
+             WHERE l.l_orderkey = o.o_orderkey
+               AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+         GROUP BY 1 ORDER BY 1""",
+
+    "q11_revenue_share" ->
+      """WITH per_supp AS (
+           SELECT l_suppkey,
+             CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+               AS DECIMAL(28,4))) AS DOUBLE) AS revenue
+           FROM lineitem GROUP BY 1),
+         tot AS (
+           SELECT CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+             AS DECIMAL(28,4))) AS DOUBLE) AS total_rev
+           FROM lineitem)
+         SELECT s.s_suppkey, s.s_name, p.revenue
+         FROM per_supp p, tot, supplier s
+         WHERE p.revenue > tot.total_rev * 0.002
+           AND p.l_suppkey = s.s_suppkey
+         ORDER BY p.revenue DESC, s.s_suppkey""",
+
+    "q17_small_quantity" ->
+      """WITH li AS (
+           SELECT l.l_partkey, l.l_quantity, l.l_extendedprice
+           FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+           WHERE p.p_brand = 'Brand#23'),
+         lim AS (
+           SELECT l_partkey AS lp_partkey,
+                  SUM(l_quantity) / COUNT(*) * 0.2 AS qty_limit
+           FROM li GROUP BY 1)
+         SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,4)))
+                  AS DOUBLE) / 7.0 AS avg_yearly
+         FROM li JOIN lim ON li.l_partkey = lim.lp_partkey
+         WHERE li.l_quantity < lim.qty_limit""",
+
+    "q21_late_suppliers" ->
+      """WITH per_order AS (
+           SELECT l.l_orderkey,
+                  COUNT(DISTINCT l.l_suppkey) AS n_supp,
+                  COUNT(DISTINCT CASE WHEN l.l_shipdate >
+                    o.o_orderdate + INTERVAL 60 DAY
+                    THEN l.l_suppkey END) AS n_late,
+                  MIN(CASE WHEN l.l_shipdate >
+                    o.o_orderdate + INTERVAL 60 DAY
+                    THEN l.l_suppkey END) AS late_supp
+           FROM lineitem l
+           JOIN orders o ON l.l_orderkey = o.o_orderkey
+             AND o.o_orderstatus = 'F'
+           GROUP BY 1)
+         SELECT s.s_suppkey, s.s_name, COUNT(*) AS numwait
+         FROM per_order p JOIN supplier s ON p.late_supp = s.s_suppkey
+         WHERE p.n_supp > 1 AND p.n_late = 1
+         GROUP BY 1, 2
+         ORDER BY numwait DESC, s.s_suppkey LIMIT 10""",
+
+    "q22_idle_customers" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_cust,
+         CAST(SUM(CAST(c_acctbal AS DECIMAL(28,4))) AS DOUBLE)
+           AS total_bal
+         FROM customer c
+         WHERE c.c_acctbal > (
+             SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(28,4)))
+               AS DOUBLE) / COUNT(*)
+             FROM customer WHERE c_acctbal > 0)
+           AND NOT EXISTS (SELECT 1 FROM orders o
+             WHERE o.o_custkey = c.c_custkey)
+         GROUP BY 1 ORDER BY 1""",
+
+    "moving_window" ->
+      """SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+         COUNT(*) OVER w AS n_trailing,
+         CAST(SUM(CAST(value AS DECIMAL(28,6))) OVER w AS DOUBLE)
+           AS sum_trailing
+         FROM events
+         WINDOW w AS (PARTITION BY user_id
+           ORDER BY epoch_us(CAST(ts AS TIMESTAMP))
+           RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+         ORDER BY user_id, event_id""",
+
+    "ntile_bands" ->
+      """SELECT o_orderpriority, band, COUNT(*) AS n_orders,
+         MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+         FROM (SELECT o_orderpriority, o_totalprice,
+                 CAST(ntile(10) OVER (PARTITION BY o_orderpriority
+                   ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS band
+               FROM orders)
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "set_reconcile" ->
+      """WITH h1 AS (SELECT user_id FROM events
+                     WHERE ts < TIMESTAMP '2024-01-16'),
+         h2 AS (SELECT user_id FROM events
+                WHERE ts >= TIMESTAMP '2024-01-16')
+         SELECT user_id, 'both' AS cohort
+           FROM (SELECT user_id FROM h1 INTERSECT SELECT user_id FROM h2)
+         UNION ALL
+         SELECT user_id, 'h1_only' AS cohort
+           FROM (SELECT user_id FROM h1 EXCEPT SELECT user_id FROM h2)
+         UNION ALL
+         SELECT user_id, 'h2_only' AS cohort
+           FROM (SELECT user_id FROM h2 EXCEPT SELECT user_id FROM h1)
+         ORDER BY cohort, user_id""",
 
     "percentiles" ->
       """SELECT o_orderpriority,

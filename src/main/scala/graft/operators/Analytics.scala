@@ -247,4 +247,193 @@ object Analytics {
       .agg(count(lit(1)))
       .na.fill(0L, types)
       .orderBy(col("user_id"))
+
+  // ---------------------------------------------------------------
+  // Correlated-subquery / set-operation shapes (TPC-H Q2/Q4/Q11/
+  // Q17/Q21/Q22 analogues over this schema). Each is written as the
+  // decorrelated plan Catalyst would want: the correlated subquery
+  // becomes a keyed aggregate joined back (shuffle on the key, partial
+  // aggregation map-side), never a per-row re-scan.
+  // ---------------------------------------------------------------
+
+  /** TPC-H Q2 shape — min-per-group join-back: for each part, the
+    * supplier row achieving the minimum observed price (min suppkey on
+    * ties). The per-part minimum is a partial-agged shuffle on
+    * l_partkey; the join-back reuses the same key so AQE can co-plan
+    * both shuffles. part/supplier join in for names — part shuffles
+    * (it scales with SF), supplier broadcasts (bounded dim). */
+  def q2MinCostSupplier(part: DataFrame, supplier: DataFrame,
+                        lineitem: DataFrame): DataFrame = {
+    val li = lineitem.select(col("l_partkey"), col("l_suppkey"),
+      col("l_extendedprice"))
+    val minp = li.groupBy(col("l_partkey")).agg(
+      min(col("l_extendedprice")).as("min_price"))
+      .withColumnRenamed("l_partkey", "mp_partkey")
+    val best = li
+      .join(minp, col("l_partkey") === col("mp_partkey") &&
+        col("l_extendedprice") === col("min_price"))
+      .groupBy(col("l_partkey"), col("min_price"))
+      .agg(min(col("l_suppkey")).as("s_suppkey"))
+    best
+      .join(part, col("l_partkey") === col("p_partkey"))
+      .join(broadcast(supplier), "s_suppkey")
+      .select(col("p_partkey"), col("p_name"), col("min_price"),
+        col("s_suppkey"), col("s_name"))
+      .orderBy(col("p_partkey"))
+  }
+
+  /** TPC-H Q4 shape — EXISTS as a left-semi join with a residual
+    * non-equi predicate: orders in a window that have at least one
+    * line shipped more than `lateDays` after the order date. The equi
+    * part (orderkey) drives the shuffle; the range predicate rides
+    * along as the join residual — no pair blow-up, no second pass. */
+  def q4OrderPriority(orders: DataFrame, lineitem: DataFrame,
+                      start: String = "1996-01-01",
+                      end: String = "1996-04-01",
+                      lateDays: Int = 30): DataFrame =
+    orders
+      .filter(col("o_orderdate") >= lit(start).cast("timestamp") &&
+        col("o_orderdate") < lit(end).cast("timestamp"))
+      .join(lineitem.select(col("l_orderkey"), col("l_shipdate")),
+        col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr(s"INTERVAL $lateDays DAYS"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("o_orderpriority"))
+
+  /** TPC-H Q11 shape — global-total scalar threshold: suppliers whose
+    * revenue exceeds `fraction` of total revenue. The total is one
+    * partial-agged scalar broadcast against the per-supplier rollup —
+    * the "scalar subquery" costs one extra reduce, not a re-scan. */
+  def q11RevenueShare(supplier: DataFrame, lineitem: DataFrame,
+                      fraction: Double = 0.002): DataFrame = {
+    val revExpr = dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+    val perSupp = lineitem.groupBy(col("l_suppkey"))
+      .agg(revExpr.as("revenue"))
+    val total = lineitem.agg(revExpr.as("total_rev"))
+    perSupp
+      .crossJoin(broadcast(total))
+      .filter(col("revenue") > col("total_rev") * fraction)
+      .join(broadcast(supplier), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("revenue"))
+      .orderBy(col("revenue").desc, col("s_suppkey"))
+  }
+
+  /** TPC-H Q17 shape — correlated per-group average: revenue impact of
+    * small-quantity lines for one brand. The correlated
+    * `avg(l_quantity) per part` decorrelates into a keyed aggregate
+    * joined back on l_partkey; the brand-filtered part list broadcasts
+    * (a filtered dim). Quantities are integer-valued doubles, so the
+    * average is order-independent without a decimal detour. */
+  def q17SmallQuantity(part: DataFrame, lineitem: DataFrame,
+                       brand: String = "Brand#23"): DataFrame = {
+    val pk = broadcast(
+      part.filter(col("p_brand") === brand).select(col("p_partkey")))
+    val li = lineitem
+      .join(pk, col("l_partkey") === col("p_partkey"))
+      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+    val lim = li.groupBy(col("l_partkey"))
+      .agg((sum(col("l_quantity")) / count(lit(1)) * 0.2).as("qty_limit"))
+      .withColumnRenamed("l_partkey", "lp_partkey")
+    li.join(lim, col("l_partkey") === col("lp_partkey"))
+      .filter(col("l_quantity") < col("qty_limit"))
+      .agg((dsum(col("l_extendedprice")) / 7.0).as("avg_yearly"))
+  }
+
+  /** TPC-H Q21 shape — the EXISTS/NOT-EXISTS pair ("another supplier
+    * in the order" / "no other supplier was late") reformulated as ONE
+    * order-grained aggregate: per order count distinct suppliers and
+    * distinct late suppliers, keep orders where exactly one supplier
+    * was late but others participated. One orders⋈lineitem shuffle +
+    * one aggregate replaces Q21's three lineitem self-joins — same
+    * rows, and at 100 TB two fewer passes over the fact table. */
+  def q21LateSuppliers(supplier: DataFrame, orders: DataFrame,
+                       lineitem: DataFrame, lateDays: Int = 60,
+                       topK: Int = 10): DataFrame = {
+    val o = orders.filter(col("o_orderstatus") === "F")
+      .select(col("o_orderkey"), col("o_orderdate"))
+    val l = lineitem.select(col("l_orderkey"), col("l_suppkey"),
+      col("l_shipdate"))
+    val perOrder = l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .withColumn("is_late",
+        col("l_shipdate") > col("o_orderdate") + expr(s"INTERVAL $lateDays DAYS"))
+      .groupBy(col("l_orderkey"))
+      .agg(
+        countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(when(col("is_late"), col("l_suppkey"))).as("n_late"),
+        min(when(col("is_late"), col("l_suppkey"))).as("late_supp"))
+      .filter(col("n_supp") > 1 && col("n_late") === 1)
+    perOrder.groupBy(col("late_supp"))
+      .agg(count(lit(1)).as("numwait"))
+      .join(broadcast(supplier), col("late_supp") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("numwait"))
+      .orderBy(col("numwait").desc, col("s_suppkey"))
+      .limit(topK)
+  }
+
+  /** TPC-H Q22 shape — scalar-average gate + anti-join: customers
+    * with above-average balances and no orders, rolled up by segment.
+    * The average is one broadcast scalar (decimal-exact sum / count);
+    * the NOT EXISTS is a left-anti shuffle join on custkey. */
+  def q22IdleCustomers(customer: DataFrame, orders: DataFrame): DataFrame = {
+    val avgBal = customer.filter(col("c_acctbal") > 0)
+      .agg((sum(col("c_acctbal").cast("decimal(28,4)")).cast("double") /
+        count(lit(1))).as("avg_bal"))
+    customer
+      .crossJoin(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("avg_bal"))
+      .join(orders, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_cust"),
+        dsum(col("c_acctbal")).as("total_bal"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  /** Time-range sliding window — per-event trailing aggregate over the
+    * preceding hour (RANGE frame on event time). Hash-partitioned by
+    * user; each partition sorts once and the frame slides in O(n).
+    * The decimal inner sum keeps the running value order-exact. */
+  def movingWindow(events: DataFrame, seconds: Long = 3600): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts_us"))
+      .rangeBetween(-seconds * 1000000L, 0)
+    events
+      .withColumn("ts_us", unix_micros(col("ts")))
+      .select(col("user_id"), col("event_id"), col("ts"),
+        count(lit(1)).over(w).as("n_trailing"),
+        sum(col("value").cast("decimal(28,6)")).over(w)
+          .cast("double").as("sum_trailing"))
+      .drop("ts_us")
+  }
+
+  /** Distribution bands — ntile deciles within each order priority,
+    * summarized per band. The window sorts each priority partition
+    * once (unique tiebreak ⇒ deterministic band edges); the band
+    * summary is a partial-agged rollup. */
+  def ntileBands(orders: DataFrame, bands: Int = 10): DataFrame = {
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    orders
+      .select(col("o_orderpriority"), col("o_totalprice"),
+        ntile(bands).over(w).cast("long").as("band"))
+      .groupBy(col("o_orderpriority"), col("band"))
+      .agg(count(lit(1)).as("n_orders"),
+        min(col("o_totalprice")).as("lo"),
+        max(col("o_totalprice")).as("hi"))
+      .orderBy(col("o_orderpriority"), col("band"))
+  }
+
+  /** Set reconciliation — INTERSECT / EXCEPT between two keyed
+    * activity snapshots, tagged and unioned. Spark plans set ops as
+    * hash aggregates + joins on the full row, so each leg is one
+    * shuffle on the key — used here for cohort retention (both /
+    * left-only / right-only). */
+  def setReconcile(left: DataFrame, right: DataFrame,
+                   leftTag: String = "left_only",
+                   rightTag: String = "right_only"): DataFrame = {
+    val both = left.intersect(right).withColumn("cohort", lit("both"))
+    val l = left.except(right).withColumn("cohort", lit(leftTag))
+    val r = right.except(left).withColumn("cohort", lit(rightTag))
+    both.unionByName(l).unionByName(r)
+  }
 }
