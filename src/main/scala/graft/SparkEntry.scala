@@ -388,6 +388,47 @@ object SparkEntry {
         t(s, d, "lineitem"))
         .withColumn("o_orderdate", ntz(col("o_orderdate")))),
 
+    "scd2_deletes" -> ((s, d) => {
+      // full-snapshot CDC: users with no events in the second half of
+      // the month vanish from the snapshot → their current version
+      // closes. The other three quadrants (new/changed/unchanged)
+      // merge as usual.
+      val ev = t(s, d, "events")
+      val mid = lit("2024-01-15").cast("timestamp")
+      val dim = Scd.scd2FromHistory(ev.filter(col("ts") < mid),
+        Seq("user_id"), "ts", Seq("event_type"), Seq("event_id"))
+      val snap = Scd.latestPerKey(ev.filter(col("ts") >= mid),
+        Seq("user_id"), Seq(col("ts"), col("event_id")))
+        .select(col("user_id"), col("event_type"))
+      Scd.scd2ApplySnapshot(dim, snap, Seq("user_id"), Seq("event_type"),
+        batchTs)
+        .select(col("user_id"), col("event_type"),
+          ntz(col("valid_from")).as("valid_from"),
+          ntz(col("valid_to")).as("valid_to"), col("is_current"))
+        .orderBy(col("user_id"), col("valid_from"))
+    }),
+
+    "vocab_topk" -> ((s, d) =>
+      TextAnalysis.vocabTopK(t(s, d, "documents"), k = 20)),
+
+    "numeric_histogram" -> ((s, d) =>
+      Analytics.numericHistogram(t(s, d, "orders"), "o_totalprice")),
+
+    "compaction" -> ((s, d) => {
+      // maintenance op: fragment documents into 64 tiny files, compact
+      // back shuffle-free, and prove losslessness via the aggregate
+      // (the oracle computes it from the original table). The ScalaTest
+      // asserts the file-count contract; here the data contract.
+      val tmp = java.nio.file.Files.createTempDirectory("graft_compact")
+      val frag = tmp.resolve("frag").toString
+      t(s, d, "documents").repartition(64).write.mode("overwrite").parquet(frag)
+      Tables.compactFiles(s, frag, tmp.resolve("opt").toString)
+      s.read.parquet(tmp.resolve("opt").toString)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+        .orderBy(col("lang"))
+    }),
+
     "q2_min_cost" -> ((s, d) =>
       Analytics.q2MinCostSupplier(t(s, d, "part"), t(s, d, "supplier"),
         t(s, d, "lineitem"))),
@@ -1268,6 +1309,89 @@ object SparkEntry {
          SELECT user_id, 'h2_only' AS cohort
            FROM (SELECT user_id FROM h2 EXCEPT SELECT user_id FROM h1)
          ORDER BY cohort, user_id""",
+
+    "scd2_deletes" ->
+      """WITH h AS (
+           SELECT user_id, ts, event_id, event_type,
+                  lag(event_type) OVER w AS prev_et,
+                  lag(ts) OVER w AS prev_ts
+           FROM events WHERE ts < TIMESTAMP '2024-01-15'
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         starts AS (
+           SELECT * FROM h
+           WHERE prev_ts IS NULL OR event_type IS DISTINCT FROM prev_et),
+         dim AS (
+           SELECT user_id, event_type, ts AS valid_from,
+                  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                    AS valid_to,
+                  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                    IS NULL AS is_current
+           FROM starts),
+         snap AS (
+           SELECT user_id, event_type AS s_et FROM (
+             SELECT user_id, event_type,
+                    row_number() OVER (PARTITION BY user_id
+                      ORDER BY ts DESC, event_id DESC) AS rn
+             FROM events WHERE ts >= TIMESTAMP '2024-01-15')
+           WHERE rn = 1),
+         cur AS (SELECT * FROM dim WHERE is_current),
+         class AS (
+           SELECT s.user_id, s.s_et,
+                  CASE WHEN c.user_id IS NULL THEN 'new'
+                       WHEN s.s_et IS DISTINCT FROM c.event_type
+                         THEN 'changed'
+                       ELSE 'unchanged' END AS change_type
+           FROM snap s LEFT JOIN cur c ON s.user_id = c.user_id),
+         close_keys AS (
+           SELECT user_id FROM class WHERE change_type = 'changed'
+           UNION
+           SELECT c.user_id FROM cur c
+           WHERE NOT EXISTS (SELECT 1 FROM snap s
+             WHERE s.user_id = c.user_id)),
+         untouched AS (
+           SELECT * FROM dim d
+           WHERE NOT (d.is_current AND d.user_id IN
+             (SELECT user_id FROM close_keys))),
+         closed AS (
+           SELECT d.user_id, d.event_type, d.valid_from,
+                  TIMESTAMP '2026-01-01' AS valid_to, FALSE AS is_current
+           FROM dim d JOIN close_keys k ON d.user_id = k.user_id
+           WHERE d.is_current),
+         ins AS (
+           SELECT user_id, s_et AS event_type,
+                  TIMESTAMP '2026-01-01' AS valid_from,
+                  CAST(NULL AS TIMESTAMP) AS valid_to, TRUE AS is_current
+           FROM class WHERE change_type <> 'unchanged')
+         SELECT * FROM untouched
+         UNION ALL SELECT * FROM closed
+         UNION ALL SELECT * FROM ins
+         ORDER BY user_id, valid_from""",
+
+    "vocab_topk" ->
+      """SELECT term, COUNT(*) AS freq,
+                COUNT(DISTINCT doc_id) AS df
+         FROM (SELECT doc_id,
+                 unnest(string_split_regex(trim(lower(text)), '\s+'))
+                   AS term
+               FROM documents)
+         WHERE term <> ''
+         GROUP BY term ORDER BY freq DESC, term LIMIT 20""",
+
+    "numeric_histogram" ->
+      """WITH mm AS (
+           SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx
+           FROM orders)
+         SELECT CAST(floor((o_totalprice - mn) / (mx - mn) * 16)
+                  AS BIGINT) + 1 AS bucket,
+                COUNT(*) AS n_rows,
+                MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+         FROM orders, mm
+         GROUP BY 1 ORDER BY 1""",
+
+    "compaction" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+                CAST(SUM(n_chars) AS BIGINT) AS total_chars
+         FROM documents GROUP BY lang ORDER BY lang""",
 
     "percentiles" ->
       """SELECT o_orderpriority,

@@ -423,6 +423,29 @@ object Analytics {
       .orderBy(col("o_orderpriority"), col("band"))
   }
 
+  /** Numeric data profiling — equi-width histogram plus null
+    * accounting for one column, with the bucket edges derived from an
+    * in-plan min/max scalar (one tiny aggregate broadcast against the
+    * scan; no driver round-trip, no second pass with hardcoded
+    * edges). The bucket formula is written out explicitly
+    * (floor((v−mn)/(mx−mn)·n)+1, the width_bucket convention: v = mx
+    * lands in bucket n+1) so any engine computing the same IEEE
+    * expression buckets identically. */
+  def numericHistogram(df: DataFrame, valueCol: String,
+                       buckets: Int = 16): DataFrame = {
+    val mm = df.agg(min(col(valueCol)).as("mn"), max(col(valueCol)).as("mx"),
+      count(when(col(valueCol).isNull, 1)).as("n_nulls"))
+    df.crossJoin(broadcast(mm))
+      .select((floor((col(valueCol) - col("mn")) / (col("mx") - col("mn"))
+        * buckets) + 1L).as("bucket"),
+        col(valueCol), col("mn"), col("mx"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col(valueCol)).as("lo"),
+        max(col(valueCol)).as("hi"))
+      .orderBy(col("bucket"))
+  }
+
   /** Set reconciliation — INTERSECT / EXCEPT between two keyed
     * activity snapshots, tagged and unioned. Spark plans set ops as
     * hash aggregates + joins on the full row, so each leg is one

@@ -141,4 +141,42 @@ object Scd {
       .drop("__cur")
     untouched.unionByName(closed).unionByName(inserts)
   }
+
+  /** Full-snapshot SCD2 merge WITH delete detection — the fourth CDC
+    * quadrant the reference's incremental merge can't see (an
+    * incremental batch says nothing about keys it omits; a full
+    * snapshot does): keys present in the dimension but absent from
+    * the snapshot get their current version closed at `batchTs`,
+    * alongside the usual new/changed/unchanged handling.
+    *
+    * Plan shape: one key-partitioned classification join + one
+    * anti-join for deletes; all legs shuffle on the business key so
+    * AQE plans them as one exchange family. No driver-side counts. */
+  def scd2ApplySnapshot(dim: DataFrame, snapshot: DataFrame,
+                        key: Seq[String], attrs: Seq[String],
+                        batchTs: java.sql.Timestamp): DataFrame = {
+    val cur = scd2Current(dim)
+    val classified = changeDetect(snapshot, cur, key, attrs)
+    val deletedKeys = cur.select(key.map(col): _*)
+      .join(snapshot.select(key.map(col): _*), key, "left_anti")
+    val closeKeys = classified.filter(col("change_type") === "changed")
+      .select(key.map(col): _*)
+      .unionByName(deletedKeys)
+      .distinct()
+    val inserts = classified
+      .filter(col("change_type") =!= "unchanged")
+      .select((key.map(col) ++ attrs.map(col)): _*)
+      .withColumn("valid_from", lit(batchTs))
+      .withColumn("valid_to", lit(null).cast("timestamp"))
+      .withColumn("is_current", lit(true))
+    val closed = dim.join(closeKeys, key, "left_semi")
+      .filter(col("is_current"))
+      .withColumn("is_current", lit(false))
+      .withColumn("valid_to", lit(batchTs))
+    val untouched = dim.join(
+      closeKeys.withColumn("__cur", lit(true)), key, "left")
+      .filter(!(col("is_current") && col("__cur").isNotNull))
+      .drop("__cur")
+    untouched.unionByName(closed).unionByName(inserts)
+  }
 }

@@ -258,4 +258,23 @@ object TextAnalysis {
   def langIdTable(docs: DataFrame, idCol: String = "doc_id",
                   textCol: String = "text"): DataFrame =
     docs.select(col(idCol), langId(col(textCol)).as("lang_guess"))
+
+  /** Corpus vocabulary top-k — the tokenizer-training / vocab-audit
+    * pass: global term frequencies and document frequencies, top-k by
+    * frequency. The explode's output shrinks immediately into a
+    * partial-agged (term) rollup — the shuffle carries one row per
+    * distinct term per partition, and the global top-k is a
+    * TakeOrdered merge, never a full sort. For df, count_distinct on
+    * doc ids is exact; at open-web vocabulary sizes swap in
+    * approx_count_distinct. */
+  def vocabTopK(docs: DataFrame, k: Int = 20, idCol: String = "doc_id",
+                textCol: String = "text"): DataFrame =
+    docs
+      .select(col(idCol), explode(wordTokens(col(textCol))).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("freq"),
+        count_distinct(col(idCol)).as("df"))
+      .orderBy(col("freq").desc, col("term"))
+      .limit(k)
 }

@@ -157,6 +157,27 @@ object Tables {
       .option("pathGlobFilter", glob)
       .load(dir)
 
+  /** Small-file compaction — the OPTIMIZE half of lakehouse table
+    * maintenance: streaming/incremental writers leave thousands of
+    * KB-sized files whose per-file open/footer cost dominates scans.
+    * Rewrite a parquet directory into ceil(bytes/target) files via
+    * `coalesce` (a shuffle-free partition merge — compaction must not
+    * pay a full shuffle just to concatenate). Returns the file count
+    * written. Total input size comes from the filesystem listing —
+    * driver-side metadata, not data movement. */
+  def compactFiles(spark: SparkSession, inPath: String, outPath: String,
+                   targetFileBytes: Long = 128L * 1024 * 1024): Int = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(
+      new org.apache.hadoop.fs.Path(inPath)).getLength
+    val nFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+    spark.read.parquet(inPath).coalesce(nFiles)
+      .write.mode("overwrite").parquet(outPath)
+    fs.listStatus(new org.apache.hadoop.fs.Path(outPath))
+      .count(_.getPath.getName.endsWith(".parquet"))
+  }
+
   /** New-file detection: which candidate files are not yet ingested.
     * The reference lists blobs and pattern-matches client-side
     * (reference: notebooks/Mini-ETL-Pipeline in Databricks.py blob
