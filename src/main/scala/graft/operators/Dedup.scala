@@ -286,7 +286,7 @@ object Dedup {
     // and filter-pruned by the native PpjoinPairs kernel inside the
     // same stage (no join, no materialized all-pairs intermediate)
     val cands = prefix
-      .repartition(docs.sparkSession.sparkContext.defaultParallelism * 4,
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism,
         col("g"))
       .groupBy(col("g"))
       .agg(collect_list(struct(col("__id"), col("sz"), col("pos"))).as("xs"))

@@ -41,6 +41,26 @@ class ScdSpec extends SparkSpec {
     assert(dim.filter(_.getLong(0) == 2L).length == 1)
   }
 
+  test("scd2ApplySnapshot closes versions for keys missing from the snapshot") {
+    val dim = Scd.scd2FromHistory(history, Seq("k"), "t", Seq("attr"))
+    // snapshot: k1 unchanged ('C'), k3 new, k2 ABSENT → delete
+    val snap = Seq((1L, "C"), (3L, "N")).toDF("k", "attr")
+    val t0 = ts("2024-02-01 00:00:00")
+    val out = Scd.scd2ApplySnapshot(dim, snap, Seq("k"), Seq("attr"), t0)
+      .orderBy("k", "valid_from").collect()
+    // k1: 3 untouched versions; k2: X closed at t0, no new version;
+    // k3: N opened at t0
+    assert(out.length == 5)
+    val k2 = out.filter(_.getLong(0) == 2L)
+    assert(k2.length == 1)
+    assert(!k2(0).getAs[Boolean]("is_current"))
+    assert(k2(0).getAs[java.sql.Timestamp]("valid_to") == t0)
+    val k3 = out.filter(_.getLong(0) == 3L)
+    assert(k3.length == 1 && k3(0).getAs[Boolean]("is_current") &&
+      k3(0).getAs[java.sql.Timestamp]("valid_from") == t0)
+    assert(out.count(_.getAs[Boolean]("is_current")) == 2) // k1 'C', k3 'N'
+  }
+
   test("scd2Merge applies a batch like the reference MERGE") {
     val dim = Scd.scd2FromHistory(history, Seq("k"), "t", Seq("attr"))
     val batch = Seq((1L, "C"), (2L, "Y"), (3L, "N")).toDF("k", "attr")

@@ -140,4 +140,23 @@ class SourcesSpec extends SparkSpec {
     assert(!DimSink.deltaAvailable)
     assert(DimSink.forPath("/tmp/x").isInstanceOf[ParquetDimSink])
   }
+
+  test("compactFiles merges small files without losing rows") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_compact_spec")
+    val frag = tmp.resolve("frag").toString
+    val opt = tmp.resolve("opt").toString
+    val df = (1 to 1000).map(i => (i.toLong, s"row$i")).toDF("id", "v")
+    df.repartition(32).write.parquet(frag)
+    val fragFiles = new java.io.File(frag).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(fragFiles == 32)
+    // generous target → everything fits one file
+    val n = Tables.compactFiles(spark, frag, opt)
+    assert(n == 1)
+    val back = spark.read.parquet(opt)
+    assert(back.count() == 1000)
+    assert(back.agg(org.apache.spark.sql.functions.sum("id"))
+      .head.getLong(0) == 500500L)
+  }
 }
