@@ -411,6 +411,10 @@ object SparkEntry {
     "vocab_topk" -> ((s, d) =>
       TextAnalysis.vocabTopK(t(s, d, "documents"), k = 20)),
 
+    "text_normalize" -> ((s, d) =>
+      TextAnalysis.normalizeText(t(s, d, "documents"))
+        .orderBy(col("doc_id"))),
+
     "numeric_histogram" -> ((s, d) =>
       Analytics.numericHistogram(t(s, d, "orders"), "o_totalprice")),
 
@@ -1376,6 +1380,12 @@ object SparkEntry {
                FROM documents)
          WHERE term <> ''
          GROUP BY term ORDER BY freq DESC, term LIMIT 20""",
+
+    "text_normalize" ->
+      """SELECT doc_id,
+           regexp_replace(trim(lower(nfc_normalize(text))),
+             '\s+', ' ', 'g') AS norm_text
+         FROM documents ORDER BY doc_id""",
 
     "numeric_histogram" ->
       """WITH mm AS (

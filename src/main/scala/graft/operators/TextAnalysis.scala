@@ -259,6 +259,20 @@ object TextAnalysis {
                   textCol: String = "text"): DataFrame =
     docs.select(col(idCol), langId(col(textCol)).as("lang_guess"))
 
+  /** Canonicalize text for dedup/fingerprinting: Unicode NFC (the
+    * codegen'd kernel — combining sequences and precomposed forms
+    * must hash identically), lower-case, trim, collapse runs of
+    * whitespace. Map-only; run this BEFORE any hash-based dedup
+    * family member or visually-identical documents land in different
+    * buckets. */
+  def normalizeText(docs: DataFrame, idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame =
+    docs.select(col(idCol),
+      regexp_replace(
+        trim(lower(graft.plans.TextHashExpressions.normalizeText(
+          col(textCol)))),
+        "\\s+", " ").as("norm_text"))
+
   /** Corpus vocabulary top-k — the tokenizer-training / vocab-audit
     * pass: global term frequencies and document frequencies, top-k by
     * frequency. The explode's output shrinks immediately into a

@@ -57,6 +57,16 @@ object GraftFunctions {
       arity("graft_srp_buckets", args, 3)
       SrpBuckets(args(0), intLit("graft_srp_buckets", args(1)),
         intLit("graft_srp_buckets", args(2)))
+    },
+    "graft_normalize_text" -> { args =>
+      arity("graft_normalize_text", args, 2)
+      val nfkc = args(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(b,
+          org.apache.spark.sql.types.BooleanType) => b.asInstanceOf[Boolean]
+        case other => throw new IllegalArgumentException(
+          s"graft_normalize_text expects a boolean literal nfkc flag, got $other")
+      }
+      NormalizeText(args(0), nfkc)
     })
 
   def info(name: String): ExpressionInfo =

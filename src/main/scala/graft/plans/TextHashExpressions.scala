@@ -216,6 +216,21 @@ object TextHash {
     }
     if (w == hs.length) hs else java.util.Arrays.copyOf(hs, w)
   }
+
+  /** Unicode normalization (NFC, or NFKC when `nfkc`) of one UTF-8
+    * string. Dedup/fingerprint pipelines must canonicalize before
+    * hashing — visually identical strings (é as U+00E9 vs e+U+0301)
+    * otherwise hash apart. Fast path: already-normalized input
+    * (virtually all real text, and anything pure-ASCII) is returned
+    * as-is, zero-copy — the quick-check makes the common case a scan,
+    * not an allocation. */
+  def normalizeText(u: UTF8String, nfkc: Boolean): UTF8String = {
+    val form = if (nfkc) java.text.Normalizer.Form.NFKC
+               else java.text.Normalizer.Form.NFC
+    val s = u.toString
+    if (java.text.Normalizer.isNormalized(s, form)) u
+    else UTF8String.fromString(java.text.Normalizer.normalize(s, form))
+  }
 }
 
 private[plans] trait LongArrayResult { self: Expression =>
@@ -318,6 +333,29 @@ case class SimHash64(child: Expression)
   * quadratic pass per bucket — the declarative explode+filter HOF
   * formulation runs the same pair space through interpreted lambdas.
   */
+/** Unicode normalization as a codegen'd scalar — see
+  * TextHash.normalizeText. */
+case class NormalizeText(child: Expression, nfkc: Boolean)
+  extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"normalize_text expects string, got ${other.simpleString}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextHash.normalizeText(input.asInstanceOf[UTF8String], nfkc)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.TextHash.normalizeText($c, $nfkc)")
+
+  override protected def withNewChildInternal(newChild: Expression): NormalizeText =
+    copy(child = newChild)
+}
+
 case class PpjoinPairs(child: Expression, threshold: Double)
   extends UnaryExpression {
 
@@ -369,4 +407,9 @@ object TextHashExpressions {
   def ppjoinPairs(postings: Column, threshold: Double): Column =
     GraftColumnShim.column(PpjoinPairs(
       GraftColumnShim.expression(postings), threshold))
+
+  /** Unicode NFC/NFKC normalization of a string column. */
+  def normalizeText(text: Column, nfkc: Boolean = false): Column =
+    GraftColumnShim.column(NormalizeText(
+      GraftColumnShim.expression(text), nfkc))
 }

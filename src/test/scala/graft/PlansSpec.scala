@@ -145,4 +145,37 @@ class PlansSpec extends SparkSpec {
     assert(out(1).isNullAt(0))
     assert(out(2).getDouble(0) == 0.0)
   }
+
+  test("NormalizeText canonicalizes combining sequences") {
+    import spark.implicits._
+    import graft.plans.TextHashExpressions.normalizeText
+    val precomposed = "café"            // é as U+00E9
+    val combining = "café"             // e + COMBINING ACUTE
+    val df = Seq(
+      (1L, combining), (2L, precomposed),
+      (3L, "plain ascii"), (4L, "ﬁne")  // ﬁ ligature (NFKC-only)
+    ).toDF("id", "t")
+    val nfc = df.select(col("id"), normalizeText(col("t")).as("n"))
+      .orderBy("id").as[(Long, String)].collect()
+    // NFC: combining → precomposed; ascii untouched; ligature kept
+    assert(nfc(0)._2 == precomposed)
+    assert(nfc(1)._2 == precomposed)
+    assert(nfc(2)._2 == "plain ascii")
+    assert(nfc(3)._2 == "ﬁne")
+    val nfkc = df.select(col("id"), normalizeText(col("t"), nfkc = true).as("n"))
+      .orderBy("id").as[(Long, String)].collect()
+    assert(nfkc(3)._2 == "fine") // NFKC folds the ligature
+    // identical hash after normalization — the dedup motivation
+    val hashes = df.select(
+      org.apache.spark.sql.functions.xxhash64(normalizeText(col("t"))))
+      .collect().map(_.getLong(0))
+    assert(hashes(0) == hashes(1))
+    // SQL function surface
+    org.apache.spark.sql.GraftSqlFunctions.register(spark)
+    df.createOrReplaceTempView("norm_in")
+    val viaSql = spark.sql(
+      "SELECT graft_normalize_text(t, false) FROM norm_in WHERE id = 1")
+      .head.getString(0)
+    assert(viaSql == precomposed)
+  }
 }
