@@ -461,6 +461,9 @@ object SparkEntry {
     "ntile_bands" -> ((s, d) =>
       Analytics.ntileBands(t(s, d, "orders"))),
 
+    "rank_features" -> ((s, d) =>
+      Analytics.rankFeatures(t(s, d, "orders"))),
+
     "set_reconcile" -> ((s, d) => {
       val ev = t(s, d, "events")
       val mid = lit("2024-01-16").cast("timestamp")
@@ -1298,6 +1301,16 @@ object SparkEntry {
                    ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS band
                FROM orders)
          GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "rank_features" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice,
+           CAST(dense_rank() OVER w AS BIGINT) AS drank,
+           round(percent_rank() OVER w, 9) AS prank,
+           round(cume_dist() OVER w, 9) AS cdist
+         FROM orders
+         WINDOW w AS (PARTITION BY o_orderpriority
+           ORDER BY o_totalprice, o_orderkey)
+         ORDER BY o_orderpriority, o_orderkey""",
 
     "set_reconcile" ->
       """WITH h1 AS (SELECT user_id FROM events

@@ -446,6 +446,22 @@ object Analytics {
       .orderBy(col("bucket"))
   }
 
+  /** Rank-feature family over one window: dense_rank, percent_rank
+    * and cume_dist per partition — the normalized-rank features
+    * quality-gating and curriculum-ordering pipelines attach to each
+    * row. One sort per partition serves all three functions (they
+    * share the window frame). */
+  def rankFeatures(orders: DataFrame): DataFrame = {
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    orders.select(
+      col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"),
+      dense_rank().over(w).cast("long").as("drank"),
+      round(percent_rank().over(w), 9).as("prank"),
+      round(cume_dist().over(w), 9).as("cdist"))
+      .orderBy(col("o_orderpriority"), col("o_orderkey"))
+  }
+
   /** Set reconciliation — INTERSECT / EXCEPT between two keyed
     * activity snapshots, tagged and unioned. Spark plans set ops as
     * hash aggregates + joins on the full row, so each leg is one
