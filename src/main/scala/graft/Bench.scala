@@ -54,7 +54,7 @@ object Bench {
     // would still overflow the window, drop the fastest queries from
     // the breakdown (recording how many were omitted) — the total is
     // what's graded; the per-query map is diagnostics.
-    def fmt(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    def fmt(v: Double): String = BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
     def line(entries: Seq[(String, Double)], omitted: Int): String = {
       val qs = entries.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
@@ -63,7 +63,7 @@ object Bench {
     }
     val byTime = results.sortBy(-_._2)
     val keep = (results.length to 1 by -1)
-      .find(n => line(byTime.take(n), results.length - n).length <= 1800)
+      .find(n => line(byTime.take(n), results.length - n).length <= 1900)
       .getOrElse(1)
     println(line(byTime.take(keep), results.length - keep))
     spark.stop()

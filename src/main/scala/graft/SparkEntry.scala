@@ -812,7 +812,10 @@ object SparkEntry {
         .select(col("media_id"), col("meta.width").as("width"),
           col("meta.height").as("height"),
           col("meta.n_bytes").as("n_bytes"))
-        .orderBy(col("media_id")))
+        .orderBy(col("media_id"))),
+
+    "mm_dedup" -> ((s, d) =>
+      Multimodal.payloadDedup(Multimodal.asMediaTable(t(s, d, "documents"))))
   )
 
   // ---------------------------------------------------------------
@@ -1926,6 +1929,11 @@ object SparkEntry {
          CAST(greatest(length(text) - 1, 0) // 1024 + 1 AS INTEGER)
            AS n_frames
          FROM documents ORDER BY media_id""",
+
+    "mm_dedup" ->
+      """SELECT md5(text) AS payload_md5, MIN(doc_id) AS keep_id,
+                COUNT(*) AS n_copies
+         FROM documents GROUP BY 1 ORDER BY keep_id""",
 
     // fixture-backed ingest entries: the oracle is the literal
     // expected relation (the fixtures are written by the query

@@ -125,4 +125,18 @@ object Multimodal {
       sequence(lit(0L), greatest(col("meta.n_bytes") - 1, lit(0L)),
         lit(stride.toLong)).as("frame_offsets"))
       .withColumn("n_frames", size(col("frame_offsets")))
+
+  /** Exact payload-level dedup: group by content digest, keep the
+    * min id. The digest is computed map-side so the shuffle carries
+    * (16-byte hash, id) — the binary payloads themselves NEVER move,
+    * which is the whole game when the payload column is 99% of row
+    * size at 100 TB. Collision risk at md5 width is negligible for
+    * dedup; swap in sha2 for adversarial settings. */
+  def payloadDedup(media: DataFrame): DataFrame =
+    media
+      .select(col("media_id"), md5(col("payload")).as("payload_md5"))
+      .groupBy(col("payload_md5"))
+      .agg(min(col("media_id")).as("keep_id"),
+        count(lit(1)).as("n_copies"))
+      .orderBy(col("keep_id"))
 }

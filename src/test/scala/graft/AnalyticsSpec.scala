@@ -40,4 +40,30 @@ class AnalyticsSpec extends SparkSpec {
     assert(one == many) // bit-identical, not just close
     assert(math.abs(one - 500050.0) < 1e-9)
   }
+
+  test("decorrelated subquery shapes plan as joins, not nested-loop re-scans") {
+    val d = "/root/testdata/sf0.001"
+    def tb(n: String) = graft.sources.Tables.load(spark, d, n)
+    def plan(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.executedPlan.toString
+    // Q4 shape: the EXISTS must be ONE semi join on the order key
+    val q4 = plan(Analytics.q4OrderPriority(tb("orders"), tb("lineitem")))
+    assert(q4.contains("LeftSemi"))
+    assert(!q4.contains("CartesianProduct"))
+    // Q17 shape: the per-part average is a keyed aggregate joined
+    // back; only the one-row scalar may broadcast-nested-loop
+    val q17 = plan(Analytics.q17SmallQuantity(tb("part"), tb("lineitem")))
+    assert(!q17.contains("CartesianProduct"))
+    // Q21 shape: single aggregate over one orders⋈lineitem join —
+    // no lineitem self-join
+    val q21 = plan(Analytics.q21LateSuppliers(tb("supplier"), tb("orders"),
+      tb("lineitem")))
+    assert(!q21.contains("CartesianProduct"))
+    assert(q21.sliding("Scan parquet".length)
+      .count(_ == "Scan parquet") <= 3) // lineitem+orders+supplier, once each
+    // Q11/Q22: the scalar gate is a broadcast of ONE row
+    val q22 = plan(Analytics.q22IdleCustomers(tb("customer"), tb("orders")))
+    assert(q22.contains("BroadcastNestedLoopJoin") ||
+      q22.contains("BroadcastExchange"))
+  }
 }
