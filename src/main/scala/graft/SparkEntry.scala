@@ -415,6 +415,12 @@ object SparkEntry {
       TextAnalysis.normalizeText(t(s, d, "documents"))
         .orderBy(col("doc_id"))),
 
+    // rows-only: Misra-Gries counts are order-dependent lower bounds
+    // (set membership of heavy hitters is what the sketch guarantees
+    // — asserted vs exact in TextAnalysisSpec)
+    "approx_topk" -> ((s, d) =>
+      TextAnalysis.approxVocabTopK(t(s, d, "documents"))),
+
     "numeric_histogram" -> ((s, d) =>
       Analytics.numericHistogram(t(s, d, "orders"), "o_totalprice")),
 

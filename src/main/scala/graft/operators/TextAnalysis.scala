@@ -259,6 +259,24 @@ object TextAnalysis {
                   textCol: String = "text"): DataFrame =
     docs.select(col(idCol), langId(col(textCol)).as("lang_guess"))
 
+  /** Approximate corpus top-k terms via the mergeable Misra-Gries
+    * summary (plans/ApproxTopKAggregate) — the sketch twin of
+    * `vocabTopK` for vocabularies too large to aggregate exactly:
+    * fixed `capacity` counters per partial, one map-side pass, no
+    * term shuffle at all (only capacity-sized summaries merge).
+    * Reported counts are lower bounds within n/(capacity+1) of
+    * truth; membership of true heavy hitters is guaranteed. */
+  def approxVocabTopK(docs: DataFrame, k: Int = 20, capacity: Int = 256,
+                      textCol: String = "text"): DataFrame =
+    docs
+      .select(explode(wordTokens(col(textCol))).as("term"))
+      .filter(col("term") =!= "")
+      .agg(graft.plans.ApproxTopKAggregate
+        .approxTopK(col("term"), k, capacity).as("top"))
+      .select(posexplode(col("top")).as(Seq("rank0", "t")))
+      .select((col("rank0") + 1).as("rank"), col("t.term").as("term"),
+        col("t.min_count").as("min_count"))
+
   /** Canonicalize text for dedup/fingerprinting: Unicode NFC (the
     * codegen'd kernel — combining sequences and precomposed forms
     * must hash identically), lower-case, trim, collapse runs of

@@ -58,6 +58,11 @@ object GraftFunctions {
       SrpBuckets(args(0), intLit("graft_srp_buckets", args(1)),
         intLit("graft_srp_buckets", args(2)))
     },
+    "graft_approx_topk" -> { args =>
+      arity("graft_approx_topk", args, 3)
+      ApproxTopKSummary(args(0), intLit("graft_approx_topk", args(1)),
+        intLit("graft_approx_topk", args(2)))
+    },
     "graft_normalize_text" -> { args =>
       arity("graft_normalize_text", args, 2)
       val nfkc = args(1) match {

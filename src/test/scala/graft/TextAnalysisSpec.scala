@@ -114,4 +114,34 @@ class TextAnalysisSpec extends SparkSpec {
     assert(fp(0L)._1 != fp(1L)._1) // order matters for rolling
     assert(fp(0L)._2 == fp(1L)._2) // bag hash ignores order
   }
+
+  test("approxVocabTopK honors the Misra-Gries guarantees vs exact counts") {
+    // skewed corpus: "hot0".."hot4" dominate a long tail
+    val rows = (0 until 5000).map { i =>
+      val w = if (i % 2 == 0) s"hot${i % 5}" else s"tail${i % 700}"
+      (i.toLong, w)
+    }
+    val docs = rows.toDF("doc_id", "text").repartition(13)
+    val n = rows.length.toLong
+    val cap = 64
+    val approx = TextAnalysis.approxVocabTopK(docs, k = 10, capacity = cap)
+      .collect().map(r => r.getAs[String]("term") -> r.getAs[Long]("min_count"))
+      .toMap
+    val exact = rows.groupBy(_._2).map { case (w, g) => w -> g.size.toLong }
+    // every true heavy hitter (freq > n/(cap+1)) must be reported
+    val bound = n / (cap + 1)
+    exact.filter(_._2 > bound).keys.foreach(w => assert(approx.contains(w), w))
+    // every reported count is a lower bound within n/(cap+1) of truth
+    approx.foreach { case (w, c) =>
+      assert(c <= exact(w), s"$w over-counted")
+      assert(exact(w) - c <= bound, s"$w under-counted past the bound")
+    }
+    // SQL surface returns the same summary shape
+    org.apache.spark.sql.GraftSqlFunctions.register(spark)
+    docs.createOrReplaceTempView("mg_in")
+    val viaSql = spark.sql(
+      s"SELECT graft_approx_topk(text, 10, $cap) FROM mg_in").head
+      .getSeq[org.apache.spark.sql.Row](0)
+    assert(viaSql.length == 10)
+  }
 }
