@@ -131,15 +131,25 @@ object Scd {
       .withColumn("is_current", lit(true))
     val changedKeys = classified.filter(col("change_type") === "changed")
       .select(key.map(col): _*).distinct()
-    val closed = dim.join(changedKeys, key, "left_semi")
-      .filter(col("is_current"))
-      .withColumn("is_current", lit(false))
-      .withColumn("valid_to", lit(batchTs))
-    val untouched = dim.join(
-      changedKeys.withColumn("__cur", lit(true)), key, "left")
-      .filter(!(col("is_current") && col("__cur").isNotNull))
+    closeAndUnion(dim, changedKeys, key, batchTs, inserts)
+  }
+
+  /** Shared close-versions leg: every dim row rides through ONE left
+    * join against the closing-key set, with the current version of a
+    * closing key rewritten in place (valid_to := batchTs, is_current
+    * := false). One pass over the dimension — closed and untouched
+    * rows were previously produced by separate semi/left joins, which
+    * recomputed the (window-built) dimension once per leg. */
+  private def closeAndUnion(dim: DataFrame, closeKeys: DataFrame,
+                            key: Seq[String], batchTs: java.sql.Timestamp,
+                            inserts: DataFrame): DataFrame = {
+    val closing = col("is_current") && col("__cur").isNotNull
+    dim.join(closeKeys.withColumn("__cur", lit(true)), key, "left")
+      .withColumn("valid_to", when(closing, lit(batchTs))
+        .otherwise(col("valid_to")))
+      .withColumn("is_current", col("is_current") && col("__cur").isNull)
       .drop("__cur")
-    untouched.unionByName(closed).unionByName(inserts)
+      .unionByName(inserts)
   }
 
   /** Full-snapshot SCD2 merge WITH delete detection — the fourth CDC
@@ -169,14 +179,6 @@ object Scd {
       .withColumn("valid_from", lit(batchTs))
       .withColumn("valid_to", lit(null).cast("timestamp"))
       .withColumn("is_current", lit(true))
-    val closed = dim.join(closeKeys, key, "left_semi")
-      .filter(col("is_current"))
-      .withColumn("is_current", lit(false))
-      .withColumn("valid_to", lit(batchTs))
-    val untouched = dim.join(
-      closeKeys.withColumn("__cur", lit(true)), key, "left")
-      .filter(!(col("is_current") && col("__cur").isNotNull))
-      .drop("__cur")
-    untouched.unionByName(closed).unionByName(inserts)
+    closeAndUnion(dim, closeKeys, key, batchTs, inserts)
   }
 }
