@@ -133,6 +133,28 @@ object Streams {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Windowed trending terms — the streaming twin of
+    * TextAnalysis.approxVocabTopK: per tumbling window, the custom
+    * mergeable Misra-Gries summary (graft.plans.ApproxTopKAggregate)
+    * runs as the streaming aggregate, so state per window is ONE
+    * capacity-bounded counter table no matter how many distinct
+    * terms flow through — an exact streaming top-k would hold every
+    * term ever seen in the window. Same sketch guarantees as batch:
+    * counts are lower bounds, heavy-hitter membership certain. */
+  def windowedTrendingTerms(docs: DataFrame, k: Int = 10,
+                            capacity: Int = 128,
+                            watermark: String = "2 hours",
+                            tsCol: String = "ts",
+                            textCol: String = "text"): DataFrame =
+    docs
+      .withWatermark(tsCol, watermark)
+      .select(col(tsCol), explode(graft.functions.wordTokens(col(textCol)))
+        .as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(window(col(tsCol), "1 hour").getField("start").as("win_start"))
+      .agg(graft.plans.ApproxTopKAggregate
+        .approxTopK(col("term"), k, capacity).as("top"))
+
   /** Incremental dimension maintenance from a stream: each
     * micro-batch runs the batch pipeline's stage + SCD merge against
     * the dimension held by `sink` and commits the new state — the

@@ -57,6 +57,27 @@ class StreamsSpec extends SparkSpec {
     assert(streamed == exact)
   }
 
+  test("windowedTrendingTerms surfaces heavy hitters per window") {
+    implicit val sqlCtx = spark.sqlContext
+    case class Doc(ts: java.sql.Timestamp, text: String)
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:05:00")
+    val t1 = java.sql.Timestamp.valueOf("2024-01-01 11:10:00")
+    val mem = MemoryStream[(java.sql.Timestamp, String)]
+    // window 1: "alpha" dominates; window 2: "beta" dominates
+    mem.addData((1 to 20).map(i => (t0, s"alpha filler$i")) ++
+      (1 to 20).map(i => (t1, s"beta other$i")): _*)
+    val q = Streams.windowedTrendingTerms(
+      mem.toDF().toDF("ts", "text"), k = 3, capacity = 32)
+      .writeStream.format("memory").queryName("trend_out")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val rows = spark.table("trend_out").orderBy("win_start")
+      .select(col("win_start"),
+        org.apache.spark.sql.functions.expr("top[0].term").as("top1"))
+      .as[(java.sql.Timestamp, String)].collect().toSeq
+    assert(rows.map(_._2) == Seq("alpha", "beta"))
+  }
+
   test("streamingScd1 keeps last-writer-wins state across batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
