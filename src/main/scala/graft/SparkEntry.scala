@@ -470,6 +470,9 @@ object SparkEntry {
     "rank_features" -> ((s, d) =>
       Analytics.rankFeatures(t(s, d, "orders"))),
 
+    "grouping_sets" -> ((s, d) =>
+      Analytics.groupingSetsAgg(t(s, d, "orders"))),
+
     "set_reconcile" -> ((s, d) => {
       val ev = t(s, d, "events")
       val mid = lit("2024-01-16").cast("timestamp")
@@ -1310,6 +1313,19 @@ object SparkEntry {
                    ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS band
                FROM orders)
          GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "grouping_sets" ->
+      """SELECT o_orderpriority, o_orderstatus,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE)
+             AS total_price,
+           CAST(GROUPING(o_orderpriority) * 2 + GROUPING(o_orderstatus)
+             AS BIGINT) AS gid
+         FROM orders
+         GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+           (o_orderpriority), ())
+         ORDER BY gid, o_orderpriority NULLS FIRST,
+           o_orderstatus NULLS FIRST""",
 
     "rank_features" ->
       """SELECT o_orderpriority, o_orderkey, o_totalprice,

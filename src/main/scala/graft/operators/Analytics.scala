@@ -308,13 +308,19 @@ object Analytics {
     * the "scalar subquery" costs one extra reduce, not a re-scan. */
   def q11RevenueShare(supplier: DataFrame, lineitem: DataFrame,
                       fraction: Double = 0.002): DataFrame = {
-    val revExpr = dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+    // keep the per-supplier sums in DECIMAL so the global total can
+    // be derived from them EXACTLY (decimal addition is associative):
+    // one scan + one tiny re-aggregate instead of two full scans of
+    // the fact table — and the shared partial-agg subplan lets Spark
+    // reuse the exchange if both branches do materialize.
     val perSupp = lineitem.groupBy(col("l_suppkey"))
-      .agg(revExpr.as("revenue"))
-    val total = lineitem.agg(revExpr.as("total_rev"))
+      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast("decimal(28,4)")).as("__rev_dec"))
+    val total = perSupp.agg(sum(col("__rev_dec")).as("__tot_dec"))
     perSupp
       .crossJoin(broadcast(total))
-      .filter(col("revenue") > col("total_rev") * fraction)
+      .withColumn("revenue", col("__rev_dec").cast("double"))
+      .filter(col("revenue") > col("__tot_dec").cast("double") * fraction)
       .join(broadcast(supplier), col("l_suppkey") === col("s_suppkey"))
       .select(col("s_suppkey"), col("s_name"), col("revenue"))
       .orderBy(col("revenue").desc, col("s_suppkey"))
@@ -445,6 +451,23 @@ object Analytics {
         max(col(valueCol)).as("hi"))
       .orderBy(col("bucket"))
   }
+
+  /** Arbitrary grouping sets — the general form behind rollup/cube:
+    * exactly the requested combinations ((priority, status),
+    * (priority), ()) in ONE pass (Spark expands the sets map-side;
+    * partial aggregation applies per set — no per-set re-scan). */
+  def groupingSetsAgg(orders: DataFrame): DataFrame =
+    orders
+      .groupingSets(
+        Seq(Seq(col("o_orderpriority"), col("o_orderstatus")),
+          Seq(col("o_orderpriority")), Seq()),
+        col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice")).as("total_price"),
+        (grouping(col("o_orderpriority")) * 2 +
+          grouping(col("o_orderstatus"))).cast("long").as("gid"))
+      .orderBy(col("gid"), col("o_orderpriority").asc_nulls_first,
+        col("o_orderstatus").asc_nulls_first)
 
   /** Rank-feature family over one window: dense_rank, percent_rank
     * and cume_dist per partition — the normalized-rank features
