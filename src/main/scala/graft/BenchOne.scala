@@ -24,17 +24,27 @@ object BenchOne {
     def run(df: org.apache.spark.sql.DataFrame): Long =
       df.queryExecution.toRdd.count()
     try run(SparkEntry.entry(spark)) catch { case _: Throwable => () }
+    // steady-state warm-up of THIS query at the smallest SF, so
+    // Janino/JIT compilation of its generated classes is excluded
+    // from the measured reps (same practice as Bench)
+    val warmDir = sfDir.replaceAll("sf[0-9.]+$", "sf0.001")
+    if (warmDir != sfDir && new java.io.File(warmDir).isDirectory)
+      try run(SparkEntry.queries(name)(spark, warmDir))
+      catch { case _: Throwable => () }
     if (sys.env.contains("EXPLAIN"))
       SparkEntry.queries(name)(spark, sfDir).explain("formatted")
     val reps = sys.env.getOrElse("REPS", "1").toInt
-    for (i <- 1 to reps) {
+    val times = (1 to reps).map { _ =>
       // drop persisted intermediates so later reps don't silently
       // reuse a cached plan fragment from an earlier identical run
       spark.sharedState.cacheManager.clearCache()
       val t0 = System.nanoTime()
       val n = run(SparkEntry.queries(name)(spark, sfDir))
-      println(f"[benchone] $name: $n rows in ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"[benchone] $name: $n rows in $dt%.2f s")
+      dt
     }
+    println(f"[benchone] median ${times.sorted.apply(times.length / 2)}%.3f s")
     spark.stop()
   }
 }
