@@ -388,6 +388,32 @@ object SparkEntry {
         t(s, d, "lineitem"))
         .withColumn("o_orderdate", ntz(col("o_orderdate")))),
 
+    "scd2_asof" -> ((s, d) =>
+      // time travel on the dimension itself: the org as it stood
+      // mid-month, reconstructed from version intervals — map-only
+      Scd.scd2AsOf(
+        Scd.scd2FromHistory(t(s, d, "events"), Seq("user_id"), "ts",
+          Seq("event_type"), Seq("event_id")),
+        java.sql.Timestamp.valueOf("2024-01-15 00:00:00"))
+        .select(col("user_id"), col("event_type"),
+          ntz(col("valid_from")).as("valid_from"))
+        .orderBy(col("user_id"))),
+
+    "schema_evolution" -> ((s, d) => {
+      // lakehouse schema drift: batch 2 adds a column; mergeSchema
+      // unifies on read, older rows null-filled
+      val tmp = java.nio.file.Files.createTempDirectory("graft_evo")
+      val p = tmp.resolve("tbl").toString
+      val s1 = s.range(0, 3).selectExpr("id", "CAST(id * 10 AS LONG) AS a")
+      s1.write.parquet(p + "/b=1")
+      val s2 = s.range(3, 5).selectExpr("id", "CAST(id * 10 AS LONG) AS a",
+        "concat('v', id) AS c")
+      s2.write.parquet(p + "/b=2")
+      s.read.option("mergeSchema", "true").parquet(p)
+        .select(col("id"), col("a"), col("c"))
+        .orderBy(col("id"))
+    }),
+
     "scd2_deletes" -> ((s, d) => {
       // full-snapshot CDC: users with no events in the second half of
       // the month vanish from the snapshot → their current version
@@ -1351,6 +1377,37 @@ object SparkEntry {
          SELECT user_id, 'h2_only' AS cohort
            FROM (SELECT user_id FROM h2 EXCEPT SELECT user_id FROM h1)
          ORDER BY cohort, user_id""",
+
+    "scd2_asof" ->
+      """WITH h AS (
+           SELECT user_id, ts, event_id, event_type,
+                  lag(event_type) OVER w AS prev_et,
+                  lag(ts) OVER w AS prev_ts
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         starts AS (
+           SELECT * FROM h
+           WHERE prev_ts IS NULL OR event_type IS DISTINCT FROM prev_et),
+         v AS (
+           SELECT user_id, event_type, ts AS valid_from,
+                  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                    AS valid_to
+           FROM starts)
+         SELECT user_id, event_type, valid_from
+         FROM v
+         WHERE valid_from <= TIMESTAMP '2024-01-15'
+           AND (valid_to IS NULL OR valid_to > TIMESTAMP '2024-01-15')
+         ORDER BY user_id""",
+
+    "schema_evolution" ->
+      """SELECT * FROM (VALUES
+           (CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(NULL AS VARCHAR)),
+           (CAST(1 AS BIGINT), CAST(10 AS BIGINT), CAST(NULL AS VARCHAR)),
+           (CAST(2 AS BIGINT), CAST(20 AS BIGINT), CAST(NULL AS VARCHAR)),
+           (CAST(3 AS BIGINT), CAST(30 AS BIGINT), 'v3'),
+           (CAST(4 AS BIGINT), CAST(40 AS BIGINT), 'v4'))
+         AS t(id, a, c)
+         ORDER BY id""",
 
     "scd2_deletes" ->
       """WITH h AS (

@@ -75,6 +75,14 @@ object Scd {
   def scd2Current(dim: DataFrame): DataFrame =
     dim.filter(col("is_current"))
 
+  /** Point-in-time slice: the dimension exactly as it stood at `ts` —
+    * the version whose [valid_from, valid_to) interval covers it.
+    * Map-only filter over the dimension (partition-prunable when the
+    * dim is stored partitioned on valid_from date). */
+  def scd2AsOf(dim: DataFrame, ts: java.sql.Timestamp): DataFrame =
+    dim.filter(col("valid_from") <= lit(ts) &&
+      (col("valid_to").isNull || col("valid_to") > lit(ts)))
+
   /** SCD1 upsert (last-writer-wins): apply `updates` onto `base` by
     * key — update matched rows' attrs, insert unmatched keys. The
     * reference's MERGE WHEN MATCHED UPDATE / NOT MATCHED INSERT with
