@@ -465,6 +465,22 @@ object SparkEntry {
         .orderBy(col("lang"))
     }),
 
+    "zorder_layout" -> ((s, d) => {
+      // layout maintenance: rewrite orders z-ordered on (custkey,
+      // totalprice) so 2-D box predicates prune files; the oracle
+      // proves content preservation, LayoutSpec proves the
+      // file-clustering quality
+      val tmp = java.nio.file.Files.createTempDirectory("graft_zorder")
+      val p = tmp.resolve("orders_z").toString
+      Tables.writeZOrdered(t(s, d, "orders"), p,
+        "o_custkey", "o_totalprice", nFiles = 8)
+      s.read.parquet(p)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          Analytics.dsum(col("o_totalprice")).as("total_price"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
     "q2_min_cost" -> ((s, d) =>
       Analytics.q2MinCostSupplier(t(s, d, "part"), t(s, d, "supplier"),
         t(s, d, "lineitem"))),
@@ -1497,6 +1513,12 @@ object SparkEntry {
       """SELECT lang, COUNT(*) AS n_docs,
                 CAST(SUM(n_chars) AS BIGINT) AS total_chars
          FROM documents GROUP BY lang ORDER BY lang""",
+
+    "zorder_layout" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_orders,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE)
+           AS total_price
+         FROM orders GROUP BY 1 ORDER BY 1""",
 
     "percentiles" ->
       """SELECT o_orderpriority,

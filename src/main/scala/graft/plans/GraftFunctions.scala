@@ -58,6 +58,10 @@ object GraftFunctions {
       SrpBuckets(args(0), intLit("graft_srp_buckets", args(1)),
         intLit("graft_srp_buckets", args(2)))
     },
+    "graft_zorder" -> { args =>
+      arity("graft_zorder", args, 2)
+      ZOrderValue(args(0), args(1))
+    },
     "graft_approx_topk" -> { args =>
       arity("graft_approx_topk", args, 3)
       ApproxTopKSummary(args(0), intLit("graft_approx_topk", args(1)),

@@ -157,6 +157,33 @@ object Tables {
       .option("pathGlobFilter", glob)
       .load(dir)
 
+  /** Z-ordered write — the OPTIMIZE ZORDER half of lakehouse layout
+    * maintenance: rank both columns into 2^16 equi-width buckets
+    * (edges from ONE tiny in-plan min/max aggregate), Morton-
+    * interleave the ranks (codegen'd kernel), then range-partition +
+    * sort by the z-value. Rows close in BOTH dimensions land in the
+    * same files, so parquet min/max stats prune 2-D box predicates
+    * at file and row-group granularity — a single-column sort only
+    * prunes on its leading column. */
+  def writeZOrdered(df: DataFrame, path: String,
+                    c1: String, c2: String, nFiles: Int): Unit = {
+    val mm = df.agg(
+      min(col(c1)).as("__mn1"), max(col(c1)).as("__mx1"),
+      min(col(c2)).as("__mn2"), max(col(c2)).as("__mx2"))
+    def rank(c: String, mn: String, mx: String) =
+      when(col(mx) === col(mn), lit(0L)).otherwise(
+        floor((col(c).cast("double") - col(mn)) /
+          (col(mx) - col(mn)) * 65535.0).cast("long"))
+    val cols = df.columns
+    df.crossJoin(broadcast(mm))
+      .withColumn("__z", graft.plans.ZOrderExpressions.zorder(
+        rank(c1, "__mn1", "__mx1"), rank(c2, "__mn2", "__mx2")))
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .select(cols.map(col): _*)
+      .write.mode("overwrite").parquet(path)
+  }
+
   /** Small-file compaction — the OPTIMIZE half of lakehouse table
     * maintenance: streaming/incremental writers leave thousands of
     * KB-sized files whose per-file open/footer cost dominates scans.

@@ -48,4 +48,50 @@ class LayoutSpec extends SparkSpec {
     val all = spark.read.parquet(path).inputFiles.length
     assert(read < all, s"scan read $read/$all files")
   }
+
+  test("z-order layout clusters 2-D boxes into few files") {
+    import spark.implicits._
+    // Morton kernel bit-exactness against a reference interleave
+    def ref(a: Long, b: Long): Long =
+      (0 until 16).map(i =>
+        (((a >> i) & 1L) << (2 * i)) | (((b >> i) & 1L) << (2 * i + 1)))
+        .reduce(_ | _)
+    for ((a, b) <- Seq((0L, 0L), (1L, 0L), (0L, 1L), (65535L, 65535L),
+        (12345L, 54321L), (70000L, -5L))) {
+      val clamped = (math.min(math.max(a, 0L), 65535L),
+        math.min(math.max(b, 0L), 65535L))
+      val got = graft.plans.ZOrder.interleave16(a, b)
+      assert(got == ref(clamped._1, clamped._2), s"($a,$b)")
+    }
+    // two independent uniform dimensions, written z-ordered vs
+    // single-column-sorted; a small 2-D box must touch far fewer
+    // files under z-order than under the lexicographic layout
+    val n = 40000
+    // full 200×200 grid: x and y genuinely independent
+    val df = (0 until n).map(i => (i.toLong, (i % 200).toLong,
+      (i / 200).toLong)).toDF("id", "x", "y")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_z_spec")
+    val zPath = tmp.resolve("z").toString
+    val lexPath = tmp.resolve("lex").toString
+    Tables.writeZOrdered(df, zPath, "x", "y", nFiles = 16)
+    df.repartitionByRange(16, col("x"), col("y"))
+      .sortWithinPartitions("x", "y")
+      .write.parquet(lexPath)
+    def filesTouched(path: String): Long = {
+      val q = spark.read.parquet(path)
+        .filter(col("x") >= 20 && col("x") < 40 &&
+          col("y") >= 20 && col("y") < 40)
+      q.select(org.apache.spark.sql.functions.input_file_name())
+        .distinct().count()
+    }
+    val zf = filesTouched(zPath)
+    val lf = filesTouched(lexPath)
+    // the box is 1% of the plane: z-order confines it to a corner of
+    // the curve; the lexicographic layout slices it across every
+    // x-range file
+    assert(zf < lf, s"z-order touched $zf files, lexicographic $lf")
+    assert(zf <= 8, s"z-order box spread over $zf of 16 files")
+    // content preserved
+    assert(spark.read.parquet(zPath).count() == n)
+  }
 }
