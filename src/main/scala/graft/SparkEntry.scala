@@ -515,6 +515,25 @@ object SparkEntry {
     "grouping_sets" -> ((s, d) =>
       Analytics.groupingSetsAgg(t(s, d, "orders"))),
 
+    "agg_maintain" -> ((s, d) => {
+      // incremental view maintenance: fold three yearly batches into
+      // the per-customer aggregate state — the final state must be
+      // bit-identical to a from-scratch group-by (the oracle)
+      val o = t(s, d, "orders")
+      val cut1 = lit("1997-01-01").cast("timestamp")
+      val cut2 = lit("1999-01-01").cast("timestamp")
+      val keys = Seq("o_custkey")
+      val s0 = Analytics.emptyCountSum(s, o, keys)
+      val s1 = Analytics.maintainCountSum(s0,
+        o.filter(col("o_orderdate") < cut1), keys, "o_totalprice")
+      val s2 = Analytics.maintainCountSum(s1,
+        o.filter(col("o_orderdate") >= cut1 && col("o_orderdate") < cut2),
+        keys, "o_totalprice")
+      val s3 = Analytics.maintainCountSum(s2,
+        o.filter(col("o_orderdate") >= cut2), keys, "o_totalprice")
+      Analytics.finalizeCountSum(s3).orderBy(col("o_custkey"))
+    }),
+
     "set_reconcile" -> ((s, d) => {
       val ev = t(s, d, "events")
       val mid = lit("2024-01-16").cast("timestamp")
@@ -597,6 +616,25 @@ object SparkEntry {
           col("o_orderkey").as("last_order_key"),
           col("o_totalprice").as("last_order_total"))
         .orderBy(col("event_id"))),
+
+    "asof_tolerance" -> ((s, d) => {
+      // forward as-of with a 48 h tolerance: each view's NEXT
+      // purchase by the same user, if it came within two days —
+      // matches outside the window null out (left-outer semantics)
+      val ev = t(s, d, "events")
+      Temporal.asOfJoinDirected(
+        ev.filter(col("event_type") === "view")
+          .select(col("event_id"), col("user_id"), col("ts")),
+        "user_id", "ts",
+        ev.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+            col("event_id").as("p_id")),
+        "p_user", "p_ts",
+        Seq("p_id"), forward = true, toleranceSeconds = 48L * 3600)
+        .select(col("event_id"), col("user_id"), ntz(col("ts")).as("ts"),
+          col("p_id").as("next_purchase_id"))
+        .orderBy(col("event_id"))
+    }),
 
     "dup_clusters" -> ((s, d) => {
       // the 100 TB path demonstrated end-to-end: pairs come from the
@@ -1369,6 +1407,12 @@ object SparkEntry {
          ORDER BY gid, o_orderpriority NULLS FIRST,
            o_orderstatus NULLS FIRST""",
 
+    "agg_maintain" ->
+      """SELECT o_custkey, COUNT(*) AS n_rows,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE)
+           AS total
+         FROM orders GROUP BY o_custkey ORDER BY o_custkey""",
+
     "rank_features" ->
       """SELECT o_orderpriority, o_orderkey, o_totalprice,
            CAST(dense_rank() OVER w AS BIGINT) AS drank,
@@ -1393,6 +1437,22 @@ object SparkEntry {
          SELECT user_id, 'h2_only' AS cohort
            FROM (SELECT user_id FROM h2 EXCEPT SELECT user_id FROM h1)
          ORDER BY cohort, user_id""",
+
+    "asof_tolerance" ->
+      """SELECT e.event_id, e.user_id, CAST(e.ts AS TIMESTAMP) AS ts,
+                p.p_id AS next_purchase_id
+         FROM events e
+         LEFT JOIN LATERAL (
+           SELECT e2.event_id AS p_id
+           FROM events e2
+           WHERE e2.event_type = 'purchase'
+             AND e2.user_id = e.user_id
+             AND e2.ts >= e.ts
+             AND e2.ts <= e.ts + INTERVAL 48 HOUR
+           ORDER BY e2.ts ASC, e2.event_id DESC LIMIT 1
+         ) p ON TRUE
+         WHERE e.event_type = 'view'
+         ORDER BY e.event_id""",
 
     "scd2_asof" ->
       """WITH h AS (

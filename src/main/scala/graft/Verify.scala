@@ -21,6 +21,13 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // a failed query must not "pass" against a stale dump from an
+        // earlier run when outDir is reused — remove any leftover
+        val dir = new java.io.File(s"$outDir/$name")
+        if (dir.isDirectory) {
+          dir.listFiles().foreach(_.delete()); dir.delete()
+          ()
+        }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -429,6 +429,41 @@ object Analytics {
       .orderBy(col("o_orderpriority"), col("band"))
   }
 
+  /** Incremental aggregate maintenance — fold a new batch into a
+    * maintained per-key (count, sum) state WITHOUT re-scanning
+    * history: at 100 TB the aggregate table is maintained, never
+    * recomputed. The batch collapses map-side to per-key partials
+    * first, so the full-outer merge shuffles only |keys| rows from
+    * each side; the sum state stays DECIMAL end-to-end, so the
+    * maintained result is bit-identical to a from-scratch aggregate
+    * regardless of how history was batched. Finalize for reporting
+    * with `finalizeCountSum`. */
+  def maintainCountSum(prev: DataFrame, batch: DataFrame,
+                       keys: Seq[String], valueCol: String): DataFrame = {
+    val b = batch.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("__b_n"),
+        sum(col(valueCol).cast("decimal(28,4)")).as("__b_sum"))
+    prev.join(b, keys, "full_outer")
+      .select(keys.map(col) ++ Seq(
+        (coalesce(col("n_rows"), lit(0L)) + coalesce(col("__b_n"), lit(0L)))
+          .as("n_rows"),
+        (coalesce(col("sum_state"), lit(0).cast("decimal(28,4)")) +
+          coalesce(col("__b_sum"), lit(0).cast("decimal(28,4)")))
+          .cast("decimal(28,4)").as("sum_state")): _*)
+  }
+
+  /** Empty maintained state for `maintainCountSum`. */
+  def emptyCountSum(spark: org.apache.spark.sql.SparkSession,
+                    template: DataFrame, keys: Seq[String]): DataFrame =
+    template.select(keys.map(col): _*).limit(0)
+      .withColumn("n_rows", lit(0L))
+      .withColumn("sum_state", lit(0).cast("decimal(28,4)"))
+
+  /** Reporting view of a maintained state: double-valued sum. */
+  def finalizeCountSum(state: DataFrame): DataFrame =
+    state.withColumn("total", col("sum_state").cast("double"))
+      .drop("sum_state")
+
   /** Numeric data profiling — equi-width histogram plus null
     * accounting for one column, with the bucket edges derived from an
     * in-plan min/max scalar (one tiny aggregate broadcast against the

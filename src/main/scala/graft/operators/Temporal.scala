@@ -24,25 +24,57 @@ object Temporal {
     * first. */
   def asOfJoin(left: DataFrame, leftKey: String, leftTs: String,
                right: DataFrame, rightKey: String, rightTs: String,
-               rightAttrs: Seq[String]): DataFrame = {
+               rightAttrs: Seq[String]): DataFrame =
+    asOfJoinDirected(left, leftKey, leftTs, right, rightKey, rightTs,
+      rightAttrs, forward = false, toleranceSeconds = -1L)
+
+  /** As-of join with direction and tolerance — still the union-merge
+    * single-shuffle plan:
+    *
+    *  - `forward = false`: latest right row with rightTs <= leftTs
+    *    (the classic backward as-of);
+    *  - `forward = true`: EARLIEST right row with rightTs >= leftTs
+    *    ("what happened next") — same merge, run over negated time;
+    *  - `toleranceSeconds >= 0`: matches further than the tolerance
+    *    from the left timestamp are nulled out (the match is kept
+    *    left-outer, like pandas merge_asof's tolerance).
+    */
+  def asOfJoinDirected(left: DataFrame, leftKey: String, leftTs: String,
+                       right: DataFrame, rightKey: String, rightTs: String,
+                       rightAttrs: Seq[String], forward: Boolean,
+                       toleranceSeconds: Long = -1L): DataFrame = {
     val leftCols = left.columns
-    val rstruct = struct(rightAttrs.map(col): _*)
+    // micros epoch for ordering/tolerance; the cast normalizes
+    // TIMESTAMP_NTZ inputs (session tz is UTC) — unix_micros alone
+    // rejects NTZ
+    def usOf(c: Column) = unix_micros(c.cast("timestamp"))
+    // the matched right timestamp rides along (field 0) so tolerance
+    // can compare it; equal-ts ties still break on the attr fields
+    val rstruct = struct((usOf(col(rightTs)).as("__rts") +:
+      rightAttrs.map(col)): _*)
     val r = right.select(col(rightKey).as("__k"),
-      col(rightTs).as("__t"), lit(0).as("__tag"), rstruct.as("__r"),
+      usOf(col(rightTs)).as("__us"), lit(0).as("__tag"),
+      rstruct.as("__r"),
       lit(null).cast(org.apache.spark.sql.types.StructType(
         left.schema.fields)).as("__l"))
-    val l = left.select(col(leftKey).as("__k"), col(leftTs).as("__t"),
-      lit(1).as("__tag"),
+    val l = left.select(col(leftKey).as("__k"),
+      usOf(col(leftTs)).as("__us"), lit(1).as("__tag"),
       lit(null).cast(r.schema("__r").dataType).as("__r"),
       struct(leftCols.map(col): _*).as("__l"))
+    val ord = if (forward) -col("__us") else col("__us")
     val w = Window.partitionBy("__k")
-      .orderBy(col("__t"), col("__tag"), col("__r"))
+      .orderBy(ord, col("__tag"), col("__r"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val gap = abs(col("__us") - col("__last.__rts"))
+    val withinTol =
+      if (toleranceSeconds < 0) col("__last").isNotNull
+      else col("__last").isNotNull && gap <= toleranceSeconds * 1000000L
     r.unionByName(l)
       .withColumn("__last", last(col("__r"), ignoreNulls = true).over(w))
       .filter(col("__tag") === 1)
       .select(leftCols.map(c => col(s"__l.$c").as(c)) ++
-        rightAttrs.map(a => col(s"__last.$a").as(a)): _*)
+        rightAttrs.map(a =>
+          when(withinTol, col(s"__last.$a")).otherwise(lit(null)).as(a)): _*)
   }
 
   /** Point-in-interval (range) join: enrich each fact with the
