@@ -515,6 +515,12 @@ object SparkEntry {
     "grouping_sets" -> ((s, d) =>
       Analytics.groupingSetsAgg(t(s, d, "orders"))),
 
+    "json_extract" -> ((s, d) =>
+      Analytics.jsonExtractAgg(t(s, d, "events"))),
+
+    "moment_stats" -> ((s, d) =>
+      Analytics.momentStats(t(s, d, "lineitem"))),
+
     "agg_maintain" -> ((s, d) => {
       // incremental view maintenance: fold three yearly batches into
       // the per-customer aggregate state — the final state must be
@@ -1406,6 +1412,37 @@ object SparkEntry {
            (o_orderpriority), ())
          ORDER BY gid, o_orderpriority NULLS FIRST,
            o_orderstatus NULLS FIRST""",
+
+    "json_extract" ->
+      """SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(MIN(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS min_k,
+           CAST(MAX(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS max_k
+         FROM events GROUP BY 1 ORDER BY 1""",
+
+    "moment_stats" ->
+      """WITH s AS (
+           SELECT l_returnflag, COUNT(*) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,6)))
+               AS DOUBLE) AS sx2,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE)
+               AS sy,
+             CAST(SUM(CAST(l_extendedprice * l_extendedprice
+               AS DECIMAL(38,6))) AS DOUBLE) AS sy2,
+             CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(38,6)))
+               AS DOUBLE) AS sxy
+           FROM lineitem GROUP BY 1)
+         SELECT l_returnflag, n,
+           round(sy / CAST(n AS DOUBLE), 6) AS mean_price,
+           round(sqrt((CAST(n AS DOUBLE) * sy2 - sy * sy)
+             / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1))), 6)
+             AS stddev_price,
+           round((CAST(n AS DOUBLE) * sxy - sx * sy)
+             / (sqrt(CAST(n AS DOUBLE) * sx2 - sx * sx)
+               * sqrt(CAST(n AS DOUBLE) * sy2 - sy * sy)), 6)
+             AS corr_qty_price
+         FROM s ORDER BY l_returnflag""",
 
     "agg_maintain" ->
       """SELECT o_custkey, COUNT(*) AS n_rows,

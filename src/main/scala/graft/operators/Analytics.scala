@@ -504,6 +504,52 @@ object Analytics {
       .orderBy(col("gid"), col("o_orderpriority").asc_nulls_first,
         col("o_orderstatus").asc_nulls_first)
 
+  /** Semi-structured column processing: parse a JSON string column
+    * with an EXPLICIT schema (`from_json` — schema inference over a
+    * JSON column means a second full scan at 100 TB) and aggregate
+    * the extracted field. The parse is map-side codegen; only the
+    * extracted scalars shuffle. */
+  def jsonExtractAgg(events: DataFrame, propsCol: String = "props"): DataFrame =
+    events
+      .withColumn("k",
+        from_json(col(propsCol), "k BIGINT", Map.empty[String, String])
+          .getField("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"))
+      .orderBy(col("event_type"))
+
+  /** Order-independent statistical moments: mean/variance/stddev/
+    * correlation derived from DECIMAL power sums, so results are
+    * bit-reproducible under any partitioning — the built-in
+    * `stddev`/`corr` stream updates in doubles and drifts with
+    * visit order, which can never hash-match an external oracle.
+    * The per-row squares/products are IEEE doubles (deterministic);
+    * only their SUMS need the decimal detour. */
+  def momentStats(lineitem: DataFrame): DataFrame = {
+    val x = col("l_quantity")
+    val y = col("l_extendedprice")
+    val sums = lineitem.groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(x.cast("decimal(28,4)")).cast("double").as("sx"),
+        sum((x * x).cast("decimal(38,6)")).cast("double").as("sx2"),
+        sum(y.cast("decimal(28,4)")).cast("double").as("sy"),
+        sum((y * y).cast("decimal(38,6)")).cast("double").as("sy2"),
+        sum((x * y).cast("decimal(38,6)")).cast("double").as("sxy"))
+    val n = col("n").cast("double")
+    sums.select(col("l_returnflag"), col("n"),
+      round(col("sy") / n, 6).as("mean_price"),
+      round(sqrt((n * col("sy2") - col("sy") * col("sy"))
+        / (n * (n - 1))), 6).as("stddev_price"),
+      round((n * col("sxy") - col("sx") * col("sy"))
+        / (sqrt(n * col("sx2") - col("sx") * col("sx"))
+          * sqrt(n * col("sy2") - col("sy") * col("sy"))), 6)
+        .as("corr_qty_price"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** Rank-feature family over one window: dense_rank, percent_rank
     * and cume_dist per partition — the normalized-rank features
     * quality-gating and curriculum-ordering pipelines attach to each
