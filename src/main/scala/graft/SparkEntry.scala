@@ -518,6 +518,18 @@ object SparkEntry {
     "json_extract" -> ((s, d) =>
       Analytics.jsonExtractAgg(t(s, d, "events"))),
 
+    "unpivot_long" -> ((s, d) => {
+      // reshape completeness: melt the pivoted wide table back to
+      // long form — unpivot(pivot(x)) recovers the per-(user, type)
+      // counts the oracle computes directly
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      Analytics.pivotAgg(t(s, d, "events"), types)
+        .unpivot(Array(col("user_id")), types.map(col).toArray,
+          "event_type", "n")
+        .filter(col("n") > 0)
+        .orderBy(col("user_id"), col("event_type"))
+    }),
+
     "moment_stats" -> ((s, d) =>
       Analytics.momentStats(t(s, d, "lineitem"))),
 
@@ -1419,6 +1431,10 @@ object SparkEntry {
            CAST(MIN(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS min_k,
            CAST(MAX(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS max_k
          FROM events GROUP BY 1 ORDER BY 1""",
+
+    "unpivot_long" ->
+      """SELECT user_id, event_type, COUNT(*) AS n
+         FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
 
     "moment_stats" ->
       """WITH s AS (

@@ -477,8 +477,11 @@ object Analytics {
     val mm = df.agg(min(col(valueCol)).as("mn"), max(col(valueCol)).as("mx"),
       count(when(col(valueCol).isNull, 1)).as("n_nulls"))
     df.crossJoin(broadcast(mm))
-      .select((floor((col(valueCol) - col("mn")) / (col("mx") - col("mn"))
-        * buckets) + 1L).as("bucket"),
+      // constant column ⇒ mx = mn: (v-mn)/(mx-mn) is NaN and the long
+      // cast throws under ANSI — everything belongs in bucket 1 then
+      .select(when(col("mx") === col("mn"), lit(1L))
+        .otherwise(floor((col(valueCol) - col("mn"))
+          / (col("mx") - col("mn")) * buckets) + 1L).as("bucket"),
         col(valueCol), col("mn"), col("mx"))
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_rows"),

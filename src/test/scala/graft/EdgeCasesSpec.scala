@@ -73,4 +73,22 @@ class EdgeCasesSpec extends SparkSpec {
     assert(TextAnalysis.langIdTable(df).count() == 2)
     assert(TextAnalysis.fingerprints(df).count() == 2)
   }
+
+  test("numericHistogram on a constant column lands in bucket 1") {
+    val df = Seq.fill(5)(42.0).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+    val out = Analytics.numericHistogram(df, "v", buckets = 16).collect()
+    assert(out.length == 1)
+    assert(out(0).getAs[Long]("bucket") == 1L)
+    assert(out(0).getAs[Long]("n_rows") == 5L)
+  }
+
+  test("quantizeInt8Stats on a zero vector yields zero error") {
+    val df = Seq((1L, Array.fill(8)(0.0f)), (2L, Array(1.0f, -2.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.quantizeInt8Stats(df).orderBy("vec_id").collect()
+    assert(out(0).getAs[Double]("scale") == 0.0)
+    assert(out(0).getAs[Double]("mse") == 0.0)
+    assert(out(1).getAs[Double]("scale") > 0.0)
+  }
 }
