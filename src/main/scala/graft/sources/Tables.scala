@@ -24,9 +24,36 @@ object Tables {
     * micros timestamp (floor division — the same truncation DuckDB
     * applies when reading nanos into its micros timestamps).
     */
+  /** Expected column sets per table — `load` fails fast with a
+    * schema-drift message instead of letting a renamed column surface
+    * as an unresolved-attribute error twelve operators later. */
+  private val expectedCols: Map[String, Seq[String]] = Map(
+    "region" -> Seq("r_regionkey", "r_name"),
+    "nation" -> Seq("n_nationkey", "n_name", "n_regionkey"),
+    "customer" -> Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal",
+      "c_mktsegment"),
+    "supplier" -> Seq("s_suppkey", "s_name", "s_nationkey", "s_acctbal"),
+    "part" -> Seq("p_partkey", "p_name", "p_brand", "p_type", "p_size",
+      "p_retailprice"),
+    "orders" -> Seq("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_totalprice", "o_orderdate", "o_orderpriority"),
+    "lineitem" -> Seq("l_orderkey", "l_partkey", "l_suppkey",
+      "l_linenumber", "l_quantity", "l_extendedprice", "l_discount",
+      "l_tax", "l_returnflag", "l_linestatus", "l_shipdate"),
+    "events" -> Seq("event_id", "ts", "user_id", "event_type", "value",
+      "props"),
+    "documents" -> Seq("doc_id", "text", "lang", "source", "n_chars"),
+    "embeddings" -> Seq("vec_id", "embedding", "label"))
+
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    expectedCols.get(name).foreach { want =>
+      val missing = want.filterNot(df.columns.contains)
+      require(missing.isEmpty,
+        s"table '$name' at $sfDir is missing expected columns " +
+          s"${missing.mkString(", ")} (found: ${df.columns.mkString(", ")})")
+    }
     if (name == "events")
       df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else df

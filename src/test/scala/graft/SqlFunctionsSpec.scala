@@ -31,6 +31,14 @@ class SqlFunctionsSpec extends SparkSpec {
       .count() == 0)
   }
 
+  test("graft_zorder interleaves from SQL like the kernel") {
+    GraftSqlFunctions.register(spark)
+    val got = spark.sql(
+      "SELECT graft_zorder(CAST(12345 AS BIGINT), CAST(54321 AS BIGINT))")
+      .head.getLong(0)
+    assert(got == graft.plans.ZOrder.interleave16(12345L, 54321L))
+  }
+
   test("graft_float_dot and graft_sorted_intersect_count from SQL") {
     GraftSqlFunctions.register(spark)
     val r = spark.sql(
