@@ -518,6 +518,9 @@ object SparkEntry {
     "json_extract" -> ((s, d) =>
       Analytics.jsonExtractAgg(t(s, d, "events"))),
 
+    "funnel_steps" -> ((s, d) =>
+      Analytics.funnel(t(s, d, "events"))),
+
     "unpivot_long" -> ((s, d) => {
       // reshape completeness: melt the pivoted wide table back to
       // long form — unpivot(pivot(x)) recovers the per-(user, type)
@@ -1431,6 +1434,29 @@ object SparkEntry {
            CAST(MIN(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS min_k,
            CAST(MAX(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS max_k
          FROM events GROUP BY 1 ORDER BY 1""",
+
+    "funnel_steps" ->
+      """WITH l1 AS (
+           SELECT user_id, MIN(ts) AS t1 FROM events
+           WHERE event_type = 'view' GROUP BY 1),
+         l2 AS (
+           SELECT e.user_id, MIN(e.ts) AS t2
+           FROM events e JOIN l1 ON e.user_id = l1.user_id
+           WHERE e.event_type = 'click' AND e.ts > l1.t1 GROUP BY 1),
+         l3 AS (
+           SELECT e.user_id, MIN(e.ts) AS t3
+           FROM events e JOIN l2 ON e.user_id = l2.user_id
+           WHERE e.event_type = 'purchase' AND e.ts > l2.t2 GROUP BY 1),
+         d AS (
+           SELECT l1.user_id,
+                  CASE WHEN l3.user_id IS NOT NULL THEN 3
+                       WHEN l2.user_id IS NOT NULL THEN 2
+                       ELSE 1 END AS depth
+           FROM l1
+           LEFT JOIN l2 ON l1.user_id = l2.user_id
+           LEFT JOIN l3 ON l1.user_id = l3.user_id)
+         SELECT CAST(depth AS BIGINT) AS depth, COUNT(*) AS n_users
+         FROM d GROUP BY 1 ORDER BY 1""",
 
     "unpivot_long" ->
       """SELECT user_id, event_type, COUNT(*) AS n

@@ -507,6 +507,40 @@ object Analytics {
       .orderBy(col("gid"), col("o_orderpriority").asc_nulls_first,
         col("o_orderstatus").asc_nulls_first)
 
+  /** Funnel analysis — ordered step completion per user: step k
+    * counts only if it happens strictly AFTER the user's step k−1
+    * time (first-touch semantics at every level). Each level is a
+    * keyed aggregate joined back on the user — k levels ⇒ k
+    * user-partitioned shuffles over ever-shrinking frames, never a
+    * per-user sort of the full event history. Output: funnel depth →
+    * user count. */
+  def funnel(events: DataFrame,
+             steps: Seq[String] = Seq("view", "click", "purchase")): DataFrame = {
+    require(steps.nonEmpty)
+    // level 1: first touch of the entry step
+    val levels = steps.zipWithIndex.drop(1).scanLeft(
+      events.filter(col("event_type") === steps.head)
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))) {
+      case (prev, (step, i)) =>
+        events.filter(col("event_type") === step)
+          .join(prev.select(col("user_id"), col(s"t$i")), "user_id")
+          .filter(col("ts") > col(s"t$i"))
+          .groupBy(col("user_id")).agg(min(col("ts")).as(s"t${i + 1}"))
+    }
+    val depth = levels.tail.zipWithIndex.foldLeft(
+      levels.head.select(col("user_id"), lit(1L).as("depth"))) {
+      case (acc, (lvl, i)) =>
+        acc.join(lvl.select(col("user_id"), lit(true).as(s"__hit${i + 2}")),
+          Seq("user_id"), "left")
+          .withColumn("depth", when(col(s"__hit${i + 2}"), lit(i + 2L))
+            .otherwise(col("depth")))
+          .drop(s"__hit${i + 2}")
+    }
+    depth.groupBy(col("depth"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("depth"))
+  }
+
   /** Semi-structured column processing: parse a JSON string column
     * with an EXPLICIT schema (`from_json` — schema inference over a
     * JSON column means a second full scan at 100 TB) and aggregate
