@@ -521,6 +521,11 @@ object SparkEntry {
     "funnel_steps" -> ((s, d) =>
       Analytics.funnel(t(s, d, "events"))),
 
+    "retention_cohorts" -> ((s, d) =>
+      Analytics.retentionCohorts(t(s, d, "events"))
+        .withColumn("cohort_week", ntz(col("cohort_week")))
+        .withColumn("act_week", ntz(col("act_week")))),
+
     "unpivot_long" -> ((s, d) => {
       // reshape completeness: melt the pivoted wide table back to
       // long form — unpivot(pivot(x)) recovers the per-(user, type)
@@ -1434,6 +1439,17 @@ object SparkEntry {
            CAST(MIN(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS min_k,
            CAST(MAX(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS max_k
          FROM events GROUP BY 1 ORDER BY 1""",
+
+    "retention_cohorts" ->
+      """WITH cohorts AS (
+           SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+           FROM events GROUP BY 1),
+         active AS (
+           SELECT DISTINCT user_id, date_trunc('week', ts) AS act_week
+           FROM events)
+         SELECT c.cohort_week, a.act_week, COUNT(*) AS n_users
+         FROM active a JOIN cohorts c ON a.user_id = c.user_id
+         GROUP BY 1, 2 ORDER BY 1, 2""",
 
     "funnel_steps" ->
       """WITH l1 AS (

@@ -507,6 +507,24 @@ object Analytics {
       .orderBy(col("gid"), col("o_orderpriority").asc_nulls_first,
         col("o_orderstatus").asc_nulls_first)
 
+  /** Cohort retention matrix: users bucketed by first-activity week,
+    * counted in every week they return. One aggregate finds each
+    * user's cohort, the (user, week) activity set dedups map-side
+    * before its shuffle, and the final rollup is partial-agged — the
+    * classic retention triangle in three keyed shuffles, independent
+    * of event volume per user. */
+  def retentionCohorts(events: DataFrame): DataFrame = {
+    val cohorts = events.groupBy(col("user_id"))
+      .agg(date_trunc("week", min(col("ts"))).as("cohort_week"))
+    val active = events
+      .select(col("user_id"), date_trunc("week", col("ts")).as("act_week"))
+      .distinct()
+    active.join(cohorts, "user_id")
+      .groupBy(col("cohort_week"), col("act_week"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("cohort_week"), col("act_week"))
+  }
+
   /** Funnel analysis — ordered step completion per user: step k
     * counts only if it happens strictly AFTER the user's step k−1
     * time (first-touch semantics at every level). Each level is a
