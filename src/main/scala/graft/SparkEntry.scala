@@ -678,6 +678,10 @@ object SparkEntry {
     "dedup_exact" -> ((s, d) =>
       Dedup.exact(t(s, d, "documents")).orderBy(col("keep_id"))),
 
+    "dedup_keep_best" -> ((s, d) =>
+      Dedup.exactKeepBest(t(s, d, "documents"), scoreCol = "n_chars")
+        .orderBy(col("keep_id"))),
+
     "dedup_minhash_lsh" -> ((s, d) =>
       Dedup.minhashLsh(t(s, d, "documents"), threshold = 0.5)
         .orderBy(col("id_a"), col("id_b"))),
@@ -1812,6 +1816,16 @@ object SparkEntry {
     "dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, COUNT(*) AS n_copies
          FROM documents GROUP BY text ORDER BY keep_id""",
+
+    "dedup_keep_best" ->
+      """SELECT doc_id AS keep_id, CAST(n_chars AS BIGINT) AS best_score,
+                n_copies
+         FROM (SELECT doc_id, n_chars,
+                 row_number() OVER (PARTITION BY text
+                   ORDER BY n_chars DESC, doc_id DESC) AS rn,
+                 COUNT(*) OVER (PARTITION BY text) AS n_copies
+               FROM documents)
+         WHERE rn = 1 ORDER BY keep_id""",
 
     "pii_redact" ->
       """WITH c2 AS (

@@ -35,6 +35,23 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
       .select(col("keep_id"), col("n_copies"))
 
+  /** Quality-aware exact dedup: per duplicate group keep the BEST
+    * representative by a caller-supplied score (tie-broken by max
+    * id), not the arbitrary lowest id — curation pipelines keep the
+    * longest / highest-quality copy. Same 16-byte fingerprint
+    * shuffle as `exact`; the argmax is `max(struct(score, id))`, a
+    * partial-aggregable one-pass reduction (no per-group sort). */
+  def exactKeepBest(docs: DataFrame, scoreCol: String,
+                    idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame =
+    docs.groupBy(length(col(textCol)).as("__len"),
+        xxhash64(col(textCol)).as("__h"))
+      .agg(max(struct(col(scoreCol).as("s"), col(idCol).as("i")))
+        .as("__best"),
+        count(lit(1)).as("n_copies"))
+      .select(col("__best.i").as("keep_id"),
+        col("__best.s").as("best_score"), col("n_copies"))
+
   /** Non-overlapping k-word segments per document — the unit for
     * paragraph/line-level dedup on corpora without newline structure
     * (for real corpora, substitute a `split(text, "\n")` segmenter;
