@@ -28,7 +28,10 @@ object Pipeline {
       attrCols: Seq[String],
       recencyCols: Seq[String],
       scdType: Int = 2,
-      cleanCols: Seq[String] = Nil)
+      cleanCols: Seq[String] = Nil,
+      // when true, each batch is a FULL snapshot: keys absent from it
+      // close their current version (delete detection) — SCD2 only
+      fullSnapshot: Boolean = false)
 
   /** Bronze step: tag a raw batch with ingest metadata. */
   def ingest(raw: DataFrame, source: String,
@@ -60,6 +63,8 @@ object Pipeline {
   def mergeInto(dim: DataFrame, staged: DataFrame, cfg: TableConfig,
                 batchTs: java.sql.Timestamp): DataFrame = cfg.scdType match {
     case 1 => Scd.scd1Upsert(dim, staged, cfg.keyCols, cfg.attrCols)
+    case 2 if cfg.fullSnapshot =>
+      Scd.scd2ApplySnapshot(dim, staged, cfg.keyCols, cfg.attrCols, batchTs)
     case 2 => Scd.scd2Merge(dim, staged, cfg.keyCols, cfg.attrCols, batchTs)
     case other => throw new IllegalArgumentException(
       s"table ${cfg.name}: unsupported scdType $other (1 or 2)")

@@ -85,4 +85,23 @@ class PipelineSpec extends SparkSpec {
     assert(dims("orte").as[(Long, String)].collect().toSeq ==
       Seq((10L, "10115")))
   }
+
+  test("fullSnapshot config closes versions for keys the batch omits") {
+    val cfg = Pipeline.TableConfig("kunden", Seq("kunde_id"),
+      Seq("stadt"), Seq("ingest_ts"), fullSnapshot = true)
+    val t1 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    val t2 = java.sql.Timestamp.valueOf("2026-02-01 00:00:00")
+    val b1 = Seq((1L, "Berlin"), (2L, "Hamburg")).toDF("kunde_id", "stadt")
+    val d1 = Pipeline.runIncrement(b1, Pipeline.emptyDim(spark, b1, cfg),
+      cfg, "snap", t1)
+    // snapshot 2 omits kunde 2 → its version must close at t2
+    val b2 = Seq((1L, "Berlin")).toDF("kunde_id", "stadt")
+    val d2 = Pipeline.runIncrement(b2, d1, cfg, "snap", t2)
+      .orderBy("kunde_id").collect()
+    assert(d2.length == 2)
+    val k2 = d2.filter(_.getLong(0) == 2L).head
+    assert(!k2.getAs[Boolean]("is_current"))
+    assert(k2.getAs[java.sql.Timestamp]("valid_to") == t2)
+    assert(d2.filter(_.getLong(0) == 1L).head.getAs[Boolean]("is_current"))
+  }
 }
