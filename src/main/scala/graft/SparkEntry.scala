@@ -529,8 +529,12 @@ object SparkEntry {
     "unpivot_long" -> ((s, d) => {
       // reshape completeness: melt the pivoted wide table back to
       // long form — unpivot(pivot(x)) recovers the per-(user, type)
-      // counts the oracle computes directly
-      val types = Seq("click", "error", "purchase", "signup", "view")
+      // counts the oracle computes directly. The type list is derived
+      // from the data (tiny distinct, sorted): a hardcoded list would
+      // silently drop any event type the fixture gains later, while
+      // the oracle groups over whatever exists.
+      val types = t(s, d, "events").select(col("event_type"))
+        .distinct().collect().map(_.getString(0)).sorted.toSeq
       Analytics.pivotAgg(t(s, d, "events"), types)
         .unpivot(Array(col("user_id")), types.map(col).toArray,
           "event_type", "n")
@@ -1661,8 +1665,9 @@ object SparkEntry {
       """WITH mm AS (
            SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx
            FROM orders)
-         SELECT CAST(floor((o_totalprice - mn) / (mx - mn) * 16)
-                  AS BIGINT) + 1 AS bucket,
+         SELECT CASE WHEN o_totalprice IS NULL THEN 0
+                  ELSE CAST(floor((o_totalprice - mn) / (mx - mn) * 16)
+                    AS BIGINT) + 1 END AS bucket,
                 COUNT(*) AS n_rows,
                 MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
          FROM orders, mm

@@ -6,6 +6,12 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
+    // A quoted shell redirect once arrived here verbatim and committed a
+    // literal "2>/dev/null/" directory into the repo — refuse any outDir
+    // carrying shell metacharacters instead of faithfully mkdir-ing it.
+    require(!outDir.exists(c => "<>|&;`$\"'".contains(c)),
+      s"outDir '$outDir' contains shell metacharacters — " +
+        "this is almost certainly a mis-quoted redirect, not a path")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

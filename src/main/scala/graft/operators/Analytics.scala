@@ -474,12 +474,15 @@ object Analytics {
     * expression buckets identically. */
   def numericHistogram(df: DataFrame, valueCol: String,
                        buckets: Int = 16): DataFrame = {
-    val mm = df.agg(min(col(valueCol)).as("mn"), max(col(valueCol)).as("mx"),
-      count(when(col(valueCol).isNull, 1)).as("n_nulls"))
+    val mm = df.agg(min(col(valueCol)).as("mn"), max(col(valueCol)).as("mx"))
     df.crossJoin(broadcast(mm))
+      // null accounting is explicit: nulls land in bucket 0 (lo/hi null
+      // there), so the null population is a first-class histogram row
+      // rather than a surprise `bucket = null` group.
       // constant column ⇒ mx = mn: (v-mn)/(mx-mn) is NaN and the long
       // cast throws under ANSI — everything belongs in bucket 1 then
-      .select(when(col("mx") === col("mn"), lit(1L))
+      .select(when(col(valueCol).isNull, lit(0L))
+        .when(col("mx") === col("mn"), lit(1L))
         .otherwise(floor((col(valueCol) - col("mn"))
           / (col("mx") - col("mn")) * buckets) + 1L).as("bucket"),
         col(valueCol), col("mn"), col("mx"))

@@ -24,10 +24,15 @@ object Streams {
   def windowedAgg(events: DataFrame, watermark: String = "2 hours"): DataFrame =
     events
       .withWatermark("ts", watermark)
-      .groupBy(window(col("ts"), "1 hour").getField("start").as("win_start"),
-        col("event_type"))
+      // group by window(...) itself, NOT window(...).start: extracting
+      // the field before the aggregate strips the event-time watermark
+      // metadata from the group key, silently disabling append-mode
+      // emission and state eviction
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
         sum(col("value").cast("decimal(28,6)")).cast("double").as("sum_value"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
 
   /** Streaming SCD1: last-writer-wins current state per user via
     * mapGroupsWithState — the incremental form of Scd.scd1Upsert /
@@ -120,10 +125,12 @@ object Streams {
                              rsd: Double = 0.02): DataFrame =
     events
       .withWatermark("ts", watermark)
-      .groupBy(window(col("ts"), "1 hour").getField("start").as("win_start"),
-        col("event_type"))
+      // window(...) kept whole through the aggregate — see windowedAgg
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(approx_count_distinct(col("user_id"), rsd).as("n_users"),
         count(lit(1)).as("n_events"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("n_users"), col("n_events"))
 
   /** Streaming exact dedup on a key column with state TTL via
     * dropDuplicatesWithinWatermark — bounded state at 100 TB/day
@@ -151,9 +158,11 @@ object Streams {
       .select(col(tsCol), explode(graft.functions.wordTokens(col(textCol)))
         .as("term"))
       .filter(col("term") =!= "")
-      .groupBy(window(col(tsCol), "1 hour").getField("start").as("win_start"))
+      // window(...) kept whole through the aggregate — see windowedAgg
+      .groupBy(window(col(tsCol), "1 hour"))
       .agg(graft.plans.ApproxTopKAggregate
         .approxTopK(col("term"), k, capacity).as("top"))
+      .select(col("window.start").as("win_start"), col("top"))
 
   /** Incremental dimension maintenance from a stream: each
     * micro-batch runs the batch pipeline's stage + SCD merge against
