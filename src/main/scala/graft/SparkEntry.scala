@@ -709,6 +709,13 @@ object SparkEntry {
     }),
 
     "dedup_embedding" -> ((s, d) =>
+      // exact cosine join at a LOW threshold (0.4): the fixture's true
+      // pairs sit just above it (min 0.40001) against a background p99
+      // of 0.287, so no LSH banding can reach oracle recall here — the
+      // tiled 1-Bucket-Theta equi-join distributes the irreducible
+      // all-pairs work with no CartesianProduct (plan asserted in
+      // DedupSpec); the sub-quadratic high-threshold path is
+      // Dedup.embeddingNearDupLsh (recall-tested in DedupSpec)
       Dedup.embeddingNearDup(t(s, d, "embeddings"), threshold = 0.4)
         .orderBy(col("id_a"), col("id_b"))),
 

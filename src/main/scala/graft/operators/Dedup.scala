@@ -324,23 +324,107 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
-  /** Embedding near-dup: exact all-pairs with cosine ≥ threshold.
-    * Norms are computed once per vector (not once per pair) — the
-    * arithmetic per pair is exactly dot/(na*nb), so results are
-    * bit-identical to the naive form at a third of the flops.
-    * Quadratic by design: for unbounded corpora use
-    * Similarity.lshTopK-style blocking instead. */
+  /** Embedding near-dup: EXACT all-pairs with cosine ≥ threshold,
+    * distributed as a tiled equi-join (the 1-Bucket-Theta pattern,
+    * Okcan & Riedewald SIGMOD'11) instead of a CartesianProduct.
+    *
+    * Each vector is hashed into one of `blocks` blocks; the pair
+    * space is the upper triangle of block×block tiles, and each side
+    * replicates a row only to the tiles it participates in — so the
+    * whole computation is ONE shuffle keyed by (tile_i, tile_j) whose
+    * volume is (blocks+2)·|corpus| rows, followed by a hash/merge
+    * equi-join. Every tile holds (n/blocks)² of the pair work, so
+    * the O(n²) dot products spread evenly over blocks·(blocks+1)/2
+    * tasks with no single-task nested loop and no per-pair partition
+    * rescan (CartesianProduct's UnsafeCartesianRDD re-streams and
+    * spills the right side per left partition).
+    *
+    * The quadratic FLOP count itself is irreducible for an exact
+    * low-threshold cosine join on dense vectors (at threshold 0.4 a
+    * random 64-d corpus holds essentially all pairs within the
+    * candidate radius — no metric blocking can prune, and SRP-LSH
+    * collision probability per bit is only 1−θ/π ≈ 0.63, far too
+    * weak to band on). When the threshold is high (the actual
+    * near-duplicate regime, ≥ ~0.8) use [[embeddingNearDupLsh]] —
+    * sub-quadratic candidates, identical verify arithmetic.
+    *
+    * Norms are computed once per vector (not once per pair); per-pair
+    * work is exactly dot/(na·nb), bit-identical to the naive form. */
   def embeddingNearDup(emb: DataFrame, idCol: String = "vec_id",
                        vecCol: String = "embedding",
-                       threshold: Double = 0.95): DataFrame = {
-    val e = emb.select(col(idCol), col(vecCol), floatNorm(col(vecCol)).as("nrm"))
-    // spread the stream side: a broadcast-nested-loop over a single
-    // small input would otherwise run in one task
-    val a = e.toDF("id_a", "v_a", "n_a")
-      .repartition(emb.sparkSession.sparkContext.defaultParallelism)
-    val b = e.toDF("id_b", "v_b", "n_b")
-    a.crossJoin(b)
+                       threshold: Double = 0.95,
+                       blocks: Int = 16): DataFrame = {
+    val e = emb.select(col(idCol).as("__id"), col(vecCol).as("__v"),
+      floatNorm(col(vecCol)).as("__n"),
+      pmod(xxhash64(col(idCol)), lit(blocks)).cast("int").as("__g"))
+    // a row in block g is the LEFT member of tiles (g, j ≥ g) and the
+    // RIGHT member of tiles (i ≤ g, g); an unordered cross-block pair
+    // therefore meets in exactly one tile (min block left, max block
+    // right), and same-block pairs meet twice in their diagonal tile
+    // (dropped below by the id ordering)
+    val lhs = e.select(col("__id").as("id_a"), col("__v").as("v_a"),
+      col("__n").as("n_a"), col("__g").as("__i"),
+      explode(sequence(col("__g"), lit(blocks - 1))).as("__j"))
+    val rhs = e.select(col("__id").as("id_b"), col("__v").as("v_b"),
+      col("__n").as("n_b"), col("__g").as("__j"),
+      explode(sequence(lit(0), col("__g"))).as("__i"))
+    lhs.join(rhs, Seq("__i", "__j"))
+      // diagonal tiles see both orientations of a pair — keep one;
+      // off-diagonal tiles see exactly one (possibly id-reversed)
+      .filter(col("__i") =!= col("__j") || col("id_a") < col("id_b"))
+      .filter(col("id_a") =!= col("id_b"))
+      .withColumn("cos", floatDot(col("v_a"), col("v_b")) /
+        (col("n_a") * col("n_b")))
+      .filter(col("cos") >= threshold)
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"),
+        round(col("cos"), 6).as("cosine"))
+  }
+
+  /** Sub-quadratic embedding near-dup for the HIGH-threshold regime
+    * (actual near-duplicates, cosine ≥ ~0.8): sign-random-projection
+    * LSH buckets generate candidates, the exact cosine verifies them
+    * — same arithmetic and output schema as [[embeddingNearDup]],
+    * linear signature pass plus bucket-keyed shuffles, no all-pairs
+    * anywhere.
+    *
+    * Recall is the standard SRP bound: a pair at angle θ collides in
+    * one table with p = (1−θ/π)^bits, and is a candidate with
+    * 1−(1−p)^tables — at cosine 0.9 the defaults give ≥ 0.9999; at
+    * cosine 0.4 the same formula is ≈ 0.02 per table, which is why
+    * the exact tiled join exists for low thresholds. `maxBucket`
+    * guards degenerate buckets (mass-duplicated vectors) exactly as
+    * in [[lshCandidates]]. */
+  def embeddingNearDupLsh(emb: DataFrame, idCol: String = "vec_id",
+                          vecCol: String = "embedding",
+                          threshold: Double = 0.95,
+                          bits: Int = 8, tables: Int = 8,
+                          maxBucket: Int = 0): DataFrame = {
+    import graft.plans.FloatVectorExpressions.srpBuckets
+    val bucketed0 = emb.select(col(idCol).as("__id"),
+      posexplode(srpBuckets(col(vecCol), bits, tables)).as(Seq("t", "b")))
+    val bucketed =
+      if (maxBucket <= 0) bucketed0
+      else {
+        // renamed guard columns — see lshCandidates on the self-anti-
+        // join trap
+        val oversized = bucketed0.groupBy(col("t"), col("b"))
+          .agg(count(lit(1)).as("__n"))
+          .filter(col("__n") > maxBucket)
+          .select(col("t").as("__ot"), col("b").as("__ob"))
+        bucketed0.join(broadcast(oversized),
+          col("t") === col("__ot") && col("b") === col("__ob"), "left_anti")
+      }
+    val cands = bucketed.toDF("id_a", "t", "b")
+      .join(bucketed.toDF("id_b", "t", "b"), Seq("t", "b"))
       .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    val vecs = emb.select(col(idCol).as("__id"), col(vecCol).as("__v"),
+      floatNorm(col(vecCol)).as("__n"))
+    cands
+      .join(vecs.toDF("id_a", "v_a", "n_a"), "id_a")
+      .join(vecs.toDF("id_b", "v_b", "n_b"), "id_b")
       .withColumn("cos", floatDot(col("v_a"), col("v_b")) /
         (col("n_a") * col("n_b")))
       .filter(col("cos") >= threshold)

@@ -151,4 +151,57 @@ class DedupSpec extends SparkSpec {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(pairs == Set((0L, 1L)))
   }
+
+  test("embeddingNearDup tiled join: cartesian-free plan, complete pairs") {
+    // 40 vectors spread over the tile grid: every unordered pair must
+    // surface exactly once whatever tile it lands in (diagonal tiles
+    // dedup by id order, cross tiles meet once) — verified against
+    // the O(n²) definition computed locally
+    val vecs = (0L until 40L).map { i =>
+      val a = (i % 7).toFloat; val b = (i % 5).toFloat
+      (i, Array(1f + a, 2f + b, 3f, 4f - a))
+    }
+    val emb = vecs.toDF("vec_id", "embedding")
+    def cosine(x: Array[Float], y: Array[Float]): Double = {
+      val d = x.zip(y).map(p => p._1.toDouble * p._2).sum
+      d / (math.sqrt(x.map(v => v.toDouble * v).sum) *
+        math.sqrt(y.map(v => v.toDouble * v).sum))
+    }
+    val expected = (for {
+      (ia, va) <- vecs; (ib, vb) <- vecs
+      if ia < ib && cosine(va, vb) >= 0.99
+    } yield (ia, ib)).toSet
+    val out = Dedup.embeddingNearDup(emb, threshold = 0.99, blocks = 4)
+    assert(out.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      == expected)
+    assert(expected.nonEmpty)
+    val phys = out.queryExecution.executedPlan.toString
+    assert(!phys.contains("CartesianProduct"), phys.take(500))
+    assert(!phys.contains("BroadcastNestedLoopJoin"), phys.take(500))
+  }
+
+  test("embeddingNearDupLsh: full recall on planted near-dups at high cos") {
+    // planted pairs at cosine ≈ 0.995 (the near-duplicate regime LSH
+    // is for); background vectors are far apart. At bits=8/tables=8
+    // the SRP candidate probability for θ ≈ 5.7° is 1−(1−0.968^8)^8
+    // ≈ 1−2e-5 — and the planes are deterministic, so this test is
+    // stable. Output must match the exact tiled join bit-for-bit.
+    val rnd = new scala.util.Random(7)
+    val emb = (0L until 60L).flatMap { i =>
+      val v = Array.fill(16)(rnd.nextGaussian().toFloat)
+      val dup = v.zipWithIndex.map { case (x, j) =>
+        if (j == 0) x + 0.05f else x }
+      Seq((i * 2, v), (i * 2 + 1, dup))
+    }.toDF("vec_id", "embedding")
+    val exact = Dedup.embeddingNearDup(emb, threshold = 0.98)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val lsh = Dedup.embeddingNearDupLsh(emb, threshold = 0.98)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(exact.nonEmpty)
+    assert(lsh == exact)
+    val phys = Dedup.embeddingNearDupLsh(emb, threshold = 0.98)
+      .queryExecution.executedPlan.toString
+    assert(!phys.contains("CartesianProduct"), phys.take(500))
+    assert(!phys.contains("BroadcastNestedLoopJoin"), phys.take(500))
+  }
 }
