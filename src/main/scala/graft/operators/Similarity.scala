@@ -3,7 +3,6 @@ package graft.operators
 import graft.functions._
 import graft.plans.FloatVectorExpressions.{floatDot, floatNorm, srpBuckets}
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Approximate-nearest-neighbour search over an embedding column.
@@ -17,9 +16,28 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Per-query exact top-k over scored (query_id, neighbor_id, cos)
+    * rows via the bounded-heap aggregate: every map task keeps a
+    * k-sized heap per query, so the shuffle carries |tasks|·|queries|
+    * ·k entries and the final merge folds heaps — never a full sort
+    * of all scored rows on |queries| reducers (the window/row_number
+    * formulation this replaces). Ordering (cos desc, neighbor_id
+    * asc) matches the window exactly, so results are unchanged. */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame =
+    scored
+      .groupBy(col("query_id"))
+      .agg(graft.plans.TopKPairsAggregate
+        .topKPairs(col("cos"), col("neighbor_id"), k).as("__top"))
+      .select(col("query_id"), posexplode(col("__top")).as(Seq("__p", "nb")))
+      .select(col("query_id"), (col("__p") + 1).cast("long").as("rank"),
+        col("nb.neighbor_id").as("neighbor_id"),
+        round(col("nb.cos"), 6).as("cosine"))
+
   /** Brute-force cosine top-k: for each query vector, the k nearest
     * corpus vectors. Query side must be small (broadcast). Norms are
-    * precomputed per vector — per-pair work is one dot product. */
+    * precomputed per vector — per-pair work is one dot product; the
+    * per-query top-k is the bounded-heap partial aggregate
+    * (per-partition top-k, then a tiny merge of |queries|·k rows). */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
                      idCol: String = "vec_id",
                      vecCol: String = "embedding"): DataFrame = {
@@ -31,13 +49,7 @@ object Similarity {
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", floatDot(col("__qv"), col("__cv")) /
         (col("__qn") * col("__cn")))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cos").desc, col("neighbor_id"))
-    scored
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"),
-        round(col("cos"), 6).as("cosine"))
+    rankTopK(scored, k)
   }
 
   /** Multi-table LSH (sign-random-projection) bucketed ANN: the
@@ -63,15 +75,9 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"),
         col("__qv"), col("__cv"), col("__qn"), col("__cn"))
       .dropDuplicates("query_id", "neighbor_id")
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cos").desc, col("neighbor_id"))
-    cands
+    rankTopK(cands
       .withColumn("cos", floatDot(col("__qv"), col("__cv")) /
-        (col("__qn") * col("__cn")))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"),
-        round(col("cos"), 6).as("cosine"))
+        (col("__qn") * col("__cn"))), k)
   }
 
   /** Spherical k-means centroids for an IVF index, trained with
@@ -180,16 +186,10 @@ object Similarity {
     // each corpus vector lives in exactly one cell and a query's
     // probed cells are distinct, so (query, neighbor) pairs are
     // already unique — no dedup needed
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cos").desc, col("neighbor_id"))
-    c.join(broadcast(q), Seq("cid"))
+    rankTopK(c.join(broadcast(q), Seq("cid"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", floatDot(col("__qv"), col("__cv")) /
-        (col("__qn") * col("__cn")))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"),
-        round(col("cos"), 6).as("cosine"))
+        (col("__qn") * col("__cn"))), k)
   }
 
   /** K-means topic/cluster assignment over an embedding column: the

@@ -67,6 +67,11 @@ object GraftFunctions {
       ApproxTopKSummary(args(0), intLit("graft_approx_topk", args(1)),
         intLit("graft_approx_topk", args(2)))
     },
+    "graft_topk_pairs" -> { args =>
+      arity("graft_topk_pairs", args, 3)
+      TopKPairsSummary(args(0), args(1),
+        intLit("graft_topk_pairs", args(2)))
+    },
     "graft_normalize_text" -> { args =>
       arity("graft_normalize_text", args, 2)
       val nfkc = args(1) match {

@@ -18,6 +18,51 @@ class SimilaritySpec extends SparkSpec {
     assert(out == Seq((1L, 1L), (2L, 2L), (3L, 3L)))
   }
 
+  test("top-k plan is a bounded-heap aggregate, not a window sort") {
+    // the scale contract: per-partition top-k partial aggregation,
+    // then a tiny merge — never a Window/row_number that shuffles all
+    // |corpus|x|queries| scored rows to |queries| reducers and fully
+    // sorts each. ObjectHashAggregate (partial -> final) is the heap
+    // aggregate's physical form.
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val queries = emb.filter(pmod(col("vec_id"), lit(25)) === 0)
+    val phys = Similarity.bruteForceTopK(queries, emb, 5)
+      .queryExecution.executedPlan.toString
+    assert(!phys.contains("Window"), phys.take(800))
+    assert(phys.contains("ObjectHashAggregate"), phys.take(800))
+    // the only Sort allowed is inside a sort-based-fallback aggregate,
+    // never a per-query global sort of the scored relation
+    assert(!phys.contains("[cos"), phys.take(800))
+  }
+
+  test("heap-aggregate top-k equals the window formulation exactly") {
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val queries = emb.filter(pmod(col("vec_id"), lit(10)) === 0)
+    val agg = Similarity.bruteForceTopK(queries, emb, 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    // reference: the old window/row_number formulation, inlined
+    import graft.plans.FloatVectorExpressions.{floatDot, floatNorm}
+    val q = queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("__qv"), floatNorm(col("embedding")).as("__qn"))
+    val c = emb.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("__cv"), floatNorm(col("embedding")).as("__cn"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    val win = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", floatDot(col("__qv"), col("__cv")) /
+        (col("__qn") * col("__cn")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 7)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cos"), 6).as("cosine"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(agg == win)
+  }
+
   test("lshTopK achieves reasonable recall@5 vs brute force on testdata") {
     val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val queries = emb.filter(pmod(col("vec_id"), lit(25)) === 0)

@@ -51,6 +51,23 @@ class SqlFunctionsSpec extends SparkSpec {
     assert(r.getLong(1) == 2L)
   }
 
+  test("graft_topk_pairs aggregates exact bounded top-k from SQL") {
+    GraftSqlFunctions.register(spark)
+    spark.sql("""SELECT * FROM VALUES
+        (1L, 10L, 0.9D), (1L, 11L, 0.7D), (1L, 12L, 0.8D),
+        (2L, 20L, 0.5D), (2L, 21L, 0.6D)
+        AS t(q, n, s)""").createOrReplaceTempView("scored")
+    val rows = spark.sql(
+      """SELECT q, graft_topk_pairs(s, n, 2) AS top
+         FROM scored GROUP BY q ORDER BY q""").collect()
+    val top1 = rows(0).getSeq[org.apache.spark.sql.Row](1)
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(top1 == Seq((10L, 0.9), (12L, 0.8)))
+    val top2 = rows(1).getSeq[org.apache.spark.sql.Row](1)
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(top2 == Seq((21L, 0.6), (20L, 0.5)))
+  }
+
   test("GraftExtensions is reflectively constructible and injects all functions") {
     // the spark.sql.extensions mechanism instantiates by class name
     val cls = Class.forName("graft.plans.GraftExtensions")
