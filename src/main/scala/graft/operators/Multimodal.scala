@@ -60,61 +60,71 @@ object Multimodal {
     acc
   }
 
+  /** Typed rows for the codec slot: the `Dataset.mapPartitions`
+    * carrier classes. Typed (not `.rdd`) matters for the PLAN: the
+    * object map sits between Deserialize/Serialize nodes inside one
+    * query, so the parquet scan upstream stays columnar + codegen'd
+    * and downstream operators fuse back into Tungsten — an `.rdd`
+    * round-trip severs the query into two plans joined by an
+    * RDDScanExec barrier that also drops pushdown/pruning through. */
+  private[operators] case class FeatureIn(media_id: Long, payload: Array[Byte],
+                               width: Option[Int], height: Option[Int])
+  private[operators] case class FeatureOut(media_id: Long, width: Option[Int],
+                                height: Option[Int], features: Seq[Double])
+  private[operators] case class MediaMeta(width: Option[Int], height: Option[Int],
+                               n_bytes: Long, format: Option[String])
+  private[operators] case class MediaRow(media_id: Long, payload: Array[Byte],
+                              media_type: String, meta: MediaMeta)
+
   /** Batched per-partition feature extraction over the payload
     * column — map-only, no shuffle; the Scala analogue of a
-    * mapInPandas batch UDF. Output: (media_id, width, height,
-    * features array<double>). */
+    * mapInPandas batch UDF, as a TYPED Dataset.mapPartitions so the
+    * surrounding plan never leaves Tungsten. Output: (media_id,
+    * width, height, features array<double>). */
   def extractFeatures(media: DataFrame): DataFrame = {
-    val spark = media.sparkSession
-    val outSchema = StructType(Seq(
-      StructField("media_id", LongType, nullable = false),
-      StructField("width", IntegerType, nullable = true),
-      StructField("height", IntegerType, nullable = true),
-      StructField("features", ArrayType(DoubleType, containsNull = false))))
-    val pruned = media.select(col("media_id"), col("payload"),
-      col("meta.width").as("width"), col("meta.height").as("height"))
-    val rdd = pruned.rdd.mapPartitions { rows =>
-      // batch loop: one iterator pass, codec state could be reused
-      // across the partition here (the expensive part in production).
-      rows.map { r =>
-        val payload = r.getAs[Array[Byte]]("payload")
-        val feats = if (payload == null) Array.empty[Double]
-        else decodeStub(payload)
-        Row(r.getAs[Long]("media_id"),
-          r.getAs[java.lang.Integer]("width"),
-          r.getAs[java.lang.Integer]("height"), feats.toSeq)
-      }
-    }
-    spark.createDataFrame(rdd, outSchema)
+    import org.apache.spark.sql.Encoders
+    media.select(col("media_id"), col("payload"),
+        col("meta.width").as("width"), col("meta.height").as("height"))
+      .as[FeatureIn](Encoders.product[FeatureIn])
+      .mapPartitions { rows =>
+        // batch loop: one iterator pass, codec state could be reused
+        // across the partition here (the expensive part in production).
+        rows.map { m =>
+          val feats = if (m.payload == null) Seq.empty[Double]
+          else decodeStub(m.payload).toSeq
+          FeatureOut(m.media_id, m.width, m.height, feats)
+        }
+      }(Encoders.product[FeatureOut])
+      .toDF()
   }
 
   /** STUB resize: production would decode, scale to (targetW,
     * targetH) and re-encode per batch. The stub keeps every
     * (len/targetBytes)-th byte — deterministic, size-reducing, and
     * exercising the real contract: payload transformed in place,
-    * meta rewritten to the target dimensions, map-only plan. */
+    * meta rewritten to the target dimensions, map-only typed
+    * mapPartitions (same Tungsten-preserving shape as
+    * [[extractFeatures]]). */
   def resizeStub(media: DataFrame, targetW: Int, targetH: Int): DataFrame = {
-    val spark = media.sparkSession
+    import org.apache.spark.sql.Encoders
     val targetBytes = math.max(1, targetW * targetH / 256)
-    val outSchema = StructType(mediaSchema.fields.clone())
-    val rdd = media.select(col("media_id"), col("payload"),
-      col("media_type"), col("meta")).rdd.mapPartitions { rows =>
-      rows.map { r =>
-        val payload = r.getAs[Array[Byte]]("payload")
-        val resized = if (payload == null || payload.isEmpty) payload
-        else {
-          val step = math.max(1, payload.length / targetBytes)
-          payload.indices.by(step).map(payload).toArray
+    media.select(col("media_id"), col("payload"), col("media_type"),
+        col("meta"))
+      .as[MediaRow](Encoders.product[MediaRow])
+      .mapPartitions { rows =>
+        rows.map { m =>
+          val resized = if (m.payload == null || m.payload.isEmpty) m.payload
+          else {
+            val step = math.max(1, m.payload.length / targetBytes)
+            m.payload.indices.by(step).map(m.payload).toArray
+          }
+          MediaRow(m.media_id, resized, m.media_type,
+            MediaMeta(Some(targetW), Some(targetH),
+              if (resized == null) 0L else resized.length.toLong,
+              m.meta.format))
         }
-        val meta = r.getAs[Row]("meta")
-        Row(r.getAs[Long]("media_id"), resized,
-          r.getAs[String]("media_type"),
-          Row(targetW, targetH,
-            if (resized == null) 0L else resized.length.toLong,
-            meta.getAs[String]("format")))
-      }
-    }
-    spark.createDataFrame(rdd, outSchema)
+      }(Encoders.product[MediaRow])
+      .toDF()
   }
 
   /** Deterministic frame-sampling plan for video-ish payloads: which

@@ -55,6 +55,21 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("codec slot stays in one plan: no RDD scan barrier") {
+    // typed Dataset.mapPartitions keeps the codec step inside the
+    // query (Deserialize -> MapPartitions -> Serialize), so the scan
+    // stays columnar/codegen and there is no RDDScanExec severing the
+    // plan — the .rdd round-trip this replaced produced 'Scan
+    // ExistingRDD' with pushdown/pruning lost above it
+    val media = Multimodal.asMediaTable(docs)
+    for (df <- Seq(Multimodal.extractFeatures(media),
+        Multimodal.resizeStub(media, 64, 64))) {
+      val phys = df.queryExecution.executedPlan.toString
+      assert(!phys.contains("Scan ExistingRDD"), phys.take(600))
+      assert(phys.contains("MapPartitions"), phys.take(600))
+    }
+  }
+
   test("framePlan samples offsets by stride") {
     val out = Multimodal.framePlan(Multimodal.asMediaTable(docs), stride = 8)
       .orderBy("media_id").collect()
