@@ -118,21 +118,55 @@ object Analytics {
         dsum(col("value"), 6).as("sum_value"))
       .orderBy(col("win_start"), col("event_type"))
 
-  /** Sessionization: a new session starts after a >30 min gap per
-    * user; session ids via lag + running sum, all within per-user
-    * windows (hash-partitioned by user, scales linearly). */
-  def sessionize(events: DataFrame, gapSeconds: Long = 1800): DataFrame = {
-    val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-    val prevTs = lag(unix_micros(col("ts")), 1).over(byUser)
+  /** Sessionization: a new session starts after a >`gapSeconds` gap
+    * per user — TWO-PHASE so a hot user never pins one reducer.
+    *
+    * A single `Window.partitionBy(user_id)` puts a user's ENTIRE
+    * event history on one task — a bot emitting millions of events
+    * (guaranteed in web logs) stalls that reducer no matter how many
+    * executors exist. Instead: phase 1 sessionizes within
+    * (user, time-`bucket`) partitions — the hot user's volume spreads
+    * over its active buckets — and emits one summary row per partial
+    * session; phase 2 stitches partial sessions across bucket
+    * boundaries with the same gap rule over (start, prev end). The
+    * phase-2 per-user row count is bounded by the session count,
+    * which is itself time-bounded (a user can open at most
+    * bucketSeconds/gap sessions per bucket — with the defaults, 48 a
+    * day — regardless of event volume), so the second window is
+    * skew-immune BY CONSTRUCTION, not by sampling. Output is
+    * row-identical to the one-window formulation (asserted in
+    * SkewSpec on a hot-user fixture; DuckDB oracle-checked). */
+  def sessionize(events: DataFrame, gapSeconds: Long = 1800,
+                 bucket: String = "day"): DataFrame = {
+    val gapUs = gapSeconds * 1000000L
+    // phase 1: partial sessions within (user, bucket)
+    val w1 = Window.partitionBy(col("user_id"), col("__bkt"))
+      .orderBy(col("ts"), col("event_id"))
+    val prevTs = lag(unix_micros(col("ts")), 1).over(w1)
     val isNew = when(prevTs.isNull ||
-      (unix_micros(col("ts")) - prevTs) > gapSeconds * 1000000L, 1).otherwise(0)
-    events
-      .withColumn("new_session", isNew)
-      .withColumn("session_seq", sum(col("new_session")).over(byUser).cast("long"))
-      .groupBy(col("user_id"), col("session_seq"))
+      (unix_micros(col("ts")) - prevTs) > gapUs, 1).otherwise(0)
+    val partial = events
+      .withColumn("__bkt", date_trunc(bucket, col("ts")))
+      .withColumn("__new", isNew)
+      .withColumn("__pseq", sum(col("__new")).over(w1))
+      .groupBy(col("user_id"), col("__bkt"), col("__pseq"))
       .agg(count(lit(1)).as("n_events"),
         min(col("ts")).as("session_start"),
         max(col("ts")).as("session_end"))
+    // phase 2: stitch partials whose boundary gap is within the rule
+    // (consecutive partials inside one bucket are > gap apart by
+    // construction, so the same predicate numbers them correctly)
+    val w2 = Window.partitionBy("user_id").orderBy(col("session_start"))
+    val prevEnd = lag(unix_micros(col("session_end")), 1).over(w2)
+    val chainNew = when(prevEnd.isNull ||
+      (unix_micros(col("session_start")) - prevEnd) > gapUs, 1).otherwise(0)
+    partial
+      .withColumn("__cnew", chainNew)
+      .withColumn("session_seq", sum(col("__cnew")).over(w2).cast("long"))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(sum(col("n_events")).as("n_events"),
+        min(col("session_start")).as("session_start"),
+        max(col("session_end")).as("session_end"))
       .orderBy(col("user_id"), col("session_seq"))
   }
 

@@ -82,7 +82,9 @@ object Dedup {
     * task to the frequency shuffle, and the frequency⋈occurrence
     * join is AQE-skew-splittable. */
   def segmentDupStats(docs: DataFrame, idCol: String = "doc_id",
-                      textCol: String = "text", k: Int = 8): DataFrame = {
+                      textCol: String = "text", k: Int = 8,
+                      hotSegmentThreshold: Long = 1000000L,
+                      salts: Int = 16): DataFrame = {
     val segs = wordChunkSegments(docs, idCol, textCol, k)
       .select(col(idCol), xxhash64(col("seg")).as("seg_h"))
     // per-(doc, segment) occurrence counts: one partial-agged shuffle
@@ -91,7 +93,17 @@ object Dedup {
     // corpus-wide frequency per segment: partial-agged, skew-immune
     val freq = perDoc.groupBy(col("seg_h"))
       .agg(sum(col("k")).as("n"))
-    perDoc.join(freq, "seg_h")
+    // DEFAULT-ON skew guard on the frequency⋈occurrence join: a
+    // segment appearing in more than hotSegmentThreshold docs (empty
+    // lines, licence boilerplate — guaranteed at web scale) would
+    // land every occurrence on ONE reducer; the hot set is already in
+    // `freq` (no extra pre-pass), so only those keys salt/replicate —
+    // cold segments join plain. Row-identical (asserted in SkewSpec).
+    val hot = freq.filter(col("n") >= hotSegmentThreshold)
+      .select(col("seg_h"))
+    graft.operators.Skew
+      .saltedJoinWithHotSet(perDoc, freq, Seq("seg_h"), salts,
+        col(idCol), hot)
       .groupBy(col(idCol))
       .agg(sum(col("k")).as("n_segs"),
         sum(when(col("n") > 1, col("k")).otherwise(0L)).as("n_dup_segs"))

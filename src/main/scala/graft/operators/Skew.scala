@@ -50,7 +50,22 @@ object Skew {
     val keyCols = keys.map(col)
     val hot = fact.groupBy(keyCols: _*).count()
       .filter(col("count") >= hotThreshold)
-      .select(keyCols :+ lit(true).as("__hot"): _*)
+      .select(keyCols: _*)
+    saltedJoinWithHotSet(fact, dim, keys, salts, saltBy, hot)
+  }
+
+  /** The salting half of [[adaptiveSaltedJoin]] with the hot-key set
+    * supplied by the caller — for operators that already computed
+    * per-key frequencies as part of their own plan (e.g. a dedup's
+    * segment-frequency aggregate) and shouldn't pay a second
+    * pre-pass. `hotKeys` must be exactly the `keys` columns; it is
+    * broadcast (heavy hitters are few or they wouldn't be heavy).
+    * Result is row-identical to the plain join. */
+  def saltedJoinWithHotSet(fact: DataFrame, dim: DataFrame,
+                           keys: Seq[String], salts: Int, saltBy: Column,
+                           hotKeys: DataFrame): DataFrame = {
+    val hot = hotKeys.select(keys.map(col): _*)
+      .withColumn("__hot", lit(true))
     val f = fact.join(broadcast(hot), keys, "left")
       .withColumn("__salt",
         when(col("__hot").isNotNull,

@@ -40,6 +40,66 @@ class SkewSpec extends SparkSpec {
     assert(hotSalts > 1)
   }
 
+  test("two-phase sessionize is row-identical on a hot-user fixture") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // user 1 is a bot: 5000 events over 3 days, mixing sub-gap bursts
+    // and super-gap silences (sessions must stitch across midnight);
+    // users 2..20 are ordinary
+    val t0 = 1700000000000000L // µs
+    val events = ((0 until 5000).map { i =>
+      // bursts of 50 events 10 min apart, then a 2 h silence;
+      // 10-minute steps roll sessions across day boundaries
+      (i.toLong, 1L, t0 + i / 50 * 7200000000L + i % 50 * 600000000L)
+    } ++ (0 until 200).map { i =>
+      (10000L + i, 2L + i % 19, t0 + i * 3600000000L)
+    }).toDF("event_id", "user_id", "us")
+      .withColumn("ts", timestamp_micros(col("us"))).drop("us")
+    val twoPhase = graft.operators.Analytics.sessionize(events)
+    // reference: the single-window formulation (what the oracle runs)
+    val byUser = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("event_id"))
+    val prevTs = lag(unix_micros(col("ts")), 1).over(byUser)
+    val isNew = when(prevTs.isNull ||
+      (unix_micros(col("ts")) - prevTs) > 1800L * 1000000L, 1).otherwise(0)
+    val oneWindow = events
+      .withColumn("__n", isNew)
+      .withColumn("session_seq", sum(col("__n")).over(byUser).cast("long"))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(count(lit(1)).as("n_events"), min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"))
+    assert(twoPhase.count() == oneWindow.count())
+    assert(twoPhase.exceptAll(oneWindow).isEmpty &&
+      oneWindow.exceptAll(twoPhase).isEmpty)
+    // and a session genuinely crosses a bucket boundary somewhere
+    val crossing = twoPhase.filter(col("user_id") === 1L &&
+      to_date(col("session_start")) =!= to_date(col("session_end"))).count()
+    assert(crossing > 0, "fixture must exercise cross-bucket stitching")
+  }
+
+  test("segmentDupStats hot-segment guard is row-identical") {
+    import spark.implicits._
+    // one boilerplate segment appears in 300 docs (hot under a
+    // threshold of 100); every doc also has a unique segment
+    val docs = (0L until 300L).map { i =>
+      // first 8-word chunk identical in every doc, tail unique
+      (i, "common boilerplate licence header text goes right here " +
+        s"unique$i body content for document number $i")
+    }.toDF("doc_id", "text")
+    val guarded = graft.operators.Dedup.segmentDupStats(docs, k = 8,
+      hotSegmentThreshold = 100L, salts = 8)
+    val plain = graft.operators.Dedup.segmentDupStats(docs, k = 8)
+    assert(guarded.count() == 300)
+    assert(guarded.exceptAll(plain).isEmpty &&
+      plain.exceptAll(guarded).isEmpty)
+    // the guard must actually engage on this fixture: the hot set is
+    // non-empty at threshold 100
+    val segs = graft.operators.Dedup
+      .wordChunkSegments(docs, "doc_id", "text", 8)
+      .groupBy(xxhash64(col("seg"))).count().filter(col("count") >= 100)
+    assert(segs.count() >= 1)
+  }
+
   test("skewedDistinctCount matches exact distinct counts") {
     val sf = "/root/testdata/sf0.001"
     val li = Tables.load(spark, sf, "lineitem")
