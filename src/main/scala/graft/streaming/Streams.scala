@@ -164,6 +164,25 @@ object Streams {
         .approxTopK(col("term"), k, capacity).as("top"))
       .select(col("window.start").as("win_start"), col("top"))
 
+  /** Per-user session aggregates via the BUILT-IN `session_window` —
+    * the declarative twin of [[streamingSessionize]] (same gap-merge
+    * semantics, state managed by Spark's session-window operator
+    * instead of hand-rolled flatMapGroupsWithState). Exists as a
+    * cross-check: both formulations must emit identical closed
+    * sessions (asserted in StreamsSpec), and at scale the built-in
+    * benefits from the state-store's native session merge without
+    * timeout bookkeeping. Works identically over a batch frame. */
+  def sessionWindowAgg(events: DataFrame, gapMinutes: Int = 30,
+                       watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(col("user_id"),
+        session_window(col("ts"), s"$gapMinutes minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("n_events"))
+
   /** Incremental dimension maintenance from a stream: each
     * micro-batch runs the batch pipeline's stage + SCD merge against
     * the dimension held by `sink` and commits the new state — the
@@ -227,6 +246,38 @@ object Streams {
           "__d_valid_to", "__d_is_current").contains(c))
           .map(c => c -> c.stripPrefix("__d_")).toMap)
   }
+
+  /** Point-in-time stream enrichment against a VERSIONED dimension
+    * sink, safe under concurrent dimension commits: each micro-batch
+    * resolves the sink's manifest ONCE and enriches against that
+    * immutable `v=N/` snapshot — a writer committing v=N+1 mid-batch
+    * can never tear the batch (version directories are append-only
+    * and the manifest swap is atomic), which is exactly the snapshot
+    * isolation Delta/Iceberg give stream-static joins and a plain
+    * parquet dir cannot. Successive batches pick up new dimension
+    * versions as they commit. Enriched rows append to `outPath`.
+    * (reference's scheduled-merge dims consumed by downstream jobs:
+    * notebooks/pipeline_core.py:274-296) */
+  def enrichAgainstVersionedDim(facts: DataFrame, factKey: String,
+                                factTs: String,
+                                sink: graft.sources.VersionedParquetSink,
+                                dimKey: String, outPath: String,
+                                checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    facts.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // one manifest read per batch pins the snapshot; record which
+        // version enriched the batch for lineage/audit
+        sink.currentVersion.foreach { v =>
+          val dim = sink.loadVersion(batch.sparkSession, v)
+          enrichWithScd2(batch, factKey, factTs, dim, dimKey)
+            .withColumn("dim_version", lit(v))
+            .write.mode("append").parquet(outPath)
+        }
+      }
+      .start()
 
   /** Stream-stream attribution join: purchase events matched to the
     * view events that preceded them within `attributionWindow`, per

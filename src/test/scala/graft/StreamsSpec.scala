@@ -242,6 +242,161 @@ class StreamsSpec extends SparkSpec {
     assert(out.head._4 > 8L)
   }
 
+  test("built-in session_window agrees with the fMGWS sessionizer") {
+    implicit val sqlCtx = spark.sqlContext
+    // sessions: u1 [00:00-00:10] (2 events), u1 [01:00] (1), u2 [02:00]
+    val fixture = Seq(
+      Event(1L, ts("2024-01-01 00:00:00"), 1L, "click", 1.0),
+      Event(2L, ts("2024-01-01 00:10:00"), 1L, "view", 1.0),
+      Event(3L, ts("2024-01-01 01:00:00"), 1L, "click", 1.0),
+      Event(4L, ts("2024-01-01 02:00:00"), 2L, "click", 1.0))
+    val mem = MemoryStream[Event]
+    mem.addData(fixture: _*)
+    // close every session: advance the watermark far past the data
+    mem.addData(Event(99L, ts("2024-01-02 12:00:00"), 3L, "click", 1.0))
+    val q = Streams.sessionWindowAgg(mem.toDF(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("sw_out")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val builtIn = spark.table("sw_out")
+      .filter(col("user_id") =!= 3L)
+      .orderBy("user_id", "session_start")
+      .as[(Long, java.sql.Timestamp, Long)].collect().toSeq
+    // fMGWS twin on the same bounded input
+    val mem2 = MemoryStream[Event]
+    mem2.addData(fixture: _*)
+    mem2.addData(Event(99L, ts("2024-01-02 12:00:00"), 3L, "click", 1.0))
+    val q2 = Streams.streamingSessionize(mem2.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("fmgws_out")
+      .outputMode("append").start()
+    try q2.processAllAvailable() finally q2.stop()
+    val fmgws = spark.table("fmgws_out")
+      .filter(col("user_id") =!= 3L)
+      .orderBy("user_id", "session_start")
+      .select("user_id", "session_start", "n_events")
+      .as[(Long, java.sql.Timestamp, Long)].collect().toSeq
+    assert(builtIn == fmgws)
+    assert(builtIn.map(r => (r._1, r._3)) == Seq((1L, 2L), (1L, 1L), (2L, 1L)))
+  }
+
+  test("RocksDB state store: stateful query survives kill and resume") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_rocks").toString
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[Event]
+      // memory sink cannot recover from a checkpoint; foreachBatch can
+      def start() = Streams.streamingScd1(mem.toDS())
+        .writeStream
+        .option("checkpointLocation", s"$dir/ckpt")
+        .outputMode("update")
+        .foreachBatch {
+          (b: org.apache.spark.sql.Dataset[Streams.UserState], id: Long) =>
+            b.withColumn("batch_id", lit(id))
+              .write.mode("append").parquet(s"$dir/out")
+        }
+        .start()
+      // batch 1: user 1 reaches state (ts 01:40, purchase)
+      val q1 = start()
+      try {
+        mem.addData(
+          Event(1L, ts("2024-01-01 00:10:00"), 1L, "click", 1.0),
+          Event(4L, ts("2024-01-01 01:40:00"), 1L, "purchase", 4.0))
+        q1.processAllAvailable()
+      } finally q1.stop() // kill mid-stream
+      // resume from the checkpoint: recovered RocksDB state must win
+      // over an OLDER event — if state had been lost, "view"@00:30
+      // would become current
+      val q2 = start()
+      try {
+        mem.addData(Event(9L, ts("2024-01-01 00:30:00"), 1L, "view", 1.0))
+        q2.processAllAvailable()
+      } finally q2.stop()
+      val rows = spark.read.parquet(s"$dir/out")
+        .orderBy(col("batch_id").desc).select("user_id", "event_type")
+        .as[(Long, String)].collect()
+      assert(rows.head == (1L, "purchase"),
+        s"recovered state must keep the newer event, got ${rows.toSeq}")
+    } finally {
+      prev match {
+        case Some(p) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
+  test("checkpoint recovery replays no batch: sessionize state resumes") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val mem = MemoryStream[Event]
+    def start() = Streams.streamingSessionize(mem.toDS(), gapMinutes = 30)
+      .writeStream
+      .option("checkpointLocation", s"$dir/ckpt")
+      .outputMode("append")
+      .foreachBatch {
+        (b: org.apache.spark.sql.Dataset[Streams.SessionOut], id: Long) =>
+          if (!b.isEmpty) b.write.mode("append").parquet(s"$dir/out")
+      }
+      .start()
+    // batch 1 leaves an OPEN session for user 1 in the state store
+    val q1 = start()
+    try {
+      mem.addData(Event(1L, ts("2024-01-01 00:00:00"), 1L, "click", 1.0))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // after resume, an event 10 min later must EXTEND the recovered
+    // open session (lost state would start a fresh session of 1)
+    val q2 = start()
+    try {
+      mem.addData(Event(2L, ts("2024-01-01 00:10:00"), 1L, "view", 1.0))
+      q2.processAllAvailable()
+      mem.addData(Event(3L, ts("2024-01-02 12:00:00"), 2L, "click", 1.0))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val u1 = spark.read.parquet(s"$dir/out").filter(col("user_id") === 1L)
+      .as[Streams.SessionOut].collect().toSeq
+    assert(u1.map(s => (s.session_start, s.session_end, s.n_events)) ==
+      Seq((ts("2024-01-01 00:00:00"), ts("2024-01-01 00:10:00"), 2L)))
+  }
+
+  test("versioned-dim enrichment pins a snapshot per batch under commits") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_vdim").toString
+    val sink = new graft.sources.VersionedParquetSink(s"$dir/dim")
+    // v0: user 1 → "bronze"
+    sink.overwrite(Seq((1L, "bronze", ts("2024-01-01 00:00:00"),
+      None: Option[java.sql.Timestamp], true))
+      .toDF("user_id", "tier", "valid_from", "valid_to", "is_current"))
+    val mem = MemoryStream[Event]
+    val q = Streams.enrichAgainstVersionedDim(mem.toDF(), "user_id", "ts",
+      sink, "user_id", s"$dir/out", s"$dir/ckpt")
+    try {
+      mem.addData(Event(1L, ts("2024-01-01 01:00:00"), 1L, "click", 1.0))
+      q.processAllAvailable()
+      // concurrent commit: v1 closes bronze, opens "gold"
+      sink.overwrite(Seq(
+        (1L, "bronze", ts("2024-01-01 00:00:00"),
+          Some(ts("2024-01-01 02:00:00")), false),
+        (1L, "gold", ts("2024-01-01 02:00:00"),
+          None: Option[java.sql.Timestamp], true))
+        .toDF("user_id", "tier", "valid_from", "valid_to", "is_current"))
+      mem.addData(Event(2L, ts("2024-01-01 03:00:00"), 1L, "click", 1.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.read.parquet(s"$dir/out").orderBy("event_id")
+      .select("event_id", "tier", "dim_version")
+      .as[(Long, String, Long)].collect().toSeq
+    // batch 1 enriched against v0, batch 2 against v1 — and v0 stays
+    // time-travel-readable after v1 committed
+    assert(out == Seq((1L, "bronze", 0L), (2L, "gold", 1L)))
+    assert(sink.loadVersion(spark, 0L).count() == 1)
+    assert(sink.versions == Seq(0L, 1L))
+  }
+
   test("streamingDedup drops duplicate keys within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
