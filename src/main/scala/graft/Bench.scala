@@ -48,6 +48,37 @@ object Bench {
       name -> dt
     }
     val total = results.map(_._2).sum
+    // Scale sweep: re-time the scale-critical queries one SF down and
+    // fit the scaling exponent e in t ∝ SF^e (10× SF step). e ≈ 1 is
+    // linear, e ≫ 1 means the plan's work grows faster than its data
+    // — the mechanical detector for a quadratic hiding behind a green
+    // correctness row. Fixed per-job overhead inflates the small-SF
+    // time, so measured exponents UNDERSTATE the true growth — a
+    // super-linear flag here is conclusive, a linear one is evidence.
+    val sweepNames = Seq("ngram_jaccard", "dedup_minhash_lsh",
+      "dup_clusters", "dedup_embedding", "corpus_curation", "sessionize",
+      "segment_dedup", "ann_bruteforce", "dedup_exact", "q1_pricing")
+      .filter(results.map(_._1).toSet)
+    val loDir = sfDir.replaceAll("sf[0-9.]+$", "sf0.01")
+    def sfOf(dir: String): Double =
+      "sf([0-9.]+)$".r.findFirstMatchIn(dir).map(_.group(1).toDouble)
+        .getOrElse(Double.NaN)
+    val sweep: Seq[(String, Double)] =
+      if (loDir == sfDir || !new java.io.File(loDir).isDirectory) Seq.empty
+      else {
+        val ratio = sfOf(sfDir) / sfOf(loDir)
+        val hi = results.toMap
+        sweepNames.map { name =>
+          spark.sharedState.cacheManager.clearCache()
+          System.gc()
+          val t0 = System.nanoTime()
+          try { run(SparkEntry.queries(name)(spark, loDir)) }
+          catch { case _: Throwable => -1L }
+          val tLo = (System.nanoTime() - t0) / 1e9
+          spark.sharedState.cacheManager.clearCache()
+          name -> math.log(hi(name) / tLo) / math.log(ratio)
+        }
+      }
     // The driver may only retain the last ~2000 chars of output, and a
     // line-oriented JSON parser needs the WHOLE line inside that
     // window. Print seconds at millisecond precision and, if the line
@@ -55,11 +86,20 @@ object Bench {
     // the breakdown (recording how many were omitted) — the total is
     // what's graded; the per-query map is diagnostics.
     def fmt(v: Double): String = BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
+    val sweepJson =
+      if (sweep.isEmpty) ""
+      else {
+        val entries = sweep.map { case (k, e) => "\"" + k + "\":" + fmt(e) }
+          .mkString("{", ",", "}")
+        val superLin = sweep.filter(_._2 > 1.3).map("\"" + _._1 + "\"")
+          .mkString("[", ",", "]")
+        s""","sweep":$entries,"sweep_superlinear":$superLin"""
+      }
     def line(entries: Seq[(String, Double)], omitted: Int): String = {
       val qs = entries.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
       val om = if (omitted > 0) s""","omitted_fastest":$omitted""" else ""
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$om,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$om$sweepJson,"sf":"$sfDir"}"""
     }
     val byTime = results.sortBy(-_._2)
     val keep = (results.length to 1 by -1)
