@@ -262,6 +262,31 @@ object SparkEntry {
         .orderBy(col("o_custkey"))
     }),
 
+    "sql_merge" -> ((s, d) => {
+      // executable ANSI MERGE INTO surface (the statement the
+      // reference's users write — Load & SCD-Merge.py): parsed by
+      // Spark's own grammar, executed as one full-outer-join plan
+      // with ANSI action-order + cardinality semantics, exercising
+      // update, delete, insert and untouched branches at once; the
+      // oracle computes the post-merge state declaratively
+      val target = t(s, d, "customer").filter(col("c_custkey") <= 300)
+        .select(col("c_custkey").as("k"), lit("init").as("status"),
+          lit(0L).as("n"))
+      t(s, d, "orders")
+        .filter(col("o_custkey") > 200 && col("o_custkey") <= 400)
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"))
+        .select(col("o_custkey").as("k"), col("n_orders"))
+        .createOrReplaceTempView("sql_merge_updates")
+      graft.sources.SqlMerge.mergeFrames(s,
+        """MERGE INTO dim t USING sql_merge_updates s ON t.k = s.k
+           WHEN MATCHED AND s.n_orders > 10 THEN DELETE
+           WHEN MATCHED THEN UPDATE SET status = 'active', n = s.n_orders
+           WHEN NOT MATCHED THEN
+             INSERT (k, status, n) VALUES (s.k, 'new', s.n_orders)""",
+        target).orderBy(col("k"))
+    }),
+
     "bucketed_join" -> ((s, d) => {
       // the shuffle paid at write time: both facts bucketed by the
       // join key co-locate, so the join plans with zero exchange
@@ -1085,6 +1110,25 @@ object SparkEntry {
              ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
            FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01')
          WHERE rn = 1 ORDER BY o_custkey""",
+
+    "sql_merge" ->
+      """WITH tgt AS (
+           SELECT c_custkey AS k, 'init' AS status, CAST(0 AS BIGINT) AS n
+           FROM customer WHERE c_custkey <= 300),
+         upd AS (
+           SELECT o_custkey AS k, COUNT(*) AS n_orders FROM orders
+           WHERE o_custkey > 200 AND o_custkey <= 400 GROUP BY 1)
+         SELECT CAST(COALESCE(t.k, u.k) AS BIGINT) AS k,
+                CASE WHEN t.k IS NOT NULL AND u.k IS NOT NULL
+                       THEN 'active'
+                     WHEN t.k IS NULL THEN 'new'
+                     ELSE t.status END AS status,
+                CAST(CASE WHEN u.k IS NOT NULL THEN u.n_orders
+                     ELSE t.n END AS BIGINT) AS n
+         FROM tgt t FULL OUTER JOIN upd u ON t.k = u.k
+         WHERE NOT (t.k IS NOT NULL AND u.k IS NOT NULL
+                    AND u.n_orders > 10)
+         ORDER BY k""",
 
     "pipeline_e2e" ->
       """WITH s1 AS (
