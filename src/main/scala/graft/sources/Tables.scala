@@ -284,4 +284,49 @@ object Tables {
                       logPath: String, nameCol: String = "name"): DataFrame =
     newFiles(listing,
       readIngestLog(spark, logPath).select(col("name").as(nameCol)), nameCol)
+
+  // ----------------------------------------------------------------
+  // Pluggable store listing: the remote-blob abstraction behind
+  // incremental ingest.
+  // ----------------------------------------------------------------
+
+  /** Listing source for incremental ingest: produces (name,
+    * size_bytes, last_modified) rows for the anti-join against the
+    * ingest log. The reference lists Azure blobs client-side with
+    * pattern + last-modified filtering (reference: Mini-ETL-Pipeline
+    * in Databricks.py:31-44); this trait is that seam — swap in an
+    * object-store-API lister where a Hadoop connector doesn't fit. */
+  trait BlobLister {
+    def list(spark: SparkSession, pathPattern: String,
+             modifiedSince: Option[java.sql.Timestamp] = None): DataFrame
+  }
+
+  /** Hadoop-FileSystem-backed lister — the pluggable remote-store
+    * binding Spark itself uses: the same call lists a local dir,
+    * HDFS, or (with the provider jars on the classpath) abfss:// and
+    * s3a:// object stores, selected by URI scheme. Glob patterns and
+    * the last-modified cutoff reproduce the reference's client-side
+    * loop, but the result is a DataFrame so new-file detection stays
+    * a distributed anti-join. Listing metadata is driver-side (it is
+    * file COUNTS, not data; for stores with tens of millions of
+    * objects, page by prefix and union the frames). */
+  object HadoopFsLister extends BlobLister {
+    override def list(spark: SparkSession, pathPattern: String,
+                      modifiedSince: Option[java.sql.Timestamp] = None)
+        : DataFrame = {
+      import spark.implicits._
+      val p = new org.apache.hadoop.fs.Path(pathPattern)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val matched = Option(fs.globStatus(p)).toSeq.flatten
+      val files = matched.flatMap { st =>
+        if (st.isDirectory) fs.listStatus(st.getPath).toSeq.filter(_.isFile)
+        else Seq(st)
+      }
+      val cutoff = modifiedSince.map(_.getTime).getOrElse(Long.MinValue)
+      files.filter(_.getModificationTime >= cutoff)
+        .map(st => (st.getPath.toString, st.getLen,
+          new java.sql.Timestamp(st.getModificationTime)))
+        .toDF("name", "size_bytes", "last_modified")
+    }
+  }
 }

@@ -72,6 +72,36 @@ class SourcesSpec extends SparkSpec {
     assert(byBatch == Map("b1" -> 2L, "b2" -> 1L))
   }
 
+  test("HadoopFsLister: glob + last-modified listing feeds new-file detect") {
+    val dir = tmpDir("graft_lister")
+    def touch(name: String, mtimeMs: Long): Unit = {
+      val f = new java.io.File(dir, name)
+      java.nio.file.Files.writeString(f.toPath, "x")
+      assert(f.setLastModified(mtimeMs))
+    }
+    touch("a.csv", 1700000000000L)
+    touch("b.csv", 1700086400000L)
+    touch("c.txt", 1700086400000L) // pattern-excluded
+    val all = Tables.HadoopFsLister.list(spark, s"$dir/*.csv")
+    assert(all.select("name").as[String].collect()
+      .map(_.split('/').last).sorted.toSeq == Seq("a.csv", "b.csv"))
+    // last-modified cutoff mirrors the reference's client-side filter
+    val recent = Tables.HadoopFsLister.list(spark, s"$dir/*.csv",
+      modifiedSince = Some(new java.sql.Timestamp(1700050000000L)))
+    assert(recent.select("name").as[String].collect()
+      .map(_.split('/').last).toSeq == Seq("b.csv"))
+    // composes with the ingest log: the anti-join sees listed names
+    val log = s"$dir/log"
+    Tables.appendIngestLog(all.filter(col("name").endsWith("a.csv")),
+      log, "b1", ts("2026-01-01 00:00:00"))
+    val fresh = Tables.newFilesFromLog(spark, all, log)
+      .select("name").as[String].collect().map(_.split('/').last).toSeq
+    assert(fresh == Seq("b.csv"))
+    // a bare directory path lists its files one level down
+    val byDir = Tables.HadoopFsLister.list(spark, dir)
+    assert(byDir.count() == 3)
+  }
+
   // a second DimSink impl: proves pipelines are written against the
   // trait, not a storage format (the Delta/Iceberg swap-in path)
   private class MemoryDimSink extends DimSink {
