@@ -733,6 +733,22 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    "budget_sample" -> ((s, d) =>
+      // token-budget assembly: "30k chars of en, 10k of de, all the
+      // rest" as one deterministic hash-ordered prefix per stratum;
+      // the oracle runs the equivalent single-window formulation
+      Mixing.tokenBudgetSample(t(s, d, "documents"), "lang", "doc_id",
+        "n_chars", Map("en" -> 30000L, "de" -> 10000L))
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy(col("doc_id"))),
+
+    // rows-only: k-means cells aren't SQL-expressible; the mapping
+    // contract (planted dups collapse, clusters stay apart,
+    // determinism) is asserted in DedupSpec
+    "semantic_dedup" -> ((s, d) =>
+      Dedup.semanticDedup(t(s, d, "embeddings"), k = 16, threshold = 0.4)
+        .orderBy(col("vec_id"))),
+
     "dedup_embedding" -> ((s, d) =>
       // exact cosine join at a LOW threshold (0.4): the fixture's true
       // pairs sit just above it (min 0.40001) against a background p99
@@ -1110,6 +1126,22 @@ object SparkEntry {
              ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
            FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01')
          WHERE rn = 1 ORDER BY o_custkey""",
+
+    "budget_sample" ->
+      """WITH sel AS (
+           SELECT doc_id, lang, n_chars,
+             ((doc_id % 1000003) * 2654435761) % 1000 AS m,
+             ((doc_id % 999983) * 2246822519) % 1000 AS m2
+           FROM documents),
+         c AS (
+           SELECT *, SUM(n_chars) OVER (PARTITION BY lang
+               ORDER BY m, m2, doc_id ROWS UNBOUNDED PRECEDING) AS cum
+           FROM sel)
+         SELECT doc_id, lang, n_chars FROM c
+         WHERE cum <= CASE lang WHEN 'en' THEN 30000
+                                WHEN 'de' THEN 10000
+                                ELSE 9223372036854775807 END
+         ORDER BY doc_id""",
 
     "sql_merge" ->
       """WITH tgt AS (

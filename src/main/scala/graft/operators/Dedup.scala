@@ -393,6 +393,44 @@ object Dedup {
         round(col("cos"), 6).as("cosine"))
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al., 2023):
+    * cluster embeddings with spherical k-means, then find cosine
+    * near-dups ONLY within each cluster and collapse each duplicate
+    * group to its lowest-id representative. Returns a full mapping
+    * (idCol, rep_id, cell): `rep_id == id` marks the kept rows, so
+    * both "drop the dups" and "audit what merged" are one filter
+    * away.
+    *
+    * Scale design: the cluster assignment is a compiled map-side
+    * argmax (centroids are driver model state, trained on a sample at
+    * real scale); the pair search is an equi-join keyed by cell —
+    * blocking factor k bounds each join group at ~n/k vectors, so
+    * choose k so cells fit a task (SemDeDup used k ≈ 11k for 5B
+    * embeddings); duplicate groups collapse through the same
+    * connected-components machinery as dup_clusters (near-dup graphs
+    * are tiny vs their corpus). */
+  def semanticDedup(emb: DataFrame, k: Int, threshold: Double = 0.95,
+                    idCol: String = "vec_id", vecCol: String = "embedding",
+                    iters: Int = 3,
+                    sampleFraction: Double = 1.0): DataFrame = {
+    val cells = Similarity.kmeansAssign(emb, k, iters, idCol, vecCol,
+      sampleFraction)
+    val e = cells.select(col(idCol).as("__id"), col(vecCol).as("__v"),
+      floatNorm(col(vecCol)).as("__n"), col("cell"))
+    val pairs = e.toDF("id_a", "v_a", "n_a", "cell")
+      .join(e.toDF("id_b", "v_b", "n_b", "cell"), Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(floatDot(col("v_a"), col("v_b")) /
+        (col("n_a") * col("n_b")) >= threshold)
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+    val comps = Clustering.connectedComponentsFromEdges(pairs)
+      .select(col("id").as(idCol), col("cluster_id").as("rep_id"))
+    cells.select(col(idCol), col("cell"))
+      .join(comps, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("rep_id"), col(idCol)).as("rep_id"), col("cell"))
+  }
+
   /** Sub-quadratic embedding near-dup for the HIGH-threshold regime
     * (actual near-duplicates, cosine ≥ ~0.8): sign-random-projection
     * LSH buckets generate candidates, the exact cosine verifies them

@@ -97,6 +97,69 @@ object Mixing {
       .drop("__h")
   }
 
+  /** Token-budget assembly: per stratum, keep the deterministic
+    * hash-ordered PREFIX of rows whose cumulative `tokenCol` stays
+    * within the stratum's budget — "give me 50 B tokens of web, 10 B
+    * of code" as one auditable plan. The selected set is exactly
+    * `cum ≤ budget` under the total order (mille, mille2, id), so
+    * membership is a pure function of the corpus (rows outside the
+    * stratum never change a row's fate beyond the shared order).
+    *
+    * Scale design — NO stratum-wide window: a per-(stratum,
+    * mille-bucket) token aggregate (≤1000 partial-agged rows per
+    * stratum) finds each stratum's boundary bucket; full buckets
+    * below it keep map-side, and only the boundary bucket (~1/1000
+    * of the stratum) pays a window to place the cut row-exactly.
+    * Equivalent to the single-window formulation (the oracle runs
+    * that form), but the reducer holding the biggest source sorts
+    * 0.1% of it. */
+  def tokenBudgetSample(df: DataFrame, stratumCol: String, idCol: String,
+                        tokenCol: String,
+                        budgets: Map[String, Long],
+                        defaultBudget: Long = Long.MaxValue): DataFrame = {
+    val budgetExpr = budgets.foldLeft(lit(defaultBudget)) {
+      case (acc, (s, b)) => when(col(stratumCol) === s, lit(b)).otherwise(acc)
+    }
+    val withSel = df
+      .withColumn("__m", mille(col(idCol)))
+      .withColumn("__m2", mille2(col(idCol)))
+    // phase 1: per-bucket token sums → per-stratum boundary bucket
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(stratumCol)).orderBy(col("__m"))
+    val buckets = withSel.groupBy(col(stratumCol), col("__m"))
+      .agg(sum(col(tokenCol)).as("__btok"))
+      .withColumn("__cum", sum(col("__btok")).over(w))
+      .withColumn("__budget", budgetExpr)
+    // boundary = LAST bucket starting under the budget (buckets below
+    // it are fully inside; its own rows face the in-bucket cut with
+    // whatever budget remains before it)
+    val bounds = buckets
+      .filter(col("__cum") - col("__btok") < col("__budget"))
+      .groupBy(col(stratumCol))
+      .agg(max(col("__m")).as("__mb"))
+    val boundary = buckets.select(col(stratumCol).as("__bs"),
+      col("__m").as("__bm"), (col("__budget") -
+        (col("__cum") - col("__btok"))).as("__rem"))
+    val cut = bounds
+      .join(boundary, col(stratumCol) === col("__bs") &&
+        col("__mb") === col("__bm"))
+      .select(col(stratumCol), col("__mb"), col("__rem"))
+    // phase 2: full buckets keep map-side; boundary bucket windows
+    // over its own rows only
+    val tagged = withSel.join(broadcast(cut), Seq(stratumCol), "left")
+    val keepFull = tagged.filter(col("__mb").isNotNull &&
+      col("__m") < col("__mb"))
+    val wIn = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(stratumCol))
+      .orderBy(col("__m2"), col(idCol))
+    val keepBoundary = tagged.filter(col("__m") === col("__mb"))
+      .withColumn("__icum", sum(col(tokenCol)).over(wIn))
+      .filter(col("__icum") <= col("__rem"))
+      .drop("__icum")
+    keepFull.unionByName(keepBoundary)
+      .drop("__m", "__m2", "__mb", "__rem")
+  }
+
   /** Per-group quantile gate: keep rows whose `valueCol` is at or
     * above their group's q-quantile (linear-interpolation
     * percentile). The per-group cutoffs are one tiny aggregate,

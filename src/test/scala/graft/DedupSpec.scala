@@ -180,6 +180,36 @@ class DedupSpec extends SparkSpec {
     assert(!phys.contains("BroadcastNestedLoopJoin"), phys.take(500))
   }
 
+  test("semanticDedup collapses planted dups within clusters only") {
+    // three well-separated axis clusters of 10 vectors; pairs
+    // (i, i+15) for i < 3 are exact duplicates (one per cluster);
+    // every other vector perturbs a UNIQUE dimension, so non-dup
+    // cosines cap at 1/1.25 = 0.8 — far below the 0.999 threshold
+    val emb = (0 until 30).map { i =>
+      val axis = i % 3
+      val v = Array.fill(40)(0f)
+      v(axis) = 1f
+      val dupSeed = if (i >= 15 && i < 18) i - 15 else i
+      if (dupSeed < 3 && (i < 3 || i >= 15)) v(3 + dupSeed) = 0.001f
+      else v(10 + i) = 0.5f
+      (i.toLong, v)
+    }.toDF("vec_id", "embedding")
+    val mapping = graft.operators.Dedup
+      .semanticDedup(emb, k = 3, threshold = 0.999)
+      .select("vec_id", "rep_id").as[(Long, Long)].collect().toMap
+    // planted pairs (0,15),(1,16),(2,17) collapse to the lower id
+    assert(mapping(15L) == 0L && mapping(16L) == 1L && mapping(17L) == 2L)
+    // everything else is its own representative
+    (0 until 30).filter(i => i < 15 || i >= 18).foreach { i =>
+      assert(mapping(i.toLong) == i.toLong, s"vec $i should be kept")
+    }
+    // deterministic under repartitioning
+    val again = graft.operators.Dedup
+      .semanticDedup(emb.repartition(5), k = 3, threshold = 0.999)
+      .select("vec_id", "rep_id").as[(Long, Long)].collect().toMap
+    assert(again == mapping)
+  }
+
   test("embeddingNearDupLsh: full recall on planted near-dups at high cos") {
     // planted pairs at cosine ≈ 0.995 (the near-duplicate regime LSH
     // is for); background vectors are far apart. At bits=8/tables=8

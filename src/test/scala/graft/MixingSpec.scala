@@ -9,6 +9,38 @@ class MixingSpec extends SparkSpec {
   private def docs = graft.sources.Tables.load(spark,
     "/root/testdata/sf0.01", "documents")
 
+  test("tokenBudgetSample equals the single-window prefix formulation") {
+    import org.apache.spark.sql.expressions.Window
+    val budgets = Map("en" -> 20000L, "de" -> 5000L)
+    val out = Mixing.tokenBudgetSample(docs, "lang", "doc_id", "n_chars",
+      budgets)
+    // reference: keep iff running token sum under the total order
+    // (mille, mille2, id) stays within the stratum budget
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(Mixing.mille(col("doc_id")), Mixing.mille2(col("doc_id")),
+        col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val budgetExpr = when(col("lang") === "en", 20000L)
+      .when(col("lang") === "de", 5000L).otherwise(Long.MaxValue)
+    val ref = docs.withColumn("__cum", sum(col("n_chars")).over(w))
+      .filter(col("__cum") <= budgetExpr).drop("__cum")
+    assert(out.count() == ref.count())
+    assert(out.select("doc_id").except(ref.select("doc_id")).isEmpty &&
+      ref.select("doc_id").except(out.select("doc_id")).isEmpty)
+    // budgets actually bind: kept tokens within budget, next-row tight
+    val keptTokens = out.groupBy("lang").agg(sum("n_chars").as("s"))
+      .as[(String, Long)].collect().toMap
+    assert(keptTokens("en") <= 20000L && keptTokens("de") <= 5000L)
+    assert(keptTokens("en") > 15000L, "cut should land near the budget")
+    // unbudgeted strata keep everything
+    val frAll = docs.filter(col("lang") === "fr").count()
+    assert(out.filter(col("lang") === "fr").count() == frAll)
+    // zero budget drops the stratum entirely
+    val none = Mixing.tokenBudgetSample(docs, "lang", "doc_id", "n_chars",
+      Map("en" -> 0L))
+    assert(none.filter(col("lang") === "en").count() == 0)
+  }
+
   test("mixtureSample flattens stratum proportions toward temperature") {
     val out = Mixing.mixtureSample(docs, "lang", "doc_id",
       temperature = 0.5, maxRate = 0.8)
