@@ -746,7 +746,10 @@ object SparkEntry {
     // contract (planted dups collapse, clusters stay apart,
     // determinism) is asserted in DedupSpec
     "semantic_dedup" -> ((s, d) =>
-      Dedup.semanticDedup(t(s, d, "embeddings"), k = 16, threshold = 0.4)
+      // centroids train on a half sample (the documented at-scale
+      // practice — assignment still covers every vector)
+      Dedup.semanticDedup(t(s, d, "embeddings"), k = 16, threshold = 0.4,
+        iters = 2, sampleFraction = 0.5)
         .orderBy(col("vec_id"))),
 
     "dedup_embedding" -> ((s, d) =>
