@@ -159,6 +159,13 @@ object SqlMerge {
       val byIdx: Map[Int, Option[Map[String, Column]]] = actions.map {
         case (i, a, _) => i -> assignments(a, targetCols, p.sourceAlias)
       }.toMap
+      // an assignment to a column the target doesn't have is a typo,
+      // not a no-op — fail like Delta/ANSI instead of dropping it
+      val unknown = byIdx.values.flatten.flatMap(_.keys)
+        .filterNot(targetCols.contains).toSeq.distinct
+      if (unknown.nonEmpty) throw new IllegalArgumentException(
+        s"MERGE assigns to column(s) not in the target: " +
+          unknown.mkString(", "))
       val deletes = byIdx.collect { case (i, None) => i }.toSeq
       val keepExpr: Column = !col("__branch").isin(deletes :+ -2: _*)
       val outCols = targetCols.map { c =>

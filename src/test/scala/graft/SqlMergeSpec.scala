@@ -119,6 +119,30 @@ class SqlMergeSpec extends SparkSpec {
       (3L, "gamma", 30L), (4L, "delta", 40L), (5L, null, 50L)))
   }
 
+  test("MERGE rejects assignments to unknown target columns") {
+    seedViews()
+    val target = targetRows.toDF("k", "v", "n")
+    val e = intercept[IllegalArgumentException] {
+      SqlMerge.mergeFrames(spark,
+        """MERGE INTO dim t USING updates s ON t.k = s.k
+           WHEN MATCHED THEN UPDATE SET wrong_col = s.v""", target)
+    }
+    assert(e.getMessage.contains("wrong_col"))
+  }
+
+  test("MERGE with an empty source leaves the target intact") {
+    Seq.empty[(Long, String, Long)].toDF("k", "v", "n")
+      .createOrReplaceTempView("updates")
+    val target = targetRows.toDF("k", "v", "n")
+    val out = SqlMerge.mergeFrames(spark,
+      """MERGE INTO dim t USING updates s ON t.k = s.k
+         WHEN MATCHED THEN UPDATE SET v = s.v
+         WHEN NOT MATCHED THEN INSERT (k, v, n) VALUES (s.k, s.v, s.n)""",
+      target)
+      .orderBy("k").as[(Long, String, Long)].collect().toSeq
+    assert(out == targetRows)
+  }
+
   test("reference-shaped SCD2 close merge (Load & SCD-Merge.py form)") {
     // the reference's MERGE: matched + changed current rows are
     // CLOSED (IsCurrent=false, valid_to=now); the new versions are
