@@ -760,7 +760,10 @@ object SparkEntry {
       // all-pairs work with no CartesianProduct (plan asserted in
       // DedupSpec); the sub-quadratic high-threshold path is
       // Dedup.embeddingNearDupLsh (recall-tested in DedupSpec)
-      Dedup.embeddingNearDup(t(s, d, "embeddings"), threshold = 0.4)
+      // blocks sized to cover the core count with tiles
+      // (b·(b+1)/2 tasks): more blocks only adds replication volume
+      Dedup.embeddingNearDup(t(s, d, "embeddings"), threshold = 0.4,
+        blocks = 8)
         .orderBy(col("id_a"), col("id_b"))),
 
     "decontaminate" -> ((s, d) => {
