@@ -778,6 +778,32 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "contamination_score" -> ((s, d) => {
+      // the audit variant: a full scorecard over the training corpus
+      // (zero-hit docs kept) with an exact integer basis-points
+      // overlap fraction — thresholdable downstream at any level.
+      val docs = t(s, d, "documents")
+      val bench = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+      val train = docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+      Decontam.contaminationScore(train, bench, n = 4)
+        .orderBy(col("doc_id"))
+    }),
+
+    "chunk_docs" -> ((s, d) =>
+      // RAG chunking: 240-char windows, 60-char overlap, stable
+      // (doc_id, chunk_id, chunk_start) lineage; map-only plan
+      TextAnalysis.chunkDocs(t(s, d, "documents"), size = 240,
+        overlap = 60)
+        .orderBy(col("doc_id"), col("chunk_id"))),
+
+    "weighted_sample" -> ((s, d) =>
+      // PPS systematic sampling by doc length: expected sample =
+      // total_chars/stride docs, inclusion probability ∝ n_chars,
+      // hash-deterministic; two-phase windows, no global sort
+      Mixing.weightedSystematicSample(t(s, d, "documents"), "doc_id",
+        "n_chars", stride = 5000L)
+        .orderBy(col("doc_id"))),
+
     "decontaminate_bloom" -> ((s, d) => {
       // the same overlap through the 100 TB path: a Bloom filter
       // built over the eval shingles by a distributed aggregate,
@@ -2035,6 +2061,53 @@ object SparkEntry {
          SELECT doc_id, source FROM documents
          WHERE doc_id % 10 <> 0
            AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+         ORDER BY doc_id""",
+
+    "contamination_score" ->
+      """WITH sh AS (
+           SELECT doc_id, unnest(list_distinct(
+             CASE WHEN len(string_split_regex(trim(lower(text)), '\s+')) < 4
+             THEN [concat_ws(' ', string_split_regex(trim(lower(text)), '\s+'))]
+             ELSE list_transform(
+               range(1, len(string_split_regex(trim(lower(text)), '\s+')) - 2),
+               i -> string_split_regex(trim(lower(text)), '\s+')[i] || ' ' ||
+                    string_split_regex(trim(lower(text)), '\s+')[i+1] || ' ' ||
+                    string_split_regex(trim(lower(text)), '\s+')[i+2] || ' ' ||
+                    string_split_regex(trim(lower(text)), '\s+')[i+3]) END)) AS s
+           FROM documents),
+         bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 10 = 0),
+         sc AS (
+           SELECT sh.doc_id, count(*) AS n_shingles, count(b.s) AS n_hits
+           FROM sh LEFT JOIN bench b ON sh.s = b.s
+           WHERE sh.doc_id % 10 <> 0 GROUP BY sh.doc_id)
+         SELECT doc_id, n_shingles, n_hits,
+           (n_hits * 10000) // n_shingles AS contamination_bp
+         FROM sc ORDER BY doc_id""",
+
+    "chunk_docs" ->
+      """WITH c AS (
+           SELECT doc_id, text,
+             unnest(range(0, greatest(1,
+               (len(text) - 60 + 179) // 180))) AS i
+           FROM documents)
+         SELECT doc_id, CAST(i AS INT) AS chunk_id,
+           CAST(i * 180 AS BIGINT) AS chunk_start,
+           substr(text, CAST(i * 180 + 1 AS INT), 240) AS chunk_text
+         FROM c ORDER BY doc_id, chunk_id""",
+
+    "weighted_sample" ->
+      """WITH s AS (
+           SELECT doc_id, n_chars,
+             ((doc_id % 1000003) * 2654435761) % 1000 AS m,
+             ((doc_id % 999983) * 2246822519) % 1000 AS m2
+           FROM documents),
+         c AS (
+           SELECT doc_id, n_chars,
+             SUM(n_chars) OVER (ORDER BY m, m2, doc_id
+               ROWS UNBOUNDED PRECEDING) AS cum
+           FROM s)
+         SELECT doc_id, n_chars, CAST(cum AS BIGINT) AS cum_weight
+         FROM c WHERE (cum - n_chars) // 5000 < cum // 5000
          ORDER BY doc_id""",
 
     "decontaminate_bloom" ->

@@ -62,6 +62,34 @@ object Decontam {
         .filter(col("n_hits") >= minHits).select(col(idCol)),
       Seq(idCol), "left_anti")
 
+  /** Per-doc contamination SCORE for every training document — the
+    * audit/reporting companion to [[contaminationHits]]: how many of
+    * the doc's distinct shingles appear in the benchmark set, as a
+    * count and an integer basis-points fraction (n_hits·10⁴ /
+    * n_shingles, floor). Zero-overlap docs are kept (score 0), so the
+    * output is a full corpus scorecard suitable for thresholding at
+    * any level downstream, not just the binary drop decision.
+    *
+    * Scale design: same shape as the hits path — map-side shingle
+    * hashing, broadcast benchmark set, one keyed aggregate; the left
+    * join adds no shuffle beyond it. The score is exact integer
+    * arithmetic (no float division), so it hash-matches any engine. */
+  def contaminationScore(train: DataFrame, bench: DataFrame,
+                         idCol: String = "doc_id",
+                         textCol: String = "text",
+                         n: Int = 13): DataFrame = {
+    val benchSh = shingleHashSet(bench, idCol, textCol, n)
+      .select(col("shingle_h")).distinct()
+      .withColumn("__hit", lit(1))
+    shingleHashSet(train, idCol, textCol, n)
+      .join(broadcast(benchSh), Seq("shingle_h"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shingles"),
+        count(col("__hit")).as("n_hits"))
+      .withColumn("contamination_bp",
+        floor(col("n_hits") * 10000 / col("n_shingles")).cast("long"))
+  }
+
   /** Bloom-prefiltered contamination hits — identical output to
     * `contaminationHits` (Bloom filters have no false negatives; the
     * exact semi-join after the probe removes false positives), but

@@ -160,6 +160,46 @@ object Mixing {
       .drop("__m", "__m2", "__mb", "__rem")
   }
 
+  /** Deterministic weighted sampling without replacement by
+    * SYSTEMATIC selection: rows are laid on a line in hash order,
+    * each occupying an interval of its integer weight (chars,
+    * tokens, bytes), and every row whose interval crosses a
+    * `stride`-boundary is selected. Inclusion probability is
+    * weight/stride (rows with weight ≥ stride are always taken) and
+    * the expected sample size is total_weight/stride — the classic
+    * PPS systematic design, but with a hash order instead of a
+    * random shuffle so membership is a pure function of the corpus.
+    * Integer arithmetic end to end: exact, engine-portable,
+    * SQL-auditable. Returns (idCol, weightCol, cum_weight).
+    *
+    * Scale design — NO global window: per-mille-bucket weight sums
+    * (≤1000 partial-agged rows) get exclusive prefix offsets on one
+    * tiny window, broadcast back; each bucket then runs its own
+    * window over ~1/1000 of the data in parallel. Identical to the
+    * single-window formulation the oracle runs. */
+  def weightedSystematicSample(df: DataFrame, idCol: String,
+                               weightCol: String, stride: Long): DataFrame = {
+    require(stride > 0, "stride must be positive")
+    val withSel = df
+      .withColumn("__m", mille(col(idCol)))
+      .withColumn("__m2", mille2(col(idCol)))
+    val wB = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__m"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val bases = withSel.groupBy(col("__m"))
+      .agg(sum(col(weightCol)).as("__bt"))
+      .withColumn("__base", coalesce(sum(col("__bt")).over(wB), lit(0L)))
+      .select(col("__m"), col("__base"))
+    val wIn = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__m")).orderBy(col("__m2"), col(idCol))
+    withSel.join(broadcast(bases), Seq("__m"))
+      .withColumn("__cum", col("__base") + sum(col(weightCol)).over(wIn))
+      .filter(floor((col("__cum") - col(weightCol)) / lit(stride)) <
+        floor(col("__cum") / lit(stride)))
+      .select(col(idCol), col(weightCol),
+        col("__cum").cast("long").as("cum_weight"))
+  }
+
   /** Per-group quantile gate: keep rows whose `valueCol` is at or
     * above their group's q-quantile (linear-interpolation
     * percentile). The per-group cutoffs are one tiny aggregate,

@@ -309,4 +309,37 @@ object TextAnalysis {
         count_distinct(col(idCol)).as("df"))
       .orderBy(col("freq").desc, col("term"))
       .limit(k)
+
+  /** RAG-style document chunking: fixed-size character windows with
+    * `overlap` characters shared between consecutive chunks, emitted
+    * with stable ids and char offsets so chunks can be traced back to
+    * (and re-assembled into) their source documents. Empty or
+    * shorter-than-size documents yield exactly one (possibly
+    * truncated) chunk, so no document silently disappears.
+    *
+    * Scale design: a single map-side pass — `sequence` + `explode`
+    * fan a row out to its chunk starts and `substr` slices each
+    * window; no shuffle, no UDF, the row count grows by ~len/stride
+    * exactly where the data does. Chunk counts use exact integer
+    * ceil-division ((n-overlap+stride-1)/stride with stride =
+    * size-overlap), auditable verbatim in ANSI SQL. */
+  def chunkDocs(docs: DataFrame, size: Int, overlap: Int,
+                idCol: String = "doc_id",
+                textCol: String = "text"): DataFrame = {
+    require(size > 0 && overlap >= 0 && overlap < size,
+      "need size > 0 and 0 <= overlap < size")
+    val stride = size - overlap
+    val n = length(col(textCol)).cast("long")
+    val nChunks = greatest(lit(1L),
+      floor((n - lit(overlap.toLong) + lit(stride - 1L)) / lit(stride.toLong))
+        .cast("long"))
+    docs
+      .select(col(idCol), col(textCol),
+        explode(sequence(lit(0L), nChunks - 1)).as("__i"))
+      .select(col(idCol),
+        col("__i").cast("int").as("chunk_id"),
+        (col("__i") * stride).cast("long").as("chunk_start"),
+        col(textCol).substr((col("__i") * stride + 1).cast("int"),
+          lit(size)).as("chunk_text"))
+  }
 }

@@ -1,8 +1,10 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
+  OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues,
+  ValueState}
 
 /** Structured-Streaming twins of the batch operators: the same
   * logical transforms bound to `readStream` sources. The reference's
@@ -139,6 +141,204 @@ object Streams {
                      watermark: String = "1 hour"): DataFrame =
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keyCols)
+
+  /** First-occurrence dedup with a per-key TTL, on the Spark 4
+    * `transformWithState` arbitrary-state API: the first row per
+    * (user_id, event_type) passes, repeats are dropped, and the
+    * key's dedup record EXPIRES after `ttl` of processing time
+    * (TTLConfig on the ValueState — the store evicts it, no timer
+    * bookkeeping here). `dropDuplicates` state grows with every key
+    * ever seen and `dropDuplicatesWithinWatermark` needs event time;
+    * this bounds state to arrival-rate × ttl on processing time — the
+    * right contract for an always-on ingest dedup at corpus scale.
+    * Requires the RocksDB state store provider (transformWithState's
+    * native store). Note: in ProcessingTime mode the engine keeps
+    * scheduling batches to advance TTL time even with no new data —
+    * fine for an always-on query, but bounded test/batch harnesses
+    * should drive it with Trigger.Once per step (processAllAvailable
+    * never quiesces). */
+  class TtlDedupProcessor(ttl: java.time.Duration)
+      extends StatefulProcessor[(Long, String), Event, Event] {
+    @transient private var seen: ValueState[Boolean] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      seen = getHandle.getValueState[Boolean]("seen",
+        Encoders.scalaBoolean, TTLConfig(ttl))
+    override def handleInputRows(key: (Long, String),
+                                 rows: Iterator[Event],
+                                 tv: TimerValues): Iterator[Event] =
+      if (seen.exists() || !rows.hasNext) Iterator.empty
+      else { seen.update(true); Iterator.single(rows.next()) }
+  }
+
+  /** Streaming dedup on (user_id, event_type) with TTL'd state — see
+    * [[TtlDedupProcessor]]. */
+  def streamingDedupTtl(events: Dataset[Event],
+                        ttl: java.time.Duration): Dataset[Event] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(e => (e.user_id, e.event_type))
+      .transformWithState(new TtlDedupProcessor(ttl),
+        TimeMode.ProcessingTime(), OutputMode.Append())
+  }
+
+  /** One banded-signature probe of the streaming LSH index: the doc's
+    * sorted hashed shingle set rides along for exact verification. */
+  case class BucketProbe(bucket: Long, doc_id: Long, sh: Array[Long])
+
+  /** A bucket member held in store state. */
+  case class LshMember(doc_id: Long, sh: Array[Long])
+
+  /** A verified near-duplicate pair (id_a < id_b), same contract as
+    * the batch `Dedup.minhashLsh` output. */
+  case class NearDupPair(id_a: Long, id_b: Long, jaccard: Double)
+
+  /** The streaming LSH bucket index: per (band, bucket) key, a TTL'd
+    * ListState of recent members. Every arriving probe verifies
+    * against each seen member by exact merge-scan jaccard on the
+    * sorted shingle-hash sets — the same arithmetic as the batch
+    * verify kernel — and emits pairs at or above the threshold.
+    * Bucket membership is capped at `maxBucket` (the degenerate-
+    * boilerplate guard; batch drops such buckets, the stream stops
+    * enrolling into them) and evicted after `ttl`. */
+  class LshIndexProcessor(ttl: java.time.Duration, maxBucket: Int,
+                          threshold: Double)
+      extends StatefulProcessor[Long, BucketProbe, NearDupPair] {
+    @transient private var members: org.apache.spark.sql.streaming.ListState[LshMember] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      members = getHandle.getListState[LshMember]("members",
+        Encoders.product[LshMember], TTLConfig(ttl))
+
+    private def jaccard(a: Array[Long], b: Array[Long]): Double = {
+      var i = 0; var j = 0; var c = 0
+      while (i < a.length && j < b.length) {
+        if (a(i) == b(j)) { c += 1; i += 1; j += 1 }
+        else if (a(i) < b(j)) i += 1
+        else j += 1
+      }
+      c.toDouble / (a.length + b.length - c)
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[BucketProbe],
+                                 tv: TimerValues): Iterator[NearDupPair] = {
+      val buf = scala.collection.mutable.ArrayBuffer.empty[LshMember]
+      members.get().foreach(buf += _)
+      val out = scala.collection.mutable.ArrayBuffer.empty[NearDupPair]
+      rows.foreach { p =>
+        var i = 0
+        while (i < buf.length) {
+          val m = buf(i)
+          if (m.doc_id != p.doc_id) {
+            val j = jaccard(m.sh, p.sh)
+            if (j >= threshold)
+              out += NearDupPair(math.min(m.doc_id, p.doc_id),
+                math.max(m.doc_id, p.doc_id),
+                math.rint(j * 1e6) / 1e6)
+          }
+          i += 1
+        }
+        if (buf.length < maxBucket) {
+          val mem = LshMember(p.doc_id, p.sh)
+          buf += mem
+          members.appendValue(mem)
+        }
+      }
+      out.iterator
+    }
+  }
+
+  /** A document offered to the streaming budget gate. */
+  case class BudgetDoc(stratum: String, doc_id: Long, tokens: Long)
+
+  /** Per-stratum running token total as ValueState: documents are
+    * admitted while the stratum's cumulative tokens stay within its
+    * budget, then the stratum closes — "stop ingesting English at
+    * 50 B tokens" enforced at ingest time instead of by a batch
+    * re-pass. Within a micro-batch, rows are admitted in the same
+    * deterministic hash order the batch sampler uses (mille, mille2,
+    * id), so reruns of a batch admit the same prefix; across batches
+    * the admission order is arrival order, which IS the streaming
+    * contract (the batch `tokenBudgetSample` re-ranks globally
+    * instead — twins, not clones). State is ONE long per stratum. */
+  class BudgetGateProcessor(budgets: Map[String, Long], default: Long)
+      extends StatefulProcessor[String, BudgetDoc, BudgetDoc] {
+    @transient private var used: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      used = getHandle.getValueState[Long]("used",
+        Encoders.scalaLong, TTLConfig.NONE)
+
+    private def mille(id: Long, pre: Long, mult: Long): Long =
+      ((id % pre) * mult) % 1000L
+
+    override def handleInputRows(key: String, rows: Iterator[BudgetDoc],
+                                 tv: TimerValues): Iterator[BudgetDoc] = {
+      val budget = budgets.getOrElse(key, default)
+      var cum = if (used.exists()) used.get() else 0L
+      val ordered = rows.toArray.sortBy(d =>
+        (mille(d.doc_id, 1000003L, 2654435761L),
+          mille(d.doc_id, 999983L, 2246822519L), d.doc_id))
+      val out = ordered.iterator.flatMap { d =>
+        if (cum + d.tokens <= budget) { cum += d.tokens; Some(d) }
+        else None
+      }.toArray
+      used.update(cum)
+      out.iterator
+    }
+  }
+
+  /** Streaming token-budget gate — see [[BudgetGateProcessor]].
+    * Expects (stratumCol, idCol, tokenCol) columns. */
+  def streamingBudgetGate(docs: DataFrame, stratumCol: String,
+                          idCol: String, tokenCol: String,
+                          budgets: Map[String, Long],
+                          defaultBudget: Long = Long.MaxValue)
+      : Dataset[BudgetDoc] = {
+    import docs.sparkSession.implicits._
+    docs.select(col(stratumCol).cast("string").as("stratum"),
+        col(idCol).cast("long").as("doc_id"),
+        col(tokenCol).cast("long").as("tokens"))
+      .as[BudgetDoc]
+      .groupByKey(_.stratum)
+      .transformWithState(new BudgetGateProcessor(budgets, defaultBudget),
+        TimeMode.None(), OutputMode.Append())
+  }
+
+  /** Streaming near-duplicate detection ON INGEST: the batch
+    * minhash-LSH pipeline with its bucket index as store state. Each
+    * arriving document is banded exactly as in `Dedup.lshCandidates`
+    * (same signature kernel, band slicing and bucket hash), probes
+    * the TTL'd index, and emits exact-jaccard-verified pairs
+    * immediately — duplicate detection with ingest-time latency
+    * instead of a nightly batch, state bounded by
+    * arrival-rate × ttl × bands. A pair found through several bands
+    * emits once per band; the batch plan ends the same way and
+    * resolves it with `.distinct()` — sinks do the same here.
+    * Over a bounded input the distinct pair set equals
+    * `Dedup.minhashLsh` (asserted in tests). */
+  def streamingNearDup(docs: DataFrame, idCol: String = "doc_id",
+                       textCol: String = "text", shingleWords: Int = 3,
+                       numHashes: Int = 128, bands: Int = 32,
+                       threshold: Double = 0.8, maxBucket: Int = 10000,
+                       ttl: java.time.Duration =
+                         java.time.Duration.ofHours(24)): Dataset[NearDupPair] = {
+    import docs.sparkSession.implicits._
+    val rows = numHashes / bands
+    val toks = graft.functions.wordTokens(col(textCol))
+    val probes = docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        graft.plans.TextHashExpressions.shingleHashes(toks, shingleWords)
+          .as("sh"),
+        graft.plans.TextHashExpressions
+          .shingleMinHash(toks, shingleWords, numHashes).as("__sig"))
+      .select(col("doc_id"), col("sh"),
+        explode(transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(slice(col("__sig"), b * rows + 1, lit(rows)), b)))
+          .as("bucket"))
+      .as[BucketProbe]
+    probes.groupByKey(_.bucket)
+      .transformWithState(new LshIndexProcessor(ttl, maxBucket, threshold),
+        TimeMode.ProcessingTime(), OutputMode.Append())
+  }
 
   /** Windowed trending terms — the streaming twin of
     * TextAnalysis.approxVocabTopK: per tumbling window, the custom

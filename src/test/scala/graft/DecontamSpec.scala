@@ -36,6 +36,25 @@ class DecontamSpec extends SparkSpec {
     assert(exact.count() > 0) // the comparison is not vacuous
   }
 
+  test("contaminationScore scores every train doc, zero-hit docs included") {
+    val bench = corpus.filter($"doc_id" === 0L)
+    val train = corpus.filter($"doc_id" =!= 0L)
+    val sc = Decontam.contaminationScore(train, bench, n = 4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // doc 1: 4 shingles, none shared; doc 2: 3 shingles, 1 shared
+    // ("alpha beta gamma delta"); doc 3: 3 shingles, none (4-gram
+    // broken by "xx"). bp = floor(hits*10^4/shingles).
+    assert(sc == Map(
+      1L -> ((4L, 0L, 0L)),
+      2L -> ((3L, 1L, 3333L)),
+      3L -> ((3L, 0L, 0L))))
+    // consistency with the hits path where hits exist
+    val hits = Decontam.contaminationHits(train, bench, n = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sc.collect { case (id, (_, h, _)) if h > 0 => id -> h } == hits)
+  }
+
   test("bloom prefilter really probes a bloom filter in the plan") {
     val bench = corpus.filter($"doc_id" === 0L)
     val train = corpus.filter($"doc_id" =!= 0L)

@@ -91,4 +91,37 @@ class EdgeCasesSpec extends SparkSpec {
     assert(out(0).getAs[Double]("mse") == 0.0)
     assert(out(1).getAs[Double]("scale") > 0.0)
   }
+
+  test("chunkDocs degenerate inputs: empty corpus, overlap 0, bad args") {
+    assert(TextAnalysis.chunkDocs(noDocs, size = 10, overlap = 2).count() == 0)
+    // overlap=0: stride == size, no shared chars, still lossless
+    val out = TextAnalysis.chunkDocs(oneDoc, size = 5, overlap = 0)
+      .orderBy("chunk_id").collect()
+    assert(out.map(_.getAs[String]("chunk_text")).mkString("") ==
+      "hello world again")
+    intercept[IllegalArgumentException] {
+      TextAnalysis.chunkDocs(oneDoc, size = 5, overlap = 5)
+    }
+  }
+
+  test("weightedSystematicSample: empty input, stride beyond total") {
+    val noW = Seq.empty[(Long, Long)].toDF("doc_id", "n_chars")
+    assert(Mixing.weightedSystematicSample(noW, "doc_id", "n_chars",
+      10L).count() == 0)
+    // stride larger than the total weight: nothing crosses a boundary
+    val tiny = Seq((1L, 3L), (2L, 4L)).toDF("doc_id", "n_chars")
+    assert(Mixing.weightedSystematicSample(tiny, "doc_id", "n_chars",
+      100L).count() == 0)
+    // a row with weight >= stride is always selected
+    val big = Seq((1L, 250L), (2L, 1L)).toDF("doc_id", "n_chars")
+    val sel = Mixing.weightedSystematicSample(big, "doc_id", "n_chars",
+      100L).select("doc_id").as[Long].collect()
+    assert(sel.contains(1L))
+  }
+
+  test("contaminationScore with an empty benchmark scores all zeros") {
+    val sc = Decontam.contaminationScore(oneDoc, noDocs, n = 2).collect()
+    assert(sc.length == 1 && sc(0).getAs[Long]("n_hits") == 0L &&
+      sc(0).getAs[Long]("contamination_bp") == 0L)
+  }
 }

@@ -123,4 +123,32 @@ class MixingSpec extends SparkSpec {
     // nothing below its group's cutoff survives
     assert(out.filter(col("n_chars") < col("q_cutoff")).isEmpty)
   }
+
+  test("weightedSystematicSample selects exactly one row per stride boundary") {
+    val stride = 5000L
+    val out = Mixing.weightedSystematicSample(docs, "doc_id", "n_chars",
+      stride).cache()
+    val total = docs.agg(sum(col("n_chars"))).as[Long].head()
+    // every weight < stride here, so each selected interval covers
+    // exactly one boundary: |sample| == floor(total/stride) exactly
+    assert(docs.filter(col("n_chars") >= stride).isEmpty)
+    assert(out.count() == total / stride,
+      s"expected ${total / stride} boundary crossings")
+    // each selected row's interval (cum-w, cum] really contains a
+    // multiple of the stride
+    val bad = out.filter(
+      floor((col("cum_weight") - col("n_chars")) / stride) >=
+        floor(col("cum_weight") / stride))
+    assert(bad.isEmpty)
+    // deterministic: a second run is row-identical
+    val again = Mixing.weightedSystematicSample(docs, "doc_id", "n_chars",
+      stride)
+    assert(out.select("doc_id").except(again.select("doc_id")).isEmpty &&
+      again.select("doc_id").except(out.select("doc_id")).isEmpty)
+    // inclusion is weight-biased: the sampled mean weight exceeds the
+    // corpus mean (PPS pulls long docs in)
+    val meanAll = docs.agg(avg(col("n_chars"))).as[Double].head()
+    val meanSel = out.agg(avg(col("n_chars"))).as[Double].head()
+    assert(meanSel > meanAll, s"PPS mean $meanSel !> corpus mean $meanAll")
+  }
 }

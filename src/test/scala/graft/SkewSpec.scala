@@ -111,4 +111,34 @@ class SkewSpec extends SparkSpec {
       "l_orderkey").filter(col("n_distinct") =!= col("ref")).count() == 0)
     assert(salted.count() == exact.count())
   }
+
+  test("retentionCohorts stays partial-aggregated under a hot user") {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    // one user with 20k events (a bot) against 50 normal users: the
+    // per-user aggregates must combine map-side so no reducer ever
+    // receives the bot's raw event volume
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val hot = (0 until 20000).map(i =>
+      (999L, new java.sql.Timestamp(base + i.toLong * 60000)))
+    val normal = (1 to 50).flatMap(u => (0 until 3).map(w =>
+      (u.toLong, new java.sql.Timestamp(base + w.toLong * 7 * 86400000L))))
+    val events = (hot ++ normal).toDF("user_id", "ts")
+    val out = graft.operators.Analytics.retentionCohorts(events)
+    // plan: both user-keyed aggregates run a partial phase before
+    // their exchange — the skew guard is map-side combine itself
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("partial_min"),
+      s"expected map-side partial_min in:\n$plan")
+    // row-identity vs an independent window-based formulation
+    val ref = events
+      .withColumn("cohort_week", date_trunc("week",
+        min(col("ts")).over(Window.partitionBy("user_id"))))
+      .select(col("user_id"), col("cohort_week"),
+        date_trunc("week", col("ts")).as("act_week"))
+      .distinct()
+      .groupBy("cohort_week", "act_week")
+      .agg(count_distinct(col("user_id")).as("n_users"))
+    assert(out.exceptAll(ref).isEmpty && ref.exceptAll(out).isEmpty)
+  }
 }

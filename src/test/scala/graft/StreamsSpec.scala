@@ -407,4 +407,181 @@ class StreamsSpec extends SparkSpec {
     try q.processAllAvailable() finally q.stop()
     assert(spark.table("dedup_out").count() == 5)
   }
+
+  test("transformWithState TTL dedup keeps firsts and re-opens after expiry") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_tws").toString
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    val prevCk = spark.conf.getOption(
+      "spark.sql.streaming.checkpoint.fileChecksum.enabled")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // the async checksum writer can deadlock transformWithState's
+    // many per-batch state files on a small local[] pool
+    spark.conf.set("spark.sql.streaming.checkpoint.fileChecksum.enabled",
+      "false")
+    try {
+      // ProcessingTime mode keeps scheduling batches to advance TTL
+      // time (processAllAvailable never quiesces, and even
+      // AvailableNow keeps re-triggering on requires-another-batch),
+      // so each phase runs exactly ONE batch via Trigger.Once, with
+      // state carried across runs by the checkpoint.
+      def runOnce(mem: MemoryStream[Event], tag: String,
+                  ttl: java.time.Duration): Unit = {
+        val q = Streams.streamingDedupTtl(mem.toDS(), ttl)
+          .writeStream
+          .option("checkpointLocation", s"$dir/$tag/ckpt")
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.Once())
+          .foreachBatch { (b: org.apache.spark.sql.Dataset[Event], _: Long) =>
+            b.write.mode("append").parquet(s"$dir/$tag/out")
+          }
+          .start()
+        try assert(q.awaitTermination(120000), "stream run timed out")
+        finally q.stop()
+      }
+      def ids(tag: String): Seq[Long] = spark.read.parquet(s"$dir/$tag/out")
+        .select("event_id").as[Long].collect().sorted.toSeq
+
+      // phase A — ttl far beyond the test: state survives the restart,
+      // in-batch and cross-run repeats both drop
+      val memA = MemoryStream[Event]
+      memA.addData(
+        Event(1L, ts("2024-01-01 00:10:00"), 1L, "click", 1.0),
+        Event(2L, ts("2024-01-01 00:11:00"), 1L, "click", 2.0),
+        Event(3L, ts("2024-01-01 00:12:00"), 2L, "view", 3.0))
+      runOnce(memA, "a", java.time.Duration.ofHours(1))
+      memA.addData(Event(4L, ts("2024-01-01 00:13:00"), 1L, "click", 4.0))
+      runOnce(memA, "a", java.time.Duration.ofHours(1))
+      assert(ids("a") == Seq(1L, 3L),
+        s"expected firsts 1,3 with repeats dropped, got ${ids("a")}")
+
+      // phase B — ttl shorter than any restart: the key's dedup record
+      // expires between runs and the same key emits afresh
+      val memB = MemoryStream[Event]
+      memB.addData(Event(6L, ts("2024-01-01 00:20:00"), 9L, "click", 1.0))
+      runOnce(memB, "b", java.time.Duration.ofMillis(1))
+      Thread.sleep(50)
+      memB.addData(Event(7L, ts("2024-01-01 00:21:00"), 9L, "click", 2.0))
+      runOnce(memB, "b", java.time.Duration.ofMillis(1))
+      assert(ids("b") == Seq(6L, 7L),
+        s"expected both emissions after TTL expiry, got ${ids("b")}")
+    } finally {
+      prev match {
+        case Some(p) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+      prevCk match {
+        case Some(p) => spark.conf.set(
+          "spark.sql.streaming.checkpoint.fileChecksum.enabled", p)
+        case None => spark.conf.unset(
+          "spark.sql.streaming.checkpoint.fileChecksum.enabled")
+      }
+    }
+  }
+
+  test("streaming budget gate admits per-stratum prefixes within budget") {
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[(String, Long, Long)]
+      val q = Streams.streamingBudgetGate(
+        mem.toDF().toDF("lang", "doc_id", "n_chars"),
+        "lang", "doc_id", "n_chars", Map("en" -> 100L))
+        .writeStream.format("memory").queryName("budget_out")
+        .outputMode("append").start()
+      try {
+        // batch 1: en uses 80 of 100; de is unbudgeted
+        mem.addData(("en", 1L, 50L), ("en", 2L, 30L), ("de", 10L, 40L))
+        q.processAllAvailable()
+        // batch 2: 20 en tokens left — the 30-token doc must be
+        // rejected and the 15-token doc admitted WHATEVER the
+        // in-batch order (80+30>100 but 80+15<=100 and 95+30>100)
+        mem.addData(("en", 3L, 30L), ("en", 4L, 15L), ("de", 11L, 40L))
+        q.processAllAvailable()
+      } finally q.stop()
+      val admitted = spark.table("budget_out")
+        .select("stratum", "doc_id").as[(String, Long)].collect().toSet
+      assert(admitted == Set(("en", 1L), ("en", 2L), ("en", 4L),
+        ("de", 10L), ("de", 11L)), s"got $admitted")
+    } finally {
+      prev match {
+        case Some(p) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
+  test("streaming LSH index emits the batch near-dup pairs on ingest") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_slsh").toString
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    val prevCk = spark.conf.getOption(
+      "spark.sql.streaming.checkpoint.fileChecksum.enabled")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    spark.conf.set("spark.sql.streaming.checkpoint.fileChecksum.enabled",
+      "false")
+    try {
+      val all = Seq(
+        (1L, "aa bb cc dd ee ff gg hh ii jj"),
+        (2L, "aa bb cc dd ee ff gg hh ii kk"), // near-dup of 1
+        (3L, "zz yy xx ww vv uu tt ss rr qq"),
+        (4L, "aa bb cc dd ee ff gg hh ii jj"), // exact dup of 1, later batch
+        (5L, "mm nn oo pp qq rr ss tt uu vv"))
+      val mem = MemoryStream[(Long, String)]
+      def runOnce(): Unit = {
+        val q = Streams.streamingNearDup(
+          mem.toDF().toDF("doc_id", "text"), threshold = 0.5)
+          .writeStream
+          .option("checkpointLocation", s"$dir/ckpt")
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.Once())
+          .foreachBatch {
+            (b: org.apache.spark.sql.Dataset[Streams.NearDupPair], _: Long) =>
+              b.write.mode("append").parquet(s"$dir/out")
+          }
+          .start()
+        try assert(q.awaitTermination(120000), "stream run timed out")
+        finally q.stop()
+      }
+      mem.addData(all.take(3): _*)
+      runOnce()
+      mem.addData(all.drop(3): _*)
+      runOnce()
+      // multi-band emissions collapse with the same distinct the
+      // batch plan ends with
+      val streamed = spark.read.parquet(s"$dir/out")
+        .select("id_a", "id_b", "jaccard").distinct()
+        .as[(Long, Long, Double)].collect().sorted.toSeq
+      val batch = graft.operators.Dedup.minhashLsh(
+        all.toDF("doc_id", "text"), threshold = 0.5)
+        .as[(Long, Long, Double)].collect().sorted.toSeq
+      assert(batch.nonEmpty, "fixture must produce near-dup pairs")
+      // the cross-batch pair (1,4) proves the index survives batches
+      assert(streamed.exists(p => p._1 == 1L && p._2 == 4L),
+        s"cross-batch pair missing from $streamed")
+      assert(streamed == batch,
+        s"stream pairs $streamed != batch pairs $batch")
+    } finally {
+      prev match {
+        case Some(p) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+      prevCk match {
+        case Some(p) => spark.conf.set(
+          "spark.sql.streaming.checkpoint.fileChecksum.enabled", p)
+        case None => spark.conf.unset(
+          "spark.sql.streaming.checkpoint.fileChecksum.enabled")
+      }
+    }
+  }
 }

@@ -144,4 +144,36 @@ class TextAnalysisSpec extends SparkSpec {
       .getSeq[org.apache.spark.sql.Row](0)
     assert(viaSql.length == 10)
   }
+
+  test("chunkDocs windows re-assemble into the original text") {
+    val fixture = Seq(
+      (1L, "abcdefghij"), // stride 3, size 4 -> abcd defg ghij
+      (2L, "abcdefghijk"), // truncated tail chunk "jk"
+      (3L, "ab"), // shorter than one chunk
+      (4L, "") // empty doc still yields one (empty) chunk
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.chunkDocs(fixture, size = 4, overlap = 1)
+      .orderBy("doc_id", "chunk_id")
+      .as[(Long, Int, Long, String)].collect()
+    assert(out.filter(_._1 == 1L).map(c => (c._3, c._4)).toSeq ==
+      Seq((0L, "abcd"), (3L, "defg"), (6L, "ghij")))
+    assert(out.filter(_._1 == 2L).map(_._4).toSeq ==
+      Seq("abcd", "defg", "ghij", "jk"))
+    assert(out.filter(_._1 == 3L).map(_._4).toSeq == Seq("ab"))
+    assert(out.filter(_._1 == 4L).map(_._4).toSeq == Seq(""))
+    // lossless: chunk 0 plus each later chunk minus its overlap
+    // prefix concatenates back to the document
+    val docs = graft.sources.Tables.load(spark, "/root/testdata/sf0.001",
+      "documents")
+    val rebuilt = TextAnalysis.chunkDocs(docs, size = 240, overlap = 60)
+      .groupBy(col("doc_id"))
+      .agg(concat_ws("", transform(
+        array_sort(collect_list(struct(col("chunk_id"),
+          when(col("chunk_id") === 0, col("chunk_text"))
+            .otherwise(expr("substring(chunk_text, 61)")).as("piece")))),
+        s => s.getField("piece"))).as("rebuilt"))
+    val mismatch = docs.join(rebuilt, "doc_id")
+      .filter(col("text") =!= col("rebuilt"))
+    assert(mismatch.isEmpty)
+  }
 }
