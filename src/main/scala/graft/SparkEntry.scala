@@ -624,6 +624,19 @@ object SparkEntry {
       Analytics.windowedEvents(t(s, d, "events"))
         .withColumn("win_start", ntz(col("win_start")))),
 
+    "rate_spikes" -> ((s, d) =>
+      // hourly per-type anomaly flags by integer cross-multiplication
+      // (n·hours > 2·total) — no float mean, engine-exact
+      Analytics.rateSpikes(t(s, d, "events"))
+        .withColumn("hour", ntz(col("hour")))
+        .orderBy(col("event_type"), col("hour"))),
+
+    "dq_profile" -> ((s, d) =>
+      // per-column null/distinct audit in one scan, long form
+      Analytics.dqProfile(t(s, d, "customer"),
+        Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal"))
+        .orderBy(col("col_name"))),
+
     "sessionize" -> ((s, d) =>
       Analytics.sessionize(t(s, d, "events"))
         .withColumn("session_start", ntz(col("session_start")))
@@ -1381,6 +1394,33 @@ object SparkEntry {
          CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
          FROM events GROUP BY win_start, event_type
          ORDER BY win_start, event_type""",
+
+    "rate_spikes" ->
+      """WITH h AS (
+           SELECT event_type, date_trunc('hour', ts) AS hour,
+             count(*) AS n
+           FROM events GROUP BY 1, 2),
+         t AS (SELECT event_type, sum(n) AS tot, count(*) AS hours
+               FROM h GROUP BY 1)
+         SELECT h.event_type, h.hour, h.n,
+           h.n * t.hours > 2 * t.tot AS spike
+         FROM h JOIN t USING (event_type)
+         ORDER BY event_type, hour""",
+
+    "dq_profile" ->
+      """SELECT 'c_custkey' AS col_name, count(*) AS n_rows,
+           count(*) - count(c_custkey) AS n_nulls,
+           count(DISTINCT c_custkey) AS n_distinct FROM customer
+         UNION ALL
+         SELECT 'c_name', count(*), count(*) - count(c_name),
+           count(DISTINCT c_name) FROM customer
+         UNION ALL
+         SELECT 'c_nationkey', count(*), count(*) - count(c_nationkey),
+           count(DISTINCT c_nationkey) FROM customer
+         UNION ALL
+         SELECT 'c_acctbal', count(*), count(*) - count(c_acctbal),
+           count(DISTINCT c_acctbal) FROM customer
+         ORDER BY col_name""",
 
     "sessionize" ->
       """WITH g AS (

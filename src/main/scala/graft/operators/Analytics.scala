@@ -671,4 +671,45 @@ object Analytics {
     val r = right.except(left).withColumn("cohort", lit(rightTag))
     both.unionByName(l).unionByName(r)
   }
+
+  /** Event-rate spike detection: per (event_type, hour) counts
+    * flagged when the hour exceeds `factor`× the type's mean hourly
+    * rate. The comparison is pure integer cross-multiplication
+    * (n·hours > factor·total — no float mean, no stddev ulp drift),
+    * so the flag is bit-identical on any engine. Per-type totals are
+    * a tiny broadcast aggregate; both aggregates partial-agg, so a
+    * hot hour never pins a reducer. */
+  def rateSpikes(events: DataFrame, factor: Int = 2): DataFrame = {
+    val hourly = events
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n"))
+    val totals = hourly.groupBy(col("event_type"))
+      .agg(sum(col("n")).as("__tot"), count(lit(1)).as("__hours"))
+    hourly.join(broadcast(totals), "event_type")
+      .withColumn("spike",
+        col("n") * col("__hours") > lit(factor.toLong) * col("__tot"))
+      .select(col("event_type"), col("hour"), col("n"), col("spike"))
+  }
+
+  /** Per-column data-quality profile — the lakehouse audit pass:
+    * for each requested column, row count, null count and exact
+    * distinct count, in ONE scan (a single multi-aggregate row,
+    * unpivoted to long form). count_distinct per column expands to
+    * one aggregation path each, all partial-agged; for very wide
+    * tables or unbounded cardinalities swap in
+    * approx_count_distinct — same plan shape. */
+  def dqProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "need at least one column to profile")
+    val aggs = cols.flatMap(c => Seq(
+      count(col(c)).as(s"__cnt_$c"),
+      count_distinct(col(c)).as(s"__nd_$c")))
+    val row = df.agg(count(lit(1)).as("__n"), aggs: _*)
+    row.select(explode(array(cols.map(c => struct(
+        lit(c).as("col_name"),
+        col("__n").as("n_rows"),
+        (col("__n") - col(s"__cnt_$c")).as("n_nulls"),
+        col(s"__nd_$c").as("n_distinct"))): _*)).as("__p"))
+      .select(col("__p.col_name"), col("__p.n_rows"),
+        col("__p.n_nulls"), col("__p.n_distinct"))
+  }
 }

@@ -66,4 +66,32 @@ class AnalyticsSpec extends SparkSpec {
     assert(q22.contains("BroadcastNestedLoopJoin") ||
       q22.contains("BroadcastExchange"))
   }
+
+  test("rateSpikes flags only hours beyond factor x the type mean") {
+    // type A: hours with 1,1,10 events — only the 10 spikes (30 > 24);
+    // type B: flat 2,2,2 — nothing spikes
+    val ev = (Seq.fill(1)(ts("2024-01-01 00:10:00")) ++
+      Seq.fill(1)(ts("2024-01-01 01:10:00")) ++
+      Seq.fill(10)(ts("2024-01-01 02:10:00"))).map(t => ("A", t)) ++
+      Seq(ts("2024-01-01 00:05:00"), ts("2024-01-01 00:06:00"),
+        ts("2024-01-01 01:05:00"), ts("2024-01-01 01:06:00"),
+        ts("2024-01-01 02:05:00"), ts("2024-01-01 02:06:00"))
+        .map(t => ("B", t))
+    val df = ev.toDF("event_type", "ts")
+    val out = Analytics.rateSpikes(df).orderBy("event_type", "hour")
+      .select("event_type", "n", "spike")
+      .as[(String, Long, Boolean)].collect().toSeq
+    assert(out == Seq(("A", 1L, false), ("A", 1L, false), ("A", 10L, true),
+      ("B", 2L, false), ("B", 2L, false), ("B", 2L, false)))
+  }
+
+  test("dqProfile counts nulls and exact distincts per column") {
+    val df = Seq(
+      (Some(1L), Some("x")), (Some(2L), None),
+      (Some(2L), Some("y")), (None, Some("x"))
+    ).toDF("k", "v")
+    val out = Analytics.dqProfile(df, Seq("k", "v")).orderBy("col_name")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(("k", 4L, 1L, 2L), ("v", 4L, 1L, 2L)))
+  }
 }
