@@ -262,6 +262,51 @@ object SparkEntry {
         .orderBy(col("o_custkey"))
     }),
 
+    "quarantine" -> ((s, d) => {
+      // bronze→silver constraint gate on a deterministically
+      // corrupted batch: every 97th key duplicated, every 89th
+      // status nulled; rows tag instead of failing the load
+      val o = t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+      val batch = o.unionByName(
+          o.filter(pmod(col("o_orderkey"), lit(97)) === 0))
+        .withColumn("o_orderstatus",
+          when(pmod(col("o_orderkey"), lit(89)) === 0,
+            lit(null).cast("string")).otherwise(col("o_orderstatus")))
+      Pipeline.validateBatch(batch, Seq("o_orderkey"), Seq("o_orderstatus"))
+        .orderBy(col("o_orderkey"), col("_violation"))
+    }),
+
+    "dim_changes" -> ((s, d) => {
+      // change data feed between two committed dim versions (the
+      // table_changes surface of log-based formats, computed
+      // set-theoretically over the versioned sink's snapshots):
+      // closed versions surface as update_pre/postimage on the
+      // (key, valid_from) row identity, new versions as inserts;
+      // the oracle re-derives the feed from the two staged batches
+      val cfg = Pipeline.TableConfig("cust_orders",
+        keyCols = Seq("o_custkey"),
+        attrCols = Seq("o_orderpriority", "o_totalprice"),
+        recencyCols = Seq("o_orderdate", "o_orderkey"))
+      val orders = t(s, d, "orders")
+      val split = lit("1998-01-01").cast("timestamp")
+      val ts1 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+      val ts2 = java.sql.Timestamp.valueOf("2026-01-02 00:00:00")
+      val dir = java.nio.file.Files.createTempDirectory("graft_cdf")
+      val sink = new graft.sources.VersionedParquetSink(s"$dir/dim")
+      Pipeline.runIncrementInto(sink,
+        orders.filter(col("o_orderdate") < split), cfg, "b1", ts1)
+      Pipeline.runIncrementInto(sink,
+        orders.filter(col("o_orderdate") >= split), cfg, "b2", ts2)
+      Scd.changeFeed(sink.loadVersion(s, 0), sink.loadVersion(s, 1),
+        Seq("o_custkey", "valid_from"))
+        .select(col("o_custkey"), col("o_orderpriority"),
+          col("o_totalprice"), ntz(col("valid_from")).as("valid_from"),
+          ntz(col("valid_to")).as("valid_to"), col("is_current"),
+          col("_change_type"))
+        .orderBy(col("o_custkey"), col("valid_from"), col("_change_type"))
+    }),
+
     "sql_merge" -> ((s, d) => {
       // executable ANSI MERGE INTO surface (the statement the
       // reference's users write — Load & SCD-Merge.py): parsed by
@@ -1187,6 +1232,68 @@ object SparkEntry {
                                 WHEN 'de' THEN 10000
                                 ELSE 9223372036854775807 END
          ORDER BY doc_id""",
+
+    "quarantine" ->
+      """WITH b AS (
+           SELECT o_orderkey, o_custkey,
+             CASE WHEN o_orderkey % 89 = 0 THEN NULL
+                  ELSE o_orderstatus END AS o_orderstatus
+           FROM orders
+           UNION ALL
+           SELECT o_orderkey, o_custkey,
+             CASE WHEN o_orderkey % 89 = 0 THEN NULL
+                  ELSE o_orderstatus END
+           FROM orders WHERE o_orderkey % 97 = 0),
+         c AS (SELECT o_orderkey AS dk, count(*) AS n
+               FROM b GROUP BY 1)
+         SELECT b.o_orderkey, b.o_custkey, b.o_orderstatus,
+           CASE WHEN b.o_orderstatus IS NULL THEN 'null_field'
+                WHEN c.n > 1 THEN 'dup_key'
+                ELSE 'ok' END AS _violation
+         FROM b JOIN c ON b.o_orderkey = c.dk
+         ORDER BY o_orderkey, _violation""",
+
+    "dim_changes" ->
+      """WITH s1 AS (
+           SELECT o_custkey, o_orderpriority, o_totalprice FROM (
+             SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey
+               ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+             FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01')
+           WHERE rn = 1),
+         s2 AS (
+           SELECT o_custkey, o_orderpriority, o_totalprice FROM (
+             SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey
+               ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+             FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01')
+           WHERE rn = 1),
+         j AS (
+           SELECT COALESCE(s1.o_custkey, s2.o_custkey) AS k,
+             s1.o_custkey IS NOT NULL AS in1,
+             s2.o_custkey IS NOT NULL AS in2,
+             s1.o_orderpriority AS p1, s1.o_totalprice AS t1,
+             s2.o_orderpriority AS p2, s2.o_totalprice AS t2
+           FROM s1 FULL JOIN s2 ON s1.o_custkey = s2.o_custkey),
+         changed AS (
+           SELECT * FROM j WHERE in1 AND in2 AND (p1 <> p2 OR t1 <> t2))
+         SELECT k AS o_custkey, p1 AS o_orderpriority,
+           t1 AS o_totalprice,
+           TIMESTAMP '2026-01-01 00:00:00' AS valid_from,
+           CAST(NULL AS TIMESTAMP) AS valid_to,
+           TRUE AS is_current, 'update_preimage' AS _change_type
+         FROM changed
+         UNION ALL
+         SELECT k, p1, t1, TIMESTAMP '2026-01-01 00:00:00',
+           TIMESTAMP '2026-01-02 00:00:00', FALSE, 'update_postimage'
+         FROM changed
+         UNION ALL
+         SELECT k, p2, t2, TIMESTAMP '2026-01-02 00:00:00',
+           CAST(NULL AS TIMESTAMP), TRUE, 'insert'
+         FROM changed
+         UNION ALL
+         SELECT k, p2, t2, TIMESTAMP '2026-01-02 00:00:00',
+           CAST(NULL AS TIMESTAMP), TRUE, 'insert'
+         FROM j WHERE NOT in1
+         ORDER BY o_custkey, valid_from, _change_type""",
 
     "sql_merge" ->
       """WITH tgt AS (

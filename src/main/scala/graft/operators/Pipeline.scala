@@ -134,4 +134,34 @@ object Pipeline {
       val dim = dims.getOrElse(cfg.name, emptyDim(spark, raw, cfg))
       cfg.name -> runIncrement(raw, dim, cfg, s"batch:${cfg.name}", batchTs)
     }.toMap
+
+  /** Ingest constraint gate — the bronze→silver validation pass:
+    * classify every batch row against declarative constraints and
+    * TAG instead of throwing, so one bad supplier file can't fail a
+    * 100 TB load. `_violation` ∈ `null_field` (a notNullCols column
+    * is null — takes precedence), `dup_key` (the key occurs more
+    * than once in the batch), `ok`. Callers route `ok` rows forward
+    * and quarantine the rest — the standard dead-letter pattern.
+    * Null business keys should be covered via notNullCols (equality
+    * joins don't match null keys, so the dup check can't see them).
+    *
+    * Scale design: the dup check is one partial-agged keyed count
+    * joined back on the key (no window, no distinct-collect); the
+    * null check is a map-side predicate. */
+  def validateBatch(batch: DataFrame, keyCols: Seq[String],
+                    notNullCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "need at least one key column")
+    val dups = batch.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > 1).drop("__n")
+      .withColumn("__dup", lit(true))
+    val nullExpr = notNullCols.map(col(_).isNull)
+      .reduceOption(_ || _).getOrElse(lit(false))
+    batch.join(dups, keyCols, "left")
+      .withColumn("_violation",
+        when(nullExpr, lit("null_field"))
+          .when(col("__dup").isNotNull, lit("dup_key"))
+          .otherwise(lit("ok")))
+      .drop("__dup")
+  }
 }

@@ -189,4 +189,45 @@ object Scd {
       .withColumn("is_current", lit(true))
     closeAndUnion(dim, closeKeys, key, batchTs, inserts)
   }
+
+  /** Change data feed between two committed snapshots of a table —
+    * the `table_changes` surface of log-based lakehouse formats,
+    * computed set-theoretically so it works over ANY two immutable
+    * snapshots (e.g. `VersionedParquetSink.loadVersion(v)` pairs).
+    * `keys` must uniquely identify a row within a snapshot (for an
+    * SCD2 dim: business key + valid_from). Emits Delta-CDF-shaped
+    * rows: the input schema plus `_change_type` ∈ insert / delete /
+    * update_preimage / update_postimage; unchanged rows emit
+    * nothing.
+    *
+    * Scale design: ONE full-outer keyed join; the attr comparison is
+    * a map-side 8-byte hash computed before the shuffle, so the join
+    * carries (key, hash, packed row) and the unchanged majority is
+    * dropped immediately after the match — no second pass, no
+    * re-read of either snapshot. */
+  def changeFeed(pre: DataFrame, post: DataFrame,
+                 keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "need at least one key column")
+    val attrs = post.columns.filterNot(keys.contains).toSeq
+    def hashed(df: DataFrame, tag: String): DataFrame =
+      df.select(keys.map(col) ++ Seq(
+        xxhash64(concat_ws("\u0000",
+          attrs.map(c => coalesce(col(c).cast("string"), lit("\u0001"))): _*))
+          .as(s"__h$tag"),
+        struct(df.columns.map(col).toSeq: _*).as(s"__row$tag")): _*)
+    hashed(pre, "a").join(hashed(post, "b"), keys, "full_outer")
+      .filter(col("__rowa").isNull || col("__rowb").isNull ||
+        col("__ha") =!= col("__hb"))
+      .select(explode(
+        when(col("__rowa").isNull, array(
+          struct(lit("insert").as("_change_type"), col("__rowb").as("row"))))
+        .when(col("__rowb").isNull, array(
+          struct(lit("delete").as("_change_type"), col("__rowa").as("row"))))
+        .otherwise(array(
+          struct(lit("update_preimage").as("_change_type"),
+            col("__rowa").as("row")),
+          struct(lit("update_postimage").as("_change_type"),
+            col("__rowb").as("row"))))).as("__c"))
+      .select(col("__c.row.*") +: Seq(col("__c._change_type")): _*)
+  }
 }

@@ -104,4 +104,18 @@ class PipelineSpec extends SparkSpec {
     assert(k2.getAs[java.sql.Timestamp]("valid_to") == t2)
     assert(d2.filter(_.getLong(0) == 1L).head.getAs[Boolean]("is_current"))
   }
+
+  test("validateBatch tags null fields, dup keys and clean rows") {
+    val batch = Seq(
+      (1L, Some("x")), // ok
+      (2L, Some("y")), (2L, Some("y")), // dup_key twice
+      (3L, None), // null_field
+      (4L, None), (4L, Some("z")) // null wins over dup on the null row
+    ).toDF("k", "v")
+    val out = Pipeline.validateBatch(batch, Seq("k"), Seq("v"))
+      .orderBy("k", "_violation")
+      .select("k", "_violation").as[(Long, String)].collect().toSeq
+    assert(out == Seq((1L, "ok"), (2L, "dup_key"), (2L, "dup_key"),
+      (3L, "null_field"), (4L, "dup_key"), (4L, "null_field")))
+  }
 }

@@ -101,4 +101,23 @@ class ScdSpec extends SparkSpec {
       .orderBy("k").select("change_type").as[String].collect()
     assert(out.toSeq == Seq("unchanged", "changed", "new", "unchanged"))
   }
+
+  test("changeFeed emits CDF rows for insert/delete/update, none for unchanged") {
+    val pre = Seq((1L, "a", 10), (2L, "b", 20), (3L, "c", 30))
+      .toDF("k", "s", "v")
+    val post = Seq((1L, "a", 10), (2L, "B", 20), (4L, "d", 40))
+      .toDF("k", "s", "v")
+    val out = Scd.changeFeed(pre, post, Seq("k"))
+      .orderBy("k", "_change_type")
+      .as[(Long, String, Int, String)].collect().toSeq
+    assert(out == Seq(
+      (2L, "B", 20, "update_postimage"),
+      (2L, "b", 20, "update_preimage"),
+      (3L, "c", 30, "delete"),
+      (4L, "d", 40, "insert")))
+    // null attr vs empty string must NOT hash equal
+    val preN = Seq((1L, null.asInstanceOf[String])).toDF("k", "s")
+    val postN = Seq((1L, "")).toDF("k", "s")
+    assert(Scd.changeFeed(preN, postN, Seq("k")).count() == 2)
+  }
 }
