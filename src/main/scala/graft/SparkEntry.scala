@@ -571,6 +571,19 @@ object SparkEntry {
     "q22_idle_customers" -> ((s, d) =>
       Analytics.q22IdleCustomers(t(s, d, "customer"), t(s, d, "orders"))),
 
+    "q6_revenue_delta" -> ((s, d) =>
+      Analytics.q6RevenueDelta(t(s, d, "lineitem"))),
+
+    "q13_order_dist" -> ((s, d) =>
+      Analytics.q13OrderDistribution(t(s, d, "customer"), t(s, d, "orders"))
+        .orderBy(col("custdist").desc, col("c_count").desc)),
+
+    "q14_promo_share" -> ((s, d) =>
+      Analytics.q14PromoShare(t(s, d, "lineitem"), t(s, d, "part"))),
+
+    "q19_disjunctive" -> ((s, d) =>
+      Analytics.q19Disjunctive(t(s, d, "lineitem"), t(s, d, "part"))),
+
     "moving_window" -> ((s, d) =>
       Analytics.movingWindow(t(s, d, "events"))
         .withColumn("ts", ntz(col("ts")))
@@ -1076,7 +1089,106 @@ object SparkEntry {
         .orderBy(col("media_id"))),
 
     "mm_dedup" -> ((s, d) =>
-      Multimodal.payloadDedup(Multimodal.asMediaTable(t(s, d, "documents"))))
+      Multimodal.payloadDedup(Multimodal.asMediaTable(t(s, d, "documents")))),
+
+    // §2.5c corpus curation --------------------------------------
+    // The synthetic docs are single-line word bags, so the line-dedup
+    // input is a deterministic multi-line "page" wrapped around each
+    // document — shared nav header (even ids), per-source banner,
+    // unique body, low-frequency ref line, constant footer. Identical
+    // construction in the oracle SQL (pii_redact precedent): what's
+    // under test is the corpus-level dedup + reassembly chain.
+    "line_dedup" -> ((s, d) => {
+      val page = concat_ws("\n",
+        when(pmod(col("doc_id"), lit(2)) === 0,
+          lit("nav home about products")),
+        concat(lit("source: "), col("source")),
+        col("text"),
+        concat(lit("ref-"), pmod(col("doc_id"), lit(100)).cast("string")),
+        lit("(c) example corpus"))
+      Curation.lineDedup(
+        t(s, d, "documents").select(col("doc_id"), page.as("text")),
+        maxFreq = 10)
+        .orderBy(col("doc_id"))
+    }),
+
+    "gopher_rules" -> ((s, d) =>
+      Curation.gopherRules(t(s, d, "documents"),
+        minWords = 30, maxMeanWordLen = 4.6)
+        .orderBy(col("doc_id"))),
+
+    "unigram_score" -> ((s, d) =>
+      TextAnalysis.unigramSurprisal(t(s, d, "documents"))
+        .orderBy(col("doc_id"))),
+
+    "source_cap" -> ((s, d) =>
+      Curation.sourceCap(t(s, d, "documents"), cap = 10)
+        .orderBy(col("source"), col("rank"))),
+
+    "item_cooccur" -> ((s, d) =>
+      Analytics.eventCooccurrence(t(s, d, "events"))
+        .orderBy(col("type_a"), col("type_b"))),
+
+    "zscore_normalize" -> ((s, d) =>
+      Analytics.zscoreNormalize(t(s, d, "orders"), "o_orderpriority",
+        "o_totalprice", Seq("o_orderkey"))
+        .orderBy(col("o_orderkey"))),
+
+    "peak_concurrency" -> ((s, d) =>
+      Analytics.peakConcurrency(t(s, d, "events"))
+        .orderBy(col("event_type"))),
+
+    // same deterministic URL synthesis on both sides (pii_redact
+    // precedent): scheme/case/www/tracking-param/fragment variants
+    // of a shared (source, slug) page identity — what's under test
+    // is the canonicalization chain and the dup grouping.
+    "url_canonical" -> ((s, d) => {
+      val src = when(pmod(col("doc_id"), lit(2)) === 0,
+        upper(col("source"))).otherwise(col("source"))
+      val url = concat(
+        when(pmod(col("doc_id"), lit(3)) === 0, lit("http://"))
+          .otherwise(lit("https://")),
+        when(pmod(col("doc_id"), lit(2)) === 0, lit("WWW."))
+          .otherwise(lit("")),
+        src, lit(".example.com/docs/"),
+        pmod(col("doc_id"), lit(50)).cast("string"),
+        when(pmod(col("doc_id"), lit(4)) === 0,
+          lit("?utm_source=feed&utm_campaign=x")).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(5)) === 0, lit("#frag"))
+          .otherwise(lit("")))
+      val canon = t(s, d, "documents")
+        .select(col("doc_id"), Curation.canonicalUrl(url).as("url_canon"))
+      canon.withColumn("n_dups",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("url_canon"))))
+        .orderBy(col("doc_id"))
+    }),
+
+    "winsorize" -> ((s, d) =>
+      // (l_orderkey, l_linenumber) is NOT unique in the synthetic
+      // lineitem — total-order over every output column instead
+      Analytics.winsorize(t(s, d, "lineitem"), "l_returnflag",
+        "l_extendedprice", Seq("l_orderkey", "l_linenumber"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"),
+          col("l_returnflag"), col("l_extendedprice"))),
+
+    // snapshot retention on the versioned sink: five commits of
+    // growing slices of `region` (1..5 rows), expire keeping the
+    // newest two — the audit plus post-expire readability is the
+    // deterministic output (fixture-backed, VALUES oracle).
+    "sink_expire" -> ((s, d) => {
+      import s.implicits._
+      val tag = java.lang.Integer.toHexString(d.hashCode)
+      val dir = java.nio.file.Files.createTempDirectory(s"graft_expire_$tag")
+      val sink = new graft.sources.VersionedParquetSink(s"$dir/dim")
+      val region = t(s, d, "region")
+      (1 to 5).foreach(n => sink.overwrite(region.limit(n)))
+      val audit = sink.expireSnapshots(keepLast = 2)
+      audit.map { case (v, st) =>
+        val n = if (st == "retained") sink.loadVersion(s, v).count() else -1L
+        (v, st, n)
+      }.toDF("version", "status", "n_rows").orderBy(col("version"))
+    })
   )
 
   // ---------------------------------------------------------------
@@ -2548,6 +2660,249 @@ object SparkEntry {
            (CAST(1 AS BIGINT), 'hallo welt', CAST(0.5 AS DOUBLE)),
            (CAST(2 AS BIGINT), 'zweite zeile', CAST(0.9 AS DOUBLE)))
          AS t(id, text, score)
-         ORDER BY id"""
+         ORDER BY id""",
+
+    // §2.5c corpus curation — same deterministic page construction
+    // as the Spark entry; unnest zipping keeps line order for the
+    // ordered string_agg reassembly.
+    "line_dedup" ->
+      """WITH pages AS (
+           SELECT doc_id, concat_ws(chr(10),
+             CASE WHEN doc_id % 2 = 0 THEN 'nav home about products' END,
+             'source: ' || source,
+             text,
+             'ref-' || CAST(doc_id % 100 AS VARCHAR),
+             '(c) example corpus') AS text
+           FROM documents),
+         l AS (
+           SELECT doc_id,
+             unnest(string_split(text, chr(10))) AS line,
+             unnest(range(1, len(string_split(text, chr(10))) + 1)) AS pos
+           FROM pages),
+         f AS (
+           SELECT line FROM l GROUP BY line HAVING count(*) > 10)
+         SELECT l.doc_id,
+           count(*) AS n_lines,
+           CAST(sum(CASE WHEN f.line IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           coalesce(string_agg(CASE WHEN f.line IS NULL THEN l.line END,
+             chr(10) ORDER BY l.pos), '') AS text_clean
+         FROM l LEFT JOIN f ON l.line = f.line
+         GROUP BY l.doc_id ORDER BY l.doc_id""",
+
+    "gopher_rules" ->
+      """WITH f AS (
+           SELECT doc_id,
+             len(string_split_regex(trim(lower(text)), '\s+')) AS n_words,
+             length(text) AS n_chars,
+             length(text) - length(regexp_replace(text,
+               '[!-/:-@\[-`{-~]', '', 'g')) AS n_punct,
+             string_split(text, chr(10)) AS ls,
+             string_split_regex(trim(lower(text)), '\s+') AS toks
+           FROM documents),
+         r AS (
+           SELECT doc_id, n_words,
+             round(CASE WHEN n_words = 0 THEN 0.0
+               ELSE (CAST(n_chars AS DOUBLE) - (n_words - 1)) / n_words
+               END, 6) AS mwl,
+             round(CASE WHEN n_chars = 0 THEN 0.0
+               ELSE CAST(n_punct AS DOUBLE) / n_chars END, 6) AS sym,
+             round(CASE WHEN len(ls) = 0 THEN 0.0
+               ELSE CAST(len(list_filter(ls,
+                 l -> l LIKE '-%' OR l LIKE '*%')) AS DOUBLE) / len(ls)
+               END, 6) AS bullet,
+             round(CASE WHEN len(ls) = 0 THEN 0.0
+               ELSE CAST(len(list_filter(ls, l -> l LIKE '%...'))
+                 AS DOUBLE) / len(ls) END, 6) AS ell,
+             round(CASE WHEN n_words = 0 THEN 0.0
+               ELSE CAST(len(list_filter(toks,
+                 w -> regexp_matches(w, '[a-z]'))) AS DOUBLE) / n_words
+               END, 6) AS alpha
+           FROM f)
+         SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+           n_words >= 30 AND n_words <= 100000 AS r_word_count,
+           mwl >= 2.0 AND mwl <= 4.6 AS r_mean_word_len,
+           sym <= 0.12 AS r_symbol_ratio,
+           bullet <= 0.9 AS r_bullet_ratio,
+           ell <= 0.3 AS r_ellipsis_ratio,
+           alpha >= 0.7 AS r_alpha_ratio,
+           (n_words >= 30 AND n_words <= 100000)
+             AND (mwl >= 2.0 AND mwl <= 4.6)
+             AND sym <= 0.12 AND bullet <= 0.9 AND ell <= 0.3
+             AND alpha >= 0.7 AS pass
+         FROM r ORDER BY doc_id""",
+
+    "unigram_score" ->
+      """WITH tok AS (
+           SELECT doc_id,
+             unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+           FROM documents),
+         freq AS (SELECT term, count(*) AS tf FROM tok GROUP BY 1),
+         tot AS (SELECT count(*) AS n FROM tok)
+         SELECT doc_id, count(*) AS n_tokens,
+           round(CAST(sum(CAST(round(-ln(tf / CAST(n AS DOUBLE)), 6)
+               AS DECIMAL(38,6))) AS DOUBLE) / count(*), 6)
+             AS cross_entropy
+         FROM tok JOIN freq USING (term), tot
+         GROUP BY doc_id ORDER BY doc_id""",
+
+    "source_cap" ->
+      """SELECT source,
+           CAST(row_number() OVER (PARTITION BY source
+             ORDER BY n_chars DESC, doc_id ASC) AS BIGINT) AS rank,
+           doc_id, n_chars
+         FROM documents
+         QUALIFY rank <= 10
+         ORDER BY source, rank""",
+
+    "item_cooccur" ->
+      """WITH ut AS (SELECT DISTINCT user_id,
+           date_trunc('hour', ts) AS hr, event_type FROM events)
+         SELECT a.event_type AS type_a, b.event_type AS type_b,
+           count(*) AS n_baskets
+         FROM ut a JOIN ut b
+           ON a.user_id = b.user_id AND a.hr = b.hr
+             AND a.event_type < b.event_type
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q6_revenue_delta" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice * l_discount
+             AS DECIMAL(28,6))) AS DOUBLE) AS revenue_delta,
+         COUNT(*) AS n_items
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+           AND l_shipdate < TIMESTAMP '1997-01-01'
+           AND l_discount >= 0.05 AND l_discount <= 0.07
+           AND l_quantity < 24""",
+
+    "q13_order_dist" ->
+      """SELECT c_count, COUNT(*) AS custdist
+         FROM (SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+               FROM customer c LEFT JOIN orders o
+                 ON c.c_custkey = o.o_custkey
+               GROUP BY c.c_custkey)
+         GROUP BY c_count
+         ORDER BY custdist DESC, c_count DESC""",
+
+    "q14_promo_share" ->
+      """SELECT round(100.0 *
+           (CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
+              THEN l_extendedprice * (1.0 - l_discount)
+              ELSE 0.0 END AS DECIMAL(28,6))) AS DOUBLE) /
+            CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+              AS DECIMAL(28,6))) AS DOUBLE)), 6) AS promo_revenue_pct
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+           AND l_shipdate < TIMESTAMP '1997-01-01'""",
+
+    "q19_disjunctive" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+             AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+         COUNT(*) AS n_items
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+             AND l_quantity BETWEEN 1 AND 20)
+           OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+             AND l_quantity BETWEEN 10 AND 35)
+           OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
+             AND l_quantity BETWEEN 20 AND 50)""",
+
+    "sink_expire" ->
+      """SELECT * FROM (VALUES
+           (CAST(0 AS BIGINT), 'expired', CAST(-1 AS BIGINT)),
+           (CAST(1 AS BIGINT), 'expired', CAST(-1 AS BIGINT)),
+           (CAST(2 AS BIGINT), 'expired', CAST(-1 AS BIGINT)),
+           (CAST(3 AS BIGINT), 'retained', CAST(4 AS BIGINT)),
+           (CAST(4 AS BIGINT), 'retained', CAST(5 AS BIGINT)))
+         AS t(version, status, n_rows)
+         ORDER BY version""",
+
+    "zscore_normalize" ->
+      """WITH m AS (
+           SELECT o_orderpriority, count(*) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE)
+               AS sx,
+             CAST(SUM(CAST(o_totalprice * o_totalprice
+               AS DECIMAL(38,6))) AS DOUBLE) AS sx2
+           FROM orders GROUP BY 1),
+         mm AS (
+           SELECT o_orderpriority, sx / n AS mean,
+             CASE WHEN (sx2 - sx * sx / n) / n > 0
+               THEN sqrt((sx2 - sx * sx / n) / n) ELSE 0.0 END AS sd
+           FROM m)
+         SELECT o.o_orderkey, o.o_orderpriority, o.o_totalprice,
+           round(CASE WHEN mm.sd = 0 THEN 0.0
+             ELSE (o.o_totalprice - mm.mean) / mm.sd END, 6) AS zscore
+         FROM orders o JOIN mm USING (o_orderpriority)
+         ORDER BY o.o_orderkey""",
+
+    "peak_concurrency" ->
+      """WITH d AS (
+           SELECT event_type, ts AS t, 1 AS delta FROM events
+           UNION ALL
+           SELECT event_type, ts + INTERVAL 5 MINUTE AS t, -1 AS delta
+           FROM events),
+         c AS (
+           SELECT event_type, sum(delta) OVER (PARTITION BY event_type
+             ORDER BY t, delta) AS c
+           FROM d)
+         SELECT event_type, CAST(max(c) AS BIGINT) AS peak,
+           CAST(count(*) / 2 AS BIGINT) AS n_intervals
+         FROM c GROUP BY 1 ORDER BY 1""",
+
+    "url_canonical" ->
+      """WITH u AS (
+           SELECT doc_id,
+             (CASE WHEN doc_id % 3 = 0 THEN 'http://'
+                ELSE 'https://' END)
+             || (CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE '' END)
+             || (CASE WHEN doc_id % 2 = 0 THEN upper(source)
+                ELSE source END)
+             || '.example.com/docs/' || CAST(doc_id % 50 AS VARCHAR)
+             || (CASE WHEN doc_id % 4 = 0
+                THEN '?utm_source=feed&utm_campaign=x' ELSE '' END)
+             || (CASE WHEN doc_id % 5 = 0 THEN '#frag' ELSE '' END)
+             AS url
+           FROM documents),
+         canon AS (
+           SELECT doc_id,
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(
+                         lower(regexp_extract(url,
+                           '^[a-zA-Z]+://[^/?#]*', 0))
+                         || substring(url, length(regexp_extract(url,
+                           '^[a-zA-Z]+://[^/?#]*', 0)) + 1),
+                         '#.*$', ''),
+                       '(utm_[a-z]+|fbclid|gclid)=[^&#]*&?', '', 'g'),
+                     '[?&]$', ''),
+                   '^http://', 'https://'),
+                 '^https://www\.', 'https://'),
+               '/$', '') AS url_canon
+           FROM u)
+         SELECT doc_id, url_canon,
+           count(*) OVER (PARTITION BY url_canon) AS n_dups
+         FROM canon ORDER BY doc_id""",
+
+    "winsorize" ->
+      """WITH r AS (
+           SELECT l_orderkey, l_linenumber, l_returnflag, l_extendedprice,
+             cume_dist() OVER (PARTITION BY l_returnflag
+               ORDER BY l_extendedprice) AS cd
+           FROM lineitem),
+         c AS (
+           SELECT l_returnflag,
+             min(CASE WHEN cd >= 0.05 THEN l_extendedprice END) AS lo,
+             min(CASE WHEN cd >= 0.95 THEN l_extendedprice END) AS hi
+           FROM r GROUP BY 1)
+         SELECT r.l_orderkey, r.l_linenumber, r.l_returnflag,
+           r.l_extendedprice,
+           least(greatest(r.l_extendedprice, c.lo), c.hi) AS clipped
+         FROM r JOIN c USING (l_returnflag)
+         ORDER BY r.l_orderkey, r.l_linenumber, r.l_returnflag,
+           r.l_extendedprice"""
   )
 }

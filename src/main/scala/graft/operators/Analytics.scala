@@ -712,4 +712,172 @@ object Analytics {
       .select(col("__p.col_name"), col("__p.n_rows"),
         col("__p.n_nulls"), col("__p.n_distinct"))
   }
+
+  /** TPC-H Q6 shape — the forecasting-revenue-change query: pure
+    * scan + filter + one-row aggregate. The point at 100 TB is the
+    * plan, not the arithmetic: all three predicates (date range,
+    * discount band, quantity cap) push into the parquet scan as
+    * PushedFilters, so row groups outside the year never leave disk;
+    * no shuffle except the single partial→final agg. */
+  def q6RevenueDelta(lineitem: DataFrame): DataFrame =
+    lineitem
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+        col("l_quantity") < 24)
+      .agg(dsum(col("l_extendedprice") * col("l_discount"), 6)
+        .as("revenue_delta"),
+        count(lit(1)).as("n_items"))
+
+  /** TPC-H Q13 shape — customer order-count distribution, including
+    * zero-order customers: LEFT join customer→orders (count skips the
+    * null orderkeys), then the tiny histogram over counts. Two keyed
+    * shuffles; the second input is |customers| rows of two ints. */
+  def q13OrderDistribution(customer: DataFrame,
+                           orders: DataFrame): DataFrame =
+    customer.join(orders, col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+
+  /** TPC-H Q14 shape — promo revenue share for one ship-year:
+    * conditional aggregate over the part join, dim side broadcast.
+    * Both sums decimal-folded; the final share is one double divide
+    * rounded to 6 (correctly-rounded IEEE — engine-independent). */
+  def q14PromoShare(lineitem: DataFrame, part: DataFrame): DataFrame = {
+    val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    lineitem
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .agg(round(lit(100.0) *
+        dsum(when(col("p_type") === "PROMO", rev).otherwise(lit(0.0)), 6) /
+        dsum(rev, 6), 6).as("promo_revenue_pct"))
+  }
+
+  /** TPC-H Q19 shape — disjunctive predicate revenue: OR-of-ANDs over
+    * (brand, size band, quantity band). Catalyst extracts the common
+    * `l_partkey = p_partkey` equi-condition, broadcasts the dim, and
+    * evaluates the disjunction as a post-join residual; the partkey
+    * IN-set implied by the brands prunes the fact scan. */
+  def q19Disjunctive(lineitem: DataFrame, part: DataFrame): DataFrame = {
+    val cond =
+      (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
+        col("l_quantity").between(1, 20)) ||
+      (col("p_brand") === "Brand#2" && col("p_size").between(10, 30) &&
+        col("l_quantity").between(10, 35)) ||
+      (col("p_brand") === "Brand#3" && col("p_size").between(20, 50) &&
+        col("l_quantity").between(20, 50))
+    lineitem
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .filter(cond)
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6)
+        .as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** Per-group z-score standardization — the feature-hygiene pass a
+    * training pipeline applies before mixing numeric features: center
+    * and scale each value by its group's mean/stddev. Moments come
+    * from DECIMAL power sums (one partial-agged pass, bit-stable
+    * under any partitioning — the moment_stats policy); the tiny
+    * per-group moment table broadcasts back onto the fact rows, so
+    * the fact side is one map-only pass. Degenerate groups (n < 2 or
+    * zero variance) emit z = 0 rather than NaN/err. */
+  def zscoreNormalize(df: DataFrame, grpCol: String, valCol: String,
+                      keyCols: Seq[String]): DataFrame = {
+    val x = col(valCol)
+    val m = df.groupBy(col(grpCol)).agg(
+      count(lit(1)).as("__n"),
+      sum(x.cast("decimal(28,4)")).cast("double").as("__sx"),
+      sum((x * x).cast("decimal(38,6)")).cast("double").as("__sx2"))
+    val n = col("__n").cast("double")
+    val mean = col("__sx") / n
+    val varPop = (col("__sx2") - col("__sx") * col("__sx") / n) / n
+    val moments = m.select(col(grpCol), mean.as("__mean"),
+      when(varPop > 0, sqrt(varPop)).otherwise(lit(0.0)).as("__sd"))
+    df.join(broadcast(moments), grpCol)
+      .select((keyCols :+ grpCol).map(col) :+ x :+
+        round(when(col("__sd") === 0, lit(0.0))
+          .otherwise((x - col("__mean")) / col("__sd")), 6).as("zscore"): _*)
+  }
+
+  /** Peak concurrency per group — the capacity question ("how many
+    * sessions were open at once?") answered with the classic +1/−1
+    * boundary sweep: each event opens an interval [ts, ts+duration);
+    * a running sum over (time, delta) boundaries peaks at the max
+    * concurrency. Determinism on ties: the window's default RANGE
+    * frame aggregates peer rows (equal (t, delta)) together, and
+    * ends (−1) sort before starts (+1) at the same instant, so
+    * half-open adjacency never counts as overlap. One keyed window
+    * over 2 narrow rows per event; partial-agged max on top. */
+  def peakConcurrency(events: DataFrame, grpCol: String = "event_type",
+                      tsCol: String = "ts",
+                      duration: String = "5 minutes"): DataFrame = {
+    val starts = events.select(col(grpCol), col(tsCol).as("t"),
+      lit(1L).as("delta"))
+    val ends = events.select(col(grpCol),
+      (col(tsCol) + expr(s"INTERVAL $duration")).as("t"),
+      lit(-1L).as("delta"))
+    val w = Window.partitionBy(grpCol).orderBy(col("t"), col("delta"))
+    starts.union(ends)
+      .withColumn("__c", sum(col("delta")).over(w))
+      .groupBy(col(grpCol))
+      .agg(max(col("__c")).as("peak"),
+        (count(lit(1)) / 2).cast("long").as("n_intervals"))
+  }
+
+  /** Co-occurrence counts between event types: for each unordered
+    * type pair (a < b), in how many (user, hour) baskets both
+    * appear. The market-basket / co-engagement primitive, built
+    * join-free: one collect_set shuffle per basket (a SET of types —
+    * bounded by the type vocabulary, never the event stream), then
+    * map-side pair expansion and a tiny pair-count aggregate. A user
+    * with 10^7 events in an hour contributes the same bounded set as
+    * one with 10, so event-count skew cannot pin a reducer; for
+    * unbounded item vocabularies, cap the per-basket set (top-N by
+    * recency) before expansion — the standard recipe. */
+  def eventCooccurrence(events: DataFrame,
+                        userCol: String = "user_id",
+                        typeCol: String = "event_type",
+                        tsCol: String = "ts",
+                        bucket: String = "hour"): DataFrame = {
+    val sets = events
+      .groupBy(col(userCol), date_trunc(bucket, col(tsCol)).as("__b"))
+      .agg(sort_array(collect_set(col(typeCol))).as("types"))
+    val pairs = sets.select(explode(flatten(transform(col("types"),
+      (x, i) => transform(
+        slice(col("types"), i + 2, size(col("types"))),
+        y => struct(x.as("type_a"), y.as("type_b")))))).as("p"))
+    pairs.groupBy(col("p.type_a").as("type_a"), col("p.type_b").as("type_b"))
+      .agg(count(lit(1)).as("n_baskets"))
+  }
+
+  /** Per-group winsorization: clip a value to its group's [pLo, pHi]
+    * percentile band. Cutoffs use the discrete-percentile definition
+    * "smallest value whose cume_dist ≥ p" — a pure function of the
+    * value multiset (tie-safe, engine-independent; no interpolation
+    * arithmetic to drift). One keyed window sort over just
+    * (group, value) computes cume_dist; the per-group cutoff table is
+    * tiny and broadcasts back onto the fact rows. At 100 TB swap the
+    * exact window for the mergeable GK sketch (`approx_percentile`)
+    * — same plan shape minus the per-group sort; this operator is the
+    * exact form that oracle-verifies the recipe. */
+  def winsorize(df: DataFrame, grpCol: String, valCol: String,
+                keyCols: Seq[String], pLo: Double = 0.05,
+                pHi: Double = 0.95): DataFrame = {
+    val w = Window.partitionBy(grpCol).orderBy(col(valCol))
+    val ranked = df.select(
+      (keyCols :+ grpCol :+ valCol).map(col) :+
+        cume_dist().over(w).as("__cd"): _*)
+    val cuts = ranked.groupBy(col(grpCol)).agg(
+      min(when(col("__cd") >= pLo, col(valCol))).as("__lo"),
+      min(when(col("__cd") >= pHi, col(valCol))).as("__hi"))
+    ranked.join(broadcast(cuts), grpCol)
+      .select((keyCols :+ grpCol).map(col) :+
+        col(valCol) :+
+        least(greatest(col(valCol), col("__lo")), col("__hi"))
+          .as("clipped"): _*)
+  }
 }

@@ -233,6 +233,36 @@ object TextAnalysis {
         round(col("__score"), 6).as("tfidf"))
   }
 
+  /** Corpus-unigram surprisal — the cheap stand-in for the CCNet
+    * LM-perplexity quality filter: each document's mean negative
+    * log-likelihood under the corpus's OWN unigram distribution
+    * (cross-entropy, nats). Low = ordinary vocabulary, high =
+    * rare/garbled — threshold or quantile-gate downstream.
+    *
+    * Determinism: per-token surprisal is rounded to 6 dp, the sums
+    * run in DECIMAL, so the score is a pure function of the token
+    * multiset (no FP visit-order drift under any partitioning).
+    * Plan shape: tokens carry a 16-byte xxhash64 key through both
+    * the frequency aggregate and the join back (the raw term string
+    * never shuffles); the corpus token total is a one-row broadcast.
+    * Hash collisions can only merge two terms' counts (noise well
+    * under the 6 dp rounding at realistic vocabularies). */
+  def unigramSurprisal(docs: DataFrame, idCol: String = "doc_id",
+                       textCol: String = "text"): DataFrame = {
+    val tok = docs
+      .select(col(idCol), explode(wordTokens(col(textCol))).as("term"))
+      .select(col(idCol), xxhash64(col("term")).as("th"))
+    val freq = tok.groupBy(col("th")).agg(count(lit(1)).as("tf"))
+    val total = tok.groupBy().agg(count(lit(1)).as("__n"))
+    tok.join(freq, "th")
+      .crossJoin(broadcast(total))
+      .select(col(idCol), round(-log(col("tf") / col("__n")), 6).as("nll"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(sum(col("nll").cast("decimal(38,6)")).cast("double")
+          / count(lit(1)), 6).as("cross_entropy"))
+  }
+
   /** Dataset-card summary per source: the corpus-level aggregate a
     * curation run reports (doc counts, size, token volume, language
     * spread, quality means). ONE partial-agged pass over the corpus —

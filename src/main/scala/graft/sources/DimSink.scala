@@ -102,6 +102,29 @@ final class VersionedParquetSink(path: String) extends DimSink {
       dir.listFiles().foreach(_.delete()); dir.delete()
     }
   }
+
+  /** Retention-policy expiration (the `expire_snapshots` / VACUUM
+    * RETAIN surface of log-based table formats): keep the newest
+    * `keepLast` committed versions — and always the one the manifest
+    * points at — expire the rest, returning the (version, status)
+    * audit oldest-first. Readers time-traveling a retained version
+    * are unaffected; expiring only strictly-older versions means a
+    * concurrent reader of the CURRENT snapshot can never lose files
+    * mid-scan. */
+  def expireSnapshots(keepLast: Int): Seq[(Long, String)] = {
+    require(keepLast >= 1, s"need keepLast >= 1, got $keepLast")
+    val vs = versions
+    val keep = vs.takeRight(keepLast).toSet ++ currentVersion
+    vs.map { v =>
+      if (keep(v)) v -> "retained"
+      else {
+        val dir = new java.io.File(path, s"v=$v")
+        Option(dir.listFiles()).foreach(_.foreach(_.delete()))
+        dir.delete()
+        v -> "expired"
+      }
+    }
+  }
 }
 
 /** Delta Lake sink — a thin binding that compiles against no Delta

@@ -567,6 +567,55 @@ object Streams {
       .withColumn(textCol, TextAnalysis.redactPii(col(textCol)))
   }
 
+  /** A constraint-tagged event (streaming dead-letter record). */
+  case class TaggedEvent(event_id: Long, ts: java.sql.Timestamp,
+                         user_id: Long, event_type: String, value: Double,
+                         violation: String)
+
+  /** Streaming bronze→silver constraint gate — the incremental twin
+    * of `Pipeline.validateBatch`: every row is TAGGED (`null_field` /
+    * `dup_key` / `ok`), never dropped, so one bad producer can't fail
+    * an always-on ingest and quarantined rows stay auditable. The
+    * validity check is stateless map-side; the dup check keys on the
+    * business key with a TTL'd one-boolean ValueState — state is
+    * bounded by arrival-rate × ttl, not by keys-ever-seen. Semantics
+    * vs the batch gate: an append stream cannot retroactively re-tag
+    * the FIRST copy of a key (the batch pass sees the whole batch and
+    * tags all copies), so first-wins is the streaming contract —
+    * exactly like `streamingDedupTtl`, but tagging instead of
+    * dropping. Invalid rows bypass the dedup state entirely: a
+    * malformed row must not burn its key's first-seen slot. */
+  class QuarantineProcessor(ttl: java.time.Duration)
+      extends StatefulProcessor[Long, Event, TaggedEvent] {
+    @transient private var seen: ValueState[Boolean] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      seen = getHandle.getValueState[Boolean]("seen",
+        Encoders.scalaBoolean, TTLConfig(ttl))
+
+    private def tag(e: Event, v: String): TaggedEvent =
+      TaggedEvent(e.event_id, e.ts, e.user_id, e.event_type, e.value, v)
+
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+                                 tv: TimerValues): Iterator[TaggedEvent] =
+      rows.map { e =>
+        if (e.event_type == null || e.event_type.isEmpty)
+          tag(e, "null_field")
+        else if (seen.exists()) tag(e, "dup_key")
+        else { seen.update(true); tag(e, "ok") }
+      }
+  }
+
+  /** Streaming constraint gate on event_id — see
+    * [[QuarantineProcessor]]. Requires the RocksDB state store. */
+  def streamingQuarantine(events: Dataset[Event],
+                          ttl: java.time.Duration): Dataset[TaggedEvent] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.event_id)
+      .transformWithState(new QuarantineProcessor(ttl),
+        TimeMode.ProcessingTime(), OutputMode.Append())
+  }
+
   /** Output mode for the windowed agg sink. */
   val defaultOutputMode: OutputMode = OutputMode.Update()
 }

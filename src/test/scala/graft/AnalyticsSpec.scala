@@ -94,4 +94,110 @@ class AnalyticsSpec extends SparkSpec {
       .as[(String, Long, Long, Long)].collect().toSeq
     assert(out == Seq(("k", 4L, 1L, 2L), ("v", 4L, 1L, 2L)))
   }
+
+  test("eventCooccurrence counts baskets per unordered type pair, join-free") {
+    val h0 = ts("2024-01-01 00:10:00")
+    val h0b = ts("2024-01-01 00:40:00") // same hour basket as h0
+    val h1 = ts("2024-01-01 01:10:00")
+    val ev = Seq(
+      (1L, "a", h0), (1L, "b", h0b), (1L, "a", h0), // repeat: one basket
+      (1L, "a", h1), // new hour, alone — no pair
+      (2L, "a", h0), (2L, "b", h0), (2L, "c", h0),
+      (3L, "c", h0)
+    ).toDF("user_id", "event_type", "ts")
+    val out = Analytics.eventCooccurrence(ev)
+      .orderBy("type_a", "type_b")
+      .as[(String, String, Long)].collect().toSeq
+    assert(out == Seq(("a", "b", 2L), ("a", "c", 1L), ("b", "c", 1L)))
+    // join-free: the plan is two aggregates around a generator,
+    // never a self-join whose fan-out tracks event counts
+    val plan = Analytics.eventCooccurrence(ev)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"expected join-free plan:\n$plan")
+  }
+
+  test("q6/q19 predicates reach the parquet scan; q14/q19 broadcast part") {
+    def tb(n: String) = graft.sources.Tables.load(spark,
+      "/root/testdata/sf0.001", n)
+    val q6 = Analytics.q6RevenueDelta(tb("lineitem"))
+      .queryExecution.executedPlan.toString
+    assert(q6.contains("PushedFilters: ["), s"q6 must push filters:\n$q6")
+    assert(q6.contains("l_shipdate") && q6.contains("l_quantity"),
+      "date and quantity predicates should push into the scan")
+    assert(!q6.contains("Exchange hashpartitioning"),
+      "q6 is scan+filter+global agg — no keyed shuffle")
+    for (df <- Seq(Analytics.q14PromoShare(tb("lineitem"), tb("part")),
+        Analytics.q19Disjunctive(tb("lineitem"), tb("part")))) {
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("BroadcastHashJoin"),
+        s"part side must broadcast:\n$p")
+    }
+    // sanity on values: q14 share is a percentage, q19 revenue > 0
+    val pct = Analytics.q14PromoShare(tb("lineitem"), tb("part"))
+      .as[Double].head()
+    assert(pct > 0.0 && pct < 100.0)
+    val (rev, n) = Analytics.q19Disjunctive(tb("lineitem"), tb("part"))
+      .as[(Double, Long)].head()
+    assert(rev > 0.0 && n > 0)
+  }
+
+  test("q13 order-count distribution includes zero-order customers") {
+    val cust = Seq(1L, 2L, 3L).toDF("c_custkey")
+    val ords = Seq((10L, 1L), (11L, 1L), (12L, 2L))
+      .toDF("o_orderkey", "o_custkey")
+    val out = Analytics.q13OrderDistribution(cust, ords)
+      .orderBy("c_count").as[(Long, Long)].collect().toSeq
+    assert(out == Seq((0L, 1L), (1L, 1L), (2L, 1L)))
+  }
+
+  test("zscoreNormalize standardizes per group; degenerate groups emit 0") {
+    val df = Seq(
+      (1L, "a", 10.0), (2L, "a", 20.0), (3L, "a", 30.0),
+      (4L, "b", 7.0), (5L, "b", 7.0), // zero variance
+      (6L, "c", 99.0) // single row
+    ).toDF("k", "g", "v")
+    val out = Analytics.zscoreNormalize(df, "g", "v", Seq("k"))
+      .orderBy("k").select("zscore").as[Double].collect().toSeq
+    // group a: mean 20, population sd = sqrt(200/3)
+    val sd = math.sqrt(200.0 / 3.0)
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(0) == r6(-10.0 / sd) && out(1) == 0.0 &&
+      out(2) == r6(10.0 / sd))
+    assert(out(3) == 0.0 && out(4) == 0.0 && out(5) == 0.0)
+  }
+
+  test("peakConcurrency counts max open intervals; half-open at bounds") {
+    // type A: [00:00,00:05) [00:02,00:07) [00:04,00:09) → 3 deep at 00:04;
+    // type B: [00:00,00:05) [00:05,00:10) touch but never overlap → 1
+    val ev = Seq(
+      ("A", ts("2024-01-01 00:00:00")), ("A", ts("2024-01-01 00:02:00")),
+      ("A", ts("2024-01-01 00:04:00")),
+      ("B", ts("2024-01-01 00:00:00")), ("B", ts("2024-01-01 00:05:00"))
+    ).toDF("event_type", "ts")
+    val out = Analytics.peakConcurrency(ev)
+      .orderBy("event_type")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(out == Seq(("A", 3L, 3L), ("B", 1L, 2L)))
+  }
+
+  test("winsorize clips to the group's discrete percentile band") {
+    val df = (1 to 100).map(i => (i.toLong, 1, "g", i.toDouble))
+      .toDF("k1", "k2", "g", "v")
+    val out = Analytics.winsorize(df, "g", "v", Seq("k1", "k2"),
+      pLo = 0.10, pHi = 0.90)
+    val clipped = out.orderBy("k1").select("clipped")
+      .as[Double].collect()
+    // smallest value with cume_dist >= .10 over 1..100 is 10; >= .90 is 90
+    assert(clipped.min == 10.0 && clipped.max == 90.0)
+    assert(clipped(49) == 50.0, "interior values pass through untouched")
+    // ties: cume_dist is a function of the value, so equal values can
+    // never straddle a cutoff
+    val tied = Seq.fill(10)(5.0).zipWithIndex
+      .map { case (v, i) => (i.toLong, 1, "g", v) }
+      .toDF("k1", "k2", "g", "v")
+    val tiedOut = Analytics.winsorize(tied, "g", "v", Seq("k1", "k2"))
+      .select("clipped").as[Double].collect()
+    assert(tiedOut.forall(_ == 5.0))
+  }
 }

@@ -32,7 +32,8 @@ class PlanLintSpec extends SparkSpec {
     "q11_revenue_share" -> "one-row global-total broadcast",
     "q22_idle_customers" -> "scalar avg(balance) subquery broadcast",
     "mixture_sample" -> "one-row global n_max broadcast",
-    "tfidf_topk" -> "scalar corpus-doc-count broadcast")
+    "tfidf_topk" -> "scalar corpus-doc-count broadcast",
+    "unigram_score" -> "one-row corpus-token-total broadcast")
 
   /** Global (empty-partition) windows over provably tiny inputs:
     * per-mille bucket tables (≤1000 rows) or final ≤k-row summaries. */

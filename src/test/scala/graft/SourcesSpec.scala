@@ -165,6 +165,26 @@ class SourcesSpec extends SparkSpec {
     assert(sink.load(spark).get.count() == 3)
   }
 
+  test("expireSnapshots retains the newest N and the current pointer") {
+    val sink = new graft.sources.VersionedParquetSink(
+      tmpDir("graft_expire") + "/dim")
+    import spark.implicits._
+    (1 to 5).foreach(n =>
+      sink.overwrite(Seq.tabulate(n)(i => (i.toLong, s"r$i"))
+        .toDF("k", "v")))
+    val audit = sink.expireSnapshots(keepLast = 2)
+    assert(audit == Seq(0L -> "expired", 1L -> "expired", 2L -> "expired",
+      3L -> "retained", 4L -> "retained"))
+    assert(sink.versions == Seq(3L, 4L))
+    assert(sink.currentVersion.contains(4L))
+    // retained versions stay time-travelable, current stays loadable
+    assert(sink.loadVersion(spark, 3L).count() == 4)
+    assert(sink.load(spark).get.count() == 5)
+    // idempotent: nothing left to expire
+    assert(sink.expireSnapshots(keepLast = 2) ==
+      Seq(3L -> "retained", 4L -> "retained"))
+  }
+
   test("forPath falls back to parquet when no table format is present") {
     // no Delta/Iceberg jars ship in this environment
     assert(!DimSink.deltaAvailable)

@@ -584,4 +584,67 @@ class StreamsSpec extends SparkSpec {
       }
     }
   }
+
+  test("streaming quarantine tags instead of dropping, first-wins on dups") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_squar").toString
+    val prev = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    val prevCk = spark.conf.getOption(
+      "spark.sql.streaming.checkpoint.fileChecksum.enabled")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    spark.conf.set("spark.sql.streaming.checkpoint.fileChecksum.enabled",
+      "false")
+    try {
+      val mem = MemoryStream[Streams.Event]
+      def runOnce(): Unit = {
+        val q = Streams.streamingQuarantine(mem.toDS(),
+            java.time.Duration.ofHours(1))
+          .writeStream
+          .option("checkpointLocation", s"$dir/ckpt")
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.Once())
+          .foreachBatch {
+            (b: org.apache.spark.sql.Dataset[Streams.TaggedEvent],
+             _: Long) => b.write.mode("append").parquet(s"$dir/out")
+          }
+          .start()
+        try assert(q.awaitTermination(120000), "stream run timed out")
+        finally q.stop()
+      }
+      mem.addData(
+        Streams.Event(1L, ts("2024-01-01 00:10:00"), 1L, "click", 1.0),
+        Streams.Event(1L, ts("2024-01-01 00:11:00"), 1L, "click", 2.0),
+        Streams.Event(2L, ts("2024-01-01 00:12:00"), 2L, "", 3.0))
+      runOnce()
+      // cross-batch: key 1 is still a dup, key 3 is fresh
+      mem.addData(
+        Streams.Event(1L, ts("2024-01-01 00:13:00"), 1L, "click", 4.0),
+        Streams.Event(3L, ts("2024-01-01 00:14:00"), 3L, "view", 5.0))
+      runOnce()
+      val got = spark.read.parquet(s"$dir/out")
+        .orderBy("value")
+        .select("event_id", "violation")
+        .as[(Long, String)].collect().toSeq
+      assert(got == Seq((1L, "ok"), (1L, "dup_key"), (2L, "null_field"),
+        (1L, "dup_key"), (3L, "ok")),
+        s"got $got")
+      // nothing dropped: 5 in, 5 out
+      assert(got.size == 5)
+    } finally {
+      prev match {
+        case Some(p) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+      prevCk match {
+        case Some(p) => spark.conf.set(
+          "spark.sql.streaming.checkpoint.fileChecksum.enabled", p)
+        case None => spark.conf.unset(
+          "spark.sql.streaming.checkpoint.fileChecksum.enabled")
+      }
+    }
+  }
 }

@@ -176,4 +176,26 @@ class TextAnalysisSpec extends SparkSpec {
       .filter(col("text") =!= col("rebuilt"))
     assert(mismatch.isEmpty)
   }
+
+  test("unigramSurprisal: rare vocabulary scores higher, exact on a fixture") {
+    val in = Seq(
+      (1L, "the the the"), // most common token only
+      (2L, "the the zzyzx") // one rare token
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.unigramSurprisal(in).orderBy("doc_id")
+      .as[(Long, Long, Double)].collect().toSeq
+    // corpus: "the"×5, "zzyzx"×1, total 6
+    val pThe = -math.log(5.0 / 6.0)
+    val pZ = -math.log(1.0 / 6.0)
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out.map(t => (t._1, t._2)) == Seq((1L, 3L), (2L, 3L)))
+    assert(out(0)._3 == r6(3 * r6(pThe) / 3))
+    assert(out(1)._3 == r6((2 * r6(pThe) + r6(pZ)) / 3))
+    assert(out(1)._3 > out(0)._3, "rare vocabulary must score higher")
+    // partitioning independence: same result from one partition
+    val one = TextAnalysis.unigramSurprisal(in.coalesce(1)).orderBy("doc_id")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(one == out)
+  }
 }
