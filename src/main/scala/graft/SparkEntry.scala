@@ -1121,6 +1121,10 @@ object SparkEntry {
       TextAnalysis.unigramSurprisal(t(s, d, "documents"))
         .orderBy(col("doc_id"))),
 
+    "bm25_topk" -> ((s, d) =>
+      TextAnalysis.bm25TopK(t(s, d, "documents"), k = 3)
+        .orderBy(col("doc_id"), col("rank"))),
+
     "source_cap" -> ((s, d) =>
       Curation.sourceCap(t(s, d, "documents"), cap = 10)
         .orderBy(col("source"), col("rank"))),
@@ -2731,6 +2735,35 @@ object SparkEntry {
              AND sym <= 0.12 AND bullet <= 0.9 AND ell <= 0.3
              AND alpha >= 0.7 AS pass
          FROM r ORDER BY doc_id""",
+
+    "bm25_topk" ->
+      """WITH tok AS (
+           SELECT doc_id,
+             unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+           FROM documents),
+         tfx AS (SELECT doc_id, term, count(*) AS tf
+                 FROM tok GROUP BY 1, 2),
+         dfx AS (SELECT term, count(*) AS df FROM tfx GROUP BY 1),
+         dlx AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
+                 FROM tfx GROUP BY 1),
+         st AS (SELECT (SELECT count(*) FROM documents) AS n,
+                  (SELECT CAST(sum(tf) AS BIGINT) FROM tfx) AS tok_total),
+         scored AS (
+           SELECT tfx.doc_id, tfx.term, tfx.tf, dfx.df,
+             ln((n - df + 0.5) / (df + 0.5) + 1.0)
+               * (tf * (1.2 + 1.0))
+               / (tf + 1.2 * ((1.0 - 0.75)
+                 + 0.75 * dl / (CAST(tok_total AS DOUBLE) / n)))
+               AS score
+           FROM tfx JOIN dfx USING (term) JOIN dlx USING (doc_id), st),
+         ranked AS (
+           SELECT doc_id, term, tf, df, score,
+             CAST(row_number() OVER (PARTITION BY doc_id
+               ORDER BY score DESC, term) AS BIGINT) AS rank
+           FROM scored)
+         SELECT doc_id, rank, term, tf, df, round(score, 6) AS bm25
+         FROM ranked WHERE rank <= 3
+         ORDER BY doc_id, rank""",
 
     "unigram_score" ->
       """WITH tok AS (

@@ -233,6 +233,47 @@ object TextAnalysis {
         round(col("__score"), 6).as("tfidf"))
   }
 
+  /** Per-document top-k terms by BM25 weight (Robertson/Lucene form,
+    * the retrieval companion to [[tfidfTopK]] — what a RAG corpus
+    * indexes after [[chunkDocs]]): idf = ln((N−df+0.5)/(df+0.5)+1),
+    * length-normalized tf saturation with the standard k1/b. Same
+    * plan shape as tfidf: tf/df partial-agged, doc length one
+    * whole-partition window sum over the tf rows (no extra corpus
+    * pass), corpus totals one scalar broadcast — no driver count().
+    * Tie-break on the raw score then term: the score expression is
+    * structurally identical on both engines, so ordering agrees. */
+  def bm25TopK(docs: DataFrame, idCol: String = "doc_id",
+               textCol: String = "text", k: Int = 3,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val tf = docs
+      .select(col(idCol), explode(wordTokens(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.groupBy().agg(count(lit(1)).as("__n"))
+    val tok = tf.groupBy().agg(sum(col("tf")).as("__tok"))
+    val dlw = org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("__score").desc, col("term"))
+    tf.join(df, "term")
+      .withColumn("dl", sum(col("tf")).over(dlw))
+      .crossJoin(broadcast(n))
+      .crossJoin(broadcast(tok))
+      .withColumn("__avgdl", col("__tok").cast("double") / col("__n"))
+      // constants stay as the same sub-expressions on both engines
+      // ((k1+1), (1−b) fold to identical doubles; a pre-computed
+      // Scala literal could differ from SQL's in the last ulp)
+      .withColumn("__score",
+        log((col("__n") - col("df") + lit(0.5)) / (col("df") + lit(0.5))
+          + lit(1.0)) * (col("tf") * (lit(k1) + lit(1.0)))
+          / (col("tf") + lit(k1) * ((lit(1.0) - lit(b))
+            + lit(b) * col("dl") / col("__avgdl"))))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("rank"), col("term"), col("tf"), col("df"),
+        round(col("__score"), 6).as("bm25"))
+  }
+
   /** Corpus-unigram surprisal — the cheap stand-in for the CCNet
     * LM-perplexity quality filter: each document's mean negative
     * log-likelihood under the corpus's OWN unigram distribution

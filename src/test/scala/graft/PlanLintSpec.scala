@@ -33,7 +33,8 @@ class PlanLintSpec extends SparkSpec {
     "q22_idle_customers" -> "scalar avg(balance) subquery broadcast",
     "mixture_sample" -> "one-row global n_max broadcast",
     "tfidf_topk" -> "scalar corpus-doc-count broadcast",
-    "unigram_score" -> "one-row corpus-token-total broadcast")
+    "unigram_score" -> "one-row corpus-token-total broadcast",
+    "bm25_topk" -> "one-row doc-count + token-total broadcasts")
 
   /** Global (empty-partition) windows over provably tiny inputs:
     * per-mille bucket tables (≤1000 rows) or final ≤k-row summaries. */

@@ -177,6 +177,29 @@ class TextAnalysisSpec extends SparkSpec {
     assert(mismatch.isEmpty)
   }
 
+  test("bm25TopK ranks rare terms above common ones, saturates tf") {
+    val in = Seq(
+      (1L, "alpha alpha alpha common common"),
+      (2L, "beta common common common common"),
+      (3L, "common common gamma gamma gamma")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.bm25TopK(in, k = 2)
+      .orderBy("doc_id", "rank").collect()
+    // the doc-exclusive term (df=1) must outrank "common" (df=3)
+    assert(out(0).getAs[String]("term") == "alpha")
+    assert(out(2).getAs[String]("term") == "beta")
+    assert(out(4).getAs[String]("term") == "gamma")
+    assert(Seq(1, 3, 5).forall(i => out(i).getAs[String]("term") == "common"))
+    // hand-check doc 1 / alpha: N=3, df=1, tf=3, dl=5, avgdl=5
+    val idf = math.log((3 - 1 + 0.5) / (1 + 0.5) + 1.0)
+    val expected = idf * (3 * 2.2) / (3 + 1.2 * (0.25 + 0.75 * 5.0 / 5.0))
+    val got = out(0).getAs[Double]("bm25")
+    assert(math.abs(got - expected) < 1e-6, s"$got vs $expected")
+    // tf saturation: doubling tf must NOT double the score shape-wise
+    assert(out(0).getAs[Double]("bm25") <
+      2.0 * out(2).getAs[Double]("bm25"))
+  }
+
   test("unigramSurprisal: rare vocabulary scores higher, exact on a fixture") {
     val in = Seq(
       (1L, "the the the"), // most common token only
