@@ -79,6 +79,38 @@ class CurationSpec extends SparkSpec {
       s"quality gate should not shuffle:\n$plan")
   }
 
+  test("lineDedup emits a doc even when every line is boilerplate") {
+    val in = Seq(
+      (1L, "x\nx"), (2L, "x\ny"), (3L, "x\nz"))
+      .toDF("doc_id", "text") // "x" appears 4 times > 3
+    val out = Curation.lineDedup(in, maxFreq = 3).orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect()
+    assert(out(0) == ((1L, 2L, 0L, "")),
+      "all-boilerplate doc keeps its row with empty text")
+    assert(out(1) == ((2L, 2L, 1L, "y")))
+    assert(out.length == 3)
+  }
+
+  test("sourceCap under-full sources emit all their rows") {
+    val in = Seq(
+      (1L, "a", 10L), (2L, "a", 20L), (3L, "a", 30L),
+      (4L, "b", 5L)) // source b has fewer docs than cap
+      .toDF("doc_id", "source", "n_chars")
+    val out = Curation.sourceCap(in, cap = 2)
+      .orderBy("source", "rank")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(("a", 1L, 3L, 30L), ("a", 2L, 2L, 20L),
+      ("b", 1L, 4L, 5L)))
+  }
+
+  test("canonicalUrl passes schemeless strings through the same chain") {
+    // no scheme → the host-lowercase step is a no-op; the rest of the
+    // chain (fragment/tracking/trailing-slash) still applies
+    val got = Seq("Relative/Path/?utm_source=x#f").toDF("url")
+      .select(Curation.canonicalUrl(col("url"))).as[String].head()
+    assert(got == "Relative/Path")
+  }
+
   test("canonicalUrl normalizes the classic crawl-dup variants") {
     val cases = Seq(
       // scheme + www + case + tracking + fragment all collapse
