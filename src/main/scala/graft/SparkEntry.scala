@@ -786,6 +786,18 @@ object SparkEntry {
       Dedup.minhashLsh(t(s, d, "documents"), threshold = 0.5)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // incremental ingest admission: the corpus is docs < 400, the
+    // arriving batch is docs >= 400 — same LSH parameters as
+    // dedup_minhash_lsh, so the exact-jaccard oracle's pair set is
+    // the already-verified one restricted to (corpus×batch ∪ intra)
+    "dedup_incremental" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Dedup.incrementalDedup(
+        docs.filter(col("doc_id") < 400),
+        docs.filter(col("doc_id") >= 400), threshold = 0.5)
+        .orderBy(col("doc_id"))
+    }),
+
     "dedup_simhash" -> ((s, d) =>
       Dedup.simhashPairs(t(s, d, "documents"), maxHamming = 10)
         .orderBy(col("id_a"), col("id_b"))),
@@ -2173,6 +2185,31 @@ object SparkEntry {
              (len(a.sh) + len(b.sh)
               - len(list_intersect(a.sh, b.sh)))::DOUBLE >= 0.5
          ORDER BY id_a, id_b""",
+
+    "dedup_incremental" ->
+      """WITH s AS (
+           SELECT doc_id, list_distinct(
+             CASE WHEN len(string_split_regex(trim(lower(text)), '\s+')) < 3
+             THEN [concat_ws(' ', string_split_regex(trim(lower(text)), '\s+'))]
+             ELSE list_transform(
+               range(1, len(string_split_regex(trim(lower(text)), '\s+')) - 1),
+               i -> string_split_regex(trim(lower(text)), '\s+')[i] || ' ' ||
+                    string_split_regex(trim(lower(text)), '\s+')[i+1] || ' ' ||
+                    string_split_regex(trim(lower(text)), '\s+')[i+2]) END) AS sh
+           FROM documents),
+         pairs AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM s a, s b
+           WHERE a.doc_id < b.doc_id
+             AND len(list_intersect(a.sh, b.sh)) /
+               (len(a.sh) + len(b.sh)
+                - len(list_intersect(a.sh, b.sh)))::DOUBLE >= 0.5),
+         batch AS (SELECT doc_id FROM documents WHERE doc_id >= 400)
+         SELECT b.doc_id, min(p.id_a) AS dup_of,
+           CAST(count(p.id_a) AS BIGINT) AS n_matches,
+           min(p.id_a) IS NULL AS admitted
+         FROM batch b LEFT JOIN pairs p ON p.id_b = b.doc_id
+         GROUP BY b.doc_id ORDER BY b.doc_id""",
 
     "ngram_jaccard" ->
       """WITH g AS (

@@ -868,13 +868,16 @@ object Analytics {
                 keyCols: Seq[String], pLo: Double = 0.05,
                 pHi: Double = 0.95): DataFrame = {
     val w = Window.partitionBy(grpCol).orderBy(col(valCol))
-    val ranked = df.select(
-      (keyCols :+ grpCol :+ valCol).map(col) :+
-        cume_dist().over(w).as("__cd"): _*)
-    val cuts = ranked.groupBy(col(grpCol)).agg(
-      min(when(col("__cd") >= pLo, col(valCol))).as("__lo"),
-      min(when(col("__cd") >= pHi, col(valCol))).as("__hi"))
-    ranked.join(broadcast(cuts), grpCol)
+    // the cutoff pass sorts ONLY (group, value) — the wide fact rows
+    // never enter the window, and the fact side stays a map-only
+    // broadcast join (windowing the full rows would also recompute
+    // the sort once per consumer branch)
+    val cuts = df.select(col(grpCol), col(valCol))
+      .withColumn("__cd", cume_dist().over(w))
+      .groupBy(col(grpCol)).agg(
+        min(when(col("__cd") >= pLo, col(valCol))).as("__lo"),
+        min(when(col("__cd") >= pHi, col(valCol))).as("__hi"))
+    df.join(broadcast(cuts), grpCol)
       .select((keyCols :+ grpCol).map(col) :+
         col(valCol) :+
         least(greatest(col(valCol), col("__lo")), col("__hi"))

@@ -188,6 +188,60 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Incremental near-dup admission — the batch form of the
+    * streaming LSH index (streaming/Streams.LshIndexProcessor) and
+    * the operational pattern of a GROWING corpus: an arriving batch
+    * is deduplicated against the existing corpus WITHOUT re-pairing
+    * the corpus against itself. The corpus side contributes only its
+    * banded bucket memberships (in production a persisted index
+    * table, bucketed by (band, bucket) so probes co-locate — never
+    * recomputed per batch); batch docs band with the same kernel,
+    * candidate pairs are (corpus ⋈ batch on shared buckets) ∪
+    * (intra-batch self-join), and every candidate is verified by the
+    * exact merge-scan jaccard. Per batch doc: `dup_of` = the SMALLEST
+    * matching prior id (corpus, or an earlier-id batch doc — the
+    * deterministic admission rule), `admitted` iff no match.
+    * Corpus-side work per ingest is one bucket join keyed by the
+    * batch's buckets — proportional to the BATCH, not the corpus. */
+  def incrementalDedup(corpus: DataFrame, batch: DataFrame,
+                       idCol: String = "doc_id", textCol: String = "text",
+                       shingleWords: Int = 3, numHashes: Int = 128,
+                       bands: Int = 32, threshold: Double = 0.5,
+                       maxBucket: Int = 0): DataFrame = {
+    val rows = numHashes / bands
+    def banded(df: DataFrame, out: String): DataFrame =
+      minhashSignatures(df, idCol, textCol, shingleWords, numHashes)
+        .select(col(idCol).as(out), posexplode(
+          transform(sequence(lit(0), lit(bands - 1)),
+            b => xxhash64(slice(col("sig"), b * rows + 1, lit(rows)), b)))
+          .as(Seq("band", "bucket")))
+    // corpus×batch candidates on shared (band, bucket); ids are
+    // disjoint with corpus < batch by contract of the caller's split
+    val cross = banded(corpus, "id_a")
+      .join(banded(batch, "id_b"), Seq("band", "bucket"))
+      .select(col("id_a"), col("id_b")).distinct()
+    val intra = lshCandidates(
+      minhashSignatures(batch, idCol, textCol, shingleWords, numHashes),
+      idCol, bands, rows, maxBucket)
+    val shingled = corpus.unionByName(batch)
+      .select(col(idCol).as("__id"),
+        graft.plans.TextHashExpressions.shingleHashes(
+          wordTokens(col(textCol)), shingleWords).as("__sh"))
+    val c = graft.plans.FloatVectorExpressions
+      .sortedIntersectCount(col("sh_a"), col("sh_b")).cast("double")
+    val verified = cross.unionByName(intra).distinct()
+      .join(shingled.toDF("id_a", "sh_a"), "id_a")
+      .join(shingled.toDF("id_b", "sh_b"), "id_b")
+      .filter(c / (size(col("sh_a")) + size(col("sh_b")) - c) >= threshold)
+      .select(col("id_a"), col("id_b"))
+    batch.select(col(idCol))
+      .join(verified.withColumnRenamed("id_b", idCol), Seq(idCol), "left")
+      .groupBy(col(idCol))
+      .agg(min(col("id_a")).as("dup_of"),
+        count(col("id_a")).as("n_matches"))
+      .withColumn("admitted", col("dup_of").isNull)
+  }
+
   /** 64-bit SimHash per document: per-token hash bits vote ±1,
     * weighted by token occurrence; sign of each bit-sum forms the
     * fingerprint. Computed by the native one-pass kernel — a pure

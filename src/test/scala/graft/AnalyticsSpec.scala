@@ -199,5 +199,17 @@ class AnalyticsSpec extends SparkSpec {
     val tiedOut = Analytics.winsorize(tied, "g", "v", Seq("k1", "k2"))
       .select("clipped").as[Double].collect()
     assert(tiedOut.forall(_ == 5.0))
+    // plan: exactly ONE window, over the slim (group, value) cutoff
+    // branch — the wide fact rows reach the output through a
+    // broadcast join only, never a sort
+    val plan = Analytics.winsorize(df, "g", "v", Seq("k1", "k2"))
+      .queryExecution.sparkPlan
+    val wins = plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(wins.size == 1, s"expected one window:\n$plan")
+    assert(wins.head.output.map(_.name).toSet
+      .intersect(Set("k1", "k2")).isEmpty,
+      "the window must not carry the fact columns")
   }
 }

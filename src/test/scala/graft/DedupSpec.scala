@@ -234,4 +234,31 @@ class DedupSpec extends SparkSpec {
     assert(!phys.contains("CartesianProduct"), phys.take(500))
     assert(!phys.contains("BroadcastNestedLoopJoin"), phys.take(500))
   }
+
+  test("incrementalDedup equals the full-pair formulation restricted " +
+      "to backward matches") {
+    val all = graft.sources.Tables.load(spark,
+      "/root/testdata/sf0.001", "documents")
+    val corpus = all.filter(col("doc_id") < 400)
+    val batch = all.filter(col("doc_id") >= 400)
+    val out = Dedup.incrementalDedup(corpus, batch, threshold = 0.5)
+    // reference: all ≥0.5-jaccard pairs whose LARGER id is in the
+    // batch — i.e. every backward match a batch doc could dedup onto
+    val pairs = Dedup.minhashLsh(all, threshold = 0.5)
+      .filter(col("id_b") >= 400)
+      .select(col("id_a"), col("id_b").as("doc_id"))
+    val expected = batch.select(col("doc_id"))
+      .join(pairs, Seq("doc_id"), "left")
+      .groupBy(col("doc_id"))
+      .agg(min(col("id_a")).as("dup_of"),
+        count(col("id_a")).as("n_matches"))
+      .withColumn("admitted", col("dup_of").isNull)
+    assert(out.count() == batch.count(), "one admission row per batch doc")
+    assert(out.except(expected).isEmpty && expected.except(out).isEmpty)
+    // at least one corpus rejection and one intra-batch rejection in
+    // the fixture, or the test proves nothing
+    val rejectedVia = out.filter(!col("admitted"))
+      .select("dup_of").as[Long].collect()
+    assert(rejectedVia.exists(_ < 400) && rejectedVia.exists(_ >= 400))
+  }
 }
