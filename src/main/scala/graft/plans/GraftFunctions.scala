@@ -81,7 +81,32 @@ object GraftFunctions {
           s"graft_normalize_text expects a boolean literal nfkc flag, got $other")
       }
       NormalizeText(args(0), nfkc)
+    },
+    // not a native kernel, but the same SQL-surface contract: the
+    // canonicalization chain built from catalyst nodes directly —
+    // a Column-to-Expression shim can't cross the function-registry
+    // boundary (its ColumnNode leaves never resolve in a SQL plan).
+    // Parity with operators.Curation.canonicalUrl is spec-asserted.
+    "graft_canonical_url" -> { args =>
+      arity("graft_canonical_url", args, 1)
+      canonicalUrlExpr(args(0))
     })
+
+  private def canonicalUrlExpr(url: Expression): Expression = {
+    import org.apache.spark.sql.catalyst.expressions.{Add, Concat, Length,
+      Lower, RegExpExtract, RegExpReplace, Substring}
+    def lit(s: String) = Literal(s)
+    val pre = RegExpExtract(url, lit("^[a-zA-Z]+://[^/?#]*"), Literal(0))
+    val u1 = Concat(Seq(Lower(pre),
+      Substring(url, Add(Length(pre), Literal(1)), Literal(1 << 24))))
+    val u2 = RegExpReplace(u1, lit("#.*$"), lit(""))
+    val u3 = RegExpReplace(u2,
+      lit("(utm_[a-z]+|fbclid|gclid)=[^&#]*&?"), lit(""))
+    val u4 = RegExpReplace(u3, lit("[?&]$"), lit(""))
+    val u5 = RegExpReplace(u4, lit("^http://"), lit("https://"))
+    val u6 = RegExpReplace(u5, lit("^https://www\\."), lit("https://"))
+    RegExpReplace(u6, lit("/$"), lit(""))
+  }
 
   def info(name: String): ExpressionInfo =
     new ExpressionInfo("graft", name)

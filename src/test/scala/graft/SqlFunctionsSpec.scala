@@ -76,6 +76,32 @@ class SqlFunctionsSpec extends SparkSpec {
     ext(new org.apache.spark.sql.SparkSessionExtensions) // must not throw
   }
 
+  test("graft_canonical_url matches the DataFrame chain from plain SQL") {
+    GraftSqlFunctions.register(spark)
+    val got = spark.sql(
+      "SELECT graft_canonical_url(" +
+        "'HTTP://WWW.News.Example.com/Docs/7?utm_source=a#x') AS u")
+      .collect().head.getString(0)
+    assert(got == "https://news.example.com/Docs/7")
+    // parity with the DataFrame chain (separate builders by
+    // necessity — the shim can't cross the registry boundary)
+    import spark.implicits._
+    val urls = Seq(
+      "HTTP://WWW.News.Example.com/Docs/7?utm_source=a&utm_campaign=b#x",
+      "https://Host.example.com/CaseSensitive/Path",
+      "https://a.example.com/p?id=3&utm_medium=mail&q=x",
+      "http://a.example.com/dir/", "Relative/Path/?utm_source=x#f")
+    val df = urls.toDF("url")
+    df.createOrReplaceTempView("__urls")
+    val viaSql = spark.sql(
+      "SELECT graft_canonical_url(url) FROM __urls")
+      .as[String].collect().toSeq
+    val viaDf = df.select(
+      graft.operators.Curation.canonicalUrl(org.apache.spark.sql
+        .functions.col("url"))).as[String].collect().toSeq
+    assert(viaSql == viaDf)
+  }
+
   test("bad arguments to graft_* functions fail analysis, not execution") {
     GraftSqlFunctions.register(spark)
     intercept[Exception] {
