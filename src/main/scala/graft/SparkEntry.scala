@@ -1154,6 +1154,10 @@ object SparkEntry {
       Analytics.peakConcurrency(t(s, d, "events"))
         .orderBy(col("event_type"))),
 
+    "event_transitions" -> ((s, d) =>
+      Analytics.eventTransitions(t(s, d, "events"))
+        .orderBy(col("from_type"), col("to_type"))),
+
     // same deterministic URL synthesis on both sides (pii_redact
     // precedent): scheme/case/www/tracking-param/fragment variants
     // of a shared (source, slug) page identity — what's under test
@@ -2919,6 +2923,20 @@ object SparkEntry {
          SELECT event_type, CAST(max(c) AS BIGINT) AS peak,
            CAST(count(*) / 2 AS BIGINT) AS n_intervals
          FROM c GROUP BY 1 ORDER BY 1""",
+
+    "event_transitions" ->
+      """WITH nxt AS (
+           SELECT event_type AS from_type,
+             lead(event_type, 1) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS to_type
+           FROM events),
+         c AS (
+           SELECT from_type, to_type, count(*) AS n
+           FROM nxt WHERE to_type IS NOT NULL
+           GROUP BY 1, 2)
+         SELECT from_type, to_type, n,
+           round(n / sum(n) OVER (PARTITION BY from_type), 6) AS p
+         FROM c ORDER BY from_type, to_type""",
 
     "url_canonical" ->
       """WITH u AS (

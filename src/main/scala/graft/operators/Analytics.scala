@@ -854,6 +854,32 @@ object Analytics {
       .agg(count(lit(1)).as("n_baskets"))
   }
 
+  /** First-order Markov transition matrix over per-user event
+    * sequences: for each (from_type, to_type) pair, the transition
+    * count and row-normalized probability — the next-event-modeling
+    * / funnel-simulation primitive. One keyed window (user, ordered
+    * by time with the unique event id as tie-break) computes `lead`;
+    * counts partial-agg; probabilities divide by the from-type row
+    * total (a tiny whole-partition window over |types|² rows). For
+    * bot users with unbounded event counts, pre-bucket the sequence
+    * the way `sessionize` does (per-(user, day) partials + boundary
+    * stitch) — transitions only cross bucket edges at the stitch. */
+  def eventTransitions(events: DataFrame, userCol: String = "user_id",
+                       typeCol: String = "event_type",
+                       tsCol: String = "ts",
+                       idCol: String = "event_id"): DataFrame = {
+    val w = Window.partitionBy(userCol).orderBy(col(tsCol), col(idCol))
+    val counts = events
+      .select(col(typeCol).as("from_type"),
+        lead(col(typeCol), 1).over(w).as("to_type"))
+      .where(col("to_type").isNotNull)
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    counts.withColumn("p",
+      round(col("n") / sum(col("n"))
+        .over(Window.partitionBy(col("from_type"))), 6))
+  }
+
   /** Per-group winsorization: clip a value to its group's [pLo, pHi]
     * percentile band. Cutoffs use the discrete-percentile definition
     * "smallest value whose cume_dist ≥ p" — a pure function of the

@@ -150,6 +150,22 @@ class AnalyticsSpec extends SparkSpec {
     assert(out == Seq((0L, 1L), (1L, 1L), (2L, 1L)))
   }
 
+  test("eventTransitions counts ordered next-event pairs, row-normalized") {
+    val ev = Seq(
+      (1L, 1L, "a", ts("2024-01-01 00:00:00")),
+      (2L, 1L, "b", ts("2024-01-01 00:01:00")),
+      (3L, 1L, "a", ts("2024-01-01 00:02:00")),
+      (4L, 2L, "a", ts("2024-01-01 00:00:30")),
+      (5L, 2L, "c", ts("2024-01-01 00:01:30"))
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    // user1: a→b→a; user2: a→c — last events emit no transition
+    val out = Analytics.eventTransitions(ev)
+      .orderBy("from_type", "to_type")
+      .as[(String, String, Long, Double)].collect().toSeq
+    assert(out == Seq(("a", "b", 1L, 0.5), ("a", "c", 1L, 0.5),
+      ("b", "a", 1L, 1.0)))
+  }
+
   test("zscoreNormalize standardizes per group; degenerate groups emit 0") {
     val df = Seq(
       (1L, "a", 10.0), (2L, "a", 20.0), (3L, "a", 30.0),
