@@ -584,6 +584,80 @@ object SparkEntry {
     "q19_disjunctive" -> ((s, d) =>
       Analytics.q19Disjunctive(t(s, d, "lineitem"), t(s, d, "part"))),
 
+    "q7_trade_volume" -> ((s, d) =>
+      Analytics.q7TradeVolume(t(s, d, "lineitem"), t(s, d, "orders"),
+        t(s, d, "customer"), t(s, d, "supplier"), t(s, d, "nation"),
+        "NATION_3", "NATION_7")
+        .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))),
+
+    "q15_top_supplier" -> ((s, d) =>
+      Analytics.q15TopSupplier(t(s, d, "lineitem"), t(s, d, "supplier"))
+        .orderBy(col("s_suppkey"))),
+
+    "q8_market_share" -> ((s, d) =>
+      Analytics.q8MarketShare(t(s, d, "lineitem"), t(s, d, "orders"),
+        t(s, d, "customer"), t(s, d, "supplier"), t(s, d, "nation"),
+        t(s, d, "region"), t(s, d, "part"), "ASIA", "NATION_2", "STANDARD")
+        .orderBy(col("o_year"))),
+
+    "q9_nation_revenue" -> ((s, d) =>
+      Analytics.q9NationRevenue(t(s, d, "lineitem"), t(s, d, "orders"),
+        t(s, d, "supplier"), t(s, d, "nation"), t(s, d, "part"), "%red%")
+        .orderBy(col("nation"), col("o_year"))),
+
+    "concurrency_profile" -> ((s, d) => {
+      // deterministic span synthesis: each event opens a session of
+      // 60 + (event_id % 300) seconds (same expression in the oracle),
+      // then the distributed sweep line profiles peak concurrency
+      val spans = t(s, d, "events").select(col("event_id"),
+        col("ts").as("t0"),
+        expr("timestampadd(SECOND, 60 + event_id % 300, ts)").as("t1"))
+      Analytics.concurrencyProfile(spans, "event_id", "t0", "t1")
+        .withColumn("hour", ntz(col("hour")))
+        .orderBy(col("hour"))
+    }),
+
+    "manifest_prune" -> ((s, d) => {
+      // iceberg-style file skipping without the table format: cluster
+      // orders into 16 range files, build the per-file min/max
+      // manifest in one distributed pass, answer a 3%-selectivity
+      // price band from only the intersecting files. The oracle
+      // proves the pruned read returns exactly the filtered table;
+      // LayoutSpec proves files were actually skipped.
+      val tmp = java.nio.file.Files.createTempDirectory("graft_manifest")
+      val p = tmp.resolve("orders_clustered").toString
+      t(s, d, "orders")
+        .repartitionByRange(16, col("o_totalprice"))
+        .sortWithinPartitions(col("o_totalprice"))
+        .write.mode("overwrite").parquet(p)
+      val manifest = Tables.buildManifest(s, p, "o_totalprice")
+      val files = Tables.pruneFiles(manifest, lit(30000.0), lit(45000.0))
+      Tables.manifestPrunedRead(s, p, files.toSeq, "o_totalprice",
+          lit(30000.0), lit(45000.0))
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice"), col("o_orderpriority"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    "fuzzy_join" -> ((s, d) => {
+      // dirty registry: drop one character of each customer name at a
+      // key-derived position (deterministic; same expression in the
+      // oracle), then link it back to the clean registry at edit
+      // distance ≤ 1 via FastSS deletion-neighborhood blocking
+      val cust = t(s, d, "customer")
+      val pos = (col("c_custkey") % 18).cast("int")
+      val dirty = cust.select(col("c_custkey").as("dirty_id"),
+        concat(col("c_name").substr(lit(1), pos),
+          col("c_name").substr(pos + lit(2), length(col("c_name"))))
+          .as("dirty_name"))
+      Linkage.fuzzyJoinEd1(cust, "c_custkey", "c_name",
+          dirty, "dirty_id", "dirty_name")
+        .select(col("l_id").as("c_custkey"), col("l_name").as("c_name"),
+          col("r_id").as("dirty_id"), col("r_name").as("dirty_name"),
+          col("dist").cast("long").as("dist"))
+        .orderBy(col("c_custkey"), col("dirty_id"))
+    }),
+
     "moving_window" -> ((s, d) =>
       Analytics.movingWindow(t(s, d, "events"))
         .withColumn("ts", ntz(col("ts")))
@@ -2880,6 +2954,113 @@ object SparkEntry {
              AND l_quantity BETWEEN 10 AND 35)
            OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
              AND l_quantity BETWEEN 20 AND 50)""",
+
+    "q7_trade_volume" ->
+      """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+         CAST(year(l_shipdate) AS BIGINT) AS l_year,
+         CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+           AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+         COUNT(*) AS n_items
+         FROM lineitem
+           JOIN supplier ON l_suppkey = s_suppkey
+           JOIN nation sn ON s_nationkey = sn.n_nationkey
+           JOIN orders ON l_orderkey = o_orderkey
+           JOIN customer ON o_custkey = c_custkey
+           JOIN nation cn ON c_nationkey = cn.n_nationkey
+         WHERE sn.n_name IN ('NATION_3', 'NATION_7')
+           AND cn.n_name IN ('NATION_3', 'NATION_7')
+           AND sn.n_name <> cn.n_name
+         GROUP BY 1, 2, 3
+         ORDER BY 1, 2, 3""",
+
+    "q15_top_supplier" ->
+      """WITH rev AS (
+           SELECT l_suppkey,
+             CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+               AS DECIMAL(28,6))) AS DOUBLE) AS total_rev
+           FROM lineitem
+           WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+             AND l_shipdate < TIMESTAMP '1996-04-01'
+           GROUP BY 1)
+         SELECT s_suppkey, s_name, total_rev
+         FROM rev JOIN supplier ON l_suppkey = s_suppkey
+         WHERE total_rev = (SELECT max(total_rev) FROM rev)
+         ORDER BY s_suppkey""",
+
+    "q8_market_share" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         round(
+           CAST(SUM(CAST(CASE WHEN n2.n_name = 'NATION_2'
+               THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END
+             AS DECIMAL(28,6))) AS DOUBLE) /
+           CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+             AS DECIMAL(28,6))) AS DOUBLE), 6) AS mkt_share,
+         COUNT(*) AS n_items
+         FROM lineitem
+           JOIN part ON l_partkey = p_partkey
+           JOIN supplier ON l_suppkey = s_suppkey
+           JOIN nation n2 ON s_nationkey = n2.n_nationkey
+           JOIN orders ON l_orderkey = o_orderkey
+           JOIN customer ON o_custkey = c_custkey
+           JOIN nation n1 ON c_nationkey = n1.n_nationkey
+           JOIN region ON n1.n_regionkey = r_regionkey
+         WHERE r_name = 'ASIA' AND p_type = 'STANDARD'
+         GROUP BY 1 ORDER BY 1""",
+
+    "q9_nation_revenue" ->
+      """SELECT n_name AS nation,
+         CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+           AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+         COUNT(*) AS n_items
+         FROM lineitem
+           JOIN part ON l_partkey = p_partkey
+           JOIN supplier ON l_suppkey = s_suppkey
+           JOIN nation ON s_nationkey = n_nationkey
+           JOIN orders ON l_orderkey = o_orderkey
+         WHERE p_name LIKE '%red%'
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "concurrency_profile" ->
+      """WITH spans AS (
+           SELECT event_id, CAST(ts AS TIMESTAMP) AS t0,
+             CAST(ts AS TIMESTAMP)
+               + to_seconds(60 + event_id % 300) AS t1
+           FROM events),
+         pts AS (
+           SELECT event_id, t0 AS t, 1 AS d FROM spans
+           UNION ALL
+           SELECT event_id, t1 AS t, -1 AS d FROM spans),
+         run AS (
+           SELECT date_trunc('hour', t) AS hour, d,
+             SUM(d) OVER (ORDER BY t, d, event_id
+               ROWS UNBOUNDED PRECEDING) AS r
+           FROM pts)
+         SELECT hour, CAST(MAX(r) AS BIGINT) AS max_concurrency,
+           CAST(SUM(CASE WHEN d = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_starts,
+           CAST(SUM(CASE WHEN d = -1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_ends
+         FROM run GROUP BY 1 ORDER BY 1""",
+
+    "manifest_prune" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+         FROM orders
+         WHERE o_totalprice BETWEEN 30000.0 AND 45000.0
+         ORDER BY o_orderkey""",
+
+    "fuzzy_join" ->
+      """WITH dirty AS (
+           SELECT c_custkey AS dirty_id,
+             substr(c_name, 1, CAST(c_custkey % 18 AS INT)) ||
+             substr(c_name, CAST(c_custkey % 18 AS INT) + 2)
+               AS dirty_name
+           FROM customer)
+         SELECT c.c_custkey, c.c_name, d.dirty_id, d.dirty_name,
+           CAST(levenshtein(c.c_name, d.dirty_name) AS BIGINT) AS dist
+         FROM customer c CROSS JOIN dirty d
+         WHERE levenshtein(c.c_name, d.dirty_name) <= 1
+         ORDER BY c.c_custkey, d.dirty_id""",
 
     "sink_expire" ->
       """SELECT * FROM (VALUES

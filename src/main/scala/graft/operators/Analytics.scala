@@ -854,6 +854,166 @@ object Analytics {
       .agg(count(lit(1)).as("n_baskets"))
   }
 
+  /** TPC-H Q7 shape — bilateral trade volume: revenue shipped
+    * between two nations per direction per year. The fact table
+    * joins two independent dim CHAINS (supplier→nation and
+    * orders→customer→nation); all four dims broadcast, so the plan
+    * is one fact scan with four map-side probes, a year extraction,
+    * and a tiny keyed aggregate. Pushing the nation filter into each
+    * broadcast side shrinks the hash relations to the two nations
+    * before the probe. */
+  def q7TradeVolume(lineitem: DataFrame, orders: DataFrame,
+                    customer: DataFrame, supplier: DataFrame,
+                    nation: DataFrame, nationA: String,
+                    nationB: String): DataFrame = {
+    val pair = nation
+      .filter(col("n_name") === nationA || col("n_name") === nationB)
+    val supp = supplier.join(broadcast(pair),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val cust = customer.join(broadcast(pair),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    lineitem
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("long").as("l_year"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6)
+        .as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** TPC-H Q15 shape — top supplier(s) by quarterly revenue: the
+    * per-supplier aggregate, a one-row max broadcast back onto it
+    * (the "revenue view + max" formulation without a global sort),
+    * ties kept. Decimal-folded revenue makes the max comparison
+    * exact — double equality against a value computed from the SAME
+    * decimal sum is safe. */
+  def q15TopSupplier(lineitem: DataFrame, supplier: DataFrame): DataFrame = {
+    val rev = lineitem
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6)
+        .as("total_rev"))
+    val top = rev.groupBy().agg(max(col("total_rev")).as("__max"))
+    rev.crossJoin(broadcast(top))
+      .filter(col("total_rev") === col("__max"))
+      .join(broadcast(supplier), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_rev"))
+  }
+
+  /** TPC-H Q8 shape — national market share: of all revenue
+    * delivered to one region's customers for one part type, the
+    * fraction supplied by a given nation, per order year. Broadcast
+    * posture by dim size class: nation/region chains and supplier
+    * (the smallest fact dim) always broadcast; the type-filtered
+    * part probe and the region-restricted customer probe stay
+    * keyed joins that AQE converts to broadcast when the filtered
+    * side fits — at 100 TB a sixth of `part` does not. Numerator
+    * and denominator come from the SAME decimal fold, so the final
+    * double divide is the only rounding step (round 6dp, §5). */
+  def q8MarketShare(lineitem: DataFrame, orders: DataFrame,
+                    customer: DataFrame, supplier: DataFrame,
+                    nation: DataFrame, region: DataFrame,
+                    part: DataFrame, regionName: String,
+                    shareNation: String, partType: String): DataFrame = {
+    val pt = part.filter(col("p_type") === partType)
+      .select(col("p_partkey"))
+    val supp = supplier.join(broadcast(nation),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val regCust = customer.join(
+        broadcast(nation
+          .join(broadcast(region.filter(col("r_name") === regionName)),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"))
+    val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    lineitem
+      .join(pt, col("l_partkey") === col("p_partkey"), "left_semi")
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(regCust, col("o_custkey") === col("c_custkey"), "left_semi")
+      .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(round(
+        dsum(when(col("supp_nation") === shareNation, rev)
+          .otherwise(lit(0.0)), 6) / dsum(rev, 6), 6).as("mkt_share"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** TPC-H Q9 shape — supplier-nation revenue by order year for a
+    * part-name family (the synthetic schema has no partsupp/
+    * supplycost, so "profit" degrades to discounted revenue — the
+    * join topology and aggregation shape are Q9's). The name
+    * pattern prunes `part` to a semi-join probe; supplier→nation
+    * broadcasts; orders joins on its key purely to supply the
+    * order year. One fact scan, one keyed aggregate. */
+  def q9NationRevenue(lineitem: DataFrame, orders: DataFrame,
+                      supplier: DataFrame, nation: DataFrame,
+                      part: DataFrame, namePattern: String): DataFrame = {
+    val pt = part.filter(col("p_name").like(namePattern))
+      .select(col("p_partkey"))
+    val supp = supplier.join(broadcast(nation),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("nation"))
+    lineitem
+      .join(pt, col("l_partkey") === col("p_partkey"), "left_semi")
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("nation"),
+        year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6)
+        .as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** Distributed sweep line — max concurrent spans per hour (the
+    * "how many sessions were open at once" capacity profile). The
+    * classic solution is one global ordered prefix sum over ±1
+    * endpoint events — inherently sequential. Distributed here as a
+    * two-level scan: endpoints partition by HOUR for the local
+    * running sum (a keyed window, parallel across hours), and only
+    * the per-hour delta totals — one row per hour, provably tiny —
+    * go through a global window to produce each hour's carry-in.
+    * `max(carry + local_run) = carry + max(local_run)` since the
+    * carry is constant within an hour, so the two levels compose
+    * exactly. Endpoint order (t, delta, id) is total, with ends
+    * before starts at equal t ⇒ half-open [start, end) spans.
+    * At 100 TB: endpoints shuffle once by hour (salt a hot hour by
+    * sub-bucketing the local window key if needed); the global
+    * window sees |hours| rows. */
+  def concurrencyProfile(spans: DataFrame, idCol: String,
+                         startCol: String, endCol: String): DataFrame = {
+    val pts = spans.select(col(idCol).as("__id"),
+        col(startCol).as("__t"), lit(1L).as("__d"))
+      .unionAll(spans.select(col(idCol).as("__id"),
+        col(endCol).as("__t"), lit(-1L).as("__d")))
+      .withColumn("__h", date_trunc("hour", col("__t")))
+    val local = Window.partitionBy(col("__h"))
+      .orderBy(col("__t"), col("__d"), col("__id"))
+    val localMax = pts.withColumn("__run", sum(col("__d")).over(local))
+      .groupBy(col("__h")).agg(max(col("__run")).as("__localmax"))
+    val perHour = pts.groupBy(col("__h"))
+      .agg(sum(col("__d")).as("__hd"),
+        sum(when(col("__d") === 1L, 1L).otherwise(0L)).as("n_starts"),
+        sum(when(col("__d") === -1L, 1L).otherwise(0L)).as("n_ends"))
+    // carry-in: cumulative delta of all PRIOR hours (tiny input:
+    // one row per hour; the global window is over that summary)
+    val carryW = Window.orderBy(col("__h"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val withCarry = perHour.withColumn("__carry",
+      coalesce(sum(col("__hd")).over(carryW), lit(0L)))
+    localMax.join(withCarry, "__h")
+      .select(col("__h").as("hour"),
+        (col("__carry") + col("__localmax")).as("max_concurrency"),
+        col("n_starts"), col("n_ends"))
+  }
+
   /** First-order Markov transition matrix over per-user event
     * sequences: for each (from_type, to_type) pair, the transition
     * count and row-normalized probability — the next-event-modeling

@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Schema-checked readers for the lakehouse tables.
@@ -209,6 +209,55 @@ object Tables {
       .sortWithinPartitions(col("__z"))
       .select(cols.map(col): _*)
       .write.mode("overwrite").parquet(path)
+  }
+
+  /** File-level min/max manifest — the metadata half of
+    * Iceberg/Delta-style file skipping, without the table format
+    * (no Delta/Iceberg jars ship in this environment, SURVEY §1; the
+    * DATA-layout mechanism is format-independent). One distributed
+    * pass groups by `input_file_name()` and records each file's key
+    * range + row count: the shuffle carries one tiny row per file,
+    * and at 100 TB the manifest (one row per ~128 MB file) is ~1M
+    * rows — itself a table, never driver state until a query prunes
+    * with it. Pair with a clustered write (`writeZOrdered` /
+    * `repartitionByRange`) so ranges are actually disjoint. */
+  def buildManifest(spark: SparkSession, path: String,
+                    keyCol: String): DataFrame =
+    spark.read.parquet(path)
+      .groupBy(input_file_name().as("file"))
+      .agg(min(col(keyCol)).as("key_min"), max(col(keyCol)).as("key_max"),
+        count(lit(1)).as("n_rows"))
+
+  /** Manifest rows for an explicit file list — the incremental half
+    * of manifest maintenance: on append, scan ONLY the newly landed
+    * files (pair with `newFilesFromLog`) and union with the prior
+    * manifest, instead of rescanning the table. Work per ingest is
+    * proportional to the batch, exactly like `dedup_incremental`'s
+    * posture; SourcesSpec asserts incremental == full rebuild. */
+  def buildManifestFor(spark: SparkSession, files: Seq[String],
+                       keyCol: String): DataFrame =
+    spark.read.parquet(files: _*)
+      .groupBy(input_file_name().as("file"))
+      .agg(min(col(keyCol)).as("key_min"), max(col(keyCol)).as("key_max"),
+        count(lit(1)).as("n_rows"))
+
+  /** The files whose [key_min, key_max] stripe intersects [lo, hi] —
+    * the manifest-side pruning step. The collect is file PATHS (query
+    * metadata, like a listing), not data. */
+  def pruneFiles(manifest: DataFrame, lo: Column, hi: Column): Array[String] =
+    manifest.where(col("key_max") >= lo && col("key_min") <= hi)
+      .select("file").collect().map(_.getString(0)).sorted
+
+  /** Read only the manifest-selected files, with the residual range
+    * predicate re-applied (stripe intersection over-approximates).
+    * Falls back to an empty scan of the full directory when nothing
+    * survives pruning, so the schema is preserved. */
+  def manifestPrunedRead(spark: SparkSession, path: String,
+                         files: Seq[String], keyCol: String,
+                         lo: Column, hi: Column): DataFrame = {
+    val base = if (files.nonEmpty) spark.read.parquet(files: _*)
+    else spark.read.parquet(path).where(lit(false))
+    base.where(col(keyCol).between(lo, hi))
   }
 
   /** Small-file compaction — the OPTIMIZE half of lakehouse table

@@ -141,6 +141,77 @@ class AnalyticsSpec extends SparkSpec {
     assert(rev > 0.0 && n > 0)
   }
 
+  test("q7/q15 plans: dim chains broadcast; no fact self-join or sort") {
+    def tb(n: String) = graft.sources.Tables.load(spark,
+      "/root/testdata/sf0.001", n)
+    val q7 = Analytics.q7TradeVolume(tb("lineitem"), tb("orders"),
+      tb("customer"), tb("supplier"), tb("nation"),
+      "NATION_3", "NATION_7")
+    val p7 = q7.queryExecution.executedPlan.toString
+    assert(p7.sliding("BroadcastHashJoin".length)
+      .count(_ == "BroadcastHashJoin") >= 3,
+      s"dim chains must broadcast:\n$p7")
+    assert(!p7.contains("SortMergeJoin") || p7.contains("BroadcastHashJoin"))
+    // directions are disjoint row sets over the same pair
+    val rows = q7.collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getString(0)).toSet.subsetOf(
+      Set("NATION_3", "NATION_7")))
+    val q15 = Analytics.q15TopSupplier(tb("lineitem"), tb("supplier"))
+      .collect()
+    assert(q15.nonEmpty, "at least one top supplier")
+    val revs = q15.map(_.getDouble(2)).toSet
+    assert(revs.size == 1, "all returned suppliers tie at the max")
+  }
+
+  test("q8/q9 plans: nation chains broadcast; shares/revenues sane") {
+    def tb(n: String) = graft.sources.Tables.load(spark,
+      "/root/testdata/sf0.001", n)
+    val q8 = Analytics.q8MarketShare(tb("lineitem"), tb("orders"),
+      tb("customer"), tb("supplier"), tb("nation"), tb("region"),
+      tb("part"), "ASIA", "NATION_2", "STANDARD")
+    val p8 = q8.queryExecution.executedPlan.toString
+    assert(p8.sliding("BroadcastHashJoin".length)
+      .count(_ == "BroadcastHashJoin") >= 2,
+      s"supplier/nation chains must broadcast:\n$p8")
+    val r8 = q8.collect()
+    assert(r8.nonEmpty)
+    assert(r8.forall { r =>
+      val s = r.getDouble(1); s >= 0.0 && s <= 1.0
+    }, "market share is a fraction")
+    val r9 = Analytics.q9NationRevenue(tb("lineitem"), tb("orders"),
+      tb("supplier"), tb("nation"), tb("part"), "%red%").collect()
+    assert(r9.nonEmpty)
+    assert(r9.forall(_.getDouble(2) > 0.0), "revenue positive")
+    assert(r9.map(_.getString(0)).toSet.size > 1,
+      "multiple supplier nations present")
+  }
+
+  test("concurrencyProfile matches a hand-computed sequential sweep") {
+    // spans crossing hour boundaries, nested spans, a start exactly
+    // at another span's end (half-open: end applies first), and a
+    // span-free gap hour (absent from the output)
+    val spans = Seq(
+      (1L, "2026-01-01 00:10:00", "2026-01-01 02:30:00"),
+      (2L, "2026-01-01 00:20:00", "2026-01-01 00:40:00"),
+      (3L, "2026-01-01 00:40:00", "2026-01-01 01:00:00"),
+      (4L, "2026-01-01 01:30:00", "2026-01-01 01:45:00"),
+      (5L, "2026-01-01 03:00:00", "2026-01-01 03:05:00"))
+      .toDF("id", "s", "e")
+      .select(col("id"), col("s").cast("timestamp").as("s"),
+        col("e").cast("timestamp").as("e"))
+    val got = Analytics.concurrencyProfile(spans, "id", "s", "e")
+      .orderBy(col("hour")).collect()
+      .map(r => (r.getTimestamp(0).toString.substring(11, 13),
+        r.getLong(1), r.getLong(2), r.getLong(3)))
+    val expected = Array(
+      ("00", 2L, 3L, 1L), // 1+2 overlap; 3 starts as 2 ends
+      ("01", 2L, 1L, 2L), // 1 carried in, 4 nested
+      ("02", 0L, 0L, 1L), // only 1's end
+      ("03", 1L, 1L, 1L)) // isolated span after the gap hour
+    assert(got.sameElements(expected), got.mkString(", "))
+  }
+
   test("q13 order-count distribution includes zero-order customers") {
     val cust = Seq(1L, 2L, 3L).toDF("c_custkey")
     val ords = Seq((10L, 1L), (11L, 1L), (12L, 2L))

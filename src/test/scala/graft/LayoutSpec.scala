@@ -94,4 +94,44 @@ class LayoutSpec extends SparkSpec {
     // content preserved
     assert(spark.read.parquet(zPath).count() == n)
   }
+
+  test("manifest pruning skips files and preserves the filtered set") {
+    val sf = "/root/testdata/sf0.001"
+    val orders = Tables.load(spark, sf, "orders")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_mani_spec")
+    val p = tmp.resolve("orders_clustered").toString
+    orders.repartitionByRange(16, col("o_totalprice"))
+      .sortWithinPartitions(col("o_totalprice"))
+      .write.mode("overwrite").parquet(p)
+    val manifest = Tables.buildManifest(spark, p, "o_totalprice")
+    val total = manifest.count()
+    assert(total >= 8, s"expected many files, got $total")
+    val files = Tables.pruneFiles(manifest, lit(30000.0), lit(45000.0))
+    assert(files.nonEmpty && files.length < total / 2,
+      s"band should prune most files: kept ${files.length} of $total")
+    val pruned = Tables.manifestPrunedRead(spark, p, files.toSeq,
+        "o_totalprice", lit(30000.0), lit(45000.0))
+      .select(col("o_orderkey"), col("o_totalprice"))
+    val direct = orders
+      .where(col("o_totalprice").between(30000.0, 45000.0))
+      .select(col("o_orderkey"), col("o_totalprice"))
+    assert(pruned.exceptAll(direct).isEmpty &&
+      direct.exceptAll(pruned).isEmpty)
+    // empty band falls back to a schema-preserving empty scan
+    val none = Tables.pruneFiles(manifest, lit(-10.0), lit(-1.0))
+    assert(none.isEmpty)
+    val empty = Tables.manifestPrunedRead(spark, p, none.toSeq,
+      "o_totalprice", lit(-10.0), lit(-1.0))
+    assert(empty.count() == 0 &&
+      empty.columns.sameElements(orders.columns))
+    // incremental maintenance: manifest(all) == manifest(old files)
+    // ∪ manifest(new files) — append never rescans the table
+    val all = manifest.select("file").collect().map(_.getString(0)).sorted
+    val (oldF, newF) = all.splitAt(all.length / 2)
+    val incremental = Tables.buildManifestFor(spark, oldF.toSeq,
+        "o_totalprice")
+      .unionAll(Tables.buildManifestFor(spark, newF.toSeq, "o_totalprice"))
+    assert(incremental.exceptAll(manifest).isEmpty &&
+      manifest.exceptAll(incremental).isEmpty)
+  }
 }

@@ -1,0 +1,51 @@
+package graft
+
+import graft.operators.Linkage
+import org.apache.spark.sql.functions._
+
+class LinkageSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("delNeighborhood is the string plus each 1-deletion variant") {
+    val got = Seq("abc").toDF("s")
+      .select(Linkage.delNeighborhood(col("s")).as("v"))
+      .head().getSeq[String](0).toSet
+    assert(got == Set("abc", "bc", "ac", "ab"))
+    val empty = Seq("").toDF("s")
+      .select(Linkage.delNeighborhood(col("s")).as("v"))
+      .head().getSeq[String](0).toSet
+    assert(empty == Set(""))
+  }
+
+  test("fuzzyJoinEd1 equals brute-force levenshtein <= 1") {
+    // covers: deletion, insertion (front/back), substitution, exact
+    // match, transposition (distance 2 -> excluded), and no-match
+    val clean = Seq((1L, "alpha"), (2L, "bravo"), (3L, "charlie"),
+      (4L, "delta"), (5L, "echo")).toDF("id", "name")
+    val dirty = Seq((10L, "alpa"), (11L, "bravos"), (12L, "xcharlie"),
+      (13L, "dleta"), (14L, "zulu"), (15L, "echo"), (16L, "alpha"),
+      (17L, "belta")).toDF("id", "name")
+    val got = Linkage.fuzzyJoinEd1(clean, "id", "name",
+        dirty, "id", "name")
+      .select(col("l_id"), col("r_id"), col("dist"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .toSet
+    val brute = clean.toDF("lid", "lname")
+      .crossJoin(dirty.toDF("rid", "rname"))
+      .withColumn("d", levenshtein(col("lname"), col("rname")))
+      .where(col("d") <= 1)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getInt(4)))
+      .toSet
+    assert(got == brute)
+    assert(got.contains((1L, 10L, 1)) && got.contains((5L, 15L, 0)))
+    assert(!got.exists(_._2 == 13L), "transposition is distance 2")
+  }
+
+  test("fuzzy_join plan has no cartesian product") {
+    val clean = Seq((1L, "alpha")).toDF("id", "name")
+    val plan = Linkage.fuzzyJoinEd1(clean, "id", "name",
+      clean, "id", "name").queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+}

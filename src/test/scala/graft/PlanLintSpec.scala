@@ -35,11 +35,14 @@ class PlanLintSpec extends SparkSpec {
     "tfidf_topk" -> "scalar corpus-doc-count broadcast",
     "unigram_score" -> "one-row corpus-token-total broadcast",
     "bm25_topk" -> "one-row doc-count + token-total broadcasts")
+  // (q15_top_supplier needs no allowlist: Catalyst rewrites its
+  // crossJoin + equality filter into a Broadcast HASH join.)
 
   /** Global (empty-partition) windows over provably tiny inputs:
     * per-mille bucket tables (≤1000 rows) or final ≤k-row summaries. */
   private val globalWindowAllow: Map[String, String] = Map(
-    "weighted_sample" -> "prefix offsets over ≤1000 bucket sums")
+    "weighted_sample" -> "prefix offsets over ≤1000 bucket sums",
+    "concurrency_profile" -> "carry-in scan over one row per hour")
 
   test("no registered query plan contains an unreviewed scale-killer") {
     val bnljSeen = scala.collection.mutable.Set.empty[String]
