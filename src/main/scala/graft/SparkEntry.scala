@@ -605,6 +605,13 @@ object SparkEntry {
         t(s, d, "supplier"), t(s, d, "nation"), t(s, d, "part"), "%red%")
         .orderBy(col("nation"), col("o_year"))),
 
+    "join_blowup" -> ((s, d) => {
+      // pre-flight profile of the classic accidental explosion: a
+      // self-join of events on user_id (out_rows = per-user count²)
+      val ev = t(s, d, "events")
+      Skew.joinBlowupProfile(ev, ev, "user_id", "user_id", k = 20)
+    }),
+
     "concurrency_profile" -> ((s, d) => {
       // deterministic span synthesis: each event opens a session of
       // 60 + (event_id % 300) seconds (same expression in the oracle),
@@ -3020,6 +3027,22 @@ object SparkEntry {
            JOIN orders ON l_orderkey = o_orderkey
          WHERE p_name LIKE '%red%'
          GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "join_blowup" ->
+      """WITH lc AS (SELECT user_id AS join_key, COUNT(*) AS l_rows
+                     FROM events GROUP BY 1),
+         rc AS (SELECT user_id AS join_key, COUNT(*) AS r_rows
+                FROM events GROUP BY 1),
+         prod AS (SELECT join_key, l_rows, r_rows,
+                    l_rows * r_rows AS out_rows
+                  FROM lc JOIN rc USING (join_key)),
+         tot AS (SELECT SUM(out_rows) AS t FROM prod)
+         SELECT join_key, l_rows, r_rows, CAST(out_rows AS BIGINT)
+             AS out_rows,
+           round(CAST(out_rows AS DOUBLE) / t, 6) AS share
+         FROM prod, tot
+         ORDER BY out_rows DESC, join_key
+         LIMIT 20""",
 
     "concurrency_profile" ->
       """WITH spans AS (

@@ -88,6 +88,34 @@ object Skew {
     * hot key over `salts` reducers; stage 2 merges `salts` tiny
     * rows per key. (Spark's count_distinct expands unsalted: every
     * row of a hot key converges on one reducer.) */
+  /** Pre-flight join-blowup profile: BEFORE running an equi-join,
+    * predict its output size and find the keys that dominate it.
+    * Each side collapses to (key, count) — two partial-aggregable
+    * scans whose shuffles carry one narrow row per DISTINCT key, not
+    * the data — then per-key output contributions `l_rows · r_rows`
+    * rank by a TakeOrderedAndProject top-k (per-partition heads +
+    * tiny merge, never a global sort). The one-row grand total
+    * broadcasts back for the share column. At 100 TB this answers
+    * "will this join explode, and on which keys do I salt /
+    * pre-aggregate?" for the cost of two GROUP BYs. */
+  def joinBlowupProfile(left: DataFrame, right: DataFrame,
+                        leftKey: String, rightKey: String,
+                        k: Int = 20): DataFrame = {
+    val lc = left.groupBy(col(leftKey).as("join_key"))
+      .agg(count(lit(1)).as("l_rows"))
+    val rc = right.groupBy(col(rightKey).as("join_key"))
+      .agg(count(lit(1)).as("r_rows"))
+    val prod = lc.join(rc, "join_key")
+      .withColumn("out_rows", col("l_rows") * col("r_rows"))
+    val total = prod.agg(sum(col("out_rows")).as("__t"))
+    prod.crossJoin(broadcast(total))
+      .select(col("join_key"), col("l_rows"), col("r_rows"),
+        col("out_rows"),
+        round(col("out_rows").cast("double") / col("__t"), 6).as("share"))
+      .orderBy(col("out_rows").desc, col("join_key"))
+      .limit(k)
+  }
+
   def skewedDistinctCount(df: DataFrame, keys: Seq[String],
                           valueCol: String, salts: Int = 64): DataFrame = {
     val keyCols = keys.map(col)

@@ -36,6 +36,35 @@ object Streams {
       .select(col("window.start").as("win_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  /** Span load per hour, streaming — the watermark-safe sibling of
+    * Analytics.concurrencyProfile: each span [start, end) explodes
+    * STATELESSLY into the hour windows it overlaps (spans are
+    * clamped to `maxSpanHours`, so the explode factor is bounded and
+    * a malformed open-ended span cannot fan out unboundedly), then a
+    * standard watermarked window count. Reports spans OPEN DURING
+    * each hour — the window-bucketed load profile; the batch sweep
+    * line refines it to the exact within-hour peak. Append-mode
+    * safe: the watermark is declared on the exploded window-hour
+    * column itself (grouping on a derived column would otherwise
+    * strip event-time metadata — same pitfall as windowedAgg's).
+    * Zero/negative-length spans are dropped. */
+  def spanLoadPerHour(spans: DataFrame, startCol: String,
+                      endCol: String, watermark: String = "3 hours",
+                      maxSpanHours: Int = 6): DataFrame =
+    spans
+      .select(col(startCol).as("__s"),
+        least(col(endCol),
+          col(startCol) + expr(s"INTERVAL $maxSpanHours HOURS")).as("__e"))
+      .where(col("__e") > col("__s"))
+      .withColumn("__h", explode(sequence(
+        date_trunc("hour", col("__s")),
+        date_trunc("hour", col("__e") - expr("INTERVAL 1 MICROSECOND")),
+        expr("INTERVAL 1 HOUR"))))
+      .withWatermark("__h", watermark)
+      .groupBy(window(col("__h"), "1 hour"))
+      .agg(count(lit(1)).as("n_open_spans"))
+      .select(col("window.start").as("hour"), col("n_open_spans"))
+
   /** Streaming SCD1: last-writer-wins current state per user via
     * mapGroupsWithState — the incremental form of Scd.scd1Upsert /
     * the reference's MERGE loop. Emits the updated current row per

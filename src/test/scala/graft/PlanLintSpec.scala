@@ -34,7 +34,8 @@ class PlanLintSpec extends SparkSpec {
     "mixture_sample" -> "one-row global n_max broadcast",
     "tfidf_topk" -> "scalar corpus-doc-count broadcast",
     "unigram_score" -> "one-row corpus-token-total broadcast",
-    "bm25_topk" -> "one-row doc-count + token-total broadcasts")
+    "bm25_topk" -> "one-row doc-count + token-total broadcasts",
+    "join_blowup" -> "one-row grand-total broadcast for the share column")
   // (q15_top_supplier needs no allowlist: Catalyst rewrites its
   // crossJoin + equality filter into a Broadcast HASH join.)
 

@@ -100,6 +100,23 @@ class SkewSpec extends SparkSpec {
     assert(segs.count() >= 1)
   }
 
+  test("joinBlowupProfile predicts the self-join explosion exactly") {
+    import spark.implicits._
+    // planted skew: key 7 has 100 rows, key 1 has 10, keys 2-6 one each
+    val rows = Seq.fill(100)(7L) ++ Seq.fill(10)(1L) ++ (2L to 6L)
+    val df = rows.zipWithIndex.map { case (k, i) => (k, i.toLong) }
+      .toDF("k", "payload")
+    val prof = Skew.joinBlowupProfile(df, df, "k", "k", k = 3).collect()
+    assert(prof.length == 3)
+    // top contributor: 100*100 = 10000 of 10105 total
+    assert(prof(0).getLong(0) == 7L && prof(0).getLong(3) == 10000L)
+    assert(prof(1).getLong(0) == 1L && prof(1).getLong(3) == 100L)
+    assert(math.abs(prof(0).getDouble(4) - 10000.0 / 10105.0) < 1e-4)
+    // prediction matches the real join size
+    val actual = df.as("a").join(df.as("b"), "k").count()
+    assert(actual == 10105L)
+  }
+
   test("skewedDistinctCount matches exact distinct counts") {
     val sf = "/root/testdata/sf0.001"
     val li = Tables.load(spark, sf, "lineitem")

@@ -34,6 +34,37 @@ class StreamsSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("spanLoadPerHour: append-mode flush matches the batch twin") {
+    implicit val sqlCtx = spark.sqlContext
+    val spans = Seq(
+      (ts("2024-01-01 00:10:00"), ts("2024-01-01 02:30:00")), // 00,01,02
+      (ts("2024-01-01 00:20:00"), ts("2024-01-01 00:40:00")), // 00
+      (ts("2024-01-01 01:00:00"), ts("2024-01-01 01:00:00")), // dropped
+      (ts("2024-01-01 03:00:00"), ts("2024-01-01 03:00:01"))) // 03
+    val mem = MemoryStream[(java.sql.Timestamp, java.sql.Timestamp)]
+    mem.addData(spans: _*)
+    val q = Streams.spanLoadPerHour(mem.toDF().toDF("s", "e"), "s", "e")
+      .writeStream.format("memory").queryName("span_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // a late heartbeat span advances the watermark past hour 03,
+      // flushing all four windows (its own window stays open)
+      mem.addData((ts("2024-01-01 12:00:00"), ts("2024-01-01 12:00:01")))
+      q.processAllAvailable()
+    } finally q.stop()
+    def fmt(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getTimestamp(0).toString.substring(11, 13),
+        r.getLong(1)))
+    val got = fmt(spark.table("span_out").orderBy("hour").collect())
+    val expected = Array(("00", 2L), ("01", 1L), ("02", 1L), ("03", 1L))
+    assert(got.sameElements(expected), got.mkString(", "))
+    // batch twin (watermark is a no-op on bounded data)
+    val batch = fmt(Streams.spanLoadPerHour(spans.toDF("s", "e"),
+      "s", "e").orderBy("hour").collect())
+    assert(batch.sameElements(expected), batch.mkString(", "))
+  }
+
   test("streaming windowedApproxDistinct matches exact counts on bounded input") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
