@@ -665,6 +665,32 @@ object SparkEntry {
         .orderBy(col("c_custkey"), col("dirty_id"))
     }),
 
+    "fuzzy_join_ed2" -> ((s, d) => {
+      // two sequential key-derived deletions (p1 on the original, p2
+      // on the 17-char intermediate — same nesting in the oracle),
+      // linked back at edit distance ≤ 2 via the 2-deletion
+      // neighborhood. The dirty side is a deterministic 20% batch
+      // (the realistic shape: incoming dirty batch ≪ master
+      // registry); the full self-cross at ed ≤ 2 over SEQUENTIAL
+      // zero-padded synthetic names degenerates to ~10^3 matches
+      // per name — an artifact of the fixture, not the algorithm
+      val cust = t(s, d, "customer")
+      val p1 = (col("c_custkey") % 18).cast("int")
+      val n1 = concat(col("c_name").substr(lit(1), p1),
+        col("c_name").substr(p1 + lit(2), length(col("c_name"))))
+      val p2 = (col("c_custkey") % 17).cast("int")
+      val dirty = cust.filter(col("c_custkey") % 5 === 0)
+        .select(col("c_custkey").as("dirty_id"),
+          concat(n1.substr(lit(1), p2), n1.substr(p2 + lit(2), length(n1)))
+            .as("dirty_name"))
+      Linkage.fuzzyJoinEd(cust, "c_custkey", "c_name",
+          dirty, "dirty_id", "dirty_name", maxDist = 2)
+        .select(col("l_id").as("c_custkey"), col("l_name").as("c_name"),
+          col("r_id").as("dirty_id"), col("r_name").as("dirty_name"),
+          col("dist").cast("long").as("dist"))
+        .orderBy(col("c_custkey"), col("dirty_id"))
+    }),
+
     "moving_window" -> ((s, d) =>
       Analytics.movingWindow(t(s, d, "events"))
         .withColumn("ts", ntz(col("ts")))
@@ -3083,6 +3109,23 @@ object SparkEntry {
            CAST(levenshtein(c.c_name, d.dirty_name) AS BIGINT) AS dist
          FROM customer c CROSS JOIN dirty d
          WHERE levenshtein(c.c_name, d.dirty_name) <= 1
+         ORDER BY c.c_custkey, d.dirty_id""",
+
+    "fuzzy_join_ed2" ->
+      """WITH d1 AS (
+           SELECT c_custkey,
+             substr(c_name, 1, CAST(c_custkey % 18 AS INT)) ||
+             substr(c_name, CAST(c_custkey % 18 AS INT) + 2) AS n1
+           FROM customer),
+         dirty AS (
+           SELECT c_custkey AS dirty_id,
+             substr(n1, 1, CAST(c_custkey % 17 AS INT)) ||
+             substr(n1, CAST(c_custkey % 17 AS INT) + 2) AS dirty_name
+           FROM d1 WHERE c_custkey % 5 = 0)
+         SELECT c.c_custkey, c.c_name, d.dirty_id, d.dirty_name,
+           CAST(levenshtein(c.c_name, d.dirty_name) AS BIGINT) AS dist
+         FROM customer c CROSS JOIN dirty d
+         WHERE levenshtein(c.c_name, d.dirty_name) <= 2
          ORDER BY c.c_custkey, d.dirty_id""",
 
     "sink_expire" ->

@@ -23,14 +23,30 @@ import org.apache.spark.sql.functions._
   */
 object Linkage {
 
-  /** The string itself plus every 1-deletion variant, as an array
-    * column. Pure Catalyst (`transform` over a `sequence`), so it
-    * stays inside whole-stage codegen — no UDF. */
+  /** Every 1-deletion variant of `v`, as an array column. Pure
+    * Catalyst (`transform` over a `sequence`), so it stays inside
+    * whole-stage codegen — no UDF. */
+  private def delOnce(v: Column): Column =
+    transform(sequence(lit(1), length(v)), i =>
+      concat(v.substr(lit(1), i - lit(1)), v.substr(i + lit(1), length(v))))
+
+  /** The string itself plus every 1-deletion variant. */
   private[graft] def delNeighborhood(c: Column): Column =
-    array_union(
-      array(c),
-      transform(sequence(lit(1), length(c)), i =>
-        concat(c.substr(lit(1), i - lit(1)), c.substr(i + lit(1), length(c)))))
+    array_union(array(c), delOnce(c))
+
+  /** The ≤k-deletion neighborhood (k ∈ {1, 2}). For k = 2 the
+    * 2-deletion set is every 1-deletion of every 1-deletion —
+    * O(len²) short strings, deduplicated in-plan. Soundness: a
+    * shared ≤k-deletion variant bounds ed(s,t) ≤ 2k, so candidates
+    * over-approximate and verification prunes; completeness: an
+    * optimal ≤k-op alignment deletes at most k characters from each
+    * side to reach a common string (Bocek et al. '07). */
+  private[graft] def delNeighborhoodK(c: Column, k: Int): Column = {
+    require(k == 1 || k == 2, s"supported neighborhood depths: 1, 2 (got $k)")
+    if (k == 1) delNeighborhood(c)
+    else array_distinct(concat(array(c), delOnce(c),
+      flatten(transform(delOnce(c), v => delOnce(v)))))
+  }
 
   /** Edit-distance-≤1 join of `left[lId, lName]` against
     * `right[rId, rName]`.
@@ -44,22 +60,34 @@ object Linkage {
     * depends on collision-freedom. Output carries both ids, both
     * names, and the exact distance. */
   def fuzzyJoinEd1(left: DataFrame, lId: String, lName: String,
-                   right: DataFrame, rId: String, rName: String): DataFrame = {
+                   right: DataFrame, rId: String, rName: String): DataFrame =
+    fuzzyJoinEd(left, lId, lName, right, rId, rName, maxDist = 1)
+
+  /** Edit-distance-≤`maxDist` join (maxDist ∈ {1, 2}) — same
+    * construction with the ≤maxDist-deletion neighborhood. The
+    * explode factor is ~len^maxDist/maxDist! short variants per row:
+    * still linear in input count, with the verify step pruning the
+    * ed ≤ 2·maxDist over-approximation the shared-variant bound
+    * admits. */
+  def fuzzyJoinEd(left: DataFrame, lId: String, lName: String,
+                  right: DataFrame, rId: String, rName: String,
+                  maxDist: Int): DataFrame = {
     def side(df: DataFrame, id: String, name: String,
              p: String): DataFrame =
       df.select(col(id).as(s"${p}_id"), col(name).as(s"${p}_name"))
-        .withColumn("__v", explode(delNeighborhood(col(s"${p}_name"))))
+        .withColumn("__v",
+          explode(delNeighborhoodK(col(s"${p}_name"), maxDist)))
         .select(col(s"${p}_id"), col(s"${p}_name"),
           xxhash64(col("__v")).as("__vk"),
           length(col(s"${p}_name")).as(s"__${p}len"))
     val l = side(left, lId, lName, "l")
     val r = side(right, rId, rName, "r")
     val cand = l.join(r, "__vk")
-      .where(abs(col("__llen") - col("__rlen")) <= 1)
+      .where(abs(col("__llen") - col("__rlen")) <= maxDist)
       .select(col("l_id"), col("l_name"), col("r_id"), col("r_name"))
       .distinct()
     cand
       .withColumn("dist", levenshtein(col("l_name"), col("r_name")))
-      .where(col("dist") <= 1)
+      .where(col("dist") <= maxDist)
   }
 }

@@ -91,4 +91,65 @@ class DeterminismSpec extends SparkSpec {
         s"seed=$seed")
     }
   }
+
+  private def randSpans(seed: Int): List[(Long, Long, Long)] = {
+    val r = new scala.util.Random(seed)
+    // spans up to ~3 h over a ~12 h range, second granularity
+    List.tabulate(1 + r.nextInt(50)) { i =>
+      val s = r.nextInt(12 * 3600).toLong
+      (i.toLong, s, s + 1 + r.nextInt(3 * 3600))
+    }
+  }
+
+  test("concurrencyProfile is partitioning- and order-invariant") {
+    val base = 1700000000L
+    for (seed <- 21 to 30) {
+      val spans = randSpans(seed)
+      def df(rows: List[(Long, Long, Long)], parts: Int) = rows
+        .toDF("id", "s0", "e0")
+        .select(col("id"),
+          timestamp_seconds(col("s0") + base).as("s"),
+          timestamp_seconds(col("e0") + base).as("e"))
+        .repartition(parts)
+      val a = Analytics.concurrencyProfile(df(spans, 1), "id", "s", "e")
+      val b = Analytics.concurrencyProfile(
+        df(new scala.util.Random(seed).shuffle(spans), 7), "id", "s", "e")
+      assert(canon(a) == canon(b), s"seed=$seed")
+    }
+  }
+
+  test("fuzzyJoinEd1 is partitioning- and order-invariant") {
+    val vocab = Seq("alpha", "alpah", "alphas", "bravo", "brvo",
+      "charlie", "charlee", "delta", "delt", "echo")
+    for (seed <- 41 to 48) {
+      val r = new scala.util.Random(seed)
+      val left = List.tabulate(1 + r.nextInt(20))(i =>
+        (i.toLong, vocab(r.nextInt(vocab.size))))
+      val right = List.tabulate(1 + r.nextInt(20))(i =>
+        (100L + i, vocab(r.nextInt(vocab.size))))
+      val a = graft.operators.Linkage.fuzzyJoinEd1(
+        left.toDF("id", "name"), "id", "name",
+        right.toDF("id", "name"), "id", "name")
+      val b = graft.operators.Linkage.fuzzyJoinEd1(
+        r.shuffle(left).toDF("id", "name").repartition(5), "id", "name",
+        r.shuffle(right).toDF("id", "name").repartition(3), "id", "name")
+      assert(canon(a) == canon(b), s"seed=$seed")
+    }
+  }
+
+  test("joinBlowupProfile is partitioning-invariant incl. the top-k cut") {
+    for (seed <- 61 to 68) {
+      val r = new scala.util.Random(seed)
+      // duplicate-heavy keys so l*r products tie at the k boundary —
+      // the (out_rows DESC, join_key) order must still be total
+      val rows = List.tabulate(40 + r.nextInt(60))(i =>
+        (r.nextInt(12).toLong, i.toLong))
+      val a = graft.operators.Skew.joinBlowupProfile(
+        rows.toDF("k", "p"), rows.toDF("k", "p"), "k", "k", k = 5)
+      val b = graft.operators.Skew.joinBlowupProfile(
+        r.shuffle(rows).toDF("k", "p").repartition(7),
+        r.shuffle(rows).toDF("k", "p").repartition(3), "k", "k", k = 5)
+      assert(canon(a) == canon(b), s"seed=$seed")
+    }
+  }
 }

@@ -41,6 +41,41 @@ class LinkageSpec extends SparkSpec {
     assert(!got.exists(_._2 == 13L), "transposition is distance 2")
   }
 
+  test("delNeighborhoodK(2) is the <=2-deletion set") {
+    val got = Seq("abcd").toDF("s")
+      .select(Linkage.delNeighborhoodK(col("s"), 2).as("v"))
+      .head().getSeq[String](0).toSet
+    val expected = Set("abcd", // 0 deletions
+      "bcd", "acd", "abd", "abc", // 1 deletion
+      "cd", "bd", "bc", "ad", "ac", "ab") // 2 deletions
+    assert(got == expected)
+  }
+
+  test("fuzzyJoinEd(2) equals brute-force levenshtein <= 2") {
+    // distances planted at 0, 1, 2 (two subs; sub+del; transposition
+    // = 2), and 3 (excluded)
+    val clean = Seq((1L, "alpha"), (2L, "bravo"), (3L, "charlie"),
+      (4L, "delta")).toDF("id", "name")
+    val dirty = Seq((10L, "alpha"), (11L, "alpba"), (12L, "alpb"),
+      (13L, "bravvoo"), (14L, "chrlie"), (15L, "dleta"), (16L, "detla"),
+      (17L, "xxxta"), (18L, "zulu")).toDF("id", "name")
+    val got = Linkage.fuzzyJoinEd(clean, "id", "name",
+        dirty, "id", "name", maxDist = 2)
+      .select(col("l_id"), col("r_id"), col("dist"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .toSet
+    val brute = clean.toDF("lid", "lname")
+      .crossJoin(dirty.toDF("rid", "rname"))
+      .withColumn("d", levenshtein(col("lname"), col("rname")))
+      .where(col("d") <= 2)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getInt(4)))
+      .toSet
+    assert(got == brute)
+    assert(got.contains((4L, 15L, 2)) && got.contains((4L, 16L, 2)),
+      "transpositions cost 2 and must be found")
+    assert(!got.exists(_._2 == 18L))
+  }
+
   test("fuzzy_join plan has no cartesian product") {
     val clean = Seq((1L, "alpha")).toDF("id", "name")
     val plan = Linkage.fuzzyJoinEd1(clean, "id", "name",
