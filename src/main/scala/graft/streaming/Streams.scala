@@ -424,6 +424,36 @@ object Streams {
     * sink materializes before its non-transactional rewrite; a
     * Delta/Iceberg sink commits a snapshot — the merge plan is
     * identical either way. */
+  /** Streaming ingest with incremental manifest maintenance — the
+    * lakehouse WRITE path of `Tables.buildManifest`/`pruneFiles`,
+    * without a table format: each micro-batch lands its rows in an
+    * isolated `batch=N` directory (overwrite ⇒ replay-idempotent on
+    * recovery) and appends per-file min/max manifest rows derived by
+    * scanning ONLY the files that batch wrote — per-commit metadata
+    * work ∝ the batch, never the table, exactly Iceberg's
+    * snapshot-append discipline. Range queries then prune with the
+    * accumulated manifest while ingestion continues; StreamsSpec
+    * asserts the incremental manifest equals a full rebuild and that
+    * a range read skips other batches' files. */
+  def ingestWithManifest(stream: DataFrame, dataDir: String,
+                         manifestDir: String, keyCol: String,
+                         checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val dir = s"$dataDir/batch=$batchId"
+          batch.write.mode("overwrite").parquet(dir)
+          graft.sources.Tables.buildManifest(batch.sparkSession, dir, keyCol)
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("append").parquet(manifestDir)
+          ()
+        }
+      }
+      .start()
+
   def sinkToDim(stream: DataFrame, cfg: graft.operators.Pipeline.TableConfig,
                 tsCol: String, sink: graft.sources.DimSink,
                 checkpointDir: String)

@@ -34,6 +34,40 @@ class StreamsSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("ingestWithManifest: incremental == full rebuild; reads skip files") {
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft_smani")
+    val data = tmp.resolve("data").toString
+    val mani = tmp.resolve("manifest").toString
+    val mem = MemoryStream[(Long, Double)]
+    val q = Streams.ingestWithManifest(
+      mem.toDF().toDF("id", "price").repartition(2),
+      data, mani, "price", tmp.resolve("ckpt").toString)
+    try {
+      mem.addData((1 to 100).map(i => (i.toLong, i * 10.0)): _*)
+      q.processAllAvailable()
+      mem.addData((101 to 200).map(i => (i.toLong, i * 10.0)): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val manifest = spark.read.parquet(mani)
+    // per-batch increments compose to exactly the full-table manifest
+    val full = graft.sources.Tables.buildManifest(spark, data, "price")
+    val inc = manifest.drop("batch_id")
+    assert(inc.exceptAll(full).isEmpty && full.exceptAll(inc).isEmpty)
+    // a range covering only batch 0's keys reads only batch 0's files
+    val files = graft.sources.Tables.pruneFiles(manifest,
+      lit(50.0), lit(300.0))
+    assert(files.nonEmpty && files.forall(_.contains("batch=0")) &&
+      files.length < manifest.count(),
+      s"kept ${files.mkString(", ")}")
+    val pruned = graft.sources.Tables.manifestPrunedRead(spark, data,
+      files.toSeq, "price", lit(50.0), lit(300.0)).select("id")
+    val direct = spark.read.parquet(data)
+      .where(col("price").between(50.0, 300.0)).select("id")
+    assert(pruned.exceptAll(direct).isEmpty &&
+      direct.exceptAll(pruned).isEmpty)
+  }
+
   test("spanLoadPerHour: append-mode flush matches the batch twin") {
     implicit val sqlCtx = spark.sqlContext
     val spans = Seq(
