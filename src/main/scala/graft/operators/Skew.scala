@@ -97,7 +97,10 @@ object Skew {
     * tiny merge, never a global sort). The one-row grand total
     * broadcasts back for the share column. At 100 TB this answers
     * "will this join explode, and on which keys do I salt /
-    * pre-aggregate?" for the cost of two GROUP BYs. */
+    * pre-aggregate?" for the cost of two GROUP BYs. `l·r` products
+    * are BIGINT: a single key with >3·10⁹ rows on BOTH sides would
+    * overflow — ANSI mode (on) fails loudly rather than wrapping,
+    * which for a pre-flight diagnostic is itself the answer. */
   def joinBlowupProfile(left: DataFrame, right: DataFrame,
                         leftKey: String, rightKey: String,
                         k: Int = 20): DataFrame = {

@@ -427,14 +427,17 @@ object Streams {
   /** Streaming ingest with incremental manifest maintenance — the
     * lakehouse WRITE path of `Tables.buildManifest`/`pruneFiles`,
     * without a table format: each micro-batch lands its rows in an
-    * isolated `batch=N` directory (overwrite ⇒ replay-idempotent on
-    * recovery) and appends per-file min/max manifest rows derived by
-    * scanning ONLY the files that batch wrote — per-commit metadata
-    * work ∝ the batch, never the table, exactly Iceberg's
-    * snapshot-append discipline. Range queries then prune with the
-    * accumulated manifest while ingestion continues; StreamsSpec
-    * asserts the incremental manifest equals a full rebuild and that
-    * a range read skips other batches' files. */
+    * isolated `batch=N` directory and commits per-file min/max
+    * manifest rows derived by scanning ONLY the files that batch
+    * wrote — per-commit metadata work ∝ the batch, never the table,
+    * exactly Iceberg's snapshot-append discipline. BOTH writes are
+    * `batch=N`-overwrites, so a micro-batch replay after a crash
+    * between the data commit and the checkpoint commit rewrites the
+    * same directories instead of duplicating rows (a plain manifest
+    * append would double-count exactly that batch). Range queries
+    * prune with the accumulated manifest while ingestion continues;
+    * StreamsSpec asserts the incremental manifest equals a full
+    * rebuild and that a range read skips other batches' files. */
   def ingestWithManifest(stream: DataFrame, dataDir: String,
                          manifestDir: String, keyCol: String,
                          checkpointDir: String)
@@ -447,8 +450,7 @@ object Streams {
           val dir = s"$dataDir/batch=$batchId"
           batch.write.mode("overwrite").parquet(dir)
           graft.sources.Tables.buildManifest(batch.sparkSession, dir, keyCol)
-            .withColumn("batch_id", lit(batchId))
-            .write.mode("append").parquet(manifestDir)
+            .write.mode("overwrite").parquet(s"$manifestDir/batch=$batchId")
           ()
         }
       }

@@ -51,8 +51,9 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
     val manifest = spark.read.parquet(mani)
     // per-batch increments compose to exactly the full-table manifest
+    // (the batch=N layout surfaces as a discovered partition column)
     val full = graft.sources.Tables.buildManifest(spark, data, "price")
-    val inc = manifest.drop("batch_id")
+    val inc = manifest.drop("batch")
     assert(inc.exceptAll(full).isEmpty && full.exceptAll(inc).isEmpty)
     // a range covering only batch 0's keys reads only batch 0's files
     val files = graft.sources.Tables.pruneFiles(manifest,
@@ -66,6 +67,13 @@ class StreamsSpec extends SparkSpec {
       .where(col("price").between(50.0, 300.0)).select("id")
     assert(pruned.exceptAll(direct).isEmpty &&
       direct.exceptAll(pruned).isEmpty)
+    // simulated post-crash replay of batch 1's metadata commit: the
+    // overwrite discipline must leave the manifest multiset unchanged
+    // (an append-mode manifest would now double-count batch 1)
+    graft.sources.Tables.buildManifest(spark, s"$data/batch=1", "price")
+      .write.mode("overwrite").parquet(s"$mani/batch=1")
+    val after = spark.read.parquet(mani).drop("batch")
+    assert(after.exceptAll(full).isEmpty && full.exceptAll(after).isEmpty)
   }
 
   test("spanLoadPerHour: append-mode flush matches the batch twin") {
