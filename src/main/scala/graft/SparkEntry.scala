@@ -3081,16 +3081,23 @@ object SparkEntry {
            UNION ALL
            SELECT event_id, t1 AS t, -1 AS d FROM spans),
          run AS (
-           SELECT date_trunc('hour', t) AS hour, d,
+           SELECT date_trunc('hour', t) AS hour, t, d, event_id,
              SUM(d) OVER (ORDER BY t, d, event_id
                ROWS UNBOUNDED PRECEDING) AS r
-           FROM pts)
-         SELECT hour, CAST(MAX(r) AS BIGINT) AS max_concurrency,
+           FROM pts),
+         run2 AS (
+           SELECT hour, d, r,
+             first_value(r - d) OVER (PARTITION BY hour
+               ORDER BY t, d, event_id) AS carry
+           FROM run)
+         SELECT hour,
+           CAST(GREATEST(MAX(r), MAX(carry)) AS BIGINT)
+             AS max_concurrency,
            CAST(SUM(CASE WHEN d = 1 THEN 1 ELSE 0 END) AS BIGINT)
              AS n_starts,
            CAST(SUM(CASE WHEN d = -1 THEN 1 ELSE 0 END) AS BIGINT)
              AS n_ends
-         FROM run GROUP BY 1 ORDER BY 1""",
+         FROM run2 GROUP BY 1 ORDER BY 1""",
 
     "manifest_prune" ->
       """SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority

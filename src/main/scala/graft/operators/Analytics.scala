@@ -982,11 +982,17 @@ object Analytics {
     * go through a global window to produce each hour's carry-in.
     * `max(carry + local_run) = carry + max(local_run)` since the
     * carry is constant within an hour, so the two levels compose
-    * exactly. Endpoint order (t, delta, id) is total, with ends
-    * before starts at equal t ⇒ half-open [start, end) spans.
-    * At 100 TB: endpoints shuffle once by hour (salt a hot hour by
-    * sub-bucketing the local window key if needed); the global
-    * window sees |hours| rows. */
+    * exactly; the hour-start carry itself joins the max, so an hour
+    * that only DRAINS open spans still reports the concurrency it
+    * held (not a sub-carry running value). Endpoint order
+    * (t, delta, id) is total, with ends before starts at equal t ⇒
+    * half-open [start, end) spans. Hours with no endpoints at all
+    * are omitted — the carry is unchanged through them, so the
+    * profile is the previous emitted hour's closing level.
+    * At 100 TB: endpoints shuffle ONCE by hour (the per-hour
+    * aggregate reuses the local window's exchange; salt a hot hour
+    * by sub-bucketing the window key if needed); the global window
+    * sees |hours| rows. */
   def concurrencyProfile(spans: DataFrame, idCol: String,
                          startCol: String, endCol: String): DataFrame = {
     val pts = spans.select(col(idCol).as("__id"),
@@ -996,21 +1002,24 @@ object Analytics {
       .withColumn("__h", date_trunc("hour", col("__t")))
     val local = Window.partitionBy(col("__h"))
       .orderBy(col("__t"), col("__d"), col("__id"))
-    val localMax = pts.withColumn("__run", sum(col("__d")).over(local))
-      .groupBy(col("__h")).agg(max(col("__run")).as("__localmax"))
-    val perHour = pts.groupBy(col("__h"))
-      .agg(sum(col("__d")).as("__hd"),
+    // one pass over the endpoints: hour-local running sum, then the
+    // per-hour aggregate on the SAME hour-partitioned exchange
+    val perHour = pts.withColumn("__run", sum(col("__d")).over(local))
+      .groupBy(col("__h"))
+      .agg(max(col("__run")).as("__localmax"),
+        sum(col("__d")).as("__hd"),
         sum(when(col("__d") === 1L, 1L).otherwise(0L)).as("n_starts"),
         sum(when(col("__d") === -1L, 1L).otherwise(0L)).as("n_ends"))
     // carry-in: cumulative delta of all PRIOR hours (tiny input:
     // one row per hour; the global window is over that summary)
     val carryW = Window.orderBy(col("__h"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val withCarry = perHour.withColumn("__carry",
-      coalesce(sum(col("__hd")).over(carryW), lit(0L)))
-    localMax.join(withCarry, "__h")
+    perHour
+      .withColumn("__carry",
+        coalesce(sum(col("__hd")).over(carryW), lit(0L)))
       .select(col("__h").as("hour"),
-        (col("__carry") + col("__localmax")).as("max_concurrency"),
+        greatest(col("__carry") + col("__localmax"), col("__carry"))
+          .as("max_concurrency"),
         col("n_starts"), col("n_ends"))
   }
 

@@ -68,7 +68,18 @@ object Linkage {
     * explode factor is ~len^maxDist/maxDist! short variants per row:
     * still linear in input count, with the verify step pruning the
     * ed ≤ 2·maxDist over-approximation the shared-variant bound
-    * admits. */
+    * admits.
+    *
+    * Boundary: the blocking is only selective for strings LONGER
+    * than 2·maxDist. Strings of length ≤ 2·maxDist share tiny/empty
+    * variants (every length-≤2 string contains "" in its 2-deletion
+    * set), so that sub-domain pairs up near-quadratically on a few
+    * hot variant keys — which mirrors its TRUE answer set (almost
+    * all short-string pairs are within distance 2) but concentrates
+    * shuffle load. For registries dominated by very short codes,
+    * de-duplicate values first (the distinct short-string domain is
+    * alphabet-bounded) or route those keys through the Skew salting
+    * levers, then re-expand. */
   def fuzzyJoinEd(left: DataFrame, lId: String, lName: String,
                   right: DataFrame, rId: String, rName: String,
                   maxDist: Int): DataFrame = {

@@ -81,13 +81,6 @@ object Skew {
     f.join(d, keys :+ "__salt").drop("__salt")
   }
 
-  /** Exact distinct count per key that survives hot keys: values are
-    * salted by their OWN hash, so every occurrence of one value
-    * lands in the same salt bucket — per-bucket distinct counts are
-    * disjoint and their sum is the exact answer. Stage 1 spreads a
-    * hot key over `salts` reducers; stage 2 merges `salts` tiny
-    * rows per key. (Spark's count_distinct expands unsalted: every
-    * row of a hot key converges on one reducer.) */
   /** Pre-flight join-blowup profile: BEFORE running an equi-join,
     * predict its output size and find the keys that dominate it.
     * Each side collapses to (key, count) — two partial-aggregable
@@ -119,6 +112,13 @@ object Skew {
       .limit(k)
   }
 
+  /** Exact distinct count per key that survives hot keys: values are
+    * salted by their OWN hash, so every occurrence of one value
+    * lands in the same salt bucket — per-bucket distinct counts are
+    * disjoint and their sum is the exact answer. Stage 1 spreads a
+    * hot key over `salts` reducers; stage 2 merges `salts` tiny
+    * rows per key. (Spark's count_distinct expands unsalted: every
+    * row of a hot key converges on one reducer.) */
   def skewedDistinctCount(df: DataFrame, keys: Seq[String],
                           valueCol: String, salts: Int = 64): DataFrame = {
     val keyCols = keys.map(col)

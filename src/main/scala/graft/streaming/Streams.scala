@@ -49,7 +49,7 @@ object Streams {
     * strip event-time metadata — same pitfall as windowedAgg's).
     * Zero/negative-length spans are dropped. */
   def spanLoadPerHour(spans: DataFrame, startCol: String,
-                      endCol: String, watermark: String = "3 hours",
+                      endCol: String, latenessHours: Int = 1,
                       maxSpanHours: Int = 6): DataFrame =
     spans
       .select(col(startCol).as("__s"),
@@ -60,7 +60,12 @@ object Streams {
         date_trunc("hour", col("__s")),
         date_trunc("hour", col("__e") - expr("INTERVAL 1 MICROSECOND")),
         expr("INTERVAL 1 HOUR"))))
-      .withWatermark("__h", watermark)
+      // the exploded hours REACH BACK up to maxSpanHours behind the
+      // span's arrival-driving start time, so the watermark delay
+      // must cover lateness + span horizon: a lateness-only delay
+      // silently drops the early hours of a long span that arrives
+      // after shorter same-era spans advanced the watermark
+      .withWatermark("__h", s"${latenessHours + maxSpanHours} hours")
       .groupBy(window(col("__h"), "1 hour"))
       .agg(count(lit(1)).as("n_open_spans"))
       .select(col("window.start").as("hour"), col("n_open_spans"))
@@ -412,18 +417,6 @@ object Streams {
         col("session_window.start").as("session_start"),
         col("n_events"))
 
-  /** Incremental dimension maintenance from a stream: each
-    * micro-batch runs the batch pipeline's stage + SCD merge against
-    * the dimension held by `sink` and commits the new state — the
-    * reference's scheduled MERGE loop as a continuously-running
-    * stream (reference: notebooks/pipeline_core.py:274-296).
-    *
-    * The batch timestamp is data-derived (max of `tsCol` in the
-    * batch), so replays after checkpoint recovery produce identical
-    * dimensions. Storage format is the sink's concern: the parquet
-    * sink materializes before its non-transactional rewrite; a
-    * Delta/Iceberg sink commits a snapshot — the merge plan is
-    * identical either way. */
   /** Streaming ingest with incremental manifest maintenance — the
     * lakehouse WRITE path of `Tables.buildManifest`/`pruneFiles`,
     * without a table format: each micro-batch lands its rows in an
@@ -456,6 +449,18 @@ object Streams {
       }
       .start()
 
+  /** Incremental dimension maintenance from a stream: each
+    * micro-batch runs the batch pipeline's stage + SCD merge against
+    * the dimension held by `sink` and commits the new state — the
+    * reference's scheduled MERGE loop as a continuously-running
+    * stream (reference: notebooks/pipeline_core.py:274-296).
+    *
+    * The batch timestamp is data-derived (max of `tsCol` in the
+    * batch), so replays after checkpoint recovery produce identical
+    * dimensions. Storage format is the sink's concern: the parquet
+    * sink materializes before its non-transactional rewrite; a
+    * Delta/Iceberg sink commits a snapshot — the merge plan is
+    * identical either way. */
   def sinkToDim(stream: DataFrame, cfg: graft.operators.Pipeline.TableConfig,
                 tsCol: String, sink: graft.sources.DimSink,
                 checkpointDir: String)

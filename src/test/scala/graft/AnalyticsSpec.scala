@@ -151,7 +151,13 @@ class AnalyticsSpec extends SparkSpec {
     assert(p7.sliding("BroadcastHashJoin".length)
       .count(_ == "BroadcastHashJoin") >= 3,
       s"dim chains must broadcast:\n$p7")
-    assert(!p7.contains("SortMergeJoin") || p7.contains("BroadcastHashJoin"))
+    // the ONLY join allowed to be non-broadcast is lineitem⋈orders —
+    // the one legitimate fact-fact keyed join of the Q7 topology; no
+    // dim chain may fall back to a shuffle join
+    val shuffleJoins = "SortMergeJoin|ShuffledHashJoin".r
+      .findAllIn(p7).length
+    assert(shuffleJoins <= 1,
+      s"only the lineitem-orders join may shuffle, found $shuffleJoins:\n$p7")
     // directions are disjoint row sets over the same pair
     val rows = q7.collect()
     assert(rows.nonEmpty)
@@ -207,7 +213,7 @@ class AnalyticsSpec extends SparkSpec {
     val expected = Array(
       ("00", 2L, 3L, 1L), // 1+2 overlap; 3 starts as 2 ends
       ("01", 2L, 1L, 2L), // 1 carried in, 4 nested
-      ("02", 0L, 0L, 1L), // only 1's end
+      ("02", 1L, 0L, 1L), // span 1 HELD through the hour until 02:30
       ("03", 1L, 1L, 1L)) // isolated span after the gap hour
     assert(got.sameElements(expected), got.mkString(", "))
   }

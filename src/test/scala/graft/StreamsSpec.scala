@@ -78,32 +78,43 @@ class StreamsSpec extends SparkSpec {
 
   test("spanLoadPerHour: append-mode flush matches the batch twin") {
     implicit val sqlCtx = spark.sqlContext
-    val spans = Seq(
+    val batch1 = Seq(
       (ts("2024-01-01 00:10:00"), ts("2024-01-01 02:30:00")), // 00,01,02
       (ts("2024-01-01 00:20:00"), ts("2024-01-01 00:40:00")), // 00
       (ts("2024-01-01 01:00:00"), ts("2024-01-01 01:00:00")), // dropped
-      (ts("2024-01-01 03:00:00"), ts("2024-01-01 03:00:01"))) // 03
+      (ts("2024-01-01 03:00:00"), ts("2024-01-01 03:00:01")), // 03
+      (ts("2024-01-01 00:05:00"), ts("2024-01-01 06:05:00"))) // 00..06
+    // arrives AFTER the 6-hour span pushed max event time to 06:00:
+    // its hours 00/01 survive only because the watermark delay
+    // covers lateness + maxSpanHours (a lateness-only delay would
+    // have finalized those windows and silently dropped these rows)
+    val batch2 = Seq(
+      (ts("2024-01-01 00:30:00"), ts("2024-01-01 01:40:00"))) // 00,01
     val mem = MemoryStream[(java.sql.Timestamp, java.sql.Timestamp)]
-    mem.addData(spans: _*)
     val q = Streams.spanLoadPerHour(mem.toDF().toDF("s", "e"), "s", "e")
       .writeStream.format("memory").queryName("span_out")
       .outputMode("append").start()
     try {
+      mem.addData(batch1: _*)
       q.processAllAvailable()
-      // a late heartbeat span advances the watermark past hour 03,
-      // flushing all four windows (its own window stays open)
-      mem.addData((ts("2024-01-01 12:00:00"), ts("2024-01-01 12:00:01")))
+      mem.addData(batch2: _*)
+      q.processAllAvailable()
+      // a far-future heartbeat advances the watermark past hour 06,
+      // flushing every real window (its own window stays open)
+      mem.addData((ts("2024-01-01 20:00:00"), ts("2024-01-01 20:00:01")))
       q.processAllAvailable()
     } finally q.stop()
     def fmt(rows: Array[org.apache.spark.sql.Row]) =
       rows.map(r => (r.getTimestamp(0).toString.substring(11, 13),
         r.getLong(1)))
     val got = fmt(spark.table("span_out").orderBy("hour").collect())
-    val expected = Array(("00", 2L), ("01", 1L), ("02", 1L), ("03", 1L))
+    val expected = Array(("00", 4L), ("01", 3L), ("02", 2L), ("03", 2L),
+      ("04", 1L), ("05", 1L), ("06", 1L))
     assert(got.sameElements(expected), got.mkString(", "))
     // batch twin (watermark is a no-op on bounded data)
-    val batch = fmt(Streams.spanLoadPerHour(spans.toDF("s", "e"),
-      "s", "e").orderBy("hour").collect())
+    val batch = fmt(Streams.spanLoadPerHour(
+      (batch1 ++ batch2).toDF("s", "e"), "s", "e")
+      .orderBy("hour").collect())
     assert(batch.sameElements(expected), batch.mkString(", "))
   }
 
