@@ -605,6 +605,12 @@ object SparkEntry {
         t(s, d, "supplier"), t(s, d, "nation"), t(s, d, "part"), "%red%")
         .orderBy(col("nation"), col("o_year"))),
 
+    "source_overlap" -> ((s, d) =>
+      // HLL estimates → rows-only in the driver compare; the
+      // ScalaTest oracle bounds the error vs exact set overlap
+      TextAnalysis.sourceVocabOverlap(t(s, d, "documents"))
+        .orderBy(col("src_a"), col("src_b"))),
+
     "join_blowup" -> ((s, d) => {
       // pre-flight profile of the classic accidental explosion: a
       // self-join of events on user_id (out_rows = per-user count²)

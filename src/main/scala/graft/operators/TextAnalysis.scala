@@ -413,4 +413,40 @@ object TextAnalysis {
         col(textCol).substr((col("__i") * stride + 1).cast("int"),
           lit(size)).as("chunk_text"))
   }
+
+  /** Cross-source vocabulary overlap via mergeable HLL sketches —
+    * "how lexically similar are my corpus sources?" at 100 TB cost:
+    * ONE pass over the tokens builds a bounded-size HLL++ sketch per
+    * source (the aggregation state is the sketch, never the vocab),
+    * then all pairwise estimates run on the |sources|-row sketch
+    * table: |A∪B| by sketch union, |A∩B| by inclusion–exclusion,
+    * Jaccard from the two. The pair stage is a self-join of k
+    * one-row-per-source sketches — model-state scale, deliberately
+    * NOT a corpus operation (PlanLint-allowlisted as such). Exact
+    * pairwise intersections would need a token-level self-join of
+    * the corpus; the sketches replace it with error ~1–2% at the
+    * default lgConfigK, tolerance-tested vs exact in
+    * TextAnalysisSpec. */
+  def sourceVocabOverlap(docs: DataFrame, srcCol: String = "source",
+                         textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col(srcCol).as("__src"),
+        explode(split(lower(col(textCol)), "\\s+")).as("__tok"))
+      .where(length(col("__tok")) > 0)
+    val sk = toks.groupBy(col("__src"))
+      .agg(hll_sketch_agg(col("__tok")).as("__sk"))
+    val a = sk.select(col("__src").as("src_a"), col("__sk").as("__ska"))
+    val b = sk.select(col("__src").as("src_b"), col("__sk").as("__skb"))
+    val uni = hll_sketch_estimate(hll_union(col("__ska"), col("__skb")))
+    val ca = hll_sketch_estimate(col("__ska"))
+    val cb = hll_sketch_estimate(col("__skb"))
+    a.join(b, col("src_a") < col("src_b"))
+      .select(col("src_a"), col("src_b"),
+        ca.as("vocab_a"), cb.as("vocab_b"), uni.as("vocab_union"))
+      .withColumn("vocab_inter",
+        greatest(col("vocab_a") + col("vocab_b") - col("vocab_union"),
+          lit(0L)))
+      .withColumn("jaccard_est",
+        round(col("vocab_inter").cast("double") /
+          col("vocab_union").cast("double"), 6))
+  }
 }

@@ -35,7 +35,9 @@ class PlanLintSpec extends SparkSpec {
     "tfidf_topk" -> "scalar corpus-doc-count broadcast",
     "unigram_score" -> "one-row corpus-token-total broadcast",
     "bm25_topk" -> "one-row doc-count + token-total broadcasts",
-    "join_blowup" -> "one-row grand-total broadcast for the share column")
+    "join_blowup" -> "one-row grand-total broadcast for the share column",
+    "source_overlap" ->
+      "self-pair of the ≤|sources|-row sketch table — model-state scale")
   // (q15_top_supplier needs no allowlist: Catalyst rewrites its
   // crossJoin + equality filter into a Broadcast HASH join.)
 

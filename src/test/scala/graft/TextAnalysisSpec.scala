@@ -221,4 +221,38 @@ class TextAnalysisSpec extends SparkSpec {
       .as[(Long, Long, Double)].collect().toSeq
     assert(one == out)
   }
+
+  test("sourceVocabOverlap estimates track exact set overlap") {
+    val docs = graft.sources.Tables.load(spark,
+      "/root/testdata/sf0.001", "documents")
+    val est = TextAnalysis.sourceVocabOverlap(docs).collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(5), r.getDouble(6))))
+      .toMap
+    // exact vocab sets per source (20 sources, small fixture)
+    val exact = docs.select(col("source"),
+        explode(split(lower(col("text")), "\\s+")).as("tok"))
+      .where(length(col("tok")) > 0)
+      .distinct().collect()
+      .groupBy(_.getString(0)).map { case (s, rows) =>
+        s -> rows.map(_.getString(1)).toSet
+      }
+    val sources = exact.keys.toSeq.sorted
+    val pairs = for {
+      i <- sources.indices; j <- (i + 1) until sources.length
+    } yield (sources(i), sources(j))
+    assert(est.keySet == pairs.toSet, "every ordered pair present once")
+    def close(got: Double, want: Double): Boolean =
+      math.abs(got - want) <= math.max(0.05 * want, 2.0)
+    pairs.foreach { case (a, b) =>
+      val (va, vb, inter, jac) = est((a, b))
+      val (ea, eb) = (exact(a), exact(b))
+      val eInter = (ea & eb).size.toDouble
+      assert(close(va.toDouble, ea.size.toDouble), s"vocab($a)")
+      assert(close(vb.toDouble, eb.size.toDouble), s"vocab($b)")
+      assert(close(inter.toDouble, eInter), s"inter($a,$b)")
+      val eJac = eInter / (ea | eb).size.toDouble
+      assert(math.abs(jac - eJac) <= 0.05, s"jaccard($a,$b) $jac vs $eJac")
+    }
+  }
 }
