@@ -1271,6 +1271,14 @@ object SparkEntry {
       Analytics.eventTransitions(t(s, d, "events"))
         .orderBy(col("from_type"), col("to_type"))),
 
+    "substring_dedup" -> ((s, d) =>
+      Curation.substringDedup(t(s, d, "documents"), k = 5)
+        .orderBy(col("doc_id"))),
+
+    "link_rank" -> ((s, d) =>
+      Clustering.navigationRank(t(s, d, "events"), iters = 5)
+        .orderBy(col("node"))),
+
     // same deterministic URL synthesis on both sides (pii_redact
     // precedent): scheme/case/www/tracking-param/fragment variants
     // of a shared (source, slug) page identity — what's under test
@@ -3197,6 +3205,98 @@ object SparkEntry {
          SELECT from_type, to_type, n,
            round(n / sum(n) OVER (PARTITION BY from_type), 6) AS p
          FROM c ORDER BY from_type, to_type""",
+
+    // word-5-gram duplicated-span coverage; Spark groups the 8-byte
+    // gram hash, the oracle the gram text — same multiset of counts
+    "substring_dedup" ->
+      """WITH d AS (
+           SELECT doc_id, string_split(text, ' ') AS toks
+           FROM documents),
+         g AS (
+           SELECT doc_id,
+             unnest(range(1, len(toks) - 3)) AS pos,
+             unnest(list_transform(range(1, len(toks) - 3),
+               i -> array_to_string(toks[i : i + 4], ' '))) AS gram
+           FROM d),
+         c AS (SELECT gram FROM g GROUP BY gram HAVING count(*) > 1),
+         s AS (
+           SELECT doc_id, pos,
+             lead(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+           FROM g WHERE gram IN (SELECT gram FROM c)),
+         cov AS (
+           SELECT doc_id,
+             CAST(sum(LEAST(5, COALESCE(nxt - pos, 5))) AS BIGINT)
+               AS dup_tokens
+           FROM s GROUP BY doc_id),
+         n AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens
+               FROM d)
+         SELECT n.doc_id, n.n_tokens,
+           COALESCE(cov.dup_tokens, 0) AS dup_tokens,
+           round(COALESCE(cov.dup_tokens, 0)
+             / CAST(n.n_tokens AS DOUBLE), 6) AS dup_ratio
+         FROM n LEFT JOIN cov USING (doc_id) ORDER BY n.doc_id""",
+
+    // five unrolled decimal-folded power iterations, d = 0.85; the
+    // vertex set is the edge endpoints (matches Clustering.pageRank)
+    "link_rank" ->
+      """WITH seq AS (
+           SELECT user_id, CAST(props->>'k' AS INTEGER) AS dst,
+             lag(CAST(props->>'k' AS INTEGER)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS src
+           FROM events),
+         edges AS (
+           SELECT src, dst, count(*) AS cnt FROM seq
+           WHERE src IS NOT NULL GROUP BY src, dst),
+         outdeg AS (
+           SELECT src, CAST(sum(cnt) AS DOUBLE) AS od
+           FROM edges GROUP BY src),
+         w AS (
+           SELECT e.src, e.dst, CAST(e.cnt AS DOUBLE) / o.od AS wt
+           FROM edges e JOIN outdeg o USING (src)),
+         nodes AS (
+           SELECT DISTINCT src AS node FROM edges
+           UNION SELECT DISTINCT dst FROM edges),
+         nn AS (
+           SELECT node, (SELECT CAST(count(*) AS DOUBLE) FROM nodes)
+             AS n FROM nodes),
+         r0 AS (SELECT node, n, 1.0 / n AS rank FROM nn),
+         r1 AS (SELECT nn.node, nn.n,
+             0.15 / nn.n + 0.85 * COALESCE(c.contrib, 0.0) AS rank
+           FROM nn LEFT JOIN (
+             SELECT w.dst AS node, CAST(sum(CAST(r0.rank * w.wt
+               AS DECIMAL(38,18))) AS DOUBLE) AS contrib
+             FROM w JOIN r0 ON w.src = r0.node GROUP BY w.dst) c
+           USING (node)),
+         r2 AS (SELECT nn.node, nn.n,
+             0.15 / nn.n + 0.85 * COALESCE(c.contrib, 0.0) AS rank
+           FROM nn LEFT JOIN (
+             SELECT w.dst AS node, CAST(sum(CAST(r1.rank * w.wt
+               AS DECIMAL(38,18))) AS DOUBLE) AS contrib
+             FROM w JOIN r1 ON w.src = r1.node GROUP BY w.dst) c
+           USING (node)),
+         r3 AS (SELECT nn.node, nn.n,
+             0.15 / nn.n + 0.85 * COALESCE(c.contrib, 0.0) AS rank
+           FROM nn LEFT JOIN (
+             SELECT w.dst AS node, CAST(sum(CAST(r2.rank * w.wt
+               AS DECIMAL(38,18))) AS DOUBLE) AS contrib
+             FROM w JOIN r2 ON w.src = r2.node GROUP BY w.dst) c
+           USING (node)),
+         r4 AS (SELECT nn.node, nn.n,
+             0.15 / nn.n + 0.85 * COALESCE(c.contrib, 0.0) AS rank
+           FROM nn LEFT JOIN (
+             SELECT w.dst AS node, CAST(sum(CAST(r3.rank * w.wt
+               AS DECIMAL(38,18))) AS DOUBLE) AS contrib
+             FROM w JOIN r3 ON w.src = r3.node GROUP BY w.dst) c
+           USING (node)),
+         r5 AS (SELECT nn.node, nn.n,
+             0.15 / nn.n + 0.85 * COALESCE(c.contrib, 0.0) AS rank
+           FROM nn LEFT JOIN (
+             SELECT w.dst AS node, CAST(sum(CAST(r4.rank * w.wt
+               AS DECIMAL(38,18))) AS DOUBLE) AS contrib
+             FROM w JOIN r4 ON w.src = r4.node GROUP BY w.dst) c
+           USING (node))
+         SELECT node, round(rank, 6) AS rank FROM r5
+         ORDER BY node""",
 
     "url_canonical" ->
       """WITH u AS (

@@ -226,4 +226,79 @@ object Clustering {
         (col("id") === coalesce(col("cluster_id"), col("id")))
           .as("is_representative"))
   }
+
+  /** PageRank over a weighted directed edge set — the crawl-graph
+    * centrality a web-corpus pipeline uses to weight sources (the
+    * same family of signal Common Crawl publishes as harmonic
+    * centrality). Fixed `iters` power iterations of the standard
+    * update r'(v) = (1-d)/N + d·Σ_u r(u)·w(u,v) with w(u,v) =
+    * cnt(u,v)/outdeg(u); dangling mass is not redistributed (the
+    * usual simplified form — both engines of the oracle pair compute
+    * the identical formula).
+    *
+    * Determinism: each edge's contribution r(u)·w(u,v) is an
+    * independent double expression, and the per-vertex fold sums
+    * those doubles through DECIMAL(38,18) — so the result is
+    * bit-identical under any partitioning or join order (the
+    * `unigramSurprisal` decimal-fold rule).
+    *
+    * Scale shape: per iteration, one keyed shuffle of the edge set
+    * joined to the (|V|-row) rank vector — AQE broadcasts the rank
+    * side when it fits, so the big edge relation never reshuffles —
+    * plus one dst-keyed partial-aggregated reduce. The weighted edge
+    * set is checkpointed ONCE (lineage and plan-stats truncation,
+    * same rationale as the CC loop's ckpt); each iteration's rank
+    * vector is |V| rows — model-state scale, checkpointed to keep
+    * the plan depth constant per round. */
+  def pageRank(edges: DataFrame, iters: Int = 5,
+               damping: Double = 0.85): DataFrame = {
+    // (1 - damping) computed in DECIMAL string space: the double
+    // `1.0 - 0.85` is 0.15000000000000002, one ulp off the double
+    // an oracle SQL literal `0.15` parses to — folding through
+    // BigDecimal makes both engines start from the identical double
+    val teleport = (BigDecimal(1) - BigDecimal(damping.toString)).toDouble
+    val cnts = edges.groupBy(col("src"), col("dst"))
+      .agg(count(lit(1)).as("cnt"))
+    val outdeg = cnts.groupBy(col("src"))
+      .agg(sum(col("cnt")).cast("double").as("od"))
+    val w = ckpt(cnts.join(outdeg, Seq("src"))
+      .select(col("src"), col("dst"),
+        (col("cnt").cast("double") / col("od")).as("wt")))
+    val nodes = w.select(col("src").as("node"))
+      .union(w.select(col("dst").as("node"))).distinct()
+    // one-row vertex-count broadcast (BNLJ-allowlisted scalar attach)
+    val nn = ckpt(nodes.crossJoin(
+      broadcast(nodes.agg(count(lit(1)).cast("double").as("n")))))
+    var rank = nn.select(col("node"), col("n"),
+      (lit(1.0) / col("n")).as("rank"))
+    for (_ <- 1 to iters) {
+      val contrib = w
+        .join(rank.select(col("node").as("src"), col("rank")), Seq("src"))
+        .groupBy(col("dst").as("cnode"))
+        .agg(sum((col("rank") * col("wt")).cast("decimal(38,18)"))
+          .cast("double").as("contrib"))
+      rank = ckpt(nn
+        .join(contrib, col("node") === col("cnode"), "left")
+        .select(col("node"), col("n"),
+          (lit(teleport) / col("n") +
+            lit(damping) * coalesce(col("contrib"), lit(0.0)))
+            .as("rank")))
+    }
+    rank.select(col("node"), round(col("rank"), 6).as("rank"))
+  }
+
+  /** [[pageRank]] over the event-navigation graph: per user, each
+    * consecutive pair of visited items (`props.k`, ordered by time
+    * with `event_id` as the unique tie-break) is a directed edge. */
+  def navigationRank(events: DataFrame, iters: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val seq = events.select(col("user_id"),
+      get_json_object(col("props"), "$.k").cast("int").as("dst"),
+      col("ts"), col("event_id"))
+      .withColumn("src", lag(col("dst"), 1).over(byUser))
+    pageRank(seq.where(col("src").isNotNull)
+      .select(col("src"), col("dst")), iters)
+  }
 }

@@ -151,4 +151,65 @@ object Curation {
       .select(col(srcCol), (col("i") + 1).cast("long").as("rank"),
         col("p.neighbor_id").as(idCol),
         col("p.cos").cast("long").as(lenCol))
+
+  /** Cross-document duplicated-SPAN coverage at word-k-gram
+    * granularity — the span-level exact-substring dedup signal (Lee
+    * et al. 2022, "Deduplicating Training Data Makes Language Models
+    * Better") that doc-level MinHash and line-level `lineDedup` both
+    * miss: a document that embeds a long verbatim quote of another
+    * is flagged here even when the rest of the page is unique.
+    *
+    * A token position is "duplicated" when some k-gram covering it
+    * occurs more than once in the corpus (counting within-document
+    * repeats — a self-plagiarizing page is boilerplate too). Output
+    * per document: token count, number of tokens covered by
+    * duplicated k-grams (overlapping duplicate starts are merged
+    * into spans, so a run of consecutive duplicate k-grams counts
+    * each token once), and the covered fraction.
+    *
+    * Scale shape: k-grams never leave the map side as text — each
+    * start position carries only the 8-byte xxhash64 of its k words,
+    * so the frequency count and the duplicate-start semi-join both
+    * shuffle 16-byte rows (the lineDedup layout, one granularity
+    * finer). The span merge is a per-document window over duplicate
+    * START positions only — bounded by the document's own token
+    * count, never global. A hash collision can only over-flag a
+    * span; acceptable curation semantics (same trade documented on
+    * [[lineDedup]]).
+    */
+  def substringDedup(docs: DataFrame, k: Int = 5,
+                     idCol: String = "doc_id",
+                     textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = docs.select(col(idCol),
+      split(col(textCol), " ").as("toks"))
+      .select(col(idCol), col("toks"),
+        size(col("toks")).cast("long").as("n_tokens"))
+    // one row per k-gram start: (doc, 1-based pos, 8-byte gram hash)
+    val grams = base.select(col(idCol), col("n_tokens"),
+      posexplode(when(col("n_tokens") >= k,
+        transform(sequence(lit(1), (col("n_tokens") - (k - 1)).cast("int")),
+          i => xxhash64(concat_ws(" ", slice(col("toks"), i, lit(k))))))
+        .otherwise(array().cast("array<long>"))).as(Seq("off", "gh")))
+      .select(col(idCol), (col("off") + 1).as("pos"), col("gh"))
+    val dupGrams = grams.groupBy(col("gh"))
+      .agg(count(lit(1)).as("c")).where(col("c") > 1).select("gh")
+    val dupStarts = grams.join(dupGrams, Seq("gh"), "left_semi")
+    // merge overlapping [pos, pos+k-1] spans: each duplicate start
+    // covers min(k, gap-to-next-duplicate-start) fresh tokens
+    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val covered = dupStarts
+      .withColumn("nxt", lead(col("pos"), 1).over(w))
+      .select(col(idCol),
+        least(lit(k), coalesce(col("nxt") - col("pos"), lit(k)))
+          .as("cov"))
+      .groupBy(col(idCol)).agg(sum(col("cov")).cast("long")
+        .as("dup_tokens"))
+    base.select(col(idCol), col("n_tokens"))
+      .join(covered, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        round(coalesce(col("dup_tokens"), lit(0L)) /
+          col("n_tokens").cast("double"), 6).as("dup_ratio"))
+  }
 }

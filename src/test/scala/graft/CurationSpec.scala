@@ -91,6 +91,33 @@ class CurationSpec extends SparkSpec {
     assert(out.length == 3)
   }
 
+  test("substringDedup merges overlapping duplicate 5-gram spans") {
+    val in = Seq(
+      (1L, "a b c d e f g h i j"),        // shares a..f with doc 2
+      (2L, "x a b c d e f y z w"),
+      (3L, "p q r s t u v"),              // fully unique
+      (4L, "m n o p q m n o p q"),        // self-repeating 5-gram
+      (5L, "a b"))                        // shorter than k
+      .toDF("doc_id", "text")
+    val out = Curation.substringDedup(in, k = 5).orderBy("doc_id")
+      .as[(Long, Long, Long, Double)].collect()
+    // doc 1: duplicate starts {1, 2} merge into tokens 1..6
+    assert(out(0) == ((1L, 10L, 6L, 0.6)))
+    // doc 2: starts {2, 3} cover tokens 2..7
+    assert(out(1) == ((2L, 10L, 6L, 0.6)))
+    assert(out(2) == ((3L, 7L, 0L, 0.0)))
+    // doc 4: "m n o p q" at starts {1, 6} covers all 10 tokens
+    assert(out(3) == ((4L, 10L, 10L, 1.0)))
+    // shorter than k: no grams, nothing flagged
+    assert(out(4) == ((5L, 2L, 0L, 0.0)))
+  }
+
+  test("substringDedup shuffles gram hashes, not gram text") {
+    val plan = Curation.substringDedup(docs, k = 5)
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("xxhash64"))
+  }
+
   test("sourceCap under-full sources emit all their rows") {
     val in = Seq(
       (1L, "a", 10L), (2L, "a", 20L), (3L, "a", 30L),
