@@ -1279,6 +1279,10 @@ object SparkEntry {
       Clustering.navigationRank(t(s, d, "events"), iters = 5)
         .orderBy(col("node"))),
 
+    "classifier_score" -> ((s, d) =>
+      TextAnalysis.classifierScore(t(s, d, "documents"))
+        .orderBy(col("doc_id"))),
+
     // same deterministic URL synthesis on both sides (pii_redact
     // precedent): scheme/case/www/tracking-param/fragment variants
     // of a shared (source, slug) page identity — what's under test
@@ -3297,6 +3301,22 @@ object SparkEntry {
            USING (node))
          SELECT node, round(rank, 6) AS rank FROM r5
          ORDER BY node""",
+
+    // hashed-linear classifier: integer char-polynomial feature hash
+    // per token (exact both engines), one deterministic double chain
+    "classifier_score" ->
+      """WITH f AS (
+           SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             list_sum(list_transform(string_split(text, ' '),
+               tok -> coalesce(list_sum(list_transform(
+                 range(1, length(tok) + 1),
+                 i -> ascii(tok[i]) * i)), 0) % 1009)) AS hsum
+           FROM documents)
+         SELECT doc_id, n_tokens,
+           round(1.0 / (1.0 + exp(-4.0 * (CAST(hsum AS DOUBLE)
+             / (1009.0 * n_tokens) - 0.5))), 6) AS quality
+         FROM f ORDER BY doc_id""",
 
     "url_canonical" ->
       """WITH u AS (

@@ -304,6 +304,37 @@ object TextAnalysis {
           / count(lit(1)), 6).as("cross_entropy"))
   }
 
+  /** fastText-style hashed-linear quality-classifier scoring (the
+    * CCNet / LLaMA-pipeline quality-filter stage, with the trained
+    * weight table replaced by a deterministic feature-hash weight so
+    * the score verifies cross-engine): each token maps through the
+    * char-polynomial feature hash to a weight in [-0.5, 0.5), the
+    * document logit is the mean token weight, and the score is its
+    * sigmoid at `slope`. To slot in real trained weights, the hash
+    * becomes the embedding-table index — the plan shape is
+    * unchanged.
+    *
+    * Scale shape: pure map-only scoring — ONE codegen'd kernel pass
+    * per document ([[graft.plans.TextHash.featureHashSum]]; no
+    * explode, no token objects, no shuffle of any kind) followed by
+    * a scalar expression. The per-document fold is integer-exact, so
+    * the score is bit-identical under any partitioning, and the only
+    * floating-point arithmetic is one deterministic scalar chain per
+    * row (shared verbatim with the oracle SQL). */
+  def classifierScore(docs: DataFrame, modulus: Int = 1009,
+                      slope: Double = 4.0, idCol: String = "doc_id",
+                      textCol: String = "text"): DataFrame = {
+    val nTok = size(split(col(textCol), " ")).cast("long")
+    docs.select(col(idCol), nTok.as("n_tokens"),
+      graft.plans.TextHashExpressions
+        .featureHashSum(col(textCol), modulus).as("hsum"))
+      .select(col(idCol), col("n_tokens"),
+        round(lit(1.0) / (lit(1.0) + exp(lit(-slope) *
+          (col("hsum").cast("double") /
+            (lit(modulus.toDouble) * col("n_tokens").cast("double")) -
+            lit(0.5)))), 6).as("quality"))
+  }
+
   /** Dataset-card summary per source: the corpus-level aggregate a
     * curation run reports (doc counts, size, token volume, language
     * spread, quality means). ONE partial-agged pass over the corpus —

@@ -45,6 +45,10 @@ object GraftFunctions {
       arity("graft_simhash64", args, 1)
       SimHash64(args(0))
     },
+    "graft_feature_hash_sum" -> { args =>
+      arity("graft_feature_hash_sum", args, 2)
+      FeatureHashSum(args(0), intLit("graft_feature_hash_sum", args(1)))
+    },
     "graft_float_dot" -> { args =>
       arity("graft_float_dot", args, 2)
       FloatDotProduct(args(0), args(1))

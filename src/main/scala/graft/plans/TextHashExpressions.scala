@@ -231,6 +231,31 @@ object TextHash {
     if (java.text.Normalizer.isNormalized(s, form)) u
     else UTF8String.fromString(java.text.Normalizer.normalize(s, form))
   }
+
+  /** Position-weighted char-polynomial feature hash of a
+    * space-tokenized string, one pass, no token objects: per token
+    * h = Σ codepoint(cᵢ)·i (i 1-based), and the return value is
+    * Σ_tokens (h mod modulus). The per-token hash is the oracle-
+    * portable feature-hashing primitive — SQL engines reproduce it
+    * as `list_sum(list_transform(range(1, length(tok)+1), i ->
+    * ascii(tok[i]) * i)) % modulus`, so a hashed-linear-model score
+    * built on it verifies cross-engine. Integer arithmetic
+    * throughout: the aggregate over tokens is exact and
+    * order-independent. */
+  def featureHashSum(text: UTF8String, modulus: Int): Long = {
+    val s = text.toString
+    var total = 0L
+    var h = 0L
+    var pos = 1L
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      if (cp == ' ') { total += h % modulus; h = 0L; pos = 1L }
+      else { h += cp.toLong * pos; pos += 1L }
+      i += Character.charCount(cp)
+    }
+    total + h % modulus
+  }
 }
 
 private[plans] trait LongArrayResult { self: Expression =>
@@ -356,6 +381,30 @@ case class NormalizeText(child: Expression, nfkc: Boolean)
     copy(child = newChild)
 }
 
+/** Per-token char-polynomial feature-hash sum — see
+  * TextHash.featureHashSum. */
+case class FeatureHashSum(child: Expression, modulus: Int)
+  extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"feature_hash_sum expects string, got ${other.simpleString}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextHash.featureHashSum(input.asInstanceOf[UTF8String], modulus)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.plans.TextHash.featureHashSum($c, $modulus)")
+
+  override protected def withNewChildInternal(newChild: Expression): FeatureHashSum =
+    copy(child = newChild)
+}
+
 case class PpjoinPairs(child: Expression, threshold: Double)
   extends UnaryExpression {
 
@@ -412,4 +461,9 @@ object TextHashExpressions {
   def normalizeText(text: Column, nfkc: Boolean = false): Column =
     GraftColumnShim.column(NormalizeText(
       GraftColumnShim.expression(text), nfkc))
+
+  /** Per-token char-polynomial feature-hash sum of a string column. */
+  def featureHashSum(text: Column, modulus: Int): Column =
+    GraftColumnShim.column(FeatureHashSum(
+      GraftColumnShim.expression(text), modulus))
 }

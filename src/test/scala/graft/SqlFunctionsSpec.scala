@@ -31,6 +31,16 @@ class SqlFunctionsSpec extends SparkSpec {
       .count() == 0)
   }
 
+  test("graft_feature_hash_sum matches the kernel and hand math from SQL") {
+    GraftSqlFunctions.register(spark)
+    // "ab cd": (97·1+98·2) % 1009 + (99·1+100·2) % 1009 = 293 + 299
+    val got = spark.sql(
+      "SELECT graft_feature_hash_sum('ab cd', 1009) AS h").head().getLong(0)
+    assert(got == 592L)
+    assert(spark.sql("SELECT graft_feature_hash_sum('', 1009) AS h")
+      .head().getLong(0) == 0L)
+  }
+
   test("graft_zorder interleaves from SQL like the kernel") {
     GraftSqlFunctions.register(spark)
     val got = spark.sql(

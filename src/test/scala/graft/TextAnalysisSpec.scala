@@ -222,6 +222,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(one == out)
   }
 
+  test("classifierScore: hand-computed logit, bounds, partition invariance") {
+    val in = Seq((1L, "ab cd"), (2L, "zz"), (3L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.classifierScore(in).orderBy("doc_id")
+      .as[(Long, Long, Double)].collect().toSeq
+    def score(hsum: Long, n: Long): Double = {
+      val s = hsum.toDouble / (1009.0 * n) - 0.5
+      BigDecimal(1.0 / (1.0 + math.exp(-4.0 * s)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    // "ab cd" → 293 + 299 (SqlFunctionsSpec math); "zz" → 122·1+122·2
+    assert(out == Seq((1L, 2L, score(592L, 2)),
+      (2L, 1L, score(366L, 1)), (3L, 1L, score(0L, 1))))
+    assert(out.forall { case (_, _, q) => q > 0.0 && q < 1.0 })
+    val shuffled = TextAnalysis.classifierScore(in.repartition(5))
+      .orderBy("doc_id").as[(Long, Long, Double)].collect().toSeq
+    assert(shuffled == out)
+  }
+
   test("sourceVocabOverlap estimates track exact set overlap") {
     val docs = graft.sources.Tables.load(spark,
       "/root/testdata/sf0.001", "documents")
