@@ -3243,11 +3243,14 @@ object SparkEntry {
     // five unrolled decimal-folded power iterations, d = 0.85; the
     // vertex set is the edge endpoints (matches Clustering.pageRank)
     "link_rank" ->
-      """WITH seq AS (
-           SELECT user_id, CAST(props->>'k' AS INTEGER) AS dst,
-             lag(CAST(props->>'k' AS INTEGER)) OVER (
-               PARTITION BY user_id ORDER BY ts, event_id) AS src
+      """WITH seq0 AS (
+           SELECT user_id, TRY_CAST(props->>'k' AS INTEGER) AS dst,
+             ts, event_id
            FROM events),
+         seq AS (
+           SELECT user_id, dst, lag(dst) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS src
+           FROM seq0 WHERE dst IS NOT NULL),
          edges AS (
            SELECT src, dst, count(*) AS cnt FROM seq
            WHERE src IS NOT NULL GROUP BY src, dst),

@@ -266,7 +266,12 @@ object Clustering {
         (col("cnt").cast("double") / col("od")).as("wt")))
     val nodes = w.select(col("src").as("node"))
       .union(w.select(col("dst").as("node"))).distinct()
-    // one-row vertex-count broadcast (BNLJ-allowlisted scalar attach)
+    // one-row vertex-count broadcast. NOTE: this scalar attach (and
+    // everything else before a ckpt) executes during PLAN BUILD — the
+    // eager localCheckpoint hands PlanLintSpec an RDD-scan leaf, so
+    // the registered query's lint does NOT sweep these stages. Keep
+    // pre-ckpt shapes trivially scale-safe by inspection: this one is
+    // a constant-size broadcast probe of a one-row aggregate.
     val nn = ckpt(nodes.crossJoin(
       broadcast(nodes.agg(count(lit(1)).cast("double").as("n")))))
     var rank = nn.select(col("node"), col("n"),
@@ -289,7 +294,10 @@ object Clustering {
 
   /** [[pageRank]] over the event-navigation graph: per user, each
     * consecutive pair of visited items (`props.k`, ordered by time
-    * with `event_id` as the unique tie-break) is a directed edge. */
+    * with `event_id` as the unique tie-break) is a directed edge.
+    * Events without a numeric `k` are dropped BEFORE the lag pairing
+    * (a malformed event must not appear as either endpoint, and a
+    * NULL node would silently swallow its inbound rank mass). */
   def navigationRank(events: DataFrame, iters: Int = 5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byUser = Window.partitionBy(col("user_id"))
@@ -297,6 +305,7 @@ object Clustering {
     val seq = events.select(col("user_id"),
       get_json_object(col("props"), "$.k").cast("int").as("dst"),
       col("ts"), col("event_id"))
+      .where(col("dst").isNotNull)
       .withColumn("src", lag(col("dst"), 1).over(byUser))
     pageRank(seq.where(col("src").isNotNull)
       .select(col("src"), col("dst")), iters)

@@ -317,14 +317,17 @@ object TextAnalysis {
     * Scale shape: pure map-only scoring — ONE codegen'd kernel pass
     * per document ([[graft.plans.TextHash.featureHashSum]]; no
     * explode, no token objects, no shuffle of any kind) followed by
-    * a scalar expression. The per-document fold is integer-exact, so
-    * the score is bit-identical under any partitioning, and the only
+    * a scalar expression. The token count is the space count + 1
+    * (exactly `size(split(text, ' '))`, without materializing the
+    * token array). The per-document fold is integer-exact, so the
+    * score is bit-identical under any partitioning, and the only
     * floating-point arithmetic is one deterministic scalar chain per
     * row (shared verbatim with the oracle SQL). */
   def classifierScore(docs: DataFrame, modulus: Int = 1009,
                       slope: Double = 4.0, idCol: String = "doc_id",
                       textCol: String = "text"): DataFrame = {
-    val nTok = size(split(col(textCol), " ")).cast("long")
+    val nTok = (length(col(textCol)) -
+      length(translate(col(textCol), " ", "")) + 1).cast("long")
     docs.select(col(idCol), nTok.as("n_tokens"),
       graft.plans.TextHashExpressions
         .featureHashSum(col(textCol), modulus).as("hsum"))
