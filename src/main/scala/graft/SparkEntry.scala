@@ -1283,6 +1283,13 @@ object SparkEntry {
       TextAnalysis.classifierScore(t(s, d, "documents"))
         .orderBy(col("doc_id"))),
 
+    // DSIR toward a fixed four-source "target domain" — the explicit
+    // IN list avoids lexicographic surprises (src10 < 'src2')
+    "dsir_weight" -> ((s, d) =>
+      TextAnalysis.dsirWeight(t(s, d, "documents"),
+        col("source").isin("src0", "src1", "src2", "src3"))
+        .orderBy(col("doc_id"))),
+
     // same deterministic URL synthesis on both sides (pii_redact
     // precedent): scheme/case/www/tracking-param/fragment variants
     // of a shared (source, slug) page identity — what's under test
@@ -3320,6 +3327,36 @@ object SparkEntry {
            round(1.0 / (1.0 + exp(-4.0 * (CAST(hsum AS DOUBLE)
              / (1009.0 * n_tokens) - 0.5))), 6) AS quality
          FROM f ORDER BY doc_id""",
+
+    // add-one-smoothed unigram importance ratios; Spark fuses raw +
+    // target counts into one aggregate, the oracle spells them out
+    "dsir_weight" ->
+      """WITH tok AS (
+           SELECT doc_id, source,
+             unnest(string_split(text, ' ')) AS term
+           FROM documents),
+         raw AS (SELECT term, count(*) AS rc FROM tok GROUP BY term),
+         tgt AS (SELECT term, count(*) AS tc FROM tok
+                 WHERE source IN ('src0','src1','src2','src3')
+                 GROUP BY term),
+         tot AS (SELECT
+             (SELECT CAST(count(*) AS DOUBLE) FROM tok) AS r_total,
+             (SELECT CAST(count(*) AS DOUBLE) FROM tok
+                WHERE source IN ('src0','src1','src2','src3'))
+               AS t_total,
+             (SELECT CAST(count(*) AS DOUBLE) FROM raw) AS v),
+         pt AS (
+           SELECT t.doc_id, round(
+               ln((COALESCE(g.tc, 0) + 1.0) / (tot.t_total + tot.v))
+             - ln((r.rc + 1.0) / (tot.r_total + tot.v)), 6) AS lw
+           FROM tok t
+           JOIN raw r USING (term)
+           LEFT JOIN tgt g USING (term)
+           CROSS JOIN tot)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           round(CAST(sum(CAST(lw AS DECIMAL(38,6))) AS DOUBLE), 6)
+             AS log_weight
+         FROM pt GROUP BY doc_id ORDER BY doc_id""",
 
     "url_canonical" ->
       """WITH u AS (

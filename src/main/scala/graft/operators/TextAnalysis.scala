@@ -304,6 +304,51 @@ object TextAnalysis {
           / count(lit(1)), 6).as("cross_entropy"))
   }
 
+  /** DSIR importance weights (Xie et al. '23, "Data Selection for
+    * Language Models via Importance Resampling"): per-document log
+    * importance of raw-corpus docs toward a TARGET domain —
+    * log w(d) = Σ_tokens [ln p̂_target(tok) − ln p̂_raw(tok)] under
+    * add-one-smoothed unigram distributions (smoothing vocabulary =
+    * the raw corpus's, so unseen-in-target terms get finite mass).
+    * Feed `log_weight` into [[Mixing]]'s PPS `weightedSample` (on
+    * exp of a capped weight) to complete the resampling step.
+    *
+    * Scale shape: ONE term-keyed frequency aggregate computes the
+    * raw AND target counts together (the target count is a
+    * conditional sum in the same partial agg — the oracle's two
+    * separate CTEs, one shuffle), with tokens carrying 16-byte
+    * xxhash64 keys so term strings never shuffle; corpus totals and
+    * vocabulary size are a one-row broadcast (PlanLint-allowlisted
+    * scalar attach, unigramSurprisal precedent). Per-token log
+    * ratios round to 6 dp then fold through DECIMAL(38,6) — the
+    * result is a pure function of the token multiset under any
+    * partitioning. Hash collisions can only merge term counts
+    * (noise well under the rounding at realistic vocabularies). */
+  def dsirWeight(docs: DataFrame, targetPred: Column,
+                 idCol: String = "doc_id",
+                 textCol: String = "text"): DataFrame = {
+    val tok = docs.select(col(idCol), targetPred.as("is_t"),
+      explode(split(col(textCol), " ")).as("term"))
+      .select(col(idCol), col("is_t"), xxhash64(col("term")).as("th"))
+    val freq = tok.groupBy(col("th")).agg(
+      count(lit(1)).as("rc"),
+      sum(when(col("is_t"), lit(1L)).otherwise(lit(0L))).as("tc"))
+    val tot = freq.groupBy().agg(
+      sum(col("rc")).cast("double").as("r_total"),
+      sum(col("tc")).cast("double").as("t_total"),
+      count(lit(1)).cast("double").as("v"))
+    tok.join(freq, "th")
+      .crossJoin(broadcast(tot))
+      .select(col(idCol), round(
+        log((col("tc") + lit(1.0)) / (col("t_total") + col("v"))) -
+          log((col("rc") + lit(1.0)) / (col("r_total") + col("v"))), 6)
+        .as("lw"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(sum(col("lw").cast("decimal(38,6)")).cast("double"), 6)
+          .as("log_weight"))
+  }
+
   /** fastText-style hashed-linear quality-classifier scoring (the
     * CCNet / LLaMA-pipeline quality-filter stage, with the trained
     * weight table replaced by a deterministic feature-hash weight so

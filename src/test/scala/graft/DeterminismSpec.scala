@@ -80,6 +80,29 @@ class DeterminismSpec extends SparkSpec {
     }
   }
 
+  test("substringDedup is partitioning- and order-invariant") {
+    for (seed <- 1 to 8) {
+      val rows = randDocs(300 + seed)
+      val a = rows.toDF("doc_id", "text")
+      val b = new scala.util.Random(seed).shuffle(rows)
+        .toDF("doc_id", "text").repartition(6)
+      assert(canon(Curation.substringDedup(a, k = 3)) ==
+        canon(Curation.substringDedup(b, k = 3)), s"seed=$seed")
+    }
+  }
+
+  test("dsirWeight is partitioning- and order-invariant") {
+    for (seed <- 1 to 8) {
+      val rows = randDocs(400 + seed)
+      val a = rows.toDF("doc_id", "text")
+      val b = new scala.util.Random(seed).shuffle(rows)
+        .toDF("doc_id", "text").repartition(6)
+      assert(canon(TextAnalysis.dsirWeight(a, col("doc_id") % 3 === 0)) ==
+        canon(TextAnalysis.dsirWeight(b, col("doc_id") % 3 === 0)),
+        s"seed=$seed")
+    }
+  }
+
   test("lineDedup reassembly is the identity when nothing is frequent") {
     for (seed <- 1 to 8) {
       val docs = randDocs(400 + seed)

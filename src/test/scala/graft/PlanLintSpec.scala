@@ -34,6 +34,7 @@ class PlanLintSpec extends SparkSpec {
     "mixture_sample" -> "one-row global n_max broadcast",
     "tfidf_topk" -> "scalar corpus-doc-count broadcast",
     "unigram_score" -> "one-row corpus-token-total broadcast",
+    "dsir_weight" -> "one-row corpus-totals + vocabulary-size broadcast",
     "bm25_topk" -> "one-row doc-count + token-total broadcasts",
     "join_blowup" -> "one-row grand-total broadcast for the share column",
     "source_overlap" ->

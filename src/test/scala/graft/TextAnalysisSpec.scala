@@ -222,6 +222,37 @@ class TextAnalysisSpec extends SparkSpec {
     assert(one == out)
   }
 
+  test("dsirWeight: hand-computed smoothed log ratios, target docs skew up") {
+    val in = Seq((1L, "a a b"), (2L, "a b b")).toDF("doc_id", "text")
+    val out = TextAnalysis.dsirWeight(in, col("doc_id") === 1)
+      .orderBy("doc_id").as[(Long, Long, Double)].collect().toSeq
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // raw: a×3 b×3 (R=6, V=2); target doc 1: a×2 b×1 (T=3)
+    val lwA = r6(math.log(3.0 / 5.0) - math.log(4.0 / 8.0))
+    val lwB = r6(math.log(2.0 / 5.0) - math.log(4.0 / 8.0))
+    assert(out == Seq(
+      (1L, 3L, r6(2 * lwA + lwB)),
+      (2L, 3L, r6(lwA + 2 * lwB))))
+    // the target doc weighs above the non-target doc
+    assert(out(0)._3 > out(1)._3)
+    val shuffled = TextAnalysis.dsirWeight(in.repartition(5),
+      col("doc_id") === 1).orderBy("doc_id")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(shuffled == out)
+  }
+
+  test("classifierScore is a single map-only kernel pass (no shuffle)") {
+    val docs = graft.sources.Tables.load(spark, "/root/testdata/sf0.001",
+      "documents")
+    val plan = TextAnalysis.classifierScore(docs)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"classifier scoring should not shuffle:\n$plan")
+    assert(plan.toLowerCase.contains("featurehashsum"),
+      "the codegen'd kernel should be in the plan")
+  }
+
   test("classifierScore: hand-computed logit, bounds, partition invariance") {
     val in = Seq((1L, "ab cd"), (2L, "zz"), (3L, "")).toDF("doc_id", "text")
     val out = TextAnalysis.classifierScore(in).orderBy("doc_id")
