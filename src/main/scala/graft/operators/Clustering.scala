@@ -253,7 +253,8 @@ object Clustering {
     * edge leaf — no self-join of growing plans — so depth (and
     * stats) grow linearly and a short fixed-iteration run executes
     * as ONE lazy job instead of paying a per-round materialization
-    * (measured 6× on the bench fixture). */
+    * (measured 6× on the bench fixture). `ckptEvery <= 0` disables
+    * the rank checkpoint entirely. */
   def pageRank(edges: DataFrame, iters: Int = 5,
                damping: Double = 0.85, ckptEvery: Int = 10): DataFrame = {
     // (1 - damping) computed in DECIMAL string space: the double
@@ -292,7 +293,7 @@ object Clustering {
           (lit(teleport) / col("n") +
             lit(damping) * coalesce(col("contrib"), lit(0.0)))
             .as("rank"))
-      rank = if (i % ckptEvery == 0) ckpt(next) else next
+      rank = if (ckptEvery > 0 && i % ckptEvery == 0) ckpt(next) else next
     }
     rank.select(col("node"), round(col("rank"), 6).as("rank"))
   }

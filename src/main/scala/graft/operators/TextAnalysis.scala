@@ -283,7 +283,7 @@ object TextAnalysis {
     * Determinism: per-token surprisal is rounded to 6 dp, the sums
     * run in DECIMAL, so the score is a pure function of the token
     * multiset (no FP visit-order drift under any partitioning).
-    * Plan shape: tokens carry a 16-byte xxhash64 key through both
+    * Plan shape: tokens carry an 8-byte xxhash64 key through both
     * the frequency aggregate and the join back (the raw term string
     * never shuffles); the corpus token total is a one-row broadcast.
     * Hash collisions can only merge two terms' counts (noise well
@@ -313,10 +313,19 @@ object TextAnalysis {
     * Feed `log_weight` into [[Mixing]]'s PPS `weightedSample` (on
     * exp of a capped weight) to complete the resampling step.
     *
+    * Tokenization is the raw single-space split shared with the
+    * byte-exact curation family ([[Curation.substringDedup]],
+    * [[classifierScore]]) — NOT [[graft.functions.wordTokens]]'s
+    * lower+\s+ fold used by the retrieval scores: importance
+    * estimation should see the text the way dedup does; compose
+    * `lower`/`graft_normalize_text` upstream when case-folded
+    * distributions are wanted (the oracle is then the same literal
+    * `string_split`).
+    *
     * Scale shape: ONE term-keyed frequency aggregate computes the
     * raw AND target counts together (the target count is a
     * conditional sum in the same partial agg — the oracle's two
-    * separate CTEs, one shuffle), with tokens carrying 16-byte
+    * separate CTEs, one shuffle), with tokens carrying 8-byte
     * xxhash64 keys so term strings never shuffle; corpus totals and
     * vocabulary size are a one-row broadcast (PlanLint-allowlisted
     * scalar attach, unigramSurprisal precedent). Per-token log
