@@ -1283,6 +1283,15 @@ object SparkEntry {
       TextAnalysis.classifierScore(t(s, d, "documents"))
         .orderBy(col("doc_id"))),
 
+    "bpe_pair_counts" -> ((s, d) =>
+      Bpe.pairCounts(t(s, d, "documents"))
+        .orderBy(col("sym_a"), col("sym_b"))),
+
+    // rows-only: iterative argmax has no single-query SQL form
+    "bpe_train" -> ((s, d) =>
+      Bpe.train(t(s, d, "documents"), merges = 6)
+        .orderBy(col("rank"))),
+
     // DSIR toward a fixed four-source "target domain" — the explicit
     // IN list avoids lexicographic surprises (src10 < 'src2')
     "dsir_weight" -> ((s, d) =>
@@ -3327,6 +3336,25 @@ object SparkEntry {
            round(1.0 / (1.0 + exp(-4.0 * (CAST(hsum AS DOUBLE)
              / (1009.0 * n_tokens) - 0.5))), 6) AS quality
          FROM f ORDER BY doc_id""",
+
+    // char pairs via list indexing; '|' join is safe at the initial
+    // (single-char) vocabulary this entry scores
+    "bpe_pair_counts" ->
+      """WITH words AS (
+           SELECT w, count(*) AS freq FROM (
+             SELECT unnest(string_split(text, ' ')) AS w
+             FROM documents)
+           WHERE w <> '' GROUP BY w),
+         chars AS (SELECT w, freq, string_split(w, '') AS cs
+                   FROM words),
+         pairs AS (
+           SELECT unnest(list_transform(range(1, len(cs)), i ->
+             cs[i] || '|' || cs[i+1])) AS pair, freq
+           FROM chars WHERE len(cs) >= 2)
+         SELECT split_part(pair, '|', 1) AS sym_a,
+           split_part(pair, '|', 2) AS sym_b,
+           CAST(sum(freq) AS BIGINT) AS n
+         FROM pairs GROUP BY 1, 2 ORDER BY 1, 2""",
 
     // add-one-smoothed unigram importance ratios; Spark fuses raw +
     // target counts into one aggregate, the oracle spells them out

@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed BPE tokenizer-training support (Sennrich et al. '16 —
+  * the preprocessing step every training-data pipeline runs before
+  * token counting and sequence packing can be tokenizer-faithful).
+  *
+  * The scale trick is the classic one: after ONE pass over the
+  * corpus to build the word-frequency table, every merge iteration
+  * runs on the DISTINCT-WORD symbol table weighted by frequency —
+  * model-state scale (|vocabulary| rows), not corpus scale. A 100 TB
+  * corpus and a 100 GB corpus with the same vocabulary pay the same
+  * per-iteration cost.
+  */
+object Bpe {
+
+  /** Word-frequency table: one corpus pass, 8-byte-ish rows after
+    * the tokenize (the word string is the aggregation key — words
+    * are short and the output is vocabulary-sized). Empty tokens
+    * (consecutive spaces) are dropped on both engines. */
+  private def wordFreq(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(split(col(textCol), " ")).as("w"))
+      .where(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+
+  private def pairStats(vocab: DataFrame): DataFrame =
+    vocab.where(size(col("cs")) >= 2)
+      .select(col("freq"), explode(
+        transform(sequence(lit(1), size(col("cs")) - 1),
+          i => struct(element_at(col("cs"), i).as("sym_a"),
+            element_at(col("cs"), i + 1).as("sym_b")))).as("p"))
+      .groupBy(col("p.sym_a").as("sym_a"), col("p.sym_b").as("sym_b"))
+      .agg(sum(col("freq")).as("n"))
+
+  /** Adjacent symbol-pair statistics of the initial (character)
+    * vocabulary — the first BPE merge iteration's decision table,
+    * frequency-weighted. Partial-agged pair counts over the distinct
+    * word table; the corpus itself is touched only by the word
+    * frequency pass. */
+  def pairCounts(docs: DataFrame, textCol: String = "text"): DataFrame =
+    pairStats(wordFreq(docs, textCol)
+      .select(col("w"), col("freq"), split(col("w"), "").as("cs")))
+      .select(col("sym_a"), col("sym_b"), col("n").cast("long").as("n"))
+
+  /** `merges` greedy BPE merge iterations; returns the merge table
+    * (rank, left, right, pair frequency at selection time) — the
+    * artifact a tokenizer loads. Ties break deterministically on
+    * (count desc, left asc, right asc).
+    *
+    * Per iteration: one pair-count aggregate over the |vocab|-row
+    * symbol table, a 1-row argmax collect (model state, the
+    * IVF-centroid precedent — this is the algorithm's sequential
+    * dependency, not data movement), and a map-side greedy-left
+    * fold that applies the merge inside each word. The symbol table
+    * is checkpointed per round: the fold's higher-order expressions
+    * would otherwise nest `merges` deep in one plan. */
+  def train(docs: DataFrame, merges: Int,
+            textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    var vocab = ckpt(wordFreq(docs, textCol)
+      .select(col("w"), col("freq"), split(col("w"), "").as("cs")))
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var r = 1
+    var done = false
+    while (r <= merges && !done) {
+      val top = pairStats(vocab)
+        .orderBy(desc("n"), col("sym_a"), col("sym_b")).limit(1).collect()
+      if (top.isEmpty) done = true
+      else {
+        val (a, b, n) =
+          (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        out += ((r, a, b, n))
+        val merged = a + b
+        // greedy LEFT-to-right application — "aaa" under (a,a) merges
+        // to [aa, a], the standard BPE semantics — as a sequential
+        // array fold: append, or coalesce with the accumulator's last
+        // element when (last, current) is the chosen pair
+        vocab = ckpt(vocab.withColumn("cs",
+          aggregate(col("cs"),
+            array().cast("array<string>"),
+            (acc, x) => when(
+              size(acc) > 0 && element_at(acc, -1) === lit(a) &&
+                x === lit(b),
+              concat(slice(acc, lit(1), size(acc) - 1),
+                array(lit(merged))))
+              .otherwise(concat(acc, array(x))))))
+        r += 1
+      }
+    }
+    import spark.implicits._
+    out.toSeq.toDF("rank", "left", "right", "n")
+  }
+
+  private def ckpt(df: DataFrame): DataFrame =
+    org.apache.spark.sql.GraftPlanReset.freshLeaf(
+      df.localCheckpoint(eager = true))
+}

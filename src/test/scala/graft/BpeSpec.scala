@@ -1,0 +1,71 @@
+package graft
+
+import graft.operators.Bpe
+
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Sequential reference BPE trainer, same tie-break
+    * (count desc, left asc, right asc), greedy-left merge. */
+  private def refBpe(words: Map[String, Long],
+                     merges: Int): Seq[(Int, String, String, Long)] = {
+    var vocab: Map[Vector[String], Long] =
+      words.map { case (w, f) => (w.map(_.toString).toVector, f) }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var r = 1
+    var stop = false
+    while (r <= merges && !stop) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+        .withDefaultValue(0L)
+      for ((syms, f) <- vocab; i <- 0 until syms.length - 1)
+        counts((syms(i), syms(i + 1))) += f
+      if (counts.isEmpty) stop = true
+      else {
+        val ((a, b), n) = counts.toSeq
+          .minBy { case ((x, y), c) => (-c, x, y) }
+        out += ((r, a, b, n))
+        def mergeWord(v: Vector[String]): Vector[String] =
+          v.foldLeft(Vector.empty[String])((acc, x) =>
+            if (acc.nonEmpty && acc.last == a && x == b) acc.init :+ (a + b)
+            else acc :+ x)
+        vocab = vocab.toSeq.map { case (v, f) => (mergeWord(v), f) }
+          .groupMapReduce(_._1)(_._2)(_ + _)
+        r += 1
+      }
+    }
+    out.toSeq
+  }
+
+  test("train matches the sequential reference on the classic corpus") {
+    // the Sennrich et al. '16 walkthrough vocabulary
+    val freq = Map("low" -> 5L, "lower" -> 2L, "newest" -> 6L,
+      "widest" -> 3L)
+    val text = freq.toSeq.sortBy(_._1)
+      .flatMap { case (w, f) => Seq.fill(f.toInt)(w) }.mkString(" ")
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+    val got = Bpe.train(docs, merges = 8).orderBy("rank")
+      .as[(Int, String, String, Long)].collect().toSeq
+    val want = refBpe(freq, 8)
+    assert(got == want)
+    assert(got.head._4 == 9L) // ("e","s") at 6 + 3 wins round 1
+  }
+
+  test("pairCounts hand-counts; greedy-left fold handles symbol runs") {
+    val docs = Seq((1L, "aaa aaa ab")).toDF("doc_id", "text")
+    val pc = Bpe.pairCounts(docs).orderBy("sym_a", "sym_b")
+      .as[(String, String, Long)].collect().toSeq
+    assert(pc == Seq(("a", "a", 4L), ("a", "b", 1L)))
+    // after merging (a,a): "aaa" → [aa, a] (left-to-right), so round
+    // 2's best pair is (aa, a) at the two "aaa" occurrences
+    val m = Bpe.train(docs, merges = 2).orderBy("rank")
+      .as[(Int, String, String, Long)].collect().toSeq
+    assert(m == Seq((1, "a", "a", 4L), (2, "aa", "a", 2L)))
+  }
+
+  test("train stops early when no pairs remain") {
+    val docs = Seq((1L, "ab ab")).toDF("doc_id", "text")
+    val m = Bpe.train(docs, merges = 5).orderBy("rank")
+      .as[(Int, String, String, Long)].collect().toSeq
+    assert(m == Seq((1, "a", "b", 2L)))
+  }
+}
