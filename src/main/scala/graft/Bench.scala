@@ -60,7 +60,7 @@ object Bench {
       "segment_dedup", "ann_bruteforce", "dedup_exact", "q1_pricing",
       "winsorize", "item_cooccur", "q6_revenue_delta", "fuzzy_join",
       "concurrency_profile", "join_blowup", "q8_market_share",
-      "link_rank")
+      "link_rank", "substring_dedup", "dsir_weight")
       .filter(results.map(_._1).toSet)
     val loDir = sfDir.replaceAll("sf[0-9.]+$", "sf0.01")
     def sfOf(dir: String): Double =
