@@ -25,6 +25,13 @@ object Bpe {
       .where(col("w") =!= "")
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
 
+  /** (freq, cs) symbol table over the distinct words — the word
+    * string itself is never read past this point, so it is not
+    * carried into the per-round checkpoints. */
+  private def symbolTable(docs: DataFrame, textCol: String): DataFrame =
+    wordFreq(docs, textCol)
+      .select(col("freq"), split(col("w"), "").as("cs"))
+
   private def pairStats(vocab: DataFrame): DataFrame =
     vocab.where(size(col("cs")) >= 2)
       .select(col("freq"), explode(
@@ -40,8 +47,7 @@ object Bpe {
     * word table; the corpus itself is touched only by the word
     * frequency pass. */
   def pairCounts(docs: DataFrame, textCol: String = "text"): DataFrame =
-    pairStats(wordFreq(docs, textCol)
-      .select(col("w"), col("freq"), split(col("w"), "").as("cs")))
+    pairStats(symbolTable(docs, textCol))
       .select(col("sym_a"), col("sym_b"), col("n").cast("long").as("n"))
 
   /** `merges` greedy BPE merge iterations; returns the merge table
@@ -59,8 +65,7 @@ object Bpe {
   def train(docs: DataFrame, merges: Int,
             textCol: String = "text"): DataFrame = {
     val spark = docs.sparkSession
-    var vocab = ckpt(wordFreq(docs, textCol)
-      .select(col("w"), col("freq"), split(col("w"), "").as("cs")))
+    var vocab = ckpt(symbolTable(docs, textCol))
     val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var r = 1
     var done = false
@@ -76,16 +81,20 @@ object Bpe {
         // greedy LEFT-to-right application — "aaa" under (a,a) merges
         // to [aa, a], the standard BPE semantics — as a sequential
         // array fold: append, or coalesce with the accumulator's last
-        // element when (last, current) is the chosen pair
-        vocab = ckpt(vocab.withColumn("cs",
-          aggregate(col("cs"),
-            array().cast("array<string>"),
-            (acc, x) => when(
-              size(acc) > 0 && element_at(acc, -1) === lit(a) &&
-                x === lit(b),
-              concat(slice(acc, lit(1), size(acc) - 1),
-                array(lit(merged))))
-              .otherwise(concat(acc, array(x))))))
+        // element when (last, current) is the chosen pair. The final
+        // round's selection needs no fold: nothing reads the merged
+        // table afterwards.
+        if (r < merges) {
+          vocab = ckpt(vocab.withColumn("cs",
+            aggregate(col("cs"),
+              array().cast("array<string>"),
+              (acc, x) => when(
+                size(acc) > 0 && element_at(acc, -1) === lit(a) &&
+                  x === lit(b),
+                concat(slice(acc, lit(1), size(acc) - 1),
+                  array(lit(merged))))
+                .otherwise(concat(acc, array(x))))))
+        }
         r += 1
       }
     }
@@ -94,6 +103,5 @@ object Bpe {
   }
 
   private def ckpt(df: DataFrame): DataFrame =
-    org.apache.spark.sql.GraftPlanReset.freshLeaf(
-      df.localCheckpoint(eager = true))
+    org.apache.spark.sql.GraftPlanReset.checkpointLeaf(df)
 }

@@ -58,8 +58,7 @@ object Clustering {
   // until the driver stalls inside stats estimation (see
   // GraftPlanReset).
   private def ckpt(df: DataFrame): DataFrame =
-    org.apache.spark.sql.GraftPlanReset.freshLeaf(
-      df.localCheckpoint(eager = true))
+    org.apache.spark.sql.GraftPlanReset.checkpointLeaf(df)
 
   private def componentsOnSym(vertices: DataFrame, sym: DataFrame,
                               maxIter: Int,

@@ -34,6 +34,12 @@ object GraftPlanReset {
     cs.internalCreateDataFrame(
       df.queryExecution.toRdd, df.schema, isStreaming = false)
   }
+
+  /** The iterative-loop checkpoint idiom (CC loop, PageRank, BPE):
+    * eager localCheckpoint to truncate lineage, then [[freshLeaf]]
+    * to drop the inherited plan statistics. */
+  def checkpointLeaf(df: DataFrame): DataFrame =
+    freshLeaf(df.localCheckpoint(eager = true))
 }
 
 /** Runtime registration of the graft_* SQL functions on a live
