@@ -1292,6 +1292,11 @@ object SparkEntry {
       Bpe.train(t(s, d, "documents"), merges = 6)
         .orderBy(col("rank"))),
 
+    // rows-only: tokenizer-faithful counts under the trained table
+    "bpe_encode" -> ((s, d) =>
+      Bpe.tokenCounts(t(s, d, "documents"), merges = 6)
+        .orderBy(col("doc_id"))),
+
     // DSIR toward a fixed four-source "target domain" — the explicit
     // IN list avoids lexicographic surprises (src10 < 'src2')
     "dsir_weight" -> ((s, d) =>

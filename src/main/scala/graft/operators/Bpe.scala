@@ -102,6 +102,32 @@ object Bpe {
     out.toSeq.toDF("rank", "left", "right", "n")
   }
 
+  /** Tokenize with a trained merge table ([[graft.plans.BpeEncoder]]
+    * — rank-ordered greedy application, one codegen'd map pass, the
+    * table broadcast inside the expression). Output keeps the token
+    * array plus its count. */
+  def encode(docs: DataFrame, merges: Seq[(String, String)],
+             idCol: String = "doc_id",
+             textCol: String = "text"): DataFrame =
+    docs.select(col(idCol),
+      graft.plans.BpeExpressions.bpeEncode(col(textCol), merges)
+        .as("tokens"))
+      .select(col(idCol), col("tokens"),
+        size(col("tokens")).cast("long").as("n_tokens"))
+
+  /** train → encode in one call: tokenizer-FAITHFUL token counts
+    * (what `token_count`'s whitespace/regex heuristics approximate).
+    * The merge table is model state — `merges` rows collected once
+    * and embedded in the encode kernel. */
+  def tokenCounts(docs: DataFrame, merges: Int,
+                  idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame = {
+    val table = train(docs, merges, textCol).orderBy(col("rank"))
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    encode(docs, table, idCol, textCol)
+      .select(col(idCol), col("n_tokens"))
+  }
+
   private def ckpt(df: DataFrame): DataFrame =
     org.apache.spark.sql.GraftPlanReset.checkpointLeaf(df)
 }

@@ -62,6 +62,65 @@ class BpeSpec extends SparkSpec {
     assert(m == Seq((1, "a", "a", 4L), (2, "aa", "a", 2L)))
   }
 
+  /** Sequential reference encoder: rank-ordered greedy merges. */
+  private def refEncode(word: String,
+                        merges: Seq[(String, String)]): Seq[String] = {
+    val rank = merges.zipWithIndex.toMap
+    var syms = word.map(_.toString).toVector
+    var done = false
+    while (!done && syms.length >= 2) {
+      val cands = syms.indices.dropRight(1)
+        .flatMap(i => rank.get((syms(i), syms(i + 1))).map((_, i)))
+      if (cands.isEmpty) done = true
+      else {
+        val (a, b) = merges(cands.map(_._1).min)
+        syms = syms.foldLeft(Vector.empty[String])((acc, x) =>
+          if (acc.nonEmpty && acc.last == a && x == b) acc.init :+ (a + b)
+          else acc :+ x)
+      }
+    }
+    syms
+  }
+
+  test("encode matches the reference, incl. unseen words; reassembles") {
+    val freq = Map("low" -> 5L, "lower" -> 2L, "newest" -> 6L,
+      "widest" -> 3L)
+    val corpus = freq.toSeq.sortBy(_._1)
+      .flatMap { case (w, f) => Seq.fill(f.toInt)(w) }.mkString(" ")
+    val docs = Seq((1L, corpus)).toDF("doc_id", "text")
+    val table = Bpe.train(docs, merges = 8).orderBy("rank")
+      .as[(Int, String, String, Long)].collect().toSeq
+      .map(m => (m._2, m._3))
+    // "lowest" is NOT in the training vocabulary
+    val probe = Seq((1L, "newest lowest low"), (2L, "")).toDF("doc_id", "text")
+    val got = Bpe.encode(probe, table).orderBy("doc_id")
+      .as[(Long, Seq[String], Long)].collect().toSeq
+    val want1 = Seq("newest", "lowest", "low").flatMap(refEncode(_, table))
+    assert(got(0)._2 == want1)
+    assert(got(0)._3 == want1.length.toLong)
+    // encoding is lossless: tokens concatenate back to the words
+    assert(got(0)._2.mkString == "newestlowestlow")
+    assert(got(1)._2 == Seq.empty && got(1)._3 == 0L)
+    // an empty merge table degrades to the character vocabulary
+    val chars = Bpe.encode(Seq((1L, "ab c")).toDF("doc_id", "text"), Seq.empty)
+      .as[(Long, Seq[String], Long)].head()
+    assert(chars._2 == Seq("a", "b", "c") && chars._3 == 3L)
+  }
+
+  test("tokenCounts: trained merges compress counts below char count") {
+    val docs = graft.sources.Tables.load(spark,
+      "/root/testdata/sf0.001", "documents")
+    val out = Bpe.tokenCounts(docs, merges = 4)
+      .as[(Long, Long)].collect().toMap
+    val chars = docs.selectExpr("doc_id",
+      "cast(length(replace(text, ' ', '')) as long) AS n").as[(Long, Long)]
+      .collect().toMap
+    assert(out.keySet == chars.keySet)
+    // merges only ever shrink the token stream, never below 1 per word
+    assert(out.forall { case (id, n) => n <= chars(id) && n > 0 })
+    assert(out.values.sum < chars.values.sum, "4 merges must compress")
+  }
+
   test("train stops early when no pairs remain") {
     val docs = Seq((1L, "ab ab")).toDF("doc_id", "text")
     val m = Bpe.train(docs, merges = 5).orderBy("rank")
