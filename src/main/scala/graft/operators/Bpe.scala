@@ -124,8 +124,10 @@ object Bpe {
                   textCol: String = "text"): DataFrame = {
     val table = train(docs, merges, textCol).orderBy(col("rank"))
       .collect().map(r => (r.getString(1), r.getString(2))).toSeq
-    encode(docs, table, idCol, textCol)
-      .select(col(idCol), col("n_tokens"))
+    // count-only kernel: no per-token UTF8String materialization
+    docs.select(col(idCol),
+      graft.plans.BpeExpressions.bpeTokenCount(col(textCol), table)
+        .as("n_tokens"))
   }
 
   private def ckpt(df: DataFrame): DataFrame =

@@ -24,27 +24,32 @@ import org.apache.spark.unsafe.types.UTF8String
   * `split(w, "")` for BMP text.
   */
 class BpeEncoder(merges: Array[Array[String]]) extends Serializable {
-  // NUL joins pair keys: symbols never contain it, so distinct
-  // pairs cannot collide
-  @transient private lazy val rank: java.util.HashMap[String, Integer] = {
-    val m = new java.util.HashMap[String, Integer](merges.length * 2)
+  // tuple keys: no separator byte to collide with, whatever bytes
+  // the corpus's symbols contain (dirty crawls do ship NULs)
+  @transient private lazy val rank: java.util.HashMap[(String, String), Integer] = {
+    val m = new java.util.HashMap[(String, String), Integer](merges.length * 2)
     var i = 0
     while (i < merges.length) {
-      m.put(merges(i)(0) + "\u0000" + merges(i)(1), i); i += 1
+      m.put((merges(i)(0), merges(i)(1)), i); i += 1
     }
     m
   }
 
-  private def encodeWord(word: String,
-                         out: scala.collection.mutable.ArrayBuffer[Any]): Unit = {
-    var syms: Array[String] = word.map(_.toString).toArray
+  /** Initial symbols are CODE POINTS, matching training's regex
+    * `split(w, "")` — a surrogate pair stays one symbol. */
+  private def initialSyms(word: String): Array[String] =
+    word.codePoints().toArray
+      .map(cp => new String(Character.toChars(cp)))
+
+  private def encodeWord(word: String): Array[String] = {
+    var syms: Array[String] = initialSyms(word)
     var done = false
     while (!done && syms.length >= 2) {
       var best = Int.MaxValue
       var bi = -1
       var i = 0
       while (i < syms.length - 1) {
-        val r = rank.get(syms(i) + "\u0000" + syms(i + 1))
+        val r = rank.get((syms(i), syms(i + 1)))
         if (r != null && r < best) { best = r; bi = i }
         i += 1
       }
@@ -61,8 +66,7 @@ class BpeEncoder(merges: Array[Array[String]]) extends Serializable {
         syms = buf.toArray
       }
     }
-    var k = 0
-    while (k < syms.length) { out += UTF8String.fromString(syms(k)); k += 1 }
+    syms
   }
 
   def encode(text: UTF8String): ArrayData = {
@@ -70,10 +74,29 @@ class BpeEncoder(merges: Array[Array[String]]) extends Serializable {
     val out = new scala.collection.mutable.ArrayBuffer[Any]
     var i = 0
     while (i < words.length) {
-      if (words(i).nonEmpty) encodeWord(words(i), out)
+      if (words(i).nonEmpty) {
+        val syms = encodeWord(words(i))
+        var k = 0
+        while (k < syms.length) {
+          out += UTF8String.fromString(syms(k)); k += 1
+        }
+      }
       i += 1
     }
     new GenericArrayData(out.toArray)
+  }
+
+  /** Token COUNT without materializing the token array — the count
+    * path allocates no UTF8String per token. */
+  def countTokens(text: UTF8String): Long = {
+    val words = text.toString.split(" ", -1)
+    var n = 0L
+    var i = 0
+    while (i < words.length) {
+      if (words(i).nonEmpty) n += encodeWord(words(i)).length
+      i += 1
+    }
+    n
   }
 }
 
@@ -107,9 +130,43 @@ case class BpeEncode(child: Expression, merges: Seq[(String, String)])
     copy(child = newChild)
 }
 
+/** BPE token COUNT of a space-tokenized string — the no-allocation
+  * sibling of [[BpeEncode]] for count-only consumers. */
+case class BpeTokenCount(child: Expression, merges: Seq[(String, String)])
+  extends UnaryExpression {
+
+  @transient private lazy val encoder =
+    new BpeEncoder(merges.map(p => Array(p._1, p._2)).toArray)
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"bpe_token_count expects string, got ${other.simpleString}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    encoder.countTokens(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeEncoder", encoder,
+      classOf[BpeEncoder].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.countTokens($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeTokenCount =
+    copy(child = newChild)
+}
+
 object BpeExpressions {
   /** BPE token array of a text column under a trained merge table. */
   def bpeEncode(text: Column, merges: Seq[(String, String)]): Column =
     GraftColumnShim.column(BpeEncode(
+      GraftColumnShim.expression(text), merges))
+
+  /** BPE token count of a text column under a trained merge table. */
+  def bpeTokenCount(text: Column, merges: Seq[(String, String)]): Column =
+    GraftColumnShim.column(BpeTokenCount(
       GraftColumnShim.expression(text), merges))
 }

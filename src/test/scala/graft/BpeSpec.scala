@@ -107,6 +107,16 @@ class BpeSpec extends SparkSpec {
     assert(chars._2 == Seq("a", "b", "c") && chars._3 == 3L)
   }
 
+  test("encode keeps astral code points as single symbols") {
+    val emoji = new String(Character.toChars(0x1F600))
+    val out = Bpe.encode(Seq((1L, emoji + "a")).toDF("doc_id", "text"),
+      Seq.empty).as[(Long, Seq[String], Long)].head()
+    // a surrogate pair is ONE symbol (training's split(w, "")
+    // semantics), and reassembly stays lossless
+    assert(out._2 == Seq(emoji, "a") && out._3 == 2L)
+    assert(out._2.mkString == emoji + "a")
+  }
+
   test("tokenCounts: trained merges compress counts below char count") {
     val docs = graft.sources.Tables.load(spark,
       "/root/testdata/sf0.001", "documents")

@@ -15,10 +15,15 @@ class SurveyDriftSpec extends AnyFunSuite {
     try src.mkString finally src.close()
   }
 
-  /** Names in the §2 tables' second column: | id | `name` | ... */
-  private lazy val surveyNames: Set[String] =
+  /** Names in §2's tables only — a name surviving in §6 bench prose
+    * must not mask a deleted coverage row. */
+  private lazy val surveyNames: Set[String] = {
+    val start = survey.indexOf("## §2")
+    val end = survey.indexOf("## §3")
+    assert(start >= 0 && end > start, "SURVEY.md §2/§3 headings moved")
     "\\|\\s*`([a-z0-9_]+)`\\s*\\|".r
-      .findAllMatchIn(survey).map(_.group(1)).toSet
+      .findAllMatchIn(survey.substring(start, end)).map(_.group(1)).toSet
+  }
 
   test("every registered query is documented in a SURVEY §2 row") {
     val undocumented = SparkEntry.queries.keySet -- surveyNames
