@@ -377,19 +377,27 @@ object TextAnalysis {
     * score is bit-identical under any partitioning, and the only
     * floating-point arithmetic is one deterministic scalar chain per
     * row (shared verbatim with the oracle SQL). */
+  /** The (n_tokens, quality) column pair behind [[classifierScore]],
+    * shared with the streaming twin ([[graft.streaming.Streams]]) —
+    * pure select expressions, so they bind to batch and streaming
+    * frames alike. */
+  def classifierCols(text: Column, modulus: Int = 1009,
+                     slope: Double = 4.0): (Column, Column) = {
+    val nTok = (length(text) - length(translate(text, " ", "")) + 1)
+      .cast("long")
+    val hsum = graft.plans.TextHashExpressions.featureHashSum(text, modulus)
+    val quality = round(lit(1.0) / (lit(1.0) + exp(lit(-slope) *
+      (hsum.cast("double") /
+        (lit(modulus.toDouble) * nTok.cast("double")) -
+        lit(0.5)))), 6)
+    (nTok, quality)
+  }
+
   def classifierScore(docs: DataFrame, modulus: Int = 1009,
                       slope: Double = 4.0, idCol: String = "doc_id",
                       textCol: String = "text"): DataFrame = {
-    val nTok = (length(col(textCol)) -
-      length(translate(col(textCol), " ", "")) + 1).cast("long")
-    docs.select(col(idCol), nTok.as("n_tokens"),
-      graft.plans.TextHashExpressions
-        .featureHashSum(col(textCol), modulus).as("hsum"))
-      .select(col(idCol), col("n_tokens"),
-        round(lit(1.0) / (lit(1.0) + exp(lit(-slope) *
-          (col("hsum").cast("double") /
-            (lit(modulus.toDouble) * col("n_tokens").cast("double")) -
-            lit(0.5)))), 6).as("quality"))
+    val (nTok, quality) = classifierCols(col(textCol), modulus, slope)
+    docs.select(col(idCol), nTok.as("n_tokens"), quality.as("quality"))
   }
 
   /** Dataset-card summary per source: the corpus-level aggregate a

@@ -633,6 +633,25 @@ object Streams {
       .withColumn(textCol, TextAnalysis.redactPii(col(textCol)))
   }
 
+  /** Streaming model scoring on ingest — the fit-offline /
+    * score-online production shape: the hashed-linear quality score
+    * ([[graft.operators.TextAnalysis.classifierCols]]) plus
+    * tokenizer-faithful token counts under a PRE-TRAINED BPE merge
+    * table ([[graft.operators.Bpe.train]] run offline; the table
+    * rides into the codegen'd kernel as frozen model state).
+    * Stateless and map-only — no watermark, no state store, append
+    * mode at any rate; per-doc output is bit-identical to the batch
+    * twin by construction (same column expressions). */
+  def scoreStream(docs: DataFrame, merges: Seq[(String, String)],
+                  idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame = {
+    val (_, quality) = graft.operators.TextAnalysis
+      .classifierCols(col(textCol))
+    docs.select(col(idCol), col(textCol), quality.as("quality"),
+      graft.plans.BpeExpressions.bpeTokenCount(col(textCol), merges)
+        .as("n_bpe_tokens"))
+  }
+
   /** A constraint-tagged event (streaming dead-letter record). */
   case class TaggedEvent(event_id: Long, ts: java.sql.Timestamp,
                          user_id: Long, event_type: String, value: Double,

@@ -326,6 +326,32 @@ class StreamsSpec extends SparkSpec {
     assert(out.head._4 > 8L)
   }
 
+  test("scoreStream: frozen-model scoring equals the batch twin") {
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq((1L, "low low lower newest"), (2L, "newest widest"))
+      .toDF("doc_id", "text")
+    val table = graft.operators.Bpe.train(corpus, merges = 4)
+      .orderBy("rank").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val probe = Seq((10L, "lowest newest"), (11L, "wide low"))
+    val mem = MemoryStream[(Long, String)]
+    mem.addData(probe: _*)
+    val q = Streams.scoreStream(mem.toDF().toDF("doc_id", "text"), table)
+      .writeStream.format("memory").queryName("score_out")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("score_out")
+      .select("doc_id", "quality", "n_bpe_tokens")
+      .as[(Long, Double, Long)].collect().toSeq.sortBy(_._1)
+    val batchDf = probe.toDF("doc_id", "text")
+    val wantScores = graft.operators.TextAnalysis.classifierScore(batchDf)
+      .select("doc_id", "quality").as[(Long, Double)].collect().toMap
+    val wantCounts = graft.operators.Bpe.encode(batchDf, table)
+      .select("doc_id", "n_tokens").as[(Long, Long)].collect().toMap
+    assert(streamed == probe.map(_._1).sorted
+      .map(id => (id, wantScores(id), wantCounts(id))))
+  }
+
   test("built-in session_window agrees with the fMGWS sessionizer") {
     implicit val sqlCtx = spark.sqlContext
     // sessions: u1 [00:00-00:10] (2 events), u1 [01:00] (1), u2 [02:00]
