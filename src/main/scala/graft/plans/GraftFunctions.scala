@@ -26,6 +26,31 @@ object GraftFunctions {
     if (args.length != n) throw new IllegalArgumentException(
       s"$fn expects $n arguments, got ${args.length}")
 
+  /** Evaluate a foldable array-of-strings argument (e.g. an
+    * `array('a','b')` literal) at registration time. */
+  private def stringArrayLit(fn: String, e: Expression): Seq[String] = {
+    if (!e.foldable) throw new IllegalArgumentException(
+      s"$fn expects a foldable array<string> argument, got $e")
+    e.eval() match {
+      case a: org.apache.spark.sql.catalyst.util.ArrayData =>
+        a.toObjectArray(org.apache.spark.sql.types.StringType)
+          .map(_.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString)
+          .toSeq
+      case other => throw new IllegalArgumentException(
+        s"$fn expects an array<string> literal, got $other")
+    }
+  }
+
+  /** Zip the (lefts, rights) array literals of a BPE merge table. */
+  private def mergeTable(fn: String, lefts: Expression,
+                         rights: Expression): Seq[(String, String)] = {
+    val l = stringArrayLit(fn, lefts)
+    val r = stringArrayLit(fn, rights)
+    if (l.length != r.length) throw new IllegalArgumentException(
+      s"$fn: lefts and rights differ in length (${l.length} vs ${r.length})")
+    l.zip(r)
+  }
+
   /** (name, builder) for every graft SQL function. */
   val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "graft_minhash" -> { args =>
@@ -48,6 +73,17 @@ object GraftFunctions {
     "graft_feature_hash_sum" -> { args =>
       arity("graft_feature_hash_sum", args, 2)
       FeatureHashSum(args(0), intLit("graft_feature_hash_sum", args(1)))
+    },
+    // merge table as two parallel array<string> literals:
+    // graft_bpe_encode(text, array('e','es'), array('s','t'))
+    "graft_bpe_encode" -> { args =>
+      arity("graft_bpe_encode", args, 3)
+      BpeEncode(args(0), mergeTable("graft_bpe_encode", args(1), args(2)))
+    },
+    "graft_bpe_token_count" -> { args =>
+      arity("graft_bpe_token_count", args, 3)
+      BpeTokenCount(args(0),
+        mergeTable("graft_bpe_token_count", args(1), args(2)))
     },
     "graft_float_dot" -> { args =>
       arity("graft_float_dot", args, 2)

@@ -41,6 +41,21 @@ class SqlFunctionsSpec extends SparkSpec {
       .head().getLong(0) == 0L)
   }
 
+  test("graft_bpe_encode and graft_bpe_token_count run the kernel from SQL") {
+    GraftSqlFunctions.register(spark)
+    val row = spark.sql(
+      """SELECT graft_bpe_encode('newest test', array('e','es','est'),
+           array('s','t','x')) AS toks,
+           graft_bpe_token_count('newest test', array('e','es','est'),
+           array('s','t','x')) AS n""").head()
+    // merges: e+s → es (rank 0), es+t → est (rank 1); 'est x' unused
+    assert(row.getSeq[String](0) == Seq("n", "e", "w", "est", "t", "est"))
+    assert(row.getLong(1) == 6L)
+    val err = intercept[Exception](spark.sql(
+      "SELECT graft_bpe_encode('x', array('a'), array())").collect())
+    assert(err.getMessage.contains("differ in length"))
+  }
+
   test("graft_zorder interleaves from SQL like the kernel") {
     GraftSqlFunctions.register(spark)
     val got = spark.sql(
