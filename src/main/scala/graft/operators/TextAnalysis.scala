@@ -358,6 +358,22 @@ object TextAnalysis {
           .as("log_weight"))
   }
 
+  /** The (n_tokens, quality) column pair behind [[classifierScore]],
+    * shared with the streaming twin ([[graft.streaming.Streams]]) —
+    * pure select expressions, so they bind to batch and streaming
+    * frames alike. */
+  def classifierCols(text: Column, modulus: Int = 1009,
+                     slope: Double = 4.0): (Column, Column) = {
+    val nTok = (length(text) - length(translate(text, " ", "")) + 1)
+      .cast("long")
+    val hsum = graft.plans.TextHashExpressions.featureHashSum(text, modulus)
+    val quality = round(lit(1.0) / (lit(1.0) + exp(lit(-slope) *
+      (hsum.cast("double") /
+        (lit(modulus.toDouble) * nTok.cast("double")) -
+        lit(0.5)))), 6)
+    (nTok, quality)
+  }
+
   /** fastText-style hashed-linear quality-classifier scoring (the
     * CCNet / LLaMA-pipeline quality-filter stage, with the trained
     * weight table replaced by a deterministic feature-hash weight so
@@ -377,22 +393,6 @@ object TextAnalysis {
     * score is bit-identical under any partitioning, and the only
     * floating-point arithmetic is one deterministic scalar chain per
     * row (shared verbatim with the oracle SQL). */
-  /** The (n_tokens, quality) column pair behind [[classifierScore]],
-    * shared with the streaming twin ([[graft.streaming.Streams]]) —
-    * pure select expressions, so they bind to batch and streaming
-    * frames alike. */
-  def classifierCols(text: Column, modulus: Int = 1009,
-                     slope: Double = 4.0): (Column, Column) = {
-    val nTok = (length(text) - length(translate(text, " ", "")) + 1)
-      .cast("long")
-    val hsum = graft.plans.TextHashExpressions.featureHashSum(text, modulus)
-    val quality = round(lit(1.0) / (lit(1.0) + exp(lit(-slope) *
-      (hsum.cast("double") /
-        (lit(modulus.toDouble) * nTok.cast("double")) -
-        lit(0.5)))), 6)
-    (nTok, quality)
-  }
-
   def classifierScore(docs: DataFrame, modulus: Int = 1009,
                       slope: Double = 4.0, idCol: String = "doc_id",
                       textCol: String = "text"): DataFrame = {

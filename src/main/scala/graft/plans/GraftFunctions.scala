@@ -29,13 +29,22 @@ object GraftFunctions {
   /** Evaluate a foldable array-of-strings argument (e.g. an
     * `array('a','b')` literal) at registration time. */
   private def stringArrayLit(fn: String, e: Expression): Seq[String] = {
-    if (!e.foldable) throw new IllegalArgumentException(
+    import org.apache.spark.sql.types.{ArrayType, StringType}
+    val elemOk = e.dataType match {
+      case ArrayType(StringType, _) => true
+      case ArrayType(org.apache.spark.sql.types.NullType, _) => true // array()
+      case _ => false
+    }
+    if (!e.foldable || !elemOk) throw new IllegalArgumentException(
       s"$fn expects a foldable array<string> argument, got $e")
     e.eval() match {
       case a: org.apache.spark.sql.catalyst.util.ArrayData =>
-        a.toObjectArray(org.apache.spark.sql.types.StringType)
-          .map(_.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString)
-          .toSeq
+        val out = a.toObjectArray(StringType).map {
+          case null => throw new IllegalArgumentException(
+            s"$fn: array<string> literal contains NULL")
+          case u: org.apache.spark.unsafe.types.UTF8String => u.toString
+        }
+        out.toSeq
       case other => throw new IllegalArgumentException(
         s"$fn expects an array<string> literal, got $other")
     }
@@ -48,7 +57,13 @@ object GraftFunctions {
     val r = stringArrayLit(fn, rights)
     if (l.length != r.length) throw new IllegalArgumentException(
       s"$fn: lefts and rights differ in length (${l.length} vs ${r.length})")
-    l.zip(r)
+    val pairs = l.zip(r)
+    // BPE precedence is lowest-rank-wins; a duplicate pair would let
+    // the HashMap keep the LAST (highest) rank and silently invert it
+    val dup = pairs.diff(pairs.distinct)
+    if (dup.nonEmpty) throw new IllegalArgumentException(
+      s"$fn: duplicate merge pairs ${dup.distinct.mkString(", ")}")
+    pairs
   }
 
   /** (name, builder) for every graft SQL function. */

@@ -643,10 +643,13 @@ object Streams {
     * mode at any rate; per-doc output is bit-identical to the batch
     * twin by construction (same column expressions). */
   def scoreStream(docs: DataFrame, merges: Seq[(String, String)],
+                  modulus: Int = 1009, slope: Double = 4.0,
                   idCol: String = "doc_id",
                   textCol: String = "text"): DataFrame = {
+    // full hyperparameter pass-through: a batch fit at non-default
+    // (modulus, slope) must be reproducible on the stream
     val (_, quality) = graft.operators.TextAnalysis
-      .classifierCols(col(textCol))
+      .classifierCols(col(textCol), modulus, slope)
     docs.select(col(idCol), col(textCol), quality.as("quality"),
       graft.plans.BpeExpressions.bpeTokenCount(col(textCol), merges)
         .as("n_bpe_tokens"))
