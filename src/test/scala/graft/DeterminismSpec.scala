@@ -103,6 +103,20 @@ class DeterminismSpec extends SparkSpec {
     }
   }
 
+  test("Bpe.train is partitioning- and order-invariant") {
+    import graft.operators.Bpe
+    for (seed <- 1 to 4) {
+      val rows = randDocs(500 + seed)
+      val a = rows.toDF("doc_id", "text")
+      val b = new scala.util.Random(seed).shuffle(rows)
+        .toDF("doc_id", "text").repartition(6)
+      // exact integer pair counts + (count desc, pair asc) total
+      // order ⇒ the merge table cannot depend on layout
+      assert(canon(Bpe.train(a, merges = 5)) ==
+        canon(Bpe.train(b, merges = 5)), s"seed=$seed")
+    }
+  }
+
   test("lineDedup reassembly is the identity when nothing is frequent") {
     for (seed <- 1 to 8) {
       val docs = randDocs(400 + seed)
