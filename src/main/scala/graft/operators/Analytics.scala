@@ -752,8 +752,8 @@ object Analytics {
         col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
       .join(broadcast(part), col("l_partkey") === col("p_partkey"))
       .agg(round(lit(100.0) *
-        dsum(when(col("p_type") === "PROMO", rev).otherwise(lit(0.0)), 6) /
-        dsum(rev, 6), 6).as("promo_revenue_pct"))
+        (dsum(when(col("p_type") === "PROMO", rev).otherwise(lit(0.0)), 6) /
+          dsum(rev, 6)), 6).as("promo_revenue_pct"))
   }
 
   /** TPC-H Q19 shape — disjunctive predicate revenue: OR-of-ANDs over

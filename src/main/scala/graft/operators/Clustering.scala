@@ -308,7 +308,7 @@ object Clustering {
     val byUser = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id"))
     val seq = events.select(col("user_id"),
-      get_json_object(col("props"), "$.k").cast("int").as("dst"),
+      expr("try_cast(get_json_object(props, '$.k') AS int)").as("dst"),
       col("ts"), col("event_id"))
       .where(col("dst").isNotNull)
       .withColumn("src", lag(col("dst"), 1).over(byUser))

@@ -209,12 +209,28 @@ object Dedup {
                        bands: Int = 32, threshold: Double = 0.5,
                        maxBucket: Int = 0): DataFrame = {
     val rows = numHashes / bands
-    def banded(df: DataFrame, out: String): DataFrame =
-      minhashSignatures(df, idCol, textCol, shingleWords, numHashes)
+    def banded(df: DataFrame, out: String): DataFrame = {
+      val b0 = minhashSignatures(df, idCol, textCol, shingleWords, numHashes)
         .select(col(idCol).as(out), posexplode(
           transform(sequence(lit(0), lit(bands - 1)),
             b => xxhash64(slice(col("sig"), b * rows + 1, lit(rows)), b)))
           .as(Seq("band", "bucket")))
+      // the boilerplate guard applies to BOTH sides of the
+      // corpus×batch join: a degenerate bucket on the persisted
+      // corpus index would otherwise pair against every batch
+      // member on every ingest — exactly the B² blowup the
+      // intra-batch guard already prevents
+      if (maxBucket <= 0) b0
+      else {
+        val oversized = b0.groupBy(col("band"), col("bucket"))
+          .agg(count(lit(1)).as("__n"))
+          .filter(col("__n") > maxBucket)
+          .select(col("band").as("__oband"), col("bucket").as("__obucket"))
+        b0.join(broadcast(oversized),
+          col("band") === col("__oband") &&
+            col("bucket") === col("__obucket"), "left_anti")
+      }
+    }
     // corpus×batch candidates on shared (band, bucket); ids are
     // disjoint with corpus < batch by contract of the caller's split
     val cross = banded(corpus, "id_a")
