@@ -62,26 +62,54 @@ object Bench {
       "concurrency_profile", "join_blowup", "q8_market_share",
       "link_rank", "substring_dedup", "dsir_weight")
       .filter(results.map(_._1).toSet)
-    val loDir = sfDir.replaceAll("sf[0-9.]+$", "sf0.01")
     def sfOf(dir: String): Double =
       "sf([0-9.]+)$".r.findFirstMatchIn(dir).map(_.group(1).toDouble)
         .getOrElse(Double.NaN)
-    val sweep: Seq[(String, Double)] =
-      if (loDir == sfDir || !new java.io.File(loDir).isDirectory) Seq.empty
-      else {
-        val ratio = sfOf(sfDir) / sfOf(loDir)
-        val hi = results.toMap
-        sweepNames.map { name =>
-          spark.sharedState.cacheManager.clearCache()
-          System.gc()
-          val t0 = System.nanoTime()
-          try { run(SparkEntry.queries(name)(spark, loDir)) }
-          catch { case _: Throwable => -1L }
-          val tLo = (System.nanoTime() - t0) / 1e9
-          spark.sharedState.cacheManager.clearCache()
-          name -> math.log(hi(name) / tLo) / math.log(ratio)
-        }
+    // Sweep direction: prefer the UP-step — synthesize a ×10 tier
+    // (sf0.1 → sf1, cached across runs) and measure t(sf1)/t(sf0.1),
+    // where fixed per-job overheads stop dominating and the exponent
+    // stops being floor-compressed. Falls back to the down-step
+    // (sf0.01) if synthesis fails or is disabled (GRAFT_SWEEP_HI=0).
+    val base = results.toMap
+    val hiDir: Option[String] =
+      if (sys.env.get("GRAFT_SWEEP_HI").contains("0")) None
+      else try {
+        val hiSf = BigDecimal(sfOf(sfDir) * 10).underlying
+          .stripTrailingZeros.toPlainString
+        val t0 = System.nanoTime()
+        val dir = GenScale.ensure(spark, sfDir,
+          s"/tmp/graft_benchdata/sf$hiSf")
+        System.err.println(f"[bench] sf$hiSf tier ready in " +
+          f"${(System.nanoTime() - t0) / 1e9}%.1f s")
+        Some(dir)
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] up-tier synthesis failed: $e")
+        None
       }
+    def timeAt(name: String, dir: String): Double = {
+      spark.sharedState.cacheManager.clearCache()
+      System.gc()
+      val t0 = System.nanoTime()
+      try { run(SparkEntry.queries(name)(spark, dir)) }
+      catch { case _: Throwable => -1L }
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.sharedState.cacheManager.clearCache()
+      dt
+    }
+    val loDir = sfDir.replaceAll("sf[0-9.]+$", "sf0.01")
+    val sweep: Seq[(String, Double)] = hiDir match {
+      case Some(dir) =>
+        sweepNames.map { name =>
+          name -> math.log(timeAt(name, dir) / base(name)) / math.log(10.0)
+        }
+      case None if loDir != sfDir && new java.io.File(loDir).isDirectory =>
+        val ratio = sfOf(sfDir) / sfOf(loDir)
+        sweepNames.map { name =>
+          name -> math.log(base(name) / timeAt(name, loDir)) /
+            math.log(ratio)
+        }
+      case None => Seq.empty
+    }
     // The driver may only retain the last ~2000 chars of output, and a
     // line-oriented JSON parser needs the WHOLE line inside that
     // window. Print seconds at millisecond precision and, if the line
@@ -96,7 +124,9 @@ object Bench {
           .mkString("{", ",", "}")
         val superLin = sweep.filter(_._2 > 1.3).map("\"" + _._1 + "\"")
           .mkString("[", ",", "]")
-        s""","sweep":$entries,"sweep_superlinear":$superLin"""
+        val step = if (hiDir.isDefined) "up10x" else "down10x"
+        s""","sweep":$entries,"sweep_step":"$step"""" +
+          s""","sweep_superlinear":$superLin"""
       }
     def line(entries: Seq[(String, Double)], omitted: Int): String = {
       val qs = entries.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + fmt(v) }

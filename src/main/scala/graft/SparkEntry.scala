@@ -332,6 +332,87 @@ object SparkEntry {
         target).orderBy(col("k"))
     }),
 
+    "sql_merge_catalog" -> ((s, d) => {
+      // the by-NAME surface: the dim lives in the session catalog
+      // (GraftCatalog temp view over a versioned sink) and BOTH
+      // statements address it by its table name — `MERGE INTO dim`
+      // resolved to the registered sink, then a plain
+      // `spark.sql("SELECT ... FROM dim")` reading the refreshed
+      // snapshot (reference: Load & SCD-Merge.py:24-38 does exactly
+      // this against named Delta tables); exercises the NOT MATCHED
+      // BY SOURCE quadrant by name as well
+      val tag = java.lang.Integer.toHexString(d.hashCode)
+      val dim = s"dim_cat_$tag"
+      val dir = java.nio.file.Files.createTempDirectory("graft_cat")
+      val sink = new graft.sources.VersionedParquetSink(s"$dir/$dim")
+      sink.overwrite(t(s, d, "customer").filter(col("c_custkey") <= 250)
+        .select(col("c_custkey").as("k"), lit("init").as("status"),
+          lit(0L).as("n")))
+      graft.sources.GraftCatalog.register(s, dim, sink)
+      t(s, d, "orders")
+        .filter(col("o_custkey") > 150 && col("o_custkey") <= 350)
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"))
+        .select(col("o_custkey").as("k"), col("n_orders"))
+        .createOrReplaceTempView(s"cat_updates_$tag")
+      graft.sources.GraftCatalog.sql(s,
+        s"""MERGE INTO $dim t USING cat_updates_$tag s ON t.k = s.k
+            WHEN MATCHED THEN UPDATE SET status = 'active', n = s.n_orders
+            WHEN NOT MATCHED THEN
+              INSERT (k, status, n) VALUES (s.k, 'new', s.n_orders)
+            WHEN NOT MATCHED BY SOURCE AND t.k <= 20 THEN DELETE""")
+      graft.sources.GraftCatalog.sql(s,
+        s"SELECT k, status, n FROM $dim ORDER BY k")
+    }),
+
+    "sql_merge_mor" -> ((s, d) => {
+      // merge-on-read commit path: the same ANSI MERGE semantics, but
+      // the commit lands ONLY the change set (upsert rows + deleted
+      // keys) as a patch beside the base snapshot — write ∝ delta —
+      // and the read-back applies patches by key; the oracle computes
+      // the identical post-merge state declaratively, so
+      // patch-apply ≡ copy-on-write is oracle-proven
+      val tag = java.lang.Integer.toHexString(d.hashCode)
+      val dir = java.nio.file.Files.createTempDirectory("graft_mor")
+      val sink = new graft.sources.MergeOnReadSink(s"$dir/dim", Seq("k"))
+      sink.overwrite(t(s, d, "customer").filter(col("c_custkey") <= 280)
+        .select(col("c_custkey").as("k"), lit("init").as("status"),
+          lit(0L).as("n")))
+      t(s, d, "orders")
+        .filter(col("o_custkey") > 180 && col("o_custkey") <= 380)
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"))
+        .select(col("o_custkey").as("k"), col("n_orders"))
+        .createOrReplaceTempView(s"mor_updates_$tag")
+      graft.sources.SqlMerge.mergeMor(s,
+        s"""MERGE INTO dim t USING mor_updates_$tag s ON t.k = s.k
+            WHEN MATCHED AND s.n_orders > 12 THEN DELETE
+            WHEN MATCHED THEN UPDATE SET status = 'active', n = s.n_orders
+            WHEN NOT MATCHED THEN
+              INSERT (k, status, n) VALUES (s.k, 'new', s.n_orders)""",
+        sink)
+      sink.load(s).get.orderBy(col("k"))
+    }),
+
+    "sink_time_travel" -> ((s, d) => {
+      // TIMESTAMP AS OF over the versioned sink: commits carry an
+      // injected wall-clock, and a between-commits timestamp resolves
+      // to the snapshot that was current THEN (Delta/Iceberg
+      // semantics); the oracle recomputes that middle snapshot
+      val dir = java.nio.file.Files.createTempDirectory("graft_tt")
+      val ticks = Iterator(1000L, 2000L, 3000L)
+      val sink = new graft.sources.VersionedParquetSink(
+        s"$dir/dim", () => ticks.next())
+      val cust = t(s, d, "customer")
+      sink.overwrite(cust.filter(col("c_custkey") <= 100)
+        .select(col("c_custkey").as("k"), col("c_name").as("name")))
+      sink.overwrite(cust.filter(col("c_custkey") <= 200)
+        .select(col("c_custkey").as("k"), upper(col("c_name")).as("name")))
+      sink.overwrite(cust.filter(col("c_custkey") <= 300)
+        .select(col("c_custkey").as("k"), lower(col("c_name")).as("name")))
+      sink.loadVersionAt(s, 2500L).orderBy(col("k"))
+    }),
+
     "bucketed_join" -> ((s, d) => {
       // the shuffle paid at write time: both facts bucketed by the
       // join key co-locate, so the join plans with zero exchange
@@ -386,8 +467,15 @@ object SparkEntry {
       val ts1 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
       val ts2 = java.sql.Timestamp.valueOf("2026-01-02 00:00:00")
       val dim0 = Pipeline.emptyDim(s, orders, cfg)
-      val dim1 = Pipeline.runIncrement(
-        orders.filter(col("o_orderdate") < split), dim0, cfg, "b1", ts1)
+      // materialize increment 1 before increment 2 consumes it: the
+      // SCD2 merge reads its dim side in BOTH the classification and
+      // close legs, so an unmaterialized dim1 re-runs batch 1's whole
+      // staging per leg — the checkpoint is the in-memory stand-in
+      // for the per-increment sink commit every real pipeline does
+      // (dim_sink_e2e's shape)
+      val dim1 = org.apache.spark.sql.GraftPlanReset.checkpointLeaf(
+        Pipeline.runIncrement(
+          orders.filter(col("o_orderdate") < split), dim0, cfg, "b1", ts1))
       val dim2 = Pipeline.runIncrement(
         orders.filter(col("o_orderdate") >= split), dim1, cfg, "b2", ts2)
       dim2.select(col("o_custkey"), col("o_orderpriority"),
@@ -725,16 +813,24 @@ object SparkEntry {
     "unpivot_long" -> ((s, d) => {
       // reshape completeness: melt the pivoted wide table back to
       // long form — unpivot(pivot(x)) recovers the per-(user, type)
-      // counts the oracle computes directly. The type list is derived
-      // from the data (tiny distinct, sorted): a hardcoded list would
-      // silently drop any event type the fixture gains later, while
-      // the oracle groups over whatever exists.
-      val types = t(s, d, "events").select(col("event_type"))
-        .distinct().collect().map(_.getString(0)).sorted.toSeq
+      // counts the oracle computes directly. The type list is a
+      // static registry (pivot's API needs plan-time literals); the
+      // union branch makes the registry DRIFT-SAFE without the old
+      // eager distinct+collect job: any event type outside the
+      // registry surfaces as ordinary long-form rows — identical to
+      // the oracle's direct group-by — instead of silently dropping.
+      // One lazy plan, no driver-side type-derivation scan (the
+      // round-5 bench regression).
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val novel = t(s, d, "events")
+        .filter(!col("event_type").isin(types: _*))
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
       Analytics.pivotAgg(t(s, d, "events"), types)
         .unpivot(Array(col("user_id")), types.map(col).toArray,
           "event_type", "n")
         .filter(col("n") > 0)
+        .unionByName(novel)
         .orderBy(col("user_id"), col("event_type"))
     }),
 
@@ -1085,6 +1181,22 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    "ann_index" -> ((s, d) => {
+      // persisted-index ANN (build/probe split): the corpus-scale
+      // bucketing pass happens once at BUILD, probes join the stored
+      // cid partitions with the kernel on the query side only (plan
+      // asserted in AnnIndexSpec). Model-dependent output → rows-only
+      // in the driver compare; equality with the in-memory IVF path
+      // on the same centroids is ScalaTest-proven.
+      val dir = java.nio.file.Files.createTempDirectory("graft_annidx")
+      val emb = t(s, d, "embeddings")
+      graft.operators.AnnIndex.buildIvf(emb, s"$dir/ivf", nlist = 32,
+        iters = 3)
+      graft.operators.AnnIndex.ivfProbe(s, s"$dir/ivf",
+        emb.filter(pmod(col("vec_id"), lit(25)) === 0), k = 5, nprobe = 8)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     "embedding_quantize" -> ((s, d) =>
       Similarity.quantizeInt8Stats(t(s, d, "embeddings"))),
 
@@ -1215,6 +1327,16 @@ object SparkEntry {
 
     "mm_dedup" -> ((s, d) =>
       Multimodal.payloadDedup(Multimodal.asMediaTable(t(s, d, "documents")))),
+
+    "mm_decode" -> ((s, d) =>
+      // REAL codec round trip (round-6): genuine PNGs rendered per
+      // partition with id-derived dimensions, then the dimensions
+      // decoded BACK out of the encoded bytes via javax.imageio
+      // header reads — the oracle recomputes the dims arithmetically,
+      // so a decode that misparses IHDR fails the compare
+      Multimodal.decodeMeta(
+        Multimodal.asPngMediaTable(t(s, d, "documents")))
+        .orderBy(col("media_id"))),
 
     // §2.5c corpus curation --------------------------------------
     // The synthetic docs are single-line word bags, so the line-dedup
@@ -1590,6 +1712,48 @@ object SparkEntry {
          FROM tgt t FULL OUTER JOIN upd u ON t.k = u.k
          WHERE NOT (t.k IS NOT NULL AND u.k IS NOT NULL
                     AND u.n_orders > 10)
+         ORDER BY k""",
+
+    "sql_merge_catalog" ->
+      """WITH tgt AS (
+           SELECT c_custkey AS k, 'init' AS status, CAST(0 AS BIGINT) AS n
+           FROM customer WHERE c_custkey <= 250),
+         upd AS (
+           SELECT o_custkey AS k, COUNT(*) AS n_orders FROM orders
+           WHERE o_custkey > 150 AND o_custkey <= 350 GROUP BY 1)
+         SELECT CAST(COALESCE(t.k, u.k) AS BIGINT) AS k,
+                CASE WHEN t.k IS NOT NULL AND u.k IS NOT NULL
+                       THEN 'active'
+                     WHEN t.k IS NULL THEN 'new'
+                     ELSE t.status END AS status,
+                CAST(CASE WHEN u.k IS NOT NULL THEN u.n_orders
+                     ELSE t.n END AS BIGINT) AS n
+         FROM tgt t FULL OUTER JOIN upd u ON t.k = u.k
+         WHERE NOT (t.k IS NOT NULL AND u.k IS NULL AND t.k <= 20)
+         ORDER BY k""",
+
+    "sql_merge_mor" ->
+      """WITH tgt AS (
+           SELECT c_custkey AS k, 'init' AS status, CAST(0 AS BIGINT) AS n
+           FROM customer WHERE c_custkey <= 280),
+         upd AS (
+           SELECT o_custkey AS k, COUNT(*) AS n_orders FROM orders
+           WHERE o_custkey > 180 AND o_custkey <= 380 GROUP BY 1)
+         SELECT CAST(COALESCE(t.k, u.k) AS BIGINT) AS k,
+                CASE WHEN t.k IS NOT NULL AND u.k IS NOT NULL
+                       THEN 'active'
+                     WHEN t.k IS NULL THEN 'new'
+                     ELSE t.status END AS status,
+                CAST(CASE WHEN u.k IS NOT NULL THEN u.n_orders
+                     ELSE t.n END AS BIGINT) AS n
+         FROM tgt t FULL OUTER JOIN upd u ON t.k = u.k
+         WHERE NOT (t.k IS NOT NULL AND u.k IS NOT NULL
+                    AND u.n_orders > 12)
+         ORDER BY k""",
+
+    "sink_time_travel" ->
+      """SELECT CAST(c_custkey AS BIGINT) AS k, UPPER(c_name) AS name
+         FROM customer WHERE c_custkey <= 200
          ORDER BY k""",
 
     "pipeline_e2e" ->
@@ -2821,6 +2985,13 @@ object SparkEntry {
       """SELECT md5(text) AS payload_md5, MIN(doc_id) AS keep_id,
                 COUNT(*) AS n_copies
          FROM documents GROUP BY 1 ORDER BY keep_id""",
+
+    "mm_decode" ->
+      """SELECT CAST(doc_id AS BIGINT) AS media_id,
+                CAST(1 + doc_id % 13 AS INTEGER) AS width,
+                CAST(1 + doc_id % 7 AS INTEGER) AS height,
+                'png' AS format
+         FROM documents ORDER BY media_id""",
 
     // fixture-backed ingest entries: the oracle is the literal
     // expected relation (the fixtures are written by the query

@@ -270,12 +270,11 @@ object Clustering {
         (col("cnt").cast("double") / col("od")).as("wt")))
     val nodes = w.select(col("src").as("node"))
       .union(w.select(col("dst").as("node"))).distinct()
-    // one-row vertex-count broadcast. NOTE: this scalar attach (and
-    // everything else before a ckpt) executes during PLAN BUILD — the
-    // eager localCheckpoint hands PlanLintSpec an RDD-scan leaf, so
-    // the registered query's lint does NOT sweep these stages. Keep
-    // pre-ckpt shapes trivially scale-safe by inspection: this one is
-    // a constant-size broadcast probe of a one-row aggregate.
+    // one-row vertex-count broadcast: a constant-size BNLJ probe of a
+    // one-row aggregate. Pre-ckpt stages execute during PLAN BUILD;
+    // since round 6 checkpointLeaf reports their plans to PlanLint's
+    // capture, so this shape is swept (and allowlisted by reason)
+    // rather than escaping the lint.
     val nn = ckpt(nodes.crossJoin(
       broadcast(nodes.agg(count(lit(1)).cast("double").as("n")))))
     var rank = nn.select(col("node"), col("n"),

@@ -98,6 +98,105 @@ object Multimodal {
       .toDF()
   }
 
+  /** REAL image header decode via the JDK's own codec registry
+    * (javax.imageio — no external libs): width/height/format read
+    * from the actual encoded bytes. Header-only — the reader parses
+    * IHDR/SOF markers without decoding pixel data, so per-payload
+    * cost is O(header), not O(pixels) — exactly what a 100 TB
+    * metadata-backfill pass wants. Returns None for payloads no
+    * registered codec recognizes (the stub lanes stay usable). */
+  def decodeImageMeta(payload: Array[Byte]): Option[(Int, Int, String)] = {
+    if (payload == null || payload.isEmpty) return None
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) None
+      else {
+        val r = readers.next()
+        try {
+          r.setInput(iis, true, true)
+          Some((r.getWidth(0), r.getHeight(0),
+            r.getFormatName.toLowerCase(java.util.Locale.ROOT)))
+        } catch { case _: java.io.IOException => None }
+        finally r.dispose()
+      }
+    } finally iis.close()
+  }
+
+  private[operators] case class DecodeIn(media_id: Long, payload: Array[Byte])
+  private[operators] case class DecodeOut(media_id: Long, width: Option[Int],
+                                          height: Option[Int],
+                                          format: Option[String])
+
+  /** Batched per-partition REAL header decode — the codec slot with
+    * an actual codec in it (same Tungsten-preserving typed
+    * mapPartitions shape as [[extractFeatures]]; the ImageIO reader
+    * instances are per-partition state, the production pattern for
+    * stateful codecs). Output: (media_id, width, height, format),
+    * nulls where no codec matches. */
+  def decodeMeta(media: DataFrame): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    media.select(col("media_id"), col("payload"))
+      .as[DecodeIn](Encoders.product[DecodeIn])
+      .mapPartitions { rows =>
+        rows.map { m =>
+          decodeImageMeta(m.payload) match {
+            case Some((w, h, f)) => DecodeOut(m.media_id, Some(w), Some(h),
+              Some(f))
+            case None => DecodeOut(m.media_id, None, None, None)
+          }
+        }
+      }(Encoders.product[DecodeOut])
+      .toDF()
+  }
+
+  /** Deterministic REAL-PNG rendering (BufferedImage → ImageIO):
+    * genuine codec bytes from a seed, for fixtures and the driver
+    * entry — pixel values are a pure function of (seed, x, y), so
+    * the byte stream is reproducible across executors. Headless-safe
+    * (no GUI classes). */
+  def renderPng(width: Int, height: Int, seed: Long): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(width, height,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        // splitmix-ish pixel hash: deterministic, codec-independent
+        var z = seed + x * 2654435761L + y * 40503L
+        z = (z ^ (z >>> 16)) * 0x45d9f3bL
+        img.setRGB(x, y, ((z ^ (z >>> 13)) & 0xFFFFFF).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
+
+  /** Documents table → REAL encoded-PNG media table: dimensions are
+    * a pure arithmetic function of the id (oracle-expressible), the
+    * payload is a genuine PNG of those dimensions rendered per
+    * partition. The decode entry reads the dimensions BACK out of
+    * the bytes — a real codec round trip. */
+  def asPngMediaTable(docs: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    docs.select(col(idCol).cast("long").as("media_id"))
+      .as[Long](Encoders.scalaLong)
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val w = 1 + (id % 13).toInt
+          val h = 1 + (id % 7).toInt
+          val png = renderPng(w, h, id)
+          MediaRow(id, png, "image/png",
+            MediaMeta(None, None, png.length.toLong, Some("png")))
+        }
+      }(Encoders.product[MediaRow])
+      .toDF()
+  }
+
   /** STUB resize: production would decode, scale to (targetW,
     * targetH) and re-encode per batch. The stub keeps every
     * (len/targetBytes)-th byte — deterministic, size-reducing, and

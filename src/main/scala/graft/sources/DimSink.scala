@@ -57,7 +57,10 @@ final class ParquetDimSink(path: String) extends DimSink {
   * audits until `vacuum`. The manifest swap is a same-filesystem
   * atomic rename; multi-writer coordination is out of scope (same
   * as Delta without a locking LogStore on plain object stores). */
-final class VersionedParquetSink(path: String) extends DimSink {
+final class VersionedParquetSink(path: String,
+                                 clock: () => Long =
+                                   () => System.currentTimeMillis())
+  extends DimSink {
   private def manifest = new java.io.File(path, "_CURRENT")
 
   /** Committed version numbers, oldest first. */
@@ -78,6 +81,35 @@ final class VersionedParquetSink(path: String) extends DimSink {
   def loadVersion(spark: SparkSession, v: Long): DataFrame =
     spark.read.parquet(s"$path/v=$v")
 
+  /** Commit wall-clock of a version (epoch millis, from the
+    * injectable `clock`), if recorded. Underscore-prefixed marker
+    * file inside the immutable version dir — invisible to parquet
+    * readers, vacuumed with its version. Versions committed before
+    * this feature existed simply have no timestamp. */
+  def commitTime(v: Long): Option[Long] = {
+    val f = new java.io.File(path, s"v=$v/_COMMITTED_AT")
+    if (f.exists) Some(java.nio.file.Files.readString(f.toPath).trim.toLong)
+    else None
+  }
+
+  /** `TIMESTAMP AS OF` time travel: the newest version whose commit
+    * time is ≤ `tsMillis` — between-commits timestamps resolve to the
+    * snapshot that was current then, exactly Delta/Iceberg semantics.
+    * Throws if the sink has no commit at-or-before the asked time. */
+  def versionAt(tsMillis: Long): Long = {
+    val candidates = versions
+      .flatMap(v => commitTime(v).map(v -> _))
+      .filter(_._2 <= tsMillis)
+    if (candidates.isEmpty) throw new IllegalArgumentException(
+      s"no committed version at or before $tsMillis " +
+        s"(earliest commit: ${versions.flatMap(commitTime).minOption})")
+    candidates.maxBy(_._2)._1
+  }
+
+  /** Read the snapshot that was current at `tsMillis`. */
+  def loadVersionAt(spark: SparkSession, tsMillis: Long): DataFrame =
+    loadVersion(spark, versionAt(tsMillis))
+
   override def load(spark: SparkSession): Option[DataFrame] =
     currentVersion.map(loadVersion(spark, _))
 
@@ -87,6 +119,12 @@ final class VersionedParquetSink(path: String) extends DimSink {
     // may read the snapshot it replaces, and unlike an in-place
     // rewrite that is safe here, so no materialize-first workaround
     dim.write.mode("overwrite").parquet(s"$path/v=$next")
+    // record the commit instant INSIDE the version dir before the
+    // manifest swap: a version is only visible once its timestamp is
+    // durable, so versionAt never sees a half-committed version
+    java.nio.file.Files.writeString(
+      new java.io.File(path, s"v=$next/_COMMITTED_AT").toPath,
+      clock().toString)
     val tmp = new java.io.File(path, s"_CURRENT.tmp$next")
     java.nio.file.Files.writeString(tmp.toPath, next.toString)
     java.nio.file.Files.move(tmp.toPath, manifest.toPath,

@@ -105,12 +105,69 @@ object SqlMerge {
       name -> GraftColumnShim.column(v)
     }.toMap
 
-  /** Execute `mergeSql` against `sink` (the target table name in the
-    * statement is informational — the sink IS the target). The source
-    * must be a registered temp view. Commits the post-merge snapshot
-    * through the sink and returns branch counters. */
-  def merge(spark: SparkSession, mergeSql: String,
-            sink: DimSink): MergeResult = {
+  /** The analyzed merge: everything both commit strategies
+    * (copy-on-write [[merge]] and merge-on-read [[mergeMor]]) need. */
+  private final case class Core(p: Parsed, target: DataFrame,
+                                targetCols: Seq[String], labeled: DataFrame,
+                                updates: Seq[Int], deletes: Seq[Int],
+                                byIdx: Map[Int, Option[Map[String, Column]]]) {
+    val tPresent: Column = col("__t_present").isNotNull
+    val sPresent: Column = col("__s_present").isNotNull
+
+    /** Post-merge rows projected to the target schema. */
+    def next: DataFrame = {
+      val keepExpr: Column = !col("__branch").isin(deletes :+ -2: _*)
+      labeled.filter(keepExpr).select(outCols: _*)
+    }
+
+    /** Output columns: CASE over the branch per target column. */
+    def outCols: Seq[Column] = targetCols.map { c =>
+      val tField = target.schema(c)
+      val base: Column = col(s"${p.targetAlias}.$c")
+      val cased = byIdx.toSeq.sortBy(_._1).foldRight(base) {
+        case ((i, Some(as)), acc) if as.contains(c) =>
+          when(col("__branch") === i, as(c)).otherwise(acc)
+        case ((i, Some(_)), acc) =>
+          // column not assigned: UPDATE keeps target value, INSERT
+          // fills NULL (ANSI) — distinguish by target presence
+          when(col("__branch") === i && col("__t_present").isNull,
+            lit(null)).otherwise(acc)
+        case ((_, None), acc) => acc
+      }
+      cased.cast(tField.dataType).as(c)
+    }
+
+    /** ONE aggregate job over the labeled join: the ANSI cardinality
+      * check (max source matches per target row, via the partial-agged
+      * per-`__tid` level) and all four branch counters come out of the
+      * same pass — the join is never materialized just to validate it.
+      * Throws on a cardinality violation BEFORE anything commits. */
+    def statsChecked(): MergeResult = {
+      val isUpd = col("__branch").isin(updates.map(i => i: Any): _*)
+      val isDel = col("__branch").isin(deletes.map(i => i: Any): _*)
+      val perTid = labeled.groupBy(col("__tid")).agg(
+        sum(when(tPresent && sPresent, 1L).otherwise(0L)).as("__nm"),
+        sum(when(isUpd && tPresent, 1L).otherwise(0L)).as("__u"),
+        sum(when(isDel, 1L).otherwise(0L)).as("__d"),
+        sum(when(isUpd && !tPresent, 1L).otherwise(0L)).as("__i"),
+        sum(when(col("__branch") === -1, 1L).otherwise(0L)).as("__k"))
+      // the null-__tid group holds every insert row; all aggregates
+      // are partial-agged so the "hot" null key never skews a reducer
+      val r = perTid.agg(
+        max(when(col("__tid").isNotNull, col("__nm"))).as("max_match"),
+        sum(col("__u")).as("updated"), sum(col("__d")).as("deleted"),
+        sum(col("__i")).as("inserted"), sum(col("__k")).as("unchanged"))
+        .head()
+      if (!r.isNullAt(0) && r.getLong(0) > 1L) throw new IllegalStateException(
+        "MERGE cardinality violation: a target row matched by " +
+          "multiple source rows (as in ANSI/Delta, this is an error)")
+      def l(i: Int): Long = if (r.isNullAt(i)) 0L else r.getLong(i)
+      MergeResult(l(1), l(2), l(3), l(4))
+    }
+  }
+
+  private def analyze(spark: SparkSession, mergeSql: String,
+                      sink: DimSink): Core = {
     val p = parse(spark, mergeSql)
     val target = sink.load(spark).getOrElse(
       throw new IllegalArgumentException(
@@ -126,80 +183,102 @@ object SqlMerge {
       .alias(p.targetAlias)
     val s = source.withColumn("__s_present", lit(true)).alias(p.sourceAlias)
     val joined = t.join(s, p.condition, "full_outer")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val tPresent = col("__t_present").isNotNull
-      val sPresent = col("__s_present").isNotNull
+    val tPresent = col("__t_present").isNotNull
+    val sPresent = col("__s_present").isNotNull
 
-      // ANSI cardinality rule: >1 source row per matched target row
-      val dup = joined.filter(tPresent && sPresent)
-        .groupBy(col("__tid")).count().filter(col("count") > 1L)
-        .limit(1).count()
-      if (dup > 0) throw new IllegalStateException(
-        "MERGE cardinality violation: a target row matched by " +
-          "multiple source rows (as in ANSI/Delta, this is an error)")
-
-      // branch label: first action (in statement order) whose clause
-      // kind and condition hold; -1 = keep target row unchanged,
-      // -2 = no-op insert miss (row vanishes)
-      val actions: Seq[(Int, MergeAction, Column)] =
-        (p.matched.map(a => (a, tPresent && sPresent && actionCond(a))) ++
-          p.notMatched.map(a => (a, !tPresent && sPresent && actionCond(a))) ++
-          p.notMatchedBySource.map(a => (a, tPresent && !sPresent &&
-            actionCond(a)))).zipWithIndex.map { case ((a, c), i) =>
-          (i, a, c)
-        }
-      val fallback = when(tPresent, lit(-1)).otherwise(lit(-2))
-      val branch = actions.foldRight(fallback) { case ((i, _, c), acc) =>
-        when(c, lit(i)).otherwise(acc)
+    // branch label: first action (in statement order) whose clause
+    // kind and condition hold; -1 = keep target row unchanged,
+    // -2 = no-op insert miss (row vanishes)
+    val actions: Seq[(Int, MergeAction, Column)] =
+      (p.matched.map(a => (a, tPresent && sPresent && actionCond(a))) ++
+        p.notMatched.map(a => (a, !tPresent && sPresent && actionCond(a))) ++
+        p.notMatchedBySource.map(a => (a, tPresent && !sPresent &&
+          actionCond(a)))).zipWithIndex.map { case ((a, c), i) =>
+        (i, a, c)
       }
-      val labeled = joined.withColumn("__branch", branch)
+    val fallback = when(tPresent, lit(-1)).otherwise(lit(-2))
+    val branch = actions.foldRight(fallback) { case ((i, _, c), acc) =>
+      when(c, lit(i)).otherwise(acc)
+    }
+    val labeled = joined.withColumn("__branch", branch)
 
-      // output columns: CASE over the branch per target column
-      val byIdx: Map[Int, Option[Map[String, Column]]] = actions.map {
-        case (i, a, _) => i -> assignments(a, targetCols, p.sourceAlias)
-      }.toMap
-      // an assignment to a column the target doesn't have is a typo,
-      // not a no-op — fail like Delta/ANSI instead of dropping it
-      val unknown = byIdx.values.flatten.flatMap(_.keys)
-        .filterNot(targetCols.contains).toSeq.distinct
-      if (unknown.nonEmpty) throw new IllegalArgumentException(
-        s"MERGE assigns to column(s) not in the target: " +
-          unknown.mkString(", "))
-      val deletes = byIdx.collect { case (i, None) => i }.toSeq
-      val keepExpr: Column = !col("__branch").isin(deletes :+ -2: _*)
-      val outCols = targetCols.map { c =>
-        val tField = target.schema(c)
-        val base: Column = col(s"${p.targetAlias}.$c")
-        val cased = byIdx.toSeq.sortBy(_._1).foldRight(base) {
-          case ((i, Some(as)), acc) if as.contains(c) =>
-            when(col("__branch") === i, as(c)).otherwise(acc)
-          case ((i, Some(_)), acc) =>
-            // column not assigned: UPDATE keeps target value, INSERT
-            // fills NULL (ANSI) — distinguish by target presence
-            when(col("__branch") === i && col("__t_present").isNull,
-              lit(null)).otherwise(acc)
-          case ((_, None), acc) => acc
-        }
-        cased.cast(tField.dataType).as(c)
-      }
-      val next = labeled.filter(keepExpr).select(outCols: _*)
+    val byIdx: Map[Int, Option[Map[String, Column]]] = actions.map {
+      case (i, a, _) => i -> assignments(a, targetCols, p.sourceAlias)
+    }.toMap
+    // an assignment to a column the target doesn't have is a typo,
+    // not a no-op — fail like Delta/ANSI instead of dropping it
+    val unknown = byIdx.values.flatten.flatMap(_.keys)
+      .filterNot(targetCols.contains).toSeq.distinct
+    if (unknown.nonEmpty) throw new IllegalArgumentException(
+      s"MERGE assigns to column(s) not in the target: " +
+        unknown.mkString(", "))
+    val deletes = byIdx.collect { case (i, None) => i }.toSeq
+    val updates = byIdx.collect { case (i, Some(_)) => i }.toSeq
+    Core(p, target, targetCols, labeled, updates, deletes, byIdx)
+  }
 
-      // branch counters (one small aggregate over the labeled frame)
-      val updates = byIdx.collect { case (i, Some(_)) => i }.toSet
-      val stats = labeled.agg(
-        sum(when(col("__branch").isin(updates.toSeq.map(i => i: Any): _*)
-          && tPresent, 1L).otherwise(0L)).as("updated"),
-        sum(when(col("__branch").isin(deletes.map(i => i: Any): _*), 1L)
-          .otherwise(0L)).as("deleted"),
-        sum(when(col("__branch").isin(updates.toSeq.map(i => i: Any): _*)
-          && !tPresent, 1L).otherwise(0L)).as("inserted"),
-        sum(when(col("__branch") === -1, 1L).otherwise(0L)).as("unchanged"))
-        .head()
-      sink.overwrite(next)
-      MergeResult(stats.getLong(0), stats.getLong(1), stats.getLong(2),
-        stats.getLong(3))
-    } finally { joined.unpersist(); () }
+  /** Execute `mergeSql` against `sink` (the target table name in the
+    * statement is informational — the sink IS the target). The source
+    * must be a registered temp view or catalog name. Commits the
+    * post-merge snapshot through the sink and returns branch counters.
+    *
+    * Two passes over the (unmaterialized) join, not three and no
+    * persist: one combined aggregate (cardinality check + counters,
+    * [[Core.statsChecked]]) and the output write itself. At a 100 TB
+    * target, re-running the keyed join for the write costs two input
+    * scans but never materializes a full joined copy of the table —
+    * the previous persist WAS that extra full write. */
+  def merge(spark: SparkSession, mergeSql: String,
+            sink: DimSink): MergeResult = {
+    val core = analyze(spark, mergeSql, sink)
+    val stats = core.statsChecked()
+    sink.overwrite(core.next)
+    stats
+  }
+
+  /** Resolve the MERGE target from the statement's own table name via
+    * [[GraftCatalog]] — the `spark.sql`-shaped surface (reference:
+    * notebooks/Load & SCD-Merge.py:24-38 merges into a NAMED table).
+    * Refreshes the registered view after the commit so a subsequent
+    * `spark.table(name)` / `SELECT ... FROM name` sees the new
+    * snapshot. */
+  def merge(spark: SparkSession, mergeSql: String): MergeResult = {
+    val p = parse(spark, mergeSql)
+    val sink = GraftCatalog.sinkFor(spark, p.targetName).getOrElse(
+      throw new IllegalArgumentException(
+        s"MERGE target '${p.targetName}' is not a graft-registered " +
+          "table — GraftCatalog.register it (or pass a DimSink)"))
+    val r = merge(spark, mergeSql, sink)
+    GraftCatalog.refresh(spark, p.targetName)
+    r
+  }
+
+  /** Merge-on-read execution: instead of rewriting the full target
+    * snapshot (copy-on-write [[merge]]), commit ONLY the delta — the
+    * update/insert rows as an upsert patch and the deleted keys as a
+    * delete patch — through [[MergeOnReadSink.commitPatch]]. Write
+    * cost is ∝ the merge's change set, not the table (Delta's
+    * deletion-vector / MoR trade: cheap frequent merges, a read-side
+    * apply, compaction folds patches back into a full snapshot). The
+    * updated keys double as delete keys so the reader's anti-join
+    * drops the superseded base rows. */
+  def mergeMor(spark: SparkSession, mergeSql: String,
+               sink: MergeOnReadSink): MergeResult = {
+    val core = analyze(spark, mergeSql, sink)
+    val stats = core.statsChecked()
+    val isChange = col("__branch")
+      .isin(core.updates.map(i => i: Any): _*)
+    val isDelete = col("__branch")
+      .isin(core.deletes.map(i => i: Any): _*)
+    val upserts = core.labeled.filter(isChange).select(core.outCols: _*)
+    // deleted OR updated existing rows vanish from the base on read;
+    // keys come from the TARGET side (present for both branches)
+    val gone = core.labeled
+      .filter((isDelete || (isChange && core.tPresent)))
+      .select(sink.keyCols.map(k =>
+        col(s"${core.p.targetAlias}.$k").as(k)): _*)
+    sink.commitPatch(upserts, gone)
+    stats
   }
 
   /** In-memory convenience for tests and pipelines that hold the

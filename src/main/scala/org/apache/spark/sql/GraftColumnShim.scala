@@ -35,11 +35,36 @@ object GraftPlanReset {
       df.queryExecution.toRdd, df.schema, isStreaming = false)
   }
 
+  // Lint capture: a checkpointed frame's plan EXECUTES during plan
+  // construction, so a sweep over only the returned frame's plan
+  // never sees the pre-checkpoint stages of iterative ops (CC,
+  // PageRank, BPE). When a capture is active, every checkpointLeaf
+  // records the plan it is about to execute — PlanLintSpec sweeps
+  // those too. Zero overhead when no capture is active.
+  private val capture = new java.util.concurrent.atomic.AtomicReference[
+    java.util.concurrent.ConcurrentLinkedQueue[execution.SparkPlan]](null)
+
+  /** Run `body`, returning its result plus the physical plans of
+    * every [[checkpointLeaf]] it executed. Test-only surface. */
+  def captureCheckpointPlans[T](body: => T): (T, Seq[execution.SparkPlan]) = {
+    val q = new java.util.concurrent.ConcurrentLinkedQueue[
+      execution.SparkPlan]()
+    capture.set(q)
+    try {
+      val r = body
+      val plans = Seq.newBuilder[execution.SparkPlan]
+      q.forEach(p => plans += p)
+      (r, plans.result())
+    } finally capture.set(null)
+  }
+
   /** The iterative-loop checkpoint idiom (CC loop, PageRank, BPE):
     * eager localCheckpoint to truncate lineage, then [[freshLeaf]]
     * to drop the inherited plan statistics. */
-  def checkpointLeaf(df: DataFrame): DataFrame =
+  def checkpointLeaf(df: DataFrame): DataFrame = {
+    Option(capture.get).foreach(_.add(df.queryExecution.sparkPlan))
     freshLeaf(df.localCheckpoint(eager = true))
+  }
 }
 
 /** Runtime registration of the graft_* SQL functions on a live

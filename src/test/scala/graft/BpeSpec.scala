@@ -50,6 +50,40 @@ class BpeSpec extends SparkSpec {
     assert(got.head._4 == 9L) // ("e","s") at 6 + 3 wins round 1
   }
 
+  test("distributed loop == driver endgame == sequential reference") {
+    // localSolveMaxVocab = 0 forces the distributed per-round loop;
+    // the default gate takes the driver endgame — identical output
+    // on a corpus with ties, runs, and early-stopping words
+    val freq = Map("low" -> 5L, "lower" -> 2L, "newest" -> 6L,
+      "widest" -> 3L, "aaa" -> 4L, "ab" -> 1L, "x" -> 9L)
+    val text = freq.toSeq.sortBy(_._1)
+      .flatMap { case (w, f) => Seq.fill(f.toInt)(w) }.mkString(" ")
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+    val local = Bpe.train(docs, merges = 12).orderBy("rank")
+      .as[(Int, String, String, Long)].collect().toSeq
+    val dist = Bpe.train(docs, merges = 12, localSolveMaxVocab = 0L)
+      .orderBy("rank").as[(Int, String, String, Long)].collect().toSeq
+    assert(local == dist)
+    assert(local == refBpe(freq, 12))
+  }
+
+  test("driver endgame trains a 1000-merge vocabulary in seconds") {
+    // the production shape: merge count ≫ rounds a per-round
+    // distributed loop could afford (≈0.5 s scheduling floor each)
+    val words = (0 until 600).map(i =>
+      s"w${i}abcdefgh${i % 7}xyz${i % 13}")
+    val docs = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+    val t0 = System.nanoTime()
+    val table = Bpe.train(docs, merges = 1000)
+      .as[(Int, String, String, Long)].collect()
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(table.length > 100, s"expected a deep merge table, got ${table.length}")
+    // ranks are dense and frequencies monotone-ish sane
+    assert(table.map(_._1).toSeq == (1 to table.length))
+    assert(table.forall(_._4 > 0))
+    assert(secs < 60.0, s"1000-merge train took $secs s")
+  }
+
   test("pairCounts hand-counts; greedy-left fold handles symbol runs") {
     val docs = Seq((1L, "aaa aaa ab")).toDF("doc_id", "text")
     val pc = Bpe.pairCounts(docs).orderBy("sym_a", "sym_b")

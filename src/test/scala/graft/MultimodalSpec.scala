@@ -70,6 +70,49 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("decodeImageMeta reads real PNG and JPEG headers") {
+    val png = Multimodal.renderPng(17, 5, seed = 42L)
+    assert(Multimodal.decodeImageMeta(png).contains((17, 5, "png")))
+    // JPEG through the JDK's own writer: dims survive the round trip
+    val img = new java.awt.image.BufferedImage(9, 11,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val baos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "jpg", baos))
+    val jpg = Multimodal.decodeImageMeta(baos.toByteArray)
+    assert(jpg.map(m => (m._1, m._2)).contains((9, 11)))
+    assert(jpg.exists(m => m._3 == "jpeg" || m._3 == "jpg"))
+    // undecodable payloads land in the null lane, never throw
+    assert(Multimodal.decodeImageMeta("not an image".getBytes).isEmpty)
+    assert(Multimodal.decodeImageMeta(Array.empty[Byte]).isEmpty)
+    assert(Multimodal.decodeImageMeta(null).isEmpty)
+  }
+
+  test("decodeMeta round-trips rendered PNG dimensions distributedly") {
+    val media = Multimodal.asPngMediaTable(
+      (0L until 30L).toDF("doc_id"))
+    val out = Multimodal.decodeMeta(media).orderBy("media_id").collect()
+    assert(out.length == 30)
+    out.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getInt(1) == 1 + (id % 13).toInt, s"width of $id")
+      assert(r.getInt(2) == 1 + (id % 7).toInt, s"height of $id")
+      assert(r.getString(3) == "png")
+    }
+    // renders are deterministic: same seed → same bytes
+    assert(java.util.Arrays.equals(Multimodal.renderPng(4, 3, 7L),
+      Multimodal.renderPng(4, 3, 7L)))
+  }
+
+  test("decodeMeta stays in one plan (typed mapPartitions, no RDD " +
+    "barrier), mixed stub payloads null out") {
+    val media = Multimodal.asMediaTable(docs) // text bytes: not images
+    val out = Multimodal.decodeMeta(media).orderBy("media_id").collect()
+    assert(out.forall(r => r.isNullAt(1) && r.isNullAt(3)))
+    val phys = Multimodal.decodeMeta(media)
+      .queryExecution.executedPlan.toString
+    assert(!phys.contains("Scan ExistingRDD"), phys.take(600))
+  }
+
   test("framePlan samples offsets by stride") {
     val out = Multimodal.framePlan(Multimodal.asMediaTable(docs), stride = 8)
       .orderBy("media_id").collect()

@@ -38,7 +38,10 @@ class PlanLintSpec extends SparkSpec {
     "bm25_topk" -> "one-row doc-count + token-total broadcasts",
     "join_blowup" -> "one-row grand-total broadcast for the share column",
     "source_overlap" ->
-      "self-pair of the ≤|sources|-row sketch table — model-state scale")
+      "self-pair of the ≤|sources|-row sketch table — model-state scale",
+    "link_rank" ->
+      ("pre-ckpt stage (captured via checkpointLeaf): one-row " +
+        "vertex-count broadcast attached to the node set"))
   // (q15_top_supplier needs no allowlist: Catalyst rewrites its
   // crossJoin + equality filter into a Broadcast HASH join.)
 
@@ -51,25 +54,41 @@ class PlanLintSpec extends SparkSpec {
   test("no registered query plan contains an unreviewed scale-killer") {
     val bnljSeen = scala.collection.mutable.Set.empty[String]
     val gwinSeen = scala.collection.mutable.Set.empty[String]
+    val ckptCovered = scala.collection.mutable.Set.empty[String]
     val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
-        val plan: SparkPlan =
-          fn(spark, sf).queryExecution.sparkPlan
-        val cart = plan.collect { case c: CartesianProductExec => c }
-        val bnlj = plan.collect { case b: BroadcastNestedLoopJoinExec => b }
-        val gwin = plan.collect {
-          case w: WindowExec if w.partitionSpec.isEmpty => w
+        // capture the pre-checkpoint stages too: an iterative op's
+        // per-round plans execute DURING plan construction and would
+        // otherwise escape the sweep entirely
+        val (df, ckptPlans) = org.apache.spark.sql.GraftPlanReset
+          .captureCheckpointPlans { fn(spark, sf) }
+        if (ckptPlans.nonEmpty) ckptCovered += name
+        val plans: Seq[SparkPlan] =
+          df.queryExecution.sparkPlan +: ckptPlans
+        plans.flatMap { plan =>
+          val cart = plan.collect { case c: CartesianProductExec => c }
+          val bnlj = plan.collect { case b: BroadcastNestedLoopJoinExec => b }
+          val gwin = plan.collect {
+            case w: WindowExec if w.partitionSpec.isEmpty => w
+          }
+          if (bnlj.nonEmpty) bnljSeen += name
+          if (gwin.nonEmpty) gwinSeen += name
+          val found = Seq(
+            cart.headOption.map(_ => "CartesianProduct"),
+            bnlj.headOption.filter(_ => !bnljAllow.contains(name))
+              .map(_ => "BroadcastNestedLoopJoin"),
+            gwin.headOption.filter(_ => !globalWindowAllow.contains(name))
+              .map(_ => "global Window")).flatten
+          found.map(f => s"$name: $f")
         }
-        if (bnlj.nonEmpty) bnljSeen += name
-        if (gwin.nonEmpty) gwinSeen += name
-        val found = Seq(
-          cart.headOption.map(_ => "CartesianProduct"),
-          bnlj.headOption.filter(_ => !bnljAllow.contains(name))
-            .map(_ => "BroadcastNestedLoopJoin"),
-          gwin.headOption.filter(_ => !globalWindowAllow.contains(name))
-            .map(_ => "global Window")).flatten
-        found.map(f => s"$name: $f")
     }
+    // the iterative ops' checkpoint stages must actually be swept —
+    // if a refactor stops them going through checkpointLeaf, this
+    // coverage claim should fail loudly, not silently narrow
+    val mustCapture = Seq("link_rank", "dup_clusters", "bpe_train")
+    val missed = mustCapture.filterNot(ckptCovered)
+    assert(missed.isEmpty,
+      s"expected checkpoint-stage plans captured for: $missed")
     assert(violations.isEmpty,
       s"scale-killer nodes found (allowlist with a reason or fix):\n" +
         violations.mkString("\n"))
