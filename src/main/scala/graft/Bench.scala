@@ -122,7 +122,20 @@ object Bench {
       else {
         val entries = sweep.map { case (k, e) => "\"" + k + "\":" + fmt(e) }
           .mkString("{", ",", "}")
-        val superLin = sweep.filter(_._2 > 1.3).map("\"" + _._1 + "\"")
+        // expected scaling exponent per query: 1.0 (linear in data
+        // volume) except the all-pairs BASELINES whose two join
+        // sides both grow with sf — exact low-threshold cosine
+        // near-dup and brute-force top-k with an sf-proportional
+        // query batch are Θ(n²) by construction (their sub-quadratic
+        // production counterparts are embeddingNearDupLsh and the
+        // lsh/ivf/index ANN paths). The flag fires on EXCESS over
+        // the complexity class, which is what actually signals a
+        // broken plan.
+        val expectedExp = Map("dedup_embedding" -> 2.0,
+          "ann_bruteforce" -> 2.0).withDefaultValue(1.0)
+        val superLin = sweep
+          .filter { case (n, e) => e > expectedExp(n) + 0.3 }
+          .map("\"" + _._1 + "\"")
           .mkString("[", ",", "]")
         val step = if (hiDir.isDefined) "up10x" else "down10x"
         s""","sweep":$entries,"sweep_step":"$step"""" +

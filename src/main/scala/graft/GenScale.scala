@@ -19,9 +19,22 @@ import org.apache.spark.sql.functions._
   * sweep measure a workload that does not exist at a real sf1:
   *
   *  - documents: copy 0 keeps the original text; copies > 0 apply a
-  *    deterministic per-copy word permutation (sort tokens by
-  *    xxhash64(token, copy)) — same length, same vocabulary, same
-  *    per-doc token counts, disjoint shingle adjacencies.
+  *    BIJECTIVE per-copy token rename (prefix every token with the
+  *    copy id). A bijection preserves token/shingle-set relations —
+  *    intersections, Jaccard, duplicate groups — EXACTLY within the
+  *    copy, while making copies' vocabularies pairwise disjoint, so
+  *    near-dup pair counts scale linearly with the factor the way a
+  *    real larger corpus's would. (An earlier variant permuted word
+  *    order per copy; that kept token SETS identical across copies —
+  *    colliding LSH buckets — and pushed every doc in a copy into
+  *    one global token order, correlating word-shingles intra-copy:
+  *    both made the dedup family superlinear on the synthesized
+  *    tier only.)
+  *  - customer/supplier/part names: copies > 0 get a 3-char
+  *    copy-derived suffix, keeping intra-copy edit-distance
+  *    structure intact while placing distinct copies ≥3 edits apart
+  *    (beyond the fuzzy ops' maxDist), so linkage blocks don't
+  *    accrete identical names ×factor.
   *  - embeddings: copies > 0 get hash-derived unit vectors of the
   *    same dimensionality (ANN/dedup timings need cardinality and
   *    dimension, not the source tier's exact geometry).
@@ -44,6 +57,20 @@ object GenScale {
       .drop("__copy")
   }
 
+  /** Suffix name columns per copy (copy 0 untouched): 3 identical
+    * copy-derived letters after a '#', so names from different
+    * copies sit ≥3 edits apart while every intra-copy edit
+    * relationship is preserved verbatim. */
+  private def varyNames(df: DataFrame, keyCol: String,
+                        nameCols: Seq[String]): DataFrame = {
+    val cpy = expr(s"$keyCol div ${Off}L")
+    val suffix = concat(lit("#"),
+      expr(s"repeat(chr(97 + pmod($keyCol div ${Off}L, 26)), 3)"))
+    nameCols.foldLeft(df)((d, c) =>
+      d.withColumn(c, when(cpy === 0L, col(c))
+        .otherwise(concat(col(c), suffix))))
+  }
+
   /** Synthesize `outDir` (factor × `srcDir`) unless a completed copy
     * is already there. Returns outDir on success. */
   def ensure(spark: SparkSession, srcDir: String, outDir: String,
@@ -57,9 +84,12 @@ object GenScale {
 
     write(load("region"), "region")
     write(load("nation"), "nation")
-    write(replicate(load("customer"), factor, Seq("c_custkey")), "customer")
-    write(replicate(load("supplier"), factor, Seq("s_suppkey")), "supplier")
-    write(replicate(load("part"), factor, Seq("p_partkey")), "part")
+    write(varyNames(replicate(load("customer"), factor, Seq("c_custkey")),
+      "c_custkey", Seq("c_name")), "customer")
+    write(varyNames(replicate(load("supplier"), factor, Seq("s_suppkey")),
+      "s_suppkey", Seq("s_name")), "supplier")
+    write(varyNames(replicate(load("part"), factor, Seq("p_partkey")),
+      "p_partkey", Seq("p_name")), "part")
     write(replicate(load("orders"), factor,
       Seq("o_orderkey", "o_custkey")), "orders")
     write(replicate(load("lineitem"), factor,
@@ -73,10 +103,11 @@ object GenScale {
       .withColumn("__copy", (col("doc_id") / Off).cast("long"))
     write(docs.withColumn("text",
       when(col("__copy") === 0L, col("text")).otherwise(
-        // deterministic per-copy permutation of the word bag
+        // bijective per-copy token rename (see scaladoc): order,
+        // counts and intra-copy set relations preserved exactly;
+        // vocabularies disjoint across copies
         concat_ws(" ", expr(
-          "transform(array_sort(transform(split(text, ' '), " +
-            "w -> struct(xxhash64(w, __copy) AS h, w AS w))), s -> s.w)"))))
+          "transform(split(text, ' '), w -> concat(__copy, '_', w))"))))
       .drop("__copy"), "documents")
 
     val emb = replicate(load("embeddings"), factor, Seq("vec_id"))

@@ -413,6 +413,33 @@ object SparkEntry {
       sink.loadVersionAt(s, 2500L).orderBy(col("k"))
     }),
 
+    "catalog_time_travel" -> ((s, d) => {
+      // the DSv2-catalog surface end-to-end: a versioned sink under a
+      // registered catalog plugin, read back PURELY through SQL with
+      // native TIMESTAMP AS OF — Spark routes the clause to
+      // GraftTableCatalog.loadTable(ident, micros), which resolves
+      // the manifest to the snapshot current at that instant
+      // (timestamp_micros keeps the literal timezone-free)
+      val tag = java.lang.Integer.toHexString(d.hashCode)
+      val dir = java.nio.file.Files.createTempDirectory("graft_dsv2")
+      val ticks = Iterator(1000L, 2000L, 3000L)
+      val sink = new graft.sources.VersionedParquetSink(
+        s"$dir/dim", () => ticks.next())
+      val cust = t(s, d, "customer")
+      sink.overwrite(cust.filter(col("c_custkey") <= 100)
+        .select(col("c_custkey").as("k"), col("c_name").as("name")))
+      sink.overwrite(cust.filter(col("c_custkey") <= 200)
+        .select(col("c_custkey").as("k"), upper(col("c_name")).as("name")))
+      sink.overwrite(cust.filter(col("c_custkey") <= 300)
+        .select(col("c_custkey").as("k"), lower(col("c_name")).as("name")))
+      s.conf.set(s"spark.sql.catalog.tt_$tag",
+        classOf[graft.sources.GraftTableCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.tt_$tag.warehouse", dir.toString)
+      s.sql(s"""SELECT k, name FROM tt_$tag.dim
+                TIMESTAMP AS OF timestamp_micros(2500000L)
+                ORDER BY k""")
+    }),
+
     "bucketed_join" -> ((s, d) => {
       // the shuffle paid at write time: both facts bucketed by the
       // join key co-locate, so the join plans with zero exchange
@@ -1016,12 +1043,17 @@ object SparkEntry {
         .orderBy(col("doc_id"))),
 
     "ngram_jaccard" -> ((s, d) => {
-      // stop-gram cap at 10% of the corpus: grams in >10% of docs
-      // carry no dedup signal and dominate the Σ df² join cost.
-      // The cap is computed INSIDE the plan (broadcast scalar), so
-      // there is no driver-side count() pre-pass over the corpus.
+      // ABSOLUTE stop-gram cap: grams in more than 500 docs carry no
+      // dedup signal no matter how big the corpus is, so the cap
+      // must NOT scale with it — a fractional cap keeps
+      // fraction-stable grams (stop-grams, long-word interiors)
+      // whose df grows ∝ n, and their Σ df² contribution grows ∝ n²
+      // (measured: the 10%-of-corpus cap made the sf0.1→sf1 sweep
+      // exponent 2.0; the absolute cap is the standard web-scale
+      // similarity-join posture and restores ~linear scaling, with
+      // candidate generation bounded by cap·|postings|).
       Dedup.ngramJaccard(t(s, d, "documents"), threshold = 0.8,
-        maxDfFraction = 0.1, minDfCap = 50L)
+        maxDf = 500L)
         .orderBy(col("id_a"), col("id_b"))
     }),
 
@@ -1752,6 +1784,11 @@ object SparkEntry {
          ORDER BY k""",
 
     "sink_time_travel" ->
+      """SELECT CAST(c_custkey AS BIGINT) AS k, UPPER(c_name) AS name
+         FROM customer WHERE c_custkey <= 200
+         ORDER BY k""",
+
+    "catalog_time_travel" ->
       """SELECT CAST(c_custkey AS BIGINT) AS k, UPPER(c_name) AS name
          FROM customer WHERE c_custkey <= 200
          ORDER BY k""",
@@ -2534,7 +2571,7 @@ object SparkEntry {
            FROM documents),
          df AS (SELECT gram, count(*) AS df FROM g GROUP BY gram),
          kept AS (SELECT g.doc_id, g.gram FROM g JOIN df USING (gram)
-           WHERE df.df <= greatest(50, (SELECT count(*) FROM documents) / 10)),
+           WHERE df.df <= 500),
          sets AS (SELECT doc_id, list(gram) AS s FROM kept GROUP BY doc_id)
          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            round(len(list_intersect(a.s, b.s)) /

@@ -1,0 +1,197 @@
+package graft.sources
+
+import java.util.{Map => JMap}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog.{Identifier, SupportsRead, Table, TableCapability, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** A Spark DataSource-V2 `TableCatalog` over graft's versioned
+  * parquet sinks — the catalog-plugin half of the by-name surface
+  * ([[GraftCatalog]] is the session-temp-view half). Configure
+  *
+  * {{{
+  * spark.sql.catalog.graft           = graft.sources.GraftTableCatalog
+  * spark.sql.catalog.graft.warehouse = /path/to/warehouse
+  * }}}
+  *
+  * and every [[VersionedParquetSink]] directory under the warehouse
+  * is a named table with NATIVE SQL time travel — the one thing a
+  * temp view cannot give, because Spark routes `VERSION AS OF` /
+  * `TIMESTAMP AS OF` only through a catalog plugin's `loadTable`
+  * overloads (reference behavior: Delta tables under
+  * `Load & SCD-Merge.py:24-38` support exactly these clauses):
+  *
+  * {{{
+  * SELECT * FROM graft.dim_customer                          -- current
+  * SELECT * FROM graft.dim_customer VERSION AS OF 2          -- pinned
+  * SELECT * FROM graft.dim_customer TIMESTAMP AS OF t        -- as-of
+  * }}}
+  *
+  * Reads resolve the sink manifest at analysis time and serve the
+  * chosen immutable `v=N` directory through Spark's own parquet
+  * scan, so filter pushdown / column pruning / partition listing
+  * behave exactly as for any parquet table ([[GraftReadTable]] wraps
+  * the scan READ-ONLY: an `INSERT INTO` is rejected at analysis —
+  * appending raw files into a version directory would corrupt the
+  * manifest MVCC contract; writes go through [[DimSink.overwrite]] /
+  * [[GraftCatalog.commit]] / [[SqlMerge]], which commit whole
+  * snapshots atomically). Merge-on-read sinks are served while their
+  * patch list is empty (post-[[MergeOnReadSink.compact]]); with
+  * pending patches they need the reader-side patch apply, which a
+  * bare file scan cannot express — [[MergeOnReadSink.load]] or the
+  * temp-view route serves those.
+  *
+  * Scale: the catalog itself is metadata-only (one manifest read per
+  * resolution, O(#versions) listing for timestamp lookup); all data
+  * movement is the parquet scan. */
+class GraftTableCatalog extends TableCatalog {
+
+  private var catalogName: String = _
+  private var warehouse: String = _
+
+  override def initialize(name: String,
+                          options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    warehouse = Option(options.get("warehouse")).getOrElse(
+      throw new IllegalArgumentException(
+        s"GraftTableCatalog '$name' needs spark.sql.catalog.$name.warehouse"))
+  }
+
+  override def name(): String = catalogName
+
+  private def dirOf(ident: Identifier): java.io.File =
+    new java.io.File(
+      (warehouse +: (ident.namespace().toSeq :+ ident.name())).mkString("/"))
+
+  /** The manifest distinguishes the layouts: `N` is a CoW
+    * [[VersionedParquetSink]], `N|p1,p2,...` a [[MergeOnReadSink]]. */
+  private def manifestLine(dir: java.io.File): Option[String] = {
+    val m = new java.io.File(dir, "_CURRENT")
+    if (m.exists) Some(java.nio.file.Files.readString(m.toPath).trim)
+    else None
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    manifestLine(dirOf(ident)).isDefined
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val base = new java.io.File((warehouse +: namespace.toSeq).mkString("/"))
+    Option(base.listFiles()).toSeq.flatten
+      .filter(d => d.isDirectory && new java.io.File(d, "_CURRENT").exists)
+      .map(d => Identifier.of(namespace, d.getName)).toArray
+  }
+
+  private def readTable(ident: Identifier, versionDir: String): Table = {
+    val spark = SparkSession.active
+    new GraftReadTable(ParquetTable(
+      s"$catalogName.${ident.name()}", spark,
+      CaseInsensitiveStringMap.empty(), Seq(versionDir),
+      None, classOf[ParquetFileFormat]))
+  }
+
+  override def loadTable(ident: Identifier): Table = {
+    val dir = dirOf(ident)
+    manifestLine(dir) match {
+      case None => throw new NoSuchTableException(ident)
+      case Some(line) if !line.contains('|') => // CoW sink
+        readTable(ident, s"$dir/v=$line")
+      case Some(line) => // merge-on-read sink
+        val Array(base, patches @ _*) = line.split('|')
+        if (patches.headOption.forall(_.isEmpty))
+          readTable(ident, s"$dir/v=$base")
+        else throw new UnsupportedOperationException(
+          s"table '$ident' has ${patches.head.split(',').length} pending " +
+            "merge-on-read patches; a bare file scan cannot apply them — " +
+            "read via MergeOnReadSink.load or fold them with compact()")
+    }
+  }
+
+  /** `VERSION AS OF n` — any committed, unexpired version. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val dir = dirOf(ident)
+    if (manifestLine(dir).isEmpty) throw new NoSuchTableException(ident)
+    val v = try version.toLong catch {
+      case _: NumberFormatException => throw new IllegalArgumentException(
+        s"'$version' is not a graft version number (VERSION AS OF <n>)")
+    }
+    if (!new java.io.File(dir, s"v=$v").isDirectory)
+      throw new IllegalArgumentException(
+        s"table '$ident' has no committed version $v")
+    readTable(ident, s"$dir/v=$v")
+  }
+
+  /** `TIMESTAMP AS OF t` — Spark hands the instant as epoch MICROS;
+    * sink commit times are epoch millis from the injectable clock. */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    val dir = dirOf(ident)
+    if (manifestLine(dir).isEmpty) throw new NoSuchTableException(ident)
+    val sink = new VersionedParquetSink(dir.toString)
+    val v = sink.versionAt(Math.floorDiv(timestampMicros, 1000L))
+    readTable(ident, s"$dir/v=$v")
+  }
+
+  /** `CREATE TABLE cat.t (schema)`: seed a versioned sink with an
+    * empty v=0 snapshot of the requested schema. CTAS is rejected
+    * downstream (the returned table is read-only), as are partition
+    * transforms (the sink owns its layout). */
+  override def createTable(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: JMap[String, String]): Table = {
+    if (partitions.nonEmpty) throw new UnsupportedOperationException(
+      "graft tables do not take partition transforms; layout is the sink's")
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    val spark = SparkSession.active
+    val empty = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+    new VersionedParquetSink(dirOf(ident).toString).overwrite(empty)
+    loadTable(ident)
+  }
+
+  override def alterTable(ident: Identifier,
+                          changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "ALTER TABLE is not supported; commit a new snapshot instead")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val dir = dirOf(ident)
+    if (manifestLine(dir).isEmpty) false
+    else {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(); ()
+      }
+      rm(dir); true
+    }
+  }
+
+  override def renameTable(oldIdent: Identifier,
+                           newIdent: Identifier): Unit = {
+    if (manifestLine(dirOf(oldIdent)).isEmpty)
+      throw new NoSuchTableException(oldIdent)
+    if (tableExists(newIdent))
+      throw new TableAlreadyExistsException(newIdent)
+    java.nio.file.Files.move(dirOf(oldIdent).toPath, dirOf(newIdent).toPath)
+    ()
+  }
+}
+
+/** Read-only wrapper over Spark's own parquet table implementation:
+  * delegates schema inference and the pushdown-capable scan builder,
+  * but advertises ONLY `BATCH_READ` — so the analyzer rejects any
+  * write path that would bypass the sink manifest. */
+private[sources] final class GraftReadTable(inner: ParquetTable)
+  extends Table with SupportsRead {
+  override def name(): String = inner.name
+  override def schema(): StructType = inner.schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    inner.newScanBuilder(options)
+}

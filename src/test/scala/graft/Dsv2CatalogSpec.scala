@@ -1,0 +1,124 @@
+package graft
+
+import graft.sources.{GraftTableCatalog, MergeOnReadSink, VersionedParquetSink}
+import org.apache.spark.sql.functions._
+
+/** The DataSource-V2 catalog plugin: named reads, native SQL time
+  * travel (`VERSION AS OF` / `TIMESTAMP AS OF`), read-only
+  * enforcement, pushdown through the catalog scan, and DDL. */
+class Dsv2CatalogSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  /** Fresh catalog name per test (Spark caches plugin instances per
+    * name after first resolution, so a shared name would pin the
+    * first test's warehouse). */
+  private var n = 0
+  private def freshCatalog(warehouse: String): String = {
+    n += 1
+    val cat = s"g2c_$n"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[GraftTableCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", warehouse)
+    cat
+  }
+
+  private def threeVersionSink(wh: String): VersionedParquetSink = {
+    val ticks = Iterator(1000L, 2000L, 3000L)
+    val sink = new VersionedParquetSink(s"$wh/dim", () => ticks.next())
+    sink.overwrite(Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+    sink.overwrite(Seq((1L, "a2"), (3L, "c")).toDF("k", "v"))
+    sink.overwrite(Seq((1L, "a3")).toDF("k", "v"))
+    sink
+  }
+
+  test("SELECT by name reads the current snapshot; VERSION AS OF pins") {
+    val wh = tmp("dsv2")
+    threeVersionSink(wh)
+    val cat = freshCatalog(wh)
+    assert(spark.sql(s"SELECT k, v FROM $cat.dim ORDER BY k")
+      .as[(Long, String)].collect().toSeq == Seq((1L, "a3")))
+    assert(spark.sql(s"SELECT k, v FROM $cat.dim VERSION AS OF 0 ORDER BY k")
+      .as[(Long, String)].collect().toSeq == Seq((1L, "a"), (2L, "b")))
+    assert(spark.sql(s"SELECT k, v FROM $cat.dim VERSION AS OF 1 ORDER BY k")
+      .as[(Long, String)].collect().toSeq == Seq((1L, "a2"), (3L, "c")))
+    val err = intercept[Exception](
+      spark.sql(s"SELECT * FROM $cat.dim VERSION AS OF 9").collect())
+    assert(err.getMessage.contains("no committed version"))
+  }
+
+  test("TIMESTAMP AS OF resolves between-commit instants to the " +
+    "snapshot current then") {
+    val wh = tmp("dsv2")
+    threeVersionSink(wh) // commit millis 1000 / 2000 / 3000
+    val cat = freshCatalog(wh)
+    def at(micros: Long): Seq[(Long, String)] =
+      spark.sql(s"SELECT k, v FROM $cat.dim " +
+          s"TIMESTAMP AS OF timestamp_micros(${micros}L) ORDER BY k")
+        .as[(Long, String)].collect().toSeq
+    assert(at(2500L * 1000) == Seq((1L, "a2"), (3L, "c"))) // between v1,v2
+    assert(at(2000L * 1000) == Seq((1L, "a2"), (3L, "c"))) // exactly v1
+    assert(at(9999L * 1000) == Seq((1L, "a3")))            // after last
+    val err = intercept[Exception](at(500L * 1000))        // before first
+    assert(err.getMessage.contains("no committed version"))
+  }
+
+  test("catalog reads push filters down to the parquet scan") {
+    val wh = tmp("dsv2")
+    threeVersionSink(wh)
+    val cat = freshCatalog(wh)
+    val plan = spark.sql(s"SELECT k FROM $cat.dim VERSION AS OF 0 WHERE k = 2")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("IsNotNull(k)"),
+      s"expected parquet pushdown through the catalog scan:\n$plan")
+    assert(plan.contains("ReadSchema: struct<k:bigint>"),
+      s"expected column pruning to drop v:\n$plan")
+  }
+
+  test("the catalog table is read-only: INSERT INTO is rejected") {
+    val wh = tmp("dsv2")
+    threeVersionSink(wh)
+    val cat = freshCatalog(wh)
+    val err = intercept[Exception](
+      spark.sql(s"INSERT INTO $cat.dim VALUES (9, 'z')"))
+    assert(err.getMessage.toLowerCase.contains("does not support")
+      || err.getMessage.toLowerCase.contains("unsupported"),
+      s"unexpected: ${err.getMessage}")
+  }
+
+  test("CREATE TABLE seeds an empty v=0; DROP TABLE removes it; " +
+    "SHOW TABLES lists sinks") {
+    val wh = tmp("dsv2")
+    threeVersionSink(wh)
+    val cat = freshCatalog(wh)
+    spark.sql(s"CREATE TABLE $cat.fresh (x INT, s STRING)")
+    assert(spark.sql(s"SELECT * FROM $cat.fresh").count() == 0)
+    assert(spark.sql(s"SELECT * FROM $cat.fresh").schema.fieldNames.toSeq
+      == Seq("x", "s"))
+    val listed = spark.sql(s"SHOW TABLES IN $cat").select("tableName")
+      .as[String].collect().toSet
+    assert(listed == Set("dim", "fresh"))
+    spark.sql(s"DROP TABLE $cat.fresh")
+    assert(spark.sql(s"SHOW TABLES IN $cat").count() == 1)
+  }
+
+  test("a merge-on-read sink is served when compacted and rejected " +
+    "with pending patches") {
+    val wh = tmp("dsv2")
+    val sink = new MergeOnReadSink(s"$wh/mor", Seq("k"))
+    sink.overwrite(Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+    val cat = freshCatalog(wh)
+    assert(spark.sql(s"SELECT k, v FROM $cat.mor ORDER BY k")
+      .as[(Long, String)].collect().toSeq == Seq((1L, "a"), (2L, "b")))
+    sink.commitPatch(Seq((2L, "b2")).toDF("k", "v"),
+      Seq(1L).toDF("k"))
+    val err = intercept[Exception](
+      spark.sql(s"SELECT * FROM $cat.mor").collect())
+    assert(err.getMessage.contains("pending merge-on-read patches"))
+    sink.compact(spark)
+    assert(spark.sql(s"SELECT k, v FROM $cat.mor ORDER BY k")
+      .as[(Long, String)].collect().toSeq == Seq((2L, "b2")))
+  }
+}
