@@ -440,6 +440,96 @@ object SparkEntry {
                 ORDER BY k""")
     }),
 
+    "log_table_dml" -> ((s, d) => {
+      // the transaction-log table's full SQL DML surface by name:
+      // CREATE USING log, two INSERT INTO appends (each commits ONLY
+      // its delta — file-granularity MVCC, the Delta trade the CoW
+      // sink cannot make), then DELETE FROM whose stats-pruned
+      // rewrite touches only files that contain matching rows; the
+      // oracle recomputes the final state declaratively
+      val tag = java.lang.Integer.toHexString(d.hashCode)
+      val wh = java.nio.file.Files.createTempDirectory("graft_logdml")
+      val cat = s"logdml_$tag"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.GraftTableCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh.toString)
+      s.sql(s"CREATE TABLE $cat.dim (k BIGINT, status STRING, " +
+        "bal DOUBLE) USING log")
+      t(s, d, "customer").filter(col("c_custkey") <= 200)
+        .select(col("c_custkey").as("k"), lit("init").as("status"),
+          col("c_acctbal").as("bal"))
+        .createOrReplaceTempView(s"log_b1_$tag")
+      s.sql(s"INSERT INTO $cat.dim SELECT * FROM log_b1_$tag")
+      t(s, d, "customer")
+        .filter(col("c_custkey") > 200 && col("c_custkey") <= 350)
+        .select(col("c_custkey").as("k"), lit("late").as("status"),
+          col("c_acctbal").as("bal"))
+        .createOrReplaceTempView(s"log_b2_$tag")
+      s.sql(s"INSERT INTO $cat.dim SELECT * FROM log_b2_$tag")
+      s.sql(s"DELETE FROM $cat.dim WHERE k > 150 AND k <= 250")
+      s.sql(s"SELECT k, status, bal FROM $cat.dim ORDER BY k")
+    }),
+
+    "log_table_update" -> ((s, d) => {
+      // row-level UPDATE on the log table: only files whose stats
+      // admit matching rows are rewritten (everything else carries
+      // forward by reference); matching rows get SET applied, the
+      // rest are byte-identical — oracle is the CASE expression
+      val dir = java.nio.file.Files.createTempDirectory("graft_logupd")
+      val lt = new graft.sources.LogTable(s"$dir/t")
+      lt.append(t(s, d, "customer").filter(col("c_custkey") <= 300)
+        .select(col("c_custkey").as("k"), col("c_acctbal").as("bal")))
+      lt.update(s, col("bal") < 0.0,
+        Map("bal" -> lit(0.0)))
+      lt.load(s).select(col("k"), col("bal")).orderBy(col("k"))
+    }),
+
+    "log_table_time_travel" -> ((s, d) => {
+      // log-table time travel end-to-end through SQL: three commits
+      // under an injected clock (append / append / delete), then
+      // TIMESTAMP AS OF pinned between the 2nd and 3rd — the state
+      // the delete has not yet touched
+      val tag = java.lang.Integer.toHexString(d.hashCode)
+      val wh = java.nio.file.Files.createTempDirectory("graft_logtt")
+      val ticks = Iterator(1000L, 2000L, 3000L)
+      val lt = new graft.sources.LogTable(s"$wh/t", () => ticks.next())
+      val cust = t(s, d, "customer")
+      lt.append(cust.filter(col("c_custkey") <= 100)
+        .select(col("c_custkey").as("k"), col("c_name").as("name")))
+      lt.append(cust
+        .filter(col("c_custkey") > 100 && col("c_custkey") <= 200)
+        .select(col("c_custkey").as("k"), col("c_name").as("name")))
+      lt.delete(s, col("k") <= 50L)
+      val cat = s"logtt_$tag"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.GraftTableCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh.toString)
+      s.sql(s"""SELECT k, name FROM $cat.t
+                TIMESTAMP AS OF timestamp_micros(2500000L)
+                ORDER BY k""")
+    }),
+
+    "log_table_changes" -> ((s, d) => {
+      // the change-data-feed surface: row-level changes between two
+      // versions — appends derive inserts from their committed
+      // files, a delete commit reads its recorded change files; the
+      // oracle reconstructs the same feed from the base tables
+      val dir = java.nio.file.Files.createTempDirectory("graft_logcdf")
+      val lt = new graft.sources.LogTable(s"$dir/t")
+      val cust = t(s, d, "customer")
+      lt.append(cust.filter(col("c_custkey") <= 150)
+        .select(col("c_custkey").as("k"), col("c_name").as("name")))
+      lt.append(cust
+        .filter(col("c_custkey") > 150 && col("c_custkey") <= 250)
+        .select(col("c_custkey").as("k"), col("c_name").as("name")))
+      lt.delete(s, col("k") > 100L && col("k") <= 200L)
+      lt.changes(s, -1L, lt.currentVersion.get)
+        .select(col("k"), col("name"),
+          col("_change_type").as("change_type"),
+          col("_commit_version").cast("long").as("commit_version"))
+        .orderBy(col("commit_version"), col("change_type"), col("k"))
+    }),
+
     "bucketed_join" -> ((s, d) => {
       // the shuffle paid at write time: both facts bucketed by the
       // join key co-locate, so the join plans with zero exchange
@@ -1792,6 +1882,44 @@ object SparkEntry {
       """SELECT CAST(c_custkey AS BIGINT) AS k, UPPER(c_name) AS name
          FROM customer WHERE c_custkey <= 200
          ORDER BY k""",
+
+    "log_table_dml" ->
+      """SELECT k, status, bal FROM (
+           SELECT CAST(c_custkey AS BIGINT) AS k, 'init' AS status,
+                  c_acctbal AS bal
+           FROM customer WHERE c_custkey <= 200
+           UNION ALL
+           SELECT CAST(c_custkey AS BIGINT) AS k, 'late' AS status,
+                  c_acctbal AS bal
+           FROM customer WHERE c_custkey > 200 AND c_custkey <= 350)
+         WHERE NOT (k > 150 AND k <= 250)
+         ORDER BY k""",
+
+    "log_table_update" ->
+      """SELECT CAST(c_custkey AS BIGINT) AS k,
+                CASE WHEN c_acctbal < 0 THEN 0.0 ELSE c_acctbal END AS bal
+         FROM customer WHERE c_custkey <= 300
+         ORDER BY k""",
+
+    "log_table_time_travel" ->
+      """SELECT CAST(c_custkey AS BIGINT) AS k, c_name AS name
+         FROM customer WHERE c_custkey <= 200
+         ORDER BY k""",
+
+    "log_table_changes" ->
+      """SELECT k, name, change_type, commit_version FROM (
+           SELECT CAST(c_custkey AS BIGINT) AS k, c_name AS name,
+                  'insert' AS change_type, CAST(0 AS BIGINT) AS commit_version
+           FROM customer WHERE c_custkey <= 150
+           UNION ALL
+           SELECT CAST(c_custkey AS BIGINT) AS k, c_name AS name,
+                  'insert' AS change_type, CAST(1 AS BIGINT) AS commit_version
+           FROM customer WHERE c_custkey > 150 AND c_custkey <= 250
+           UNION ALL
+           SELECT CAST(c_custkey AS BIGINT) AS k, c_name AS name,
+                  'delete' AS change_type, CAST(2 AS BIGINT) AS commit_version
+           FROM customer WHERE c_custkey > 100 AND c_custkey <= 200)
+         ORDER BY commit_version, change_type, k""",
 
     "pipeline_e2e" ->
       """WITH s1 AS (

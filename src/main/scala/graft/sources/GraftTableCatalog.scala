@@ -78,13 +78,19 @@ class GraftTableCatalog extends TableCatalog {
     else None
   }
 
+  /** Is the directory a [[LogTable]] (file-granularity transaction
+    * log) rather than a manifest-pointer sink? */
+  private def isLogTable(dir: java.io.File): Boolean =
+    new LogTable(dir.toString).exists
+
   override def tableExists(ident: Identifier): Boolean =
-    manifestLine(dirOf(ident)).isDefined
+    manifestLine(dirOf(ident)).isDefined || isLogTable(dirOf(ident))
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     val base = new java.io.File((warehouse +: namespace.toSeq).mkString("/"))
     Option(base.listFiles()).toSeq.flatten
-      .filter(d => d.isDirectory && new java.io.File(d, "_CURRENT").exists)
+      .filter(d => d.isDirectory &&
+        (new java.io.File(d, "_CURRENT").exists || isLogTable(d)))
       .map(d => Identifier.of(namespace, d.getName)).toArray
   }
 
@@ -99,6 +105,9 @@ class GraftTableCatalog extends TableCatalog {
   override def loadTable(ident: Identifier): Table = {
     val dir = dirOf(ident)
     manifestLine(dir) match {
+      case None if isLogTable(dir) => // transaction-log table: R/W DML
+        new GraftLogTableV2(s"$catalogName.${ident.name()}",
+          new LogTable(dir.toString))
       case None => throw new NoSuchTableException(ident)
       case Some(line) if !line.contains('|') => // CoW sink
         readTable(ident, s"$dir/v=$line")
@@ -116,41 +125,63 @@ class GraftTableCatalog extends TableCatalog {
   /** `VERSION AS OF n` — any committed, unexpired version. */
   override def loadTable(ident: Identifier, version: String): Table = {
     val dir = dirOf(ident)
-    if (manifestLine(dir).isEmpty) throw new NoSuchTableException(ident)
     val v = try version.toLong catch {
       case _: NumberFormatException => throw new IllegalArgumentException(
         s"'$version' is not a graft version number (VERSION AS OF <n>)")
     }
-    if (!new java.io.File(dir, s"v=$v").isDirectory)
-      throw new IllegalArgumentException(
+    if (manifestLine(dir).isEmpty) {
+      if (!isLogTable(dir)) throw new NoSuchTableException(ident)
+      val log = new LogTable(dir.toString)
+      if (!log.versions.contains(v)) throw new IllegalArgumentException(
         s"table '$ident' has no committed version $v")
-    readTable(ident, s"$dir/v=$v")
+      GraftLogTableV2.pinned(s"$catalogName.${ident.name()}", log, v)
+    } else {
+      if (!new java.io.File(dir, s"v=$v").isDirectory)
+        throw new IllegalArgumentException(
+          s"table '$ident' has no committed version $v")
+      readTable(ident, s"$dir/v=$v")
+    }
   }
 
   /** `TIMESTAMP AS OF t` — Spark hands the instant as epoch MICROS;
-    * sink commit times are epoch millis from the injectable clock. */
+    * sink/log commit times are epoch millis from the injectable
+    * clock. */
   override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
     val dir = dirOf(ident)
-    if (manifestLine(dir).isEmpty) throw new NoSuchTableException(ident)
-    val sink = new VersionedParquetSink(dir.toString)
-    val v = sink.versionAt(Math.floorDiv(timestampMicros, 1000L))
-    readTable(ident, s"$dir/v=$v")
+    val tsMillis = Math.floorDiv(timestampMicros, 1000L)
+    if (manifestLine(dir).isEmpty) {
+      if (!isLogTable(dir)) throw new NoSuchTableException(ident)
+      val log = new LogTable(dir.toString)
+      GraftLogTableV2.pinned(s"$catalogName.${ident.name()}", log,
+        log.versionAt(tsMillis))
+    } else {
+      val sink = new VersionedParquetSink(dir.toString)
+      readTable(ident, s"$dir/v=${sink.versionAt(tsMillis)}")
+    }
   }
 
-  /** `CREATE TABLE cat.t (schema)`: seed a versioned sink with an
-    * empty v=0 snapshot of the requested schema. CTAS is rejected
-    * downstream (the returned table is read-only), as are partition
-    * transforms (the sink owns its layout). */
+  /** `CREATE TABLE cat.t (schema)`: by default seed a versioned
+    * sink with an empty v=0 snapshot of the requested schema (CTAS
+    * rejected downstream — that table is read-only);
+    * `CREATE TABLE cat.t (schema) USING log` seeds a [[LogTable]]
+    * instead, whose full INSERT / INSERT OVERWRITE / DELETE DML
+    * surface works by name. Partition transforms are rejected
+    * either way (the table owns its layout). */
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
                            properties: JMap[String, String]): Table = {
     if (partitions.nonEmpty) throw new UnsupportedOperationException(
       "graft tables do not take partition transforms; layout is the sink's")
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
-    val spark = SparkSession.active
-    val empty = spark.createDataFrame(
-      new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
-    new VersionedParquetSink(dirOf(ident).toString).overwrite(empty)
+    val provider = Option(properties.get("provider")).map(_.toLowerCase)
+    if (provider.exists(p => p == "log" || p == "graft_log")) {
+      new LogTable(dirOf(ident).toString).create(schema)
+    } else {
+      val spark = SparkSession.active
+      val empty = spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+      new VersionedParquetSink(dirOf(ident).toString).overwrite(empty)
+    }
     loadTable(ident)
   }
 
@@ -161,7 +192,7 @@ class GraftTableCatalog extends TableCatalog {
 
   override def dropTable(ident: Identifier): Boolean = {
     val dir = dirOf(ident)
-    if (manifestLine(dir).isEmpty) false
+    if (manifestLine(dir).isEmpty && !isLogTable(dir)) false
     else {
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles()).foreach(_.foreach(rm))
@@ -173,7 +204,7 @@ class GraftTableCatalog extends TableCatalog {
 
   override def renameTable(oldIdent: Identifier,
                            newIdent: Identifier): Unit = {
-    if (manifestLine(dirOf(oldIdent)).isEmpty)
+    if (!tableExists(oldIdent))
       throw new NoSuchTableException(oldIdent)
     if (tableExists(newIdent))
       throw new TableAlreadyExistsException(newIdent)

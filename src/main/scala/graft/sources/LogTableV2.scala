@@ -1,0 +1,152 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.connector.catalog.{SupportsDelete, SupportsRead, SupportsWrite, Table, TableCapability}
+import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.sources
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** The DataSource-V2 face of a [[LogTable]]: a READ + WRITE + DELETE
+  * catalog table, so the full SQL DML surface the reference's users
+  * have on Delta tables works by name —
+  *
+  * {{{
+  * INSERT INTO g.t VALUES ...        -- append commit (∝ delta)
+  * INSERT OVERWRITE g.t SELECT ...   -- full-replace commit
+  * DELETE FROM g.t WHERE k < 10      -- stats-pruned file rewrite
+  * SELECT * FROM g.t [VERSION AS OF n | TIMESTAMP AS OF t]
+  * }}}
+  *
+  * Reads delegate to Spark's own parquet implementation over the
+  * snapshot's live file list, so pushdown / pruning / vectorization
+  * are exactly parquet's. Writes delegate the data movement to
+  * Spark's parquet write path pointed at a per-query staging
+  * directory; the driver-side `BatchWrite.commit` then runs the log
+  * commit (stats pass over the staged delta + atomic log-slot claim)
+  * — all-or-nothing, and aborted queries never touch the log.
+  * `DELETE FROM` arrives through [[SupportsDelete.deleteWhere]] as
+  * pushed v1 filters, re-assembled into one predicate and executed
+  * by [[LogTable.delete]]'s skip-scan-rewrite pipeline. */
+final class GraftLogTableV2(tableName: String, log: LogTable)
+  extends Table with SupportsRead with SupportsWrite with SupportsDelete {
+
+  private def spark = SparkSession.active
+  private val tableSchema: StructType = log.schema
+
+  override def name(): String = tableName
+  override def schema(): StructType = tableSchema
+
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    GraftLogTableV2.scanTable(tableName, log, None).newScanBuilder(options)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new LogWriteBuilder(log, info, overwriteAll = false)
+
+  override def canDeleteWhere(filters: Array[sources.Filter]): Boolean =
+    true // any residual the stats can't prune is resolved by scanning
+
+  override def deleteWhere(filters: Array[sources.Filter]): Unit = {
+    val pred = filters.map(GraftLogTableV2.filterToColumn)
+      .reduceOption(_ && _).getOrElse(lit(true))
+    log.delete(spark, pred)
+    ()
+  }
+}
+
+object GraftLogTableV2 {
+
+  /** Spark's parquet table over the live files of a snapshot —
+    * current, or pinned for time travel. Zero live files are served
+    * from the table's always-empty directory (a schema-only scan). */
+  private[sources] def scanTable(name: String, log: LogTable,
+                                 version: Option[Long]): ParquetTable = {
+    val files = log.liveFiles(version)
+    val paths = if (files.nonEmpty) files else Seq(s"${log.path}/_empty")
+    ParquetTable(name, SparkSession.active,
+      CaseInsensitiveStringMap.empty(), paths,
+      Some(log.schema), classOf[ParquetFileFormat])
+  }
+
+  /** Read-only pinned view for `VERSION AS OF` / `TIMESTAMP AS OF`
+    * (writes against a historical snapshot make no sense). */
+  private[sources] def pinned(name: String, log: LogTable,
+                              version: Long): Table =
+    new GraftReadTable(scanTable(name, log, Some(version)))
+
+  /** v1 pushed filter → Column, for [[SupportsDelete.deleteWhere]].
+    * Total over Spark's filter algebra; anything Spark can push, we
+    * can execute (the stats layer treats unknown shapes as
+    * non-prunable, which is merely less fast, never wrong). */
+  private[sources] def filterToColumn(f: sources.Filter): org.apache.spark.sql.Column = f match {
+    case sources.EqualTo(a, v)            => col(a) === lit(v)
+    case sources.EqualNullSafe(a, v)      => col(a) <=> lit(v)
+    case sources.GreaterThan(a, v)        => col(a) > lit(v)
+    case sources.GreaterThanOrEqual(a, v) => col(a) >= lit(v)
+    case sources.LessThan(a, v)           => col(a) < lit(v)
+    case sources.LessThanOrEqual(a, v)    => col(a) <= lit(v)
+    case sources.In(a, vs)                => col(a).isin(vs.toIndexedSeq: _*)
+    case sources.IsNull(a)                => col(a).isNull
+    case sources.IsNotNull(a)             => col(a).isNotNull
+    case sources.And(l, r)            => filterToColumn(l) && filterToColumn(r)
+    case sources.Or(l, r)             => filterToColumn(l) || filterToColumn(r)
+    case sources.Not(c)               => !filterToColumn(c)
+    case sources.StringStartsWith(a, v) => col(a).startsWith(v)
+    case sources.StringEndsWith(a, v)   => col(a).endsWith(v)
+    case sources.StringContains(a, v)   => col(a).contains(v)
+    case sources.AlwaysTrue()           => lit(true)
+    case sources.AlwaysFalse()          => lit(false)
+    case other => throw new UnsupportedOperationException(
+      s"cannot execute pushed filter $other")
+  }
+}
+
+/** Delegating write builder: the inner parquet write lands in a
+  * fresh staging directory; our commit wrapper turns the finished
+  * staging into a log commit. `truncate()` (INSERT OVERWRITE's
+  * contract) flips the commit from append to full-replace. */
+private[sources] final class LogWriteBuilder(log: LogTable,
+                                             info: LogicalWriteInfo,
+                                             overwriteAll: Boolean)
+  extends WriteBuilder with SupportsTruncate {
+
+  override def truncate(): WriteBuilder =
+    new LogWriteBuilder(log, info, overwriteAll = true)
+
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite = {
+      val spark = SparkSession.active
+      val staging = log.newStagingDir()
+      val inner = ParquetTable("graft-log-staging", spark,
+        CaseInsensitiveStringMap.empty(), Seq(staging),
+        Some(info.schema()), classOf[ParquetFileFormat])
+      val innerBatch = inner.newWriteBuilder(info).build().toBatch
+      new BatchWrite {
+        override def createBatchWriterFactory(
+            p: PhysicalWriteInfo): DataWriterFactory =
+          innerBatch.createBatchWriterFactory(p)
+        override def useCommitCoordinator: Boolean =
+          innerBatch.useCommitCoordinator
+        override def commit(msgs: Array[WriterCommitMessage]): Unit = {
+          innerBatch.commit(msgs) // finalize staged parquet files
+          val s = SparkSession.active
+          if (overwriteAll) log.overwriteStaged(s, staging)
+          else log.appendStaged(s, staging)
+          ()
+        }
+        override def abort(msgs: Array[WriterCommitMessage]): Unit = {
+          innerBatch.abort(msgs)
+          log.dropStaging(staging)
+        }
+      }
+    }
+  }
+}

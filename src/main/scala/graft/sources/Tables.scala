@@ -54,9 +54,18 @@ object Tables {
         s"table '$name' at $sfDir is missing expected columns " +
           s"${missing.mkString(", ")} (found: ${df.columns.mkString(", ")})")
     }
-    if (name == "events")
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else df
+    // events fixtures have shipped `ts` as nanos-as-long (parquet
+    // timestamp[ns] under the nanosAsLong flag), timestamp[us] (reads
+    // as TIMESTAMP_NTZ), or a session-zoned timestamp; every operator
+    // downstream sees one type — TIMESTAMP, micros precision (session
+    // tz is UTC throughout, so the NTZ cast is wall-clock-identity)
+    if (name == "events") df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => df
+    } else df
   }
 
   /** Register all tables as temp views (for spark.sql use). */

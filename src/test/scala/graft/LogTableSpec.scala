@@ -1,0 +1,207 @@
+package graft
+
+import java.io.File
+
+import graft.sources.LogTable
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The transaction-log table: append-by-reference commits, stats-
+  * pruned row-level DELETE/UPDATE, checkpointed replay, time travel,
+  * change feed, OPTIMIZE and VACUUM. */
+class LogTableSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft_logtable").toString
+
+  private def fixedClock(ts: Long*): () => Long = {
+    val it = Iterator(ts: _*) ++ Iterator.continually(ts.last)
+    () => it.next()
+  }
+
+  private def rows(df: DataFrame): Set[(Long, String)] =
+    df.select("k", "v").as[(Long, String)].collect().toSet
+
+  test("append commits only its delta; prior files carry forward " +
+    "by reference") {
+    val t = new LogTable(s"${tmp()}/t")
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+    val firstFiles = t.liveAdds().map(_.path).toSet
+    val firstMtimes = firstFiles.map(p =>
+      p -> new File(t.path, p).lastModified()).toMap
+    t.append(Seq((3L, "c")).toDF("k", "v"))
+    assert(rows(t.load(spark)) ==
+      Set((1L, "a"), (2L, "b"), (3L, "c")))
+    // batch-1 files are still live under the SAME paths, untouched
+    val after = t.liveAdds().map(_.path).toSet
+    assert(firstFiles.subsetOf(after))
+    firstFiles.foreach(p =>
+      assert(new File(t.path, p).lastModified() == firstMtimes(p)))
+    // the second commit's log entry names only its own files
+    assert(t.currentVersion.contains(1L))
+  }
+
+  test("stats: per-file min/max/nulls recorded at commit time") {
+    val t = new LogTable(s"${tmp()}/t")
+    t.append(Seq((1L, "a"), (10L, "z")).toDF("k", "v")
+      .repartition(1))
+    val add = t.liveAdds().head
+    assert(add.rows == 2L)
+    assert(add.stats("k") == graft.sources.ColStats(Some(1L), Some(10L), 0L))
+    assert(add.stats("v").min.contains("a") && add.stats("v").max.contains("z"))
+  }
+
+  test("delete prunes untouched files via stats, rewrites only " +
+    "files with matches, keeps null-predicate rows") {
+    val t = new LogTable(s"${tmp()}/t")
+    // three single-file commits with disjoint key ranges
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("k", "v").repartition(1))
+    t.append(Seq((10L, "c"), (11L, "d")).toDF("k", "v").repartition(1))
+    t.append((Seq((20L, "e")) ++ Seq((21L, null.asInstanceOf[String])))
+      .toDF("k", "v").repartition(1))
+    val lowFile = t.liveAdds().find(_.stats("k").max.contains(2L)).get.path
+    val res = t.delete(spark, col("k") >= 10L && col("k") <= 11L)
+    // file [1,2] skipped by stats; file [20,21] scanned but no match
+    // is impossible here (21 > 11 → also skipped by stats)
+    assert(res.filesSkippedByStats == 2, res)
+    assert(res.filesRewritten == 1, res)
+    assert(res.rowsAffected == 2L, res)
+    assert(rows(t.load(spark)) == Set((1L, "a"), (2L, "b"), (20L, "e"),
+      (21L, null)))
+    // untouched file survives under its original path
+    assert(t.liveAdds().map(_.path).contains(lowFile))
+    // null predicate keeps the row: v = NULL makes `v = 'x'` NULL
+    val res2 = t.delete(spark, col("v") === "nope")
+    assert(res2.rowsAffected == 0L)
+    assert(rows(t.load(spark)).size == 4)
+  }
+
+  test("update rewrites matching files only and records pre/post " +
+    "images in the change feed") {
+    val t = new LogTable(s"${tmp()}/t")
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("k", "v").repartition(1))
+    t.append(Seq((10L, "c")).toDF("k", "v").repartition(1))
+    val before = t.currentVersion.get
+    val res = t.update(spark, col("k") === 10L, Map("v" -> lit("C")))
+    assert(res.filesSkippedByStats == 1 && res.filesRewritten == 1)
+    assert(res.rowsAffected == 1L)
+    assert(rows(t.load(spark)) == Set((1L, "a"), (2L, "b"), (10L, "C")))
+    val cdf = t.changes(spark, before, res.version)
+    assert(cdf.filter(col("_change_type") === "update_preimage")
+      .select("k", "v").as[(Long, String)].collect().toSeq ==
+      Seq((10L, "c")))
+    assert(cdf.filter(col("_change_type") === "update_postimage")
+      .select("k", "v").as[(Long, String)].collect().toSeq ==
+      Seq((10L, "C")))
+  }
+
+  test("version and timestamp time travel resolve historic " +
+    "snapshots") {
+    val t = new LogTable(s"${tmp()}/t", fixedClock(1000L, 2000L, 3000L))
+    t.append(Seq((1L, "a")).toDF("k", "v"))
+    t.append(Seq((2L, "b")).toDF("k", "v"))
+    t.delete(spark, col("k") === 1L)
+    assert(rows(t.load(spark, Some(0L))) == Set((1L, "a")))
+    assert(rows(t.load(spark, Some(1L))) == Set((1L, "a"), (2L, "b")))
+    assert(rows(t.load(spark)) == Set((2L, "b")))
+    assert(t.versionAt(1500L) == 0L)
+    assert(t.versionAt(2000L) == 1L)
+    assert(t.versionAt(9999L) == 2L)
+    intercept[IllegalArgumentException](t.versionAt(500L))
+  }
+
+  test("checkpointed replay: a reader over a long history resolves " +
+    "from the newest checkpoint, and state matches full replay") {
+    val dir = s"${tmp()}/t"
+    val t = new LogTable(dir, checkpointInterval = 4)
+    (0 until 10).foreach(i => t.append(Seq((i.toLong, s"v$i")).toDF("k", "v")))
+    // checkpoints exist at versions 4 and 8
+    assert(new File(dir, "_log").listFiles()
+      .count(_.getName.endsWith(".ckpt.json")) == 2)
+    // a FRESH instance (no shared state) reads through the checkpoint
+    val t2 = new LogTable(dir, checkpointInterval = 4)
+    assert(t2.load(spark).count() == 10L)
+    assert(rows(t2.load(spark)) ==
+      (0 until 10).map(i => (i.toLong, s"v$i")).toSet)
+    // and a pre-checkpoint version still replays exactly
+    assert(t2.load(spark, Some(2L)).count() == 3L)
+  }
+
+  test("two writers over the same table: both appends land under " +
+    "distinct versions (optimistic retry)") {
+    val dir = s"${tmp()}/t"
+    val a = new LogTable(dir)
+    val b = new LogTable(dir)
+    a.append(Seq((1L, "a")).toDF("k", "v"))
+    b.append(Seq((2L, "b")).toDF("k", "v"))
+    a.append(Seq((3L, "c")).toDF("k", "v"))
+    assert(a.versions == Seq(0L, 1L, 2L))
+    assert(rows(a.load(spark)) == Set((1L, "a"), (2L, "b"), (3L, "c")))
+  }
+
+  test("change feed: inserts from appends, deletes from delete " +
+    "commits, both sides of an overwrite") {
+    val t = new LogTable(s"${tmp()}/t")
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("k", "v"))   // v0
+    t.delete(spark, col("k") === 1L)                      // v1
+    t.overwrite(Seq((9L, "z")).toDF("k", "v"))            // v2
+    val all = t.changes(spark, -1L, 2L)
+      .select("k", "v", "_change_type", "_commit_version")
+      .as[(Long, String, String, Long)].collect().toSet
+    assert(all == Set(
+      (1L, "a", "insert", 0L), (2L, "b", "insert", 0L),
+      (1L, "a", "delete", 1L),
+      (9L, "z", "insert", 2L), (2L, "b", "delete", 2L)))
+    // a bounded window selects only its commits
+    assert(t.changes(spark, 0L, 1L).select("_change_type")
+      .as[String].collect().toSeq == Seq("delete"))
+  }
+
+  test("compactFiles bin-packs small files without changing rows; " +
+    "vacuum drops files referenced only by expired versions") {
+    val t = new LogTable(s"${tmp()}/t")
+    (0 until 6).foreach(i =>
+      t.append(Seq((i.toLong, s"v$i")).toDF("k", "v").repartition(1)))
+    assert(t.liveAdds().size == 6)
+    val before = rows(t.load(spark))
+    val v = t.compactFiles(spark, smallBytes = 32L << 20,
+      targetBytes = 128L << 20)
+    assert(t.commitOp(v) == "optimize")
+    assert(t.liveAdds().size == 1)
+    assert(rows(t.load(spark)) == before)
+    // optimize emits no row-level changes
+    assert(t.changes(spark, v - 1, v).count() == 0L)
+    val dataFiles = new File(t.path, "data").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(dataFiles == 7) // 6 retired-but-retained + 1 live
+    val dropped = t.vacuum(retainLast = 1)
+    assert(dropped.size == 6)
+    assert(rows(t.load(spark)) == before) // current snapshot intact
+  }
+
+  test("create seeds a schema-only empty table readable at zero " +
+    "rows") {
+    val t = new LogTable(s"${tmp()}/t")
+    t.create(org.apache.spark.sql.types.StructType.fromDDL(
+      "k BIGINT, v STRING"))
+    assert(t.load(spark).count() == 0L)
+    assert(t.load(spark).schema.fieldNames.toSeq == Seq("k", "v"))
+    t.append(Seq((1L, "a")).toDF("k", "v"))
+    assert(rows(t.load(spark)) == Set((1L, "a")))
+  }
+
+  test("string bounds: oversized strings keep a truncated lower " +
+    "bound and drop the upper bound (soundness)") {
+    val t = new LogTable(s"${tmp()}/t")
+    val big = "x" * 400
+    t.append(Seq((1L, big)).toDF("k", "v").repartition(1))
+    val st = t.liveAdds().head.stats("v")
+    assert(st.min.exists(_.asInstanceOf[String].length == 256))
+    assert(st.max.isEmpty)
+    // a delete against the unbounded column still works (no skip,
+    // but correct)
+    val res = t.delete(spark, col("v") === "nope")
+    assert(res.rowsAffected == 0L && res.filesScanned == 1)
+  }
+}
