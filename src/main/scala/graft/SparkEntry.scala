@@ -530,6 +530,43 @@ object SparkEntry {
         .orderBy(col("commit_version"), col("change_type"), col("k"))
     }),
 
+    "log_table_restore" -> ((s, d) => {
+      // RESTORE: roll the table back to a prior version with ONE
+      // metadata-only commit — the target's files re-added by
+      // reference, the post-dating files retired; zero data movement
+      // at any table size, rolled-back history stays travelable
+      val dir = java.nio.file.Files.createTempDirectory("graft_logrst")
+      val lt = new graft.sources.LogTable(s"$dir/t")
+      val cust = t(s, d, "customer")
+      lt.append(cust.filter(col("c_custkey") <= 100)
+        .select(col("c_custkey").as("k"), col("c_name").as("name")))
+      lt.append(cust
+        .filter(col("c_custkey") > 100 && col("c_custkey") <= 200)
+        .select(col("c_custkey").as("k"), col("c_name").as("name")))
+      lt.delete(s, col("k") <= 150L)
+      lt.restore(1L)
+      lt.load(s).orderBy(col("k"))
+    }),
+
+    "log_table_history" -> ((s, d) => {
+      // DESCRIBE HISTORY: one row per commit (version, injected
+      // wall-clock, op, add/remove file counts) — the audit surface;
+      // single-file appends pin the counts deterministically
+      val dir = java.nio.file.Files.createTempDirectory("graft_loghist")
+      val ticks = Iterator(1000L, 2000L, 3000L)
+      val lt = new graft.sources.LogTable(s"$dir/t", () => ticks.next())
+      val cust = t(s, d, "customer")
+      lt.append(cust.filter(col("c_custkey") <= 100)
+        .select(col("c_custkey").as("k"), col("c_name").as("name"))
+        .repartition(1))
+      lt.append(cust
+        .filter(col("c_custkey") > 100 && col("c_custkey") <= 200)
+        .select(col("c_custkey").as("k"), col("c_name").as("name"))
+        .repartition(1))
+      lt.delete(s, col("k") <= 50L)
+      lt.history(s).orderBy(col("version"))
+    }),
+
     "bucketed_join" -> ((s, d) => {
       // the shuffle paid at write time: both facts bucketed by the
       // join key co-locate, so the join plans with zero exchange
@@ -1920,6 +1957,22 @@ object SparkEntry {
                   'delete' AS change_type, CAST(2 AS BIGINT) AS commit_version
            FROM customer WHERE c_custkey > 100 AND c_custkey <= 200)
          ORDER BY commit_version, change_type, k""",
+
+    "log_table_restore" ->
+      """SELECT CAST(c_custkey AS BIGINT) AS k, c_name AS name
+         FROM customer WHERE c_custkey <= 200
+         ORDER BY k""",
+
+    "log_table_history" ->
+      """SELECT * FROM (VALUES
+           (CAST(0 AS BIGINT), CAST(1000 AS BIGINT), 'append',
+            CAST(1 AS BIGINT), CAST(0 AS BIGINT)),
+           (CAST(1 AS BIGINT), CAST(2000 AS BIGINT), 'append',
+            CAST(1 AS BIGINT), CAST(0 AS BIGINT)),
+           (CAST(2 AS BIGINT), CAST(3000 AS BIGINT), 'delete',
+            CAST(1 AS BIGINT), CAST(1 AS BIGINT)))
+         AS t(version, commit_ts, op, n_added, n_removed)
+         ORDER BY version""",
 
     "pipeline_e2e" ->
       """WITH s1 AS (

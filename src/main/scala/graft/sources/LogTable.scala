@@ -365,14 +365,17 @@ final class LogTable(val path: String,
       if (parts.isEmpty) Map.empty[String, AddFile]
       else collectStats(spark, stagedDir, tableSchema)
     val tag = UUID.randomUUID().toString.take(8)
-    val adds = parts.zipWithIndex.map { case (f, i) =>
-      val target = s"data/f-$tag-$i.parquet"
-      Files.move(f.toPath, new File(path, target).toPath,
-        StandardCopyOption.ATOMIC_MOVE)
-      val st = stats.getOrElse(f.getName, AddFile(f.getName, 0L, 0L,
-        Map.empty))
-      AddFile(target, st.rows, new File(path, target).length(), st.stats)
-    }
+    // zero-row part files (a rewrite that left no survivors, an
+    // empty insert) carry no data — the stats pass has no row for
+    // them; drop them instead of committing clutter
+    val adds = parts.filter(f => stats.contains(f.getName))
+      .zipWithIndex.map { case (f, i) =>
+        val target = s"data/f-$tag-$i.parquet"
+        Files.move(f.toPath, new File(path, target).toPath,
+          StandardCopyOption.ATOMIC_MOVE)
+        val st = stats(f.getName)
+        AddFile(target, st.rows, new File(path, target).length(), st.stats)
+      }
     deleteRecursive(stagedDir)
     commitRetry(readVersion, removePaths, adds, op, schemaJson, cdfDir)
   }
@@ -689,6 +692,50 @@ final class LogTable(val path: String,
     RowOpResult(v, affected, skipped.size, candidates.size, touched.size)
   }
 
+  /** Table-relative paths of the files one commit added. */
+  def addedPaths(v: Long): Seq[String] =
+    readActions(logFile(v)).collect {
+      case j if (j \ "add") != JNothing => parseAdd(j \ "add").path }
+
+  /** Roll the table back to the state of `version` (Delta RESTORE):
+    * ONE metadata-only commit re-adding the target snapshot's files
+    * by reference and retiring the files that postdate it — zero
+    * data movement at any table size, and the rolled-back commits
+    * stay in the log, still time-travelable. Fails if the target's
+    * files were already vacuumed. */
+  def restore(version: Long): Long = {
+    val cur = currentVersion.getOrElse(
+      throw new IllegalStateException(s"no log table at $path"))
+    require(versions.contains(version),
+      s"no committed version $version to restore to")
+    val target = snapshotAt(version)
+    val gone = target.adds.filterNot(a =>
+      new File(path, a.path).isFile)
+    require(gone.isEmpty, s"cannot restore to version $version: files " +
+      s"${gone.map(_.path).mkString(", ")} were vacuumed")
+    val current = snapshotAt(cur)
+    val adds = target.adds.filterNot(a =>
+      current.adds.exists(_.path == a.path))
+    val removes = current.adds.map(_.path)
+      .filterNot(p => target.adds.exists(_.path == p))
+    commitRetry(Some(cur), removes, adds, "restore",
+      schemaJson = Some(target.schema.json), cdfDir = None)
+  }
+
+  /** `DESCRIBE HISTORY` analog: one row per commit, newest last —
+    * version, wall-clock, operation, add/remove file counts. Driver-
+    * local metadata read, O(#commits). */
+  def history(spark: SparkSession): DataFrame = {
+    val rows = versions.map { v =>
+      val actions = readActions(logFile(v))
+      (v, commitTime(v), commitOp(v),
+        actions.count(j => (j \ "add") != JNothing).toLong,
+        actions.count(j => (j \ "remove") != JNothing).toLong)
+    }
+    spark.createDataFrame(rows)
+      .toDF("version", "commit_ts", "op", "n_added", "n_removed")
+  }
+
   // ---------------------------------------------------------------
   // change feed + maintenance
 
@@ -731,7 +778,10 @@ final class LogTable(val path: String,
             meta.cdf.toSeq.map(rel =>
               spark.read.parquet(s"$path/$rel")
                 .withColumn("_commit_version", lit(v)))
-          case _ => Seq.empty // optimize: no row-level change
+          // optimize: pure reorganization, no row-level change;
+          // restore: rollback — row-level deltas, if needed, come
+          // from diffing the two snapshots (dim_changes shape)
+          case _ => Seq.empty
         }
       }
     if (parts.isEmpty)

@@ -67,6 +67,19 @@ object GraftPlanReset {
   }
 }
 
+/** Streaming-leaf bridge for v1 `Source` implementations: a
+  * `Source.getBatch` DataFrame must carry `isStreaming = true` for
+  * MicroBatchExecution to splice it into the streaming plan (the
+  * same `internalCreateDataFrame` call FileStreamSource makes);
+  * `internalCreateDataFrame` is private[sql], hence the bridge. */
+object GraftStreamShim {
+  def streamingFrame(df: DataFrame): DataFrame = {
+    val cs = df.sparkSession.asInstanceOf[classic.SparkSession]
+    cs.internalCreateDataFrame(
+      df.queryExecution.toRdd, df.schema, isStreaming = true)
+  }
+}
+
 /** Runtime registration of the graft_* SQL functions on a live
   * session (the extensions route only applies at session build). The
   * function registry is private[sql], hence registration lives here.

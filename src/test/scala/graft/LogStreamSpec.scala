@@ -1,0 +1,144 @@
+package graft
+
+import graft.sources.{LogStreamProvider, LogTable}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Streaming reads of the transaction-log table (offsets = log
+  * versions), plus RESTORE and DESCRIBE-HISTORY maintenance. */
+class LogStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft_logstream").toString
+
+  private def startQuery(dir: String, sinkName: String,
+                         skipChanges: Boolean = false,
+                         checkpoint: Option[String] = None) = {
+    val reader = spark.readStream
+      .format(classOf[LogStreamProvider].getName)
+      .option("path", dir)
+    val withSkip =
+      if (skipChanges) reader.option("skipChangeCommits", "true") else reader
+    val writer = withSkip.load().writeStream
+      .format("memory").queryName(sinkName)
+      .trigger(Trigger.ProcessingTime(50))
+    checkpoint.map(writer.option("checkpointLocation", _)).getOrElse(writer)
+      .start()
+  }
+
+  test("a subscriber receives exactly the appended commits, batch " +
+    "by batch") {
+    val dir = s"${tmp()}/t"
+    val t = new LogTable(dir)
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+    val q = startQuery(dir, "log_stream_1")
+    try {
+      q.processAllAvailable()
+      assert(spark.table("log_stream_1").as[(Long, String)].collect().toSet
+        == Set((1L, "a"), (2L, "b")))
+      t.append(Seq((3L, "c")).toDF("k", "v"))
+      q.processAllAvailable()
+      assert(spark.table("log_stream_1").as[(Long, String)].collect().toSet
+        == Set((1L, "a"), (2L, "b"), (3L, "c")))
+      // OPTIMIZE is dataChange=false: stream unaffected, no re-emit
+      t.compactFiles(spark, smallBytes = 32L << 20)
+      t.append(Seq((4L, "d")).toDF("k", "v"))
+      q.processAllAvailable()
+      assert(spark.table("log_stream_1").count() == 4L)
+    } finally q.stop()
+  }
+
+  test("a row-level change commit fails the stream by default; " +
+    "skipChangeCommits passes over it and keeps tailing appends") {
+    val dir = s"${tmp()}/t"
+    val t = new LogTable(dir)
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+    val q = startQuery(dir, "log_stream_2")
+    try {
+      q.processAllAvailable()
+      t.delete(spark, col("k") === 1L)
+      val err = intercept[Exception](q.processAllAvailable())
+      assert(err.getMessage.contains("append-only") ||
+        Option(err.getCause).exists(_.getMessage.contains("append-only")),
+        s"unexpected: ${err.getMessage}")
+    } finally q.stop()
+    val q2 = startQuery(dir, "log_stream_3", skipChanges = true)
+    try {
+      q2.processAllAvailable()
+      // the delete's rewritten file is NOT re-emitted; history up to
+      // the change commit flows (it predates the delete)
+      assert(spark.table("log_stream_3").as[(Long, String)].collect().toSet
+        == Set((1L, "a"), (2L, "b")))
+      t.append(Seq((9L, "z")).toDF("k", "v"))
+      q2.processAllAvailable()
+      assert(spark.table("log_stream_3").as[(Long, String)].collect().toSet
+        == Set((1L, "a"), (2L, "b"), (9L, "z")))
+    } finally q2.stop()
+  }
+
+  test("restart from a checkpoint resumes at the committed offset — " +
+    "no duplicates, no gaps") {
+    val dir = s"${tmp()}/t"
+    val ckpt = s"${tmp()}/ckpt"
+    val out = s"${tmp()}/out"
+    val t = new LogTable(dir)
+    // a recoverable (file) sink: the memory sink cannot restart
+    def run(): Unit = {
+      val q = spark.readStream
+        .format(classOf[LogStreamProvider].getName)
+        .option("path", dir).load()
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(Trigger.ProcessingTime(50))
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    t.append(Seq((1L, "a")).toDF("k", "v"))
+    run()
+    assert(spark.read.parquet(out).count() == 1L)
+    // appends while the subscriber is down
+    t.append(Seq((2L, "b")).toDF("k", "v"))
+    t.append(Seq((3L, "c")).toDF("k", "v"))
+    run()
+    // exactly once: the down-time commits arrive, nothing re-emits
+    assert(spark.read.parquet(out).as[(Long, String)].collect().toSet
+      == Set((1L, "a"), (2L, "b"), (3L, "c")))
+    assert(spark.read.parquet(out).count() == 3L)
+  }
+
+  test("restore rolls back to a prior version by reference and the " +
+    "rolled-back history stays travelable") {
+    val dir = s"${tmp()}/t"
+    val t = new LogTable(dir)
+    t.append(Seq((1L, "a")).toDF("k", "v"))            // v0
+    t.append(Seq((2L, "b")).toDF("k", "v"))            // v1
+    t.delete(spark, col("k") === 1L)                    // v2
+    val v = t.restore(1L)                               // v3
+    assert(t.commitOp(v) == "restore")
+    assert(t.load(spark).as[(Long, String)].collect().toSet
+      == Set((1L, "a"), (2L, "b")))
+    // the delete's state is still addressable as a version
+    assert(t.load(spark, Some(2L)).as[(Long, String)].collect().toSet
+      == Set((2L, "b")))
+    // restore re-added the ORIGINAL file, not a copy
+    val v0File = t.addedPaths(0L).head
+    assert(t.liveAdds().map(_.path).contains(v0File))
+  }
+
+  test("history lists one row per commit with op and file counts") {
+    val dir = s"${tmp()}/t"
+    val ticks = Iterator(1000L, 2000L, 3000L)
+    val t = new LogTable(dir, () => ticks.next())
+    t.append(Seq((1L, "a")).toDF("k", "v").repartition(1))
+    t.append(Seq((2L, "b")).toDF("k", "v").repartition(1))
+    t.delete(spark, col("k") === 1L)
+    val h = t.history(spark)
+      .select("version", "commit_ts", "op", "n_added", "n_removed")
+      .as[(Long, Long, String, Long, Long)].collect().toSeq
+    assert(h == Seq(
+      (0L, 1000L, "append", 1L, 0L),
+      (1L, 2000L, "append", 1L, 0L),
+      (2L, 3000L, "delete", 0L, 1L))) // delete leaves no survivors
+  }
+}
