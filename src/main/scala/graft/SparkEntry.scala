@@ -530,6 +530,37 @@ object SparkEntry {
         .orderBy(col("commit_version"), col("change_type"), col("k"))
     }),
 
+    "sql_merge_log" -> ((s, d) => {
+      // file-granularity MERGE (Delta's merge-on-write): the target
+      // is a log table addressed BY NAME from the statement; only
+      // files containing changed rows are rewritten, inserts append,
+      // untouched files carry by reference — write ∝ touched +
+      // inserts; read-back through the same catalog
+      val tag = java.lang.Integer.toHexString(d.hashCode)
+      val wh = java.nio.file.Files.createTempDirectory("graft_logmrg")
+      val lt = new graft.sources.LogTable(s"$wh/dim")
+      lt.append(t(s, d, "customer").filter(col("c_custkey") <= 250)
+        .select(col("c_custkey").as("k"), lit("init").as("status"),
+          lit(0L).as("n")))
+      val cat = s"logmrg_$tag"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.GraftTableCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh.toString)
+      t(s, d, "orders")
+        .filter(col("o_custkey") > 150 && col("o_custkey") <= 350)
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"))
+        .select(col("o_custkey").as("k"), col("n_orders"))
+        .createOrReplaceTempView(s"logmrg_src_$tag")
+      graft.sources.SqlMerge.mergeLog(s,
+        s"""MERGE INTO $cat.dim t USING logmrg_src_$tag s ON t.k = s.k
+            WHEN MATCHED AND s.n_orders > 14 THEN DELETE
+            WHEN MATCHED THEN UPDATE SET status = 'active', n = s.n_orders
+            WHEN NOT MATCHED THEN
+              INSERT (k, status, n) VALUES (s.k, 'new', s.n_orders)""")
+      s.sql(s"SELECT k, status, n FROM $cat.dim ORDER BY k")
+    }),
+
     "log_table_restore" -> ((s, d) => {
       // RESTORE: roll the table back to a prior version with ONE
       // metadata-only commit — the target's files re-added by
@@ -1957,6 +1988,25 @@ object SparkEntry {
                   'delete' AS change_type, CAST(2 AS BIGINT) AS commit_version
            FROM customer WHERE c_custkey > 100 AND c_custkey <= 200)
          ORDER BY commit_version, change_type, k""",
+
+    "sql_merge_log" ->
+      """WITH tgt AS (
+           SELECT c_custkey AS k, 'init' AS status, CAST(0 AS BIGINT) AS n
+           FROM customer WHERE c_custkey <= 250),
+         upd AS (
+           SELECT o_custkey AS k, COUNT(*) AS n_orders FROM orders
+           WHERE o_custkey > 150 AND o_custkey <= 350 GROUP BY 1)
+         SELECT CAST(COALESCE(t.k, u.k) AS BIGINT) AS k,
+                CASE WHEN t.k IS NOT NULL AND u.k IS NOT NULL
+                       THEN 'active'
+                     WHEN t.k IS NULL THEN 'new'
+                     ELSE t.status END AS status,
+                CAST(CASE WHEN u.k IS NOT NULL THEN u.n_orders
+                     ELSE t.n END AS BIGINT) AS n
+         FROM tgt t FULL OUTER JOIN upd u ON t.k = u.k
+         WHERE NOT (t.k IS NOT NULL AND u.k IS NOT NULL
+                    AND u.n_orders > 14)
+         ORDER BY k""",
 
     "log_table_restore" ->
       """SELECT CAST(c_custkey AS BIGINT) AS k, c_name AS name

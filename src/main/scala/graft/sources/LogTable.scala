@@ -498,6 +498,17 @@ final class LogTable(val path: String,
       cdfDir = None)
   }
 
+  /** Commit a staged rewrite produced by an external planner (the
+    * file-granularity MERGE): adds the staged files, retires
+    * `removePaths`, under the usual conflict revalidation. */
+  private[sources] def commitStagedRewrite(spark: SparkSession,
+                                           staged: String,
+                                           removePaths: Seq[String],
+                                           op: String,
+                                           readVersion: Option[Long]): Long =
+    finalizeStaged(spark, new File(staged), schema, removePaths, op,
+      readVersion, schemaJson = None, cdfDir = None)
+
   // ---------------------------------------------------------------
   // row-level ops: stats-pruned delete / update
 

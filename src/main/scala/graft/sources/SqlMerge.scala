@@ -173,8 +173,17 @@ object SqlMerge {
       throw new IllegalArgumentException(
         s"MERGE target '${p.targetName}' has no current state — " +
           "seed the sink before merging"))
+    analyzeFrame(spark, p, target, target.columns.toSeq)
+  }
+
+  /** Build the labeled-join [[Core]] for a target frame. `targetCols`
+    * may be a subset of `target`'s columns — extra passthrough
+    * columns (e.g. the log-merge `__file` lineage) ride along the
+    * join without entering the output schema. */
+  private def analyzeFrame(spark: SparkSession, p: Parsed,
+                           target: DataFrame,
+                           targetCols: Seq[String]): Core = {
     val source = spark.table(p.sourceName)
-    val targetCols = target.columns.toSeq
 
     // presence markers survive the full outer join where every data
     // column can legitimately be null
@@ -279,6 +288,76 @@ object SqlMerge {
         col(s"${core.p.targetAlias}.$k").as(k)): _*)
     sink.commitPatch(upserts, gone)
     stats
+  }
+
+  /** File-granularity MERGE into a [[LogTable]] — Delta's actual
+    * merge-on-write algorithm: capture each target row's source FILE
+    * at scan time (`input_file_name`), run the same labeled join,
+    * then rewrite ONLY the files that contain a row some action
+    * changed (update/delete, matched or not-matched-by-source) plus
+    * one new file set for the inserts; every untouched file carries
+    * into the new version by reference. Write cost ∝ touched data +
+    * inserts, never the table — between copy-on-write [[merge]]
+    * (rewrite everything) and [[mergeMor]] (rewrite nothing, pay at
+    * read) this is the pay-once-proportionally point Delta ships.
+    *
+    * Three passes over the (never-materialized) join: the combined
+    * cardinality-check/counters aggregate, the touched-file distinct
+    * (a file-name aggregate that early-outs the no-op merge), and the
+    * rewrite itself. The touched-file set is collected to the driver
+    * (bounded by #files, metadata-scale) and pushed back as an `IN`
+    * filter. */
+  def mergeLog(spark: SparkSession, mergeSql: String,
+               log: LogTable): MergeResult = {
+    val p = parse(spark, mergeSql)
+    val snap = log.load(spark)
+    val readVersion = log.currentVersion
+    val target = snap.withColumn("__file", input_file_name())
+    val core = analyzeFrame(spark, p, target, snap.columns.toSeq)
+    val stats = core.statsChecked()
+
+    val isChange = col("__branch").isin(
+      (core.updates ++ core.deletes).map(i => i: Any): _*)
+    val touchedUris = core.labeled.filter(core.tPresent && isChange)
+      .select(col(s"${p.targetAlias}.__file").as("__f"))
+      .distinct().collect().map(_.getString(0)).toSet
+    val baseOf = (u: String) => new java.io.File(new java.net.URI(u)).getName
+    val touched = log.liveAdds().filter(a =>
+      touchedUris.map(baseOf).contains(new java.io.File(a.path).getName))
+
+    if (touchedUris.isEmpty && stats.inserted == 0L) return stats
+
+    // rewritten rows of the touched files (updates applied, deletes
+    // dropped, unchanged neighbors byte-equivalent) + the insert rows
+    val keep = !col("__branch").isin(core.deletes :+ -2: _*)
+    val inTouched = col(s"${p.targetAlias}.__file")
+      .isin(touchedUris.toSeq: _*)
+    val out = core.labeled
+      .filter(((core.tPresent && inTouched) || !core.tPresent) && keep)
+      .select(core.outCols: _*)
+    val staged = log.newStagingDir()
+    out.write.mode("overwrite").parquet(staged)
+    log.commitStagedRewrite(spark, staged, touched.map(_.path),
+      op = "merge", readVersion = readVersion)
+    stats
+  }
+
+  /** Resolve a log-table MERGE target from the statement's own
+    * `catalog.table` name via the [[GraftTableCatalog]] warehouse
+    * config — `MERGE INTO cat.t USING src ON ...` with no handles
+    * passed. */
+  def mergeLog(spark: SparkSession, mergeSql: String): MergeResult = {
+    val p = parse(spark, mergeSql)
+    val parts = p.targetName.split('.')
+    require(parts.length >= 2,
+      s"MERGE INTO a log table needs a catalog-qualified name " +
+        s"(cat.table), got '${p.targetName}'")
+    val wh = spark.conf.getOption(
+      s"spark.sql.catalog.${parts.head}.warehouse").getOrElse(
+      throw new IllegalArgumentException(
+        s"'${parts.head}' is not a configured GraftTableCatalog"))
+    mergeLog(spark, mergeSql,
+      new LogTable((wh +: parts.tail.toSeq).mkString("/")))
   }
 
   /** In-memory convenience for tests and pipelines that hold the
