@@ -25,9 +25,13 @@ import org.apache.spark.sql.types.StructType
   * version-offset stream cannot retract rows — unless
   * `.option("skipChangeCommits", "true")` opts into Delta's
   * same-named semantics (change commits are passed over entirely;
-  * only subsequent appends flow). Restart recovery is the engine's:
-  * committed offsets replay exactly, because a version's file list
-  * is immutable. */
+  * only subsequent appends flow), or
+  * `.option("readChangeFeed", "true")` streams the CHANGE FEED
+  * instead — every commit kind as row-level `_change_type` /
+  * `_commit_version` rows (Delta's CDF streaming), where deletes and
+  * updates are first-class and nothing needs skipping. Restart
+  * recovery is the engine's: committed offsets replay exactly,
+  * because a version's file list is immutable. */
 final class LogStreamProvider extends StreamSourceProvider
   with DataSourceRegister {
 
@@ -38,30 +42,44 @@ final class LogStreamProvider extends StreamSourceProvider
       .getOrElse(throw new IllegalArgumentException(
         "graft-log stream needs .option(\"path\", <table dir>)"))
 
+  private def boolOpt(parameters: Map[String, String],
+                      name: String): Boolean =
+    parameters.collectFirst { case (k, v) if k.equalsIgnoreCase(name) =>
+      v.toBoolean }.getOrElse(false)
+
   override def sourceSchema(ctx: SQLContext,
                             schema: Option[StructType],
                             providerName: String,
                             parameters: Map[String, String]):
-      (String, StructType) =
-    (shortName(), new LogTable(pathOf(parameters)).schema)
+      (String, StructType) = {
+    val base = new LogTable(pathOf(parameters)).schema
+    val s =
+      if (boolOpt(parameters, "readChangeFeed"))
+        base.add("_change_type", org.apache.spark.sql.types.StringType)
+          .add("_commit_version", org.apache.spark.sql.types.LongType)
+      else base
+    (shortName(), s)
+  }
 
   override def createSource(ctx: SQLContext, metadataPath: String,
                             schema: Option[StructType],
                             providerName: String,
-                            parameters: Map[String, String]): Source = {
-    val skipChanges = parameters
-      .collectFirst { case (k, v) if k.equalsIgnoreCase("skipChangeCommits") =>
-        v.toBoolean }
-      .getOrElse(false)
-    new LogStreamSource(ctx, new LogTable(pathOf(parameters)), skipChanges)
-  }
+                            parameters: Map[String, String]): Source =
+    new LogStreamSource(ctx, new LogTable(pathOf(parameters)),
+      skipChangeCommits = boolOpt(parameters, "skipChangeCommits"),
+      readChangeFeed = boolOpt(parameters, "readChangeFeed"))
 }
 
 private[sources] final class LogStreamSource(ctx: SQLContext, log: LogTable,
-                                             skipChangeCommits: Boolean)
+                                             skipChangeCommits: Boolean,
+                                             readChangeFeed: Boolean = false)
   extends Source {
 
-  override val schema: StructType = log.schema
+  override val schema: StructType =
+    if (readChangeFeed)
+      log.schema.add("_change_type", org.apache.spark.sql.types.StringType)
+        .add("_commit_version", org.apache.spark.sql.types.LongType)
+    else log.schema
 
   private def ver(o: Offset): Long = o match {
     case l: LongOffset       => l.offset
@@ -76,6 +94,11 @@ private[sources] final class LogStreamSource(ctx: SQLContext, log: LogTable,
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val from = start.map(ver).getOrElse(-1L)
     val to = ver(end)
+    val spark = ctx.sparkSession
+    if (readChangeFeed)
+      // CDF mode represents every commit kind as row-level changes —
+      // nothing to skip, nothing to fail on
+      return GraftStreamShim.streamingFrame(log.changes(spark, from, to))
     val files = log.versions.filter(v => v > from && v <= to).flatMap { v =>
       val op = log.commitOp(v)
       val adds = log.addedPaths(v)
@@ -87,11 +110,12 @@ private[sources] final class LogStreamSource(ctx: SQLContext, log: LogTable,
             s"commit $v is a '$changeOp' — a streaming read of a log " +
               "table requires append-only commits; set " +
               ".option(\"skipChangeCommits\", \"true\") to pass over " +
-              "change commits and stream only subsequent appends")
+              "change commits and stream only subsequent appends, or " +
+              ".option(\"readChangeFeed\", \"true\") to stream row-level " +
+              "changes instead")
           Seq.empty
       }
     }
-    val spark = ctx.sparkSession
     val batch =
       if (files.isEmpty)
         spark.createDataFrame(new java.util.ArrayList[Row](), schema)

@@ -505,9 +505,10 @@ final class LogTable(val path: String,
                                            staged: String,
                                            removePaths: Seq[String],
                                            op: String,
-                                           readVersion: Option[Long]): Long =
+                                           readVersion: Option[Long],
+                                           cdfDir: Option[String] = None): Long =
     finalizeStaged(spark, new File(staged), schema, removePaths, op,
-      readVersion, schemaJson = None, cdfDir = None)
+      readVersion, schemaJson = None, cdfDir = cdfDir)
 
   // ---------------------------------------------------------------
   // row-level ops: stats-pruned delete / update
@@ -785,7 +786,7 @@ final class LogTable(val path: String,
               else Seq(tagged(spark.read.schema(s)
                 .parquet(removed.map(p => s"$path/$p"): _*), "delete", v))
             ins ++ del
-          case "delete" | "update" =>
+          case "delete" | "update" | "merge" =>
             meta.cdf.toSeq.map(rel =>
               spark.read.parquet(s"$path/$rel")
                 .withColumn("_commit_version", lit(v)))

@@ -337,8 +337,31 @@ object SqlMerge {
       .select(core.outCols: _*)
     val staged = log.newStagingDir()
     out.write.mode("overwrite").parquet(staged)
+
+    // change feed: pre-images of updated/deleted target rows,
+    // post-images of updates, the insert rows — Delta's merge CDF
+    // shape. One more filtered pass over the (never-materialized)
+    // join; Delta folds this into the rewrite job itself, which a
+    // library-level planner cannot, so merge CDF costs one extra
+    // join execution here — documented trade
+    val isUpd = col("__branch").isin(core.updates.map(i => i: Any): _*)
+    val isDel = col("__branch").isin(core.deletes.map(i => i: Any): _*)
+    val targetImage = snap.columns.toSeq.map(c =>
+      col(s"${p.targetAlias}.$c").as(c))
+    val pre = core.labeled.filter(core.tPresent && (isUpd || isDel))
+      .select(targetImage :+
+        when(isDel, lit("delete")).otherwise(lit("update_preimage"))
+          .as("_change_type"): _*)
+    val post = core.labeled.filter(core.tPresent && isUpd)
+      .select(core.outCols :+ lit("update_postimage").as("_change_type"): _*)
+    val ins = core.labeled.filter(!core.tPresent && keep)
+      .select(core.outCols :+ lit("insert").as("_change_type"): _*)
+    val cdfRel = s"_cdf/${java.util.UUID.randomUUID()}"
+    pre.unionByName(post).unionByName(ins)
+      .write.mode("overwrite").parquet(s"${log.path}/$cdfRel")
+
     log.commitStagedRewrite(spark, staged, touched.map(_.path),
-      op = "merge", readVersion = readVersion)
+      op = "merge", readVersion = readVersion, cdfDir = Some(cdfRel))
     stats
   }
 

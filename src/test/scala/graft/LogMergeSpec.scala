@@ -71,6 +71,28 @@ class LogMergeSpec extends SparkSpec {
       == Set(2L, 10L, 11L))
   }
 
+  test("a merge commit records its change feed: pre/post images, " +
+    "deletes and inserts") {
+    val t = seeded()
+    val before = t.currentVersion.get
+    Seq((10L, 5L), (11L, 20L), (30L, 7L)).toDF("k", "m")
+      .createOrReplaceTempView("lm_src_cdf")
+    SqlMerge.mergeLog(spark,
+      """MERGE INTO dim t USING lm_src_cdf s ON t.k = s.k
+         WHEN MATCHED AND s.m > 10 THEN DELETE
+         WHEN MATCHED THEN UPDATE SET v = 'upd', n = s.m
+         WHEN NOT MATCHED THEN INSERT (k, v, n) VALUES (s.k, 'new', s.m)""",
+      t)
+    val cdf = t.changes(spark, before, t.currentVersion.get)
+      .select("k", "v", "n", "_change_type")
+      .as[(Long, String, Long, String)].collect().toSet
+    assert(cdf == Set(
+      (10L, "c", 0L, "update_preimage"),
+      (10L, "upd", 5L, "update_postimage"),
+      (11L, "d", 0L, "delete"),
+      (30L, "new", 7L, "insert")))
+  }
+
   test("cardinality violation aborts before any commit") {
     val t = seeded()
     val v = t.currentVersion.get

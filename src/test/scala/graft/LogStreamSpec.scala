@@ -107,6 +107,30 @@ class LogStreamSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() == 3L)
   }
 
+  test("readChangeFeed streams row-level changes: deletes flow as " +
+    "delete rows instead of failing the stream") {
+    val dir = s"${tmp()}/t"
+    val t = new LogTable(dir)
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+    val q = spark.readStream
+      .format(classOf[LogStreamProvider].getName)
+      .option("path", dir).option("readChangeFeed", "true")
+      .load().writeStream.format("memory").queryName("log_cdf_stream")
+      .trigger(Trigger.ProcessingTime(50)).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("log_cdf_stream")
+        .select("k", "v", "_change_type", "_commit_version")
+        .as[(Long, String, String, Long)].collect().toSet ==
+        Set((1L, "a", "insert", 0L), (2L, "b", "insert", 0L)))
+      t.delete(spark, col("k") === 1L)
+      q.processAllAvailable()
+      assert(spark.table("log_cdf_stream")
+        .filter(col("_change_type") === "delete")
+        .select("k").as[Long].collect().toSeq == Seq(1L))
+    } finally q.stop()
+  }
+
   test("restore rolls back to a prior version by reference and the " +
     "rolled-back history stays travelable") {
     val dir = s"${tmp()}/t"
