@@ -561,6 +561,24 @@ object SparkEntry {
       s.sql(s"SELECT k, status, n FROM $cat.dim ORDER BY k")
     }),
 
+    "log_table_cluster" -> ((s, d) => {
+      // OPTIMIZE ZORDER-style clustering: three appends with fully
+      // interleaved key ranges (stats prune nothing), then a layout
+      // rebuild sorted by key — content identical (the oracle), file
+      // ranges disjoint afterwards (skip counts asserted in
+      // LogTableSpec)
+      val dir = java.nio.file.Files.createTempDirectory("graft_logclu")
+      val lt = new graft.sources.LogTable(s"$dir/t")
+      val cust = t(s, d, "customer")
+        .select(col("c_custkey").as("k"), col("c_name").as("name"))
+        .filter(col("k") <= 300)
+      (0 until 3).foreach(i =>
+        lt.append(cust.filter(pmod(col("k"), lit(3)) === i)
+          .repartition(1)))
+      lt.cluster(s, Seq("k"), nFiles = 3)
+      lt.load(s).orderBy(col("k"))
+    }),
+
     "log_table_restore" -> ((s, d) => {
       // RESTORE: roll the table back to a prior version with ONE
       // metadata-only commit — the target's files re-added by
@@ -2006,6 +2024,11 @@ object SparkEntry {
          FROM tgt t FULL OUTER JOIN upd u ON t.k = u.k
          WHERE NOT (t.k IS NOT NULL AND u.k IS NOT NULL
                     AND u.n_orders > 14)
+         ORDER BY k""",
+
+    "log_table_cluster" ->
+      """SELECT CAST(c_custkey AS BIGINT) AS k, c_name AS name
+         FROM customer WHERE c_custkey <= 300
          ORDER BY k""",
 
     "log_table_restore" ->

@@ -824,6 +824,53 @@ final class LogTable(val path: String,
       cdfDir = None)
   }
 
+  /** OPTIMIZE with clustering — Delta's `OPTIMIZE ... ZORDER BY`:
+    * rewrite the live files range-partitioned and sorted by the
+    * cluster key. One column sorts directly; two columns Morton-
+    * interleave their 2^16 equi-width bucket ranks (edges from one
+    * tiny in-plan aggregate, the [[Tables.writeZOrdered]] kernel) so
+    * rows close in BOTH dimensions land in the same files. Per-file
+    * min/max stats become tight and near-disjoint, and the stats
+    * pruner ([[delete]]/[[update]]) plus parquet row-group skipping
+    * then cut most files out of selective predicates. A layout
+    * rebuild — cost ∝ table, like Delta's — with no row-level change
+    * (`optimize` op: streams skip it, change feed empty). */
+  def cluster(spark: SparkSession, clusterBy: Seq[String],
+              nFiles: Int): Long = {
+    require(clusterBy.nonEmpty && clusterBy.size <= 2,
+      s"cluster takes 1 or 2 columns, got ${clusterBy.size}")
+    val readVersion = currentVersion.getOrElse(
+      throw new IllegalStateException(s"no log table at $path"))
+    val snap = snapshotAt(readVersion)
+    if (snap.adds.isEmpty) return readVersion
+    val df = spark.read.schema(snap.schema)
+      .parquet(snap.adds.map(a => s"$path/${a.path}"): _*)
+    val staged = new File(newStagingDir())
+    val laidOut = clusterBy match {
+      case Seq(c) =>
+        df.repartitionByRange(nFiles, col(c)).sortWithinPartitions(col(c))
+      case Seq(c1, c2) =>
+        val mm = df.agg(
+          min(col(c1)).as("__mn1"), max(col(c1)).as("__mx1"),
+          min(col(c2)).as("__mn2"), max(col(c2)).as("__mx2"))
+        def rank(c: String, mn: String, mx: String) =
+          when(col(mx) === col(mn), lit(0L)).otherwise(
+            floor((col(c).cast("double") - col(mn)) /
+              (col(mx) - col(mn)) * 65535.0).cast("long"))
+        val cols = df.columns.toSeq
+        df.crossJoin(broadcast(mm))
+          .withColumn("__z", graft.plans.ZOrderExpressions.zorder(
+            rank(c1, "__mn1", "__mx1"), rank(c2, "__mn2", "__mx2")))
+          .repartitionByRange(nFiles, col("__z"))
+          .sortWithinPartitions(col("__z"))
+          .select(cols.map(col): _*)
+    }
+    laidOut.write.mode("overwrite").parquet(staged.toString)
+    finalizeStaged(spark, staged, snap.schema, snap.adds.map(_.path),
+      op = "optimize", readVersion = Some(readVersion), schemaJson = None,
+      cdfDir = None)
+  }
+
   /** Physically drop data files referenced ONLY by expired versions:
     * keep every file live in the newest `retainLast` versions; older
     * log entries stay (metadata is cheap), their exclusive files go.
@@ -839,4 +886,16 @@ final class LogTable(val path: String,
     dropped.foreach(_.delete())
     dropped.map(f => s"data/${f.getName}")
   }
+}
+
+/** [[DimSink]] face of a [[LogTable]], so every sink-shaped pipeline
+  * (the SCD flows, copy-on-write [[SqlMerge.merge]], the dim-sink
+  * e2e path) commits through the transaction log unchanged:
+  * `overwrite` is a full-replace log commit — prior files retired by
+  * reference, history stays time-travelable, and the same table
+  * keeps serving catalog reads, streams and the change feed. */
+final class LogTableDimSink(val log: LogTable) extends DimSink {
+  override def load(spark: SparkSession): Option[DataFrame] =
+    if (log.exists) Some(log.load(spark)) else None
+  override def overwrite(dim: DataFrame): Unit = { log.overwrite(dim); () }
 }

@@ -180,6 +180,60 @@ class LogTableSpec extends SparkSpec {
     assert(rows(t.load(spark)) == before) // current snapshot intact
   }
 
+  test("cluster (OPTIMIZE ZORDER) tightens per-file stats so range " +
+    "predicates skip files that overlapping appends could not") {
+    val t = new LogTable(s"${tmp()}/t")
+    // three appends with fully interleaved key ranges: every file's
+    // [min,max] spans the whole domain, so stats prune nothing
+    t.append((0 until 30 by 3).map(i => (i.toLong, s"v$i"))
+      .toDF("k", "v").repartition(1))
+    t.append((1 until 30 by 3).map(i => (i.toLong, s"v$i"))
+      .toDF("k", "v").repartition(1))
+    t.append((2 until 30 by 3).map(i => (i.toLong, s"v$i"))
+      .toDF("k", "v").repartition(1))
+    val before = rows(t.load(spark))
+    // an in-domain point: every interleaved file's [min,max] covers
+    // it, so stats prune nothing and all three files are scanned
+    val r0 = t.delete(spark, col("k") === 7L)
+    assert(r0.filesSkippedByStats == 0 && r0.filesScanned == 3
+      && r0.filesRewritten == 1 && r0.rowsAffected == 1L, r0)
+    val v = t.cluster(spark, Seq("k"), nFiles = 3)
+    assert(t.commitOp(v) == "optimize")
+    assert(rows(t.load(spark)) == before - ((7L, "v7")))
+    // ranges are now disjoint: a point delete prunes to one file
+    val ranges = t.liveAdds().map(a =>
+      (a.stats("k").min.get.asInstanceOf[Long],
+        a.stats("k").max.get.asInstanceOf[Long])).sorted
+    assert(ranges.sliding(2).forall {
+      case Seq((_, hi), (lo, _)) => hi < lo
+      case _ => true
+    }, s"ranges overlap after cluster: $ranges")
+    val nLive = t.liveAdds().size
+    val r1 = t.delete(spark, col("k") === 8L)
+    assert(r1.filesSkippedByStats == nLive - 1 && r1.filesScanned == 1
+      && r1.rowsAffected == 1L, r1)
+  }
+
+  test("a LogTableDimSink lets sink-shaped pipelines (MERGE INTO " +
+    "copy-on-write) commit through the log") {
+    val t = new LogTable(s"${tmp()}/t")
+    val sink = new graft.sources.LogTableDimSink(t)
+    t.append(Seq((1L, "init", 0L), (2L, "init", 0L)).toDF("k", "v", "n"))
+    Seq((2L, 5L), (3L, 7L)).toDF("k", "m")
+      .createOrReplaceTempView("lts_src")
+    val r = graft.sources.SqlMerge.merge(spark,
+      """MERGE INTO dim t USING lts_src s ON t.k = s.k
+         WHEN MATCHED THEN UPDATE SET v = 'upd', n = s.m
+         WHEN NOT MATCHED THEN INSERT (k, v, n) VALUES (s.k, 'new', s.m)""",
+      sink)
+    assert(r.updated == 1L && r.inserted == 1L)
+    assert(t.load(spark).select("k", "v").as[(Long, String)].collect().toSet
+      == Set((1L, "init"), (2L, "upd"), (3L, "new")))
+    assert(t.commitOp(t.currentVersion.get) == "overwrite")
+    // pre-merge state stays travelable
+    assert(t.load(spark, Some(0L)).count() == 2L)
+  }
+
   test("create seeds a schema-only empty table readable at zero " +
     "rows") {
     val t = new LogTable(s"${tmp()}/t")
