@@ -561,6 +561,24 @@ object SparkEntry {
       s.sql(s"SELECT k, status, n FROM $cat.dim ORDER BY k")
     }),
 
+    "log_table_evolution" -> ((s, d) => {
+      // schema evolution on append (Delta's mergeSchema): the second
+      // batch carries a new column — the commit widens the table
+      // schema in place, old files read NULL for it with NO rewrite;
+      // the oracle is the null-filled union
+      val dir = java.nio.file.Files.createTempDirectory("graft_logevo")
+      val lt = new graft.sources.LogTable(s"$dir/t")
+      val cust = t(s, d, "customer")
+      lt.append(cust.filter(col("c_custkey") <= 150)
+        .select(col("c_custkey").as("k"), col("c_name").as("name")))
+      lt.append(cust
+        .filter(col("c_custkey") > 150 && col("c_custkey") <= 300)
+        .select(col("c_custkey").as("k"), col("c_name").as("name"),
+          col("c_acctbal").as("bal")),
+        mergeSchema = true)
+      lt.load(s).orderBy(col("k"))
+    }),
+
     "log_table_cluster" -> ((s, d) => {
       // OPTIMIZE ZORDER-style clustering: three appends with fully
       // interleaved key ranges (stats prune nothing), then a layout
@@ -2024,6 +2042,17 @@ object SparkEntry {
          FROM tgt t FULL OUTER JOIN upd u ON t.k = u.k
          WHERE NOT (t.k IS NOT NULL AND u.k IS NOT NULL
                     AND u.n_orders > 14)
+         ORDER BY k""",
+
+    "log_table_evolution" ->
+      """SELECT k, name, bal FROM (
+           SELECT CAST(c_custkey AS BIGINT) AS k, c_name AS name,
+                  CAST(NULL AS DOUBLE) AS bal
+           FROM customer WHERE c_custkey <= 150
+           UNION ALL
+           SELECT CAST(c_custkey AS BIGINT) AS k, c_name AS name,
+                  c_acctbal AS bal
+           FROM customer WHERE c_custkey > 150 AND c_custkey <= 300)
          ORDER BY k""",
 
     "log_table_cluster" ->

@@ -41,7 +41,9 @@ final case class RowOpResult(version: Long, rowsAffected: Long,
   * directory-per-version copy-on-write and [[MergeOnReadSink]]'s
   * patch commits (reference behavior: the reference keeps its
   * dimensions in Delta tables, `Load & SCD-Merge.py:24-38`; this is
-  * the same commit protocol re-derived on public parquet).
+  * the same commit protocol re-derived on public parquet, after the
+  * published design — Armbrust et al., "Delta Lake: High-Performance
+  * ACID Table Storage over Cloud Object Stores", VLDB 2020).
   *
   * Layout under `path`:
   *  - `_log/%020d.json`       one JSONL commit per version: a
@@ -445,23 +447,53 @@ final class LogTable(val path: String,
       ()
     }
 
+  /** Project `df` onto the table schema: present columns cast to the
+    * table's types, absent columns null-filled (only reachable under
+    * schema merge — a widened table reads its old files the same
+    * way). */
   private def conform(df: DataFrame, s: StructType): DataFrame =
     df.select(s.fields.toSeq.map(f =>
-      col(f.name).cast(f.dataType).as(f.name)): _*)
+      if (df.columns.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+      else lit(null).cast(f.dataType).as(f.name)): _*)
 
   /** Append commit: write ONLY the new rows as data files and one
-    * log entry — cost ∝ the delta, never the table. */
-  def append(df: DataFrame): Long = {
+    * log entry — cost ∝ the delta, never the table.
+    *
+    * Schema discipline is Delta's: columns the table doesn't have
+    * FAIL the append unless `mergeSchema` — which widens the table
+    * schema in the same commit (new columns appended, nullable; old
+    * files read them as NULL, no rewrite). Columns the incoming
+    * frame lacks are null-filled under `mergeSchema` and an error
+    * otherwise; on a name collision the TABLE's type wins (the
+    * incoming column is cast — ANSI surfaces an incompatibility at
+    * write time, not as silent corruption). */
+  def append(df: DataFrame, mergeSchema: Boolean = false): Long = {
     ensureLayout()
-    val tableSchema = currentVersion.map(_ => schema)
-      .getOrElse(df.schema)
+    val existing = currentVersion.map(_ => schema)
+    val tableSchema = existing match {
+      case None => df.schema
+      case Some(s) =>
+        val extra = df.schema.fields.filterNot(f =>
+          s.fieldNames.contains(f.name))
+        val missing = s.fieldNames.filterNot(df.columns.contains)
+        if (!mergeSchema) {
+          require(extra.isEmpty, "append schema mismatch: incoming " +
+            s"column(s) ${extra.map(_.name).mkString(", ")} not in the " +
+            "table — pass mergeSchema = true to evolve the schema")
+          require(missing.isEmpty, "append schema mismatch: incoming " +
+            s"frame lacks table column(s) ${missing.mkString(", ")} — " +
+            "pass mergeSchema = true to null-fill them")
+          s
+        } else StructType(s.fields ++ extra.map(_.copy(nullable = true)))
+    }
+    val schemaChanged = !existing.contains(tableSchema)
     val staged = new File(newStagingDir())
     conform(df, tableSchema).write.mode("overwrite")
       .parquet(staged.toString)
     finalizeStaged(df.sparkSession, staged, tableSchema,
       removePaths = Seq.empty, op = "append", readVersion = None,
-      schemaJson = if (currentVersion.isEmpty) Some(tableSchema.json)
-      else None, cdfDir = None)
+      schemaJson = if (currentVersion.isEmpty || schemaChanged)
+        Some(tableSchema.json) else None, cdfDir = None)
   }
 
   /** Full-replace commit: new files added, every prior live file
