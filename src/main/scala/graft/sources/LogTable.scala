@@ -903,10 +903,13 @@ final class LogTable(val path: String,
       cdfDir = None)
   }
 
-  /** Physically drop data files referenced ONLY by expired versions:
-    * keep every file live in the newest `retainLast` versions; older
-    * log entries stay (metadata is cheap), their exclusive files go.
-    * Time travel within the retained window is unaffected. */
+  /** Physically drop files referenced ONLY by expired versions:
+    * keep every data file live in the newest `retainLast` versions —
+    * and the change-feed dirs those versions recorded (Delta applies
+    * the same retention to change data). Older log entries stay
+    * (metadata is cheap); their exclusive data files and cdf dirs
+    * go. Time travel and `changes()` within the retained window are
+    * unaffected. */
   def vacuum(retainLast: Int = 1): Seq[String] = {
     require(retainLast >= 1, s"need retainLast >= 1, got $retainLast")
     val vs = versions
@@ -916,7 +919,13 @@ final class LogTable(val path: String,
       .filter(_.getName.endsWith(".parquet"))
     val dropped = all.filterNot(f => keep.contains(s"data/${f.getName}"))
     dropped.foreach(_.delete())
-    dropped.map(f => s"data/${f.getName}")
+    val keepCdf = retained.flatMap(v => commitMeta(v).cdf).toSet
+    val cdfRoot = new File(path, "_cdf")
+    val droppedCdf = Option(cdfRoot.listFiles()).toSeq.flatten
+      .filter(d => d.isDirectory && !keepCdf.contains(s"_cdf/${d.getName}"))
+    droppedCdf.foreach(deleteRecursive)
+    dropped.map(f => s"data/${f.getName}") ++
+      droppedCdf.map(d => s"_cdf/${d.getName}")
   }
 }
 

@@ -234,6 +234,23 @@ class LogTableSpec extends SparkSpec {
     assert(t.load(spark, Some(0L)).count() == 2L)
   }
 
+  test("vacuum drops change-feed dirs of expired versions and keeps " +
+    "the retained window's") {
+    val t = new LogTable(s"${tmp()}/t")
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("k", "v"))     // v0
+    t.delete(spark, col("k") === 1L)                        // v1, cdf A
+    t.update(spark, col("k") === 2L, Map("v" -> lit("B")))  // v2, cdf B
+    def cdfDirs = Option(new File(t.path, "_cdf").listFiles())
+      .toSeq.flatten.count(_.isDirectory)
+    assert(cdfDirs == 2)
+    t.vacuum(retainLast = 1)
+    assert(cdfDirs == 1)
+    // the retained head's change feed still reads
+    assert(t.changes(spark, 1L, 2L)
+      .filter(col("_change_type") === "update_postimage")
+      .select("v").as[String].collect().toSeq == Seq("B"))
+  }
+
   test("create seeds a schema-only empty table readable at zero " +
     "rows") {
     val t = new LogTable(s"${tmp()}/t")
