@@ -1,9 +1,10 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, GraftStreamShim, Row, SQLContext}
-import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.{DataFrame, Dataset, GraftPlanReset, GraftStreamShim, Row, SQLContext}
+import org.apache.spark.sql.execution.streaming.{Offset, Sink, Source}
 import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
-import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSinkProvider, StreamSourceProvider}
+import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.StructType
 
 /** Structured-Streaming source over a [[LogTable]] — the "stream
@@ -33,7 +34,7 @@ import org.apache.spark.sql.types.StructType
   * recovery is the engine's: committed offsets replay exactly,
   * because a version's file list is immutable. */
 final class LogStreamProvider extends StreamSourceProvider
-  with DataSourceRegister {
+  with StreamSinkProvider with DataSourceRegister {
 
   override def shortName(): String = "graft-log"
 
@@ -68,6 +69,38 @@ final class LogStreamProvider extends StreamSourceProvider
     new LogStreamSource(ctx, new LogTable(pathOf(parameters)),
       skipChangeCommits = boolOpt(parameters, "skipChangeCommits"),
       readChangeFeed = boolOpt(parameters, "readChangeFeed"))
+
+  /** Streaming SINK half (`writeStream.format("graft-log")`): each
+    * micro-batch is one append commit tagged with its batch id under
+    * an idempotent-txn app id (option `txnAppId` — give each query
+    * its own when several write one table), so an engine-replayed
+    * batch after a restart deduplicates instead of double-appending
+    * — Delta's exactly-once sink contract. */
+  override def createSink(ctx: SQLContext,
+                          parameters: Map[String, String],
+                          partitionColumns: Seq[String],
+                          outputMode: OutputMode): Sink = {
+    require(partitionColumns.isEmpty,
+      "graft-log sink does not take partition columns; layout is the log's")
+    require(outputMode == OutputMode.Append(),
+      s"graft-log sink is append-only, got $outputMode")
+    val app = parameters.collectFirst {
+      case (k, v) if k.equalsIgnoreCase("txnAppId") => v }
+      .getOrElse("graft-log-sink")
+    new LogStreamSink(new LogTable(pathOf(parameters)), app)
+  }
+}
+
+private[sources] final class LogStreamSink(log: LogTable, app: String)
+  extends Sink {
+  override def addBatch(batchId: Long, data: Dataset[Row]): Unit = {
+    // re-leaf the engine's incremental frame before writing (the
+    // sink contract: the passed Dataset is this micro-batch's plan,
+    // not a reusable batch frame)
+    log.appendStreamBatch(GraftPlanReset.freshLeaf(data.toDF()), app,
+      batchId)
+    ()
+  }
 }
 
 private[sources] final class LogStreamSource(ctx: SQLContext, log: LogTable,

@@ -108,7 +108,8 @@ final class LogTable(val path: String,
   // log read path
 
   private final case class CommitMeta(ts: Long, op: String,
-                                      cdf: Option[String])
+                                      cdf: Option[String],
+                                      txn: Option[(String, Long)])
   private final case class Snapshot(schema: StructType, adds: Seq[AddFile])
 
   private def parseStats(j: JValue): Map[String, ColStats] = j match {
@@ -170,7 +171,12 @@ final class LogTable(val path: String,
       (c \ "ts") match { case JInt(i) => i.toLong; case JLong(l) => l
         case _ => 0L },
       (c \ "op").asInstanceOf[JString].s,
-      (c \ "cdf") match { case JString(s) => Some(s); case _ => None })
+      (c \ "cdf") match { case JString(s) => Some(s); case _ => None },
+      ((c \ "txnApp"), (c \ "txnBatch")) match {
+        case (JString(a), JInt(b))  => Some((a, b.toLong))
+        case (JString(a), JLong(b)) => Some((a, b))
+        case _                      => None
+      })
   }
 
   /** Wall-clock of a commit (epoch millis from the injectable
@@ -359,7 +365,8 @@ final class LogTable(val path: String,
                              removePaths: Seq[String], op: String,
                              readVersion: Option[Long],
                              schemaJson: Option[String],
-                             cdfDir: Option[String]): Long = {
+                             cdfDir: Option[String],
+                             txn: Option[(String, Long)] = None): Long = {
     val parts = Option(stagedDir.listFiles()).toSeq.flatten
       .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
       .sortBy(_.getName)
@@ -379,7 +386,7 @@ final class LogTable(val path: String,
         AddFile(target, st.rows, new File(path, target).length(), st.stats)
       }
     deleteRecursive(stagedDir)
-    commitRetry(readVersion, removePaths, adds, op, schemaJson, cdfDir)
+    commitRetry(readVersion, removePaths, adds, op, schemaJson, cdfDir, txn)
   }
 
   /** The optimistic-concurrency core: render the commit, then try to
@@ -391,7 +398,8 @@ final class LogTable(val path: String,
   private def commitRetry(readVersion: Option[Long], removePaths: Seq[String],
                           adds: Seq[AddFile], op: String,
                           schemaJson: Option[String],
-                          cdfDir: Option[String]): Long = {
+                          cdfDir: Option[String],
+                          txn: Option[(String, Long)] = None): Long = {
     ensureLayout()
     var attempts = 0
     while (attempts < 100) {
@@ -404,10 +412,18 @@ final class LogTable(val path: String,
           s"conflicting commit: files ${gone.mkString(", ")} were removed " +
             s"by another writer between version $readVersion and $head")
       }
+      // idempotent-txn dedup re-checked under the SAME head the
+      // commit will land on: a replayed batch that lost the race to
+      // its own first attempt is dropped, not duplicated
+      txn.foreach { case (app, batch) =>
+        if (lastCommittedBatch(app).exists(_ >= batch)) return -1L
+      }
       val next = head.getOrElse(-1L) + 1L
       val lines = Seq(JsonMethods.compact(JsonMethods.render(JObject(List(
         "commit" -> JObject(List("ts" -> JLong(clock()),
-          "op" -> JString(op)) ++ cdfDir.map("cdf" -> JString(_)))))))) ++
+          "op" -> JString(op)) ++ cdfDir.map("cdf" -> JString(_)) ++
+          txn.toList.flatMap { case (a, b) =>
+            List("txnApp" -> JString(a), "txnBatch" -> JLong(b)) })))))) ++
         schemaJson.map(s => JsonMethods.compact(JsonMethods.render(
           JObject(List("schema" -> JString(s)))))) ++
         removePaths.map(p => JsonMethods.compact(JsonMethods.render(
@@ -508,6 +524,36 @@ final class LogTable(val path: String,
     finalizeStaged(df.sparkSession, staged, df.schema, prior,
       op = "overwrite", readVersion = currentVersion,
       schemaJson = Some(df.schema.json), cdfDir = None)
+  }
+
+  /** Newest batch id committed under `app`'s idempotent-txn stream
+    * (newest→oldest scan, stops at the first match — streams commit
+    * frequently, so the answer is near the head). */
+  def lastCommittedBatch(app: String): Option[Long] =
+    versions.reverseIterator.map(commitMeta).collectFirst {
+      case m if m.txn.exists(_._1 == app) => m.txn.get._2 }
+
+  /** Exactly-once streaming append — Delta's txnAppId/txnVersion
+    * idempotence: commit `df` tagged `(app, batchId)` unless a batch
+    * ≥ `batchId` has already committed under `app`, so a micro-batch
+    * the engine replays after a sink restart is DROPPED, not
+    * duplicated (the check re-runs inside the commit-retry loop under
+    * the head the commit actually lands on, closing the race against
+    * this batch's own first attempt). Returns the committed version,
+    * or None when deduplicated. */
+  def appendStreamBatch(df: DataFrame, app: String,
+                        batchId: Long): Option[Long] = {
+    ensureLayout()
+    if (lastCommittedBatch(app).exists(_ >= batchId)) return None
+    val tableSchema = currentVersion.map(_ => schema).getOrElse(df.schema)
+    val staged = new File(newStagingDir())
+    conform(df, tableSchema).write.mode("overwrite")
+      .parquet(staged.toString)
+    val v = finalizeStaged(df.sparkSession, staged, tableSchema,
+      removePaths = Seq.empty, op = "append", readVersion = None,
+      schemaJson = if (currentVersion.isEmpty) Some(tableSchema.json)
+      else None, cdfDir = None, txn = Some((app, batchId)))
+    if (v < 0) None else Some(v)
   }
 
   /** Commit a staging directory the DSv2 write path already

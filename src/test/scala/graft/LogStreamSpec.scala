@@ -150,6 +150,52 @@ class LogStreamSpec extends SparkSpec {
     assert(t.liveAdds().map(_.path).contains(v0File))
   }
 
+  test("appendStreamBatch deduplicates a replayed batch id") {
+    val t = new LogTable(s"${tmp()}/t")
+    assert(t.appendStreamBatch(Seq((1L, "a")).toDF("k", "v"),
+      "app1", 0L).isDefined)
+    assert(t.appendStreamBatch(Seq((1L, "a")).toDF("k", "v"),
+      "app1", 0L).isEmpty) // replay dropped
+    assert(t.appendStreamBatch(Seq((2L, "b")).toDF("k", "v"),
+      "app1", 1L).isDefined)
+    // a DIFFERENT app's stream is independent
+    assert(t.appendStreamBatch(Seq((3L, "c")).toDF("k", "v"),
+      "app2", 0L).isDefined)
+    assert(t.load(spark).count() == 3L)
+    assert(t.lastCommittedBatch("app1").contains(1L))
+    assert(t.lastCommittedBatch("app2").contains(0L))
+  }
+
+  test("log-to-log replication is exactly-once across a sink " +
+    "restart") {
+    val src = new LogTable(s"${tmp()}/src")
+    val dstDir = s"${tmp()}/dst"
+    val ckpt = s"${tmp()}/ckpt"
+    def replicate(): Unit = {
+      val q = spark.readStream
+        .format(classOf[LogStreamProvider].getName)
+        .option("path", src.path).load()
+        .writeStream.format(classOf[LogStreamProvider].getName)
+        .option("path", dstDir)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.ProcessingTime(50))
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    src.append(Seq((1L, "a")).toDF("k", "v"))
+    replicate()
+    val dst = new LogTable(dstDir)
+    assert(dst.load(spark).as[(Long, String)].collect().toSet
+      == Set((1L, "a")))
+    // appends while the replica is down, then a restart
+    src.append(Seq((2L, "b")).toDF("k", "v"))
+    src.append(Seq((3L, "c")).toDF("k", "v"))
+    replicate()
+    assert(dst.load(spark).as[(Long, String)].collect().toSet
+      == Set((1L, "a"), (2L, "b"), (3L, "c")))
+    assert(dst.load(spark).count() == 3L) // no duplicate rows
+  }
+
   test("history lists one row per commit with op and file counts") {
     val dir = s"${tmp()}/t"
     val ticks = Iterator(1000L, 2000L, 3000L)
