@@ -62,6 +62,11 @@ class GraftTableCatalog extends TableCatalog {
     warehouse = Option(options.get("warehouse")).getOrElse(
       throw new IllegalArgumentException(
         s"GraftTableCatalog '$name' needs spark.sql.catalog.$name.warehouse"))
+    // native SQL row-level DML (UPDATE / MERGE INTO by name) rides
+    // on a planner strategy; hook it into the live session now so a
+    // catalog user never needs session-build extensions
+    try GraftRowLevelStrategy.register(SparkSession.active)
+    catch { case scala.util.control.NonFatal(_) => () }
   }
 
   override def name(): String = catalogName
@@ -163,19 +168,31 @@ class GraftTableCatalog extends TableCatalog {
   /** `CREATE TABLE cat.t (schema)`: by default seed a versioned
     * sink with an empty v=0 snapshot of the requested schema (CTAS
     * rejected downstream — that table is read-only);
-    * `CREATE TABLE cat.t (schema) USING log` seeds a [[LogTable]]
-    * instead, whose full INSERT / INSERT OVERWRITE / DELETE DML
-    * surface works by name. Partition transforms are rejected
-    * either way (the table owns its layout). */
+    * `CREATE TABLE cat.t (schema) USING log [PARTITIONED BY (col)]`
+    * seeds a [[LogTable]] instead, whose full INSERT / INSERT
+    * OVERWRITE / DELETE DML surface works by name. Identity
+    * partition transforms become the log table's hive partition
+    * columns; non-identity transforms (bucket/days/...) and
+    * partitioning of sink tables are rejected. */
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
                            properties: JMap[String, String]): Table = {
-    if (partitions.nonEmpty) throw new UnsupportedOperationException(
-      "graft tables do not take partition transforms; layout is the sink's")
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
     val provider = Option(properties.get("provider")).map(_.toLowerCase)
-    if (provider.exists(p => p == "log" || p == "graft_log")) {
-      new LogTable(dirOf(ident).toString).create(schema)
+    val isLog = provider.exists(p => p == "log" || p == "graft_log")
+    if (partitions.nonEmpty && !isLog)
+      throw new UnsupportedOperationException(
+        "graft sink tables do not take partition transforms; " +
+          "layout is the sink's (PARTITIONED BY is supported USING log)")
+    if (isLog) {
+      val partCols = partitions.toSeq.map {
+        case t if t.name == "identity" =>
+          t.references().head.fieldNames().mkString(".")
+        case other => throw new UnsupportedOperationException(
+          s"log tables support only identity PARTITIONED BY columns, " +
+            s"got transform '$other'")
+      }
+      new LogTable(dirOf(ident).toString).create(schema, partCols)
     } else {
       val spark = SparkSession.active
       val empty = spark.createDataFrame(

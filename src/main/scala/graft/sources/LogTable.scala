@@ -22,9 +22,13 @@ import org.json4s.jackson.JsonMethods
 final case class ColStats(min: Option[Any], max: Option[Any], nulls: Long)
 
 /** One live data file of a [[LogTable]] snapshot: path relative to
-  * the table root, row/byte counts, and skipping stats. */
+  * the table root, row/byte counts, skipping stats, and — for
+  * partitioned tables — the file's hive-style partition values
+  * (every row in the file has exactly these; also encoded in the
+  * path, e.g. `data/p=x/f-....parquet`). */
 final case class AddFile(path: String, rows: Long, bytes: Long,
-                         stats: Map[String, ColStats])
+                         stats: Map[String, ColStats],
+                         partitionValues: Map[String, String] = Map.empty)
 
 /** Outcome of a row-level [[LogTable.delete]]/[[LogTable.update]]:
   * the commit version, how many rows changed, and the file-level
@@ -66,22 +70,27 @@ final case class RowOpResult(version: Long, rowsAffected: Long,
   * matching rows; everything else is carried forward by reference.
   * Snapshot isolation is the same MVCC trick as the other sinks —
   * data files are immutable, a version is defined entirely by its
-  * log entry, and commits race on an atomic create-if-absent rename
+  * log entry, and commits race on an atomic create-if-absent claim
   * of the next log file (optimistic concurrency: blind appends
   * retry, file-rewriting commits revalidate that their removed files
   * are still live and throw on a true conflict, which is Delta's
   * conflict-detection rule).
   *
-  * This filesystem binding uses local atomic renames; on an object
-  * store the same protocol needs a conditional-put (as Delta's
-  * LogStore does). Readers resolve a snapshot from the log alone —
+  * The claim primitive is pluggable ([[LogCommitCoordinator]] —
+  * Delta's LogStore seam): the default POSIX binding hard-links the
+  * fully-written temp file into the slot (create-if-absent; rename
+  * would silently REPLACE a racing writer's commit); an object store
+  * binds the same trait to a conditional-put. Readers resolve a
+  * snapshot from the log alone —
   * one directory listing + O(interval) small JSON reads — and then
   * hand Spark a plain parquet scan of the live files, so pushdown,
   * pruning and vectorized reading are untouched. */
 final class LogTable(val path: String,
                      clock: () => Long = () => System.currentTimeMillis(),
                      checkpointInterval: Int = 10,
-                     maxStatsCols: Int = 32) {
+                     maxStatsCols: Int = 32,
+                     coordinator: LogCommitCoordinator =
+                       LocalFsCommitCoordinator) {
 
   private def logDir = new File(path, "_log")
   private def dataDir = new File(path, "data")
@@ -110,7 +119,8 @@ final class LogTable(val path: String,
   private final case class CommitMeta(ts: Long, op: String,
                                       cdf: Option[String],
                                       txn: Option[(String, Long)])
-  private final case class Snapshot(schema: StructType, adds: Seq[AddFile])
+  private final case class Snapshot(schema: StructType, adds: Seq[AddFile],
+                                    partitionCols: Seq[String])
 
   private def parseStats(j: JValue): Map[String, ColStats] = j match {
     case JObject(fields) => fields.map { case (c, v) =>
@@ -152,11 +162,19 @@ final class LogTable(val path: String,
       case _ => 0L },
     (j \ "bytes") match { case JInt(i) => i.toLong; case JLong(l) => l
       case _ => 0L },
-    parseStats(j \ "stats"))
+    parseStats(j \ "stats"),
+    (j \ "partitionValues") match {
+      case JObject(fields) => fields.collect {
+        case (k, JString(v)) => k -> v }.toMap
+      case _ => Map.empty
+    })
 
   private def renderAdd(a: AddFile): JValue =
     JObject(List("path" -> JString(a.path), "rows" -> JLong(a.rows),
-      "bytes" -> JLong(a.bytes), "stats" -> renderStats(a.stats)))
+      "bytes" -> JLong(a.bytes), "stats" -> renderStats(a.stats)) ++
+      (if (a.partitionValues.isEmpty) Nil
+       else List("partitionValues" -> JObject(
+         a.partitionValues.toList.map { case (k, v) => k -> JString(v) }))))
 
   private def readActions(f: File): Seq[JValue] =
     Files.readString(f.toPath).linesIterator.filter(_.nonEmpty)
@@ -195,6 +213,7 @@ final class LogTable(val path: String,
       .filter(_.getName.endsWith(".ckpt.json"))
       .map(_.getName.stripSuffix(".ckpt.json").toLong).filter(_ <= v).sorted
     var schema: Option[StructType] = None
+    var partCols: Seq[String] = Seq.empty
     val live = scala.collection.mutable.LinkedHashMap.empty[String, AddFile]
     val from = ckpts.lastOption match {
       case Some(cv) =>
@@ -202,6 +221,10 @@ final class LogTable(val path: String,
         schema = Some(DataType.fromJson(
           JsonMethods.compact(JsonMethods.render(state \ "schema")))
           .asInstanceOf[StructType])
+        (state \ "partition") match {
+          case JArray(arr) => partCols = arr.collect { case JString(s) => s }
+          case _           => ()
+        }
         (state \ "adds").asInstanceOf[JArray].arr.foreach { j =>
           val a = parseAdd(j); live(a.path) = a
         }
@@ -213,6 +236,10 @@ final class LogTable(val path: String,
         if ((j \ "schema") != JNothing)
           schema = Some(DataType.fromJson(
             (j \ "schema").asInstanceOf[JString].s).asInstanceOf[StructType])
+        (j \ "partition") match {
+          case JArray(arr) => partCols = arr.collect { case JString(s) => s }
+          case _           => ()
+        }
         if ((j \ "add") != JNothing) {
           val a = parseAdd(j \ "add"); live(a.path) = a
         }
@@ -222,12 +249,25 @@ final class LogTable(val path: String,
     }
     Snapshot(schema.getOrElse(throw new IllegalStateException(
       s"log at $path has no schema action up to version $v")),
-      live.values.toSeq)
+      live.values.toSeq, partCols)
   }
 
   /** Table schema at the current version. */
   def schema: StructType = snapshotAt(currentVersion.getOrElse(
     throw new IllegalStateException(s"no log table at $path"))).schema
+
+  /** Table schema as of `version` — the schema a pinned
+    * (`VERSION/TIMESTAMP AS OF`) read must serve: after evolution or
+    * an overwrite, a historical snapshot keeps its own column set. */
+  def schemaAt(version: Long): StructType = snapshotAt(version).schema
+
+  /** Hive-style partition columns of the table (empty = unpartitioned).
+    * Fixed at [[create]]; files live under `data/p=v/...` and add-file
+    * actions carry the values, so BOTH the reader-side partition
+    * pruner (Spark's `PartitionFilters` via `basePath` discovery) and
+    * the log-side stats pruner skip non-matching partitions. */
+  def partitionCols: Seq[String] = currentVersion
+    .map(v => snapshotAt(v).partitionCols).getOrElse(Seq.empty)
 
   /** Live data files (absolute paths) at a version, default the
     * current one — the list handed to Spark's parquet scan. */
@@ -239,6 +279,18 @@ final class LogTable(val path: String,
   /** Live [[AddFile]] entries (with stats) at the current version. */
   def liveAdds(): Seq[AddFile] = snapshotAt(currentVersion.get).adds
 
+  /** Read table data files with the right partition handling: a
+    * partitioned table's files live under hive dirs and lack the
+    * partition columns in-file, so the read needs `basePath`
+    * discovery to fill them; an unpartitioned table reads plain. */
+  private def readDataFiles(spark: SparkSession, readSchema: StructType,
+                            partCols: Seq[String],
+                            paths: Seq[String]): DataFrame = {
+    val r = spark.read.schema(readSchema)
+    if (partCols.isEmpty) r.parquet(paths: _*)
+    else r.option("basePath", s"$path/data").parquet(paths: _*)
+  }
+
   /** Snapshot read. With no live files the result is an empty frame
     * of the logged schema. */
   def load(spark: SparkSession, version: Option[Long] = None): DataFrame = {
@@ -246,30 +298,49 @@ final class LogTable(val path: String,
       throw new IllegalStateException(s"no log table at $path")))
     if (snap.adds.isEmpty)
       spark.createDataFrame(new java.util.ArrayList[Row](), snap.schema)
-    else spark.read.schema(snap.schema)
-      .parquet(snap.adds.map(a => s"$path/${a.path}"): _*)
+    else readDataFiles(spark, snap.schema, snap.partitionCols,
+      snap.adds.map(a => s"$path/${a.path}"))
   }
 
   /** `TIMESTAMP AS OF`: newest version committed at-or-before
     * `tsMillis` (between-commits instants resolve to the snapshot
-    * current then). */
+    * current then; same-millisecond commit ties resolve to the
+    * NEWEST version — the snapshot actually current at that
+    * instant). */
   def versionAt(tsMillis: Long): Long = {
     val cands = versions.map(v => v -> commitTime(v)).filter(_._2 <= tsMillis)
     if (cands.isEmpty) throw new IllegalArgumentException(
       s"no committed version at or before $tsMillis (earliest commit: " +
         s"${versions.headOption.map(commitTime)})")
-    cands.maxBy(_._2)._1
+    cands.maxBy(c => (c._2, c._1))._1
   }
 
   // ---------------------------------------------------------------
   // commit path
 
-  /** Seed an empty table with just a schema (SQL `CREATE TABLE`). */
-  def create(tableSchema: StructType): Long = {
+  /** Seed an empty table with just a schema (SQL `CREATE TABLE`),
+    * optionally hive-partitioned by `partitionBy` (SQL
+    * `PARTITIONED BY` — fixed for the table's lifetime, as in
+    * Delta). */
+  def create(tableSchema: StructType,
+             partitionBy: Seq[String] = Seq.empty): Long = {
     ensureLayout()
     require(currentVersion.isEmpty, s"log table at $path already exists")
+    partitionBy.foreach(c => require(tableSchema.fieldNames.contains(c),
+      s"PARTITIONED BY names unknown column '$c'"))
+    // partition columns normalize to the END of the schema: the
+    // hive-discovery scan appends them after the data columns, and a
+    // declared order disagreeing with the scan's makes the analyzer
+    // wedge a Project under row-level commands, which Spark's v2
+    // strategy rejects
+    val ordered =
+      if (partitionBy.isEmpty) tableSchema
+      else StructType(
+        tableSchema.fields.filterNot(f => partitionBy.contains(f.name)) ++
+          partitionBy.map(c => tableSchema.fields.find(_.name == c).get))
     commitRetry(None, Seq.empty, Seq.empty, "create",
-      schemaJson = Some(tableSchema.json), cdfDir = None)
+      schemaJson = Some(ordered.json), cdfDir = None,
+      partitionJson = if (partitionBy.isEmpty) None else Some(partitionBy))
   }
 
   /** Columns worth stats: fixed-width orderable types plus strings.
@@ -295,7 +366,11 @@ final class LogTable(val path: String,
     case BooleanType            => col(f.name).cast("long")
     case DateType               => expr(s"unix_date(`${f.name}`)")
     case TimestampType          => unix_micros(col(f.name))
-    case TimestampNTZType       => unix_micros(col(f.name).cast("timestamp"))
+    // NOT unix_micros(cast(.. as timestamp)): that round-trips
+    // through the session timezone, shifting the bounds by the zone
+    // offset while predicate literals stay raw — unsound skipping
+    // under any non-UTC session. NtzMicros reads the raw micros.
+    case TimestampNTZType => graft.plans.TimeExpressions.ntzMicros(col(f.name))
     case other => throw new IllegalStateException(s"no projection: $other")
   }
 
@@ -308,20 +383,29 @@ final class LogTable(val path: String,
     * row count and min/max/nulls of every stat column. The scan cost
     * is ∝ the commit's own data — never the table. */
   private def collectStats(spark: SparkSession, stagedDir: File,
-                           tableSchema: StructType): Map[String, AddFile] = {
+                           tableSchema: StructType,
+                           partCols: Seq[String]): Map[String, AddFile] = {
     val cols = statCols(tableSchema)
     val aggs: Seq[Column] = count(lit(1)).as("__rows") +: cols.flatMap { f =>
       Seq(min(statProjection(f)).as(s"__min_${f.name}"),
         max(statProjection(f)).as(s"__max_${f.name}"),
         sum(col(f.name).isNull.cast("long")).as(s"__nulls_${f.name}"))
     }
-    val rows = spark.read.schema(tableSchema)
-      .parquet(stagedDir.toString)
+    // a partitioned staging is hive-laid-out (the partition columns
+    // come from the dirs); stats cover them too — min = max = the
+    // partition value, which is what makes the log-side stats pruner
+    // subsume partition pruning with no extra logic
+    val reader = spark.read.schema(tableSchema)
+    val rows = (if (partCols.isEmpty) reader.parquet(stagedDir.toString)
+      else reader.option("basePath", stagedDir.toString)
+        .parquet(stagedDir.toString))
       .groupBy(input_file_name().as("__file"))
       .agg(aggs.head, aggs.tail: _*).collect()
+    val stagedRoot = stagedDir.toPath.toAbsolutePath
     rows.map { r =>
-      val base = new File(new java.net.URI(r.getAs[String]("__file")))
-        .getName
+      val full = new File(new java.net.URI(r.getAs[String]("__file")))
+        .toPath.toAbsolutePath
+      val rel = stagedRoot.relativize(full).toString
       val stats = cols.map { f =>
         def bound(prefix: String): Option[Any] = {
           val v = r.getAs[Any](s"$prefix${f.name}")
@@ -339,7 +423,7 @@ final class LogTable(val path: String,
         f.name -> ColStats(bound("__min_"), bound("__max_"),
           r.getAs[Long](s"__nulls_${f.name}"))
       }.toMap
-      base -> AddFile(base, r.getAs[Long]("__rows"), 0L, stats)
+      rel -> AddFile(rel, r.getAs[Long]("__rows"), 0L, stats)
     }.toMap
   }
 
@@ -366,27 +450,48 @@ final class LogTable(val path: String,
                              readVersion: Option[Long],
                              schemaJson: Option[String],
                              cdfDir: Option[String],
-                             txn: Option[(String, Long)] = None): Long = {
-    val parts = Option(stagedDir.listFiles()).toSeq.flatten
-      .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
-      .sortBy(_.getName)
+                             txn: Option[(String, Long)] = None,
+                             schemaBasis: Option[Long] = None): Long = {
+    // recursive walk: a partitioned staging nests its part files
+    // under hive dirs (p=x/...), which the move preserves so the
+    // table's data/ layout stays partition-discoverable
+    def walk(f: File): Seq[File] =
+      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+      else if (f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
+        Seq(f)
+      else Seq.empty
+    val stagedRoot = stagedDir.toPath.toAbsolutePath
+    val parts = walk(stagedDir)
+      .map(f => stagedRoot.relativize(f.toPath.toAbsolutePath).toString)
+      .sorted
+    val partCols = if (currentVersion.isDefined) partitionCols else Seq.empty
     val stats =
       if (parts.isEmpty) Map.empty[String, AddFile]
-      else collectStats(spark, stagedDir, tableSchema)
+      else collectStats(spark, stagedDir, tableSchema, partCols)
     val tag = UUID.randomUUID().toString.take(8)
     // zero-row part files (a rewrite that left no survivors, an
     // empty insert) carry no data — the stats pass has no row for
     // them; drop them instead of committing clutter
-    val adds = parts.filter(f => stats.contains(f.getName))
-      .zipWithIndex.map { case (f, i) =>
-        val target = s"data/f-$tag-$i.parquet"
-        Files.move(f.toPath, new File(path, target).toPath,
+    val adds = parts.filter(stats.contains)
+      .zipWithIndex.map { case (rel, i) =>
+        val subdir = Option(new File(rel).getParent).getOrElse("")
+        val target =
+          if (subdir.isEmpty) s"data/f-$tag-$i.parquet"
+          else s"data/$subdir/f-$tag-$i.parquet"
+        val dst = new File(path, target)
+        dst.getParentFile.mkdirs()
+        Files.move(new File(stagedDir, rel).toPath, dst.toPath,
           StandardCopyOption.ATOMIC_MOVE)
-        val st = stats(f.getName)
-        AddFile(target, st.rows, new File(path, target).length(), st.stats)
+        val partVals = subdir.split('/').filter(_.contains('='))
+          .map { seg =>
+            val Array(k, v) = seg.split("=", 2); k -> v
+          }.toMap
+        val st = stats(rel)
+        AddFile(target, st.rows, dst.length(), st.stats, partVals)
       }
     deleteRecursive(stagedDir)
-    commitRetry(readVersion, removePaths, adds, op, schemaJson, cdfDir, txn)
+    commitRetry(readVersion, removePaths, adds, op, schemaJson, cdfDir, txn,
+      schemaBasis)
   }
 
   /** The optimistic-concurrency core: render the commit, then try to
@@ -399,7 +504,9 @@ final class LogTable(val path: String,
                           adds: Seq[AddFile], op: String,
                           schemaJson: Option[String],
                           cdfDir: Option[String],
-                          txn: Option[(String, Long)] = None): Long = {
+                          txn: Option[(String, Long)] = None,
+                          schemaBasis: Option[Long] = None,
+                          partitionJson: Option[Seq[String]] = None): Long = {
     ensureLayout()
     var attempts = 0
     while (attempts < 100) {
@@ -411,6 +518,31 @@ final class LogTable(val path: String,
         if (gone.nonEmpty) throw new java.util.ConcurrentModificationException(
           s"conflicting commit: files ${gone.mkString(", ")} were removed " +
             s"by another writer between version $readVersion and $head")
+      }
+      // schema-race revalidation: this commit's schemaJson was
+      // derived by widening the schema READ at `schemaBasis` — if a
+      // schema action committed after that basis (a concurrent
+      // mergeSchema append, an overwrite), writing our stale widened
+      // schema would silently drop the winner's new columns from
+      // every subsequent read (Delta raises a metadata-changed
+      // conflict here; re-merging against the head preserves both
+      // writers' columns, which is what both asked for).
+      val effectiveSchemaJson = (schemaJson, schemaBasis) match {
+        case (Some(js), Some(basis)) =>
+          val raced = versions
+            .filter(v => v > basis && v <= head.getOrElse(-1L))
+            .exists(v => readActions(logFile(v))
+              .exists(j => (j \ "schema") != JNothing))
+          if (!raced) schemaJson
+          else {
+            val ours = DataType.fromJson(js).asInstanceOf[StructType]
+            val headSchema = snapshotAt(head.get).schema
+            val merged = StructType(headSchema.fields ++ ours.fields
+              .filterNot(f => headSchema.fieldNames.contains(f.name))
+              .map(_.copy(nullable = true)))
+            Some(merged.json)
+          }
+        case _ => schemaJson
       }
       // idempotent-txn dedup re-checked under the SAME head the
       // commit will land on: a replayed batch that lost the race to
@@ -424,25 +556,26 @@ final class LogTable(val path: String,
           "op" -> JString(op)) ++ cdfDir.map("cdf" -> JString(_)) ++
           txn.toList.flatMap { case (a, b) =>
             List("txnApp" -> JString(a), "txnBatch" -> JLong(b)) })))))) ++
-        schemaJson.map(s => JsonMethods.compact(JsonMethods.render(
+        effectiveSchemaJson.map(s => JsonMethods.compact(JsonMethods.render(
           JObject(List("schema" -> JString(s)))))) ++
+        partitionJson.map(cols => JsonMethods.compact(JsonMethods.render(
+          JObject(List("partition" -> JArray(
+            cols.toList.map(JString(_)))))))) ++
         removePaths.map(p => JsonMethods.compact(JsonMethods.render(
           JObject(List("remove" -> JObject(List("path" -> JString(p)))))))) ++
         adds.map(a => JsonMethods.compact(JsonMethods.render(
           JObject(List("add" -> renderAdd(a))))))
       val tmp = new File(logDir, s".tmp-${UUID.randomUUID()}")
       Files.writeString(tmp.toPath, lines.mkString("\n"))
-      try {
-        // ATOMIC_MOVE without REPLACE_EXISTING: create-if-absent —
-        // exactly one writer wins version `next`
-        Files.move(tmp.toPath, logFile(next).toPath,
-          StandardCopyOption.ATOMIC_MOVE)
+      // create-if-absent via the coordinator: exactly one writer
+      // wins version `next`. NOT a rename — rename(2) REPLACES an
+      // existing target on POSIX, which would silently overwrite a
+      // racing writer's committed version.
+      if (coordinator.claim(tmp, logFile(next))) {
         maybeCheckpoint(next)
         return next
-      } catch {
-        case NonFatal(_) if logFile(next).exists() =>
-          tmp.delete() // lost the race — re-resolve the head and retry
       }
+      // lost the race — re-resolve the head and retry
     }
     throw new IllegalStateException(s"could not commit to $path after " +
       s"$attempts attempts")
@@ -453,6 +586,7 @@ final class LogTable(val path: String,
       val snap = snapshotAt(v)
       val state = JObject(List(
         "schema" -> JsonMethods.parse(snap.schema.json),
+        "partition" -> JArray(snap.partitionCols.toList.map(JString(_))),
         "adds" -> JArray(snap.adds.toList.map(renderAdd))))
       val tmp = new File(logDir, s".tmp-ckpt-${UUID.randomUUID()}")
       Files.writeString(tmp.toPath,
@@ -462,6 +596,16 @@ final class LogTable(val path: String,
       catch { case NonFatal(_) => tmp.delete() } // best-effort cache
       ()
     }
+
+  /** Staged-delta writer with the table's partition layout applied:
+    * partitioned tables stage hive-style (the finalize move then
+    * preserves the dirs under data/). */
+  private def stagedWriter(df: DataFrame)
+      : org.apache.spark.sql.DataFrameWriter[Row] = {
+    val pc = if (currentVersion.isDefined) partitionCols else Seq.empty
+    val w = df.write.mode("overwrite")
+    if (pc.isEmpty) w else w.partitionBy(pc: _*)
+  }
 
   /** Project `df` onto the table schema: present columns cast to the
     * table's types, absent columns null-filled (only reachable under
@@ -485,7 +629,8 @@ final class LogTable(val path: String,
     * write time, not as silent corruption). */
   def append(df: DataFrame, mergeSchema: Boolean = false): Long = {
     ensureLayout()
-    val existing = currentVersion.map(_ => schema)
+    val basisVersion = currentVersion
+    val existing = basisVersion.map(schemaAt)
     val tableSchema = existing match {
       case None => df.schema
       case Some(s) =>
@@ -504,12 +649,16 @@ final class LogTable(val path: String,
     }
     val schemaChanged = !existing.contains(tableSchema)
     val staged = new File(newStagingDir())
-    conform(df, tableSchema).write.mode("overwrite")
-      .parquet(staged.toString)
+    stagedWriter(conform(df, tableSchema)).parquet(staged.toString)
+    val writesSchema = basisVersion.isEmpty || schemaChanged
     finalizeStaged(df.sparkSession, staged, tableSchema,
       removePaths = Seq.empty, op = "append", readVersion = None,
-      schemaJson = if (currentVersion.isEmpty || schemaChanged)
-        Some(tableSchema.json) else None, cdfDir = None)
+      schemaJson = if (writesSchema) Some(tableSchema.json) else None,
+      cdfDir = None,
+      // the basis the widened schema was derived from: a schema
+      // action racing past it triggers a commit-time re-merge
+      schemaBasis = if (writesSchema) Some(basisVersion.getOrElse(-1L))
+      else None)
   }
 
   /** Full-replace commit: new files added, every prior live file
@@ -520,7 +669,7 @@ final class LogTable(val path: String,
     val prior = currentVersion.map(v => snapshotAt(v).adds.map(_.path))
       .getOrElse(Seq.empty)
     val staged = new File(newStagingDir())
-    df.write.mode("overwrite").parquet(staged.toString)
+    stagedWriter(df).parquet(staged.toString)
     finalizeStaged(df.sparkSession, staged, df.schema, prior,
       op = "overwrite", readVersion = currentVersion,
       schemaJson = Some(df.schema.json), cdfDir = None)
@@ -547,20 +696,39 @@ final class LogTable(val path: String,
     if (lastCommittedBatch(app).exists(_ >= batchId)) return None
     val tableSchema = currentVersion.map(_ => schema).getOrElse(df.schema)
     val staged = new File(newStagingDir())
-    conform(df, tableSchema).write.mode("overwrite")
-      .parquet(staged.toString)
+    stagedWriter(conform(df, tableSchema)).parquet(staged.toString)
     val v = finalizeStaged(df.sparkSession, staged, tableSchema,
       removePaths = Seq.empty, op = "append", readVersion = None,
       schemaJson = if (currentVersion.isEmpty) Some(tableSchema.json)
-      else None, cdfDir = None, txn = Some((app, batchId)))
+      else None, cdfDir = None, txn = Some((app, batchId)),
+      schemaBasis = if (currentVersion.isEmpty) Some(-1L) else None)
     if (v < 0) None else Some(v)
+  }
+
+  /** A staging directory an EXTERNAL writer populated is flat (the
+    * partition columns sit in the data files): for a partitioned
+    * table, re-stage it hive-style — one pass over the delta only —
+    * so the finalize move lands the files under their partition
+    * dirs. Flat stagings of unpartitioned tables pass through. */
+  private def restageForLayout(spark: SparkSession, staged: String): String = {
+    val pc = if (currentVersion.isDefined) partitionCols else Seq.empty
+    val flat = Option(new File(staged).listFiles()).toSeq.flatten
+      .exists(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
+    if (pc.isEmpty || !flat) staged
+    else {
+      val staged2 = newStagingDir()
+      spark.read.schema(schema).parquet(staged).write.mode("overwrite")
+        .partitionBy(pc: _*).parquet(staged2)
+      dropStaging(staged)
+      staged2
+    }
   }
 
   /** Commit a staging directory the DSv2 write path already
     * populated, as an append (`INSERT INTO`). */
   private[sources] def appendStaged(spark: SparkSession,
                                     staged: String): Long =
-    finalizeStaged(spark, new File(staged), schema,
+    finalizeStaged(spark, new File(restageForLayout(spark, staged)), schema,
       removePaths = Seq.empty, op = "append", readVersion = None,
       schemaJson = None, cdfDir = None)
 
@@ -571,9 +739,9 @@ final class LogTable(val path: String,
                                        staged: String): Long = {
     val prior = currentVersion.map(v => snapshotAt(v).adds.map(_.path))
       .getOrElse(Seq.empty)
-    finalizeStaged(spark, new File(staged), schema, prior,
-      op = "overwrite", readVersion = currentVersion, schemaJson = None,
-      cdfDir = None)
+    finalizeStaged(spark, new File(restageForLayout(spark, staged)), schema,
+      prior, op = "overwrite", readVersion = currentVersion,
+      schemaJson = None, cdfDir = None)
   }
 
   /** Commit a staged rewrite produced by an external planner (the
@@ -585,8 +753,8 @@ final class LogTable(val path: String,
                                            op: String,
                                            readVersion: Option[Long],
                                            cdfDir: Option[String] = None): Long =
-    finalizeStaged(spark, new File(staged), schema, removePaths, op,
-      readVersion, schemaJson = None, cdfDir = cdfDir)
+    finalizeStaged(spark, new File(restageForLayout(spark, staged)), schema,
+      removePaths, op, readVersion, schemaJson = None, cdfDir = cdfDir)
 
   // ---------------------------------------------------------------
   // row-level ops: stats-pruned delete / update
@@ -736,7 +904,7 @@ final class LogTable(val path: String,
     // which candidate files actually contain a matching row? — one
     // pushdown-friendly scan of the candidates only
     val candPaths = candidates.map(a => s"$path/${a.path}")
-    val hit = spark.read.schema(snap.schema).parquet(candPaths: _*)
+    val hit = readDataFiles(spark, snap.schema, snap.partitionCols, candPaths)
       .filter(pred).select(input_file_name().as("__f"))
       .distinct().collect()
       .map(r => new File(new java.net.URI(r.getString(0))).getName).toSet
@@ -746,7 +914,8 @@ final class LogTable(val path: String,
       return RowOpResult(readVersion, 0L, skipped.size, candidates.size, 0)
 
     val touchedPaths = touched.map(a => s"$path/${a.path}")
-    val touchedDf = spark.read.schema(snap.schema).parquet(touchedPaths: _*)
+    val touchedDf = readDataFiles(spark, snap.schema, snap.partitionCols,
+      touchedPaths)
 
     // change feed: the matching rows, written BEFORE the log commit
     // and referenced from it (readers of the commit always find them)
@@ -758,7 +927,7 @@ final class LogTable(val path: String,
 
     val staged = new File(newStagingDir())
     val rewritten = rewrite(matching, touchedDf)
-    rewritten.write.mode("overwrite").parquet(staged.toString)
+    stagedWriter(rewritten).parquet(staged.toString)
     if (op == "update") {
       val pre = matching.withColumn("_change_type", lit("update_preimage"))
       val post = rewrite(matching,
@@ -839,6 +1008,7 @@ final class LogTable(val path: String,
   def changes(spark: SparkSession, fromVersion: Long,
               toVersion: Long): DataFrame = {
     val s = schema
+    val pc = partitionCols
     def tagged(df: DataFrame, tpe: String, v: Long): DataFrame =
       df.withColumn("_change_type", lit(tpe))
         .withColumn("_commit_version", lit(v))
@@ -854,15 +1024,15 @@ final class LogTable(val path: String,
         meta.op match {
           case "append" | "create" =>
             if (added.isEmpty) Seq.empty
-            else Seq(tagged(spark.read.schema(s)
-              .parquet(added.map(p => s"$path/$p"): _*), "insert", v))
+            else Seq(tagged(readDataFiles(spark, s, pc,
+              added.map(p => s"$path/$p")), "insert", v))
           case "overwrite" =>
             val ins = if (added.isEmpty) Seq.empty
-              else Seq(tagged(spark.read.schema(s)
-                .parquet(added.map(p => s"$path/$p"): _*), "insert", v))
+              else Seq(tagged(readDataFiles(spark, s, pc,
+                added.map(p => s"$path/$p")), "insert", v))
             val del = if (removed.isEmpty) Seq.empty
-              else Seq(tagged(spark.read.schema(s)
-                .parquet(removed.map(p => s"$path/$p"): _*), "delete", v))
+              else Seq(tagged(readDataFiles(spark, s, pc,
+                removed.map(p => s"$path/$p")), "delete", v))
             ins ++ del
           case "delete" | "update" | "merge" =>
             meta.cdf.toSeq.map(rel =>
@@ -893,10 +1063,9 @@ final class LogTable(val path: String,
     val groups = math.max(1,
       math.ceil(small.map(_.bytes).sum.toDouble / targetBytes).toInt)
     val staged = new File(newStagingDir())
-    spark.read.schema(snap.schema)
-      .parquet(small.map(a => s"$path/${a.path}"): _*)
-      .repartition(groups)
-      .write.mode("overwrite").parquet(staged.toString)
+    stagedWriter(readDataFiles(spark, snap.schema, snap.partitionCols,
+      small.map(a => s"$path/${a.path}"))
+      .repartition(groups)).parquet(staged.toString)
     finalizeStaged(spark, staged, snap.schema, small.map(_.path),
       op = "optimize", readVersion = Some(readVersion), schemaJson = None,
       cdfDir = None)
@@ -921,8 +1090,8 @@ final class LogTable(val path: String,
       throw new IllegalStateException(s"no log table at $path"))
     val snap = snapshotAt(readVersion)
     if (snap.adds.isEmpty) return readVersion
-    val df = spark.read.schema(snap.schema)
-      .parquet(snap.adds.map(a => s"$path/${a.path}"): _*)
+    val df = readDataFiles(spark, snap.schema, snap.partitionCols,
+      snap.adds.map(a => s"$path/${a.path}"))
     val staged = new File(newStagingDir())
     val laidOut = clusterBy match {
       case Seq(c) =>
@@ -943,7 +1112,7 @@ final class LogTable(val path: String,
           .sortWithinPartitions(col("__z"))
           .select(cols.map(col): _*)
     }
-    laidOut.write.mode("overwrite").parquet(staged.toString)
+    stagedWriter(laidOut).parquet(staged.toString)
     finalizeStaged(spark, staged, snap.schema, snap.adds.map(_.path),
       op = "optimize", readVersion = Some(readVersion), schemaJson = None,
       cdfDir = None)
@@ -955,24 +1124,53 @@ final class LogTable(val path: String,
     * the same retention to change data). Older log entries stay
     * (metadata is cheap); their exclusive data files and cdf dirs
     * go. Time travel and `changes()` within the retained window are
-    * unaffected. */
-  def vacuum(retainLast: Int = 1): Seq[String] = {
+    * unaffected.
+    *
+    * `retentionMillis` is the guard against the commit/vacuum race:
+    * [[finalizeStaged]] moves a commit's files into `data/` BEFORE
+    * its log slot is claimed, so a file that is unreferenced RIGHT
+    * NOW may belong to an in-flight commit about to reference it —
+    * deleting it would let that commit succeed pointing at missing
+    * data. Files modified within the window are never deleted
+    * (Delta's VACUUM retention check, default 7 days there; measured
+    * against real wall-clock, since file mtimes are wall-clock even
+    * under an injected logical clock). Tests that vacuum their own
+    * just-written quiescent tables pass 0. */
+  def vacuum(retainLast: Int = 1,
+             retentionMillis: Long = LogTable.DefaultVacuumRetentionMillis)
+      : Seq[String] = {
     require(retainLast >= 1, s"need retainLast >= 1, got $retainLast")
+    require(retentionMillis >= 0,
+      s"need retentionMillis >= 0, got $retentionMillis")
+    val horizon = System.currentTimeMillis() - retentionMillis
     val vs = versions
     val retained = vs.takeRight(retainLast)
     val keep = retained.flatMap(v => snapshotAt(v).adds.map(_.path)).toSet
-    val all = Option(dataDir.listFiles()).toSeq.flatten
-      .filter(_.getName.endsWith(".parquet"))
-    val dropped = all.filterNot(f => keep.contains(s"data/${f.getName}"))
+    // recursive: a partitioned table nests its files under data/p=x/
+    def walkData(f: File): Seq[File] =
+      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walkData)
+      else if (f.getName.endsWith(".parquet")) Seq(f) else Seq.empty
+    val root = new File(path).toPath.toAbsolutePath
+    def rel(f: File): String =
+      root.relativize(f.toPath.toAbsolutePath).toString
+    val dropped = walkData(dataDir).filterNot(f =>
+      keep.contains(rel(f)) || f.lastModified() > horizon)
     dropped.foreach(_.delete())
     val keepCdf = retained.flatMap(v => commitMeta(v).cdf).toSet
     val cdfRoot = new File(path, "_cdf")
     val droppedCdf = Option(cdfRoot.listFiles()).toSeq.flatten
-      .filter(d => d.isDirectory && !keepCdf.contains(s"_cdf/${d.getName}"))
+      .filter(d => d.isDirectory && !keepCdf.contains(s"_cdf/${d.getName}") &&
+        d.lastModified() <= horizon)
     droppedCdf.foreach(deleteRecursive)
-    dropped.map(f => s"data/${f.getName}") ++
-      droppedCdf.map(d => s"_cdf/${d.getName}")
+    dropped.map(rel) ++ droppedCdf.map(d => s"_cdf/${d.getName}")
   }
+}
+
+object LogTable {
+  /** Default VACUUM retention window (Delta's default): files
+    * modified more recently than this are presumed in-flight and
+    * never deleted, whatever the log says. */
+  val DefaultVacuumRetentionMillis: Long = 7L * 24 * 3600 * 1000
 }
 
 /** [[DimSink]] face of a [[LogTable]], so every sink-shaped pipeline

@@ -38,6 +38,9 @@ final class GraftLogTableV2(tableName: String, log: LogTable)
   private def spark = SparkSession.active
   private val tableSchema: StructType = log.schema
 
+  /** The underlying log, for the row-level SQL dispatch strategy. */
+  private[sources] def logTable: LogTable = log
+
   override def name(): String = tableName
   override def schema(): StructType = tableSchema
 
@@ -66,14 +69,27 @@ object GraftLogTableV2 {
 
   /** Spark's parquet table over the live files of a snapshot —
     * current, or pinned for time travel. Zero live files are served
-    * from the table's always-empty directory (a schema-only scan). */
+    * from the table's always-empty directory (a schema-only scan).
+    * A pinned read serves the SNAPSHOT's schema, not the current one
+    * — after evolution or an overwrite, `VERSION AS OF` shows the
+    * column set that version actually had, matching
+    * [[LogTable.load]]. */
   private[sources] def scanTable(name: String, log: LogTable,
                                  version: Option[Long]): ParquetTable = {
     val files = log.liveFiles(version)
     val paths = if (files.nonEmpty) files else Seq(s"${log.path}/_empty")
-    ParquetTable(name, SparkSession.active,
-      CaseInsensitiveStringMap.empty(), paths,
-      Some(log.schema), classOf[ParquetFileFormat])
+    // hive-partitioned tables scan with basePath discovery, so the
+    // partition columns resolve from the dirs and predicates on them
+    // become PartitionFilters — Spark's own reader-side partition
+    // pruning, on top of the log-side stats pruner
+    val opts =
+      if (log.partitionCols.isEmpty || files.isEmpty)
+        CaseInsensitiveStringMap.empty()
+      else new CaseInsensitiveStringMap(
+        java.util.Collections.singletonMap("basePath", s"${log.path}/data"))
+    ParquetTable(name, SparkSession.active, opts, paths,
+      Some(version.map(log.schemaAt).getOrElse(log.schema)),
+      classOf[ParquetFileFormat])
   }
 
   /** Read-only pinned view for `VERSION AS OF` / `TIMESTAMP AS OF`

@@ -128,6 +128,130 @@ class Dsv2LogSpec extends SparkSpec {
     assert(spark.sql(s"SHOW TABLES IN $cat").count() == 1)
   }
 
+  test("PARTITIONED BY (col) USING log: inserts land hive-style and " +
+    "a partition predicate prunes the scan to matching files only") {
+    val wh = tmp("dsv2log")
+    val cat = freshCatalog(wh)
+    spark.sql(s"CREATE TABLE $cat.t (k BIGINT, v STRING, region STRING) " +
+      "USING log PARTITIONED BY (region)")
+    spark.sql(s"INSERT INTO $cat.t VALUES (1, 'a', 'eu'), (2, 'b', 'us'), " +
+      "(3, 'c', 'eu')")
+    spark.sql(s"INSERT INTO $cat.t VALUES (4, 'd', 'ap')")
+    val log = new LogTable(s"$wh/t")
+    assert(log.partitionCols == Seq("region"))
+    // files live under hive dirs and the add actions carry the values
+    assert(log.liveAdds().nonEmpty)
+    log.liveAdds().foreach { a =>
+      assert(a.path.matches("data/region=(eu|us|ap)/.*\\.parquet"), a.path)
+      assert(a.partitionValues.keySet == Set("region"), a)
+    }
+    val q = spark.sql(s"SELECT k, v FROM $cat.t WHERE region = 'eu' " +
+      "ORDER BY k")
+    assert(q.as[(Long, String)].collect().toSeq ==
+      Seq((1L, "a"), (3L, "c")))
+    // reader-side partition pruning: the filter became a
+    // PartitionFilter and only region=eu files are scheduled
+    val finalPlan = q.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val scan = finalPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }.head
+    val planned = scan.scan.toBatch.planInputPartitions().flatMap {
+      case fp: org.apache.spark.sql.execution.datasources.FilePartition =>
+        fp.files.map(_.urlEncodedPath)
+    }
+    assert(planned.nonEmpty && planned.forall(_.contains("region=eu")),
+      s"expected only region=eu files scheduled, got:\n" +
+        planned.mkString("\n"))
+    assert(scan.toString.contains("region"),
+      s"expected the partition predicate on the scan:\n$scan")
+  }
+
+  test("partitioned log DML: DELETE on a partition predicate " +
+    "rewrites only that partition's files") {
+    val wh = tmp("dsv2log")
+    val cat = freshCatalog(wh)
+    spark.sql(s"CREATE TABLE $cat.t (k BIGINT, region STRING) USING log " +
+      "PARTITIONED BY (region)")
+    spark.sql(s"INSERT INTO $cat.t VALUES (1, 'eu'), (2, 'us'), (3, 'eu')")
+    val log = new LogTable(s"$wh/t")
+    val euFiles = log.liveAdds()
+      .filter(_.partitionValues("region") == "eu").map(_.path).toSet
+    val usFiles = log.liveAdds()
+      .filter(_.partitionValues("region") == "us").map(_.path).toSet
+    spark.sql(s"DELETE FROM $cat.t WHERE region = 'eu' AND k = 1")
+    val after = log.liveAdds().map(_.path).toSet
+    // the us partition's files carried forward by reference
+    assert(usFiles.subsetOf(after))
+    assert((after & euFiles).size < euFiles.size) // an eu file rewrote
+    assert(spark.sql(s"SELECT k FROM $cat.t ORDER BY k")
+      .as[Long].collect().toSeq == Seq(2L, 3L))
+    // time travel across the partitioned history
+    assert(spark.sql(s"SELECT k FROM $cat.t VERSION AS OF 1 ORDER BY k")
+      .as[Long].collect().toSeq == Seq(1L, 2L, 3L))
+  }
+
+  test("VERSION AS OF serves the snapshot's own schema, not the " +
+    "evolved one") {
+    val wh = tmp("dsv2log")
+    val cat = freshCatalog(wh)
+    spark.sql(s"CREATE TABLE $cat.t (k BIGINT, v STRING) USING log")
+    spark.sql(s"INSERT INTO $cat.t VALUES (1, 'a')") // v1: (k, v)
+    val log = new LogTable(s"$wh/t")
+    log.append(Seq((2L, "b", 9L)).toDF("k", "v", "extra"),
+      mergeSchema = true) // v2: (k, v, extra)
+    assert(spark.table(s"$cat.t").columns.toSeq ==
+      Seq("k", "v", "extra"))
+    // the pinned read shows v1's column set, matching LogTable.load
+    assert(spark.sql(s"SELECT * FROM $cat.t VERSION AS OF 1")
+      .columns.toSeq == Seq("k", "v"))
+    assert(spark.sql(s"SELECT * FROM $cat.t VERSION AS OF 1")
+      .as[(Long, String)].collect().toSeq == Seq((1L, "a")))
+  }
+
+  test("native SQL UPDATE: spark.sql(\"UPDATE cat.t SET ...\") " +
+    "dispatches to the stats-pruned row-level update") {
+    val wh = tmp("dsv2log")
+    val cat = freshCatalog(wh)
+    spark.sql(s"CREATE TABLE $cat.t (k BIGINT, v STRING, bal DOUBLE) " +
+      "USING log")
+    spark.sql(s"INSERT INTO $cat.t VALUES (1, 'a', -5.0), (2, 'b', 3.0)")
+    spark.sql(s"INSERT INTO $cat.t VALUES (3, 'c', -1.0)")
+    spark.sql(s"UPDATE $cat.t SET bal = 0.0, v = concat(v, '!') " +
+      "WHERE bal < 0")
+    assert(spark.sql(s"SELECT k, v, bal FROM $cat.t ORDER BY k")
+      .as[(Long, String, Double)].collect().toSeq ==
+      Seq((1L, "a!", 0.0), (2L, "b", 3.0), (3L, "c!", 0.0)))
+    val log = new LogTable(s"$wh/t")
+    assert(log.commitOp(log.currentVersion.get) == "update")
+    // the update's change feed recorded pre/post images
+    assert(log.changes(spark, log.currentVersion.get - 1,
+      log.currentVersion.get)
+      .filter(col("_change_type") === "update_postimage").count() == 2L)
+  }
+
+  test("native SQL MERGE: spark.sql(\"MERGE INTO cat.t ...\") " +
+    "dispatches to the file-granularity merge-on-write") {
+    val wh = tmp("dsv2log")
+    val cat = freshCatalog(wh)
+    spark.sql(s"CREATE TABLE $cat.t (k BIGINT, v STRING) USING log")
+    spark.sql(s"INSERT INTO $cat.t VALUES (1, 'init'), (2, 'init')")
+    Seq((2L, "upd"), (3L, "new")).toDF("k", "nv")
+      .createOrReplaceTempView("native_merge_src")
+    spark.sql(
+      s"""MERGE INTO $cat.t t USING native_merge_src s ON t.k = s.k
+          WHEN MATCHED THEN UPDATE SET v = s.nv
+          WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.nv)""")
+    assert(spark.sql(s"SELECT k, v FROM $cat.t ORDER BY k")
+      .as[(Long, String)].collect().toSeq ==
+      Seq((1L, "init"), (2L, "upd"), (3L, "new")))
+    val log = new LogTable(s"$wh/t")
+    assert(log.commitOp(log.currentVersion.get) == "merge")
+  }
+
   test("writes to a pinned historic version are rejected") {
     val wh = tmp("dsv2log")
     val cat = freshCatalog(wh)

@@ -107,4 +107,87 @@ class LogTableModelSpec extends SparkSpec {
     val ops = t.versions.map(t.commitOp).toSet
     assert(Set("append", "delete", "optimize").subsetOf(ops), ops)
   }
+
+  test("concurrent writers: racing threads of real mixed commits " +
+    "serialize — every blind append lands exactly once and every " +
+    "version replays") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_lograce").toString
+    val path = s"$dir/t"
+    // seed rows the row-level writers contend on
+    new LogTable(path).append(
+      (0L until 4L).map(k => (k, "seed", -1L)).toDF("k", "v", "src"))
+
+    val nAppenders = 5
+    val perThread = 4
+    val conflicts = new java.util.concurrent.atomic.AtomicInteger
+    val threads =
+      // blind appenders: unique rows tagged (src=thread, seq) — the
+      // retry loop must land EVERY one, whatever it races against
+      (0 until nAppenders).map { tid =>
+        new Thread(() => {
+          val t = new LogTable(path)
+          (0 until perThread).foreach { i =>
+            t.append(Seq((100L + tid * 10 + i, s"a$tid-$i", tid.toLong))
+              .toDF("k", "v", "src"))
+          }
+        })
+      } ++
+      // row-level writers: stats-pruned rewrites of the contended
+      // seed range; a true conflict (their file rewritten under
+      // them) legitimately throws — count it, never lose data
+      Seq(
+        new Thread(() => {
+          val t = new LogTable(path)
+          (0 until perThread).foreach { i =>
+            try t.update(spark, col("k") === (i % 4).toLong && col("src") === -1L,
+              Map("v" -> lit(s"u$i")))
+            catch { case _: java.util.ConcurrentModificationException =>
+              conflicts.incrementAndGet() }
+          }
+        }),
+        new Thread(() => {
+          val t = new LogTable(path)
+          (0 until perThread).foreach { i =>
+            // contends on the SAME seed files as the other updater:
+            // a lost rewrite race surfaces as the CME, never as data
+            try t.update(spark,
+              col("k") === (3L - i % 4) && col("src") === -1L,
+              Map("v" -> lit(s"w$i")))
+            catch { case _: java.util.ConcurrentModificationException =>
+              conflicts.incrementAndGet() }
+          }
+        }))
+    threads.foreach(_.start())
+    threads.foreach(_.join(300000))
+
+    val t = new LogTable(path)
+    // contiguous version numbers: the claim primitive never burned
+    // or double-assigned a slot
+    assert(t.versions == (0L until t.versions.size.toLong))
+    // every blind append landed exactly once
+    val appended = t.load(spark).filter(col("src") >= 0)
+      .select("v").as[String].collect().toSeq
+    assert(appended.sorted == (for {
+      tid <- 0 until nAppenders; i <- 0 until perThread
+    } yield s"a$tid-$i").sorted,
+      s"lost/duplicated appends (conflicts thrown: ${conflicts.get})")
+    // seed rows: never lost, never duplicated — only updated in place
+    val seeds = t.load(spark).filter(col("src") === -1L)
+      .select("k").as[Long].collect().toSeq
+    assert(seeds.sorted == Seq(0L, 1L, 2L, 3L))
+    // per-thread appends serialized in program order, and every
+    // version replays: thread t's rows appear monotonically
+    var prev = Map.empty[Long, Int].withDefaultValue(0)
+    t.versions.foreach { v =>
+      val byThread = t.load(spark, Some(v)).filter(col("src") >= 0)
+        .groupBy("src").count().as[(Long, Long)].collect()
+        .map { case (s, c) => s -> c.toInt }.toMap.withDefaultValue(0)
+      (0L until nAppenders.toLong).foreach { tid =>
+        assert(byThread(tid) >= prev(tid),
+          s"thread $tid rows regressed at version $v")
+      }
+      prev = byThread
+    }
+  }
 }

@@ -175,7 +175,7 @@ class LogTableSpec extends SparkSpec {
     val dataFiles = new File(t.path, "data").listFiles()
       .count(_.getName.endsWith(".parquet"))
     assert(dataFiles == 7) // 6 retired-but-retained + 1 live
-    val dropped = t.vacuum(retainLast = 1)
+    val dropped = t.vacuum(retainLast = 1, retentionMillis = 0L)
     assert(dropped.size == 6)
     assert(rows(t.load(spark)) == before) // current snapshot intact
   }
@@ -243,7 +243,7 @@ class LogTableSpec extends SparkSpec {
     def cdfDirs = Option(new File(t.path, "_cdf").listFiles())
       .toSeq.flatten.count(_.isDirectory)
     assert(cdfDirs == 2)
-    t.vacuum(retainLast = 1)
+    t.vacuum(retainLast = 1, retentionMillis = 0L)
     assert(cdfDirs == 1)
     // the retained head's change feed still reads
     assert(t.changes(spark, 1L, 2L)
@@ -260,6 +260,120 @@ class LogTableSpec extends SparkSpec {
     assert(t.load(spark).schema.fieldNames.toSeq == Seq("k", "v"))
     t.append(Seq((1L, "a")).toDF("k", "v"))
     assert(rows(t.load(spark)) == Set((1L, "a")))
+  }
+
+  test("vacuum's retention window protects just-written files — the " +
+    "commit/vacuum race guard") {
+    val t = new LogTable(s"${tmp()}/t")
+    t.append(Seq((1L, "a")).toDF("k", "v"))
+    t.overwrite(Seq((2L, "b")).toDF("k", "v"))
+    // the v0 file is unreferenced by the retained head, but younger
+    // than the default retention horizon: an in-flight commit's
+    // just-moved files look exactly like this, so nothing is deleted
+    assert(t.vacuum(retainLast = 1).isEmpty)
+    assert(t.load(spark, Some(0L)).count() == 1L) // v0 still readable
+    // with the window waived (quiescent table), vacuum reclaims it
+    assert(t.vacuum(retainLast = 1, retentionMillis = 0L).nonEmpty)
+  }
+
+  test("versionAt resolves same-millisecond commit ties to the " +
+    "newest version") {
+    val t = new LogTable(s"${tmp()}/t", clock = fixedClock(1000L))
+    t.append(Seq((1L, "a")).toDF("k", "v")) // v0 @ t=1000
+    t.append(Seq((2L, "b")).toDF("k", "v")) // v1 @ t=1000
+    assert(t.versionAt(1000L) == 1L) // the snapshot current at t=1000
+    assert(t.load(spark, Some(t.versionAt(1000L))).count() == 2L)
+  }
+
+  test("a schema-widening append that loses the log-slot race to " +
+    "another writer's schema change re-merges both column sets") {
+    val dir = s"${tmp()}/t"
+    val other = new LogTable(dir)
+    other.append(Seq((1L, "a")).toDF("k", "v")) // v0: (k, v)
+    // the racing writer: its clock fires inside commitRetry AFTER
+    // the schema was read and revalidated but BEFORE the log-slot
+    // claim — at that instant the other handle commits a DIFFERENT
+    // widened schema, so the slot claim loses and the retry must
+    // re-merge rather than clobber
+    var fired = false
+    val racer = new LogTable(dir, clock = () => {
+      if (!fired) {
+        fired = true
+        other.append(Seq((2L, "b", 7L)).toDF("k", "v", "b"),
+          mergeSchema = true) // v1: (k, v, b)
+      }
+      System.currentTimeMillis()
+    })
+    racer.append(Seq((3L, "c", "x")).toDF("k", "v", "c"),
+      mergeSchema = true) // intended (k, v, c); must land (k, v, b, c)
+    assert(racer.schema.fieldNames.toSeq == Seq("k", "v", "b", "c"))
+    val all = racer.load(spark)
+      .select("k", "v", "b", "c").as[(Long, String, Option[Long], Option[String])]
+      .collect().toSet
+    assert(all == Set((1L, "a", None, None), (2L, "b", Some(7L), None),
+      (3L, "c", None, Some("x"))))
+  }
+
+  test("TIMESTAMP_NTZ stats prune soundly under a non-UTC session " +
+    "timezone") {
+    val prevTz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "Asia/Singapore")
+    try {
+      val t = new LogTable(s"${tmp()}/t")
+      // two single-file commits, ranges 2h apart — narrower than the
+      // +08:00 session offset, so a tz-shifted bound would push one
+      // file's [min,max] entirely past the other's literals
+      t.append(Seq(("2024-03-01 10:00:00", 1L), ("2024-03-01 10:30:00", 2L))
+        .toDF("ts", "k").withColumn("ts", col("ts").cast("timestamp_ntz"))
+        .repartition(1))
+      t.append(Seq(("2024-03-01 13:00:00", 3L), ("2024-03-01 13:30:00", 4L))
+        .toDF("ts", "k").withColumn("ts", col("ts").cast("timestamp_ntz"))
+        .repartition(1))
+      val res = t.delete(spark,
+        col("ts") === lit("2024-03-01 10:30:00").cast("timestamp_ntz"))
+      // sound: the file containing the match is scanned and
+      // rewritten; the other file is still skippable by stats
+      assert(res.rowsAffected == 1L, res)
+      assert(res.filesSkippedByStats == 1 && res.filesRewritten == 1, res)
+      assert(t.load(spark).count() == 3L)
+    } finally spark.conf.set("spark.sql.session.timeZone", prevTz)
+  }
+
+  test("partitioned table API: appends/update/compaction keep the " +
+    "hive layout, the change feed reads through it, and partition " +
+    "predicates prune by stats") {
+    val t = new LogTable(s"${tmp()}/t")
+    t.create(org.apache.spark.sql.types.StructType.fromDDL(
+      "k BIGINT, v STRING, region STRING"), partitionBy = Seq("region"))
+    t.append(Seq((1L, "a", "eu"), (2L, "b", "us")).toDF("k", "v", "region"))
+    t.append(Seq((3L, "c", "eu")).toDF("k", "v", "region"))
+    assert(t.partitionCols == Seq("region"))
+    assert(t.load(spark).select("k", "v", "region")
+      .as[(Long, String, String)].collect().toSet ==
+      Set((1L, "a", "eu"), (2L, "b", "us"), (3L, "c", "eu")))
+    // the log-side stats pruner subsumes partition pruning: min=max
+    // per file on the partition column skips the other partitions
+    val res = t.update(spark, col("region") === "us",
+      Map("v" -> lit("B")))
+    assert(res.rowsAffected == 1L, res)
+    assert(res.filesSkippedByStats == 2 && res.filesRewritten == 1, res)
+    // layout preserved through the rewrite
+    t.liveAdds().foreach(a =>
+      assert(a.path.matches("data/region=(eu|us)/.*"), a.path))
+    // change feed carries the partition column like any other
+    assert(t.changes(spark, 1L, t.currentVersion.get)
+      .filter(col("_change_type") === "update_postimage")
+      .select("v", "region").as[(String, String)].collect().toSeq ==
+      Seq(("B", "us")))
+    // compaction keeps hive layout and rows
+    t.append(Seq((4L, "d", "eu")).toDF("k", "v", "region"))
+    t.compactFiles(spark)
+    t.liveAdds().foreach(a =>
+      assert(a.path.matches("data/region=(eu|us)/.*"), a.path))
+    assert(t.load(spark).count() == 4L)
+    // historical snapshots replay through the partition dirs
+    assert(t.load(spark, Some(1L)).select("k").as[Long]
+      .collect().toSet == Set(1L, 2L))
   }
 
   test("string bounds: oversized strings keep a truncated lower " +
