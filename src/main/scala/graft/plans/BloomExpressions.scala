@@ -29,4 +29,59 @@ object BloomExpressions {
     GraftColumnShim.column(BloomFilterMightContain(
       GraftColumnShim.expression(bloom),
       GraftColumnShim.expression(hashed)))
+
+  /** Membership probe against a BROADCAST serialized filter —
+    * for plans where a scalar subquery is unavailable (streaming)
+    * and a literal would ship the filter bytes in every task binary.
+    * The filter deserializes once per executor instance. */
+  def mightContainBroadcast(bc: org.apache.spark.broadcast.Broadcast[Array[Byte]],
+                            hashed: Column): Column =
+    GraftColumnShim.column(BroadcastBloomMightContain(bc,
+      GraftColumnShim.expression(hashed)))
+}
+
+/** Codegen'd Bloom membership test whose filter arrives via a Spark
+  * broadcast instead of a plan literal or scalar subquery (both
+  * unusable inside a streaming query at model scale). */
+case class BroadcastBloomMightContain(
+    bc: org.apache.spark.broadcast.Broadcast[Array[Byte]],
+    child: org.apache.spark.sql.catalyst.expressions.Expression)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+  import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+  import org.apache.spark.sql.types._
+
+  override def dataType: DataType = BooleanType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case LongType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+          .TypeCheckFailure(
+            s"broadcast might_contain expects bigint, got ${other.simpleString}")
+    }
+
+  @transient private lazy val filter =
+    org.apache.spark.util.sketch.BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(bc.value))
+
+  def test(v: Long): Boolean = filter.mightContainLong(v)
+
+  override protected def nullSafeEval(input: Any): Any =
+    test(input.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftBloomBc", this,
+      classOf[BroadcastBloomMightContain].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.test($c)")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: org.apache.spark.sql.catalyst.expressions.Expression)
+      : BroadcastBloomMightContain = copy(child = newChild)
 }

@@ -579,12 +579,14 @@ object Streams {
     * completely STATELESS (no watermark, no state store, no
     * streaming aggregation): the eval set is reduced ONCE at plan
     * construction — it is static and small by definition — to a
-    * Bloom filter plus its exact sorted hash set, both embedded as
-    * literals. Per document the probe is then map-side: a Bloom
-    * membership test per shingle (no false negatives), and only
-    * Bloom-flagged docs pay the exact merge-scan verify against the
-    * sorted set — so output is EXACTLY the clean subset, at Bloom
-    * speed. */
+    * Bloom filter plus its exact sorted hash set, both shipped as
+    * BROADCASTS (a plan literal would ride in every task binary;
+    * at benchmark scale that is tens of MB per task —
+    * [[graft.plans.BroadcastConst]] ships them once per executor).
+    * Per document the probe is then map-side: a Bloom membership
+    * test per shingle (no false negatives), and only Bloom-flagged
+    * docs pay the exact merge-scan verify against the sorted set —
+    * so output is EXACTLY the clean subset, at Bloom speed. */
   def decontaminateStream(docs: DataFrame, bench: DataFrame,
                           idCol: String = "doc_id",
                           textCol: String = "text",
@@ -600,14 +602,19 @@ object Streams {
       .head.getAs[Array[Byte]]("b")
     val exactSorted: Array[Long] = benchSh.orderBy(col("shingle_h"))
       .collect().map(_.getLong(0))
+    val spark = docs.sparkSession
+    val bloomBcHandle = spark.sparkContext.broadcast(bloomBytes)
+    val exactBc = graft.plans.BroadcastExpressions
+      .broadcastLongArray(spark, exactSorted)
     // shingleHashes returns the sorted distinct hash set per doc —
     // directly merge-scannable against the sorted eval set
     val sh = graft.plans.TextHashExpressions.shingleHashes(
       graft.functions.wordTokens(col(textCol)), n)
     val bloomHit = exists(col("__sh"),
-      s => graft.plans.BloomExpressions.mightContain(lit(bloomBytes), s))
+      s => graft.plans.BloomExpressions
+        .mightContainBroadcast(bloomBcHandle, s))
     val exactHit = graft.plans.FloatVectorExpressions
-      .sortedIntersectCount(col("__sh"), typedLit(exactSorted)) > 0
+      .sortedIntersectCount(col("__sh"), exactBc) > 0
     docs.withColumn("__sh", sh)
       // && short-circuits in codegen: the exact verify only runs on
       // Bloom-flagged docs (~3% false positives + true hits)
