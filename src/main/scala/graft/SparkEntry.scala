@@ -634,6 +634,71 @@ object SparkEntry {
       lt.history(s).orderBy(col("version"))
     }),
 
+    "log_table_partitioned" -> ((s, d) => {
+      // hive-partitioned transaction-log table (Delta's PARTITIONED
+      // BY, the most-used layout lever): partition values ride in
+      // the add-file actions AND the hive dirs, so BOTH pruners act
+      // — Spark's reader-side PartitionFilters on SELECT (asserted
+      // in Dsv2LogSpec) and the log-side stats pruner on row-level
+      // DML (min = max = the partition value per file). CREATE
+      // PARTITIONED BY + INSERT + partition-predicate DELETE, all by
+      // name; the oracle recomputes the surviving state
+      val tag = java.lang.Integer.toHexString(d.hashCode)
+      val wh = java.nio.file.Files.createTempDirectory("graft_logpart")
+      val cat = s"logpart_$tag"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.GraftTableCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh.toString)
+      s.sql(s"CREATE TABLE $cat.dim (k BIGINT, seg STRING, bal DOUBLE) " +
+        "USING log PARTITIONED BY (seg)")
+      // partition columns order to the END of the table schema
+      // (hive-discovery contract), so name the insert columns
+      t(s, d, "customer").filter(col("c_custkey") <= 400)
+        .select(col("c_custkey").as("k"), col("c_mktsegment").as("seg"),
+          col("c_acctbal").as("bal"))
+        .createOrReplaceTempView(s"logpart_src_$tag")
+      s.sql(s"INSERT INTO $cat.dim (k, seg, bal) " +
+        s"SELECT k, seg, bal FROM logpart_src_$tag")
+      s.sql(s"DELETE FROM $cat.dim WHERE seg = 'BUILDING' AND k <= 200")
+      s.sql(s"SELECT k, seg, bal FROM $cat.dim " +
+        "WHERE seg <> 'MACHINERY' ORDER BY k")
+    }),
+
+    "log_table_sql_dml" -> ((s, d) => {
+      // NATIVE SQL row-level dispatch (round-7): a SQL-first user
+      // types plain UPDATE and MERGE INTO statements against the
+      // catalog name — no API entry point anywhere. The planner
+      // strategy (GraftRowLevelStrategy, hooked automatically when
+      // the catalog initializes) claims the analyzed UpdateTable /
+      // MergeIntoTable plans and executes the stats-pruned
+      // file-granularity pipelines underneath
+      val tag = java.lang.Integer.toHexString(d.hashCode)
+      val wh = java.nio.file.Files.createTempDirectory("graft_logsql")
+      val cat = s"logsql_$tag"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.GraftTableCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh.toString)
+      s.sql(s"CREATE TABLE $cat.dim (k BIGINT, status STRING, " +
+        "bal DOUBLE) USING log")
+      t(s, d, "customer").filter(col("c_custkey") <= 300)
+        .select(col("c_custkey").as("k"), lit("init").as("status"),
+          col("c_acctbal").as("bal"))
+        .createOrReplaceTempView(s"logsql_b1_$tag")
+      s.sql(s"INSERT INTO $cat.dim SELECT * FROM logsql_b1_$tag")
+      s.sql(s"UPDATE $cat.dim SET bal = 0.0, status = 'zeroed' " +
+        "WHERE bal < 0")
+      t(s, d, "customer")
+        .filter(col("c_custkey") > 200 && col("c_custkey") <= 400)
+        .select(col("c_custkey").as("k"), col("c_acctbal").as("bal"))
+        .createOrReplaceTempView(s"logsql_src_$tag")
+      s.sql(
+        s"""MERGE INTO $cat.dim t USING logsql_src_$tag s ON t.k = s.k
+            WHEN MATCHED THEN UPDATE SET status = 'merged'
+            WHEN NOT MATCHED THEN
+              INSERT (k, status, bal) VALUES (s.k, 'new', s.bal)""")
+      s.sql(s"SELECT k, status, bal FROM $cat.dim ORDER BY k")
+    }),
+
     "bucketed_join" -> ((s, d) => {
       // the shuffle paid at write time: both facts bucketed by the
       // join key co-locate, so the join plans with zero exchange
@@ -1392,12 +1457,30 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
-    "kmeans_assign" -> ((s, d) =>
-      // model-dependent output → rows-only in the driver compare; the
-      // ScalaTest oracle measures cluster/label agreement instead
-      Similarity.kmeansAssign(t(s, d, "embeddings"), k = 10, iters = 5)
-        .select(col("vec_id"), col("label"), col("cell"))
-        .orderBy(col("vec_id"))),
+    "kmeans_assign" -> ((s, d) => {
+      // the assignment half of Lloyd's under a DETERMINISTIC model:
+      // centroids are the per-label means (groupCentroids' decimal-
+      // summed, bit-reproducible aggregate — its own oracle is
+      // green), and the argmax-dot assignment runs through the same
+      // codegen'd topCentroids kernel k-means training uses, so the
+      // whole entry is declaratively recomputable in DuckDB
+      // (round-7: was rows-only). TRAINING (init + iterations) has
+      // model-dependent output by construction and stays covered by
+      // the planted-cluster recovery spec (SimilaritySpec).
+      val emb = t(s, d, "embeddings")
+      val cRows = Similarity.groupCentroids(emb, "label")
+        .select(col("label").cast("int"), col("dim").cast("int"),
+          col("centroid").cast("float")).collect()
+      val labels = cRows.map(_.getInt(0)).distinct.sorted.toSeq
+      val cents: Seq[Seq[Float]] = labels.map(l =>
+        cRows.filter(_.getInt(0) == l).sortBy(_.getInt(1))
+          .map(_.getFloat(2)).toSeq)
+      val idx = graft.plans.IvfExpressions.topCentroids(
+        col("embedding"), cents, 1)(0)
+      emb.select(col("vec_id"), col("label"),
+          element_at(typedLit(labels), idx + 1).as("assigned_label"))
+        .orderBy(col("vec_id"))
+    }),
 
     "ann_ivf" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
@@ -1997,6 +2080,30 @@ object SparkEntry {
                   c_acctbal AS bal
            FROM customer WHERE c_custkey > 200 AND c_custkey <= 350)
          WHERE NOT (k > 150 AND k <= 250)
+         ORDER BY k""",
+
+    "log_table_partitioned" ->
+      """SELECT CAST(c_custkey AS BIGINT) AS k, c_mktsegment AS seg,
+                c_acctbal AS bal
+         FROM customer
+         WHERE c_custkey <= 400
+           AND NOT (c_mktsegment = 'BUILDING' AND c_custkey <= 200)
+           AND c_mktsegment <> 'MACHINERY'
+         ORDER BY k""",
+
+    "log_table_sql_dml" ->
+      """SELECT k, status, bal FROM (
+           SELECT CAST(c_custkey AS BIGINT) AS k,
+                  CASE WHEN c_custkey > 200 THEN 'merged'
+                       WHEN c_acctbal < 0 THEN 'zeroed'
+                       ELSE 'init' END AS status,
+                  CASE WHEN c_acctbal < 0 THEN 0.0
+                       ELSE c_acctbal END AS bal
+           FROM customer WHERE c_custkey <= 300
+           UNION ALL
+           SELECT CAST(c_custkey AS BIGINT) AS k, 'new' AS status,
+                  c_acctbal AS bal
+           FROM customer WHERE c_custkey > 300 AND c_custkey <= 400)
          ORDER BY k""",
 
     "log_table_update" ->
@@ -3198,6 +3305,107 @@ object SparkEntry {
                   generate_subscripts(embedding, 1) AS dim
            FROM embeddings)
          GROUP BY label, dim ORDER BY label, dim""",
+
+    // round-7: was rows-only — every stage of the curation pipeline
+    // is individually SQL-expressible (the fragments below are the
+    // already-green gopher/dedup/minhash/cluster/lang/token oracles
+    // composed over the same curated base)
+    "corpus_curation" ->
+      """WITH RECURSIVE kept AS (
+           SELECT doc_id, text FROM documents
+           WHERE len(string_split_regex(trim(lower(text)), '\s+')) >= 5
+             AND (CASE WHEN length(text) = 0 THEN 0.0
+                  ELSE round((length(text) - length(regexp_replace(text,
+                    '[!-/:-@\[-`{-~]', '', 'g')))
+                    / CAST(length(text) AS DOUBLE), 6)
+                  END) < 0.25),
+         uniq AS (
+           SELECT min(doc_id) AS doc_id, text FROM kept GROUP BY text),
+         s AS (
+           SELECT doc_id, list_distinct(
+             CASE WHEN len(string_split_regex(trim(lower(text)), '\s+')) < 3
+             THEN [concat_ws(' ', string_split_regex(trim(lower(text)), '\s+'))]
+             ELSE list_transform(
+               range(1, len(string_split_regex(trim(lower(text)), '\s+')) - 1),
+               i -> string_split_regex(trim(lower(text)), '\s+')[i] || ' ' ||
+                    string_split_regex(trim(lower(text)), '\s+')[i+1] || ' ' ||
+                    string_split_regex(trim(lower(text)), '\s+')[i+2]) END) AS sh
+           FROM uniq),
+         pairs AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM s a, s b
+           WHERE a.doc_id < b.doc_id
+             AND len(list_intersect(a.sh, b.sh)) /
+               (len(a.sh) + len(b.sh)
+                - len(list_intersect(a.sh, b.sh)))::DOUBLE >= 0.5),
+         e AS (SELECT id_a AS src, id_b AS dst FROM pairs
+               UNION ALL SELECT id_b, id_a FROM pairs),
+         cc(id, lbl) AS (
+           SELECT doc_id, doc_id FROM uniq
+           UNION
+           SELECT e.dst, cc.lbl FROM cc JOIN e ON e.src = cc.id),
+         cl AS (SELECT id AS doc_id, MIN(lbl) AS cluster_id
+                FROM cc GROUP BY id),
+         sizes AS (SELECT cluster_id, COUNT(*) AS n_members
+                   FROM cl GROUP BY cluster_id),
+         reps AS (
+           SELECT cl.doc_id, z.n_members
+           FROM cl JOIN sizes z USING (cluster_id)
+           WHERE cl.doc_id = cl.cluster_id),
+         ann AS (
+           SELECT doc_id,
+             CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+                  WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+                  WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+                  WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+                  WHEN s_es = greatest(s_en, s_de, s_fr, s_es) THEN 'es'
+                  ELSE 'und' END AS lang_guess,
+             n_bpe_tokens
+           FROM (
+             SELECT doc_id,
+               len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                 t -> t IN ('the','and','of','to','is'))) AS s_en,
+               len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                 t -> t IN ('der','die','und','das','ist'))) AS s_de,
+               len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                 t -> t IN ('le','la','et','les','est'))) AS s_fr,
+               len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                 t -> t IN ('el','la','que','de','es'))) AS s_es,
+               len(list_filter(string_split_regex(regexp_replace(lower(text),
+                   '([a-z]+|[0-9]+|[^a-z0-9 ])', '\1 ', 'g'), ' +'),
+                 x -> length(x) > 0)) AS n_bpe_tokens
+             FROM uniq))
+         SELECT a.doc_id, a.lang_guess, a.n_bpe_tokens, r.n_members
+         FROM ann a JOIN reps r USING (doc_id)
+         ORDER BY a.doc_id""",
+
+    "kmeans_assign" ->
+      """WITH c AS (
+           SELECT label, dim,
+             CAST(round(CAST(sum(CAST(CAST(x AS DOUBLE) AS DECIMAL(28,10)))
+               AS DOUBLE) / count(*), 6) AS FLOAT) AS cent
+           FROM (
+             SELECT label, unnest(embedding) AS x,
+                    generate_subscripts(embedding, 1) AS dim
+             FROM embeddings)
+           GROUP BY label, dim),
+         cl AS (
+           SELECT label AS clabel,
+                  list(CAST(cent AS DOUBLE) ORDER BY dim) AS cv
+           FROM c GROUP BY label),
+         dots AS (
+           SELECT e.vec_id, e.label, k.clabel,
+             list_reduce(list_transform(range(1, len(e.embedding) + 1),
+               i -> CAST(e.embedding[i] AS DOUBLE) * k.cv[i]),
+               (a, b) -> a + b) AS dot
+           FROM embeddings e CROSS JOIN cl k),
+         ranked AS (
+           SELECT vec_id, label, clabel,
+             row_number() OVER (PARTITION BY vec_id
+               ORDER BY dot DESC, clabel) AS rn
+           FROM dots)
+         SELECT vec_id, label, clabel AS assigned_label
+         FROM ranked WHERE rn = 1 ORDER BY vec_id""",
 
     "embedding_quantize" ->
       """WITH s AS (
