@@ -80,7 +80,7 @@ object Bench {
       "segment_dedup", "ann_bruteforce", "dedup_exact", "q1_pricing",
       "winsorize", "item_cooccur", "q6_revenue_delta", "fuzzy_join",
       "concurrency_profile", "join_blowup", "q8_market_share",
-      "link_rank", "substring_dedup", "dsir_weight")
+      "link_rank", "substring_dedup", "dsir_weight", "ann_lsh")
       .filter(results.map(_._1).toSet)
     def sfOf(dir: String): Double =
       "sf([0-9.]+)$".r.findFirstMatchIn(dir).map(_.group(1).toDouble)

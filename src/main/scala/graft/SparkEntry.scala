@@ -1451,9 +1451,13 @@ object SparkEntry {
     }),
 
     "ann_lsh" -> ((s, d) => {
+      // bits auto-scale with the corpus (constant bucket occupancy):
+      // a fixed plane count makes candidate pairs quadratic when
+      // corpus and query batch both grow with the data — measured
+      // 90 s at sf1 vs 1.5 s at sf0.1 under a pinned bits=4
       val emb = t(s, d, "embeddings")
       Similarity.lshTopK(
-        emb.filter(pmod(col("vec_id"), lit(25)) === 0), emb, k = 5, bits = 4)
+        emb.filter(pmod(col("vec_id"), lit(25)) === 0), emb, k = 5)
         .orderBy(col("query_id"), col("rank"))
     }),
 

@@ -58,17 +58,29 @@ object Similarity {
     * probe cost |bucket|·L instead of |corpus|); each query joins
     * only its bucket per table, candidates are deduped, then exact
     * cosine ranks them. Recall grows with `tables`, probe cost with
-    * 2^-bits — measured against bruteForceTopK in tests. */
+    * 2^-bits — measured against bruteForceTopK in tests.
+    *
+    * `bits <= 0` auto-sizes the plane count to hold MEAN BUCKET
+    * OCCUPANCY constant (~64 vectors) as the corpus grows: with
+    * fixed bits, candidate pairs scale |corpus|·|queries|/2^bits —
+    * quadratic when both grow with the data (measured 90 s at sf1 vs
+    * 1.5 s at sf0.1 under bits=4). Scaling bits with log2(n) keeps
+    * per-query probe cost flat, the same corpus-proportional
+    * partitioning FAISS/ScaNN apply to their index sizes. */
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-              bits: Int = 8, tables: Int = 8, idCol: String = "vec_id",
+              bits: Int = 0, tables: Int = 8, idCol: String = "vec_id",
               vecCol: String = "embedding"): DataFrame = {
+    val nBits =
+      if (bits > 0) bits
+      else math.max(4, (math.log(corpus.count() / 64.0) /
+        math.log(2.0)).ceil.toInt)
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
       floatNorm(col(vecCol)).as("__cn"))
-      .select(col("*"), posexplode(srpBuckets(col("__cv"), bits, tables))
+      .select(col("*"), posexplode(srpBuckets(col("__cv"), nBits, tables))
         .as(Seq("t", "b")))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
       floatNorm(col(vecCol)).as("__qn"))
-      .select(col("*"), posexplode(srpBuckets(col("__qv"), bits, tables))
+      .select(col("*"), posexplode(srpBuckets(col("__qv"), nBits, tables))
         .as(Seq("t", "b")))
     val cands = c.join(broadcast(q), Seq("t", "b"))
       .filter(col("query_id") =!= col("neighbor_id"))

@@ -152,8 +152,15 @@ private[sources] final class LogStreamSource(ctx: SQLContext, log: LogTable,
     val batch =
       if (files.isEmpty)
         spark.createDataFrame(new java.util.ArrayList[Row](), schema)
-      else spark.read.schema(schema)
-        .parquet(files.map(p => s"${log.path}/$p"): _*)
+      else {
+        // partitioned tables keep files under hive dirs with the
+        // partition columns OUT of the data files — read with
+        // basePath discovery so they resolve, like every batch path
+        val r = spark.read.schema(schema)
+        val paths = files.map(p => s"${log.path}/$p")
+        if (log.partitionCols.isEmpty) r.parquet(paths: _*)
+        else r.option("basePath", s"${log.path}/data").parquet(paths: _*)
+      }
     GraftStreamShim.streamingFrame(batch)
   }
 

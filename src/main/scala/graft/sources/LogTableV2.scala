@@ -48,6 +48,14 @@ final class GraftLogTableV2(tableName: String, log: LogTable)
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
 
+  /** Surface the hive partition columns as identity transforms, so
+    * `DESCRIBE TABLE` and catalog introspection show the layout. */
+  override def partitioning()
+      : Array[org.apache.spark.sql.connector.expressions.Transform] =
+    log.partitionCols.map(c =>
+      org.apache.spark.sql.connector.expressions.Expressions.identity(c))
+      .toArray
+
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     GraftLogTableV2.scanTable(tableName, log, None).newScanBuilder(options)
 

@@ -194,6 +194,36 @@ class Dsv2LogSpec extends SparkSpec {
       .as[Long].collect().toSeq == Seq(1L, 2L, 3L))
   }
 
+  test("CTAS and MERGE INTO work on partitioned log tables") {
+    val wh = tmp("dsv2log")
+    val cat = freshCatalog(wh)
+    Seq((1L, "init", "eu"), (2L, "init", "us")).toDF("k", "v", "region")
+      .createOrReplaceTempView("part_ctas_src")
+    spark.sql(s"CREATE TABLE $cat.t USING log PARTITIONED BY (region) " +
+      "AS SELECT * FROM part_ctas_src")
+    val log = new LogTable(s"$wh/t")
+    assert(log.partitionCols == Seq("region"))
+    log.liveAdds().foreach(a =>
+      assert(a.path.matches("data/region=(eu|us)/.*"), a.path))
+    Seq((2L, "upd", "us"), (3L, "new", "ap")).toDF("k", "nv", "nregion")
+      .createOrReplaceTempView("part_merge_src")
+    spark.sql(
+      s"""MERGE INTO $cat.t t USING part_merge_src s ON t.k = s.k
+          WHEN MATCHED THEN UPDATE SET v = s.nv
+          WHEN NOT MATCHED THEN
+            INSERT (k, v, region) VALUES (s.k, s.nv, s.nregion)""")
+    assert(spark.sql(s"SELECT k, v, region FROM $cat.t ORDER BY k")
+      .as[(Long, String, String)].collect().toSeq ==
+      Seq((1L, "init", "eu"), (2L, "upd", "us"), (3L, "new", "ap")))
+    // the merged layout stays hive-partitioned
+    log.liveAdds().foreach(a =>
+      assert(a.path.matches("data/region=(eu|us|ap)/.*"), a.path))
+    // an empty-result partition predicate on a fresh empty table
+    spark.sql(s"CREATE TABLE $cat.empty (k BIGINT, p STRING) USING log " +
+      "PARTITIONED BY (p)")
+    assert(spark.sql(s"SELECT * FROM $cat.empty WHERE p = 'x'").count() == 0L)
+  }
+
   test("VERSION AS OF serves the snapshot's own schema, not the " +
     "evolved one") {
     val wh = tmp("dsv2log")

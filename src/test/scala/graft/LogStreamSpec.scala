@@ -49,6 +49,25 @@ class LogStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming from a PARTITIONED log table resolves the " +
+    "partition column from the hive dirs") {
+    val dir = s"${tmp()}/t"
+    val t = new LogTable(dir)
+    t.create(org.apache.spark.sql.types.StructType.fromDDL(
+      "k BIGINT, region STRING"), partitionBy = Seq("region"))
+    t.append(Seq((1L, "eu"), (2L, "us")).toDF("k", "region"))
+    val q = startQuery(dir, "log_stream_part")
+    try {
+      q.processAllAvailable()
+      assert(spark.table("log_stream_part").as[(Long, String)]
+        .collect().toSet == Set((1L, "eu"), (2L, "us")))
+      t.append(Seq((3L, "ap")).toDF("k", "region"))
+      q.processAllAvailable()
+      assert(spark.table("log_stream_part").as[(Long, String)]
+        .collect().toSet == Set((1L, "eu"), (2L, "us"), (3L, "ap")))
+    } finally q.stop()
+  }
+
   test("a row-level change commit fails the stream by default; " +
     "skipChangeCommits passes over it and keeps tailing appends") {
     val dir = s"${tmp()}/t"
