@@ -484,6 +484,23 @@ object SparkEntry {
       lt.load(s).select(col("k"), col("bal")).orderBy(col("k"))
     }),
 
+    "log_table_dv" -> ((s, d) => {
+      // merge-on-read DML via deletion vectors: a DELETE that moves
+      // NO table data (matching row indices go to a vector sidecar;
+      // touched files re-commit by reference) and an UPDATE that
+      // vectors out pre-images and appends only post-images — the
+      // write cost is ∝ matched rows where copy-on-write pays
+      // ∝ touched-file bytes. Reads subtract the vectors; the oracle
+      // recomputes the final state declaratively
+      val dir = java.nio.file.Files.createTempDirectory("graft_logdv")
+      val lt = new graft.sources.LogTable(s"$dir/t")
+      lt.append(t(s, d, "customer").filter(col("c_custkey") <= 300)
+        .select(col("c_custkey").as("k"), col("c_acctbal").as("bal")))
+      lt.deleteMor(s, col("k") > 100L && col("k") <= 150L)
+      lt.updateMor(s, col("bal") < 0.0, Map("bal" -> lit(0.0)))
+      lt.load(s).select(col("k"), col("bal")).orderBy(col("k"))
+    }),
+
     "log_table_time_travel" -> ((s, d) => {
       // log-table time travel end-to-end through SQL: three commits
       // under an injected clock (append / append / delete), then
@@ -2114,6 +2131,14 @@ object SparkEntry {
       """SELECT CAST(c_custkey AS BIGINT) AS k,
                 CASE WHEN c_acctbal < 0 THEN 0.0 ELSE c_acctbal END AS bal
          FROM customer WHERE c_custkey <= 300
+         ORDER BY k""",
+
+    "log_table_dv" ->
+      """SELECT CAST(c_custkey AS BIGINT) AS k,
+                CASE WHEN c_acctbal < 0 THEN 0.0 ELSE c_acctbal END AS bal
+         FROM customer
+         WHERE c_custkey <= 300
+           AND NOT (c_custkey > 100 AND c_custkey <= 150)
          ORDER BY k""",
 
     "log_table_time_travel" ->

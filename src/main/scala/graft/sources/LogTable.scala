@@ -21,14 +21,30 @@ import org.json4s.jackson.JsonMethods
   * strings — a truncated upper bound would be unsound). */
 final case class ColStats(min: Option[Any], max: Option[Any], nulls: Long)
 
+/** Deletion vector attached to a data file: `path` is the
+  * table-relative parquet directory holding `(file, idx)` pairs
+  * (file NAME + 0-based parquet row index) for EVERY deleted row of
+  * the file — a later delete on the same file writes the UNION into
+  * its own commit's dv dir and re-points here, so one reference is
+  * always complete. `rows` is the pair count for this file (its
+  * cardinality), so `AddFile.rows - dv.rows` is the file's logical
+  * row count without touching data. */
+final case class Dv(path: String, rows: Long)
+
 /** One live data file of a [[LogTable]] snapshot: path relative to
   * the table root, row/byte counts, skipping stats, and — for
   * partitioned tables — the file's hive-style partition values
   * (every row in the file has exactly these; also encoded in the
-  * path, e.g. `data/p=x/f-....parquet`). */
+  * path, e.g. `data/p=x/f-....parquet`). `dv`, when present, marks
+  * rows deleted merge-on-read style ([[LogTable.deleteMor]]): the
+  * file's bytes are live on disk but reads subtract the vector. */
 final case class AddFile(path: String, rows: Long, bytes: Long,
                          stats: Map[String, ColStats],
-                         partitionValues: Map[String, String] = Map.empty)
+                         partitionValues: Map[String, String] = Map.empty,
+                         dv: Option[Dv] = None) {
+  /** Rows a reader actually sees: physical minus deletion vector. */
+  def logicalRows: Long = rows - dv.map(_.rows).getOrElse(0L)
+}
 
 /** Outcome of a row-level [[LogTable.delete]]/[[LogTable.update]]:
   * the commit version, how many rows changed, and the file-level
@@ -167,6 +183,12 @@ final class LogTable(val path: String,
       case JObject(fields) => fields.collect {
         case (k, JString(v)) => k -> v }.toMap
       case _ => Map.empty
+    },
+    (j \ "dv") match {
+      case JObject(_) => Some(Dv((j \ "dv" \ "path").asInstanceOf[JString].s,
+        (j \ "dv" \ "rows") match { case JInt(i) => i.toLong
+          case JLong(l) => l; case _ => 0L }))
+      case _ => None
     })
 
   private def renderAdd(a: AddFile): JValue =
@@ -174,7 +196,9 @@ final class LogTable(val path: String,
       "bytes" -> JLong(a.bytes), "stats" -> renderStats(a.stats)) ++
       (if (a.partitionValues.isEmpty) Nil
        else List("partitionValues" -> JObject(
-         a.partitionValues.toList.map { case (k, v) => k -> JString(v) }))))
+         a.partitionValues.toList.map { case (k, v) => k -> JString(v) }))) ++
+      a.dv.toList.map(d => "dv" -> JObject(List(
+        "path" -> JString(d.path), "rows" -> JLong(d.rows)))))
 
   private def readActions(f: File): Seq[JValue] =
     Files.readString(f.toPath).linesIterator.filter(_.nonEmpty)
@@ -276,8 +300,10 @@ final class LogTable(val path: String,
       throw new IllegalStateException(s"no log table at $path")))
       .adds.map(a => s"$path/${a.path}")
 
-  /** Live [[AddFile]] entries (with stats) at the current version. */
-  def liveAdds(): Seq[AddFile] = snapshotAt(currentVersion.get).adds
+  /** Live [[AddFile]] entries (with stats and deletion vectors) at a
+    * version, default the current one. */
+  def liveAdds(version: Option[Long] = None): Seq[AddFile] =
+    snapshotAt(version.orElse(currentVersion).get).adds
 
   /** Read table data files with the right partition handling: a
     * partitioned table's files live under hive dirs and lack the
@@ -291,15 +317,89 @@ final class LogTable(val path: String,
     else r.option("basePath", s"$path/data").parquet(paths: _*)
   }
 
+  /** DV-aware scan of a set of live files, optionally keeping the
+    * per-row provenance columns `__file` / `__idx` (parquet file
+    * name + 0-based row index) captured AT SCAN TIME via Spark's
+    * `_metadata` columns — `input_file_name()` is empty after an
+    * exchange, so row-level ops that must know a row's file capture
+    * it here. Files without a deletion vector read plain (the common
+    * case keeps full pushdown/vectorization); files with one are
+    * anti-joined against their dv pair files on (file name, row
+    * index), broadcast while the total cardinality is small. Stale
+    * pairs in a shared dv dir are harmless: for a still-referenced
+    * file they are a subset of its current vector, and a rewritten
+    * file's fresh name never matches old pairs. */
+  private def dvAwareRead(spark: SparkSession, readSchema: StructType,
+                          partCols: Seq[String], adds: Seq[AddFile],
+                          keepProvenance: Boolean): DataFrame = {
+    val outCols = readSchema.fieldNames.toSeq ++
+      (if (keepProvenance) Seq("__file", "__idx") else Seq.empty)
+    def withProv(df: DataFrame): DataFrame = df
+      .withColumn("__file", col("_metadata.file_name"))
+      .withColumn("__idx", col("_metadata.row_index"))
+    val (dvd, clean) = adds.partition(_.dv.isDefined)
+    val cleanDf =
+      if (clean.isEmpty) None
+      else {
+        val df = readDataFiles(spark, readSchema, partCols,
+          clean.map(a => s"$path/${a.path}"))
+        Some(if (keepProvenance) withProv(df) else df)
+      }
+    val dvdDf =
+      if (dvd.isEmpty) None
+      else {
+        val dirs = dvd.flatMap(_.dv.map(_.path)).distinct
+        val card = dvd.flatMap(_.dv.map(_.rows)).sum
+        val raw = spark.read.parquet(dirs.map(d => s"$path/$d"): _*)
+        val pairs =
+          if (card <= LogTable.DvBroadcastMaxRows) broadcast(raw) else raw
+        val scanned = withProv(readDataFiles(spark, readSchema, partCols,
+          dvd.map(a => s"$path/${a.path}")))
+        val alive = scanned.join(pairs,
+          scanned("__file") === pairs("file") &&
+            scanned("__idx") === pairs("idx"), "left_anti")
+        Some(alive.select(outCols.map(col): _*))
+      }
+    (cleanDf, dvdDf) match {
+      case (Some(c), Some(d)) => c.select(outCols.map(col): _*).unionByName(d)
+      case (Some(c), None)    => c
+      case (None, Some(d))    => d
+      case (None, None) =>
+        spark.createDataFrame(new java.util.ArrayList[Row](), readSchema)
+    }
+  }
+
   /** Snapshot read. With no live files the result is an empty frame
-    * of the logged schema. */
+    * of the logged schema; files carrying deletion vectors are
+    * served minus their deleted rows. */
   def load(spark: SparkSession, version: Option[Long] = None): DataFrame = {
     val snap = snapshotAt(version.orElse(currentVersion).getOrElse(
       throw new IllegalStateException(s"no log table at $path")))
     if (snap.adds.isEmpty)
       spark.createDataFrame(new java.util.ArrayList[Row](), snap.schema)
-    else readDataFiles(spark, snap.schema, snap.partitionCols,
-      snap.adds.map(a => s"$path/${a.path}"))
+    else if (snap.adds.forall(_.dv.isEmpty))
+      readDataFiles(spark, snap.schema, snap.partitionCols,
+        snap.adds.map(a => s"$path/${a.path}"))
+    else dvAwareRead(spark, snap.schema, snap.partitionCols, snap.adds,
+      keepProvenance = false)
+  }
+
+  /** Snapshot read carrying a `__file` column — the parquet file
+    * NAME each row came from, captured AT SCAN TIME so it survives
+    * later exchanges (`input_file_name()` is empty once the row
+    * crosses a shuffle, e.g. the DV anti-join or a merge join).
+    * Deletion vectors are subtracted. The file-granularity rewrite
+    * planners ([[graft.sources.SqlMerge.mergeLog]]) key their
+    * touched-file discovery on this column. */
+  def loadWithFileColumn(spark: SparkSession,
+                         version: Option[Long] = None): DataFrame = {
+    val snap = snapshotAt(version.orElse(currentVersion).getOrElse(
+      throw new IllegalStateException(s"no log table at $path")))
+    if (snap.adds.isEmpty)
+      spark.createDataFrame(new java.util.ArrayList[Row](),
+        snap.schema.add("__file", StringType))
+    else dvAwareRead(spark, snap.schema, snap.partitionCols, snap.adds,
+      keepProvenance = true).drop("__idx")
   }
 
   /** `TIMESTAMP AS OF`: newest version committed at-or-before
@@ -451,7 +551,8 @@ final class LogTable(val path: String,
                              schemaJson: Option[String],
                              cdfDir: Option[String],
                              txn: Option[(String, Long)] = None,
-                             schemaBasis: Option[Long] = None): Long = {
+                             schemaBasis: Option[Long] = None,
+                             extraAdds: Seq[AddFile] = Seq.empty): Long = {
     // recursive walk: a partitioned staging nests its part files
     // under hive dirs (p=x/...), which the move preserves so the
     // table's data/ layout stays partition-discoverable
@@ -490,8 +591,8 @@ final class LogTable(val path: String,
         AddFile(target, st.rows, dst.length(), st.stats, partVals)
       }
     deleteRecursive(stagedDir)
-    commitRetry(readVersion, removePaths, adds, op, schemaJson, cdfDir, txn,
-      schemaBasis)
+    commitRetry(readVersion, removePaths, adds ++ extraAdds, op, schemaJson,
+      cdfDir, txn, schemaBasis)
   }
 
   /** The optimistic-concurrency core: render the commit, then try to
@@ -880,42 +981,174 @@ final class LogTable(val path: String,
     }
   }
 
+  /** Merge-on-read DELETE — Delta's deletion vectors: instead of
+    * rewriting every touched file, record the matching rows' parquet
+    * row indices in a deletion-vector sidecar (`_dv/<uuid>/`,
+    * written distributed) and re-commit the touched files BY
+    * REFERENCE with the vector attached. The commit moves no table
+    * data: its cost is ∝ matched rows, where copy-on-write
+    * [[delete]] pays ∝ touched-file bytes — the difference between
+    * deleting 100 rows and rewriting the 100 GB of files that held
+    * them. Reads ([[load]], the catalog, the change feed) subtract
+    * the vector; a later delete on an already-vectored file commits
+    * the union; a file whose every row is deleted is dropped
+    * outright; OPTIMIZE / [[purgeDeletes]] materializes vectors
+    * away. Change feed and conflict detection behave exactly as the
+    * CoW path (same `delete` op, same remove-revalidation rule). */
+  def deleteMor(spark: SparkSession, pred: Column): RowOpResult =
+    morMatching(spark, pred, "delete") { (_, _, _) => None }
+
+  /** Merge-on-read UPDATE: matching rows are deletion-vectored out
+    * of their files and their post-images appended as new files —
+    * write amplification ∝ matched rows, not touched files. */
+  def updateMor(spark: SparkSession, pred: Column,
+                set: Map[String, Column]): RowOpResult = {
+    val s = schema
+    set.keys.foreach(k => require(s.fieldNames.contains(k),
+      s"UPDATE SET names unknown column '$k'"))
+    morMatching(spark, pred, "update") { (matched, snapSchema, _) =>
+      Some(matched.select(snapSchema.fields.toSeq.map { f =>
+        set.get(f.name).map(_.cast(f.dataType).as(f.name))
+          .getOrElse(col(f.name))
+      }: _*))
+    }
+  }
+
+  /** Shared MOR skeleton: stats-prune, scan candidates (minus
+    * existing vectors) for matches, write the CDF and the new
+    * vectors, optionally stage post-image rows, commit touched files
+    * by reference with vectors attached. `postImages` maps the
+    * matched rows to rows to APPEND (update), or None (delete). */
+  private def morMatching(spark: SparkSession, pred: Column, op: String)(
+      postImages: (DataFrame, StructType, Seq[String]) => Option[DataFrame])
+      : RowOpResult = {
+    val readVersion = currentVersion.getOrElse(
+      throw new IllegalStateException(s"no log table at $path"))
+    val snap = snapshotAt(readVersion)
+    val conjuncts = resolvedConjuncts(spark, snap.schema, pred)
+    val (skipped, candidates) = snap.adds.partition(
+      provablyNoMatch(_, conjuncts))
+    if (candidates.isEmpty)
+      return RowOpResult(readVersion, 0L, skipped.size, 0, 0)
+
+    val candDf = dvAwareRead(spark, snap.schema, snap.partitionCols,
+      candidates, keepProvenance = true)
+    val matched = candDf.filter(coalesce(pred, lit(false)))
+    // per-file match counts: ONE aggregate whose result is
+    // O(#touched files) — the only thing that ever reaches the driver
+    val perFile = matched.groupBy(col("__file"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    if (perFile.isEmpty)
+      return RowOpResult(readVersion, 0L, skipped.size, candidates.size, 0)
+    val touched = candidates.filter(a =>
+      perFile.contains(new File(a.path).getName))
+
+    // change feed, written before the commit that references it
+    val cdfRel = s"_cdf/${UUID.randomUUID()}"
+    val images = matched.drop("__file", "__idx")
+    if (op == "delete")
+      images.withColumn("_change_type", lit("delete"))
+        .write.mode("overwrite").parquet(s"$path/$cdfRel")
+    else {
+      val post = postImages(images, snap.schema, snap.partitionCols).get
+      post.withColumn("_change_type", lit("update_postimage"))
+        .unionByName(images.withColumn("_change_type",
+          lit("update_preimage")))
+        .write.mode("overwrite").parquet(s"$path/$cdfRel")
+    }
+
+    // the new vectors: this op's pairs ∪ the touched files' existing
+    // pairs (so each AddFile.dv reference is always complete)
+    val dvRel = s"_dv/${UUID.randomUUID()}"
+    val newPairs = matched.select(col("__file").as("file"),
+      col("__idx").as("idx"))
+    val oldDirs = touched.flatMap(_.dv.map(_.path)).distinct
+    val touchedNames = touched.map(a => new File(a.path).getName)
+    val allPairs =
+      if (oldDirs.isEmpty) newPairs
+      else newPairs.unionByName(
+        spark.read.parquet(oldDirs.map(d => s"$path/$d"): _*)
+          .filter(col("file").isin(touchedNames: _*)))
+    allPairs.repartition(col("file")).write.parquet(s"$path/$dvRel")
+
+    def cardOf(a: AddFile): Long =
+      perFile(new File(a.path).getName) + a.dv.map(_.rows).getOrElse(0L)
+    // fully-deleted files are dropped, not 100%-vectored
+    val reAdds = touched.filter(a => cardOf(a) < a.rows)
+      .map(a => a.copy(dv = Some(Dv(dvRel, cardOf(a)))))
+
+    val affected = perFile.values.sum
+    val v = postImages(images, snap.schema, snap.partitionCols) match {
+      case None =>
+        commitRetry(Some(readVersion), touched.map(_.path), reAdds, op,
+          schemaJson = None, cdfDir = Some(cdfRel))
+      case Some(post) =>
+        val staged = new File(newStagingDir())
+        stagedWriter(post).parquet(staged.toString)
+        finalizeStaged(spark, staged, snap.schema,
+          removePaths = touched.map(_.path), op = op,
+          readVersion = Some(readVersion), schemaJson = None,
+          cdfDir = Some(cdfRel), extraAdds = reAdds)
+    }
+    RowOpResult(v, affected, skipped.size, candidates.size, touched.size)
+  }
+
+  /** Materialize every deletion vector: rewrite JUST the vectored
+    * files without their deleted rows and clear the vectors
+    * (Delta's `REORG TABLE ... APPLY (PURGE)`) — one `optimize`
+    * commit, no row-level change, streams skip it. */
+  def purgeDeletes(spark: SparkSession): Long = {
+    val readVersion = currentVersion.getOrElse(
+      throw new IllegalStateException(s"no log table at $path"))
+    val snap = snapshotAt(readVersion)
+    val dvd = snap.adds.filter(_.dv.isDefined)
+    if (dvd.isEmpty) return readVersion
+    val staged = new File(newStagingDir())
+    stagedWriter(dvAwareRead(spark, snap.schema, snap.partitionCols, dvd,
+      keepProvenance = false)).parquet(staged.toString)
+    finalizeStaged(spark, staged, snap.schema, dvd.map(_.path),
+      op = "optimize", readVersion = Some(readVersion), schemaJson = None,
+      cdfDir = None)
+  }
+
+  /** Resolve a user predicate against a schema (an analyzed Filter
+    * over an empty local relation): attributes become typed
+    * references, literal sides become foldable — the form the stats
+    * pruner matches on. */
+  private def resolvedConjuncts(spark: SparkSession, s: StructType,
+                                pred: Column): Seq[expressions.Expression] =
+    spark.createDataFrame(new java.util.ArrayList[Row](), s)
+      .filter(pred).queryExecution.analyzed.collectFirst {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+          f.condition
+      }.map(splitConjuncts).getOrElse(Seq.empty)
+
   private def rewriteMatching(spark: SparkSession, pred: Column, op: String)(
       rewrite: (DataFrame, DataFrame) => DataFrame): RowOpResult = {
     val readVersion = currentVersion.getOrElse(
       throw new IllegalStateException(s"no log table at $path"))
     val snap = snapshotAt(readVersion)
-    // resolve the user predicate against the snapshot schema (an
-    // analyzed Filter over an empty local relation): attributes
-    // become typed references, literal sides become foldable — the
-    // form the stats pruner matches on
-    val resolvedPred = spark.createDataFrame(
-      new java.util.ArrayList[Row](), snap.schema)
-      .filter(pred).queryExecution.analyzed.collectFirst {
-        case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
-          f.condition
-      }
-    val conjuncts = resolvedPred.map(splitConjuncts).getOrElse(Seq.empty)
+    val conjuncts = resolvedConjuncts(spark, snap.schema, pred)
     val (skipped, candidates) = snap.adds.partition(
       provablyNoMatch(_, conjuncts))
     if (candidates.isEmpty)
       return RowOpResult(readVersion, 0L, skipped.size, 0, 0)
 
     // which candidate files actually contain a matching row? — one
-    // pushdown-friendly scan of the candidates only
-    val candPaths = candidates.map(a => s"$path/${a.path}")
-    val hit = readDataFiles(spark, snap.schema, snap.partitionCols, candPaths)
-      .filter(pred).select(input_file_name().as("__f"))
-      .distinct().collect()
-      .map(r => new File(new java.net.URI(r.getString(0))).getName).toSet
+    // pushdown-friendly scan of the candidates only, minus any
+    // already-deleted rows (a dv'd row must not count as a hit)
+    val hit = dvAwareRead(spark, snap.schema, snap.partitionCols,
+      candidates, keepProvenance = true)
+      .filter(pred).select(col("__file"))
+      .distinct().collect().map(_.getString(0)).toSet
     val touched = candidates.filter(a =>
       hit.contains(new File(a.path).getName))
     if (touched.isEmpty)
       return RowOpResult(readVersion, 0L, skipped.size, candidates.size, 0)
 
-    val touchedPaths = touched.map(a => s"$path/${a.path}")
-    val touchedDf = readDataFiles(spark, snap.schema, snap.partitionCols,
-      touchedPaths)
+    val touchedDf = dvAwareRead(spark, snap.schema, snap.partitionCols,
+      touched, keepProvenance = false)
 
     // change feed: the matching rows, written BEFORE the log commit
     // and referenced from it (readers of the commit always find them)
@@ -941,7 +1174,7 @@ final class LogTable(val path: String,
       removePaths = touched.map(_.path), op = op,
       readVersion = Some(readVersion), schemaJson = None,
       cdfDir = Some(cdfRel))
-    val rowsBefore = touched.map(_.rows).sum
+    val rowsBefore = touched.map(_.logicalRows).sum
     val rowsAfter = snapshotAt(v).adds
       .filterNot(a => snap.adds.exists(_.path == a.path)).map(_.rows).sum
     val affected =
@@ -969,12 +1202,17 @@ final class LogTable(val path: String,
       s"no committed version $version to restore to")
     val target = snapshotAt(version)
     val gone = target.adds.filterNot(a =>
-      new File(path, a.path).isFile)
+      new File(path, a.path).isFile) ++
+      target.adds.filter(a => a.dv.exists(d =>
+        !new File(path, d.path).isDirectory))
     require(gone.isEmpty, s"cannot restore to version $version: files " +
       s"${gone.map(_.path).mkString(", ")} were vacuumed")
     val current = snapshotAt(cur)
+    // a file present in both snapshots but with a DIFFERENT deletion
+    // vector must be re-added too, or the restored snapshot would
+    // keep serving the current vector's deletes
     val adds = target.adds.filterNot(a =>
-      current.adds.exists(_.path == a.path))
+      current.adds.exists(c => c.path == a.path && c.dv == a.dv))
     val removes = current.adds.map(_.path)
       .filterNot(p => target.adds.exists(_.path == p))
     commitRetry(Some(cur), removes, adds, "restore",
@@ -1030,9 +1268,14 @@ final class LogTable(val path: String,
             val ins = if (added.isEmpty) Seq.empty
               else Seq(tagged(readDataFiles(spark, s, pc,
                 added.map(p => s"$path/$p")), "insert", v))
-            val del = if (removed.isEmpty) Seq.empty
-              else Seq(tagged(readDataFiles(spark, s, pc,
-                removed.map(p => s"$path/$p")), "delete", v))
+            // retired files read minus the deletion vectors they
+            // carried going IN to the overwrite — already-deleted
+            // rows must not re-appear as deletes
+            val removedAdds = snapshotAt(v - 1).adds
+              .filter(a => removed.contains(a.path))
+            val del = if (removedAdds.isEmpty) Seq.empty
+              else Seq(tagged(dvAwareRead(spark, s, pc, removedAdds,
+                keepProvenance = false), "delete", v))
             ins ++ del
           case "delete" | "update" | "merge" =>
             meta.cdf.toSeq.map(rel =>
@@ -1063,8 +1306,9 @@ final class LogTable(val path: String,
     val groups = math.max(1,
       math.ceil(small.map(_.bytes).sum.toDouble / targetBytes).toInt)
     val staged = new File(newStagingDir())
-    stagedWriter(readDataFiles(spark, snap.schema, snap.partitionCols,
-      small.map(a => s"$path/${a.path}"))
+    // dv-aware: a compacted file's deletion vector materializes away
+    stagedWriter(dvAwareRead(spark, snap.schema, snap.partitionCols,
+      small, keepProvenance = false)
       .repartition(groups)).parquet(staged.toString)
     finalizeStaged(spark, staged, snap.schema, small.map(_.path),
       op = "optimize", readVersion = Some(readVersion), schemaJson = None,
@@ -1090,8 +1334,8 @@ final class LogTable(val path: String,
       throw new IllegalStateException(s"no log table at $path"))
     val snap = snapshotAt(readVersion)
     if (snap.adds.isEmpty) return readVersion
-    val df = readDataFiles(spark, snap.schema, snap.partitionCols,
-      snap.adds.map(a => s"$path/${a.path}"))
+    val df = dvAwareRead(spark, snap.schema, snap.partitionCols,
+      snap.adds, keepProvenance = false)
     val staged = new File(newStagingDir())
     val laidOut = clusterBy match {
       case Seq(c) =>
@@ -1162,7 +1406,17 @@ final class LogTable(val path: String,
       .filter(d => d.isDirectory && !keepCdf.contains(s"_cdf/${d.getName}") &&
         d.lastModified() <= horizon)
     droppedCdf.foreach(deleteRecursive)
-    dropped.map(rel) ++ droppedCdf.map(d => s"_cdf/${d.getName}")
+    // deletion-vector dirs referenced by any retained version stay;
+    // the rest expire under the same modification-time guard
+    val keepDv = retained
+      .flatMap(v => snapshotAt(v).adds.flatMap(_.dv.map(_.path))).toSet
+    val dvRoot = new File(path, "_dv")
+    val droppedDv = Option(dvRoot.listFiles()).toSeq.flatten
+      .filter(d => d.isDirectory && !keepDv.contains(s"_dv/${d.getName}") &&
+        d.lastModified() <= horizon)
+    droppedDv.foreach(deleteRecursive)
+    dropped.map(rel) ++ droppedCdf.map(d => s"_cdf/${d.getName}") ++
+      droppedDv.map(d => s"_dv/${d.getName}")
   }
 }
 
@@ -1171,6 +1425,11 @@ object LogTable {
     * modified more recently than this are presumed in-flight and
     * never deleted, whatever the log says. */
   val DefaultVacuumRetentionMillis: Long = 7L * 24 * 3600 * 1000
+
+  /** Deletion-vector pair sets at or under this many rows join
+    * broadcast (a pair is a file name + a long — ~1M pairs is tens
+    * of MB); bigger vectors fall back to a shuffled anti-join. */
+  val DvBroadcastMaxRows: Long = 1L << 20
 }
 
 /** [[DimSink]] face of a [[LogTable]], so every sink-shaped pipeline

@@ -57,7 +57,10 @@ final class GraftLogTableV2(tableName: String, log: LogTable)
       .toArray
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    GraftLogTableV2.scanTable(tableName, log, None).newScanBuilder(options)
+    if (log.liveAdds().exists(_.dv.isDefined))
+      new DvScanBuilder(log, None)
+    else
+      GraftLogTableV2.scanTable(tableName, log, None).newScanBuilder(options)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new LogWriteBuilder(log, info, overwriteAll = false)
@@ -101,10 +104,14 @@ object GraftLogTableV2 {
   }
 
   /** Read-only pinned view for `VERSION AS OF` / `TIMESTAMP AS OF`
-    * (writes against a historical snapshot make no sense). */
+    * (writes against a historical snapshot make no sense). A
+    * snapshot carrying deletion vectors serves the DV-subtracting
+    * scan instead of the raw parquet one. */
   private[sources] def pinned(name: String, log: LogTable,
                               version: Long): Table =
-    new GraftReadTable(scanTable(name, log, Some(version)))
+    if (log.liveAdds(Some(version)).exists(_.dv.isDefined))
+      new DvReadTable(name, log, Some(version))
+    else new GraftReadTable(scanTable(name, log, Some(version)))
 
   /** v1 pushed filter → Column, for [[SupportsDelete.deleteWhere]].
     * Total over Spark's filter algebra; anything Spark can push, we
@@ -131,6 +138,55 @@ object GraftLogTableV2 {
     case other => throw new UnsupportedOperationException(
       s"cannot execute pushed filter $other")
   }
+}
+
+/** Scan builder for snapshots that carry deletion vectors. The raw
+  * parquet file list would RESURRECT the vectored-out rows, so the
+  * scan drops to Spark's V1 bridge ([[org.apache.spark.sql.connector.read.V1Scan]],
+  * the same shim the JDBC source rides): `buildScan` hands back the
+  * RDD of [[LogTable.load]] — the DV-subtracting anti-join plan —
+  * and Spark applies projections and filters above it. The trade is
+  * explicit and temporary: a vectored snapshot loses parquet-level
+  * pushdown until OPTIMIZE / [[LogTable.purgeDeletes]] materializes
+  * the vectors, at which point [[GraftLogTableV2.scanTable]]'s fully
+  * pushdown-capable path takes over again (Delta's readers make the
+  * same trade inside their scan). */
+private[sources] final class DvScanBuilder(log: LogTable,
+                                           version: Option[Long])
+  extends ScanBuilder {
+  import org.apache.spark.sql.SQLContext
+  import org.apache.spark.sql.connector.read.{Scan, V1Scan}
+  import org.apache.spark.sql.sources.{BaseRelation, TableScan}
+
+  override def build(): Scan = new V1Scan {
+    override def readSchema(): StructType =
+      version.map(log.schemaAt).getOrElse(log.schema)
+    override def toV1TableScan[T <: BaseRelation with TableScan](
+        context: SQLContext): T =
+      new BaseRelation with TableScan {
+        override def sqlContext: SQLContext = context
+        override def schema: StructType =
+          version.map(log.schemaAt).getOrElse(log.schema)
+        override def buildScan(): org.apache.spark.rdd.RDD[
+          org.apache.spark.sql.Row] =
+          log.load(context.sparkSession, version).rdd
+      }.asInstanceOf[T]
+  }
+}
+
+/** Read-only table face over [[DvScanBuilder]] — the pinned
+  * (`VERSION AS OF`) view of a snapshot that carries deletion
+  * vectors. */
+private[sources] final class DvReadTable(tableName: String, log: LogTable,
+                                         version: Option[Long])
+  extends Table with SupportsRead {
+  override def name(): String = tableName
+  override def schema(): StructType =
+    version.map(log.schemaAt).getOrElse(log.schema)
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new DvScanBuilder(log, version)
 }
 
 /** Delegating write builder: the inner parquet write lands in a

@@ -310,28 +310,30 @@ object SqlMerge {
   def mergeLog(spark: SparkSession, mergeSql: String,
                log: LogTable): MergeResult = {
     val p = parse(spark, mergeSql)
-    val snap = log.load(spark)
     val readVersion = log.currentVersion
-    val target = snap.withColumn("__file", input_file_name())
-    val core = analyzeFrame(spark, p, target, snap.columns.toSeq)
+    // scan-time file provenance (NOT input_file_name, which goes
+    // empty after an exchange — and a deletion-vectored snapshot's
+    // read plan contains an anti-join), deletion vectors subtracted
+    val target = log.loadWithFileColumn(spark)
+    val snapCols = target.columns.toSeq.filterNot(_ == "__file")
+    val core = analyzeFrame(spark, p, target, snapCols)
     val stats = core.statsChecked()
 
     val isChange = col("__branch").isin(
       (core.updates ++ core.deletes).map(i => i: Any): _*)
-    val touchedUris = core.labeled.filter(core.tPresent && isChange)
+    val touchedNames = core.labeled.filter(core.tPresent && isChange)
       .select(col(s"${p.targetAlias}.__file").as("__f"))
       .distinct().collect().map(_.getString(0)).toSet
-    val baseOf = (u: String) => new java.io.File(new java.net.URI(u)).getName
     val touched = log.liveAdds().filter(a =>
-      touchedUris.map(baseOf).contains(new java.io.File(a.path).getName))
+      touchedNames.contains(new java.io.File(a.path).getName))
 
-    if (touchedUris.isEmpty && stats.inserted == 0L) return stats
+    if (touchedNames.isEmpty && stats.inserted == 0L) return stats
 
     // rewritten rows of the touched files (updates applied, deletes
     // dropped, unchanged neighbors byte-equivalent) + the insert rows
     val keep = !col("__branch").isin(core.deletes :+ -2: _*)
     val inTouched = col(s"${p.targetAlias}.__file")
-      .isin(touchedUris.toSeq: _*)
+      .isin(touchedNames.toSeq: _*)
     val out = core.labeled
       .filter(((core.tPresent && inTouched) || !core.tPresent) && keep)
       .select(core.outCols: _*)
@@ -346,7 +348,7 @@ object SqlMerge {
     // join execution here — documented trade
     val isUpd = col("__branch").isin(core.updates.map(i => i: Any): _*)
     val isDel = col("__branch").isin(core.deletes.map(i => i: Any): _*)
-    val targetImage = snap.columns.toSeq.map(c =>
+    val targetImage = snapCols.map(c =>
       col(s"${p.targetAlias}.$c").as(c))
     val pre = core.labeled.filter(core.tPresent && (isUpd || isDel))
       .select(targetImage :+
