@@ -484,6 +484,34 @@ object SparkEntry {
       lt.load(s).select(col("k"), col("bal")).orderBy(col("k"))
     }),
 
+    "log_table_bloom" -> ((s, d) => {
+      // bloom-filter file index: per-file sidecars over xxhash64 of
+      // the indexed column, probed by the stats pruner for equality
+      // predicates min/max cannot decide — customer names interleave
+      // across files (every file spans the whole alphabet) so range
+      // stats prune nothing, but each name lives in exactly one
+      // file's bloom; the deletes below scan only that file
+      val dir = java.nio.file.Files.createTempDirectory("graft_logbloom")
+      val lt = new graft.sources.LogTable(s"$dir/t",
+        bloomExpectedItems = 10000L)
+      val cust = t(s, d, "customer").filter(col("c_custkey") <= 300)
+        .select(col("c_custkey").as("k"), col("c_name").as("name"))
+      lt.create(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("name",
+          org.apache.spark.sql.types.StringType))),
+        bloomFilterBy = Seq("name"))
+      // two interleaved halves: both files cover the full key range
+      lt.append(cust.filter(col("k") % 2 === 0))
+      lt.append(cust.filter(col("k") % 2 === 1))
+      val victims = cust.filter(col("k") % 50 === 0)
+        .select("name").as[String](org.apache.spark.sql.Encoders.STRING)
+        .collect().toSeq
+      lt.delete(s, col("name").isin(victims: _*))
+      lt.load(s).select(col("k"), col("name")).orderBy(col("k"))
+    }),
+
     "log_table_dv" -> ((s, d) => {
       // merge-on-read DML via deletion vectors: a DELETE that moves
       // NO table data (matching row indices go to a vector sidecar;
@@ -2131,6 +2159,12 @@ object SparkEntry {
       """SELECT CAST(c_custkey AS BIGINT) AS k,
                 CASE WHEN c_acctbal < 0 THEN 0.0 ELSE c_acctbal END AS bal
          FROM customer WHERE c_custkey <= 300
+         ORDER BY k""",
+
+    "log_table_bloom" ->
+      """SELECT CAST(c_custkey AS BIGINT) AS k, c_name AS name
+         FROM customer
+         WHERE c_custkey <= 300 AND c_custkey % 50 <> 0
          ORDER BY k""",
 
     "log_table_dv" ->

@@ -106,7 +106,8 @@ final class LogTable(val path: String,
                      checkpointInterval: Int = 10,
                      maxStatsCols: Int = 32,
                      coordinator: LogCommitCoordinator =
-                       LocalFsCommitCoordinator) {
+                       LocalFsCommitCoordinator,
+                     bloomExpectedItems: Long = 1L << 20) {
 
   private def logDir = new File(path, "_log")
   private def dataDir = new File(path, "data")
@@ -136,7 +137,8 @@ final class LogTable(val path: String,
                                       cdf: Option[String],
                                       txn: Option[(String, Long)])
   private final case class Snapshot(schema: StructType, adds: Seq[AddFile],
-                                    partitionCols: Seq[String])
+                                    partitionCols: Seq[String],
+                                    bloomCols: Seq[String] = Seq.empty)
 
   private def parseStats(j: JValue): Map[String, ColStats] = j match {
     case JObject(fields) => fields.map { case (c, v) =>
@@ -238,6 +240,7 @@ final class LogTable(val path: String,
       .map(_.getName.stripSuffix(".ckpt.json").toLong).filter(_ <= v).sorted
     var schema: Option[StructType] = None
     var partCols: Seq[String] = Seq.empty
+    var bloomIdxCols: Seq[String] = Seq.empty
     val live = scala.collection.mutable.LinkedHashMap.empty[String, AddFile]
     val from = ckpts.lastOption match {
       case Some(cv) =>
@@ -248,6 +251,11 @@ final class LogTable(val path: String,
         (state \ "partition") match {
           case JArray(arr) => partCols = arr.collect { case JString(s) => s }
           case _           => ()
+        }
+        (state \ "bloom") match {
+          case JArray(arr) =>
+            bloomIdxCols = arr.collect { case JString(s) => s }
+          case _ => ()
         }
         (state \ "adds").asInstanceOf[JArray].arr.foreach { j =>
           val a = parseAdd(j); live(a.path) = a
@@ -264,6 +272,11 @@ final class LogTable(val path: String,
           case JArray(arr) => partCols = arr.collect { case JString(s) => s }
           case _           => ()
         }
+        (j \ "bloom") match {
+          case JArray(arr) =>
+            bloomIdxCols = arr.collect { case JString(s) => s }
+          case _ => ()
+        }
         if ((j \ "add") != JNothing) {
           val a = parseAdd(j \ "add"); live(a.path) = a
         }
@@ -273,7 +286,7 @@ final class LogTable(val path: String,
     }
     Snapshot(schema.getOrElse(throw new IllegalStateException(
       s"log at $path has no schema action up to version $v")),
-      live.values.toSeq, partCols)
+      live.values.toSeq, partCols, bloomIdxCols)
   }
 
   /** Table schema at the current version. */
@@ -418,16 +431,33 @@ final class LogTable(val path: String,
   // ---------------------------------------------------------------
   // commit path
 
+  /** Hive partition columns recorded in the log (empty =
+    * unpartitioned) — see [[partitionCols]]; and the columns under a
+    * Bloom-filter file index (Delta's per-column bloom index): every
+    * commit writes one `_bloom/<file>.<col>.bloom` sidecar per new
+    * data file, and the stats pruner probes them for equality
+    * predicates min/max ranges cannot decide. */
+  def bloomCols: Seq[String] = currentVersion
+    .map(v => snapshotAt(v).bloomCols).getOrElse(Seq.empty)
+
   /** Seed an empty table with just a schema (SQL `CREATE TABLE`),
     * optionally hive-partitioned by `partitionBy` (SQL
     * `PARTITIONED BY` — fixed for the table's lifetime, as in
-    * Delta). */
+    * Delta), optionally bloom-indexed on `bloomFilterBy` — the
+    * point-lookup skip lever for high-cardinality columns whose
+    * min/max ranges overlap across files (Delta's bloom filter
+    * index): a `DELETE WHERE id = x` on a table whose ids arrive
+    * unsorted skips nothing by range but nearly everything by
+    * bloom. */
   def create(tableSchema: StructType,
-             partitionBy: Seq[String] = Seq.empty): Long = {
+             partitionBy: Seq[String] = Seq.empty,
+             bloomFilterBy: Seq[String] = Seq.empty): Long = {
     ensureLayout()
     require(currentVersion.isEmpty, s"log table at $path already exists")
     partitionBy.foreach(c => require(tableSchema.fieldNames.contains(c),
       s"PARTITIONED BY names unknown column '$c'"))
+    bloomFilterBy.foreach(c => require(tableSchema.fieldNames.contains(c),
+      s"bloom index names unknown column '$c'"))
     // partition columns normalize to the END of the schema: the
     // hive-discovery scan appends them after the data columns, and a
     // declared order disagreeing with the scan's makes the analyzer
@@ -440,7 +470,8 @@ final class LogTable(val path: String,
           partitionBy.map(c => tableSchema.fields.find(_.name == c).get))
     commitRetry(None, Seq.empty, Seq.empty, "create",
       schemaJson = Some(ordered.json), cdfDir = None,
-      partitionJson = if (partitionBy.isEmpty) None else Some(partitionBy))
+      partitionJson = if (partitionBy.isEmpty) None else Some(partitionBy),
+      bloomJson = if (bloomFilterBy.isEmpty) None else Some(bloomFilterBy))
   }
 
   /** Columns worth stats: fixed-width orderable types plus strings.
@@ -480,17 +511,25 @@ final class LogTable(val path: String,
   private val MaxStringBound = 256
 
   /** One delta-sized aggregate over the staged files: per file,
-    * row count and min/max/nulls of every stat column. The scan cost
-    * is ∝ the commit's own data — never the table. */
+    * row count, min/max/nulls of every stat column, and — for
+    * bloom-indexed columns — a per-file Bloom filter over
+    * `xxhash64(col)` (Spark's codegen'd partial-merging
+    * `BloomFilterAggregate`, the runtime-filter machinery). The scan
+    * cost is ∝ the commit's own data — never the table. */
   private def collectStats(spark: SparkSession, stagedDir: File,
                            tableSchema: StructType,
-                           partCols: Seq[String]): Map[String, AddFile] = {
+                           partCols: Seq[String])
+      : Map[String, (AddFile, Seq[(String, Array[Byte])])] = {
     val cols = statCols(tableSchema)
-    val aggs: Seq[Column] = count(lit(1)).as("__rows") +: cols.flatMap { f =>
+    val bloomIdx = bloomCols.filter(tableSchema.fieldNames.contains)
+    val aggs: Seq[Column] = count(lit(1)).as("__rows") +: (cols.flatMap { f =>
       Seq(min(statProjection(f)).as(s"__min_${f.name}"),
         max(statProjection(f)).as(s"__max_${f.name}"),
         sum(col(f.name).isNull.cast("long")).as(s"__nulls_${f.name}"))
-    }
+    } ++ bloomIdx.map { c =>
+      graft.plans.BloomExpressions.bloomAgg(xxhash64(col(c)),
+        bloomExpectedItems).as(s"__bloom_$c")
+    })
     // a partitioned staging is hive-laid-out (the partition columns
     // come from the dirs); stats cover them too — min = max = the
     // partition value, which is what makes the log-side stats pruner
@@ -523,7 +562,9 @@ final class LogTable(val path: String,
         f.name -> ColStats(bound("__min_"), bound("__max_"),
           r.getAs[Long](s"__nulls_${f.name}"))
       }.toMap
-      rel -> AddFile(rel, r.getAs[Long]("__rows"), 0L, stats)
+      val blooms = bloomIdx.flatMap(c =>
+        Option(r.getAs[Array[Byte]](s"__bloom_$c")).map(c -> _))
+      rel -> ((AddFile(rel, r.getAs[Long]("__rows"), 0L, stats), blooms))
     }.toMap
   }
 
@@ -567,7 +608,8 @@ final class LogTable(val path: String,
       .sorted
     val partCols = if (currentVersion.isDefined) partitionCols else Seq.empty
     val stats =
-      if (parts.isEmpty) Map.empty[String, AddFile]
+      if (parts.isEmpty)
+        Map.empty[String, (AddFile, Seq[(String, Array[Byte])])]
       else collectStats(spark, stagedDir, tableSchema, partCols)
     val tag = UUID.randomUUID().toString.take(8)
     // zero-row part files (a rewrite that left no survivors, an
@@ -587,7 +629,15 @@ final class LogTable(val path: String,
           .map { seg =>
             val Array(k, v) = seg.split("=", 2); k -> v
           }.toMap
-        val st = stats(rel)
+        val (st, blooms) = stats(rel)
+        // bloom sidecars, named by the FINAL file name — a missing
+        // sidecar merely means no bloom skip, so this write needs no
+        // atomicity dance
+        blooms.foreach { case (c, bytes) =>
+          val bf = new File(path, s"_bloom/${dst.getName}.$c.bloom")
+          bf.getParentFile.mkdirs()
+          Files.write(bf.toPath, bytes)
+        }
         AddFile(target, st.rows, dst.length(), st.stats, partVals)
       }
     deleteRecursive(stagedDir)
@@ -607,7 +657,8 @@ final class LogTable(val path: String,
                           cdfDir: Option[String],
                           txn: Option[(String, Long)] = None,
                           schemaBasis: Option[Long] = None,
-                          partitionJson: Option[Seq[String]] = None): Long = {
+                          partitionJson: Option[Seq[String]] = None,
+                          bloomJson: Option[Seq[String]] = None): Long = {
     ensureLayout()
     var attempts = 0
     while (attempts < 100) {
@@ -662,6 +713,9 @@ final class LogTable(val path: String,
         partitionJson.map(cols => JsonMethods.compact(JsonMethods.render(
           JObject(List("partition" -> JArray(
             cols.toList.map(JString(_)))))))) ++
+        bloomJson.map(cols => JsonMethods.compact(JsonMethods.render(
+          JObject(List("bloom" -> JArray(
+            cols.toList.map(JString(_)))))))) ++
         removePaths.map(p => JsonMethods.compact(JsonMethods.render(
           JObject(List("remove" -> JObject(List("path" -> JString(p)))))))) ++
         adds.map(a => JsonMethods.compact(JsonMethods.render(
@@ -688,6 +742,7 @@ final class LogTable(val path: String,
       val state = JObject(List(
         "schema" -> JsonMethods.parse(snap.schema.json),
         "partition" -> JArray(snap.partitionCols.toList.map(JString(_))),
+        "bloom" -> JArray(snap.bloomCols.toList.map(JString(_))),
         "adds" -> JArray(snap.adds.toList.map(renderAdd))))
       val tmp = new File(logDir, s".tmp-ckpt-${UUID.randomUUID()}")
       Files.writeString(tmp.toPath,
@@ -865,6 +920,24 @@ final class LogTable(val path: String,
     * Because a row matching `pred` must match every conjunct, ONE
     * conjunct with an empty match set in the file's [min,max]/null
     * profile skips the whole file. */
+  /** Driver-side cache of loaded bloom sidecars (immutable once
+    * written — a data file's name is never reused). `None` caches a
+    * missing sidecar so unindexed tables pay one existence check. */
+  private val bloomCache = scala.collection.concurrent.TrieMap
+    .empty[String, Option[org.apache.spark.util.sketch.BloomFilter]]
+
+  private def bloomFor(fileName: String, colName: String)
+      : Option[org.apache.spark.util.sketch.BloomFilter] =
+    bloomCache.getOrElseUpdate(s"$fileName.$colName", {
+      val f = new File(path, s"_bloom/$fileName.$colName.bloom")
+      if (!f.isFile) None
+      else {
+        val in = new java.io.FileInputStream(f)
+        try Some(org.apache.spark.util.sketch.BloomFilter.readFrom(in))
+        finally in.close()
+      }
+    })
+
   private def provablyNoMatch(file: AddFile,
                               conjuncts: Seq[expressions.Expression]): Boolean = {
     // the condition comes from an ANALYZED Filter, so attributes are
@@ -911,6 +984,28 @@ final class LogTable(val path: String,
     def boundsOf(attr: String): Option[(Any, Any)] = for {
       st <- file.stats.get(attr); mn <- st.min; mx <- st.max
     } yield (mn, mx)
+    // bloom probe, for equality the range could not decide: sound
+    // only on a BARE attribute against a literal of the SAME type —
+    // the sidecar was built over xxhash64 of the raw column values,
+    // so any cast on the attribute side changes the hashed domain
+    // (an analyzer cast on the LITERAL side is fine: it folds to the
+    // attribute's type before hashing). A bloom "definitely absent"
+    // has no false negatives; "maybe present" just declines to skip.
+    def bloomNoMatch(a: expressions.Expression,
+                     v: expressions.Expression): Boolean = (a, v) match {
+      case (attr: expressions.Attribute, lit)
+          if lit.foldable && lit.dataType == attr.dataType =>
+        Option(lit.eval(expressions.EmptyRow)).exists { _ =>
+          bloomFor(new File(file.path).getName, attr.name).exists { bf =>
+            // seed 42 = the xxhash64() SQL function's default, the
+            // hash the sidecar was built over
+            val h = expressions.XxHash64(Seq(lit), 42L)
+              .eval(expressions.EmptyRow).asInstanceOf[Long]
+            !bf.mightContainLong(h)
+          }
+        }
+      case _ => false
+    }
     def noMatch(c: expressions.Expression): Boolean = c match {
       case expressions.GreaterThan(l, r) =>
         (for { a <- nameOf(l); v <- litOf(r); (_, mx) <- boundsOf(a);
@@ -933,7 +1028,7 @@ final class LogTable(val path: String,
           .orElse(
             for { a <- nameOf(r); v <- litOf(l); (mn, mx) <- boundsOf(a);
                   dl <- cmp(v, mn); dh <- cmp(v, mx) } yield dl < 0 || dh > 0)
-          .getOrElse(false)
+          .getOrElse(false) || bloomNoMatch(l, r) || bloomNoMatch(r, l)
       case expressions.In(l, items) if items.forall(litOf(_).isDefined) =>
         nameOf(l).exists(a =>
           items.forall(i => noMatch(expressions.EqualTo(l, i))))
@@ -1415,8 +1510,18 @@ final class LogTable(val path: String,
       .filter(d => d.isDirectory && !keepDv.contains(s"_dv/${d.getName}") &&
         d.lastModified() <= horizon)
     droppedDv.foreach(deleteRecursive)
+    // bloom sidecars follow their data file: keep those whose data
+    // file is retained, expire the rest under the same guard
+    val keepNames = keep.map(p => new File(p).getName)
+    val bloomRoot = new File(path, "_bloom")
+    val droppedBloom = Option(bloomRoot.listFiles()).toSeq.flatten
+      .filter(f => f.isFile &&
+        !keepNames.exists(n => f.getName.startsWith(n + ".")) &&
+        f.lastModified() <= horizon)
+    droppedBloom.foreach(_.delete())
     dropped.map(rel) ++ droppedCdf.map(d => s"_cdf/${d.getName}") ++
-      droppedDv.map(d => s"_dv/${d.getName}")
+      droppedDv.map(d => s"_dv/${d.getName}") ++
+      droppedBloom.map(f => s"_bloom/${f.getName}")
   }
 }
 
