@@ -512,6 +512,37 @@ object SparkEntry {
       lt.load(s).select(col("k"), col("name")).orderBy(col("k"))
     }),
 
+    "log_table_constraints" -> ((s, d) => {
+      // CHECK constraints enforced inside the commit-time stats
+      // aggregate (zero extra scans, Delta semantics): a valid
+      // append lands, a batch carrying ONE violating row refuses the
+      // WHOLE commit, and a pre-filtered retry lands — the oracle is
+      // the two committed batches
+      val dir = java.nio.file.Files.createTempDirectory("graft_logck")
+      val lt = new graft.sources.LogTable(s"$dir/t")
+      lt.create(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("bal",
+          org.apache.spark.sql.types.DoubleType))),
+        checkConstraints = Map("bal_nonneg" -> "bal >= 0"))
+      val cust = t(s, d, "customer")
+        .select(col("c_custkey").as("k"), col("c_acctbal").as("bal"))
+      lt.append(cust.filter(col("k") <= 150 && col("bal") >= 0))
+      // one synthetic violating row makes the dirty batch refuse
+      // deterministically at ANY scale factor
+      val dirty = cust.filter(col("k") > 150 && col("k") <= 300)
+        .unionByName(s.range(1)
+          .select(lit(999999999L).as("k"), lit(-1.0).as("bal")))
+      val refused =
+        try { lt.append(dirty); false }
+        catch { case _: IllegalArgumentException => true }
+      require(refused, "constraint should have refused the dirty batch")
+      lt.append(cust.filter(col("k") > 150 && col("k") <= 300 &&
+        col("bal") >= 0))
+      lt.load(s).orderBy(col("k"))
+    }),
+
     "log_table_dv" -> ((s, d) => {
       // merge-on-read DML via deletion vectors: a DELETE that moves
       // NO table data (matching row indices go to a vector sidecar;
@@ -1301,6 +1332,26 @@ object SparkEntry {
           col("p_id").as("next_purchase_id"))
         .orderBy(col("event_id"))
     }),
+
+    "gap_fill" -> ((s, d) =>
+      // time-series densification: every hour between a user's first
+      // and last event, absent hours at count 0 — the resample a
+      // rate model needs (a bare groupBy silently skips empty
+      // buckets). Grid = per-key sequence explode (∝ span hours),
+      // joined back on (key, hour); both shuffles key-bounded
+      Temporal.gapFillCounts(t(s, d, "events")
+        .filter(col("user_id") <= 200))
+        .select(col("user_id"), ntz(col("hour")).as("hour"), col("cnt"))
+        .orderBy(col("user_id"), col("hour"))),
+
+    "locf_fill" -> ((s, d) =>
+      // gap-fill with last-observation-carried-forward: hourly mean
+      // value (decimal-exact sum / count), gaps carrying the latest
+      // observed hour forward — the streaming-safe no-look-ahead fill
+      Temporal.locfFill(t(s, d, "events")
+        .filter(col("user_id") <= 200), "user_id", "ts", "value")
+        .select(col("user_id"), ntz(col("hour")).as("hour"), col("v"))
+        .orderBy(col("user_id"), col("hour"))),
 
     "dup_clusters" -> ((s, d) => {
       // the 100 TB path demonstrated end-to-end: pairs come from the
@@ -2167,6 +2218,12 @@ object SparkEntry {
          WHERE c_custkey <= 300 AND c_custkey % 50 <> 0
          ORDER BY k""",
 
+    "log_table_constraints" ->
+      """SELECT CAST(c_custkey AS BIGINT) AS k, c_acctbal AS bal
+         FROM customer
+         WHERE c_custkey <= 300 AND c_acctbal >= 0
+         ORDER BY k""",
+
     "log_table_dv" ->
       """SELECT CAST(c_custkey AS BIGINT) AS k,
                 CASE WHEN c_acctbal < 0 THEN 0.0 ELSE c_acctbal END AS bal
@@ -2750,6 +2807,42 @@ object SparkEntry {
          ) p ON TRUE
          WHERE e.event_type = 'view'
          ORDER BY e.event_id""",
+
+    "gap_fill" ->
+      """WITH hourly AS (
+           SELECT user_id, date_trunc('hour', ts) AS hour,
+                  count(*) AS cnt
+           FROM events WHERE user_id <= 200 GROUP BY 1, 2),
+         spans AS (
+           SELECT user_id, min(hour) AS h0, max(hour) AS h1
+           FROM hourly GROUP BY 1),
+         grid AS (
+           SELECT user_id,
+                  unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+           FROM spans)
+         SELECT g.user_id, g.hour, coalesce(h.cnt, 0) AS cnt
+         FROM grid g LEFT JOIN hourly h USING (user_id, hour)
+         ORDER BY g.user_id, g.hour""",
+
+    "locf_fill" ->
+      """WITH hourly AS (
+           SELECT user_id, date_trunc('hour', ts) AS hour,
+                  CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE)
+                    / count(*) AS v_obs
+           FROM events WHERE user_id <= 200 GROUP BY 1, 2),
+         spans AS (
+           SELECT user_id, min(hour) AS h0, max(hour) AS h1
+           FROM hourly GROUP BY 1),
+         grid AS (
+           SELECT user_id,
+                  unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+           FROM spans)
+         SELECT g.user_id, g.hour,
+                last_value(h.v_obs IGNORE NULLS) OVER (
+                  PARTITION BY g.user_id ORDER BY g.hour
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v
+         FROM grid g LEFT JOIN hourly h USING (user_id, hour)
+         ORDER BY g.user_id, g.hour""",
 
     "scd2_asof" ->
       """WITH h AS (

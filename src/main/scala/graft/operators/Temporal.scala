@@ -108,4 +108,48 @@ object Temporal {
       .select(facts.columns.map(facts(_)) ++
         dim.columns.filter(_ != dimKey).map(c => col(p + c).as(c)): _*)
   }
+
+  /** Densify a per-key hourly event series — one row for EVERY hour
+    * from the key's first to its last event hour, absent hours at
+    * count 0. A plain groupBy silently skips empty buckets, which
+    * poisons any rate model, anomaly detector or moving window
+    * consuming the series. The hour grid is generated per key from
+    * ONE aggregate (`sequence` explode — output ∝ span hours, never
+    * table size) and hash-joined back on (key, hour); both shuffles
+    * are key-bounded, nothing global. */
+  def gapFillCounts(events: DataFrame, keyCol: String = "user_id",
+                    tsCol: String = "ts"): DataFrame = {
+    val hourly = events.groupBy(col(keyCol),
+      date_trunc("hour", col(tsCol)).as("hour"))
+      .agg(count(lit(1)).as("cnt"))
+    val grid = hourly.groupBy(col(keyCol))
+      .agg(min("hour").as("__h0"), max("hour").as("__h1"))
+      .select(col(keyCol), explode(sequence(col("__h0"), col("__h1"),
+        expr("INTERVAL 1 HOUR"))).as("hour"))
+    grid.join(hourly, Seq(keyCol, "hour"), "left")
+      .select(col(keyCol), col("hour"),
+        coalesce(col("cnt"), lit(0L)).as("cnt"))
+  }
+
+  /** Gap-fill a VALUE series with last-observation-carried-forward:
+    * per-key hourly mean of `valueCol` (decimal-exact sum over
+    * count, so the result is partition-order-invariant), missing
+    * hours carrying the latest observed hour's value forward — no
+    * look-ahead, the streaming-safe fill. Leading gaps (before the
+    * first observation) stay null by construction of the span. */
+  def locfFill(events: DataFrame, keyCol: String, tsCol: String,
+               valueCol: String): DataFrame = {
+    val hourly = events.groupBy(col(keyCol),
+      date_trunc("hour", col(tsCol)).as("hour"))
+      .agg((sum(col(valueCol).cast("decimal(28,6)")).cast("double") /
+        count(lit(1))).as("v_obs"))
+    val grid = hourly.groupBy(col(keyCol))
+      .agg(min("hour").as("__h0"), max("hour").as("__h1"))
+      .select(col(keyCol), explode(sequence(col("__h0"), col("__h1"),
+        expr("INTERVAL 1 HOUR"))).as("hour"))
+    val w = Window.partitionBy(keyCol).orderBy("hour")
+    grid.join(hourly, Seq(keyCol, "hour"), "left")
+      .withColumn("v", last("v_obs", ignoreNulls = true).over(w))
+      .drop("v_obs")
+  }
 }

@@ -137,7 +137,9 @@ private[sources] final class LogStreamSource(ctx: SQLContext, log: LogTable,
       val adds = log.addedPaths(v)
       op match {
         case "append" | "create" => adds
-        case "optimize"          => Seq.empty // dataChange = false
+        // dataChange = false: reorganizations and metadata-only
+        // constraint commits carry no row-level change
+        case "optimize" | "constraint" => Seq.empty
         case changeOp =>
           if (!skipChangeCommits) throw new IllegalStateException(
             s"commit $v is a '$changeOp' — a streaming read of a log " +

@@ -138,7 +138,9 @@ final class LogTable(val path: String,
                                       txn: Option[(String, Long)])
   private final case class Snapshot(schema: StructType, adds: Seq[AddFile],
                                     partitionCols: Seq[String],
-                                    bloomCols: Seq[String] = Seq.empty)
+                                    bloomCols: Seq[String] = Seq.empty,
+                                    constraints: Map[String, String] =
+                                      Map.empty)
 
   private def parseStats(j: JValue): Map[String, ColStats] = j match {
     case JObject(fields) => fields.map { case (c, v) =>
@@ -241,6 +243,7 @@ final class LogTable(val path: String,
     var schema: Option[StructType] = None
     var partCols: Seq[String] = Seq.empty
     var bloomIdxCols: Seq[String] = Seq.empty
+    var checks: Map[String, String] = Map.empty
     val live = scala.collection.mutable.LinkedHashMap.empty[String, AddFile]
     val from = ckpts.lastOption match {
       case Some(cv) =>
@@ -255,6 +258,11 @@ final class LogTable(val path: String,
         (state \ "bloom") match {
           case JArray(arr) =>
             bloomIdxCols = arr.collect { case JString(s) => s }
+          case _ => ()
+        }
+        (state \ "constraints") match {
+          case JObject(fields) => checks = fields.collect {
+            case (k, JString(v)) => k -> v }.toMap
           case _ => ()
         }
         (state \ "adds").asInstanceOf[JArray].arr.foreach { j =>
@@ -277,6 +285,13 @@ final class LogTable(val path: String,
             bloomIdxCols = arr.collect { case JString(s) => s }
           case _ => ()
         }
+        (j \ "constraints") match {
+          // the action carries the FULL post-change constraint set
+          // (like schema actions), so the latest one wins wholesale
+          case JObject(fields) => checks = fields.collect {
+            case (k, JString(v)) => k -> v }.toMap
+          case _ => ()
+        }
         if ((j \ "add") != JNothing) {
           val a = parseAdd(j \ "add"); live(a.path) = a
         }
@@ -286,7 +301,7 @@ final class LogTable(val path: String,
     }
     Snapshot(schema.getOrElse(throw new IllegalStateException(
       s"log at $path has no schema action up to version $v")),
-      live.values.toSeq, partCols, bloomIdxCols)
+      live.values.toSeq, partCols, bloomIdxCols, checks)
   }
 
   /** Table schema at the current version. */
@@ -440,6 +455,43 @@ final class LogTable(val path: String,
   def bloomCols: Seq[String] = currentVersion
     .map(v => snapshotAt(v).bloomCols).getOrElse(Seq.empty)
 
+  /** Active CHECK constraints (name → SQL boolean expression). Every
+    * commit that stages data validates them in the SAME delta-sized
+    * aggregate as the stats pass — zero extra scans — and refuses to
+    * commit on any violating row (Delta's CHECK constraint
+    * semantics: NULL passes, only provably-FALSE rows violate). */
+  def checkConstraints: Map[String, String] = currentVersion
+    .map(v => snapshotAt(v).constraints).getOrElse(Map.empty)
+
+  /** `ALTER TABLE ADD CONSTRAINT` (Delta semantics): validates the
+    * EXISTING table in one scan first — refusing if any current row
+    * violates — then records the constraint in a metadata-only
+    * commit; every later write enforces it for free inside its
+    * stats pass. */
+  def addCheckConstraint(spark: SparkSession, name: String,
+                         sqlExpr: String): Long = {
+    val cur = checkConstraints
+    require(!cur.contains(name), s"constraint '$name' already exists")
+    if (exists && liveAdds().nonEmpty) {
+      val bad = load(spark)
+        .filter(coalesce(!expr(sqlExpr), lit(false))).count()
+      require(bad == 0L, s"cannot add CHECK constraint '$name' " +
+        s"($sqlExpr): $bad existing row(s) violate it")
+    }
+    commitRetry(currentVersion, Seq.empty, Seq.empty, "constraint",
+      schemaJson = None, cdfDir = None,
+      constraintsJson = Some(cur + (name -> sqlExpr)))
+  }
+
+  /** `ALTER TABLE DROP CONSTRAINT` — metadata-only. */
+  def dropCheckConstraint(name: String): Long = {
+    val cur = checkConstraints
+    require(cur.contains(name), s"no constraint '$name' to drop")
+    commitRetry(currentVersion, Seq.empty, Seq.empty, "constraint",
+      schemaJson = None, cdfDir = None,
+      constraintsJson = Some(cur - name))
+  }
+
   /** Seed an empty table with just a schema (SQL `CREATE TABLE`),
     * optionally hive-partitioned by `partitionBy` (SQL
     * `PARTITIONED BY` — fixed for the table's lifetime, as in
@@ -451,7 +503,8 @@ final class LogTable(val path: String,
     * bloom. */
   def create(tableSchema: StructType,
              partitionBy: Seq[String] = Seq.empty,
-             bloomFilterBy: Seq[String] = Seq.empty): Long = {
+             bloomFilterBy: Seq[String] = Seq.empty,
+             checkConstraints: Map[String, String] = Map.empty): Long = {
     ensureLayout()
     require(currentVersion.isEmpty, s"log table at $path already exists")
     partitionBy.foreach(c => require(tableSchema.fieldNames.contains(c),
@@ -471,7 +524,9 @@ final class LogTable(val path: String,
     commitRetry(None, Seq.empty, Seq.empty, "create",
       schemaJson = Some(ordered.json), cdfDir = None,
       partitionJson = if (partitionBy.isEmpty) None else Some(partitionBy),
-      bloomJson = if (bloomFilterBy.isEmpty) None else Some(bloomFilterBy))
+      bloomJson = if (bloomFilterBy.isEmpty) None else Some(bloomFilterBy),
+      constraintsJson =
+        if (checkConstraints.isEmpty) None else Some(checkConstraints))
   }
 
   /** Columns worth stats: fixed-width orderable types plus strings.
@@ -522,6 +577,10 @@ final class LogTable(val path: String,
       : Map[String, (AddFile, Seq[(String, Array[Byte])])] = {
     val cols = statCols(tableSchema)
     val bloomIdx = bloomCols.filter(tableSchema.fieldNames.contains)
+    // CHECK constraints validate in this same aggregate — zero extra
+    // scans. SQL CHECK semantics: NULL passes; only a provably-FALSE
+    // row violates.
+    val checks = checkConstraints.toSeq
     val aggs: Seq[Column] = count(lit(1)).as("__rows") +: (cols.flatMap { f =>
       Seq(min(statProjection(f)).as(s"__min_${f.name}"),
         max(statProjection(f)).as(s"__max_${f.name}"),
@@ -529,6 +588,9 @@ final class LogTable(val path: String,
     } ++ bloomIdx.map { c =>
       graft.plans.BloomExpressions.bloomAgg(xxhash64(col(c)),
         bloomExpectedItems).as(s"__bloom_$c")
+    } ++ checks.zipWithIndex.map { case ((_, sqlExpr), i) =>
+      sum(coalesce(!expr(sqlExpr), lit(false)).cast("long"))
+        .as(s"__viol_$i")
     })
     // a partitioned staging is hive-laid-out (the partition columns
     // come from the dirs); stats cover them too — min = max = the
@@ -540,6 +602,12 @@ final class LogTable(val path: String,
         .parquet(stagedDir.toString))
       .groupBy(input_file_name().as("__file"))
       .agg(aggs.head, aggs.tail: _*).collect()
+    checks.zipWithIndex.foreach { case ((name, sqlExpr), i) =>
+      val bad = rows.map(_.getAs[Long](s"__viol_$i")).sum
+      if (bad > 0L) throw new IllegalArgumentException(
+        s"CHECK constraint '$name' ($sqlExpr) violated by $bad " +
+          "staged row(s); nothing was committed")
+    }
     val stagedRoot = stagedDir.toPath.toAbsolutePath
     rows.map { r =>
       val full = new File(new java.net.URI(r.getAs[String]("__file")))
@@ -610,7 +678,14 @@ final class LogTable(val path: String,
     val stats =
       if (parts.isEmpty)
         Map.empty[String, (AddFile, Seq[(String, Array[Byte])])]
-      else collectStats(spark, stagedDir, tableSchema, partCols)
+      else
+        try collectStats(spark, stagedDir, tableSchema, partCols)
+        catch { case e: Throwable =>
+          // a refused commit (CHECK violation, bad stage) must not
+          // leak its staging — nothing has moved yet
+          deleteRecursive(stagedDir)
+          throw e
+        }
     val tag = UUID.randomUUID().toString.take(8)
     // zero-row part files (a rewrite that left no survivors, an
     // empty insert) carry no data — the stats pass has no row for
@@ -658,7 +733,9 @@ final class LogTable(val path: String,
                           txn: Option[(String, Long)] = None,
                           schemaBasis: Option[Long] = None,
                           partitionJson: Option[Seq[String]] = None,
-                          bloomJson: Option[Seq[String]] = None): Long = {
+                          bloomJson: Option[Seq[String]] = None,
+                          constraintsJson: Option[Map[String, String]] = None)
+      : Long = {
     ensureLayout()
     var attempts = 0
     while (attempts < 100) {
@@ -716,6 +793,9 @@ final class LogTable(val path: String,
         bloomJson.map(cols => JsonMethods.compact(JsonMethods.render(
           JObject(List("bloom" -> JArray(
             cols.toList.map(JString(_)))))))) ++
+        constraintsJson.map(cs => JsonMethods.compact(JsonMethods.render(
+          JObject(List("constraints" -> JObject(
+            cs.toList.map { case (k, v) => k -> JString(v) })))))) ++
         removePaths.map(p => JsonMethods.compact(JsonMethods.render(
           JObject(List("remove" -> JObject(List("path" -> JString(p)))))))) ++
         adds.map(a => JsonMethods.compact(JsonMethods.render(
@@ -743,6 +823,8 @@ final class LogTable(val path: String,
         "schema" -> JsonMethods.parse(snap.schema.json),
         "partition" -> JArray(snap.partitionCols.toList.map(JString(_))),
         "bloom" -> JArray(snap.bloomCols.toList.map(JString(_))),
+        "constraints" -> JObject(
+          snap.constraints.toList.map { case (k, v) => k -> JString(v) }),
         "adds" -> JArray(snap.adds.toList.map(renderAdd))))
       val tmp = new File(logDir, s".tmp-ckpt-${UUID.randomUUID()}")
       Files.writeString(tmp.toPath,

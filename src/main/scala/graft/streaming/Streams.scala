@@ -573,6 +573,39 @@ object Streams {
         col("value"))
   }
 
+  /** LEFT-OUTER stream-stream join — the abandonment-detection dual
+    * of [[attributionJoin]]: every view pairs with its in-window
+    * purchase when one arrives, and a view with NO purchase inside
+    * the attribution window emits with null purchase columns — but
+    * only once the watermark passes the window end, when the engine
+    * can PROVE no match can still arrive. This is the semantics the
+    * inner join cannot express (an unmatched row must be held in
+    * state until provably unmatchable, then emitted exactly once —
+    * Spark's outer stream-stream state eviction); the time-bound
+    * join condition is what keeps that state finite: each view is
+    * droppable `attributionWindow` past its event time. */
+  def abandonmentJoin(events: DataFrame,
+                      attributionWindow: String = "1 hour",
+                      watermark: String = "2 hours"): DataFrame = {
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("view_ts"),
+        col("event_id").as("view_id"))
+      .withWatermark("view_ts", watermark)
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"), col("value"))
+      .withWatermark("purchase_ts", watermark)
+    views.join(purchases,
+      col("v_user") === col("p_user") &&
+        col("purchase_ts") >= col("view_ts") &&
+        col("purchase_ts") <= col("view_ts") + expr(
+          s"INTERVAL $attributionWindow"),
+      "leftOuter")
+      .select(col("v_user").as("user_id"), col("view_id"),
+        col("purchase_id"), col("view_ts"), col("purchase_ts"),
+        col("value"), col("purchase_id").isNull.as("abandoned"))
+  }
+
   /** Streaming benchmark decontamination: drop stream documents that
     * share any k-word shingle with a STATIC eval corpus — the
     * streaming twin of Decontam.decontaminate, restructured to be

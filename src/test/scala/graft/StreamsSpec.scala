@@ -277,6 +277,45 @@ class StreamsSpec extends SparkSpec {
     assert(out == Seq((1L, 2L)))
   }
 
+  test("abandonmentJoin emits matched views immediately and " +
+    "unmatched views exactly once after the watermark proves them " +
+    "unmatchable") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    mem.addData(
+      Event(1L, ts("2024-01-01 00:00:00"), 1L, "view", 0.0),     // converts
+      Event(2L, ts("2024-01-01 00:30:00"), 1L, "purchase", 9.0),
+      Event(3L, ts("2024-01-01 00:05:00"), 2L, "view", 0.0),     // abandoned
+      Event(4L, ts("2024-01-01 03:30:00"), 2L, "purchase", 5.0)) // too late
+    val q = Streams.abandonmentJoin(mem.toDF(), "1 hour", "1 hour")
+      .writeStream.format("memory").queryName("abandon_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // advance BOTH watermarks far past every window end so held
+      // outer state becomes provably unmatchable and flushes
+      mem.addData(
+        Event(8L, ts("2024-01-02 12:00:00"), 9L, "view", 0.0),
+        Event(9L, ts("2024-01-02 12:00:00"), 9L, "purchase", 1.0))
+      q.processAllAvailable()
+      mem.addData(Event(10L, ts("2024-01-03 12:00:00"), 9L, "view", 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("abandon_out")
+      .select("view_id", "purchase_id", "abandoned")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1), r.getBoolean(2))).toSet
+    // view 1 matched purchase 2; view 3 abandoned (its only purchase
+    // came 3.5h later, outside the 1h window); heartbeat view 8
+    // matched purchase 9 same-instant
+    assert(out.contains((1L, 2L, false)))
+    assert(out.contains((3L, -1L, true)))
+    assert(out.contains((8L, 9L, false)))
+    // exactly-once: no duplicate emission for the abandoned view
+    assert(spark.table("abandon_out")
+      .filter(col("view_id") === 3L).count() == 1L)
+  }
+
   test("decontaminateStream drops exactly the docs overlapping the eval set") {
     implicit val sqlCtx = spark.sqlContext
     case class Doc(doc_id: Long, text: String)
