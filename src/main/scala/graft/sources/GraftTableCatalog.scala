@@ -192,7 +192,24 @@ class GraftTableCatalog extends TableCatalog {
           s"log tables support only identity PARTITIONED BY columns, " +
             s"got transform '$other'")
       }
-      new LogTable(dirOf(ident).toString).create(schema, partCols)
+      // the SQL-facing knobs for the log table's index/constraint/
+      // generated-column features ride TBLPROPERTIES:
+      //   'bloom' = 'colA,colB'           per-file bloom index
+      //   'check.<name>' = '<bool expr>'  CHECK constraint
+      //   'generated.<col>' = '<expr>'    GENERATED ALWAYS AS
+      import scala.jdk.CollectionConverters._
+      val props = properties.asScala
+      val bloom = props.get("bloom")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        .getOrElse(Seq.empty)
+      val checks = props.collect {
+        case (k, v) if k.startsWith("check.") =>
+          k.stripPrefix("check.") -> v }.toMap
+      val gens = props.collect {
+        case (k, v) if k.startsWith("generated.") =>
+          k.stripPrefix("generated.") -> v }.toMap
+      new LogTable(dirOf(ident).toString)
+        .create(schema, partCols, bloom, checks, gens)
     } else {
       val spark = SparkSession.active
       val empty = spark.createDataFrame(

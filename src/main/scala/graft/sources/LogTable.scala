@@ -140,6 +140,8 @@ final class LogTable(val path: String,
                                     partitionCols: Seq[String],
                                     bloomCols: Seq[String] = Seq.empty,
                                     constraints: Map[String, String] =
+                                      Map.empty,
+                                    generated: Map[String, String] =
                                       Map.empty)
 
   private def parseStats(j: JValue): Map[String, ColStats] = j match {
@@ -244,6 +246,7 @@ final class LogTable(val path: String,
     var partCols: Seq[String] = Seq.empty
     var bloomIdxCols: Seq[String] = Seq.empty
     var checks: Map[String, String] = Map.empty
+    var genCols: Map[String, String] = Map.empty
     val live = scala.collection.mutable.LinkedHashMap.empty[String, AddFile]
     val from = ckpts.lastOption match {
       case Some(cv) =>
@@ -262,6 +265,11 @@ final class LogTable(val path: String,
         }
         (state \ "constraints") match {
           case JObject(fields) => checks = fields.collect {
+            case (k, JString(v)) => k -> v }.toMap
+          case _ => ()
+        }
+        (state \ "generated") match {
+          case JObject(fields) => genCols = fields.collect {
             case (k, JString(v)) => k -> v }.toMap
           case _ => ()
         }
@@ -292,6 +300,11 @@ final class LogTable(val path: String,
             case (k, JString(v)) => k -> v }.toMap
           case _ => ()
         }
+        (j \ "generated") match {
+          case JObject(fields) => genCols = fields.collect {
+            case (k, JString(v)) => k -> v }.toMap
+          case _ => ()
+        }
         if ((j \ "add") != JNothing) {
           val a = parseAdd(j \ "add"); live(a.path) = a
         }
@@ -301,7 +314,7 @@ final class LogTable(val path: String,
     }
     Snapshot(schema.getOrElse(throw new IllegalStateException(
       s"log at $path has no schema action up to version $v")),
-      live.values.toSeq, partCols, bloomIdxCols, checks)
+      live.values.toSeq, partCols, bloomIdxCols, checks, genCols)
   }
 
   /** Table schema at the current version. */
@@ -463,6 +476,19 @@ final class LogTable(val path: String,
   def checkConstraints: Map[String, String] = currentVersion
     .map(v => snapshotAt(v).constraints).getOrElse(Map.empty)
 
+  /** Generated columns (Delta's `GENERATED ALWAYS AS`): column name
+    * → SQL expression over the other columns. Appends that omit the
+    * column get it computed; writes that PROVIDE it are validated
+    * against the expression inside the stats aggregate (a mismatch
+    * refuses the commit — Delta's rule); UPDATEs that touch a source
+    * column recompute it; and predicates on a source column derive
+    * predicates on the generated one for file skipping — which is
+    * what makes `PARTITIONED BY (event_date)` with
+    * `event_date GENERATED ALWAYS AS (CAST(ts AS DATE))` prune on
+    * plain `ts` filters, the Delta/Iceberg daily-partitioning UX. */
+  def generatedCols: Map[String, String] = currentVersion
+    .map(v => snapshotAt(v).generated).getOrElse(Map.empty)
+
   /** `ALTER TABLE ADD CONSTRAINT` (Delta semantics): validates the
     * EXISTING table in one scan first — refusing if any current row
     * violates — then records the constraint in a metadata-only
@@ -504,13 +530,17 @@ final class LogTable(val path: String,
   def create(tableSchema: StructType,
              partitionBy: Seq[String] = Seq.empty,
              bloomFilterBy: Seq[String] = Seq.empty,
-             checkConstraints: Map[String, String] = Map.empty): Long = {
+             checkConstraints: Map[String, String] = Map.empty,
+             generatedAlwaysAs: Map[String, String] = Map.empty): Long = {
     ensureLayout()
     require(currentVersion.isEmpty, s"log table at $path already exists")
     partitionBy.foreach(c => require(tableSchema.fieldNames.contains(c),
       s"PARTITIONED BY names unknown column '$c'"))
     bloomFilterBy.foreach(c => require(tableSchema.fieldNames.contains(c),
       s"bloom index names unknown column '$c'"))
+    generatedAlwaysAs.keys.foreach(c =>
+      require(tableSchema.fieldNames.contains(c),
+        s"GENERATED ALWAYS AS names unknown column '$c'"))
     // partition columns normalize to the END of the schema: the
     // hive-discovery scan appends them after the data columns, and a
     // declared order disagreeing with the scan's makes the analyzer
@@ -526,7 +556,9 @@ final class LogTable(val path: String,
       partitionJson = if (partitionBy.isEmpty) None else Some(partitionBy),
       bloomJson = if (bloomFilterBy.isEmpty) None else Some(bloomFilterBy),
       constraintsJson =
-        if (checkConstraints.isEmpty) None else Some(checkConstraints))
+        if (checkConstraints.isEmpty) None else Some(checkConstraints),
+      generatedJson =
+        if (generatedAlwaysAs.isEmpty) None else Some(generatedAlwaysAs))
   }
 
   /** Columns worth stats: fixed-width orderable types plus strings.
@@ -577,10 +609,15 @@ final class LogTable(val path: String,
       : Map[String, (AddFile, Seq[(String, Array[Byte])])] = {
     val cols = statCols(tableSchema)
     val bloomIdx = bloomCols.filter(tableSchema.fieldNames.contains)
-    // CHECK constraints validate in this same aggregate — zero extra
-    // scans. SQL CHECK semantics: NULL passes; only a provably-FALSE
-    // row violates.
-    val checks = checkConstraints.toSeq
+    // CHECK constraints and generated-column faithfulness validate
+    // in this same aggregate — zero extra scans. SQL CHECK
+    // semantics: NULL passes; only a provably-FALSE row violates.
+    // A provided generated column violates when it null-safely
+    // differs from its expression recomputed over the staged row.
+    val checks = checkConstraints.toSeq ++
+      generatedCols.toSeq.filter(g => tableSchema.fieldNames.contains(g._1))
+        .map { case (g, e) =>
+          s"generated column $g" -> s"`$g` <=> ($e)" }
     val aggs: Seq[Column] = count(lit(1)).as("__rows") +: (cols.flatMap { f =>
       Seq(min(statProjection(f)).as(s"__min_${f.name}"),
         max(statProjection(f)).as(s"__max_${f.name}"),
@@ -734,7 +771,8 @@ final class LogTable(val path: String,
                           schemaBasis: Option[Long] = None,
                           partitionJson: Option[Seq[String]] = None,
                           bloomJson: Option[Seq[String]] = None,
-                          constraintsJson: Option[Map[String, String]] = None)
+                          constraintsJson: Option[Map[String, String]] = None,
+                          generatedJson: Option[Map[String, String]] = None)
       : Long = {
     ensureLayout()
     var attempts = 0
@@ -796,6 +834,9 @@ final class LogTable(val path: String,
         constraintsJson.map(cs => JsonMethods.compact(JsonMethods.render(
           JObject(List("constraints" -> JObject(
             cs.toList.map { case (k, v) => k -> JString(v) })))))) ++
+        generatedJson.map(gs => JsonMethods.compact(JsonMethods.render(
+          JObject(List("generated" -> JObject(
+            gs.toList.map { case (k, v) => k -> JString(v) })))))) ++
         removePaths.map(p => JsonMethods.compact(JsonMethods.render(
           JObject(List("remove" -> JObject(List("path" -> JString(p)))))))) ++
         adds.map(a => JsonMethods.compact(JsonMethods.render(
@@ -825,6 +866,8 @@ final class LogTable(val path: String,
         "bloom" -> JArray(snap.bloomCols.toList.map(JString(_))),
         "constraints" -> JObject(
           snap.constraints.toList.map { case (k, v) => k -> JString(v) }),
+        "generated" -> JObject(
+          snap.generated.toList.map { case (k, v) => k -> JString(v) }),
         "adds" -> JArray(snap.adds.toList.map(renderAdd))))
       val tmp = new File(logDir, s".tmp-ckpt-${UUID.randomUUID()}")
       Files.writeString(tmp.toPath,
@@ -865,10 +908,18 @@ final class LogTable(val path: String,
     * otherwise; on a name collision the TABLE's type wins (the
     * incoming column is cast — ANSI surfaces an incompatibility at
     * write time, not as silent corruption). */
-  def append(df: DataFrame, mergeSchema: Boolean = false): Long = {
+  def append(df0: DataFrame, mergeSchema: Boolean = false): Long = {
     ensureLayout()
     val basisVersion = currentVersion
     val existing = basisVersion.map(schemaAt)
+    // generated columns the incoming frame omits are computed here
+    // (GENERATED ALWAYS AS); ones it provides are validated by the
+    // commit-time stats aggregate instead
+    val gen = basisVersion.map(v => snapshotAt(v).generated)
+      .getOrElse(Map.empty)
+    val df = gen.foldLeft(df0) { case (acc, (g, e)) =>
+      if (acc.columns.contains(g)) acc else acc.withColumn(g, expr(e))
+    }
     val tableSchema = existing match {
       case None => df.schema
       case Some(s) =>
@@ -1130,6 +1181,41 @@ final class LogTable(val path: String,
     case other                 => Seq(other)
   }
 
+  /** Expand an UPDATE's SET map with recomputed generated columns:
+    * when a SET touches a source column of a generated column and
+    * does not set the generated one explicitly, the generated
+    * expression is re-derived with the source reference REPLACED by
+    * the source's SET expression — the projection evaluates against
+    * pre-update rows, so a plain `expr(e)` would recompute from the
+    * OLD source value (Delta recomputes generated columns the same
+    * way). */
+  private def withGeneratedRecompute(spark: SparkSession,
+                                     set: Map[String, Column])
+      : Map[String, Column] = {
+    val gen = generatedCols
+    if (gen.isEmpty) set
+    else gen.foldLeft(set) { case (acc, (g, e)) =>
+      if (acc.contains(g)) acc
+      else {
+        val parsed = spark.sessionState.sqlParser.parseExpression(e)
+        val refs = parsed.collect {
+          case u: org.apache.spark.sql.catalyst.analysis
+            .UnresolvedAttribute => u.name
+        }
+        if (!refs.exists(acc.contains)) acc
+        else {
+          val substituted = parsed.transform {
+            case u: org.apache.spark.sql.catalyst.analysis
+              .UnresolvedAttribute if acc.contains(u.name) =>
+              org.apache.spark.sql.GraftColumnShim.expression(acc(u.name))
+          }
+          acc + (g -> org.apache.spark.sql.GraftColumnShim
+            .column(substituted))
+        }
+      }
+    }
+  }
+
   /** Row-level DELETE: stats-prune, scan only the survivors for
     * files that actually contain matches, rewrite only those —
     * everything else carries forward by reference. Rows where `pred`
@@ -1144,10 +1230,11 @@ final class LogTable(val path: String,
     * matching rows get `set` applied, everything else is rewritten
     * byte-identical. Change feed records pre/post images. */
   def update(spark: SparkSession, pred: Column,
-             set: Map[String, Column]): RowOpResult = {
+             set0: Map[String, Column]): RowOpResult = {
     val s = schema
-    set.keys.foreach(k => require(s.fieldNames.contains(k),
+    set0.keys.foreach(k => require(s.fieldNames.contains(k),
       s"UPDATE SET names unknown column '$k'"))
+    val set = withGeneratedRecompute(spark, set0)
     rewriteMatching(spark, pred, "update") { (matching, file) =>
       file.select(s.fields.toSeq.map { f =>
         set.get(f.name)
@@ -1179,10 +1266,11 @@ final class LogTable(val path: String,
     * of their files and their post-images appended as new files —
     * write amplification ∝ matched rows, not touched files. */
   def updateMor(spark: SparkSession, pred: Column,
-                set: Map[String, Column]): RowOpResult = {
+                set0: Map[String, Column]): RowOpResult = {
     val s = schema
-    set.keys.foreach(k => require(s.fieldNames.contains(k),
+    set0.keys.foreach(k => require(s.fieldNames.contains(k),
       s"UPDATE SET names unknown column '$k'"))
+    val set = withGeneratedRecompute(spark, set0)
     morMatching(spark, pred, "update") { (matched, snapSchema, _) =>
       Some(matched.select(snapSchema.fields.toSeq.map { f =>
         set.get(f.name).map(_.cast(f.dataType).as(f.name))
@@ -1202,7 +1290,9 @@ final class LogTable(val path: String,
     val readVersion = currentVersion.getOrElse(
       throw new IllegalStateException(s"no log table at $path"))
     val snap = snapshotAt(readVersion)
-    val conjuncts = resolvedConjuncts(spark, snap.schema, pred)
+    val base = resolvedConjuncts(spark, snap.schema, pred)
+    val conjuncts =
+      base ++ derivedConjuncts(spark, snap.generated, base)
     val (skipped, candidates) = snap.adds.partition(
       provablyNoMatch(_, conjuncts))
     if (candidates.isEmpty)
@@ -1289,6 +1379,124 @@ final class LogTable(val path: String,
       cdfDir = None)
   }
 
+  /** Derive file-skipping conjuncts on GENERATED columns from user
+    * conjuncts on their SOURCE columns, for monotonic generation
+    * templates (`CAST(src AS DATE)`, `to_date`, `date_trunc`,
+    * `trunc`, `year`, prefix `substring`/`left`): `ts >= L` implies
+    * `date(ts) >= date(L)`, so a table `PARTITIONED BY (event_date
+    * GENERATED ALWAYS AS CAST(ts AS DATE))` prunes on plain `ts`
+    * predicates — the Delta generated-column partition-pruning UX.
+    * Strict bounds weaken to non-strict on the derived side (the
+    * transform is non-injective); equality maps to equality. The
+    * transform-of-literal folds through Catalyst's own analyzer +
+    * constant folding (no job), so timezone/ANSI semantics are
+    * exactly the engine's; anything unrecognized or unfoldable
+    * derives nothing — less skipping, never wrong. */
+  private def derivedConjuncts(spark: SparkSession,
+      generated: Map[String, String],
+      conjuncts: Seq[expressions.Expression]): Seq[expressions.Expression] = {
+    if (generated.isEmpty || conjuncts.isEmpty) return Seq.empty
+    import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFunction}
+
+    def srcOf(e: expressions.Expression): Option[String] = e match {
+      case c: expressions.Cast => (c.child, c.dataType) match {
+        case (u: UnresolvedAttribute, DateType) => Some(u.name)
+        case _ => None
+      }
+      case f: UnresolvedFunction =>
+        (f.nameParts.last.toLowerCase(java.util.Locale.ROOT),
+          f.arguments) match {
+          case ("to_date" | "date", Seq(u: UnresolvedAttribute)) =>
+            Some(u.name)
+          case ("date_trunc",
+            Seq(_: expressions.Literal, u: UnresolvedAttribute)) =>
+            Some(u.name)
+          case ("trunc",
+            Seq(u: UnresolvedAttribute, _: expressions.Literal)) =>
+            Some(u.name)
+          case ("year", Seq(u: UnresolvedAttribute)) => Some(u.name)
+          case ("substring" | "substr",
+            Seq(u: UnresolvedAttribute, s: expressions.Literal,
+                _: expressions.Literal)) if s.value == 1 => Some(u.name)
+          case ("left",
+            Seq(u: UnresolvedAttribute, _: expressions.Literal)) =>
+            Some(u.name)
+          case _ => None
+        }
+      case _ => None
+    }
+
+    // fold transform(literal) through the engine: analyzer resolves
+    // the function, ConstantFolding collapses it — extracted from
+    // the optimized one-row plan, no job runs
+    def foldLit(substituted: expressions.Expression)
+        : Option[expressions.Literal] =
+      try {
+        val plan = spark.range(1)
+          .select(org.apache.spark.sql.GraftColumnShim
+            .column(substituted).as("v"))
+          .queryExecution.optimizedPlan
+        plan.collectFirst {
+          case p: org.apache.spark.sql.catalyst.plans.logical.Project =>
+            p.projectList.head
+        }.map {
+          case a: expressions.Alias => a.child
+          case other                => other
+        }.collect { case l: expressions.Literal => l }
+      } catch { case NonFatal(_) => None }
+
+    val templates = generated.toSeq.flatMap { case (g, e) =>
+      try {
+        val parsed = spark.sessionState.sqlParser.parseExpression(e)
+        srcOf(parsed).map(src => (g, src, parsed))
+      } catch { case NonFatal(_) => None }
+    }
+    if (templates.isEmpty) return Seq.empty
+
+    def derive(src: String, parsed: expressions.Expression, g: String,
+               attr: expressions.Expression, litSide: expressions.Expression,
+               mk: (expressions.Expression, expressions.Expression) =>
+                 expressions.Expression): Seq[expressions.Expression] =
+      attr match {
+        case a: expressions.Attribute
+            if a.name == src && litSide.foldable =>
+          val substituted = parsed.transform {
+            case u: UnresolvedAttribute if u.name == src => litSide
+          }
+          foldLit(substituted).map { l =>
+            mk(expressions.AttributeReference(g, l.dataType)(), l)
+          }.toSeq
+        case _ => Seq.empty
+      }
+
+    conjuncts.flatMap { c =>
+      templates.flatMap { case (g, src, parsed) =>
+        def d(attr: expressions.Expression, lit: expressions.Expression,
+              mk: (expressions.Expression, expressions.Expression) =>
+                expressions.Expression) =
+          derive(src, parsed, g, attr, lit, mk)
+        c match {
+          // strict bounds weaken: src > L ⟹ g >= T(L)
+          case expressions.GreaterThan(l, r) =>
+            d(l, r, expressions.GreaterThanOrEqual) ++
+              d(r, l, expressions.LessThanOrEqual)
+          case expressions.GreaterThanOrEqual(l, r) =>
+            d(l, r, expressions.GreaterThanOrEqual) ++
+              d(r, l, expressions.LessThanOrEqual)
+          case expressions.LessThan(l, r) =>
+            d(l, r, expressions.LessThanOrEqual) ++
+              d(r, l, expressions.GreaterThanOrEqual)
+          case expressions.LessThanOrEqual(l, r) =>
+            d(l, r, expressions.LessThanOrEqual) ++
+              d(r, l, expressions.GreaterThanOrEqual)
+          case expressions.EqualTo(l, r) =>
+            d(l, r, expressions.EqualTo) ++ d(r, l, expressions.EqualTo)
+          case _ => Seq.empty
+        }
+      }
+    }
+  }
+
   /** Resolve a user predicate against a schema (an analyzed Filter
     * over an empty local relation): attributes become typed
     * references, literal sides become foldable — the form the stats
@@ -1306,7 +1514,9 @@ final class LogTable(val path: String,
     val readVersion = currentVersion.getOrElse(
       throw new IllegalStateException(s"no log table at $path"))
     val snap = snapshotAt(readVersion)
-    val conjuncts = resolvedConjuncts(spark, snap.schema, pred)
+    val base = resolvedConjuncts(spark, snap.schema, pred)
+    val conjuncts =
+      base ++ derivedConjuncts(spark, snap.generated, base)
     val (skipped, candidates) = snap.adds.partition(
       provablyNoMatch(_, conjuncts))
     if (candidates.isEmpty)
