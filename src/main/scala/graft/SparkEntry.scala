@@ -512,6 +512,30 @@ object SparkEntry {
       lt.load(s).select(col("k"), col("name")).orderBy(col("k"))
     }),
 
+    "log_table_procedures" -> ((s, d) => {
+      // Iceberg-style SQL stored procedures on Spark 4's native
+      // ProcedureCatalog: OPTIMIZE bin-packs the two appends' files,
+      // a DELETE mutates, RESTORE rolls it back — every maintenance
+      // verb a plain CALL statement, and the final state is the two
+      // appended batches exactly
+      val tag = java.lang.Integer.toHexString(d.hashCode)
+      val wh = java.nio.file.Files.createTempDirectory("graft_logproc")
+      val cat = s"logproc_$tag"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.GraftTableCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh.toString)
+      val lt = new graft.sources.LogTable(s"$wh/t")
+      val cust = t(s, d, "customer")
+        .select(col("c_custkey").as("k"), col("c_acctbal").as("bal"))
+      lt.append(cust.filter(col("k") <= 150))
+      lt.append(cust.filter(col("k") > 150 && col("k") <= 300))
+      s.sql(s"CALL $cat.system.optimize('t')").collect()
+      val preDelete = lt.currentVersion.get
+      s.sql(s"DELETE FROM $cat.t WHERE k > 100")
+      s.sql(s"CALL $cat.restore('t', $preDelete)").collect()
+      s.sql(s"SELECT k, bal FROM $cat.t ORDER BY k")
+    }),
+
     "log_table_generated" -> ((s, d) => {
       // generated columns (GENERATED ALWAYS AS) + the derivation
       // that makes them matter: a table partitioned by
@@ -2250,6 +2274,11 @@ object SparkEntry {
       """SELECT CAST(c_custkey AS BIGINT) AS k, c_name AS name
          FROM customer
          WHERE c_custkey <= 300 AND c_custkey % 50 <> 0
+         ORDER BY k""",
+
+    "log_table_procedures" ->
+      """SELECT CAST(c_custkey AS BIGINT) AS k, c_acctbal AS bal
+         FROM customer WHERE c_custkey <= 300
          ORDER BY k""",
 
     "log_table_generated" ->

@@ -1,0 +1,114 @@
+package graft.sources
+
+import java.util.{Collections, Iterator => JIterator}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** SQL stored procedures over log tables — the Iceberg-procedure
+  * surface (`CALL cat.system.rewrite_data_files(...)`) on Spark 4's
+  * native `ProcedureCatalog` API, so every table-maintenance verb is
+  * reachable from plain SQL with no graft import in sight:
+  *
+  * {{{
+  * CALL g.restore(`table` => 't', version => 3)
+  * CALL g.vacuum('t', 2, 0)         -- retain_last, retention_hours
+  * CALL g.optimize('t')             -- bin-pack small files
+  * CALL g.optimize('t', 'k')        -- ... clustered by k (z-order)
+  * CALL g.purge_deletes('t')        -- materialize deletion vectors
+  * CALL g.history('t')              -- DESCRIBE HISTORY rows
+  * }}}
+  *
+  * Each call runs the existing engine entry point and returns its
+  * result as rows (a `LocalScan` — procedure outputs are metadata-
+  * sized: versions, dropped paths, history lines). All the scale
+  * properties are the callee's: RESTORE and vacuum stay
+  * metadata-only, OPTIMIZE rewrites ∝ selected files. */
+private[sources] final class GraftProcedure(catalog: GraftTableCatalog,
+                                            procName: String)
+  extends UnboundProcedure with BoundProcedure {
+
+  import GraftProcedure._
+
+  override def name(): String = procName
+  override def description(): String = s"graft log-table $procName"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def isDeterministic: Boolean = false
+
+  private def in(n: String, dt: DataType) = ProcedureParameter.in(n, dt)
+
+  override def parameters(): Array[ProcedureParameter] = procName match {
+    case "restore" =>
+      Array(in("table", StringType).build(),
+        in("version", LongType).build())
+    case "vacuum" =>
+      Array(in("table", StringType).build(),
+        in("retain_last", IntegerType).defaultValue("1").build(),
+        in("retention_hours", IntegerType).defaultValue("168").build())
+    case "optimize" =>
+      Array(in("table", StringType).build(),
+        in("zorder_by", StringType).defaultValue("''").build(),
+        in("target_files", IntegerType).defaultValue("8").build())
+    case "purge_deletes" | "history" =>
+      Array(in("table", StringType).build())
+    case other =>
+      throw new UnsupportedOperationException(s"procedure $other")
+  }
+
+  private def outSchema: StructType = procName match {
+    case "restore" | "purge_deletes" | "optimize" =>
+      StructType(Seq(StructField("version", LongType)))
+    case "vacuum" =>
+      StructType(Seq(StructField("dropped", StringType)))
+    case "history" =>
+      StructType(Seq(StructField("version", LongType),
+        StructField("commit_ts", LongType), StructField("op", StringType),
+        StructField("n_added", LongType), StructField("n_removed", LongType)))
+  }
+
+  override def call(input: InternalRow): JIterator[Scan] = {
+    val spark = SparkSession.active
+    val t = catalog.logTableByName(input.getUTF8String(0).toString)
+    val out: Seq[InternalRow] = procName match {
+      case "restore" =>
+        Seq(row(t.restore(input.getLong(1))))
+      case "vacuum" =>
+        t.vacuum(input.getInt(1),
+          input.getInt(2).toLong * 3600L * 1000L)
+          .map(p => row(UTF8String.fromString(p)))
+      case "optimize" =>
+        val zorder = input.getUTF8String(1).toString
+        val v =
+          if (zorder.isEmpty) t.compactFiles(spark)
+          else t.cluster(spark,
+            zorder.split(",").map(_.trim).filter(_.nonEmpty).toSeq,
+            input.getInt(2))
+        Seq(row(v))
+      case "purge_deletes" =>
+        Seq(row(t.purgeDeletes(spark)))
+      case "history" =>
+        t.history(spark).collect().map(r => row(
+          r.getLong(0), r.getLong(1),
+          UTF8String.fromString(r.getString(2)),
+          r.getLong(3), r.getLong(4))).toSeq
+    }
+    val scan: Scan = new LocalScan {
+      override def readSchema(): StructType = outSchema
+      override def rows(): Array[InternalRow] = out.toArray
+    }
+    Collections.singletonList(scan).iterator()
+  }
+}
+
+private object GraftProcedure {
+  val Names: Set[String] =
+    Set("restore", "vacuum", "optimize", "purge_deletes", "history")
+
+  private def row(vs: Any*): InternalRow =
+    new GenericInternalRow(vs.toArray)
+}

@@ -4,7 +4,8 @@ import java.util.{Map => JMap}
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.{NoSuchTableException, TableAlreadyExistsException}
-import org.apache.spark.sql.connector.catalog.{Identifier, SupportsRead, Table, TableCapability, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.{Identifier, ProcedureCatalog, SupportsRead, Table, TableCapability, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.ScanBuilder
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
@@ -51,7 +52,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * Scale: the catalog itself is metadata-only (one manifest read per
   * resolution, O(#versions) listing for timestamp lookup); all data
   * movement is the parquet scan. */
-class GraftTableCatalog extends TableCatalog {
+class GraftTableCatalog extends TableCatalog with ProcedureCatalog {
 
   private var catalogName: String = _
   private var warehouse: String = _
@@ -218,6 +219,35 @@ class GraftTableCatalog extends TableCatalog {
     }
     loadTable(ident)
   }
+
+  /** Resolve a log table by its in-catalog name (optionally
+    * namespace-qualified `ns.t`), for the stored procedures. */
+  private[sources] def logTableByName(name: String): LogTable = {
+    val parts = name.split("\\.").toSeq
+    val ident = Identifier.of(parts.init.toArray, parts.last)
+    val t = new LogTable(dirOf(ident).toString)
+    require(t.exists, s"no log table '$name' in catalog $catalogName")
+    t
+  }
+
+  /** Iceberg-style SQL stored procedures ([[GraftProcedure]]):
+    * `CALL cat.restore('t', 3)`, vacuum, optimize (plain or
+    * z-ordered), purge_deletes, history — the table-maintenance
+    * verbs as plain SQL, on Spark 4's native `ProcedureCatalog`
+    * seam. Any namespace is accepted (`cat.system.vacuum` works,
+    * Iceberg-style). */
+  override def loadProcedure(ident: Identifier): UnboundProcedure = {
+    val n = ident.name().toLowerCase(java.util.Locale.ROOT)
+    if (GraftProcedure.Names.contains(n)) new GraftProcedure(this, n)
+    else throw new RuntimeException(
+      s"no such procedure: ${ident.name()} (have: " +
+        s"${GraftProcedure.Names.toSeq.sorted.mkString(", ")})")
+  }
+
+  override def listProcedures(namespace: Array[String])
+      : Array[Identifier] =
+    GraftProcedure.Names.toSeq.sorted
+      .map(Identifier.of(namespace, _)).toArray
 
   override def alterTable(ident: Identifier,
                           changes: TableChange*): Table =

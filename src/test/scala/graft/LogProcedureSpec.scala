@@ -1,0 +1,78 @@
+package graft
+
+import graft.sources.LogTable
+import org.apache.spark.sql.functions._
+
+/** SQL stored procedures over log tables (Spark 4 ProcedureCatalog):
+  * every table-maintenance verb reachable as `CALL cat.proc(...)`
+  * with no graft API in sight. */
+class LogProcedureSpec extends SparkSpec {
+  import spark.implicits._
+
+  // one catalog NAME per test: Spark caches catalog instances by
+  // name, so re-pointing the same name at a new warehouse would keep
+  // serving the old one
+  private val catSeq = new java.util.concurrent.atomic.AtomicInteger
+
+  private def withCatalog(f: (String, LogTable) => Unit): Unit = {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_proc").toString
+    val cat = s"gproc${catSeq.incrementAndGet()}"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      "graft.sources.GraftTableCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", dir)
+    try {
+      val t = new LogTable(s"$dir/t")
+      t.append(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+        .repartition(1))
+      f(cat, t)
+    } finally {
+      spark.conf.unset(s"spark.sql.catalog.$cat")
+      spark.conf.unset(s"spark.sql.catalog.$cat.warehouse")
+    }
+  }
+
+  test("CALL restore rolls back and returns the new version; " +
+    "history lists every commit") {
+    withCatalog { (cat, t) =>
+      t.delete(spark, col("k") === 2L) // v1
+      val v = spark.sql(s"CALL $cat.restore('t', 0)")
+        .as[Long].head()
+      assert(v == 2L)
+      assert(t.load(spark).count() == 3L)
+      val hist = spark.sql(s"CALL $cat.history('t')")
+        .select("version", "op").as[(Long, String)].collect().toSeq
+      assert(hist.map(_._2) == Seq("append", "delete", "restore"))
+    }
+  }
+
+  test("CALL optimize bin-packs; with zorder_by it clusters; " +
+    "namespace-qualified CALL works (cat.system.x)") {
+    withCatalog { (cat, t) =>
+      t.append(Seq((4L, "d")).toDF("k", "v").repartition(1))
+      val v1 = spark.sql(s"CALL $cat.system.optimize('t')").as[Long].head()
+      assert(t.commitOp(v1) == "optimize")
+      assert(t.liveAdds().size == 1)
+      val v2 = spark.sql(s"CALL $cat.optimize('t', 'k', 2)")
+        .as[Long].head()
+      assert(t.commitOp(v2) == "optimize")
+      assert(t.load(spark).count() == 4L)
+    }
+  }
+
+  test("CALL purge_deletes materializes deletion vectors; CALL " +
+    "vacuum (named args) drops expired files and reports them") {
+    withCatalog { (cat, t) =>
+      t.deleteMor(spark, col("k") === 2L)
+      assert(t.liveAdds().exists(_.dv.isDefined))
+      spark.sql(s"CALL $cat.purge_deletes('t')").collect()
+      assert(t.liveAdds().forall(_.dv.isEmpty))
+      val dropped = spark.sql(
+        s"CALL $cat.vacuum(`table` => 't', retain_last => 1, " +
+          "retention_hours => 0)")
+        .as[String].collect().toSeq
+      assert(dropped.nonEmpty)
+      assert(t.load(spark).count() == 2L)
+    }
+  }
+}
