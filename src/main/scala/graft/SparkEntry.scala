@@ -536,6 +536,30 @@ object SparkEntry {
       s.sql(s"SELECT k, bal FROM $cat.t ORDER BY k")
     }),
 
+    "log_table_rename" -> ((s, d) => {
+      // metadata-only RENAME COLUMN via column mapping: files
+      // written before AND after the rename resolve by parquet field
+      // id; a post-rename append, a filter on the renamed column and
+      // the final read all run under the new name with zero data
+      // rewritten — the oracle recomputes the union declaratively
+      val dir = java.nio.file.Files.createTempDirectory("graft_logren")
+      val lt = new graft.sources.LogTable(s"$dir/t")
+      lt.create(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("seg",
+          org.apache.spark.sql.types.StringType))),
+        columnMapping = true)
+      val cust = t(s, d, "customer")
+        .select(col("c_custkey").as("k"), col("c_mktsegment").as("seg"))
+      lt.append(cust.filter(col("k") <= 150))
+      lt.renameColumn(s, "seg", "segment")
+      lt.append(cust.filter(col("k") > 150 && col("k") <= 300)
+        .withColumnRenamed("seg", "segment"))
+      lt.delete(s, col("segment") === "BUILDING")
+      lt.load(s).select(col("k"), col("segment")).orderBy(col("k"))
+    }),
+
     "log_table_generated" -> ((s, d) => {
       // generated columns (GENERATED ALWAYS AS) + the derivation
       // that makes them matter: a table partitioned by
@@ -2279,6 +2303,12 @@ object SparkEntry {
     "log_table_procedures" ->
       """SELECT CAST(c_custkey AS BIGINT) AS k, c_acctbal AS bal
          FROM customer WHERE c_custkey <= 300
+         ORDER BY k""",
+
+    "log_table_rename" ->
+      """SELECT CAST(c_custkey AS BIGINT) AS k, c_mktsegment AS segment
+         FROM customer
+         WHERE c_custkey <= 300 AND c_mktsegment <> 'BUILDING'
          ORDER BY k""",
 
     "log_table_generated" ->

@@ -68,6 +68,13 @@ class GraftTableCatalog extends TableCatalog with ProcedureCatalog {
     // catalog user never needs session-build extensions
     try GraftRowLevelStrategy.register(SparkSession.active)
     catch { case scala.util.control.NonFatal(_) => () }
+    // column-mapped tables resolve parquet columns by field id;
+    // the flags only change behavior for schemas carrying ids
+    try {
+      val s = SparkSession.active
+      s.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+      s.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    } catch { case scala.util.control.NonFatal(_) => () }
   }
 
   override def name(): String = catalogName
@@ -209,8 +216,11 @@ class GraftTableCatalog extends TableCatalog with ProcedureCatalog {
       val gens = props.collect {
         case (k, v) if k.startsWith("generated.") =>
           k.stripPrefix("generated.") -> v }.toMap
+      //   'columnMapping' = 'true'        field-id column mapping
+      //   (metadata-only RENAME COLUMN)
+      val mapping = props.get("columnMapping").exists(_.toBoolean)
       new LogTable(dirOf(ident).toString)
-        .create(schema, partCols, bloom, checks, gens)
+        .create(schema, partCols, bloom, checks, gens, mapping)
     } else {
       val spark = SparkSession.active
       val empty = spark.createDataFrame(

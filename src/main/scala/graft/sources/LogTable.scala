@@ -142,7 +142,8 @@ final class LogTable(val path: String,
                                     constraints: Map[String, String] =
                                       Map.empty,
                                     generated: Map[String, String] =
-                                      Map.empty)
+                                      Map.empty,
+                                    retiredNames: Set[String] = Set.empty)
 
   private def parseStats(j: JValue): Map[String, ColStats] = j match {
     case JObject(fields) => fields.map { case (c, v) =>
@@ -247,6 +248,7 @@ final class LogTable(val path: String,
     var bloomIdxCols: Seq[String] = Seq.empty
     var checks: Map[String, String] = Map.empty
     var genCols: Map[String, String] = Map.empty
+    var retired: Set[String] = Set.empty
     val live = scala.collection.mutable.LinkedHashMap.empty[String, AddFile]
     val from = ckpts.lastOption match {
       case Some(cv) =>
@@ -271,6 +273,11 @@ final class LogTable(val path: String,
         (state \ "generated") match {
           case JObject(fields) => genCols = fields.collect {
             case (k, JString(v)) => k -> v }.toMap
+          case _ => ()
+        }
+        (state \ "retired") match {
+          case JArray(arr) =>
+            retired = arr.collect { case JString(s) => s }.toSet
           case _ => ()
         }
         (state \ "adds").asInstanceOf[JArray].arr.foreach { j =>
@@ -305,6 +312,11 @@ final class LogTable(val path: String,
             case (k, JString(v)) => k -> v }.toMap
           case _ => ()
         }
+        (j \ "retired") match {
+          case JArray(arr) =>
+            retired = arr.collect { case JString(s) => s }.toSet
+          case _ => ()
+        }
         if ((j \ "add") != JNothing) {
           val a = parseAdd(j \ "add"); live(a.path) = a
         }
@@ -314,7 +326,7 @@ final class LogTable(val path: String,
     }
     Snapshot(schema.getOrElse(throw new IllegalStateException(
       s"log at $path has no schema action up to version $v")),
-      live.values.toSeq, partCols, bloomIdxCols, checks, genCols)
+      live.values.toSeq, partCols, bloomIdxCols, checks, genCols, retired)
   }
 
   /** Table schema at the current version. */
@@ -346,13 +358,29 @@ final class LogTable(val path: String,
   def liveAdds(version: Option[Long] = None): Seq[AddFile] =
     snapshotAt(version.orElse(currentVersion).get).adds
 
+  private def hasFieldIds(s: StructType): Boolean =
+    s.fields.exists(_.metadata.contains(LogTable.FieldIdKey))
+
+  /** Field-id resolution is session-conf-gated in Spark; flip both
+    * flags on when a mapped table is touched. Sticky by design: the
+    * flags only change behavior for schemas that CARRY id metadata,
+    * so unmapped tables and foreign reads are unaffected. */
+  private def enableFieldIds(spark: SparkSession): Unit = {
+    spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+  }
+
   /** Read table data files with the right partition handling: a
     * partitioned table's files live under hive dirs and lack the
     * partition columns in-file, so the read needs `basePath`
-    * discovery to fill them; an unpartitioned table reads plain. */
+    * discovery to fill them; an unpartitioned table reads plain.
+    * A column-mapped schema (field ids) reads by ID — names in the
+    * files are whatever the column was CALLED when each file was
+    * written; the ids make rename a pure metadata operation. */
   private def readDataFiles(spark: SparkSession, readSchema: StructType,
                             partCols: Seq[String],
                             paths: Seq[String]): DataFrame = {
+    if (hasFieldIds(readSchema)) enableFieldIds(spark)
     val r = spark.read.schema(readSchema)
     if (partCols.isEmpty) r.parquet(paths: _*)
     else r.option("basePath", s"$path/data").parquet(paths: _*)
@@ -489,6 +517,79 @@ final class LogTable(val path: String,
   def generatedCols: Map[String, String] = currentVersion
     .map(v => snapshotAt(v).generated).getOrElse(Map.empty)
 
+  /** `ALTER TABLE RENAME COLUMN` as a METADATA-ONLY commit — zero
+    * data rewritten at any table size (Delta's column mapping, id
+    * mode). Requires the table to have been created with
+    * `columnMapping = true`: every data file then carries stable
+    * parquet field ids, readers resolve columns BY ID, and a rename
+    * is one schema action giving the id a new name — files written
+    * before and after the rename read seamlessly, time travel serves
+    * each version under ITS names, and parquet
+    * pushdown/vectorization are untouched (the id-aware reader is
+    * Spark's own). Restrictions (each refused, Delta-style):
+    * partition columns (hive dirs are name-keyed), columns
+    * referenced by CHECK constraints or generated-column expressions
+    * (drop them first), and reusing a renamed-away name (old files'
+    * stats still carry it under its retired meaning — the retired
+    * set is tracked in the log). Stats recorded under the old name
+    * stop pruning for pre-rename files until OPTIMIZE rewrites them
+    * — less skipping, never wrong; bloom sidecars are renamed in
+    * place. */
+  def renameColumn(spark: SparkSession, oldName: String,
+                   newName: String): Long = {
+    val v = currentVersion.getOrElse(
+      throw new IllegalStateException(s"no log table at $path"))
+    val snap = snapshotAt(v)
+    val s = snap.schema
+    require(s.fieldNames.contains(oldName),
+      s"no column '$oldName' to rename")
+    require(!s.fieldNames.contains(newName),
+      s"column '$newName' already exists")
+    require(hasFieldIds(s), "RENAME COLUMN needs column mapping — " +
+      "create the table with columnMapping = true")
+    require(!snap.partitionCols.contains(oldName),
+      s"cannot rename partition column '$oldName' (hive directories " +
+        "are name-keyed); rewrite the table instead")
+    require(!snap.retiredNames.contains(newName),
+      s"column name '$newName' was retired by a prior rename and " +
+        "cannot be reused")
+    def refs(e: String): Seq[String] =
+      try spark.sessionState.sqlParser.parseExpression(e).collect {
+        case u: org.apache.spark.sql.catalyst.analysis
+          .UnresolvedAttribute => u.name
+      } catch { case NonFatal(_) => Seq.empty }
+    (snap.constraints.toSeq.map(c => s"CHECK constraint ${c._1}" -> c._2)
+      ++ snap.generated.toSeq.map(g => s"generated column ${g._1}" -> g._2))
+      .foreach { case (what, e) =>
+        require(!refs(e).contains(oldName),
+          s"cannot rename '$oldName': $what references it — drop it first")
+      }
+    require(!snap.generated.contains(oldName),
+      s"cannot rename generated column '$oldName' — drop the " +
+        "generation first")
+    // bloom sidecars are name-keyed on disk: rename them in place
+    val newBloom =
+      if (!snap.bloomCols.contains(oldName)) None
+      else {
+        Option(new File(path, "_bloom").listFiles()).toSeq.flatten
+          .filter(_.getName.endsWith(s".$oldName.bloom"))
+          .foreach { f =>
+            val base = f.getName.stripSuffix(s".$oldName.bloom")
+            Files.move(f.toPath,
+              new File(f.getParentFile, s"$base.$newName.bloom").toPath,
+              StandardCopyOption.ATOMIC_MOVE)
+          }
+        bloomCache.clear()
+        Some(snap.bloomCols.map(c => if (c == oldName) newName else c))
+      }
+    val renamed = StructType(s.fields.map(f =>
+      if (f.name == oldName) f.copy(name = newName) else f))
+    commitRetry(Some(v), Seq.empty, Seq.empty, "rename",
+      schemaJson = Some(renamed.json), cdfDir = None,
+      bloomJson = newBloom,
+      retiredJson = Some(snap.retiredNames + oldName))
+  }
+
   /** `ALTER TABLE ADD CONSTRAINT` (Delta semantics): validates the
     * EXISTING table in one scan first — refusing if any current row
     * violates — then records the constraint in a metadata-only
@@ -531,7 +632,8 @@ final class LogTable(val path: String,
              partitionBy: Seq[String] = Seq.empty,
              bloomFilterBy: Seq[String] = Seq.empty,
              checkConstraints: Map[String, String] = Map.empty,
-             generatedAlwaysAs: Map[String, String] = Map.empty): Long = {
+             generatedAlwaysAs: Map[String, String] = Map.empty,
+             columnMapping: Boolean = false): Long = {
     ensureLayout()
     require(currentVersion.isEmpty, s"log table at $path already exists")
     partitionBy.foreach(c => require(tableSchema.fieldNames.contains(c),
@@ -546,11 +648,21 @@ final class LogTable(val path: String,
     // declared order disagreeing with the scan's makes the analyzer
     // wedge a Project under row-level commands, which Spark's v2
     // strategy rejects
-    val ordered =
+    val ordered0 =
       if (partitionBy.isEmpty) tableSchema
       else StructType(
         tableSchema.fields.filterNot(f => partitionBy.contains(f.name)) ++
           partitionBy.map(c => tableSchema.fields.find(_.name == c).get))
+    // column mapping (Delta's id mode): every field gets a stable
+    // parquet field id, carried in the schema json and written into
+    // every data file — [[renameColumn]] then only changes the
+    // schema's NAME for that id, and readers keep resolving by id
+    val ordered =
+      if (!columnMapping) ordered0
+      else StructType(ordered0.fields.zipWithIndex.map { case (f, i) =>
+        f.copy(metadata = new MetadataBuilder().withMetadata(f.metadata)
+          .putLong(LogTable.FieldIdKey, i + 1L).build())
+      })
     commitRetry(None, Seq.empty, Seq.empty, "create",
       schemaJson = Some(ordered.json), cdfDir = None,
       partitionJson = if (partitionBy.isEmpty) None else Some(partitionBy),
@@ -772,7 +884,8 @@ final class LogTable(val path: String,
                           partitionJson: Option[Seq[String]] = None,
                           bloomJson: Option[Seq[String]] = None,
                           constraintsJson: Option[Map[String, String]] = None,
-                          generatedJson: Option[Map[String, String]] = None)
+                          generatedJson: Option[Map[String, String]] = None,
+                          retiredJson: Option[Set[String]] = None)
       : Long = {
     ensureLayout()
     var attempts = 0
@@ -804,6 +917,17 @@ final class LogTable(val path: String,
           else {
             val ours = DataType.fromJson(js).asInstanceOf[StructType]
             val headSchema = snapshotAt(head.get).schema
+            // a COLUMN-MAPPED table cannot silently merge a raced
+            // schema: our staged files already carry the field ids
+            // we assigned, and a racing evolution may have claimed
+            // the same ids for different columns — re-numbering
+            // would orphan our data, sharing would cross-wire the
+            // by-id reader. Abort with a metadata conflict (Delta's
+            // rule); the caller re-reads and retries the whole op.
+            if (hasFieldIds(ours) || hasFieldIds(headSchema))
+              throw new java.util.ConcurrentModificationException(
+                "conflicting commit: a schema change raced this one " +
+                  "on a column-mapped table — re-read and retry")
             val merged = StructType(headSchema.fields ++ ours.fields
               .filterNot(f => headSchema.fieldNames.contains(f.name))
               .map(_.copy(nullable = true)))
@@ -837,6 +961,9 @@ final class LogTable(val path: String,
         generatedJson.map(gs => JsonMethods.compact(JsonMethods.render(
           JObject(List("generated" -> JObject(
             gs.toList.map { case (k, v) => k -> JString(v) })))))) ++
+        retiredJson.map(rs => JsonMethods.compact(JsonMethods.render(
+          JObject(List("retired" -> JArray(
+            rs.toList.sorted.map(JString(_)))))))) ++
         removePaths.map(p => JsonMethods.compact(JsonMethods.render(
           JObject(List("remove" -> JObject(List("path" -> JString(p)))))))) ++
         adds.map(a => JsonMethods.compact(JsonMethods.render(
@@ -868,6 +995,7 @@ final class LogTable(val path: String,
           snap.constraints.toList.map { case (k, v) => k -> JString(v) }),
         "generated" -> JObject(
           snap.generated.toList.map { case (k, v) => k -> JString(v) }),
+        "retired" -> JArray(snap.retiredNames.toList.sorted.map(JString(_))),
         "adds" -> JArray(snap.adds.toList.map(renderAdd))))
       val tmp = new File(logDir, s".tmp-ckpt-${UUID.randomUUID()}")
       Files.writeString(tmp.toPath,
@@ -884,18 +1012,33 @@ final class LogTable(val path: String,
   private def stagedWriter(df: DataFrame)
       : org.apache.spark.sql.DataFrameWriter[Row] = {
     val pc = if (currentVersion.isDefined) partitionCols else Seq.empty
-    val w = df.write.mode("overwrite")
+    // a column-mapped table must write its field ids into every data
+    // file; aliases along the rewrite paths can drop column
+    // metadata, so re-stamp it from the current schema here — the
+    // single choke point every staged write passes through
+    val cur = if (currentVersion.isDefined) Some(schema) else None
+    val stamped = cur match {
+      case Some(s) if hasFieldIds(s) &&
+          df.columns.toSeq == s.fieldNames.toSeq =>
+        enableFieldIds(df.sparkSession)
+        df.select(s.fields.toSeq.map(f =>
+          col(f.name).as(f.name, f.metadata)): _*)
+      case _ => df
+    }
+    val w = stamped.write.mode("overwrite")
     if (pc.isEmpty) w else w.partitionBy(pc: _*)
   }
 
   /** Project `df` onto the table schema: present columns cast to the
     * table's types, absent columns null-filled (only reachable under
     * schema merge — a widened table reads its old files the same
-    * way). */
+    * way). Field-id metadata rides the aliases, so mapped tables
+    * stamp ids into everything they write. */
   private def conform(df: DataFrame, s: StructType): DataFrame =
     df.select(s.fields.toSeq.map(f =>
-      if (df.columns.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
-      else lit(null).cast(f.dataType).as(f.name)): _*)
+      if (df.columns.contains(f.name))
+        col(f.name).cast(f.dataType).as(f.name, f.metadata)
+      else lit(null).cast(f.dataType).as(f.name, f.metadata)): _*)
 
   /** Append commit: write ONLY the new rows as data files and one
     * log entry — cost ∝ the delta, never the table.
@@ -934,7 +1077,27 @@ final class LogTable(val path: String,
             s"frame lacks table column(s) ${missing.mkString(", ")} — " +
             "pass mergeSchema = true to null-fill them")
           s
-        } else StructType(s.fields ++ extra.map(_.copy(nullable = true)))
+        } else {
+          // a renamed-away name must not come back: old files' stats
+          // and data still carry it under its retired meaning
+          val retired = snapshotAt(basisVersion.get).retiredNames
+          extra.foreach(f => require(!retired.contains(f.name),
+            s"column name '${f.name}' was retired by a rename and " +
+              "cannot be reused"))
+          // mapped tables assign fresh field ids to new columns
+          val nextId = s.fields.flatMap(f =>
+            if (f.metadata.contains(LogTable.FieldIdKey))
+              Some(f.metadata.getLong(LogTable.FieldIdKey))
+            else None).foldLeft(0L)(math.max) + 1L
+          val widened = extra.zipWithIndex.map { case (f, i) =>
+            val base = f.copy(nullable = true)
+            if (!hasFieldIds(s)) base
+            else base.copy(metadata = new MetadataBuilder()
+              .withMetadata(base.metadata)
+              .putLong(LogTable.FieldIdKey, nextId + i).build())
+          }
+          StructType(s.fields ++ widened)
+        }
     }
     val schemaChanged = !existing.contains(tableSchema)
     val staged = new File(newStagingDir())
@@ -1000,14 +1163,23 @@ final class LogTable(val path: String,
     * so the finalize move lands the files under their partition
     * dirs. Flat stagings of unpartitioned tables pass through. */
   private def restageForLayout(spark: SparkSession, staged: String): String = {
-    val pc = if (currentVersion.isDefined) partitionCols else Seq.empty
+    if (currentVersion.isEmpty) return staged
+    val s = schema
+    val pc = partitionCols
+    val mapped = hasFieldIds(s)
     val flat = Option(new File(staged).listFiles()).toSeq.flatten
       .exists(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
-    if (pc.isEmpty || !flat) staged
+    // externally-produced stagings (DSv2 INSERT, the merge planner)
+    // arrive flat and without field ids; a partitioned table needs
+    // the hive layout and a column-mapped table needs ids stamped
+    // into the files — one pass over the delta fixes both
+    if (!flat || (pc.isEmpty && !mapped)) staged
     else {
+      val byName = StructType(s.fields.map(f =>
+        f.copy(metadata = Metadata.empty)))
       val staged2 = newStagingDir()
-      spark.read.schema(schema).parquet(staged).write.mode("overwrite")
-        .partitionBy(pc: _*).parquet(staged2)
+      stagedWriter(spark.read.schema(byName).parquet(staged))
+        .parquet(staged2)
       dropStaging(staged)
       staged2
     }
@@ -1665,8 +1837,13 @@ final class LogTable(val path: String,
                 keepProvenance = false), "delete", v))
             ins ++ del
           case "delete" | "update" | "merge" =>
+            // read change files under the CURRENT schema (by field
+            // id on mapped tables), so a feed window spanning a
+            // RENAME serves one consistent column set
+            val cdfSchema = s.add("_change_type", StringType)
+            if (hasFieldIds(cdfSchema)) enableFieldIds(spark)
             meta.cdf.toSeq.map(rel =>
-              spark.read.parquet(s"$path/$rel")
+              spark.read.schema(cdfSchema).parquet(s"$path/$rel")
                 .withColumn("_commit_version", lit(v)))
           // optimize: pure reorganization, no row-level change;
           // restore: rollback — row-level deltas, if needed, come
@@ -1827,6 +2004,10 @@ object LogTable {
     * broadcast (a pair is a file name + a long — ~1M pairs is tens
     * of MB); bigger vectors fall back to a shuffled anti-join. */
   val DvBroadcastMaxRows: Long = 1L << 20
+
+  /** StructField metadata key Spark's parquet reader/writer uses for
+    * field-id resolution (`spark.sql.parquet.fieldId.*`). */
+  val FieldIdKey: String = "parquet.field.id"
 }
 
 /** [[DimSink]] face of a [[LogTable]], so every sink-shaped pipeline
