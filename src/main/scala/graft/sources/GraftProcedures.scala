@@ -54,7 +54,7 @@ private[sources] final class GraftProcedure(catalog: GraftTableCatalog,
       Array(in("table", StringType).build(),
         in("zorder_by", StringType).defaultValue("''").build(),
         in("target_files", IntegerType).defaultValue("8").build())
-    case "purge_deletes" | "history" =>
+    case "purge_deletes" | "history" | "detail" =>
       Array(in("table", StringType).build())
     case other =>
       throw new UnsupportedOperationException(s"procedure $other")
@@ -69,6 +69,16 @@ private[sources] final class GraftProcedure(catalog: GraftTableCatalog,
       StructType(Seq(StructField("version", LongType),
         StructField("commit_ts", LongType), StructField("op", StringType),
         StructField("n_added", LongType), StructField("n_removed", LongType)))
+    case "detail" =>
+      StructType(Seq(StructField("version", LongType),
+        StructField("num_files", LongType),
+        StructField("num_rows", LongType),
+        StructField("size_bytes", LongType),
+        StructField("dv_files", LongType),
+        StructField("partition_cols", StringType),
+        StructField("bloom_cols", StringType),
+        StructField("constraints", StringType),
+        StructField("generated", StringType)))
   }
 
   override def call(input: InternalRow): JIterator[Scan] = {
@@ -96,6 +106,19 @@ private[sources] final class GraftProcedure(catalog: GraftTableCatalog,
           r.getLong(0), r.getLong(1),
           UTF8String.fromString(r.getString(2)),
           r.getLong(3), r.getLong(4))).toSeq
+      case "detail" =>
+        // DESCRIBE DETAIL analog: driver-local metadata only
+        val adds = t.liveAdds()
+        Seq(row(t.currentVersion.getOrElse(-1L),
+          adds.size.toLong, adds.map(_.logicalRows).sum,
+          adds.map(_.bytes).sum,
+          adds.count(_.dv.isDefined).toLong,
+          UTF8String.fromString(t.partitionCols.mkString(",")),
+          UTF8String.fromString(t.bloomCols.mkString(",")),
+          UTF8String.fromString(t.checkConstraints.toSeq.sorted
+            .map { case (k, v) => s"$k: $v" }.mkString("; ")),
+          UTF8String.fromString(t.generatedCols.toSeq.sorted
+            .map { case (k, v) => s"$k: $v" }.mkString("; "))))
     }
     val scan: Scan = new LocalScan {
       override def readSchema(): StructType = outSchema
@@ -107,7 +130,8 @@ private[sources] final class GraftProcedure(catalog: GraftTableCatalog,
 
 private object GraftProcedure {
   val Names: Set[String] =
-    Set("restore", "vacuum", "optimize", "purge_deletes", "history")
+    Set("restore", "vacuum", "optimize", "purge_deletes", "history",
+      "detail")
 
   private def row(vs: Any*): InternalRow =
     new GenericInternalRow(vs.toArray)

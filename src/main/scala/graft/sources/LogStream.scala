@@ -138,8 +138,8 @@ private[sources] final class LogStreamSource(ctx: SQLContext, log: LogTable,
       op match {
         case "append" | "create" => adds
         // dataChange = false: reorganizations and metadata-only
-        // constraint/rename commits carry no row-level change
-        case "optimize" | "constraint" | "rename" => Seq.empty
+        // constraint/rename/drop commits carry no row-level change
+        case "optimize" | "constraint" | "rename" | "drop" => Seq.empty
         case changeOp =>
           if (!skipChangeCommits) throw new IllegalStateException(
             s"commit $v is a '$changeOp' — a streaming read of a log " +

@@ -590,6 +590,50 @@ final class LogTable(val path: String,
       retiredJson = Some(snap.retiredNames + oldName))
   }
 
+  /** `ALTER TABLE DROP COLUMN` as a metadata-only commit (Delta's
+    * column-mapping drop): the schema action simply stops naming the
+    * field — data files keep the bytes, readers never request the id
+    * again, and the name retires (reuse refused, same soundness rule
+    * as rename). Requires column mapping for the same reason rename
+    * does: without ids, a later ADD of a same-named column would
+    * resurrect the old bytes. Partition / constraint-referenced /
+    * generated columns refuse (drop the dependent object first). */
+  def dropColumn(spark: SparkSession, name: String): Long = {
+    val v = currentVersion.getOrElse(
+      throw new IllegalStateException(s"no log table at $path"))
+    val snap = snapshotAt(v)
+    val s = snap.schema
+    require(s.fieldNames.contains(name), s"no column '$name' to drop")
+    require(s.fields.length > 1, "cannot drop the only column")
+    require(hasFieldIds(s), "DROP COLUMN needs column mapping — " +
+      "create the table with columnMapping = true")
+    require(!snap.partitionCols.contains(name),
+      s"cannot drop partition column '$name'")
+    def refs(e: String): Seq[String] =
+      try spark.sessionState.sqlParser.parseExpression(e).collect {
+        case u: org.apache.spark.sql.catalyst.analysis
+          .UnresolvedAttribute => u.name
+      } catch { case NonFatal(_) => Seq.empty }
+    (snap.constraints.toSeq.map(c => s"CHECK constraint ${c._1}" -> c._2)
+      ++ snap.generated.toSeq.map(g => s"generated column ${g._1}" -> g._2))
+      .foreach { case (what, e) =>
+        require(!refs(e).contains(name),
+          s"cannot drop '$name': $what references it — drop it first")
+      }
+    val newGenerated =
+      if (snap.generated.contains(name)) Some(snap.generated - name)
+      else None
+    val newBloom =
+      if (snap.bloomCols.contains(name))
+        Some(snap.bloomCols.filterNot(_ == name))
+      else None
+    val remaining = StructType(s.fields.filterNot(_.name == name))
+    commitRetry(Some(v), Seq.empty, Seq.empty, "drop",
+      schemaJson = Some(remaining.json), cdfDir = None,
+      bloomJson = newBloom, generatedJson = newGenerated,
+      retiredJson = Some(snap.retiredNames + name))
+  }
+
   /** `ALTER TABLE ADD CONSTRAINT` (Delta semantics): validates the
     * EXISTING table in one scan first — refusing if any current row
     * violates — then records the constraint in a metadata-only

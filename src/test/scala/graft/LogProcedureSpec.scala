@@ -60,6 +60,17 @@ class LogProcedureSpec extends SparkSpec {
     }
   }
 
+  test("CALL detail reports the table's metadata in one row") {
+    withCatalog { (cat, t) =>
+      t.deleteMor(spark, col("k") === 2L)
+      val d = spark.sql(s"CALL $cat.detail('t')").collect().head
+      assert(d.getAs[Long]("version") == t.currentVersion.get)
+      assert(d.getAs[Long]("num_files") == 1L)
+      assert(d.getAs[Long]("num_rows") == 2L) // logical, minus the dv
+      assert(d.getAs[Long]("dv_files") == 1L)
+    }
+  }
+
   test("CALL purge_deletes materializes deletion vectors; CALL " +
     "vacuum (named args) drops expired files and reports them") {
     withCatalog { (cat, t) =>

@@ -118,6 +118,28 @@ class LogRenameSpec extends SparkSpec {
     assert(t.delete(spark, col("val") === "zz").rowsAffected == 1L)
   }
 
+  test("DROP COLUMN is metadata-only: files untouched, the name " +
+    "retires, time travel still shows it, re-adding refuses") {
+    val t = mapped()
+    val files = t.liveAdds().map(_.path)
+    val mtimes = files.map(p =>
+      p -> new File(t.path, p).lastModified()).toMap
+    t.dropColumn(spark, "v")
+    assert(t.schema.fieldNames.toSeq == Seq("k"))
+    assert(t.load(spark).columns.toSeq == Seq("k"))
+    files.foreach(p =>
+      assert(new File(t.path, p).lastModified() == mtimes(p)))
+    // the dropped column is still visible at its own versions
+    assert(t.load(spark, Some(1L)).select("v").as[String]
+      .collect().toSet == Set("a", "b"))
+    // narrower appends now conform; re-adding the name refuses
+    t.append(Seq(Tuple1(9L)).toDF("k"))
+    assert(t.load(spark).count() == 3L)
+    intercept[IllegalArgumentException] {
+      t.append(Seq((10L, "zz")).toDF("k", "v"), mergeSchema = true)
+    }
+  }
+
   test("unsound renames refuse: unmapped table, partition column, " +
     "constraint/generated references, retired-name reuse") {
     val plain = new LogTable(s"${tmp()}/t")
