@@ -536,6 +536,24 @@ object SparkEntry {
       s.sql(s"SELECT k, bal FROM $cat.t ORDER BY k")
     }),
 
+    "log_table_clone" -> ((s, d) => {
+      // shallow clone: a metadata-only commit referencing the source
+      // snapshot's files by absolute path (zero data copies), then
+      // independent evolution — a stats-pruned delete lands in the
+      // CLONE's log and data dir while the source stays whole; the
+      // oracle recomputes the clone's final state
+      val dir = java.nio.file.Files.createTempDirectory("graft_logclone")
+      val src = new graft.sources.LogTable(s"$dir/src")
+      val cust = t(s, d, "customer")
+        .select(col("c_custkey").as("k"), col("c_acctbal").as("bal"))
+      src.append(cust.filter(col("k") <= 200))
+      src.append(cust.filter(col("k") > 200 && col("k") <= 300))
+      val cl = new graft.sources.LogTable(s"$dir/clone")
+      cl.cloneFrom(src)
+      cl.delete(s, col("k") > 250L)
+      cl.load(s).orderBy(col("k"))
+    }),
+
     "log_table_rename" -> ((s, d) => {
       // metadata-only RENAME COLUMN via column mapping: files
       // written before AND after the rename resolve by parquet field
@@ -2303,6 +2321,11 @@ object SparkEntry {
     "log_table_procedures" ->
       """SELECT CAST(c_custkey AS BIGINT) AS k, c_acctbal AS bal
          FROM customer WHERE c_custkey <= 300
+         ORDER BY k""",
+
+    "log_table_clone" ->
+      """SELECT CAST(c_custkey AS BIGINT) AS k, c_acctbal AS bal
+         FROM customer WHERE c_custkey <= 250
          ORDER BY k""",
 
     "log_table_rename" ->

@@ -56,12 +56,16 @@ private[sources] final class GraftProcedure(catalog: GraftTableCatalog,
         in("target_files", IntegerType).defaultValue("8").build())
     case "purge_deletes" | "history" | "detail" =>
       Array(in("table", StringType).build())
+    case "clone" =>
+      Array(in("table", StringType).build(),
+        in("target", StringType).build(),
+        in("version", LongType).defaultValue("-1").build())
     case other =>
       throw new UnsupportedOperationException(s"procedure $other")
   }
 
   private def outSchema: StructType = procName match {
-    case "restore" | "purge_deletes" | "optimize" =>
+    case "restore" | "purge_deletes" | "optimize" | "clone" =>
       StructType(Seq(StructField("version", LongType)))
     case "vacuum" =>
       StructType(Seq(StructField("dropped", StringType)))
@@ -101,6 +105,14 @@ private[sources] final class GraftProcedure(catalog: GraftTableCatalog,
         Seq(row(v))
       case "purge_deletes" =>
         Seq(row(t.purgeDeletes(spark)))
+      case "clone" =>
+        // `table` is the SOURCE; `target` gets the metadata-only
+        // shallow clone (zero data copies)
+        val target = catalog.newLogTableAt(
+          input.getUTF8String(1).toString)
+        val ver = input.getLong(2)
+        Seq(row(target.cloneFrom(t,
+          if (ver < 0) None else Some(ver))))
       case "history" =>
         t.history(spark).collect().map(r => row(
           r.getLong(0), r.getLong(1),
@@ -131,7 +143,7 @@ private[sources] final class GraftProcedure(catalog: GraftTableCatalog,
 private object GraftProcedure {
   val Names: Set[String] =
     Set("restore", "vacuum", "optimize", "purge_deletes", "history",
-      "detail")
+      "detail", "clone")
 
   private def row(vs: Any*): InternalRow =
     new GenericInternalRow(vs.toArray)

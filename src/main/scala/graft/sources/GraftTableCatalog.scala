@@ -240,6 +240,14 @@ class GraftTableCatalog extends TableCatalog with ProcedureCatalog {
     t
   }
 
+  /** A handle at an in-catalog path that need not exist yet — the
+    * CALL clone target. */
+  private[sources] def newLogTableAt(name: String): LogTable = {
+    val parts = name.split("\\.").toSeq
+    new LogTable(dirOf(Identifier.of(parts.init.toArray, parts.last))
+      .toString)
+  }
+
   /** Iceberg-style SQL stored procedures ([[GraftProcedure]]):
     * `CALL cat.restore('t', 3)`, vacuum, optimize (plain or
     * z-ordered), purge_deletes, history — the table-maintenance

@@ -136,7 +136,9 @@ private[sources] final class LogStreamSource(ctx: SQLContext, log: LogTable,
       val op = log.commitOp(v)
       val adds = log.addedPaths(v)
       op match {
-        case "append" | "create" => adds
+        // a shallow clone's seed commit is its initial snapshot —
+        // inserts, like create (the referenced files are absolute)
+        case "append" | "create" | "clone" => adds
         // dataChange = false: reorganizations and metadata-only
         // constraint/rename/drop commits carry no row-level change
         case "optimize" | "constraint" | "rename" | "drop" => Seq.empty
@@ -159,7 +161,9 @@ private[sources] final class LogStreamSource(ctx: SQLContext, log: LogTable,
         // partition columns OUT of the data files — read with
         // basePath discovery so they resolve, like every batch path
         val r = spark.read.schema(schema)
-        val paths = files.map(p => s"${log.path}/$p")
+        // clone-seed commits reference files by absolute path
+        val paths = files.map(p =>
+          if (p.startsWith("/")) p else s"${log.path}/$p")
         if (log.partitionCols.isEmpty) r.parquet(paths: _*)
         else r.option("basePath", s"${log.path}/data").parquet(paths: _*)
       }

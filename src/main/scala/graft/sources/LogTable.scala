@@ -351,12 +351,18 @@ final class LogTable(val path: String,
   def liveFiles(version: Option[Long] = None): Seq[String] =
     snapshotAt(version.orElse(currentVersion).getOrElse(
       throw new IllegalStateException(s"no log table at $path")))
-      .adds.map(a => s"$path/${a.path}")
+      .adds.map(a => absPath(a.path))
 
   /** Live [[AddFile]] entries (with stats and deletion vectors) at a
     * version, default the current one. */
   def liveAdds(version: Option[Long] = None): Seq[AddFile] =
     snapshotAt(version.orElse(currentVersion).get).adds
+
+  /** Resolve a logged file reference: paths are table-relative for
+    * files this table wrote, ABSOLUTE for files referenced from
+    * another table by a shallow [[cloneFrom]]. */
+  private def absPath(rel: String): String =
+    if (rel.startsWith("/")) rel else s"$path/$rel"
 
   private def hasFieldIds(s: StructType): Boolean =
     s.fields.exists(_.metadata.contains(LogTable.FieldIdKey))
@@ -383,7 +389,23 @@ final class LogTable(val path: String,
     if (hasFieldIds(readSchema)) enableFieldIds(spark)
     val r = spark.read.schema(readSchema)
     if (partCols.isEmpty) r.parquet(paths: _*)
-    else r.option("basePath", s"$path/data").parquet(paths: _*)
+    else {
+      // hive discovery needs the data root as basePath; a shallow
+      // clone's snapshot mixes THIS table's files with absolute
+      // references into other roots — group per root (walk back over
+      // the k=v partition dirs to find each file's data dir), one
+      // scan per root, unioned
+      def dataRootOf(p: String): String = {
+        val segs = p.split('/')
+        var i = segs.length - 2
+        while (i > 0 && segs(i).contains('=')) i -= 1
+        segs.take(i + 1).mkString("/")
+      }
+      paths.groupBy(dataRootOf).toSeq.map { case (base, ps) =>
+        spark.read.schema(readSchema).option("basePath", base)
+          .parquet(ps: _*)
+      }.reduce(_.unionByName(_))
+    }
   }
 
   /** DV-aware scan of a set of live files, optionally keeping the
@@ -411,7 +433,7 @@ final class LogTable(val path: String,
       if (clean.isEmpty) None
       else {
         val df = readDataFiles(spark, readSchema, partCols,
-          clean.map(a => s"$path/${a.path}"))
+          clean.map(a => absPath(a.path)))
         Some(if (keepProvenance) withProv(df) else df)
       }
     val dvdDf =
@@ -419,11 +441,11 @@ final class LogTable(val path: String,
       else {
         val dirs = dvd.flatMap(_.dv.map(_.path)).distinct
         val card = dvd.flatMap(_.dv.map(_.rows)).sum
-        val raw = spark.read.parquet(dirs.map(d => s"$path/$d"): _*)
+        val raw = spark.read.parquet(dirs.map(absPath): _*)
         val pairs =
           if (card <= LogTable.DvBroadcastMaxRows) broadcast(raw) else raw
         val scanned = withProv(readDataFiles(spark, readSchema, partCols,
-          dvd.map(a => s"$path/${a.path}")))
+          dvd.map(a => absPath(a.path))))
         val alive = scanned.join(pairs,
           scanned("__file") === pairs("file") &&
             scanned("__idx") === pairs("idx"), "left_anti")
@@ -448,7 +470,7 @@ final class LogTable(val path: String,
       spark.createDataFrame(new java.util.ArrayList[Row](), snap.schema)
     else if (snap.adds.forall(_.dv.isEmpty))
       readDataFiles(spark, snap.schema, snap.partitionCols,
-        snap.adds.map(a => s"$path/${a.path}"))
+        snap.adds.map(a => absPath(a.path)))
     else dvAwareRead(spark, snap.schema, snap.partitionCols, snap.adds,
       keepProvenance = false)
   }
@@ -516,6 +538,43 @@ final class LogTable(val path: String,
     * plain `ts` filters, the Delta/Iceberg daily-partitioning UX. */
   def generatedCols: Map[String, String] = currentVersion
     .map(v => snapshotAt(v).generated).getOrElse(Map.empty)
+
+  /** Shallow CLONE (Delta's `CREATE TABLE ... SHALLOW CLONE src`):
+    * seed THIS (empty) table with a metadata-only commit referencing
+    * the source snapshot's data files — and deletion-vector sidecars
+    * — by ABSOLUTE path. Zero data copies at any table size; the
+    * clone then evolves independently (its own appends/deletes/
+    * schema changes land in its own log and data dir, and a CoW
+    * rewrite of a referenced file writes the rewrite locally while
+    * the source file is untouched). Schema, partitioning,
+    * constraints, generated columns and retired names copy over;
+    * the bloom index does not (sidecars are name-keyed in the
+    * SOURCE's `_bloom/` — the clone re-indexes as it rewrites).
+    * The standard shallow-clone hazard is Delta's too: a VACUUM on
+    * the source can delete files the clone still references. */
+  def cloneFrom(source: LogTable, version: Option[Long] = None): Long = {
+    ensureLayout()
+    require(currentVersion.isEmpty,
+      s"clone target at $path already exists")
+    val v = version.orElse(source.currentVersion).getOrElse(
+      throw new IllegalStateException(
+        s"no log table at ${source.path} to clone"))
+    val snap = source.snapshotAt(v)
+    def abs(rel: String): String =
+      if (rel.startsWith("/")) rel else s"${source.path}/$rel"
+    val adds = snap.adds.map(a => a.copy(path = abs(a.path),
+      dv = a.dv.map(d => d.copy(path = abs(d.path)))))
+    commitRetry(None, Seq.empty, adds, "clone",
+      schemaJson = Some(snap.schema.json), cdfDir = None,
+      partitionJson =
+        if (snap.partitionCols.isEmpty) None else Some(snap.partitionCols),
+      constraintsJson =
+        if (snap.constraints.isEmpty) None else Some(snap.constraints),
+      generatedJson =
+        if (snap.generated.isEmpty) None else Some(snap.generated),
+      retiredJson =
+        if (snap.retiredNames.isEmpty) None else Some(snap.retiredNames))
+  }
 
   /** `ALTER TABLE RENAME COLUMN` as a METADATA-ONLY commit — zero
     * data rewritten at any table size (Delta's column mapping, id
@@ -1551,7 +1610,7 @@ final class LogTable(val path: String,
     val allPairs =
       if (oldDirs.isEmpty) newPairs
       else newPairs.unionByName(
-        spark.read.parquet(oldDirs.map(d => s"$path/$d"): _*)
+        spark.read.parquet(oldDirs.map(absPath): _*)
           .filter(col("file").isin(touchedNames: _*)))
     allPairs.repartition(col("file")).write.parquet(s"$path/$dvRel")
 
@@ -1805,9 +1864,9 @@ final class LogTable(val path: String,
       s"no committed version $version to restore to")
     val target = snapshotAt(version)
     val gone = target.adds.filterNot(a =>
-      new File(path, a.path).isFile) ++
+      new File(absPath(a.path)).isFile) ++
       target.adds.filter(a => a.dv.exists(d =>
-        !new File(path, d.path).isDirectory))
+        !new File(absPath(d.path)).isDirectory))
     require(gone.isEmpty, s"cannot restore to version $version: files " +
       s"${gone.map(_.path).mkString(", ")} were vacuumed")
     val current = snapshotAt(cur)
@@ -1863,14 +1922,14 @@ final class LogTable(val path: String,
           case j if (j \ "remove") != JNothing =>
             (j \ "remove" \ "path").asInstanceOf[JString].s }
         meta.op match {
-          case "append" | "create" =>
+          case "append" | "create" | "clone" =>
             if (added.isEmpty) Seq.empty
             else Seq(tagged(readDataFiles(spark, s, pc,
-              added.map(p => s"$path/$p")), "insert", v))
+              added.map(absPath)), "insert", v))
           case "overwrite" =>
             val ins = if (added.isEmpty) Seq.empty
               else Seq(tagged(readDataFiles(spark, s, pc,
-                added.map(p => s"$path/$p")), "insert", v))
+                added.map(absPath)), "insert", v))
             // retired files read minus the deletion vectors they
             // carried going IN to the overwrite — already-deleted
             // rows must not re-appear as deletes
