@@ -53,7 +53,8 @@ private[sources] final class GraftProcedure(catalog: GraftTableCatalog,
     case "optimize" =>
       Array(in("table", StringType).build(),
         in("zorder_by", StringType).defaultValue("''").build(),
-        in("target_files", IntegerType).defaultValue("8").build())
+        in("target_files", IntegerType).defaultValue("8").build(),
+        in("where", StringType).defaultValue("''").build())
     case "purge_deletes" | "history" | "detail" =>
       Array(in("table", StringType).build())
     case "clone" =>
@@ -97,8 +98,14 @@ private[sources] final class GraftProcedure(catalog: GraftTableCatalog,
           .map(p => row(UTF8String.fromString(p)))
       case "optimize" =>
         val zorder = input.getUTF8String(1).toString
+        val where = input.getUTF8String(3).toString
+        require(zorder.isEmpty || where.isEmpty,
+          "optimize takes zorder_by OR where, not both (clustering " +
+            "is a whole-table layout rebuild)")
         val v =
-          if (zorder.isEmpty) t.compactFiles(spark)
+          if (zorder.isEmpty) t.compactFiles(spark, where =
+            if (where.isEmpty) None
+            else Some(org.apache.spark.sql.functions.expr(where)))
           else t.cluster(spark,
             zorder.split(",").map(_.trim).filter(_.nonEmpty).toSeq,
             input.getInt(2))

@@ -1766,6 +1766,18 @@ final class LogTable(val path: String,
               d(r, l, expressions.GreaterThanOrEqual)
           case expressions.EqualTo(l, r) =>
             d(l, r, expressions.EqualTo) ++ d(r, l, expressions.EqualTo)
+          case expressions.In(a, items) if items.nonEmpty =>
+            // src IN (l1..ln) ⟹ g IN (T(l1)..T(ln)); one
+            // untransformable element kills the whole derivation
+            val per = items.map(i =>
+              d(a, i, expressions.EqualTo).headOption)
+            if (per.exists(_.isEmpty)) Seq.empty
+            else {
+              val eqs = per.flatten.collect {
+                case expressions.EqualTo(attr, l) => (attr, l) }
+              eqs.headOption.map { case (attr, _) =>
+                expressions.In(attr, eqs.map(_._2)) }.toSeq
+            }
           case _ => Seq.empty
         }
       }
@@ -1962,13 +1974,24 @@ final class LogTable(val path: String,
 
   /** Bin-pack small files into larger ones (Delta's OPTIMIZE):
     * rewrites only files under `smallBytes`, no row-level change —
-    * the cure for the many-small-appends pattern. */
+    * the cure for the many-small-appends pattern. `where` scopes the
+    * pass (Delta's `OPTIMIZE ... WHERE`): only files that MAY hold
+    * matching rows (per the stats pruner, generated-column
+    * derivation included) are considered — on a date-partitioned
+    * ingest table that is "compact today's partition", cost ∝ the
+    * hot partition, not the table. */
   def compactFiles(spark: SparkSession, smallBytes: Long = 32L << 20,
-                   targetBytes: Long = 128L << 20): Long = {
+                   targetBytes: Long = 128L << 20,
+                   where: Option[Column] = None): Long = {
     val readVersion = currentVersion.getOrElse(
       throw new IllegalStateException(s"no log table at $path"))
     val snap = snapshotAt(readVersion)
-    val small = snap.adds.filter(_.bytes < smallBytes)
+    val conjuncts = where.map { w =>
+      val base = resolvedConjuncts(spark, snap.schema, w)
+      base ++ derivedConjuncts(spark, snap.generated, base)
+    }.getOrElse(Seq.empty)
+    val small = snap.adds.filter(a => a.bytes < smallBytes &&
+      (conjuncts.isEmpty || !provablyNoMatch(a, conjuncts)))
     if (small.size < 2) return readVersion
     val groups = math.max(1,
       math.ceil(small.map(_.bytes).sum.toDouble / targetBytes).toInt)

@@ -117,6 +117,30 @@ class DeterminismSpec extends SparkSpec {
     }
   }
 
+  test("gapFillCounts and locfFill are partitioning- and " +
+    "order-invariant") {
+    import graft.operators.Temporal
+    def randEvents(seed: Int): List[(Long, java.sql.Timestamp, Double)] = {
+      val r = new scala.util.Random(seed)
+      List.tabulate(20 + r.nextInt(80)) { i =>
+        (r.nextLong(5), new java.sql.Timestamp(
+          1700000000000L + r.nextLong(72L * 3600 * 1000)),
+          math.round(r.nextDouble() * 1e4) / 100.0)
+      }
+    }
+    for (seed <- 1 to 6) {
+      val rows = randEvents(seed)
+      val a = rows.toDF("user_id", "ts", "value")
+      val b = new scala.util.Random(seed).shuffle(rows)
+        .toDF("user_id", "ts", "value").repartition(7)
+      assert(canon(Temporal.gapFillCounts(a)) ==
+        canon(Temporal.gapFillCounts(b)), s"seed=$seed")
+      assert(canon(Temporal.locfFill(a, "user_id", "ts", "value")) ==
+        canon(Temporal.locfFill(b, "user_id", "ts", "value")),
+        s"seed=$seed")
+    }
+  }
+
   test("lineDedup reassembly is the identity when nothing is frequent") {
     for (seed <- 1 to 8) {
       val docs = randDocs(400 + seed)

@@ -145,6 +145,39 @@ class LogGeneratedSpec extends SparkSpec {
     }
   }
 
+  test("IN-lists on the source column derive IN on the generated " +
+    "one; OPTIMIZE WHERE compacts only the predicate's files") {
+    val t = new LogTable(s"${tmp()}/t", maxStatsCols = 2)
+    t.create(StructType(Seq(
+      StructField("id", LongType),
+      StructField("event_date", DateType),
+      StructField("ts", TimestampType))),
+      generatedAlwaysAs = Map("event_date" -> "CAST(ts AS DATE)"))
+    Seq("2024-03-01", "2024-03-02", "2024-03-03").zipWithIndex
+      .foreach { case (d, i) =>
+        t.append(Seq((i.toLong, ts(s"$d 12:00:00"))).toDF("id", "ts"))
+      }
+    // ts has no stats (maxStatsCols=2) — skipping proves derivation
+    val r = t.deleteMor(spark, col("ts").isin(
+      ts("2024-03-01 12:00:00"), ts("2024-03-02 12:00:00")))
+    assert(r.rowsAffected == 2L && r.filesSkippedByStats == 1, s"got $r")
+    // OPTIMIZE WHERE: a second day-3 file, then a ts-scoped compact
+    // — the surviving out-of-scope file must carry forward untouched
+    t.append(Seq((9L, ts("2024-03-03 13:00:00"))).toDF("id", "ts"))
+    t.append(Seq((8L, ts("2024-02-01 08:00:00"))).toDF("id", "ts"))
+    val feb = t.liveAdds().map(_.path).toSet
+      .filter(_ => true) // snapshot before
+    t.compactFiles(spark,
+      where = Some(col("ts") >= lit(ts("2024-03-03 00:00:00"))))
+    val after = t.liveAdds().map(_.path).toSet
+    assert(t.load(spark).select("id").as[Long].collect().toSet ==
+      Set(2L, 8L, 9L))
+    // the two day-3 files merged into one; the Feb file untouched
+    assert(t.commitOp(t.currentVersion.get) == "optimize")
+    assert((feb -- after).size == 2) // exactly the two day-3 files
+    assert((after -- feb).size == 1) // one compacted output
+  }
+
   test("prefix-substring generation derives string-prefix pruning") {
     val t = new LogTable(s"${tmp()}/t")
     t.create(StructType(Seq(

@@ -4,8 +4,9 @@ import graft.sources.LogTable
 import org.apache.spark.sql.functions._
 
 /** Model-based check of the transaction-log table: a deterministic
-  * pseudo-random sequence of append / delete / update / overwrite /
-  * restore / optimize / cluster operations runs against BOTH the
+  * pseudo-random sequence of append / delete / update (each both
+  * copy-on-write and merge-on-read) / overwrite / restore /
+  * optimize / cluster / purge operations runs against BOTH the
   * real table and an in-memory multiset model; after every step the
   * loaded snapshot must equal the model, and at the end every
   * committed version must equal the model state recorded when it was
@@ -21,7 +22,8 @@ class LogTableModelSpec extends SparkSpec {
   private def sortedRows(df: org.apache.spark.sql.DataFrame): Seq[Row2] =
     df.select("k", "v").as[Row2].collect().toSeq.sorted
 
-  test("25 random mixed commits: table state tracks the model at " +
+  test("40 random mixed commits (incl. deletion-vector ops): table " +
+    "state tracks the model at " +
     "every step and every version stays exactly replayable") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft_logmodel").toString
@@ -55,25 +57,29 @@ class LogTableModelSpec extends SparkSpec {
         s"state diverged after ${snaps.size} commits")
     }
 
-    (0 until 25).foreach { step =>
+    (0 until 40).foreach { step =>
       rnd.nextInt(7) match {
         case 0 | 1 | 2 => // append (most common, as in real tables)
           val b = freshBatch()
           t.append(b.toDF("k", "v"))
           model = model ++ b
-        case 3 => // range delete
+        case 3 => // range delete — copy-on-write or deletion-vector
           val lo = rnd.nextLong(math.max(nextId, 1L))
           val hi = lo + rnd.nextInt(5)
           if (t.exists) {
-            t.delete(spark, col("k") >= lo && col("k") <= hi)
+            val pred = col("k") >= lo && col("k") <= hi
+            if (rnd.nextBoolean()) t.delete(spark, pred)
+            else t.deleteMor(spark, pred)
             model = model.filterNot(r => r._1 >= lo && r._1 <= hi)
           }
-        case 4 => // range update
+        case 4 => // range update — copy-on-write or merge-on-read
           val lo = rnd.nextLong(math.max(nextId, 1L))
           val hi = lo + rnd.nextInt(5)
           if (t.exists) {
-            t.update(spark, col("k") >= lo && col("k") <= hi,
-              Map("v" -> lit(s"u$step")))
+            val pred = col("k") >= lo && col("k") <= hi
+            if (rnd.nextBoolean())
+              t.update(spark, pred, Map("v" -> lit(s"u$step")))
+            else t.updateMor(spark, pred, Map("v" -> lit(s"u$step")))
             model = model.map(r =>
               if (r._1 >= lo && r._1 <= hi) (r._1, s"u$step") else r)
           }
@@ -89,8 +95,11 @@ class LogTableModelSpec extends SparkSpec {
           }
         case 6 => // maintenance: layout-only commits
           if (t.exists && t.liveAdds().size > 1) {
-            if (rnd.nextBoolean()) t.compactFiles(spark)
-            else t.cluster(spark, Seq("k"), nFiles = 2)
+            rnd.nextInt(3) match {
+              case 0 => t.compactFiles(spark)
+              case 1 => t.cluster(spark, Seq("k"), nFiles = 2)
+              case 2 => t.purgeDeletes(spark)
+            }
           }
       }
       afterOp()
