@@ -132,41 +132,35 @@ private[sources] final class LogStreamSource(ctx: SQLContext, log: LogTable,
       // CDF mode represents every commit kind as row-level changes —
       // nothing to skip, nothing to fail on
       return GraftStreamShim.streamingFrame(log.changes(spark, from, to))
-    val files = log.versions.filter(v => v > from && v <= to).flatMap { v =>
-      val op = log.commitOp(v)
-      val adds = log.addedPaths(v)
-      op match {
-        // a shallow clone's seed commit is its initial snapshot —
-        // inserts, like create (the referenced files are absolute)
-        case "append" | "create" | "clone" => adds
-        // dataChange = false: reorganizations and metadata-only
-        // constraint/rename/drop commits carry no row-level change
-        case "optimize" | "constraint" | "rename" | "drop" => Seq.empty
-        case changeOp =>
-          if (!skipChangeCommits) throw new IllegalStateException(
-            s"commit $v is a '$changeOp' — a streaming read of a log " +
-              "table requires append-only commits; set " +
-              ".option(\"skipChangeCommits\", \"true\") to pass over " +
-              "change commits and stream only subsequent appends, or " +
-              ".option(\"readChangeFeed\", \"true\") to stream row-level " +
-              "changes instead")
-          Seq.empty
+    val dataVersions = log.versions.filter(v => v > from && v <= to)
+      .filter { v =>
+        log.commitOp(v) match {
+          // a shallow clone's seed commit is its initial snapshot —
+          // inserts, like create (absolute, possibly vectored refs)
+          case "append" | "create" | "clone" => true
+          // dataChange = false: reorganizations and metadata-only
+          // constraint/rename/drop commits carry no row-level change
+          case "optimize" | "constraint" | "rename" | "drop" => false
+          case changeOp =>
+            if (!skipChangeCommits) throw new IllegalStateException(
+              s"commit $v is a '$changeOp' — a streaming read of a log " +
+                "table requires append-only commits; set " +
+                ".option(\"skipChangeCommits\", \"true\") to pass over " +
+                "change commits and stream only subsequent appends, or " +
+                ".option(\"readChangeFeed\", \"true\") to stream " +
+                "row-level changes instead")
+            false
+        }
       }
-    }
+    // per-commit reads through the table's own path: deletion
+    // vectors subtracted, partition dirs discovered per data ROOT
+    // (a clone's seed mixes roots), then unioned
+    val parts = dataVersions
+      .map(v => log.readCommitAdds(spark, schema, v))
     val batch =
-      if (files.isEmpty)
+      if (parts.isEmpty)
         spark.createDataFrame(new java.util.ArrayList[Row](), schema)
-      else {
-        // partitioned tables keep files under hive dirs with the
-        // partition columns OUT of the data files — read with
-        // basePath discovery so they resolve, like every batch path
-        val r = spark.read.schema(schema)
-        // clone-seed commits reference files by absolute path
-        val paths = files.map(p =>
-          if (p.startsWith("/")) p else s"${log.path}/$p")
-        if (log.partitionCols.isEmpty) r.parquet(paths: _*)
-        else r.option("basePath", s"${log.path}/data").parquet(paths: _*)
-      }
+      else parts.reduce(_.unionByName(_))
     GraftStreamShim.streamingFrame(batch)
   }
 

@@ -143,7 +143,8 @@ final class LogTable(val path: String,
                                       Map.empty,
                                     generated: Map[String, String] =
                                       Map.empty,
-                                    retiredNames: Set[String] = Set.empty)
+                                    retiredNames: Set[String] = Set.empty,
+                                    tz: Option[String] = None)
 
   private def parseStats(j: JValue): Map[String, ColStats] = j match {
     case JObject(fields) => fields.map { case (c, v) =>
@@ -239,7 +240,24 @@ final class LogTable(val path: String,
   /** Snapshot state at `v`: newest checkpoint ≤ v, then replay the
     * remaining commits — O(checkpointInterval) file reads, not
     * O(history). */
-  private def snapshotAt(v: Long): Snapshot = {
+  /** A committed version's snapshot is immutable — memoize it.
+    * Every metadata accessor (schema, partitionCols, constraints,
+    * generated, bloom) resolves a snapshot independently, so one
+    * commit otherwise replays the log half a dozen times. Bounded:
+    * a burst of time travel over a long history clears rather than
+    * accumulating big file lists. */
+  private val snapCache =
+    scala.collection.concurrent.TrieMap.empty[Long, Snapshot]
+
+  private def snapshotAt(v: Long): Snapshot =
+    snapCache.getOrElse(v, {
+      val s = computeSnapshotAt(v)
+      if (snapCache.size >= 32) snapCache.clear()
+      snapCache.putIfAbsent(v, s)
+      s
+    })
+
+  private def computeSnapshotAt(v: Long): Snapshot = {
     val ckpts = Option(logDir.listFiles()).toSeq.flatten
       .filter(_.getName.endsWith(".ckpt.json"))
       .map(_.getName.stripSuffix(".ckpt.json").toLong).filter(_ <= v).sorted
@@ -249,6 +267,7 @@ final class LogTable(val path: String,
     var checks: Map[String, String] = Map.empty
     var genCols: Map[String, String] = Map.empty
     var retired: Set[String] = Set.empty
+    var zone: Option[String] = None
     val live = scala.collection.mutable.LinkedHashMap.empty[String, AddFile]
     val from = ckpts.lastOption match {
       case Some(cv) =>
@@ -279,6 +298,10 @@ final class LogTable(val path: String,
           case JArray(arr) =>
             retired = arr.collect { case JString(s) => s }.toSet
           case _ => ()
+        }
+        (state \ "tz") match {
+          case JString(z) => zone = Some(z)
+          case _          => ()
         }
         (state \ "adds").asInstanceOf[JArray].arr.foreach { j =>
           val a = parseAdd(j); live(a.path) = a
@@ -317,6 +340,10 @@ final class LogTable(val path: String,
             retired = arr.collect { case JString(s) => s }.toSet
           case _ => ()
         }
+        (j \ "tz") match {
+          case JString(z) => zone = Some(z)
+          case _          => ()
+        }
         if ((j \ "add") != JNothing) {
           val a = parseAdd(j \ "add"); live(a.path) = a
         }
@@ -326,7 +353,8 @@ final class LogTable(val path: String,
     }
     Snapshot(schema.getOrElse(throw new IllegalStateException(
       s"log at $path has no schema action up to version $v")),
-      live.values.toSeq, partCols, bloomIdxCols, checks, genCols, retired)
+      live.values.toSeq, partCols, bloomIdxCols, checks, genCols, retired,
+      zone)
   }
 
   /** Table schema at the current version. */
@@ -363,6 +391,15 @@ final class LogTable(val path: String,
     * another table by a shallow [[cloneFrom]]. */
   private def absPath(rel: String): String =
     if (rel.startsWith("/")) rel else s"$path/$rel"
+
+  /** Column names a stored SQL expression references (parse-level;
+    * unparseable text references nothing) — the dependency check
+    * behind rename/drop guards and generated-column recompute. */
+  private def exprRefs(spark: SparkSession, sqlExpr: String): Seq[String] =
+    try spark.sessionState.sqlParser.parseExpression(sqlExpr).collect {
+      case u: org.apache.spark.sql.catalyst.analysis
+        .UnresolvedAttribute => u.name
+    } catch { case NonFatal(_) => Seq.empty }
 
   private def hasFieldIds(s: StructType): Boolean =
     s.fields.exists(_.metadata.contains(LogTable.FieldIdKey))
@@ -573,7 +610,8 @@ final class LogTable(val path: String,
       generatedJson =
         if (snap.generated.isEmpty) None else Some(snap.generated),
       retiredJson =
-        if (snap.retiredNames.isEmpty) None else Some(snap.retiredNames))
+        if (snap.retiredNames.isEmpty) None else Some(snap.retiredNames),
+      tzJson = snap.tz)
   }
 
   /** `ALTER TABLE RENAME COLUMN` as a METADATA-ONLY commit — zero
@@ -612,15 +650,10 @@ final class LogTable(val path: String,
     require(!snap.retiredNames.contains(newName),
       s"column name '$newName' was retired by a prior rename and " +
         "cannot be reused")
-    def refs(e: String): Seq[String] =
-      try spark.sessionState.sqlParser.parseExpression(e).collect {
-        case u: org.apache.spark.sql.catalyst.analysis
-          .UnresolvedAttribute => u.name
-      } catch { case NonFatal(_) => Seq.empty }
     (snap.constraints.toSeq.map(c => s"CHECK constraint ${c._1}" -> c._2)
       ++ snap.generated.toSeq.map(g => s"generated column ${g._1}" -> g._2))
       .foreach { case (what, e) =>
-        require(!refs(e).contains(oldName),
+        require(!exprRefs(spark, e).contains(oldName),
           s"cannot rename '$oldName': $what references it — drop it first")
       }
     require(!snap.generated.contains(oldName),
@@ -668,15 +701,10 @@ final class LogTable(val path: String,
       "create the table with columnMapping = true")
     require(!snap.partitionCols.contains(name),
       s"cannot drop partition column '$name'")
-    def refs(e: String): Seq[String] =
-      try spark.sessionState.sqlParser.parseExpression(e).collect {
-        case u: org.apache.spark.sql.catalyst.analysis
-          .UnresolvedAttribute => u.name
-      } catch { case NonFatal(_) => Seq.empty }
     (snap.constraints.toSeq.map(c => s"CHECK constraint ${c._1}" -> c._2)
       ++ snap.generated.toSeq.map(g => s"generated column ${g._1}" -> g._2))
       .foreach { case (what, e) =>
-        require(!refs(e).contains(name),
+        require(!exprRefs(spark, e).contains(name),
           s"cannot drop '$name': $what references it — drop it first")
       }
     val newGenerated =
@@ -700,17 +728,36 @@ final class LogTable(val path: String,
     * stats pass. */
   def addCheckConstraint(spark: SparkSession, name: String,
                          sqlExpr: String): Long = {
-    val cur = checkConstraints
-    require(!cur.contains(name), s"constraint '$name' already exists")
-    if (exists && liveAdds().nonEmpty) {
-      val bad = load(spark)
-        .filter(coalesce(!expr(sqlExpr), lit(false))).count()
-      require(bad == 0L, s"cannot add CHECK constraint '$name' " +
-        s"($sqlExpr): $bad existing row(s) violate it")
+    // validate-then-commit must be atomic w.r.t. other writers: a
+    // violating append landing BETWEEN the scan and the constraint
+    // commit would leave the table violating its own active
+    // constraint. The commit therefore requires the head to be
+    // exactly the validated snapshot; if it moved, re-validate and
+    // try again (bounded).
+    var attempts = 0
+    while (true) {
+      attempts += 1
+      val basis = currentVersion
+      val cur = basis.map(v => snapshotAt(v).constraints)
+        .getOrElse(Map.empty[String, String])
+      require(!cur.contains(name), s"constraint '$name' already exists")
+      if (basis.exists(v => snapshotAt(v).adds.nonEmpty)) {
+        val bad = load(spark, basis)
+          .filter(coalesce(!expr(sqlExpr), lit(false))).count()
+        require(bad == 0L, s"cannot add CHECK constraint '$name' " +
+          s"($sqlExpr): $bad existing row(s) violate it")
+      }
+      try {
+        return commitRetry(basis, Seq.empty, Seq.empty, "constraint",
+          schemaJson = None, cdfDir = None,
+          constraintsJson = Some(cur + (name -> sqlExpr)),
+          requireHead = Some(basis))
+      } catch {
+        case _: java.util.ConcurrentModificationException
+            if attempts < 10 => // head moved — re-validate
+      }
     }
-    commitRetry(currentVersion, Seq.empty, Seq.empty, "constraint",
-      schemaJson = None, cdfDir = None,
-      constraintsJson = Some(cur + (name -> sqlExpr)))
+    -1L // unreachable
   }
 
   /** `ALTER TABLE DROP CONSTRAINT` — metadata-only. */
@@ -773,8 +820,26 @@ final class LogTable(val path: String,
       constraintsJson =
         if (checkConstraints.isEmpty) None else Some(checkConstraints),
       generatedJson =
-        if (generatedAlwaysAs.isEmpty) None else Some(generatedAlwaysAs))
+        if (generatedAlwaysAs.isEmpty) None else Some(generatedAlwaysAs),
+      // generated expressions evaluate under the SESSION timezone
+      // (CAST ts AS DATE shifts per zone) — pin the creation-time
+      // zone in the log so writes and predicate derivation can
+      // refuse/decline under a different zone instead of silently
+      // computing shifted values or unsound skips
+      tzJson =
+        if (generatedAlwaysAs.isEmpty) None
+        else Some(SparkSession.getActiveSession
+          .orElse(SparkSession.getDefaultSession)
+          .map(_.sessionState.conf.sessionLocalTimeZone)
+          .getOrElse(java.util.TimeZone.getDefault.getID)))
   }
+
+  /** Zone equality up to aliasing: `UTC`, `Etc/UTC` and `+00:00`
+    * name the same rules. */
+  private def sameZone(a: String, b: String): Boolean =
+    try java.time.ZoneId.of(a).normalized() ==
+      java.time.ZoneId.of(b).normalized()
+    catch { case NonFatal(_) => a == b }
 
   /** Columns worth stats: fixed-width orderable types plus strings.
     * Decimals are excluded — their double-rounded bounds would not be
@@ -829,10 +894,19 @@ final class LogTable(val path: String,
     // semantics: NULL passes; only a provably-FALSE row violates.
     // A provided generated column violates when it null-safely
     // differs from its expression recomputed over the staged row.
+    val genn = generatedCols.toSeq
+      .filter(g => tableSchema.fieldNames.contains(g._1))
+    if (genn.nonEmpty)
+      currentVersion.flatMap(v => snapshotAt(v).tz).foreach { z =>
+        val sess = spark.sessionState.conf.sessionLocalTimeZone
+        require(sameZone(sess, z), "this table's generated columns were " +
+          s"defined under session timezone '$z' but the session is " +
+          s"'$sess' — generated expressions are timezone-dependent; " +
+          s"set spark.sql.session.timeZone to '$z' before writing")
+      }
     val checks = checkConstraints.toSeq ++
-      generatedCols.toSeq.filter(g => tableSchema.fieldNames.contains(g._1))
-        .map { case (g, e) =>
-          s"generated column $g" -> s"`$g` <=> ($e)" }
+      genn.map { case (g, e) =>
+        s"generated column $g" -> s"`$g` <=> ($e)" }
     val aggs: Seq[Column] = count(lit(1)).as("__rows") +: (cols.flatMap { f =>
       Seq(min(statProjection(f)).as(s"__min_${f.name}"),
         max(statProjection(f)).as(s"__max_${f.name}"),
@@ -988,19 +1062,48 @@ final class LogTable(val path: String,
                           bloomJson: Option[Seq[String]] = None,
                           constraintsJson: Option[Map[String, String]] = None,
                           generatedJson: Option[Map[String, String]] = None,
-                          retiredJson: Option[Set[String]] = None)
+                          retiredJson: Option[Set[String]] = None,
+                          requireHead: Option[Option[Long]] = None,
+                          tzJson: Option[String] = None)
       : Long = {
     ensureLayout()
     var attempts = 0
     while (attempts < 100) {
       attempts += 1
       val head = currentVersion
+      // commits whose VALIDITY was established against a specific
+      // snapshot (ADD CONSTRAINT's existing-data scan) must land
+      // exactly on it — any interleaved commit invalidates the
+      // check, so surface the conflict and let the caller
+      // re-validate and retry
+      requireHead.foreach(expected =>
+        if (head != expected)
+          throw new java.util.ConcurrentModificationException(
+            s"conflicting commit: head moved from $expected to $head " +
+              "while this metadata change was being validated"))
       if (removePaths.nonEmpty && readVersion != head) {
-        val live = snapshotAt(head.getOrElse(-1L)).adds.map(_.path).toSet
-        val gone = removePaths.filterNot(live)
+        val headAdds = snapshotAt(head.getOrElse(-1L)).adds
+          .map(a => a.path -> a).toMap
+        val gone = removePaths.filterNot(headAdds.contains)
         if (gone.nonEmpty) throw new java.util.ConcurrentModificationException(
           s"conflicting commit: files ${gone.mkString(", ")} were removed " +
             s"by another writer between version $readVersion and $head")
+        // liveness alone is NOT enough since merge-on-read: a racing
+        // deletion-vector commit re-adds the SAME path with a new
+        // vector, so the path stays live while its row set changed —
+        // this commit was planned against the old rows and would
+        // silently UNDO the racing delete (resurrection). Compare
+        // the whole entry against the read snapshot.
+        val basisAdds = readVersion
+          .map(v => snapshotAt(v).adds.map(a => a.path -> a).toMap)
+          .getOrElse(Map.empty[String, AddFile])
+        val changed = removePaths.filter(p =>
+          basisAdds.get(p).exists(b => headAdds(p) != b))
+        if (changed.nonEmpty)
+          throw new java.util.ConcurrentModificationException(
+            s"conflicting commit: files ${changed.mkString(", ")} were " +
+              s"modified (deletion vector) by another writer between " +
+              s"version $readVersion and $head")
       }
       // schema-race revalidation: this commit's schemaJson was
       // derived by widening the schema READ at `schemaBasis` — if a
@@ -1067,6 +1170,8 @@ final class LogTable(val path: String,
         retiredJson.map(rs => JsonMethods.compact(JsonMethods.render(
           JObject(List("retired" -> JArray(
             rs.toList.sorted.map(JString(_)))))))) ++
+        tzJson.map(z => JsonMethods.compact(JsonMethods.render(
+          JObject(List("tz" -> JString(z)))))) ++
         removePaths.map(p => JsonMethods.compact(JsonMethods.render(
           JObject(List("remove" -> JObject(List("path" -> JString(p)))))))) ++
         adds.map(a => JsonMethods.compact(JsonMethods.render(
@@ -1099,6 +1204,7 @@ final class LogTable(val path: String,
         "generated" -> JObject(
           snap.generated.toList.map { case (k, v) => k -> JString(v) }),
         "retired" -> JArray(snap.retiredNames.toList.sorted.map(JString(_))),
+        "tz" -> snap.tz.map(JString(_)).getOrElse(JNull),
         "adds" -> JArray(snap.adds.toList.map(renderAdd))))
       val tmp = new File(logDir, s".tmp-ckpt-${UUID.randomUUID()}")
       Files.writeString(tmp.toPath,
@@ -1471,22 +1577,16 @@ final class LogTable(val path: String,
     if (gen.isEmpty) set
     else gen.foldLeft(set) { case (acc, (g, e)) =>
       if (acc.contains(g)) acc
+      else if (!exprRefs(spark, e).exists(acc.contains)) acc
       else {
-        val parsed = spark.sessionState.sqlParser.parseExpression(e)
-        val refs = parsed.collect {
-          case u: org.apache.spark.sql.catalyst.analysis
-            .UnresolvedAttribute => u.name
-        }
-        if (!refs.exists(acc.contains)) acc
-        else {
-          val substituted = parsed.transform {
+        val substituted = spark.sessionState.sqlParser.parseExpression(e)
+          .transform {
             case u: org.apache.spark.sql.catalyst.analysis
               .UnresolvedAttribute if acc.contains(u.name) =>
               org.apache.spark.sql.GraftColumnShim.expression(acc(u.name))
           }
-          acc + (g -> org.apache.spark.sql.GraftColumnShim
-            .column(substituted))
-        }
+        acc + (g -> org.apache.spark.sql.GraftColumnShim
+          .column(substituted))
       }
     }
   }
@@ -1567,7 +1667,7 @@ final class LogTable(val path: String,
     val snap = snapshotAt(readVersion)
     val base = resolvedConjuncts(spark, snap.schema, pred)
     val conjuncts =
-      base ++ derivedConjuncts(spark, snap.generated, base)
+      base ++ derivedConjuncts(spark, snap.generated, snap.tz, base)
     val (skipped, candidates) = snap.adds.partition(
       provablyNoMatch(_, conjuncts))
     if (candidates.isEmpty)
@@ -1586,18 +1686,21 @@ final class LogTable(val path: String,
     val touched = candidates.filter(a =>
       perFile.contains(new File(a.path).getName))
 
-    // change feed, written before the commit that references it
+    // change feed, written before the commit that references it —
+    // the SAME post-image frame also stages below (one callback
+    // invocation, so feed and committed files cannot diverge)
     val cdfRel = s"_cdf/${UUID.randomUUID()}"
     val images = matched.drop("__file", "__idx")
-    if (op == "delete")
-      images.withColumn("_change_type", lit("delete"))
-        .write.mode("overwrite").parquet(s"$path/$cdfRel")
-    else {
-      val post = postImages(images, snap.schema, snap.partitionCols).get
-      post.withColumn("_change_type", lit("update_postimage"))
-        .unionByName(images.withColumn("_change_type",
-          lit("update_preimage")))
-        .write.mode("overwrite").parquet(s"$path/$cdfRel")
+    val post = postImages(images, snap.schema, snap.partitionCols)
+    post match {
+      case None =>
+        images.withColumn("_change_type", lit("delete"))
+          .write.mode("overwrite").parquet(s"$path/$cdfRel")
+      case Some(p) =>
+        p.withColumn("_change_type", lit("update_postimage"))
+          .unionByName(images.withColumn("_change_type",
+            lit("update_preimage")))
+          .write.mode("overwrite").parquet(s"$path/$cdfRel")
     }
 
     // the new vectors: this op's pairs ∪ the touched files' existing
@@ -1621,13 +1724,13 @@ final class LogTable(val path: String,
       .map(a => a.copy(dv = Some(Dv(dvRel, cardOf(a)))))
 
     val affected = perFile.values.sum
-    val v = postImages(images, snap.schema, snap.partitionCols) match {
+    val v = post match {
       case None =>
         commitRetry(Some(readVersion), touched.map(_.path), reAdds, op,
           schemaJson = None, cdfDir = Some(cdfRel))
-      case Some(post) =>
+      case Some(p) =>
         val staged = new File(newStagingDir())
-        stagedWriter(post).parquet(staged.toString)
+        stagedWriter(p).parquet(staged.toString)
         finalizeStaged(spark, staged, snap.schema,
           removePaths = touched.map(_.path), op = op,
           readVersion = Some(readVersion), schemaJson = None,
@@ -1668,9 +1771,16 @@ final class LogTable(val path: String,
     * exactly the engine's; anything unrecognized or unfoldable
     * derives nothing — less skipping, never wrong. */
   private def derivedConjuncts(spark: SparkSession,
-      generated: Map[String, String],
+      generated: Map[String, String], tableTz: Option[String],
       conjuncts: Seq[expressions.Expression]): Seq[expressions.Expression] = {
     if (generated.isEmpty || conjuncts.isEmpty) return Seq.empty
+    // generated values were computed under the table's recorded
+    // session timezone; folding the transform-of-literal under a
+    // DIFFERENT zone shifts date boundaries and the implication
+    // breaks — decline to derive (no skipping, never wrong)
+    if (tableTz.exists(z =>
+        !sameZone(z, spark.sessionState.conf.sessionLocalTimeZone)))
+      return Seq.empty
     import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFunction}
 
     def srcOf(e: expressions.Expression): Option[String] = e match {
@@ -1803,7 +1913,7 @@ final class LogTable(val path: String,
     val snap = snapshotAt(readVersion)
     val base = resolvedConjuncts(spark, snap.schema, pred)
     val conjuncts =
-      base ++ derivedConjuncts(spark, snap.generated, base)
+      base ++ derivedConjuncts(spark, snap.generated, snap.tz, base)
     val (skipped, candidates) = snap.adds.partition(
       provablyNoMatch(_, conjuncts))
     if (candidates.isEmpty)
@@ -1862,6 +1972,26 @@ final class LogTable(val path: String,
   def addedPaths(v: Long): Seq[String] =
     readActions(logFile(v)).collect {
       case j if (j \ "add") != JNothing => parseAdd(j \ "add").path }
+
+  /** One commit's ADDED file entries, vectors and all. */
+  private[sources] def addedFiles(v: Long): Seq[AddFile] =
+    readActions(logFile(v)).collect {
+      case j if (j \ "add") != JNothing => parseAdd(j \ "add") }
+
+  /** Read ONE commit's added files under `readSchema` — deletion
+    * vectors subtracted and data roots grouped, so a clone's seed
+    * commit (absolute, possibly vectored references) reads exactly
+    * the rows its snapshot contains. The streaming source's and
+    * change feed's per-commit batch read. */
+  private[sources] def readCommitAdds(spark: SparkSession,
+                                      readSchema: StructType,
+                                      v: Long): DataFrame = {
+    val adds = addedFiles(v)
+    if (adds.isEmpty)
+      spark.createDataFrame(new java.util.ArrayList[Row](), readSchema)
+    else dvAwareRead(spark, readSchema, snapshotAt(v).partitionCols, adds,
+      keepProvenance = false)
+  }
 
   /** Roll the table back to the state of `version` (Delta RESTORE):
     * ONE metadata-only commit re-adding the target snapshot's files
@@ -1935,13 +2065,13 @@ final class LogTable(val path: String,
             (j \ "remove" \ "path").asInstanceOf[JString].s }
         meta.op match {
           case "append" | "create" | "clone" =>
+            // per-commit DV-aware read: a clone seed's references may
+            // carry vectors — their dead rows are not inserts
             if (added.isEmpty) Seq.empty
-            else Seq(tagged(readDataFiles(spark, s, pc,
-              added.map(absPath)), "insert", v))
+            else Seq(tagged(readCommitAdds(spark, s, v), "insert", v))
           case "overwrite" =>
             val ins = if (added.isEmpty) Seq.empty
-              else Seq(tagged(readDataFiles(spark, s, pc,
-                added.map(absPath)), "insert", v))
+              else Seq(tagged(readCommitAdds(spark, s, v), "insert", v))
             // retired files read minus the deletion vectors they
             // carried going IN to the overwrite — already-deleted
             // rows must not re-appear as deletes
@@ -1988,7 +2118,7 @@ final class LogTable(val path: String,
     val snap = snapshotAt(readVersion)
     val conjuncts = where.map { w =>
       val base = resolvedConjuncts(spark, snap.schema, w)
-      base ++ derivedConjuncts(spark, snap.generated, base)
+      base ++ derivedConjuncts(spark, snap.generated, snap.tz, base)
     }.getOrElse(Seq.empty)
     val small = snap.adds.filter(a => a.bytes < smallBytes &&
       (conjuncts.isEmpty || !provablyNoMatch(a, conjuncts)))

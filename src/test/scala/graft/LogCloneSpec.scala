@@ -122,4 +122,33 @@ class LogCloneSpec extends SparkSpec {
     assert(spark.table("clone_tail").select("k").as[Long]
       .collect().toSet == Set(1L, 2L))
   }
+
+  test("a clone of a deletion-vectored PARTITIONED source streams " +
+    "and change-feeds exactly its logical rows") {
+    val src = new LogTable(s"${tmp()}/src")
+    src.create(org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("p",
+        org.apache.spark.sql.types.StringType))),
+      partitionBy = Seq("p"))
+    src.append(Seq((1L, "x"), (2L, "y"), (3L, "x")).toDF("k", "p"))
+    src.deleteMor(spark, col("k") === 2L)
+    val clone = new LogTable(s"${tmp()}/clone")
+    clone.cloneFrom(src)
+    // the seed commit's references carry the vector AND live under
+    // the source's data root — both must be handled by the stream
+    val q = spark.readStream
+      .format(classOf[graft.sources.LogStreamProvider].getName)
+      .option("path", clone.path).load()
+      .writeStream.format("memory").queryName("clone_dv_tail")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    assert(spark.table("clone_dv_tail").select("k").as[Long]
+      .collect().toSet == Set(1L, 3L)) // no resurrection of k=2
+    // change feed of the seed commit: inserts = logical rows only
+    val feed = clone.changes(spark, -1L, 0L)
+    assert(feed.filter(col("_change_type") === "insert")
+      .select("k").as[Long].collect().toSet == Set(1L, 3L))
+  }
 }

@@ -75,6 +75,33 @@ class LogConstraintSpec extends SparkSpec {
     assert(t.load(spark).agg(min("bal")).as[Double].head() == 0.0)
   }
 
+  test("ADD CONSTRAINT racing a violating append re-validates and " +
+    "refuses — the table can never end up violating its own " +
+    "active constraint") {
+    val dir = s"${tmp()}/t"
+    val other = new LogTable(dir)
+    other.append(Seq((1L, 10.0)).toDF("k", "bal"))
+    // the moment the constraint commit tries to claim its slot, a
+    // violating append lands first; without the head-pin the
+    // constraint would commit on top of data it never validated
+    @volatile var raced = false
+    val coord = new graft.sources.LogCommitCoordinator {
+      override def claim(t: java.io.File, target: java.io.File): Boolean = {
+        if (!raced) {
+          raced = true
+          other.append(Seq((2L, -5.0)).toDF("k", "bal"))
+        }
+        graft.sources.LocalFsCommitCoordinator.claim(t, target)
+      }
+    }
+    val ct = new LogTable(dir, coordinator = coord)
+    val e = intercept[IllegalArgumentException] {
+      ct.addCheckConstraint(spark, "bal_nonneg", "bal >= 0")
+    }
+    assert(e.getMessage.contains("existing row"))
+    assert(other.checkConstraints.isEmpty) // nothing half-committed
+  }
+
   test("constraints survive checkpointed replay and a fresh instance") {
     val t = new LogTable(s"${tmp()}/t", checkpointInterval = 3)
     t.create(schema, checkConstraints = Map("k_pos" -> "k > 0"))

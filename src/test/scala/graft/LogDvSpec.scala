@@ -212,6 +212,32 @@ class LogDvSpec extends SparkSpec {
     spark.catalog.dropTempView("dv_src")
   }
 
+  test("two MOR deletes racing on one file conflict instead of " +
+    "silently losing the first writer's vector") {
+    val dir = s"${tmp()}/t"
+    val a = new LogTable(dir)
+    a.append(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+      .repartition(1))
+    // interleave deterministically: b plans its delete against the
+    // pre-race snapshot, and the moment it tries to claim a slot, a
+    // lands a deletion-vector commit on the SAME file — liveness
+    // alone would pass (the path was re-added by reference) and b's
+    // commit would resurrect a's deleted row
+    @volatile var raced = false
+    val coord = new graft.sources.LogCommitCoordinator {
+      override def claim(t: java.io.File, target: java.io.File): Boolean = {
+        if (!raced) { raced = true; a.deleteMor(spark, col("k") === 1L) }
+        graft.sources.LocalFsCommitCoordinator.claim(t, target)
+      }
+    }
+    val b = new LogTable(dir, coordinator = coord)
+    intercept[java.util.ConcurrentModificationException] {
+      b.deleteMor(spark, col("k") === 2L)
+    }
+    // a's delete survives; b's aborted commit changed nothing
+    assert(rows(a.load(spark)) == Set((2L, "b"), (3L, "c")))
+  }
+
   test("a big vector falls back to the shuffled anti-join and still" +
     " reads exactly") {
     val t = new LogTable(s"${tmp()}/t")

@@ -178,6 +178,30 @@ class LogGeneratedSpec extends SparkSpec {
     assert((after -- feb).size == 1) // one compacted output
   }
 
+  test("a session in a DIFFERENT timezone refuses generated-column " +
+    "writes and declines derivation (shifted date boundaries would " +
+    "be silently wrong / unsoundly pruned)") {
+    val t = mkTable(partitioned = false)
+    t.append(Seq((1L, ts("2024-03-01 23:30:00"))).toDF("id", "ts"))
+    val orig = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "Australia/Sydney")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        t.append(Seq((2L, ts("2024-03-02 01:00:00"))).toDF("id", "ts"))
+      }
+      assert(e.getMessage.contains("timezone"))
+      // reads and data-free deletes still run CORRECTLY — the
+      // derivation just declines, so the file is scanned instead of
+      // (unsoundly) skipped; a copy-on-write rewrite would refuse
+      // like any other write under the wrong zone
+      assert(t.load(spark).count() == 1L)
+      val r = t.deleteMor(spark,
+        col("ts") === lit(ts("2024-03-01 23:30:00")))
+      assert(r.rowsAffected == 1L && r.filesSkippedByStats == 0)
+      assert(t.load(spark).count() == 0L)
+    } finally spark.conf.set("spark.sql.session.timeZone", orig)
+  }
+
   test("prefix-substring generation derives string-prefix pruning") {
     val t = new LogTable(s"${tmp()}/t")
     t.create(StructType(Seq(
