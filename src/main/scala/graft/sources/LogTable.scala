@@ -1712,9 +1712,16 @@ final class LogTable(val path: String,
     val touchedNames = touched.map(a => new File(a.path).getName)
     val allPairs =
       if (oldDirs.isEmpty) newPairs
-      else newPairs.unionByName(
-        spark.read.parquet(oldDirs.map(absPath): _*)
-          .filter(col("file").isin(touchedNames: _*)))
+      else {
+        // keep only the touched files' old pairs — as a broadcast
+        // semi-join, not isin: a wide DELETE touches thousands of
+        // files and a literal list that size bloats the plan
+        import spark.implicits._
+        val names = broadcast(touchedNames.toDF("file"))
+        newPairs.unionByName(
+          spark.read.parquet(oldDirs.map(absPath): _*)
+            .join(names, Seq("file"), "left_semi"))
+      }
     allPairs.repartition(col("file")).write.parquet(s"$path/$dvRel")
 
     def cardOf(a: AddFile): Long =
