@@ -49,7 +49,8 @@ private[sources] final class GraftProcedure(catalog: GraftTableCatalog,
     case "vacuum" =>
       Array(in("table", StringType).build(),
         in("retain_last", IntegerType).defaultValue("1").build(),
-        in("retention_hours", IntegerType).defaultValue("168").build())
+        in("retention_hours", IntegerType).defaultValue("168").build(),
+        in("dry_run", BooleanType).defaultValue("false").build())
     case "optimize" =>
       Array(in("table", StringType).build(),
         in("zorder_by", StringType).defaultValue("''").build(),
@@ -94,7 +95,8 @@ private[sources] final class GraftProcedure(catalog: GraftTableCatalog,
         Seq(row(t.restore(input.getLong(1))))
       case "vacuum" =>
         t.vacuum(input.getInt(1),
-          input.getInt(2).toLong * 3600L * 1000L)
+          input.getInt(2).toLong * 3600L * 1000L,
+          dryRun = input.getBoolean(3))
           .map(p => row(UTF8String.fromString(p)))
       case "optimize" =>
         val zorder = input.getUTF8String(1).toString

@@ -2208,7 +2208,8 @@ final class LogTable(val path: String,
     * under an injected logical clock). Tests that vacuum their own
     * just-written quiescent tables pass 0. */
   def vacuum(retainLast: Int = 1,
-             retentionMillis: Long = LogTable.DefaultVacuumRetentionMillis)
+             retentionMillis: Long = LogTable.DefaultVacuumRetentionMillis,
+             dryRun: Boolean = false)
       : Seq[String] = {
     require(retainLast >= 1, s"need retainLast >= 1, got $retainLast")
     require(retentionMillis >= 0,
@@ -2226,13 +2227,13 @@ final class LogTable(val path: String,
       root.relativize(f.toPath.toAbsolutePath).toString
     val dropped = walkData(dataDir).filterNot(f =>
       keep.contains(rel(f)) || f.lastModified() > horizon)
-    dropped.foreach(_.delete())
+    if (!dryRun) dropped.foreach(_.delete())
     val keepCdf = retained.flatMap(v => commitMeta(v).cdf).toSet
     val cdfRoot = new File(path, "_cdf")
     val droppedCdf = Option(cdfRoot.listFiles()).toSeq.flatten
       .filter(d => d.isDirectory && !keepCdf.contains(s"_cdf/${d.getName}") &&
         d.lastModified() <= horizon)
-    droppedCdf.foreach(deleteRecursive)
+    if (!dryRun) droppedCdf.foreach(deleteRecursive)
     // deletion-vector dirs referenced by any retained version stay;
     // the rest expire under the same modification-time guard
     val keepDv = retained
@@ -2241,7 +2242,7 @@ final class LogTable(val path: String,
     val droppedDv = Option(dvRoot.listFiles()).toSeq.flatten
       .filter(d => d.isDirectory && !keepDv.contains(s"_dv/${d.getName}") &&
         d.lastModified() <= horizon)
-    droppedDv.foreach(deleteRecursive)
+    if (!dryRun) droppedDv.foreach(deleteRecursive)
     // bloom sidecars follow their data file: keep those whose data
     // file is retained, expire the rest under the same guard
     val keepNames = keep.map(p => new File(p).getName)
@@ -2250,7 +2251,7 @@ final class LogTable(val path: String,
       .filter(f => f.isFile &&
         !keepNames.exists(n => f.getName.startsWith(n + ".")) &&
         f.lastModified() <= horizon)
-    droppedBloom.foreach(_.delete())
+    if (!dryRun) droppedBloom.foreach(_.delete())
     dropped.map(rel) ++ droppedCdf.map(d => s"_cdf/${d.getName}") ++
       droppedDv.map(d => s"_dv/${d.getName}") ++
       droppedBloom.map(f => s"_bloom/${f.getName}")

@@ -57,7 +57,7 @@ final class GraftLogTableV2(tableName: String, log: LogTable)
       .toArray
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    if (log.liveAdds().exists(_.dv.isDefined))
+    if (GraftLogTableV2.needsV1Bridge(log, None))
       new DvScanBuilder(log, None)
     else
       GraftLogTableV2.scanTable(tableName, log, None).newScanBuilder(options)
@@ -109,9 +109,21 @@ object GraftLogTableV2 {
     * scan instead of the raw parquet one. */
   private[sources] def pinned(name: String, log: LogTable,
                               version: Long): Table =
-    if (log.liveAdds(Some(version)).exists(_.dv.isDefined))
+    if (needsV1Bridge(log, Some(version)))
       new DvReadTable(name, log, Some(version))
     else new GraftReadTable(scanTable(name, log, Some(version)))
+
+  /** Snapshots the plain parquet scan cannot serve: deletion vectors
+    * (the raw file list would resurrect deleted rows) and
+    * PARTITIONED shallow clones (the snapshot mixes data ROOTS, but
+    * a single FileTable pins one basePath — `LogTable.load` groups
+    * per root). Both drop to the [[DvScanBuilder]] V1 bridge. */
+  private[sources] def needsV1Bridge(log: LogTable,
+                                     version: Option[Long]): Boolean = {
+    val adds = log.liveAdds(version)
+    adds.exists(_.dv.isDefined) ||
+      (log.partitionCols.nonEmpty && adds.exists(_.path.startsWith("/")))
+  }
 
   /** v1 pushed filter → Column, for [[SupportsDelete.deleteWhere]].
     * Total over Spark's filter algebra; anything Spark can push, we

@@ -123,6 +123,33 @@ class LogCloneSpec extends SparkSpec {
       .collect().toSet == Set(1L, 2L))
   }
 
+  test("catalog SQL reads a PARTITIONED clone (mixed data roots " +
+    "drop to the V1 bridge instead of pinning a wrong basePath)") {
+    val dir = tmp()
+    val cat = s"gclonep${System.identityHashCode(this)}"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      "graft.sources.GraftTableCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", dir)
+    try {
+      val src = new LogTable(s"$dir/src")
+      src.create(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("p",
+          org.apache.spark.sql.types.StringType))),
+        partitionBy = Seq("p"))
+      src.append(Seq((1L, "x"), (2L, "y")).toDF("k", "p"))
+      new LogTable(s"$dir/dst").cloneFrom(src)
+      assert(spark.sql(s"SELECT k, p FROM $cat.dst WHERE p = 'x'")
+        .as[(Long, String)].collect().toSeq == Seq((1L, "x")))
+      assert(spark.sql(s"SELECT count(*) FROM $cat.dst").as[Long]
+        .head() == 2L)
+    } finally {
+      spark.conf.unset(s"spark.sql.catalog.$cat")
+      spark.conf.unset(s"spark.sql.catalog.$cat.warehouse")
+    }
+  }
+
   test("a clone of a deletion-vectored PARTITIONED source streams " +
     "and change-feeds exactly its logical rows") {
     val src = new LogTable(s"${tmp()}/src")

@@ -78,11 +78,19 @@ class LogProcedureSpec extends SparkSpec {
       assert(t.liveAdds().exists(_.dv.isDefined))
       spark.sql(s"CALL $cat.purge_deletes('t')").collect()
       assert(t.liveAdds().forall(_.dv.isEmpty))
+      // dry run reports the same candidates and deletes nothing
+      val wouldDrop = spark.sql(
+        s"CALL $cat.vacuum(`table` => 't', retain_last => 1, " +
+          "retention_hours => 0, dry_run => true)")
+        .as[String].collect().toSeq
+      assert(wouldDrop.nonEmpty)
+      wouldDrop.foreach(p =>
+        assert(new java.io.File(t.path, p).exists(), s"$p deleted by dry run"))
       val dropped = spark.sql(
         s"CALL $cat.vacuum(`table` => 't', retain_last => 1, " +
           "retention_hours => 0)")
         .as[String].collect().toSeq
-      assert(dropped.nonEmpty)
+      assert(dropped.toSet == wouldDrop.toSet)
       assert(t.load(spark).count() == 2L)
     }
   }
