@@ -152,16 +152,12 @@ private[sources] final class LogStreamSource(ctx: SQLContext, log: LogTable,
             false
         }
       }
-    // per-commit reads through the table's own path: deletion
-    // vectors subtracted, partition dirs discovered per data ROOT
-    // (a clone's seed mixes roots), then unioned
-    val parts = dataVersions
-      .map(v => log.readCommitAdds(spark, schema, v))
-    val batch =
-      if (parts.isEmpty)
-        spark.createDataFrame(new java.util.ArrayList[Row](), schema)
-      else parts.reduce(_.unionByName(_))
-    GraftStreamShim.streamingFrame(batch)
+    // ONE windowed read for the whole micro-batch: deletion vectors
+    // subtracted, partition dirs discovered per data ROOT (a clone's
+    // seed mixes roots), clean appends collapsing to a single
+    // multi-path scan
+    GraftStreamShim.streamingFrame(
+      log.readAddedFiles(spark, schema, dataVersions))
   }
 
   override def stop(): Unit = ()

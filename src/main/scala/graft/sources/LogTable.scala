@@ -633,8 +633,8 @@ final class LogTable(val path: String,
     * — less skipping, never wrong; bloom sidecars are renamed in
     * place. */
   def renameColumn(spark: SparkSession, oldName: String,
-                   newName: String): Long = {
-    val v = currentVersion.getOrElse(
+                   newName: String): Long = retryMetadataCommit { basis =>
+    val v = basis.getOrElse(
       throw new IllegalStateException(s"no log table at $path"))
     val snap = snapshotAt(v)
     val s = snap.schema
@@ -676,10 +676,14 @@ final class LogTable(val path: String,
       }
     val renamed = StructType(s.fields.map(f =>
       if (f.name == oldName) f.copy(name = newName) else f))
+    // head-pinned: the full schema/bloom/retired sets were derived
+    // from THIS snapshot — an interleaved evolution would be
+    // clobbered by a stale write, so conflict and re-derive instead
     commitRetry(Some(v), Seq.empty, Seq.empty, "rename",
       schemaJson = Some(renamed.json), cdfDir = None,
       bloomJson = newBloom,
-      retiredJson = Some(snap.retiredNames + oldName))
+      retiredJson = Some(snap.retiredNames + oldName),
+      requireHead = Some(basis))
   }
 
   /** `ALTER TABLE DROP COLUMN` as a metadata-only commit (Delta's
@@ -690,8 +694,9 @@ final class LogTable(val path: String,
     * does: without ids, a later ADD of a same-named column would
     * resurrect the old bytes. Partition / constraint-referenced /
     * generated columns refuse (drop the dependent object first). */
-  def dropColumn(spark: SparkSession, name: String): Long = {
-    val v = currentVersion.getOrElse(
+  def dropColumn(spark: SparkSession, name: String): Long =
+      retryMetadataCommit { basis =>
+    val v = basis.getOrElse(
       throw new IllegalStateException(s"no log table at $path"))
     val snap = snapshotAt(v)
     val s = snap.schema
@@ -718,7 +723,8 @@ final class LogTable(val path: String,
     commitRetry(Some(v), Seq.empty, Seq.empty, "drop",
       schemaJson = Some(remaining.json), cdfDir = None,
       bloomJson = newBloom, generatedJson = newGenerated,
-      retiredJson = Some(snap.retiredNames + name))
+      retiredJson = Some(snap.retiredNames + name),
+      requireHead = Some(basis))
   }
 
   /** `ALTER TABLE ADD CONSTRAINT` (Delta semantics): validates the
@@ -727,17 +733,13 @@ final class LogTable(val path: String,
     * commit; every later write enforces it for free inside its
     * stats pass. */
   def addCheckConstraint(spark: SparkSession, name: String,
-                         sqlExpr: String): Long = {
+                         sqlExpr: String): Long =
     // validate-then-commit must be atomic w.r.t. other writers: a
     // violating append landing BETWEEN the scan and the constraint
     // commit would leave the table violating its own active
-    // constraint. The commit therefore requires the head to be
-    // exactly the validated snapshot; if it moved, re-validate and
-    // try again (bounded).
-    var attempts = 0
-    while (true) {
-      attempts += 1
-      val basis = currentVersion
+    // constraint — the commit pins the validated head, any
+    // interleaving re-validates.
+    retryMetadataCommit { basis =>
       val cur = basis.map(v => snapshotAt(v).constraints)
         .getOrElse(Map.empty[String, String])
       require(!cur.contains(name), s"constraint '$name' already exists")
@@ -747,26 +749,43 @@ final class LogTable(val path: String,
         require(bad == 0L, s"cannot add CHECK constraint '$name' " +
           s"($sqlExpr): $bad existing row(s) violate it")
       }
-      try {
-        return commitRetry(basis, Seq.empty, Seq.empty, "constraint",
-          schemaJson = None, cdfDir = None,
-          constraintsJson = Some(cur + (name -> sqlExpr)),
-          requireHead = Some(basis))
-      } catch {
+      commitRetry(basis, Seq.empty, Seq.empty, "constraint",
+        schemaJson = None, cdfDir = None,
+        constraintsJson = Some(cur + (name -> sqlExpr)),
+        requireHead = Some(basis))
+    }
+
+  /** `ALTER TABLE DROP CONSTRAINT` — metadata-only. Head-pinned
+    * like every full-map metadata write: the constraint set is
+    * latest-set-wins, so committing a map derived from a stale
+    * snapshot would silently erase a constraint a concurrent writer
+    * just added. */
+  def dropCheckConstraint(name: String): Long =
+    retryMetadataCommit { basis =>
+      val cur = basis.map(v => snapshotAt(v).constraints)
+        .getOrElse(Map.empty[String, String])
+      require(cur.contains(name), s"no constraint '$name' to drop")
+      commitRetry(basis, Seq.empty, Seq.empty, "constraint",
+        schemaJson = None, cdfDir = None,
+        constraintsJson = Some(cur - name),
+        requireHead = Some(basis))
+    }
+
+  /** Re-derive-and-retry loop for metadata commits that write a
+    * FULL replacement set (constraints, schema, retired names): the
+    * commit pins the head it was derived from; on any interleaving
+    * the derivation re-runs against the new head. */
+  private def retryMetadataCommit(op: Option[Long] => Long): Long = {
+    var attempts = 0
+    while (true) {
+      attempts += 1
+      try return op(currentVersion)
+      catch {
         case _: java.util.ConcurrentModificationException
-            if attempts < 10 => // head moved — re-validate
+            if attempts < 10 => // head moved — re-derive
       }
     }
     -1L // unreachable
-  }
-
-  /** `ALTER TABLE DROP CONSTRAINT` — metadata-only. */
-  def dropCheckConstraint(name: String): Long = {
-    val cur = checkConstraints
-    require(cur.contains(name), s"no constraint '$name' to drop")
-    commitRetry(currentVersion, Seq.empty, Seq.empty, "constraint",
-      schemaJson = None, cdfDir = None,
-      constraintsJson = Some(cur - name))
   }
 
   /** Seed an empty table with just a schema (SQL `CREATE TABLE`),
@@ -821,17 +840,19 @@ final class LogTable(val path: String,
         if (checkConstraints.isEmpty) None else Some(checkConstraints),
       generatedJson =
         if (generatedAlwaysAs.isEmpty) None else Some(generatedAlwaysAs),
-      // generated expressions evaluate under the SESSION timezone
-      // (CAST ts AS DATE shifts per zone) — pin the creation-time
-      // zone in the log so writes and predicate derivation can
+      // zone-SENSITIVE generated expressions (instant → date) shift
+      // with the session timezone — pin the creation-time zone in
+      // the log so writes and predicate derivation can
       // refuse/decline under a different zone instead of silently
-      // computing shifted values or unsound skips
-      tzJson =
-        if (generatedAlwaysAs.isEmpty) None
-        else Some(SparkSession.getActiveSession
+      // computing shifted values or unsound skips; zone-independent
+      // templates (dates, strings, NTZ) need no pin
+      tzJson = {
+        val spk = SparkSession.getActiveSession
           .orElse(SparkSession.getDefaultSession)
-          .map(_.sessionState.conf.sessionLocalTimeZone)
-          .getOrElse(java.util.TimeZone.getDefault.getID)))
+        if (spk.isEmpty || !generatedAlwaysAs.exists { case (_, e) =>
+            tzSensitive(spk.get, e, ordered0) }) None
+        else Some(spk.get.sessionState.conf.sessionLocalTimeZone)
+      })
   }
 
   /** Zone equality up to aliasing: `UTC`, `Etc/UTC` and `+00:00`
@@ -840,6 +861,16 @@ final class LogTable(val path: String,
     try java.time.ZoneId.of(a).normalized() ==
       java.time.ZoneId.of(b).normalized()
     catch { case NonFatal(_) => a == b }
+
+  /** A generated template is timezone-SENSITIVE iff it reads an
+    * INSTANT (`TimestampType`) column — casting an instant to a
+    * date/trunc/year shifts with the session zone. Dates, NTZ
+    * timestamps, strings and numerics evaluate the same under any
+    * zone, so their tables need no zone pinning or write refusal. */
+  private def tzSensitive(spark: SparkSession, e: String,
+                          s: StructType): Boolean =
+    exprRefs(spark, e).exists(n =>
+      s.fields.find(_.name == n).exists(_.dataType == TimestampType))
 
   /** Columns worth stats: fixed-width orderable types plus strings.
     * Decimals are excluded — their double-rounded bounds would not be
@@ -896,13 +927,14 @@ final class LogTable(val path: String,
     // differs from its expression recomputed over the staged row.
     val genn = generatedCols.toSeq
       .filter(g => tableSchema.fieldNames.contains(g._1))
-    if (genn.nonEmpty)
+    if (genn.exists { case (_, e) => tzSensitive(spark, e, tableSchema) })
       currentVersion.flatMap(v => snapshotAt(v).tz).foreach { z =>
         val sess = spark.sessionState.conf.sessionLocalTimeZone
         require(sameZone(sess, z), "this table's generated columns were " +
           s"defined under session timezone '$z' but the session is " +
-          s"'$sess' — generated expressions are timezone-dependent; " +
-          s"set spark.sql.session.timeZone to '$z' before writing")
+          s"'$sess' — instant-to-date generation is timezone-" +
+          s"dependent; set spark.sql.session.timeZone to '$z' " +
+          "before writing")
       }
     val checks = checkConstraints.toSeq ++
       genn.map { case (g, e) =>
@@ -987,7 +1019,8 @@ final class LogTable(val path: String,
                              cdfDir: Option[String],
                              txn: Option[(String, Long)] = None,
                              schemaBasis: Option[Long] = None,
-                             extraAdds: Seq[AddFile] = Seq.empty): Long = {
+                             extraAdds: Seq[AddFile] = Seq.empty,
+                             tzJson: Option[String] = None): Long = {
     // recursive walk: a partitioned staging nests its part files
     // under hive dirs (p=x/...), which the move preserves so the
     // table's data/ layout stays partition-discoverable
@@ -1043,7 +1076,7 @@ final class LogTable(val path: String,
       }
     deleteRecursive(stagedDir)
     commitRetry(readVersion, removePaths, adds ++ extraAdds, op, schemaJson,
-      cdfDir, txn, schemaBasis)
+      cdfDir, txn, schemaBasis, tzJson = tzJson)
   }
 
   /** The optimistic-concurrency core: render the commit, then try to
@@ -1312,6 +1345,17 @@ final class LogTable(val path: String,
     val staged = new File(newStagingDir())
     stagedWriter(conform(df, tableSchema)).parquet(staged.toString)
     val writesSchema = basisVersion.isEmpty || schemaChanged
+    // zone backfill for pre-pin tables: a zone-sensitive generated
+    // table whose log lacks a tz action pins the CURRENT session's
+    // zone on this first write — later zones then refuse/decline
+    // like any pinned table, instead of silently shifting dates
+    val tzPin =
+      if (gen.isEmpty || basisVersion.isEmpty) None
+      else if (snapshotAt(basisVersion.get).tz.isDefined) None
+      else if (gen.exists { case (_, e) =>
+        tzSensitive(df.sparkSession, e, tableSchema) })
+        Some(df.sparkSession.sessionState.conf.sessionLocalTimeZone)
+      else None
     finalizeStaged(df.sparkSession, staged, tableSchema,
       removePaths = Seq.empty, op = "append", readVersion = None,
       schemaJson = if (writesSchema) Some(tableSchema.json) else None,
@@ -1319,7 +1363,8 @@ final class LogTable(val path: String,
       // the basis the widened schema was derived from: a schema
       // action racing past it triggers a commit-time re-merge
       schemaBasis = if (writesSchema) Some(basisVersion.getOrElse(-1L))
-      else None)
+      else None,
+      tzJson = tzPin)
   }
 
   /** Full-replace commit: new files added, every prior live file
@@ -1577,16 +1622,27 @@ final class LogTable(val path: String,
     if (gen.isEmpty) set
     else gen.foldLeft(set) { case (acc, (g, e)) =>
       if (acc.contains(g)) acc
-      else if (!exprRefs(spark, e).exists(acc.contains)) acc
       else {
-        val substituted = spark.sessionState.sqlParser.parseExpression(e)
-          .transform {
-            case u: org.apache.spark.sql.catalyst.analysis
-              .UnresolvedAttribute if acc.contains(u.name) =>
-              org.apache.spark.sql.GraftColumnShim.expression(acc(u.name))
-          }
-        acc + (g -> org.apache.spark.sql.GraftColumnShim
-          .column(substituted))
+        // parse once; an unparseable stored expression recomputes
+        // nothing here and surfaces at the commit-time faithfulness
+        // check instead
+        val parsed =
+          try Some(spark.sessionState.sqlParser.parseExpression(e))
+          catch { case NonFatal(_) => None }
+        parsed match {
+          case Some(p) if p.collect {
+              case u: org.apache.spark.sql.catalyst.analysis
+                .UnresolvedAttribute => u.name
+            }.exists(acc.contains) =>
+            val substituted = p.transform {
+              case u: org.apache.spark.sql.catalyst.analysis
+                .UnresolvedAttribute if acc.contains(u.name) =>
+                org.apache.spark.sql.GraftColumnShim.expression(acc(u.name))
+            }
+            acc + (g -> org.apache.spark.sql.GraftColumnShim
+              .column(substituted))
+          case _ => acc
+        }
       }
     }
   }
@@ -1782,12 +1838,13 @@ final class LogTable(val path: String,
       conjuncts: Seq[expressions.Expression]): Seq[expressions.Expression] = {
     if (generated.isEmpty || conjuncts.isEmpty) return Seq.empty
     // generated values were computed under the table's recorded
-    // session timezone; folding the transform-of-literal under a
-    // DIFFERENT zone shifts date boundaries and the implication
-    // breaks — decline to derive (no skipping, never wrong)
-    if (tableTz.exists(z =>
-        !sameZone(z, spark.sessionState.conf.sessionLocalTimeZone)))
-      return Seq.empty
+    // session timezone; folding an INSTANT transform-of-literal
+    // under a different (or unknown) zone shifts date boundaries
+    // and the implication breaks — such derivations decline (no
+    // skipping, never wrong); zone-independent sources (dates,
+    // strings, NTZ) derive regardless
+    val zoneOk = tableTz.exists(z =>
+      sameZone(z, spark.sessionState.conf.sessionLocalTimeZone))
     import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFunction}
 
     def srcOf(e: expressions.Expression): Option[String] = e match {
@@ -1851,7 +1908,8 @@ final class LogTable(val path: String,
                  expressions.Expression): Seq[expressions.Expression] =
       attr match {
         case a: expressions.Attribute
-            if a.name == src && litSide.foldable =>
+            if a.name == src && litSide.foldable &&
+              (a.dataType != TimestampType || zoneOk) =>
           val substituted = parsed.transform {
             case u: UnresolvedAttribute if u.name == src => litSide
           }
@@ -1992,11 +2050,22 @@ final class LogTable(val path: String,
     * change feed's per-commit batch read. */
   private[sources] def readCommitAdds(spark: SparkSession,
                                       readSchema: StructType,
-                                      v: Long): DataFrame = {
-    val adds = addedFiles(v)
+                                      v: Long): DataFrame =
+    readAddedFiles(spark, readSchema, Seq(v))
+
+  /** Read the files a WINDOW of commits added, as ONE scan set:
+    * `dvAwareRead` splits clean from vectored files internally, so a
+    * catch-up micro-batch over hundreds of clean appends plans a
+    * single multi-path parquet scan — not one scan per commit —
+    * while clone-seed/vectored commits still subtract their vectors
+    * and group their data roots. */
+  private[sources] def readAddedFiles(spark: SparkSession,
+                                      readSchema: StructType,
+                                      vs: Seq[Long]): DataFrame = {
+    val adds = vs.flatMap(addedFiles)
     if (adds.isEmpty)
       spark.createDataFrame(new java.util.ArrayList[Row](), readSchema)
-    else dvAwareRead(spark, readSchema, snapshotAt(v).partitionCols, adds,
+    else dvAwareRead(spark, readSchema, partitionCols, adds,
       keepProvenance = false)
   }
 
