@@ -643,6 +643,52 @@ object SparkEntry {
       lt.load(s).orderBy(col("k"))
     }),
 
+    "log_table_identity" -> ((s, d) => {
+      // GENERATED ALWAYS AS IDENTITY + column DEFAULTs (Delta's
+      // identity columns): ids allocate DISTRIBUTED from the logged
+      // high-water mark — one pass, no count job, no global sort —
+      // and are unique, step-aligned, and strictly advancing across
+      // appends, but GAPPY like Delta's (concurrency-safe
+      // allocation never promises density). Values depend on
+      // physical partitioning, so the oracle pins the INVARIANTS
+      // (all BIGINT, deterministic at any scale factor), not ids.
+      val dir = java.nio.file.Files.createTempDirectory("graft_logid")
+      val lt = new graft.sources.LogTable(s"$dir/t")
+      lt.create(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("k",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("bal",
+          org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("status",
+          org.apache.spark.sql.types.StringType))),
+        identityColumns =
+          Map("id" -> graft.sources.IdentitySpec(1000L, 3L)),
+        columnDefaults = Map("status" -> "'new'"))
+      val cust = t(s, d, "customer")
+        .select(col("c_custkey").cast("long").as("k"),
+          col("c_acctbal").as("bal"))
+      // first append omits id AND status (identity + default fill);
+      // second provides status explicitly and lands strictly above
+      lt.append(cust.filter(col("k") <= 150))
+      lt.append(cust.filter(col("k") > 150 && col("k") <= 300)
+        .withColumn("status", lit("old")))
+      lt.load(s).agg(
+        count(lit(1)).as("n"),
+        countDistinct(col("id")).as("n_ids"),
+        min(when(col("id") >= 1000L &&
+          (col("id") - 1000L) % 3L === 0L, 1L).otherwise(0L))
+          .as("aligned"),
+        when(max(when(col("status") === "new", col("id"))) <
+          min(when(col("status") === "old", col("id"))), 1L)
+          .otherwise(0L).as("batches_ordered"),
+        sum(when(col("status") === "new", 1L).otherwise(0L))
+          .as("n_default"),
+        sum(when(col("status") === "old", 1L).otherwise(0L))
+          .as("n_old"))
+    }),
+
     "log_table_dv" -> ((s, d) => {
       // merge-on-read DML via deletion vectors: a DELETE that moves
       // NO table data (matching row indices go to a vector sidecar;
@@ -2347,6 +2393,17 @@ object SparkEntry {
          FROM customer
          WHERE c_custkey <= 300 AND c_acctbal >= 0
          ORDER BY k""",
+
+    "log_table_identity" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n,
+                CAST(count(*) AS BIGINT) AS n_ids,
+                CAST(1 AS BIGINT) AS aligned,
+                CAST(1 AS BIGINT) AS batches_ordered,
+                CAST(sum(CASE WHEN c_custkey <= 150 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_default,
+                CAST(sum(CASE WHEN c_custkey > 150 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_old
+         FROM customer WHERE c_custkey <= 300""",
 
     "log_table_dv" ->
       """SELECT CAST(c_custkey AS BIGINT) AS k,

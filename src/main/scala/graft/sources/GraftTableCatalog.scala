@@ -68,13 +68,11 @@ class GraftTableCatalog extends TableCatalog with ProcedureCatalog {
     // catalog user never needs session-build extensions
     try GraftRowLevelStrategy.register(SparkSession.active)
     catch { case scala.util.control.NonFatal(_) => () }
-    // column-mapped tables resolve parquet columns by field id;
-    // the flags only change behavior for schemas carrying ids
-    try {
-      val s = SparkSession.active
-      s.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
-      s.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
-    } catch { case scala.util.control.NonFatal(_) => () }
+    // NOTE: the parquet field-id session flags are NOT flipped here
+    // — registering a catalog must not change how unrelated parquet
+    // reads resolve. They flip lazily, per session, the first time a
+    // COLUMN-MAPPED table is actually resolved
+    // (LogTable.ensureFieldIdResolution / enableFieldIds).
   }
 
   override def name(): String = catalogName

@@ -62,13 +62,22 @@ final class LogStreamProvider extends StreamSourceProvider
     (shortName(), s)
   }
 
+  private def longOpt(parameters: Map[String, String],
+                      name: String): Option[Long] =
+    parameters.collectFirst { case (k, v) if k.equalsIgnoreCase(name) =>
+      val n = v.toLong
+      require(n > 0, s"$name must be positive, got $n")
+      n }
+
   override def createSource(ctx: SQLContext, metadataPath: String,
                             schema: Option[StructType],
                             providerName: String,
                             parameters: Map[String, String]): Source =
     new LogStreamSource(ctx, new LogTable(pathOf(parameters)),
       skipChangeCommits = boolOpt(parameters, "skipChangeCommits"),
-      readChangeFeed = boolOpt(parameters, "readChangeFeed"))
+      readChangeFeed = boolOpt(parameters, "readChangeFeed"),
+      maxFilesPerTrigger = longOpt(parameters, "maxFilesPerTrigger"),
+      maxBytesPerTrigger = longOpt(parameters, "maxBytesPerTrigger"))
 
   /** Streaming SINK half (`writeStream.format("graft-log")`): each
     * micro-batch is one append commit tagged with its batch id under
@@ -105,7 +114,11 @@ private[sources] final class LogStreamSink(log: LogTable, app: String)
 
 private[sources] final class LogStreamSource(ctx: SQLContext, log: LogTable,
                                              skipChangeCommits: Boolean,
-                                             readChangeFeed: Boolean = false)
+                                             readChangeFeed: Boolean = false,
+                                             maxFilesPerTrigger:
+                                               Option[Long] = None,
+                                             maxBytesPerTrigger:
+                                               Option[Long] = None)
   extends Source {
 
   override val schema: StructType =
@@ -121,12 +134,61 @@ private[sources] final class LogStreamSource(ctx: SQLContext, log: LogTable,
       s"unexpected offset type: $other")
   }
 
-  override def getOffset: Option[Offset] =
-    log.currentVersion.map(LongOffset(_))
+  /** Highest version this source has already offered to a batch —
+    * the admission base for rate limiting. Seeded on restart from
+    * the engine's replay ([[getBatch]]) or committed-offset
+    * notification ([[commit]]); −1 for a brand-new query. */
+  private var pointer: Long = -1L
+
+  /** With no read limits, the offered offset is the table head —
+    * a catching-up subscriber takes the WHOLE backlog in one
+    * micro-batch. `maxFilesPerTrigger` / `maxBytesPerTrigger`
+    * (Delta's same-named options) bound it: walk the commits past
+    * the last offered version, summing each one's added files and
+    * bytes — one small JSON read per commit, no listing, no data
+    * I/O — and stop before the commit that would blow the budget.
+    * At least one data commit is always admitted, so an oversized
+    * single commit still makes progress. Metadata-only commits ride
+    * along free (they add no read work). */
+  override def getOffset: Option[Offset] = {
+    val headOpt = log.currentVersion
+    if (headOpt.isEmpty)
+      return if (pointer < 0) None else Some(LongOffset(pointer))
+    val head = headOpt.get
+    val end =
+      if (maxFilesPerTrigger.isEmpty && maxBytesPerTrigger.isEmpty) head
+      else {
+        var last = pointer
+        var files = 0L
+        var bytes = 0L
+        var full = false
+        while (!full && last < head) {
+          val (op, f, b) = log.commitAdmission(last + 1)
+          // budget the commits whose FILES this batch will read:
+          // appends (and clone/create seeds) always; every commit
+          // kind under the change feed
+          val counted = op match {
+            case "append" | "create" | "clone" => true
+            case _                             => readChangeFeed
+          }
+          val (cf, cb) = if (counted) (f, b) else (0L, 0L)
+          if (counted && last > pointer &&
+              (maxFilesPerTrigger.exists(files + cf > _) ||
+                maxBytesPerTrigger.exists(bytes + cb > _))) full = true
+          else { last += 1; files += cf; bytes += cb }
+        }
+        last
+      }
+    if (end < 0) None else Some(LongOffset(end))
+  }
+
+  override def commit(end: Offset): Unit =
+    pointer = math.max(pointer, ver(end))
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val from = start.map(ver).getOrElse(-1L)
     val to = ver(end)
+    pointer = math.max(pointer, to)
     val spark = ctx.sparkSession
     if (readChangeFeed)
       // CDF mode represents every commit kind as row-level changes —
@@ -139,8 +201,10 @@ private[sources] final class LogStreamSource(ctx: SQLContext, log: LogTable,
           // inserts, like create (absolute, possibly vectored refs)
           case "append" | "create" | "clone" => true
           // dataChange = false: reorganizations and metadata-only
-          // constraint/rename/drop commits carry no row-level change
-          case "optimize" | "constraint" | "rename" | "drop" => false
+          // constraint/rename/drop/default commits carry no
+          // row-level change
+          case "optimize" | "constraint" | "rename" | "drop" |
+               "default" => false
           case changeOp =>
             if (!skipChangeCommits) throw new IllegalStateException(
               s"commit $v is a '$changeOp' — a streaming read of a log " +

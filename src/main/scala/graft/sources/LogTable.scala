@@ -46,6 +46,15 @@ final case class AddFile(path: String, rows: Long, bytes: Long,
   def logicalRows: Long = rows - dv.map(_.rows).getOrElse(0L)
 }
 
+/** `GENERATED ALWAYS AS IDENTITY` column spec (Delta's identity
+  * columns): values start at `start` and advance by `step`;
+  * `highWater` is the largest value any committed append has
+  * allocated (None until the first allocation). Allocation promises
+  * UNIQUE, per-append-monotonic values — NOT dense ones: like
+  * Delta, concurrent-safe distributed allocation leaves gaps. */
+final case class IdentitySpec(start: Long, step: Long,
+                              highWater: Option[Long] = None)
+
 /** Outcome of a row-level [[LogTable.delete]]/[[LogTable.update]]:
   * the commit version, how many rows changed, and the file-level
   * work accounting that proves the op cost ∝ touched data, not table
@@ -119,14 +128,60 @@ final class LogTable(val path: String,
 
   private def logFile(v: Long) = new File(logDir, f"$v%020d.json")
   private def ckptFile(v: Long) = new File(logDir, f"$v%020d.ckpt.json")
+  private def lastCkptFile = new File(logDir, "_last_checkpoint")
 
-  /** Committed version numbers, oldest first. */
-  def versions: Seq[Long] =
+  /** Count of full `_log/` directory LISTs this instance has issued
+    * — the object-store cost model's expensive operation (paged and
+    * slow at 100k+ commits, where a GET of a known key is cheap).
+    * Exposed so a spec can pin head/snapshot resolution to O(1)
+    * listings once a checkpoint pointer exists. */
+  private[graft] var logListings: Long = 0L
+
+  private def listLogDir(): Seq[File] = {
+    logListings += 1
     Option(logDir.listFiles()).toSeq.flatten
+  }
+
+  /** Newest checkpoint version per the advisory `_last_checkpoint`
+    * pointer (Delta's same-named file). Advisory only: a missing,
+    * unreadable, or dangling pointer falls back to listing, and a
+    * STALE pointer (a newer checkpoint landed but its pointer write
+    * lost a race) only costs extra replay — never wrong answers,
+    * so commit atomicity is untouched. */
+  private def lastCheckpointVersion: Option[Long] =
+    try {
+      if (!lastCkptFile.isFile) None
+      else (JsonMethods.parse(Files.readString(lastCkptFile.toPath))
+          \ "version") match {
+        case JInt(i)  => Some(i.toLong).filter(v => ckptFile(v).isFile)
+        case JLong(l) => Some(l).filter(v => ckptFile(v).isFile)
+        case _        => None
+      }
+    } catch { case NonFatal(_) => None }
+
+  /** Committed version numbers, oldest first. Versions are
+    * CONTIGUOUS by construction ([[commitRetry]] claims head+1
+    * atomically), so this full listing exists for callers that
+    * genuinely range over history; head resolution goes through
+    * [[currentVersion]]'s bounded pointer+probe path instead. */
+  def versions: Seq[Long] =
+    listLogDir()
       .filter(f => f.getName.endsWith(".json") && !f.getName.contains("ckpt"))
       .map(_.getName.stripSuffix(".json").toLong).sorted
 
-  def currentVersion: Option[Long] = versions.lastOption
+  /** Head resolution WITHOUT an O(#commits) directory list when a
+    * checkpoint pointer exists: read `_last_checkpoint`, then probe
+    * forward file-by-file — O(commits since last checkpoint) GETs,
+    * a constant under steady checkpointing (Delta's recipe for
+    * object stores, where LIST over a 100k-commit log is paged and
+    * slow but existence checks of known keys are cheap). */
+  def currentVersion: Option[Long] = lastCheckpointVersion match {
+    case Some(cv) =>
+      var v = cv
+      while (logFile(v + 1).isFile) v += 1
+      Some(v)
+    case None => versions.lastOption
+  }
 
   def exists: Boolean = currentVersion.isDefined
 
@@ -144,7 +199,11 @@ final class LogTable(val path: String,
                                     generated: Map[String, String] =
                                       Map.empty,
                                     retiredNames: Set[String] = Set.empty,
-                                    tz: Option[String] = None)
+                                    tz: Option[String] = None,
+                                    identity: Map[String, IdentitySpec] =
+                                      Map.empty,
+                                    defaults: Map[String, String] =
+                                      Map.empty)
 
   private def parseStats(j: JValue): Map[String, ColStats] = j match {
     case JObject(fields) => fields.map { case (c, v) =>
@@ -180,6 +239,25 @@ final class LogTable(val path: String,
         "nulls" -> JLong(st.nulls)))
     })
 
+  private def parseIdentity(j: JValue): Map[String, IdentitySpec] = j match {
+    case JObject(fields) => fields.map { case (c, v) =>
+      def long(k: String): Option[Long] = (v \ k) match {
+        case JInt(i) => Some(i.toLong); case JLong(l) => Some(l)
+        case _       => None
+      }
+      c -> IdentitySpec(long("start").getOrElse(1L),
+        long("step").getOrElse(1L), long("highWater"))
+    }.toMap
+    case _ => Map.empty
+  }
+
+  private def renderIdentity(m: Map[String, IdentitySpec]): JValue =
+    JObject(m.toList.map { case (c, s) =>
+      c -> JObject(List("start" -> JLong(s.start),
+        "step" -> JLong(s.step)) ++
+        s.highWater.map("highWater" -> JLong(_)))
+    })
+
   private def parseAdd(j: JValue): AddFile = AddFile(
     (j \ "path").asInstanceOf[JString].s,
     (j \ "rows") match { case JInt(i) => i.toLong; case JLong(l) => l
@@ -211,6 +289,22 @@ final class LogTable(val path: String,
   private def readActions(f: File): Seq[JValue] =
     Files.readString(f.toPath).linesIterator.filter(_.nonEmpty)
       .map(JsonMethods.parse(_)).toSeq
+
+  /** One commit's admission facts for the rate-limited streaming
+    * source — `(op, files added, bytes added)` from a single read
+    * of the commit's JSON (no listing, no snapshot replay): the
+    * unit [[LogStreamSource]]'s `maxFilesPerTrigger` /
+    * `maxBytesPerTrigger` budgeting sums over. */
+  private[sources] def commitAdmission(v: Long): (String, Long, Long) = {
+    val actions = readActions(logFile(v))
+    val op = actions
+      .collectFirst { case j if (j \ "commit") != JNothing =>
+        (j \ "commit" \ "op").asInstanceOf[JString].s }
+      .getOrElse(throw new IllegalStateException(s"commit $v has no meta"))
+    val adds = actions.collect {
+      case j if (j \ "add") != JNothing => parseAdd(j \ "add") }
+    (op, adds.size.toLong, adds.map(_.bytes).sum)
+  }
 
   /** Commit metadata of one version (wall-clock, op, cdf dir). */
   private def commitMeta(v: Long): CommitMeta = {
@@ -258,9 +352,18 @@ final class LogTable(val path: String,
     })
 
   private def computeSnapshotAt(v: Long): Snapshot = {
-    val ckpts = Option(logDir.listFiles()).toSeq.flatten
-      .filter(_.getName.endsWith(".ckpt.json"))
-      .map(_.getName.stripSuffix(".ckpt.json").toLong).filter(_ <= v).sorted
+    // checkpoint discovery: the pointer answers the common case
+    // (current-ish snapshots) with one GET; time travel BEHIND the
+    // newest checkpoint, or a missing pointer, falls back to the
+    // full listing
+    val ckpts = lastCheckpointVersion.filter(_ <= v).toSeq match {
+      case found @ Seq(_) => found
+      case _ =>
+        listLogDir()
+          .filter(_.getName.endsWith(".ckpt.json"))
+          .map(_.getName.stripSuffix(".ckpt.json").toLong).filter(_ <= v)
+          .sorted
+    }
     var schema: Option[StructType] = None
     var partCols: Seq[String] = Seq.empty
     var bloomIdxCols: Seq[String] = Seq.empty
@@ -268,6 +371,8 @@ final class LogTable(val path: String,
     var genCols: Map[String, String] = Map.empty
     var retired: Set[String] = Set.empty
     var zone: Option[String] = None
+    var idCols: Map[String, IdentitySpec] = Map.empty
+    var defCols: Map[String, String] = Map.empty
     val live = scala.collection.mutable.LinkedHashMap.empty[String, AddFile]
     val from = ckpts.lastOption match {
       case Some(cv) =>
@@ -303,13 +408,23 @@ final class LogTable(val path: String,
           case JString(z) => zone = Some(z)
           case _          => ()
         }
+        if ((state \ "identity") != JNothing)
+          idCols = parseIdentity(state \ "identity")
+        (state \ "defaults") match {
+          case JObject(fields) => defCols = fields.collect {
+            case (k, JString(v)) => k -> v }.toMap
+          case _ => ()
+        }
         (state \ "adds").asInstanceOf[JArray].arr.foreach { j =>
           val a = parseAdd(j); live(a.path) = a
         }
         cv + 1
       case None => 0L
     }
-    versions.filter(x => x >= from && x <= v).foreach { cv =>
+    // versions are contiguous (commitRetry claims head+1), so the
+    // replay interval needs no directory listing — each commit file
+    // is a direct read of a known key
+    (from to v).foreach { cv =>
       readActions(logFile(cv)).foreach { j =>
         if ((j \ "schema") != JNothing)
           schema = Some(DataType.fromJson(
@@ -344,6 +459,15 @@ final class LogTable(val path: String,
           case JString(z) => zone = Some(z)
           case _          => ()
         }
+        // identity/defaults actions carry the FULL post-change map
+        // (like constraints) — latest wins wholesale
+        if ((j \ "identity") != JNothing)
+          idCols = parseIdentity(j \ "identity")
+        (j \ "defaults") match {
+          case JObject(fields) => defCols = fields.collect {
+            case (k, JString(v)) => k -> v }.toMap
+          case _ => ()
+        }
         if ((j \ "add") != JNothing) {
           val a = parseAdd(j \ "add"); live(a.path) = a
         }
@@ -354,7 +478,7 @@ final class LogTable(val path: String,
     Snapshot(schema.getOrElse(throw new IllegalStateException(
       s"log at $path has no schema action up to version $v")),
       live.values.toSeq, partCols, bloomIdxCols, checks, genCols, retired,
-      zone)
+      zone, idCols, defCols)
   }
 
   /** Table schema at the current version. */
@@ -392,6 +516,13 @@ final class LogTable(val path: String,
   private def absPath(rel: String): String =
     if (rel.startsWith("/")) rel else s"$path/$rel"
 
+  /** A live file's absolute filesystem path — the driver-side key
+    * scan-time `__file` provenance (see [[LogTable.provPath]])
+    * compares against. Root-qualified, so clone snapshots that mix
+    * data roots can never collide on a base name. */
+  private[sources] def absLivePath(a: AddFile): String =
+    new File(absPath(a.path)).getAbsolutePath
+
   /** Column names a stored SQL expression references (parse-level;
     * unparseable text references nothing) — the dependency check
     * behind rename/drop guards and generated-column recompute. */
@@ -405,13 +536,31 @@ final class LogTable(val path: String,
     s.fields.exists(_.metadata.contains(LogTable.FieldIdKey))
 
   /** Field-id resolution is session-conf-gated in Spark; flip both
-    * flags on when a mapped table is touched. Sticky by design: the
-    * flags only change behavior for schemas that CARRY id metadata,
-    * so unmapped tables and foreign reads are unaffected. */
+    * flags on when a COLUMN-MAPPED table is touched — and only
+    * then, so sessions that never resolve a mapped table keep their
+    * configuration untouched. Sticky within the session by design:
+    * Spark's parquet reader/writer re-reads the SESSION conf at
+    * physical planning and ignores per-relation reader/writer
+    * options for these keys (verified empirically on 4.1.2), so a
+    * save-and-restore around load() would break every lazy frame
+    * the load returned. The flags only change behavior for schemas
+    * that CARRY id metadata, so unmapped tables and foreign
+    * name-resolved reads are unaffected either way. */
   private def enableFieldIds(spark: SparkSession): Unit = {
     spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
     spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
   }
+
+  /** Catalog seam: flip the session's field-id flags iff THIS table
+    * (at `version`, default current) is column-mapped — the V2 scan
+    * path builds Spark's own `ParquetTable`, which resolves by id
+    * only under the session conf. */
+  private[sources] def ensureFieldIdResolution(spark: SparkSession,
+                                               version: Option[Long] = None)
+      : Unit =
+    if (currentVersion.isDefined &&
+        hasFieldIds(version.map(schemaAt).getOrElse(schema)))
+      enableFieldIds(spark)
 
   /** Read table data files with the right partition handling: a
     * partitioned table's files live under hive dirs and lack the
@@ -447,12 +596,15 @@ final class LogTable(val path: String,
 
   /** DV-aware scan of a set of live files, optionally keeping the
     * per-row provenance columns `__file` / `__idx` (parquet file
-    * name + 0-based row index) captured AT SCAN TIME via Spark's
+    * PATH — the full `_metadata.file_path` URI, not the bare name:
+    * a clone snapshot deliberately mixes data roots, so a base-name
+    * collision across roots must not cross-wire provenance — plus
+    * 0-based row index) captured AT SCAN TIME via Spark's
     * `_metadata` columns — `input_file_name()` is empty after an
     * exchange, so row-level ops that must know a row's file capture
     * it here. Files without a deletion vector read plain (the common
     * case keeps full pushdown/vectorization); files with one are
-    * anti-joined against their dv pair files on (file name, row
+    * anti-joined against their dv pair files on (file path, row
     * index), broadcast while the total cardinality is small. Stale
     * pairs in a shared dv dir are harmless: for a still-referenced
     * file they are a subset of its current vector, and a rewritten
@@ -463,7 +615,7 @@ final class LogTable(val path: String,
     val outCols = readSchema.fieldNames.toSeq ++
       (if (keepProvenance) Seq("__file", "__idx") else Seq.empty)
     def withProv(df: DataFrame): DataFrame = df
-      .withColumn("__file", col("_metadata.file_name"))
+      .withColumn("__file", col("_metadata.file_path"))
       .withColumn("__idx", col("_metadata.row_index"))
     val (dvd, clean) = adds.partition(_.dv.isDefined)
     val cleanDf =
@@ -513,7 +665,9 @@ final class LogTable(val path: String,
   }
 
   /** Snapshot read carrying a `__file` column — the parquet file
-    * NAME each row came from, captured AT SCAN TIME so it survives
+    * PATH (scan-time `_metadata.file_path` URI; see
+    * [[LogTable.provPath]] for the driver-side normal form) each
+    * row came from, captured AT SCAN TIME so it survives
     * later exchanges (`input_file_name()` is empty once the row
     * crosses a shuffle, e.g. the DV anti-join or a merge join).
     * Deletion vectors are subtracted. The file-granularity rewrite
@@ -659,6 +813,13 @@ final class LogTable(val path: String,
     require(!snap.generated.contains(oldName),
       s"cannot rename generated column '$oldName' — drop the " +
         "generation first")
+    // identity/default configs are name-keyed in the log: renaming
+    // under them would orphan the policy
+    require(!snap.identity.contains(oldName),
+      s"cannot rename IDENTITY column '$oldName'")
+    require(!snap.defaults.contains(oldName),
+      s"cannot rename column '$oldName' while it carries a DEFAULT — " +
+        "drop the default first")
     // bloom sidecars are name-keyed on disk: rename them in place
     val newBloom =
       if (!snap.bloomCols.contains(oldName)) None
@@ -720,7 +881,13 @@ final class LogTable(val path: String,
         Some(snap.bloomCols.filterNot(_ == name))
       else None
     val remaining = StructType(s.fields.filterNot(_.name == name))
+    // a dropped column sheds its identity/default policy with it
+    val shedIdentity =
+      if (snap.identity.contains(name)) Some(snap.identity - name) else None
+    val shedDefaults =
+      if (snap.defaults.contains(name)) Some(snap.defaults - name) else None
     commitRetry(Some(v), Seq.empty, Seq.empty, "drop",
+      identityJson = shedIdentity, defaultsJson = shedDefaults,
       schemaJson = Some(remaining.json), cdfDir = None,
       bloomJson = newBloom, generatedJson = newGenerated,
       retiredJson = Some(snap.retiredNames + name),
@@ -740,6 +907,12 @@ final class LogTable(val path: String,
     // constraint — the commit pins the validated head, any
     // interleaving re-validates.
     retryMetadataCommit { basis =>
+      // a constraint action on a NONEXISTENT table would commit a
+      // schema-less version 0, bricking the path for both load()
+      // and create() — a typo'd path must fail, not half-create
+      if (basis.isEmpty) throw new IllegalStateException(
+        s"no log table at $path — CHECK constraints need an " +
+          "existing table")
       val cur = basis.map(v => snapshotAt(v).constraints)
         .getOrElse(Map.empty[String, String])
       require(!cur.contains(name), s"constraint '$name' already exists")
@@ -768,6 +941,52 @@ final class LogTable(val path: String,
       commitRetry(basis, Seq.empty, Seq.empty, "constraint",
         schemaJson = None, cdfDir = None,
         constraintsJson = Some(cur - name),
+        requireHead = Some(basis))
+    }
+
+  /** `GENERATED ALWAYS AS IDENTITY` columns of the table with their
+    * current high-water marks (empty = none). */
+  def identityColumns: Map[String, IdentitySpec] = currentVersion
+    .map(v => snapshotAt(v).identity).getOrElse(Map.empty)
+
+  /** Column DEFAULT expressions (SQL text), applied when an append
+    * omits the column (empty = none). */
+  def columnDefaults: Map[String, String] = currentVersion
+    .map(v => snapshotAt(v).defaults).getOrElse(Map.empty)
+
+  /** `ALTER TABLE ... ALTER COLUMN c SET DEFAULT expr` —
+    * metadata-only; applies to FUTURE appends that omit the column
+    * (existing rows are untouched, SQL-standard DEFAULT
+    * semantics). Head-pinned like the other full-map metadata
+    * writes. */
+  def setColumnDefault(name: String, sqlExpr: String): Long =
+    retryMetadataCommit { basis =>
+      if (basis.isEmpty) throw new IllegalStateException(
+        s"no log table at $path — column DEFAULTs need an existing table")
+      val snap = snapshotAt(basis.get)
+      require(snap.schema.fieldNames.contains(name),
+        s"DEFAULT names unknown column '$name'")
+      require(!snap.identity.contains(name),
+        s"column '$name' is GENERATED ALWAYS AS IDENTITY — it cannot " +
+          "also carry a DEFAULT")
+      require(!snap.generated.contains(name),
+        s"column '$name' is GENERATED ALWAYS AS — it cannot also " +
+          "carry a DEFAULT")
+      commitRetry(basis, Seq.empty, Seq.empty, "default",
+        schemaJson = None, cdfDir = None,
+        defaultsJson = Some(snap.defaults + (name -> sqlExpr)),
+        requireHead = Some(basis))
+    }
+
+  /** `ALTER TABLE ... ALTER COLUMN c DROP DEFAULT`. */
+  def dropColumnDefault(name: String): Long =
+    retryMetadataCommit { basis =>
+      val cur = basis.map(v => snapshotAt(v).defaults)
+        .getOrElse(Map.empty[String, String])
+      require(cur.contains(name), s"no DEFAULT on column '$name' to drop")
+      commitRetry(basis, Seq.empty, Seq.empty, "default",
+        schemaJson = None, cdfDir = None,
+        defaultsJson = Some(cur - name),
         requireHead = Some(basis))
     }
 
@@ -802,7 +1021,9 @@ final class LogTable(val path: String,
              bloomFilterBy: Seq[String] = Seq.empty,
              checkConstraints: Map[String, String] = Map.empty,
              generatedAlwaysAs: Map[String, String] = Map.empty,
-             columnMapping: Boolean = false): Long = {
+             columnMapping: Boolean = false,
+             identityColumns: Map[String, IdentitySpec] = Map.empty,
+             columnDefaults: Map[String, String] = Map.empty): Long = {
     ensureLayout()
     require(currentVersion.isEmpty, s"log table at $path already exists")
     partitionBy.foreach(c => require(tableSchema.fieldNames.contains(c),
@@ -812,6 +1033,22 @@ final class LogTable(val path: String,
     generatedAlwaysAs.keys.foreach(c =>
       require(tableSchema.fieldNames.contains(c),
         s"GENERATED ALWAYS AS names unknown column '$c'"))
+    identityColumns.foreach { case (c, spec) =>
+      val f = tableSchema.fields.find(_.name == c).getOrElse(
+        throw new IllegalArgumentException(
+          s"IDENTITY names unknown column '$c'"))
+      require(f.dataType == org.apache.spark.sql.types.LongType,
+        s"IDENTITY column '$c' must be BIGINT, got ${f.dataType.sql}")
+      require(spec.step != 0L, s"IDENTITY column '$c' needs a nonzero step")
+      require(spec.highWater.isEmpty,
+        s"IDENTITY column '$c' cannot be created with a high-water mark")
+      require(!generatedAlwaysAs.contains(c) && !partitionBy.contains(c),
+        s"IDENTITY column '$c' cannot also be generated or a " +
+          "partition column")
+    }
+    columnDefaults.keys.foreach(c =>
+      require(tableSchema.fieldNames.contains(c),
+        s"DEFAULT names unknown column '$c'"))
     // partition columns normalize to the END of the schema: the
     // hive-discovery scan appends them after the data columns, and a
     // declared order disagreeing with the scan's makes the analyzer
@@ -840,6 +1077,10 @@ final class LogTable(val path: String,
         if (checkConstraints.isEmpty) None else Some(checkConstraints),
       generatedJson =
         if (generatedAlwaysAs.isEmpty) None else Some(generatedAlwaysAs),
+      identityJson =
+        if (identityColumns.isEmpty) None else Some(identityColumns),
+      defaultsJson =
+        if (columnDefaults.isEmpty) None else Some(columnDefaults),
       // zone-SENSITIVE generated expressions (instant → date) shift
       // with the session timezone — pin the creation-time zone in
       // the log so writes and predicate derivation can
@@ -1020,7 +1261,12 @@ final class LogTable(val path: String,
                              txn: Option[(String, Long)] = None,
                              schemaBasis: Option[Long] = None,
                              extraAdds: Seq[AddFile] = Seq.empty,
-                             tzJson: Option[String] = None): Long = {
+                             tzJson: Option[String] = None,
+                             identityUpdate: Map[String, IdentitySpec] =
+                               Map.empty,
+                             identityBasis:
+                               Option[Map[String, Option[Long]]] = None)
+      : Long = {
     // recursive walk: a partitioned staging nests its part files
     // under hive dirs (p=x/...), which the move preserves so the
     // table's data/ layout stays partition-discoverable
@@ -1075,8 +1321,32 @@ final class LogTable(val path: String,
         AddFile(target, st.rows, dst.length(), st.stats, partVals)
       }
     deleteRecursive(stagedDir)
+    // identity high-water update rides the SAME stats the commit
+    // already aggregated — zero extra scans: the furthest value (in
+    // step direction) across the staged files' min/max becomes the
+    // new mark
+    val identityJson =
+      if (identityUpdate.isEmpty) None
+      else Some(identityUpdate.map { case (c, spec) =>
+        val bounds = adds.flatMap(_.stats.get(c)).flatMap(st =>
+          if (spec.step > 0) st.max else st.min).collect {
+          case l: Long => l
+          case i: Int  => i.toLong
+        }
+        if (bounds.isEmpty && adds.exists(_.rows > 0))
+          throw new IllegalStateException(
+            s"identity column '$c' has no commit stats — it must be " +
+              s"within the first $maxStatsCols stats columns")
+        val marks = spec.highWater.toSeq ++
+          (if (bounds.isEmpty) Seq.empty
+           else Seq(if (spec.step > 0) bounds.max else bounds.min))
+        c -> spec.copy(highWater =
+          if (marks.isEmpty) None
+          else Some(if (spec.step > 0) marks.max else marks.min))
+      })
     commitRetry(readVersion, removePaths, adds ++ extraAdds, op, schemaJson,
-      cdfDir, txn, schemaBasis, tzJson = tzJson)
+      cdfDir, txn, schemaBasis, tzJson = tzJson,
+      identityJson = identityJson, identityBasis = identityBasis)
   }
 
   /** The optimistic-concurrency core: render the commit, then try to
@@ -1097,13 +1367,34 @@ final class LogTable(val path: String,
                           generatedJson: Option[Map[String, String]] = None,
                           retiredJson: Option[Set[String]] = None,
                           requireHead: Option[Option[Long]] = None,
-                          tzJson: Option[String] = None)
+                          tzJson: Option[String] = None,
+                          identityJson: Option[Map[String, IdentitySpec]] =
+                            None,
+                          defaultsJson: Option[Map[String, String]] = None,
+                          identityBasis:
+                            Option[Map[String, Option[Long]]] = None)
       : Long = {
     ensureLayout()
     var attempts = 0
     while (attempts < 100) {
       attempts += 1
       val head = currentVersion
+      // identity allocation conflict: this append's values were
+      // drawn from the basis high-water marks — if a racing append
+      // advanced any of them, our staged files hold overlapping ids
+      // and must be REWRITTEN, not committed (the caller catches and
+      // retries the whole write, Delta's txn-retry rule)
+      identityBasis.foreach { basis =>
+        val headId = head.map(v => snapshotAt(v).identity)
+          .getOrElse(Map.empty[String, IdentitySpec])
+        val moved = basis.collect { case (c, hw)
+          if headId.get(c).flatMap(_.highWater) != hw => c }
+        if (moved.nonEmpty)
+          throw new java.util.ConcurrentModificationException(
+            s"conflicting commit: identity column(s) " +
+              s"${moved.mkString(", ")} were advanced by another " +
+              "writer — reallocate and retry")
+      }
       // commits whose VALIDITY was established against a specific
       // snapshot (ADD CONSTRAINT's existing-data scan) must land
       // exactly on it — any interleaved commit invalidates the
@@ -1205,6 +1496,11 @@ final class LogTable(val path: String,
             rs.toList.sorted.map(JString(_)))))))) ++
         tzJson.map(z => JsonMethods.compact(JsonMethods.render(
           JObject(List("tz" -> JString(z)))))) ++
+        identityJson.map(m => JsonMethods.compact(JsonMethods.render(
+          JObject(List("identity" -> renderIdentity(m)))))) ++
+        defaultsJson.map(ds => JsonMethods.compact(JsonMethods.render(
+          JObject(List("defaults" -> JObject(
+            ds.toList.map { case (k, v) => k -> JString(v) })))))) ++
         removePaths.map(p => JsonMethods.compact(JsonMethods.render(
           JObject(List("remove" -> JObject(List("path" -> JString(p)))))))) ++
         adds.map(a => JsonMethods.compact(JsonMethods.render(
@@ -1238,12 +1534,31 @@ final class LogTable(val path: String,
           snap.generated.toList.map { case (k, v) => k -> JString(v) }),
         "retired" -> JArray(snap.retiredNames.toList.sorted.map(JString(_))),
         "tz" -> snap.tz.map(JString(_)).getOrElse(JNull),
+        "identity" -> renderIdentity(snap.identity),
+        "defaults" -> JObject(
+          snap.defaults.toList.map { case (k, v) => k -> JString(v) }),
         "adds" -> JArray(snap.adds.toList.map(renderAdd))))
       val tmp = new File(logDir, s".tmp-ckpt-${UUID.randomUUID()}")
       Files.writeString(tmp.toPath,
         JsonMethods.compact(JsonMethods.render(state)))
-      try Files.move(tmp.toPath, ckptFile(v).toPath,
-        StandardCopyOption.ATOMIC_MOVE)
+      try {
+        Files.move(tmp.toPath, ckptFile(v).toPath,
+          StandardCopyOption.ATOMIC_MOVE)
+        // advance the advisory `_last_checkpoint` pointer (never
+        // regress it — a slow older checkpointer losing the race to
+        // a newer one must not roll the pointer back). Best-effort
+        // like the checkpoint itself: a lost pointer only means the
+        // next reader lists the directory once.
+        if (!lastCheckpointVersion.exists(_ >= v)) {
+          val ptmp = new File(logDir, s".tmp-ptr-${UUID.randomUUID()}")
+          Files.writeString(ptmp.toPath, JsonMethods.compact(
+            JsonMethods.render(JObject(List("version" -> JLong(v))))))
+          try Files.move(ptmp.toPath, lastCkptFile.toPath,
+            StandardCopyOption.REPLACE_EXISTING,
+            StandardCopyOption.ATOMIC_MOVE)
+          catch { case NonFatal(_) => ptmp.delete() }
+        }
+      }
       catch { case NonFatal(_) => tmp.delete() } // best-effort cache
       ()
     }
@@ -1251,20 +1566,33 @@ final class LogTable(val path: String,
   /** Staged-delta writer with the table's partition layout applied:
     * partitioned tables stage hive-style (the finalize move then
     * preserves the dirs under data/). */
-  private def stagedWriter(df: DataFrame)
+  private def stagedWriter(df: DataFrame,
+                           replacingSchema: Boolean = false)
       : org.apache.spark.sql.DataFrameWriter[Row] = {
     val pc = if (currentVersion.isDefined) partitionCols else Seq.empty
     // a column-mapped table must write its field ids into every data
     // file; aliases along the rewrite paths can drop column
     // metadata, so re-stamp it from the current schema here — the
-    // single choke point every staged write passes through
+    // single choke point every staged write passes through. The
+    // stamp is order-insensitive (files resolve by id, not
+    // position); a write whose COLUMN SET differs from the mapped
+    // schema is either a whole-schema replacement (overwrite, which
+    // says so) or a planner bug — fail it rather than fall through
+    // to an unstamped file that would null-fill after a later
+    // RENAME COLUMN.
     val cur = if (currentVersion.isDefined) Some(schema) else None
     val stamped = cur match {
       case Some(s) if hasFieldIds(s) &&
-          df.columns.toSeq == s.fieldNames.toSeq =>
+          df.columns.toSet == s.fieldNames.toSet =>
         enableFieldIds(df.sparkSession)
         df.select(s.fields.toSeq.map(f =>
           col(f.name).as(f.name, f.metadata)): _*)
+      case Some(s) if hasFieldIds(s) && !replacingSchema =>
+        throw new IllegalStateException(
+          s"write to column-mapped table at $path carries columns " +
+            s"(${df.columns.mkString(", ")}) that do not match the " +
+            s"table schema (${s.fieldNames.mkString(", ")}) — field " +
+            "ids cannot be stamped")
       case _ => df
     }
     val w = stamped.write.mode("overwrite")
@@ -1293,18 +1621,68 @@ final class LogTable(val path: String,
     * otherwise; on a name collision the TABLE's type wins (the
     * incoming column is cast — ANSI surfaces an incompatibility at
     * write time, not as silent corruption). */
+  /** Column policies an append applies to the incoming frame:
+    * DEFAULT-bearing columns the frame omits fill from their
+    * expression; `GENERATED ALWAYS AS IDENTITY` columns refuse
+    * explicit values and allocate fresh ones from the high-water
+    * mark — `value = base + step * monotonically_increasing_id()`,
+    * one distributed pass, no count job, no global sort. Unique and
+    * monotonic per partition by construction at ANY partition count
+    * (the partition-id bits ride in the id), gappy like Delta's.
+    * Returns the frame plus the allocation BASIS (per-column
+    * high-water read) the commit must revalidate. */
+  private def applyColumnPolicies(df0: DataFrame,
+                                  idSpecs: Map[String, IdentitySpec],
+                                  defaults: Map[String, String])
+      : (DataFrame, Map[String, Option[Long]]) = {
+    idSpecs.keys.foreach(c => require(!df0.columns.contains(c),
+      s"column '$c' is GENERATED ALWAYS AS IDENTITY — explicit " +
+        "values are not accepted on append"))
+    val withDefaults = defaults.foldLeft(df0) { case (acc, (c, e)) =>
+      if (acc.columns.contains(c)) acc else acc.withColumn(c, expr(e))
+    }
+    val filled = idSpecs.foldLeft(withDefaults) { case (acc, (c, spec)) =>
+      val base = spec.highWater.map(_ + spec.step).getOrElse(spec.start)
+      acc.withColumn(c,
+        lit(base) + lit(spec.step) * monotonically_increasing_id())
+    }
+    (filled, idSpecs.map { case (c, s) => c -> s.highWater })
+  }
+
+  /** Append commit (see class doc); identity-allocating appends
+    * retry the WHOLE write on an allocation race — the staged files
+    * hold ids drawn from a stale high-water mark and must be
+    * rewritten (Delta's transaction-retry rule), which the bounded
+    * loop here does transparently. */
   def append(df0: DataFrame, mergeSchema: Boolean = false): Long = {
+    var attempts = 0
+    while (true) {
+      attempts += 1
+      try return appendOnce(df0, mergeSchema)
+      catch {
+        case e: java.util.ConcurrentModificationException
+          if e.getMessage != null && e.getMessage.contains("identity") &&
+            attempts < 20 => () // reallocate against the new head
+      }
+    }
+    -1L // unreachable
+  }
+
+  private def appendOnce(df0: DataFrame, mergeSchema: Boolean): Long = {
     ensureLayout()
     val basisVersion = currentVersion
     val existing = basisVersion.map(schemaAt)
+    val snapOpt = basisVersion.map(snapshotAt)
     // generated columns the incoming frame omits are computed here
     // (GENERATED ALWAYS AS); ones it provides are validated by the
     // commit-time stats aggregate instead
-    val gen = basisVersion.map(v => snapshotAt(v).generated)
-      .getOrElse(Map.empty)
-    val df = gen.foldLeft(df0) { case (acc, (g, e)) =>
+    val gen = snapOpt.map(_.generated).getOrElse(Map.empty)
+    val genned = gen.foldLeft(df0) { case (acc, (g, e)) =>
       if (acc.columns.contains(g)) acc else acc.withColumn(g, expr(e))
     }
+    val (df, idBasis) = applyColumnPolicies(genned,
+      snapOpt.map(_.identity).getOrElse(Map.empty),
+      snapOpt.map(_.defaults).getOrElse(Map.empty))
     val tableSchema = existing match {
       case None => df.schema
       case Some(s) =>
@@ -1364,7 +1742,9 @@ final class LogTable(val path: String,
       // action racing past it triggers a commit-time re-merge
       schemaBasis = if (writesSchema) Some(basisVersion.getOrElse(-1L))
       else None,
-      tzJson = tzPin)
+      tzJson = tzPin,
+      identityUpdate = snapOpt.map(_.identity).getOrElse(Map.empty),
+      identityBasis = if (idBasis.isEmpty) None else Some(idBasis))
   }
 
   /** Full-replace commit: new files added, every prior live file
@@ -1375,7 +1755,7 @@ final class LogTable(val path: String,
     val prior = currentVersion.map(v => snapshotAt(v).adds.map(_.path))
       .getOrElse(Seq.empty)
     val staged = new File(newStagingDir())
-    stagedWriter(df).parquet(staged.toString)
+    stagedWriter(df, replacingSchema = true).parquet(staged.toString)
     finalizeStaged(df.sparkSession, staged, df.schema, prior,
       op = "overwrite", readVersion = currentVersion,
       schemaJson = Some(df.schema.json), cdfDir = None)
@@ -1383,10 +1763,13 @@ final class LogTable(val path: String,
 
   /** Newest batch id committed under `app`'s idempotent-txn stream
     * (newest→oldest scan, stops at the first match — streams commit
-    * frequently, so the answer is near the head). */
+    * frequently, so the answer is near the head; versions are
+    * contiguous, so the walk needs no directory listing). */
   def lastCommittedBatch(app: String): Option[Long] =
-    versions.reverseIterator.map(commitMeta).collectFirst {
-      case m if m.txn.exists(_._1 == app) => m.txn.get._2 }
+    currentVersion.flatMap { head =>
+      (head to 0L by -1).iterator.map(commitMeta).collectFirst {
+        case m if m.txn.exists(_._1 == app) => m.txn.get._2 }
+    }
 
   /** Exactly-once streaming append — Delta's txnAppId/txnVersion
     * idempotence: commit `df` tagged `(app, batchId)` unless a batch
@@ -1396,18 +1779,24 @@ final class LogTable(val path: String,
     * the head the commit actually lands on, closing the race against
     * this batch's own first attempt). Returns the committed version,
     * or None when deduplicated. */
-  def appendStreamBatch(df: DataFrame, app: String,
+  def appendStreamBatch(df0: DataFrame, app: String,
                         batchId: Long): Option[Long] = {
     ensureLayout()
     if (lastCommittedBatch(app).exists(_ >= batchId)) return None
-    val tableSchema = currentVersion.map(_ => schema).getOrElse(df.schema)
+    val snapOpt = currentVersion.map(snapshotAt)
+    val (df, idBasis) = applyColumnPolicies(df0,
+      snapOpt.map(_.identity).getOrElse(Map.empty),
+      snapOpt.map(_.defaults).getOrElse(Map.empty))
+    val tableSchema = snapOpt.map(_.schema).getOrElse(df.schema)
     val staged = new File(newStagingDir())
     stagedWriter(conform(df, tableSchema)).parquet(staged.toString)
     val v = finalizeStaged(df.sparkSession, staged, tableSchema,
       removePaths = Seq.empty, op = "append", readVersion = None,
       schemaJson = if (currentVersion.isEmpty) Some(tableSchema.json)
       else None, cdfDir = None, txn = Some((app, batchId)),
-      schemaBasis = if (currentVersion.isEmpty) Some(-1L) else None)
+      schemaBasis = if (currentVersion.isEmpty) Some(-1L) else None,
+      identityUpdate = snapOpt.map(_.identity).getOrElse(Map.empty),
+      identityBasis = if (idBasis.isEmpty) None else Some(idBasis))
     if (v < 0) None else Some(v)
   }
 
@@ -1665,6 +2054,8 @@ final class LogTable(val path: String,
     val s = schema
     set0.keys.foreach(k => require(s.fieldNames.contains(k),
       s"UPDATE SET names unknown column '$k'"))
+    set0.keys.foreach(k => require(!identityColumns.contains(k),
+      s"cannot UPDATE SET IDENTITY column '$k'"))
     val set = withGeneratedRecompute(spark, set0)
     rewriteMatching(spark, pred, "update") { (matching, file) =>
       file.select(s.fields.toSeq.map { f =>
@@ -1701,6 +2092,8 @@ final class LogTable(val path: String,
     val s = schema
     set0.keys.foreach(k => require(s.fieldNames.contains(k),
       s"UPDATE SET names unknown column '$k'"))
+    set0.keys.foreach(k => require(!identityColumns.contains(k),
+      s"cannot UPDATE SET IDENTITY column '$k'"))
     val set = withGeneratedRecompute(spark, set0)
     morMatching(spark, pred, "update") { (matched, snapSchema, _) =>
       Some(matched.select(snapSchema.fields.toSeq.map { f =>
@@ -1733,14 +2126,21 @@ final class LogTable(val path: String,
       candidates, keepProvenance = true)
     val matched = candDf.filter(coalesce(pred, lit(false)))
     // per-file match counts: ONE aggregate whose result is
-    // O(#touched files) — the only thing that ever reaches the driver
-    val perFile = matched.groupBy(col("__file"))
+    // O(#touched files) — the only thing that ever reaches the
+    // driver. Keys are the scan-time file-path URIs; driver-side
+    // attribution normalizes both sides to absolute paths (a clone
+    // snapshot mixes data roots, so bare names could collide).
+    val perFileRaw = matched.groupBy(col("__file"))
       .agg(count(lit(1)).as("n")).collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val perFile = perFileRaw
+      .map(r => LogTable.provPath(r.getString(0)) -> r.getLong(1)).toMap
+    // scan-side URI of each matched file, for executor-side joins
+    // against pair files (which store the URIs the scan emitted)
+    val uriOf = perFileRaw
+      .map(r => LogTable.provPath(r.getString(0)) -> r.getString(0)).toMap
     if (perFile.isEmpty)
       return RowOpResult(readVersion, 0L, skipped.size, candidates.size, 0)
-    val touched = candidates.filter(a =>
-      perFile.contains(new File(a.path).getName))
+    val touched = candidates.filter(a => perFile.contains(absLivePath(a)))
 
     // change feed, written before the commit that references it —
     // the SAME post-image frame also stages below (one callback
@@ -1765,7 +2165,7 @@ final class LogTable(val path: String,
     val newPairs = matched.select(col("__file").as("file"),
       col("__idx").as("idx"))
     val oldDirs = touched.flatMap(_.dv.map(_.path)).distinct
-    val touchedNames = touched.map(a => new File(a.path).getName)
+    val touchedNames = touched.map(a => uriOf(absLivePath(a)))
     val allPairs =
       if (oldDirs.isEmpty) newPairs
       else {
@@ -1781,7 +2181,7 @@ final class LogTable(val path: String,
     allPairs.repartition(col("file")).write.parquet(s"$path/$dvRel")
 
     def cardOf(a: AddFile): Long =
-      perFile(new File(a.path).getName) + a.dv.map(_.rows).getOrElse(0L)
+      perFile(absLivePath(a)) + a.dv.map(_.rows).getOrElse(0L)
     // fully-deleted files are dropped, not 100%-vectored
     val reAdds = touched.filter(a => cardOf(a) < a.rows)
       .map(a => a.copy(dv = Some(Dv(dvRel, cardOf(a)))))
@@ -1990,9 +2390,9 @@ final class LogTable(val path: String,
     val hit = dvAwareRead(spark, snap.schema, snap.partitionCols,
       candidates, keepProvenance = true)
       .filter(pred).select(col("__file"))
-      .distinct().collect().map(_.getString(0)).toSet
-    val touched = candidates.filter(a =>
-      hit.contains(new File(a.path).getName))
+      .distinct().collect().map(r => LogTable.provPath(r.getString(0)))
+      .toSet
+    val touched = candidates.filter(a => hit.contains(absLivePath(a)))
     if (touched.isEmpty)
       return RowOpResult(readVersion, 0L, skipped.size, candidates.size, 0)
 
@@ -2276,9 +2676,48 @@ final class LogTable(val path: String,
     * against real wall-clock, since file mtimes are wall-clock even
     * under an injected logical clock). Tests that vacuum their own
     * just-written quiescent tables pass 0. */
+  /** Enumerate the data tree's parquet files. The driver-recursive
+    * walk is fine locally, but a ~1M-file table on an object store
+    * makes it a long single-threaded chain of LISTs — so above
+    * [[LogTable.DistributedListingMinDirs]] first-level partition
+    * dirs (and given a session), the PER-DIRECTORY walks fan out as
+    * a Spark job (Delta vacuums with a distributed listing job for
+    * the same reason). Only `(path, mtime)` pairs return to the
+    * driver — metadata-sized, and needed there regardless for the
+    * keep-set diff. */
+  private def listDataFiles(spark: Option[SparkSession])
+      : Seq[(File, Long)] = {
+    def walk(f: File): Seq[File] =
+      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+      else if (f.getName.endsWith(".parquet")) Seq(f) else Seq.empty
+    val top = Option(dataDir.listFiles()).toSeq.flatten
+    val (dirs, files) = top.partition(_.isDirectory)
+    val flat = files.filter(_.getName.endsWith(".parquet"))
+      .map(f => (f, f.lastModified()))
+    spark match {
+      case Some(s) if dirs.size >= LogTable.DistributedListingMinDirs =>
+        val dirPaths = dirs.map(_.getAbsolutePath)
+        s.sparkContext
+          .parallelize(dirPaths, math.min(dirPaths.size, 64))
+          .flatMap { d =>
+            def w(f: java.io.File): Seq[java.io.File] =
+              if (f.isDirectory)
+                Option(f.listFiles()).toSeq.flatten.flatMap(w)
+              else if (f.getName.endsWith(".parquet")) Seq(f)
+              else Seq.empty
+            w(new java.io.File(d))
+              .map(f => (f.getAbsolutePath, f.lastModified()))
+          }
+          .collect().toSeq
+          .map { case (p, m) => (new File(p), m) } ++ flat
+      case _ => dirs.flatMap(walk).map(f => (f, f.lastModified())) ++ flat
+    }
+  }
+
   def vacuum(retainLast: Int = 1,
              retentionMillis: Long = LogTable.DefaultVacuumRetentionMillis,
-             dryRun: Boolean = false)
+             dryRun: Boolean = false,
+             spark: Option[SparkSession] = None)
       : Seq[String] = {
     require(retainLast >= 1, s"need retainLast >= 1, got $retainLast")
     require(retentionMillis >= 0,
@@ -2287,15 +2726,12 @@ final class LogTable(val path: String,
     val vs = versions
     val retained = vs.takeRight(retainLast)
     val keep = retained.flatMap(v => snapshotAt(v).adds.map(_.path)).toSet
-    // recursive: a partitioned table nests its files under data/p=x/
-    def walkData(f: File): Seq[File] =
-      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walkData)
-      else if (f.getName.endsWith(".parquet")) Seq(f) else Seq.empty
     val root = new File(path).toPath.toAbsolutePath
     def rel(f: File): String =
       root.relativize(f.toPath.toAbsolutePath).toString
-    val dropped = walkData(dataDir).filterNot(f =>
-      keep.contains(rel(f)) || f.lastModified() > horizon)
+    val dropped = listDataFiles(spark).filterNot { case (f, mtime) =>
+      keep.contains(rel(f)) || mtime > horizon
+    }.map(_._1)
     if (!dryRun) dropped.foreach(_.delete())
     val keepCdf = retained.flatMap(v => commitMeta(v).cdf).toSet
     val cdfRoot = new File(path, "_cdf")
@@ -2328,10 +2764,26 @@ final class LogTable(val path: String,
 }
 
 object LogTable {
+  /** Driver-side canonical form of a scan-time `__file` provenance
+    * value (`_metadata.file_path`, a URI like `file:///a/b.parquet`):
+    * the absolute filesystem path, comparable with
+    * [[LogTable.absLivePath]]. URI-parsed rather than
+    * string-stripped so `file:/a`, `file:///a` and plain `/a` all
+    * normalize identically. */
+  private[sources] def provPath(uri: String): String =
+    (if (uri.startsWith("file:")) new File(new java.net.URI(uri))
+     else new File(uri)).getAbsolutePath
+
   /** Default VACUUM retention window (Delta's default): files
     * modified more recently than this are presumed in-flight and
     * never deleted, whatever the log says. */
   val DefaultVacuumRetentionMillis: Long = 7L * 24 * 3600 * 1000
+
+  /** VACUUM's listing fans out as a Spark job once the data tree
+    * has at least this many first-level partition directories (and
+    * a session was passed) — below it, the driver walk is cheaper
+    * than a job launch. */
+  val DistributedListingMinDirs: Int = 8
 
   /** Deletion-vector pair sets at or under this many rows join
     * broadcast (a pair is a file name + a long — ~1M pairs is tens

@@ -87,6 +87,10 @@ object GraftLogTableV2 {
     * [[LogTable.load]]. */
   private[sources] def scanTable(name: String, log: LogTable,
                                  version: Option[Long]): ParquetTable = {
+    // a column-mapped snapshot resolves parquet columns by field id,
+    // which Spark gates on the session conf — flip it here (and only
+    // for mapped tables; see LogTable.enableFieldIds)
+    log.ensureFieldIdResolution(SparkSession.active, version)
     val files = log.liveFiles(version)
     val paths = if (files.nonEmpty) files else Seq(s"${log.path}/_empty")
     // hive-partitioned tables scan with basePath discovery, so the

@@ -324,8 +324,12 @@ object SqlMerge {
     val touchedNames = core.labeled.filter(core.tPresent && isChange)
       .select(col(s"${p.targetAlias}.__file").as("__f"))
       .distinct().collect().map(_.getString(0)).toSet
+    // __file carries the scan-time file-path URI; normalize both
+    // sides to absolute paths for the attribution (clone snapshots
+    // mix data roots, so bare names could collide across roots)
+    val touchedPaths = touchedNames.map(LogTable.provPath)
     val touched = log.liveAdds().filter(a =>
-      touchedNames.contains(new java.io.File(a.path).getName))
+      touchedPaths.contains(log.absLivePath(a)))
 
     if (touchedNames.isEmpty && stats.inserted == 0L) return stats
 

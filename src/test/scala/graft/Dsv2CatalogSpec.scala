@@ -121,4 +121,36 @@ class Dsv2CatalogSpec extends SparkSpec {
     assert(spark.sql(s"SELECT k, v FROM $cat.mor ORDER BY k")
       .as[(Long, String)].collect().toSeq == Seq((2L, "b2")))
   }
+
+  test("registering a catalog / reading unmapped tables leaves the " +
+    "parquet field-id session flags alone; a column-mapped table " +
+    "flips them on first resolution") {
+    val readKey = "spark.sql.parquet.fieldId.read.enabled"
+    val writeKey = "spark.sql.parquet.fieldId.write.enabled"
+    // pin an explicit user value: the library must not override it
+    // for unmapped work (the write key's built-in DEFAULT is true,
+    // so unset alone can't witness a flip)
+    spark.conf.set(readKey, "false"); spark.conf.set(writeKey, "false")
+    val wh = tmp("dsv2fid")
+    val plain = new graft.sources.LogTable(s"$wh/plain")
+    plain.create(org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType))))
+    plain.append(Seq(1L, 2L).toDF("k"))
+    val cat = freshCatalog(wh)
+    // catalog registration + an unmapped read: flags stay untouched
+    assert(spark.sql(s"SELECT k FROM $cat.plain").count() == 2L)
+    assert(spark.conf.get(readKey) == "false",
+      "unmapped read must not flip the session read flag")
+    assert(spark.conf.get(writeKey) == "false",
+      "unmapped read must not flip the session write flag")
+    // a COLUMN-MAPPED table's resolution flips them (by-id reads
+    // need the session conf; per-relation options are ignored)
+    spark.sql(s"CREATE TABLE $cat.mapped (k BIGINT, v STRING) " +
+      "USING log TBLPROPERTIES ('columnMapping' = 'true')")
+    spark.sql(s"INSERT INTO $cat.mapped VALUES (1, 'a')")
+    assert(spark.sql(s"SELECT v FROM $cat.mapped").count() == 1L)
+    assert(spark.conf.get(readKey) == "true")
+    assert(spark.conf.get(writeKey) == "true")
+  }
 }

@@ -128,4 +128,18 @@ class LogConstraintSpec extends SparkSpec {
     assert(spark.table("ck_tail").select("k").as[Long]
       .collect().toSet == Set(1L, 2L))
   }
+
+  test("ADD CONSTRAINT on a nonexistent table refuses instead of " +
+    "bricking the path: no version 0 is written, create() still works") {
+    val dir = s"${tmp()}/typo"
+    val t = new LogTable(dir)
+    intercept[IllegalStateException] {
+      t.addCheckConstraint(spark, "c", "bal >= 0")
+    }
+    assert(t.currentVersion.isEmpty) // nothing committed
+    // the path is untouched — a real create proceeds normally
+    t.create(schema)
+    t.append(Seq((1L, 1.0)).toDF("k", "bal"))
+    assert(t.load(spark).count() == 1L)
+  }
 }

@@ -1,0 +1,170 @@
+package graft
+
+import graft.sources.{IdentitySpec, LogTable}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Identity columns (`GENERATED ALWAYS AS IDENTITY`) and column
+  * DEFAULTs on the transaction-log table: distributed allocation
+  * from a logged high-water mark (unique + per-append monotonic,
+  * gappy like Delta), commit-time race detection with transparent
+  * retry, DEFAULT fill for omitted columns, and the ALTER surface. */
+class LogIdentitySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft_logid").toString
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType),
+    StructField("k", LongType),
+    StructField("status", StringType)))
+
+  private def freshTable(start: Long = 100L, step: Long = 2L): LogTable = {
+    val t = new LogTable(s"${tmp()}/t")
+    t.create(schema,
+      identityColumns = Map("id" -> IdentitySpec(start, step)),
+      columnDefaults = Map("status" -> "'new'"))
+    t
+  }
+
+  test("appends allocate unique step-aligned ids from the start " +
+    "value; a second append allocates strictly past the first; " +
+    "omitted DEFAULT columns fill") {
+    val t = freshTable()
+    t.append(Seq(1L, 2L, 3L).toDF("k").repartition(2))
+    val first = t.load(spark).select("id").as[Long].collect()
+    assert(first.length == 3 && first.distinct.length == 3)
+    assert(first.forall(id => id >= 100L && (id - 100L) % 2L == 0L))
+    assert(t.identityColumns("id").highWater.contains(first.max))
+    // DEFAULT filled on every row the frame omitted it for
+    assert(t.load(spark).select("status").as[String].collect()
+      .forall(_ == "new"))
+    // an explicitly-provided non-identity column wins over DEFAULT
+    t.append(Seq((4L, "old")).toDF("k", "status"))
+    val second = t.load(spark).filter(col("k") === 4L)
+      .select("id").as[Long].head()
+    assert(second > first.max) // monotonic across appends
+    assert(t.load(spark).filter(col("k") === 4L)
+      .select("status").as[String].head() == "old")
+    // all ids still unique
+    val all = t.load(spark).select("id").as[Long].collect()
+    assert(all.distinct.length == all.length)
+  }
+
+  test("explicit identity values refuse on append; UPDATE SET and " +
+    "RENAME of the identity column refuse") {
+    val t = freshTable()
+    t.append(Seq(1L).toDF("k"))
+    intercept[IllegalArgumentException] {
+      t.append(Seq((999L, 2L)).toDF("id", "k"))
+    }
+    intercept[IllegalArgumentException] {
+      t.update(spark, col("k") === 1L, Map("id" -> lit(0L)))
+    }
+    intercept[IllegalArgumentException] {
+      t.updateMor(spark, col("k") === 1L, Map("id" -> lit(0L)))
+    }
+    // non-identity updates still work
+    assert(t.update(spark, col("k") === 1L,
+      Map("status" -> lit("seen"))).rowsAffected == 1L)
+  }
+
+  test("a negative step descends from the start value") {
+    val t = new LogTable(s"${tmp()}/t")
+    t.create(schema,
+      identityColumns = Map("id" -> IdentitySpec(-10L, -5L)))
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("k", "status"))
+    val ids = t.load(spark).select("id").as[Long].collect()
+    assert(ids.forall(id => id <= -10L && (id + 10L) % 5L == 0L))
+    assert(t.identityColumns("id").highWater.contains(ids.min))
+    t.append(Seq((3L, "c")).toDF("k", "status"))
+    val id3 = t.load(spark).filter(col("k") === 3L)
+      .select("id").as[Long].head()
+    assert(id3 < ids.min)
+  }
+
+  test("identity state replays through the log AND through a " +
+    "checkpoint; the config rides create-time validation") {
+    val t = freshTable()
+    // enough commits to cross the checkpoint interval (10)
+    (1 to 12).foreach(i => t.append(Seq(i.toLong).toDF("k")))
+    val hw = t.identityColumns("id").highWater
+    assert(hw.nonEmpty)
+    val reread = new LogTable(t.path)
+    assert(reread.identityColumns ==
+      Map("id" -> IdentitySpec(100L, 2L, hw)))
+    assert(reread.columnDefaults == Map("status" -> "'new'"))
+    val ids = reread.load(spark).select("id").as[Long].collect()
+    assert(ids.length == 12 && ids.distinct.length == 12)
+    // invalid create-time specs refuse
+    intercept[IllegalArgumentException] {
+      new LogTable(s"${tmp()}/bad").create(schema,
+        identityColumns = Map("status" -> IdentitySpec(1L, 1L)))
+    }
+    intercept[IllegalArgumentException] {
+      new LogTable(s"${tmp()}/bad2").create(schema,
+        identityColumns = Map("id" -> IdentitySpec(1L, 0L)))
+    }
+  }
+
+  test("RACING appends from independent table handles never " +
+    "allocate overlapping ids (commit-time basis check + retry)") {
+    val dir = s"${tmp()}/t"
+    new LogTable(dir).create(schema,
+      identityColumns = Map("id" -> IdentitySpec(1L, 1L)))
+    val perWriter = 6
+    val writers = 3
+    val threads = (0 until writers).map { w =>
+      new Thread(() => {
+        val mine = new LogTable(dir) // separate handle, shared log
+        (0 until perWriter).foreach { i =>
+          mine.append(Seq((w * 1000L + i, s"w$w")).toDF("k", "status"))
+        }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    val t = new LogTable(dir)
+    val ids = t.load(spark).select("id").as[Long].collect()
+    assert(ids.length == writers * perWriter,
+      s"expected ${writers * perWriter} rows, got ${ids.length}")
+    assert(ids.distinct.length == ids.length,
+      "overlapping identity allocations: " +
+        ids.groupBy(identity).filter(_._2.length > 1).keys.mkString(", "))
+    assert(t.identityColumns("id").highWater.contains(ids.max))
+  }
+
+  test("SET DEFAULT applies to future appends only; DROP DEFAULT " +
+    "restores the required-column rule; the commits are " +
+    "metadata-only and streams skip them") {
+    val t = new LogTable(s"${tmp()}/t")
+    t.create(StructType(Seq(StructField("k", LongType),
+      StructField("status", StringType))))
+    t.append(Seq((1L, "x")).toDF("k", "status"))
+    // no default yet: omitting the column refuses
+    intercept[IllegalArgumentException] { t.append(Seq(2L).toDF("k")) }
+    val filesBefore = t.liveAdds().size
+    t.setColumnDefault("status", "'filled'")
+    assert(t.liveAdds().size == filesBefore) // metadata-only
+    t.append(Seq(2L).toDF("k"))
+    assert(t.load(spark).filter(col("k") === 2L)
+      .select("status").as[String].head() == "filled")
+    // existing rows untouched
+    assert(t.load(spark).filter(col("k") === 1L)
+      .select("status").as[String].head() == "x")
+    t.dropColumnDefault("status")
+    intercept[IllegalArgumentException] { t.append(Seq(3L).toDF("k")) }
+    // guards: unknown column, double-policy
+    intercept[IllegalArgumentException] {
+      t.setColumnDefault("nope", "'x'")
+    }
+    // a streaming tail passes over the default commits silently
+    val q = spark.readStream
+      .format(classOf[graft.sources.LogStreamProvider].getName)
+      .option("path", t.path).load()
+      .writeStream.format("memory").queryName("id_default_tail")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    assert(spark.table("id_default_tail").count() == 2L)
+  }
+}

@@ -230,4 +230,70 @@ class LogStreamSpec extends SparkSpec {
       (1L, 2000L, "append", 1L, 0L),
       (2L, 3000L, "delete", 0L, 1L))) // delete leaves no survivors
   }
+
+  test("maxFilesPerTrigger drains a multi-commit backlog across " +
+    "several micro-batches — exact rows, checkpoint restart " +
+    "mid-backlog included") {
+    val dir = s"${tmp()}/t"
+    val ckpt = s"${tmp()}/ckpt"
+    val out = s"${tmp()}/out"
+    val t = new LogTable(dir)
+    // an 8-commit backlog BEFORE the subscriber ever starts — the
+    // catch-up case read limits exist for
+    (1 to 8).foreach(i =>
+      t.append(Seq((i.toLong, s"v$i")).toDF("k", "v").repartition(1)))
+    def run(): Long = {
+      val q = spark.readStream
+        .format(classOf[LogStreamProvider].getName)
+        .option("path", dir)
+        .option("maxFilesPerTrigger", "2") // = 2 commits (1 file each)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(Trigger.ProcessingTime(10))
+        .start()
+      try {
+        q.processAllAvailable()
+        q.recentProgress.count(_.numInputRows > 0)
+      } finally q.stop()
+    }
+    val batches = run()
+    // 8 one-file commits / 2 files per trigger = at least 4 batches
+    assert(batches >= 4,
+      s"backlog drained in $batches batches — read limit not applied")
+    assert(spark.read.parquet(out).as[(Long, String)].collect().toSet
+      == (1 to 8).map(i => (i.toLong, s"v$i")).toSet)
+    assert(spark.read.parquet(out).count() == 8L)
+    // restart mid-backlog: more commits while down, then resume —
+    // still rate-limited, exactly-once
+    (9 to 12).foreach(i =>
+      t.append(Seq((i.toLong, s"v$i")).toDF("k", "v").repartition(1)))
+    val batches2 = run()
+    assert(batches2 >= 2)
+    assert(spark.read.parquet(out).as[(Long, String)].collect().toSet
+      == (1 to 12).map(i => (i.toLong, s"v$i")).toSet)
+    assert(spark.read.parquet(out).count() == 12L)
+  }
+
+  test("maxBytesPerTrigger admits at least one commit per batch " +
+    "even when a single commit exceeds the budget") {
+    val dir = s"${tmp()}/t"
+    val t = new LogTable(dir)
+    (1 to 3).foreach(i =>
+      t.append(Seq((i.toLong, s"v$i")).toDF("k", "v").repartition(1)))
+    val q = spark.readStream
+      .format(classOf[LogStreamProvider].getName)
+      .option("path", dir)
+      .option("maxBytesPerTrigger", "1") // every commit is bigger
+      .load()
+      .writeStream.format("memory").queryName("log_stream_bytes")
+      .trigger(Trigger.ProcessingTime(10))
+      .start()
+    try {
+      q.processAllAvailable()
+      // progress guaranteed: one oversized commit per micro-batch
+      assert(spark.table("log_stream_bytes").count() == 3L)
+      assert(q.recentProgress.count(_.numInputRows > 0) == 3)
+    } finally q.stop()
+  }
 }

@@ -389,4 +389,72 @@ class LogTableSpec extends SparkSpec {
     val res = t.delete(spark, col("v") === "nope")
     assert(res.rowsAffected == 0L && res.filesScanned == 1)
   }
+
+  test("distributed VACUUM listing: a many-partition table vacuums " +
+    "through the Spark-job lister with dry-run/driver-walk parity") {
+    val dir = s"${tmp()}/t"
+    val t = new LogTable(dir)
+    t.create(org.apache.spark.sql.types.StructType.fromDDL(
+      "k BIGINT, p STRING"), partitionBy = Seq("p"))
+    // ≥ DistributedListingMinDirs first-level partition dirs
+    val keys = (0 until 10).map(i => s"p$i")
+    t.append(keys.zipWithIndex.map { case (p, i) => (i.toLong, p) }
+      .toDF("k", "p"))
+    // retire the first generation wholesale
+    t.overwrite(keys.zipWithIndex.map { case (p, i) => (i.toLong + 100, p) }
+      .toDF("k", "p"))
+    val before = t.load(spark).select("k").as[Long].collect().toSet
+    // parity: the distributed dry run and the driver-walk dry run
+    // nominate the SAME expired set
+    val dryDist = t.vacuum(retainLast = 1, retentionMillis = 0L,
+      dryRun = true, spark = Some(spark)).toSet
+    val dryLocal = t.vacuum(retainLast = 1, retentionMillis = 0L,
+      dryRun = true).toSet
+    assert(dryDist == dryLocal && dryDist.nonEmpty)
+    // the destructive distributed pass drops exactly that set and
+    // leaves the current snapshot intact
+    val dropped = t.vacuum(retainLast = 1, retentionMillis = 0L,
+      spark = Some(spark)).toSet
+    assert(dropped == dryDist)
+    assert(t.load(spark).select("k").as[Long].collect().toSet == before)
+  }
+
+  test("_last_checkpoint bounds head resolution: current-snapshot " +
+    "reads after many commits issue ZERO _log/ listings; time travel " +
+    "behind the checkpoint and a deleted pointer fall back to listing " +
+    "with identical answers") {
+    val dir = s"${tmp()}/t"
+    val t = new LogTable(dir, checkpointInterval = 10)
+    (1 to 26).foreach(i => t.append(Seq((i.toLong, s"v$i")).toDF("k", "v")))
+    assert(new File(dir, "_log/_last_checkpoint").isFile)
+    // a FRESH reader (no memoized snapshots): head + current
+    // snapshot resolve from pointer + forward probe alone — the
+    // listing count stays flat no matter how long the history is
+    val r = new LogTable(dir)
+    assert(r.currentVersion.contains(25L))
+    assert(r.load(spark).count() == 26L)
+    assert(r.logListings == 0L,
+      s"pointer-resolved head+snapshot issued ${r.logListings} LISTs")
+    // deep time travel (before the newest checkpoint) needs the
+    // older checkpoint — the documented listing fallback
+    assert(r.load(spark, Some(4L)).count() == 5L)
+    assert(r.logListings >= 1L)
+    // the pointer is ADVISORY: remove it and everything still
+    // answers identically through the listing path
+    assert(new File(dir, "_log/_last_checkpoint").delete())
+    val r2 = new LogTable(dir)
+    assert(r2.currentVersion.contains(25L))
+    assert(r2.load(spark).count() == 26L)
+    assert(r2.load(spark, Some(4L)).count() == 5L)
+    assert(r2.logListings >= 1L)
+    // and the next checkpoint recreates it
+    val t2 = new LogTable(dir, checkpointInterval = 10)
+    (27 to 31).foreach(i =>
+      t2.append(Seq((i.toLong, s"v$i")).toDF("k", "v")))
+    assert(new File(dir, "_log/_last_checkpoint").isFile)
+    val r3 = new LogTable(dir)
+    assert(r3.currentVersion.contains(30L))
+    assert(r3.load(spark).count() == 31L)
+    assert(r3.logListings == 0L)
+  }
 }

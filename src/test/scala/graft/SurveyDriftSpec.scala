@@ -36,4 +36,14 @@ class SurveyDriftSpec extends AnyFunSuite {
     assert(orphans.isEmpty,
       s"oracleSql entries without a query: ${orphans.toSeq.sorted}")
   }
+
+  test("§2 op ids are unique") {
+    val start = survey.indexOf("## §2")
+    val end = survey.indexOf("## §3")
+    val ids = "(?m)^\\|\\s*([0-9]+[a-z'\"]*)\\s*\\|\\s*`".r
+      .findAllMatchIn(survey.substring(start, end)).map(_.group(1)).toSeq
+    val dups = ids.groupBy(identity).filter(_._2.length > 1).keys.toSeq
+    assert(dups.isEmpty,
+      s"duplicated SURVEY §2 op ids: ${dups.sorted.mkString(", ")}")
+  }
 }
