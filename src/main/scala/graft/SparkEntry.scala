@@ -1567,15 +1567,32 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("n_chars"))
         .orderBy(col("doc_id"))),
 
-    // rows-only: k-means cells aren't SQL-expressible; the mapping
-    // contract (planted dups collapse, clusters stay apart,
-    // determinism) is asserted in DedupSpec
-    "semantic_dedup" -> ((s, d) =>
-      // centroids train on a half sample (the documented at-scale
-      // practice — assignment still covers every vector)
-      Dedup.semanticDedup(t(s, d, "embeddings"), k = 16, threshold = 0.4,
-        iters = 2, sampleFraction = 0.5)
-        .orderBy(col("vec_id"))),
+    // round-8: oracle-checkable — SemDeDup under the kmeans_assign
+    // DETERMINISTIC cell model (per-label decimal-mean centroids +
+    // argmax-dot assignment): cells, intra-cell cosine pairs at the
+    // threshold, connected components, and the min-label collapse
+    // are all declaratively recomputable in DuckDB (a composition
+    // of the kmeans_assign + dedup_embedding + dup_clusters oracle
+    // techniques). Lloyd's-TRAINED cells (model-dependent output by
+    // construction) ride the same semanticCollapse code path and
+    // stay covered by DedupSpec's planted-cluster recovery.
+    "semantic_dedup" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val cRows = Similarity.groupCentroids(emb, "label")
+        .select(col("label").cast("int"), col("dim").cast("int"),
+          col("centroid").cast("float")).collect()
+      val labels = cRows.map(_.getInt(0)).distinct.sorted.toSeq
+      val cents: Seq[Seq[Float]] = labels.map(l =>
+        cRows.filter(_.getInt(0) == l).sortBy(_.getInt(1))
+          .map(_.getFloat(2)).toSeq)
+      val idx = graft.plans.IvfExpressions.topCentroids(
+        col("embedding"), cents, 1)(0)
+      val cells = emb.select(col("vec_id"), col("embedding"),
+        element_at(typedLit(labels), idx + 1).as("cell"))
+      Dedup.semanticCollapse(cells, threshold = 0.4)
+        .select(col("vec_id"), col("rep_id"), col("cell"))
+        .orderBy(col("vec_id"))
+    }),
 
     "dedup_embedding" -> ((s, d) =>
       // exact cosine join at a LOW threshold (0.4): the fixture's true
@@ -1812,6 +1829,9 @@ object SparkEntry {
     "token_count" -> ((s, d) =>
       TextAnalysis.tokenCounts(t(s, d, "documents")).orderBy(col("doc_id"))),
 
+    // round-8: oracle-checkable — the fingerprint primitives are
+    // declarative modular folds an external engine can recompute
+    // exactly (was rows-only under xxhash64)
     "doc_fingerprint" -> ((s, d) =>
       TextAnalysis.fingerprints(t(s, d, "documents")).orderBy(col("doc_id"))),
 
@@ -1969,9 +1989,20 @@ object SparkEntry {
       Bpe.train(t(s, d, "documents"), merges = 6)
         .orderBy(col("rank"))),
 
-    // rows-only: tokenizer-faithful counts under the trained table
+    // round-8: oracle-checkable — encode faithfulness under a FIXED
+    // merge table. With a table obeying training's structural
+    // invariant (a pair naming a merged symbol ranks AFTER the
+    // merge that formed it, and no rule's output recreates its own
+    // inputs), the kernel's lowest-rank-first loop is provably
+    // equal to ONE left-to-right replace pass per rank in rank
+    // order — which DuckDB replays as six string replaces over a
+    // bracketed token encoding. Corpus-TRAINED tables (iterative
+    // argmax) stay covered by bpe_train + BpeSpec parity.
     "bpe_encode" -> ((s, d) =>
-      Bpe.tokenCounts(t(s, d, "documents"), merges = 6)
+      Bpe.encode(t(s, d, "documents"),
+        Seq(("t", "h"), ("th", "e"), ("a", "n"),
+          ("an", "d"), ("i", "n"), ("e", "r")))
+        .select(col("doc_id"), col("n_tokens"))
         .orderBy(col("doc_id"))),
 
     // DSIR toward a fixed four-source "target domain" — the explicit
@@ -3807,6 +3838,122 @@ object SparkEntry {
            / CAST(len(string_split_regex(trim(lower(text)), '\s+'))
              AS DOUBLE), 6) AS mean_word_len
          FROM documents ORDER BY doc_id""",
+
+    // bpe_encode: under the fixed rank-ordered merge table, the
+    // kernel equals one left-to-right replace pass per rank (see
+    // the query comment for the invariant that makes this exact).
+    // Each word becomes a bracketed token string (corpus is ASCII —
+    // the brackets cannot collide with content), the six merges
+    // apply as string replaces, and the token count is the split
+    // length; empty docs coalesce to 0.
+    "bpe_encode" ->
+      """SELECT doc_id, CAST(coalesce(list_sum(list_transform(
+           list_filter(string_split(text, ' '), w -> w <> ''),
+           w -> len(string_split(
+             replace(replace(replace(replace(replace(replace(
+               '⟨' || array_to_string(string_split_regex(w, ''), '⟩⟨')
+                   || '⟩',
+               '⟨t⟩⟨h⟩', '⟨th⟩'), '⟨th⟩⟨e⟩', '⟨the⟩'),
+               '⟨a⟩⟨n⟩', '⟨an⟩'), '⟨an⟩⟨d⟩', '⟨and⟩'),
+               '⟨i⟩⟨n⟩', '⟨in⟩'), '⟨e⟩⟨r⟩', '⟨er⟩'),
+             '⟩⟨')))), 0) AS BIGINT) AS n_tokens
+         FROM documents ORDER BY doc_id""",
+
+    // semantic_dedup: the kmeans_assign deterministic cell model
+    // (per-label decimal-mean centroids, argmax-dot assignment),
+    // then intra-cell cosine pairs at the threshold
+    // (dedup_embedding's arithmetic), a recursive-CTE connected
+    // components (dup_clusters' technique), and the min-label
+    // collapse.
+    "semantic_dedup" ->
+      """WITH RECURSIVE c AS (
+           SELECT label, dim,
+             CAST(round(CAST(sum(CAST(CAST(x AS DOUBLE) AS DECIMAL(28,10)))
+               AS DOUBLE) / count(*), 6) AS FLOAT) AS cent
+           FROM (
+             SELECT label, unnest(embedding) AS x,
+                    generate_subscripts(embedding, 1) AS dim
+             FROM embeddings)
+           GROUP BY label, dim),
+         cl AS (
+           SELECT label AS clabel,
+                  list(CAST(cent AS DOUBLE) ORDER BY dim) AS cv
+           FROM c GROUP BY label),
+         dots AS (
+           SELECT e.vec_id, k.clabel,
+             list_reduce(list_transform(range(1, len(e.embedding) + 1),
+               i -> CAST(e.embedding[i] AS DOUBLE) * k.cv[i]),
+               (a, b) -> a + b) AS dot
+           FROM embeddings e CROSS JOIN cl k),
+         cells AS (
+           SELECT vec_id, clabel AS cell FROM (
+             SELECT vec_id, clabel,
+               row_number() OVER (PARTITION BY vec_id
+                 ORDER BY dot DESC, clabel) AS rn
+             FROM dots) WHERE rn = 1),
+         pairs AS (
+           SELECT a.vec_id AS id_a, b.vec_id AS id_b
+           FROM embeddings a
+           JOIN cells ca ON ca.vec_id = a.vec_id
+           JOIN embeddings b ON a.vec_id < b.vec_id
+           JOIN cells cb ON cb.vec_id = b.vec_id
+           WHERE ca.cell = cb.cell
+             AND list_sum(list_transform(range(1, 65),
+               i -> CAST(a.embedding[i] AS DOUBLE)
+                  * CAST(b.embedding[i] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(range(1, 65),
+                  i -> CAST(a.embedding[i] AS DOUBLE)
+                     * CAST(a.embedding[i] AS DOUBLE))))
+              * sqrt(list_sum(list_transform(range(1, 65),
+                  i -> CAST(b.embedding[i] AS DOUBLE)
+                     * CAST(b.embedding[i] AS DOUBLE))))) >= 0.4),
+         ed AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                UNION ALL SELECT id_b, id_a FROM pairs),
+         cc(id, lbl) AS (
+           SELECT vec_id, vec_id FROM embeddings
+           UNION
+           SELECT ed.dst, cc.lbl FROM cc JOIN ed ON ed.src = cc.id)
+         SELECT cc.id AS vec_id, MIN(cc.lbl) AS rep_id,
+                any_value(cells.cell) AS cell
+         FROM cc JOIN cells ON cells.vec_id = cc.id
+         GROUP BY cc.id ORDER BY vec_id""",
+
+    // doc_fingerprint: both fingerprints are modular char-polynomial
+    // folds (h(tok) = fold (a·31 + codepoint) mod M per modulus;
+    // rolling folds a·1000003 + h(tok), bag folds a + h(tok); the
+    // two ~2^31-prime residues combine as r1·M2 + r2) — recomputed
+    // here with the same arithmetic via list lambdas. list_prepend
+    // supplies the fold's zero so empty token lists hash to 0.
+    "doc_fingerprint" ->
+      """WITH tok AS (
+           SELECT doc_id,
+                  string_split_regex(trim(lower(text)), '\s+') AS ts
+           FROM documents),
+         h AS (
+           SELECT doc_id,
+             list_transform(ts, t -> list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                 list_transform(
+                   list_filter(string_split_regex(t, ''), c -> c <> ''),
+                   c -> CAST(unicode(c) AS BIGINT))),
+               (x, y) -> (x * 31 + y) % 2147483647)) AS h1,
+             list_transform(ts, t -> list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                 list_transform(
+                   list_filter(string_split_regex(t, ''), c -> c <> ''),
+                   c -> CAST(unicode(c) AS BIGINT))),
+               (x, y) -> (x * 31 + y) % 2147483629)) AS h2
+           FROM tok)
+         SELECT doc_id,
+           list_reduce(list_prepend(CAST(0 AS BIGINT), h1),
+             (a, b) -> (a * 1000003 + b) % 2147483647) * 2147483629
+           + list_reduce(list_prepend(CAST(0 AS BIGINT), h2),
+             (a, b) -> (a * 1000003 + b) % 2147483629) AS rolling_fp,
+           list_reduce(list_prepend(CAST(0 AS BIGINT), h1),
+             (a, b) -> (a + b) % 2147483647) * 2147483629
+           + list_reduce(list_prepend(CAST(0 AS BIGINT), h2),
+             (a, b) -> (a + b) % 2147483629) AS bag_fp
+         FROM h ORDER BY doc_id""",
 
     "token_count" ->
       """SELECT doc_id,

@@ -64,13 +64,44 @@ package object functions {
   def seededHash(c: Column, seed: Int): Column =
     xxhash64(c, lit(seed))
 
+  /** Fingerprint moduli: two coprime ~2^31 primes give a 62-bit
+    * combined fingerprint — collision odds at billions of documents
+    * stay negligible where a single 31-bit residue would birthday-
+    * collide in the tens of thousands. Both folds stay inside ANSI
+    * long arithmetic (acc < 2^31 ⇒ acc·P + h < 2^52). */
+  private val FpM1 = 2147483647L // 2^31 − 1
+  private val FpM2 = 2147483629L
+
+  /** Character-polynomial hash of one token under modulus `m` —
+    * `acc = (acc·31 + codepoint) mod m`. Declarative (an aggregate
+    * over the character split) rather than an engine-private hash
+    * (xxhash64), so an EXTERNAL engine can recompute fingerprints
+    * bit-for-bit — what makes [[rollingFingerprint]] /
+    * [[bagFingerprint]] oracle-checkable. */
+  private def charPolyHash(tok: Column, m: Long): Column =
+    aggregate(filter(split(tok, ""), c => c =!= ""), lit(0L),
+      (acc, c) => pmod(acc * lit(31L) + ascii(c), lit(m)))
+
   /** Polynomial rolling-hash fingerprint of a token array —
-    * deterministic, order-sensitive (unlike a set hash). Modular
-    * (mod 2^31-1) so the fold never overflows ANSI long arithmetic:
-    * acc < 2^31, so acc*P + h < 2^51 + 2^31. */
+    * deterministic, order-sensitive (unlike a set hash): the
+    * per-token char hashes fold as `acc·1000003 + h(t)` under each
+    * modulus and the two residues combine into one 62-bit value. */
   def rollingFingerprint(tokens: Column): Column = {
-    val m = lit(2147483647L)
-    aggregate(tokens, lit(0L),
-      (acc, t) => pmod(acc * lit(1000003L) + pmod(xxhash64(t), m), m))
+    def roll(m: Long): Column =
+      aggregate(tokens, lit(0L),
+        (acc, t) => pmod(acc * lit(1000003L) + charPolyHash(t, m),
+          lit(m)))
+    roll(FpM1) * lit(FpM2) + roll(FpM2)
+  }
+
+  /** Order-INSENSITIVE bag fingerprint of a token array: modular
+    * SUM of the per-token char hashes under each modulus (addition
+    * commutes, so any token order and any partitioning gives the
+    * same value), combined like [[rollingFingerprint]]. */
+  def bagFingerprint(tokens: Column): Column = {
+    def bag(m: Long): Column =
+      aggregate(tokens, lit(0L),
+        (acc, t) => pmod(acc + charPolyHash(t, m), lit(m)))
+    bag(FpM1) * lit(FpM2) + bag(FpM2)
   }
 }

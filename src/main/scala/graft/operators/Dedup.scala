@@ -482,9 +482,21 @@ object Dedup {
   def semanticDedup(emb: DataFrame, k: Int, threshold: Double = 0.95,
                     idCol: String = "vec_id", vecCol: String = "embedding",
                     iters: Int = 3,
-                    sampleFraction: Double = 1.0): DataFrame = {
-    val cells = Similarity.kmeansAssign(emb, k, iters, idCol, vecCol,
-      sampleFraction)
+                    sampleFraction: Double = 1.0): DataFrame =
+    semanticCollapse(Similarity.kmeansAssign(emb, k, iters, idCol, vecCol,
+      sampleFraction), threshold, idCol, vecCol)
+
+  /** The collapse half of [[semanticDedup]], over an
+    * ALREADY-ASSIGNED cells frame (`idCol`, `vecCol`, `cell`):
+    * intra-cell cosine pairs at `threshold`, connected components,
+    * min-label representative. Split out so a DETERMINISTIC cell
+    * model (e.g. the per-label decimal-mean centroids kmeans_assign
+    * uses) makes the whole pipeline declaratively recomputable by
+    * an external oracle, while Lloyd's-trained cells ride the same
+    * code path. */
+  def semanticCollapse(cells: DataFrame, threshold: Double,
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding"): DataFrame = {
     val e = cells.select(col(idCol).as("__id"), col(vecCol).as("__v"),
       floatNorm(col(vecCol)).as("__n"), col("cell"))
     val pairs = e.toDF("id_a", "v_a", "n_a", "cell")

@@ -107,8 +107,7 @@ object TextAnalysis {
     docs.select(
       col(idCol),
       rollingFingerprint(wordTokens(col(textCol))).as("rolling_fp"),
-      xxhash64(concat_ws(" ", array_sort(wordTokens(col(textCol)))))
-        .as("bag_fp"))
+      bagFingerprint(wordTokens(col(textCol))).as("bag_fp"))
 
   /** Deterministic stratified sampling: keep a per-stratum fraction
     * of rows selected by key modulus — reproducible across runs,
