@@ -72,26 +72,38 @@ package object functions {
   private val FpM1 = 2147483647L // 2^31 − 1
   private val FpM2 = 2147483629L
 
-  /** Character-polynomial hash of one token under modulus `m` —
-    * `acc = (acc·31 + codepoint) mod m`. Declarative (an aggregate
-    * over the character split) rather than an engine-private hash
+  /** Character-polynomial hashes of one token under BOTH moduli in
+    * a single character pass — `acc = (acc·31 + codepoint) mod m`
+    * folded with a two-field struct state (higher-order array
+    * functions evaluate interpreted, so pass count is the cost that
+    * matters). Declarative rather than an engine-private hash
     * (xxhash64), so an EXTERNAL engine can recompute fingerprints
     * bit-for-bit — what makes [[rollingFingerprint]] /
     * [[bagFingerprint]] oracle-checkable. */
-  private def charPolyHash(tok: Column, m: Long): Column =
-    aggregate(filter(split(tok, ""), c => c =!= ""), lit(0L),
-      (acc, c) => pmod(acc * lit(31L) + ascii(c), lit(m)))
+  private def charPolyHash2(tok: Column): Column =
+    aggregate(filter(split(tok, ""), c => c =!= ""),
+      struct(lit(0L).as("h1"), lit(0L).as("h2")),
+      (acc, c) => struct(
+        pmod(acc("h1") * lit(31L) + ascii(c), lit(FpM1)).as("h1"),
+        pmod(acc("h2") * lit(31L) + ascii(c), lit(FpM2)).as("h2")))
+
+  /** Per-token (h1, h2) hash structs — computed ONCE per token
+    * (the fold lambdas below would otherwise re-derive the char
+    * hash per reference). */
+  private def tokenHashes(tokens: Column): Column =
+    transform(tokens, t => charPolyHash2(t))
 
   /** Polynomial rolling-hash fingerprint of a token array —
     * deterministic, order-sensitive (unlike a set hash): the
     * per-token char hashes fold as `acc·1000003 + h(t)` under each
     * modulus and the two residues combine into one 62-bit value. */
   def rollingFingerprint(tokens: Column): Column = {
-    def roll(m: Long): Column =
-      aggregate(tokens, lit(0L),
-        (acc, t) => pmod(acc * lit(1000003L) + charPolyHash(t, m),
-          lit(m)))
-    roll(FpM1) * lit(FpM2) + roll(FpM2)
+    val r = aggregate(tokenHashes(tokens),
+      struct(lit(0L).as("h1"), lit(0L).as("h2")),
+      (acc, h) => struct(
+        pmod(acc("h1") * lit(1000003L) + h("h1"), lit(FpM1)).as("h1"),
+        pmod(acc("h2") * lit(1000003L) + h("h2"), lit(FpM2)).as("h2")))
+    r("h1") * lit(FpM2) + r("h2")
   }
 
   /** Order-INSENSITIVE bag fingerprint of a token array: modular
@@ -99,9 +111,11 @@ package object functions {
     * commutes, so any token order and any partitioning gives the
     * same value), combined like [[rollingFingerprint]]. */
   def bagFingerprint(tokens: Column): Column = {
-    def bag(m: Long): Column =
-      aggregate(tokens, lit(0L),
-        (acc, t) => pmod(acc + charPolyHash(t, m), lit(m)))
-    bag(FpM1) * lit(FpM2) + bag(FpM2)
+    val r = aggregate(tokenHashes(tokens),
+      struct(lit(0L).as("h1"), lit(0L).as("h2")),
+      (acc, h) => struct(
+        pmod(acc("h1") + h("h1"), lit(FpM1)).as("h1"),
+        pmod(acc("h2") + h("h2"), lit(FpM2)).as("h2")))
+    r("h1") * lit(FpM2) + r("h2")
   }
 }

@@ -84,7 +84,9 @@ private[sources] final class GraftProcedure(catalog: GraftTableCatalog,
         StructField("partition_cols", StringType),
         StructField("bloom_cols", StringType),
         StructField("constraints", StringType),
-        StructField("generated", StringType)))
+        StructField("generated", StringType),
+        StructField("identity", StringType),
+        StructField("defaults", StringType)))
   }
 
   override def call(input: InternalRow): JIterator[Scan] = {
@@ -139,6 +141,13 @@ private[sources] final class GraftProcedure(catalog: GraftTableCatalog,
           UTF8String.fromString(t.checkConstraints.toSeq.sorted
             .map { case (k, v) => s"$k: $v" }.mkString("; ")),
           UTF8String.fromString(t.generatedCols.toSeq.sorted
+            .map { case (k, v) => s"$k: $v" }.mkString("; ")),
+          UTF8String.fromString(t.identityColumns.toSeq.sortBy(_._1)
+            .map { case (c, s) =>
+              s"$c: start=${s.start} step=${s.step}" +
+                s.highWater.map(h => s" highWater=$h").getOrElse("") }
+            .mkString("; ")),
+          UTF8String.fromString(t.columnDefaults.toSeq.sorted
             .map { case (k, v) => s"$k: $v" }.mkString("; "))))
     }
     val scan: Scan = new LocalScan {

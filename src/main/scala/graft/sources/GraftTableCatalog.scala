@@ -216,9 +216,22 @@ class GraftTableCatalog extends TableCatalog with ProcedureCatalog {
           k.stripPrefix("generated.") -> v }.toMap
       //   'columnMapping' = 'true'        field-id column mapping
       //   (metadata-only RENAME COLUMN)
+      //   'identity.<col>' = 'start=N, step=M'   GENERATED ALWAYS
+      //                                          AS IDENTITY
+      //   'default.<col>' = '<expr>'      column DEFAULT
       val mapping = props.get("columnMapping").exists(_.toBoolean)
+      val identities = props.collect {
+        case (k, v) if k.startsWith("identity.") =>
+          val kvs = v.split(",").map(_.trim.split("=", 2))
+            .collect { case Array(a, b) => a.trim -> b.trim.toLong }.toMap
+          k.stripPrefix("identity.") -> graft.sources.IdentitySpec(
+            kvs.getOrElse("start", 1L), kvs.getOrElse("step", 1L)) }.toMap
+      val defaults = props.collect {
+        case (k, v) if k.startsWith("default.") =>
+          k.stripPrefix("default.") -> v }.toMap
       new LogTable(dirOf(ident).toString)
-        .create(schema, partCols, bloom, checks, gens, mapping)
+        .create(schema, partCols, bloom, checks, gens, mapping,
+          identities, defaults)
     } else {
       val spark = SparkSession.active
       val empty = spark.createDataFrame(

@@ -167,4 +167,32 @@ class LogIdentitySpec extends SparkSpec {
     try q.processAllAvailable() finally q.stop()
     assert(spark.table("id_default_tail").count() == 2L)
   }
+
+  test("SQL DDL surface: TBLPROPERTIES identity.<col>/default.<col> " +
+    "configure the created table; CALL detail reports both") {
+    val wh = tmp()
+    spark.conf.set("spark.sql.catalog.gid", "graft.sources.GraftTableCatalog")
+    spark.conf.set("spark.sql.catalog.gid.warehouse", wh)
+    try {
+      // the DEFAULT expression is SQL text, so the property value is
+      // a quoted string literal: '' escapes ' inside SQL strings
+      spark.sql("CREATE TABLE gid.t (id BIGINT, k BIGINT, status STRING) " +
+        "USING log TBLPROPERTIES ('identity.id' = 'start=500, step=5', " +
+        "'default.status' = '''fresh''')")
+      val t = new LogTable(s"$wh/t")
+      assert(t.identityColumns == Map("id" -> IdentitySpec(500L, 5L)))
+      assert(t.columnDefaults == Map("status" -> "'fresh'"))
+      t.append(Seq(1L, 2L).toDF("k"))
+      val rows = t.load(spark).select("id", "status")
+        .as[(Long, String)].collect()
+      assert(rows.forall { case (id, st) =>
+        id >= 500L && (id - 500L) % 5L == 0L && st == "fresh" })
+      val d = spark.sql("CALL gid.detail('t')").collect().head
+      assert(d.getAs[String]("identity").contains("start=500 step=5"))
+      assert(d.getAs[String]("defaults").contains("status: 'fresh'"))
+    } finally {
+      spark.conf.unset("spark.sql.catalog.gid")
+      spark.conf.unset("spark.sql.catalog.gid.warehouse")
+    }
+  }
 }
