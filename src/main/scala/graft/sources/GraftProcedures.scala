@@ -56,8 +56,13 @@ private[sources] final class GraftProcedure(catalog: GraftTableCatalog,
         in("zorder_by", StringType).defaultValue("''").build(),
         in("target_files", IntegerType).defaultValue("8").build(),
         in("where", StringType).defaultValue("''").build())
-    case "purge_deletes" | "history" | "detail" =>
+    case "purge_deletes" | "history" | "detail" | "refresh_mv" =>
       Array(in("table", StringType).build())
+    case "create_mv" =>
+      Array(in("table", StringType).build(),
+        in("target", StringType).build(),
+        in("keys", StringType).build(),
+        in("value", StringType).build())
     case "clone" =>
       Array(in("table", StringType).build(),
         in("target", StringType).build(),
@@ -67,8 +72,14 @@ private[sources] final class GraftProcedure(catalog: GraftTableCatalog,
   }
 
   private def outSchema: StructType = procName match {
-    case "restore" | "purge_deletes" | "optimize" | "clone" =>
+    case "restore" | "purge_deletes" | "optimize" | "clone" |
+         "create_mv" =>
       StructType(Seq(StructField("version", LongType)))
+    case "refresh_mv" =>
+      StructType(Seq(StructField("version", LongType),
+        StructField("from_version", LongType),
+        StructField("to_version", LongType),
+        StructField("mode", StringType)))
     case "vacuum" =>
       StructType(Seq(StructField("dropped", StringType)))
     case "history" =>
@@ -86,7 +97,8 @@ private[sources] final class GraftProcedure(catalog: GraftTableCatalog,
         StructField("constraints", StringType),
         StructField("generated", StringType),
         StructField("identity", StringType),
-        StructField("defaults", StringType)))
+        StructField("defaults", StringType),
+        StructField("properties", StringType)))
   }
 
   override def call(input: InternalRow): JIterator[Scan] = {
@@ -148,7 +160,22 @@ private[sources] final class GraftProcedure(catalog: GraftTableCatalog,
                 s.highWater.map(h => s" highWater=$h").getOrElse("") }
             .mkString("; ")),
           UTF8String.fromString(t.columnDefaults.toSeq.sorted
+            .map { case (k, v) => s"$k: $v" }.mkString("; ")),
+          UTF8String.fromString(t.tableProperties.toSeq.sorted
             .map { case (k, v) => s"$k: $v" }.mkString("; "))))
+      case "create_mv" =>
+        // `table` is the BASE; `target` gets the materialized
+        // aggregate (`keys` comma-separated, `value` the summed col)
+        val target = catalog.newLogTableAt(
+          input.getUTF8String(1).toString)
+        Seq(row(MaterializedAgg.create(spark, t.path, target.path,
+          input.getUTF8String(2).toString.split(",").map(_.trim)
+            .filter(_.nonEmpty).toSeq,
+          input.getUTF8String(3).toString)))
+      case "refresh_mv" =>
+        val r = MaterializedAgg.refresh(spark, t.path)
+        Seq(row(r.mvVersion, r.fromVersion, r.toVersion,
+          UTF8String.fromString(r.mode)))
     }
     val scan: Scan = new LocalScan {
       override def readSchema(): StructType = outSchema
@@ -161,7 +188,7 @@ private[sources] final class GraftProcedure(catalog: GraftTableCatalog,
 private object GraftProcedure {
   val Names: Set[String] =
     Set("restore", "vacuum", "optimize", "purge_deletes", "history",
-      "detail", "clone")
+      "detail", "clone", "create_mv", "refresh_mv")
 
   private def row(vs: Any*): InternalRow =
     new GenericInternalRow(vs.toArray)

@@ -229,9 +229,14 @@ class GraftTableCatalog extends TableCatalog with ProcedureCatalog {
       val defaults = props.collect {
         case (k, v) if k.startsWith("default.") =>
           k.stripPrefix("default.") -> v }.toMap
+      // everything that is not a feature knob (and not one of the
+      // engine-injected keys) lands in the log's free-form
+      // TBLPROPERTIES map
+      val free = props.filterNot { case (k, _) =>
+        reservedProp(k) }.toMap
       new LogTable(dirOf(ident).toString)
         .create(schema, partCols, bloom, checks, gens, mapping,
-          identities, defaults)
+          identities, defaults, free)
     } else {
       val spark = SparkSession.active
       val empty = spark.createDataFrame(
@@ -278,10 +283,43 @@ class GraftTableCatalog extends TableCatalog with ProcedureCatalog {
     GraftProcedure.Names.toSeq.sorted
       .map(Identifier.of(namespace, _)).toArray
 
+  /** Feature knobs and engine-injected keys — never stored in (or
+    * alterable through) the free-form property map. */
+  private def reservedProp(k: String): Boolean =
+    k == "provider" || k == "location" || k == "owner" ||
+      k == "external" || k == "bloom" || k == "columnMapping" ||
+      k.startsWith("check.") || k.startsWith("generated.") ||
+      k.startsWith("identity.") || k.startsWith("default.") ||
+      k.startsWith("option.")
+
+  /** `ALTER TABLE cat.t SET TBLPROPERTIES (...)` / `UNSET
+    * TBLPROPERTIES (...)` on log tables — property changes only;
+    * structural ALTERs still go through the dedicated metadata ops
+    * (rename/drop procedures, SET/DROP DEFAULT). */
   override def alterTable(ident: Identifier,
-                          changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "ALTER TABLE is not supported; commit a new snapshot instead")
+                          changes: TableChange*): Table = {
+    val dir = dirOf(ident)
+    if (!isLogTable(dir)) throw new UnsupportedOperationException(
+      "ALTER TABLE is only supported on log tables")
+    val log = new LogTable(dir.toString)
+    val sets = changes.collect {
+      case s: TableChange.SetProperty => s.property -> s.value }
+    val unsets = changes.collect {
+      case r: TableChange.RemoveProperty => r.property }
+    val other = changes.filterNot(c =>
+      c.isInstanceOf[TableChange.SetProperty] ||
+        c.isInstanceOf[TableChange.RemoveProperty])
+    if (other.nonEmpty) throw new UnsupportedOperationException(
+      s"unsupported ALTER TABLE change(s): ${other.mkString(", ")} — " +
+        "only SET/UNSET TBLPROPERTIES go through ALTER")
+    (sets.map(_._1) ++ unsets).find(reservedProp).foreach(k =>
+      throw new IllegalArgumentException(
+        s"'$k' is a reserved table-feature property — it cannot be " +
+          "changed through SET/UNSET TBLPROPERTIES"))
+    if (sets.nonEmpty) log.setTableProperties(sets.toMap)
+    if (unsets.nonEmpty) log.unsetTableProperties(unsets)
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val dir = dirOf(ident)

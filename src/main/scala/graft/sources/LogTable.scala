@@ -203,6 +203,8 @@ final class LogTable(val path: String,
                                     identity: Map[String, IdentitySpec] =
                                       Map.empty,
                                     defaults: Map[String, String] =
+                                      Map.empty,
+                                    properties: Map[String, String] =
                                       Map.empty)
 
   private def parseStats(j: JValue): Map[String, ColStats] = j match {
@@ -373,6 +375,7 @@ final class LogTable(val path: String,
     var zone: Option[String] = None
     var idCols: Map[String, IdentitySpec] = Map.empty
     var defCols: Map[String, String] = Map.empty
+    var props: Map[String, String] = Map.empty
     val live = scala.collection.mutable.LinkedHashMap.empty[String, AddFile]
     val from = ckpts.lastOption match {
       case Some(cv) =>
@@ -412,6 +415,11 @@ final class LogTable(val path: String,
           idCols = parseIdentity(state \ "identity")
         (state \ "defaults") match {
           case JObject(fields) => defCols = fields.collect {
+            case (k, JString(v)) => k -> v }.toMap
+          case _ => ()
+        }
+        (state \ "properties") match {
+          case JObject(fields) => props = fields.collect {
             case (k, JString(v)) => k -> v }.toMap
           case _ => ()
         }
@@ -468,6 +476,13 @@ final class LogTable(val path: String,
             case (k, JString(v)) => k -> v }.toMap
           case _ => ()
         }
+        // property actions carry the FULL post-change map (like
+        // constraints/defaults) — latest wins wholesale
+        (j \ "properties") match {
+          case JObject(fields) => props = fields.collect {
+            case (k, JString(v)) => k -> v }.toMap
+          case _ => ()
+        }
         if ((j \ "add") != JNothing) {
           val a = parseAdd(j \ "add"); live(a.path) = a
         }
@@ -478,7 +493,7 @@ final class LogTable(val path: String,
     Snapshot(schema.getOrElse(throw new IllegalStateException(
       s"log at $path has no schema action up to version $v")),
       live.values.toSeq, partCols, bloomIdxCols, checks, genCols, retired,
-      zone, idCols, defCols)
+      zone, idCols, defCols, props)
   }
 
   /** Table schema at the current version. */
@@ -978,6 +993,42 @@ final class LogTable(val path: String,
         requireHead = Some(basis))
     }
 
+  /** Free-form table properties (Delta's TBLPROPERTIES): an
+    * arbitrary string map in the log — governance tags, retention
+    * knobs, and the materialized-view definitions
+    * ([[MaterializedAgg]]) live here (empty = none). */
+  def tableProperties: Map[String, String] = currentVersion
+    .map(v => snapshotAt(v).properties).getOrElse(Map.empty)
+
+  /** `ALTER TABLE ... SET TBLPROPERTIES (k = v, ...)` — metadata-only
+    * commit of the merged full map (existing keys not named keep
+    * their values), head-pinned like the other full-map metadata
+    * writes. Refuses on a nonexistent table (a typo'd path must not
+    * brick the directory with a schema-less commit). */
+  def setTableProperties(props: Map[String, String]): Long =
+    retryMetadataCommit { basis =>
+      if (basis.isEmpty) throw new IllegalStateException(
+        s"no log table at $path — TBLPROPERTIES need an existing table")
+      val cur = snapshotAt(basis.get).properties
+      commitRetry(basis, Seq.empty, Seq.empty, "tblproperties",
+        schemaJson = None, cdfDir = None,
+        propertiesJson = Some(cur ++ props),
+        requireHead = Some(basis))
+    }
+
+  /** `ALTER TABLE ... UNSET TBLPROPERTIES (k, ...)` — absent keys
+    * are ignored (SQL's IF EXISTS posture). */
+  def unsetTableProperties(keys: Seq[String]): Long =
+    retryMetadataCommit { basis =>
+      if (basis.isEmpty) throw new IllegalStateException(
+        s"no log table at $path — TBLPROPERTIES need an existing table")
+      val cur = snapshotAt(basis.get).properties
+      commitRetry(basis, Seq.empty, Seq.empty, "tblproperties",
+        schemaJson = None, cdfDir = None,
+        propertiesJson = Some(cur -- keys),
+        requireHead = Some(basis))
+    }
+
   /** `ALTER TABLE ... ALTER COLUMN c DROP DEFAULT`. */
   def dropColumnDefault(name: String): Long =
     retryMetadataCommit { basis =>
@@ -1023,7 +1074,8 @@ final class LogTable(val path: String,
              generatedAlwaysAs: Map[String, String] = Map.empty,
              columnMapping: Boolean = false,
              identityColumns: Map[String, IdentitySpec] = Map.empty,
-             columnDefaults: Map[String, String] = Map.empty): Long = {
+             columnDefaults: Map[String, String] = Map.empty,
+             properties: Map[String, String] = Map.empty): Long = {
     ensureLayout()
     require(currentVersion.isEmpty, s"log table at $path already exists")
     partitionBy.foreach(c => require(tableSchema.fieldNames.contains(c),
@@ -1081,6 +1133,8 @@ final class LogTable(val path: String,
         if (identityColumns.isEmpty) None else Some(identityColumns),
       defaultsJson =
         if (columnDefaults.isEmpty) None else Some(columnDefaults),
+      propertiesJson =
+        if (properties.isEmpty) None else Some(properties),
       // zone-SENSITIVE generated expressions (instant → date) shift
       // with the session timezone — pin the creation-time zone in
       // the log so writes and predicate derivation can
@@ -1372,7 +1426,8 @@ final class LogTable(val path: String,
                             None,
                           defaultsJson: Option[Map[String, String]] = None,
                           identityBasis:
-                            Option[Map[String, Option[Long]]] = None)
+                            Option[Map[String, Option[Long]]] = None,
+                          propertiesJson: Option[Map[String, String]] = None)
       : Long = {
     ensureLayout()
     var attempts = 0
@@ -1501,6 +1556,9 @@ final class LogTable(val path: String,
         defaultsJson.map(ds => JsonMethods.compact(JsonMethods.render(
           JObject(List("defaults" -> JObject(
             ds.toList.map { case (k, v) => k -> JString(v) })))))) ++
+        propertiesJson.map(ps => JsonMethods.compact(JsonMethods.render(
+          JObject(List("properties" -> JObject(
+            ps.toList.map { case (k, v) => k -> JString(v) })))))) ++
         removePaths.map(p => JsonMethods.compact(JsonMethods.render(
           JObject(List("remove" -> JObject(List("path" -> JString(p)))))))) ++
         adds.map(a => JsonMethods.compact(JsonMethods.render(
@@ -1537,6 +1595,8 @@ final class LogTable(val path: String,
         "identity" -> renderIdentity(snap.identity),
         "defaults" -> JObject(
           snap.defaults.toList.map { case (k, v) => k -> JString(v) }),
+        "properties" -> JObject(
+          snap.properties.toList.map { case (k, v) => k -> JString(v) }),
         "adds" -> JArray(snap.adds.toList.map(renderAdd))))
       val tmp = new File(logDir, s".tmp-ckpt-${UUID.randomUUID()}")
       Files.writeString(tmp.toPath,
@@ -1750,15 +1810,23 @@ final class LogTable(val path: String,
   /** Full-replace commit: new files added, every prior live file
     * retired (by reference — the bytes stay for time travel until
     * [[vacuum]]). */
-  def overwrite(df: DataFrame): Long = {
+  def overwrite(df: DataFrame): Long = overwrite(df, txn = None)
+
+  /** [[overwrite]] tagged with an idempotent-txn id — the
+    * exactly-once full-rebuild path [[MaterializedAgg]] falls back
+    * to when the change feed cannot represent a window (RESTORE). */
+  def overwrite(df: DataFrame, txn: Option[(String, Long)]): Long = {
     ensureLayout()
+    txn.foreach { case (app, batch) =>
+      if (lastCommittedBatch(app).exists(_ >= batch)) return -1L
+    }
     val prior = currentVersion.map(v => snapshotAt(v).adds.map(_.path))
       .getOrElse(Seq.empty)
     val staged = new File(newStagingDir())
     stagedWriter(df, replacingSchema = true).parquet(staged.toString)
     finalizeStaged(df.sparkSession, staged, df.schema, prior,
       op = "overwrite", readVersion = currentVersion,
-      schemaJson = Some(df.schema.json), cdfDir = None)
+      schemaJson = Some(df.schema.json), cdfDir = None, txn = txn)
   }
 
   /** Newest batch id committed under `app`'s idempotent-txn stream
@@ -1856,9 +1924,21 @@ final class LogTable(val path: String,
                                            removePaths: Seq[String],
                                            op: String,
                                            readVersion: Option[Long],
-                                           cdfDir: Option[String] = None): Long =
+                                           cdfDir: Option[String] = None,
+                                           txn: Option[(String, Long)] =
+                                             None): Long =
     finalizeStaged(spark, new File(restageForLayout(spark, staged)), schema,
-      removePaths, op, readVersion, schemaJson = None, cdfDir = cdfDir)
+      removePaths, op, readVersion, schemaJson = None, cdfDir = cdfDir,
+      txn = txn)
+
+  /** Metadata-only commit that ONLY advances an idempotent-txn
+    * pointer (op `refresh`, no adds/removes, dataChange = false —
+    * streams skip it): how [[MaterializedAgg]] records "refreshed
+    * through base version N" when the refresh itself had no net
+    * change to merge. */
+  private[sources] def commitTxnMarker(app: String, batch: Long): Long =
+    commitRetry(currentVersion, Seq.empty, Seq.empty, "refresh",
+      schemaJson = None, cdfDir = None, txn = Some((app, batch)))
 
   // ---------------------------------------------------------------
   // row-level ops: stats-pruned delete / update

@@ -44,6 +44,14 @@ final class GraftLogTableV2(tableName: String, log: LogTable)
   override def name(): String = tableName
   override def schema(): StructType = tableSchema
 
+  /** Free-form TBLPROPERTIES from the log, so `SHOW TBLPROPERTIES`
+    * and `DESCRIBE TABLE EXTENDED` surface them. */
+  override def properties(): java.util.Map[String, String] = {
+    val m = new java.util.HashMap[String, String]()
+    log.tableProperties.foreach { case (k, v) => m.put(k, v) }
+    m
+  }
+
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)

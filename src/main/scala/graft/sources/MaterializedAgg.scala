@@ -1,0 +1,193 @@
+package graft.sources
+
+import java.util.UUID
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Incrementally-maintained materialized aggregate over a
+  * [[LogTable]] — the materialized-view maintenance surface
+  * (reference capability: the notebooks recompute gold aggregates
+  * from scratch each run, notebooks/pipeline_core.py:274-296; Delta
+  * ships the same idea as materialized views refreshed from the
+  * change data feed).
+  *
+  * The view is `SELECT keys, COUNT(*), COUNT(v), SUM(v) GROUP BY
+  * keys` over a base log table, persisted as its OWN log table whose
+  * definition rides the base's TBLPROPERTIES machinery
+  * (`graft.mv.*` keys) and whose refresh state rides the
+  * idempotent-txn commit tag. [[refresh]] reads ONLY the base's
+  * change feed since the last refreshed version and MERGEs the
+  * signed per-key delta into the view — cost ∝ |changes| + the view
+  * files holding touched keys, never ∝ the base table. At 100 TB
+  * with a daily 0.1% delta that is the difference between a 100 GB
+  * refresh and a 100 TB recompute.
+  *
+  * Maintenance algebra: every change-feed row carries weight +1
+  * (`insert` / `update_postimage`) or −1 (`delete` /
+  * `update_preimage`); counts fold by summed weight and sums by
+  * weight-signed DECIMAL(38,4) folds, so the refreshed state is
+  * BIT-IDENTICAL to a from-scratch group-by under any partitioning
+  * and any batching (the `agg_maintain` policy, lifted to tables).
+  * Keys whose count reaches zero are deleted. Only the
+  * distributive/algebraic aggregate class (count/sum, and avg =
+  * sum/count) maintains under deletes; min/max would need a
+  * re-scan of the affected group and are deliberately out.
+  *
+  * Exactly-once: the seed append and every refresh commit are
+  * tagged `(graft-mv-refresh, baseVersion)`, so a crashed and
+  * replayed refresh deduplicates at the commit layer instead of
+  * double-applying its delta; a refresh window containing a commit
+  * the feed cannot represent row-wise (RESTORE) falls back to a
+  * full rebuild committed under the same tag. */
+object MaterializedAgg {
+
+  /** Idempotent-txn app id of the refresh stream. */
+  val App = "graft-mv-refresh"
+
+  val PropBase  = "graft.mv.base"
+  val PropKeys  = "graft.mv.keys"
+  val PropValue = "graft.mv.value"
+
+  /** `full` = seed or rebuild, `incremental` = CDF merge, `noop` =
+    * already refreshed through the base head. */
+  final case class RefreshStats(mvVersion: Long, fromVersion: Long,
+                                toVersion: Long, mode: String)
+
+  private val SumType  = DecimalType(38, 4)
+  private val CastType = "decimal(28,4)"
+
+  /** Full aggregate state of `df`: (count, non-null count, decimal
+    * sum) per key — the same fold [[refresh]] applies incrementally,
+    * so the two paths agree bitwise. `sum0` stores 0 (not null) for
+    * all-null groups; [[read]] reconstructs SQL null from `cntx`. */
+  private def fullState(df: DataFrame, keys: Seq[String],
+                        value: String): DataFrame =
+    df.groupBy(keys.map(col): _*).agg(
+      count(lit(1)).as("cnt"),
+      count(col(value)).as("cntx"),
+      coalesce(sum(col(value).cast(CastType)).cast(SumType),
+        lit(0).cast(SumType)).as("sum0"))
+
+  /** Create the view table at `mvPath` and seed it with the full
+    * aggregate of the base's CURRENT snapshot, recording "refreshed
+    * through base version N" on the seed commit. A crash between
+    * create and seed leaves a view with no txn tag, which
+    * [[refresh]] repairs with a full rebuild. */
+  def create(spark: SparkSession, basePath: String, mvPath: String,
+             keys: Seq[String], valueCol: String): Long = {
+    require(keys.nonEmpty, "materialized aggregate needs group keys")
+    val base = new LogTable(basePath)
+    val baseV = base.currentVersion.getOrElse(
+      throw new IllegalStateException(s"no base log table at $basePath"))
+    val baseSchema = base.schemaAt(baseV)
+    (keys :+ valueCol).foreach(c =>
+      require(baseSchema.fieldNames.contains(c),
+        s"base table has no column '$c'"))
+    require(!keys.contains(valueCol),
+      s"value column '$valueCol' cannot also be a key")
+    val mv = new LogTable(mvPath)
+    val mvSchema = StructType(
+      keys.map(k => baseSchema.fields.find(_.name == k).get
+        .copy(nullable = true)).toArray ++
+        Array(StructField("cnt", LongType), StructField("cntx", LongType),
+          StructField("sum0", SumType)))
+    mv.create(mvSchema, properties = Map(
+      PropBase -> new java.io.File(basePath).getAbsolutePath,
+      PropKeys -> keys.mkString(","),
+      PropValue -> valueCol))
+    mv.appendStreamBatch(
+      fullState(base.load(spark, Some(baseV)), keys, valueCol),
+      App, baseV)
+    mv.currentVersion.get
+  }
+
+  private def defOf(mv: LogTable): (String, Seq[String], String) = {
+    val props = mv.tableProperties
+    val basePath = props.getOrElse(PropBase,
+      throw new IllegalArgumentException(
+        s"${mv.path} is not a materialized aggregate (no $PropBase " +
+          "property)"))
+    (basePath, props(PropKeys).split(",").toSeq, props(PropValue))
+  }
+
+  /** Advance the view to the base's current head. Incremental when
+    * every commit in the window is change-feed-representable; a
+    * RESTORE in the window (row rewind without row-level deltas)
+    * forces a full rebuild. Calling with nothing new is a no-op
+    * (no commit). */
+  def refresh(spark: SparkSession, mvPath: String): RefreshStats = {
+    val mv = new LogTable(mvPath)
+    val (basePath, keys, valueCol) = defOf(mv)
+    val base = new LogTable(basePath)
+    val baseV = base.currentVersion.getOrElse(
+      throw new IllegalStateException(s"no base log table at $basePath"))
+    val last = mv.lastCommittedBatch(App)
+    if (last.exists(_ >= baseV))
+      return RefreshStats(mv.currentVersion.get, last.get, baseV, "noop")
+
+    val representable = last.exists(l =>
+      base.versions.filter(v => v > l && v <= baseV)
+        .forall(v => base.commitOp(v) != "restore"))
+    if (!representable) {
+      mv.overwrite(fullState(base.load(spark, Some(baseV)), keys, valueCol),
+        txn = Some((App, baseV)))
+      return RefreshStats(mv.currentVersion.get,
+        last.getOrElse(-1L), baseV, "full")
+    }
+
+    val ch = base.changes(spark, last.get, baseV)
+    val w = when(col("_change_type").isin("insert", "update_postimage"),
+      lit(1L)).otherwise(lit(-1L))
+    val vdec = coalesce(col(valueCol).cast(CastType),
+      lit(0).cast(CastType))
+    val zero = lit(0).cast(SumType)
+    val delta = ch.groupBy(keys.map(col): _*).agg(
+      sum(w).as("cnt_d"),
+      sum(when(col(valueCol).isNotNull, w).otherwise(lit(0L)))
+        .as("cntx_d"),
+      coalesce(sum(when(w > 0, vdec).otherwise(-vdec)).cast(SumType), zero)
+        .as("sum_d"))
+      // zero-effect keys (a row added and removed inside the window)
+      // would only rewrite view files for nothing — drop them
+      .filter(col("cnt_d") =!= 0L || col("cntx_d") =!= 0L ||
+        col("sum_d") =!= zero)
+
+    val view = s"mv_delta_${UUID.randomUUID().toString.take(8)}"
+    delta.createOrReplaceTempView(view)
+    try {
+      // null-safe key equality: a NULL group key is a real group in
+      // the aggregate, and plain `=` would never match it
+      val on = keys.map(k => s"t.`$k` <=> s.`$k`").mkString(" AND ")
+      val cols = (keys ++ Seq("cnt", "cntx", "sum0"))
+        .map(c => s"`$c`").mkString(", ")
+      val vals = (keys.map(k => s"s.`$k`") ++
+        Seq("s.cnt_d", "s.cntx_d", "s.sum_d")).mkString(", ")
+      SqlMerge.mergeLog(spark,
+        s"""MERGE INTO mv_state t USING $view s ON $on
+           WHEN MATCHED AND t.cnt + s.cnt_d <= 0 THEN DELETE
+           WHEN MATCHED THEN UPDATE SET cnt = t.cnt + s.cnt_d,
+             cntx = t.cntx + s.cntx_d, sum0 = t.sum0 + s.sum_d
+           WHEN NOT MATCHED THEN INSERT ($cols) VALUES ($vals)""",
+        mv, txn = Some((App, baseV)))
+    } finally spark.catalog.dropTempView(view)
+    // an all-no-op delta makes the MERGE commit nothing — record the
+    // advanced watermark with a metadata-only txn marker so the next
+    // refresh does not re-read this window
+    if (!mv.lastCommittedBatch(App).contains(baseV))
+      mv.commitTxnMarker(App, baseV)
+    RefreshStats(mv.currentVersion.get, last.get, baseV, "incremental")
+  }
+
+  /** The view with SQL aggregate semantics restored: `cnt` =
+    * COUNT(*), `sum_v` = SUM(value) (NULL for all-null groups, like
+    * the SQL aggregate it materializes). */
+  def read(spark: SparkSession, mvPath: String): DataFrame = {
+    val mv = new LogTable(mvPath)
+    val (_, keys, _) = defOf(mv)
+    mv.load(spark).select(keys.map(col) ++ Seq(col("cnt"),
+      when(col("cntx") === 0L, lit(null).cast(SumType))
+        .otherwise(col("sum0")).as("sum_v")): _*)
+  }
+}

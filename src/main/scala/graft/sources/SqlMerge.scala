@@ -308,7 +308,16 @@ object SqlMerge {
     * (bounded by #files, metadata-scale) and pushed back as an `IN`
     * filter. */
   def mergeLog(spark: SparkSession, mergeSql: String,
-               log: LogTable): MergeResult = {
+               log: LogTable): MergeResult =
+    mergeLog(spark, mergeSql, log, txn = None)
+
+  /** [[mergeLog]] with an idempotent-txn tag on the merge commit
+    * (Delta's txnAppId/txnVersion riding a MERGE): the
+    * exactly-once primitive [[MaterializedAgg]]'s refresh uses —
+    * a crashed-and-replayed refresh whose merge already committed
+    * is dropped by the commit layer, not double-applied. */
+  def mergeLog(spark: SparkSession, mergeSql: String, log: LogTable,
+               txn: Option[(String, Long)]): MergeResult = {
     val p = parse(spark, mergeSql)
     val readVersion = log.currentVersion
     // scan-time file provenance (NOT input_file_name, which goes
@@ -367,7 +376,8 @@ object SqlMerge {
       .write.mode("overwrite").parquet(s"${log.path}/$cdfRel")
 
     log.commitStagedRewrite(spark, staged, touched.map(_.path),
-      op = "merge", readVersion = readVersion, cdfDir = Some(cdfRel))
+      op = "merge", readVersion = readVersion, cdfDir = Some(cdfRel),
+      txn = txn)
     stats
   }
 

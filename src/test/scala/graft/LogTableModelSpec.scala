@@ -93,12 +93,13 @@ class LogTableModelSpec extends SparkSpec {
             t.overwrite(b.toDF("k", "v"))
             model = b
           }
-        case 6 => // maintenance: layout-only commits
+        case 6 => // maintenance: layout-only / metadata-only commits
           if (t.exists && t.liveAdds().size > 1) {
-            rnd.nextInt(3) match {
+            rnd.nextInt(4) match {
               case 0 => t.compactFiles(spark)
               case 1 => t.cluster(spark, Seq("k"), nFiles = 2)
               case 2 => t.purgeDeletes(spark)
+              case 3 => t.setTableProperties(Map("step" -> s"$step"))
             }
           }
       }

@@ -1,0 +1,147 @@
+package graft
+
+import graft.sources.{LogTable, MaterializedAgg}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Incrementally-maintained materialized aggregates over log tables:
+  * the refreshed view must be bit-identical to a from-scratch
+  * group-by of the base after ANY sequence of appends / deletes /
+  * updates / overwrites, refresh must be exactly-once under replay,
+  * a no-change refresh must not commit, and a RESTORE in the window
+  * must fall back to a full rebuild. */
+class MaterializedAggSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft_mv").toString
+
+  private def baseRows(n: Int): DataFrame =
+    (1 to n).map(i => (i.toLong, s"g${i % 7}",
+      if (i % 11 == 0) None else Some(i * 1.5)))
+      .toDF("id", "grp", "x")
+
+  /** From-scratch reference aggregate with the MV's exact algebra. */
+  private def reference(base: LogTable): DataFrame =
+    base.load(spark).groupBy("grp").agg(
+      count(lit(1)).as("cnt"),
+      when(count(col("x")) === 0L, lit(null).cast(DecimalType(38, 4)))
+        .otherwise(sum(col("x").cast("decimal(28,4)"))
+          .cast(DecimalType(38, 4))).as("sum_v"))
+
+  private def assertMatches(mvPath: String, base: LogTable): Unit = {
+    val got = MaterializedAgg.read(spark, mvPath)
+      .orderBy("grp").collect().toSeq
+    val want = reference(base).orderBy("grp").collect().toSeq
+    assert(got == want)
+  }
+
+  test("seed equals a from-scratch group-by; incremental refresh " +
+    "tracks appends, deletes and updates exactly") {
+    val dir = tmp()
+    val base = new LogTable(s"$dir/base")
+    base.append(baseRows(200).filter(col("id") <= 100L))
+    MaterializedAgg.create(spark, base.path, s"$dir/mv",
+      Seq("grp"), "x")
+    assertMatches(s"$dir/mv", base)
+
+    base.append(baseRows(200).filter(col("id") > 100L))
+    base.delete(spark, col("id") % 5L === 0L)
+    base.update(spark, col("grp") === "g3",
+      Map("x" -> (coalesce(col("x"), lit(0.0)) * 3)))
+    val r = MaterializedAgg.refresh(spark, s"$dir/mv")
+    assert(r.mode == "incremental")
+    assertMatches(s"$dir/mv", base)
+  }
+
+  test("keys whose count reaches zero are DELETED from the view, " +
+    "new keys are inserted") {
+    val dir = tmp()
+    val base = new LogTable(s"$dir/base")
+    base.append(Seq((1L, "only", Some(2.0)), (2L, "keep", Some(3.0)))
+      .toDF("id", "grp", "x"))
+    MaterializedAgg.create(spark, base.path, s"$dir/mv", Seq("grp"), "x")
+    base.delete(spark, col("grp") === "only")
+    base.append(Seq((3L, "fresh", Some(7.0))).toDF("id", "grp", "x"))
+    MaterializedAgg.refresh(spark, s"$dir/mv")
+    val grps = MaterializedAgg.read(spark, s"$dir/mv")
+      .select("grp").as[String].collect().toSet
+    assert(grps == Set("keep", "fresh"))
+    assertMatches(s"$dir/mv", base)
+  }
+
+  test("refresh with no new base commits is a no-op (no new MV " +
+    "version); replaying a refresh never double-applies") {
+    val dir = tmp()
+    val base = new LogTable(s"$dir/base")
+    base.append(baseRows(50))
+    MaterializedAgg.create(spark, base.path, s"$dir/mv", Seq("grp"), "x")
+    val mv = new LogTable(s"$dir/mv")
+    val v1 = mv.currentVersion.get
+    assert(MaterializedAgg.refresh(spark, s"$dir/mv").mode == "noop")
+    assert(mv.currentVersion.get == v1)
+
+    base.append(baseRows(80).filter(col("id") > 50L))
+    MaterializedAgg.refresh(spark, s"$dir/mv")
+    val v2 = mv.currentVersion.get
+    // replay of the same window: deduplicated at the commit layer
+    assert(MaterializedAgg.refresh(spark, s"$dir/mv").mode == "noop")
+    assert(mv.currentVersion.get == v2)
+    assertMatches(s"$dir/mv", base)
+  }
+
+  test("a zero-net-effect window advances the watermark with a " +
+    "metadata-only marker commit") {
+    val dir = tmp()
+    val base = new LogTable(s"$dir/base")
+    base.append(Seq((1L, "a", Some(1.0))).toDF("id", "grp", "x"))
+    MaterializedAgg.create(spark, base.path, s"$dir/mv", Seq("grp"), "x")
+    // add then remove the same row: net delta per key is zero
+    base.append(Seq((99L, "a", Some(5.0))).toDF("id", "grp", "x"))
+    base.delete(spark, col("id") === 99L)
+    val r = MaterializedAgg.refresh(spark, s"$dir/mv")
+    assert(r.mode == "incremental")
+    val mv = new LogTable(s"$dir/mv")
+    assert(mv.commitOp(mv.currentVersion.get) == "refresh")
+    // watermark advanced: nothing to re-read
+    assert(MaterializedAgg.refresh(spark, s"$dir/mv").mode == "noop")
+    assertMatches(s"$dir/mv", base)
+  }
+
+  test("a RESTORE on the base falls back to a full rebuild (the " +
+    "change feed cannot represent a rewind)") {
+    val dir = tmp()
+    val base = new LogTable(s"$dir/base")
+    base.append(baseRows(30))
+    val preV = base.currentVersion.get
+    MaterializedAgg.create(spark, base.path, s"$dir/mv", Seq("grp"), "x")
+    base.append(baseRows(60).filter(col("id") > 30L))
+    base.restore(preV)
+    val r = MaterializedAgg.refresh(spark, s"$dir/mv")
+    assert(r.mode == "full")
+    assertMatches(s"$dir/mv", base)
+  }
+
+  test("SQL surface: CALL create_mv / refresh_mv; definition rides " +
+    "TBLPROPERTIES") {
+    val wh = tmp()
+    spark.conf.set("spark.sql.catalog.gmv",
+      "graft.sources.GraftTableCatalog")
+    spark.conf.set("spark.sql.catalog.gmv.warehouse", wh)
+    try {
+      val base = new LogTable(s"$wh/base")
+      base.append(baseRows(40))
+      spark.sql("CALL gmv.create_mv('base', 'mv', 'grp', 'x')")
+      val mv = new LogTable(s"$wh/mv")
+      assert(mv.tableProperties(MaterializedAgg.PropKeys) == "grp")
+      base.append(baseRows(70).filter(col("id") > 40L))
+      val r = spark.sql("CALL gmv.refresh_mv('mv')").collect().head
+      assert(r.getAs[String]("mode") == "incremental")
+      assertMatches(s"$wh/mv", base)
+    } finally {
+      spark.conf.unset("spark.sql.catalog.gmv")
+      spark.conf.unset("spark.sql.catalog.gmv.warehouse")
+    }
+  }
+}
