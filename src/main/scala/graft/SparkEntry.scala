@@ -921,6 +921,61 @@ object SparkEntry {
       s.sql(s"SELECT k, status, bal FROM $cat.dim ORDER BY k")
     }),
 
+    "log_table_properties" -> ((s, d) => {
+      // free-form TBLPROPERTIES in the transaction log (Delta's
+      // table-property surface): create-time seeding, SET merges,
+      // UNSET drops — all metadata-only commits (zero data I/O at
+      // any table size). The output reads the final property map
+      // back OUT of the log next to a data count proving the
+      // property commits disturbed nothing; the oracle states the
+      // expected survivors declaratively
+      val dir = java.nio.file.Files.createTempDirectory("graft_logprops")
+      val lt = new graft.sources.LogTable(s"$dir/t")
+      lt.create(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("name",
+          org.apache.spark.sql.types.StringType))),
+        properties = Map("tier" -> "bronze", "owner.team" -> "ingest"))
+      lt.append(t(s, d, "nation")
+        .select(col("n_nationkey").as("k"), col("n_name").as("name")))
+      lt.setTableProperties(Map("tier" -> "silver",
+        "retention.days" -> "30"))
+      lt.unsetTableProperties(Seq("owner.team"))
+      val n = lt.load(s).count()
+      import s.implicits._
+      lt.tableProperties.toSeq.sortBy(_._1).toDF("key", "value")
+        .withColumn("n_rows", lit(n)).orderBy(col("key"))
+    }),
+
+    "log_table_mv" -> ((s, d) => {
+      // incrementally-maintained materialized aggregate (Delta's MV
+      // refresh from the change data feed): seed a per-customer
+      // count/sum view, then run an append + a row-level DELETE + a
+      // row-level UPDATE against the BASE and refresh — the refresh
+      // reads ONLY the change feed of those three commits (cost ∝
+      // the delta, never the base), folds signed decimal deltas, and
+      // MERGEs them into the view with an exactly-once txn tag. The
+      // oracle recomputes the final view from scratch; matching
+      // bit-for-bit proves the incremental algebra
+      val dir = java.nio.file.Files.createTempDirectory("graft_logmv")
+      val base = new graft.sources.LogTable(s"$dir/base")
+      val o = t(s, d, "orders").select(col("o_orderkey"),
+        col("o_custkey"), col("o_orderstatus"), col("o_totalprice"))
+      base.append(o.filter(col("o_orderkey") % 3 === 0))
+      graft.sources.MaterializedAgg.create(s, base.path, s"$dir/mv",
+        Seq("o_custkey"), "o_totalprice")
+      base.append(o.filter(col("o_orderkey") % 3 === 1))
+      base.delete(s, col("o_totalprice") < 1000.0)
+      base.update(s, col("o_orderstatus") === "F",
+        Map("o_totalprice" -> (col("o_totalprice") * 2)))
+      graft.sources.MaterializedAgg.refresh(s, s"$dir/mv")
+      graft.sources.MaterializedAgg.read(s, s"$dir/mv")
+        .select(col("o_custkey"), col("cnt"),
+          col("sum_v").cast("double").as("total"))
+        .orderBy(col("o_custkey"))
+    }),
+
     "bucketed_join" -> ((s, d) => {
       // the shuffle paid at write time: both facts bucketed by the
       // join key co-locate, so the join plans with zero exchange
@@ -1535,8 +1590,15 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // round-8: oracle-checkable — the declarative token hash (two
+    // modular char-poly residues) replaces xxh64, so DuckDB
+    // recomputes fingerprints, the banded candidate condition AND
+    // the hamming verify bit-for-bit (was rows-only)
     "dedup_simhash" -> ((s, d) =>
-      Dedup.simhashPairs(t(s, d, "documents"), maxHamming = 10)
+      Dedup.simhashPairs(t(s, d, "documents"), maxHamming = 10,
+        declarativeHash = true)
+        .select(col("id_a"), col("id_b"),
+          col("hamming").cast("long").as("hamming"))
         .orderBy(col("id_a"), col("id_b"))),
 
     "segment_dedup" -> ((s, d) =>
@@ -1870,6 +1932,9 @@ object SparkEntry {
         .orderBy(col("doc_id"))),
 
     // §2.6 multimodal ---------------------------------------------
+    // round-8: oracle-checkable — the stub dims derive from the
+    // declarative char-poly residues instead of xxhash64, so DuckDB
+    // recomputes the whole typed-metadata projection (was rows-only)
     "mm_schema" -> ((s, d) =>
       Multimodal.asMediaTable(t(s, d, "documents"))
         .select(col("media_id"), col("media_type"), col("meta.width"),
@@ -2979,6 +3044,74 @@ object SparkEntry {
            AS total
          FROM orders GROUP BY o_custkey ORDER BY o_custkey""",
 
+    // simhash replay: per-token 62-bit declarative hash (h1·M2+h2
+    // over the two char-poly residues), ±1 votes per bit position,
+    // sign → fingerprint; pair set = shares one of four 16-bit
+    // chunks (the banded candidate condition — part of the operator
+    // CONTRACT, same as the engine) AND hamming ≤ 10
+    "dedup_simhash" ->
+      """WITH tok AS (
+           SELECT doc_id,
+                  string_split_regex(trim(lower(text)), '\s+') AS ts
+           FROM documents),
+         h AS (
+           SELECT doc_id,
+             list_transform(ts, t ->
+               list_reduce(list_prepend(CAST(0 AS BIGINT),
+                 list_transform(
+                   list_filter(string_split_regex(t, ''), c -> c <> ''),
+                   c -> CAST(unicode(c) AS BIGINT))),
+                 (x, y) -> (x * 31 + y) % 2147483647) * 2147483629
+               + list_reduce(list_prepend(CAST(0 AS BIGINT),
+                 list_transform(
+                   list_filter(string_split_regex(t, ''), c -> c <> ''),
+                   c -> CAST(unicode(c) AS BIGINT))),
+                 (x, y) -> (x * 31 + y) % 2147483629)) AS hs
+           FROM tok),
+         votes AS (
+           SELECT doc_id, b,
+                  SUM(CASE WHEN (th >> b) & 1 = 1 THEN 1 ELSE -1 END)
+                    AS vote
+           FROM (SELECT doc_id, unnest(hs) AS th FROM h)
+           CROSS JOIN generate_series(0, 61) AS g(b)
+           GROUP BY doc_id, b),
+         fp AS (
+           SELECT doc_id,
+                  CAST(SUM(CASE WHEN vote > 0
+                    THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT)
+                    AS simhash
+           FROM votes GROUP BY doc_id)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT)
+                  AS hamming
+         FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+         WHERE (((a.simhash >> 0) & 65535) = ((b.simhash >> 0) & 65535)
+             OR ((a.simhash >> 16) & 65535) = ((b.simhash >> 16) & 65535)
+             OR ((a.simhash >> 32) & 65535) = ((b.simhash >> 32) & 65535)
+             OR ((a.simhash >> 48) & 65535) = ((b.simhash >> 48) & 65535))
+           AND bit_count(xor(a.simhash, b.simhash)) <= 10
+         ORDER BY id_a, id_b""",
+
+    "log_table_properties" ->
+      """SELECT k AS "key", v AS "value",
+           (SELECT COUNT(*) FROM nation) AS n_rows
+         FROM (VALUES ('retention.days', '30'), ('tier', 'silver'))
+           AS p(k, v)
+         ORDER BY "key"""",
+
+    "log_table_mv" ->
+      """WITH final_state AS (
+           SELECT o_custkey,
+                  CASE WHEN o_orderstatus = 'F' THEN o_totalprice * 2
+                       ELSE o_totalprice END AS v
+           FROM orders
+           WHERE (o_orderkey % 3) IN (0, 1)
+             AND NOT (o_totalprice < 1000)
+         )
+         SELECT o_custkey, COUNT(*) AS cnt,
+                CAST(SUM(CAST(v AS DECIMAL(28,4))) AS DOUBLE) AS total
+         FROM final_state GROUP BY o_custkey ORDER BY o_custkey""",
+
     "rank_features" ->
       """SELECT o_orderpriority, o_orderkey, o_totalprice,
            CAST(dense_rank() OVER w AS BIGINT) AS drank,
@@ -3978,6 +4111,30 @@ object SparkEntry {
          $lanes
          FROM documents ORDER BY media_id"""
     },
+
+    // the typed-metadata schema projection: stub dims replay the
+    // declarative char-poly residues of the raw text; n_bytes is the
+    // UTF-8 byte length (strlen = bytes in DuckDB)
+    "mm_schema" ->
+      """WITH h AS (
+           SELECT doc_id, text,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(
+                 list_filter(string_split_regex(text, ''), c -> c <> ''),
+                 c -> CAST(unicode(c) AS BIGINT))),
+               (x, y) -> (x * 31 + y) % 2147483647) AS h1,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(
+                 list_filter(string_split_regex(text, ''), c -> c <> ''),
+                 c -> CAST(unicode(c) AS BIGINT))),
+               (x, y) -> (x * 31 + y) % 2147483629) AS h2
+           FROM documents)
+         SELECT doc_id AS media_id, 'image/stub' AS media_type,
+                CAST(h1 % 1920 + 1 AS INTEGER) AS width,
+                CAST(h2 % 1080 + 1 AS INTEGER) AS height,
+                CAST(strlen(text) AS BIGINT) AS n_bytes,
+                'stub' AS format
+         FROM h ORDER BY media_id""",
 
     "mm_resize" ->
       """SELECT doc_id AS media_id,

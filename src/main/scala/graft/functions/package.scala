@@ -93,6 +93,22 @@ package object functions {
   private def tokenHashes(tokens: Column): Column =
     transform(tokens, t => charPolyHash2(t))
 
+  /** Both modular char-polynomial residues of ONE string column as a
+    * `struct(h1, h2)` — the declarative replacement for an
+    * engine-private string hash wherever an external engine must
+    * recompute the value (multimodal stub metadata derivation). */
+  def charPolyResidues(s: Column): Column = charPolyHash2(s)
+
+  /** Per-token 62-bit declarative hash (`h1 · M2 + h2` over the two
+    * modular char-polynomial residues) — the token hash an external
+    * engine recomputes bit-for-bit, for oracle-checkable hash
+    * consumers (declarative SimHash). */
+  def tokenHash62(tokens: Column): Column =
+    transform(tokens, t => {
+      val h = charPolyHash2(t)
+      h("h1") * lit(FpM2) + h("h2")
+    })
+
   /** Polynomial rolling-hash fingerprint of a token array —
     * deterministic, order-sensitive (unlike a set hash): the
     * per-token char hashes fold as `acc·1000003 + h(t)` under each

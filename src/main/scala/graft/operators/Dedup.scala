@@ -264,10 +264,19 @@ object Dedup {
     * map-side projection (the exploded 64-sum formulation shuffled
     * the whole token relation for the same numbers). */
   def simhash(docs: DataFrame, idCol: String = "doc_id",
-              textCol: String = "text"): DataFrame =
-    docs.select(col(idCol),
-      graft.plans.TextHashExpressions.simHash64(wordTokens(col(textCol)))
-        .as("simhash"))
+              textCol: String = "text",
+              declarativeHash: Boolean = false): DataFrame = {
+    val toks = wordTokens(col(textCol))
+    // declarativeHash swaps the engine-private xxh64 token hash for
+    // the modular char-polynomial fold an EXTERNAL engine recomputes
+    // bit-for-bit — same vote semantics (one codegen'd pass either
+    // way), which is what makes the simhash pair set oracle-checkable
+    val fp =
+      if (declarativeHash) graft.plans.TextHashExpressions
+        .simHashOfHashes(graft.functions.tokenHash62(toks))
+      else graft.plans.TextHashExpressions.simHash64(toks)
+    docs.select(col(idCol), fp.as("simhash"))
+  }
 
   /** Near-dup pairs by SimHash: band the 64-bit fingerprint into 4
     * 16-bit chunks (pigeonhole: hamming ≤ 3 ⇒ some chunk equal),
@@ -276,8 +285,9 @@ object Dedup {
     * `lshCandidates`. */
   def simhashPairs(docs: DataFrame, idCol: String = "doc_id",
                    textCol: String = "text", maxHamming: Int = 3,
-                   maxBucket: Int = 0): DataFrame = {
-    val fp = simhash(docs, idCol, textCol)
+                   maxBucket: Int = 0,
+                   declarativeHash: Boolean = false): DataFrame = {
+    val fp = simhash(docs, idCol, textCol, declarativeHash)
     val chunked0 = fp.select(col(idCol), col("simhash"), posexplode(
       array((0 until 4).map(i =>
         shiftright(col("simhash"), i * 16).bitwiseAND(lit(0xFFFFL))): _*))

@@ -34,17 +34,22 @@ object Multimodal {
     * play the role of an encoded payload (deterministic stand-in for
     * real image/audio bytes). */
   def asMediaTable(docs: DataFrame, idCol: String = "doc_id",
-                   textCol: String = "text"): DataFrame =
+                   textCol: String = "text"): DataFrame = {
+    // stub dimensions derive from the DECLARATIVE char-polynomial
+    // residues (round-8, was xxhash64) — deterministic pseudo-random
+    // dims an external engine recomputes bit-for-bit, which is what
+    // makes the schema surface oracle-checkable
+    val h = graft.functions.charPolyResidues(col(textCol))
     docs.select(
       col(idCol).as("media_id"),
       encode(col(textCol), "UTF-8").as("payload"),
       lit("image/stub").as("media_type"),
       struct(
-        (pmod(xxhash64(col(textCol)), lit(1920L)) + 1).cast("int").as("width"),
-        (pmod(xxhash64(col(textCol), lit(1)), lit(1080L)) + 1).cast("int")
-          .as("height"),
+        (h("h1") % 1920L + 1).cast("int").as("width"),
+        (h("h2") % 1080L + 1).cast("int").as("height"),
         length(encode(col(textCol), "UTF-8")).cast("long").as("n_bytes"),
         lit("stub").as("format")).as("meta"))
+  }
 
   /** STUB decode: in production this would call into an image/audio
     * codec over each payload batch (the mapInPandas/mapPartitions

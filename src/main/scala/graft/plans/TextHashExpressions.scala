@@ -170,6 +170,35 @@ object TextHash {
     fp
   }
 
+  /** SimHash over PRE-COMPUTED per-token hash longs (one pass, same
+    * vote semantics as [[simHash64]]): the declarative-hash variant —
+    * token hashes from the modular char-polynomial fold an external
+    * engine can recompute bit-for-bit — which makes the simhash
+    * pair set oracle-checkable. Hash entropy lives in the low 62
+    * bits (the fold combines two ~2^31 residues), so bits 62/63
+    * vote uniformly −1 and stay clear on both engines. */
+  def simHashOfHashes(hashes: ArrayData): Long = {
+    val m = hashes.numElements()
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < m) {
+      val h = hashes.getLong(i)
+      var b = 0
+      while (b < 64) {
+        votes(b) += (((h >>> b) & 1L).toInt << 1) - 1
+        b += 1
+      }
+      i += 1
+    }
+    var fp = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) fp |= (1L << b)
+      b += 1
+    }
+    fp
+  }
+
   /** See PpjoinPairs. */
   def ppjoinPairs(xs: ArrayData, t: Double): ArrayData = {
     val n = xs.numElements()
@@ -348,6 +377,29 @@ case class SimHash64(child: Expression)
     copy(child = newChild)
 }
 
+/** SimHash over pre-computed per-token hash longs — see
+  * TextHash.simHashOfHashes. */
+case class SimHashOfHashes(child: Expression)
+  extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"simhash_of_hashes expects array<bigint>, got ${other.simpleString}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextHash.simHashOfHashes(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.TextHash.simHashOfHashes($c)")
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : SimHashOfHashes = copy(child = newChild)
+}
+
 /** Filtered candidate-pair generation for PPJoin-style similarity
   * joins: input is one gram's postings list as array<struct<__id:
   * long, sz:int, pos:int>> (document id, gram-set size, 1-based
@@ -450,6 +502,12 @@ object TextHashExpressions {
   /** One-pass 64-bit SimHash of a token-array column. */
   def simHash64(tokens: Column): Column =
     GraftColumnShim.column(SimHash64(GraftColumnShim.expression(tokens)))
+
+  /** One-pass SimHash of a pre-computed token-hash (array<bigint>)
+    * column — the oracle-checkable declarative-hash variant. */
+  def simHashOfHashes(hashes: Column): Column =
+    GraftColumnShim.column(SimHashOfHashes(
+      GraftColumnShim.expression(hashes)))
 
   /** Length+position-filtered candidate pairs from one postings
     * bucket (array<struct<id,sz,pos>>) — see PpjoinPairs. */

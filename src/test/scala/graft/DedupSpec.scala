@@ -63,6 +63,24 @@ class DedupSpec extends SparkSpec {
     assert(pairs.map(r => (r.getLong(0), r.getLong(1))).contains((0L, 1L)))
   }
 
+  test("declarative-hash simhash variant: same structural behavior " +
+    "(identical docs collide, planted near-dup surfaces) on an " +
+    "externally-recomputable fingerprint") {
+    val fp = Dedup.simhash(
+      docs.union(Seq((5L, base)).toDF("doc_id", "text")),
+      declarativeHash = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(0L) == fp(5L))
+    // entropy confined to the low 62 bits (two ~2^31 residues)
+    assert(fp.values.forall(v => v >= 0L && (v >> 62) == 0L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(fp(0L), fp(1L)) < ham(fp(0L), fp(2L)))
+    val pairs = Dedup.simhashPairs(docs, maxHamming = 10,
+      declarativeHash = true)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)))
+  }
+
   test("maxBucket cap drops degenerate buckets, keeps ordinary pairs") {
     // 20 identical boilerplate docs → every band bucket has 20
     // members (190 pairs each); the planted near-dup pair is
