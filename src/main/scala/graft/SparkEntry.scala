@@ -3054,20 +3054,27 @@ object SparkEntry {
            SELECT doc_id,
                   string_split_regex(trim(lower(text)), '\s+') AS ts
            FROM documents),
-         h AS (
+         hr AS (
            SELECT doc_id,
              list_transform(ts, t ->
-               list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_reduce(list_prepend(CAST(1000000007 AS BIGINT),
                  list_transform(
                    list_filter(string_split_regex(t, ''), c -> c <> ''),
                    c -> CAST(unicode(c) AS BIGINT))),
-                 (x, y) -> (x * 31 + y) % 2147483647) * 2147483629
-               + list_reduce(list_prepend(CAST(0 AS BIGINT),
+                 (x, y) -> (x * 31 + y) % 2147483647)) AS h1s,
+             list_transform(ts, t ->
+               list_reduce(list_prepend(CAST(998244353 AS BIGINT),
                  list_transform(
                    list_filter(string_split_regex(t, ''), c -> c <> ''),
                    c -> CAST(unicode(c) AS BIGINT))),
-                 (x, y) -> (x * 31 + y) % 2147483629)) AS hs
+                 (x, y) -> (x * 31 + y) % 2147483629)) AS h2s
            FROM tok),
+         h AS (
+           SELECT doc_id,
+             list_transform(list_zip(h1s, h2s), p ->
+               ((p[1] * p[1] + p[1]) % 2147483647) * 2147483629
+               + ((p[2] * p[2] + 3 * p[2]) % 2147483629)) AS hs
+           FROM hr),
          votes AS (
            SELECT doc_id, b,
                   SUM(CASE WHEN (th >> b) & 1 = 1 THEN 1 ELSE -1 END)
@@ -4065,13 +4072,13 @@ object SparkEntry {
          h AS (
            SELECT doc_id,
              list_transform(ts, t -> list_reduce(
-               list_prepend(CAST(0 AS BIGINT),
+               list_prepend(CAST(1000000007 AS BIGINT),
                  list_transform(
                    list_filter(string_split_regex(t, ''), c -> c <> ''),
                    c -> CAST(unicode(c) AS BIGINT))),
                (x, y) -> (x * 31 + y) % 2147483647)) AS h1,
              list_transform(ts, t -> list_reduce(
-               list_prepend(CAST(0 AS BIGINT),
+               list_prepend(CAST(998244353 AS BIGINT),
                  list_transform(
                    list_filter(string_split_regex(t, ''), c -> c <> ''),
                    c -> CAST(unicode(c) AS BIGINT))),
@@ -4118,12 +4125,12 @@ object SparkEntry {
     "mm_schema" ->
       """WITH h AS (
            SELECT doc_id, text,
-             list_reduce(list_prepend(CAST(0 AS BIGINT),
+             list_reduce(list_prepend(CAST(1000000007 AS BIGINT),
                list_transform(
                  list_filter(string_split_regex(text, ''), c -> c <> ''),
                  c -> CAST(unicode(c) AS BIGINT))),
                (x, y) -> (x * 31 + y) % 2147483647) AS h1,
-             list_reduce(list_prepend(CAST(0 AS BIGINT),
+             list_reduce(list_prepend(CAST(998244353 AS BIGINT),
                list_transform(
                  list_filter(string_split_regex(text, ''), c -> c <> ''),
                  c -> CAST(unicode(c) AS BIGINT))),

@@ -72,17 +72,28 @@ package object functions {
   private val FpM1 = 2147483647L // 2^31 − 1
   private val FpM2 = 2147483629L
 
+  /** Fold seeds: large distinct primes, so the two residues leave
+    * the "small polynomial" regime after ONE character — an unseeded
+    * fold of a short token never wraps either modulus, leaving
+    * h1 == h2 == the raw polynomial with all high bits zero, which
+    * degenerates every bit-sliced consumer (a SimHash over such
+    * hashes votes every high bit to 0 and the banded candidate join
+    * collapses to all-pairs — measured 2.1M pairs at sf0.1). */
+  private val FpSeed1 = 1000000007L
+  private val FpSeed2 = 998244353L
+
   /** Character-polynomial hashes of one token under BOTH moduli in
     * a single character pass — `acc = (acc·31 + codepoint) mod m`
-    * folded with a two-field struct state (higher-order array
-    * functions evaluate interpreted, so pass count is the cost that
-    * matters). Declarative rather than an engine-private hash
-    * (xxhash64), so an EXTERNAL engine can recompute fingerprints
-    * bit-for-bit — what makes [[rollingFingerprint]] /
-    * [[bagFingerprint]] oracle-checkable. */
+    * seeded with [[FpSeed1]]/[[FpSeed2]], folded with a two-field
+    * struct state (higher-order array functions evaluate
+    * interpreted, so pass count is the cost that matters).
+    * Declarative rather than an engine-private hash (xxhash64), so
+    * an EXTERNAL engine can recompute fingerprints bit-for-bit —
+    * what makes [[rollingFingerprint]] / [[bagFingerprint]] /
+    * declarative SimHash oracle-checkable. */
   private def charPolyHash2(tok: Column): Column =
     aggregate(filter(split(tok, ""), c => c =!= ""),
-      struct(lit(0L).as("h1"), lit(0L).as("h2")),
+      struct(lit(FpSeed1).as("h1"), lit(FpSeed2).as("h2")),
       (acc, c) => struct(
         pmod(acc("h1") * lit(31L) + ascii(c), lit(FpM1)).as("h1"),
         pmod(acc("h2") * lit(31L) + ascii(c), lit(FpM2)).as("h2")))
@@ -99,15 +110,10 @@ package object functions {
     * recompute the value (multimodal stub metadata derivation). */
   def charPolyResidues(s: Column): Column = charPolyHash2(s)
 
-  /** Per-token 62-bit declarative hash (`h1 · M2 + h2` over the two
-    * modular char-polynomial residues) — the token hash an external
-    * engine recomputes bit-for-bit, for oracle-checkable hash
-    * consumers (declarative SimHash). */
-  def tokenHash62(tokens: Column): Column =
-    transform(tokens, t => {
-      val h = charPolyHash2(t)
-      h("h1") * lit(FpM2) + h("h2")
-    })
+  // (bit-sliced consumers — declarative SimHash — use the compiled
+  // one-pass kernel `TextHashExpressions.simHashDecl`, which seeds
+  // AND square-mixes these same residues; see its Scaladoc for why
+  // raw polynomial residues are too smooth for per-bit votes)
 
   /** Polynomial rolling-hash fingerprint of a token array —
     * deterministic, order-sensitive (unlike a set hash): the

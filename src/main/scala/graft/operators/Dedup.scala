@@ -268,12 +268,13 @@ object Dedup {
               declarativeHash: Boolean = false): DataFrame = {
     val toks = wordTokens(col(textCol))
     // declarativeHash swaps the engine-private xxh64 token hash for
-    // the modular char-polynomial fold an EXTERNAL engine recomputes
-    // bit-for-bit — same vote semantics (one codegen'd pass either
-    // way), which is what makes the simhash pair set oracle-checkable
+    // seeded+square-mixed modular char-polynomial folds an EXTERNAL
+    // engine recomputes bit-for-bit — same vote semantics (one
+    // codegen'd pass either way), which is what makes the simhash
+    // pair set oracle-checkable
     val fp =
-      if (declarativeHash) graft.plans.TextHashExpressions
-        .simHashOfHashes(graft.functions.tokenHash62(toks))
+      if (declarativeHash)
+        graft.plans.TextHashExpressions.simHashDecl(toks)
       else graft.plans.TextHashExpressions.simHash64(toks)
     docs.select(col(idCol), fp.as("simhash"))
   }
