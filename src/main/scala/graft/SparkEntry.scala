@@ -966,8 +966,13 @@ object SparkEntry {
       graft.sources.MaterializedAgg.create(s, base.path, s"$dir/mv",
         Seq("o_custkey"), "o_totalprice")
       base.append(o.filter(col("o_orderkey") % 3 === 1))
-      base.delete(s, col("o_totalprice") < 1000.0)
-      base.update(s, col("o_orderstatus") === "F",
+      // merge-on-read DML: the delete commits a deletion vector and
+      // the update commits only its post-image patch — commit cost ∝
+      // matched rows, and the change feed serves both row-level (the
+      // MV refresh reads pre/post images off the DV commits exactly
+      // as off copy-on-write ones)
+      base.deleteMor(s, col("o_totalprice") < 1000.0)
+      base.updateMor(s, col("o_orderstatus") === "F",
         Map("o_totalprice" -> (col("o_totalprice") * 2)))
       graft.sources.MaterializedAgg.refresh(s, s"$dir/mv")
       graft.sources.MaterializedAgg.read(s, s"$dir/mv")

@@ -487,6 +487,36 @@ object Streams {
     sinkToDim(stream, cfg, tsCol,
       graft.sources.DimSink.forPath(dimPath), checkpointDir)
 
+  /** Continuously-maintained materialized aggregate — the streaming
+    * face of [[graft.sources.MaterializedAgg]]: each micro-batch
+    * lands in the base log table through the exactly-once
+    * idempotent-txn append (a batch the engine replays after
+    * checkpoint recovery is DROPPED at the commit layer, not
+    * double-counted), then the view advances by reading ONLY the new
+    * commits off the base's change feed (refresh is exactly-once
+    * under the same txn machinery, so a crash between append and
+    * refresh self-heals on the next batch). End-to-end invariant:
+    * the view equals a from-scratch aggregate of everything ever
+    * ingested, at a per-batch cost ∝ the batch — the lakehouse
+    * "bronze append → silver aggregate" loop as one stream. The
+    * base table and view must exist ([[graft.sources
+    * .MaterializedAgg.create]]) before the query starts. */
+  def maintainAggregate(stream: DataFrame, basePath: String,
+                        mvPath: String, app: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        new graft.sources.LogTable(basePath).appendStreamBatch(
+          org.apache.spark.sql.GraftPlanReset.freshLeaf(batch), app,
+          batchId)
+        graft.sources.MaterializedAgg.refresh(spark, mvPath)
+        ()
+      }
+      .start()
+
   /** Point-in-time enrichment of a stream against a static SCD2
     * dimension: each fact joins the dimension version whose
     * [valid_from, valid_to) interval covers its timestamp — the
