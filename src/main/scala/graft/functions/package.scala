@@ -64,80 +64,40 @@ package object functions {
   def seededHash(c: Column, seed: Int): Column =
     xxhash64(c, lit(seed))
 
-  /** Fingerprint moduli: two coprime ~2^31 primes give a 62-bit
-    * combined fingerprint — collision odds at billions of documents
-    * stay negligible where a single 31-bit residue would birthday-
-    * collide in the tens of thousands. Both folds stay inside ANSI
-    * long arithmetic (acc < 2^31 ⇒ acc·P + h < 2^52). */
-  private val FpM1 = 2147483647L // 2^31 − 1
-  private val FpM2 = 2147483629L
+  // Declarative fingerprint family: seeded modular char-polynomial
+  // residues under two coprime ~2^31 primes, combined into one
+  // 62-bit value (a single 31-bit residue would birthday-collide in
+  // the tens of thousands of documents; the seeds keep short tokens
+  // out of the never-wrapped small-polynomial regime that
+  // degenerates bit-sliced consumers). "Declarative" means an
+  // EXTERNAL engine recomputes every value bit-for-bit with list
+  // lambdas — what makes the fingerprint/simhash/mm oracles
+  // possible. The arithmetic is specified and implemented in the
+  // compiled one-pass kernels (graft.plans.TextHash.charPolyPair /
+  // docFingerprint / simHashDecl); the interpreted
+  // higher-order-function formulation they replaced made
+  // doc_fingerprint the 3rd-slowest query at sf1 (41 s → ~3 s).
 
-  /** Fold seeds: large distinct primes, so the two residues leave
-    * the "small polynomial" regime after ONE character — an unseeded
-    * fold of a short token never wraps either modulus, leaving
-    * h1 == h2 == the raw polynomial with all high bits zero, which
-    * degenerates every bit-sliced consumer (a SimHash over such
-    * hashes votes every high bit to 0 and the banded candidate join
-    * collapses to all-pairs — measured 2.1M pairs at sf0.1). */
-  private val FpSeed1 = 1000000007L
-  private val FpSeed2 = 998244353L
-
-  /** Character-polynomial hashes of one token under BOTH moduli in
-    * a single character pass — `acc = (acc·31 + codepoint) mod m`
-    * seeded with [[FpSeed1]]/[[FpSeed2]], folded with a two-field
-    * struct state (higher-order array functions evaluate
-    * interpreted, so pass count is the cost that matters).
-    * Declarative rather than an engine-private hash (xxhash64), so
-    * an EXTERNAL engine can recompute fingerprints bit-for-bit —
-    * what makes [[rollingFingerprint]] / [[bagFingerprint]] /
-    * declarative SimHash oracle-checkable. */
-  private def charPolyHash2(tok: Column): Column =
-    aggregate(filter(split(tok, ""), c => c =!= ""),
-      struct(lit(FpSeed1).as("h1"), lit(FpSeed2).as("h2")),
-      (acc, c) => struct(
-        pmod(acc("h1") * lit(31L) + ascii(c), lit(FpM1)).as("h1"),
-        pmod(acc("h2") * lit(31L) + ascii(c), lit(FpM2)).as("h2")))
-
-  /** Per-token (h1, h2) hash structs — computed ONCE per token
-    * (the fold lambdas below would otherwise re-derive the char
-    * hash per reference). */
-  private def tokenHashes(tokens: Column): Column =
-    transform(tokens, t => charPolyHash2(t))
-
-  /** Both modular char-polynomial residues of ONE string column as a
+  /** Both seeded char-polynomial residues of ONE string column as a
     * `struct(h1, h2)` — the declarative replacement for an
     * engine-private string hash wherever an external engine must
     * recompute the value (multimodal stub metadata derivation). */
-  def charPolyResidues(s: Column): Column = charPolyHash2(s)
-
-  // (bit-sliced consumers — declarative SimHash — use the compiled
-  // one-pass kernel `TextHashExpressions.simHashDecl`, which seeds
-  // AND square-mixes these same residues; see its Scaladoc for why
-  // raw polynomial residues are too smooth for per-bit votes)
+  def charPolyResidues(s: Column): Column = {
+    val a = graft.plans.TextHashExpressions.charPolyPair(s)
+    struct(element_at(a, 1).as("h1"), element_at(a, 2).as("h2"))
+  }
 
   /** Polynomial rolling-hash fingerprint of a token array —
     * deterministic, order-sensitive (unlike a set hash): the
     * per-token char hashes fold as `acc·1000003 + h(t)` under each
     * modulus and the two residues combine into one 62-bit value. */
-  def rollingFingerprint(tokens: Column): Column = {
-    val r = aggregate(tokenHashes(tokens),
-      struct(lit(0L).as("h1"), lit(0L).as("h2")),
-      (acc, h) => struct(
-        pmod(acc("h1") * lit(1000003L) + h("h1"), lit(FpM1)).as("h1"),
-        pmod(acc("h2") * lit(1000003L) + h("h2"), lit(FpM2)).as("h2")))
-    r("h1") * lit(FpM2) + r("h2")
-  }
+  def rollingFingerprint(tokens: Column): Column =
+    graft.plans.TextHashExpressions.docFingerprint(tokens, rolling = true)
 
   /** Order-INSENSITIVE bag fingerprint of a token array: modular
     * SUM of the per-token char hashes under each modulus (addition
     * commutes, so any token order and any partitioning gives the
     * same value), combined like [[rollingFingerprint]]. */
-  def bagFingerprint(tokens: Column): Column = {
-    val r = aggregate(tokenHashes(tokens),
-      struct(lit(0L).as("h1"), lit(0L).as("h2")),
-      (acc, h) => struct(
-        pmod(acc("h1") + h("h1"), lit(FpM1)).as("h1"),
-        pmod(acc("h2") + h("h2"), lit(FpM2)).as("h2")))
-    r("h1") * lit(FpM2) + r("h2")
-  }
+  def bagFingerprint(tokens: Column): Column =
+    graft.plans.TextHashExpressions.docFingerprint(tokens, rolling = false)
 }

@@ -220,6 +220,64 @@ object TextHash {
     fp
   }
 
+  /** Seeded modular char-polynomial residues of one string under
+    * both fingerprint primes, as `[h1, h2]` — the compiled twin of
+    * the declarative fold the DuckDB oracles replay with list
+    * lambdas (identical arithmetic: code-point polynomial, base 31,
+    * seeds 1000000007/998244353, moduli 2^31−1 / 2147483629). */
+  def charPolyPair(s: UTF8String): ArrayData = {
+    val M1 = 2147483647L
+    val M2 = 2147483629L
+    val str = s.toString
+    var h1 = 1000000007L
+    var h2 = 998244353L
+    var j = 0
+    while (j < str.length) {
+      val cp = str.codePointAt(j)
+      h1 = (h1 * 31L + cp) % M1
+      h2 = (h2 * 31L + cp) % M2
+      j += Character.charCount(cp)
+    }
+    UnsafeArrayData.fromPrimitiveArray(Array(h1, h2))
+  }
+
+  /** Document fingerprint over a token array in ONE compiled pass —
+    * per-token seeded char-poly residues folded under each modulus
+    * (`acc·1000003 + h mod m` when `rolling`, commutative `acc + h
+    * mod m` otherwise) and combined as `a1·M2 + a2`. Same numbers as
+    * the declarative higher-order-function formulation (which the
+    * oracles still state), ~13× faster: interpreted array lambdas
+    * made doc_fingerprint the 3rd-slowest query at sf1 (41 s). */
+  def docFingerprint(tokens: ArrayData, rolling: Boolean): Long = {
+    val M1 = 2147483647L
+    val M2 = 2147483629L
+    var a1 = 0L
+    var a2 = 0L
+    val n = tokens.numElements()
+    var i = 0
+    while (i < n) {
+      val s = tokens.getUTF8String(i).toString
+      var h1 = 1000000007L
+      var h2 = 998244353L
+      var j = 0
+      while (j < s.length) {
+        val cp = s.codePointAt(j)
+        h1 = (h1 * 31L + cp) % M1
+        h2 = (h2 * 31L + cp) % M2
+        j += Character.charCount(cp)
+      }
+      if (rolling) {
+        a1 = (a1 * 1000003L + h1) % M1
+        a2 = (a2 * 1000003L + h2) % M2
+      } else {
+        a1 = (a1 + h1) % M1
+        a2 = (a2 + h2) % M2
+      }
+      i += 1
+    }
+    a1 * M2 + a2
+  }
+
   /** See PpjoinPairs. */
   def ppjoinPairs(xs: ArrayData, t: Double): ArrayData = {
     val n = xs.numElements()
@@ -398,6 +456,53 @@ case class SimHash64(child: Expression)
     copy(child = newChild)
 }
 
+/** Seeded char-poly residue pair of a string — see
+  * TextHash.charPolyPair. */
+case class CharPolyPair(child: Expression)
+  extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"char_poly_pair expects string, got ${other.simpleString}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextHash.charPolyPair(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.TextHash.charPolyPair($c)")
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : CharPolyPair = copy(child = newChild)
+}
+
+/** One-pass document fingerprint of a token array — see
+  * TextHash.docFingerprint. */
+case class DocFingerprint(child: Expression, rolling: Boolean)
+  extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"doc_fingerprint expects array<string>, got ${other.simpleString}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextHash.docFingerprint(input.asInstanceOf[ArrayData], rolling)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.plans.TextHash.docFingerprint($c, $rolling)")
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : DocFingerprint = copy(child = newChild)
+}
+
 /** Declarative-hash SimHash of a token array — see
   * TextHash.simHashDecl. */
 case class SimHashDecl(child: Expression)
@@ -528,6 +633,16 @@ object TextHashExpressions {
     * the oracle-checkable variant. */
   def simHashDecl(tokens: Column): Column =
     GraftColumnShim.column(SimHashDecl(GraftColumnShim.expression(tokens)))
+
+  /** Seeded char-poly residue pair `[h1, h2]` of a string column. */
+  def charPolyPair(s: Column): Column =
+    GraftColumnShim.column(CharPolyPair(GraftColumnShim.expression(s)))
+
+  /** One-pass rolling (order-sensitive) or bag (order-insensitive)
+    * document fingerprint of a token-array column. */
+  def docFingerprint(tokens: Column, rolling: Boolean): Column =
+    GraftColumnShim.column(DocFingerprint(
+      GraftColumnShim.expression(tokens), rolling))
 
   /** Length+position-filtered candidate pairs from one postings
     * bucket (array<struct<id,sz,pos>>) — see PpjoinPairs. */
