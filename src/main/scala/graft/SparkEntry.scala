@@ -981,6 +981,27 @@ object SparkEntry {
         .orderBy(col("o_custkey"))
     }),
 
+    "log_table_repartition" -> ((s, d) => {
+      // Iceberg-style PARTITION EVOLUTION: one metadata-only commit
+      // changes the hive layout for future writes — zero data
+      // rewritten. The query spans the epochs: an unpartitioned
+      // append, the evolve, a hive-partitioned append, and a
+      // row-level DELETE whose predicate crosses both layouts (old
+      // files prune via in-file stats, new ones via partition-value
+      // stats; survivors of old-epoch rewrites land in the NEW
+      // layout). The oracle recomputes the final state
+      val dir = java.nio.file.Files.createTempDirectory("graft_logpevo")
+      val lt = new graft.sources.LogTable(s"$dir/t")
+      val cust = t(s, d, "customer").select(col("c_custkey").as("k"),
+        col("c_mktsegment").as("seg"), col("c_acctbal").as("bal"))
+      lt.append(cust.filter(col("k") <= 200))
+      lt.setPartitionColumns(Seq("seg"))
+      lt.append(cust.filter(col("k") > 200 && col("k") <= 400))
+      lt.delete(s, col("seg") === "BUILDING" && col("k") <= 300)
+      lt.load(s).select(col("k"), col("seg"), col("bal"))
+        .orderBy(col("k"))
+    }),
+
     "bucketed_join" -> ((s, d) => {
       // the shuffle paid at write time: both facts bucketed by the
       // join key co-locate, so the join plans with zero exchange
@@ -3103,6 +3124,13 @@ object SparkEntry {
              OR ((a.simhash >> 48) & 65535) = ((b.simhash >> 48) & 65535))
            AND bit_count(xor(a.simhash, b.simhash)) <= 10
          ORDER BY id_a, id_b""",
+
+    "log_table_repartition" ->
+      """SELECT c_custkey AS k, c_mktsegment AS seg, c_acctbal AS bal
+         FROM customer
+         WHERE c_custkey <= 400
+           AND NOT (c_mktsegment = 'BUILDING' AND c_custkey <= 300)
+         ORDER BY k""",
 
     "log_table_properties" ->
       """SELECT k AS "key", v AS "value",

@@ -201,10 +201,12 @@ private[sources] final class LogStreamSource(ctx: SQLContext, log: LogTable,
           // inserts, like create (absolute, possibly vectored refs)
           case "append" | "create" | "clone" => true
           // dataChange = false: reorganizations and metadata-only
-          // constraint/rename/drop/default/tblproperties commits
-          // (and MV-refresh txn markers) carry no row-level change
+          // constraint/rename/drop/default/tblproperties/partition-
+          // evolution commits (and MV-refresh txn markers) carry no
+          // row-level change
           case "optimize" | "constraint" | "rename" | "drop" |
-               "default" | "tblproperties" | "refresh" => false
+               "default" | "tblproperties" | "refresh" |
+               "partition" => false
           case changeOp =>
             if (!skipChangeCommits) throw new IllegalStateException(
               s"commit $v is a '$changeOp' — a streaming read of a log " +

@@ -513,6 +513,11 @@ final class LogTable(val path: String,
   def partitionCols: Seq[String] = currentVersion
     .map(v => snapshotAt(v).partitionCols).getOrElse(Seq.empty)
 
+  /** Partition columns as of `version` — after partition evolution a
+    * pinned read must serve ITS layout, not the current one. */
+  def partitionColsAt(version: Long): Seq[String] =
+    snapshotAt(version).partitionCols
+
   /** Live data files (absolute paths) at a version, default the
     * current one — the list handed to Spark's parquet scan. */
   def liveFiles(version: Option[Long] = None): Seq[String] =
@@ -586,27 +591,42 @@ final class LogTable(val path: String,
     * written; the ids make rename a pure metadata operation. */
   private def readDataFiles(spark: SparkSession, readSchema: StructType,
                             partCols: Seq[String],
-                            paths: Seq[String]): DataFrame = {
+                            paths: Seq[String],
+                            withProv: Boolean = false): DataFrame = {
     if (hasFieldIds(readSchema)) enableFieldIds(spark)
-    val r = spark.read.schema(readSchema)
-    if (partCols.isEmpty) r.parquet(paths: _*)
-    else {
-      // hive discovery needs the data root as basePath; a shallow
-      // clone's snapshot mixes THIS table's files with absolute
-      // references into other roots — group per root (walk back over
-      // the k=v partition dirs to find each file's data dir), one
-      // scan per root, unioned
-      def dataRootOf(p: String): String = {
-        val segs = p.split('/')
-        var i = segs.length - 2
-        while (i > 0 && segs(i).contains('=')) i -= 1
-        segs.take(i + 1).mkString("/")
-      }
-      paths.groupBy(dataRootOf).toSeq.map { case (base, ps) =>
-        spark.read.schema(readSchema).option("basePath", base)
-          .parquet(ps: _*)
-      }.reduce(_.unionByName(_))
+    // provenance attaches PER SCAN: `_metadata` is a scan-level
+    // pseudo-column and does not resolve above a union of scans
+    def prov(df: DataFrame): DataFrame =
+      if (!withProv) df
+      else df.withColumn("__file", col("_metadata.file_path"))
+        .withColumn("__idx", col("_metadata.row_index"))
+    if (partCols.isEmpty && paths.forall(p =>
+        !new File(p).getParentFile.getName.contains('=')))
+      return prov(spark.read.schema(readSchema).parquet(paths: _*))
+    // hive discovery needs the data root as basePath; a shallow
+    // clone's snapshot mixes THIS table's files with absolute
+    // references into other roots, and PARTITION EVOLUTION mixes
+    // layout EPOCHS under one root — group per (root, partition-dir
+    // signature), one scan per group, unioned. Within a group the
+    // layout is uniform, so discovery fills exactly that epoch's
+    // columns; columns a group's layout (or files) lack null-fill
+    // through the explicit read schema — an old epoch's rows read
+    // with the new partition column where it actually lives (in the
+    // file, in the old dirs, or genuinely absent → null).
+    def splitOf(p: String): (String, Seq[String]) = {
+      val segs = p.split('/')
+      var i = segs.length - 2
+      while (i > 0 && segs(i).contains('=')) i -= 1
+      (segs.take(i + 1).mkString("/"),
+        segs.slice(i + 1, segs.length - 1).toSeq
+          .map(_.split("=", 2).head))
     }
+    paths.groupBy(splitOf).toSeq.map { case ((base, sig), ps) =>
+      prov(
+        if (sig.isEmpty) spark.read.schema(readSchema).parquet(ps: _*)
+        else spark.read.schema(readSchema).option("basePath", base)
+          .parquet(ps: _*))
+    }.reduce(_.unionByName(_))
   }
 
   /** DV-aware scan of a set of live files, optionally keeping the
@@ -629,17 +649,11 @@ final class LogTable(val path: String,
                           keepProvenance: Boolean): DataFrame = {
     val outCols = readSchema.fieldNames.toSeq ++
       (if (keepProvenance) Seq("__file", "__idx") else Seq.empty)
-    def withProv(df: DataFrame): DataFrame = df
-      .withColumn("__file", col("_metadata.file_path"))
-      .withColumn("__idx", col("_metadata.row_index"))
     val (dvd, clean) = adds.partition(_.dv.isDefined)
     val cleanDf =
       if (clean.isEmpty) None
-      else {
-        val df = readDataFiles(spark, readSchema, partCols,
-          clean.map(a => absPath(a.path)))
-        Some(if (keepProvenance) withProv(df) else df)
-      }
+      else Some(readDataFiles(spark, readSchema, partCols,
+        clean.map(a => absPath(a.path)), withProv = keepProvenance))
     val dvdDf =
       if (dvd.isEmpty) None
       else {
@@ -648,8 +662,8 @@ final class LogTable(val path: String,
         val raw = spark.read.parquet(dirs.map(absPath): _*)
         val pairs =
           if (card <= LogTable.DvBroadcastMaxRows) broadcast(raw) else raw
-        val scanned = withProv(readDataFiles(spark, readSchema, partCols,
-          dvd.map(a => absPath(a.path))))
+        val scanned = readDataFiles(spark, readSchema, partCols,
+          dvd.map(a => absPath(a.path)), withProv = true)
         val alive = scanned.join(pairs,
           scanned("__file") === pairs("file") &&
             scanned("__idx") === pairs("idx"), "left_anti")
@@ -1026,6 +1040,46 @@ final class LogTable(val path: String,
       commitRetry(basis, Seq.empty, Seq.empty, "tblproperties",
         schemaJson = None, cdfDir = None,
         propertiesJson = Some(cur -- keys),
+        requireHead = Some(basis))
+    }
+
+  /** Iceberg-style PARTITION EVOLUTION: change the hive partition
+    * layout for FUTURE writes with one metadata-only commit — zero
+    * data rewritten at any table size. Existing files keep their
+    * old layout (their partition values stay readable from the
+    * dirs they were written under); new appends/rewrites stage
+    * under the new layout; the snapshot read groups files per
+    * layout signature and unions the scans; `OPTIMIZE` migrates
+    * old-layout files as a side effect of rewriting them. Pass an
+    * empty list to unpartition. Partition columns normalize to the
+    * END of the schema (same rule as [[create]] — the
+    * hive-discovery scan appends them after the data columns); on
+    * column-mapped tables field ids make the reorder
+    * resolution-neutral. */
+  def setPartitionColumns(cols: Seq[String]): Long =
+    retryMetadataCommit { basis =>
+      if (basis.isEmpty) throw new IllegalStateException(
+        s"no log table at $path — partition evolution needs an " +
+          "existing table")
+      val snap = snapshotAt(basis.get)
+      require(cols.distinct == cols, "duplicate partition columns")
+      cols.foreach(c => require(snap.schema.fieldNames.contains(c),
+        s"PARTITIONED BY names unknown column '$c'"))
+      cols.foreach(c => require(!snap.identity.contains(c),
+        s"IDENTITY column '$c' cannot become a partition column"))
+      require(cols != snap.partitionCols,
+        s"table is already partitioned by (${cols.mkString(", ")})")
+      val reordered =
+        if (cols.isEmpty) None
+        else {
+          val ordered = StructType(
+            snap.schema.fields.filterNot(f => cols.contains(f.name)) ++
+              cols.map(c => snap.schema.fields.find(_.name == c).get))
+          if (ordered == snap.schema) None else Some(ordered.json)
+        }
+      commitRetry(basis, Seq.empty, Seq.empty, "partition",
+        schemaJson = reordered, cdfDir = None,
+        partitionJson = Some(cols),
         requireHead = Some(basis))
     }
 

@@ -104,9 +104,13 @@ object GraftLogTableV2 {
     // hive-partitioned tables scan with basePath discovery, so the
     // partition columns resolve from the dirs and predicates on them
     // become PartitionFilters — Spark's own reader-side partition
-    // pruning, on top of the log-side stats pruner
+    // pruning, on top of the log-side stats pruner. The layout is
+    // the SNAPSHOT's (partition evolution can change it per version;
+    // mixed-epoch snapshots never reach here — needsV1Bridge).
+    val snapPartCols = version.map(log.partitionColsAt)
+      .getOrElse(log.partitionCols)
     val opts =
-      if (log.partitionCols.isEmpty || files.isEmpty)
+      if (snapPartCols.isEmpty || files.isEmpty)
         CaseInsensitiveStringMap.empty()
       else new CaseInsensitiveStringMap(
         java.util.Collections.singletonMap("basePath", s"${log.path}/data"))
@@ -126,15 +130,22 @@ object GraftLogTableV2 {
     else new GraftReadTable(scanTable(name, log, Some(version)))
 
   /** Snapshots the plain parquet scan cannot serve: deletion vectors
-    * (the raw file list would resurrect deleted rows) and
-    * PARTITIONED shallow clones (the snapshot mixes data ROOTS, but
-    * a single FileTable pins one basePath — `LogTable.load` groups
-    * per root). Both drop to the [[DvScanBuilder]] V1 bridge. */
+    * (the raw file list would resurrect deleted rows), PARTITIONED
+    * shallow clones (the snapshot mixes data ROOTS, but a single
+    * FileTable pins one basePath — `LogTable.load` groups per root),
+    * and mixed-layout snapshots after PARTITION EVOLUTION (files of
+    * different partition-dir epochs cannot share one discovery —
+    * the load path groups per layout signature). All drop to the
+    * [[DvScanBuilder]] V1 bridge. */
   private[sources] def needsV1Bridge(log: LogTable,
                                      version: Option[Long]): Boolean = {
     val adds = log.liveAdds(version)
+    val snapPartCols = version.map(log.partitionColsAt)
+      .getOrElse(log.partitionCols)
     adds.exists(_.dv.isDefined) ||
-      (log.partitionCols.nonEmpty && adds.exists(_.path.startsWith("/")))
+      (snapPartCols.nonEmpty && adds.exists(_.path.startsWith("/"))) ||
+      adds.map(_.partitionValues.keySet).distinct.size > 1 ||
+      adds.exists(_.partitionValues.keySet != snapPartCols.toSet)
   }
 
   /** v1 pushed filter → Column, for [[SupportsDelete.deleteWhere]].

@@ -95,11 +95,16 @@ class LogTableModelSpec extends SparkSpec {
           }
         case 6 => // maintenance: layout-only / metadata-only commits
           if (t.exists && t.liveAdds().size > 1) {
-            rnd.nextInt(4) match {
+            rnd.nextInt(5) match {
               case 0 => t.compactFiles(spark)
               case 1 => t.cluster(spark, Seq("k"), nFiles = 2)
               case 2 => t.purgeDeletes(spark)
               case 3 => t.setTableProperties(Map("step" -> s"$step"))
+              case 4 => // partition evolution: flip the hive layout —
+                // subsequent appends/rewrites mix epochs in one
+                // snapshot, which every later op must read correctly
+                t.setPartitionColumns(
+                  if (t.partitionCols.isEmpty) Seq("v") else Seq.empty)
             }
           }
       }
