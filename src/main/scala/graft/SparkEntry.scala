@@ -1002,6 +1002,60 @@ object SparkEntry {
         .orderBy(col("k"))
     }),
 
+    "log_table_hidden" -> ((s, d) => {
+      // Iceberg-style HIDDEN PARTITIONING: PARTITIONED BY
+      // (bucket(8,k)) synthesizes a hidden generated column the
+      // user never writes or sees — writes compute it and lay files
+      // out by it; equality predicates on k skip sibling buckets
+      // via the derived hidden predicate. Mid-query the layout
+      // EVOLVES to truncate(1,seg) (one metadata commit), so the
+      // final DELETE spans a bucket epoch and a truncate epoch and
+      // its seg predicate prunes the new epoch's files. The user
+      // surface is user columns only, at every step
+      val dir = java.nio.file.Files.createTempDirectory("graft_loghid")
+      val lt = new graft.sources.LogTable(s"$dir/t")
+      lt.create(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("seg",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("bal",
+          org.apache.spark.sql.types.DoubleType))),
+        partitionBy = Seq("bucket(8,k)"))
+      val cust = t(s, d, "customer").select(col("c_custkey").as("k"),
+        col("c_mktsegment").as("seg"), col("c_acctbal").as("bal"))
+      lt.append(cust.filter(col("k") <= 200))
+      lt.setPartitionColumns(Seq("truncate(1,seg)"))
+      lt.append(cust.filter(col("k") > 200 && col("k") <= 400))
+      lt.delete(s, col("seg") === "BUILDING" && col("k") <= 300)
+      lt.load(s).select(col("k"), col("seg"), col("bal"))
+        .orderBy(col("k"))
+    }),
+
+    "log_table_refs" -> ((s, d) => {
+      // Iceberg-style REFS: tag the seed snapshot, fork a WRITABLE
+      // branch (zero-copy shallow clone + ref), do real work on the
+      // branch (append + row-level delete) while main stays
+      // untouched, then FAST-FORWARD main onto the branch in one
+      // metadata commit. The query returns the merged state; the
+      // tag still serves the seed snapshot (asserted via count)
+      val dir = java.nio.file.Files.createTempDirectory("graft_logref")
+      val lt = new graft.sources.LogTable(s"$dir/t")
+      val cust = t(s, d, "customer").select(col("c_custkey").as("k"),
+        col("c_mktsegment").as("seg"), col("c_acctbal").as("bal"))
+      lt.append(cust.filter(col("k") <= 300))
+      lt.createTag("seed")
+      val br = lt.createBranch("dev")
+      br.append(cust.filter(col("k") > 300 && col("k") <= 400))
+      br.delete(s, col("seg") === "BUILDING" && col("k") <= 200)
+      require(lt.load(s).count() ==
+        lt.load(s, Some(lt.resolveTag("seed"))).count(),
+        "main must be untouched while the branch works")
+      lt.mergeBranch("dev")
+      lt.load(s).select(col("k"), col("seg"), col("bal"))
+        .orderBy(col("k"))
+    }),
+
     "bucketed_join" -> ((s, d) => {
       // the shuffle paid at write time: both facts bucketed by the
       // join key co-locate, so the join plans with zero exchange
@@ -3130,6 +3184,20 @@ object SparkEntry {
          FROM customer
          WHERE c_custkey <= 400
            AND NOT (c_mktsegment = 'BUILDING' AND c_custkey <= 300)
+         ORDER BY k""",
+
+    "log_table_hidden" ->
+      """SELECT c_custkey AS k, c_mktsegment AS seg, c_acctbal AS bal
+         FROM customer
+         WHERE c_custkey <= 400
+           AND NOT (c_mktsegment = 'BUILDING' AND c_custkey <= 300)
+         ORDER BY k""",
+
+    "log_table_refs" ->
+      """SELECT c_custkey AS k, c_mktsegment AS seg, c_acctbal AS bal
+         FROM customer
+         WHERE c_custkey <= 400
+           AND NOT (c_mktsegment = 'BUILDING' AND c_custkey <= 200)
          ORDER BY k""",
 
     "log_table_properties" ->

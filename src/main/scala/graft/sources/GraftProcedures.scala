@@ -58,6 +58,20 @@ private[sources] final class GraftProcedure(catalog: GraftTableCatalog,
         in("where", StringType).defaultValue("''").build())
     case "purge_deletes" | "history" | "detail" | "refresh_mv" =>
       Array(in("table", StringType).build())
+    case "create_tag" =>
+      Array(in("table", StringType).build(),
+        in("name", StringType).build(),
+        in("version", LongType).defaultValue("-1").build())
+    case "create_branch" | "merge_branch" | "drop_ref" =>
+      Array(in("table", StringType).build(),
+        in("name", StringType).build())
+    case "show_refs" =>
+      Array(in("table", StringType).build())
+    case "set_partition" =>
+      // `spec`: comma-separated partition columns and/or transforms
+      // ("seg", "days(ts)", "bucket(16,id)"); empty unpartitions
+      Array(in("table", StringType).build(),
+        in("spec", StringType).defaultValue("''").build())
     case "create_mv" =>
       Array(in("table", StringType).build(),
         in("target", StringType).build(),
@@ -73,7 +87,8 @@ private[sources] final class GraftProcedure(catalog: GraftTableCatalog,
 
   private def outSchema: StructType = procName match {
     case "restore" | "purge_deletes" | "optimize" | "clone" |
-         "create_mv" =>
+         "create_mv" | "set_partition" | "create_tag" |
+         "create_branch" | "merge_branch" | "drop_ref" =>
       StructType(Seq(StructField("version", LongType)))
     case "refresh_mv" =>
       StructType(Seq(StructField("version", LongType),
@@ -82,6 +97,10 @@ private[sources] final class GraftProcedure(catalog: GraftTableCatalog,
         StructField("mode", StringType)))
     case "vacuum" =>
       StructType(Seq(StructField("dropped", StringType)))
+    case "show_refs" =>
+      StructType(Seq(StructField("name", StringType),
+        StructField("kind", StringType),
+        StructField("version", LongType)))
     case "history" =>
       StructType(Seq(StructField("version", LongType),
         StructField("commit_ts", LongType), StructField("op", StringType),
@@ -128,6 +147,27 @@ private[sources] final class GraftProcedure(catalog: GraftTableCatalog,
         Seq(row(v))
       case "purge_deletes" =>
         Seq(row(t.purgeDeletes(spark)))
+      case "create_tag" =>
+        val ver = input.getLong(2)
+        Seq(row(t.createTag(input.getUTF8String(1).toString,
+          if (ver < 0) None else Some(ver))))
+      case "create_branch" =>
+        t.createBranch(input.getUTF8String(1).toString)
+        Seq(row(t.currentVersion.get))
+      case "merge_branch" =>
+        Seq(row(t.mergeBranch(input.getUTF8String(1).toString)))
+      case "drop_ref" =>
+        Seq(row(t.dropRef(input.getUTF8String(1).toString)))
+      case "show_refs" =>
+        t.refs.toSeq.sortBy(_._1).map { case (n, (kind, v)) =>
+          row(UTF8String.fromString(n), UTF8String.fromString(kind), v) }
+      case "set_partition" =>
+        // split on top-level commas only — transform arguments
+        // ("bucket(16,id)") keep theirs
+        val spec = input.getUTF8String(1).toString
+        Seq(row(t.setPartitionColumns(
+          spec.split(",(?![^(]*\\))").map(_.trim)
+            .filter(_.nonEmpty).toSeq)))
       case "clone" =>
         // `table` is the SOURCE; `target` gets the metadata-only
         // shallow clone (zero data copies)
@@ -148,7 +188,9 @@ private[sources] final class GraftProcedure(catalog: GraftTableCatalog,
           adds.size.toLong, adds.map(_.logicalRows).sum,
           adds.map(_.bytes).sum,
           adds.count(_.dv.isDefined).toLong,
-          UTF8String.fromString(t.partitionCols.mkString(",")),
+          UTF8String.fromString(t.partitionCols
+            .map(c => t.partitionTransforms.getOrElse(c, c))
+            .mkString(",")),
           UTF8String.fromString(t.bloomCols.mkString(",")),
           UTF8String.fromString(t.checkConstraints.toSeq.sorted
             .map { case (k, v) => s"$k: $v" }.mkString("; ")),
@@ -188,7 +230,9 @@ private[sources] final class GraftProcedure(catalog: GraftTableCatalog,
 private object GraftProcedure {
   val Names: Set[String] =
     Set("restore", "vacuum", "optimize", "purge_deletes", "history",
-      "detail", "clone", "create_mv", "refresh_mv")
+      "detail", "clone", "create_mv", "refresh_mv", "set_partition",
+      "create_tag", "create_branch", "merge_branch", "drop_ref",
+      "show_refs")
 
   private def row(vs: Any*): InternalRow =
     new GenericInternalRow(vs.toArray)

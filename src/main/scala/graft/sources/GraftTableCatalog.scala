@@ -133,12 +133,30 @@ class GraftTableCatalog extends TableCatalog with ProcedureCatalog {
     }
   }
 
-  /** `VERSION AS OF n` — any committed, unexpired version. */
+  /** `VERSION AS OF n` — any committed, unexpired version — or
+    * `VERSION AS OF '<ref>'`: a TAG serves its pinned snapshot, a
+    * BRANCH serves the branch's own current table (Iceberg's
+    * ref-addressable reads). */
   override def loadTable(ident: Identifier, version: String): Table = {
     val dir = dirOf(ident)
     val v = try version.toLong catch {
-      case _: NumberFormatException => throw new IllegalArgumentException(
-        s"'$version' is not a graft version number (VERSION AS OF <n>)")
+      case _: NumberFormatException =>
+        if (manifestLine(dir).isEmpty && isLogTable(dir)) {
+          val log = new LogTable(dir.toString)
+          log.refs.get(version) match {
+            case Some(("tag", tv)) =>
+              return GraftLogTableV2.pinned(
+                s"$catalogName.${ident.name()}", log, tv)
+            case Some(("branch", _)) =>
+              return new GraftLogTableV2(
+                s"$catalogName.${ident.name()}@$version",
+                log.branchTable(version))
+            case _ => ()
+          }
+        }
+        throw new IllegalArgumentException(
+          s"'$version' is not a version number or ref name of " +
+            s"table '$ident'")
     }
     if (manifestLine(dir).isEmpty) {
       if (!isLogTable(dir)) throw new NoSuchTableException(ident)
@@ -191,12 +209,27 @@ class GraftTableCatalog extends TableCatalog with ProcedureCatalog {
         "graft sink tables do not take partition transforms; " +
           "layout is the sink's (PARTITIONED BY is supported USING log)")
     if (isLog) {
-      val partCols = partitions.toSeq.map {
-        case t if t.name == "identity" =>
-          t.references().head.fieldNames().mkString(".")
-        case other => throw new UnsupportedOperationException(
-          s"log tables support only identity PARTITIONED BY columns, " +
-            s"got transform '$other'")
+      // PARTITIONED BY accepts identity columns AND Iceberg-style
+      // transforms — `days(ts)`, `bucket(16, id)`, `truncate(4, c)`
+      // — which Spark's parser delivers as native DSv2 transforms;
+      // normalize each to the canonical spec string LogTable.create
+      // resolves into a hidden generated partition column
+      val partCols = partitions.toSeq.map { t =>
+        def ref = t.references().head.fieldNames().mkString(".")
+        def intArg: Int = t.arguments().collectFirst {
+          case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+            l.value().toString.toInt
+        }.getOrElse(throw new IllegalArgumentException(
+          s"transform '$t' needs an integer argument"))
+        t.name match {
+          case "identity" => ref
+          case n @ ("years" | "months" | "days" | "hours") => s"$n($ref)"
+          case "bucket"   => s"bucket($intArg,$ref)"
+          case "truncate" => s"truncate($intArg,$ref)"
+          case other => throw new UnsupportedOperationException(
+            "log tables support identity, years, months, days, hours, " +
+              s"bucket and truncate PARTITIONED BY transforms, got '$other'")
+        }
       }
       // the SQL-facing knobs for the log table's index/constraint/
       // generated-column features ride TBLPROPERTIES:

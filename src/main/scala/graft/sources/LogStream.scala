@@ -53,7 +53,7 @@ final class LogStreamProvider extends StreamSourceProvider
                             providerName: String,
                             parameters: Map[String, String]):
       (String, StructType) = {
-    val base = new LogTable(pathOf(parameters)).schema
+    val base = new LogTable(pathOf(parameters)).userSchema
     val s =
       if (boolOpt(parameters, "readChangeFeed"))
         base.add("_change_type", org.apache.spark.sql.types.StringType)
@@ -123,9 +123,10 @@ private[sources] final class LogStreamSource(ctx: SQLContext, log: LogTable,
 
   override val schema: StructType =
     if (readChangeFeed)
-      log.schema.add("_change_type", org.apache.spark.sql.types.StringType)
+      log.userSchema
+        .add("_change_type", org.apache.spark.sql.types.StringType)
         .add("_commit_version", org.apache.spark.sql.types.LongType)
-    else log.schema
+    else log.userSchema
 
   private def ver(o: Offset): Long = o match {
     case l: LongOffset       => l.offset
@@ -202,11 +203,11 @@ private[sources] final class LogStreamSource(ctx: SQLContext, log: LogTable,
           case "append" | "create" | "clone" => true
           // dataChange = false: reorganizations and metadata-only
           // constraint/rename/drop/default/tblproperties/partition-
-          // evolution commits (and MV-refresh txn markers) carry no
-          // row-level change
+          // evolution/ref commits (and MV-refresh txn markers)
+          // carry no row-level change
           case "optimize" | "constraint" | "rename" | "drop" |
                "default" | "tblproperties" | "refresh" |
-               "partition" => false
+               "partition" | "ref" => false
           case changeOp =>
             if (!skipChangeCommits) throw new IllegalStateException(
               s"commit $v is a '$changeOp' — a streaming read of a log " +

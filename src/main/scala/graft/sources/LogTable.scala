@@ -205,6 +205,10 @@ final class LogTable(val path: String,
                                     defaults: Map[String, String] =
                                       Map.empty,
                                     properties: Map[String, String] =
+                                      Map.empty,
+                                    transforms: Map[String, String] =
+                                      Map.empty,
+                                    refs: Map[String, String] =
                                       Map.empty)
 
   private def parseStats(j: JValue): Map[String, ColStats] = j match {
@@ -376,6 +380,8 @@ final class LogTable(val path: String,
     var idCols: Map[String, IdentitySpec] = Map.empty
     var defCols: Map[String, String] = Map.empty
     var props: Map[String, String] = Map.empty
+    var trans: Map[String, String] = Map.empty
+    var refMap: Map[String, String] = Map.empty
     val live = scala.collection.mutable.LinkedHashMap.empty[String, AddFile]
     val from = ckpts.lastOption match {
       case Some(cv) =>
@@ -420,6 +426,16 @@ final class LogTable(val path: String,
         }
         (state \ "properties") match {
           case JObject(fields) => props = fields.collect {
+            case (k, JString(v)) => k -> v }.toMap
+          case _ => ()
+        }
+        (state \ "transforms") match {
+          case JObject(fields) => trans = fields.collect {
+            case (k, JString(v)) => k -> v }.toMap
+          case _ => ()
+        }
+        (state \ "refs") match {
+          case JObject(fields) => refMap = fields.collect {
             case (k, JString(v)) => k -> v }.toMap
           case _ => ()
         }
@@ -483,6 +499,20 @@ final class LogTable(val path: String,
             case (k, JString(v)) => k -> v }.toMap
           case _ => ()
         }
+        // partition-transform actions (hidden col → transform spec)
+        // carry the full post-change map — latest wins wholesale
+        (j \ "transforms") match {
+          case JObject(fields) => trans = fields.collect {
+            case (k, JString(v)) => k -> v }.toMap
+          case _ => ()
+        }
+        // ref actions (tags/branches: name → "kind:version") carry
+        // the full post-change map — latest wins wholesale
+        (j \ "refs") match {
+          case JObject(fields) => refMap = fields.collect {
+            case (k, JString(v)) => k -> v }.toMap
+          case _ => ()
+        }
         if ((j \ "add") != JNothing) {
           val a = parseAdd(j \ "add"); live(a.path) = a
         }
@@ -493,7 +523,7 @@ final class LogTable(val path: String,
     Snapshot(schema.getOrElse(throw new IllegalStateException(
       s"log at $path has no schema action up to version $v")),
       live.values.toSeq, partCols, bloomIdxCols, checks, genCols, retired,
-      zone, idCols, defCols, props)
+      zone, idCols, defCols, props, trans, refMap)
   }
 
   /** Table schema at the current version. */
@@ -517,6 +547,36 @@ final class LogTable(val path: String,
     * pinned read must serve ITS layout, not the current one. */
   def partitionColsAt(version: Long): Seq[String] =
     snapshotAt(version).partitionCols
+
+  /** Active partition TRANSFORMS (hidden partitioning): synthesized
+    * hidden column → canonical transform spec (`ts_day` →
+    * `days(ts)`). Empty for identity-partitioned / unpartitioned
+    * tables. */
+  def partitionTransforms: Map[String, String] = currentVersion
+    .map(v => snapshotAt(v).transforms).getOrElse(Map.empty)
+
+  def partitionTransformsAt(version: Long): Map[String, String] =
+    snapshotAt(version).transforms
+
+  /** The hidden transform columns of a snapshot — synthesized by
+    * the engine, never part of the USER's schema. */
+  private def hiddenColsOf(snap: Snapshot): Seq[String] =
+    snap.schema.fieldNames.toSeq.filter(snap.transforms.contains)
+
+  /** The schema a USER sees: the logged schema minus hidden
+    * transform columns. Every public read surface (load, catalog
+    * SQL, streams, the change feed) serves this; the full
+    * [[schema]] stays the write/layout contract. */
+  def userSchema: StructType = userSchemaAt(currentVersion.getOrElse(
+    throw new IllegalStateException(s"no log table at $path")))
+
+  def userSchemaAt(version: Long): StructType = {
+    val snap = snapshotAt(version)
+    if (snap.transforms.isEmpty) snap.schema
+    else StructType(
+      snap.schema.fields.filterNot(f => snap.transforms.contains(f.name)))
+  }
+
 
   /** Live data files (absolute paths) at a version, default the
     * current one — the list handed to Spark's parquet scan. */
@@ -595,14 +655,23 @@ final class LogTable(val path: String,
                             withProv: Boolean = false): DataFrame = {
     if (hasFieldIds(readSchema)) enableFieldIds(spark)
     // provenance attaches PER SCAN: `_metadata` is a scan-level
-    // pseudo-column and does not resolve above a union of scans
-    def prov(df: DataFrame): DataFrame =
-      if (!withProv) df
-      else df.withColumn("__file", col("_metadata.file_path"))
-        .withColumn("__idx", col("_metadata.row_index"))
+    // pseudo-column and does not resolve above a union of scans.
+    // The final shape is EXACTLY the read schema (+ provenance):
+    // hive discovery APPENDS partition columns the explicit schema
+    // does not name (a user-schema read of a hidden-partitioned
+    // table must not leak the hidden column), so project after scan
+    val outCols = readSchema.fieldNames.toSeq ++
+      (if (withProv) Seq("__file", "__idx") else Seq.empty)
+    def shape(df: DataFrame): DataFrame = {
+      val withP =
+        if (!withProv) df
+        else df.withColumn("__file", col("_metadata.file_path"))
+          .withColumn("__idx", col("_metadata.row_index"))
+      withP.select(outCols.map(col): _*)
+    }
     if (partCols.isEmpty && paths.forall(p =>
         !new File(p).getParentFile.getName.contains('=')))
-      return prov(spark.read.schema(readSchema).parquet(paths: _*))
+      return shape(spark.read.schema(readSchema).parquet(paths: _*))
     // hive discovery needs the data root as basePath; a shallow
     // clone's snapshot mixes THIS table's files with absolute
     // references into other roots, and PARTITION EVOLUTION mixes
@@ -622,7 +691,7 @@ final class LogTable(val path: String,
           .map(_.split("=", 2).head))
     }
     paths.groupBy(splitOf).toSeq.map { case ((base, sig), ps) =>
-      prov(
+      shape(
         if (sig.isEmpty) spark.read.schema(readSchema).parquet(ps: _*)
         else spark.read.schema(readSchema).option("basePath", base)
           .parquet(ps: _*))
@@ -684,13 +753,18 @@ final class LogTable(val path: String,
   def load(spark: SparkSession, version: Option[Long] = None): DataFrame = {
     val snap = snapshotAt(version.orElse(currentVersion).getOrElse(
       throw new IllegalStateException(s"no log table at $path")))
-    if (snap.adds.isEmpty)
-      spark.createDataFrame(new java.util.ArrayList[Row](), snap.schema)
-    else if (snap.adds.forall(_.dv.isEmpty))
-      readDataFiles(spark, snap.schema, snap.partitionCols,
-        snap.adds.map(a => absPath(a.path)))
-    else dvAwareRead(spark, snap.schema, snap.partitionCols, snap.adds,
-      keepProvenance = false)
+    // hidden transform columns never reach the user — they are the
+    // ENGINE's layout artifact (Iceberg's hidden partitioning)
+    val hidden = hiddenColsOf(snap)
+    val out =
+      if (snap.adds.isEmpty)
+        spark.createDataFrame(new java.util.ArrayList[Row](), snap.schema)
+      else if (snap.adds.forall(_.dv.isEmpty))
+        readDataFiles(spark, snap.schema, snap.partitionCols,
+          snap.adds.map(a => absPath(a.path)))
+      else dvAwareRead(spark, snap.schema, snap.partitionCols, snap.adds,
+        keepProvenance = false)
+    if (hidden.isEmpty) out else out.drop(hidden: _*)
   }
 
   /** Snapshot read carrying a `__file` column — the parquet file
@@ -706,11 +780,19 @@ final class LogTable(val path: String,
                          version: Option[Long] = None): DataFrame = {
     val snap = snapshotAt(version.orElse(currentVersion).getOrElse(
       throw new IllegalStateException(s"no log table at $path")))
-    if (snap.adds.isEmpty)
-      spark.createDataFrame(new java.util.ArrayList[Row](),
-        snap.schema.add("__file", StringType))
-    else dvAwareRead(spark, snap.schema, snap.partitionCols, snap.adds,
-      keepProvenance = true).drop("__idx")
+    // hidden transform columns drop here too: the merge planner
+    // rewrites USER rows, and the write choke point recomputes the
+    // hidden layout columns from scratch (always fresh — a merge
+    // that updates a transform source can never strand stale
+    // partition values)
+    val hidden = hiddenColsOf(snap)
+    val out =
+      if (snap.adds.isEmpty)
+        spark.createDataFrame(new java.util.ArrayList[Row](),
+          snap.schema.add("__file", StringType))
+      else dvAwareRead(spark, snap.schema, snap.partitionCols, snap.adds,
+        keepProvenance = true).drop("__idx")
+    if (hidden.isEmpty) out else out.drop(hidden: _*)
   }
 
   /** `TIMESTAMP AS OF`: newest version committed at-or-before
@@ -792,6 +874,8 @@ final class LogTable(val path: String,
         if (snap.constraints.isEmpty) None else Some(snap.constraints),
       generatedJson =
         if (snap.generated.isEmpty) None else Some(snap.generated),
+      transformsJson =
+        if (snap.transforms.isEmpty) None else Some(snap.transforms),
       retiredJson =
         if (snap.retiredNames.isEmpty) None else Some(snap.retiredNames),
       tzJson = snap.tz)
@@ -1062,24 +1146,87 @@ final class LogTable(val path: String,
         s"no log table at $path — partition evolution needs an " +
           "existing table")
       val snap = snapshotAt(basis.get)
-      require(cols.distinct == cols, "duplicate partition columns")
-      cols.foreach(c => require(snap.schema.fieldNames.contains(c),
-        s"PARTITIONED BY names unknown column '$c'"))
-      cols.foreach(c => require(!snap.identity.contains(c),
-        s"IDENTITY column '$c' cannot become a partition column"))
-      require(cols != snap.partitionCols,
+      val userStruct = StructType(
+        snap.schema.fields.filterNot(f => snap.transforms.contains(f.name)))
+      val parsed = cols.map(p => p -> PartitionTransforms.parse(p))
+      val transforms = parsed.collect { case (_, Some(t)) => t }
+      val resolved = parsed.map { case (p, ot) =>
+        ot.map(_.hiddenCol).getOrElse(p) }
+      require(resolved.distinct == resolved,
+        s"duplicate partition columns in (${cols.mkString(", ")})")
+      parsed.foreach {
+        case (p, None) =>
+          require(userStruct.fieldNames.contains(p),
+            s"PARTITIONED BY names unknown column '$p'")
+          require(!snap.identity.contains(p),
+            s"IDENTITY column '$p' cannot become a partition column")
+        case _ => ()
+      }
+      require(resolved != snap.partitionCols,
         s"table is already partitioned by (${cols.mkString(", ")})")
-      val reordered =
-        if (cols.isEmpty) None
-        else {
-          val ordered = StructType(
-            snap.schema.fields.filterNot(f => cols.contains(f.name)) ++
-              cols.map(c => snap.schema.fields.find(_.name == c).get))
-          if (ordered == snap.schema) None else Some(ordered.json)
-        }
+      // transforms already active under the SAME spec reuse their
+      // hidden column (its files and stats stay valid); new ones
+      // synthesize a fresh hidden generated column; hidden columns
+      // of transforms LEAVING the spec drop from the schema —
+      // metadata-only, their data-file copies simply go unread
+      val newTs = transforms.filterNot(t =>
+        snap.transforms.get(t.hiddenCol).contains(t.spec))
+      lazy val spark = SparkSession.getActiveSession
+        .orElse(SparkSession.getDefaultSession).getOrElse(
+          throw new IllegalStateException(
+            "partition transforms need an active SparkSession to " +
+              "resolve the hidden column types"))
+      val nextId = snap.schema.fields.flatMap(f =>
+        if (f.metadata.contains(LogTable.FieldIdKey))
+          Some(f.metadata.getLong(LogTable.FieldIdKey))
+        else None).foldLeft(0L)(math.max) + 1L
+      val hiddenAdds = newTs.zipWithIndex.map { case (t, i) =>
+        val src = userStruct.fields.find(_.name == t.source).getOrElse(
+          throw new IllegalArgumentException(
+            s"partition transform '${t.spec}' names unknown column " +
+              s"'${t.source}'"))
+        require(!userStruct.fieldNames.contains(t.hiddenCol) &&
+            !snap.generated.contains(t.hiddenCol),
+          s"transform '${t.spec}' would synthesize hidden column " +
+            s"'${t.hiddenCol}', which already exists")
+        val e = t.exprFor(src)
+        val base = StructField(t.hiddenCol, t.typeFor(src))
+        val f =
+          if (!hasFieldIds(snap.schema)) base
+          else base.copy(metadata = new MetadataBuilder()
+            .putLong(LogTable.FieldIdKey, nextId + i).build())
+        (f, e)
+      }
+      val keepHidden = transforms.map(_.hiddenCol).toSet
+      val droppedHidden = snap.transforms.keySet -- keepHidden
+      val newTransforms = transforms.map(t => t.hiddenCol -> t.spec).toMap
+      val newGenerated = (snap.generated -- droppedHidden) ++
+        hiddenAdds.map { case (f, e) => f.name -> e }
+      val fields0 = snap.schema.fields
+        .filterNot(f => droppedHidden.contains(f.name)) ++
+        hiddenAdds.map(_._1)
+      val ordered =
+        if (resolved.isEmpty) StructType(fields0)
+        else StructType(fields0.filterNot(f => resolved.contains(f.name)) ++
+          resolved.map(c => fields0.find(_.name == c).get))
+      // a zone-sensitive hidden expression on an unpinned table pins
+      // the current session zone, like a first generated write would
+      val tzPin =
+        if (hiddenAdds.isEmpty || snap.tz.isDefined) None
+        else if (hiddenAdds.exists { case (_, e) =>
+          tzSensitive(spark, e, ordered) })
+          Some(spark.sessionState.conf.sessionLocalTimeZone)
+        else None
       commitRetry(basis, Seq.empty, Seq.empty, "partition",
-        schemaJson = reordered, cdfDir = None,
-        partitionJson = Some(cols),
+        schemaJson =
+          if (ordered == snap.schema) None else Some(ordered.json),
+        cdfDir = None,
+        partitionJson = Some(resolved),
+        generatedJson =
+          if (newGenerated == snap.generated) None else Some(newGenerated),
+        transformsJson =
+          if (newTransforms == snap.transforms) None else Some(newTransforms),
+        tzJson = tzPin,
         requireHead = Some(basis))
     }
 
@@ -1121,6 +1268,40 @@ final class LogTable(val path: String,
     * index): a `DELETE WHERE id = x` on a table whose ids arrive
     * unsorted skips nothing by range but nearly everything by
     * bloom. */
+  /** Resolve `partitionBy` entries that are TRANSFORMS into their
+    * synthesized hidden generated columns. Returns (schema with the
+    * hidden columns appended, resolved partition column names, the
+    * generated map with the hidden expressions added, hidden column
+    * → canonical spec). Bare column entries pass through untouched,
+    * so identity-partitioned tables take the zero-cost path. */
+  private def resolveTransforms(base: StructType, partitionBy: Seq[String],
+                                generated: Map[String, String])
+      : (StructType, Seq[String], Map[String, String],
+         Map[String, String]) = {
+    val parsed = partitionBy.map(p => p -> PartitionTransforms.parse(p))
+    val transforms = parsed.collect { case (_, Some(t)) => t }
+    if (transforms.isEmpty)
+      return (base, partitionBy, generated, Map.empty)
+    require(transforms.map(_.hiddenCol).distinct.size == transforms.size,
+      s"duplicate partition transforms in (${partitionBy.mkString(", ")})")
+    val hiddenFields = transforms.map { t =>
+      val src = base.fields.find(_.name == t.source).getOrElse(
+        throw new IllegalArgumentException(
+          s"partition transform '${t.spec}' names unknown column " +
+            s"'${t.source}'"))
+      require(!base.fieldNames.contains(t.hiddenCol) &&
+          !generated.contains(t.hiddenCol),
+        s"transform '${t.spec}' would synthesize hidden column " +
+          s"'${t.hiddenCol}', which already exists")
+      (StructField(t.hiddenCol, t.typeFor(src)), t.exprFor(src))
+    }
+    (StructType(base.fields ++ hiddenFields.map(_._1)),
+      parsed.map { case (p, ot) => ot.map(_.hiddenCol).getOrElse(p) },
+      generated ++ transforms.zip(hiddenFields).map { case (t, (f, e)) =>
+        f.name -> e },
+      transforms.map(t => t.hiddenCol -> t.spec).toMap)
+  }
+
   def create(tableSchema: StructType,
              partitionBy: Seq[String] = Seq.empty,
              bloomFilterBy: Seq[String] = Seq.empty,
@@ -1132,12 +1313,20 @@ final class LogTable(val path: String,
              properties: Map[String, String] = Map.empty): Long = {
     ensureLayout()
     require(currentVersion.isEmpty, s"log table at $path already exists")
-    partitionBy.foreach(c => require(tableSchema.fieldNames.contains(c),
+    // hidden partitioning: a `partitionBy` entry may be a TRANSFORM
+    // (`days(ts)`, `bucket(16, id)`, `truncate(4, seg)`) — resolve
+    // each to a synthesized hidden generated column appended to the
+    // schema; the rest of the machinery then sees a plain
+    // generated-column-partitioned table, and the read surfaces
+    // hide the synthesized columns
+    val (tableSchema0, partitionBy0, generatedAlwaysAs0, transformsMap) =
+      resolveTransforms(tableSchema, partitionBy, generatedAlwaysAs)
+    partitionBy0.foreach(c => require(tableSchema0.fieldNames.contains(c),
       s"PARTITIONED BY names unknown column '$c'"))
     bloomFilterBy.foreach(c => require(tableSchema.fieldNames.contains(c),
       s"bloom index names unknown column '$c'"))
-    generatedAlwaysAs.keys.foreach(c =>
-      require(tableSchema.fieldNames.contains(c),
+    generatedAlwaysAs0.keys.foreach(c =>
+      require(tableSchema0.fieldNames.contains(c),
         s"GENERATED ALWAYS AS names unknown column '$c'"))
     identityColumns.foreach { case (c, spec) =>
       val f = tableSchema.fields.find(_.name == c).getOrElse(
@@ -1148,7 +1337,10 @@ final class LogTable(val path: String,
       require(spec.step != 0L, s"IDENTITY column '$c' needs a nonzero step")
       require(spec.highWater.isEmpty,
         s"IDENTITY column '$c' cannot be created with a high-water mark")
-      require(!generatedAlwaysAs.contains(c) && !partitionBy.contains(c),
+      // an identity column may be a transform SOURCE (bucket over
+      // the surrogate key is the classic layout) but not itself a
+      // generated or bare partition column
+      require(!generatedAlwaysAs0.contains(c) && !partitionBy0.contains(c),
         s"IDENTITY column '$c' cannot also be generated or a " +
           "partition column")
     }
@@ -1161,10 +1353,10 @@ final class LogTable(val path: String,
     // wedge a Project under row-level commands, which Spark's v2
     // strategy rejects
     val ordered0 =
-      if (partitionBy.isEmpty) tableSchema
+      if (partitionBy0.isEmpty) tableSchema0
       else StructType(
-        tableSchema.fields.filterNot(f => partitionBy.contains(f.name)) ++
-          partitionBy.map(c => tableSchema.fields.find(_.name == c).get))
+        tableSchema0.fields.filterNot(f => partitionBy0.contains(f.name)) ++
+          partitionBy0.map(c => tableSchema0.fields.find(_.name == c).get))
     // column mapping (Delta's id mode): every field gets a stable
     // parquet field id, carried in the schema json and written into
     // every data file — [[renameColumn]] then only changes the
@@ -1177,12 +1369,14 @@ final class LogTable(val path: String,
       })
     commitRetry(None, Seq.empty, Seq.empty, "create",
       schemaJson = Some(ordered.json), cdfDir = None,
-      partitionJson = if (partitionBy.isEmpty) None else Some(partitionBy),
+      partitionJson = if (partitionBy0.isEmpty) None else Some(partitionBy0),
       bloomJson = if (bloomFilterBy.isEmpty) None else Some(bloomFilterBy),
       constraintsJson =
         if (checkConstraints.isEmpty) None else Some(checkConstraints),
       generatedJson =
-        if (generatedAlwaysAs.isEmpty) None else Some(generatedAlwaysAs),
+        if (generatedAlwaysAs0.isEmpty) None else Some(generatedAlwaysAs0),
+      transformsJson =
+        if (transformsMap.isEmpty) None else Some(transformsMap),
       identityJson =
         if (identityColumns.isEmpty) None else Some(identityColumns),
       defaultsJson =
@@ -1198,7 +1392,7 @@ final class LogTable(val path: String,
       tzJson = {
         val spk = SparkSession.getActiveSession
           .orElse(SparkSession.getDefaultSession)
-        if (spk.isEmpty || !generatedAlwaysAs.exists { case (_, e) =>
+        if (spk.isEmpty || !generatedAlwaysAs0.exists { case (_, e) =>
             tzSensitive(spk.get, e, ordered0) }) None
         else Some(spk.get.sessionState.conf.sessionLocalTimeZone)
       })
@@ -1481,7 +1675,9 @@ final class LogTable(val path: String,
                           defaultsJson: Option[Map[String, String]] = None,
                           identityBasis:
                             Option[Map[String, Option[Long]]] = None,
-                          propertiesJson: Option[Map[String, String]] = None)
+                          propertiesJson: Option[Map[String, String]] = None,
+                          transformsJson: Option[Map[String, String]] = None,
+                          refsJson: Option[Map[String, String]] = None)
       : Long = {
     ensureLayout()
     var attempts = 0
@@ -1613,6 +1809,12 @@ final class LogTable(val path: String,
         propertiesJson.map(ps => JsonMethods.compact(JsonMethods.render(
           JObject(List("properties" -> JObject(
             ps.toList.map { case (k, v) => k -> JString(v) })))))) ++
+        transformsJson.map(ts => JsonMethods.compact(JsonMethods.render(
+          JObject(List("transforms" -> JObject(
+            ts.toList.map { case (k, v) => k -> JString(v) })))))) ++
+        refsJson.map(rs => JsonMethods.compact(JsonMethods.render(
+          JObject(List("refs" -> JObject(
+            rs.toList.map { case (k, v) => k -> JString(v) })))))) ++
         removePaths.map(p => JsonMethods.compact(JsonMethods.render(
           JObject(List("remove" -> JObject(List("path" -> JString(p)))))))) ++
         adds.map(a => JsonMethods.compact(JsonMethods.render(
@@ -1651,6 +1853,10 @@ final class LogTable(val path: String,
           snap.defaults.toList.map { case (k, v) => k -> JString(v) }),
         "properties" -> JObject(
           snap.properties.toList.map { case (k, v) => k -> JString(v) }),
+        "transforms" -> JObject(
+          snap.transforms.toList.map { case (k, v) => k -> JString(v) }),
+        "refs" -> JObject(
+          snap.refs.toList.map { case (k, v) => k -> JString(v) }),
         "adds" -> JArray(snap.adds.toList.map(renderAdd))))
       val tmp = new File(logDir, s".tmp-ckpt-${UUID.randomUUID()}")
       Files.writeString(tmp.toPath,
@@ -1695,19 +1901,36 @@ final class LogTable(val path: String,
     // to an unstamped file that would null-fill after a later
     // RENAME COLUMN.
     val cur = if (currentVersion.isDefined) Some(schema) else None
+    // null generated values heal at this single write choke point:
+    // coalesce-recompute fills a NULL generated column from its
+    // expression — the partition-evolution backfill path (old-epoch
+    // rows read without the hidden transform column migrate into
+    // the new layout with computed values on any rewrite). Non-null
+    // provided values are NOT touched, so a mismatching explicit
+    // value still refuses at the commit-time validation aggregate.
+    val healed = cur match {
+      case Some(s) if !replacingSchema && generatedCols.nonEmpty =>
+        generatedCols.foldLeft(df) { case (acc, (g, e)) =>
+          s.fields.find(f => f.name == g && acc.columns.contains(g))
+            .map(f => acc.withColumn(g,
+              coalesce(col(g), expr(e).cast(f.dataType))))
+            .getOrElse(acc)
+        }
+      case _ => df
+    }
     val stamped = cur match {
       case Some(s) if hasFieldIds(s) &&
-          df.columns.toSet == s.fieldNames.toSet =>
-        enableFieldIds(df.sparkSession)
-        df.select(s.fields.toSeq.map(f =>
+          healed.columns.toSet == s.fieldNames.toSet =>
+        enableFieldIds(healed.sparkSession)
+        healed.select(s.fields.toSeq.map(f =>
           col(f.name).as(f.name, f.metadata)): _*)
       case Some(s) if hasFieldIds(s) && !replacingSchema =>
         throw new IllegalStateException(
           s"write to column-mapped table at $path carries columns " +
-            s"(${df.columns.mkString(", ")}) that do not match the " +
+            s"(${healed.columns.mkString(", ")}) that do not match the " +
             s"table schema (${s.fieldNames.mkString(", ")}) — field " +
             "ids cannot be stamped")
-      case _ => df
+      case _ => healed
     }
     val w = stamped.write.mode("overwrite")
     if (pc.isEmpty) w else w.partitionBy(pc: _*)
@@ -1787,16 +2010,19 @@ final class LogTable(val path: String,
     val basisVersion = currentVersion
     val existing = basisVersion.map(schemaAt)
     val snapOpt = basisVersion.map(snapshotAt)
+    // identity/DEFAULT policies fill BEFORE generated compute, so a
+    // generated (or hidden transform) column may derive from an
+    // identity or defaulted source — bucket over the surrogate key
+    val (pol, idBasis) = applyColumnPolicies(df0,
+      snapOpt.map(_.identity).getOrElse(Map.empty),
+      snapOpt.map(_.defaults).getOrElse(Map.empty))
     // generated columns the incoming frame omits are computed here
     // (GENERATED ALWAYS AS); ones it provides are validated by the
     // commit-time stats aggregate instead
     val gen = snapOpt.map(_.generated).getOrElse(Map.empty)
-    val genned = gen.foldLeft(df0) { case (acc, (g, e)) =>
+    val df = gen.foldLeft(pol) { case (acc, (g, e)) =>
       if (acc.columns.contains(g)) acc else acc.withColumn(g, expr(e))
     }
-    val (df, idBasis) = applyColumnPolicies(genned,
-      snapOpt.map(_.identity).getOrElse(Map.empty),
-      snapOpt.map(_.defaults).getOrElse(Map.empty))
     val tableSchema = existing match {
       case None => df.schema
       case Some(s) =>
@@ -1869,18 +2095,36 @@ final class LogTable(val path: String,
   /** [[overwrite]] tagged with an idempotent-txn id — the
     * exactly-once full-rebuild path [[MaterializedAgg]] falls back
     * to when the change feed cannot represent a window (RESTORE). */
-  def overwrite(df: DataFrame, txn: Option[(String, Long)]): Long = {
+  def overwrite(df0: DataFrame, txn: Option[(String, Long)]): Long = {
     ensureLayout()
     txn.foreach { case (app, batch) =>
       if (lastCommittedBatch(app).exists(_ >= batch)) return -1L
     }
-    val prior = currentVersion.map(v => snapshotAt(v).adds.map(_.path))
-      .getOrElse(Seq.empty)
+    val snapOpt = currentVersion.map(snapshotAt)
+    // a frame that is exactly the table MINUS some generated
+    // (hidden transform) columns is a DATA replace under the
+    // current contract, not a schema replace: compute the omitted
+    // generated columns and keep the table schema — an overwrite of
+    // a hidden-partitioned table must not strand the layout's
+    // partition spec without its column
+    val (df, outSchema, replacing) = snapOpt match {
+      case Some(snap) if {
+        val missing = snap.schema.fieldNames.filterNot(df0.columns.contains)
+        missing.nonEmpty && missing.forall(snap.generated.contains) &&
+          df0.columns.toSet == (snap.schema.fieldNames.toSet -- missing)
+      } =>
+        val genned = snap.generated.foldLeft(df0) { case (acc, (g, e)) =>
+          if (acc.columns.contains(g)) acc else acc.withColumn(g, expr(e))
+        }
+        (conform(genned, snap.schema), snap.schema, false)
+      case _ => (df0, df0.schema, true)
+    }
+    val prior = snapOpt.map(_.adds.map(_.path)).getOrElse(Seq.empty)
     val staged = new File(newStagingDir())
-    stagedWriter(df, replacingSchema = true).parquet(staged.toString)
-    finalizeStaged(df.sparkSession, staged, df.schema, prior,
+    stagedWriter(df, replacingSchema = replacing).parquet(staged.toString)
+    finalizeStaged(df.sparkSession, staged, outSchema, prior,
       op = "overwrite", readVersion = currentVersion,
-      schemaJson = Some(df.schema.json), cdfDir = None, txn = txn)
+      schemaJson = Some(outSchema.json), cdfDir = None, txn = txn)
   }
 
   /** Newest batch id committed under `app`'s idempotent-txn stream
@@ -1936,9 +2180,11 @@ final class LogTable(val path: String,
       .exists(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
     // externally-produced stagings (DSv2 INSERT, the merge planner)
     // arrive flat and without field ids; a partitioned table needs
-    // the hive layout and a column-mapped table needs ids stamped
-    // into the files — one pass over the delta fixes both
-    if (!flat || (pc.isEmpty && !mapped)) staged
+    // the hive layout, a column-mapped table needs ids stamped into
+    // the files, and a generated-column table needs omitted (hidden
+    // transform) columns computed — one pass over the delta fixes
+    // all three
+    if (!flat || (pc.isEmpty && !mapped && generatedCols.isEmpty)) staged
     else {
       val byName = StructType(s.fields.map(f =>
         f.copy(metadata = Metadata.empty)))
@@ -2249,10 +2495,9 @@ final class LogTable(val path: String,
       throw new IllegalStateException(s"no log table at $path"))
     val snap = snapshotAt(readVersion)
     val base = resolvedConjuncts(spark, snap.schema, pred)
-    val conjuncts =
-      base ++ derivedConjuncts(spark, snap.generated, snap.tz, base)
-    val (skipped, candidates) = snap.adds.partition(
-      provablyNoMatch(_, conjuncts))
+    val derived = derivedConjuncts(spark, snap.generated, snap.tz, base)
+    val (skipped, candidates) = snap.adds.partition(a =>
+      provablyNoMatch(a, base ++ derivedSafeFor(a, derived)))
     if (candidates.isEmpty)
       return RowOpResult(readVersion, 0L, skipped.size, 0, 0)
 
@@ -2381,33 +2626,61 @@ final class LogTable(val path: String,
       sameZone(z, spark.sessionState.conf.sessionLocalTimeZone))
     import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFunction}
 
-    def srcOf(e: expressions.Expression): Option[String] = e match {
-      case c: expressions.Cast => (c.child, c.dataType) match {
-        case (u: UnresolvedAttribute, DateType) => Some(u.name)
-        case _ => None
-      }
-      case f: UnresolvedFunction =>
-        (f.nameParts.last.toLowerCase(java.util.Locale.ROOT),
-          f.arguments) match {
-          case ("to_date" | "date", Seq(u: UnresolvedAttribute)) =>
-            Some(u.name)
-          case ("date_trunc",
-            Seq(_: expressions.Literal, u: UnresolvedAttribute)) =>
-            Some(u.name)
-          case ("trunc",
-            Seq(u: UnresolvedAttribute, _: expressions.Literal)) =>
-            Some(u.name)
-          case ("year", Seq(u: UnresolvedAttribute)) => Some(u.name)
-          case ("substring" | "substr",
-            Seq(u: UnresolvedAttribute, s: expressions.Literal,
-                _: expressions.Literal)) if s.value == 1 => Some(u.name)
-          case ("left",
-            Seq(u: UnresolvedAttribute, _: expressions.Literal)) =>
-            Some(u.name)
+    // template → (source column, monotonic?). Monotonic templates
+    // derive range AND equality conjuncts; non-monotonic ones
+    // (hash buckets) derive equality/IN only — `id > 5` implies
+    // nothing about `pmod(hash(id), 16)`.
+    def srcOf(e: expressions.Expression): Option[(String, Boolean)] =
+      e match {
+        case c: expressions.Cast => (c.child, c.dataType) match {
+          case (u: UnresolvedAttribute, DateType) => Some((u.name, true))
           case _ => None
         }
-      case _ => None
-    }
+        // numeric truncate transform: `c - pmod(c, w)` =
+        // floor(c/w)*w, order-preserving
+        case s: expressions.Subtract => (s.left, s.right) match {
+          case (u: UnresolvedAttribute, f: UnresolvedFunction)
+              if f.nameParts.last.equalsIgnoreCase("pmod") =>
+            f.arguments match {
+              case Seq(u2: UnresolvedAttribute, _: expressions.Literal)
+                  if u2.name == u.name => Some((u.name, true))
+              case _ => None
+            }
+          case _ => None
+        }
+        case f: UnresolvedFunction =>
+          (f.nameParts.last.toLowerCase(java.util.Locale.ROOT),
+            f.arguments) match {
+            case ("to_date" | "date", Seq(u: UnresolvedAttribute)) =>
+              Some((u.name, true))
+            case ("date_trunc",
+              Seq(_: expressions.Literal, u: UnresolvedAttribute)) =>
+              Some((u.name, true))
+            case ("trunc",
+              Seq(u: UnresolvedAttribute, _: expressions.Literal)) =>
+              Some((u.name, true))
+            case ("year", Seq(u: UnresolvedAttribute)) =>
+              Some((u.name, true))
+            case ("substring" | "substr",
+              Seq(u: UnresolvedAttribute, s: expressions.Literal,
+                  _: expressions.Literal)) if s.value == 1 =>
+              Some((u.name, true))
+            case ("left",
+              Seq(u: UnresolvedAttribute, _: expressions.Literal)) =>
+              Some((u.name, true))
+            // bucket transform: `pmod(hash(c), n)` — deterministic,
+            // NOT order-preserving
+            case ("pmod",
+              Seq(h: UnresolvedFunction, _: expressions.Literal))
+                if h.nameParts.last.equalsIgnoreCase("hash") =>
+              h.arguments match {
+                case Seq(u: UnresolvedAttribute) => Some((u.name, false))
+                case _ => None
+              }
+            case _ => None
+          }
+        case _ => None
+      }
 
     // fold transform(literal) through the engine: analyzer resolves
     // the function, ConstantFolding collapses it — extracted from
@@ -2431,7 +2704,7 @@ final class LogTable(val path: String,
     val templates = generated.toSeq.flatMap { case (g, e) =>
       try {
         val parsed = spark.sessionState.sqlParser.parseExpression(e)
-        srcOf(parsed).map(src => (g, src, parsed))
+        srcOf(parsed).map { case (src, mono) => (g, src, parsed, mono) }
       } catch { case NonFatal(_) => None }
     }
     if (templates.isEmpty) return Seq.empty
@@ -2454,23 +2727,24 @@ final class LogTable(val path: String,
       }
 
     conjuncts.flatMap { c =>
-      templates.flatMap { case (g, src, parsed) =>
+      templates.flatMap { case (g, src, parsed, mono) =>
         def d(attr: expressions.Expression, lit: expressions.Expression,
               mk: (expressions.Expression, expressions.Expression) =>
                 expressions.Expression) =
           derive(src, parsed, g, attr, lit, mk)
         c match {
-          // strict bounds weaken: src > L ⟹ g >= T(L)
-          case expressions.GreaterThan(l, r) =>
+          // strict bounds weaken: src > L ⟹ g >= T(L) — for
+          // ORDER-PRESERVING templates only
+          case expressions.GreaterThan(l, r) if mono =>
             d(l, r, expressions.GreaterThanOrEqual) ++
               d(r, l, expressions.LessThanOrEqual)
-          case expressions.GreaterThanOrEqual(l, r) =>
+          case expressions.GreaterThanOrEqual(l, r) if mono =>
             d(l, r, expressions.GreaterThanOrEqual) ++
               d(r, l, expressions.LessThanOrEqual)
-          case expressions.LessThan(l, r) =>
+          case expressions.LessThan(l, r) if mono =>
             d(l, r, expressions.LessThanOrEqual) ++
               d(r, l, expressions.GreaterThanOrEqual)
-          case expressions.LessThanOrEqual(l, r) =>
+          case expressions.LessThanOrEqual(l, r) if mono =>
             d(l, r, expressions.LessThanOrEqual) ++
               d(r, l, expressions.GreaterThanOrEqual)
           case expressions.EqualTo(l, r) =>
@@ -2493,6 +2767,22 @@ final class LogTable(val path: String,
     }
   }
 
+  /** A DERIVED conjunct is sound only where the generated column was
+    * actually COMPUTED: a file carrying null generated values for
+    * non-null sources (the partition-evolution backfill window — the
+    * hidden transform column postdates the file) must not be skipped
+    * by an implication its rows never materialized. Declines per
+    * file whenever the file's stats report ANY null in a referenced
+    * column — less skipping, never wrong. (Files with no stats for
+    * the column carry no bounds and already decline inside the
+    * pruner; rewrites heal nulls at the write choke point, so the
+    * guard's cost decays as the table churns.) */
+  private def derivedSafeFor(file: AddFile,
+      derived: Seq[expressions.Expression]): Seq[expressions.Expression] =
+    if (derived.isEmpty) derived
+    else derived.filter(_.references.forall(r =>
+      file.stats.get(r.name).forall(_.nulls == 0L)))
+
   /** Resolve a user predicate against a schema (an analyzed Filter
     * over an empty local relation): attributes become typed
     * references, literal sides become foldable — the form the stats
@@ -2511,10 +2801,9 @@ final class LogTable(val path: String,
       throw new IllegalStateException(s"no log table at $path"))
     val snap = snapshotAt(readVersion)
     val base = resolvedConjuncts(spark, snap.schema, pred)
-    val conjuncts =
-      base ++ derivedConjuncts(spark, snap.generated, snap.tz, base)
-    val (skipped, candidates) = snap.adds.partition(
-      provablyNoMatch(_, conjuncts))
+    val derived = derivedConjuncts(spark, snap.generated, snap.tz, base)
+    val (skipped, candidates) = snap.adds.partition(a =>
+      provablyNoMatch(a, base ++ derivedSafeFor(a, derived)))
     if (candidates.isEmpty)
       return RowOpResult(readVersion, 0L, skipped.size, 0, 0)
 
@@ -2629,8 +2918,173 @@ final class LogTable(val path: String,
       current.adds.exists(c => c.path == a.path && c.dv == a.dv))
     val removes = current.adds.map(_.path)
       .filterNot(p => target.adds.exists(_.path == p))
+    // the restored state is the TARGET's wholesale — including its
+    // layout metadata: rolling back the schema while the (latest-
+    // wins) partition/transform/generated actions kept pointing at
+    // columns the restored schema no longer carries would strand
+    // the table mid-contract (writes partitioning by a column no
+    // frame has). Governance metadata (constraints, properties,
+    // identity marks) deliberately stays CURRENT — a rollback of
+    // data must not silently rewind policy.
     commitRetry(Some(cur), removes, adds, "restore",
-      schemaJson = Some(target.schema.json), cdfDir = None)
+      schemaJson = Some(target.schema.json), cdfDir = None,
+      partitionJson = Some(target.partitionCols),
+      generatedJson = Some(target.generated),
+      transformsJson = Some(target.transforms))
+  }
+
+  // ---------------------------------------------------------------
+  // refs: tags + fast-forward branches (Iceberg's ref surface)
+
+  private def parseRef(v: String): (String, Long) = {
+    val Array(kind, ver) = v.split(":", 2)
+    (kind, ver.toLong)
+  }
+
+  /** Named refs: name → (kind, version) where kind is `tag` (an
+    * immutable named snapshot) or `branch` (a writable fork; the
+    * version is its FORK point on this log). Persisted as a
+    * latest-wins full-map `refs` action — checkpoint-carried,
+    * replay-identical to constraints/transforms; the commits are
+    * metadata-only (`ref` op, dataChange = false, streams skip). */
+  def refs: Map[String, (String, Long)] = currentVersion
+    .map(v => snapshotAt(v).refs.map { case (n, s) => n -> parseRef(s) })
+    .getOrElse(Map.empty)
+
+  /** Resolve a ref name for `VERSION AS OF '<name>'`: a tag resolves
+    * to its pinned version on THIS log; branches resolve through
+    * [[branchTable]] instead (their head lives on their own log). */
+  def resolveTag(name: String): Long = refs.get(name) match {
+    case Some(("tag", v)) => v
+    case Some((kind, _)) => throw new IllegalArgumentException(
+      s"ref '$name' is a $kind, not a tag")
+    case None => throw new IllegalArgumentException(
+      s"no ref '$name' on the log table at $path")
+  }
+
+  private def requireRefName(name: String): Unit =
+    require(name.matches("[A-Za-z0-9][A-Za-z0-9._-]*"),
+      s"ref name '$name' must be alphanumeric with . _ - only")
+
+  /** Iceberg's `CREATE TAG`: pin `version` (default the head) under
+    * a name — time travel by name, and VACUUM keeps the tagged
+    * snapshot's files however old they get. One metadata commit. */
+  def createTag(name: String, version: Option[Long] = None): Long =
+    createRef(name, "tag", version)
+
+  private def createRef(name: String, kind: String,
+                        version: Option[Long]): Long =
+    retryMetadataCommit { basis =>
+      if (basis.isEmpty) throw new IllegalStateException(
+        s"no log table at $path — refs need an existing table")
+      requireRefName(name)
+      val snap = snapshotAt(basis.get)
+      require(!snap.refs.contains(name), s"ref '$name' already exists")
+      val v = version.getOrElse(basis.get)
+      require(versions.contains(v), s"no committed version $v to tag")
+      commitRetry(basis, Seq.empty, Seq.empty, "ref",
+        schemaJson = None, cdfDir = None,
+        refsJson = Some(snap.refs + (name -> s"$kind:$v")),
+        requireHead = Some(basis))
+    }
+
+  /** Drop a tag or branch ref. A branch's directory (and any files
+    * a past fast-forward published from it) stays on disk — refs
+    * are pointers, never data. */
+  def dropRef(name: String): Long =
+    retryMetadataCommit { basis =>
+      if (basis.isEmpty) throw new IllegalStateException(
+        s"no log table at $path")
+      val snap = snapshotAt(basis.get)
+      require(snap.refs.contains(name), s"no ref '$name' to drop")
+      commitRetry(basis, Seq.empty, Seq.empty, "ref",
+        schemaJson = None, cdfDir = None,
+        refsJson = Some(snap.refs - name),
+        requireHead = Some(basis))
+    }
+
+  private def branchDir(name: String): String = s"$path/_branch_$name"
+
+  /** Create a WRITABLE branch at the current head: a shallow clone
+    * (metadata-only, zero data copies — the existing [[cloneFrom]]
+    * machinery) under `_branch_<name>/` inside the table directory,
+    * plus a `branch` ref recording the FORK version. Work lands on
+    * the branch through the full table API (its own log, its own
+    * commits); [[mergeBranch]] fast-forwards main onto it. */
+  def createBranch(name: String): LogTable = {
+    requireRefName(name)
+    val head = currentVersion.getOrElse(
+      throw new IllegalStateException(s"no log table at $path"))
+    require(!refs.contains(name), s"ref '$name' already exists")
+    val bt = new LogTable(branchDir(name),
+      checkpointInterval = checkpointInterval)
+    require(bt.currentVersion.isEmpty,
+      s"branch directory for '$name' already exists")
+    bt.cloneFrom(this, Some(head))
+    createRef(name, "branch", Some(head))
+    bt
+  }
+
+  /** The branch's own table handle (read AND write). */
+  def branchTable(name: String): LogTable = refs.get(name) match {
+    case Some(("branch", _)) =>
+      new LogTable(branchDir(name), checkpointInterval = checkpointInterval)
+    case Some((kind, _)) => throw new IllegalArgumentException(
+      s"ref '$name' is a $kind, not a branch")
+    case None => throw new IllegalArgumentException(
+      s"no ref '$name' on the log table at $path")
+  }
+
+  /** FAST-FORWARD merge: make main's state the branch's current
+    * state, in ONE commit (file adds/removes by reference + the
+    * branch's schema/layout metadata — zero data movement; branch-
+    * local files publish by path, normalized back under this root).
+    * Refused with a conflict if main advanced past the fork point
+    * by anything but ref bookkeeping — the Nessie/Iceberg
+    * fast-forward rule; re-branch and replay to rebase. The ref is
+    * consumed. */
+  def mergeBranch(name: String): Long = {
+    val (kind, fork) = refs.getOrElse(name,
+      throw new IllegalArgumentException(s"no ref '$name'"))
+    require(kind == "branch", s"ref '$name' is a $kind, not a branch")
+    val bt = branchTable(name)
+    val bHead = bt.currentVersion.getOrElse(
+      throw new IllegalStateException(s"branch '$name' has no commits"))
+    val target = bt.snapshotAt(bHead)
+    retryMetadataCommit { basis =>
+      val head = basis.getOrElse(
+        throw new IllegalStateException(s"no log table at $path"))
+      val interlopers = versions.filter(v => v > fork && v <= head)
+        .filterNot(v => commitOp(v) == "ref")
+      if (interlopers.nonEmpty)
+        throw new java.util.ConcurrentModificationException(
+          s"cannot fast-forward '$name': main advanced past fork " +
+            s"$fork (commits ${interlopers.mkString(", ")}) — " +
+            "re-branch from the new head and replay")
+      val cur = snapshotAt(head)
+      val rootPrefix = new File(path).getAbsolutePath + "/"
+      // branch adds reference either main's files (absolute, from
+      // the clone seed) or branch-local ones — normalize anything
+      // under THIS root back to a relative path so vacuum's keep
+      // set and the scan see one canonical form
+      def norm(p: String): String = {
+        val abs = if (p.startsWith("/")) p else s"${bt.path}/$p"
+        if (abs.startsWith(rootPrefix)) abs.substring(rootPrefix.length)
+        else abs
+      }
+      val tAdds = target.adds.map(a => a.copy(path = norm(a.path),
+        dv = a.dv.map(d => d.copy(path = norm(d.path)))))
+      val removes = cur.adds.map(_.path)
+        .filterNot(p => tAdds.exists(_.path == p))
+      val adds = tAdds.filterNot(a => cur.adds.contains(a))
+      commitRetry(basis, removes, adds, "merge",
+        schemaJson = Some(target.schema.json), cdfDir = None,
+        partitionJson = Some(target.partitionCols),
+        generatedJson = Some(target.generated),
+        transformsJson = Some(target.transforms),
+        refsJson = Some(snapshotAt(head).refs - name),
+        requireHead = Some(basis))
+    }
   }
 
   /** `DESCRIBE HISTORY` analog: one row per commit, newest last —
@@ -2659,7 +3113,7 @@ final class LogTable(val path: String,
     * `_commit_version`. */
   def changes(spark: SparkSession, fromVersion: Long,
               toVersion: Long): DataFrame = {
-    val s = schema
+    val s = userSchema // hidden transform columns never reach the feed
     val pc = partitionCols
     def tagged(df: DataFrame, tpe: String, v: Long): DataFrame =
       df.withColumn("_change_type", lit(tpe))
@@ -2726,12 +3180,14 @@ final class LogTable(val path: String,
     val readVersion = currentVersion.getOrElse(
       throw new IllegalStateException(s"no log table at $path"))
     val snap = snapshotAt(readVersion)
-    val conjuncts = where.map { w =>
+    val (baseConj, derivedConj) = where.map { w =>
       val base = resolvedConjuncts(spark, snap.schema, w)
-      base ++ derivedConjuncts(spark, snap.generated, snap.tz, base)
-    }.getOrElse(Seq.empty)
+      (base, derivedConjuncts(spark, snap.generated, snap.tz, base))
+    }.getOrElse((Seq.empty[expressions.Expression],
+      Seq.empty[expressions.Expression]))
     val small = snap.adds.filter(a => a.bytes < smallBytes &&
-      (conjuncts.isEmpty || !provablyNoMatch(a, conjuncts)))
+      ((baseConj.isEmpty && derivedConj.isEmpty) ||
+        !provablyNoMatch(a, baseConj ++ derivedSafeFor(a, derivedConj))))
     if (small.size < 2) return readVersion
     val groups = math.max(1,
       math.ceil(small.map(_.bytes).sum.toDouble / targetBytes).toInt)
@@ -2858,7 +3314,14 @@ final class LogTable(val path: String,
       s"need retentionMillis >= 0, got $retentionMillis")
     val horizon = System.currentTimeMillis() - retentionMillis
     val vs = versions
-    val retained = vs.takeRight(retainLast)
+    // refs pin history: a TAGGED snapshot's files stay however old,
+    // and a BRANCH's fork snapshot stays (the branch's clone seed
+    // references exactly those files; its own new files live under
+    // its `_branch_*/` dir, which this walk never visits)
+    val reffed = currentVersion.toSeq
+      .flatMap(v => snapshotAt(v).refs.values.map(parseRef(_)._2))
+      .filter(vs.contains)
+    val retained = (vs.takeRight(retainLast) ++ reffed).distinct.sorted
     val keep = retained.flatMap(v => snapshotAt(v).adds.map(_.path)).toSet
     val root = new File(path).toPath.toAbsolutePath
     def rel(f: File): String =

@@ -36,7 +36,9 @@ final class GraftLogTableV2(tableName: String, log: LogTable)
   extends Table with SupportsRead with SupportsWrite with SupportsDelete {
 
   private def spark = SparkSession.active
-  private val tableSchema: StructType = log.schema
+  // the USER's schema: hidden partition-transform columns are the
+  // engine's layout artifact and never surface through SQL
+  private val tableSchema: StructType = log.userSchema
 
   /** The underlying log, for the row-level SQL dispatch strategy. */
   private[sources] def logTable: LogTable = log
@@ -56,13 +58,30 @@ final class GraftLogTableV2(tableName: String, log: LogTable)
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
 
-  /** Surface the hive partition columns as identity transforms, so
-    * `DESCRIBE TABLE` and catalog introspection show the layout. */
+  /** Surface the layout in catalog introspection (`DESCRIBE`):
+    * identity columns as identity transforms, hidden-partitioning
+    * columns as their TRANSFORM over the source column — the user
+    * sees `days(ts)`, never the synthesized hidden column. */
   override def partitioning()
-      : Array[org.apache.spark.sql.connector.expressions.Transform] =
-    log.partitionCols.map(c =>
-      org.apache.spark.sql.connector.expressions.Expressions.identity(c))
-      .toArray
+      : Array[org.apache.spark.sql.connector.expressions.Transform] = {
+    import org.apache.spark.sql.connector.expressions.Expressions
+    val transforms = log.partitionTransforms
+    log.partitionCols.map { c =>
+      transforms.get(c).flatMap(PartitionTransforms.parse) match {
+        case Some(t) => t.kind match {
+          case "years"  => Expressions.years(t.source)
+          case "months" => Expressions.months(t.source)
+          case "days"   => Expressions.days(t.source)
+          case "hours"  => Expressions.hours(t.source)
+          case "bucket" => Expressions.bucket(t.param.get, t.source)
+          case "truncate" => Expressions.apply("truncate",
+            Expressions.literal(Int.box(t.param.get)),
+            Expressions.column(t.source))
+        }
+        case None => Expressions.identity(c)
+      }
+    }.toArray
+  }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     if (GraftLogTableV2.needsV1Bridge(log, None))
@@ -142,7 +161,13 @@ object GraftLogTableV2 {
     val adds = log.liveAdds(version)
     val snapPartCols = version.map(log.partitionColsAt)
       .getOrElse(log.partitionCols)
+    val transforms = version.map(log.partitionTransformsAt)
+      .getOrElse(log.partitionTransforms)
     adds.exists(_.dv.isDefined) ||
+      // hidden partitioning: the synthesized transform column must
+      // not surface through a raw FileTable scan — the bridge
+      // serves `LogTable.load`, which projects it away
+      transforms.nonEmpty ||
       (snapPartCols.nonEmpty && adds.exists(_.path.startsWith("/"))) ||
       adds.map(_.partitionValues.keySet).distinct.size > 1 ||
       adds.exists(_.partitionValues.keySet != snapPartCols.toSet)
@@ -195,13 +220,13 @@ private[sources] final class DvScanBuilder(log: LogTable,
 
   override def build(): Scan = new V1Scan {
     override def readSchema(): StructType =
-      version.map(log.schemaAt).getOrElse(log.schema)
+      version.map(log.userSchemaAt).getOrElse(log.userSchema)
     override def toV1TableScan[T <: BaseRelation with TableScan](
         context: SQLContext): T =
       new BaseRelation with TableScan {
         override def sqlContext: SQLContext = context
         override def schema: StructType =
-          version.map(log.schemaAt).getOrElse(log.schema)
+          version.map(log.userSchemaAt).getOrElse(log.userSchema)
         override def buildScan(): org.apache.spark.rdd.RDD[
           org.apache.spark.sql.Row] =
           log.load(context.sparkSession, version).rdd
@@ -217,7 +242,7 @@ private[sources] final class DvReadTable(tableName: String, log: LogTable,
   extends Table with SupportsRead {
   override def name(): String = tableName
   override def schema(): StructType =
-    version.map(log.schemaAt).getOrElse(log.schema)
+    version.map(log.userSchemaAt).getOrElse(log.userSchema)
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =

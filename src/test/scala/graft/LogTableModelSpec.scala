@@ -58,6 +58,7 @@ class LogTableModelSpec extends SparkSpec {
     }
 
     (0 until 40).foreach { step =>
+      try {
       rnd.nextInt(7) match {
         case 0 | 1 | 2 => // append (most common, as in real tables)
           val b = freshBatch()
@@ -100,13 +101,25 @@ class LogTableModelSpec extends SparkSpec {
               case 1 => t.cluster(spark, Seq("k"), nFiles = 2)
               case 2 => t.purgeDeletes(spark)
               case 3 => t.setTableProperties(Map("step" -> s"$step"))
-              case 4 => // partition evolution: flip the hive layout —
-                // subsequent appends/rewrites mix epochs in one
-                // snapshot, which every later op must read correctly
+              case 4 => // partition evolution: cycle the layout
+                // through identity, HIDDEN-TRANSFORM (bucket) and
+                // unpartitioned epochs — subsequent appends/rewrites
+                // mix epochs in one snapshot, which every later op
+                // must read correctly and must never leak the
+                // hidden column through
                 t.setPartitionColumns(
-                  if (t.partitionCols.isEmpty) Seq("v") else Seq.empty)
+                  if (t.partitionCols == Seq("v")) Seq("bucket(4,k)")
+                  else if (t.partitionCols.isEmpty) Seq("v")
+                  else Seq.empty)
             }
           }
+      }
+      } catch { case e: Throwable =>
+        println(s"STEP $step FAILED schema=" +
+          (if (t.exists) t.schema.fieldNames.mkString(",") else "-") +
+          " parts=" + t.partitionCols.mkString(",") +
+          " transforms=" + t.partitionTransforms)
+        throw e
       }
       afterOp()
     }
