@@ -101,7 +101,7 @@ class LogRefsSpec extends SparkSpec {
     }
     // main kept its own state; the branch is still intact
     assert(t.load(spark).count() == 8L)
-    assert(t.branchTable("dev2").load(spark).count() == 6L)
+    assert(t.branchTable("dev2").load(spark).count() == 9L)
   }
 
   test("SQL surface: VERSION AS OF 'tag' and VERSION AS OF 'branch', " +
