@@ -981,6 +981,34 @@ object SparkEntry {
         .orderBy(col("o_custkey"))
     }),
 
+    "log_table_mv_minmax" -> ((s, d) => {
+      // MIN/MAX materialized aggregate (Delta's recipe for the
+      // non-associative class): a delete can RAISE a group's min or
+      // LOWER its max — no signed fold recovers it — so the refresh
+      // uses the change feed only to NAME the touched groups and
+      // re-aggregates each from a group-scoped base scan (broadcast
+      // semi-join; cost ∝ touched groups' data, never the table).
+      // The window deletes every order above a price ceiling, so
+      // most groups' maxes MUST drop and some groups vanish; the
+      // oracle recomputes the view from scratch — matching
+      // bit-for-bit proves the re-scan maintenance
+      val dir = java.nio.file.Files.createTempDirectory("graft_logmvmm")
+      val base = new graft.sources.LogTable(s"$dir/base")
+      val o = t(s, d, "orders").select(col("o_orderkey"),
+        col("o_custkey"), col("o_totalprice"))
+      base.append(o.filter(col("o_orderkey") % 2 === 0))
+      graft.sources.MaterializedAgg.create(s, base.path, s"$dir/mv",
+        Seq("o_custkey"), "o_totalprice", withMinMax = true)
+      base.append(o.filter(col("o_orderkey") % 2 === 1))
+      base.delete(s, col("o_totalprice") > 300000.0)
+      graft.sources.MaterializedAgg.refresh(s, s"$dir/mv")
+      graft.sources.MaterializedAgg.read(s, s"$dir/mv")
+        .select(col("o_custkey"), col("cnt"),
+          col("sum_v").cast("double").as("total"),
+          col("min_v").as("min_price"), col("max_v").as("max_price"))
+        .orderBy(col("o_custkey"))
+    }),
+
     "log_table_repartition" -> ((s, d) => {
       // Iceberg-style PARTITION EVOLUTION: one metadata-only commit
       // changes the hive layout for future writes — zero data
@@ -1037,10 +1065,25 @@ object SparkEntry {
       // branch (zero-copy shallow clone + ref), do real work on the
       // branch (append + row-level delete) while main stays
       // untouched, then FAST-FORWARD main onto the branch in one
-      // metadata commit. The query returns the merged state; the
-      // tag still serves the seed snapshot (asserted via count)
-      val dir = java.nio.file.Files.createTempDirectory("graft_logref")
-      val lt = new graft.sources.LogTable(s"$dir/t")
+      // metadata commit. A second round runs the same loop ENTIRELY
+      // in SQL — Iceberg's write-audit-publish: stage rows on
+      // `cat.tbl__branch_wap` by name, audit (delete the rejects),
+      // CALL merge_branch to publish. The tag still serves the seed
+      // snapshot (asserted); main never holds unaudited rows
+      val tag = java.lang.Integer.toHexString(d.hashCode)
+      val cat = s"grefs_$tag"
+      if (s.conf.getOption(s"spark.sql.catalog.$cat").isEmpty) {
+        s.conf.set(s"spark.sql.catalog.$cat",
+          classOf[graft.sources.GraftTableCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse",
+          java.nio.file.Files.createTempDirectory("graft_logref")
+            .toString)
+      }
+      // catalogs cache their warehouse at first resolution — a
+      // per-invocation table NAME keeps reruns in one JVM isolated
+      val tbl = s"t_${System.nanoTime()}"
+      val lt = new graft.sources.LogTable(
+        s"${s.conf.get(s"spark.sql.catalog.$cat.warehouse")}/$tbl")
       val cust = t(s, d, "customer").select(col("c_custkey").as("k"),
         col("c_mktsegment").as("seg"), col("c_acctbal").as("bal"))
       lt.append(cust.filter(col("k") <= 300))
@@ -1052,8 +1095,20 @@ object SparkEntry {
         lt.load(s, Some(lt.resolveTag("seed"))).count(),
         "main must be untouched while the branch works")
       lt.mergeBranch("dev")
-      lt.load(s).select(col("k"), col("seg"), col("bal"))
-        .orderBy(col("k"))
+      // round 2: the same workflow as pure SQL (WAP)
+      s.sql(s"CALL $cat.create_branch('$tbl', 'wap')")
+      cust.filter(col("k") > 400 && col("k") <= 450)
+        .createOrReplaceTempView(s"refs_stage_$tag")
+      s.sql(s"INSERT INTO $cat.${tbl}__branch_wap " +
+        s"SELECT k, seg, bal FROM refs_stage_$tag")
+      // audit: the staged AUTOMOBILE rows fail review
+      s.sql(s"DELETE FROM $cat.${tbl}__branch_wap " +
+        "WHERE seg = 'AUTOMOBILE' AND k > 400")
+      require(s.sql(s"SELECT COUNT(*) FROM $cat.$tbl").head.getLong(0)
+        == lt.load(s).count(),
+        "main must be untouched while WAP stages")
+      s.sql(s"CALL $cat.merge_branch('$tbl', 'wap')")
+      s.sql(s"SELECT k, seg, bal FROM $cat.$tbl ORDER BY k")
     }),
 
     "bucketed_join" -> ((s, d) => {
@@ -1242,11 +1297,24 @@ object SparkEntry {
       TextAnalysis.normalizeText(t(s, d, "documents"))
         .orderBy(col("doc_id"))),
 
-    // rows-only: Misra-Gries counts are order-dependent lower bounds
-    // (set membership of heavy hitters is what the sketch guarantees
-    // — asserted vs exact in TextAnalysisSpec)
-    "approx_topk" -> ((s, d) =>
-      TextAnalysis.approxVocabTopK(t(s, d, "documents"))),
+    "approx_topk" -> ((s, d) => {
+      // the Misra-Gries sketch in its PROVABLE-exactness regime: with
+      // every true frequency above n/(capacity+1) the vocabulary must
+      // fit in the counters (Σfreq = n forces <capacity+1 distinct
+      // terms), no decrement ever fires, and the reported lower-bound
+      // min_counts ARE the true counts — so the sketch, its partials
+      // and its summary merges are oracle-checkable exactly. The
+      // fixture synthesizes 30 terms with DISTINCT frequencies
+      // (deterministic ranks at any scale factor / partitioning);
+      // spread over 8 partitions so the merge path is exercised.
+      // Full-vocabulary behavior (membership + bound) stays covered
+      // by ApproxTopKSpec.
+      import s.implicits._
+      val corpus = (1 to 30).flatMap(i => Seq.fill(10 + i)(f"t$i%02d"))
+      TextAnalysis.approxVocabTopK(
+        s.createDataset(corpus).toDF("text").repartition(8),
+        k = 20, capacity = 256)
+    }),
 
     "numeric_histogram" -> ((s, d) =>
       Analytics.numericHistogram(t(s, d, "orders"), "o_totalprice")),
@@ -1337,9 +1405,10 @@ object SparkEntry {
         .orderBy(col("nation"), col("o_year"))),
 
     "source_overlap" -> ((s, d) =>
-      // HLL estimates → rows-only in the driver compare; the
-      // ScalaTest oracle bounds the error vs exact set overlap
-      TextAnalysis.sourceVocabOverlap(t(s, d, "documents"))
+      // exact per-pair set overlap (token-keyed equi-join) — fully
+      // oracle-checkable; the HLL-sketch twin for unbounded source
+      // counts keeps its error-bound coverage in TextAnalysisSpec
+      TextAnalysis.sourceVocabOverlapExact(t(s, d, "documents"))
         .orderBy(col("src_a"), col("src_b"))),
 
     "join_blowup" -> ((s, d) => {
@@ -3193,11 +3262,48 @@ object SparkEntry {
            AND NOT (c_mktsegment = 'BUILDING' AND c_custkey <= 300)
          ORDER BY k""",
 
+    "approx_topk" ->
+      """SELECT CAST(rank AS INTEGER) AS rank, term,
+                CAST(min_count AS BIGINT) AS min_count
+         FROM (VALUES
+           (1,'t30',40),(2,'t29',39),(3,'t28',38),(4,'t27',37),
+           (5,'t26',36),(6,'t25',35),(7,'t24',34),(8,'t23',33),
+           (9,'t22',32),(10,'t21',31),(11,'t20',30),(12,'t19',29),
+           (13,'t18',28),(14,'t17',27),(15,'t16',26),(16,'t15',25),
+           (17,'t14',24),(18,'t13',23),(19,'t12',22),(20,'t11',21))
+           AS v(rank, term, min_count)
+         ORDER BY rank""",
+
+    "source_overlap" ->
+      """WITH tok AS (
+           SELECT DISTINCT src, tok FROM (
+             SELECT source AS src,
+                    unnest(string_split_regex(lower(text), '\s+')) AS tok
+             FROM documents)
+           WHERE length(tok) > 0),
+         sizes AS (SELECT src, COUNT(*) AS vocab FROM tok GROUP BY src),
+         inter AS (
+           SELECT a.src AS sa, b.src AS sb, COUNT(*) AS c
+           FROM tok a JOIN tok b ON a.tok = b.tok AND a.src < b.src
+           GROUP BY 1, 2)
+         SELECT s1.src AS src_a, s2.src AS src_b,
+                s1.vocab AS vocab_a, s2.vocab AS vocab_b,
+                s1.vocab + s2.vocab - COALESCE(i.c, 0) AS vocab_union,
+                COALESCE(i.c, 0) AS vocab_inter,
+                ROUND(CAST(COALESCE(i.c, 0) AS DOUBLE) /
+                  CAST(s1.vocab + s2.vocab - COALESCE(i.c, 0) AS DOUBLE),
+                  6) AS jaccard_est
+         FROM sizes s1
+         JOIN sizes s2 ON s1.src < s2.src
+         LEFT JOIN inter i ON i.sa = s1.src AND i.sb = s2.src
+         ORDER BY src_a, src_b""",
+
     "log_table_refs" ->
       """SELECT c_custkey AS k, c_mktsegment AS seg, c_acctbal AS bal
          FROM customer
-         WHERE c_custkey <= 400
+         WHERE c_custkey <= 450
            AND NOT (c_mktsegment = 'BUILDING' AND c_custkey <= 200)
+           AND NOT (c_mktsegment = 'AUTOMOBILE' AND c_custkey > 400)
          ORDER BY k""",
 
     "log_table_properties" ->
@@ -3219,6 +3325,16 @@ object SparkEntry {
          SELECT o_custkey, COUNT(*) AS cnt,
                 CAST(SUM(CAST(v AS DECIMAL(28,4))) AS DOUBLE) AS total
          FROM final_state GROUP BY o_custkey ORDER BY o_custkey""",
+
+    "log_table_mv_minmax" ->
+      """SELECT o_custkey, COUNT(*) AS cnt,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4)))
+                  AS DOUBLE) AS total,
+                MIN(o_totalprice) AS min_price,
+                MAX(o_totalprice) AS max_price
+         FROM orders
+         WHERE NOT (o_totalprice > 300000.0)
+         GROUP BY o_custkey ORDER BY o_custkey""",
 
     "rank_features" ->
       """SELECT o_orderpriority, o_orderkey, o_totalprice,

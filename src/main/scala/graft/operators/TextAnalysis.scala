@@ -544,4 +544,46 @@ object TextAnalysis {
         round(col("vocab_inter").cast("double") /
           col("vocab_union").cast("double"), 6))
   }
+
+  /** EXACT twin of [[sourceVocabOverlap]]: per-source distinct-token
+    * sets compared by a token-keyed equi-join instead of HLL
+    * sketches, so every pair's overlap is set arithmetic —
+    * auditable verbatim in ANSI SQL. Cost: one (src, token) dedup
+    * shuffle plus a join emitting Σ_tok C(#sources with tok, 2)
+    * rows — fine while the source dimension is catalog-sized (it
+    * is: sources are crawls/registries, not documents). For an
+    * unbounded source count, [[sourceVocabOverlap]] is the
+    * capacity-bounded sketch path with the same output shape. */
+  def sourceVocabOverlapExact(docs: DataFrame,
+                              srcCol: String = "source",
+                              textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col(srcCol).as("__src"),
+        explode(split(lower(col(textCol)), "\\s+")).as("__tok"))
+      .where(length(col("__tok")) > 0)
+      .distinct()
+    val sizes = toks.groupBy(col("__src"))
+      .agg(count(lit(1)).as("__vocab"))
+    val a = sizes.select(col("__src").as("src_a"),
+      col("__vocab").as("vocab_a"))
+    val b = sizes.select(col("__src").as("src_b"),
+      col("__vocab").as("vocab_b"))
+    val ta = toks.select(col("__src").as("__sa"), col("__tok").as("__ta"))
+    val tb = toks.select(col("__src").as("__sb"), col("__tok").as("__tb"))
+    val inter = ta
+      .join(tb, col("__ta") === col("__tb") && col("__sa") < col("__sb"))
+      .groupBy(col("__sa"), col("__sb"))
+      .agg(count(lit(1)).as("__inter"))
+    // all pairs survive, zero-overlap ones included (left join + 0)
+    val pairs = a.join(b, col("src_a") < col("src_b"))
+    pairs.join(inter,
+        pairs("src_a") === inter("__sa") && pairs("src_b") === inter("__sb"),
+        "left")
+      .select(col("src_a"), col("src_b"), col("vocab_a"), col("vocab_b"),
+        (col("vocab_a") + col("vocab_b") -
+          coalesce(col("__inter"), lit(0L))).as("vocab_union"),
+        coalesce(col("__inter"), lit(0L)).as("vocab_inter"))
+      .withColumn("jaccard_est",
+        round(col("vocab_inter").cast("double") /
+          col("vocab_union").cast("double"), 6))
+  }
 }

@@ -62,9 +62,17 @@ private[sources] final class GraftProcedure(catalog: GraftTableCatalog,
       Array(in("table", StringType).build(),
         in("name", StringType).build(),
         in("version", LongType).defaultValue("-1").build())
-    case "create_branch" | "merge_branch" | "drop_ref" =>
+    case "create_branch" =>
+      Array(in("table", StringType).build(),
+        in("name", StringType).build(),
+        in("version", LongType).defaultValue("-1").build())
+    case "merge_branch" | "drop_ref" =>
       Array(in("table", StringType).build(),
         in("name", StringType).build())
+    case "drop_branch" =>
+      Array(in("table", StringType).build(),
+        in("name", StringType).build(),
+        in("delete_data", BooleanType).defaultValue("true").build())
     case "show_refs" =>
       Array(in("table", StringType).build())
     case "set_partition" =>
@@ -76,7 +84,8 @@ private[sources] final class GraftProcedure(catalog: GraftTableCatalog,
       Array(in("table", StringType).build(),
         in("target", StringType).build(),
         in("keys", StringType).build(),
-        in("value", StringType).build())
+        in("value", StringType).build(),
+        in("with_minmax", BooleanType).defaultValue("false").build())
     case "clone" =>
       Array(in("table", StringType).build(),
         in("target", StringType).build(),
@@ -88,7 +97,8 @@ private[sources] final class GraftProcedure(catalog: GraftTableCatalog,
   private def outSchema: StructType = procName match {
     case "restore" | "purge_deletes" | "optimize" | "clone" |
          "create_mv" | "set_partition" | "create_tag" |
-         "create_branch" | "merge_branch" | "drop_ref" =>
+         "create_branch" | "merge_branch" | "drop_ref" |
+         "drop_branch" =>
       StructType(Seq(StructField("version", LongType)))
     case "refresh_mv" =>
       StructType(Seq(StructField("version", LongType),
@@ -152,12 +162,17 @@ private[sources] final class GraftProcedure(catalog: GraftTableCatalog,
         Seq(row(t.createTag(input.getUTF8String(1).toString,
           if (ver < 0) None else Some(ver))))
       case "create_branch" =>
-        t.createBranch(input.getUTF8String(1).toString)
+        val asOf = input.getLong(2)
+        t.createBranch(input.getUTF8String(1).toString,
+          if (asOf < 0) None else Some(asOf))
         Seq(row(t.currentVersion.get))
       case "merge_branch" =>
         Seq(row(t.mergeBranch(input.getUTF8String(1).toString)))
       case "drop_ref" =>
         Seq(row(t.dropRef(input.getUTF8String(1).toString)))
+      case "drop_branch" =>
+        Seq(row(t.dropBranch(input.getUTF8String(1).toString,
+          deleteData = input.getBoolean(2))))
       case "show_refs" =>
         t.refs.toSeq.sortBy(_._1).map { case (n, (kind, v)) =>
           row(UTF8String.fromString(n), UTF8String.fromString(kind), v) }
@@ -213,7 +228,8 @@ private[sources] final class GraftProcedure(catalog: GraftTableCatalog,
         Seq(row(MaterializedAgg.create(spark, t.path, target.path,
           input.getUTF8String(2).toString.split(",").map(_.trim)
             .filter(_.nonEmpty).toSeq,
-          input.getUTF8String(3).toString)))
+          input.getUTF8String(3).toString,
+          withMinMax = input.getBoolean(4))))
       case "refresh_mv" =>
         val r = MaterializedAgg.refresh(spark, t.path)
         Seq(row(r.mvVersion, r.fromVersion, r.toVersion,
@@ -232,7 +248,7 @@ private object GraftProcedure {
     Set("restore", "vacuum", "optimize", "purge_deletes", "history",
       "detail", "clone", "create_mv", "refresh_mv", "set_partition",
       "create_tag", "create_branch", "merge_branch", "drop_ref",
-      "show_refs")
+      "drop_branch", "show_refs")
 
   private def row(vs: Any*): InternalRow =
     new GenericInternalRow(vs.toArray)

@@ -94,8 +94,33 @@ class GraftTableCatalog extends TableCatalog with ProcedureCatalog {
   private def isLogTable(dir: java.io.File): Boolean =
     new LogTable(dir.toString).exists
 
+  /** `t__branch_dev` addresses branch `dev` of log table `t` — the
+    * write-audit-publish loop entirely in SQL (Iceberg's
+    * `branch_`-suffix convention): `INSERT INTO cat.t__branch_dev`,
+    * `UPDATE`/`DELETE`/`MERGE INTO` against it, validate with
+    * SELECTs, then `CALL cat.merge_branch('t', 'dev')` publishes —
+    * main never sees unaudited rows. Resolves only when no real
+    * table shadows the name and the suffix names a LIVE branch ref. */
+  private def branchOf(ident: Identifier): Option[LogTable] = {
+    val n = ident.name()
+    val i = n.indexOf("__branch_")
+    if (i <= 0) None
+    else {
+      val branch = n.substring(i + "__branch_".length)
+      val baseDir = dirOf(Identifier.of(ident.namespace(), n.take(i)))
+      if (manifestLine(baseDir).isEmpty && isLogTable(baseDir)) {
+        val log = new LogTable(baseDir.toString)
+        log.refs.get(branch) match {
+          case Some(("branch", _)) => Some(log.branchTable(branch))
+          case _ => None
+        }
+      } else None
+    }
+  }
+
   override def tableExists(ident: Identifier): Boolean =
-    manifestLine(dirOf(ident)).isDefined || isLogTable(dirOf(ident))
+    manifestLine(dirOf(ident)).isDefined || isLogTable(dirOf(ident)) ||
+      branchOf(ident).isDefined
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     val base = new java.io.File((warehouse +: namespace.toSeq).mkString("/"))
@@ -119,7 +144,11 @@ class GraftTableCatalog extends TableCatalog with ProcedureCatalog {
       case None if isLogTable(dir) => // transaction-log table: R/W DML
         new GraftLogTableV2(s"$catalogName.${ident.name()}",
           new LogTable(dir.toString))
-      case None => throw new NoSuchTableException(ident)
+      case None => branchOf(ident) match {
+        case Some(bt) => // branch-addressed R/W table (WAP staging)
+          new GraftLogTableV2(s"$catalogName.${ident.name()}", bt)
+        case None => throw new NoSuchTableException(ident)
+      }
       case Some(line) if !line.contains('|') => // CoW sink
         readTable(ident, s"$dir/v=$line")
       case Some(line) => // merge-on-read sink
@@ -285,6 +314,10 @@ class GraftTableCatalog extends TableCatalog with ProcedureCatalog {
     val parts = name.split("\\.").toSeq
     val ident = Identifier.of(parts.init.toArray, parts.last)
     val t = new LogTable(dirOf(ident).toString)
+    if (!t.exists) branchOf(ident) match {
+      case Some(bt) => return bt // maintenance CALLs work on branches
+      case None => ()
+    }
     require(t.exists, s"no log table '$name' in catalog $catalogName")
     t
   }

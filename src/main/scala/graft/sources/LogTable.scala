@@ -2990,7 +2990,8 @@ final class LogTable(val path: String,
 
   /** Drop a tag or branch ref. A branch's directory (and any files
     * a past fast-forward published from it) stays on disk — refs
-    * are pointers, never data. */
+    * are pointers, never data; [[dropBranch]] is the lifecycle verb
+    * that also reclaims the directory once nothing references it. */
   def dropRef(name: String): Long =
     retryMetadataCommit { basis =>
       if (basis.isEmpty) throw new IllegalStateException(
@@ -3003,25 +3004,88 @@ final class LogTable(val path: String,
         requireHead = Some(basis))
     }
 
+  /** Branch LIFECYCLE drop: remove the ref AND (by default) reclaim
+    * the `_branch_<name>/` directory [[dropRef]] leaves behind.
+    * Refused when any pinned main snapshot (the head, or a tagged /
+    * branch-fork version VACUUM would also retain) still references
+    * files under the branch directory — a past fast-forward
+    * published them, and deleting would corrupt the live table;
+    * OPTIMIZE main first to migrate them into the main tree, or
+    * drop the ref only (`deleteData = false`, directory reclaims
+    * later via drop_branch once nothing references it). */
+  def dropBranch(name: String, deleteData: Boolean = true): Long = {
+    val ref = refs.get(name)
+    ref.foreach { case (kind, _) =>
+      require(kind == "branch",
+        s"ref '$name' is a $kind, not a branch — use dropRef") }
+    val dir = new File(branchDir(name))
+    // a MERGED branch has no ref (fast-forward consumed it) but its
+    // directory leaks and burns the name — drop_branch is the
+    // reclaim verb for that case too
+    require(ref.isDefined || dir.exists(),
+      s"no ref or branch directory '$name' on the log table at $path")
+    if (deleteData && dir.exists()) {
+      val prefix = s"_branch_$name/"
+      val absPrefix = dir.getAbsolutePath + "/"
+      def hits(p: String): Boolean =
+        p.startsWith(prefix) || p.startsWith(absPrefix)
+      // every snapshot VACUUM would retain can serve reads: the
+      // head plus tag- and fork-pinned versions...
+      val pinned = (currentVersion.toSeq ++ refs.values.map(_._2))
+        .distinct.filter(versions.contains)
+      val mainStill = pinned.flatMap(v => snapshotAt(v).adds.flatMap(
+        a => a.path +: a.dv.map(_.path).toSeq)).filter(hits)
+      // ...and other LIVE branches' heads (a branch forked after a
+      // fast-forward clone-seeds absolute paths into this dir)
+      val branchStill = refs.collect {
+        case (n, ("branch", _)) if n != name =>
+          val bt = branchTable(n)
+          bt.currentVersion.toSeq.flatMap(bv =>
+            bt.snapshotAt(bv).adds.flatMap(a =>
+              a.path +: a.dv.map(_.path).toSeq))
+      }.flatten.filter(hits)
+      val still = (mainStill ++ branchStill).distinct
+      require(still.isEmpty,
+        s"cannot drop branch '$name' with delete_data: ${still.size} " +
+          s"file(s) under $prefix are still referenced (e.g. " +
+          s"${still.head}) — OPTIMIZE/rewrite main first, or drop " +
+          "the ref only (delete_data => false)")
+    }
+    val v = ref match {
+      case Some(_) => dropRef(name)
+      case None => currentVersion.getOrElse(
+        throw new IllegalStateException(s"no log table at $path"))
+    }
+    if (deleteData) deleteRecursive(dir)
+    v
+  }
+
   private def branchDir(name: String): String = s"$path/_branch_$name"
 
-  /** Create a WRITABLE branch at the current head: a shallow clone
-    * (metadata-only, zero data copies — the existing [[cloneFrom]]
-    * machinery) under `_branch_<name>/` inside the table directory,
-    * plus a `branch` ref recording the FORK version. Work lands on
-    * the branch through the full table API (its own log, its own
-    * commits); [[mergeBranch]] fast-forwards main onto it. */
-  def createBranch(name: String): LogTable = {
+  /** Create a WRITABLE branch at the current head (or `AS OF` any
+    * committed version — Iceberg's branch-from-snapshot): a shallow
+    * clone (metadata-only, zero data copies — the existing
+    * [[cloneFrom]] machinery) under `_branch_<name>/` inside the
+    * table directory, plus a `branch` ref recording the FORK
+    * version. Work lands on the branch through the full table API
+    * (its own log, its own commits); [[mergeBranch]] fast-forwards
+    * main onto it — or, when main advanced past an `AS OF` fork,
+    * content-aware-merges the branch delta if the file sets are
+    * disjoint. */
+  def createBranch(name: String,
+                   version: Option[Long] = None): LogTable = {
     requireRefName(name)
-    val head = currentVersion.getOrElse(
+    val fork = version.orElse(currentVersion).getOrElse(
       throw new IllegalStateException(s"no log table at $path"))
+    require(versions.contains(fork),
+      s"no committed version $fork to branch from")
     require(!refs.contains(name), s"ref '$name' already exists")
     val bt = new LogTable(branchDir(name),
       checkpointInterval = checkpointInterval)
     require(bt.currentVersion.isEmpty,
       s"branch directory for '$name' already exists")
-    bt.cloneFrom(this, Some(head))
-    createRef(name, "branch", Some(head))
+    bt.cloneFrom(this, Some(fork))
+    createRef(name, "branch", Some(fork))
     bt
   }
 
@@ -3054,13 +3118,6 @@ final class LogTable(val path: String,
     retryMetadataCommit { basis =>
       val head = basis.getOrElse(
         throw new IllegalStateException(s"no log table at $path"))
-      val interlopers = versions.filter(v => v > fork && v <= head)
-        .filterNot(v => commitOp(v) == "ref")
-      if (interlopers.nonEmpty)
-        throw new java.util.ConcurrentModificationException(
-          s"cannot fast-forward '$name': main advanced past fork " +
-            s"$fork (commits ${interlopers.mkString(", ")}) — " +
-            "re-branch from the new head and replay")
       val cur = snapshotAt(head)
       val rootPrefix = new File(path).getAbsolutePath + "/"
       // branch adds reference either main's files (absolute, from
@@ -3074,16 +3131,69 @@ final class LogTable(val path: String,
       }
       val tAdds = target.adds.map(a => a.copy(path = norm(a.path),
         dv = a.dv.map(d => d.copy(path = norm(d.path)))))
-      val removes = cur.adds.map(_.path)
-        .filterNot(p => tAdds.exists(_.path == p))
-      val adds = tAdds.filterNot(a => cur.adds.contains(a))
-      commitRetry(basis, removes, adds, "merge",
-        schemaJson = Some(target.schema.json), cdfDir = None,
-        partitionJson = Some(target.partitionCols),
-        generatedJson = Some(target.generated),
-        transformsJson = Some(target.transforms),
-        refsJson = Some(snapshotAt(head).refs - name),
-        requireHead = Some(basis))
+      val interlopers = versions.filter(v => v > fork && v <= head)
+        .filterNot(v => commitOp(v) == "ref")
+      if (interlopers.isEmpty) {
+        // FAST-FORWARD: main is exactly where the branch forked it —
+        // publish the branch head as main's state, wholesale
+        val removes = cur.adds.map(_.path)
+          .filterNot(p => tAdds.exists(_.path == p))
+        val adds = tAdds.filterNot(a => cur.adds.contains(a))
+        commitRetry(basis, removes, adds, "merge",
+          schemaJson = Some(target.schema.json), cdfDir = None,
+          partitionJson = Some(target.partitionCols),
+          generatedJson = Some(target.generated),
+          transformsJson = Some(target.transforms),
+          refsJson = Some(cur.refs - name),
+          requireHead = Some(basis))
+      } else {
+        // CONTENT-AWARE merge (the Nessie/Iceberg commit rule): main
+        // advanced past the fork, but if its commits touched a
+        // DISJOINT file set, the branch's delta replays cleanly on
+        // the current head — main's post-fork data survives the
+        // merge. Conflict only when both sides touched the same
+        // file (a branch remove/modify that main also removed or
+        // modified) or both diverged the table metadata.
+        val forkSnap = snapshotAt(fork)
+        val forkBy = forkSnap.adds.map(a => a.path -> a).toMap
+        val tBy = tAdds.map(a => a.path -> a).toMap
+        // the branch's delta relative to the fork: a fork file the
+        // branch dropped OR modified (DV, rewrite) is a remove; a
+        // new-or-changed entry is an add
+        val bRemoves = forkSnap.adds
+          .filter(a => !tBy.get(a.path).contains(a)).map(_.path)
+        val bAdds = tAdds.filter(a => !forkBy.get(a.path).contains(a))
+        val curBy = cur.adds.map(a => a.path -> a).toMap
+        val clashes = bRemoves
+          .filterNot(p => curBy.get(p).contains(forkBy(p)))
+        if (clashes.nonEmpty)
+          throw new java.util.ConcurrentModificationException(
+            s"cannot merge '$name': main's post-fork commits touched " +
+              s"file(s) the branch also changed (${clashes.take(3)
+                .mkString(", ")}) — re-branch from the new head and " +
+              "replay")
+        def metaOf(s: LogTable#Snapshot) = (s.schema.json,
+          s.partitionCols, s.generated, s.transforms)
+        val branchMeta = metaOf(target) != metaOf(forkSnap)
+        val mainMeta = metaOf(cur) != metaOf(forkSnap)
+        if (branchMeta && mainMeta && metaOf(cur) != metaOf(target))
+          throw new java.util.ConcurrentModificationException(
+            s"cannot merge '$name': table metadata diverged on both " +
+              "main and the branch since the fork — re-branch and " +
+              "replay")
+        commitRetry(basis, bRemoves, bAdds, "merge",
+          schemaJson =
+            if (branchMeta) Some(target.schema.json) else None,
+          cdfDir = None,
+          partitionJson =
+            if (branchMeta) Some(target.partitionCols) else None,
+          generatedJson =
+            if (branchMeta) Some(target.generated) else None,
+          transformsJson =
+            if (branchMeta) Some(target.transforms) else None,
+          refsJson = Some(cur.refs - name),
+          requireHead = Some(basis))
+      }
     }
   }
 
@@ -3280,8 +3390,18 @@ final class LogTable(val path: String,
     def walk(f: File): Seq[File] =
       if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
       else if (f.getName.endsWith(".parquet")) Seq(f) else Seq.empty
+    // branch data roots are part of the table's data tree: a
+    // fast-forward publishes `_branch_x/data/...` paths into main's
+    // log, and a branch retired-then-merged file is reclaimable the
+    // same way a main one is. Walk every `_branch_*/data` alongside
+    // the main data dir (the branch's own `_log`/`_dv`/`_cdf`
+    // sidecars are NOT data files and stay out of the walk).
+    val branchDataDirs = Option(new File(path).listFiles()).toSeq.flatten
+      .filter(d => d.isDirectory && d.getName.startsWith("_branch_"))
+      .map(d => new File(d, "data")).filter(_.isDirectory)
     val top = Option(dataDir.listFiles()).toSeq.flatten
-    val (dirs, files) = top.partition(_.isDirectory)
+    val (mainDirs, files) = top.partition(_.isDirectory)
+    val dirs = mainDirs ++ branchDataDirs
     val flat = files.filter(_.getName.endsWith(".parquet"))
       .map(f => (f, f.lastModified()))
     spark match {
@@ -3316,14 +3436,35 @@ final class LogTable(val path: String,
     val vs = versions
     // refs pin history: a TAGGED snapshot's files stay however old,
     // and a BRANCH's fork snapshot stays (the branch's clone seed
-    // references exactly those files; its own new files live under
-    // its `_branch_*/` dir, which this walk never visits)
-    val reffed = currentVersion.toSeq
-      .flatMap(v => snapshotAt(v).refs.values.map(parseRef(_)._2))
-      .filter(vs.contains)
+    // references exactly those files)
+    val liveRefs = currentVersion.toSeq
+      .flatMap(v => snapshotAt(v).refs.toSeq.map {
+        case (n, r) => (n, parseRef(r)) })
+    val reffed = liveRefs.map(_._2._2).filter(vs.contains)
     val retained = (vs.takeRight(retainLast) ++ reffed).distinct.sorted
-    val keep = retained.flatMap(v => snapshotAt(v).adds.map(_.path)).toSet
     val root = new File(path).toPath.toAbsolutePath
+    def relPath(p: String, base: String): String = {
+      val abs = if (p.startsWith("/")) p else s"$base/$p"
+      root.relativize(new File(abs).toPath.toAbsolutePath).toString
+    }
+    // a LIVE branch pins its HEAD: the branch's current snapshot
+    // holds branch-local files main's log never saw (plus clone-seed
+    // absolute paths into the main tree — those resolve back to main
+    // keep entries). History BEHIND a live branch head follows the
+    // normal rules, and a fast-forwarded-then-retired branch file
+    // reclaims once no retained main snapshot references it.
+    val branchKeep = liveRefs.collect {
+      case (n, ("branch", _)) =>
+        val bt = new LogTable(branchDir(n),
+          checkpointInterval = checkpointInterval)
+        bt.currentVersion.toSeq.flatMap { bv =>
+          bt.snapshotAt(bv).adds.flatMap(a =>
+            (a.path +: a.dv.map(_.path).toSeq)
+              .map(relPath(_, bt.path)))
+        }
+    }.flatten.toSet
+    val keep = retained
+      .flatMap(v => snapshotAt(v).adds.map(_.path)).toSet ++ branchKeep
     def rel(f: File): String =
       root.relativize(f.toPath.toAbsolutePath).toString
     val dropped = listDataFiles(spark).filterNot { case (f, mtime) =>

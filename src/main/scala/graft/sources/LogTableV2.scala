@@ -258,6 +258,18 @@ private[sources] final class LogWriteBuilder(log: LogTable,
                                              overwriteAll: Boolean)
   extends WriteBuilder with SupportsTruncate {
 
+  // GENERATED ALWAYS AS IDENTITY (r8 advice): the DSv2 writer stages
+  // whatever rows the INSERT supplies — its schema INCLUDES the
+  // identity column, so explicit values would land unchecked,
+  // bypassing allocation and never advancing the high-water mark (a
+  // later append could then collide). Refuse up front, like the
+  // append path refuses explicit identity values; the Scala
+  // LogTable.append allocates.
+  require(log.identityColumns.isEmpty,
+    s"INSERT must not supply identity column(s) " +
+      s"${log.identityColumns.keys.mkString(", ")} (GENERATED ALWAYS " +
+      "AS IDENTITY) — write through LogTable.append, which allocates")
+
   override def truncate(): WriteBuilder =
     new LogWriteBuilder(log, info, overwriteAll = true)
 

@@ -46,9 +46,10 @@ object MaterializedAgg {
   /** Idempotent-txn app id of the refresh stream. */
   val App = "graft-mv-refresh"
 
-  val PropBase  = "graft.mv.base"
-  val PropKeys  = "graft.mv.keys"
-  val PropValue = "graft.mv.value"
+  val PropBase   = "graft.mv.base"
+  val PropKeys   = "graft.mv.keys"
+  val PropValue  = "graft.mv.value"
+  val PropMinMax = "graft.mv.minmax"
 
   /** `full` = seed or rebuild, `incremental` = CDF merge, `noop` =
     * already refreshed through the base head. */
@@ -63,12 +64,18 @@ object MaterializedAgg {
     * so the two paths agree bitwise. `sum0` stores 0 (not null) for
     * all-null groups; [[read]] reconstructs SQL null from `cntx`. */
   private def fullState(df: DataFrame, keys: Seq[String],
-                        value: String): DataFrame =
-    df.groupBy(keys.map(col): _*).agg(
+                        value: String,
+                        minMax: Boolean = false): DataFrame = {
+    val core = Seq(
       count(lit(1)).as("cnt"),
       count(col(value)).as("cntx"),
       coalesce(sum(col(value).cast(CastType)).cast(SumType),
         lit(0).cast(SumType)).as("sum0"))
+    val mm = if (minMax)
+      Seq(min(col(value)).as("min0"), max(col(value)).as("max0"))
+    else Seq.empty
+    df.groupBy(keys.map(col): _*).agg(core.head, (core.tail ++ mm): _*)
+  }
 
   /** Create the view table at `mvPath` and seed it with the full
     * aggregate of the base's CURRENT snapshot, recording "refreshed
@@ -76,8 +83,16 @@ object MaterializedAgg {
     * create and seed leaves a view with no txn tag, which
     * [[refresh]] repairs with a full rebuild. */
   def create(spark: SparkSession, basePath: String, mvPath: String,
-             keys: Seq[String], valueCol: String): Long = {
+             keys: Seq[String], valueCol: String,
+             withMinMax: Boolean = false): Long = {
     require(keys.nonEmpty, "materialized aggregate needs group keys")
+    // the definition round-trips through TBLPROPERTIES (comma-joined)
+    // and MERGE SQL (backtick-quoted) — refuse the column names
+    // either layer would corrupt
+    (keys :+ valueCol).foreach(c =>
+      require(!c.contains(",") && !c.contains("`"),
+        s"column name '$c' contains ',' or '`' — unsupported in a " +
+          "materialized-aggregate definition"))
     val base = new LogTable(basePath)
     val baseV = base.currentVersion.getOrElse(
       throw new IllegalStateException(s"no base log table at $basePath"))
@@ -87,29 +102,35 @@ object MaterializedAgg {
         s"base table has no column '$c'"))
     require(!keys.contains(valueCol),
       s"value column '$valueCol' cannot also be a key")
+    val valueType = baseSchema.fields.find(_.name == valueCol).get.dataType
     val mv = new LogTable(mvPath)
     val mvSchema = StructType(
       keys.map(k => baseSchema.fields.find(_.name == k).get
         .copy(nullable = true)).toArray ++
         Array(StructField("cnt", LongType), StructField("cntx", LongType),
-          StructField("sum0", SumType)))
+          StructField("sum0", SumType)) ++
+        (if (withMinMax)
+          Array(StructField("min0", valueType), StructField("max0", valueType))
+         else Array.empty[StructField]))
     mv.create(mvSchema, properties = Map(
       PropBase -> new java.io.File(basePath).getAbsolutePath,
       PropKeys -> keys.mkString(","),
-      PropValue -> valueCol))
+      PropValue -> valueCol) ++
+      (if (withMinMax) Map(PropMinMax -> "true") else Map.empty))
     mv.appendStreamBatch(
-      fullState(base.load(spark, Some(baseV)), keys, valueCol),
+      fullState(base.load(spark, Some(baseV)), keys, valueCol, withMinMax),
       App, baseV)
     mv.currentVersion.get
   }
 
-  private def defOf(mv: LogTable): (String, Seq[String], String) = {
+  private def defOf(mv: LogTable)
+      : (String, Seq[String], String, Boolean) = {
     val props = mv.tableProperties
-    val basePath = props.getOrElse(PropBase,
+    def need(k: String): String = props.getOrElse(k,
       throw new IllegalArgumentException(
-        s"${mv.path} is not a materialized aggregate (no $PropBase " +
-          "property)"))
-    (basePath, props(PropKeys).split(",").toSeq, props(PropValue))
+        s"${mv.path} is not a materialized aggregate (no $k property)"))
+    (need(PropBase), need(PropKeys).split(",").toSeq, need(PropValue),
+      props.get(PropMinMax).contains("true"))
   }
 
   /** Advance the view to the base's current head. Incremental when
@@ -119,7 +140,7 @@ object MaterializedAgg {
     * (no commit). */
   def refresh(spark: SparkSession, mvPath: String): RefreshStats = {
     val mv = new LogTable(mvPath)
-    val (basePath, keys, valueCol) = defOf(mv)
+    val (basePath, keys, valueCol, withMM) = defOf(mv)
     val base = new LogTable(basePath)
     val baseV = base.currentVersion.getOrElse(
       throw new IllegalStateException(s"no base log table at $basePath"))
@@ -131,11 +152,15 @@ object MaterializedAgg {
       base.versions.filter(v => v > l && v <= baseV)
         .forall(v => base.commitOp(v) != "restore"))
     if (!representable) {
-      mv.overwrite(fullState(base.load(spark, Some(baseV)), keys, valueCol),
+      mv.overwrite(
+        fullState(base.load(spark, Some(baseV)), keys, valueCol, withMM),
         txn = Some((App, baseV)))
       return RefreshStats(mv.currentVersion.get,
         last.getOrElse(-1L), baseV, "full")
     }
+    if (withMM)
+      return refreshRescan(spark, mv, base, baseV, last.get, keys,
+        valueCol)
 
     val ch = base.changes(spark, last.get, baseV)
     val w = when(col("_change_type").isin("insert", "update_postimage"),
@@ -189,14 +214,73 @@ object MaterializedAgg {
     RefreshStats(mv.currentVersion.get, last.get, baseV, "incremental")
   }
 
+  /** MIN/MAX maintenance — Delta's recipe for the non-associative
+    * aggregate class: a delete can RAISE a group's min or LOWER its
+    * max, which no signed fold can reproduce, so the change feed is
+    * used only to NAME the touched groups and each one re-aggregates
+    * from a group-scoped base scan (a broadcast semi-join pushes the
+    * refresh-window-sized key set into the scan). Cost ∝ the touched
+    * groups' base data, never the table; every aggregate (cnt/sum
+    * included) comes off the same scan, so the refreshed rows are
+    * BIT-EQUAL to a from-scratch rebuild by construction. Groups
+    * whose rows all vanished surface as a NULL-cnt left-join row and
+    * DELETE. */
+  private def refreshRescan(spark: SparkSession, mv: LogTable,
+                            base: LogTable, baseV: Long, last: Long,
+                            keys: Seq[String], valueCol: String)
+      : RefreshStats = {
+    val ch = base.changes(spark, last, baseV)
+    val tkeys = keys.map(k => s"__t_$k")
+    val touched = ch.select(keys.zip(tkeys).map {
+      case (k, a) => col(k).as(a) }: _*).distinct()
+    val baseDf = base.load(spark, Some(baseV))
+    val scoped = baseDf.join(broadcast(touched),
+      keys.zip(tkeys).map { case (k, a) =>
+        baseDf(k) <=> touched(a) }.reduce(_ && _), "leftsemi")
+    val state = fullState(scoped, keys, valueCol, minMax = true)
+    val src = touched.join(state,
+      keys.zip(tkeys).map { case (k, a) =>
+        state(k) <=> touched(a) }.reduce(_ && _), "left")
+      .select(keys.zip(tkeys).map { case (k, a) =>
+        touched(a).as(k) } ++ Seq(state("cnt"), state("cntx"),
+        state("sum0"), state("min0"), state("max0")): _*)
+    val view = s"mv_rescan_${UUID.randomUUID().toString.take(8)}"
+    src.createOrReplaceTempView(view)
+    try {
+      val on = keys.map(k => s"t.`$k` <=> s.`$k`").mkString(" AND ")
+      val stateCols = Seq("cnt", "cntx", "sum0", "min0", "max0")
+      val cols = (keys ++ stateCols).map(c => s"`$c`").mkString(", ")
+      val vals = (keys ++ stateCols).map(c => s"s.`$c`").mkString(", ")
+      val sets = stateCols.map(c => s"`$c` = s.`$c`").mkString(", ")
+      SqlMerge.mergeLog(spark,
+        s"""MERGE INTO mv_state t USING $view s ON $on
+           WHEN MATCHED AND s.cnt IS NULL THEN DELETE
+           WHEN MATCHED THEN UPDATE SET $sets
+           WHEN NOT MATCHED AND s.cnt IS NOT NULL THEN
+             INSERT ($cols) VALUES ($vals)""",
+        mv, txn = Some((App, baseV)))
+    } finally {
+      spark.catalog.dropTempView(view)
+      ()
+    }
+    if (!mv.lastCommittedBatch(App).contains(baseV))
+      mv.commitTxnMarker(App, baseV)
+    RefreshStats(mv.currentVersion.get, last, baseV, "rescan")
+  }
+
   /** The view with SQL aggregate semantics restored: `cnt` =
     * COUNT(*), `sum_v` = SUM(value) (NULL for all-null groups, like
-    * the SQL aggregate it materializes). */
+    * the SQL aggregate it materializes); `min_v`/`max_v` when the
+    * view was created `withMinMax` (already NULL for all-null
+    * groups, like the SQL aggregates). */
   def read(spark: SparkSession, mvPath: String): DataFrame = {
     val mv = new LogTable(mvPath)
-    val (_, keys, _) = defOf(mv)
+    val (_, keys, _, withMM) = defOf(mv)
+    val mm = if (withMM)
+      Seq(col("min0").as("min_v"), col("max0").as("max_v"))
+    else Seq.empty
     mv.load(spark).select(keys.map(col) ++ Seq(col("cnt"),
       when(col("cntx") === 0L, lit(null).cast(SumType))
-        .otherwise(col("sum0")).as("sum_v")): _*)
+        .otherwise(col("sum0")).as("sum_v")) ++ mm: _*)
   }
 }

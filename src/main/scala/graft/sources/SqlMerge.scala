@@ -319,6 +319,37 @@ object SqlMerge {
   def mergeLog(spark: SparkSession, mergeSql: String, log: LogTable,
                txn: Option[(String, Long)]): MergeResult = {
     val p = parse(spark, mergeSql)
+    // GENERATED ALWAYS AS IDENTITY (r8 advice): no merge action may
+    // mint or rewrite identity values. An explicit assignment breaks
+    // the uniqueness promise outright; an omitted INSERT value would
+    // need an allocation this three-pass planner cannot make
+    // coherently (the change-feed pass re-executes the join, so the
+    // rewrite and CDF passes would draw DIFFERENT ids for the same
+    // logical row) — and an unfolded allocation would leave the
+    // high-water mark behind, letting a later append collide. Delta
+    // refuses identity assignment in MERGE the same way; inserts go
+    // through the append path, which allocates from the commit-time
+    // high-water mark.
+    val idCols = log.identityColumns.keySet
+    if (idCols.nonEmpty) {
+      def assigned(a: MergeAction): Set[String] = a match {
+        case UpdateAction(_, as, _) => asMap(as).keySet
+        case InsertAction(_, as) => asMap(as).keySet
+        case _: UpdateStarAction | _: InsertStarAction => idCols
+        case _ => Set.empty
+      }
+      (p.matched ++ p.notMatchedBySource).foreach { a =>
+        val hit = assigned(a).intersect(idCols)
+        require(hit.isEmpty,
+          s"cannot UPDATE identity column(s) ${hit.mkString(", ")} — " +
+            "GENERATED ALWAYS AS IDENTITY values are table-managed")
+      }
+      require(p.notMatched.isEmpty,
+        s"MERGE INSERT into a table with identity column(s) " +
+          s"${idCols.mkString(", ")} is not supported — identity " +
+          "allocation needs the append path (LogTable.append), which " +
+          "draws from the commit-time high-water mark")
+    }
     val readVersion = log.currentVersion
     // scan-time file provenance (NOT input_file_name, which goes
     // empty after an exchange — and a deletion-vectored snapshot's

@@ -294,4 +294,43 @@ class Dsv2LogSpec extends SparkSpec {
       || err.getMessage.toLowerCase.contains("parse"),
       s"unexpected: ${err.getMessage}")
   }
+
+  test("write-audit-publish entirely in SQL: stage on " +
+    "cat.t__branch_wap, audit, CALL merge_branch publishes; main " +
+    "never sees unaudited rows") {
+    val wh = tmp("dsv2log")
+    val cat = freshCatalog(wh)
+    spark.sql(s"CREATE TABLE $cat.t (k BIGINT, v STRING) USING log")
+    spark.sql(s"INSERT INTO $cat.t VALUES (1, 'a'), (2, 'b')")
+    spark.sql(s"CALL $cat.create_branch('t', 'wap')")
+    // STAGE: full DML against the branch-addressed name
+    spark.sql(s"INSERT INTO $cat.t__branch_wap VALUES " +
+      "(3, 'c'), (4, 'BAD'), (5, 'e')")
+    spark.sql(s"DELETE FROM $cat.t__branch_wap WHERE v = 'BAD'")
+    spark.sql(s"UPDATE $cat.t__branch_wap SET v = 'C' WHERE k = 3")
+    // main is untouched while the branch carries the staged state
+    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.t").head.getLong(0)
+      == 2L)
+    // AUDIT on the branch name (same table as VERSION AS OF 'wap')
+    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.t__branch_wap " +
+      "WHERE v = 'BAD'").head.getLong(0) == 0L)
+    assert(spark.sql(
+      s"SELECT COUNT(*) FROM $cat.t VERSION AS OF 'wap'")
+      .head.getLong(0) == 4L)
+    // PUBLISH
+    spark.sql(s"CALL $cat.merge_branch('t', 'wap')")
+    assert(spark.sql(s"SELECT k, v FROM $cat.t ORDER BY k")
+      .as[(Long, String)].collect().toSeq ==
+      Seq((1L, "a"), (2L, "b"), (3L, "C"), (5L, "e")))
+    // the staging name resolves only while the ref lives
+    intercept[Exception] {
+      spark.sql(s"SELECT * FROM $cat.t__branch_wap").collect()
+    }
+    // maintenance CALLs accept the branch-addressed name too
+    spark.sql(s"CALL $cat.create_branch('t', 'wap2')")
+    spark.sql(s"INSERT INTO $cat.t__branch_wap2 VALUES (9, 'z')")
+    val hist = spark.sql(s"CALL $cat.history('t__branch_wap2')")
+      .collect()
+    assert(hist.nonEmpty)
+  }
 }

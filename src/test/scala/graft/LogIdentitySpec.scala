@@ -70,6 +70,62 @@ class LogIdentitySpec extends SparkSpec {
       Map("status" -> lit("seen"))).rowsAffected == 1L)
   }
 
+  test("MERGE and DSv2 INSERT cannot mint or rewrite identity " +
+    "values: UPDATE SET id refuses, MERGE INSERT refuses (allocation " +
+    "is the append path's), SQL INSERT INTO refuses; matched-only " +
+    "merges still work") {
+    val wh = tmp()
+    spark.conf.set("spark.sql.catalog.gidm",
+      "graft.sources.GraftTableCatalog")
+    spark.conf.set("spark.sql.catalog.gidm.warehouse", wh)
+    try {
+      val t = new LogTable(s"$wh/t")
+      t.create(StructType(Seq(StructField("id", LongType),
+        StructField("k", LongType), StructField("v", StringType))),
+        identityColumns = Map("id" -> IdentitySpec(1L, 1L)))
+      t.append(Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+      Seq((1L, "x"), (9L, "y")).toDF("k", "v")
+        .createOrReplaceTempView("idm_src")
+      // assigning the identity column in a merge action refuses
+      intercept[IllegalArgumentException] {
+        graft.sources.SqlMerge.mergeLog(spark,
+          """MERGE INTO gidm.t t USING idm_src s ON t.k = s.k
+             WHEN MATCHED THEN UPDATE SET id = 0""", t)
+      }
+      // so does ANY not-matched INSERT (explicit or omitted id — a
+      // silent NULL id would break the identity contract just as an
+      // explicit one would, and an unfolded allocation would strand
+      // the high-water mark)
+      intercept[IllegalArgumentException] {
+        graft.sources.SqlMerge.mergeLog(spark,
+          """MERGE INTO gidm.t t USING idm_src s ON t.k = s.k
+             WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)""", t)
+      }
+      // matched-only actions keep working, ids untouched
+      val before = t.load(spark).select("id").as[Long].collect().sorted
+      val r = graft.sources.SqlMerge.mergeLog(spark,
+        """MERGE INTO gidm.t t USING idm_src s ON t.k = s.k
+           WHEN MATCHED THEN UPDATE SET v = s.v""", t)
+      assert(r.updated == 1L)
+      assert(t.load(spark).select("id").as[Long].collect().sorted
+        .toSeq == before.toSeq)
+      // DSv2 INSERT (schema includes the identity column) refuses
+      // up front instead of accepting unchecked ids
+      val err = intercept[Exception] {
+        spark.sql("INSERT INTO gidm.t VALUES (999, 3, 'c')")
+      }
+      assert(err.getMessage.contains("GENERATED ALWAYS"),
+        s"unexpected: ${err.getMessage}")
+      // …and a later append still allocates above the real high-water
+      t.append(Seq((5L, "e")).toDF("k", "v"))
+      val ids = t.load(spark).select("id").as[Long].collect()
+      assert(ids.distinct.length == ids.length, "id collision")
+    } finally {
+      spark.conf.unset("spark.sql.catalog.gidm")
+      spark.conf.unset("spark.sql.catalog.gidm.warehouse")
+    }
+  }
+
   test("a negative step descends from the start value") {
     val t = new LogTable(s"${tmp()}/t")
     t.create(schema,

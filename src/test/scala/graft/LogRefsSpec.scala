@@ -84,24 +84,62 @@ class LogRefsSpec extends SparkSpec {
       == (3L to 9L))
   }
 
-  test("fast-forward refuses when main advanced past the fork; ref " +
-    "bookkeeping commits do not block it") {
+  test("content-aware merge: ref bookkeeping never blocks a " +
+    "fast-forward; DISJOINT post-fork data commits on main merge " +
+    "cleanly with both sides' rows surviving") {
     val t = new LogTable(s"${tmp()}/t")
     t.append(batch(1, 3))
     val b = t.createBranch("dev")
     b.append(batch(4, 6))
     t.createTag("checkpoint") // a ref commit on main — harmless
-    val v = t.mergeBranch("dev")
+    t.mergeBranch("dev")
     assert(t.load(spark).count() == 6L)
     val b2 = t.createBranch("dev2")
     b2.append(batch(7, 9))
-    t.append(batch(100, 101)) // main moves: data commit after fork
+    t.append(batch(100, 101)) // main moves — but a DISJOINT file set
+    t.mergeBranch("dev2") // replays the branch delta on the new head
+    assert(t.load(spark).select("k").as[Long].collect().sorted.toSeq
+      == ((1L to 9L) ++ Seq(100L, 101L)))
+    assert(!t.refs.contains("dev2")) // ref consumed
+  }
+
+  test("merge refuses a TRUE conflict: both sides touched the same " +
+    "file, or table metadata diverged on both sides") {
+    // both sides row-DML the single seed file → file-set clash
+    val t = new LogTable(s"${tmp()}/t")
+    t.append(batch(1, 5).coalesce(1)) // ONE data file
+    val b = t.createBranch("dev")
+    b.delete(spark, col("k") === 1L) // branch rewrites the seed file
+    t.delete(spark, col("k") === 2L) // …and so does main
     intercept[java.util.ConcurrentModificationException] {
-      t.mergeBranch("dev2")
+      t.mergeBranch("dev")
     }
-    // main kept its own state; the branch is still intact
-    assert(t.load(spark).count() == 8L)
-    assert(t.branchTable("dev2").load(spark).count() == 9L)
+    // main kept its state; the branch is intact and re-mergeable
+    // only after re-branching
+    assert(t.load(spark).select("k").as[Long].collect().sorted.toSeq
+      == Seq(1L, 3L, 4L, 5L))
+    assert(t.branchTable("dev").load(spark).select("k").as[Long]
+      .collect().sorted.toSeq == Seq(2L, 3L, 4L, 5L))
+    // metadata divergence on both sides refuses even with disjoint
+    // files: branch re-partitions, main re-partitions differently
+    val t2 = new LogTable(s"${tmp()}/t")
+    t2.append(batch(1, 3).withColumn("seg", lit("a")))
+    val b2 = t2.createBranch("dev")
+    b2.setPartitionColumns(Seq("seg"))
+    t2.setPartitionColumns(Seq("k"))
+    intercept[java.util.ConcurrentModificationException] {
+      t2.mergeBranch("dev")
+    }
+    // …but a branch-only metadata change rides the merge
+    val t3 = new LogTable(s"${tmp()}/t")
+    t3.append(batch(1, 3).withColumn("seg", lit("a")))
+    val b3 = t3.createBranch("dev")
+    b3.setPartitionColumns(Seq("seg"))
+    t3.append(batch(10, 11).withColumn("seg", lit("b"))) // disjoint
+    t3.mergeBranch("dev")
+    assert(t3.partitionCols == Seq("seg"))
+    assert(t3.load(spark).select("k").as[Long].collect().sorted.toSeq
+      == Seq(1L, 2L, 3L, 10L, 11L))
   }
 
   test("SQL surface: VERSION AS OF 'tag' and VERSION AS OF 'branch', " +
@@ -140,6 +178,110 @@ class LogRefsSpec extends SparkSpec {
     } finally {
       spark.conf.unset("spark.sql.catalog.gref")
       spark.conf.unset("spark.sql.catalog.gref.warehouse")
+    }
+  }
+
+  test("CREATE BRANCH AS OF an older version serves the historic " +
+    "snapshot; its disjoint delta content-aware-merges onto the " +
+    "advanced head; SQL CALL takes the version") {
+    val wh = tmp()
+    val t = new LogTable(s"$wh/t")
+    t.append(batch(1, 3))
+    val v0 = t.currentVersion.get
+    t.append(batch(4, 6))
+    val b = t.createBranch("old", Some(v0))
+    assert(b.load(spark).count() == 3L) // the historic snapshot
+    b.append(batch(10, 12)) // disjoint from main's post-fork commit
+    t.mergeBranch("old")
+    assert(t.load(spark).select("k").as[Long].collect().sorted.toSeq
+      == ((1L to 6L) ++ (10L to 12L)))
+    intercept[IllegalArgumentException] {
+      t.createBranch("bad", Some(999L))
+    }
+    spark.conf.set("spark.sql.catalog.gasof",
+      "graft.sources.GraftTableCatalog")
+    spark.conf.set("spark.sql.catalog.gasof.warehouse", wh)
+    try {
+      spark.sql(s"CALL gasof.create_branch('t', 'old2', $v0)")
+      assert(spark.sql(
+        "SELECT COUNT(*) FROM gasof.t VERSION AS OF 'old2'")
+        .head.getLong(0) == 3L)
+    } finally {
+      spark.conf.unset("spark.sql.catalog.gasof")
+      spark.conf.unset("spark.sql.catalog.gasof.warehouse")
+    }
+  }
+
+  test("VACUUM covers branch data roots: a fast-forwarded-then-" +
+    "retired branch file reclaims; live-branch heads and still-" +
+    "published files survive; dry-run parity") {
+    val t = new LogTable(s"${tmp()}/t")
+    t.append(batch(1, 3)) // main file M1
+    val live = t.createBranch("live") // fork pins M1's snapshot
+    live.append(batch(20, 22)) // F2 under _branch_live/data
+    val dev = t.createBranch("dev")
+    dev.append(batch(4, 6)) // F1 under _branch_dev/data
+    t.mergeBranch("dev") // main now serves M1 + F1 by reference
+    // while main's head references F1, nothing branch-side reclaims
+    val dry1 = t.vacuum(retainLast = 1, retentionMillis = 0L,
+      dryRun = true)
+    assert(!dry1.exists(_.startsWith("_branch_")))
+    t.overwrite(t.load(spark)) // rewrite retires M1 + F1 on main
+    val dry = t.vacuum(retainLast = 1, retentionMillis = 0L,
+      dryRun = true)
+    val dropped = t.vacuum(retainLast = 1, retentionMillis = 0L)
+    assert(dry.sorted == dropped.sorted)
+    // the merged-then-retired branch file went…
+    assert(dropped.exists(_.startsWith("_branch_dev/")))
+    // …the live branch's head file did not…
+    assert(!dropped.exists(_.startsWith("_branch_live/")))
+    // …and every surface still reads in full
+    assert(t.load(spark).select("k").as[Long].collect().sorted.toSeq
+      == (1L to 6L))
+    assert(t.branchTable("live").load(spark).select("k").as[Long]
+      .collect().sorted.toSeq == ((1L to 3L) ++ (20L to 22L)))
+  }
+
+  test("drop_branch lifecycle: refuses while the branch's files are " +
+    "still referenced; reclaims a merged branch's leaked directory " +
+    "and frees the name; SQL CALL surface") {
+    val wh = tmp()
+    val t = new LogTable(s"$wh/t")
+    t.append(batch(1, 3))
+    val dev = t.createBranch("dev")
+    dev.append(batch(4, 6))
+    t.mergeBranch("dev") // ref consumed; _branch_dev/ leaks
+    // the name is burned while the directory lingers
+    intercept[IllegalArgumentException] { t.createBranch("dev") }
+    // main's head still references _branch_dev files → refuse
+    val err = intercept[IllegalArgumentException] { t.dropBranch("dev") }
+    assert(err.getMessage.contains("still referenced"))
+    // ref-only drop has nothing to do here (no ref), but the
+    // directory survives a delete_data=false call on a LIVE branch
+    val b2 = t.createBranch("side")
+    b2.append(batch(50, 52))
+    t.dropBranch("side", deleteData = false)
+    assert(!t.refs.contains("side"))
+    assert(new java.io.File(s"$wh/t/_branch_side").exists())
+    t.dropBranch("side") // no ref, unreferenced dir → reclaims
+    assert(!new java.io.File(s"$wh/t/_branch_side").exists())
+    // migrate the published files into the main tree, then reclaim
+    t.overwrite(t.load(spark))
+    spark.conf.set("spark.sql.catalog.gdrop",
+      "graft.sources.GraftTableCatalog")
+    spark.conf.set("spark.sql.catalog.gdrop.warehouse", wh)
+    try {
+      spark.sql("CALL gdrop.drop_branch('t', 'dev')")
+      assert(!new java.io.File(s"$wh/t/_branch_dev").exists())
+      // the name is free again
+      val again = t.createBranch("dev")
+      again.append(batch(7, 9))
+      t.mergeBranch("dev")
+      assert(t.load(spark).select("k").as[Long].collect().sorted.toSeq
+        == (1L to 9L))
+    } finally {
+      spark.conf.unset("spark.sql.catalog.gdrop")
+      spark.conf.unset("spark.sql.catalog.gdrop.warehouse")
     }
   }
 }

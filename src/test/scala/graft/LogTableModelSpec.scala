@@ -22,8 +22,8 @@ class LogTableModelSpec extends SparkSpec {
   private def sortedRows(df: org.apache.spark.sql.DataFrame): Seq[Row2] =
     df.select("k", "v").as[Row2].collect().toSeq.sorted
 
-  test("40 random mixed commits (incl. deletion-vector ops): table " +
-    "state tracks the model at " +
+  test("48 random mixed commits (incl. deletion-vector and REF ops): " +
+    "table state tracks the model at " +
     "every step and every version stays exactly replayable") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft_logmodel").toString
@@ -34,6 +34,14 @@ class LogTableModelSpec extends SparkSpec {
     // model state per committed version, index == log version
     var snaps = Vector.empty[Vector[Row2]]
     var nextId = 0L
+    // ref-surface model: live tags → pinned version; at most one
+    // open branch at a time, with the rows appended to it since the
+    // fork (appends are disjoint from anything main does, so a merge
+    // must ALWAYS succeed — content-aware rule — and land exactly
+    // those rows on top of whatever main holds THEN)
+    var modelTags = Map.empty[String, Long]
+    var branch: Option[(String, LogTable)] = None
+    var branchRows = Vector.empty[Row2]
 
     def freshBatch(): Vector[Row2] = {
       val n = 1 + rnd.nextInt(6)
@@ -55,11 +63,18 @@ class LogTableModelSpec extends SparkSpec {
       assert(snaps.size == committed, s"version/snapshot drift")
       assert(sortedRows(t.load(spark)) == model.sorted,
         s"state diverged after ${snaps.size} commits")
+      // ref state tracks the model too
+      val live = if (t.exists) t.refs else Map.empty[String, (String, Long)]
+      assert(live.collect { case (n, ("tag", v)) => n -> v } == modelTags,
+        s"tag drift after ${snaps.size} commits")
+      assert(live.collect { case (n, ("branch", _)) => n }.toSet ==
+        branch.map(_._1).toSet,
+        s"branch-ref drift after ${snaps.size} commits")
     }
 
-    (0 until 40).foreach { step =>
+    (0 until 48).foreach { step =>
       try {
-      rnd.nextInt(7) match {
+      rnd.nextInt(8) match {
         case 0 | 1 | 2 => // append (most common, as in real tables)
           val b = freshBatch()
           t.append(b.toDF("k", "v"))
@@ -113,6 +128,37 @@ class LogTableModelSpec extends SparkSpec {
                   else Seq.empty)
             }
           }
+        case 7 => // refs: tag / branch / branch-append / merge / drop
+          if (t.exists) rnd.nextInt(4) match {
+            case 0 => // tag the head; model pins its version
+              val name = s"tag$step"
+              t.createTag(name)
+              modelTags += name -> t.resolveTag(name)
+            case 1 => // open a branch, or keep working on the open one
+              branch match {
+                case None =>
+                  val bt = t.createBranch(s"br$step")
+                  branch = Some((s"br$step", bt))
+                  branchRows = Vector.empty
+                case Some((_, bt)) =>
+                  val b = freshBatch()
+                  bt.append(b.toDF("k", "v"))
+                  branchRows ++= b
+                  // branch commits never move main
+                  assert(sortedRows(t.load(spark)) == model.sorted,
+                    "a branch append leaked into main")
+              }
+            case 2 => // merge: branch appends are disjoint → succeeds
+              branch.foreach { case (name, _) =>
+                t.mergeBranch(name)
+                model = model ++ branchRows
+                branch = None; branchRows = Vector.empty
+              }
+            case 3 => // drop the oldest tag, if any
+              modelTags.keys.toSeq.sorted.headOption.foreach { name =>
+                t.dropRef(name); modelTags -= name
+              }
+          }
       }
       } catch { case e: Throwable =>
         println(s"STEP $step FAILED schema=" +
@@ -131,9 +177,17 @@ class LogTableModelSpec extends SparkSpec {
       assert(sortedRows(t.load(spark, Some(v))) == snaps(v.toInt).sorted,
         s"version $v no longer replays its committed state")
     }
-    // sanity: the sequence actually exercised the op mix
+    // surviving tags still serve exactly their pinned model state
+    modelTags.foreach { case (name, v) =>
+      assert(sortedRows(t.load(spark, Some(t.resolveTag(name)))) ==
+        snaps(v.toInt).sorted,
+        s"tag '$name' no longer serves its pinned state")
+    }
+    // sanity: the sequence actually exercised the op mix, refs and
+    // at least one merge included
     val ops = t.versions.map(t.commitOp).toSet
-    assert(Set("append", "delete", "optimize").subsetOf(ops), ops)
+    assert(Set("append", "delete", "optimize", "ref", "merge")
+      .subsetOf(ops), ops)
   }
 
   test("concurrent writers: racing threads of real mixed commits " +

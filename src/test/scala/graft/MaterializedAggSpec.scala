@@ -144,4 +144,55 @@ class MaterializedAggSpec extends SparkSpec {
       spark.conf.unset("spark.sql.catalog.gmv.warehouse")
     }
   }
+
+  test("withMinMax: deleting a group's max re-derives it from a " +
+    "group-scoped re-scan — bit-equal to a full rebuild; vanished " +
+    "groups DELETE, new groups INSERT, untouched files survive") {
+    def referenceMM(base: LogTable): DataFrame =
+      base.load(spark).groupBy("grp").agg(
+        count(lit(1)).as("cnt"),
+        when(count(col("x")) === 0L, lit(null).cast(DecimalType(38, 4)))
+          .otherwise(sum(col("x").cast("decimal(28,4)"))
+            .cast(DecimalType(38, 4))).as("sum_v"),
+        min(col("x")).as("min_v"), max(col("x")).as("max_v"))
+    def check(mvPath: String, base: LogTable): Unit =
+      assert(MaterializedAgg.read(spark, mvPath)
+        .orderBy("grp").collect().toSeq ==
+        referenceMM(base).orderBy("grp").collect().toSeq)
+
+    val dir = tmp()
+    val base = new LogTable(s"$dir/base")
+    base.append(baseRows(100))
+    MaterializedAgg.create(spark, base.path, s"$dir/mv",
+      Seq("grp"), "x", withMinMax = true)
+    check(s"$dir/mv", base)
+    val mv = new LogTable(s"$dir/mv")
+    val before = mv.liveAdds().map(_.path).toSet
+    // one window with all three shapes: g1 loses its max row (no
+    // signed fold can recover the new max — only a re-scan), g2
+    // vanishes wholesale, g9 is brand new
+    base.delete(spark, col("id") === 99L) // g1's max (99*1.5)
+    base.delete(spark, col("grp") === "g2")
+    base.append(Seq((1001L, "g9", Some(7.5)), (1002L, "g9", None))
+      .toDF("id", "grp", "x"))
+    val r = MaterializedAgg.refresh(spark, s"$dir/mv")
+    assert(r.mode == "rescan")
+    check(s"$dir/mv", base)
+    assert(MaterializedAgg.read(spark, s"$dir/mv")
+      .filter(col("grp") === "g2").isEmpty)
+    // the re-scan is group-scoped: view files holding only untouched
+    // groups carry by reference (when the seed spread over >1 file)
+    val after = mv.liveAdds().map(_.path).toSet
+    if (before.size > 1)
+      assert(before.intersect(after).nonEmpty,
+        "every view file was rewritten — the re-scan was not scoped")
+    // second window exercises replay-idempotence on the rescan path
+    base.update(spark, col("grp") === "g4" && col("id") < 20L,
+      Map("x" -> lit(1000.0)))
+    val r2 = MaterializedAgg.refresh(spark, s"$dir/mv")
+    assert(r2.mode == "rescan")
+    val r3 = MaterializedAgg.refresh(spark, s"$dir/mv")
+    assert(r3.mode == "noop")
+    check(s"$dir/mv", base)
+  }
 }

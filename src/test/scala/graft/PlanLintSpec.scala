@@ -38,7 +38,8 @@ class PlanLintSpec extends SparkSpec {
     "bm25_topk" -> "one-row doc-count + token-total broadcasts",
     "join_blowup" -> "one-row grand-total broadcast for the share column",
     "source_overlap" ->
-      "self-pair of the ≤|sources|-row sketch table — model-state scale",
+      ("self-pair of the ≤|sources|-row vocab-size table — model-state " +
+        "scale (the token intersection itself is an equi-join)"),
     "link_rank" ->
       ("pre-ckpt stage (captured via checkpointLeaf): one-row " +
         "vertex-count broadcast attached to the node set"))
