@@ -1111,6 +1111,39 @@ object SparkEntry {
       s.sql(s"SELECT k, seg, bal FROM $cat.$tbl ORDER BY k")
     }),
 
+    "log_table_analyze" -> ((s, d) => {
+      // ANALYZE TABLE as data: one distributed pass computes exact
+      // per-column NDV / null count / min / max + the table's
+      // logical row count, commits them to TBLPROPERTIES (metadata-
+      // only), and returns them as rows. The fixture injects nulls
+      // (BUILDING → NULL) and MOR-deletes every 7th key first, so
+      // the pass must honor deletion vectors — the numbers are over
+      // the LOGICAL table, which is exactly what the oracle computes
+      val tag = java.lang.Integer.toHexString(d.hashCode)
+      val cat = s"ganalyze_$tag"
+      if (s.conf.getOption(s"spark.sql.catalog.$cat").isEmpty) {
+        s.conf.set(s"spark.sql.catalog.$cat",
+          classOf[graft.sources.GraftTableCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse",
+          java.nio.file.Files.createTempDirectory("graft_loganalyze")
+            .toString)
+      }
+      val tbl = s"t_${System.nanoTime()}"
+      val lt = new graft.sources.LogTable(
+        s"${s.conf.get(s"spark.sql.catalog.$cat.warehouse")}/$tbl")
+      val cust = t(s, d, "customer").select(col("c_custkey").as("k"),
+        col("c_nationkey").cast("long").as("nat"),
+        when(col("c_mktsegment") === "BUILDING", lit(null))
+          .otherwise(col("c_mktsegment")).as("seg"))
+      lt.append(cust.filter(col("k") <= 500))
+      lt.deleteMor(s, col("k") % 7 === 0)
+      s.sql(s"CALL $cat.analyze_table('$tbl')")
+        .select(col("column").as("col"), col("ndv"), col("nulls"),
+          col("min").as("min_v"), col("max").as("max_v"),
+          col("row_count").as("n_rows"))
+        .orderBy(col("col"))
+    }),
+
     "bucketed_join" -> ((s, d) => {
       // the shuffle paid at write time: both facts bucketed by the
       // join key co-locate, so the join plans with zero exchange
@@ -3305,6 +3338,27 @@ object SparkEntry {
            AND NOT (c_mktsegment = 'BUILDING' AND c_custkey <= 200)
            AND NOT (c_mktsegment = 'AUTOMOBILE' AND c_custkey > 400)
          ORDER BY k""",
+
+    "log_table_analyze" ->
+      """WITH t AS (
+           SELECT c_custkey AS k, CAST(c_nationkey AS BIGINT) AS nat,
+                  nullif(c_mktsegment, 'BUILDING') AS seg
+           FROM customer
+           WHERE c_custkey <= 500 AND c_custkey % 7 <> 0)
+         SELECT col, ndv, nulls, min_v, max_v, n_rows FROM (
+           SELECT 'k' AS col, COUNT(DISTINCT k) AS ndv,
+                  COUNT(*) - COUNT(k) AS nulls,
+                  CAST(MIN(k) AS VARCHAR) AS min_v,
+                  CAST(MAX(k) AS VARCHAR) AS max_v,
+                  COUNT(*) AS n_rows FROM t
+           UNION ALL
+           SELECT 'nat', COUNT(DISTINCT nat), COUNT(*) - COUNT(nat),
+                  CAST(MIN(nat) AS VARCHAR), CAST(MAX(nat) AS VARCHAR),
+                  COUNT(*) FROM t
+           UNION ALL
+           SELECT 'seg', COUNT(DISTINCT seg), COUNT(*) - COUNT(seg),
+                  MIN(seg), MAX(seg), COUNT(*) FROM t)
+         ORDER BY col""",
 
     "log_table_properties" ->
       """SELECT k AS "key", v AS "value",

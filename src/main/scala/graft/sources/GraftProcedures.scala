@@ -56,7 +56,8 @@ private[sources] final class GraftProcedure(catalog: GraftTableCatalog,
         in("zorder_by", StringType).defaultValue("''").build(),
         in("target_files", IntegerType).defaultValue("8").build(),
         in("where", StringType).defaultValue("''").build())
-    case "purge_deletes" | "history" | "detail" | "refresh_mv" =>
+    case "purge_deletes" | "history" | "detail" | "refresh_mv" |
+         "analyze_table" =>
       Array(in("table", StringType).build())
     case "create_tag" =>
       Array(in("table", StringType).build(),
@@ -115,6 +116,13 @@ private[sources] final class GraftProcedure(catalog: GraftTableCatalog,
       StructType(Seq(StructField("version", LongType),
         StructField("commit_ts", LongType), StructField("op", StringType),
         StructField("n_added", LongType), StructField("n_removed", LongType)))
+    case "analyze_table" =>
+      StructType(Seq(StructField("column", StringType),
+        StructField("ndv", LongType), StructField("nulls", LongType),
+        StructField("min", StringType), StructField("max", StringType),
+        StructField("avg_len", LongType), StructField("max_len", LongType),
+        StructField("row_count", LongType),
+        StructField("analyzed_version", LongType)))
     case "detail" =>
       StructType(Seq(StructField("version", LongType),
         StructField("num_files", LongType),
@@ -234,6 +242,18 @@ private[sources] final class GraftProcedure(catalog: GraftTableCatalog,
         val r = MaterializedAgg.refresh(spark, t.path)
         Seq(row(r.mvVersion, r.fromVersion, r.toVersion,
           UTF8String.fromString(r.mode)))
+      case "analyze_table" =>
+        // ANALYZE TABLE ... COMPUTE STATISTICS FOR ALL COLUMNS: one
+        // distributed pass, stats committed to TBLPROPERTIES, exact
+        // numbers returned as rows
+        val stats = t.analyze(spark)
+        stats.cols.toSeq.sortBy(_._1).map { case (n, c) =>
+          row(UTF8String.fromString(n), c.ndv, c.nulls,
+            c.min.map(UTF8String.fromString).orNull,
+            c.max.map(UTF8String.fromString).orNull,
+            c.avgLen.map(Long.box).orNull, c.maxLen.map(Long.box).orNull,
+            stats.rows, stats.analyzedVersion)
+        }
     }
     val scan: Scan = new LocalScan {
       override def readSchema(): StructType = outSchema
@@ -248,7 +268,7 @@ private object GraftProcedure {
     Set("restore", "vacuum", "optimize", "purge_deletes", "history",
       "detail", "clone", "create_mv", "refresh_mv", "set_partition",
       "create_tag", "create_branch", "merge_branch", "drop_ref",
-      "drop_branch", "show_refs")
+      "drop_branch", "show_refs", "analyze_table")
 
   private def row(vs: Any*): InternalRow =
     new GenericInternalRow(vs.toArray)

@@ -55,6 +55,19 @@ final case class AddFile(path: String, rows: Long, bytes: Long,
 final case class IdentitySpec(start: Long, step: Long,
                               highWater: Option[Long] = None)
 
+/** Exact per-column statistics of one [[LogTable.analyze]] pass.
+  * `min`/`max` are the values cast to string (None for all-null
+  * columns); `avgLen`/`maxLen` only for string columns. */
+final case class AnalyzedCol(ndv: Long, nulls: Long,
+                             min: Option[String], max: Option[String],
+                             avgLen: Option[Long], maxLen: Option[Long])
+
+/** One ANALYZE result: the snapshot it measured, its exact logical
+  * row count, and per-column stats (atomic non-binary columns only
+  * — complex/binary columns are skipped). */
+final case class TableStats(analyzedVersion: Long, rows: Long,
+                            cols: Map[String, AnalyzedCol])
+
 /** Outcome of a row-level [[LogTable.delete]]/[[LogTable.update]]:
   * the commit version, how many rows changed, and the file-level
   * work accounting that proves the op cost ∝ touched data, not table
@@ -1126,6 +1139,159 @@ final class LogTable(val path: String,
         propertiesJson = Some(cur -- keys),
         requireHead = Some(basis))
     }
+
+  // ---------------------------------------------------------------
+  // ANALYZE — table & column statistics (Delta's ANALYZE TABLE /
+  // Iceberg's compute_table_stats). Results ride TBLPROPERTIES via
+  // the existing metadata-only `tblproperties` commit, so replay,
+  // checkpointing, stream-skip and concurrency need NOTHING new.
+
+  /** `ANALYZE TABLE` — ONE distributed aggregation pass over the
+    * logical current snapshot (deletion vectors subtracted)
+    * computing exact `count(*)`, and per eligible column: exact
+    * NDV, null count, min/max, and string length stats. The result
+    * is committed to TBLPROPERTIES (`graft.stats.*`, metadata-only)
+    * where [[columnStatistics]] and the DSv2 scan's
+    * `SupportsReportStatistics` pick it up for the cost-based
+    * planner. Cost at 100 TB: one scan + the multi-distinct
+    * expand — run it like Delta runs ANALYZE, on a schedule, not
+    * per query; the MANIFEST stats ([[manifestStatistics]]) stay
+    * free and always-current for the row-count/bytes tier. */
+  def analyze(spark: SparkSession): TableStats = {
+    val v = currentVersion.getOrElse(
+      throw new IllegalStateException(s"no log table at $path"))
+    val df = load(spark, Some(v))
+    val eligible = userSchemaAt(v).fields.toSeq.filter(f => f.dataType match {
+      case _: ArrayType | _: MapType | _: StructType | BinaryType => false
+      case _ => true
+    })
+    val aggs: Seq[Column] = count(lit(1L)).as("__rows") +:
+      eligible.zipWithIndex.flatMap { case (f, i) =>
+        val c = col(s"`${f.name}`")
+        val core = Seq(
+          count_distinct(c).as(s"__ndv_$i"),
+          count(when(c.isNull, lit(1))).as(s"__nulls_$i"),
+          min(c).cast("string").as(s"__min_$i"),
+          max(c).cast("string").as(s"__max_$i"))
+        val len = f.dataType match {
+          case StringType => Seq(
+            ceil(avg(length(c))).cast("long").as(s"__avglen_$i"),
+            max(length(c)).cast("long").as(s"__maxlen_$i"))
+          case _ => Seq(lit(null).cast("long").as(s"__avglen_$i"),
+            lit(null).cast("long").as(s"__maxlen_$i"))
+        }
+        core ++ len
+      }
+    val r = df.agg(aggs.head, aggs.tail: _*).collect().head
+    def optLong(name: String): Option[Long] =
+      Option(r.getAs[Any](name)).map(_.asInstanceOf[Long])
+    val cols = eligible.zipWithIndex.map { case (f, i) =>
+      f.name -> AnalyzedCol(r.getAs[Long](s"__ndv_$i"),
+        r.getAs[Long](s"__nulls_$i"),
+        Option(r.getAs[String](s"__min_$i")),
+        Option(r.getAs[String](s"__max_$i")),
+        optLong(s"__avglen_$i"), optLong(s"__maxlen_$i"))
+    }.toMap
+    val stats = TableStats(v, r.getAs[Long]("__rows"), cols)
+    setTableProperties(Map(
+      LogTable.PropStatsVersion -> v.toString,
+      LogTable.PropStatsRows -> stats.rows.toString,
+      LogTable.PropStatsCols -> JsonMethods.compact(JsonMethods.render(
+        JObject(cols.toList.sortBy(_._1).map { case (n, c) =>
+          n -> JObject(List("ndv" -> JLong(c.ndv),
+            "nulls" -> JLong(c.nulls)) ++
+            c.min.map("min" -> JString(_)) ++
+            c.max.map("max" -> JString(_)) ++
+            c.avgLen.map("avgLen" -> JLong(_)) ++
+            c.maxLen.map("maxLen" -> JLong(_)))
+        })))))
+    stats
+  }
+
+  /** The last committed ANALYZE result, if any — parsed back from
+    * TBLPROPERTIES. `analyzedVersion` tells the consumer how stale
+    * it is (NDV drifts with appends; the planner treats it as the
+    * estimate it is, like every CBO). */
+  def columnStatistics: Option[TableStats] = {
+    val props = tableProperties
+    props.get(LogTable.PropStatsCols).map { json =>
+      val cols = JsonMethods.parse(json) match {
+        case JObject(fields) => fields.map { case (n, v) =>
+          def jl(k: String): Option[Long] = (v \ k) match {
+            case JInt(i) => Some(i.toLong); case JLong(l) => Some(l)
+            case _ => None
+          }
+          def js(k: String): Option[String] = (v \ k) match {
+            case JString(s) => Some(s); case _ => None
+          }
+          n -> AnalyzedCol(jl("ndv").getOrElse(0L),
+            jl("nulls").getOrElse(0L), js("min"), js("max"),
+            jl("avgLen"), jl("maxLen"))
+        }.toMap
+        case _ => Map.empty[String, AnalyzedCol]
+      }
+      TableStats(
+        props.get(LogTable.PropStatsVersion).map(_.toLong).getOrElse(-1L),
+        props.get(LogTable.PropStatsRows).map(_.toLong).getOrElse(-1L), cols)
+    }
+  }
+
+  /** Planner statistics from the MANIFEST alone — no data scan, no
+    * Spark job, O(#files) driver work: exact logical row count
+    * (physical minus deletion vectors), logical bytes (per-file
+    * bytes scaled by the file's live fraction), and per-column
+    * (min, max, nullCount) folded from the per-file commit-time
+    * stats. A column's bound survives the fold only while every
+    * contributing file either carries it or is all-null in that
+    * column (a file with DROPPED bounds poisons the bound — a
+    * truncated extremum would be unsound); null counts are summed
+    * (with DVs an upper bound — vectored rows might have been the
+    * nulls). This is what keeps broadcast planning exact on tables
+    * whose snapshots the plain parquet scan cannot serve (deletion
+    * vectors, hidden partitioning, mixed layouts): the V1-bridge
+    * scan reports THESE numbers instead of Spark's
+    * `defaultSizeInBytes` pessimism. */
+  def manifestStatistics(version: Option[Long] = None)
+      : (Long, Long, Map[String, ColStats]) = {
+    val adds = liveAdds(version)
+    val rows = adds.map(_.logicalRows).sum
+    val bytes = adds.map { a =>
+      if (a.rows <= 0) a.bytes
+      else math.ceil(a.bytes.toDouble * a.logicalRows / a.rows).toLong
+    }.sum
+    def lt(a: Any, b: Any): Boolean = (a, b) match {
+      case (x: Long, y: Long)     => x < y
+      case (x: Double, y: Double) => x < y
+      case (x: String, y: String) => x < y
+      case _                      => false
+    }
+    val names = adds.flatMap(_.stats.keys).distinct
+    val folded = names.flatMap { n =>
+      val per = adds.map(a => (a, a.stats.get(n)))
+      val nulls = per.map { case (a, st) =>
+        st.map(_.nulls).getOrElse(a.rows) }.sum
+      // bound-bearing files; all-null files contribute no bound but
+      // don't poison it, bound-dropped files do
+      val bounds = per.flatMap {
+        case (_, Some(st)) if st.min.isDefined && st.max.isDefined =>
+          Some(Some((st.min.get, st.max.get)))
+        case (a, Some(st)) if st.nulls == a.rows => None
+        case (a, _) if a.rows == 0 => None
+        case _ => Some(None) // poisoned
+      }
+      if (bounds.contains(None))
+        Some(n -> ColStats(None, None, nulls))
+      else {
+        val bs = bounds.flatten
+        if (bs.isEmpty) Some(n -> ColStats(None, None, nulls))
+        else Some(n -> ColStats(
+          Some(bs.map(_._1).reduce((a, b) => if (lt(b, a)) b else a)),
+          Some(bs.map(_._2).reduce((a, b) => if (lt(a, b)) b else a)),
+          nulls))
+      }
+    }.toMap
+    (rows, bytes, folded)
+  }
 
   /** Iceberg-style PARTITION EVOLUTION: change the hive partition
     * layout for FUTURE writes with one metadata-only commit — zero
@@ -3531,6 +3697,12 @@ object LogTable {
   /** StructField metadata key Spark's parquet reader/writer uses for
     * field-id resolution (`spark.sql.parquet.fieldId.*`). */
   val FieldIdKey: String = "parquet.field.id"
+
+  /** TBLPROPERTIES keys [[LogTable.analyze]] commits its results
+    * under (read back by [[LogTable.columnStatistics]]). */
+  val PropStatsVersion = "graft.stats.version"
+  val PropStatsRows = "graft.stats.rows"
+  val PropStatsCols = "graft.stats.cols"
 }
 
 /** [[DimSink]] face of a [[LogTable]], so every sink-shaped pipeline

@@ -215,12 +215,19 @@ private[sources] final class DvScanBuilder(log: LogTable,
                                            version: Option[Long])
   extends ScanBuilder {
   import org.apache.spark.sql.SQLContext
-  import org.apache.spark.sql.connector.read.{Scan, V1Scan}
+  import org.apache.spark.sql.connector.read.{Scan, SupportsReportStatistics, V1Scan}
   import org.apache.spark.sql.sources.{BaseRelation, TableScan}
 
-  override def build(): Scan = new V1Scan {
+  override def build(): Scan = new V1Scan with SupportsReportStatistics {
     override def readSchema(): StructType =
       version.map(log.userSchemaAt).getOrElse(log.userSchema)
+    // Without this, a V1-bridge relation costs Spark's
+    // `defaultSizeInBytes` (Long.MaxValue-class) — a small table that
+    // happens to carry a deletion vector would NEVER broadcast. The
+    // manifest gives exact logical rows/bytes for free.
+    override def estimateStatistics()
+        : org.apache.spark.sql.connector.read.Statistics =
+      GraftStats.fromLog(log, version, readSchema())
     override def toV1TableScan[T <: BaseRelation with TableScan](
         context: SQLContext): T =
       new BaseRelation with TableScan {
@@ -231,6 +238,68 @@ private[sources] final class DvScanBuilder(log: LogTable,
           org.apache.spark.sql.Row] =
           log.load(context.sparkSession, version).rdd
       }.asInstanceOf[T]
+  }
+}
+
+/** Connector-facing [[org.apache.spark.sql.connector.read.Statistics]]
+  * assembled from the log manifest (exact logical row count + bytes,
+  * per-column bounds/null counts — O(#files) driver work, no job)
+  * plus the latest committed ANALYZE pass (NDV, string lengths) when
+  * one exists. Spark's CBO/AQE consume rowCount and sizeInBytes for
+  * join strategy; the column map feeds `spark.sql.cbo.enabled`
+  * cardinality estimation. */
+private[sources] object GraftStats {
+  import java.util.{Optional, OptionalLong}
+  import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
+  import org.apache.spark.sql.connector.read.Statistics
+  import org.apache.spark.sql.connector.read.colstats.ColumnStatistics
+
+  def fromLog(log: LogTable, version: Option[Long],
+              schema: StructType): Statistics = {
+    val (rows, bytes, bounds) = log.manifestStatistics(version)
+    // ANALYZE stats describe the version they measured; serve them
+    // as estimates regardless of staleness (CBO semantics), but only
+    // for a CURRENT-version read — a pinned historical read must not
+    // inherit a future pass's numbers
+    val analyzed: Map[String, AnalyzedCol] =
+      if (version.isDefined && !version.contains(
+        log.currentVersion.getOrElse(-1L))) Map.empty
+      else log.columnStatistics.map(_.cols).getOrElse(Map.empty)
+    val colStats = new java.util.HashMap[NamedReference, ColumnStatistics]()
+    schema.fields.foreach { f =>
+      val b = bounds.get(f.name)
+      val a = analyzed.get(f.name)
+      if (b.isDefined || a.isDefined) {
+        colStats.put(Expressions.column(f.name), new ColumnStatistics {
+          override def distinctCount(): OptionalLong =
+            a.map(x => OptionalLong.of(x.ndv)).getOrElse(OptionalLong.empty())
+          override def nullCount(): OptionalLong =
+            b.map(x => OptionalLong.of(x.nulls)).getOrElse(OptionalLong.empty())
+          // bounds only for the numeric stat projection (Long/Double)
+          // — string extrema need catalyst-internal encoding
+          override def min(): Optional[Object] = bound(b.flatMap(_.min))
+          override def max(): Optional[Object] = bound(b.flatMap(_.max))
+          override def avgLen(): OptionalLong =
+            a.flatMap(_.avgLen).map(OptionalLong.of)
+              .getOrElse(OptionalLong.empty())
+          override def maxLen(): OptionalLong =
+            a.flatMap(_.maxLen).map(OptionalLong.of)
+              .getOrElse(OptionalLong.empty())
+        })
+      }
+    }
+    new Statistics {
+      override def sizeInBytes(): OptionalLong = OptionalLong.of(bytes)
+      override def numRows(): OptionalLong = OptionalLong.of(rows)
+      override def columnStats()
+          : java.util.Map[NamedReference, ColumnStatistics] = colStats
+    }
+  }
+
+  private def bound(v: Option[Any]): java.util.Optional[Object] = v match {
+    case Some(l: Long)   => java.util.Optional.of(Long.box(l))
+    case Some(d: Double) => java.util.Optional.of(Double.box(d))
+    case _               => java.util.Optional.empty()
   }
 }
 

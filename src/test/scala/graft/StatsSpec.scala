@@ -1,0 +1,136 @@
+package graft
+
+import graft.sources.LogTable
+import org.apache.spark.sql.functions._
+
+/** ANALYZE + planner statistics on the transaction-log table:
+  * [[LogTable.analyze]] computes exact column stats over the LOGICAL
+  * snapshot (deletion vectors subtracted) in one pass and commits
+  * them to TBLPROPERTIES; [[LogTable.manifestStatistics]] derives
+  * exact row/byte counts and column bounds from the manifest alone;
+  * the V1-bridge DSv2 scan reports both to Spark's planner so a
+  * small table carrying a deletion vector still broadcasts. */
+class StatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val catSeq = new java.util.concurrent.atomic.AtomicInteger
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft_stats").toString
+
+  test("analyze: exact ndv/nulls/min/max/lengths over the logical " +
+    "snapshot — deletion vectors subtracted, result in TBLPROPERTIES") {
+    val t = new LogTable(s"${tmp()}/t")
+    val df = (1L to 100L).map { i =>
+      (i, if (i % 10 == 0) null else s"s${i % 7}", i % 5)
+    }.toDF("k", "s", "m")
+    t.append(df.repartition(4))
+    t.deleteMor(spark, col("k") > 90L) // DV over the top decile
+    val stats = t.analyze(spark)
+
+    assert(stats.rows == 90L)
+    assert(stats.analyzedVersion == t.currentVersion.get - 1) // pre-props
+    val k = stats.cols("k")
+    assert(k.ndv == 90L && k.nulls == 0L)
+    assert(k.min.contains("1") && k.max.contains("90"))
+    assert(k.avgLen.isEmpty && k.maxLen.isEmpty) // not a string column
+    val s = stats.cols("s")
+    // logical rows 1..90: nulls at 10,20,...,90 → 9; distinct s0..s6
+    assert(s.ndv == 7L && s.nulls == 9L)
+    assert(s.min.contains("s0") && s.max.contains("s6"))
+    assert(s.avgLen.contains(2L) && s.maxLen.contains(2L))
+    val m = stats.cols("m")
+    assert(m.ndv == 5L && m.min.contains("0") && m.max.contains("4"))
+
+    // round-trips through TBLPROPERTIES
+    assert(t.columnStatistics.contains(stats))
+    // the stats commit is metadata-only
+    assert(t.commitOp(t.currentVersion.get) == "tblproperties")
+  }
+
+  test("manifestStatistics: exact logical rows, DV-scaled bytes, " +
+    "bounds folded across files; all-null files don't poison bounds") {
+    val t = new LogTable(s"${tmp()}/t")
+    t.append(Seq((1L, Some("a")), (5L, Some("c"))).toDF("k", "v")
+      .repartition(1))
+    t.append(Seq((10L, Option.empty[String])).toDF("k", "v")
+      .repartition(1)) // v all-null in this file
+    val (rows0, bytes0, bounds0) = t.manifestStatistics()
+    assert(rows0 == 3L && bytes0 > 0L)
+    assert(bounds0("k").min.contains(1L) && bounds0("k").max.contains(10L))
+    // the all-null file contributes no v-bound but doesn't drop it
+    assert(bounds0("v").min.contains("a") && bounds0("v").max.contains("c"))
+    assert(bounds0("v").nulls == 1L)
+
+    t.deleteMor(spark, col("k") === 5L)
+    val (rows1, bytes1, _) = t.manifestStatistics()
+    assert(rows1 == 2L)
+    assert(bytes1 < bytes0) // DV'd file's bytes scale by live fraction
+  }
+
+  test("a small DV-carrying table still BROADCASTS: the V1-bridge " +
+    "scan reports exact manifest statistics instead of Spark's " +
+    "defaultSizeInBytes pessimism") {
+    val dir = tmp()
+    val cat = s"gstat${catSeq.incrementAndGet()}"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      "graft.sources.GraftTableCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", dir)
+    try {
+      val dim = new LogTable(s"$dir/dim")
+      dim.append((1L to 50L).map(i => (i, s"n$i")).toDF("k", "name")
+        .repartition(1))
+      dim.deleteMor(spark, col("k") > 45L) // forces the V1 bridge
+      assert(dim.liveAdds().exists(_.dv.isDefined))
+      val fact = (1L to 10000L).map(i => (i % 50 + 1, i)).toDF("k", "x")
+      fact.createOrReplaceTempView("fact_v")
+      val joined = spark.sql(
+        s"SELECT f.k, f.x, d.name FROM fact_v f JOIN $cat.dim d ON f.k = d.k")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"),
+        s"expected broadcast join, got:\n$plan")
+      assert(joined.count() == 9000L) // 45 live keys × 200 rows each
+    } finally {
+      spark.conf.unset(s"spark.sql.catalog.$cat")
+      spark.conf.unset(s"spark.sql.catalog.$cat.warehouse")
+    }
+  }
+
+  test("CALL analyze_table returns the per-column stats rows and " +
+    "commits them; a later read serves the analyzed properties") {
+    val dir = tmp()
+    val cat = s"gstat${catSeq.incrementAndGet()}"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      "graft.sources.GraftTableCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", dir)
+    try {
+      val t = new LogTable(s"$dir/t")
+      t.append(Seq((1L, "a"), (2L, "b"), (3L, null.asInstanceOf[String]))
+        .toDF("k", "v").repartition(1))
+      val out = spark.sql(s"CALL $cat.analyze_table('t')")
+        .orderBy("column")
+        .select("column", "ndv", "nulls", "min", "max", "row_count")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getString(3), r.getString(4), r.getLong(5))).toSeq
+      assert(out == Seq(
+        ("k", 3L, 0L, "1", "3", 3L),
+        ("v", 2L, 1L, "a", "b", 3L)))
+      val props = spark.sql(s"SHOW TBLPROPERTIES $cat.t")
+        .as[(String, String)].collect().toMap
+      assert(props(LogTable.PropStatsRows) == "3")
+    } finally {
+      spark.conf.unset(s"spark.sql.catalog.$cat")
+      spark.conf.unset(s"spark.sql.catalog.$cat.warehouse")
+    }
+  }
+
+  test("complex and binary columns are skipped; analyze of an " +
+    "evolved snapshot reflects the CURRENT column set") {
+    val t = new LogTable(s"${tmp()}/t")
+    t.append(Seq((1L, Array[Byte](1, 2), Seq(1, 2)))
+      .toDF("k", "b", "arr").repartition(1))
+    val stats = t.analyze(spark)
+    assert(stats.cols.keySet == Set("k"))
+    assert(stats.rows == 1L)
+  }
+}
