@@ -1144,6 +1144,41 @@ object SparkEntry {
         .orderBy(col("col"))
     }),
 
+    "log_table_rowids" -> ((s, d) => {
+      // ROW TRACKING (Delta row tracking / Iceberg v3 row lineage):
+      // each row's stable id is assigned at commit as METADATA
+      // (baseRowId + parquet position — an append's id cost is one
+      // long in the log) and survives a DV delete (positions
+      // untouched), a copy-on-write UPDATE (survivors and post-
+      // images materialize their ids into the rewritten file) and
+      // OPTIMIZE (bin-pack merge). Two ordered single-file appends
+      // make the ids deterministic: global insert order = key order,
+      // so id = rank - 1 — exactly what the oracle's ROW_NUMBER
+      // computes over the SAME insert set, with deletes and the
+      // update applied on top
+      val dir = java.nio.file.Files.createTempDirectory("graft_rowids")
+      val lt = new graft.sources.LogTable(s"$dir/t")
+      lt.create(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("seg",
+          org.apache.spark.sql.types.StringType))),
+        properties = Map(
+          graft.sources.LogTable.PropRowTracking -> "true"))
+      val cust = t(s, d, "customer").select(col("c_custkey").as("k"),
+        col("c_mktsegment").as("seg"))
+      lt.append(cust.filter(col("k") <= 100)
+        .repartition(1).sortWithinPartitions("k"))
+      lt.append(cust.filter(col("k") > 100 && col("k") <= 200)
+        .repartition(1).sortWithinPartitions("k"))
+      lt.deleteMor(s, col("k") % 10 === 0)
+      lt.update(s, col("k") <= 50, Map("seg" -> lit("PRIME")))
+      lt.compactFiles(s)
+      lt.loadWithRowIds(s)
+        .select(col("k"), col("seg"), col("_row_id").as("row_id"))
+        .orderBy(col("k"))
+    }),
+
     "bucketed_join" -> ((s, d) => {
       // the shuffle paid at write time: both facts bucketed by the
       // join key co-locate, so the join plans with zero exchange
@@ -3359,6 +3394,15 @@ object SparkEntry {
            SELECT 'seg', COUNT(DISTINCT seg), COUNT(*) - COUNT(seg),
                   MIN(seg), MAX(seg), COUNT(*) FROM t)
          ORDER BY col""",
+
+    "log_table_rowids" ->
+      """WITH base AS (
+           SELECT c_custkey AS k, c_mktsegment AS seg,
+                  ROW_NUMBER() OVER (ORDER BY c_custkey) - 1 AS row_id
+           FROM customer WHERE c_custkey <= 200)
+         SELECT k, CASE WHEN k <= 50 THEN 'PRIME' ELSE seg END AS seg,
+                CAST(row_id AS BIGINT) AS row_id
+         FROM base WHERE k % 10 <> 0 ORDER BY k""",
 
     "log_table_properties" ->
       """SELECT k AS "key", v AS "value",

@@ -207,7 +207,7 @@ private[sources] final class LogStreamSource(ctx: SQLContext, log: LogTable,
           // carry no row-level change
           case "optimize" | "constraint" | "rename" | "drop" |
                "default" | "tblproperties" | "refresh" |
-               "partition" | "ref" => false
+               "partition" | "ref" | "rowtracking" => false
           case changeOp =>
             if (!skipChangeCommits) throw new IllegalStateException(
               s"commit $v is a '$changeOp' — a streaming read of a log " +

@@ -41,7 +41,8 @@ final case class Dv(path: String, rows: Long)
 final case class AddFile(path: String, rows: Long, bytes: Long,
                          stats: Map[String, ColStats],
                          partitionValues: Map[String, String] = Map.empty,
-                         dv: Option[Dv] = None) {
+                         dv: Option[Dv] = None,
+                         baseRowId: Option[Long] = None) {
   /** Rows a reader actually sees: physical minus deletion vector. */
   def logicalRows: Long = rows - dv.map(_.rows).getOrElse(0L)
 }
@@ -294,6 +295,11 @@ final class LogTable(val path: String,
         (j \ "dv" \ "rows") match { case JInt(i) => i.toLong
           case JLong(l) => l; case _ => 0L }))
       case _ => None
+    },
+    (j \ "baseRowId") match {
+      case JInt(i)  => Some(i.toLong)
+      case JLong(l) => Some(l)
+      case _        => None
     })
 
   private def renderAdd(a: AddFile): JValue =
@@ -303,7 +309,8 @@ final class LogTable(val path: String,
        else List("partitionValues" -> JObject(
          a.partitionValues.toList.map { case (k, v) => k -> JString(v) }))) ++
       a.dv.toList.map(d => "dv" -> JObject(List(
-        "path" -> JString(d.path), "rows" -> JLong(d.rows)))))
+        "path" -> JString(d.path), "rows" -> JLong(d.rows)))) ++
+      a.baseRowId.toList.map(b => "baseRowId" -> JLong(b)))
 
   private def readActions(f: File): Seq[JValue] =
     Files.readString(f.toPath).linesIterator.filter(_.nonEmpty)
@@ -804,6 +811,135 @@ final class LogTable(val path: String,
         spark.createDataFrame(new java.util.ArrayList[Row](),
           snap.schema.add("__file", StringType))
       else dvAwareRead(spark, snap.schema, snap.partitionCols, snap.adds,
+        keepProvenance = true).drop("__idx")
+    if (hidden.isEmpty) out else out.drop(hidden: _*)
+  }
+
+  // ---------------------------------------------------------------
+  // ROW TRACKING — Delta/Iceberg-v3-style stable row ids. A row's id
+  // is METADATA for fresh files (id = AddFile.baseRowId + parquet
+  // row position — nothing written per row, an append's id cost is
+  // one long in the log) and becomes PHYSICAL only when a rewrite
+  // moves rows (the rewrite source materializes the effective id
+  // into the reserved `_graft_row_id` column; readers coalesce the
+  // column over the computed form). Ids survive deletion vectors
+  // (positions don't move), copy-on-write UPDATE/DELETE, OPTIMIZE
+  // (bin-pack + zorder), purge, RESTORE and branch fast-forward;
+  // branch-minted and merge-inserted rows get fresh ids at publish.
+
+  /** Is row tracking on at the given (default current) version? */
+  def rowTrackingEnabled(version: Option[Long] = None): Boolean =
+    version.orElse(currentVersion).exists(v =>
+      snapshotAt(v).properties.get(LogTable.PropRowTracking)
+        .contains("true"))
+
+  /** Switch row tracking ON — one metadata-only commit at any table
+    * size: existing live files are re-added by reference so the
+    * commit loop stamps each with its `baseRowId` (id backfill
+    * without touching a byte of data); the flag itself rides
+    * TBLPROPERTIES. Idempotent. Streams skip the commit (op
+    * `rowtracking` — the re-adds are not new data), the change feed
+    * ignores it. */
+  def enableRowTracking(): Long = retryMetadataCommit { basis =>
+    val v = basis.getOrElse(throw new IllegalStateException(
+      s"no log table at $path — row tracking needs an existing table"))
+    val snap = snapshotAt(v)
+    if (snap.properties.get(LogTable.PropRowTracking).contains("true"))
+      return v
+    require(!hasFieldIds(snap.schema),
+      "row tracking on a column-mapped table is not supported — the " +
+        "field-id write stamp refuses the materialized id column")
+    commitRetry(basis, snap.adds.map(_.path), snap.adds, "rowtracking",
+      schemaJson = None, cdfDir = None,
+      propertiesJson = Some(snap.properties +
+        (LogTable.PropRowTracking -> "true")),
+      requireHead = Some(basis))
+  }
+
+  /** Snapshot read carrying the stable `_row_id` column. The
+    * per-file base ids join in BROADCAST (manifest-sized — O(#files)
+    * rows, never table-sized); the effective id is
+    * `coalesce(materialized, base + row position)`, computed
+    * entirely scan-side. */
+  def loadWithRowIds(spark: SparkSession,
+                     version: Option[Long] = None): DataFrame = {
+    val v = version.orElse(currentVersion).getOrElse(
+      throw new IllegalStateException(s"no log table at $path"))
+    require(rowTrackingEnabled(Some(v)),
+      s"row tracking is not enabled at version $v of $path — call " +
+        "enableRowTracking() (or create with graft.rowTracking=true)")
+    val snap = snapshotAt(v)
+    val hidden = hiddenColsOf(snap)
+    val out =
+      if (snap.adds.isEmpty)
+        spark.createDataFrame(new java.util.ArrayList[Row](),
+          snap.schema.add(LogTable.RowIdCol, LongType))
+      else withEffectiveRowIds(spark, snap, snap.adds)
+        .withColumnRenamed(LogTable.RowIdPhysCol, LogTable.RowIdCol)
+    if (hidden.isEmpty) out else out.drop(hidden: _*)
+  }
+
+  /** The rewrite-source read: snapshot rows with their EFFECTIVE row
+    * id under the reserved physical name, ready to stage — every
+    * rewrite path (CoW update/delete, OPTIMIZE, purge, MOR
+    * post-images) sources from this when tracking is on, so moved
+    * rows keep their ids. */
+  private def withEffectiveRowIds(spark: SparkSession, snap: Snapshot,
+                                  adds: Seq[AddFile],
+                                  keepProvenance: Boolean = false)
+      : DataFrame = {
+    val ext = StructType(snap.schema.fields :+
+      StructField(LogTable.RowIdPhysCol, LongType, nullable = true))
+    val df = dvAwareRead(spark, ext, snap.partitionCols, adds,
+      keepProvenance = true)
+    // base ids key on the file NAME (unique by construction —
+    // f-<uuid>-<i>); a clone snapshot mixing roots could in theory
+    // collide, which the check below refuses rather than mis-ids
+    val names = adds.map(a => new File(a.path).getName)
+    require(names.distinct.size == names.size,
+      s"row-id read at $path: duplicate data-file names across roots " +
+        "(cloned snapshot?) — OPTIMIZE to rewrite into this table first")
+    import spark.implicits._
+    val baseDf = broadcast(adds.map(a => (new File(a.path).getName,
+      a.baseRowId.getOrElse(Long.MinValue))).toDF("__rtname", "__rtbase"))
+    val joined = df
+      .withColumn("__rtname", substring_index(col("__file"), "/", -1))
+      .join(baseDf, Seq("__rtname"), "left")
+      .withColumn(LogTable.RowIdPhysCol,
+        coalesce(col(LogTable.RowIdPhysCol),
+          when(col("__rtbase") =!= lit(Long.MinValue),
+            col("__rtbase") + col("__idx"))))
+      .drop("__rtname", "__rtbase")
+    if (keepProvenance) joined else joined.drop("__file", "__idx")
+  }
+
+  /** The DataFrame a REWRITE stages from: plain snapshot rows, or —
+    * with row tracking on — the same rows plus their effective id
+    * materialized under the reserved physical column, so the staged
+    * parquet carries every moved row's identity. */
+  private def rewriteSource(spark: SparkSession, snap: Snapshot,
+                            adds: Seq[AddFile]): DataFrame =
+    if (snap.properties.get(LogTable.PropRowTracking).contains("true"))
+      withEffectiveRowIds(spark, snap, adds)
+    else dvAwareRead(spark, snap.schema, snap.partitionCols, adds,
+      keepProvenance = false)
+
+  /** [[loadWithFileColumn]] + the effective row id under the
+    * reserved physical name — the MERGE planner's target read on a
+    * row-tracked table, so rewritten survivors and update
+    * post-images keep their identity. */
+  private[sources] def loadWithFileAndRowIds(spark: SparkSession)
+      : DataFrame = {
+    val v = currentVersion.getOrElse(
+      throw new IllegalStateException(s"no log table at $path"))
+    val snap = snapshotAt(v)
+    val hidden = hiddenColsOf(snap)
+    val out =
+      if (snap.adds.isEmpty)
+        spark.createDataFrame(new java.util.ArrayList[Row](),
+          snap.schema.add(LogTable.RowIdPhysCol, LongType)
+            .add("__file", StringType))
+      else withEffectiveRowIds(spark, snap, snap.adds,
         keepProvenance = true).drop("__idx")
     if (hidden.isEmpty) out else out.drop(hidden: _*)
   }
@@ -1489,6 +1625,9 @@ final class LogTable(val path: String,
       resolveTransforms(tableSchema, partitionBy, generatedAlwaysAs)
     partitionBy0.foreach(c => require(tableSchema0.fieldNames.contains(c),
       s"PARTITIONED BY names unknown column '$c'"))
+    Seq(LogTable.RowIdPhysCol, LogTable.RowIdCol).foreach(r =>
+      require(!tableSchema0.fieldNames.contains(r),
+        s"column name '$r' is reserved for row tracking"))
     bloomFilterBy.foreach(c => require(tableSchema.fieldNames.contains(c),
       s"bloom index names unknown column '$c'"))
     generatedAlwaysAs0.keys.foreach(c =>
@@ -1743,6 +1882,9 @@ final class LogTable(val path: String,
       else if (f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
         Seq(f)
       else Seq.empty
+    Seq(LogTable.RowIdPhysCol, LogTable.RowIdCol).foreach(r =>
+      require(!tableSchema.fieldNames.contains(r),
+        s"column name '$r' is reserved for row tracking"))
     val stagedRoot = stagedDir.toPath.toAbsolutePath
     val parts = walk(stagedDir)
       .map(f => stagedRoot.relativize(f.toPath.toAbsolutePath).toString)
@@ -1942,6 +2084,34 @@ final class LogTable(val path: String,
       txn.foreach { case (app, batch) =>
         if (lastCommittedBatch(app).exists(_ >= batch)) return -1L
       }
+      // ROW TRACKING — baseRowId assignment happens HERE, per
+      // attempt, against the head this commit will actually land on:
+      // fresh files' row ids are METADATA (id = baseRowId + row
+      // position), so a lost race just re-reads the high-water and
+      // re-numbers — concurrent appends stay blind-retryable, no
+      // extra conflict class (Delta's rule). Files that already
+      // carry a baseRowId (carried forward by restore/merge, or a
+      // racing writer's re-add) keep it; rewritten files hold their
+      // preserved ids in the materialized column, so their fresh
+      // base only serves positions the column left null.
+      val headProps = head.map(v => snapshotAt(v).properties)
+        .getOrElse(Map.empty[String, String])
+      val baseProps = propertiesJson.getOrElse(headProps)
+      val tracked = baseProps.get(LogTable.PropRowTracking)
+        .contains("true")
+      val (effAdds, effPropsJson) =
+        if (!tracked || adds.forall(_.baseRowId.isDefined))
+          (adds, propertiesJson)
+        else {
+          var hw = baseProps.get(LogTable.PropRowIdHighWater)
+            .map(_.toLong).getOrElse(0L)
+          val assigned = adds.map { a =>
+            if (a.baseRowId.isDefined) a
+            else { val b = hw; hw += a.rows; a.copy(baseRowId = Some(b)) }
+          }
+          (assigned,
+            Some(baseProps + (LogTable.PropRowIdHighWater -> hw.toString)))
+        }
       val next = head.getOrElse(-1L) + 1L
       val lines = Seq(JsonMethods.compact(JsonMethods.render(JObject(List(
         "commit" -> JObject(List("ts" -> JLong(clock()),
@@ -1972,7 +2142,7 @@ final class LogTable(val path: String,
         defaultsJson.map(ds => JsonMethods.compact(JsonMethods.render(
           JObject(List("defaults" -> JObject(
             ds.toList.map { case (k, v) => k -> JString(v) })))))) ++
-        propertiesJson.map(ps => JsonMethods.compact(JsonMethods.render(
+        effPropsJson.map(ps => JsonMethods.compact(JsonMethods.render(
           JObject(List("properties" -> JObject(
             ps.toList.map { case (k, v) => k -> JString(v) })))))) ++
         transformsJson.map(ts => JsonMethods.compact(JsonMethods.render(
@@ -1983,7 +2153,7 @@ final class LogTable(val path: String,
             rs.toList.map { case (k, v) => k -> JString(v) })))))) ++
         removePaths.map(p => JsonMethods.compact(JsonMethods.render(
           JObject(List("remove" -> JObject(List("path" -> JString(p)))))))) ++
-        adds.map(a => JsonMethods.compact(JsonMethods.render(
+        effAdds.map(a => JsonMethods.compact(JsonMethods.render(
           JObject(List("add" -> renderAdd(a))))))
       val tmp = new File(logDir, s".tmp-${UUID.randomUUID()}")
       Files.writeString(tmp.toPath, lines.mkString("\n"))
@@ -2352,8 +2522,15 @@ final class LogTable(val path: String,
     // all three
     if (!flat || (pc.isEmpty && !mapped && generatedCols.isEmpty)) staged
     else {
-      val byName = StructType(s.fields.map(f =>
+      val byName0 = StructType(s.fields.map(f =>
         f.copy(metadata = Metadata.empty)))
+      // a row-tracked staging (merge planner output) may carry the
+      // materialized id column — thread it through the re-stage
+      // (files without it null-fill, which the read path treats as
+      // "compute from base + position")
+      val byName =
+        if (rowTrackingEnabled()) byName0.add(LogTable.RowIdPhysCol, LongType)
+        else byName0
       val staged2 = newStagingDir()
       stagedWriter(spark.read.schema(byName).parquet(staged))
         .parquet(staged2)
@@ -2604,12 +2781,15 @@ final class LogTable(val path: String,
       s"cannot UPDATE SET IDENTITY column '$k'"))
     val set = withGeneratedRecompute(spark, set0)
     rewriteMatching(spark, pred, "update") { (matching, file) =>
+      // non-schema passthrough columns (the materialized row id on a
+      // tracked table) ride through the rewrite untouched
+      val extras = file.columns.filterNot(s.fieldNames.contains).toSeq
       file.select(s.fields.toSeq.map { f =>
         set.get(f.name)
           .map(e => when(coalesce(pred, lit(false)), e)
             .otherwise(col(f.name)).cast(f.dataType).as(f.name))
           .getOrElse(col(f.name))
-      }: _*)
+      } ++ extras.map(col): _*)
     }
   }
 
@@ -2642,10 +2822,14 @@ final class LogTable(val path: String,
       s"cannot UPDATE SET IDENTITY column '$k'"))
     val set = withGeneratedRecompute(spark, set0)
     morMatching(spark, pred, "update") { (matched, snapSchema, _) =>
+      // the materialized row id (tracked tables) passes through, so
+      // a MOR update's post-image keeps the matched row's identity
+      val extras = matched.columns
+        .filterNot(snapSchema.fieldNames.contains).toSeq
       Some(matched.select(snapSchema.fields.toSeq.map { f =>
         set.get(f.name).map(_.cast(f.dataType).as(f.name))
           .getOrElse(col(f.name))
-      }: _*))
+      } ++ extras.map(col): _*))
     }
   }
 
@@ -2667,8 +2851,15 @@ final class LogTable(val path: String,
     if (candidates.isEmpty)
       return RowOpResult(readVersion, 0L, skipped.size, 0, 0)
 
-    val candDf = dvAwareRead(spark, snap.schema, snap.partitionCols,
-      candidates, keepProvenance = true)
+    // tracked tables thread the effective row id through the match
+    // scan so update post-images materialize the matched row's id
+    val tracked = snap.properties.get(LogTable.PropRowTracking)
+      .contains("true")
+    val candDf =
+      if (tracked) withEffectiveRowIds(spark, snap, candidates,
+        keepProvenance = true)
+      else dvAwareRead(spark, snap.schema, snap.partitionCols,
+        candidates, keepProvenance = true)
     val matched = candDf.filter(coalesce(pred, lit(false)))
     // per-file match counts: ONE aggregate whose result is
     // O(#touched files) — the only thing that ever reaches the
@@ -2695,12 +2886,14 @@ final class LogTable(val path: String,
     val post = postImages(images, snap.schema, snap.partitionCols)
     post match {
       case None =>
-        images.withColumn("_change_type", lit("delete"))
+        images.drop(LogTable.RowIdPhysCol)
+          .withColumn("_change_type", lit("delete"))
           .write.mode("overwrite").parquet(s"$path/$cdfRel")
       case Some(p) =>
-        p.withColumn("_change_type", lit("update_postimage"))
-          .unionByName(images.withColumn("_change_type",
-            lit("update_preimage")))
+        p.drop(LogTable.RowIdPhysCol)
+          .withColumn("_change_type", lit("update_postimage"))
+          .unionByName(images.drop(LogTable.RowIdPhysCol)
+            .withColumn("_change_type", lit("update_preimage")))
           .write.mode("overwrite").parquet(s"$path/$cdfRel")
     }
 
@@ -2758,8 +2951,9 @@ final class LogTable(val path: String,
     val dvd = snap.adds.filter(_.dv.isDefined)
     if (dvd.isEmpty) return readVersion
     val staged = new File(newStagingDir())
-    stagedWriter(dvAwareRead(spark, snap.schema, snap.partitionCols, dvd,
-      keepProvenance = false)).parquet(staged.toString)
+    // positions SHIFT when vectored rows materialize away — the
+    // rewrite source carries each surviving row's effective id
+    stagedWriter(rewriteSource(spark, snap, dvd)).parquet(staged.toString)
     finalizeStaged(spark, staged, snap.schema, dvd.map(_.path),
       op = "optimize", readVersion = Some(readVersion), schemaJson = None,
       cdfDir = None)
@@ -2985,24 +3179,30 @@ final class LogTable(val path: String,
     if (touched.isEmpty)
       return RowOpResult(readVersion, 0L, skipped.size, candidates.size, 0)
 
-    val touchedDf = dvAwareRead(spark, snap.schema, snap.partitionCols,
-      touched, keepProvenance = false)
+    // row-tracked tables rewrite from the id-materializing source so
+    // survivors (and update post-images) keep their row ids; the
+    // physical id column rides through filter/select-passthrough and
+    // is stripped from the change feed
+    val touchedDf = rewriteSource(spark, snap, touched)
 
     // change feed: the matching rows, written BEFORE the log commit
     // and referenced from it (readers of the commit always find them)
     val cdfRel = s"_cdf/${UUID.randomUUID()}"
     val matching = touchedDf.filter(coalesce(pred, lit(false)))
     if (op == "delete")
-      matching.withColumn("_change_type", lit("delete"))
+      matching.drop(LogTable.RowIdPhysCol)
+        .withColumn("_change_type", lit("delete"))
         .write.mode("overwrite").parquet(s"$path/$cdfRel")
 
     val staged = new File(newStagingDir())
     val rewritten = rewrite(matching, touchedDf)
     stagedWriter(rewritten).parquet(staged.toString)
     if (op == "update") {
-      val pre = matching.withColumn("_change_type", lit("update_preimage"))
+      val pre = matching.drop(LogTable.RowIdPhysCol)
+        .withColumn("_change_type", lit("update_preimage"))
       val post = rewrite(matching,
         touchedDf.filter(coalesce(pred, lit(false))))
+        .drop(LogTable.RowIdPhysCol)
         .withColumn("_change_type", lit("update_postimage"))
       pre.unionByName(post).write.mode("overwrite")
         .parquet(s"$path/$cdfRel")
@@ -3469,8 +3669,8 @@ final class LogTable(val path: String,
       math.ceil(small.map(_.bytes).sum.toDouble / targetBytes).toInt)
     val staged = new File(newStagingDir())
     // dv-aware: a compacted file's deletion vector materializes away
-    stagedWriter(dvAwareRead(spark, snap.schema, snap.partitionCols,
-      small, keepProvenance = false)
+    // (row-tracked tables keep each row's id via the rewrite source)
+    stagedWriter(rewriteSource(spark, snap, small)
       .repartition(groups)).parquet(staged.toString)
     finalizeStaged(spark, staged, snap.schema, small.map(_.path),
       op = "optimize", readVersion = Some(readVersion), schemaJson = None,
@@ -3496,8 +3696,7 @@ final class LogTable(val path: String,
       throw new IllegalStateException(s"no log table at $path"))
     val snap = snapshotAt(readVersion)
     if (snap.adds.isEmpty) return readVersion
-    val df = dvAwareRead(spark, snap.schema, snap.partitionCols,
-      snap.adds, keepProvenance = false)
+    val df = rewriteSource(spark, snap, snap.adds)
     val staged = new File(newStagingDir())
     val laidOut = clusterBy match {
       case Seq(c) =>
@@ -3703,6 +3902,21 @@ object LogTable {
   val PropStatsVersion = "graft.stats.version"
   val PropStatsRows = "graft.stats.rows"
   val PropStatsCols = "graft.stats.cols"
+
+  /** Row-tracking TBLPROPERTIES: the feature flag and the row-id
+    * high-water mark (largest id bound ever allocated; advances
+    * inside the commit loop, survives RESTORE because restore keeps
+    * governance properties current). */
+  val PropRowTracking = "graft.rowTracking"
+  val PropRowIdHighWater = "graft.rowTracking.highWater"
+
+  /** The PHYSICAL parquet column rewrites materialize preserved row
+    * ids into. Reserved: never part of a table schema; reads
+    * coalesce it with `baseRowId + row position`. */
+  val RowIdPhysCol = "_graft_row_id"
+
+  /** The row-id column [[LogTable.loadWithRowIds]] exposes. */
+  val RowIdCol = "_row_id"
 }
 
 /** [[DimSink]] face of a [[LogTable]], so every sink-shaped pipeline

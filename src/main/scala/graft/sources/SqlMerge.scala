@@ -353,9 +353,16 @@ object SqlMerge {
     val readVersion = log.currentVersion
     // scan-time file provenance (NOT input_file_name, which goes
     // empty after an exchange — and a deletion-vectored snapshot's
-    // read plan contains an anti-join), deletion vectors subtracted
-    val target = log.loadWithFileColumn(spark)
-    val snapCols = target.columns.toSeq.filterNot(_ == "__file")
+    // read plan contains an anti-join), deletion vectors subtracted.
+    // Row-tracked targets read WITH their effective ids, so the
+    // rewrite below can carry each surviving/updated row's identity
+    // into the new files (merge-inserted rows id fresh at commit).
+    val tracked = log.rowTrackingEnabled()
+    val target =
+      if (tracked) log.loadWithFileAndRowIds(spark)
+      else log.loadWithFileColumn(spark)
+    val snapCols = target.columns.toSeq.filterNot(c =>
+      c == "__file" || c == LogTable.RowIdPhysCol)
     val core = analyzeFrame(spark, p, target, snapCols)
     val stats = core.statsChecked()
 
@@ -378,9 +385,15 @@ object SqlMerge {
     val keep = !col("__branch").isin(core.deletes :+ -2: _*)
     val inTouched = col(s"${p.targetAlias}.__file")
       .isin(touchedNames.toSeq: _*)
+    val outSel =
+      if (!tracked) core.outCols
+      else core.outCols :+
+        when(core.tPresent,
+          col(s"${p.targetAlias}.${LogTable.RowIdPhysCol}"))
+          .as(LogTable.RowIdPhysCol)
     val out = core.labeled
       .filter(((core.tPresent && inTouched) || !core.tPresent) && keep)
-      .select(core.outCols: _*)
+      .select(outSel: _*)
     val staged = log.newStagingDir()
     out.write.mode("overwrite").parquet(staged)
 
