@@ -2113,8 +2113,17 @@ final class LogTable(val path: String,
             Some(baseProps + (LogTable.PropRowIdHighWater -> hw.toString)))
         }
       val next = head.getOrElse(-1L) + 1L
+      // IN-COMMIT monotonic timestamps (Delta's inCommitTimestamps):
+      // a commit's recorded instant is never behind its predecessor's,
+      // whatever the writer's wall clock says — so `TIMESTAMP AS OF`
+      // ([[versionAt]]: newest ts ≤ t) resolves every historical
+      // instant to the snapshot actually current then, even across
+      // writers with skewed clocks (the ts order IS the version
+      // order, by construction).
+      val commitTs = math.max(clock(),
+        head.map(commitTime(_) + 1L).getOrElse(Long.MinValue))
       val lines = Seq(JsonMethods.compact(JsonMethods.render(JObject(List(
-        "commit" -> JObject(List("ts" -> JLong(clock()),
+        "commit" -> JObject(List("ts" -> JLong(commitTs),
           "op" -> JString(op)) ++ cdfDir.map("cdf" -> JString(_)) ++
           txn.toList.flatMap { case (a, b) =>
             List("txnApp" -> JString(a), "txnBatch" -> JLong(b)) })))))) ++

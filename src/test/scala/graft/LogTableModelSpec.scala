@@ -55,7 +55,7 @@ class LogTableModelSpec extends SparkSpec {
       b
     }
 
-    def afterOp(): Unit = {
+    def afterOp(step: Int): Unit = {
       val committed = t.currentVersion.map(_ + 1).getOrElse(0L)
       // every commit that happened since last check snapshots the
       // CURRENT model (ops that matched nothing commit nothing)
@@ -70,6 +70,19 @@ class LogTableModelSpec extends SparkSpec {
       assert(live.collect { case (n, ("branch", _)) => n }.toSet ==
         branch.map(_._1).toSet,
         s"branch-ref drift after ${snaps.size} commits")
+      // ROW TRACKING invariants (every few steps — an extra job):
+      // live ids unique and strictly below the high-water, whatever
+      // op mix ran — overwrites, restores to PRE-TRACKING versions,
+      // hidden-partition epochs, branch merges included
+      if (t.exists && t.rowTrackingEnabled() && step % 6 == 0) {
+        val ids = t.loadWithRowIds(spark).select("_row_id")
+          .as[Long].collect().toSeq
+        assert(ids.distinct.size == ids.size,
+          s"duplicate row ids after ${snaps.size} commits")
+        val hw = t.tableProperties(LogTable.PropRowIdHighWater).toLong
+        assert(ids.forall(_ < hw),
+          s"row id at/above high-water after ${snaps.size} commits")
+      }
     }
 
     (0 until 48).foreach { step =>
@@ -167,7 +180,11 @@ class LogTableModelSpec extends SparkSpec {
           " transforms=" + t.partitionTransforms)
         throw e
       }
-      afterOp()
+      // switch row tracking on MID-SEQUENCE (metadata-only backfill)
+      // so the remaining ~40 steps run the whole op mix tracked
+      if (step == 7 && t.exists && !t.rowTrackingEnabled())
+        t.enableRowTracking()
+      afterOp(step)
     }
 
     // the full history replays: every version equals the model state

@@ -276,13 +276,23 @@ class LogTableSpec extends SparkSpec {
     assert(t.vacuum(retainLast = 1, retentionMillis = 0L).nonEmpty)
   }
 
-  test("versionAt resolves same-millisecond commit ties to the " +
-    "newest version") {
-    val t = new LogTable(s"${tmp()}/t", clock = fixedClock(1000L))
-    t.append(Seq((1L, "a")).toDF("k", "v")) // v0 @ t=1000
-    t.append(Seq((2L, "b")).toDF("k", "v")) // v1 @ t=1000
-    assert(t.versionAt(1000L) == 1L) // the snapshot current at t=1000
-    assert(t.load(spark, Some(t.versionAt(1000L))).count() == 2L)
+  test("in-commit timestamps are MONOTONIC: a same-millisecond (or " +
+    "backwards) wall clock never records a commit at-or-before its " +
+    "predecessor, so ts order IS version order and versionAt is " +
+    "unambiguous under clock skew") {
+    // wall clock: 1000, 1000 (tie), 500 (a skewed writer going BACK)
+    val ticks = Iterator(1000L, 1000L, 500L)
+    val t = new LogTable(s"${tmp()}/t", clock = () => ticks.next())
+    t.append(Seq((1L, "a")).toDF("k", "v")) // v0 recorded @ 1000
+    t.append(Seq((2L, "b")).toDF("k", "v")) // v1 recorded @ 1001
+    t.append(Seq((3L, "c")).toDF("k", "v")) // v2 recorded @ 1002
+    assert((0L to 2L).map(t.commitTime) == Seq(1000L, 1001L, 1002L))
+    // the snapshot current AT wall-instant 1000 is v0 (v1 "happened"
+    // strictly after, by construction); 1001 → v1; ≥1002 → v2
+    assert(t.versionAt(1000L) == 0L)
+    assert(t.versionAt(1001L) == 1L)
+    assert(t.versionAt(5000L) == 2L)
+    assert(t.load(spark, Some(t.versionAt(5000L))).count() == 3L)
   }
 
   test("a schema-widening append that loses the log-slot race to " +
