@@ -1179,6 +1179,33 @@ object SparkEntry {
         .orderBy(col("k"))
     }),
 
+    "log_table_expire" -> ((s, d) => {
+      // EXPIRE SNAPSHOTS (Iceberg expire_snapshots / Delta log
+      // retention): bound the METADATA — five commits, then keep the
+      // newest three; a checkpoint anchored AT the floor keeps every
+      // retained version bit-replayable while pre-floor commit
+      // entries delete. Time travel below the floor must fail with
+      // the expiry error (asserted inline); the surviving state is
+      // what the oracle recomputes
+      val dir = java.nio.file.Files.createTempDirectory("graft_expire")
+      val lt = new graft.sources.LogTable(s"$dir/t")
+      val cust = t(s, d, "customer").select(col("c_custkey").as("k"),
+        col("c_mktsegment").as("seg"))
+      lt.append(cust.filter(col("k") <= 100))
+      lt.append(cust.filter(col("k") > 100 && col("k") <= 200))
+      lt.append(cust.filter(col("k") > 200 && col("k") <= 300))
+      lt.append(cust.filter(col("k") > 300 && col("k") <= 400))
+      lt.delete(s, col("k") % 9 === 0)
+      val dropped = lt.expireSnapshots(retainLast = 3)
+      require(dropped.nonEmpty, "expiry must drop pre-floor metadata")
+      require(lt.versions.size == 3, "exactly the window survives")
+      val belowFloorFails =
+        try { lt.load(s, Some(0L)).count(); false }
+        catch { case _: IllegalStateException => true }
+      require(belowFloorFails, "below-floor time travel must refuse")
+      lt.load(s).orderBy(col("k"))
+    }),
+
     "bucketed_join" -> ((s, d) => {
       // the shuffle paid at write time: both facts bucketed by the
       // join key co-locate, so the join plans with zero exchange
@@ -3403,6 +3430,12 @@ object SparkEntry {
          SELECT k, CASE WHEN k <= 50 THEN 'PRIME' ELSE seg END AS seg,
                 CAST(row_id AS BIGINT) AS row_id
          FROM base WHERE k % 10 <> 0 ORDER BY k""",
+
+    "log_table_expire" ->
+      """SELECT c_custkey AS k, c_mktsegment AS seg
+         FROM customer
+         WHERE c_custkey <= 400 AND c_custkey % 9 <> 0
+         ORDER BY k""",
 
     "log_table_properties" ->
       """SELECT k AS "key", v AS "value",

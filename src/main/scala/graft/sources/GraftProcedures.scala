@@ -59,6 +59,9 @@ private[sources] final class GraftProcedure(catalog: GraftTableCatalog,
     case "purge_deletes" | "history" | "detail" | "refresh_mv" |
          "analyze_table" =>
       Array(in("table", StringType).build())
+    case "expire_snapshots" =>
+      Array(in("table", StringType).build(),
+        in("retain_last", IntegerType).defaultValue("1").build())
     case "create_tag" =>
       Array(in("table", StringType).build(),
         in("name", StringType).build(),
@@ -108,6 +111,8 @@ private[sources] final class GraftProcedure(catalog: GraftTableCatalog,
         StructField("mode", StringType)))
     case "vacuum" =>
       StructType(Seq(StructField("dropped", StringType)))
+    case "expire_snapshots" =>
+      StructType(Seq(StructField("expired", StringType)))
     case "show_refs" =>
       StructType(Seq(StructField("name", StringType),
         StructField("kind", StringType),
@@ -165,6 +170,9 @@ private[sources] final class GraftProcedure(catalog: GraftTableCatalog,
         Seq(row(v))
       case "purge_deletes" =>
         Seq(row(t.purgeDeletes(spark)))
+      case "expire_snapshots" =>
+        t.expireSnapshots(input.getInt(1))
+          .map(n => row(UTF8String.fromString(n)))
       case "create_tag" =>
         val ver = input.getLong(2)
         Seq(row(t.createTag(input.getUTF8String(1).toString,
@@ -268,7 +276,7 @@ private object GraftProcedure {
     Set("restore", "vacuum", "optimize", "purge_deletes", "history",
       "detail", "clone", "create_mv", "refresh_mv", "set_partition",
       "create_tag", "create_branch", "merge_branch", "drop_ref",
-      "drop_branch", "show_refs", "analyze_table")
+      "drop_branch", "show_refs", "analyze_table", "expire_snapshots")
 
   private def row(vs: Any*): InternalRow =
     new GenericInternalRow(vs.toArray)

@@ -159,7 +159,11 @@ private[sources] final class LogStreamSource(ctx: SQLContext, log: LogTable,
     val end =
       if (maxFilesPerTrigger.isEmpty && maxBytesPerTrigger.isEmpty) head
       else {
-        var last = pointer
+        // never walk below the expiry floor: commits there are gone
+        // (a fresh stream's initial-snapshot batch is admitted whole
+        // — the floor snapshot has no per-commit budget to sum)
+        var last = math.max(pointer,
+          log.earliestVersion.getOrElse(0L) - 1L)
         var files = 0L
         var bytes = 0L
         var full = false
@@ -191,10 +195,40 @@ private[sources] final class LogStreamSource(ctx: SQLContext, log: LogTable,
     val to = ver(end)
     pointer = math.max(pointer, to)
     val spark = ctx.sparkSession
-    if (readChangeFeed)
+    // expiry-floor handling (Delta's log-retention semantics): a
+    // RESUMING stream whose offset predates the floor has already
+    // consumed commits that no longer exist — refuse loudly, no
+    // silent gap; a BRAND-NEW stream serves the floor snapshot as
+    // its initial batch and streams deltas from there
+    val earliest = log.earliestVersion.getOrElse(0L)
+    if (from >= 0 && from < earliest - 1)
+      throw new IllegalStateException(
+        s"stream offset $from predates the earliest retained log " +
+          s"version $earliest — expireSnapshots removed this " +
+          "stream's position; restart the stream from scratch")
+    if (readChangeFeed) {
+      if (from < 0 && earliest > 0) {
+        val snap = GraftStreamShim.streamingFrame(
+          log.readSnapshotAdds(spark, log.userSchema, earliest)
+            .withColumn("_change_type",
+              org.apache.spark.sql.functions.lit("insert"))
+            .withColumn("_commit_version",
+              org.apache.spark.sql.functions.lit(earliest)))
+        return if (earliest >= to) snap
+        else snap.unionByName(GraftStreamShim.streamingFrame(
+          log.changes(spark, earliest, to)))
+      }
       // CDF mode represents every commit kind as row-level changes —
       // nothing to skip, nothing to fail on
       return GraftStreamShim.streamingFrame(log.changes(spark, from, to))
+    }
+    if (from < 0 && earliest > 0) {
+      val snap = GraftStreamShim.streamingFrame(
+        log.readSnapshotAdds(spark, schema, earliest))
+      return if (earliest >= to) snap
+      else snap.unionByName(getBatch(
+        Some(LongOffset(earliest)), end))
+    }
     val dataVersions = log.versions.filter(v => v > from && v <= to)
       .filter { v =>
         log.commitOp(v) match {

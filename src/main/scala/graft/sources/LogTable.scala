@@ -199,6 +199,10 @@ final class LogTable(val path: String,
 
   def exists: Boolean = currentVersion.isDefined
 
+  /** Oldest version whose commit entry is still in the log — 0
+    * until [[expireSnapshots]] raises the floor. */
+  def earliestVersion: Option[Long] = versions.headOption
+
   // ---------------------------------------------------------------
   // log read path
 
@@ -463,7 +467,14 @@ final class LogTable(val path: String,
           val a = parseAdd(j); live(a.path) = a
         }
         cv + 1
-      case None => 0L
+      case None =>
+        // no checkpoint at-or-before v: replay must start at commit
+        // 0 — if THAT is gone, v predates the expiry floor
+        if (!logFile(0L).isFile) throw new IllegalStateException(
+          s"version $v of the log table at $path has been expired " +
+            s"(earliest retained: ${versions.headOption.getOrElse(-1L)})" +
+            " — expireSnapshots removed its metadata")
+        0L
     }
     // versions are contiguous (commitRetry claims head+1), so the
     // replay interval needs no directory listing — each commit file
@@ -2181,7 +2192,10 @@ final class LogTable(val path: String,
   }
 
   private def maybeCheckpoint(v: Long): Unit =
-    if (v > 0 && v % checkpointInterval == 0) {
+    if (v > 0 && v % checkpointInterval == 0) writeCheckpoint(v)
+
+  private def writeCheckpoint(v: Long): Unit =
+    {
       val snap = snapshotAt(v)
       val state = JObject(List(
         "schema" -> JsonMethods.parse(snap.schema.json),
@@ -2478,8 +2492,13 @@ final class LogTable(val path: String,
     * contiguous, so the walk needs no directory listing). */
   def lastCommittedBatch(app: String): Option[Long] =
     currentVersion.flatMap { head =>
-      (head to 0L by -1).iterator.map(commitMeta).collectFirst {
-        case m if m.txn.exists(_._1 == app) => m.txn.get._2 }
+      // stop at the expiry floor: markers below it are gone (the
+      // retention window must exceed any stream's replay horizon —
+      // Delta's log-retention caveat, documented on expireSnapshots)
+      (head to 0L by -1).iterator
+        .takeWhile(v => logFile(v).isFile)
+        .map(commitMeta).collectFirst {
+          case m if m.txn.exists(_._1 == app) => m.txn.get._2 }
     }
 
   /** Exactly-once streaming append — Delta's txnAppId/txnVersion
@@ -3251,6 +3270,20 @@ final class LogTable(val path: String,
                                       v: Long): DataFrame =
     readAddedFiles(spark, readSchema, Seq(v))
 
+  /** Read the FULL snapshot at `v` under `readSchema` — the
+    * streaming source's initial batch when the log floor was raised
+    * by [[expireSnapshots]] (the per-commit deltas below the floor
+    * are gone; the checkpointed snapshot stands in for them). */
+  private[sources] def readSnapshotAdds(spark: SparkSession,
+                                        readSchema: StructType,
+                                        v: Long): DataFrame = {
+    val adds = snapshotAt(v).adds
+    if (adds.isEmpty)
+      spark.createDataFrame(new java.util.ArrayList[Row](), readSchema)
+    else dvAwareRead(spark, readSchema, partitionColsAt(v), adds,
+      keepProvenance = false)
+  }
+
   /** Read the files a WINDOW of commits added, as ONE scan set:
     * `dvAwareRead` splits clean from vectored files internally, so a
     * catch-up micro-batch over hundreds of clean appends plans a
@@ -3265,6 +3298,47 @@ final class LogTable(val path: String,
       spark.createDataFrame(new java.util.ArrayList[Row](), readSchema)
     else dvAwareRead(spark, readSchema, partitionCols, adds,
       keepProvenance = false)
+  }
+
+  /** Iceberg's `expire_snapshots` / Delta's log retention, as an
+    * explicit verb: bound the METADATA. A busy table commits
+    * forever; without expiry the `_log/` directory grows without
+    * bound and so does the time-travel surface readers must honor.
+    * Expiry keeps the newest `retainLast` versions — and every
+    * tagged / branch-fork version, which clamp the floor — writes a
+    * full checkpoint AT the floor (the anchor every retained replay
+    * resolves from), then deletes strictly-older commit entries and
+    * checkpoints. O(window) metadata at any commit rate.
+    *
+    * Contracts after expiry: time travel below the floor fails with
+    * a clear "expired" error (restore already refuses), change
+    * feeds and resuming streams crossing the floor refuse loudly
+    * (no silent gaps), a BRAND-NEW stream serves the floor snapshot
+    * as its initial batch, idempotent-txn markers below the floor
+    * are forgotten (keep the window longer than any stream's replay
+    * horizon — Delta's log-retention caveat). Data files are
+    * untouched: expiry bounds metadata, [[vacuum]] reclaims bytes —
+    * run expiry first so vacuum sees the tightened reference set.
+    * Returns the deleted log file names. */
+  def expireSnapshots(retainLast: Int): Seq[String] = {
+    require(retainLast >= 1, "expireSnapshots needs retainLast >= 1")
+    val head = currentVersion.getOrElse(
+      throw new IllegalStateException(s"no log table at $path"))
+    val vs = versions
+    val pinned = refs.values.map(_._2)
+    val floor = (Seq(math.max(0L, head - retainLast + 1)) ++ pinned).min
+    if (floor <= vs.head) return Seq.empty
+    // the floor checkpoint anchors every retained replay; write it
+    // BEFORE deleting anything (a crash between leaves a complete,
+    // merely-unexpired log)
+    if (!ckptFile(floor).isFile) writeCheckpoint(floor)
+    val doomed =
+      vs.filter(_ < floor).map(v => logFile(v)) ++
+        listLogDir().filter(f => f.getName.endsWith(".ckpt.json") &&
+          f.getName.stripSuffix(".ckpt.json").toLong < floor)
+    doomed.foreach(f => { f.delete(); () })
+    snapCache.clear()
+    doomed.map(_.getName)
   }
 
   /** Roll the table back to the state of `version` (Delta RESTORE):
@@ -3598,6 +3672,13 @@ final class LogTable(val path: String,
     * `_commit_version`. */
   def changes(spark: SparkSession, fromVersion: Long,
               toVersion: Long): DataFrame = {
+    // a window reaching below the expiry floor has GAPS — refuse
+    // loudly rather than serve a feed silently missing commits
+    earliestVersion.filter(_ > 0).foreach(e =>
+      require(fromVersion >= e - 1,
+        s"change feed from version $fromVersion crosses expired " +
+          s"commits (earliest retained: $e) — the log was expired " +
+          "past this window"))
     val s = userSchema // hidden transform columns never reach the feed
     val pc = partitionCols
     def tagged(df: DataFrame, tpe: String, v: Long): DataFrame =

@@ -245,7 +245,16 @@ object MaterializedAgg {
         touched(a).as(k) } ++ Seq(state("cnt"), state("cntx"),
         state("sum0"), state("min0"), state("max0")): _*)
     val view = s"mv_rescan_${UUID.randomUUID().toString.take(8)}"
-    src.createOrReplaceTempView(view)
+    // PERSIST here, unlike the signed-fold path (whose delta is one
+    // cheap CDF aggregate and measured faster re-executed): this
+    // source embeds a BASE TABLE scan + aggregation, and the merge
+    // re-executes its source once per pass (stats, rewrite, CDF) —
+    // caching the O(touched groups) state buys back two full scans.
+    // MEMORY_AND_DISK: the state spills, never OOMs, at any scale.
+    val cached = src.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    cached.count() // materialize before the merge's first pass
+    cached.createOrReplaceTempView(view)
     try {
       val on = keys.map(k => s"t.`$k` <=> s.`$k`").mkString(" AND ")
       val stateCols = Seq("cnt", "cntx", "sum0", "min0", "max0")
@@ -261,6 +270,7 @@ object MaterializedAgg {
         mv, txn = Some((App, baseV)))
     } finally {
       spark.catalog.dropTempView(view)
+      cached.unpersist()
       ()
     }
     if (!mv.lastCommittedBatch(App).contains(baseV))
