@@ -1206,6 +1206,33 @@ object SparkEntry {
       lt.load(s).orderBy(col("k"))
     }),
 
+    "log_table_autocompact" -> ((s, d) => {
+      // AUTO COMPACTION (Delta's autoOptimize.autoCompact): with
+      // graft.autoCompact.enabled the many-small-appends ingest
+      // pattern self-heals — the append that brings a scope to
+      // minNumFiles small files runs a follow-on best-effort
+      // bin-pack commit. Five single-file appends under
+      // minNumFiles=4: the 4th triggers ONE optimize (4 files → 1),
+      // the 5th leaves 2 files (census reset below threshold). The
+      // inline requires pin the file/commit contract; the oracle
+      // recomputes the data — compaction must be invisible to it
+      val dir = java.nio.file.Files.createTempDirectory("graft_autoc")
+      val lt = new graft.sources.LogTable(s"$dir/t")
+      val sup = t(s, d, "supplier").select(col("s_suppkey").as("k"),
+        col("s_name").as("name"), col("s_acctbal").as("bal"))
+      lt.create(sup.schema, properties = Map(
+        graft.sources.LogTable.PropAutoCompact -> "true",
+        graft.sources.LogTable.PropAutoCompactMinFiles -> "4"))
+      (0 until 5).foreach(i =>
+        lt.append(sup.filter(col("k") % 5 === i).repartition(1)))
+      val nOpt = lt.history(s).filter(col("op") === "optimize").count()
+      require(nOpt == 1L, s"expected exactly one auto-compact, got $nOpt")
+      val nFiles = lt.load(s).inputFiles.length
+      require(nFiles == 2,
+        s"expected compacted+fresh = 2 files, got $nFiles")
+      lt.load(s).orderBy(col("k"))
+    }),
+
     "bucketed_join" -> ((s, d) => {
       // the shuffle paid at write time: both facts bucketed by the
       // join key co-locate, so the join plans with zero exchange
@@ -3436,6 +3463,10 @@ object SparkEntry {
          FROM customer
          WHERE c_custkey <= 400 AND c_custkey % 9 <> 0
          ORDER BY k""",
+
+    "log_table_autocompact" ->
+      """SELECT s_suppkey AS k, s_name AS name, s_acctbal AS bal
+         FROM supplier ORDER BY k""",
 
     "log_table_properties" ->
       """SELECT k AS "key", v AS "value",

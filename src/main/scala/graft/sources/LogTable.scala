@@ -2354,8 +2354,11 @@ final class LogTable(val path: String,
     var attempts = 0
     while (true) {
       attempts += 1
-      try return appendOnce(df0, mergeSchema)
-      catch {
+      try {
+        val v = appendOnce(df0, mergeSchema)
+        maybeAutoCompact(df0.sparkSession)
+        return v
+      } catch {
         case e: java.util.ConcurrentModificationException
           if e.getMessage != null && e.getMessage.contains("identity") &&
             attempts < 20 => () // reallocate against the new head
@@ -2527,7 +2530,8 @@ final class LogTable(val path: String,
       schemaBasis = if (currentVersion.isEmpty) Some(-1L) else None,
       identityUpdate = snapOpt.map(_.identity).getOrElse(Map.empty),
       identityBasis = if (idBasis.isEmpty) None else Some(idBasis))
-    if (v < 0) None else Some(v)
+    if (v < 0) None
+    else { maybeAutoCompact(df0.sparkSession); Some(v) }
   }
 
   /** A staging directory an EXTERNAL writer populated is flat (the
@@ -2570,10 +2574,13 @@ final class LogTable(val path: String,
   /** Commit a staging directory the DSv2 write path already
     * populated, as an append (`INSERT INTO`). */
   private[sources] def appendStaged(spark: SparkSession,
-                                    staged: String): Long =
-    finalizeStaged(spark, new File(restageForLayout(spark, staged)), schema,
-      removePaths = Seq.empty, op = "append", readVersion = None,
+                                    staged: String): Long = {
+    val v = finalizeStaged(spark, new File(restageForLayout(spark, staged)),
+      schema, removePaths = Seq.empty, op = "append", readVersion = None,
       schemaJson = None, cdfDir = None)
+    maybeAutoCompact(spark)
+    v
+  }
 
   /** Commit a staging directory as a full replace
     * (`INSERT OVERWRITE`): adds the staged files, retires every
@@ -3754,6 +3761,16 @@ final class LogTable(val path: String,
     val small = snap.adds.filter(a => a.bytes < smallBytes &&
       ((baseConj.isEmpty && derivedConj.isEmpty) ||
         !provablyNoMatch(a, baseConj ++ derivedSafeFor(a, derivedConj))))
+    compactSubset(spark, snap, readVersion, small, targetBytes)
+  }
+
+  /** The shared bin-pack core of [[compactFiles]] and
+    * [[maybeAutoCompact]]: rewrite `small` as ~`targetBytes` files in
+    * one `optimize` commit (no row-level change — streams skip it,
+    * change feed empty; conflict revalidation applies as usual). */
+  private def compactSubset(spark: SparkSession, snap: Snapshot,
+                            readVersion: Long, small: Seq[AddFile],
+                            targetBytes: Long): Long = {
     if (small.size < 2) return readVersion
     val groups = math.max(1,
       math.ceil(small.map(_.bytes).sum.toDouble / targetBytes).toInt)
@@ -3765,6 +3782,40 @@ final class LogTable(val path: String,
     finalizeStaged(spark, staged, snap.schema, small.map(_.path),
       op = "optimize", readVersion = Some(readVersion), schemaJson = None,
       cdfDir = None)
+  }
+
+  /** Delta-style AUTO COMPACTION: when
+    * `graft.autoCompact.enabled = true`, every successful append
+    * (Scala, streaming, or DSv2 INSERT) re-checks the small-file
+    * census and bin-packs once a scope accumulates
+    * `graft.autoCompact.minNumFiles` files under
+    * `graft.autoCompact.smallBytes`. Scopes are hive partitions
+    * (an unpartitioned table is one scope) — the many-small-appends
+    * ingest pattern self-heals per hot partition at cost ∝ that
+    * partition's small set, never the table. Best-effort like
+    * Delta's: a concurrent-writer conflict skips the pass (the next
+    * append re-checks); the triggering append never fails. The
+    * follow-on `optimize` commit carries no row-level change, so
+    * streams and the change feed are unaffected, and it does NOT
+    * re-trigger compaction. */
+  private def maybeAutoCompact(spark: SparkSession): Unit = {
+    val props = tableProperties
+    if (!props.get(LogTable.PropAutoCompact).map(_.trim)
+      .contains("true")) return
+    val minFiles = props.get(LogTable.PropAutoCompactMinFiles)
+      .map(_.trim.toInt).getOrElse(8)
+    val smallBytes = props.get(LogTable.PropAutoCompactSmallBytes)
+      .map(_.trim.toLong).getOrElse(32L << 20)
+    val targetBytes = props.get(LogTable.PropAutoCompactTargetBytes)
+      .map(_.trim.toLong).getOrElse(128L << 20)
+    val v = currentVersion.getOrElse(return)
+    val snap = snapshotAt(v)
+    val eligible = snap.adds.filter(_.bytes < smallBytes)
+      .groupBy(_.partitionValues).filter(_._2.size >= minFiles)
+    if (eligible.isEmpty) return
+    try compactSubset(spark, snap, v, eligible.values.flatten.toSeq,
+      targetBytes)
+    catch { case _: java.util.ConcurrentModificationException => () }
   }
 
   /** OPTIMIZE with clustering — Delta's `OPTIMIZE ... ZORDER BY`:
@@ -3999,6 +4050,15 @@ object LogTable {
     * governance properties current). */
   val PropRowTracking = "graft.rowTracking"
   val PropRowIdHighWater = "graft.rowTracking.highWater"
+
+  /** AUTO COMPACTION TBLPROPERTIES (Delta's
+    * `delta.autoOptimize.autoCompact` shape): when enabled, every
+    * successful append re-checks the small-file census and, past the
+    * threshold, runs a best-effort bin-pack as a follow-on commit. */
+  val PropAutoCompact = "graft.autoCompact.enabled"
+  val PropAutoCompactMinFiles = "graft.autoCompact.minNumFiles"
+  val PropAutoCompactSmallBytes = "graft.autoCompact.smallBytes"
+  val PropAutoCompactTargetBytes = "graft.autoCompact.targetBytes"
 
   /** The PHYSICAL parquet column rewrites materialize preserved row
     * ids into. Reserved: never part of a table schema; reads
