@@ -1492,6 +1492,17 @@ object SparkEntry {
     "q22_idle_customers" -> ((s, d) =>
       Analytics.q22IdleCustomers(t(s, d, "customer"), t(s, d, "orders"))),
 
+    "q12_ship_priority" -> ((s, d) =>
+      Analytics.q12ShipPriority(t(s, d, "orders"), t(s, d, "lineitem"))),
+
+    "q16_supplier_cnt" -> ((s, d) =>
+      Analytics.q16SupplierCnt(t(s, d, "part"), t(s, d, "supplier"),
+        t(s, d, "lineitem"))),
+
+    "q20_excess_suppliers" -> ((s, d) =>
+      Analytics.q20ExcessSuppliers(t(s, d, "part"), t(s, d, "supplier"),
+        t(s, d, "nation"), t(s, d, "lineitem"))),
+
     "q6_revenue_delta" -> ((s, d) =>
       Analytics.q6RevenueDelta(t(s, d, "lineitem"))),
 
@@ -3206,6 +3217,49 @@ object SparkEntry {
            AND NOT EXISTS (SELECT 1 FROM orders o
              WHERE o.o_custkey = c.c_custkey)
          GROUP BY 1 ORDER BY 1""",
+
+    "q12_ship_priority" ->
+      """SELECT l_returnflag,
+           COUNT(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+             THEN 1 END) AS high_line_count,
+           COUNT(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+             THEN 1 END) AS low_line_count
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+           AND l_shipdate < TIMESTAMP '1997-01-01'
+         GROUP BY 1 ORDER BY 1""",
+
+    "q16_supplier_cnt" ->
+      """SELECT p_brand, p_type, p_size,
+           COUNT(DISTINCT l_suppkey) AS supplier_cnt
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE p_brand <> 'Brand#13' AND p_type <> 'MEDIUM'
+           AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+           AND l_suppkey NOT IN
+             (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+         GROUP BY 1, 2, 3
+         ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""",
+
+    "q20_excess_suppliers" ->
+      """WITH shipped AS (
+           SELECT l_partkey, l_suppkey,
+                  SUM(CAST(l_quantity AS DECIMAL(28,4))) AS qty
+           FROM lineitem JOIN part ON l_partkey = p_partkey
+           WHERE p_name LIKE 'red %'
+             AND l_shipdate >= TIMESTAMP '1996-01-01'
+             AND l_shipdate < TIMESTAMP '1997-01-01'
+           GROUP BY 1, 2),
+         dominant AS (
+           SELECT DISTINCT l_suppkey FROM (
+             SELECT l_suppkey, qty,
+                    SUM(qty) OVER (PARTITION BY l_partkey) AS total
+             FROM shipped)
+           WHERE qty * 2 > total)
+         SELECT s_suppkey, s_name, n_name
+         FROM dominant
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation ON s_nationkey = n_nationkey
+         ORDER BY s_suppkey""",
 
     "moving_window" ->
       """SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,

@@ -430,6 +430,89 @@ object Analytics {
       .orderBy(col("c_mktsegment"))
   }
 
+  /** TPC-H Q12 shape (no shipmode column in the synthetic schema —
+    * the return flag plays the mode bucket): shipping-bucket order
+    * priority audit over one ship-year. ONE fact⋈fact equi-join
+    * (lineitem projected to 2 columns, orders to 2 — both sides
+    * shuffle only what the aggregate reads) and a partial-agged
+    * conditional count pair; the date range reaches the scan as a
+    * PushedFilter. */
+  def q12ShipPriority(orders: DataFrame, lineitem: DataFrame,
+                      year: Int = 1996): DataFrame = {
+    val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    lineitem
+      .filter(col("l_shipdate") >= lit(s"$year-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit(s"${year + 1}-01-01").cast("timestamp"))
+      .select(col("l_orderkey"), col("l_returnflag"))
+      .join(orders.select(col("o_orderkey"), col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(when(hi, 1)).as("high_line_count"),
+        count(when(!hi, 1)).as("low_line_count"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** TPC-H Q16 shape (lineitem plays the part-supplier relation —
+    * the synthetic schema has no partsupp): distinct supplier counts
+    * per (brand, type, size) for a filtered part family, excluding a
+    * denylisted supplier set (negative balances stand in for Q16's
+    * complaint scan). Both dims broadcast (part post-filter,
+    * denylist by construction); the single fact shuffle is the
+    * count-distinct aggregate itself — partial-agged, no pre-pass
+    * distinct. */
+  def q16SupplierCnt(part: DataFrame, supplier: DataFrame,
+                     lineitem: DataFrame): DataFrame = {
+    val denied = supplier.filter(col("s_acctbal") < 0)
+      .select(col("s_suppkey"))
+    val p = part.filter(col("p_brand") =!= "Brand#13" &&
+      col("p_type") =!= "MEDIUM" &&
+      col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45))
+      .select(col("p_partkey"), col("p_brand"), col("p_type"),
+        col("p_size"))
+    lineitem.select(col("l_partkey"), col("l_suppkey"))
+      .join(broadcast(denied), col("l_suppkey") === col("s_suppkey"),
+        "left_anti")
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+        col("p_size"))
+  }
+
+  /** TPC-H Q20 shape (no partsupp/availqty in the synthetic schema,
+    * so "excess stock" degrades to shipment dominance): suppliers
+    * who shipped MORE THAN HALF of some name-family part's total
+    * volume over one ship-year. The per-(part,supplier) and per-part
+    * totals come off the SAME single fact pass (the part total is a
+    * window re-aggregate over the already part-grouped rows — the
+    * second "pass" touches only family-part groups, not lineitem);
+    * the dominance test compares exact decimals (`2·qty > total`),
+    * so the boundary is bit-deterministic. Output is the qualifying
+    * supplier roster with its nation — dims broadcast. */
+  def q20ExcessSuppliers(part: DataFrame, supplier: DataFrame,
+                         nation: DataFrame, lineitem: DataFrame,
+                         namePrefix: String = "red ",
+                         year: Int = 1996): DataFrame = {
+    val fam = broadcast(part.filter(col("p_name").startsWith(namePrefix))
+      .select(col("p_partkey")))
+    val shipped = lineitem
+      .filter(col("l_shipdate") >= lit(s"$year-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit(s"${year + 1}-01-01").cast("timestamp"))
+      .join(fam, col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(col("l_quantity").cast("decimal(28,4)")).as("qty"))
+    val dominant = shipped
+      .withColumn("total",
+        sum(col("qty")).over(Window.partitionBy(col("l_partkey"))))
+      .filter(col("qty") * 2 > col("total"))
+      .select(col("l_suppkey")).distinct()
+    dominant
+      .join(broadcast(supplier), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_name"))
+      .orderBy(col("s_suppkey"))
+  }
+
   /** Time-range sliding window — per-event trailing aggregate over the
     * preceding hour (RANGE frame on event time). Hash-partitioned by
     * user; each partition sorts once and the frame slides in O(n).
