@@ -752,6 +752,28 @@ object SparkEntry {
         .orderBy(col("commit_version"), col("change_type"), col("k"))
     }),
 
+    "log_table_changes_sql" -> ((s, d) => {
+      // the change feed from PURE SQL — Delta's `table_changes` TVF:
+      // the same window semantics as the Scala changes() API but
+      // addressed by name in a query, resolving to the distributed
+      // feed plan (no driver materialization). Window [1,2] excludes
+      // the seed commit: v1's inserts and v2's deletes only
+      val dir = java.nio.file.Files.createTempDirectory("graft_tvfq")
+      val lt = new graft.sources.LogTable(s"$dir/t")
+      val cust = t(s, d, "customer")
+      lt.append(cust.filter(col("c_custkey") <= 150)
+        .select(col("c_custkey").as("k"), col("c_name").as("name")))
+      lt.append(cust
+        .filter(col("c_custkey") > 150 && col("c_custkey") <= 250)
+        .select(col("c_custkey").as("k"), col("c_name").as("name")))
+      lt.delete(s, col("k") > 100L && col("k") <= 200L)
+      graft.sources.GraftSql.register(s)
+      s.sql(s"SELECT k, name, _change_type AS change_type, " +
+          s"CAST(_commit_version AS BIGINT) AS commit_version " +
+          s"FROM table_changes('${lt.path}', 1, 2)")
+        .orderBy(col("commit_version"), col("change_type"), col("k"))
+    }),
+
     "sql_merge_log" -> ((s, d) => {
       // file-granularity MERGE (Delta's merge-on-write): the target
       // is a log table addressed BY NAME from the statement; only
@@ -919,6 +941,45 @@ object SparkEntry {
             WHEN NOT MATCHED THEN
               INSERT (k, status, bal) VALUES (s.k, 'new', s.bal)""")
       s.sql(s"SELECT k, status, bal FROM $cat.dim ORDER BY k")
+    }),
+
+    "log_table_merge_evolve" -> ((s, d) => {
+      // ALTER TABLE ADD COLUMNS + MERGE WITH SCHEMA EVOLUTION —
+      // both metadata-only schema appends (old files read the new
+      // columns as NULL, zero rewrites): ADD COLUMNS lands `tier`
+      // by statement, then the merge's source-only `bal` column
+      // rides Spark's native WITH SCHEMA EVOLUTION clause (resolved
+      // to an AddColumn change, applied through the catalog's
+      // alterTable, then the file-granularity merge plans against
+      // the evolved target). The oracle recomputes the final frame
+      val cat = "gevo"
+      if (s.conf.getOption(s"spark.sql.catalog.$cat").isEmpty) {
+        s.conf.set(s"spark.sql.catalog.$cat",
+          classOf[graft.sources.GraftTableCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse",
+          java.nio.file.Files.createTempDirectory("graft_evo").toString)
+      }
+      val tn = s"t_${System.nanoTime}"
+      s.sql(s"CREATE TABLE $cat.$tn (k BIGINT, name STRING) USING log")
+      t(s, d, "customer").filter(col("c_custkey") <= 200)
+        .select(col("c_custkey").as("k"), col("c_name").as("name"))
+        .createOrReplaceTempView(s"evo_seed_$tn")
+      s.sql(s"INSERT INTO $cat.$tn SELECT * FROM evo_seed_$tn")
+      s.sql(s"ALTER TABLE $cat.$tn ADD COLUMNS (tier STRING)")
+      t(s, d, "customer")
+        .filter(col("c_custkey") > 100 && col("c_custkey") <= 300)
+        .select(col("c_custkey").as("k"), col("c_name").as("name"),
+          col("c_acctbal").as("bal"))
+        .createOrReplaceTempView(s"evo_src_$tn")
+      s.sql(
+        s"""MERGE WITH SCHEMA EVOLUTION INTO $cat.$tn t
+            USING evo_src_$tn s ON t.k = s.k
+            WHEN MATCHED THEN
+              UPDATE SET name = s.name, bal = s.bal, tier = 'upd'
+            WHEN NOT MATCHED THEN
+              INSERT (k, name, bal, tier)
+              VALUES (s.k, s.name, s.bal, 'new')""")
+      s.sql(s"SELECT k, name, tier, bal FROM $cat.$tn ORDER BY k")
     }),
 
     "log_table_properties" -> ((s, d) => {
@@ -1204,6 +1265,31 @@ object SparkEntry {
         catch { case _: IllegalStateException => true }
       require(belowFloorFails, "below-floor time travel must refuse")
       lt.load(s).orderBy(col("k"))
+    }),
+
+    "log_table_widen" -> ((s, d) => {
+      // TYPE WIDENING (Delta's typeWidening): ALTER COLUMN TYPE as a
+      // metadata-only commit — int files upcast to BIGINT, float to
+      // DOUBLE, decimal grows precision, all AT SCAN TIME (zero
+      // bytes rewritten at any table size; Spark 4's readers do the
+      // upcast natively, both vectorized and row-based). The query
+      // widens three columns, then appends a row only the WIDE
+      // types can hold; the oracle recomputes both generations
+      import s.implicits._
+      val dir = java.nio.file.Files.createTempDirectory("graft_widen")
+      val lt = new graft.sources.LogTable(s"$dir/t")
+      lt.append(t(s, d, "customer").select(
+        col("c_custkey").cast("int").as("k"),
+        (col("c_custkey") % 1000).cast("decimal(10,2)").as("bal"),
+        col("c_acctbal").cast("float").as("f")))
+      lt.widenColumnType(s, "k", org.apache.spark.sql.types.LongType)
+      lt.widenColumnType(s, "bal",
+        org.apache.spark.sql.types.DecimalType(22, 4))
+      lt.widenColumnType(s, "f", org.apache.spark.sql.types.DoubleType)
+      lt.append(Seq((6000000000L, BigDecimal("123456789.2500"), 0.5))
+        .toDF("k", "bal", "f"))
+      lt.load(s).select(col("k"), col("bal").cast("double").as("bal"),
+        col("f")).orderBy(col("k"))
     }),
 
     "log_table_autocompact" -> ((s, d) => {
@@ -2811,6 +2897,17 @@ object SparkEntry {
            FROM customer WHERE c_custkey > 100 AND c_custkey <= 200)
          ORDER BY commit_version, change_type, k""",
 
+    "log_table_changes_sql" ->
+      """SELECT k, name, change_type, commit_version FROM (
+           SELECT CAST(c_custkey AS BIGINT) AS k, c_name AS name,
+                  'insert' AS change_type, CAST(1 AS BIGINT) AS commit_version
+           FROM customer WHERE c_custkey > 150 AND c_custkey <= 250
+           UNION ALL
+           SELECT CAST(c_custkey AS BIGINT) AS k, c_name AS name,
+                  'delete' AS change_type, CAST(2 AS BIGINT) AS commit_version
+           FROM customer WHERE c_custkey > 100 AND c_custkey <= 200)
+         ORDER BY commit_version, change_type, k""",
+
     "sql_merge_log" ->
       """WITH tgt AS (
            SELECT c_custkey AS k, 'init' AS status, CAST(0 AS BIGINT) AS n
@@ -3521,6 +3618,24 @@ object SparkEntry {
     "log_table_autocompact" ->
       """SELECT s_suppkey AS k, s_name AS name, s_acctbal AS bal
          FROM supplier ORDER BY k""",
+
+    "log_table_widen" ->
+      """SELECT CAST(c_custkey AS BIGINT) AS k,
+           CAST(CAST(CAST(c_custkey % 1000 AS DECIMAL(10,2))
+             AS DECIMAL(22,4)) AS DOUBLE) AS bal,
+           CAST(CAST(c_acctbal AS REAL) AS DOUBLE) AS f
+         FROM customer
+         UNION ALL
+         SELECT 6000000000, CAST(CAST(123456789.2500 AS DECIMAL(22,4))
+             AS DOUBLE), 0.5
+         ORDER BY k""",
+
+    "log_table_merge_evolve" ->
+      """SELECT CAST(c_custkey AS BIGINT) AS k, c_name AS name,
+           CASE WHEN c_custkey > 200 THEN 'new'
+                WHEN c_custkey > 100 THEN 'upd' END AS tier,
+           CASE WHEN c_custkey > 100 THEN c_acctbal END AS bal
+         FROM customer WHERE c_custkey <= 300 ORDER BY k""",
 
     "log_table_properties" ->
       """SELECT k AS "key", v AS "value",

@@ -68,6 +68,9 @@ class GraftTableCatalog extends TableCatalog with ProcedureCatalog {
     // catalog user never needs session-build extensions
     try GraftRowLevelStrategy.register(SparkSession.active)
     catch { case scala.util.control.NonFatal(_) => () }
+    // the `table_changes` TVF rides the same no-extensions contract
+    try GraftSql.register(SparkSession.active)
+    catch { case scala.util.control.NonFatal(_) => () }
     // NOTE: the parquet field-id session flags are NOT flipped here
     // — registering a catalog must not change how unrelated parquet
     // reads resolve. They flip lazily, per session, the first time a
@@ -372,12 +375,36 @@ class GraftTableCatalog extends TableCatalog with ProcedureCatalog {
       case s: TableChange.SetProperty => s.property -> s.value }
     val unsets = changes.collect {
       case r: TableChange.RemoveProperty => r.property }
+    // `ALTER TABLE t ALTER COLUMN c TYPE <wider>` — native Spark SQL
+    // dispatch into the metadata-only type widening (lossless matrix
+    // enforced by the table; anything else refuses there)
+    val widens = changes.collect {
+      case u: TableChange.UpdateColumnType =>
+        require(u.fieldNames.length == 1,
+          "ALTER COLUMN TYPE on nested fields is not supported")
+        u.fieldNames.head -> u.newDataType
+    }
+    // `ALTER TABLE t ADD COLUMNS (...)` — metadata-only schema
+    // append; also the change MERGE ... WITH SCHEMA EVOLUTION emits
+    val adds = changes.collect {
+      case a: TableChange.AddColumn =>
+        require(a.fieldNames.length == 1,
+          "ADD COLUMNS on nested fields is not supported")
+        org.apache.spark.sql.types.StructField(
+          a.fieldNames.head, a.dataType, nullable = true)
+    }
     val other = changes.filterNot(c =>
       c.isInstanceOf[TableChange.SetProperty] ||
-        c.isInstanceOf[TableChange.RemoveProperty])
+        c.isInstanceOf[TableChange.RemoveProperty] ||
+        c.isInstanceOf[TableChange.UpdateColumnType] ||
+        c.isInstanceOf[TableChange.AddColumn])
     if (other.nonEmpty) throw new UnsupportedOperationException(
       s"unsupported ALTER TABLE change(s): ${other.mkString(", ")} — " +
-        "only SET/UNSET TBLPROPERTIES go through ALTER")
+        "only SET/UNSET TBLPROPERTIES, ADD COLUMNS and ALTER COLUMN " +
+        "TYPE go through ALTER")
+    widens.foreach { case (c, t) =>
+      log.widenColumnType(SparkSession.active, c, t); () }
+    if (adds.nonEmpty) { log.addColumns(adds.toSeq); () }
     (sets.map(_._1) ++ unsets).find(reservedProp).foreach(k =>
       throw new IllegalArgumentException(
         s"'$k' is a reserved table-feature property — it cannot be " +

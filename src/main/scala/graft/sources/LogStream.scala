@@ -241,7 +241,8 @@ private[sources] final class LogStreamSource(ctx: SQLContext, log: LogTable,
           // carry no row-level change
           case "optimize" | "constraint" | "rename" | "drop" |
                "default" | "tblproperties" | "refresh" |
-               "partition" | "ref" | "rowtracking" => false
+               "partition" | "ref" | "rowtracking" | "widen" |
+               "add" => false
           case changeOp =>
             if (!skipChangeCommits) throw new IllegalStateException(
               s"commit $v is a '$changeOp' — a streaming read of a log " +

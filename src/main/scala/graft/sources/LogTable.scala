@@ -1167,6 +1167,121 @@ final class LogTable(val path: String,
       requireHead = Some(basis))
   }
 
+  /** `ALTER TABLE ALTER COLUMN ... TYPE` — TYPE WIDENING as a
+    * METADATA-ONLY commit (Delta's typeWidening table feature): the
+    * schema action re-declares the column wider and existing data
+    * files are served THROUGH the widened read schema — Spark 4's
+    * parquet readers (vectorized and row-based both, probed in
+    * LogWidenSpec) upcast int32→int64, int→double, float→double and
+    * decimal precision/scale growth at scan time, so zero bytes
+    * rewrite at any table size. Writes after the widen accept both
+    * widths (the write choke point conforms frames to the table
+    * type); time travel serves each version under ITS type and
+    * RESTORE rolls the type back with the schema.
+    *
+    * The allowed matrix is the LOSSLESS one: integral chains
+    * (byte→short→int→long), {byte,short,int}→double, float→double,
+    * integral→decimal with enough integer digits, and decimal
+    * growth that keeps scale and integer headroom. Long→double is
+    * refused (lossy above 2⁵³), and date→timestamp is refused on
+    * stats-soundness grounds: file pruning stores date bounds as
+    * DAYS and would compare them against MICROS literals — a wrong
+    * skip, not just a missed one. Pruning stays sound for the
+    * allowed matrix because stats are stored width-agnostic
+    * (long/double) and the prune comparator strips numeric widening
+    * casts (see [[provablyNoMatch]]).
+    *
+    * Refused per-column: partition columns (hive dir strings are
+    * re-parsed under the declared type across epochs — layout is
+    * name- AND type-keyed), generated columns and generation/
+    * constraint SOURCES (their expressions re-type under the wider
+    * input — drop the dependent object first), identity columns
+    * (allocation arithmetic is long), and bloom-indexed columns
+    * (the sidecar hashed the NARROW byte width; a wide-typed probe
+    * against it would produce unsound "definitely absent" skips —
+    * drop the index first). */
+  def widenColumnType(spark: SparkSession, name: String,
+                      newType: DataType): Long = retryMetadataCommit {
+      basis =>
+    val v = basis.getOrElse(
+      throw new IllegalStateException(s"no log table at $path"))
+    val snap = snapshotAt(v)
+    val s = snap.schema
+    val field = s.fields.find(_.name == name).getOrElse(
+      throw new IllegalArgumentException(s"no column '$name' to widen"))
+    require(LogTable.widens(field.dataType, newType),
+      s"cannot change column '$name' from ${field.dataType.simpleString} " +
+        s"to ${newType.simpleString}: not a lossless widening")
+    require(!snap.partitionCols.contains(name),
+      s"cannot widen partition column '$name' (hive layout is " +
+        "type-keyed); rewrite the table instead")
+    require(!snap.generated.contains(name),
+      s"cannot widen generated column '$name' — drop the generation " +
+        "first")
+    (snap.constraints.toSeq.map(c => s"CHECK constraint ${c._1}" -> c._2)
+      ++ snap.generated.toSeq.map(g => s"generated column ${g._1}" -> g._2))
+      .foreach { case (what, e) =>
+        require(!exprRefs(spark, e).contains(name),
+          s"cannot widen '$name': $what references it — drop it first")
+      }
+    require(!snap.identity.contains(name),
+      s"cannot widen IDENTITY column '$name'")
+    require(!snap.bloomCols.contains(name),
+      s"cannot widen bloom-indexed column '$name' — the sidecar " +
+        "hashed the narrow width; drop the bloom index first")
+    val widened = StructType(s.fields.map(f =>
+      if (f.name == name) f.copy(dataType = newType) else f))
+    commitRetry(Some(v), Seq.empty, Seq.empty, "widen",
+      schemaJson = Some(widened.json), cdfDir = None,
+      requireHead = Some(basis))
+  }
+
+  /** `ALTER TABLE ADD COLUMNS` as a METADATA-ONLY commit (Delta
+    * semantics): the schema action appends the new fields; existing
+    * files never carry them and read NULL through the explicit read
+    * schema — zero data rewritten at any table size. New columns are
+    * forced nullable for exactly that reason. Column-mapped tables
+    * assign the next free field ids (same rule as a mergeSchema
+    * append); retired names refuse (old files' stats still carry
+    * them under their retired meaning). This is also the hook
+    * Spark's own MERGE schema evolution calls: `MERGE WITH SCHEMA
+    * EVOLUTION INTO cat.t` resolves its source-only columns to
+    * `TableChange.AddColumn` changes and applies them through
+    * [[GraftTableCatalog.alterTable]] before planning the merge. */
+  def addColumns(cols: Seq[StructField]): Long = retryMetadataCommit {
+      basis =>
+    val v = basis.getOrElse(
+      throw new IllegalStateException(s"no log table at $path"))
+    val snap = snapshotAt(v)
+    val s = snap.schema
+    require(cols.nonEmpty, "ADD COLUMNS needs at least one column")
+    cols.foreach { f =>
+      require(!s.fieldNames.contains(f.name),
+        s"column '${f.name}' already exists")
+      require(!snap.retiredNames.contains(f.name),
+        s"column name '${f.name}' was retired by a prior rename/drop " +
+          "and cannot be reused")
+      Seq(LogTable.RowIdPhysCol, LogTable.RowIdCol).foreach(r =>
+        require(f.name != r, s"column name '$r' is reserved"))
+    }
+    require(cols.map(_.name).distinct.size == cols.size,
+      "duplicate column names in ADD COLUMNS")
+    val nextId = s.fields.flatMap(f =>
+      if (f.metadata.contains(LogTable.FieldIdKey))
+        Some(f.metadata.getLong(LogTable.FieldIdKey))
+      else None).foldLeft(0L)(math.max) + 1L
+    val added = cols.zipWithIndex.map { case (f, i) =>
+      val base = f.copy(nullable = true)
+      if (!hasFieldIds(s)) base
+      else base.copy(metadata = new MetadataBuilder()
+        .withMetadata(base.metadata)
+        .putLong(LogTable.FieldIdKey, nextId + i).build())
+    }
+    commitRetry(Some(v), Seq.empty, Seq.empty, "add",
+      schemaJson = Some(StructType(s.fields ++ added).json),
+      cdfDir = None, requireHead = Some(basis))
+  }
+
   /** `ALTER TABLE ADD CONSTRAINT` (Delta semantics): validates the
     * EXISTING table in one scan first — refusing if any current row
     * violates — then records the constraint in a metadata-only
@@ -4050,6 +4165,34 @@ object LogTable {
     * governance properties current). */
   val PropRowTracking = "graft.rowTracking"
   val PropRowIdHighWater = "graft.rowTracking.highWater"
+
+  /** The lossless TYPE-WIDENING matrix [[LogTable.widenColumnType]]
+    * accepts (Delta's typeWidening feature set minus the
+    * stats-unsound date→timestamp case; every pair is probed
+    * readable-in-place by LogWidenSpec). */
+  private[sources] def widens(from: DataType, to: DataType): Boolean = {
+    def intDigits(dt: DataType): Option[Int] = dt match {
+      case ByteType => Some(3); case ShortType => Some(5)
+      case IntegerType => Some(10); case LongType => Some(20)
+      case _ => None
+    }
+    (from, to) match {
+      case (a, b) if a == b => false
+      case (ByteType, ShortType | IntegerType | LongType) => true
+      case (ShortType, IntegerType | LongType)            => true
+      case (IntegerType, LongType)                        => true
+      // exact in double's 53-bit mantissa; long→double is NOT
+      case (ByteType | ShortType | IntegerType, DoubleType) => true
+      case (FloatType, DoubleType)                          => true
+      case (f: DecimalType, t: DecimalType) =>
+        t.scale >= f.scale &&
+          t.precision - t.scale >= f.precision - f.scale &&
+          (t.precision > f.precision || t.scale > f.scale)
+      case (n, t: DecimalType) =>
+        intDigits(n).exists(d => t.precision - t.scale >= d)
+      case _ => false
+    }
+  }
 
   /** AUTO COMPACTION TBLPROPERTIES (Delta's
     * `delta.autoOptimize.autoCompact` shape): when enabled, every

@@ -54,9 +54,17 @@ final class GraftLogTableV2(tableName: String, log: LogTable)
     m
   }
 
+  /** AUTOMATIC_SCHEMA_EVOLUTION opts into Spark's native
+    * `MERGE WITH SCHEMA EVOLUTION INTO`: the analyzer resolves the
+    * source's extra columns to AddColumn changes and applies them
+    * through [[GraftTableCatalog.alterTable]] →
+    * [[LogTable.addColumns]] (a metadata-only commit) before the
+    * merge plans — without the capability the clause silently
+    * no-ops. */
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.AUTOMATIC_SCHEMA_EVOLUTION)
 
   /** Surface the layout in catalog introspection (`DESCRIBE`):
     * identity columns as identity transforms, hidden-partitioning

@@ -29,10 +29,19 @@ class LogTableModelSpec extends SparkSpec {
       .createTempDirectory("graft_logmodel").toString
     val rnd = new scala.util.Random(42)
     val t = new LogTable(s"$dir/t", checkpointInterval = 5)
+    // the key column starts NARROW (int) and type-widens to long
+    // mid-sequence — every earlier append conforms long→int at the
+    // write choke point, every later op reads both file generations
+    t.create(org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.StringType))))
 
     var model = Vector.empty[Row2]
     // model state per committed version, index == log version
-    var snaps = Vector.empty[Vector[Row2]]
+    // (version 0 is the empty explicit create)
+    var snaps = Vector(Vector.empty[Row2])
     var nextId = 0L
     // ref-surface model: live tags → pinned version; at most one
     // open branch at a time, with the rows appended to it since the
@@ -119,7 +128,13 @@ class LogTableModelSpec extends SparkSpec {
             model = snaps(v)
           } else {
             val b = freshBatch()
-            t.overwrite(b.toDF("k", "v"))
+            // conform the frame to the CURRENT key width: an
+            // overwrite replaces data, not the declared type — the
+            // narrow→wide transition belongs to the widen commit
+            val kt = if (t.exists) t.schema("k").dataType
+              else org.apache.spark.sql.types.LongType
+            t.overwrite(b.toDF("k", "v")
+              .select(col("k").cast(kt).as("k"), col("v")))
             model = b
           }
         case 6 => // maintenance: layout-only / metadata-only commits
@@ -184,7 +199,33 @@ class LogTableModelSpec extends SparkSpec {
       // so the remaining ~40 steps run the whole op mix tracked
       if (step == 7 && t.exists && !t.rowTrackingEnabled())
         t.enableRowTracking()
+      // TYPE-WIDEN the key mid-sequence (int → long, metadata-only):
+      // every file written before this reads upcast, every op after
+      // mixes the generations; a later restore may legitimately
+      // narrow the schema back, and appends re-conform
+      if (step == 19 && t.exists &&
+          t.schema("k").dataType == org.apache.spark.sql.types.IntegerType)
+        t.widenColumnType(spark, "k", org.apache.spark.sql.types.LongType)
       afterOp(step)
+    }
+
+    // coda: the sanity mix below must include a MERGE whatever the
+    // seeded trajectory drew — run one deterministically if the
+    // random walk never got there (disjoint content ⇒ must succeed)
+    if (!t.versions.map(t.commitOp).contains("merge")) {
+      branch match {
+        case Some((name, _)) =>
+          t.mergeBranch(name)
+          model = model ++ branchRows
+        case None =>
+          val bt = t.createBranch("coda")
+          val b = freshBatch()
+          bt.append(b.toDF("k", "v"))
+          t.mergeBranch("coda")
+          model = model ++ b
+      }
+      branch = None; branchRows = Vector.empty
+      afterOp(48)
     }
 
     // the full history replays: every version equals the model state
@@ -203,7 +244,7 @@ class LogTableModelSpec extends SparkSpec {
     // sanity: the sequence actually exercised the op mix, refs and
     // at least one merge included
     val ops = t.versions.map(t.commitOp).toSet
-    assert(Set("append", "delete", "optimize", "ref", "merge")
+    assert(Set("append", "delete", "optimize", "ref", "merge", "widen")
       .subsetOf(ops), ops)
   }
 
