@@ -1292,6 +1292,38 @@ object SparkEntry {
         col("f")).orderBy(col("k"))
     }),
 
+    "log_table_clusterby" -> ((s, d) => {
+      // WRITE-TIME CLUSTERING (Delta's CLUSTER BY): with
+      // graft.clusterBy every write locally sorts by the key (tight
+      // per-file stats, no shuffle) and OPTIMIZE range-partitions on
+      // it — four interleaved appends would leave every file
+      // spanning the whole key domain under plain bin-packing; here
+      // the compacted files' ranges are provably disjoint (required
+      // inline off the committed stats). The oracle recomputes the
+      // content — layout must be invisible to it
+      val dir = java.nio.file.Files.createTempDirectory("graft_clby")
+      val lt = new graft.sources.LogTable(s"$dir/t")
+      val cust = t(s, d, "customer").select(col("c_custkey").as("k"),
+        col("c_acctbal").as("bal"))
+      lt.create(cust.schema, properties = Map(
+        graft.sources.LogTable.PropClusterBy -> "k"))
+      (0 until 4).foreach(i =>
+        lt.append(cust.filter(col("k") % 4 === i).repartition(1)))
+      val totalBytes = lt.liveAdds().map(_.bytes).sum
+      lt.compactFiles(s, targetBytes = math.max(1L, totalBytes / 3))
+      val bounds = lt.liveAdds().map { a =>
+        val st = a.stats("k")
+        (st.min.get.asInstanceOf[Long], st.max.get.asInstanceOf[Long])
+      }.sortBy(_._1)
+      require(bounds.size >= 2, s"expected >=2 compacted files")
+      bounds.sliding(2).foreach {
+        case Seq((_, aMax), (bMin, _)) => require(aMax < bMin,
+          s"compacted ranges overlap: $bounds")
+        case _ => ()
+      }
+      lt.load(s).orderBy(col("k"))
+    }),
+
     "log_table_autocompact" -> ((s, d) => {
       // AUTO COMPACTION (Delta's autoOptimize.autoCompact): with
       // graft.autoCompact.enabled the many-small-appends ingest
@@ -3618,6 +3650,10 @@ object SparkEntry {
     "log_table_autocompact" ->
       """SELECT s_suppkey AS k, s_name AS name, s_acctbal AS bal
          FROM supplier ORDER BY k""",
+
+    "log_table_clusterby" ->
+      """SELECT c_custkey AS k, c_acctbal AS bal
+         FROM customer ORDER BY k""",
 
     "log_table_widen" ->
       """SELECT CAST(c_custkey AS BIGINT) AS k,

@@ -2406,9 +2406,31 @@ final class LogTable(val path: String,
             "ids cannot be stamped")
       case _ => healed
     }
-    val w = stamped.write.mode("overwrite")
+    // write-time CLUSTERING (`graft.clusterBy`, Delta's CLUSTER BY
+    // shape): each write task sorts ITS rows by the cluster key
+    // before writing, so every data file carries tight min/max
+    // stats on the key — file skipping approaches clustered-table
+    // quality on the ingest path itself at the cost of one local
+    // sort, NO shuffle (cross-file ranges may overlap until a
+    // compaction range-partitions them; see compactSubset). Every
+    // rewrite passes through here too, so merge/optimize/purge
+    // outputs stay clustered — the liquid-clustering maintenance
+    // promise.
+    val keys = clusterByCols
+    val clustered =
+      if (keys.isEmpty || !keys.forall(stamped.columns.contains)) stamped
+      else stamped.sortWithinPartitions(keys.map(col): _*)
+    val w = clustered.write.mode("overwrite")
     if (pc.isEmpty) w else w.partitionBy(pc: _*)
   }
+
+  /** The `graft.clusterBy` cluster key, if set (comma-separated
+    * column names in TBLPROPERTIES — settable at create or later;
+    * takes effect for every subsequent write). */
+  private[sources] def clusterByCols: Seq[String] =
+    if (currentVersion.isEmpty) Seq.empty
+    else tableProperties.get(LogTable.PropClusterBy).toSeq
+      .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
 
   /** Project `df` onto the table schema: present columns cast to the
     * table's types, absent columns null-filled (only reachable under
@@ -3891,9 +3913,19 @@ final class LogTable(val path: String,
       math.ceil(small.map(_.bytes).sum.toDouble / targetBytes).toInt)
     val staged = new File(newStagingDir())
     // dv-aware: a compacted file's deletion vector materializes away
-    // (row-tracked tables keep each row's id via the rewrite source)
-    stagedWriter(rewriteSource(spark, snap, small)
-      .repartition(groups)).parquet(staged.toString)
+    // (row-tracked tables keep each row's id via the rewrite source).
+    // A clustered table (`graft.clusterBy`) compacts RANGE-partitioned
+    // on its key instead of hash-bin-packed: the rewritten files'
+    // key ranges stop overlapping (the stagedWriter sorts within
+    // each), so compaction is also the step that turns ingest-time
+    // local clustering into global file-skipping order.
+    val src = rewriteSource(spark, snap, small)
+    val keys = clusterByCols.filter(src.columns.contains)
+    val arranged =
+      if (keys.isEmpty) src.repartition(groups)
+      else if (groups == 1) src.coalesce(1)
+      else src.repartitionByRange(groups, keys.map(col): _*)
+    stagedWriter(arranged).parquet(staged.toString)
     finalizeStaged(spark, staged, snap.schema, small.map(_.path),
       op = "optimize", readVersion = Some(readVersion), schemaJson = None,
       cdfDir = None)
@@ -4202,6 +4234,12 @@ object LogTable {
   val PropAutoCompactMinFiles = "graft.autoCompact.minNumFiles"
   val PropAutoCompactSmallBytes = "graft.autoCompact.smallBytes"
   val PropAutoCompactTargetBytes = "graft.autoCompact.targetBytes"
+
+  /** WRITE-TIME CLUSTERING (Delta's `CLUSTER BY` shape): every write
+    * locally sorts by these comma-separated columns (tight per-file
+    * stats, no shuffle) and compaction range-partitions on them
+    * (non-overlapping file ranges — global skip order). */
+  val PropClusterBy = "graft.clusterBy"
 
   /** The PHYSICAL parquet column rewrites materialize preserved row
     * ids into. Reserved: never part of a table schema; reads
