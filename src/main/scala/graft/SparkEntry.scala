@@ -450,24 +450,29 @@ object SparkEntry {
       val tag = java.lang.Integer.toHexString(d.hashCode)
       val wh = java.nio.file.Files.createTempDirectory("graft_logdml")
       val cat = s"logdml_$tag"
-      s.conf.set(s"spark.sql.catalog.$cat",
-        classOf[graft.sources.GraftTableCatalog].getName)
-      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh.toString)
-      s.sql(s"CREATE TABLE $cat.dim (k BIGINT, status STRING, " +
+      // catalogs cache BY NAME: re-invocation (bench reps) keeps the
+      // first warehouse, so the table name must be fresh each time
+      if (s.conf.getOption(s"spark.sql.catalog.$cat").isEmpty) {
+        s.conf.set(s"spark.sql.catalog.$cat",
+          classOf[graft.sources.GraftTableCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh.toString)
+      }
+      val tbl = s"dim_${System.nanoTime}"
+      s.sql(s"CREATE TABLE $cat.$tbl (k BIGINT, status STRING, " +
         "bal DOUBLE) USING log")
       t(s, d, "customer").filter(col("c_custkey") <= 200)
         .select(col("c_custkey").as("k"), lit("init").as("status"),
           col("c_acctbal").as("bal"))
         .createOrReplaceTempView(s"log_b1_$tag")
-      s.sql(s"INSERT INTO $cat.dim SELECT * FROM log_b1_$tag")
+      s.sql(s"INSERT INTO $cat.$tbl SELECT * FROM log_b1_$tag")
       t(s, d, "customer")
         .filter(col("c_custkey") > 200 && col("c_custkey") <= 350)
         .select(col("c_custkey").as("k"), lit("late").as("status"),
           col("c_acctbal").as("bal"))
         .createOrReplaceTempView(s"log_b2_$tag")
-      s.sql(s"INSERT INTO $cat.dim SELECT * FROM log_b2_$tag")
-      s.sql(s"DELETE FROM $cat.dim WHERE k > 150 AND k <= 250")
-      s.sql(s"SELECT k, status, bal FROM $cat.dim ORDER BY k")
+      s.sql(s"INSERT INTO $cat.$tbl SELECT * FROM log_b2_$tag")
+      s.sql(s"DELETE FROM $cat.$tbl WHERE k > 150 AND k <= 250")
+      s.sql(s"SELECT k, status, bal FROM $cat.$tbl ORDER BY k")
     }),
 
     "log_table_update" -> ((s, d) => {
@@ -890,10 +895,15 @@ object SparkEntry {
       val tag = java.lang.Integer.toHexString(d.hashCode)
       val wh = java.nio.file.Files.createTempDirectory("graft_logpart")
       val cat = s"logpart_$tag"
-      s.conf.set(s"spark.sql.catalog.$cat",
-        classOf[graft.sources.GraftTableCatalog].getName)
-      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh.toString)
-      s.sql(s"CREATE TABLE $cat.dim (k BIGINT, seg STRING, bal DOUBLE) " +
+      // catalogs cache BY NAME (first warehouse wins on re-invocation)
+      // — fresh table name per run instead
+      if (s.conf.getOption(s"spark.sql.catalog.$cat").isEmpty) {
+        s.conf.set(s"spark.sql.catalog.$cat",
+          classOf[graft.sources.GraftTableCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh.toString)
+      }
+      val tbl = s"dim_${System.nanoTime}"
+      s.sql(s"CREATE TABLE $cat.$tbl (k BIGINT, seg STRING, bal DOUBLE) " +
         "USING log PARTITIONED BY (seg)")
       // partition columns order to the END of the table schema
       // (hive-discovery contract), so name the insert columns
@@ -901,10 +911,10 @@ object SparkEntry {
         .select(col("c_custkey").as("k"), col("c_mktsegment").as("seg"),
           col("c_acctbal").as("bal"))
         .createOrReplaceTempView(s"logpart_src_$tag")
-      s.sql(s"INSERT INTO $cat.dim (k, seg, bal) " +
+      s.sql(s"INSERT INTO $cat.$tbl (k, seg, bal) " +
         s"SELECT k, seg, bal FROM logpart_src_$tag")
-      s.sql(s"DELETE FROM $cat.dim WHERE seg = 'BUILDING' AND k <= 200")
-      s.sql(s"SELECT k, seg, bal FROM $cat.dim " +
+      s.sql(s"DELETE FROM $cat.$tbl WHERE seg = 'BUILDING' AND k <= 200")
+      s.sql(s"SELECT k, seg, bal FROM $cat.$tbl " +
         "WHERE seg <> 'MACHINERY' ORDER BY k")
     }),
 
@@ -919,28 +929,31 @@ object SparkEntry {
       val tag = java.lang.Integer.toHexString(d.hashCode)
       val wh = java.nio.file.Files.createTempDirectory("graft_logsql")
       val cat = s"logsql_$tag"
-      s.conf.set(s"spark.sql.catalog.$cat",
-        classOf[graft.sources.GraftTableCatalog].getName)
-      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh.toString)
-      s.sql(s"CREATE TABLE $cat.dim (k BIGINT, status STRING, " +
+      if (s.conf.getOption(s"spark.sql.catalog.$cat").isEmpty) {
+        s.conf.set(s"spark.sql.catalog.$cat",
+          classOf[graft.sources.GraftTableCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh.toString)
+      }
+      val tbl = s"dim_${System.nanoTime}"
+      s.sql(s"CREATE TABLE $cat.$tbl (k BIGINT, status STRING, " +
         "bal DOUBLE) USING log")
       t(s, d, "customer").filter(col("c_custkey") <= 300)
         .select(col("c_custkey").as("k"), lit("init").as("status"),
           col("c_acctbal").as("bal"))
         .createOrReplaceTempView(s"logsql_b1_$tag")
-      s.sql(s"INSERT INTO $cat.dim SELECT * FROM logsql_b1_$tag")
-      s.sql(s"UPDATE $cat.dim SET bal = 0.0, status = 'zeroed' " +
+      s.sql(s"INSERT INTO $cat.$tbl SELECT * FROM logsql_b1_$tag")
+      s.sql(s"UPDATE $cat.$tbl SET bal = 0.0, status = 'zeroed' " +
         "WHERE bal < 0")
       t(s, d, "customer")
         .filter(col("c_custkey") > 200 && col("c_custkey") <= 400)
         .select(col("c_custkey").as("k"), col("c_acctbal").as("bal"))
         .createOrReplaceTempView(s"logsql_src_$tag")
       s.sql(
-        s"""MERGE INTO $cat.dim t USING logsql_src_$tag s ON t.k = s.k
+        s"""MERGE INTO $cat.$tbl t USING logsql_src_$tag s ON t.k = s.k
             WHEN MATCHED THEN UPDATE SET status = 'merged'
             WHEN NOT MATCHED THEN
               INSERT (k, status, bal) VALUES (s.k, 'new', s.bal)""")
-      s.sql(s"SELECT k, status, bal FROM $cat.dim ORDER BY k")
+      s.sql(s"SELECT k, status, bal FROM $cat.$tbl ORDER BY k")
     }),
 
     "log_table_merge_evolve" -> ((s, d) => {

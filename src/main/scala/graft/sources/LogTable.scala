@@ -361,6 +361,10 @@ final class LogTable(val path: String,
     * `update` / `optimize` / `create`). */
   def commitOp(v: Long): String = commitMeta(v).op
 
+  /** The idempotent-txn tag a commit carries, if any —
+    * (appId, batchId), Delta's txnAppId/txnVersion pair. */
+  def commitTxn(v: Long): Option[(String, Long)] = commitMeta(v).txn
+
   /** Snapshot state at `v`: newest checkpoint ≤ v, then replay the
     * remaining commits — O(checkpointInterval) file reads, not
     * O(history). */
@@ -2729,6 +2733,25 @@ final class LogTable(val path: String,
     finalizeStaged(spark, new File(restageForLayout(spark, staged)), schema,
       prior, op = "overwrite", readVersion = currentVersion,
       schemaJson = None, cdfDir = None)
+  }
+
+  /** Commit a staging directory the DSv2 STREAMING sink populated,
+    * as one exactly-once micro-batch append (Delta's
+    * txnAppId/txnVersion rule over an external staging): an epoch
+    * the engine replays after a restart deduplicates at the commit
+    * layer — the staged bytes drop, nothing commits twice. */
+  private[sources] def appendStagedStream(spark: SparkSession,
+                                          staged: String, app: String,
+                                          batchId: Long): Option[Long] = {
+    if (lastCommittedBatch(app).exists(_ >= batchId)) {
+      dropStaging(staged); return None
+    }
+    val v = finalizeStaged(spark,
+      new File(restageForLayout(spark, staged)), schema,
+      removePaths = Seq.empty, op = "append", readVersion = None,
+      schemaJson = None, cdfDir = None, txn = Some((app, batchId)))
+    if (v < 0) None
+    else { maybeAutoCompact(spark); Some(v) }
   }
 
   /** Commit a staged rewrite produced by an external planner (the

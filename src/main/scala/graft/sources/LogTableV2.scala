@@ -64,6 +64,7 @@ final class GraftLogTableV2(tableName: String, log: LogTable)
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.STREAMING_WRITE,
       TableCapability.AUTOMATIC_SCHEMA_EVOLUTION)
 
   /** Surface the layout in catalog introspection (`DESCRIBE`):
@@ -377,5 +378,72 @@ private[sources] final class LogWriteBuilder(log: LogTable,
         }
       }
     }
+
+    /** `df.writeStream.toTable("cat.t")` — the native DSv2 streaming
+      * sink: each micro-batch stages its parquet through the same
+      * single-staging machinery the batch INSERT uses, and the
+      * per-epoch commit appends it tagged `(queryId, epochId)` —
+      * Delta's txnAppId/txnVersion idempotence, so an epoch the
+      * engine replays after a checkpoint restart deduplicates at the
+      * commit layer (exactly-once, proven by Dsv2StreamWriteSpec's
+      * kill/resume case). Micro-batch execution serializes factory →
+      * writers → commit per epoch, so the one-slot staging handoff
+      * below is race-free; continuous mode is not offered
+      * (micro-batch is the only trigger the source side serves
+      * either). Append output mode only — a streaming TRUNCATE
+      * (complete mode) refuses at the builder. */
+    override def toStreaming
+        : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+      require(!overwriteAll, "streaming writes to a log table are " +
+        "append-only — complete/truncate output modes are not supported")
+      new org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+        // one epoch in flight at a time under micro-batch execution:
+        // createStreamingWriterFactory(epoch N) → commit(epoch N)
+        @volatile private var staging: String = _
+        @volatile private var innerBatch: BatchWrite = _
+        override def createStreamingWriterFactory(p: PhysicalWriteInfo)
+            : org.apache.spark.sql.connector.write.streaming
+              .StreamingDataWriterFactory = {
+          val spark = SparkSession.active
+          staging = log.newStagingDir()
+          val inner = ParquetTable("graft-log-stream-staging", spark,
+            CaseInsensitiveStringMap.empty(), Seq(staging),
+            Some(info.schema()), classOf[ParquetFileFormat])
+          innerBatch = inner.newWriteBuilder(info).build().toBatch
+          new GraftEpochWriterFactory(
+            innerBatch.createBatchWriterFactory(p))
+        }
+        // the staged-parquet writers commit through the FILE commit
+        // protocol (task temp files + driver-side finalize), which
+        // self-coordinates — the generic output-commit coordinator
+        // would deny its task commits (observed), so declare it off
+        // exactly as FileBatchWrite itself does
+        override def useCommitCoordinator: Boolean = false
+        override def commit(epochId: Long,
+                            msgs: Array[WriterCommitMessage]): Unit = {
+          innerBatch.commit(msgs)
+          log.appendStagedStream(SparkSession.active, staging,
+            info.queryId(), epochId)
+          ()
+        }
+        override def abort(epochId: Long,
+                           msgs: Array[WriterCommitMessage]): Unit = {
+          innerBatch.abort(msgs)
+          log.dropStaging(staging)
+        }
+      }
+    }
   }
+}
+
+/** Adapts the staged-parquet batch writer factory to the streaming
+  * interface — the epoch id is commit-level state (the txn tag), not
+  * writer-level, so writers are the plain batch ones. */
+private final class GraftEpochWriterFactory(inner: DataWriterFactory)
+  extends org.apache.spark.sql.connector.write.streaming
+    .StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
+      : org.apache.spark.sql.connector.write.DataWriter[
+        org.apache.spark.sql.catalyst.InternalRow] =
+    inner.createWriter(partitionId, taskId)
 }
