@@ -241,12 +241,24 @@ class GraftTableCatalog extends TableCatalog with ProcedureCatalog {
         "graft sink tables do not take partition transforms; " +
           "layout is the sink's (PARTITIONED BY is supported USING log)")
     if (isLog) {
+      // `CREATE TABLE ... CLUSTER BY (c, ...)` arrives as a
+      // ClusterByTransform in the partitioning array (Spark's native
+      // clause): it is NOT a hive layout — map it to the
+      // graft.clusterBy property (write-time local sort +
+      // range-partitioned compaction)
+      val (clusterTs, hiveTs) = partitions.toSeq.partition(
+        _.isInstanceOf[org.apache.spark.sql.connector.expressions
+          .ClusterByTransform])
+      val clusterCols = clusterTs
+        .flatMap(_.references().map(_.fieldNames().mkString(".")))
+      clusterCols.foreach(c => require(schema.fieldNames.contains(c),
+        s"CLUSTER BY names unknown column '$c'"))
       // PARTITIONED BY accepts identity columns AND Iceberg-style
       // transforms — `days(ts)`, `bucket(16, id)`, `truncate(4, c)`
       // — which Spark's parser delivers as native DSv2 transforms;
       // normalize each to the canonical spec string LogTable.create
       // resolves into a hidden generated partition column
-      val partCols = partitions.toSeq.map { t =>
+      val partCols = hiveTs.map { t =>
         def ref = t.references().head.fieldNames().mkString(".")
         def intArg: Int = t.arguments().collectFirst {
           case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
@@ -298,7 +310,9 @@ class GraftTableCatalog extends TableCatalog with ProcedureCatalog {
       // engine-injected keys) lands in the log's free-form
       // TBLPROPERTIES map
       val free = props.filterNot { case (k, _) =>
-        reservedProp(k) }.toMap
+        reservedProp(k) }.toMap ++
+        (if (clusterCols.isEmpty) Map.empty
+         else Map(LogTable.PropClusterBy -> clusterCols.mkString(",")))
       new LogTable(dirOf(ident).toString)
         .create(schema, partCols, bloom, checks, gens, mapping,
           identities, defaults, free)

@@ -2690,10 +2690,12 @@ final class LogTable(val path: String,
     // externally-produced stagings (DSv2 INSERT, the merge planner)
     // arrive flat and without field ids; a partitioned table needs
     // the hive layout, a column-mapped table needs ids stamped into
-    // the files, and a generated-column table needs omitted (hidden
-    // transform) columns computed — one pass over the delta fixes
-    // all three
-    if (!flat || (pc.isEmpty && !mapped && generatedCols.isEmpty)) staged
+    // the files, a generated-column table needs omitted (hidden
+    // transform) columns computed, and a CLUSTERED table needs the
+    // key-local sort the direct executor write skipped — one pass
+    // over the delta fixes all four
+    if (!flat || (pc.isEmpty && !mapped && generatedCols.isEmpty &&
+        clusterByCols.isEmpty)) staged
     else {
       val byName0 = StructType(s.fields.map(f =>
         f.copy(metadata = Metadata.empty)))

@@ -81,6 +81,31 @@ class ClusterBySpec extends SparkSpec {
     assert(u.load(spark).count() == 100)
   }
 
+  test("SQL surface: CREATE TABLE ... CLUSTER BY maps to the " +
+    "property; INSERTs write key-sorted files; OPTIMIZE " +
+    "range-partitions") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_clbysql")
+    spark.conf.set("spark.sql.catalog.gclby",
+      classOf[graft.sources.GraftTableCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gclby.warehouse", wh.toString)
+    val tn = s"t_${System.nanoTime}"
+    spark.sql(
+      s"CREATE TABLE gclby.$tn (k BIGINT, v STRING) USING log " +
+        "CLUSTER BY (k)")
+    val t = new LogTable(s"$wh/$tn")
+    assert(t.tableProperties(LogTable.PropClusterBy) == "k")
+    shuffled(0, 199).repartition(1).createOrReplaceTempView(s"src_$tn")
+    spark.sql(s"INSERT INTO gclby.$tn SELECT * FROM src_$tn")
+    t.load(spark).inputFiles.foreach { f =>
+      val ks = spark.read.parquet(f).select("k").as[Long].collect().toSeq
+      assert(ks == ks.sorted, s"SQL-inserted file $f not key-sorted")
+    }
+    // unknown cluster column refuses at create
+    intercept[Exception](spark.sql(
+      s"CREATE TABLE gclby.${tn}_bad (k BIGINT) USING log " +
+        "CLUSTER BY (nope)"))
+  }
+
   test("clusterBy set AFTER create takes effect for later writes " +
     "and the next compaction") {
     val t = new LogTable(s"${tmp()}/t")
