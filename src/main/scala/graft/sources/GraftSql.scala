@@ -65,9 +65,12 @@ object GraftSql {
   private def resolve(spark: SparkSession, table: String): LogTable =
     if (table.contains("/")) new LogTable(table)
     else table.split('.') match {
-      case Array(cat, t) =>
-        spark.sessionState.catalogManager.catalog(cat) match {
-          case g: GraftTableCatalog => g.logTableByName(t)
+      // first part names the catalog; the rest is the (possibly
+      // namespaced) table name the catalog's own parser handles
+      case parts if parts.length >= 2 =>
+        spark.sessionState.catalogManager.catalog(parts.head) match {
+          case g: GraftTableCatalog =>
+            g.logTableByName(parts.tail.mkString("."))
           case other: CatalogPlugin => throw new IllegalArgumentException(
             s"catalog '${other.name()}' is not a graft table catalog")
         }

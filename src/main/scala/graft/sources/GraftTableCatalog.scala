@@ -399,11 +399,24 @@ class GraftTableCatalog extends TableCatalog with ProcedureCatalog {
         u.fieldNames.head -> u.newDataType
     }
     // `ALTER TABLE t ADD COLUMNS (...)` — metadata-only schema
-    // append; also the change MERGE ... WITH SCHEMA EVOLUTION emits
+    // append; also the change MERGE ... WITH SCHEMA EVOLUTION emits.
+    // Attributes the log cannot honor REFUSE rather than silently
+    // dropping the user's contract: NOT NULL (old files read the
+    // column as null), DEFAULT (declare it via 'default.<col>'
+    // TBLPROPERTIES), and position (columns append at the end).
     val adds = changes.collect {
       case a: TableChange.AddColumn =>
         require(a.fieldNames.length == 1,
           "ADD COLUMNS on nested fields is not supported")
+        require(a.isNullable,
+          s"ADD COLUMNS '${a.fieldNames.head}' NOT NULL is not " +
+            "supported — existing rows would read it as NULL")
+        require(a.defaultValue == null,
+          s"ADD COLUMNS '${a.fieldNames.head}' DEFAULT is not " +
+            "supported here — set 'default.<col>' TBLPROPERTIES")
+        require(a.position == null,
+          s"ADD COLUMNS '${a.fieldNames.head}' FIRST/AFTER is not " +
+            "supported — new columns append at the end")
         org.apache.spark.sql.types.StructField(
           a.fieldNames.head, a.dataType, nullable = true)
     }
@@ -416,13 +429,16 @@ class GraftTableCatalog extends TableCatalog with ProcedureCatalog {
       s"unsupported ALTER TABLE change(s): ${other.mkString(", ")} — " +
         "only SET/UNSET TBLPROPERTIES, ADD COLUMNS and ALTER COLUMN " +
         "TYPE go through ALTER")
-    widens.foreach { case (c, t) =>
-      log.widenColumnType(SparkSession.active, c, t); () }
-    if (adds.nonEmpty) { log.addColumns(adds.toSeq); () }
+    // validate EVERYTHING before applying ANYTHING: a change set
+    // that fails its property check must not leave schema changes
+    // already durably committed
     (sets.map(_._1) ++ unsets).find(reservedProp).foreach(k =>
       throw new IllegalArgumentException(
         s"'$k' is a reserved table-feature property — it cannot be " +
           "changed through SET/UNSET TBLPROPERTIES"))
+    widens.foreach { case (c, t) =>
+      log.widenColumnType(SparkSession.active, c, t); () }
+    if (adds.nonEmpty) { log.addColumns(adds.toSeq); () }
     if (sets.nonEmpty) log.setTableProperties(sets.toMap)
     if (unsets.nonEmpty) log.unsetTableProperties(unsets)
     loadTable(ident)

@@ -241,8 +241,18 @@ private[sources] final class LogStreamSource(ctx: SQLContext, log: LogTable,
           // carry no row-level change
           case "optimize" | "constraint" | "rename" | "drop" |
                "default" | "tblproperties" | "refresh" |
-               "partition" | "ref" | "rowtracking" | "widen" |
-               "add" => false
+               "partition" | "ref" | "rowtracking" | "add" => false
+          // a type widen is safe for a stream whose captured schema
+          // already IS the widened one (a fresh stream reading
+          // history); a RUNNING stream captured the narrow schema,
+          // and the next post-widen file would fail its scan with a
+          // cryptic parquet conversion error — fail CLEAN instead
+          case "widen" =>
+            if (log.userSchemaAt(v) == schema) false
+            else throw new IllegalStateException(
+              s"commit $v widened a column type past this stream's " +
+                "captured schema — restart the stream to pick up " +
+                "the widened schema")
           case changeOp =>
             if (!skipChangeCommits) throw new IllegalStateException(
               s"commit $v is a '$changeOp' — a streaming read of a log " +

@@ -1097,6 +1097,13 @@ final class LogTable(val path: String,
     require(!snap.defaults.contains(oldName),
       s"cannot rename column '$oldName' while it carries a DEFAULT — " +
         "drop the default first")
+    // the cluster spec is name-keyed: renaming under it would
+    // silently turn write-time clustering off (the sort guard skips
+    // missing columns)
+    require(!snap.properties.get(LogTable.PropClusterBy).toSeq
+      .flatMap(_.split(',')).map(_.trim).contains(oldName),
+      s"cannot rename cluster-key column '$oldName' — unset " +
+        s"${LogTable.PropClusterBy} first")
     // bloom sidecars are name-keyed on disk: rename them in place
     val newBloom =
       if (!snap.bloomCols.contains(oldName)) None
@@ -1150,6 +1157,21 @@ final class LogTable(val path: String,
         require(!exprRefs(spark, e).contains(name),
           s"cannot drop '$name': $what references it — drop it first")
       }
+    require(!snap.properties.get(LogTable.PropClusterBy).toSeq
+      .flatMap(_.split(',')).map(_.trim).contains(name),
+      s"cannot drop cluster-key column '$name' — unset " +
+        s"${LogTable.PropClusterBy} first")
+    // the dropped field's parquet id must NEVER be reassigned (a
+    // reader resolving by id would serve the dropped bytes under the
+    // new name) — record the pre-drop max id as a head-pinned
+    // property so later ADD COLUMNS / mergeSchema skip past it
+    val preDropMaxId = s.fields.flatMap(f =>
+      if (f.metadata.contains(LogTable.FieldIdKey))
+        Some(f.metadata.getLong(LogTable.FieldIdKey))
+      else None).foldLeft(0L)(math.max)
+    val newHw = math.max(preDropMaxId,
+      snap.properties.get(LogTable.PropFieldIdHighWater)
+        .map(_.toLong).getOrElse(0L))
     val newGenerated =
       if (snap.generated.contains(name)) Some(snap.generated - name)
       else None
@@ -1168,6 +1190,8 @@ final class LogTable(val path: String,
       schemaJson = Some(remaining.json), cdfDir = None,
       bloomJson = newBloom, generatedJson = newGenerated,
       retiredJson = Some(snap.retiredNames + name),
+      propertiesJson = Some(snap.properties +
+        (LogTable.PropFieldIdHighWater -> newHw.toString)),
       requireHead = Some(basis))
   }
 
@@ -1270,10 +1294,15 @@ final class LogTable(val path: String,
     }
     require(cols.map(_.name).distinct.size == cols.size,
       "duplicate column names in ADD COLUMNS")
-    val nextId = s.fields.flatMap(f =>
-      if (f.metadata.contains(LogTable.FieldIdKey))
-        Some(f.metadata.getLong(LogTable.FieldIdKey))
-      else None).foldLeft(0L)(math.max) + 1L
+    // never below the drop-recorded high water: a reused field id
+    // would resurrect a dropped column's bytes (readers resolve by id)
+    val nextId = math.max(
+      s.fields.flatMap(f =>
+        if (f.metadata.contains(LogTable.FieldIdKey))
+          Some(f.metadata.getLong(LogTable.FieldIdKey))
+        else None).foldLeft(0L)(math.max),
+      snap.properties.get(LogTable.PropFieldIdHighWater)
+        .map(_.toLong).getOrElse(0L)) + 1L
     val added = cols.zipWithIndex.map { case (f, i) =>
       val base = f.copy(nullable = true)
       if (!hasFieldIds(s)) base
@@ -2365,7 +2394,8 @@ final class LogTable(val path: String,
     * partitioned tables stage hive-style (the finalize move then
     * preserves the dirs under data/). */
   private def stagedWriter(df: DataFrame,
-                           replacingSchema: Boolean = false)
+                           replacingSchema: Boolean = false,
+                           writeSchema: Option[StructType] = None)
       : org.apache.spark.sql.DataFrameWriter[Row] = {
     val pc = if (currentVersion.isDefined) partitionCols else Seq.empty
     // a column-mapped table must write its field ids into every data
@@ -2378,7 +2408,11 @@ final class LogTable(val path: String,
     // says so) or a planner bug — fail it rather than fall through
     // to an unstamped file that would null-fill after a later
     // RENAME COLUMN.
-    val cur = if (currentVersion.isDefined) Some(schema) else None
+    // a mergeSchema append writes UNDER the schema its commit will
+    // declare (wider than the current one) — stamp against that, not
+    // the head, or the mapped-table column-set guard below misfires
+    val cur = writeSchema.orElse(
+      if (currentVersion.isDefined) Some(schema) else None)
     // null generated values heal at this single write choke point:
     // coalesce-recompute fills a NULL generated column from its
     // expression — the partition-evolution backfill path (old-epoch
@@ -2421,9 +2455,15 @@ final class LogTable(val path: String,
     // outputs stay clustered — the liquid-clustering maintenance
     // promise.
     val keys = clusterByCols
+    // partition columns PREFIX the sort: the dynamic-partition write
+    // requires its output ordered by them, and an unsatisfied
+    // requirement makes FileFormatWriter insert its own sort by the
+    // partition columns ALONE — which would scramble the key order
+    // this sort just produced
     val clustered =
       if (keys.isEmpty || !keys.forall(stamped.columns.contains)) stamped
-      else stamped.sortWithinPartitions(keys.map(col): _*)
+      else stamped.sortWithinPartitions(
+        (pc.filter(stamped.columns.contains) ++ keys).map(col): _*)
     val w = clustered.write.mode("overwrite")
     if (pc.isEmpty) w else w.partitionBy(pc: _*)
   }
@@ -2547,11 +2587,17 @@ final class LogTable(val path: String,
           extra.foreach(f => require(!retired.contains(f.name),
             s"column name '${f.name}' was retired by a rename and " +
               "cannot be reused"))
-          // mapped tables assign fresh field ids to new columns
-          val nextId = s.fields.flatMap(f =>
-            if (f.metadata.contains(LogTable.FieldIdKey))
-              Some(f.metadata.getLong(LogTable.FieldIdKey))
-            else None).foldLeft(0L)(math.max) + 1L
+          // mapped tables assign fresh field ids to new columns —
+          // never below the drop-recorded high water (id reuse would
+          // resurrect dropped bytes; readers resolve by id)
+          val nextId = math.max(
+            s.fields.flatMap(f =>
+              if (f.metadata.contains(LogTable.FieldIdKey))
+                Some(f.metadata.getLong(LogTable.FieldIdKey))
+              else None).foldLeft(0L)(math.max),
+            snapshotAt(basisVersion.get).properties
+              .get(LogTable.PropFieldIdHighWater)
+              .map(_.toLong).getOrElse(0L)) + 1L
           val widened = extra.zipWithIndex.map { case (f, i) =>
             val base = f.copy(nullable = true)
             if (!hasFieldIds(s)) base
@@ -2564,7 +2610,8 @@ final class LogTable(val path: String,
     }
     val schemaChanged = !existing.contains(tableSchema)
     val staged = new File(newStagingDir())
-    stagedWriter(conform(df, tableSchema)).parquet(staged.toString)
+    stagedWriter(conform(df, tableSchema),
+      writeSchema = Some(tableSchema)).parquet(staged.toString)
     val writesSchema = basisVersion.isEmpty || schemaChanged
     // zone backfill for pre-pin tables: a zone-sensitive generated
     // table whose log lacks a tz action pins the CURRENT session's
@@ -3974,20 +4021,33 @@ final class LogTable(val path: String,
     val props = tableProperties
     if (!props.get(LogTable.PropAutoCompact).map(_.trim)
       .contains("true")) return
-    val minFiles = props.get(LogTable.PropAutoCompactMinFiles)
-      .map(_.trim.toInt).getOrElse(8)
-    val smallBytes = props.get(LogTable.PropAutoCompactSmallBytes)
-      .map(_.trim.toLong).getOrElse(32L << 20)
-    val targetBytes = props.get(LogTable.PropAutoCompactTargetBytes)
-      .map(_.trim.toLong).getOrElse(128L << 20)
-    val v = currentVersion.getOrElse(return)
-    val snap = snapshotAt(v)
-    val eligible = snap.adds.filter(_.bytes < smallBytes)
-      .groupBy(_.partitionValues).filter(_._2.size >= minFiles)
-    if (eligible.isEmpty) return
-    try compactSubset(spark, snap, v, eligible.values.flatten.toSeq,
-      targetBytes)
-    catch { case _: java.util.ConcurrentModificationException => () }
+    // best-effort END TO END: the triggering append has already
+    // durably committed, so NOTHING here may fail it — not a
+    // concurrent-writer conflict, not a malformed threshold
+    // property, not a task failure in the bin-pack job (a caller
+    // retrying the "failed" append would double-write)
+    try {
+      val minFiles = props.get(LogTable.PropAutoCompactMinFiles)
+        .map(_.trim.toInt).getOrElse(8)
+      val smallBytes = props.get(LogTable.PropAutoCompactSmallBytes)
+        .map(_.trim.toLong).getOrElse(32L << 20)
+      val targetBytes = props.get(LogTable.PropAutoCompactTargetBytes)
+        .map(_.trim.toLong).getOrElse(128L << 20)
+      val v = currentVersion.getOrElse(return)
+      val snap = snapshotAt(v)
+      val eligible = snap.adds.filter(_.bytes < smallBytes)
+        .groupBy(_.partitionValues).filter(_._2.size >= minFiles)
+      // one bin-pack PER SCOPE (each its own optimize commit): a
+      // global repartition over every hot partition's rows would mix
+      // scopes into each task and emit files-per-task-per-dir — and
+      // the documented cost contract is ∝ the hot partition, not the
+      // union of all of them
+      eligible.toSeq.sortBy(_._1.toString).foreach { case (_, files) =>
+        val head = currentVersion.getOrElse(return)
+        compactSubset(spark, snapshotAt(head), head, files.toSeq,
+          targetBytes)
+      }
+    } catch { case scala.util.control.NonFatal(_) => () }
   }
 
   /** OPTIMIZE with clustering — Delta's `OPTIMIZE ... ZORDER BY`:
@@ -4259,6 +4319,15 @@ object LogTable {
   val PropAutoCompactMinFiles = "graft.autoCompact.minNumFiles"
   val PropAutoCompactSmallBytes = "graft.autoCompact.smallBytes"
   val PropAutoCompactTargetBytes = "graft.autoCompact.targetBytes"
+
+  /** High-water mark of every parquet field id EVER assigned on a
+    * column-mapped table (`graft.columnMapping.maxFieldId`): a
+    * DROPPED column's id must never be reassigned — readers resolve
+    * BY id, so a reused id would resurrect the dropped column's
+    * bytes under the new name. Recorded by the head-pinned DROP
+    * COLUMN commit (the only operation that removes ids from the
+    * schema); id assigners take max(schema ids, this) + 1. */
+  val PropFieldIdHighWater = "graft.columnMapping.maxFieldId"
 
   /** WRITE-TIME CLUSTERING (Delta's `CLUSTER BY` shape): every write
     * locally sorts by these comma-separated columns (tight per-file

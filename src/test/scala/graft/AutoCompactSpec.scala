@@ -76,6 +76,29 @@ class AutoCompactSpec extends SparkSpec {
     assert(t.load(spark).count() == 41L)
   }
 
+  test("two hot partitions compact as TWO scope-local commits — one " +
+    "output file each, never a cross-scope shuffle") {
+    val t = new LogTable(s"${tmp()}/t")
+    t.create(StructType(schema.fields :+ StructField("p", StringType)),
+      partitionBy = Seq("p"),
+      properties = Map(
+        LogTable.PropAutoCompact -> "true",
+        LogTable.PropAutoCompactMinFiles -> "4"))
+    // interleave appends so BOTH partitions cross the threshold on
+    // the same (last) append
+    (0 until 4).foreach { i =>
+      t.append((i * 10L to i * 10L + 9L).map(j => (j, s"a$j", "a"))
+        .toDF("k", "v", "p").repartition(1))
+      t.append((i * 10L to i * 10L + 9L).map(j => (j, s"b$j", "b"))
+        .toDF("k", "v", "p").repartition(1))
+    }
+    assert(ops(t).count(_ == "optimize") == 2)
+    val files = t.load(spark).inputFiles
+    assert(files.count(_.contains("p=a")) == 1, files.toSeq)
+    assert(files.count(_.contains("p=b")) == 1, files.toSeq)
+    assert(t.load(spark).count() == 80L)
+  }
+
   test("streaming appends auto-compact too, and the optimize commit " +
     "is invisible to the change feed") {
     val t = new LogTable(s"${tmp()}/t")

@@ -81,6 +81,34 @@ class ClusterBySpec extends SparkSpec {
     assert(u.load(spark).count() == 100)
   }
 
+  test("a hive-partitioned clustered table keeps the key sort inside " +
+    "each partition's files (the dynamic-partition writer's own sort " +
+    "must not scramble it)") {
+    val t = new LogTable(s"${tmp()}/t")
+    t.create(org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("p",
+        org.apache.spark.sql.types.StringType))),
+      partitionBy = Seq("p"), columnMapping = true,
+      properties = Map(LogTable.PropClusterBy -> "k"))
+    val rnd = new scala.util.Random(11)
+    t.append(rnd.shuffle((0L to 199L).toList)
+      .map(i => (i, s"v$i", if (i % 2 == 0) "a" else "b"))
+      .toDF("k", "v", "p").repartition(2))
+    t.load(spark).inputFiles.foreach { f =>
+      val ks = spark.read.parquet(f).select("k").as[Long].collect().toSeq
+      assert(ks == ks.sorted,
+        s"partitioned file $f lost the cluster-key sort")
+    }
+    // rename/drop of the cluster key refuses (the spec is name-keyed)
+    assert(intercept[IllegalArgumentException](
+      t.renameColumn(spark, "k", "kk"))
+      .getMessage.contains("cluster-key"))
+  }
+
   test("SQL surface: CREATE TABLE ... CLUSTER BY maps to the " +
     "property; INSERTs write key-sorted files; OPTIMIZE " +
     "range-partitions") {

@@ -61,6 +61,28 @@ class LogAddColumnsSpec extends SparkSpec {
       Seq((1L, "a", None), (2L, "b", Some(9L))))
   }
 
+  test("a column added AFTER a drop never reuses the dropped field " +
+    "id — old files serve NULL, not the dropped column's bytes") {
+    val t = new LogTable(s"${tmp()}/t")
+    t.create(StructType(Seq(StructField("k", LongType),
+      StructField("v", StringType), StructField("c", StringType))),
+      columnMapping = true)
+    t.append(Seq((1L, "a", "SECRET")).toDF("k", "v", "c"))
+    val droppedId = t.schema("c").metadata.getLong(LogTable.FieldIdKey)
+    t.dropColumn(spark, "c")
+    t.addColumns(Seq(StructField("d", StringType)))
+    val newId = t.schema("d").metadata.getLong(LogTable.FieldIdKey)
+    assert(newId > droppedId,
+      s"field id $newId reuses dropped id $droppedId — readers " +
+        "resolve by id and would resurrect the dropped bytes")
+    // the old file must serve NULL for d, never 'SECRET'
+    assert(t.load(spark).select("d").as[Option[String]]
+      .collect().toSeq == Seq(None))
+    // and a mergeSchema append assigns past the high water too
+    t.append(Seq((2L, "b", 7L)).toDF("k", "v", "e"), mergeSchema = true)
+    assert(t.schema("e").metadata.getLong(LogTable.FieldIdKey) > newId)
+  }
+
   test("SQL ALTER TABLE ADD COLUMNS + MERGE WITH SCHEMA EVOLUTION: " +
     "the merge's source-only column evolves the target through the " +
     "catalog and lands its values") {

@@ -161,6 +161,28 @@ class LogWidenSpec extends SparkSpec {
       spark.sql(s"ALTER TABLE gwiden.$tn ALTER COLUMN k TYPE INT"))
   }
 
+  test("a RUNNING stream crossing a widen fails CLEAN with a restart " +
+    "message — not a cryptic parquet conversion error") {
+    val t = new LogTable(s"${tmp()}/t")
+    t.append(Seq((1, "a")).toDF("k", "v"))
+    val q = spark.readStream
+      .format(classOf[graft.sources.LogStreamProvider].getName)
+      .option("path", t.path).load()
+      .writeStream.format("memory").queryName("widen_running")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(50))
+      .start()
+    try {
+      q.processAllAvailable() // consumes v0 under the int schema
+      t.widenColumnType(spark, "k", LongType)
+      t.append(Seq((5000000000L, "b")).toDF("k", "v"))
+      val e = intercept[Exception](q.processAllAvailable())
+      def chain(x: Throwable): Seq[String] =
+        if (x == null) Seq.empty
+        else Option(x.getMessage).toSeq ++ chain(x.getCause)
+      assert(chain(e).exists(_.contains("widened")), chain(e))
+    } finally q.stop()
+  }
+
   test("streams skip the widen commit; a restart reads the widened " +
     "schema; CDF serves the history under the current schema") {
     val t = new LogTable(s"${tmp()}/t")
