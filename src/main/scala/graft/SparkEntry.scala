@@ -679,6 +679,19 @@ object SparkEntry {
       lt.append(cust.filter(col("k") <= 150))
       lt.append(cust.filter(col("k") > 150 && col("k") <= 300)
         .withColumn("status", lit("old")))
+      // round-10: the surrogate-keyed dimension MAINTAINED BY MERGE
+      // (Delta's identity-in-merge) — matched rows update in place
+      // keeping their ids, not-matched rows INSERT with the identity
+      // column omitted and the merge ALLOCATES from the commit-basis
+      // high-water mark (strictly above every existing id)
+      val srcView = s"idm_src_${System.nanoTime}"
+      cust.filter(col("k") > 250 && col("k") <= 400)
+        .createOrReplaceTempView(srcView)
+      graft.sources.SqlMerge.mergeLog(s,
+        s"""MERGE INTO t t USING $srcView s ON t.k = s.k
+            WHEN MATCHED THEN UPDATE SET status = 'upd'
+            WHEN NOT MATCHED THEN INSERT (k, bal, status)
+            VALUES (s.k, s.bal, 'merged')""", lt)
       lt.load(s).agg(
         count(lit(1)).as("n"),
         countDistinct(col("id")).as("n_ids"),
@@ -686,12 +699,19 @@ object SparkEntry {
           (col("id") - 1000L) % 3L === 0L, 1L).otherwise(0L))
           .as("aligned"),
         when(max(when(col("status") === "new", col("id"))) <
-          min(when(col("status") === "old", col("id"))), 1L)
+          min(when(col("status").isin("old", "upd"), col("id"))), 1L)
           .otherwise(0L).as("batches_ordered"),
+        when(min(when(col("status") === "merged", col("id"))) >
+          max(when(col("status") =!= "merged", col("id"))), 1L)
+          .otherwise(0L).as("merged_above"),
         sum(when(col("status") === "new", 1L).otherwise(0L))
           .as("n_default"),
         sum(when(col("status") === "old", 1L).otherwise(0L))
-          .as("n_old"))
+          .as("n_old"),
+        sum(when(col("status") === "upd", 1L).otherwise(0L))
+          .as("n_upd"),
+        sum(when(col("status") === "merged", 1L).otherwise(0L))
+          .as("n_merged"))
     }),
 
     "log_table_dv" -> ((s, d) => {
@@ -2908,11 +2928,16 @@ object SparkEntry {
                 CAST(count(*) AS BIGINT) AS n_ids,
                 CAST(1 AS BIGINT) AS aligned,
                 CAST(1 AS BIGINT) AS batches_ordered,
+                CAST(1 AS BIGINT) AS merged_above,
                 CAST(sum(CASE WHEN c_custkey <= 150 THEN 1 ELSE 0 END)
                      AS BIGINT) AS n_default,
-                CAST(sum(CASE WHEN c_custkey > 150 THEN 1 ELSE 0 END)
-                     AS BIGINT) AS n_old
-         FROM customer WHERE c_custkey <= 300""",
+                CAST(sum(CASE WHEN c_custkey > 150 AND c_custkey <= 250
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_old,
+                CAST(sum(CASE WHEN c_custkey > 250 AND c_custkey <= 300
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_upd,
+                CAST(sum(CASE WHEN c_custkey > 300 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_merged
+         FROM customer WHERE c_custkey <= 400""",
 
     "log_table_dv" ->
       """SELECT CAST(c_custkey AS BIGINT) AS k,

@@ -76,7 +76,11 @@ private[sources] final class GraftProcedure(catalog: GraftTableCatalog,
     case "drop_branch" =>
       Array(in("table", StringType).build(),
         in("name", StringType).build(),
-        in("delete_data", BooleanType).defaultValue("true").build())
+        in("delete_data", BooleanType).defaultValue("true").build(),
+        // widen the still-referenced check to the newest N versions
+        // (match the table's vacuum retain_last to keep its
+        // time-travel window readable across the drop)
+        in("retain_last", IntegerType).defaultValue("1").build())
     case "show_refs" =>
       Array(in("table", StringType).build())
     case "set_partition" =>
@@ -188,7 +192,8 @@ private[sources] final class GraftProcedure(catalog: GraftTableCatalog,
         Seq(row(t.dropRef(input.getUTF8String(1).toString)))
       case "drop_branch" =>
         Seq(row(t.dropBranch(input.getUTF8String(1).toString,
-          deleteData = input.getBoolean(2))))
+          deleteData = input.getBoolean(2),
+          retainLast = input.getInt(3))))
       case "show_refs" =>
         t.refs.toSeq.sortBy(_._1).map { case (n, (kind, v)) =>
           row(UTF8String.fromString(n), UTF8String.fromString(kind), v) }

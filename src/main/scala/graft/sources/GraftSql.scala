@@ -16,6 +16,17 @@ import org.apache.spark.sql.connector.catalog.CatalogPlugin
   * [[GraftTableCatalog]]) or a filesystem path; `end_version` may be
   * omitted to read through the current head.
   *
+  * Window boundaries take VERSIONS (integers) or TIMESTAMPS
+  * (timestamp/date literals, or timestamp strings in the session
+  * zone) — Delta's dual form, round-10. Timestamp resolution rides
+  * the in-commit monotonic clock, so it is EXACT: a start timestamp
+  * resolves to the first commit at-or-after it (changes that
+  * happened since that instant — inclusive-start semantics), an end
+  * timestamp to the newest commit at-or-before it (`versionAt`, the
+  * same rule `TIMESTAMP AS OF` uses), and an instant BETWEEN two
+  * commits lands on the commit boundary a reader at that instant
+  * would have seen. Pure-integer strings read as versions.
+  *
   * Registration is imperative and idempotent
   * ([[GraftSql.register]]): the table-function registry is
   * session-owned, so the call binds the TVF for every later query in
@@ -31,8 +42,9 @@ object GraftSql {
     if (reg.functionExists(Name)) return
     val info = new ExpressionInfo(GraftSql.getClass.getCanonicalName,
       null, Name.funcName,
-      "table_changes(table, start_version[, end_version]) - change " +
-        "data feed of a log table over an inclusive version window",
+      "table_changes(table, start[, end]) - change data feed of a " +
+        "log table over an inclusive window of versions (integers) " +
+        "or timestamps (timestamp/date literals or strings)",
       "", "", "", "table_funcs", "", "", "built-in")
     reg.registerFunction(Name, info, (args: Seq[Expression]) =>
       build(SparkSession.active, args))
@@ -41,19 +53,60 @@ object GraftSql {
   private def build(spark: SparkSession,
                     args: Seq[Expression]): LogicalPlan = {
     require(args.length == 2 || args.length == 3,
-      "table_changes takes (table, start_version[, end_version])")
+      "table_changes takes (table, start[, end]) — versions or " +
+        "timestamps")
     def lit(e: Expression, what: String): Any = {
       require(e.foldable, s"table_changes $what must be a literal")
       e.eval(org.apache.spark.sql.catalyst.expressions.EmptyRow)
     }
     val table = String.valueOf(lit(args.head, "table name"))
-    val start = lit(args(1), "start_version").asInstanceOf[Number]
-      .longValue()
     val log = resolve(spark, table)
-    val end = if (args.length == 3)
-      lit(args(2), "end_version").asInstanceOf[Number].longValue()
-    else log.currentVersion.getOrElse(
+    // each boundary is a VERSION (integer, or pure-integer string)
+    // or a TIMESTAMP (timestamp/date literal, or a timestamp string
+    // cast in the session zone) → Right(version) | Left(millis)
+    def boundary(e: Expression, what: String): Either[Long, Long] = {
+      import org.apache.spark.sql.types._
+      def asTs(expr: Expression): Long = {
+        val zone = spark.sessionState.conf.sessionLocalTimeZone
+        val micros = org.apache.spark.sql.catalyst.expressions
+          .Cast(expr, TimestampType, Option(zone))
+          .eval(org.apache.spark.sql.catalyst.expressions.EmptyRow)
+        require(micros != null,
+          s"table_changes $what: cannot read '${lit(e, what)}' as a " +
+            "timestamp or version")
+        Math.floorDiv(micros.asInstanceOf[Long], 1000L)
+      }
+      e.dataType match {
+        case ByteType | ShortType | IntegerType | LongType =>
+          Right(lit(e, what).asInstanceOf[Number].longValue())
+        case StringType =>
+          val s = String.valueOf(lit(e, what))
+          if (s.matches("-?\\d+")) Right(s.toLong) else Left(asTs(e))
+        case TimestampType | TimestampNTZType | DateType =>
+          Left(asTs(e))
+        case other => throw new IllegalArgumentException(
+          s"table_changes $what must be a version (integer) or a " +
+            s"timestamp, got ${other.simpleString}")
+      }
+    }
+    val head = log.currentVersion.getOrElse(
       throw new IllegalStateException(s"no log table at ${log.path}"))
+    val start = boundary(args(1), "start") match {
+      case Right(v) => v
+      // first commit AT or AFTER the instant — Delta's inclusive
+      // startingTimestamp rule ("changes since this moment")
+      case Left(ms) => log.versions.find(v => log.commitTime(v) >= ms)
+        .getOrElse(throw new IllegalArgumentException(
+          s"table_changes start timestamp is after the latest commit " +
+            s"(${log.commitTime(head)} ms)"))
+    }
+    val end = if (args.length < 3) head
+    else boundary(args(2), "end") match {
+      case Right(v) => v
+      // newest commit at-or-before — the TIMESTAMP AS OF rule, made
+      // exact by in-commit monotonic timestamps
+      case Left(ms) => log.versionAt(ms)
+    }
     require(start >= 0 && end >= start,
       s"bad version window [$start, $end]")
     // inclusive window, Delta-style; changes() is exclusive-from

@@ -429,13 +429,20 @@ class GraftTableCatalog extends TableCatalog with ProcedureCatalog {
       s"unsupported ALTER TABLE change(s): ${other.mkString(", ")} — " +
         "only SET/UNSET TBLPROPERTIES, ADD COLUMNS and ALTER COLUMN " +
         "TYPE go through ALTER")
-    // validate EVERYTHING before applying ANYTHING: a change set
-    // that fails its property check must not leave schema changes
-    // already durably committed
+    // validate EVERYTHING before applying ANYTHING: a mixed ALTER
+    // whose later change fails its own require must not leave the
+    // earlier changes durably committed — property checks AND the
+    // widen/add preconditions (column exists, widenable, not
+    // retired/duplicate/reserved) all run against the current
+    // snapshot first; the per-op commits re-validate under their
+    // pinned basis as before
     (sets.map(_._1) ++ unsets).find(reservedProp).foreach(k =>
       throw new IllegalArgumentException(
         s"'$k' is a reserved table-feature property — it cannot be " +
           "changed through SET/UNSET TBLPROPERTIES"))
+    widens.foreach { case (c, t) =>
+      log.validateWiden(SparkSession.active, c, t); () }
+    if (adds.nonEmpty) { log.validateAddColumns(adds.toSeq); () }
     widens.foreach { case (c, t) =>
       log.widenColumnType(SparkSession.active, c, t); () }
     if (adds.nonEmpty) { log.addColumns(adds.toSeq); () }

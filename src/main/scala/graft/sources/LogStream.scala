@@ -243,12 +243,38 @@ private[sources] final class LogStreamSource(ctx: SQLContext, log: LogTable,
                "default" | "tblproperties" | "refresh" |
                "partition" | "ref" | "rowtracking" | "add" => false
           // a type widen is safe for a stream whose captured schema
-          // already IS the widened one (a fresh stream reading
-          // history); a RUNNING stream captured the narrow schema,
-          // and the next post-widen file would fail its scan with a
-          // cryptic parquet conversion error — fail CLEAN instead
+          // can READ the post-widen files: each column as declared
+          // at v either matches the captured type or widens INTO it
+          // (the parquet readers upcast at scan — the same lossless
+          // matrix the widen itself enforced). Exact schema equality
+          // here would permanently brick fresh streams over any
+          // history that widens and then evolves again (a second
+          // widen, ADD COLUMNS, a rename): the intermediate widen
+          // commit never equals the final schema, yet the "restart"
+          // its error suggests can never succeed. A RUNNING stream
+          // captured the narrow schema — widens(atV, captured)
+          // fails — and the next post-widen file would fail its scan
+          // with a cryptic parquet conversion error; fail CLEAN.
           case "widen" =>
-            if (log.userSchemaAt(v) == schema) false
+            val atV = log.userSchemaAt(v)
+            def idOf(f: org.apache.spark.sql.types.StructField) =
+              if (f.metadata.contains(LogTable.FieldIdKey))
+                Some(f.metadata.getLong(LogTable.FieldIdKey))
+              else None
+            val readable = atV.fields.forall { f =>
+              // resolve by field id on mapped tables (a later rename
+              // keeps the id), by name otherwise; a column the
+              // captured schema lacks (dropped later) is never
+              // requested by the scan — readable by omission
+              val cap = idOf(f) match {
+                case Some(id) =>
+                  schema.fields.find(c => idOf(c).contains(id))
+                case None => schema.fields.find(_.name == f.name)
+              }
+              cap.forall(c => c.dataType == f.dataType ||
+                LogTable.widens(f.dataType, c.dataType))
+            }
+            if (readable) false
             else throw new IllegalStateException(
               s"commit $v widened a column type past this stream's " +
                 "captured schema — restart the stream to pick up " +

@@ -1013,7 +1013,9 @@ final class LogTable(val path: String,
     * schema changes land in its own log and data dir, and a CoW
     * rewrite of a referenced file writes the rewrite locally while
     * the source file is untouched). Schema, partitioning,
-    * constraints, generated columns and retired names copy over;
+    * constraints, generated columns, retired names, identity specs
+    * (with their high-water marks — the clone's allocations start
+    * past the source's) and column DEFAULTs copy over;
     * the bloom index does not (sidecars are name-keyed in the
     * SOURCE's `_bloom/` — the clone re-indexes as it rewrites).
     * The standard shallow-clone hazard is Delta's too: a VACUUM on
@@ -1042,6 +1044,10 @@ final class LogTable(val path: String,
         if (snap.transforms.isEmpty) None else Some(snap.transforms),
       retiredJson =
         if (snap.retiredNames.isEmpty) None else Some(snap.retiredNames),
+      identityJson =
+        if (snap.identity.isEmpty) None else Some(snap.identity),
+      defaultsJson =
+        if (snap.defaults.isEmpty) None else Some(snap.defaults),
       tzJson = snap.tz)
   }
 
@@ -1233,6 +1239,25 @@ final class LogTable(val path: String,
       basis =>
     val v = basis.getOrElse(
       throw new IllegalStateException(s"no log table at $path"))
+    val widened = validateWiden(spark, name, newType, Some(v))
+    commitRetry(Some(v), Seq.empty, Seq.empty, "widen",
+      schemaJson = Some(widened.json), cdfDir = None,
+      requireHead = Some(basis))
+  }
+
+  /** [[widenColumnType]]'s preconditions, checked against the
+    * snapshot at `version` (default: current) WITHOUT committing —
+    * returns the widened schema. [[GraftTableCatalog.alterTable]]
+    * pre-validates every change of a mixed ALTER through this before
+    * applying the first, so a change set that fails late cannot
+    * leave the table half-altered (the commit itself re-validates
+    * under its pinned basis). */
+  private[sources] def validateWiden(spark: SparkSession, name: String,
+                                     newType: DataType,
+                                     version: Option[Long] = None)
+      : StructType = {
+    val v = version.orElse(currentVersion).getOrElse(
+      throw new IllegalStateException(s"no log table at $path"))
     val snap = snapshotAt(v)
     val s = snap.schema
     val field = s.fields.find(_.name == name).getOrElse(
@@ -1257,11 +1282,8 @@ final class LogTable(val path: String,
     require(!snap.bloomCols.contains(name),
       s"cannot widen bloom-indexed column '$name' — the sidecar " +
         "hashed the narrow width; drop the bloom index first")
-    val widened = StructType(s.fields.map(f =>
+    StructType(s.fields.map(f =>
       if (f.name == name) f.copy(dataType = newType) else f))
-    commitRetry(Some(v), Seq.empty, Seq.empty, "widen",
-      schemaJson = Some(widened.json), cdfDir = None,
-      requireHead = Some(basis))
   }
 
   /** `ALTER TABLE ADD COLUMNS` as a METADATA-ONLY commit (Delta
@@ -1279,6 +1301,23 @@ final class LogTable(val path: String,
   def addColumns(cols: Seq[StructField]): Long = retryMetadataCommit {
       basis =>
     val v = basis.getOrElse(
+      throw new IllegalStateException(s"no log table at $path"))
+    val added = validateAddColumns(cols, Some(v))
+    val s = snapshotAt(v).schema
+    commitRetry(Some(v), Seq.empty, Seq.empty, "add",
+      schemaJson = Some(StructType(s.fields ++ added).json),
+      cdfDir = None, requireHead = Some(basis))
+  }
+
+  /** [[addColumns]]'s preconditions against the snapshot at
+    * `version` (default: current) WITHOUT committing — returns the
+    * fields as they would append (nullable, field ids assigned on
+    * mapped tables). The mixed-ALTER pre-validation hook, like
+    * [[validateWiden]]. */
+  private[sources] def validateAddColumns(cols: Seq[StructField],
+                                          version: Option[Long] = None)
+      : Seq[StructField] = {
+    val v = version.orElse(currentVersion).getOrElse(
       throw new IllegalStateException(s"no log table at $path"))
     val snap = snapshotAt(v)
     val s = snap.schema
@@ -1303,16 +1342,13 @@ final class LogTable(val path: String,
         else None).foldLeft(0L)(math.max),
       snap.properties.get(LogTable.PropFieldIdHighWater)
         .map(_.toLong).getOrElse(0L)) + 1L
-    val added = cols.zipWithIndex.map { case (f, i) =>
+    cols.zipWithIndex.map { case (f, i) =>
       val base = f.copy(nullable = true)
       if (!hasFieldIds(s)) base
       else base.copy(metadata = new MetadataBuilder()
         .withMetadata(base.metadata)
         .putLong(LogTable.FieldIdKey, nextId + i).build())
     }
-    commitRetry(Some(v), Seq.empty, Seq.empty, "add",
-      schemaJson = Some(StructType(s.fields ++ added).json),
-      cdfDir = None, requireHead = Some(basis))
   }
 
   /** `ALTER TABLE ADD CONSTRAINT` (Delta semantics): validates the
@@ -2805,7 +2841,11 @@ final class LogTable(val path: String,
 
   /** Commit a staged rewrite produced by an external planner (the
     * file-granularity MERGE): adds the staged files, retires
-    * `removePaths`, under the usual conflict revalidation. */
+    * `removePaths`, under the usual conflict revalidation. An
+    * identity-allocating merge passes its specs and allocation basis
+    * so the commit advances the high-water mark from the staged
+    * files' stats and re-plans on an allocation race — the same
+    * contract appends have. */
   private[sources] def commitStagedRewrite(spark: SparkSession,
                                            staged: String,
                                            removePaths: Seq[String],
@@ -2813,10 +2853,17 @@ final class LogTable(val path: String,
                                            readVersion: Option[Long],
                                            cdfDir: Option[String] = None,
                                            txn: Option[(String, Long)] =
-                                             None): Long =
+                                             None,
+                                           identityUpdate:
+                                             Map[String, IdentitySpec] =
+                                             Map.empty,
+                                           identityBasis:
+                                             Option[Map[String,
+                                               Option[Long]]] = None): Long =
     finalizeStaged(spark, new File(restageForLayout(spark, staged)), schema,
       removePaths, op, readVersion, schemaJson = None, cdfDir = cdfDir,
-      txn = txn)
+      txn = txn, identityUpdate = identityUpdate,
+      identityBasis = identityBasis)
 
   /** Metadata-only commit that ONLY advances an idempotent-txn
     * pointer (op `refresh`, no adds/removes, dataChange = false —
@@ -3677,8 +3724,18 @@ final class LogTable(val path: String,
     * published them, and deleting would corrupt the live table;
     * OPTIMIZE main first to migrate them into the main tree, or
     * drop the ref only (`deleteData = false`, directory reclaims
-    * later via drop_branch once nothing references it). */
-  def dropBranch(name: String, deleteData: Boolean = true): Long = {
+    * later via drop_branch once nothing references it).
+    *
+    * `retainLast` widens the still-referenced check to the same
+    * retained-version set a `vacuum(retainLast)` keeps servable —
+    * the newest N main versions, not just pinned ones — so a table
+    * vacuumed with a time-travel window keeps that window readable
+    * across a drop_branch (r9 ADVICE: a recent unpinned version can
+    * reference branch-dir files a past fast-forward published).
+    * The default 1 matches vacuum's default (head + refs only). */
+  def dropBranch(name: String, deleteData: Boolean = true,
+                 retainLast: Int = 1): Long = {
+    require(retainLast >= 1, s"need retainLast >= 1, got $retainLast")
     val ref = refs.get(name)
     ref.foreach { case (kind, _) =>
       require(kind == "branch",
@@ -3695,9 +3752,12 @@ final class LogTable(val path: String,
       def hits(p: String): Boolean =
         p.startsWith(prefix) || p.startsWith(absPrefix)
       // every snapshot VACUUM would retain can serve reads: the
-      // head plus tag- and fork-pinned versions...
-      val pinned = (currentVersion.toSeq ++ refs.values.map(_._2))
-        .distinct.filter(versions.contains)
+      // newest `retainLast` versions plus tag- and fork-pinned
+      // ones (the same keep set vacuum computes)...
+      val vs = versions
+      val pinned = (vs.takeRight(retainLast) ++
+        currentVersion.toSeq ++ refs.values.map(_._2))
+        .distinct.filter(vs.contains)
       val mainStill = pinned.flatMap(v => snapshotAt(v).adds.flatMap(
         a => a.path +: a.dv.map(_.path).toSeq)).filter(hits)
       // ...and other LIVE branches' heads (a branch forked after a
@@ -3800,7 +3860,12 @@ final class LogTable(val path: String,
         .filterNot(v => commitOp(v) == "ref")
       if (interlopers.isEmpty) {
         // FAST-FORWARD: main is exactly where the branch forked it —
-        // publish the branch head as main's state, wholesale
+        // publish the branch head as main's state, wholesale. ALL
+        // branch metadata publishes, not just schema/layout: a
+        // branch-side ADD CONSTRAINT, SET DEFAULT, bloom index or
+        // identity allocation (its high-water mark) must survive the
+        // merge or later main writes would skip validation / reuse
+        // ids (r9 ADVICE)
         val removes = cur.adds.map(_.path)
           .filterNot(p => tAdds.exists(_.path == p))
         val adds = tAdds.filterNot(a => cur.adds.contains(a))
@@ -3809,6 +3874,18 @@ final class LogTable(val path: String,
           partitionJson = Some(target.partitionCols),
           generatedJson = Some(target.generated),
           transformsJson = Some(target.transforms),
+          constraintsJson =
+            if (target.constraints == cur.constraints) None
+            else Some(target.constraints),
+          defaultsJson =
+            if (target.defaults == cur.defaults) None
+            else Some(target.defaults),
+          bloomJson =
+            if (target.bloomCols == cur.bloomCols) None
+            else Some(target.bloomCols),
+          identityJson =
+            if (target.identity == cur.identity) None
+            else Some(target.identity),
           refsJson = Some(cur.refs - name),
           requireHead = Some(basis))
       } else {
@@ -3837,8 +3914,18 @@ final class LogTable(val path: String,
               s"file(s) the branch also changed (${clashes.take(3)
                 .mkString(", ")}) — re-branch from the new head and " +
               "replay")
+        // metadata divergence covers the FULL governance surface —
+        // constraints, defaults, bloom indexes and identity structure
+        // included (r9 ADVICE: a schema-only check let a merge
+        // silently drop a branch-side ADD CONSTRAINT, or publish
+        // rows main's post-fork constraint never validated).
+        // Identity HIGH-WATER marks are data-derived, not metadata —
+        // compared structurally and merged separately below.
         def metaOf(s: LogTable#Snapshot) = (s.schema.json,
-          s.partitionCols, s.generated, s.transforms)
+          s.partitionCols, s.generated, s.transforms,
+          s.constraints, s.defaults, s.bloomCols,
+          s.identity.map { case (c, sp) =>
+            c -> sp.copy(highWater = None) })
         val branchMeta = metaOf(target) != metaOf(forkSnap)
         val mainMeta = metaOf(cur) != metaOf(forkSnap)
         if (branchMeta && mainMeta && metaOf(cur) != metaOf(target))
@@ -3846,6 +3933,63 @@ final class LogTable(val path: String,
             s"cannot merge '$name': table metadata diverged on both " +
               "main and the branch since the fork — re-branch and " +
               "replay")
+        // a CHECK constraint main declared (or re-expressed) after
+        // the fork validated main's rows only — the branch's added
+        // files were never checked against it. Validate them now
+        // (one scan ∝ the branch delta); publishing unvalidated rows
+        // under an active table-wide constraint is silent corruption.
+        val newChecks = cur.constraints.filter { case (n, e) =>
+          !forkSnap.constraints.get(n).contains(e) }
+        if (newChecks.nonEmpty && bAdds.exists(_.rows > 0)) {
+          val spark = SparkSession.getActiveSession
+            .orElse(SparkSession.getDefaultSession).getOrElse(
+              throw new IllegalStateException(
+                s"cannot merge '$name': main added CHECK " +
+                  s"constraint(s) ${newChecks.keys.mkString(", ")} " +
+                  "after the fork and no SparkSession is active to " +
+                  "validate the branch's rows against them"))
+          val rows = dvAwareRead(spark, target.schema,
+            target.partitionCols, bAdds, keepProvenance = false)
+          newChecks.foreach { case (n, e) =>
+            val bad = rows.filter(coalesce(!expr(e), lit(false))).count()
+            if (bad > 0)
+              throw new java.util.ConcurrentModificationException(
+                s"cannot merge '$name': $bad row(s) the branch added " +
+                  s"violate CHECK constraint '$n' ($e) declared on " +
+                  "main after the fork — fix the branch data and " +
+                  "re-merge")
+          }
+        }
+        // identity high-water marks merge to the furthest value in
+        // step direction — a branch that allocated ids must advance
+        // main's mark or a later main append would reuse them. BOTH
+        // sides allocating past the fork drew overlapping ranges
+        // from the same fork-era mark: no merge can repair that.
+        val idBase = if (branchMeta) target.identity else cur.identity
+        val idMerged: Option[Map[String, IdentitySpec]] =
+          if (idBase.isEmpty) None
+          else {
+            val collide = idBase.keys.filter { c =>
+              val f = forkSnap.identity.get(c).flatMap(_.highWater)
+              val m = cur.identity.get(c).flatMap(_.highWater)
+              val b = target.identity.get(c).flatMap(_.highWater)
+              m != f && b != f
+            }
+            if (collide.nonEmpty)
+              throw new java.util.ConcurrentModificationException(
+                s"cannot merge '$name': identity column(s) " +
+                  s"${collide.mkString(", ")} allocated values on " +
+                  "BOTH main and the branch since the fork — the id " +
+                  "ranges may overlap; re-branch and replay")
+            val merged = idBase.map { case (c, sp) =>
+              val marks = cur.identity.get(c).flatMap(_.highWater).toSeq ++
+                target.identity.get(c).flatMap(_.highWater).toSeq
+              c -> sp.copy(highWater =
+                if (marks.isEmpty) sp.highWater
+                else Some(if (sp.step > 0) marks.max else marks.min))
+            }
+            if (merged == cur.identity) None else Some(merged)
+          }
         commitRetry(basis, bRemoves, bAdds, "merge",
           schemaJson =
             if (branchMeta) Some(target.schema.json) else None,
@@ -3856,6 +4000,16 @@ final class LogTable(val path: String,
             if (branchMeta) Some(target.generated) else None,
           transformsJson =
             if (branchMeta) Some(target.transforms) else None,
+          constraintsJson =
+            if (branchMeta && target.constraints != cur.constraints)
+              Some(target.constraints) else None,
+          defaultsJson =
+            if (branchMeta && target.defaults != cur.defaults)
+              Some(target.defaults) else None,
+          bloomJson =
+            if (branchMeta && target.bloomCols != cur.bloomCols)
+              Some(target.bloomCols) else None,
+          identityJson = idMerged,
           refsJson = Some(cur.refs - name),
           requireHead = Some(basis))
       }
@@ -3890,11 +4044,24 @@ final class LogTable(val path: String,
               toVersion: Long): DataFrame = {
     // a window reaching below the expiry floor has GAPS — refuse
     // loudly rather than serve a feed silently missing commits
-    earliestVersion.filter(_ > 0).foreach(e =>
+    earliestVersion.filter(_ > 0).foreach { e =>
       require(fromVersion >= e - 1,
         s"change feed from version $fromVersion crosses expired " +
           s"commits (earliest retained: $e) — the log was expired " +
-          "past this window"))
+          "past this window")
+      // fromVersion == e-1 serves the floor commit itself, which is
+      // fine for every op EXCEPT an overwrite: its delete rows come
+      // from snapshotAt(e-1), which expiry removed — refuse up front
+      // with the real reason instead of crashing mid-read with a
+      // misleading "has been expired" from deep inside the handler
+      if (fromVersion == e - 1 && toVersion >= e &&
+          commitOp(e) == "overwrite")
+        throw new IllegalArgumentException(
+          s"change feed from version ${e - 1} cannot serve the floor " +
+            s"commit $e: it is an overwrite whose deleted rows come " +
+            s"from the expired snapshot ${e - 1} — start the feed " +
+            s"from version $e")
+    }
     val s = userSchema // hidden transform columns never reach the feed
     val pc = partitionCols
     def tagged(df: DataFrame, tpe: String, v: Long): DataFrame =

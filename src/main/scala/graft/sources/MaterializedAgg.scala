@@ -86,12 +86,13 @@ object MaterializedAgg {
              keys: Seq[String], valueCol: String,
              withMinMax: Boolean = false): Long = {
     require(keys.nonEmpty, "materialized aggregate needs group keys")
-    // the definition round-trips through TBLPROPERTIES (comma-joined)
-    // and MERGE SQL (backtick-quoted) — refuse the column names
-    // either layer would corrupt
+    // the definition round-trips through TBLPROPERTIES (keys as a
+    // JSON array — any column name encodes losslessly, r9 advice)
+    // and MERGE SQL (backtick-quoted) — only a backtick in a name
+    // would corrupt the quoting layer, so only that refuses
     (keys :+ valueCol).foreach(c =>
-      require(!c.contains(",") && !c.contains("`"),
-        s"column name '$c' contains ',' or '`' — unsupported in a " +
+      require(!c.contains("`"),
+        s"column name '$c' contains '`' — unsupported in a " +
           "materialized-aggregate definition"))
     val base = new LogTable(basePath)
     val baseV = base.currentVersion.getOrElse(
@@ -114,7 +115,9 @@ object MaterializedAgg {
          else Array.empty[StructField]))
     mv.create(mvSchema, properties = Map(
       PropBase -> new java.io.File(basePath).getAbsolutePath,
-      PropKeys -> keys.mkString(","),
+      PropKeys -> org.json4s.jackson.JsonMethods.compact(
+        org.json4s.jackson.JsonMethods.render(
+          org.json4s.JArray(keys.toList.map(org.json4s.JString(_))))),
       PropValue -> valueCol) ++
       (if (withMinMax) Map(PropMinMax -> "true") else Map.empty))
     mv.appendStreamBatch(
@@ -129,7 +132,19 @@ object MaterializedAgg {
     def need(k: String): String = props.getOrElse(k,
       throw new IllegalArgumentException(
         s"${mv.path} is not a materialized aggregate (no $k property)"))
-    (need(PropBase), need(PropKeys).split(",").toSeq, need(PropValue),
+    // keys: JSON array since round 10 (lossless for any column
+    // name); pre-r10 views carry the comma-joined form — still read
+    val rawKeys = need(PropKeys)
+    val keys =
+      if (rawKeys.startsWith("["))
+        org.json4s.jackson.JsonMethods.parse(rawKeys) match {
+          case org.json4s.JArray(a) =>
+            a.collect { case org.json4s.JString(s) => s }
+          case other => throw new IllegalArgumentException(
+            s"bad $PropKeys property: $other")
+        }
+      else rawKeys.split(",").toSeq
+    (need(PropBase), keys, need(PropValue),
       props.get(PropMinMax).contains("true"))
   }
 

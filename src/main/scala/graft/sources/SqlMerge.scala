@@ -315,22 +315,43 @@ object SqlMerge {
     * (Delta's txnAppId/txnVersion riding a MERGE): the
     * exactly-once primitive [[MaterializedAgg]]'s refresh uses —
     * a crashed-and-replayed refresh whose merge already committed
-    * is dropped by the commit layer, not double-applied. */
+    * is dropped by the commit layer, not double-applied.
+    *
+    * Identity-allocating merges (an insert pass on a table with
+    * `GENERATED ALWAYS AS IDENTITY`) retry the WHOLE merge on an
+    * allocation race, like identity appends: the staged insert rows
+    * hold ids drawn from a stale high-water mark and must be
+    * re-planned (Delta's transaction-retry rule). */
   def mergeLog(spark: SparkSession, mergeSql: String, log: LogTable,
                txn: Option[(String, Long)]): MergeResult = {
+    var attempts = 0
+    while (true) {
+      attempts += 1
+      try return mergeLogOnce(spark, mergeSql, log, txn)
+      catch {
+        case e: java.util.ConcurrentModificationException
+          if e.getMessage != null && e.getMessage.contains("identity") &&
+            attempts < 20 => () // reallocate against the new head
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  private def mergeLogOnce(spark: SparkSession, mergeSql: String,
+                           log: LogTable,
+                           txn: Option[(String, Long)]): MergeResult = {
     val p = parse(spark, mergeSql)
-    // GENERATED ALWAYS AS IDENTITY (r8 advice): no merge action may
-    // mint or rewrite identity values. An explicit assignment breaks
-    // the uniqueness promise outright; an omitted INSERT value would
-    // need an allocation this three-pass planner cannot make
-    // coherently (the change-feed pass re-executes the join, so the
-    // rewrite and CDF passes would draw DIFFERENT ids for the same
-    // logical row) — and an unfolded allocation would leave the
-    // high-water mark behind, letting a later append collide. Delta
-    // refuses identity assignment in MERGE the same way; inserts go
-    // through the append path, which allocates from the commit-time
-    // high-water mark.
-    val idCols = log.identityColumns.keySet
+    // GENERATED ALWAYS AS IDENTITY: no merge action may mint or
+    // rewrite identity values EXPLICITLY — an explicit assignment
+    // breaks the uniqueness promise (Delta refuses the same way).
+    // An insert that OMITS the identity column allocates, like an
+    // append: the insert rows stage once with values drawn from the
+    // commit-basis high-water mark, the change feed reads the staged
+    // files back (so both passes serve the SAME ids), and the commit
+    // advances the mark under the allocation-race check — a racing
+    // writer advancing it first re-plans this merge.
+    val idSpecs = log.identityColumns
+    val idCols = idSpecs.keySet
     if (idCols.nonEmpty) {
       def assigned(a: MergeAction): Set[String] = a match {
         case UpdateAction(_, as, _) => asMap(as).keySet
@@ -344,11 +365,22 @@ object SqlMerge {
           s"cannot UPDATE identity column(s) ${hit.mkString(", ")} — " +
             "GENERATED ALWAYS AS IDENTITY values are table-managed")
       }
-      require(p.notMatched.isEmpty,
-        s"MERGE INSERT into a table with identity column(s) " +
-          s"${idCols.mkString(", ")} is not supported — identity " +
-          "allocation needs the append path (LogTable.append), which " +
-          "draws from the commit-time high-water mark")
+      p.notMatched.foreach {
+        case a: InsertAction =>
+          val hit = asMap(a.assignments).keySet.intersect(idCols)
+          require(hit.isEmpty,
+            s"cannot INSERT explicit value(s) for identity " +
+              s"column(s) ${hit.mkString(", ")} — GENERATED ALWAYS " +
+              "AS IDENTITY values are table-managed; omit them and " +
+              "the merge allocates from the high-water mark")
+        case _: InsertStarAction =>
+          throw new IllegalArgumentException(
+            s"INSERT * into a table with identity column(s) " +
+              s"${idCols.mkString(", ")} assigns them explicitly — " +
+              "list the insert columns and omit the identity column")
+        case other => throw new IllegalArgumentException(
+          s"unsupported $other")
+      }
     }
     val readVersion = log.currentVersion
     // scan-time file provenance (NOT input_file_name, which goes
@@ -391,11 +423,43 @@ object SqlMerge {
         when(core.tPresent,
           col(s"${p.targetAlias}.${LogTable.RowIdPhysCol}"))
           .as(LogTable.RowIdPhysCol)
-    val out = core.labeled
-      .filter(((core.tPresent && inTouched) || !core.tPresent) && keep)
-      .select(outSel: _*)
     val staged = log.newStagingDir()
-    out.write.mode("overwrite").parquet(staged)
+    // identity-allocating merge: the INSERT rows stage to their own
+    // directory with ids filled (base + step × monotonic id, the
+    // append allocator), get READ BACK for the change feed below —
+    // re-executing the join there would draw different ids for the
+    // same logical row — and then move into the main staging for one
+    // atomic commit. Non-identity merges keep the single-write path.
+    val allocates = idCols.nonEmpty && stats.inserted > 0L
+    val insStaged: Option[String] =
+      if (!allocates) {
+        core.labeled
+          .filter(((core.tPresent && inTouched) || !core.tPresent) && keep)
+          .select(outSel: _*)
+          .write.mode("overwrite").parquet(staged)
+        None
+      } else {
+        core.labeled.filter(core.tPresent && inTouched && keep)
+          .select(outSel: _*)
+          .write.mode("overwrite").parquet(staged)
+        val insSel: Seq[Column] = snapCols.zip(core.outCols).map {
+          case (c, o) => idSpecs.get(c) match {
+            case Some(spec) =>
+              val base =
+                spec.highWater.map(_ + spec.step).getOrElse(spec.start)
+              (lit(base) +
+                lit(spec.step) * monotonically_increasing_id())
+                .cast(core.target.schema(c).dataType).as(c)
+            case None => o
+          }
+        } ++ (if (!tracked) Seq.empty
+              else Seq(lit(null).cast("long").as(LogTable.RowIdPhysCol)))
+        val dir = log.newStagingDir()
+        core.labeled.filter(!core.tPresent && keep)
+          .select(insSel: _*)
+          .write.mode("overwrite").parquet(dir)
+        Some(dir)
+      }
 
     // change feed: pre-images of updated/deleted target rows,
     // post-images of updates, the insert rows — Delta's merge CDF
@@ -413,15 +477,43 @@ object SqlMerge {
           .as("_change_type"): _*)
     val post = core.labeled.filter(core.tPresent && isUpd)
       .select(core.outCols :+ lit("update_postimage").as("_change_type"): _*)
-    val ins = core.labeled.filter(!core.tPresent && keep)
-      .select(core.outCols :+ lit("insert").as("_change_type"): _*)
+    // allocated-identity inserts come from the staged files (the
+    // SAME ids the commit publishes); everything else re-executes
+    // the join's insert branch as before
+    val ins = insStaged match {
+      case Some(dir) =>
+        spark.read.parquet(dir).drop(LogTable.RowIdPhysCol)
+          .withColumn("_change_type", lit("insert"))
+      case None =>
+        core.labeled.filter(!core.tPresent && keep)
+          .select(core.outCols :+ lit("insert").as("_change_type"): _*)
+    }
     val cdfRel = s"_cdf/${java.util.UUID.randomUUID()}"
     pre.unionByName(post).unionByName(ins)
       .write.mode("overwrite").parquet(s"${log.path}/$cdfRel")
 
+    // fold the insert staging into the main one for a single commit
+    insStaged.foreach { dir =>
+      val d = new java.io.File(dir)
+      Option(d.listFiles()).toSeq.flatten
+        .filter(f => f.getName.endsWith(".parquet") &&
+          !f.getName.startsWith("."))
+        .foreach { f =>
+          java.nio.file.Files.move(f.toPath,
+            new java.io.File(staged, s"ins-${f.getName}").toPath)
+        }
+      Option(d.listFiles()).toSeq.flatten.foreach(_.delete())
+      d.delete()
+    }
+
     log.commitStagedRewrite(spark, staged, touched.map(_.path),
       op = "merge", readVersion = readVersion, cdfDir = Some(cdfRel),
-      txn = txn)
+      txn = txn,
+      identityUpdate = if (allocates) idSpecs else Map.empty,
+      identityBasis =
+        if (allocates)
+          Some(idSpecs.map { case (c, s) => c -> s.highWater })
+        else None)
     stats
   }
 

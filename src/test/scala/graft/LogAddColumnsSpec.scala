@@ -144,4 +144,51 @@ class LogAddColumnsSpec extends SparkSpec {
       .as[(Long, String, Option[Long])].collect().toSeq ==
       Seq((1L, "a", None), (2L, "b", Some(5L))))
   }
+
+  test("a mixed ALTER pre-validates EVERY change before applying " +
+    "any: a failing ADD leaves a preceding valid widen uncommitted " +
+    "(r9 advice: no half-altered tables)") {
+    import org.apache.spark.sql.connector.catalog.{Identifier,
+      TableCatalog, TableChange}
+    val wh = tmp()
+    spark.conf.set("spark.sql.catalog.galterpre",
+      "graft.sources.GraftTableCatalog")
+    spark.conf.set("spark.sql.catalog.galterpre.warehouse", wh)
+    try {
+      val tn = s"t_${System.nanoTime}"
+      spark.sql(s"CREATE TABLE galterpre.$tn (k INT, v STRING) USING log")
+      spark.sql(s"INSERT INTO galterpre.$tn VALUES (1, 'a')")
+      val cat = spark.sessionState.catalogManager.catalog("galterpre")
+        .asInstanceOf[TableCatalog]
+      val ident = Identifier.of(Array.empty[String], tn)
+      val vBefore = new LogTable(s"$wh/$tn").currentVersion.get
+      // valid widen + duplicate-name add in ONE change set
+      intercept[Exception] {
+        cat.alterTable(ident,
+          TableChange.updateColumnType(Array("k"), LongType),
+          TableChange.addColumn(Array("v"), StringType))
+      }
+      val t = new LogTable(s"$wh/$tn")
+      // NOTHING committed: the widen did not apply, no new version
+      assert(t.currentVersion.get == vBefore)
+      assert(t.schema("k").dataType == IntegerType)
+      // the reverse order fails identically (order-independent)
+      intercept[Exception] {
+        cat.alterTable(ident,
+          TableChange.addColumn(Array("w"), IntegerType),
+          TableChange.updateColumnType(Array("v"), LongType)) // lossy
+      }
+      assert(t.currentVersion.get == vBefore)
+      assert(!t.schema.fieldNames.contains("w"))
+      // and the same mixed set with BOTH valid applies both
+      cat.alterTable(ident,
+        TableChange.updateColumnType(Array("k"), LongType),
+        TableChange.addColumn(Array("w"), IntegerType))
+      assert(t.schema("k").dataType == LongType)
+      assert(t.schema.fieldNames.contains("w"))
+    } finally {
+      spark.conf.unset("spark.sql.catalog.galterpre")
+      spark.conf.unset("spark.sql.catalog.galterpre.warehouse")
+    }
+  }
 }

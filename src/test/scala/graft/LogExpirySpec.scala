@@ -117,4 +117,24 @@ class LogExpirySpec extends SparkSpec {
     assert(reclaimed.nonEmpty)
     assert(t.load(spark).count() == 20L)
   }
+
+  test("an OVERWRITE at the expiry floor refuses the e-1 feed up " +
+    "front with the real reason instead of crashing on the expired " +
+    "snapshot mid-read (r9 advice)") {
+    val t = new LogTable(s"${tmp()}/t", checkpointInterval = 100)
+    t.append(batch(0, 9))         // v0
+    t.append(batch(10, 19))       // v1
+    t.overwrite(batch(100, 104))  // v2 — the future floor
+    t.append(batch(105, 109))     // v3
+    t.expireSnapshots(retainLast = 2) // floor e = 2
+    val e = t.earliestVersion.get
+    assert(t.commitOp(e) == "overwrite")
+    val err = intercept[IllegalArgumentException] {
+      t.changes(spark, e - 1, t.currentVersion.get).count()
+    }
+    assert(err.getMessage.contains("overwrite"), err.getMessage)
+    assert(err.getMessage.contains(s"from version $e"), err.getMessage)
+    // from the floor itself the feed serves normally
+    assert(t.changes(spark, e, t.currentVersion.get).count() == 5L)
+  }
 }

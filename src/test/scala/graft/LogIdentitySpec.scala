@@ -71,9 +71,9 @@ class LogIdentitySpec extends SparkSpec {
   }
 
   test("MERGE and DSv2 INSERT cannot mint or rewrite identity " +
-    "values: UPDATE SET id refuses, MERGE INSERT refuses (allocation " +
-    "is the append path's), SQL INSERT INTO refuses; matched-only " +
-    "merges still work") {
+    "values EXPLICITLY: UPDATE SET id refuses, INSERT with an id " +
+    "value refuses, INSERT * refuses, SQL INSERT INTO refuses; " +
+    "matched-only merges still work") {
     val wh = tmp()
     spark.conf.set("spark.sql.catalog.gidm",
       "graft.sources.GraftTableCatalog")
@@ -92,14 +92,20 @@ class LogIdentitySpec extends SparkSpec {
           """MERGE INTO gidm.t t USING idm_src s ON t.k = s.k
              WHEN MATCHED THEN UPDATE SET id = 0""", t)
       }
-      // so does ANY not-matched INSERT (explicit or omitted id — a
-      // silent NULL id would break the identity contract just as an
-      // explicit one would, and an unfolded allocation would strand
-      // the high-water mark)
+      // so does an INSERT that supplies the id explicitly…
       intercept[IllegalArgumentException] {
         graft.sources.SqlMerge.mergeLog(spark,
           """MERGE INTO gidm.t t USING idm_src s ON t.k = s.k
-             WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)""", t)
+             WHEN NOT MATCHED THEN INSERT (id, k, v)
+             VALUES (77, s.k, s.v)""", t)
+      }
+      // …and INSERT * (it assigns every target column, id included)
+      Seq((77L, 9L, "y")).toDF("id", "k", "v")
+        .createOrReplaceTempView("idm_src_star")
+      intercept[IllegalArgumentException] {
+        graft.sources.SqlMerge.mergeLog(spark,
+          """MERGE INTO gidm.t t USING idm_src_star s ON t.k = s.k
+             WHEN NOT MATCHED THEN INSERT *""", t)
       }
       // matched-only actions keep working, ids untouched
       val before = t.load(spark).select("id").as[Long].collect().sorted
@@ -124,6 +130,50 @@ class LogIdentitySpec extends SparkSpec {
       spark.conf.unset("spark.sql.catalog.gidm")
       spark.conf.unset("spark.sql.catalog.gidm.warehouse")
     }
+  }
+
+  test("MERGE INSERT that OMITS the identity column allocates from " +
+    "the high-water mark: the surrogate-keyed dimension maintained " +
+    "by MERGE (Delta's identity-in-merge); CDF serves the SAME ids " +
+    "the table committed; later appends allocate past them") {
+    val wh = tmp()
+    val t = new LogTable(s"$wh/t")
+    t.create(StructType(Seq(StructField("id", LongType),
+      StructField("k", LongType), StructField("v", StringType))),
+      identityColumns = Map("id" -> IdentitySpec(100L, 3L)))
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+    val hw0 = t.identityColumns("id").highWater.get
+    val idOfK1 = t.load(spark).filter(col("k") === 1L)
+      .select("id").as[Long].head()
+    Seq((1L, "a2"), (9L, "i9"), (10L, "i10")).toDF("k", "v")
+      .createOrReplaceTempView("idalloc_src")
+    val preCdf = t.currentVersion.get
+    val r = graft.sources.SqlMerge.mergeLog(spark,
+      """MERGE INTO t t USING idalloc_src s ON t.k = s.k
+         WHEN MATCHED THEN UPDATE SET v = s.v
+         WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)""", t)
+    assert(r.updated == 1L && r.inserted == 2L)
+    val rows = t.load(spark).orderBy("k")
+      .select("id", "k", "v").as[(Long, Long, String)].collect().toSeq
+    val ids = rows.map(_._1)
+    // unique, step-aligned, and the NEW ids all clear the old mark
+    assert(ids.distinct.length == 4)
+    assert(ids.forall(id => (id - 100L) % 3L == 0L), rows)
+    val newIds = rows.filter(x => x._2 >= 9L).map(_._1)
+    assert(newIds.forall(_ > hw0), s"allocated under the mark: $rows")
+    // the high-water mark advanced to the max allocated id
+    assert(t.identityColumns("id").highWater.contains(ids.max))
+    // the change feed's insert rows carry the SAME ids the table has
+    val cdfIns = t.changes(spark, preCdf, t.currentVersion.get)
+      .filter(col("_change_type") === "insert")
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(cdfIns == newIds.sorted.toSeq, s"cdf $cdfIns vs $newIds")
+    // a post-merge append allocates strictly past the merge's ids
+    t.append(Seq((20L, "z")).toDF("k", "v"))
+    val all = t.load(spark).select("id").as[Long].collect()
+    assert(all.distinct.length == 5 && all.max > ids.max)
+    // the matched-UPDATE row kept its original identity value
+    assert(rows.find(_._2 == 1L).map(_._1).contains(idOfK1), rows)
   }
 
   test("a negative step descends from the start value") {

@@ -1,7 +1,8 @@
 package graft
 
-import graft.sources.LogTable
+import graft.sources.{IdentitySpec, LogTable}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** Tags and fast-forward branches on the transaction-log table
   * (Iceberg's ref surface): tags pin a snapshot under a name for
@@ -283,5 +284,104 @@ class LogRefsSpec extends SparkSpec {
       spark.conf.unset("spark.sql.catalog.gdrop")
       spark.conf.unset("spark.sql.catalog.gdrop.warehouse")
     }
+  }
+
+  private def idTable(dir: String): LogTable = {
+    val t = new LogTable(dir)
+    t.create(StructType(Seq(StructField("id", LongType),
+      StructField("k", LongType), StructField("v", StringType))),
+      identityColumns = Map("id" -> IdentitySpec(1L, 1L)))
+    t
+  }
+
+  test("merge publishes branch-side GOVERNANCE metadata: a CHECK " +
+    "constraint, a column DEFAULT and the identity high-water " +
+    "survive the fast-forward (r9 advice: they silently dropped)") {
+    val t = idTable(s"${tmp()}/t")
+    t.append(Seq((1L, "a")).toDF("k", "v"))
+    val dev = t.createBranch("dev")
+    dev.addCheckConstraint(spark, "k_pos", "k > 0")
+    dev.setColumnDefault("v", "'filled'")
+    dev.append(Seq(2L, 3L).toDF("k")) // allocates ids 2,3; fills v
+    t.mergeBranch("dev")
+    assert(t.checkConstraints.get("k_pos").contains("k > 0"))
+    assert(t.columnDefaults.get("v").contains("'filled'"))
+    // the published constraint ENFORCES on main
+    intercept[Exception] { t.append(Seq((-5L, "x")).toDF("k", "v")) }
+    // the branch's identity allocation advanced main's high water:
+    // a fresh main append cannot reuse the branch's ids
+    t.append(Seq((9L, "z")).toDF("k", "v"))
+    val ids = t.load(spark).select("id").as[Long].collect()
+    assert(ids.length == 4 && ids.distinct.length == 4, ids.toSeq)
+    assert(t.identityColumns("id").highWater.contains(ids.max))
+  }
+
+  test("content-aware merge validates the branch's added rows " +
+    "against a CHECK constraint main declared AFTER the fork: " +
+    "violating rows refuse, passing rows publish under it") {
+    val t = new LogTable(s"${tmp()}/t")
+    t.append(batch(1, 3))
+    val ok = t.createBranch("ok")
+    ok.append(batch(10, 12)) // k > 0 — passes the future constraint
+    val neg = t.createBranch("neg")
+    neg.append(Seq((-7L, "bad")).toDF("k", "v"))
+    t.addCheckConstraint(spark, "k_pos", "k > 0") // post-fork on main
+    val err = intercept[java.util.ConcurrentModificationException] {
+      t.mergeBranch("neg")
+    }
+    assert(err.getMessage.contains("k_pos"), err.getMessage)
+    // the failed merge committed nothing: main unchanged, ref alive
+    assert(t.load(spark).count() == 3L)
+    assert(t.refs.contains("neg"))
+    // the clean branch content-aware-merges and the constraint stays
+    t.mergeBranch("ok")
+    assert(t.load(spark).count() == 6L)
+    assert(t.checkConstraints.contains("k_pos"))
+    intercept[Exception] { t.append(Seq((-1L, "x")).toDF("k", "v")) }
+  }
+
+  test("identity high-water merging: BOTH sides allocating since " +
+    "the fork refuses (overlapping ranges); branch-only allocation " +
+    "over a metadata interloper publishes the merged mark") {
+    val t = idTable(s"${tmp()}/t")
+    t.append(Seq((1L, "a")).toDF("k", "v"))
+    val dev = t.createBranch("dev")
+    dev.append(Seq((2L, "b")).toDF("k", "v"))
+    t.append(Seq((3L, "c")).toDF("k", "v")) // main allocates too
+    val err = intercept[java.util.ConcurrentModificationException] {
+      t.mergeBranch("dev")
+    }
+    assert(err.getMessage.contains("identity"), err.getMessage)
+    // branch-only allocation: main's interloper is metadata-only
+    val t2 = idTable(s"${tmp()}/t")
+    t2.append(Seq((1L, "a")).toDF("k", "v"))
+    val d2 = t2.createBranch("dev")
+    d2.append(Seq((2L, "b"), (3L, "c")).toDF("k", "v")) // ids 2,3
+    t2.addCheckConstraint(spark, "k_pos", "k > 0") // no allocation
+    t2.mergeBranch("dev")
+    t2.append(Seq((9L, "z")).toDF("k", "v"))
+    val ids = t2.load(spark).select("id").as[Long].collect()
+    assert(ids.length == 4 && ids.distinct.length == 4, ids.toSeq)
+  }
+
+  test("drop_branch retain_last widens the still-referenced check " +
+    "to vacuum's retained window (r9 advice: sub-head time travel)") {
+    val wh = tmp()
+    val t = new LogTable(s"$wh/t")
+    t.append(batch(1, 3))
+    val dev = t.createBranch("dev")
+    dev.append(batch(4, 6))
+    t.mergeBranch("dev")       // head references _branch_dev files
+    t.overwrite(t.load(spark)) // head no longer does; head-1 still
+    // a 2-version time-travel window still needs the branch files
+    val err = intercept[IllegalArgumentException] {
+      t.dropBranch("dev", retainLast = 2)
+    }
+    assert(err.getMessage.contains("still referenced"))
+    // vacuum's default window (head + refs) allows the reclaim
+    t.dropBranch("dev")
+    assert(!new java.io.File(s"$wh/t/_branch_dev").exists())
+    assert(t.load(spark).select("k").as[Long].collect().sorted.toSeq
+      == (1L to 6L))
   }
 }

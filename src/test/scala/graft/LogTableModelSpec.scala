@@ -51,6 +51,9 @@ class LogTableModelSpec extends SparkSpec {
     var modelTags = Map.empty[String, Long]
     var branch: Option[(String, LogTable)] = None
     var branchRows = Vector.empty[Row2]
+    // ops whose commit metadata expiry later deletes still count
+    // toward the op-mix sanity check — capture before the floor rises
+    var opsPreExpiry = Set.empty[String]
 
     def freshBatch(): Vector[Row2] = {
       val n = 1 + rnd.nextInt(6)
@@ -123,7 +126,12 @@ class LogTableModelSpec extends SparkSpec {
           }
         case 5 => // overwrite or restore, evenly
           if (snaps.nonEmpty && rnd.nextBoolean()) {
-            val v = rnd.nextInt(snaps.size)
+            // restore targets only RETAINED versions: expiry (layered
+            // at step 37) raises the floor and below-floor restores
+            // rightly refuse — the model never asks for one
+            val floor = if (t.exists)
+              t.earliestVersion.getOrElse(0L).toInt else 0
+            val v = floor + rnd.nextInt(snaps.size - floor)
             t.restore(v.toLong)
             model = snaps(v)
           } else {
@@ -199,6 +207,21 @@ class LogTableModelSpec extends SparkSpec {
       // so the remaining ~40 steps run the whole op mix tracked
       if (step == 7 && t.exists && !t.rowTrackingEnabled())
         t.enableRowTracking()
+      // round-10: a CLUSTER BY + AUTO COMPACTION epoch (steps 13–31):
+      // every write in the window sorts by k at the staging choke
+      // point and appends trigger scope-local auto-compaction commits
+      // (extra state-preserving `optimize` versions the snapshot
+      // accounting below must absorb) — the policies the r9 verbs
+      // added, run against the full op mix
+      if (step == 13 && t.exists)
+        t.setTableProperties(Map(
+          LogTable.PropClusterBy -> "k",
+          LogTable.PropAutoCompact -> "true",
+          LogTable.PropAutoCompactMinFiles -> "2"))
+      if (step == 31 && t.exists &&
+          t.tableProperties.contains(LogTable.PropClusterBy))
+        t.unsetTableProperties(Seq(LogTable.PropClusterBy,
+          LogTable.PropAutoCompact, LogTable.PropAutoCompactMinFiles))
       // TYPE-WIDEN the key mid-sequence (int → long, metadata-only):
       // every file written before this reads upcast, every op after
       // mixes the generations; a later restore may legitimately
@@ -206,6 +229,14 @@ class LogTableModelSpec extends SparkSpec {
       if (step == 19 && t.exists &&
           t.schema("k").dataType == org.apache.spark.sql.types.IntegerType)
         t.widenColumnType(spark, "k", org.apache.spark.sql.types.LongType)
+      // round-10: EXPIRE SNAPSHOTS mid-sequence — the floor rises
+      // (clamped by live tags/forks), below-floor time travel leaves
+      // the model's reachable set, restores re-target the retained
+      // window, and the final replay loop walks only what survived
+      if (step == 37 && t.exists && t.versions.size > 10) {
+        opsPreExpiry = t.versions.map(t.commitOp).toSet
+        t.expireSnapshots(retainLast = 8)
+      }
       afterOp(step)
     }
 
@@ -241,11 +272,15 @@ class LogTableModelSpec extends SparkSpec {
         snaps(v.toInt).sorted,
         s"tag '$name' no longer serves its pinned state")
     }
-    // sanity: the sequence actually exercised the op mix, refs and
-    // at least one merge included
-    val ops = t.versions.map(t.commitOp).toSet
-    assert(Set("append", "delete", "optimize", "ref", "merge", "widen")
-      .subsetOf(ops), ops)
+    // sanity: the sequence actually exercised the op mix — refs, a
+    // merge, the widen, and the round-10 layered verbs: the policy
+    // epoch's property commits ran and expiry actually raised the
+    // floor (sub-floor metadata is gone, everything above replayed)
+    val ops = t.versions.map(t.commitOp).toSet ++ opsPreExpiry
+    assert(Set("append", "delete", "optimize", "ref", "merge", "widen",
+      "tblproperties").subsetOf(ops), ops)
+    assert(t.earliestVersion.exists(_ > 0L),
+      s"expiry never raised the floor: ${t.earliestVersion}")
   }
 
   test("concurrent writers: racing threads of real mixed commits " +

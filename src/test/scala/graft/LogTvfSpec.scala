@@ -67,4 +67,58 @@ class LogTvfSpec extends SparkSpec {
     intercept[Exception](
       spark.sql("SELECT * FROM table_changes('nopath', 0)").collect())
   }
+
+  test("round-10 TIMESTAMP boundaries: start = first commit " +
+    "at-or-after the instant, end = newest at-or-before (the " +
+    "TIMESTAMP AS OF rule); a between-commits instant lands on the " +
+    "boundary a reader then would have seen; string/date/version-" +
+    "string forms all parse") {
+    GraftSql.register(spark)
+    val dir = s"${tmp()}/t"
+    val t = new LogTable(dir)
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("k", "v")) // v0
+    Thread.sleep(40)
+    t.append(Seq((3L, "c")).toDF("k", "v"))            // v1
+    Thread.sleep(40)
+    t.delete(spark, col("k") === 2L)                   // v2
+    val Seq(ts0, ts1, ts2) = Seq(0L, 1L, 2L).map(t.commitTime)
+    assert(ts0 < ts1 && ts1 < ts2) // real gaps for the between test
+    def iso(ms: Long): String = java.time.Instant.ofEpochMilli(ms)
+      .atZone(java.time.ZoneOffset.UTC).toLocalDateTime
+      .format(java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss.SSS"))
+    // start at EXACTLY v1's instant (string form) → [v1, head]
+    val fromTs1 = spark.sql(
+      s"SELECT k, _change_type FROM table_changes('$dir', " +
+        s"'${iso(ts1)}') ORDER BY _change_type, k")
+      .as[(Long, String)].collect().toSeq
+    assert(fromTs1 == Seq((2L, "delete"), (3L, "insert")), fromTs1)
+    // end BETWEEN v1 and v2 (timestamp literal) → versions 0..1:
+    // the snapshot boundary a reader at that instant saw
+    val mid = ts1 + (ts2 - ts1) / 2
+    val toMid = spark.sql(
+      s"SELECT k FROM table_changes('$dir', 0, TIMESTAMP'${iso(mid)}') " +
+        "ORDER BY k").as[Long].collect().toSeq
+    assert(toMid == Seq(1L, 2L, 3L), toMid)
+    // start BETWEEN v0 and v1 → first commit at-or-after = v1
+    val fromMid0 = spark.sql(
+      s"SELECT k, _change_type FROM table_changes('$dir', " +
+        s"TIMESTAMP'${iso(ts0 + (ts1 - ts0) / 2)}') " +
+        "ORDER BY _change_type, k").as[(Long, String)].collect().toSeq
+    assert(fromMid0 == Seq((2L, "delete"), (3L, "insert")), fromMid0)
+    // a DATE start far in the past admits the whole feed
+    assert(spark.sql(
+      s"SELECT count(*) FROM table_changes('$dir', DATE'2020-01-01')")
+      .head.getLong(0) == 4L)
+    // version-as-string still reads as a version
+    assert(spark.sql(
+      s"SELECT count(*) FROM table_changes('$dir', '1', '2')")
+      .head.getLong(0) == 2L)
+    // a start timestamp after the newest commit refuses loudly
+    val err = intercept[Exception](spark.sql(
+      s"SELECT * FROM table_changes('$dir', TIMESTAMP'${iso(ts2 + 60000)}')")
+      .collect())
+    assert(err.getMessage.contains("after the latest commit"),
+      err.getMessage)
+  }
 }

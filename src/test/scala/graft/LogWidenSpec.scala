@@ -207,4 +207,45 @@ class LogWidenSpec extends SparkSpec {
       .forall(_ == "insert"))
     assert(ch.count() == 2)
   }
+
+  test("a FRESH stream replays a history where a widen is FOLLOWED " +
+    "by more schema evolution — the captured schema can read every " +
+    "post-widen file, so the intermediate widen commit skips (r9 " +
+    "advice: exact schema equality permanently bricked such tables)") {
+    val t = new LogTable(s"${tmp()}/t")
+    t.append(Seq((1, "a")).toDF("k", "v"))
+    t.widenColumnType(spark, "k", LongType)
+    t.append(Seq((9000000000L, "b")).toDF("k", "v"))
+    t.addColumns(Seq(StructField("w", IntegerType))) // evolves AGAIN
+    t.append(Seq((7L, "c", 3)).toDF("k", "v", "w"))
+    val q = spark.readStream
+      .format(classOf[graft.sources.LogStreamProvider].getName)
+      .option("path", t.path).load()
+      .writeStream.format("memory").queryName("widen_evolved_stream")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    assert(spark.table("widen_evolved_stream").count() == 3L)
+    assert(spark.table("widen_evolved_stream").orderBy("k")
+      .select("k").as[Long].collect().toSeq
+      == Seq(1L, 7L, 9000000000L))
+    // a RUNNING-stream (narrow captured schema) still fails clean —
+    // the readability check is directional, not symmetric
+    val t2 = new LogTable(s"${tmp()}/t")
+    t2.append(Seq((1, "a")).toDF("k", "v"))
+    val q2 = spark.readStream
+      .format(classOf[graft.sources.LogStreamProvider].getName)
+      .option("path", t2.path).load()
+      .writeStream.format("memory").queryName("widen_evolved_run")
+      .outputMode("append").start()
+    try {
+      q2.processAllAvailable()
+      t2.widenColumnType(spark, "k", LongType)
+      t2.append(Seq((5000000000L, "b")).toDF("k", "v"))
+      val e = intercept[Exception](q2.processAllAvailable())
+      def chain(x: Throwable): Seq[String] =
+        if (x == null) Seq.empty
+        else Option(x.getMessage).toSeq ++ chain(x.getCause)
+      assert(chain(e).exists(_.contains("widened")), chain(e))
+    } finally q2.stop()
+  }
 }

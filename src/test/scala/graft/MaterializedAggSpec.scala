@@ -134,7 +134,8 @@ class MaterializedAggSpec extends SparkSpec {
       base.append(baseRows(40))
       spark.sql("CALL gmv.create_mv('base', 'mv', 'grp', 'x')")
       val mv = new LogTable(s"$wh/mv")
-      assert(mv.tableProperties(MaterializedAgg.PropKeys) == "grp")
+      // keys persist as a JSON array since round 10
+      assert(mv.tableProperties(MaterializedAgg.PropKeys) == "[\"grp\"]")
       base.append(baseRows(70).filter(col("id") > 40L))
       val r = spark.sql("CALL gmv.refresh_mv('mv')").collect().head
       assert(r.getAs[String]("mode") == "incremental")
@@ -194,5 +195,41 @@ class MaterializedAggSpec extends SparkSpec {
     val r3 = MaterializedAgg.refresh(spark, s"$dir/mv")
     assert(r3.mode == "noop")
     check(s"$dir/mv", base)
+  }
+
+  test("round-10: the key list encodes as a JSON array — a " +
+    "comma-named key column round-trips losslessly; a pre-r10 " +
+    "comma-joined definition still reads (back-compat)") {
+    val dir = tmp()
+    val base = new LogTable(s"$dir/base")
+    base.append(Seq(("x", 1L, 10.0), ("y", 2L, 20.0), ("x", 1L, 5.0))
+      .toDF("a,b", "seg", "v"))
+    MaterializedAgg.create(spark, base.path, s"$dir/mv",
+      Seq("a,b", "seg"), "v")
+    base.append(Seq(("x", 1L, 2.5), ("z", 3L, 7.0))
+      .toDF("a,b", "seg", "v"))
+    val r = MaterializedAgg.refresh(spark, s"$dir/mv")
+    assert(r.mode == "incremental")
+    val got = MaterializedAgg.read(spark, s"$dir/mv")
+      .orderBy(col("`a,b`"), col("seg"))
+      .select(col("`a,b`"), col("seg"), col("cnt")).collect().toSeq
+    val want = base.load(spark).groupBy(col("`a,b`"), col("seg"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("`a,b`"), col("seg")).collect().toSeq
+    assert(got == want)
+    // back-compat: rewrite the definition in the OLD comma-joined
+    // form (a pre-r10 view) — defOf still parses and refresh works
+    val dir2 = tmp()
+    val base2 = new LogTable(s"$dir2/base")
+    base2.append(Seq(("g1", 1.0), ("g2", 2.0)).toDF("grp", "x"))
+    MaterializedAgg.create(spark, base2.path, s"$dir2/mv",
+      Seq("grp"), "x")
+    val mv2 = new LogTable(s"$dir2/mv")
+    mv2.setTableProperties(Map(MaterializedAgg.PropKeys -> "grp"))
+    base2.append(Seq(("g1", 3.0)).toDF("grp", "x"))
+    val r2 = MaterializedAgg.refresh(spark, s"$dir2/mv")
+    assert(r2.mode == "incremental")
+    assert(MaterializedAgg.read(spark, s"$dir2/mv")
+      .filter(col("grp") === "g1").select("cnt").as[Long].head() == 2L)
   }
 }
