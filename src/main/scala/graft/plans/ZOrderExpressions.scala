@@ -32,6 +32,31 @@ object ZOrder {
     x = (x | (x << 1)) & 0x55555555L
     x
   }
+
+  /** GENERALIZED Morton interleave of k bucket ranks, `bits` bits
+    * each (k·bits ≤ 63): output bit i·k + j = rank j's bit i, so the
+    * sort order cycles through every dimension's bits round-robin —
+    * rows close in ALL k dimensions land in the same files. Ranks
+    * clamp to [0, 2^bits) like [[interleave16]] clamps to 16 bits.
+    * Plain loop rather than bit-twiddles: the k=2 fast path keeps
+    * [[interleave16]], and a layout rebuild's cost is the shuffle
+    * and the parquet write, not this kernel. */
+  def interleaveN(vs: Array[Long], bits: Int): Long = {
+    val k = vs.length
+    val mask = (1L << bits) - 1L
+    var out = 0L
+    var i = 0
+    while (i < bits) {
+      var j = 0
+      while (j < k) {
+        val v = math.min(math.max(vs(j), 0L), mask)
+        out |= ((v >>> i) & 1L) << (i * k + j)
+        j += 1
+      }
+      i += 1
+    }
+    out
+  }
 }
 
 /** Codegen'd Morton interleave of two LONG bucket ranks. */
@@ -59,6 +84,68 @@ case class ZOrderValue(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Codegen'd GENERALIZED Morton interleave of k LONG bucket ranks
+  * (`bits` bits per dimension, k·bits ≤ 63) — the ≥3-column
+  * `OPTIMIZE ZORDER` kernel. NULL if any rank is null (a null key
+  * has no place on the curve; the range partitioner puts nulls
+  * first, same as a plain sort would). */
+case class ZOrderValueN(children: Seq[Expression], bits: Int)
+  extends Expression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = children.exists(_.nullable)
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    if (children.size < 2 || children.size * bits > 63)
+      return TypeCheckResult.TypeCheckFailure(
+        s"zorderN needs 2..${63 / math.max(bits, 1)} ranks at $bits " +
+          s"bits each, got ${children.size}")
+    children.find(_.dataType != LongType) match {
+      case Some(c) => TypeCheckResult.TypeCheckFailure(
+        s"zorderN expects bigint ranks, got ${c.dataType.simpleString}")
+      case None => TypeCheckResult.TypeCheckSuccess
+    }
+  }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val vs = new Array[Long](children.size)
+    var j = 0
+    while (j < vs.length) {
+      val v = children(j).eval(input)
+      if (v == null) return null
+      vs(j) = v.asInstanceOf[Long]
+      j += 1
+    }
+    ZOrder.interleaveN(vs, bits)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val evals = children.map(_.genCode(ctx))
+    val arr = ctx.freshName("zvals")
+    val anyNull = ctx.freshName("zAnyNull")
+    val assigns = evals.zipWithIndex.map { case (e, i) =>
+      code"""
+        |${e.code}
+        |if (${e.isNull}) { $anyNull = true; }
+        |else { $arr[$i] = ${e.value}; }"""
+    }.reduce(_ + _)
+    ev.copy(code =
+      code"""
+        |boolean $anyNull = false;
+        |long[] $arr = new long[${children.size}];
+        |$assigns
+        |boolean ${ev.isNull} = $anyNull;
+        |long ${ev.value} = $anyNull ? 0L :
+        |  graft.plans.ZOrder.interleaveN($arr, $bits);""")
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): ZOrderValueN =
+    copy(children = newChildren)
+}
+
 object ZOrderExpressions {
   /** Morton value of two LONG bucket-rank columns (each clamped to
     * 16 bits). Rank real-valued columns first (e.g. the
@@ -66,4 +153,10 @@ object ZOrderExpressions {
   def zorder(a: Column, b: Column): Column =
     GraftColumnShim.column(ZOrderValue(
       GraftColumnShim.expression(a), GraftColumnShim.expression(b)))
+
+  /** Generalized Morton value of k LONG bucket-rank columns at
+    * `bits` bits per dimension (k·bits ≤ 63). */
+  def zorderN(ranks: Seq[Column], bits: Int): Column =
+    GraftColumnShim.column(ZOrderValueN(
+      ranks.map(GraftColumnShim.expression), bits))
 }

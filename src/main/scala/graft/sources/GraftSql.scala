@@ -94,11 +94,14 @@ object GraftSql {
     val start = boundary(args(1), "start") match {
       case Right(v) => v
       // first commit AT or AFTER the instant — Delta's inclusive
-      // startingTimestamp rule ("changes since this moment")
-      case Left(ms) => log.versions.find(v => log.commitTime(v) >= ms)
-        .getOrElse(throw new IllegalArgumentException(
-          s"table_changes start timestamp is after the latest commit " +
-            s"(${log.commitTime(head)} ms)"))
+      // startingTimestamp rule ("changes since this moment"),
+      // shared with the stream source's same-named option
+      case Left(ms) =>
+        try log.versionFrom(ms)
+        catch { case e: IllegalArgumentException =>
+          throw new IllegalArgumentException(
+            s"table_changes start timestamp is after the latest " +
+              s"commit: ${e.getMessage}") }
     }
     val end = if (args.length < 3) head
     else boundary(args(2), "end") match {

@@ -30,9 +30,13 @@ import org.apache.spark.sql.types.StructType
   * `.option("readChangeFeed", "true")` streams the CHANGE FEED
   * instead — every commit kind as row-level `_change_type` /
   * `_commit_version` rows (Delta's CDF streaming), where deletes and
-  * updates are first-class and nothing needs skipping. Restart
-  * recovery is the engine's: committed offsets replay exactly,
-  * because a version's file list is immutable. */
+  * updates are first-class and nothing needs skipping.
+  * `.option("startingVersion", n | "latest")` /
+  * `.option("startingTimestamp", ts)` (round-10, Delta's same-named
+  * options) begin the stream at a chosen point instead of the
+  * initial snapshot. Restart recovery is the engine's: committed
+  * offsets replay exactly, because a version's file list is
+  * immutable. */
 final class LogStreamProvider extends StreamSourceProvider
   with StreamSinkProvider with DataSourceRegister {
 
@@ -69,15 +73,63 @@ final class LogStreamProvider extends StreamSourceProvider
       require(n > 0, s"$name must be positive, got $n")
       n }
 
+  private def strOpt(parameters: Map[String, String],
+                     name: String): Option[String] =
+    parameters.collectFirst { case (k, v) if k.equalsIgnoreCase(name) => v }
+
   override def createSource(ctx: SQLContext, metadataPath: String,
                             schema: Option[StructType],
                             providerName: String,
-                            parameters: Map[String, String]): Source =
-    new LogStreamSource(ctx, new LogTable(pathOf(parameters)),
+                            parameters: Map[String, String]): Source = {
+    val log = new LogTable(pathOf(parameters))
+    // Delta's startingVersion / startingTimestamp: begin the stream
+    // at a chosen point INSTEAD of the initial snapshot — changes
+    // at-or-after the start flow, nothing earlier does. "latest"
+    // serves only commits made after the stream starts. A timestamp
+    // (epoch millis, or a timestamp string in the session zone)
+    // resolves to the first commit at-or-after it — exact under
+    // in-commit monotonic timestamps, the same rule `table_changes`
+    // uses. Resolution happens HERE, at stream construction: the
+    // restart path replays committed offsets and never re-resolves.
+    val sv = strOpt(parameters, "startingVersion")
+    val st = strOpt(parameters, "startingTimestamp")
+    require(sv.isEmpty || st.isEmpty,
+      "set startingVersion OR startingTimestamp, not both")
+    val startAt: Option[Long] = (sv, st) match {
+      case (Some("latest"), _) =>
+        Some(log.currentVersion.map(_ + 1L).getOrElse(0L))
+      case (Some(v), _) => Some {
+        val n = v.toLong
+        require(n >= 0, s"startingVersion must be >= 0, got $n")
+        n
+      }
+      case (_, Some(ts)) => Some {
+        val ms =
+          if (ts.matches("-?\\d+")) ts.toLong
+          else {
+            val zone = ctx.sparkSession.sessionState.conf
+              .sessionLocalTimeZone
+            val micros = org.apache.spark.sql.catalyst.expressions.Cast(
+              org.apache.spark.sql.catalyst.expressions.Literal(
+                org.apache.spark.unsafe.types.UTF8String.fromString(ts),
+                org.apache.spark.sql.types.StringType),
+              org.apache.spark.sql.types.TimestampType, Option(zone))
+              .eval(org.apache.spark.sql.catalyst.expressions.EmptyRow)
+            require(micros != null,
+              s"cannot read startingTimestamp '$ts' as a timestamp")
+            Math.floorDiv(micros.asInstanceOf[Long], 1000L)
+          }
+        log.versionFrom(ms)
+      }
+      case _ => None
+    }
+    new LogStreamSource(ctx, log,
       skipChangeCommits = boolOpt(parameters, "skipChangeCommits"),
       readChangeFeed = boolOpt(parameters, "readChangeFeed"),
       maxFilesPerTrigger = longOpt(parameters, "maxFilesPerTrigger"),
-      maxBytesPerTrigger = longOpt(parameters, "maxBytesPerTrigger"))
+      maxBytesPerTrigger = longOpt(parameters, "maxBytesPerTrigger"),
+      startingVersion = startAt)
+  }
 
   /** Streaming SINK half (`writeStream.format("graft-log")`): each
     * micro-batch is one append commit tagged with its batch id under
@@ -118,6 +170,8 @@ private[sources] final class LogStreamSource(ctx: SQLContext, log: LogTable,
                                              maxFilesPerTrigger:
                                                Option[Long] = None,
                                              maxBytesPerTrigger:
+                                               Option[Long] = None,
+                                             startingVersion:
                                                Option[Long] = None)
   extends Source {
 
@@ -159,11 +213,13 @@ private[sources] final class LogStreamSource(ctx: SQLContext, log: LogTable,
     val end =
       if (maxFilesPerTrigger.isEmpty && maxBytesPerTrigger.isEmpty) head
       else {
-        // never walk below the expiry floor: commits there are gone
-        // (a fresh stream's initial-snapshot batch is admitted whole
-        // — the floor snapshot has no per-commit budget to sum)
-        var last = math.max(pointer,
-          log.earliestVersion.getOrElse(0L) - 1L)
+        // never walk below the expiry floor (commits there are gone;
+        // a fresh stream's initial-snapshot batch is admitted whole
+        // — the floor snapshot has no per-commit budget to sum) nor
+        // below the declared starting version
+        var last = math.max(math.max(pointer,
+          log.earliestVersion.getOrElse(0L) - 1L),
+          startingVersion.map(_ - 1L).getOrElse(-1L))
         var files = 0L
         var bytes = 0L
         var full = false
@@ -191,7 +247,11 @@ private[sources] final class LogStreamSource(ctx: SQLContext, log: LogTable,
     pointer = math.max(pointer, ver(end))
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
-    val from = start.map(ver).getOrElse(-1L)
+    // a declared starting version replaces the initial snapshot:
+    // the FIRST batch's window opens at startingVersion (inclusive)
+    // instead of the beginning of history
+    val from = start.map(ver)
+      .getOrElse(startingVersion.map(_ - 1L).getOrElse(-1L))
     val to = ver(end)
     pointer = math.max(pointer, to)
     val spark = ctx.sparkSession

@@ -58,16 +58,60 @@ final case class IdentitySpec(start: Long, step: Long,
 
 /** Exact per-column statistics of one [[LogTable.analyze]] pass.
   * `min`/`max` are the values cast to string (None for all-null
-  * columns); `avgLen`/`maxLen` only for string columns. */
+  * columns); `avgLen`/`maxLen` only for string columns;
+  * `histogram` (numeric columns) holds the EQUI-HEIGHT bucket
+  * edges — [[LogTable.HistogramBuckets]]+1 approximate percentiles,
+  * each bucket carrying ~(rows−nulls)/buckets rows, so skewed
+  * distributions estimate honestly where uniform interpolation over
+  * [min, max] would be off by orders of magnitude. */
 final case class AnalyzedCol(ndv: Long, nulls: Long,
                              min: Option[String], max: Option[String],
-                             avgLen: Option[Long], maxLen: Option[Long])
+                             avgLen: Option[Long], maxLen: Option[Long],
+                             histogram: Option[Seq[Double]] = None)
 
 /** One ANALYZE result: the snapshot it measured, its exact logical
   * row count, and per-column stats (atomic non-binary columns only
   * — complex/binary columns are skipped). */
 final case class TableStats(analyzedVersion: Long, rows: Long,
-                            cols: Map[String, AnalyzedCol])
+                            cols: Map[String, AnalyzedCol]) {
+
+  /** Estimated rows with `lo <= column <= hi`. With an equi-height
+    * histogram the estimate sums per-bucket overlap fractions (each
+    * bucket holds (rows−nulls)/buckets rows; a zero-width bucket is
+    * a heavy-hitter point and counts whole when inside the range) —
+    * SKEW-AWARE, the estimate a CBO needs for a predicate on a
+    * hot-spot column. Without one it falls back to uniform
+    * interpolation over [min, max] (every selectivity model's
+    * default, and exactly what a skewed column defeats). None when
+    * the column was never analyzed or has no numeric bounds. */
+  def estimateRange(column: String, lo: Double, hi: Double): Option[Long] =
+    cols.get(column).flatMap { c =>
+      val nonNull = math.max(0L, rows - c.nulls)
+      c.histogram match {
+        case Some(edges) if edges.size >= 2 =>
+          val b = edges.size - 1
+          val per = nonNull.toDouble / b
+          val est = (0 until b).map { j =>
+            val blo = edges(j); val bhi = edges(j + 1)
+            val width = bhi - blo
+            val frac =
+              if (width <= 0) if (blo >= lo && blo <= hi) 1.0 else 0.0
+              else math.max(0.0, math.min(1.0,
+                (math.min(hi, bhi) - math.max(lo, blo)) / width))
+            per * frac
+          }.sum
+          Some(math.round(est))
+        case _ =>
+          for {
+            mn <- c.min.flatMap(s => scala.util.Try(s.toDouble).toOption)
+            mx <- c.max.flatMap(s => scala.util.Try(s.toDouble).toOption)
+          } yield
+            if (mx <= mn) { if (lo <= mn && mn <= hi) nonNull else 0L }
+            else math.round(nonNull * math.max(0.0, math.min(1.0,
+              (math.min(hi, mx) - math.max(lo, mn)) / (mx - mn))))
+      }
+    }
+}
 
 /** Outcome of a row-level [[LogTable.delete]]/[[LogTable.update]]:
   * the commit version, how many rows changed, and the file-level
@@ -972,6 +1016,18 @@ final class LogTable(val path: String,
     cands.maxBy(c => (c._2, c._1))._1
   }
 
+  /** FIRST committed version at-or-after `tsMillis` — the inclusive
+    * "changes since this instant" rule shared by the streaming
+    * `startingTimestamp` option and `table_changes`' start boundary
+    * (exact under in-commit monotonic timestamps: ts order ≡ version
+    * order). Throws when the instant is after the newest commit —
+    * Delta's rule; a reader asking for the future should hear it. */
+  def versionFrom(tsMillis: Long): Long =
+    versions.find(v => commitTime(v) >= tsMillis).getOrElse(
+      throw new IllegalArgumentException(
+        s"timestamp $tsMillis ms is after the latest commit " +
+          s"(${currentVersion.map(commitTime).getOrElse(-1L)} ms)"))
+
   // ---------------------------------------------------------------
   // commit path
 
@@ -1511,7 +1567,24 @@ final class LogTable(val path: String,
           case _ => Seq(lit(null).cast("long").as(s"__avglen_$i"),
             lit(null).cast("long").as(s"__maxlen_$i"))
         }
-        core ++ len
+        // EQUI-HEIGHT histogram edges for numeric columns — one
+        // approx-percentile sketch riding the SAME pass (GK sketch,
+        // the approx_percentiles machinery): buckets+1 edges, each
+        // bucket ~1/buckets of the non-null rows, so a skewed
+        // predicate estimates from where the rows actually are
+        val numeric = f.dataType match {
+          case ByteType | ShortType | IntegerType | LongType |
+               FloatType | DoubleType | _: DecimalType => true
+          case _ => false
+        }
+        val hist =
+          if (!numeric) Seq(lit(null).cast("array<double>")
+            .as(s"__hist_$i"))
+          else Seq(percentile_approx(c.cast("double"),
+            array((0 to LogTable.HistogramBuckets).map(j =>
+              lit(j.toDouble / LogTable.HistogramBuckets)): _*),
+            lit(10000)).as(s"__hist_$i"))
+        core ++ len ++ hist
       }
     val r = df.agg(aggs.head, aggs.tail: _*).collect().head
     def optLong(name: String): Option[Long] =
@@ -1521,7 +1594,9 @@ final class LogTable(val path: String,
         r.getAs[Long](s"__nulls_$i"),
         Option(r.getAs[String](s"__min_$i")),
         Option(r.getAs[String](s"__max_$i")),
-        optLong(s"__avglen_$i"), optLong(s"__maxlen_$i"))
+        optLong(s"__avglen_$i"), optLong(s"__maxlen_$i"),
+        Option(r.getAs[scala.collection.Seq[Double]](s"__hist_$i"))
+          .map(_.toVector))
     }.toMap
     val stats = TableStats(v, r.getAs[Long]("__rows"), cols)
     setTableProperties(Map(
@@ -1534,7 +1609,9 @@ final class LogTable(val path: String,
             c.min.map("min" -> JString(_)) ++
             c.max.map("max" -> JString(_)) ++
             c.avgLen.map("avgLen" -> JLong(_)) ++
-            c.maxLen.map("maxLen" -> JLong(_)))
+            c.maxLen.map("maxLen" -> JLong(_)) ++
+            c.histogram.map(h =>
+              "hist" -> JArray(h.toList.map(JDouble(_)))))
         })))))
     stats
   }
@@ -1555,9 +1632,18 @@ final class LogTable(val path: String,
           def js(k: String): Option[String] = (v \ k) match {
             case JString(s) => Some(s); case _ => None
           }
+          val hist = (v \ "hist") match {
+            case JArray(a) => Some(a.collect {
+              case JDouble(d)  => d
+              case JInt(i)     => i.toDouble
+              case JLong(l)    => l.toDouble
+              case JDecimal(d) => d.toDouble
+            }.toVector)
+            case _ => None
+          }
           n -> AnalyzedCol(jl("ndv").getOrElse(0L),
             jl("nulls").getOrElse(0L), js("min"), js("max"),
-            jl("avgLen"), jl("maxLen"))
+            jl("avgLen"), jl("maxLen"), hist)
         }.toMap
         case _ => Map.empty[String, AnalyzedCol]
       }
@@ -4219,19 +4305,25 @@ final class LogTable(val path: String,
 
   /** OPTIMIZE with clustering — Delta's `OPTIMIZE ... ZORDER BY`:
     * rewrite the live files range-partitioned and sorted by the
-    * cluster key. One column sorts directly; two columns Morton-
-    * interleave their 2^16 equi-width bucket ranks (edges from one
-    * tiny in-plan aggregate, the [[Tables.writeZOrdered]] kernel) so
-    * rows close in BOTH dimensions land in the same files. Per-file
-    * min/max stats become tight and near-disjoint, and the stats
-    * pruner ([[delete]]/[[update]]) plus parquet row-group skipping
-    * then cut most files out of selective predicates. A layout
-    * rebuild — cost ∝ table, like Delta's — with no row-level change
+    * cluster key. One column sorts directly; k ≥ 2 columns
+    * Morton-interleave their equi-width bucket ranks (edges from ONE
+    * tiny in-plan aggregate) so rows close in ALL k dimensions land
+    * in the same files — 16 bits per dimension for the 2-D
+    * bit-twiddle fast path ([[Tables.writeZOrdered]]'s kernel),
+    * ⌊63/k⌋ bits (capped at 16) through the generalized codegen'd
+    * kernel for wider keys, up to 6 columns (10 bits ≈ 1024 buckets
+    * per dimension — below that the curve stops separating files and
+    * more columns hurt every column's locality, the same practical
+    * bound Delta documents for ZORDER). Per-file min/max stats
+    * become tight and near-disjoint, and the stats pruner
+    * ([[delete]]/[[update]]) plus parquet row-group skipping then
+    * cut most files out of selective predicates. A layout rebuild —
+    * cost ∝ table, like Delta's — with no row-level change
     * (`optimize` op: streams skip it, change feed empty). */
   def cluster(spark: SparkSession, clusterBy: Seq[String],
               nFiles: Int): Long = {
-    require(clusterBy.nonEmpty && clusterBy.size <= 2,
-      s"cluster takes 1 or 2 columns, got ${clusterBy.size}")
+    require(clusterBy.nonEmpty && clusterBy.size <= 6,
+      s"cluster takes 1 to 6 columns, got ${clusterBy.size}")
     val readVersion = currentVersion.getOrElse(
       throw new IllegalStateException(s"no log table at $path"))
     val snap = snapshotAt(readVersion)
@@ -4241,18 +4333,25 @@ final class LogTable(val path: String,
     val laidOut = clusterBy match {
       case Seq(c) =>
         df.repartitionByRange(nFiles, col(c)).sortWithinPartitions(col(c))
-      case Seq(c1, c2) =>
-        val mm = df.agg(
-          min(col(c1)).as("__mn1"), max(col(c1)).as("__mx1"),
-          min(col(c2)).as("__mn2"), max(col(c2)).as("__mx2"))
-        def rank(c: String, mn: String, mx: String) =
-          when(col(mx) === col(mn), lit(0L)).otherwise(
-            floor((col(c).cast("double") - col(mn)) /
-              (col(mx) - col(mn)) * 65535.0).cast("long"))
+      case cs =>
+        val bits = math.min(16, 63 / cs.size)
+        val buckets = (1L << bits) - 1L
+        val aggs = cs.zipWithIndex.flatMap { case (c, i) =>
+          Seq(min(col(c)).as(s"__mn$i"), max(col(c)).as(s"__mx$i")) }
+        val mm = df.agg(aggs.head, aggs.tail: _*)
+        def rank(c: String, i: Int) =
+          when(col(s"__mx$i") === col(s"__mn$i"), lit(0L)).otherwise(
+            floor((col(c).cast("double") - col(s"__mn$i")) /
+              (col(s"__mx$i") - col(s"__mn$i")) * buckets.toDouble)
+              .cast("long"))
+        val ranks = cs.zipWithIndex.map { case (c, i) => rank(c, i) }
+        val z =
+          if (cs.size == 2)
+            graft.plans.ZOrderExpressions.zorder(ranks.head, ranks(1))
+          else graft.plans.ZOrderExpressions.zorderN(ranks, bits)
         val cols = df.columns.toSeq
         df.crossJoin(broadcast(mm))
-          .withColumn("__z", graft.plans.ZOrderExpressions.zorder(
-            rank(c1, "__mn1", "__mx1"), rank(c2, "__mn2", "__mx2")))
+          .withColumn("__z", z)
           .repartitionByRange(nFiles, col("__z"))
           .sortWithinPartitions(col("__z"))
           .select(cols.map(col): _*)
@@ -4442,6 +4541,12 @@ object LogTable {
   val PropStatsVersion = "graft.stats.version"
   val PropStatsRows = "graft.stats.rows"
   val PropStatsCols = "graft.stats.cols"
+
+  /** Equi-height histogram buckets ANALYZE records per numeric
+    * column (33 edges) — Spark's CBO default (`spark.sql.statistics
+    * .histogram.numBins` = 254) buys little over 32 for file-level
+    * estimates, and every edge is ~18 bytes of TBLPROPERTIES. */
+  val HistogramBuckets = 32
 
   /** Row-tracking TBLPROPERTIES: the feature flag and the row-id
     * high-water mark (largest id bound ever allocated; advances

@@ -152,4 +152,63 @@ class ClusterBySpec extends SparkSpec {
     }
     assert(t.load(spark).count() == 400)
   }
+
+  test("round-10: 3-column OPTIMIZE ZORDER (generalized Morton) — a " +
+    "box on the NON-leading dimensions prunes most files off the " +
+    "committed stats (a lexicographic sort could prune none), a " +
+    "corner box touches ~1 octant; SQL CLUSTER BY (a,b,c) + CALL " +
+    "optimize accept; >6 columns refuse") {
+    val t = new LogTable(s"${tmp()}/t")
+    val rnd = new scala.util.Random(11)
+    val grid = rnd.shuffle((for {
+      a <- 0 until 16; b <- 0 until 16; c <- 0 until 16
+    } yield (a.toLong, b.toLong, c.toLong)).toVector)
+      .toDF("a", "b", "c")
+    t.append(grid.repartition(4))
+    t.cluster(spark, Seq("a", "b", "c"), nFiles = 8)
+    assert(t.load(spark).distinct().count() == 4096L)
+    def candidates(box: Map[String, (Long, Long)]): Int =
+      t.liveAdds().count { f =>
+        box.forall { case (cname, (lo, hi)) =>
+          val st = f.stats(cname)
+          st.max.get.asInstanceOf[Long] >= lo &&
+            st.min.get.asInstanceOf[Long] <= hi
+        }
+      }
+    val total = t.liveAdds().size
+    assert(total >= 6, s"expected ~8 files, got $total")
+    // b,c box with a unconstrained: files covering the two b<8,c<8
+    // octants qualify — a (a,b,c) lexicographic sort would leave
+    // EVERY file a candidate (each a-slice spans all of b and c)
+    val bc = candidates(Map("b" -> (0L, 3L), "c" -> (0L, 3L)))
+    assert(bc * 2 <= total, s"b,c box hit $bc of $total files")
+    // corner box on all three dimensions: ~1 octant
+    val abc = candidates(
+      Map("a" -> (0L, 3L), "b" -> (0L, 3L), "c" -> (0L, 3L)))
+    assert(abc <= 2, s"corner box hit $abc of $total files")
+    intercept[IllegalArgumentException] {
+      t.cluster(spark, Seq("a", "b", "c", "a", "b", "c", "a"),
+        nFiles = 2)
+    }
+    // SQL: CREATE ... CLUSTER BY (a, b, c) + 3-column CALL optimize
+    val wh = tmp()
+    spark.conf.set("spark.sql.catalog.gcl3",
+      "graft.sources.GraftTableCatalog")
+    spark.conf.set("spark.sql.catalog.gcl3.warehouse", wh)
+    try {
+      val tn = s"t_${System.nanoTime}"
+      spark.sql(s"CREATE TABLE gcl3.$tn (a BIGINT, b BIGINT, c BIGINT) " +
+        "USING log CLUSTER BY (a, b, c)")
+      grid.limit(500).createOrReplaceTempView(s"src_$tn")
+      spark.sql(s"INSERT INTO gcl3.$tn SELECT * FROM src_$tn")
+      spark.sql(s"CALL gcl3.optimize('$tn', 'a,b,c', 4)")
+      assert(spark.sql(s"SELECT count(*) FROM gcl3.$tn")
+        .head.getLong(0) == 500L)
+      val lt = new LogTable(s"$wh/$tn")
+      assert(lt.commitOp(lt.currentVersion.get) == "optimize")
+    } finally {
+      spark.conf.unset("spark.sql.catalog.gcl3")
+      spark.conf.unset("spark.sql.catalog.gcl3.warehouse")
+    }
+  }
 }

@@ -296,4 +296,62 @@ class LogStreamSpec extends SparkSpec {
       assert(q.recentProgress.count(_.numInputRows > 0) == 3)
     } finally q.stop()
   }
+
+  test("round-10 startingVersion / startingTimestamp (Delta's " +
+    "options): the stream begins at the declared point INSTEAD of " +
+    "the initial snapshot; 'latest' serves only post-start commits; " +
+    "both-set and future-timestamp refuse") {
+    val dir = s"${tmp()}/t"
+    val t = new LogTable(dir)
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("k", "v")) // v0
+    Thread.sleep(40)
+    t.append(Seq((3L, "c")).toDF("k", "v"))            // v1
+    Thread.sleep(40)
+    t.append(Seq((4L, "d")).toDF("k", "v"))            // v2
+    def reader = spark.readStream
+      .format(classOf[graft.sources.LogStreamProvider].getName)
+      .option("path", dir)
+    // startingVersion = 1: v0's snapshot never flows
+    val q1 = reader.option("startingVersion", "1").load()
+      .writeStream.format("memory").queryName("sv_from1").start()
+    try q1.processAllAvailable() finally q1.stop()
+    assert(spark.table("sv_from1").select("k").as[Long]
+      .collect().sorted.toSeq == Seq(3L, 4L))
+    // startingTimestamp at v2's commit instant: only v2 flows
+    val q2 = reader
+      .option("startingTimestamp", t.commitTime(2L).toString).load()
+      .writeStream.format("memory").queryName("sv_fromts").start()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(spark.table("sv_fromts").select("k").as[Long]
+      .collect().toSeq == Seq(4L))
+    // 'latest': nothing historical, only commits made after start
+    val q3 = reader.option("startingVersion", "latest").load()
+      .writeStream.format("memory").queryName("sv_latest").start()
+    try {
+      q3.processAllAvailable()
+      assert(spark.table("sv_latest").isEmpty)
+      t.append(Seq((5L, "e")).toDF("k", "v"))
+      q3.processAllAvailable()
+      assert(spark.table("sv_latest").select("k").as[Long]
+        .collect().toSeq == Seq(5L))
+    } finally q3.stop()
+    // both options refuse; a future timestamp refuses
+    def chain(x: Throwable): Seq[String] =
+      if (x == null) Seq.empty
+      else Option(x.getMessage).toSeq ++ chain(x.getCause)
+    val qBoth = reader.option("startingVersion", "0")
+      .option("startingTimestamp", "2020-01-01 00:00:00").load()
+      .writeStream.format("memory").queryName("sv_both").start()
+    val eBoth = intercept[Exception](
+      try qBoth.processAllAvailable() finally qBoth.stop())
+    assert(chain(eBoth).exists(_.contains("not both")), chain(eBoth))
+    val qFut = reader
+      .option("startingTimestamp",
+        (t.commitTime(t.currentVersion.get) + 3600000L).toString).load()
+      .writeStream.format("memory").queryName("sv_future").start()
+    val eFut = intercept[Exception](
+      try qFut.processAllAvailable() finally qFut.stop())
+    assert(chain(eFut).exists(_.contains("after the latest commit")),
+      chain(eFut))
+  }
 }

@@ -133,4 +133,34 @@ class StatsSpec extends SparkSpec {
     assert(stats.cols.keySet == Set("k"))
     assert(stats.rows == 1L)
   }
+
+  test("round-10: ANALYZE records equi-height histograms in the same " +
+    "pass; a skewed predicate's row estimate moves to the truth " +
+    "where uniform min/max interpolation is off by an order of " +
+    "magnitude; round-trips through TBLPROPERTIES") {
+    val t = new LogTable(s"${tmp()}/t")
+    // hot head: 90% of rows in [0, 10), the rest spread to ~1000
+    val hot = (1 to 9000).map(i => (i.toLong % 10L, "h"))
+    val cold = (1 to 1000).map(i => (10L + (i % 990L), "t"))
+    t.append((hot ++ cold).toDF("k", "tag").repartition(8))
+    val stats = t.analyze(spark)
+    assert(stats.cols("k").histogram.exists(_.size ==
+      graft.sources.LogTable.HistogramBuckets + 1))
+    val truth = 9000.0
+    val hist = stats.estimateRange("k", 0.0, 9.0).get.toDouble
+    // the uniform baseline = the same stats with the histogram gone
+    val uni = stats.copy(cols = stats.cols.map { case (n, c) =>
+      n -> c.copy(histogram = None) })
+      .estimateRange("k", 0.0, 9.0).get.toDouble
+    assert(uni < truth / 5, s"uniform unexpectedly close: $uni")
+    assert(math.abs(hist - truth) < math.abs(uni - truth) / 5,
+      s"histogram $hist, uniform $uni, truth $truth")
+    // round-trips through TBLPROPERTIES (estimator included)
+    val back = t.columnStatistics.get
+    assert(back.cols("k").histogram == stats.cols("k").histogram)
+    assert(back.estimateRange("k", 0.0, 9.0)
+      .contains(hist.toLong))
+    // non-numeric columns carry no histogram
+    assert(stats.cols("tag").histogram.isEmpty)
+  }
 }
