@@ -68,6 +68,10 @@ class GraftTableCatalog extends TableCatalog with ProcedureCatalog {
     // catalog user never needs session-build extensions
     try GraftRowLevelStrategy.register(SparkSession.active)
     catch { case scala.util.control.NonFatal(_) => () }
+    // V1-bridged READS (DV / mixed-layout snapshots) substitute to
+    // the load() logical plan — real stats + codegen'd execution
+    try GraftReadSubstitution.register(SparkSession.active)
+    catch { case scala.util.control.NonFatal(_) => () }
     // the `table_changes` TVF rides the same no-extensions contract
     try GraftSql.register(SparkSession.active)
     catch { case scala.util.control.NonFatal(_) => () }

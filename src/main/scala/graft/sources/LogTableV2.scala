@@ -270,10 +270,12 @@ private[sources] object GraftStats {
     // as estimates regardless of staleness (CBO semantics), but only
     // for a CURRENT-version read — a pinned historical read must not
     // inherit a future pass's numbers
-    val analyzed: Map[String, AnalyzedCol] =
+    val analyzedTs: Option[TableStats] =
       if (version.isDefined && !version.contains(
-        log.currentVersion.getOrElse(-1L))) Map.empty
-      else log.columnStatistics.map(_.cols).getOrElse(Map.empty)
+        log.currentVersion.getOrElse(-1L))) None
+      else log.columnStatistics
+    val analyzed: Map[String, AnalyzedCol] =
+      analyzedTs.map(_.cols).getOrElse(Map.empty)
     val colStats = new java.util.HashMap[NamedReference, ColumnStatistics]()
     schema.fields.foreach { f =>
       val b = bounds.get(f.name)
@@ -294,6 +296,44 @@ private[sources] object GraftStats {
           override def maxLen(): OptionalLong =
             a.flatMap(_.maxLen).map(OptionalLong.of)
               .getOrElse(OptionalLong.empty())
+          // ANALYZE's equi-height histogram, served through the DSv2
+          // colstats contract — Spark's `transformV2Stats` converts
+          // it straight into catalyst HistogramBins, so CBO filter
+          // estimation sees per-bucket selectivity (a skewed
+          // predicate estimates from where the rows are). Height =
+          // non-null rows per bucket; per-bin NDV is the uniform
+          // share of the column's NDV (an estimate, like every CBO
+          // histogram's bin NDV).
+          override def histogram(): Optional[
+              org.apache.spark.sql.connector.read.colstats.Histogram] = {
+            val hg = for {
+              ts <- analyzedTs
+              x <- a
+              edges <- x.histogram
+              if edges.size >= 2
+            } yield {
+              val nb = edges.size - 1
+              val h = math.max(0L, ts.rows - x.nulls).toDouble / nb
+              val bn = math.max(1L, x.ndv / nb)
+              new org.apache.spark.sql.connector.read.colstats.Histogram {
+                override def height(): Double = h
+                override def bins(): Array[
+                    org.apache.spark.sql.connector.read.colstats
+                      .HistogramBin] =
+                  Array.tabulate(nb) { j =>
+                    new org.apache.spark.sql.connector.read.colstats
+                        .HistogramBin {
+                      override def lo(): Double = edges(j)
+                      override def hi(): Double = edges(j + 1)
+                      override def ndv(): Long = bn
+                    }
+                  }
+              }
+            }
+            hg.map(Optional.of[
+              org.apache.spark.sql.connector.read.colstats.Histogram])
+              .getOrElse(Optional.empty())
+          }
         })
       }
     }
@@ -318,6 +358,8 @@ private[sources] object GraftStats {
 private[sources] final class DvReadTable(tableName: String, log: LogTable,
                                          version: Option[Long])
   extends Table with SupportsRead {
+  private[sources] def logTable: LogTable = log
+  private[sources] def pinnedVersion: Option[Long] = version
   override def name(): String = tableName
   override def schema(): StructType =
     version.map(log.userSchemaAt).getOrElse(log.userSchema)

@@ -68,9 +68,11 @@ class StatsSpec extends SparkSpec {
     assert(bytes1 < bytes0) // DV'd file's bytes scale by live fraction
   }
 
-  test("a small DV-carrying table still BROADCASTS: the V1-bridge " +
-    "scan reports exact manifest statistics instead of Spark's " +
-    "defaultSizeInBytes pessimism") {
+  test("a small DV-carrying table still BROADCASTS — and is the " +
+    "BUILD side: the read substitution serves the load() plan whose " +
+    "parquet leaves carry real sizes (the V1ScanWrapper used to drop " +
+    "the bridge's reported stats, so only the OTHER side could " +
+    "ever broadcast)") {
     val dir = tmp()
     val cat = s"gstat${catSeq.incrementAndGet()}"
     spark.conf.set(s"spark.sql.catalog.$cat",
@@ -89,6 +91,13 @@ class StatsSpec extends SparkSpec {
       val plan = joined.queryExecution.executedPlan.toString
       assert(plan.contains("BroadcastHashJoin"),
         s"expected broadcast join, got:\n$plan")
+      // the DIM (right side of the join as written) must be the
+      // build side — its own numbers drive the decision now
+      assert(plan.contains("BuildRight"),
+        s"expected the dim side to broadcast, got:\n$plan")
+      // the substituted read is the codegen'd parquet plan, not the
+      // row-based V1 bridge
+      assert(!plan.contains("DvScanBuilder"), s"V1 bridge leaked:\n$plan")
       assert(joined.count() == 9000L) // 45 live keys × 200 rows each
     } finally {
       spark.conf.unset(s"spark.sql.catalog.$cat")
@@ -162,5 +171,46 @@ class StatsSpec extends SparkSpec {
       .contains(hist.toLong))
     // non-numeric columns carry no histogram
     assert(stats.cols("tag").histogram.isEmpty)
+  }
+
+  test("round-10: the DSv2 stats report carries the ANALYZE " +
+    "histogram — Spark converts it into catalyst attribute stats " +
+    "(per-bucket filter selectivity under CBO)") {
+    val dir = tmp()
+    val cat = s"gstat${catSeq.incrementAndGet()}"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      "graft.sources.GraftTableCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", dir)
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try {
+      val t = new LogTable(s"$dir/t")
+      val hot = (1 to 900).map(i => (i.toLong % 10L, s"h$i"))
+      val cold = (1 to 100).map(i => (10L + (i % 90L), s"t$i"))
+      t.append((hot ++ cold).toDF("k", "v").repartition(2))
+      // vector EVERY file (16 spread rows): the read then has one
+      // scanned leg — a partial-DV snapshot unions a clean leg, and
+      // Spark's UnionEstimation merges only min/max (documented
+      // estimate degradation; sizes and bounds still real)
+      t.deleteMor(spark, col("v").isin((1 to 16).map("h" + _): _*))
+      assert(t.liveAdds().forall(_.dv.isDefined), "expected all-DV")
+      t.analyze(spark)
+      val df = spark.table(s"$cat.t")
+      val st = df.queryExecution.optimizedPlan.stats
+      val kStat = st.attributeStats.find(_._1.name == "k").map(_._2)
+      assert(kStat.isDefined, s"no attribute stats for k: $st")
+      val hist = kStat.get.histogram
+      assert(hist.isDefined, s"no histogram on k: $kStat")
+      assert(hist.get.bins.length ==
+        graft.sources.LogTable.HistogramBuckets)
+      // equi-height: every bin carries the same row mass, and the
+      // hot head [0, 10) owns ~90% of the bins
+      val hotBins = hist.get.bins.count(_.hi <= 10.0)
+      assert(hotBins * 10 >= hist.get.bins.length * 8,
+        s"hot-head bins: $hotBins of ${hist.get.bins.length}")
+    } finally {
+      spark.conf.unset("spark.sql.cbo.enabled")
+      spark.conf.unset(s"spark.sql.catalog.$cat")
+      spark.conf.unset(s"spark.sql.catalog.$cat.warehouse")
+    }
   }
 }
