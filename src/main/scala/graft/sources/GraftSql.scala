@@ -66,16 +66,11 @@ object GraftSql {
     // cast in the session zone) → Right(version) | Left(millis)
     def boundary(e: Expression, what: String): Either[Long, Long] = {
       import org.apache.spark.sql.types._
-      def asTs(expr: Expression): Long = {
-        val zone = spark.sessionState.conf.sessionLocalTimeZone
-        val micros = org.apache.spark.sql.catalyst.expressions
-          .Cast(expr, TimestampType, Option(zone))
-          .eval(org.apache.spark.sql.catalyst.expressions.EmptyRow)
-        require(micros != null,
-          s"table_changes $what: cannot read '${lit(e, what)}' as a " +
-            "timestamp or version")
-        Math.floorDiv(micros.asInstanceOf[Long], 1000L)
-      }
+      def asTs(expr: Expression): Long =
+        LogTable.evalTimestampMillis(spark, expr).getOrElse(
+          throw new IllegalArgumentException(
+            s"table_changes $what: cannot read '${lit(e, what)}' as " +
+              "a timestamp or version"))
       e.dataType match {
         case ByteType | ShortType | IntegerType | LongType =>
           Right(lit(e, what).asInstanceOf[Number].longValue())

@@ -104,21 +104,17 @@ final class LogStreamProvider extends StreamSourceProvider
         n
       }
       case (_, Some(ts)) => Some {
+        // the SAME session-zone resolution table_changes uses
+        // (LogTable.evalTimestampMillis) — the two surfaces must
+        // never drift apart
         val ms =
           if (ts.matches("-?\\d+")) ts.toLong
-          else {
-            val zone = ctx.sparkSession.sessionState.conf
-              .sessionLocalTimeZone
-            val micros = org.apache.spark.sql.catalyst.expressions.Cast(
-              org.apache.spark.sql.catalyst.expressions.Literal(
-                org.apache.spark.unsafe.types.UTF8String.fromString(ts),
-                org.apache.spark.sql.types.StringType),
-              org.apache.spark.sql.types.TimestampType, Option(zone))
-              .eval(org.apache.spark.sql.catalyst.expressions.EmptyRow)
-            require(micros != null,
-              s"cannot read startingTimestamp '$ts' as a timestamp")
-            Math.floorDiv(micros.asInstanceOf[Long], 1000L)
-          }
+          else LogTable.evalTimestampMillis(ctx.sparkSession,
+            org.apache.spark.sql.catalyst.expressions.Literal(
+              org.apache.spark.unsafe.types.UTF8String.fromString(ts),
+              org.apache.spark.sql.types.StringType)).getOrElse(
+            throw new IllegalArgumentException(
+              s"cannot read startingTimestamp '$ts' as a timestamp"))
         log.versionFrom(ms)
       }
       case _ => None
@@ -247,11 +243,14 @@ private[sources] final class LogStreamSource(ctx: SQLContext, log: LogTable,
     pointer = math.max(pointer, ver(end))
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
-    // a declared starting version replaces the initial snapshot:
-    // the FIRST batch's window opens at startingVersion (inclusive)
-    // instead of the beginning of history
-    val from = start.map(ver)
-      .getOrElse(startingVersion.map(_ - 1L).getOrElse(-1L))
+    // a declared starting version replaces the initial snapshot, and
+    // clamps EVERY batch's window open point — not just the first:
+    // an offset committed while the table head was still below the
+    // start (the empty pre-start batch) would otherwise re-admit the
+    // commits between it and the start once they exist
+    val from = math.max(
+      start.map(ver).getOrElse(-1L),
+      startingVersion.map(_ - 1L).getOrElse(-1L))
     val to = ver(end)
     pointer = math.max(pointer, to)
     val spark = ctx.sparkSession
@@ -266,6 +265,16 @@ private[sources] final class LogStreamSource(ctx: SQLContext, log: LogTable,
         s"stream offset $from predates the earliest retained log " +
           s"version $earliest — expireSnapshots removed this " +
           "stream's position; restart the stream from scratch")
+    // startingVersion = 0 encodes as the same -1 window the fresh
+    // no-option stream uses — it must not silently fall into the
+    // floor-snapshot branch below when versions 0..floor-1 are gone
+    // (every other below-floor start refuses loudly; so does this)
+    if (start.isEmpty && earliest > 0 &&
+        startingVersion.exists(_ < earliest))
+      throw new IllegalStateException(
+        s"startingVersion ${startingVersion.get} predates the " +
+          s"earliest retained log version $earliest — " +
+          "expireSnapshots removed those commits")
     if (readChangeFeed) {
       if (from < 0 && earliest > 0) {
         val snap = GraftStreamShim.streamingFrame(

@@ -2235,9 +2235,25 @@ final class LogTable(val path: String,
           if (marks.isEmpty) None
           else Some(if (spec.step > 0) marks.max else marks.min))
       })
-    commitRetry(readVersion, removePaths, adds ++ extraAdds, op, schemaJson,
-      cdfDir, txn, schemaBasis, tzJson = tzJson,
+    try commitRetry(readVersion, removePaths, adds ++ extraAdds, op,
+      schemaJson, cdfDir, txn, schemaBasis, tzJson = tzJson,
       identityJson = identityJson, identityBasis = identityBasis)
+    catch { case e: java.util.ConcurrentModificationException =>
+      // a conflict OUT of the retry loop is terminal for THIS
+      // attempt: the files this call already moved into data/ (and
+      // their bloom sidecars) will never be referenced — reclaim
+      // them now instead of leaving per-retry orphans for vacuum's
+      // retention horizon (identity-allocating appends/merges retry
+      // the whole write, up to 20 attempts under contention)
+      adds.foreach { a =>
+        val f = new File(path, a.path)
+        f.delete()
+        Option(new File(path, "_bloom").listFiles()).toSeq.flatten
+          .filter(_.getName.startsWith(f.getName + "."))
+          .foreach(_.delete())
+      }
+      throw e
+    }
   }
 
   /** The optimistic-concurrency core: render the commit, then try to
@@ -4143,10 +4159,11 @@ final class LogTable(val path: String,
       if (fromVersion == e - 1 && toVersion >= e &&
           commitOp(e) == "overwrite")
         throw new IllegalArgumentException(
-          s"change feed from version ${e - 1} cannot serve the floor " +
-            s"commit $e: it is an overwrite whose deleted rows come " +
-            s"from the expired snapshot ${e - 1} — start the feed " +
-            s"from version $e")
+          s"change feed window opening at version ${e - 1} cannot " +
+            s"serve the floor commit $e: it is an overwrite whose " +
+            s"deleted rows come from the expired snapshot ${e - 1} — " +
+            s"start after the floor (changes(from = $e); " +
+            s"table_changes / startingVersion callers pass ${e + 1})")
     }
     val s = userSchema // hidden transform columns never reach the feed
     val pc = partitionCols
@@ -4547,6 +4564,19 @@ object LogTable {
     * .histogram.numBins` = 254) buys little over 32 for file-level
     * estimates, and every edge is ~18 bytes of TBLPROPERTIES. */
   val HistogramBuckets = 32
+
+  /** Evaluate a foldable expression as a TIMESTAMP in the session
+    * zone → epoch millis; None when it cannot cast. The ONE
+    * timestamp-boundary resolution the dual-form surfaces share —
+    * `table_changes`' timestamp arguments and the stream source's
+    * `startingTimestamp` option must never drift apart. */
+  private[sources] def evalTimestampMillis(spark: SparkSession,
+      e: expressions.Expression): Option[Long] = {
+    val zone = spark.sessionState.conf.sessionLocalTimeZone
+    val micros = expressions.Cast(e, TimestampType, Option(zone))
+      .eval(expressions.EmptyRow)
+    Option(micros).map(m => Math.floorDiv(m.asInstanceOf[Long], 1000L))
+  }
 
   /** Row-tracking TBLPROPERTIES: the feature flag and the row-id
     * high-water mark (largest id bound ever allocated; advances

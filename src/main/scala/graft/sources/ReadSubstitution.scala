@@ -58,14 +58,18 @@ object GraftReadSubstitution extends Rule[LogicalPlan] {
     lazy val referenced = AttributeSet(
       plan.collect { case p => p.references.toSeq }.flatten)
     plan.transform {
-      case r: DataSourceV2Relation if target(r.table).isDefined &&
-          r.metadataOutput.forall(a => !referenced.contains(a)) =>
-        substituted(r.table, r.output).getOrElse(r)
+      case r: DataSourceV2Relation
+          if r.metadataOutput.forall(a => !referenced.contains(a)) =>
+        // resolve the target ONCE per node: needsV1Bridge replays
+        // the manifest, and this rule sits on every query's
+        // planning path
+        target(r.table).flatMap(t =>
+          substituted(t._1, t._2, r.output)).getOrElse(r)
       // if the user-optimizer batch runs after scan pushdown, the
       // relation is already scan-wrapped — substitute it the same way
-      case s: DataSourceV2ScanRelation
-          if target(s.relation.table).isDefined =>
-        substituted(s.relation.table, s.output).getOrElse(s)
+      case s: DataSourceV2ScanRelation =>
+        target(s.relation.table).flatMap(t =>
+          substituted(t._1, t._2, s.output)).getOrElse(s)
     }
   }
 
@@ -79,10 +83,9 @@ object GraftReadSubstitution extends Rule[LogicalPlan] {
   }
 
   private def substituted(
-      t: org.apache.spark.sql.connector.catalog.Table,
+      log: LogTable, version: Option[Long],
       out: Seq[org.apache.spark.sql.catalyst.expressions.AttributeReference])
-      : Option[LogicalPlan] =
-    target(t).flatMap { case (log, version) =>
+      : Option[LogicalPlan] = {
       try {
         val spark = SparkSession.active
         val sub = log.load(spark, version).queryExecution.optimizedPlan
@@ -98,7 +101,7 @@ object GraftReadSubstitution extends Rule[LogicalPlan] {
           Some(Project(aliases, withStats))
         }
       } catch { case scala.util.control.NonFatal(_) => None }
-    }
+  }
 
   /** DV sidecar leaves read `_dv/<id>` pair files — tiny, and not
     * the table; stats attach only to the DATA leaf. */

@@ -506,7 +506,7 @@ object SqlMerge {
       d.delete()
     }
 
-    log.commitStagedRewrite(spark, staged, touched.map(_.path),
+    try log.commitStagedRewrite(spark, staged, touched.map(_.path),
       op = "merge", readVersion = readVersion, cdfDir = Some(cdfRel),
       txn = txn,
       identityUpdate = if (allocates) idSpecs else Map.empty,
@@ -514,6 +514,18 @@ object SqlMerge {
         if (allocates)
           Some(idSpecs.map { case (c, s) => c -> s.highWater })
         else None)
+    catch { case e: Throwable =>
+      // the attempt's change-feed directory is a dead orphan once
+      // the commit refuses (identity-race re-plans and true
+      // conflicts both) — reclaim it rather than waiting out
+      // vacuum's retention horizon; the staged data files are
+      // reclaimed by the commit layer itself
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(s"${log.path}/$cdfRel"))
+      throw e
+    }
     stats
   }
 

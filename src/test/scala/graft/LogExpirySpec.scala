@@ -133,7 +133,7 @@ class LogExpirySpec extends SparkSpec {
       t.changes(spark, e - 1, t.currentVersion.get).count()
     }
     assert(err.getMessage.contains("overwrite"), err.getMessage)
-    assert(err.getMessage.contains(s"from version $e"), err.getMessage)
+    assert(err.getMessage.contains(s"changes(from = $e)"), err.getMessage)
     // from the floor itself the feed serves normally
     assert(t.changes(spark, e, t.currentVersion.get).count() == 5L)
   }

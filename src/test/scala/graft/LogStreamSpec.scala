@@ -354,4 +354,50 @@ class LogStreamSpec extends SparkSpec {
     assert(chain(eFut).exists(_.contains("after the latest commit")),
       chain(eFut))
   }
+
+  test("round-10 review fixes: a FUTURE startingVersion admits " +
+    "nothing below it even after the empty pre-start offset " +
+    "commits; startingVersion 0 on an expired log refuses like " +
+    "every other below-floor start") {
+    val dir = s"${tmp()}/t"
+    val t = new LogTable(dir)
+    t.append(Seq((1L, "a")).toDF("k", "v")) // v0
+    val startAt = t.currentVersion.get + 2  // v2 — not committed yet
+    val q = spark.readStream
+      .format(classOf[graft.sources.LogStreamProvider].getName)
+      .option("path", dir)
+      .option("startingVersion", startAt.toString).load()
+      .writeStream.format("memory").queryName("sv_future_v").start()
+    try {
+      q.processAllAvailable() // the empty pre-start batch commits
+      assert(spark.table("sv_future_v").isEmpty)
+      t.append(Seq((2L, "b")).toDF("k", "v")) // v1 — below the start
+      q.processAllAvailable()
+      assert(spark.table("sv_future_v").isEmpty,
+        "a commit below the declared start leaked into the stream")
+      t.append(Seq((3L, "c")).toDF("k", "v")) // v2 — the start
+      q.processAllAvailable()
+      assert(spark.table("sv_future_v").select("k").as[Long]
+        .collect().toSeq == Seq(3L))
+    } finally q.stop()
+    // startingVersion 0 encodes as the fresh-stream sentinel — it
+    // must refuse on an expired log, not silently serve the floor
+    // snapshot as if no start had been declared
+    val dir2 = s"${tmp()}/t"
+    val t2 = new LogTable(dir2, checkpointInterval = 100)
+    (0 until 5).foreach(i =>
+      t2.append(Seq((i.toLong, s"v$i")).toDF("k", "v")))
+    t2.expireSnapshots(retainLast = 2)
+    def chain(x: Throwable): Seq[String] =
+      if (x == null) Seq.empty
+      else Option(x.getMessage).toSeq ++ chain(x.getCause)
+    val q2 = spark.readStream
+      .format(classOf[graft.sources.LogStreamProvider].getName)
+      .option("path", dir2).option("startingVersion", "0").load()
+      .writeStream.format("memory").queryName("sv_zero_exp").start()
+    val e = intercept[Exception](
+      try q2.processAllAvailable() finally q2.stop())
+    assert(chain(e).exists(_.contains("predates the earliest")),
+      chain(e))
+  }
 }
