@@ -44,8 +44,12 @@ private[sources] final class GraftProcedure(catalog: GraftTableCatalog,
 
   override def parameters(): Array[ProcedureParameter] = procName match {
     case "restore" =>
+      // version OR timestamp (Delta's RESTORE TO VERSION/TIMESTAMP
+      // AS OF — users think in time; in-commit monotonic timestamps
+      // make the instant→version resolution exact)
       Array(in("table", StringType).build(),
-        in("version", LongType).build())
+        in("version", LongType).defaultValue("-1").build(),
+        in("timestamp", StringType).defaultValue("''").build())
     case "vacuum" =>
       Array(in("table", StringType).build(),
         in("retain_last", IntegerType).defaultValue("1").build(),
@@ -152,7 +156,20 @@ private[sources] final class GraftProcedure(catalog: GraftTableCatalog,
     val t = catalog.logTableByName(input.getUTF8String(0).toString)
     val out: Seq[InternalRow] = procName match {
       case "restore" =>
-        Seq(row(t.restore(input.getLong(1))))
+        val v = input.getLong(1)
+        val ts = input.getUTF8String(2).toString
+        require((v >= 0) ^ ts.nonEmpty,
+          "restore takes a version OR a timestamp, exactly one")
+        val target =
+          if (ts.isEmpty) v
+          else if (ts.matches("-?\\d+")) t.versionAt(ts.toLong)
+          else t.versionAt(LogTable.evalTimestampMillis(spark,
+            org.apache.spark.sql.catalyst.expressions.Literal(
+              UTF8String.fromString(ts),
+              org.apache.spark.sql.types.StringType)).getOrElse(
+            throw new IllegalArgumentException(
+              s"cannot read restore timestamp '$ts'")))
+        Seq(row(t.restore(target)))
       case "vacuum" =>
         t.vacuum(input.getInt(1),
           input.getInt(2).toLong * 3600L * 1000L,
@@ -161,16 +178,17 @@ private[sources] final class GraftProcedure(catalog: GraftTableCatalog,
       case "optimize" =>
         val zorder = input.getUTF8String(1).toString
         val where = input.getUTF8String(3).toString
-        require(zorder.isEmpty || where.isEmpty,
-          "optimize takes zorder_by OR where, not both (clustering " +
-            "is a whole-table layout rebuild)")
+        val pred =
+          if (where.isEmpty) None
+          else Some(org.apache.spark.sql.functions.expr(where))
+        // zorder_by + where = SCOPED clustering (Delta's
+        // OPTIMIZE ... WHERE ... ZORDER BY): only stats-matching
+        // files rewrite, cost ∝ the scope
         val v =
-          if (zorder.isEmpty) t.compactFiles(spark, where =
-            if (where.isEmpty) None
-            else Some(org.apache.spark.sql.functions.expr(where)))
+          if (zorder.isEmpty) t.compactFiles(spark, where = pred)
           else t.cluster(spark,
             zorder.split(",").map(_.trim).filter(_.nonEmpty).toSeq,
-            input.getInt(2))
+            input.getInt(2), pred)
         Seq(row(v))
       case "purge_deletes" =>
         Seq(row(t.purgeDeletes(spark)))

@@ -4338,14 +4338,33 @@ final class LogTable(val path: String,
     * cost ∝ table, like Delta's — with no row-level change
     * (`optimize` op: streams skip it, change feed empty). */
   def cluster(spark: SparkSession, clusterBy: Seq[String],
-              nFiles: Int): Long = {
+              nFiles: Int): Long =
+    cluster(spark, clusterBy, nFiles, where = None)
+
+  /** [[cluster]] scoped by a predicate (round-10, Delta's
+    * `OPTIMIZE ... WHERE ... ZORDER BY`): only the files whose
+    * committed stats MAY match `where` rewrite (the same sound
+    * file-selection `compactFiles(where)` and the row-level ops
+    * use) — cost ∝ the scope, not the table, which is what makes
+    * re-clustering a hot partition of a 100 TB table a routine
+    * maintenance call instead of a full rebuild. File granularity:
+    * a selected file rewrites whole (rows in it that don't match
+    * `where` move with it — layout-only, content invariant). */
+  def cluster(spark: SparkSession, clusterBy: Seq[String],
+              nFiles: Int, where: Option[Column]): Long = {
     require(clusterBy.nonEmpty && clusterBy.size <= 6,
       s"cluster takes 1 to 6 columns, got ${clusterBy.size}")
     val readVersion = currentVersion.getOrElse(
       throw new IllegalStateException(s"no log table at $path"))
     val snap = snapshotAt(readVersion)
-    if (snap.adds.isEmpty) return readVersion
-    val df = rewriteSource(spark, snap, snap.adds)
+    val scope = where.map { w =>
+      val base = resolvedConjuncts(spark, snap.schema, w)
+      val derived = derivedConjuncts(spark, snap.generated, snap.tz, base)
+      snap.adds.filter(a =>
+        !provablyNoMatch(a, base ++ derivedSafeFor(a, derived)))
+    }.getOrElse(snap.adds)
+    if (scope.isEmpty) return readVersion
+    val df = rewriteSource(spark, snap, scope)
     val staged = new File(newStagingDir())
     val laidOut = clusterBy match {
       case Seq(c) =>
@@ -4374,7 +4393,7 @@ final class LogTable(val path: String,
           .select(cols.map(col): _*)
     }
     stagedWriter(laidOut).parquet(staged.toString)
-    finalizeStaged(spark, staged, snap.schema, snap.adds.map(_.path),
+    finalizeStaged(spark, staged, snap.schema, scope.map(_.path),
       op = "optimize", readVersion = Some(readVersion), schemaJson = None,
       cdfDir = None)
   }

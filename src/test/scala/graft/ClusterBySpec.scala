@@ -216,4 +216,40 @@ class ClusterBySpec extends SparkSpec {
       spark.conf.unset("spark.sql.catalog.gcl3.warehouse")
     }
   }
+
+  test("round-10: SCOPED clustering — OPTIMIZE ... WHERE ... ZORDER " +
+    "rewrites only the stats-matching files (cost ∝ the scope); " +
+    "content invariant; CALL optimize takes both args together") {
+    val wh = tmp()
+    val t = new LogTable(s"$wh/t")
+    // two disjoint key ranges land in separate files
+    t.append(shuffled(0, 199).repartition(1))    // file A: k 0..199
+    t.append(shuffled(1000, 1199).repartition(1)) // file B: k 1000..
+    val before = t.liveAdds().map(_.path).toSet
+    assert(before.size == 2)
+    val v = t.cluster(spark, Seq("k"), nFiles = 2,
+      where = Some(col("k") < 500L))
+    assert(t.commitOp(v) == "optimize")
+    val after = t.liveAdds().map(_.path).toSet
+    // file B (k >= 1000) provably can't match — carried by reference
+    val carried = before.intersect(after)
+    assert(carried.size == 1, s"before $before after $after")
+    // content invariant across the scoped rebuild
+    assert(t.load(spark).select("k").as[Long].collect().sorted.toSeq
+      == ((0L to 199L) ++ (1000L to 1199L)))
+    // SQL surface: zorder_by + where together
+    spark.conf.set("spark.sql.catalog.gclw",
+      "graft.sources.GraftTableCatalog")
+    spark.conf.set("spark.sql.catalog.gclw.warehouse", wh)
+    try {
+      val v2 = spark.sql(
+        "CALL gclw.optimize('t', 'k', 2, 'k >= 1000')").as[Long].head()
+      assert(new LogTable(s"$wh/t").commitOp(v2) == "optimize")
+      assert(spark.sql("SELECT count(*) FROM gclw.t").head.getLong(0)
+        == 400L)
+    } finally {
+      spark.conf.unset("spark.sql.catalog.gclw")
+      spark.conf.unset("spark.sql.catalog.gclw.warehouse")
+    }
+  }
 }

@@ -94,4 +94,35 @@ class LogProcedureSpec extends SparkSpec {
       assert(t.load(spark).count() == 2L)
     }
   }
+
+  test("round-10: CALL restore by TIMESTAMP — an instant between " +
+    "commits restores the snapshot current then; named arg, epoch " +
+    "millis, and the version/timestamp exclusivity all work") {
+    withCatalog { (cat, t) =>
+      Thread.sleep(40)
+      t.delete(spark, col("k") === 2L) // v1
+      val ts0 = t.commitTime(0L)
+      val ts1 = t.commitTime(1L)
+      val mid = ts0 + (ts1 - ts0) / 2 // strictly between v0 and v1
+      def iso(ms: Long): String = java.time.Instant.ofEpochMilli(ms)
+        .atZone(java.time.ZoneOffset.UTC).toLocalDateTime
+        .format(java.time.format.DateTimeFormatter
+          .ofPattern("yyyy-MM-dd HH:mm:ss.SSS"))
+      val v = spark.sql(
+        s"CALL $cat.restore('t', timestamp => '${iso(mid)}')")
+        .as[Long].head()
+      assert(t.commitOp(v) == "restore")
+      assert(t.load(spark).count() == 3L) // v0's state is back
+      // epoch-millis form restores the post-delete instant
+      t.delete(spark, col("k") === 3L)
+      val tsDel = t.commitTime(t.currentVersion.get)
+      spark.sql(s"CALL $cat.restore('t', timestamp => '$tsDel')")
+      assert(t.load(spark).count() == 2L)
+      // exactly one of version/timestamp
+      intercept[Exception](spark.sql(
+        s"CALL $cat.restore('t', 0, '${iso(mid)}')").collect())
+      intercept[Exception](spark.sql(
+        s"CALL $cat.restore('t')").collect())
+    }
+  }
 }
