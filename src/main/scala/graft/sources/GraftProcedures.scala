@@ -160,9 +160,19 @@ private[sources] final class GraftProcedure(catalog: GraftTableCatalog,
         val ts = input.getUTF8String(2).toString
         require((v >= 0) ^ ts.nonEmpty,
           "restore takes a version OR a timestamp, exactly one")
+        // integer-string convention, shared across the dual-form
+        // surfaces: a pure-integer argument means a VERSION
+        // everywhere (table_changes' rule). restore already has a
+        // dedicated version parameter, so its `timestamp` REFUSES
+        // integer strings instead of silently assigning them the
+        // opposite meaning (epoch millis) — users moving between
+        // restore and table_changes get one rule, not two.
+        if (ts.matches("-?\\d+")) throw new IllegalArgumentException(
+          s"restore timestamp '$ts' is a pure integer — integer " +
+            "arguments mean a VERSION; pass it as the version " +
+            "parameter, or give a timestamp string")
         val target =
           if (ts.isEmpty) v
-          else if (ts.matches("-?\\d+")) t.versionAt(ts.toLong)
           else t.versionAt(LogTable.evalTimestampMillis(spark,
             org.apache.spark.sql.catalyst.expressions.Literal(
               UTF8String.fromString(ts),

@@ -77,6 +77,40 @@ final class LogStreamProvider extends StreamSourceProvider
                      name: String): Option[String] =
     parameters.collectFirst { case (k, v) if k.equalsIgnoreCase(name) => v }
 
+  /** Resolve a DYNAMIC starting point exactly once per query: the
+    * first start evaluates `resolve` and persists the version to a
+    * side-file under the query's checkpoint metadataPath (atomic
+    * create-then-rename); every restart reloads that file instead of
+    * re-resolving, so the getBatch clamp always uses the original
+    * resolution and the checkpointed offset is never overridden by a
+    * fresher table head. */
+  private def resolveOnce(ctx: SQLContext, metadataPath: String)
+                         (resolve: => Long): Long = {
+    import org.apache.hadoop.fs.Path
+    val dir = new Path(metadataPath)
+    val file = new Path(dir, "graft.startingVersion")
+    val fs = dir.getFileSystem(
+      ctx.sparkSession.sessionState.newHadoopConf())
+    def read(): Long = {
+      val in = fs.open(file)
+      try {
+        val buf = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, false)
+        buf.toString("UTF-8").trim.toLong
+      } finally in.close()
+    }
+    if (fs.exists(file)) read()
+    else {
+      val v = resolve
+      fs.mkdirs(dir)
+      val tmp = new Path(dir, s".graft.startingVersion.tmp")
+      val out = fs.create(tmp, true)
+      try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+      // rename-won-by-someone-else ⇒ their resolution governs
+      if (fs.rename(tmp, file)) v else read()
+    }
+  }
+
   override def createSource(ctx: SQLContext, metadataPath: String,
                             schema: Option[StructType],
                             providerName: String,
@@ -89,34 +123,48 @@ final class LogStreamProvider extends StreamSourceProvider
     // (epoch millis, or a timestamp string in the session zone)
     // resolves to the first commit at-or-after it — exact under
     // in-commit monotonic timestamps, the same rule `table_changes`
-    // uses. Resolution happens HERE, at stream construction: the
-    // restart path replays committed offsets and never re-resolves.
+    // uses. DYNAMIC forms ("latest", a timestamp) resolve ONCE, on
+    // first start, and the resolved version persists under the
+    // query's metadataPath: a checkpointed restart after downtime
+    // must reload the ORIGINAL resolution — re-resolving "latest"
+    // against the restart-time head would exceed the committed
+    // offset and silently skip every commit made while the stream
+    // was down (Delta resolves 'latest' once for the same reason).
+    // An explicit numeric startingVersion is restart-stable by
+    // itself and needs no persistence.
     val sv = strOpt(parameters, "startingVersion")
     val st = strOpt(parameters, "startingTimestamp")
     require(sv.isEmpty || st.isEmpty,
       "set startingVersion OR startingTimestamp, not both")
     val startAt: Option[Long] = (sv, st) match {
-      case (Some("latest"), _) =>
-        Some(log.currentVersion.map(_ + 1L).getOrElse(0L))
+      case (Some("latest"), _) => Some(resolveOnce(ctx, metadataPath) {
+        log.currentVersion.map(_ + 1L).getOrElse(0L)
+      })
       case (Some(v), _) => Some {
         val n = v.toLong
         require(n >= 0, s"startingVersion must be >= 0, got $n")
         n
       }
-      case (_, Some(ts)) => Some {
+      case (_, Some(ts)) => Some(resolveOnce(ctx, metadataPath) {
         // the SAME session-zone resolution table_changes uses
         // (LogTable.evalTimestampMillis) — the two surfaces must
-        // never drift apart
-        val ms =
-          if (ts.matches("-?\\d+")) ts.toLong
-          else LogTable.evalTimestampMillis(ctx.sparkSession,
-            org.apache.spark.sql.catalyst.expressions.Literal(
-              org.apache.spark.unsafe.types.UTF8String.fromString(ts),
-              org.apache.spark.sql.types.StringType)).getOrElse(
-            throw new IllegalArgumentException(
-              s"cannot read startingTimestamp '$ts' as a timestamp"))
+        // never drift apart. Integer-string convention: a pure
+        // integer means a VERSION everywhere (table_changes' rule),
+        // and startingVersion is the numeric surface here — so a
+        // pure-integer timestamp refuses rather than silently
+        // meaning the opposite (epoch millis).
+        if (ts.matches("-?\\d+")) throw new IllegalArgumentException(
+          s"startingTimestamp '$ts' is a pure integer — integer " +
+            "arguments mean a VERSION; use startingVersion, or give " +
+            "a timestamp string")
+        val ms = LogTable.evalTimestampMillis(ctx.sparkSession,
+          org.apache.spark.sql.catalyst.expressions.Literal(
+            org.apache.spark.unsafe.types.UTF8String.fromString(ts),
+            org.apache.spark.sql.types.StringType)).getOrElse(
+          throw new IllegalArgumentException(
+            s"cannot read startingTimestamp '$ts' as a timestamp"))
         log.versionFrom(ms)
-      }
+      })
       case _ => None
     }
     new LogStreamSource(ctx, log,

@@ -47,6 +47,17 @@ final case class AddFile(path: String, rows: Long, bytes: Long,
   def logicalRows: Long = rows - dv.map(_.rows).getOrElse(0L)
 }
 
+/** Commit-layer conflict signal for identity-allocation races: the
+  * staged write drew its identity values from a high-water mark
+  * another writer advanced first, so the staged files hold
+  * overlapping ids and the WHOLE write must be re-planned (Delta's
+  * transaction-retry rule). A dedicated subtype so retry loops match
+  * on TYPE — message-text dispatch would silently break on rewording
+  * and misfire on unrelated conflicts whose paths mention
+  * "identity". */
+final class IdentityAllocationConflict(msg: String)
+  extends java.util.ConcurrentModificationException(msg)
+
 /** `GENERATED ALWAYS AS IDENTITY` column spec (Delta's identity
   * columns): values start at `start` and advance by `step`;
   * `highWater` is the largest value any committed append has
@@ -2300,7 +2311,7 @@ final class LogTable(val path: String,
         val moved = basis.collect { case (c, hw)
           if headId.get(c).flatMap(_.highWater) != hw => c }
         if (moved.nonEmpty)
-          throw new java.util.ConcurrentModificationException(
+          throw new IdentityAllocationConflict(
             s"conflicting commit: identity column(s) " +
               s"${moved.mkString(", ")} were advanced by another " +
               "writer — reallocate and retry")
@@ -2678,9 +2689,8 @@ final class LogTable(val path: String,
         maybeAutoCompact(df0.sparkSession)
         return v
       } catch {
-        case e: java.util.ConcurrentModificationException
-          if e.getMessage != null && e.getMessage.contains("identity") &&
-            attempts < 20 => () // reallocate against the new head
+        case _: IdentityAllocationConflict
+          if attempts < 20 => () // reallocate against the new head
       }
     }
     -1L // unreachable

@@ -57,26 +57,44 @@ object GraftReadSubstitution extends Rule[LogicalPlan] {
     if (unsafe) return plan
     lazy val referenced = AttributeSet(
       plan.collect { case p => p.references.toSeq }.flatten)
+    // the WHOLE per-node substitution — including target(), whose
+    // needsV1Bridge replays the manifest and can throw on an
+    // empty/just-dropped log — honors the rule's contract: anything
+    // that throws declines, and the V1 bridge serves the read
     plan.transform {
       case r: DataSourceV2Relation
           if r.metadataOutput.forall(a => !referenced.contains(a)) =>
-        // resolve the target ONCE per node: needsV1Bridge replays
-        // the manifest, and this rule sits on every query's
-        // planning path
-        target(r.table).flatMap(t =>
+        try target(r.table).flatMap(t =>
           substituted(t._1, t._2, r.output)).getOrElse(r)
+        catch { case scala.util.control.NonFatal(_) => r }
       // if the user-optimizer batch runs after scan pushdown, the
       // relation is already scan-wrapped — substitute it the same way
       case s: DataSourceV2ScanRelation =>
-        target(s.relation.table).flatMap(t =>
+        try target(s.relation.table).flatMap(t =>
           substituted(t._1, t._2, s.output)).getOrElse(s)
+        catch { case scala.util.control.NonFatal(_) => s }
     }
+  }
+
+  /** needsV1Bridge replays the whole manifest, and this rule sits on
+    * EVERY query's planning path (also re-entrantly, via the nested
+    * optimization in [[substituted]]) — memoize the decision per
+    * (table root, head version). A snapshot at a version is
+    * immutable, so the cached answer can never go stale; a new
+    * commit changes the key. Bounded by wholesale clear. */
+  private val bridgeCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), Boolean]()
+
+  private def cachedNeedsBridge(log: LogTable): Boolean = {
+    val key = (log.path, log.currentVersion.getOrElse(-1L))
+    if (bridgeCache.size > 1024) bridgeCache.clear()
+    bridgeCache.computeIfAbsent(key,
+      _ => GraftLogTableV2.needsV1Bridge(log, None))
   }
 
   private def target(t: org.apache.spark.sql.connector.catalog.Table)
       : Option[(LogTable, Option[Long])] = t match {
-    case g: GraftLogTableV2
-        if GraftLogTableV2.needsV1Bridge(g.logTable, None) =>
+    case g: GraftLogTableV2 if cachedNeedsBridge(g.logTable) =>
       Some((g.logTable, None))
     case d: DvReadTable => Some((d.logTable, d.pinnedVersion))
     case _ => None

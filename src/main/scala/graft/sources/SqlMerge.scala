@@ -329,9 +329,8 @@ object SqlMerge {
       attempts += 1
       try return mergeLogOnce(spark, mergeSql, log, txn)
       catch {
-        case e: java.util.ConcurrentModificationException
-          if e.getMessage != null && e.getMessage.contains("identity") &&
-            attempts < 20 => () // reallocate against the new head
+        case _: IdentityAllocationConflict
+          if attempts < 20 => () // reallocate against the new head
       }
     }
     throw new IllegalStateException("unreachable")

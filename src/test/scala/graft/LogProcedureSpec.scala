@@ -113,10 +113,16 @@ class LogProcedureSpec extends SparkSpec {
         .as[Long].head()
       assert(t.commitOp(v) == "restore")
       assert(t.load(spark).count() == 3L) // v0's state is back
-      // epoch-millis form restores the post-delete instant
+      // integer-string convention (round-11): a pure-integer
+      // argument means a VERSION everywhere (table_changes' rule) —
+      // restore's timestamp parameter REFUSES it and points at the
+      // version parameter instead of treating it as epoch millis
       t.delete(spark, col("k") === 3L)
       val tsDel = t.commitTime(t.currentVersion.get)
-      spark.sql(s"CALL $cat.restore('t', timestamp => '$tsDel')")
+      val intErr = intercept[Exception](spark.sql(
+        s"CALL $cat.restore('t', timestamp => '$tsDel')").collect())
+      assert(intErr.getMessage.contains("version"), intErr.getMessage)
+      spark.sql(s"CALL $cat.restore('t', timestamp => '${iso(tsDel)}')")
       assert(t.load(spark).count() == 2L)
       // exactly one of version/timestamp
       intercept[Exception](spark.sql(

@@ -317,13 +317,29 @@ class LogStreamSpec extends SparkSpec {
     try q1.processAllAvailable() finally q1.stop()
     assert(spark.table("sv_from1").select("k").as[Long]
       .collect().sorted.toSeq == Seq(3L, 4L))
-    // startingTimestamp at v2's commit instant: only v2 flows
+    // startingTimestamp at v2's commit instant: only v2 flows.
+    // (Integer-string convention: a pure-integer startingTimestamp
+    // refuses — integers mean VERSIONS, startingVersion's surface.)
+    def iso(ms: Long): String = java.time.Instant.ofEpochMilli(ms)
+      .atZone(java.time.ZoneOffset.UTC).toLocalDateTime
+      .format(java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss.SSS"))
     val q2 = reader
-      .option("startingTimestamp", t.commitTime(2L).toString).load()
+      .option("startingTimestamp", iso(t.commitTime(2L))).load()
       .writeStream.format("memory").queryName("sv_fromts").start()
     try q2.processAllAvailable() finally q2.stop()
     assert(spark.table("sv_fromts").select("k").as[Long]
       .collect().toSeq == Seq(4L))
+    val qInt = reader
+      .option("startingTimestamp", t.commitTime(2L).toString).load()
+      .writeStream.format("memory").queryName("sv_intts").start()
+    val eInt = intercept[Exception](
+      try qInt.processAllAvailable() finally qInt.stop())
+    def chain0(x: Throwable): Seq[String] =
+      if (x == null) Seq.empty
+      else Option(x.getMessage).toSeq ++ chain0(x.getCause)
+    assert(chain0(eInt).exists(_.contains("startingVersion")),
+      chain0(eInt))
     // 'latest': nothing historical, only commits made after start
     val q3 = reader.option("startingVersion", "latest").load()
       .writeStream.format("memory").queryName("sv_latest").start()
@@ -347,7 +363,7 @@ class LogStreamSpec extends SparkSpec {
     assert(chain(eBoth).exists(_.contains("not both")), chain(eBoth))
     val qFut = reader
       .option("startingTimestamp",
-        (t.commitTime(t.currentVersion.get) + 3600000L).toString).load()
+        iso(t.commitTime(t.currentVersion.get) + 3600000L)).load()
       .writeStream.format("memory").queryName("sv_future").start()
     val eFut = intercept[Exception](
       try qFut.processAllAvailable() finally qFut.stop())
@@ -399,5 +415,43 @@ class LogStreamSpec extends SparkSpec {
       try q2.processAllAvailable() finally q2.stop())
     assert(chain(e).exists(_.contains("predates the earliest")),
       chain(e))
+  }
+
+  test("round-11: startingVersion='latest' resolves ONCE — a " +
+    "checkpointed restart after downtime serves the commits made " +
+    "while the stream was down instead of re-resolving against the " +
+    "restart-time head and skipping them") {
+    val base = tmp()
+    val dir = s"$base/t"
+    val ckpt = s"$base/ckpt"
+    val out = s"$base/out"
+    val t = new LogTable(dir)
+    t.append(Seq((1L, "a")).toDF("k", "v")) // v0 — pre-start history
+    def start() = spark.readStream
+      .format(classOf[graft.sources.LogStreamProvider].getName)
+      .option("path", dir)
+      .option("startingVersion", "latest").load()
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt).start()
+    def ks(): Seq[Long] = spark.read.parquet(out)
+      .select("k").as[Long].collect().sorted.toSeq
+    val q1 = start()
+    try {
+      q1.processAllAvailable()
+      t.append(Seq((2L, "b")).toDF("k", "v")) // v1 — live commit
+      q1.processAllAvailable()
+      assert(ks() == Seq(2L)) // 'latest': no history flowed
+    } finally q1.stop()
+    // DOWNTIME: commits land while no query is running. A restart
+    // that re-resolved 'latest' would clamp past them — data loss.
+    t.append(Seq((3L, "c")).toDF("k", "v")) // v2
+    t.append(Seq((4L, "d")).toDF("k", "v")) // v3
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      assert(ks() == Seq(2L, 3L, 4L),
+        "commits made during downtime were skipped by a " +
+          "re-resolved 'latest' start")
+    } finally q2.stop()
   }
 }
