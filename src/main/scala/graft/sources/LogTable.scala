@@ -47,6 +47,26 @@ final case class AddFile(path: String, rows: Long, bytes: Long,
   def logicalRows: Long = rows - dv.map(_.rows).getOrElse(0L)
 }
 
+/** One [[AddFile]] row of a PARQUET checkpoint (`*.ckpt.parquet/`):
+  * the file-state of a large snapshot ships through a Spark job as
+  * one typed row per live file — never as a single driver-rendered
+  * JSON string, which at the 100-TB target (~1M files with
+  * per-column stats) would be a multi-hundred-MB allocation per
+  * checkpoint and a same-sized parse on every cold replay (Delta
+  * writes multi-part parquet checkpoints for the same reason).
+  * `idx` preserves the snapshot's add order so a parquet replay is
+  * indistinguishable from a JSON replay; `statsJson` carries the
+  * per-column min/max/nulls map in the commit-log's own rendering
+  * (small per row). */
+private[graft] final case class CkptAdd(idx: Long, path: String,
+                                        rows: Long, bytes: Long,
+                                        statsJson: String,
+                                        partitionValues:
+                                          Map[String, String],
+                                        dvPath: Option[String],
+                                        dvRows: Option[Long],
+                                        baseRowId: Option[Long])
+
 /** Commit-layer conflict signal for identity-allocation races: the
   * staged write drew its identity values from a high-water mark
   * another writer advanced first, so the staged files hold
@@ -197,6 +217,16 @@ final class LogTable(val path: String,
 
   private def logFile(v: Long) = new File(logDir, f"$v%020d.json")
   private def ckptFile(v: Long) = new File(logDir, f"$v%020d.ckpt.json")
+  // file-state sidecars of a checkpoint: the header (`.ckpt.json`,
+  // small — schema/refs/props only) is written LAST and is the
+  // discovery key; the adds live beside it, line-streamed JSONL for
+  // small tables or multi-part parquet written by a Spark job for
+  // large ones. A crash between sidecar and header leaves an
+  // orphan no reader ever resolves (expiry sweeps it).
+  private def ckptAddsFile(v: Long) =
+    new File(logDir, f"$v%020d.ckpt.adds.jsonl")
+  private def ckptParquetDir(v: Long) =
+    new File(logDir, f"$v%020d.ckpt.parquet")
   private def lastCkptFile = new File(logDir, "_last_checkpoint")
 
   /** Count of full `_log/` directory LISTs this instance has issued
@@ -445,14 +475,16 @@ final class LogTable(val path: String,
     // (current-ish snapshots) with one GET; time travel BEHIND the
     // newest checkpoint, or a missing pointer, falls back to the
     // full listing
-    val ckpts = lastCheckpointVersion.filter(_ <= v).toSeq match {
-      case found @ Seq(_) => found
-      case _ =>
-        listLogDir()
-          .filter(_.getName.endsWith(".ckpt.json"))
-          .map(_.getName.stripSuffix(".ckpt.json").toLong).filter(_ <= v)
-          .sorted
-    }
+    val ckpts =
+      if (ignoreCheckpointsForTest) Seq.empty
+      else lastCheckpointVersion.filter(_ <= v).toSeq match {
+        case found @ Seq(_) => found
+        case _ =>
+          listLogDir()
+            .filter(_.getName.endsWith(".ckpt.json"))
+            .map(_.getName.stripSuffix(".ckpt.json").toLong).filter(_ <= v)
+            .sorted
+      }
     var schema: Option[StructType] = None
     var partCols: Seq[String] = Seq.empty
     var bloomIdxCols: Seq[String] = Seq.empty
@@ -522,8 +554,22 @@ final class LogTable(val path: String,
             case (k, JString(v)) => k -> v }.toMap
           case _ => ()
         }
-        (state \ "adds").asInstanceOf[JArray].arr.foreach { j =>
-          val a = parseAdd(j); live(a.path) = a
+        // file-state: new-format checkpoints keep the adds OUT of
+        // the header — parquet read distributed, JSONL parsed line
+        // by line (bounded memory; never one whole-state string);
+        // legacy headers with an embedded adds array still replay
+        (state \ "addsFormat") match {
+          case JString("parquet") =>
+            readAddsParquet(cv).foreach(a => live(a.path) = a)
+          case JString("jsonl") =>
+            val src = scala.io.Source.fromFile(ckptAddsFile(cv))
+            try src.getLines().filter(_.nonEmpty).foreach { line =>
+              val a = parseAdd(JsonMethods.parse(line)); live(a.path) = a
+            } finally src.close()
+          case _ =>
+            (state \ "adds").asInstanceOf[JArray].arr.foreach { j =>
+              val a = parseAdd(j); live(a.path) = a
+            }
         }
         cv + 1
       case None =>
@@ -679,6 +725,24 @@ final class LogTable(val path: String,
     * version, default the current one. */
   def liveAdds(version: Option[Long] = None): Seq[AddFile] =
     snapshotAt(version.orElse(currentVersion).get).adds
+
+  /** Register already-materialized files by METADATA ONLY — one
+    * commit carrying the given add entries verbatim, no data
+    * movement (the shape of Iceberg's `add_files` / Delta's CONVERT
+    * ingestion step, and the seam the metadata-scale specs use to
+    * build ≥100k-file snapshots without writing 100k real files).
+    * The caller owns the entries' truthfulness: paths, row counts
+    * and stats are committed as given. */
+  private[graft] def registerFiles(adds: Seq[AddFile],
+                                   op: String = "append"): Long =
+    commitRetry(currentVersion, Seq.empty, adds, op,
+      schemaJson = None, cdfDir = None)
+
+  /** Verification knob: replay snapshots from raw commits ONLY,
+    * ignoring every checkpoint — the ground truth the checkpoint
+    * equivalence specs compare parquet/JSONL checkpoint replays
+    * against. Never set outside tests. */
+  private[graft] var ignoreCheckpointsForTest: Boolean = false
 
   /** Resolve a logged file reference: paths are table-relative for
     * files this table wrote, ABSOLUTE for files referenced from
@@ -2491,9 +2555,100 @@ final class LogTable(val path: String,
   private def maybeCheckpoint(v: Long): Unit =
     if (v > 0 && v % checkpointInterval == 0) writeCheckpoint(v)
 
+  /** Smallest snapshot (in live files) whose checkpoint ships as
+    * parquet through a Spark job instead of line-streamed JSONL.
+    * Overridable per table (`graft.checkpoint.parquetThreshold` in
+    * TBLPROPERTIES) — tests force 1 to exercise the parquet path on
+    * tiny tables; tiny production tables keep the zero-job JSONL
+    * path. */
+  private def parquetCkptThreshold(snap: Snapshot): Int =
+    snap.properties.get("graft.checkpoint.parquetThreshold")
+      .flatMap(s => scala.util.Try(s.toInt).toOption).getOrElse(10000)
+
+  private def encodeCkptAdd(i: Long, a: AddFile): CkptAdd =
+    CkptAdd(i, a.path, a.rows, a.bytes,
+      JsonMethods.compact(JsonMethods.render(renderStats(a.stats))),
+      a.partitionValues, a.dv.map(_.path), a.dv.map(_.rows), a.baseRowId)
+
+  private def decodeCkptAdd(c: CkptAdd): AddFile =
+    AddFile(c.path, c.rows, c.bytes,
+      parseStats(JsonMethods.parse(c.statsJson)), c.partitionValues,
+      c.dvPath.map(p => Dv(p, c.dvRows.getOrElse(0L))), c.baseRowId)
+
+  /** Ship the snapshot's file-state as a multi-part parquet
+    * directory via a Spark job — one [[CkptAdd]] row per live file,
+    * ~100k rows per part. The job distributes the render; the
+    * driver never assembles the state into one string. */
+  private def writeAddsParquet(spark: SparkSession, v: Long,
+                               adds: Seq[AddFile]): Unit = {
+    val rows = adds.iterator.zipWithIndex
+      .map { case (a, i) => encodeCkptAdd(i.toLong, a) }.toSeq
+    val parts = math.max(1, (rows.size / 100000.0).ceil.toInt)
+    val tmp = new File(logDir, s".tmp-ckptpq-${UUID.randomUUID()}")
+    try {
+      spark.createDataset(rows)(
+        org.apache.spark.sql.Encoders.product[CkptAdd])
+        .repartition(parts)
+        .write.mode("overwrite").parquet(tmp.getPath)
+      Files.move(tmp.toPath, ckptParquetDir(v).toPath,
+        StandardCopyOption.ATOMIC_MOVE)
+    } catch { case NonFatal(e) => deleteTree(tmp); throw e }
+    ()
+  }
+
+  /** Recursive best-effort delete (checkpoint parquet dirs and
+    * their in-flight tmp siblings are the only directory-shaped
+    * log entries). */
+  private def deleteTree(f: File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).toSeq.flatten
+      .foreach(deleteTree)
+    f.delete(); ()
+  }
+
+  /** Line-stream the adds to a JSONL sidecar — one rendered add per
+    * line, bounded memory regardless of file count (never one
+    * whole-state string). */
+  private def writeAddsJsonl(v: Long, adds: Seq[AddFile]): Unit = {
+    val tmp = new File(logDir, s".tmp-ckptadds-${UUID.randomUUID()}")
+    val w = Files.newBufferedWriter(tmp.toPath)
+    try adds.foreach { a =>
+      w.write(JsonMethods.compact(JsonMethods.render(renderAdd(a))))
+      w.write("\n")
+    } finally w.close()
+    Files.move(tmp.toPath, ckptAddsFile(v).toPath,
+      StandardCopyOption.ATOMIC_MOVE)
+    ()
+  }
+
+  /** Read a parquet checkpoint's file-state back: a distributed
+    * parquet scan, decoded row-by-row, re-ordered by the persisted
+    * add index so the replayed snapshot is indistinguishable from a
+    * JSON one. */
+  private def readAddsParquet(v: Long): Seq[AddFile] = {
+    val spark = SparkSession.getActiveSession
+      .orElse(SparkSession.getDefaultSession)
+      .getOrElse(throw new IllegalStateException(
+        s"reading the parquet checkpoint at version $v of $path " +
+          "requires an active SparkSession"))
+    spark.read.parquet(ckptParquetDir(v).getPath)
+      .as[CkptAdd](org.apache.spark.sql.Encoders.product[CkptAdd])
+      .collect().sortBy(_.idx).iterator.map(decodeCkptAdd).toSeq
+  }
+
   private def writeCheckpoint(v: Long): Unit =
     {
       val snap = snapshotAt(v)
+      // the header carries everything EXCEPT the adds — O(schema),
+      // not O(#files); the file-state ships beside it (parquet via
+      // a Spark job past the size threshold, line-streamed JSONL
+      // below it or when no session is available, e.g. a bare
+      // maintenance CLI)
+      val session = SparkSession.getActiveSession
+        .orElse(SparkSession.getDefaultSession)
+      val fmt =
+        if (session.isDefined &&
+            snap.adds.size >= parquetCkptThreshold(snap)) "parquet"
+        else "jsonl"
       val state = JObject(List(
         "schema" -> JsonMethods.parse(snap.schema.json),
         "partition" -> JArray(snap.partitionCols.toList.map(JString(_))),
@@ -2513,11 +2668,16 @@ final class LogTable(val path: String,
           snap.transforms.toList.map { case (k, v) => k -> JString(v) }),
         "refs" -> JObject(
           snap.refs.toList.map { case (k, v) => k -> JString(v) }),
-        "adds" -> JArray(snap.adds.toList.map(renderAdd))))
+        "addsFormat" -> JString(fmt)))
       val tmp = new File(logDir, s".tmp-ckpt-${UUID.randomUUID()}")
-      Files.writeString(tmp.toPath,
-        JsonMethods.compact(JsonMethods.render(state)))
       try {
+        // sidecar FIRST, header last: the header is the discovery
+        // key, so a reader never resolves a checkpoint whose
+        // file-state is still in flight
+        if (fmt == "parquet") writeAddsParquet(session.get, v, snap.adds)
+        else writeAddsJsonl(v, snap.adds)
+        Files.writeString(tmp.toPath,
+          JsonMethods.compact(JsonMethods.render(state)))
         Files.move(tmp.toPath, ckptFile(v).toPath,
           StandardCopyOption.ATOMIC_MOVE)
         // advance the advisory `_last_checkpoint` pointer (never
@@ -3707,11 +3867,18 @@ final class LogTable(val path: String,
     // BEFORE deleting anything (a crash between leaves a complete,
     // merely-unexpired log)
     if (!ckptFile(floor).isFile) writeCheckpoint(floor)
+    // a checkpoint is three names: the header and its adds sidecar
+    // (JSONL file or parquet DIRECTORY) — sweep all of them below
+    // the floor, plus any orphaned sidecar whose header write
+    // crashed (no header ever resolves it, so it is pure garbage)
+    def ckptVer(name: String): Option[Long] =
+      Seq(".ckpt.json", ".ckpt.adds.jsonl", ".ckpt.parquet")
+        .collectFirst { case suf if name.endsWith(suf) =>
+          name.stripSuffix(suf).toLong }
     val doomed =
       vs.filter(_ < floor).map(v => logFile(v)) ++
-        listLogDir().filter(f => f.getName.endsWith(".ckpt.json") &&
-          f.getName.stripSuffix(".ckpt.json").toLong < floor)
-    doomed.foreach(f => { f.delete(); () })
+        listLogDir().filter(f => ckptVer(f.getName).exists(_ < floor))
+    doomed.foreach(deleteTree)
     snapCache.clear()
     doomed.map(_.getName)
   }

@@ -36,7 +36,11 @@ class LogTableModelSpec extends SparkSpec {
       org.apache.spark.sql.types.StructField("k",
         org.apache.spark.sql.types.IntegerType),
       org.apache.spark.sql.types.StructField("v",
-        org.apache.spark.sql.types.StringType))))
+        org.apache.spark.sql.types.StringType))),
+      // round-11: force PARQUET checkpoints (file-state through a
+      // Spark job) for the whole 48-op mix — every interleaving of
+      // commit kinds must replay identically through them
+      properties = Map("graft.checkpoint.parquetThreshold" -> "1"))
 
     var model = Vector.empty[Row2]
     // model state per committed version, index == log version

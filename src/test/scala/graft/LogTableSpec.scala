@@ -128,6 +128,95 @@ class LogTableSpec extends SparkSpec {
     assert(t2.load(spark, Some(2L)).count() == 3L)
   }
 
+  test("round-11 distributed checkpoints: parquet and JSONL " +
+    "checkpoint replays are indistinguishable from raw-commit " +
+    "replay across appends, CoW/MoR deletes, restore and " +
+    "property changes — per version, order included") {
+    // forced-parquet table (threshold 1): every checkpoint ships
+    // its file-state through a Spark job
+    val dir = s"${tmp()}/t"
+    val t = new LogTable(dir, checkpointInterval = 2)
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("k", "v"))          // v0
+    t.setTableProperties(
+      Map("graft.checkpoint.parquetThreshold" -> "1"))          // v1
+    t.append(Seq((3L, "c")).toDF("k", "v"))                     // v2 ckpt
+    t.deleteMor(spark, col("k") === 1L)                         // v3 (DV)
+    t.append(Seq((4L, "d")).toDF("k", "v"))                     // v4 ckpt
+    t.delete(spark, col("k") === 3L)                            // v5 (CoW)
+    t.restore(2L)                                               // v6 ckpt
+    t.append(Seq((5L, "e")).toDF("k", "v"))                     // v7
+    val logFiles = new File(dir, "_log").listFiles().map(_.getName)
+    assert(logFiles.exists(_.endsWith(".ckpt.parquet")), logFiles.toSeq)
+    assert(!logFiles.exists(_.endsWith(".ckpt.adds.jsonl")))
+    // headers are O(schema), never O(#files): no embedded adds
+    val header = java.nio.file.Files.readString(
+      new File(dir, "_log").listFiles()
+        .filter(_.getName.endsWith(".ckpt.json")).head.toPath)
+    assert(!header.contains("\"adds\""), "header embeds the file state")
+    val viaCkpt = new LogTable(dir)
+    val rawReplay = new LogTable(dir)
+    rawReplay.ignoreCheckpointsForTest = true
+    viaCkpt.versions.foreach { v =>
+      assert(viaCkpt.liveAdds(Some(v)) == rawReplay.liveAdds(Some(v)),
+        s"parquet-checkpoint replay diverges from raw replay at v$v")
+      assert(viaCkpt.schemaAt(v) == rawReplay.schemaAt(v))
+    }
+    assert(viaCkpt.tableProperties == rawReplay.tableProperties)
+    assert(rows(viaCkpt.load(spark)) ==
+      Set((1L, "a"), (2L, "b"), (3L, "c"), (5L, "e")))
+    // default-threshold twin: small tables keep the zero-job JSONL
+    // sidecar, same equivalence contract
+    val dir2 = s"${tmp()}/t"
+    val s = new LogTable(dir2, checkpointInterval = 2)
+    s.append(Seq((1L, "x")).toDF("k", "v"))                     // v0
+    s.append(Seq((2L, "y")).toDF("k", "v"))                     // v1
+    s.deleteMor(spark, col("k") === 1L)                         // v2 ckpt
+    s.append(Seq((3L, "z")).toDF("k", "v"))                     // v3
+    val names2 = new File(dir2, "_log").listFiles().map(_.getName)
+    assert(names2.exists(_.endsWith(".ckpt.adds.jsonl")), names2.toSeq)
+    assert(!names2.exists(_.endsWith(".ckpt.parquet")))
+    val viaJsonl = new LogTable(dir2)
+    val raw2 = new LogTable(dir2)
+    raw2.ignoreCheckpointsForTest = true
+    viaJsonl.versions.foreach { v =>
+      assert(viaJsonl.liveAdds(Some(v)) == raw2.liveAdds(Some(v)),
+        s"JSONL-checkpoint replay diverges from raw replay at v$v")
+    }
+  }
+
+  test("round-11 metadata scale: a 100k-file snapshot checkpoints " +
+    "as multi-part parquet through a Spark job and replays — the " +
+    "driver never renders or parses the state as one string") {
+    import graft.sources.{AddFile, ColStats}
+    val dir = s"${tmp()}/t"
+    val t = new LogTable(dir, checkpointInterval = 1)
+    t.append(Seq((1L, "a")).toDF("k", "v"))                     // v0
+    val fakes = (0 until 100000).map { i =>
+      AddFile(f"data/fake-$i%06d.parquet", rows = 10L, bytes = 512L,
+        stats = Map("k" -> ColStats(Some(i * 10L), Some(i * 10L + 9L), 0L)))
+    }
+    t.registerFiles(fakes)                                      // v1 ckpt
+    val log = new File(dir, "_log")
+    val pq = log.listFiles().filter(_.getName.endsWith(".ckpt.parquet"))
+    assert(pq.length == 1, log.listFiles().map(_.getName).toSeq)
+    assert(pq.head.isDirectory &&
+      pq.head.listFiles().exists(_.getName.endsWith(".parquet")))
+    // the header stays tiny — O(schema), demonstrably not O(#files)
+    val headerBytes = log.listFiles()
+      .filter(_.getName.endsWith(".ckpt.json")).map(_.length()).max
+    assert(headerBytes < 10000L, s"checkpoint header is $headerBytes B")
+    // a fresh reader resolves the full state through the parquet
+    // checkpoint, order preserved
+    val fresh = new LogTable(dir)
+    val adds = fresh.liveAdds()
+    assert(adds.size == 100001)
+    assert(adds.tail.map(_.path) == fakes.map(_.path))
+    assert(adds.tail.head.stats("k") == ColStats(Some(0L), Some(9L), 0L))
+    // stats survive the round trip at the far end too
+    assert(adds.last.stats("k") ==
+      ColStats(Some(999990L), Some(999999L), 0L))
+  }
+
   test("two writers over the same table: both appends land under " +
     "distinct versions (optimistic retry)") {
     val dir = s"${tmp()}/t"
