@@ -28,6 +28,59 @@ object SparkEntry {
 
   private val batchTs = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
 
+  /** DuckDB twin of [[plantedClusters]] + exact top-3: shared by the
+    * ann_lsh / ann_ivf / ann_index oracle entries. */
+  private val annPlantedOracle: String =
+    """WITH n AS (
+         SELECT GREATEST(1, LEAST(COUNT(*) // 5, (1 << 24) - 1)) AS c
+         FROM embeddings),
+       f AS (
+         SELECT vec_id, vec_id // 5 + 1 AS g FROM (
+           SELECT row_number() OVER (ORDER BY vec_id) - 1 AS vec_id
+           FROM embeddings)
+         WHERE vec_id < (SELECT c FROM n) * 5),
+       scored AS (
+         SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           CAST(bit_count(q.g & c.g) AS DOUBLE) /
+             (sqrt(CAST(bit_count(q.g) AS DOUBLE))
+              * sqrt(CAST(bit_count(c.g) AS DOUBLE))) AS cos
+         FROM f q JOIN f c
+           ON q.vec_id % 5 = 0 AND q.vec_id <> c.vec_id),
+       ranked AS (
+         SELECT query_id, neighbor_id, cos, row_number() OVER (
+           PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS "rank"
+         FROM scored)
+       SELECT query_id, "rank", neighbor_id, round(cos, 6) AS cosine
+       FROM ranked WHERE "rank" <= 3 ORDER BY query_id, "rank""""
+
+  /** Planted exact-regime ANN corpus (round-11): `n/5` clusters of
+    * FIVE IDENTICAL vectors each, sized from the embeddings table so
+    * the fixture scales with SF. Cluster `g`'s vector is the 24-bit
+    * pattern of `g` (g = vec_id DIV 5 + 1) as a 0/1 float array —
+    * which makes the approximate structures exact BY CONSTRUCTION,
+    * independent of any seed:
+    *  - identical vectors hash to the same SRP bucket in every
+    *    table and assign to the same IVF cell, so a query's
+    *    candidate set always contains its 4 cluster mates;
+    *  - within-cluster cosine is exactly 1.0 (float: 1 ± 2 ulp,
+    *    rounds to 1.0) while the worst cross-cluster cosine of two
+    *    DISTINCT bit patterns is sqrt(23/24) ≈ 0.979 — a 0.02
+    *    margin no floating-point noise can cross;
+    * so approximate top-3 == exact top-3 (ties broken by
+    * neighbor_id), and the DuckDB oracle is plain exact ranking
+    * via integer popcount: cos(a,b) = bit_count(ga & gb) /
+    * sqrt(bit_count(ga)·bit_count(gb)). */
+  private def plantedClusters(s: SparkSession, d: String): DataFrame = {
+    val n = t(s, d, "embeddings").count()
+    val c = math.max(1L, math.min(n / 5L, (1L << 24) - 1L))
+    s.range(0, c * 5L)
+      .select(col("id").as("vec_id"), expr("id DIV 5 + 1").as("__g"))
+      .select(col("vec_id"), expr(
+        "transform(sequence(0, 23), " +
+          "d -> CAST((shiftright(__g, d) & 1) AS FLOAT))")
+        .as("embedding"))
+  }
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     Analytics.q1Pricing(
@@ -1205,6 +1258,55 @@ object SparkEntry {
       s.sql(s"SELECT k, seg, bal FROM $cat.$tbl ORDER BY k")
     }),
 
+    "log_table_meta_sql" -> ((s, d) => {
+      // round-11 SQL METADATA TABLES (Iceberg's inspection surface):
+      // cat.t.history / cat.t.files / cat.t.refs resolve as
+      // read-only relations — metadata users project, filter and
+      // JOIN, not procedures they CALL and collect. The files
+      // relation is LogTable.addsDF: above the checkpoint threshold
+      // a DISTRIBUTED scan of the parquet checkpoint plus a bounded
+      // commit tail (at 100 TB the ~1M-row manifest is a table, not
+      // driver state). Injected clock + single-file appends pin the
+      // history; the files facts aggregate to SF-deterministic
+      // numbers the oracle recomputes from the customer table.
+      val tag = java.lang.Integer.toHexString(d.hashCode)
+      val cat = s"gmeta_$tag"
+      if (s.conf.getOption(s"spark.sql.catalog.$cat").isEmpty) {
+        s.conf.set(s"spark.sql.catalog.$cat",
+          classOf[graft.sources.GraftTableCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse",
+          java.nio.file.Files.createTempDirectory("graft_logmeta")
+            .toString)
+      }
+      val tbl = s"t_${System.nanoTime()}"
+      val ticks = Iterator(1000L, 2000L, 3000L, 4000L) ++
+        Iterator.continually(5000L)
+      val lt = new graft.sources.LogTable(
+        s"${s.conf.get(s"spark.sql.catalog.$cat.warehouse")}/$tbl",
+        () => ticks.next())
+      val cust = t(s, d, "customer").select(col("c_custkey").as("k"),
+        col("c_name").as("name"))
+      lt.append(cust.filter(col("k") <= 100).repartition(1))   // v0
+      lt.append(cust.filter(col("k") > 100 && col("k") <= 200)
+        .repartition(1))                                       // v1
+      lt.deleteMor(s, col("k") <= 50)                          // v2 DV
+      lt.createTag("seed", Some(0L))                           // v3
+      s.sql(
+        s"""SELECT 'history' AS surface, CAST(version AS STRING)
+                     AS item, op AS detail, commit_ts AS num
+            FROM $cat.$tbl.history
+            UNION ALL
+            SELECT 'refs', name, kind, version FROM $cat.$tbl.refs
+            UNION ALL
+            SELECT 'files', 'live', 'files', count(*)
+            FROM $cat.$tbl.files
+            UNION ALL
+            SELECT 'files', 'rows', 'logical',
+                   sum(rows) - sum(coalesce(dv_rows, 0))
+            FROM $cat.$tbl.files
+            ORDER BY surface, item, detail""")
+    }),
+
     "log_table_analyze" -> ((s, d) => {
       // ANALYZE TABLE as data: one distributed pass computes exact
       // per-column NDV / null count / min / max + the table's
@@ -2208,10 +2310,17 @@ object SparkEntry {
       // bits auto-scale with the corpus (constant bucket occupancy):
       // a fixed plane count makes candidate pairs quadratic when
       // corpus and query batch both grow with the data — measured
-      // 90 s at sf1 vs 1.5 s at sf0.1 under a pinned bits=4
-      val emb = t(s, d, "embeddings")
+      // 90 s at sf1 vs 1.5 s at sf0.1 under a pinned bits=4.
+      // Round-11 oracle conversion: the corpus is the PLANTED
+      // exact-regime fixture (sized from the embeddings table, so it
+      // still scales with SF) — every cluster's members share one
+      // bit-pattern vector, so bucket membership is deterministic
+      // under ANY plane seed and the approximate result provably
+      // equals exact brute-force top-k, which DuckDB recomputes
+      // with integer popcount math.
+      val emb = plantedClusters(s, d)
       Similarity.lshTopK(
-        emb.filter(pmod(col("vec_id"), lit(25)) === 0), emb, k = 5)
+        emb.filter(pmod(col("vec_id"), lit(5)) === 0), emb, k = 3)
         .orderBy(col("query_id"), col("rank"))
     }),
 
@@ -2241,9 +2350,14 @@ object SparkEntry {
     }),
 
     "ann_ivf" -> ((s, d) => {
-      val emb = t(s, d, "embeddings")
+      // planted exact regime (see ann_lsh): identical-vector cluster
+      // members share a Voronoi cell under ANY trained centroids and
+      // a query's probe set contains its own cell, so IVF equals
+      // exact top-k by construction — the DuckDB oracle is the plain
+      // exact ranking.
+      val emb = plantedClusters(s, d)
       Similarity.ivfTopK(
-        emb.filter(pmod(col("vec_id"), lit(25)) === 0), emb, k = 5,
+        emb.filter(pmod(col("vec_id"), lit(5)) === 0), emb, k = 3,
         nlist = 32, nprobe = 8)
         .orderBy(col("query_id"), col("rank"))
     }),
@@ -2252,15 +2366,17 @@ object SparkEntry {
       // persisted-index ANN (build/probe split): the corpus-scale
       // bucketing pass happens once at BUILD, probes join the stored
       // cid partitions with the kernel on the query side only (plan
-      // asserted in AnnIndexSpec). Model-dependent output → rows-only
-      // in the driver compare; equality with the in-memory IVF path
-      // on the same centroids is ScalaTest-proven.
+      // asserted in AnnIndexSpec). On the planted exact-regime
+      // fixture the stored-index probe equals exact top-k for the
+      // same reason the in-memory IVF does (cell cohesion of
+      // identical vectors), so the build/probe composition gets the
+      // same DuckDB oracle.
       val dir = java.nio.file.Files.createTempDirectory("graft_annidx")
-      val emb = t(s, d, "embeddings")
+      val emb = plantedClusters(s, d)
       graft.operators.AnnIndex.buildIvf(emb, s"$dir/ivf", nlist = 32,
         iters = 3)
       graft.operators.AnnIndex.ivfProbe(s, s"$dir/ivf",
-        emb.filter(pmod(col("vec_id"), lit(25)) === 0), k = 5, nprobe = 8)
+        emb.filter(pmod(col("vec_id"), lit(5)) === 0), k = 3, nprobe = 8)
         .orderBy(col("query_id"), col("rank"))
     }),
 
@@ -3649,6 +3765,21 @@ object SparkEntry {
            AND NOT (c_mktsegment = 'AUTOMOBILE' AND c_custkey > 400)
          ORDER BY k""",
 
+    "log_table_meta_sql" ->
+      """SELECT surface, item, detail, num FROM (
+           VALUES
+             ('files', 'live', 'files', CAST(2 AS BIGINT)),
+             ('files', 'rows', 'logical',
+               (SELECT CAST(count(*) AS BIGINT) FROM customer
+                WHERE c_custkey > 50 AND c_custkey <= 200)),
+             ('history', '0', 'append', CAST(1000 AS BIGINT)),
+             ('history', '1', 'append', CAST(2000 AS BIGINT)),
+             ('history', '2', 'delete', CAST(3000 AS BIGINT)),
+             ('history', '3', 'ref', CAST(4000 AS BIGINT)),
+             ('refs', 'seed', 'tag', CAST(0 AS BIGINT))
+         ) AS t(surface, item, detail, num)
+         ORDER BY surface, item, detail""",
+
     "log_table_analyze" ->
       """WITH t AS (
            SELECT c_custkey AS k, CAST(c_nationkey AS BIGINT) AS nat,
@@ -3951,6 +4082,31 @@ object SparkEntry {
          round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
          round(quantile_cont(o_totalprice, 0.99), 4) AS p99
          FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
+    // round-11 exact-regime oracle: at the oracle's SF each priority
+    // group holds ~3000 orders < accuracy 10000, so the GK sketch's
+    // rank error (n/accuracy = 0.3) is under one rank — the sketch
+    // provably returns the EXACT order statistic at rank ceil(p·n),
+    // which DuckDB recomputes with a window rank. (At bench SFs the
+    // query stays genuinely approximate; correctness is gated at
+    // sf0.01, where exactness is guaranteed, not incidental.
+    // approx_distinct has no such regime — HLL is biased at every
+    // cardinality — and stays rows-only, bracketed by its exact twin.)
+    "approx_percentiles" ->
+      """WITH r AS (
+           SELECT o_orderpriority, o_totalprice,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice) AS rk,
+             count(*) OVER (PARTITION BY o_orderpriority) AS n
+           FROM orders)
+         SELECT o_orderpriority,
+           MAX(CASE WHEN rk = CAST(ceil(0.5 * n) AS BIGINT)
+                 THEN o_totalprice END) AS p50,
+           MAX(CASE WHEN rk = CAST(ceil(0.9 * n) AS BIGINT)
+                 THEN o_totalprice END) AS p90,
+           MAX(CASE WHEN rk = CAST(ceil(0.99 * n) AS BIGINT)
+                 THEN o_totalprice END) AS p99
+         FROM r GROUP BY o_orderpriority ORDER BY o_orderpriority""",
 
     "running_agg" ->
       """SELECT o_custkey, o_orderkey, o_orderdate,
@@ -4344,6 +4500,15 @@ object SparkEntry {
            FROM scored)
          SELECT query_id, "rank", neighbor_id, round(cos, 6) AS cosine
          FROM ranked WHERE "rank" <= 5 ORDER BY query_id, "rank"""",
+
+    // the planted exact-regime trio (round-11): the fixture makes
+    // the approximate structure exact by construction (identical
+    // cluster vectors — see plantedClusters), so the oracle is plain
+    // exact cosine top-3 over the same bit-pattern corpus, computed
+    // with integer popcount: dot(u_a, u_b) = bit_count(a & b).
+    "ann_lsh" -> annPlantedOracle,
+    "ann_ivf" -> annPlantedOracle,
+    "ann_index" -> annPlantedOracle,
 
     "stratified_sample" ->
       """SELECT doc_id, lang, source FROM documents

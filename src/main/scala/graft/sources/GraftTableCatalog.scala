@@ -125,9 +125,30 @@ class GraftTableCatalog extends TableCatalog with ProcedureCatalog {
     }
   }
 
+  /** `cat.t.history` / `cat.t.files` / `cat.t.refs` — Iceberg's
+    * metadata-inspection surface: a dotted identifier whose base
+    * resolves to a log table and whose leaf names a metadata
+    * surface serves that surface as a read-only relation (see
+    * [[GraftMetadataTables]]). A REAL table at the physical path
+    * always shadows the metadata name — this resolver only runs
+    * after the direct lookup missed. */
+  private def metadataOf(ident: Identifier): Option[Table] = {
+    val ns = ident.namespace()
+    if (ns.isEmpty ||
+        !GraftMetadataTables.surfaces.contains(ident.name())) None
+    else {
+      val baseDir = dirOf(Identifier.of(ns.dropRight(1), ns.last))
+      if (manifestLine(baseDir).isEmpty && isLogTable(baseDir))
+        Some(GraftMetadataTables(
+          s"$catalogName.${ns.last}.${ident.name()}",
+          ident.name(), new LogTable(baseDir.toString)))
+      else None
+    }
+  }
+
   override def tableExists(ident: Identifier): Boolean =
     manifestLine(dirOf(ident)).isDefined || isLogTable(dirOf(ident)) ||
-      branchOf(ident).isDefined
+      branchOf(ident).isDefined || metadataOf(ident).isDefined
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     val base = new java.io.File((warehouse +: namespace.toSeq).mkString("/"))
@@ -154,7 +175,10 @@ class GraftTableCatalog extends TableCatalog with ProcedureCatalog {
       case None => branchOf(ident) match {
         case Some(bt) => // branch-addressed R/W table (WAP staging)
           new GraftLogTableV2(s"$catalogName.${ident.name()}", bt)
-        case None => throw new NoSuchTableException(ident)
+        case None => metadataOf(ident) match {
+          case Some(mt) => mt // cat.t.history / .files / .refs
+          case None     => throw new NoSuchTableException(ident)
+        }
       }
       case Some(line) if !line.contains('|') => // CoW sink
         readTable(ident, s"$dir/v=$line")

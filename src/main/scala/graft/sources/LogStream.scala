@@ -217,7 +217,9 @@ private[sources] final class LogStreamSource(ctx: SQLContext, log: LogTable,
                                                Option[Long] = None,
                                              startingVersion:
                                                Option[Long] = None)
-  extends Source {
+  extends Source
+  with org.apache.spark.sql.connector.read.streaming
+    .SupportsTriggerAvailableNow {
 
   override val schema: StructType =
     if (readChangeFeed)
@@ -249,10 +251,17 @@ private[sources] final class LogStreamSource(ctx: SQLContext, log: LogTable,
     * At least one data commit is always admitted, so an oversized
     * single commit still makes progress. Metadata-only commits ride
     * along free (they add no read work). */
-  override def getOffset: Option[Offset] = {
+  override def getOffset: Option[Offset] = offeredEnd().map(LongOffset(_))
+
+  private def offeredEnd(): Option[Long] = {
     val headOpt = log.currentVersion
+      // Trigger.AvailableNow pins the head at prepare time: commits
+      // landing DURING the drain are excluded (Delta's rule — the
+      // trigger's contract is "data available when the query
+      // started", then stop)
+      .map(h => availableNowCap.fold(h)(math.min(h, _)))
     if (headOpt.isEmpty)
-      return if (pointer < 0) None else Some(LongOffset(pointer))
+      return if (pointer < 0) None else Some(pointer)
     val head = headOpt.get
     val end =
       if (maxFilesPerTrigger.isEmpty && maxBytesPerTrigger.isEmpty) head
@@ -284,7 +293,45 @@ private[sources] final class LogStreamSource(ctx: SQLContext, log: LogTable,
         }
         last
       }
-    if (end < 0) None else Some(LongOffset(end))
+    if (end < 0) None else Some(end)
+  }
+
+  /** `Trigger.AvailableNow` (round-11, the standard backfill idiom:
+    * drain everything available at start, respecting the rate
+    * limits, then stop). The source implements the engine's
+    * [[org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow]]
+    * contract DIRECTLY — the generic wrapper Spark would otherwise
+    * apply pins the FIRST `getOffset` answer as the final target,
+    * which under `maxFilesPerTrigger` is one budgeted batch, not the
+    * backlog. Here `prepare` pins the HEAD, and the budget walk
+    * admits batch after batch up to it; when the committed offset
+    * reaches the cap the next poll reports no new data and the query
+    * terminates. Implementing the interface routes EVERY trigger
+    * through [[latestOffset]] (Spark matches admission-control
+    * sources first), which delegates to the same walk `getOffset`
+    * uses — one code path, every trigger. */
+  private var availableNowCap: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(log.currentVersion.getOrElse(-1L))
+
+  override def getDefaultReadLimit
+      : org.apache.spark.sql.connector.read.streaming.ReadLimit =
+    org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable()
+
+  override def latestOffset(
+      start: org.apache.spark.sql.connector.read.streaming.Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit)
+      : org.apache.spark.sql.connector.read.streaming.Offset = {
+    // the engine's view of the last end-offset seeds the admission
+    // base (this source's own limits do the budgeting; the passed
+    // ReadLimit is always allAvailable per getDefaultReadLimit)
+    start match {
+      case l: LongOffset       => pointer = math.max(pointer, l.offset)
+      case s: SerializedOffset => pointer = math.max(pointer, ver(s))
+      case _                   => ()
+    }
+    offeredEnd().map(LongOffset(_)).orNull
   }
 
   override def commit(end: Offset): Unit =

@@ -744,6 +744,88 @@ final class LogTable(val path: String,
     * against. Never set outside tests. */
   private[graft] var ignoreCheckpointsForTest: Boolean = false
 
+  /** The live-file manifest at `version` as a DISTRIBUTED DataFrame
+    * — the metadata-as-a-relation surface (`SELECT * FROM
+    * cat.t.files`, Iceberg's inspection-table idea). Above the
+    * parquet-checkpoint threshold this never materializes the file
+    * list on the driver: the newest parquet checkpoint is read as an
+    * ordinary distributed scan and only the post-checkpoint commit
+    * TAIL (bounded by checkpointInterval) folds on the driver — at
+    * the 100-TB target the ~1M-row manifest is a table users join
+    * against, not driver state. Columns: path, rows, bytes,
+    * partition_values, dv_path, dv_rows, base_row_id, stats (the
+    * commit log's own JSON rendering). */
+  def addsDF(spark: SparkSession, version: Option[Long] = None)
+      : DataFrame = {
+    val v = version.orElse(currentVersion).getOrElse(
+      throw new IllegalStateException(s"no log table at $path"))
+    val enc = org.apache.spark.sql.Encoders.product[CkptAdd]
+    val ckptBase: Option[(Long, DataFrame)] =
+      if (ignoreCheckpointsForTest) None
+      else newestCkptAtOrBefore(v)
+        .filter(c => ckptAddsFormat(c).contains("parquet"))
+        .map(c => c -> spark.read.parquet(ckptParquetDir(c).getPath))
+    val manifest = ckptBase match {
+      case Some((c, base)) if c == v => base
+      case Some((c, base)) =>
+        // fold the commit tail: latest action per path wins — a
+        // re-added path (DV update, restore) REPLACES its base row,
+        // a removed one drops it, everything else carries through
+        val delta = scala.collection.mutable.LinkedHashMap
+          .empty[String, Option[AddFile]]
+        (c + 1 to v).foreach { cv =>
+          readActions(logFile(cv)).foreach { j =>
+            if ((j \ "add") != JNothing) {
+              val a = parseAdd(j \ "add"); delta(a.path) = Some(a)
+            }
+            if ((j \ "remove") != JNothing)
+              delta((j \ "remove" \ "path")
+                .asInstanceOf[JString].s) = None
+          }
+        }
+        val touched = delta.keys.toSeq
+        val alive = delta.values.flatten.toSeq
+        val kept =
+          if (touched.isEmpty) base
+          else base.filter(!col("path").isin(touched: _*))
+        kept.unionByName(spark.createDataset(
+          alive.zipWithIndex.map { case (a, i) =>
+            encodeCkptAdd(Long.MaxValue - alive.size + i, a) })(enc)
+          .toDF())
+      case None =>
+        // below the threshold (or no parquet checkpoint yet) the
+        // snapshot is small by construction — serve the driver seq
+        spark.createDataset(snapshotAt(v).adds.zipWithIndex
+          .map { case (a, i) => encodeCkptAdd(i.toLong, a) })(enc)
+          .toDF()
+    }
+    manifest
+      .withColumnRenamed("partitionValues", "partition_values")
+      .withColumnRenamed("dvPath", "dv_path")
+      .withColumnRenamed("dvRows", "dv_rows")
+      .withColumnRenamed("baseRowId", "base_row_id")
+      .withColumnRenamed("statsJson", "stats")
+      .drop("idx")
+  }
+
+  /** Newest checkpoint version at-or-before `v` (pointer fast path,
+    * listing fallback) — the same discovery replay uses. */
+  private def newestCkptAtOrBefore(v: Long): Option[Long] =
+    lastCheckpointVersion.filter(_ <= v).orElse(
+      listLogDir()
+        .filter(_.getName.endsWith(".ckpt.json"))
+        .map(_.getName.stripSuffix(".ckpt.json").toLong).filter(_ <= v)
+        .sorted.lastOption)
+
+  /** A checkpoint's adds format from its header ("parquet", "jsonl",
+    * or None for a legacy embedded-adds header). */
+  private def ckptAddsFormat(v: Long): Option[String] =
+    (JsonMethods.parse(Files.readString(ckptFile(v).toPath))
+        \ "addsFormat") match {
+      case JString(s) => Some(s)
+      case _          => None
+    }
+
   /** Resolve a logged file reference: paths are table-relative for
     * files this table wrote, ABSOLUTE for files referenced from
     * another table by a shallow [[cloneFrom]]. */

@@ -153,4 +153,63 @@ class Dsv2CatalogSpec extends SparkSpec {
     assert(spark.conf.get(readKey) == "true")
     assert(spark.conf.get(writeKey) == "true")
   }
+
+  test("round-11 metadata tables: cat.t.history / .files / .refs " +
+    "serve table metadata as read-only relations users join " +
+    "against (Iceberg's inspection surface)") {
+    val wh = tmp("dsv2meta")
+    val ticks = Iterator(1000L, 2000L, 3000L, 4000L, 5000L) ++
+      Iterator.continually(6000L)
+    val t = new graft.sources.LogTable(s"$wh/t", () => ticks.next())
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+      .repartition(1))                                       // v0
+    t.append(Seq((3L, "c")).toDF("k", "v"))                  // v1
+    t.deleteMor(spark, col("k") === 1L)                      // v2 (DV)
+    t.createTag("rel", Some(1L))
+    t.createBranch("dev")
+    val cat = freshCatalog(wh)
+    // history: one row per commit, the audit columns
+    val hist = spark.sql(s"SELECT version, commit_ts, op FROM " +
+      s"$cat.t.history ORDER BY version")
+      .as[(Long, Long, String)].collect().toSeq
+    assert(hist.map(_._1) == (0L to 4L))
+    assert(hist.take(3).map(_._3) == Seq("append", "append", "delete"))
+    assert(hist.head._2 == 1000L)
+    // files: the live manifest as a relation — join it, filter it
+    val files = spark.sql(s"SELECT path, rows, dv_rows FROM " +
+      s"$cat.t.files ORDER BY path")
+    assert(files.count() == t.liveAdds().size.toLong)
+    assert(spark.sql(
+      s"SELECT sum(rows) FROM $cat.t.files").as[Long].head() ==
+      t.liveAdds().map(_.rows).sum)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t.files " +
+      "WHERE dv_path IS NOT NULL").as[Long].head() == 1L)
+    // a metadata relation JOINs like any other table
+    assert(spark.sql(
+      s"""SELECT count(*) FROM $cat.t.files f
+          JOIN $cat.t.history h ON h.n_added > 0""").as[Long].head()
+      >= files.count())
+    // refs: tags and branches with their versions
+    val refs = spark.sql(s"SELECT name, kind, version FROM " +
+      s"$cat.t.refs ORDER BY name")
+      .as[(String, String, Long)].collect().toSeq
+    assert(refs.map(r => (r._1, r._2)) ==
+      Seq(("dev", "branch"), ("rel", "tag")))
+    assert(refs.find(_._1 == "rel").get._3 == 1L)
+    // metadata tables are read-only and reflect CURRENT state on
+    // each query (no plan-time pinning)
+    intercept[Exception](spark.sql(
+      s"INSERT INTO $cat.t.refs VALUES ('x', 'tag', 0)").collect())
+    t.append(Seq((9L, "z")).toDF("k", "v"))
+    assert(spark.sql(s"SELECT max(version) FROM $cat.t.history")
+      .as[Long].head() == 5L)
+    // a REAL table shadows the metadata name
+    val shadow = new graft.sources.LogTable(s"$wh/t2/files")
+    shadow.append(Seq((7L, "s")).toDF("k", "v"))
+    val t2 = new graft.sources.LogTable(s"$wh/t2")
+    assert(!t2.exists)
+    assert(spark.sql(s"SELECT k FROM $cat.t2.files").as[Long]
+      .collect().toSeq == Seq(7L),
+      "a real table at the physical path must shadow the surface")
+  }
 }

@@ -417,6 +417,45 @@ class LogStreamSpec extends SparkSpec {
       chain(e))
   }
 
+  test("round-11 Trigger.AvailableNow: the backfill idiom — drain " +
+    "everything available at start in rate-limited batches, " +
+    "terminate, and let a restart continue from the checkpoint") {
+    val base = tmp()
+    val dir = s"$base/t"
+    val ckpt = s"$base/ckpt"
+    val out = s"$base/out"
+    val t = new LogTable(dir)
+    (0 until 4).foreach(i =>
+      t.append(Seq((i.toLong, s"v$i")).toDF("k", "v").repartition(1)))
+    def drain(): Unit = {
+      val q = spark.readStream
+        .format(classOf[graft.sources.LogStreamProvider].getName)
+        .option("path", dir)
+        .option("maxFilesPerTrigger", "1").load()
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      assert(q.awaitTermination(120000),
+        "AvailableNow query did not terminate")
+    }
+    drain()
+    assert(spark.read.parquet(out).select("k").as[Long]
+      .collect().sorted.toSeq == (0L to 3L))
+    // the rate limit held across the drain: one 1-file commit per
+    // batch → one offset entry per commit
+    def batches(): Int = new java.io.File(s"$ckpt/offsets")
+      .listFiles().count(f => f.getName.forall(_.isDigit))
+    assert(batches() == 4, s"expected 4 rate-limited batches")
+    // restart after downtime commits: only the delta drains, again
+    // one commit per batch, and the query terminates again
+    t.append(Seq((4L, "v4")).toDF("k", "v").repartition(1))
+    t.append(Seq((5L, "v5")).toDF("k", "v").repartition(1))
+    drain()
+    assert(spark.read.parquet(out).select("k").as[Long]
+      .collect().sorted.toSeq == (0L to 5L))
+    assert(batches() == 6, s"restart must continue from the offset")
+  }
+
   test("round-11: startingVersion='latest' resolves ONCE — a " +
     "checkpointed restart after downtime serves the commits made " +
     "while the stream was down instead of re-resolving against the " +
