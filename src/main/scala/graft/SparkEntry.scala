@@ -906,7 +906,12 @@ object SparkEntry {
       // interleaved key ranges (stats prune nothing), then a layout
       // rebuild sorted by key — content identical (the oracle), file
       // ranges disjoint afterwards (skip counts asserted in
-      // LogTableSpec)
+      // LogTableSpec). Round-11: the maintenance pass after the next
+      // append is INCREMENTAL (liquid-style) — it rewrites only the
+      // appended file (cost ∝ new data, prior generations survive by
+      // identity — asserted, since a silent full rebuild would pass
+      // the content oracle), which is what keeps re-clustering a
+      // 100-TB table a routine call instead of a capital event
       val dir = java.nio.file.Files.createTempDirectory("graft_logclu")
       val lt = new graft.sources.LogTable(s"$dir/t")
       val cust = t(s, d, "customer")
@@ -915,7 +920,14 @@ object SparkEntry {
       (0 until 3).foreach(i =>
         lt.append(cust.filter(pmod(col("k"), lit(3)) === i)
           .repartition(1)))
-      lt.cluster(s, Seq("k"), nFiles = 3)
+      lt.clusterIncremental(s, Seq("k"), nFiles = 3) // full: no epoch
+      val gen1 = lt.liveAdds().map(_.path).toSet
+      lt.append(t(s, d, "customer")
+        .select(col("c_custkey").as("k"), col("c_name").as("name"))
+        .filter(col("k") > 300 && col("k") <= 400).repartition(1))
+      lt.clusterIncremental(s, Seq("k"), nFiles = 2) // ∝ the append
+      require(gen1.subsetOf(lt.liveAdds().map(_.path).toSet),
+        "incremental pass must not rewrite prior generations")
       lt.load(s).orderBy(col("k"))
     }),
 
@@ -3126,7 +3138,7 @@ object SparkEntry {
 
     "log_table_cluster" ->
       """SELECT CAST(c_custkey AS BIGINT) AS k, c_name AS name
-         FROM customer WHERE c_custkey <= 300
+         FROM customer WHERE c_custkey <= 400
          ORDER BY k""",
 
     "log_table_restore" ->

@@ -2310,7 +2310,9 @@ final class LogTable(val path: String,
                              identityUpdate: Map[String, IdentitySpec] =
                                Map.empty,
                              identityBasis:
-                               Option[Map[String, Option[Long]]] = None)
+                               Option[Map[String, Option[Long]]] = None,
+                             propertiesJson:
+                               Option[Map[String, String]] = None)
       : Long = {
     // recursive walk: a partitioned staging nests its part files
     // under hive dirs (p=x/...), which the move preserves so the
@@ -2394,7 +2396,8 @@ final class LogTable(val path: String,
       })
     try commitRetry(readVersion, removePaths, adds ++ extraAdds, op,
       schemaJson, cdfDir, txn, schemaBasis, tzJson = tzJson,
-      identityJson = identityJson, identityBasis = identityBasis)
+      identityJson = identityJson, identityBasis = identityBasis,
+      propertiesJson = propertiesJson)
     catch { case e: java.util.ConcurrentModificationException =>
       // a conflict OUT of the retry loop is terminal for THIS
       // attempt: the files this call already moved into data/ (and
@@ -2472,6 +2475,25 @@ final class LogTable(val path: String,
           throw new java.util.ConcurrentModificationException(
             s"conflicting commit: head moved from $expected to $head " +
               "while this metadata change was being validated"))
+      // SERIALIZABLE isolation (round-11, opt-in per table via
+      // `graft.isolationLevel` TBLPROPERTIES; the default stays
+      // Delta's WriteSerializable): a commit that DECLARED a read
+      // snapshot must land exactly on it — ANY interleaved commit,
+      // including a blind append the file-level rule would wave
+      // through, conflicts, because the outcome could depend on rows
+      // the transaction never read (a delete planned before an
+      // append of matching rows would silently miss them; under
+      // Serializable the caller re-plans against the new head and
+      // the result is AS IF the transaction ran after the append).
+      // Blind appends themselves declare no read and stay
+      // conflict-free under both levels, exactly as in Delta.
+      if (readVersion.isDefined && readVersion != head &&
+          head.exists(v => snapshotAt(v).properties
+            .get(LogTable.PropIsolation).contains("Serializable")))
+        throw new java.util.ConcurrentModificationException(
+          s"serializable isolation: commit(s) landed between the " +
+            s"read snapshot $readVersion and the head $head — " +
+            "re-read and retry")
       if (removePaths.nonEmpty && readVersion != head) {
         val headAdds = snapshotAt(head.getOrElse(-1L)).adds
           .map(a => a.path -> a).toMap
@@ -2674,17 +2696,8 @@ final class LogTable(val path: String,
         .write.mode("overwrite").parquet(tmp.getPath)
       Files.move(tmp.toPath, ckptParquetDir(v).toPath,
         StandardCopyOption.ATOMIC_MOVE)
-    } catch { case NonFatal(e) => deleteTree(tmp); throw e }
+    } catch { case NonFatal(e) => deleteRecursive(tmp); throw e }
     ()
-  }
-
-  /** Recursive best-effort delete (checkpoint parquet dirs and
-    * their in-flight tmp siblings are the only directory-shaped
-    * log entries). */
-  private def deleteTree(f: File): Unit = {
-    if (f.isDirectory) Option(f.listFiles()).toSeq.flatten
-      .foreach(deleteTree)
-    f.delete(); ()
   }
 
   /** Line-stream the adds to a JSONL sidecar — one rendered add per
@@ -3960,7 +3973,7 @@ final class LogTable(val path: String,
     val doomed =
       vs.filter(_ < floor).map(v => logFile(v)) ++
         listLogDir().filter(f => ckptVer(f.getName).exists(_ < floor))
-    doomed.foreach(deleteTree)
+    doomed.foreach(deleteRecursive)
     snapCache.clear()
     doomed.map(_.getName)
   }
@@ -4623,6 +4636,85 @@ final class LogTable(val path: String,
         !provablyNoMatch(a, base ++ derivedSafeFor(a, derived)))
     }.getOrElse(snap.adds)
     if (scope.isEmpty) return readVersion
+    clusterScope(spark, snap, readVersion, clusterBy, nFiles, scope,
+      propertiesJson = None)
+  }
+
+  /** Incremental (liquid-style) clustering: re-cluster ONLY the
+    * files that arrived since the last incremental pass — on a
+    * 100-TB table, periodic re-clustering must cost ∝ NEW data, not
+    * ∝ table (Delta liquid's core promise; a whole-table OPTIMIZE
+    * ZORDER is a capital event, not maintenance). The rewrite commit
+    * atomically records a layout-epoch marker in TBLPROPERTIES
+    * (`graft.cluster.layoutEpoch` = "cols|basisVersion"); the next
+    * pass skips files that were live at the recorded basis (the
+    * previous generations) plus the marker commit's own outputs, and
+    * rewrites everything else — appends since the epoch, racing
+    * writes the previous pass never saw, and files resurrected by
+    * RESTORE. Different cluster columns, an expired basis, or a
+    * missing marker fall back to the full rebuild. Newly-clustered
+    * files sort among THEMSELVES (their ranges may overlap older
+    * generations until a full pass merges them — liquid's same
+    * trade: incremental passes keep new data skippable, the
+    * occasional full pass globalizes the order). */
+  def clusterIncremental(spark: SparkSession, clusterBy: Seq[String],
+                         nFiles: Int): Long = {
+    require(clusterBy.nonEmpty && clusterBy.size <= 6,
+      s"cluster takes 1 to 6 columns, got ${clusterBy.size}")
+    val readVersion = currentVersion.getOrElse(
+      throw new IllegalStateException(s"no log table at $path"))
+    val snap = snapshotAt(readVersion)
+    val colsKey = clusterBy.mkString(",")
+    val skipped: Set[String] =
+      snap.properties.get(LogTable.PropClusterEpoch) match {
+        case Some(m) if m.takeWhile(_ != '|') == colsKey =>
+          try {
+            val basis = m.dropWhile(_ != '|').drop(1).toLong
+            // the marker commit (the previous incremental pass) is
+            // the optimize commit in (basis, head] whose properties
+            // action records exactly this marker — its adds are the
+            // previous pass's clustered outputs. Newest-first, one
+            // bounded metadata walk only on explicit OPTIMIZE calls.
+            val markerAdds = (readVersion to (basis + 1) by -1).iterator
+              .map { v =>
+                val as = readActions(logFile(v))
+                val setsMarker = as.exists(j => (j \ "properties") match {
+                  case JObject(fs) => fs.exists {
+                    case (k, JString(vv)) =>
+                      k == LogTable.PropClusterEpoch && vv == m
+                    case _ => false
+                  }
+                  case _ => false
+                })
+                if (setsMarker && commitOp(v) == "optimize")
+                  Some(as.collect { case j if (j \ "add") != JNothing =>
+                    parseAdd(j \ "add").path })
+                else None
+              }.collectFirst { case Some(ps) => ps }
+              .getOrElse(Seq.empty)
+            snapshotAt(basis).adds.map(_.path).toSet ++ markerAdds
+          } catch { case NonFatal(_) => Set.empty } // expired → full
+        case _ => Set.empty // no marker / different columns → full
+      }
+    val scope = snap.adds.filterNot(a => skipped.contains(a.path))
+    if (scope.isEmpty) return readVersion
+    clusterScope(spark, snap, readVersion, clusterBy, nFiles, scope,
+      propertiesJson = Some(snap.properties +
+        (LogTable.PropClusterEpoch -> s"$colsKey|$readVersion")))
+  }
+
+  /** Shared layout-rewrite tail of [[cluster]] /
+    * [[clusterIncremental]]: range-partition the scope on the key
+    * (single column) or on the Morton interleave of per-column
+    * normalized ranks (N columns), stage, and commit the swap as ONE
+    * `optimize` commit (no row-level change: streams skip it, the
+    * change feed is empty; `propertiesJson`, when set, rides the
+    * same commit — the epoch marker is atomic with the rewrite). */
+  private def clusterScope(spark: SparkSession, snap: Snapshot,
+                           readVersion: Long, clusterBy: Seq[String],
+                           nFiles: Int, scope: Seq[AddFile],
+                           propertiesJson: Option[Map[String, String]])
+      : Long = {
     val df = rewriteSource(spark, snap, scope)
     val staged = new File(newStagingDir())
     val laidOut = clusterBy match {
@@ -4654,7 +4746,7 @@ final class LogTable(val path: String,
     stagedWriter(laidOut).parquet(staged.toString)
     finalizeStaged(spark, staged, snap.schema, scope.map(_.path),
       op = "optimize", readVersion = Some(readVersion), schemaJson = None,
-      cdfDir = None)
+      cdfDir = None, propertiesJson = propertiesJson)
   }
 
   /** Physically drop files referenced ONLY by expired versions:
@@ -4833,6 +4925,18 @@ object LogTable {
 
   /** TBLPROPERTIES keys [[LogTable.analyze]] commits its results
     * under (read back by [[LogTable.columnStatistics]]). */
+  /** Isolation level TBLPROPERTIES key: unset/"WriteSerializable"
+    * (the default — Delta's level: file-level conflict revalidation,
+    * blind appends never conflict) or "Serializable" (a commit
+    * declaring a read snapshot fails on ANY interleaved commit,
+    * blind appends included). */
+  val PropIsolation = "graft.isolationLevel"
+
+  /** Layout-epoch marker of [[LogTable.clusterIncremental]]:
+    * `"<cols>|<basisVersion>"`, committed atomically with the
+    * incremental rewrite it describes. */
+  val PropClusterEpoch = "graft.cluster.layoutEpoch"
+
   val PropStatsVersion = "graft.stats.version"
   val PropStatsRows = "graft.stats.rows"
   val PropStatsCols = "graft.stats.cols"

@@ -252,4 +252,62 @@ class ClusterBySpec extends SparkSpec {
       spark.conf.unset("spark.sql.catalog.gclw.warehouse")
     }
   }
+
+  test("round-11 incremental (liquid-style) clustering: the second " +
+    "OPTIMIZE rewrites only the files that arrived since the epoch " +
+    "— cost ∝ new data, prior generations untouched; a no-delta " +
+    "call is a no-op; changed columns fall back to a full rebuild") {
+    val dir = s"${tmp()}/t"
+    val t = new LogTable(dir)
+    // three fully interleaved appends: stats prune nothing before
+    // clustering
+    (0 until 3).foreach(i => t.append(
+      shuffled(0, 299).filter(pmod(col("k"), lit(3)) === i)
+        .repartition(1)))
+    // pass 1: no marker → full rebuild, marker committed atomically
+    t.clusterIncremental(spark, Seq("k"), 3)
+    val gen1 = t.liveAdds().map(_.path).toSet
+    assert(gen1.size == 3)
+    assert(t.tableProperties(graft.sources.LogTable.PropClusterEpoch)
+      .startsWith("k|"))
+    // new data lands (one file), plus nothing else
+    t.append(shuffled(300, 399).repartition(1))
+    val appended =
+      (t.liveAdds().map(_.path).toSet -- gen1).head
+    // pass 2: rewrites ONLY the appended file — every generation-1
+    // file survives BY IDENTITY (the ∝-new-data claim), the
+    // appended file retires, and its replacements carry disjoint
+    // k-ranges among themselves off the committed stats
+    val v2 = t.clusterIncremental(spark, Seq("k"), 2)
+    assert(t.commitOp(v2) == "optimize")
+    val after = t.liveAdds().map(_.path).toSet
+    assert(gen1.subsetOf(after),
+      "a prior-generation file was rewritten by the incremental pass")
+    assert(!after.contains(appended), "the new file must re-cluster")
+    val newBounds = t.liveAdds().filterNot(a => gen1.contains(a.path))
+      .map { a =>
+        val st = a.stats("k")
+        (st.min.get.asInstanceOf[Long], st.max.get.asInstanceOf[Long])
+      }.sortBy(_._1)
+    newBounds.sliding(2).foreach {
+      case Seq((_, hi), (lo, _)) => assert(hi <= lo,
+        s"incremental outputs overlap: $newBounds")
+      case _ => ()
+    }
+    // content invariant across both passes
+    assert(t.load(spark).select("k").as[Long].collect().sorted.toSeq
+      == (0L to 399L))
+    // nothing new → no-op (no commit)
+    assert(t.clusterIncremental(spark, Seq("k"), 2)
+      == t.currentVersion.get)
+    assert(t.commitOp(t.currentVersion.get) == "optimize")
+    // different cluster columns → the marker doesn't apply: full
+    // rebuild rewrites every live file
+    val v3 = t.clusterIncremental(spark, Seq("v"), 2)
+    assert(t.commitOp(v3) == "optimize")
+    assert((t.liveAdds().map(_.path).toSet intersect after).isEmpty,
+      "a column change must trigger a full rebuild")
+    assert(t.tableProperties(graft.sources.LogTable.PropClusterEpoch)
+      .startsWith("v|"))
+  }
 }

@@ -81,6 +81,58 @@ class LogProtocolSpec extends SparkSpec {
       .forall(!_.getName.startsWith(".tmp")))
   }
 
+  test("round-11 Serializable isolation: the SAME forced interleave " +
+    "— a blind append racing a read-declaring commit — sails under " +
+    "the default WriteSerializable and refuses under Serializable") {
+    // default (WriteSerializable, Delta's level): RESTORE racing an
+    // append retries onto the next slot and commits — the file-level
+    // rule sees no conflict, and the racing append's rows survive
+    // beside the restored snapshot (the write-serial order)
+    val p1 = s"${tmp()}/t"
+    new LogTable(p1).append(Seq((0L, "seed")).toDF("k", "v"))  // v0
+    new LogTable(p1).append(Seq((1L, "later")).toDF("k", "v")) // v1
+    var fired1 = false
+    val ws = new LogTable(p1, clock = () => {
+      if (!fired1) {
+        fired1 = true
+        new LogTable(p1).append(Seq((9L, "racer")).toDF("k", "v"))
+      }
+      System.currentTimeMillis()
+    })
+    ws.restore(0L)
+    assert(new LogTable(p1).load(spark).select("v").as[String]
+      .collect().toSet == Set("seed", "racer"))
+    // Serializable (opt-in TBLPROPERTIES): the transaction declared
+    // a read snapshot, so ANY commit landing after it — the blind
+    // append included — conflicts: the outcome could depend on rows
+    // the transaction never read. The caller re-reads and retries.
+    val p2 = s"${tmp()}/t"
+    new LogTable(p2).append(Seq((0L, "seed")).toDF("k", "v"))  // v0
+    new LogTable(p2).setTableProperties(
+      Map(LogTable.PropIsolation -> "Serializable"))           // v1
+    new LogTable(p2).append(Seq((1L, "later")).toDF("k", "v")) // v2
+    var fired2 = false
+    val ser = new LogTable(p2, clock = () => {
+      if (!fired2) {
+        fired2 = true
+        new LogTable(p2).append(Seq((9L, "racer")).toDF("k", "v"))
+      }
+      System.currentTimeMillis()
+    })
+    val e = intercept[java.util.ConcurrentModificationException](
+      ser.restore(0L))
+    assert(e.getMessage.contains("serializable isolation"),
+      e.getMessage)
+    // blind appends declare no read: conflict-free under BOTH levels
+    new LogTable(p2).append(Seq((2L, "more")).toDF("k", "v"))
+    assert(new LogTable(p2).load(spark).count() == 4L)
+    // and a quiet retry of the refused restore succeeds
+    val t2 = new LogTable(p2)
+    t2.restore(0L)
+    assert(t2.load(spark).select("v").as[String].collect().toSet
+      == Set("seed"))
+  }
+
   test("claim semantics at the unit level: winner publishes whole " +
     "content, loser's temp is cleaned and the slot is untouched") {
     val dir = new File(tmp())

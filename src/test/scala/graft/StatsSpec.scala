@@ -213,4 +213,60 @@ class StatsSpec extends SparkSpec {
       spark.conf.unset(s"spark.sql.catalog.$cat.warehouse")
     }
   }
+
+  test("round-11 measurement: read-substitution planning cost on a " +
+    "4-DV-table join — the nested per-relation optimization stays " +
+    "in the tens of milliseconds, not seconds (numbers → SURVEY §6)") {
+    val wh = java.nio.file.Files
+      .createTempDirectory("graft_subcost").toString
+    val cat = "gsubcost"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.GraftTableCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    try {
+      (1 to 4).foreach { i =>
+        val t = new graft.sources.LogTable(s"$wh/t$i")
+        t.append((1L to 200L).map(k => (k, s"v$k")).toDF("k", "v")
+          .repartition(2))
+        t.deleteMor(spark, col("k") % 7 === 0) // DV ⇒ bridged read
+      }
+      val sql =
+        s"""SELECT count(*) FROM $cat.t1 a
+            JOIN $cat.t2 b ON a.k = b.k
+            JOIN $cat.t3 c ON a.k = c.k
+            JOIN $cat.t4 d ON a.k = d.k"""
+      def planMillis(): Long = {
+        val t0 = System.nanoTime()
+        spark.sql(sql).queryExecution.executedPlan // full planning
+        (System.nanoTime() - t0) / 1000000L
+      }
+      // the rule substitutes all four bridged relations (sanity:
+      // the optimized plan holds no DSv2 relations)
+      val opt = spark.sql(sql).queryExecution.optimizedPlan
+      assert(!opt.exists(_.isInstanceOf[org.apache.spark.sql.execution
+        .datasources.v2.DataSourceV2ScanRelation]),
+        "substitution did not fire")
+      val warm = planMillis() // class-load + first-parse warmup
+      val withRule = (1 to 5).map(_ => planMillis()).sorted.apply(2)
+      // A/B: the same query planned with the rule REMOVED
+      val exp = spark
+        .asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+        .experimental
+      val saved = exp.extraOptimizations
+      val without = try {
+        exp.extraOptimizations = saved
+          .filterNot(_ eq graft.sources.GraftReadSubstitution)
+        (1 to 5).map(_ => planMillis()).sorted.apply(2)
+      } finally exp.extraOptimizations = saved
+      info(s"planning median-of-5: with substitution ${withRule}ms, " +
+        s"without ${without}ms (warmup ${warm}ms)")
+      // regression tripwire, deliberately loose: 4 substituted
+      // relations must not cost planning more than 2s on this box
+      assert(withRule < 2000L,
+        s"read-substitution planning cost blew up: ${withRule}ms")
+    } finally {
+      spark.conf.unset(s"spark.sql.catalog.$cat")
+      spark.conf.unset(s"spark.sql.catalog.$cat.warehouse")
+    }
+  }
 }
