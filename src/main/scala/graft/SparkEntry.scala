@@ -35,10 +35,8 @@ object SparkEntry {
          SELECT GREATEST(1, LEAST(COUNT(*) // 5, (1 << 24) - 1)) AS c
          FROM embeddings),
        f AS (
-         SELECT vec_id, vec_id // 5 + 1 AS g FROM (
-           SELECT row_number() OVER (ORDER BY vec_id) - 1 AS vec_id
-           FROM embeddings)
-         WHERE vec_id < (SELECT c FROM n) * 5),
+         SELECT i AS vec_id, i // 5 + 1 AS g FROM (
+           SELECT unnest(range(0, (SELECT c FROM n) * 5)) AS i)),
        scored AS (
          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
            CAST(bit_count(q.g & c.g) AS DOUBLE) /
@@ -70,9 +68,11 @@ object SparkEntry {
     * neighbor_id), and the DuckDB oracle is plain exact ranking
     * via integer popcount: cos(a,b) = bit_count(ga & gb) /
     * sqrt(bit_count(ga)·bit_count(gb)). */
-  private def plantedClusters(s: SparkSession, d: String): DataFrame = {
-    val n = t(s, d, "embeddings").count()
-    val c = math.max(1L, math.min(n / 5L, (1L << 24) - 1L))
+  private def plantedClusterCount(s: SparkSession, d: String): Long =
+    math.max(1L, math.min(
+      t(s, d, "embeddings").count() / 5L, (1L << 24) - 1L))
+
+  private def plantedClusters(s: SparkSession, c: Long): DataFrame = {
     s.range(0, c * 5L)
       .select(col("id").as("vec_id"), expr("id DIV 5 + 1").as("__g"))
       .select(col("vec_id"), expr(
@@ -2330,9 +2330,16 @@ object SparkEntry {
       // under ANY plane seed and the approximate result provably
       // equals exact brute-force top-k, which DuckDB recomputes
       // with integer popcount math.
-      val emb = plantedClusters(s, d)
+      // bits computed from the known fixture size (c*5 vectors) —
+      // saves lshTopK's auto-size count job without changing the
+      // constant-occupancy rule it implements
+      val c = plantedClusterCount(s, d)
+      val emb = plantedClusters(s, c)
+      val bits = math.max(4, (math.log(c * 5L / 64.0) /
+        math.log(2.0)).ceil.toInt)
       Similarity.lshTopK(
-        emb.filter(pmod(col("vec_id"), lit(5)) === 0), emb, k = 3)
+        emb.filter(pmod(col("vec_id"), lit(5)) === 0), emb, k = 3,
+        bits = bits)
         .orderBy(col("query_id"), col("rank"))
     }),
 
@@ -2367,7 +2374,7 @@ object SparkEntry {
       // a query's probe set contains its own cell, so IVF equals
       // exact top-k by construction — the DuckDB oracle is the plain
       // exact ranking.
-      val emb = plantedClusters(s, d)
+      val emb = plantedClusters(s, plantedClusterCount(s, d))
       Similarity.ivfTopK(
         emb.filter(pmod(col("vec_id"), lit(5)) === 0), emb, k = 3,
         nlist = 32, nprobe = 8)
@@ -2384,7 +2391,7 @@ object SparkEntry {
       // identical vectors), so the build/probe composition gets the
       // same DuckDB oracle.
       val dir = java.nio.file.Files.createTempDirectory("graft_annidx")
-      val emb = plantedClusters(s, d)
+      val emb = plantedClusters(s, plantedClusterCount(s, d))
       graft.operators.AnnIndex.buildIvf(emb, s"$dir/ivf", nlist = 32,
         iters = 3)
       graft.operators.AnnIndex.ivfProbe(s, s"$dir/ivf",

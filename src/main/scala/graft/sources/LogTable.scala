@@ -475,16 +475,9 @@ final class LogTable(val path: String,
     // (current-ish snapshots) with one GET; time travel BEHIND the
     // newest checkpoint, or a missing pointer, falls back to the
     // full listing
-    val ckpts =
-      if (ignoreCheckpointsForTest) Seq.empty
-      else lastCheckpointVersion.filter(_ <= v).toSeq match {
-        case found @ Seq(_) => found
-        case _ =>
-          listLogDir()
-            .filter(_.getName.endsWith(".ckpt.json"))
-            .map(_.getName.stripSuffix(".ckpt.json").toLong).filter(_ <= v)
-            .sorted
-      }
+    val ckpts: Option[Long] =
+      if (ignoreCheckpointsForTest) None
+      else newestCkptAtOrBefore(v) // shared discovery (addsDF too)
     var schema: Option[StructType] = None
     var partCols: Seq[String] = Seq.empty
     var bloomIdxCols: Seq[String] = Seq.empty
@@ -498,7 +491,7 @@ final class LogTable(val path: String,
     var trans: Map[String, String] = Map.empty
     var refMap: Map[String, String] = Map.empty
     val live = scala.collection.mutable.LinkedHashMap.empty[String, AddFile]
-    val from = ckpts.lastOption match {
+    val from = ckpts match {
       case Some(cv) =>
         val state = JsonMethods.parse(Files.readString(ckptFile(cv).toPath))
         schema = Some(DataType.fromJson(
@@ -562,7 +555,10 @@ final class LogTable(val path: String,
           case JString("parquet") =>
             readAddsParquet(cv).foreach(a => live(a.path) = a)
           case JString("jsonl") =>
-            val src = scala.io.Source.fromFile(ckptAddsFile(cv))
+            // the writer emitted UTF-8 (Files.newBufferedWriter) —
+            // read it back the same way, not in the platform charset
+            val src = scala.io.Source.fromFile(
+              ckptAddsFile(cv))(scala.io.Codec.UTF8)
             try src.getLines().filter(_.nonEmpty).foreach { line =>
               val a = parseAdd(JsonMethods.parse(line)); live(a.path) = a
             } finally src.close()
@@ -2312,7 +2308,8 @@ final class LogTable(val path: String,
                              identityBasis:
                                Option[Map[String, Option[Long]]] = None,
                              propertiesJson:
-                               Option[Map[String, String]] = None)
+                               Option[Map[String, String]] = None,
+                             requireHead: Option[Option[Long]] = None)
       : Long = {
     // recursive walk: a partitioned staging nests its part files
     // under hive dirs (p=x/...), which the move preserves so the
@@ -2397,7 +2394,7 @@ final class LogTable(val path: String,
     try commitRetry(readVersion, removePaths, adds ++ extraAdds, op,
       schemaJson, cdfDir, txn, schemaBasis, tzJson = tzJson,
       identityJson = identityJson, identityBasis = identityBasis,
-      propertiesJson = propertiesJson)
+      propertiesJson = propertiesJson, requireHead = requireHead)
     catch { case e: java.util.ConcurrentModificationException =>
       // a conflict OUT of the retry loop is terminal for THIS
       // attempt: the files this call already moved into data/ (and
@@ -2694,6 +2691,16 @@ final class LogTable(val path: String,
         org.apache.spark.sql.Encoders.product[CkptAdd])
         .repartition(parts)
         .write.mode("overwrite").parquet(tmp.getPath)
+      // an existing sidecar dir here is an ORPHAN (the header is the
+      // discovery key and is written after us — writeCheckpoint
+      // early-returns on a complete checkpoint), left by a crash
+      // between sidecar and header. A directory rename does NOT
+      // replace a non-empty target (ENOTEMPTY), and the expiry sweep
+      // only clears names BELOW the floor — without this, the floor
+      // anchor checkpoint a recovery needs could never be written.
+      // Both writers derive identical content from the same
+      // immutable version, so replacing is state-equivalent.
+      if (ckptParquetDir(v).exists()) deleteRecursive(ckptParquetDir(v))
       Files.move(tmp.toPath, ckptParquetDir(v).toPath,
         StandardCopyOption.ATOMIC_MOVE)
     } catch { case NonFatal(e) => deleteRecursive(tmp); throw e }
@@ -2732,6 +2739,9 @@ final class LogTable(val path: String,
 
   private def writeCheckpoint(v: Long): Unit =
     {
+      // idempotent: a complete checkpoint (header present) at this
+      // version is immutable content — never rewrite it
+      if (ckptFile(v).isFile) return
       val snap = snapshotAt(v)
       // the header carries everything EXCEPT the adds — O(schema),
       // not O(#files); the file-state ships beside it (parquet via
@@ -4659,6 +4669,25 @@ final class LogTable(val path: String,
     * occasional full pass globalizes the order). */
   def clusterIncremental(spark: SparkSession, clusterBy: Seq[String],
                          nFiles: Int): Long = {
+    // the marker commit pins its head (full-map property safety), so
+    // ANY racing commit conflicts — re-plan the whole pass against
+    // the new head a bounded number of times (the terminal-CME path
+    // inside finalizeStaged reclaims each refused attempt's files)
+    var attempts = 0
+    while (true) {
+      attempts += 1
+      try return clusterIncrementalOnce(spark, clusterBy, nFiles)
+      catch {
+        case _: java.util.ConcurrentModificationException
+          if attempts < 5 => () // head moved — re-read and re-plan
+      }
+    }
+    -1L // unreachable
+  }
+
+  private def clusterIncrementalOnce(spark: SparkSession,
+                                     clusterBy: Seq[String],
+                                     nFiles: Int): Long = {
     require(clusterBy.nonEmpty && clusterBy.size <= 6,
       s"cluster takes 1 to 6 columns, got ${clusterBy.size}")
     val readVersion = currentVersion.getOrElse(
@@ -4744,9 +4773,17 @@ final class LogTable(val path: String,
           .select(cols.map(col): _*)
     }
     stagedWriter(laidOut).parquet(staged.toString)
+    // a marker-carrying commit writes a FULL property map derived
+    // from the read snapshot — pin the head (like every other
+    // full-map property commit: enableRowTracking, dropColumn) so a
+    // racing property advance (SET TBLPROPERTIES, ANALYZE, a
+    // row-tracking high-water bump riding a blind append) can never
+    // be silently reverted by our stale map; the conflict surfaces
+    // as CME and the caller re-runs the pass against the new head
     finalizeStaged(spark, staged, snap.schema, scope.map(_.path),
       op = "optimize", readVersion = Some(readVersion), schemaJson = None,
-      cdfDir = None, propertiesJson = propertiesJson)
+      cdfDir = None, propertiesJson = propertiesJson,
+      requireHead = propertiesJson.map(_ => Some(readVersion)))
   }
 
   /** Physically drop files referenced ONLY by expired versions:

@@ -82,11 +82,18 @@ object GraftReadSubstitution extends Rule[LogicalPlan] {
     * (table root, head version). A snapshot at a version is
     * immutable, so the cached answer can never go stale; a new
     * commit changes the key. Bounded by wholesale clear. */
-  private val bridgeCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, Long), Boolean]()
+  private val bridgeCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Long, Long), Boolean]()
 
   private def cachedNeedsBridge(log: LogTable): Boolean = {
-    val key = (log.path, log.currentVersion.getOrElse(-1L))
+    // key on (path, head, table incarnation): a dropped-and-recreated
+    // table at the same path must not inherit the old table's cached
+    // decision once the new log reaches the same head — the v0
+    // commit file's mtime changes with every recreation and is one
+    // stat of a known key
+    val born = new java.io.File(log.path,
+      "_log/00000000000000000000.json").lastModified()
+    val key = (log.path, log.currentVersion.getOrElse(-1L), born)
     if (bridgeCache.size > 1024) bridgeCache.clear()
     bridgeCache.computeIfAbsent(key,
       _ => GraftLogTableV2.needsV1Bridge(log, None))
