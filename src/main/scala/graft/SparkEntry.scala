@@ -35,15 +35,14 @@ object SparkEntry {
          SELECT GREATEST(1, LEAST(COUNT(*) // 5, (1 << 24) - 1)) AS c
          FROM embeddings),
        f AS (
-         SELECT i AS vec_id, i // 5 + 1 AS g FROM (
+         SELECT i AS vec_id,
+                ((i // 5 + 1) * 2654435761) % (1 << 24) AS h FROM (
            SELECT unnest(range(0, (SELECT c FROM n) * 5)) AS i)),
        scored AS (
          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-           CAST(bit_count(q.g & c.g) AS DOUBLE) /
-             (sqrt(CAST(bit_count(q.g) AS DOUBLE))
-              * sqrt(CAST(bit_count(c.g) AS DOUBLE))) AS cos
+           (24 - 2 * bit_count(xor(q.h, c.h))) / 24.0 AS cos
          FROM f q JOIN f c
-           ON q.vec_id % 5 = 0 AND q.vec_id <> c.vec_id),
+           ON q.vec_id % 25 = 0 AND q.vec_id <> c.vec_id),
        ranked AS (
          SELECT query_id, neighbor_id, cos, row_number() OVER (
            PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS "rank"
@@ -53,31 +52,40 @@ object SparkEntry {
 
   /** Planted exact-regime ANN corpus (round-11): `n/5` clusters of
     * FIVE IDENTICAL vectors each, sized from the embeddings table so
-    * the fixture scales with SF. Cluster `g`'s vector is the 24-bit
-    * pattern of `g` (g = vec_id DIV 5 + 1) as a 0/1 float array —
-    * which makes the approximate structures exact BY CONSTRUCTION,
-    * independent of any seed:
+    * the fixture scales with SF. Cluster `g`'s direction is the
+    * ±1 encoding of the 24-bit pattern of `h = g·2654435761 mod 2²⁴`
+    * (an odd multiplier — a BIJECTION on 24-bit space, so distinct
+    * clusters keep distinct patterns). The hash + sign encoding is
+    * what makes the fixture behave like real embedding data for the
+    * bucketed structures: ±1 corners spread over ALL orthants with
+    * equal norms (a 0/1 encoding confines every vector to one
+    * orthant, where random hyperplanes barely separate anything —
+    * measured as a 1.32 sweep exponent before the fix), and hashing
+    * decorrelates consecutive cluster ids (raw counters share high
+    * bits, co-bucketing near-identical directions). Exactness is BY
+    * CONSTRUCTION, independent of any seed:
     *  - identical vectors hash to the same SRP bucket in every
     *    table and assign to the same IVF cell, so a query's
     *    candidate set always contains its 4 cluster mates;
     *  - within-cluster cosine is exactly 1.0 (float: 1 ± 2 ulp,
-    *    rounds to 1.0) while the worst cross-cluster cosine of two
-    *    DISTINCT bit patterns is sqrt(23/24) ≈ 0.979 — a 0.02
+    *    rounds to 1.0) while the worst cross-cluster cosine of
+    *    distinct ±1 patterns is (24−2·1)/24 ≈ 0.917 — a 0.08
     *    margin no floating-point noise can cross;
     * so approximate top-3 == exact top-3 (ties broken by
-    * neighbor_id), and the DuckDB oracle is plain exact ranking
-    * via integer popcount: cos(a,b) = bit_count(ga & gb) /
-    * sqrt(bit_count(ga)·bit_count(gb)). */
+    * neighbor_id), and the DuckDB oracle is plain exact ranking via
+    * integer Hamming math: cos(a,b) = (24 − 2·bit_count(ha ⊕ hb))/24
+    * (equal norms √24 cancel). */
   private def plantedClusterCount(s: SparkSession, d: String): Long =
     math.max(1L, math.min(
       t(s, d, "embeddings").count() / 5L, (1L << 24) - 1L))
 
   private def plantedClusters(s: SparkSession, c: Long): DataFrame = {
     s.range(0, c * 5L)
-      .select(col("id").as("vec_id"), expr("id DIV 5 + 1").as("__g"))
+      .select(col("id").as("vec_id"),
+        expr("pmod((id DIV 5 + 1) * 2654435761, 16777216)").as("__h"))
       .select(col("vec_id"), expr(
         "transform(sequence(0, 23), " +
-          "d -> CAST((shiftright(__g, d) & 1) AS FLOAT))")
+          "d -> CAST(2 * (shiftright(__h, d) & 1) - 1 AS FLOAT))")
         .as("embedding"))
   }
 
@@ -1316,6 +1324,9 @@ object SparkEntry {
             SELECT 'files', 'rows', 'logical',
                    sum(rows) - sum(coalesce(dv_rows, 0))
             FROM $cat.$tbl.files
+            UNION ALL
+            SELECT 'partitions', 'count', 'parts', count(*)
+            FROM $cat.$tbl.partitions
             ORDER BY surface, item, detail""")
     }),
 
@@ -2338,7 +2349,7 @@ object SparkEntry {
       val bits = math.max(4, (math.log(c * 5L / 64.0) /
         math.log(2.0)).ceil.toInt)
       Similarity.lshTopK(
-        emb.filter(pmod(col("vec_id"), lit(5)) === 0), emb, k = 3,
+        emb.filter(pmod(col("vec_id"), lit(25)) === 0), emb, k = 3,
         bits = bits)
         .orderBy(col("query_id"), col("rank"))
     }),
@@ -2376,7 +2387,7 @@ object SparkEntry {
       // exact ranking.
       val emb = plantedClusters(s, plantedClusterCount(s, d))
       Similarity.ivfTopK(
-        emb.filter(pmod(col("vec_id"), lit(5)) === 0), emb, k = 3,
+        emb.filter(pmod(col("vec_id"), lit(25)) === 0), emb, k = 3,
         nlist = 32, nprobe = 8)
         .orderBy(col("query_id"), col("rank"))
     }),
@@ -2395,7 +2406,7 @@ object SparkEntry {
       graft.operators.AnnIndex.buildIvf(emb, s"$dir/ivf", nlist = 32,
         iters = 3)
       graft.operators.AnnIndex.ivfProbe(s, s"$dir/ivf",
-        emb.filter(pmod(col("vec_id"), lit(5)) === 0), k = 3, nprobe = 8)
+        emb.filter(pmod(col("vec_id"), lit(25)) === 0), k = 3, nprobe = 8)
         .orderBy(col("query_id"), col("rank"))
     }),
 
@@ -3795,6 +3806,7 @@ object SparkEntry {
              ('history', '1', 'append', CAST(2000 AS BIGINT)),
              ('history', '2', 'delete', CAST(3000 AS BIGINT)),
              ('history', '3', 'ref', CAST(4000 AS BIGINT)),
+             ('partitions', 'count', 'parts', CAST(1 AS BIGINT)),
              ('refs', 'seed', 'tag', CAST(0 AS BIGINT))
          ) AS t(surface, item, detail, num)
          ORDER BY surface, item, detail""",

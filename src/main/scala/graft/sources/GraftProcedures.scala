@@ -59,7 +59,8 @@ private[sources] final class GraftProcedure(catalog: GraftTableCatalog,
       Array(in("table", StringType).build(),
         in("zorder_by", StringType).defaultValue("''").build(),
         in("target_files", IntegerType).defaultValue("8").build(),
-        in("where", StringType).defaultValue("''").build())
+        in("where", StringType).defaultValue("''").build(),
+        in("incremental", BooleanType).defaultValue("false").build())
     case "purge_deletes" | "history" | "detail" | "refresh_mv" |
          "analyze_table" =>
       Array(in("table", StringType).build())
@@ -193,12 +194,25 @@ private[sources] final class GraftProcedure(catalog: GraftTableCatalog,
           else Some(org.apache.spark.sql.functions.expr(where))
         // zorder_by + where = SCOPED clustering (Delta's
         // OPTIMIZE ... WHERE ... ZORDER BY): only stats-matching
-        // files rewrite, cost ∝ the scope
+        // files rewrite, cost ∝ the scope. incremental => true
+        // (round-11, liquid-style): rewrite only the files that
+        // arrived since the last incremental pass — cost ∝ new
+        // data; mutually exclusive with `where` (the epoch marker
+        // describes whole-table layout coverage, which a
+        // predicate-scoped pass cannot claim)
+        val incremental = input.getBoolean(4)
+        require(!incremental || where.isEmpty,
+          "optimize takes incremental OR where, not both")
+        val keys =
+          zorder.split(",").map(_.trim).filter(_.nonEmpty).toSeq
         val v =
-          if (zorder.isEmpty) t.compactFiles(spark, where = pred)
-          else t.cluster(spark,
-            zorder.split(",").map(_.trim).filter(_.nonEmpty).toSeq,
-            input.getInt(2), pred)
+          if (incremental) {
+            require(keys.nonEmpty,
+              "incremental optimize requires zorder_by columns")
+            t.clusterIncremental(spark, keys, input.getInt(2))
+          }
+          else if (keys.isEmpty) t.compactFiles(spark, where = pred)
+          else t.cluster(spark, keys, input.getInt(2), pred)
         Seq(row(v))
       case "purge_deletes" =>
         Seq(row(t.purgeDeletes(spark)))

@@ -31,10 +31,16 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *    against, never driver state.
   *  - `refs`:    live tags and branches with their pinned/head
   *    versions.
+  *  - `partitions`: per-partition layout census (Iceberg's
+  *    `partitions` table) — file count, physical/logical rows and
+  *    bytes per hive partition, aggregated DISTRIBUTED from the
+  *    `files` relation (one row per partition, never per file, on
+  *    the driver); unpartitioned tables report one whole-table row.
   */
 object GraftMetadataTables {
 
-  val surfaces: Set[String] = Set("history", "files", "refs")
+  val surfaces: Set[String] =
+    Set("history", "files", "refs", "partitions")
 
   def apply(name: String, surface: String, log: LogTable): Table =
     surface match {
@@ -44,6 +50,8 @@ object GraftMetadataTables {
         s => log.addsDF(s))
       case "refs" => new GraftMetadataTable(name, refsSchema,
         s => refsDF(s, log))
+      case "partitions" => new GraftMetadataTable(name,
+        partitionsSchema, s => partitionsDF(s, log))
       case other => throw new IllegalArgumentException(
         s"unknown metadata surface '$other'")
     }
@@ -70,6 +78,31 @@ object GraftMetadataTables {
     StructField("name", StringType, nullable = false),
     StructField("kind", StringType, nullable = false),
     StructField("version", LongType, nullable = false)))
+
+  private val partitionsSchema = StructType(Seq(
+    StructField("partition_values", MapType(StringType, StringType),
+      nullable = true),
+    StructField("n_files", LongType, nullable = false),
+    StructField("rows", LongType, nullable = false),
+    StructField("logical_rows", LongType, nullable = false),
+    StructField("bytes", LongType, nullable = false)))
+
+  private def partitionsDF(spark: SparkSession,
+                           table: LogTable): DataFrame = {
+    import org.apache.spark.sql.functions._
+    // maps are not groupable — key on the canonical sorted entry
+    // array and carry one representative map through
+    table.addsDF(spark)
+      .groupBy(array_sort(map_entries(col("partition_values")))
+        .as("__pk"))
+      .agg(first(col("partition_values")).as("partition_values"),
+        count(lit(1)).as("n_files"),
+        sum(col("rows")).as("rows"),
+        sum(col("rows") - coalesce(col("dv_rows"), lit(0L)))
+          .as("logical_rows"),
+        sum(col("bytes")).as("bytes"))
+      .drop("__pk")
+  }
 
   private def refsDF(spark: SparkSession, log: LogTable): DataFrame = {
     import spark.implicits._

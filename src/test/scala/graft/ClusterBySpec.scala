@@ -309,5 +309,30 @@ class ClusterBySpec extends SparkSpec {
       "a column change must trigger a full rebuild")
     assert(t.tableProperties(graft.sources.LogTable.PropClusterEpoch)
       .startsWith("v|"))
+    // SQL surface: CALL optimize(..., incremental => true) — only
+    // the newly-appended file rewrites, prior generation survives
+    t.append(shuffled(400, 449).repartition(1))
+    val wh = new java.io.File(dir).getParent
+    spark.conf.set("spark.sql.catalog.gclinc",
+      "graft.sources.GraftTableCatalog")
+    spark.conf.set("spark.sql.catalog.gclinc.warehouse", wh)
+    try {
+      val gen2 = t.liveAdds().map(_.path).toSet
+      val appended2 = gen2 -- t.liveAdds(Some(v3)).map(_.path).toSet
+      val v4 = spark.sql(
+        "CALL gclinc.optimize('t', 'v', 2, incremental => true)")
+        .as[Long].head()
+      assert(t.commitOp(v4) == "optimize")
+      val after4 = t.liveAdds().map(_.path).toSet
+      assert((gen2 -- appended2).subsetOf(after4))
+      assert(appended2.forall(p => !after4.contains(p)))
+      // incremental and where are mutually exclusive
+      val err = intercept[Exception](spark.sql(
+        "CALL gclinc.optimize('t', 'v', 2, 'k > 0', true)").collect())
+      assert(err.getMessage.contains("not both"), err.getMessage)
+    } finally {
+      spark.conf.unset("spark.sql.catalog.gclinc")
+      spark.conf.unset("spark.sql.catalog.gclinc.warehouse")
+    }
   }
 }

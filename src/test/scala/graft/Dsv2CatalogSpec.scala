@@ -203,6 +203,30 @@ class Dsv2CatalogSpec extends SparkSpec {
     t.append(Seq((9L, "z")).toDF("k", "v"))
     assert(spark.sql(s"SELECT max(version) FROM $cat.t.history")
       .as[Long].head() == 5L)
+    // partitions: the per-partition census (Iceberg's partitions
+    // table) aggregates the manifest DISTRIBUTED — one row per hive
+    // partition with file/row/byte counts; unpartitioned tables
+    // report one whole-table row
+    assert(spark.sql(s"SELECT n_files, logical_rows FROM " +
+      s"$cat.t.partitions").as[(Long, Long)].collect().toSeq ==
+      Seq((t.liveAdds().size.toLong,
+        t.liveAdds().map(_.logicalRows).sum)))
+    val pt = new graft.sources.LogTable(s"$wh/pt")
+    pt.create(org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("seg",
+        org.apache.spark.sql.types.StringType))),
+      partitionBy = Seq("seg"))
+    pt.append(Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("k", "seg")
+      .repartition(1))
+    pt.deleteMor(spark, col("k") === 1L)
+    val parts = spark.sql(
+      s"""SELECT partition_values['seg'] AS seg, n_files,
+                 rows, logical_rows
+          FROM $cat.pt.partitions ORDER BY seg""")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(parts == Seq(("a", 1L, 2L, 1L), ("b", 1L, 1L, 1L)), parts)
     // a REAL table shadows the metadata name
     val shadow = new graft.sources.LogTable(s"$wh/t2/files")
     shadow.append(Seq((7L, "s")).toDF("k", "v"))
