@@ -456,6 +456,30 @@ class LogStreamSpec extends SparkSpec {
     assert(batches() == 6, s"restart must continue from the offset")
   }
 
+  test("round-11 Trigger.AvailableNow × readChangeFeed: a CDF " +
+    "backfill drains delete rows too, honors the budget walk, and " +
+    "terminates") {
+    val base = tmp()
+    val dir = s"$base/t"
+    val t = new LogTable(dir)
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("k", "v").repartition(1))
+    t.append(Seq((3L, "c")).toDF("k", "v").repartition(1))
+    t.delete(spark, col("k") === 1L)
+    val q = spark.readStream
+      .format(classOf[graft.sources.LogStreamProvider].getName)
+      .option("path", dir)
+      .option("readChangeFeed", "true")
+      .option("maxFilesPerTrigger", "1").load()
+      .writeStream.format("parquet").option("path", s"$base/out")
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000), "CDF AvailableNow did not stop")
+    val out = spark.read.parquet(s"$base/out")
+      .select("k", "_change_type").as[(Long, String)].collect().toSet
+    assert(out == Set((1L, "insert"), (2L, "insert"), (3L, "insert"),
+      (1L, "delete")), out)
+  }
+
   test("round-11: startingVersion='latest' resolves ONCE — a " +
     "checkpointed restart after downtime serves the commits made " +
     "while the stream was down instead of re-resolving against the " +
