@@ -219,7 +219,30 @@ class GraftTableCatalog extends TableCatalog with ProcedureCatalog {
             s"table '$ident'")
     }
     if (manifestLine(dir).isEmpty) {
-      if (!isLogTable(dir)) throw new NoSuchTableException(ident)
+      if (!isLogTable(dir)) {
+        // `cat.t.files VERSION AS OF n` — the manifest AS OF a
+        // committed snapshot (Iceberg pins its files inspection
+        // table per snapshot the same way). Only `files` is
+        // version-addressable: history/refs describe the whole log,
+        // not one snapshot — they refuse with a clear message.
+        metadataOf(ident).foreach { _ =>
+          val ns = ident.namespace()
+          val baseDir = dirOf(Identifier.of(ns.dropRight(1), ns.last))
+          val log = new LogTable(baseDir.toString)
+          if (ident.name() != "files") throw new IllegalArgumentException(
+            s"metadata table '${ident.name()}' describes the whole " +
+              "log and cannot be pinned to a version; only 'files' " +
+              "takes VERSION AS OF")
+          if (!log.versions.contains(v))
+            throw new IllegalArgumentException(
+              s"table '${ns.last}' has no committed version $v")
+          return new GraftMetadataTable(
+            s"$catalogName.${ns.last}.files@v$v",
+            GraftMetadataTables.filesSchema,
+            s => log.addsDF(s, Some(v)))
+        }
+        throw new NoSuchTableException(ident)
+      }
       val log = new LogTable(dir.toString)
       if (!log.versions.contains(v)) throw new IllegalArgumentException(
         s"table '$ident' has no committed version $v")

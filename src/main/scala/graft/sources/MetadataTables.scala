@@ -63,7 +63,7 @@ object GraftMetadataTables {
     StructField("n_added", LongType, nullable = false),
     StructField("n_removed", LongType, nullable = false)))
 
-  private val filesSchema = StructType(Seq(
+  private[sources] val filesSchema = StructType(Seq(
     StructField("path", StringType, nullable = false),
     StructField("rows", LongType, nullable = false),
     StructField("bytes", LongType, nullable = false),

@@ -203,6 +203,18 @@ class Dsv2CatalogSpec extends SparkSpec {
     t.append(Seq((9L, "z")).toDF("k", "v"))
     assert(spark.sql(s"SELECT max(version) FROM $cat.t.history")
       .as[Long].head() == 5L)
+    // files is version-addressable (the manifest AS OF a snapshot);
+    // whole-log surfaces refuse the pin with a clear message
+    assert(spark.sql(
+      s"SELECT count(*) FROM $cat.t.files VERSION AS OF 0")
+      .as[Long].head() == 1L)
+    assert(spark.sql(
+      s"SELECT sum(rows) FROM $cat.t.files VERSION AS OF 1")
+      .as[Long].head() == 3L)
+    val ePin = intercept[Exception](spark.sql(
+      s"SELECT * FROM $cat.t.history VERSION AS OF 0").collect())
+    assert(ePin.getMessage.contains("cannot be pinned"),
+      ePin.getMessage)
     // partitions: the per-partition census (Iceberg's partitions
     // table) aggregates the manifest DISTRIBUTED — one row per hive
     // partition with file/row/byte counts; unpartitioned tables
