@@ -151,11 +151,18 @@ class LogTableModelSpec extends SparkSpec {
           }
         case 6 => // maintenance: layout-only / metadata-only commits
           if (t.exists && t.liveAdds().size > 1) {
-            rnd.nextInt(5) match {
+            rnd.nextInt(6) match {
               case 0 => t.compactFiles(spark)
               case 1 => t.cluster(spark, Seq("k"), nFiles = 2)
               case 2 => t.purgeDeletes(spark)
               case 3 => t.setTableProperties(Map("step" -> s"$step"))
+              case 5 =>
+                // round-11 incremental clustering: layout-only like
+                // cluster, plus the atomic epoch-marker property —
+                // interleaving it through the mix proves the marker
+                // survives every other commit kind and never
+                // perturbs content or version accounting
+                t.clusterIncremental(spark, Seq("k"), nFiles = 2)
               case 4 => // partition evolution: cycle the layout
                 // through identity, HIDDEN-TRANSFORM (bucket) and
                 // unpartitioned epochs — subsequent appends/rewrites
