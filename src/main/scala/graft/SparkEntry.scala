@@ -2341,16 +2341,12 @@ object SparkEntry {
       // under ANY plane seed and the approximate result provably
       // equals exact brute-force top-k, which DuckDB recomputes
       // with integer popcount math.
-      // bits computed from the known fixture size (c*5 vectors) —
-      // saves lshTopK's auto-size count job without changing the
-      // constant-occupancy rule it implements
-      val c = plantedClusterCount(s, d)
-      val emb = plantedClusters(s, c)
-      val bits = math.max(4, (math.log(c * 5L / 64.0) /
-        math.log(2.0)).ceil.toInt)
+      // bits auto-size inside lshTopK (one source of truth for the
+      // constant-occupancy rule); its count() runs over the
+      // range-derived fixture frame — no table scan
+      val emb = plantedClusters(s, plantedClusterCount(s, d))
       Similarity.lshTopK(
-        emb.filter(pmod(col("vec_id"), lit(25)) === 0), emb, k = 3,
-        bits = bits)
+        emb.filter(pmod(col("vec_id"), lit(25)) === 0), emb, k = 3)
         .orderBy(col("query_id"), col("rank"))
     }),
 

@@ -132,17 +132,37 @@ class GraftTableCatalog extends TableCatalog with ProcedureCatalog {
     * [[GraftMetadataTables]]). A REAL table at the physical path
     * always shadows the metadata name — this resolver only runs
     * after the direct lookup missed. */
-  private def metadataOf(ident: Identifier): Option[Table] = {
+  private def metadataOf(ident: Identifier,
+                         version: Option[Long] = None): Option[Table] = {
     val ns = ident.namespace()
     if (ns.isEmpty ||
         !GraftMetadataTables.surfaces.contains(ident.name())) None
     else {
       val baseDir = dirOf(Identifier.of(ns.dropRight(1), ns.last))
-      if (manifestLine(baseDir).isEmpty && isLogTable(baseDir))
-        Some(GraftMetadataTables(
-          s"$catalogName.${ns.last}.${ident.name()}",
-          ident.name(), new LogTable(baseDir.toString)))
-      else None
+      if (manifestLine(baseDir).isEmpty && isLogTable(baseDir)) {
+        val log = new LogTable(baseDir.toString)
+        version match {
+          case None => Some(GraftMetadataTables(
+            s"$catalogName.${ns.last}.${ident.name()}",
+            ident.name(), log))
+          case Some(v) =>
+            // `VERSION AS OF` — only `files` is snapshot-addressable
+            // (Iceberg pins its files table per snapshot the same
+            // way); the whole-log surfaces refuse the pin
+            if (ident.name() != "files")
+              throw new IllegalArgumentException(
+                s"metadata table '${ident.name()}' describes the " +
+                  "whole log and cannot be pinned to a version; " +
+                  "only 'files' takes VERSION AS OF")
+            if (!log.versions.contains(v))
+              throw new IllegalArgumentException(
+                s"table '${ns.last}' has no committed version $v")
+            Some(new GraftMetadataTable(
+              s"$catalogName.${ns.last}.files@v$v",
+              GraftMetadataTables.filesSchema,
+              s => log.addsDF(s, Some(v))))
+        }
+      } else None
     }
   }
 
@@ -221,26 +241,10 @@ class GraftTableCatalog extends TableCatalog with ProcedureCatalog {
     if (manifestLine(dir).isEmpty) {
       if (!isLogTable(dir)) {
         // `cat.t.files VERSION AS OF n` — the manifest AS OF a
-        // committed snapshot (Iceberg pins its files inspection
-        // table per snapshot the same way). Only `files` is
-        // version-addressable: history/refs describe the whole log,
-        // not one snapshot — they refuse with a clear message.
-        metadataOf(ident).foreach { _ =>
-          val ns = ident.namespace()
-          val baseDir = dirOf(Identifier.of(ns.dropRight(1), ns.last))
-          val log = new LogTable(baseDir.toString)
-          if (ident.name() != "files") throw new IllegalArgumentException(
-            s"metadata table '${ident.name()}' describes the whole " +
-              "log and cannot be pinned to a version; only 'files' " +
-              "takes VERSION AS OF")
-          if (!log.versions.contains(v))
-            throw new IllegalArgumentException(
-              s"table '${ns.last}' has no committed version $v")
-          return new GraftMetadataTable(
-            s"$catalogName.${ns.last}.files@v$v",
-            GraftMetadataTables.filesSchema,
-            s => log.addsDF(s, Some(v)))
-        }
+        // committed snapshot (same resolution rule as the unpinned
+        // surfaces; metadataOf owns shadowing and the files-only
+        // version restriction)
+        metadataOf(ident, Some(v)).foreach(mt => return mt)
         throw new NoSuchTableException(ident)
       }
       val log = new LogTable(dir.toString)

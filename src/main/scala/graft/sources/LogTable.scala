@@ -225,8 +225,13 @@ final class LogTable(val path: String,
   // orphan no reader ever resolves (expiry sweeps it).
   private def ckptAddsFile(v: Long) =
     new File(logDir, f"$v%020d.ckpt.adds.jsonl")
-  private def ckptParquetDir(v: Long) =
-    new File(logDir, f"$v%020d.ckpt.parquet")
+  // parquet sidecars carry a WRITER-UNIQUE name recorded in the
+  // header ("addsPath"): two racing checkpointers of the same
+  // version can never collide on (or delete) each other's sidecar —
+  // each header references its own; the loser's orphan is garbage
+  // no header resolves, swept with the version at expiry
+  private def ckptParquetDir(v: Long, tag: String) =
+    new File(logDir, f"$v%020d.ckpt.$tag.parquet")
   private def lastCkptFile = new File(logDir, "_last_checkpoint")
 
   /** Count of full `_log/` directory LISTs this instance has issued
@@ -553,7 +558,8 @@ final class LogTable(val path: String,
         // legacy headers with an embedded adds array still replay
         (state \ "addsFormat") match {
           case JString("parquet") =>
-            readAddsParquet(cv).foreach(a => live(a.path) = a)
+            readAddsParquet(ckptParquetOf(state, cv))
+              .foreach(a => live(a.path) = a)
           case JString("jsonl") =>
             // the writer emitted UTF-8 (Files.newBufferedWriter) —
             // read it back the same way, not in the platform charset
@@ -758,9 +764,15 @@ final class LogTable(val path: String,
     val enc = org.apache.spark.sql.Encoders.product[CkptAdd]
     val ckptBase: Option[(Long, DataFrame)] =
       if (ignoreCheckpointsForTest) None
-      else newestCkptAtOrBefore(v)
-        .filter(c => ckptAddsFormat(c).contains("parquet"))
-        .map(c => c -> spark.read.parquet(ckptParquetDir(c).getPath))
+      else newestCkptAtOrBefore(v).flatMap { c =>
+        val header =
+          JsonMethods.parse(Files.readString(ckptFile(c).toPath))
+        (header \ "addsFormat") match {
+          case JString("parquet") => Some(c ->
+            spark.read.parquet(ckptParquetOf(header, c).getPath))
+          case _ => None
+        }
+      }
     val manifest = ckptBase match {
       case Some((c, base)) if c == v => base
       case Some((c, base)) =>
@@ -812,15 +824,6 @@ final class LogTable(val path: String,
         .filter(_.getName.endsWith(".ckpt.json"))
         .map(_.getName.stripSuffix(".ckpt.json").toLong).filter(_ <= v)
         .sorted.lastOption)
-
-  /** A checkpoint's adds format from its header ("parquet", "jsonl",
-    * or None for a legacy embedded-adds header). */
-  private def ckptAddsFormat(v: Long): Option[String] =
-    (JsonMethods.parse(Files.readString(ckptFile(v).toPath))
-        \ "addsFormat") match {
-      case JString(s) => Some(s)
-      case _          => None
-    }
 
   /** Resolve a logged file reference: paths are table-relative for
     * files this table wrote, ABSOLUTE for files referenced from
@@ -2679,32 +2682,31 @@ final class LogTable(val path: String,
   /** Ship the snapshot's file-state as a multi-part parquet
     * directory via a Spark job — one [[CkptAdd]] row per live file,
     * ~100k rows per part. The job distributes the render; the
-    * driver never assembles the state into one string. */
+    * driver never assembles the state into one string. Returns the
+    * sidecar's writer-unique directory NAME for the header: racing
+    * checkpointers of the same version each publish their own
+    * sidecar (a shared name would force a delete-before-rename that
+    * could remove a sidecar whose header another writer already
+    * published — the rename itself cannot replace a non-empty
+    * directory), and an orphan left by a crash before the header is
+    * garbage no reader resolves. */
   private def writeAddsParquet(spark: SparkSession, v: Long,
-                               adds: Seq[AddFile]): Unit = {
+                               adds: Seq[AddFile]): String = {
     val rows = adds.iterator.zipWithIndex
       .map { case (a, i) => encodeCkptAdd(i.toLong, a) }.toSeq
     val parts = math.max(1, (rows.size / 100000.0).ceil.toInt)
     val tmp = new File(logDir, s".tmp-ckptpq-${UUID.randomUUID()}")
+    val target = ckptParquetDir(v,
+      UUID.randomUUID().toString.take(8))
     try {
       spark.createDataset(rows)(
         org.apache.spark.sql.Encoders.product[CkptAdd])
         .repartition(parts)
         .write.mode("overwrite").parquet(tmp.getPath)
-      // an existing sidecar dir here is an ORPHAN (the header is the
-      // discovery key and is written after us — writeCheckpoint
-      // early-returns on a complete checkpoint), left by a crash
-      // between sidecar and header. A directory rename does NOT
-      // replace a non-empty target (ENOTEMPTY), and the expiry sweep
-      // only clears names BELOW the floor — without this, the floor
-      // anchor checkpoint a recovery needs could never be written.
-      // Both writers derive identical content from the same
-      // immutable version, so replacing is state-equivalent.
-      if (ckptParquetDir(v).exists()) deleteRecursive(ckptParquetDir(v))
-      Files.move(tmp.toPath, ckptParquetDir(v).toPath,
+      Files.move(tmp.toPath, target.toPath,
         StandardCopyOption.ATOMIC_MOVE)
     } catch { case NonFatal(e) => deleteRecursive(tmp); throw e }
-    ()
+    target.getName
   }
 
   /** Line-stream the adds to a JSONL sidecar — one rendered add per
@@ -2722,17 +2724,25 @@ final class LogTable(val path: String,
     ()
   }
 
+  /** Resolve a parquet checkpoint's sidecar directory from its
+    * header ("addsPath"; legacy headers used a fixed name). */
+  private def ckptParquetOf(state: JValue, v: Long): File =
+    (state \ "addsPath") match {
+      case JString(p) => new File(logDir, p)
+      case _          => new File(logDir, f"$v%020d.ckpt.parquet")
+    }
+
   /** Read a parquet checkpoint's file-state back: a distributed
     * parquet scan, decoded row-by-row, re-ordered by the persisted
     * add index so the replayed snapshot is indistinguishable from a
     * JSON one. */
-  private def readAddsParquet(v: Long): Seq[AddFile] = {
+  private def readAddsParquet(dir: File): Seq[AddFile] = {
     val spark = SparkSession.getActiveSession
       .orElse(SparkSession.getDefaultSession)
       .getOrElse(throw new IllegalStateException(
-        s"reading the parquet checkpoint at version $v of $path " +
+        s"reading the parquet checkpoint at $dir " +
           "requires an active SparkSession"))
-    spark.read.parquet(ckptParquetDir(v).getPath)
+    spark.read.parquet(dir.getPath)
       .as[CkptAdd](org.apache.spark.sql.Encoders.product[CkptAdd])
       .collect().sortBy(_.idx).iterator.map(decodeCkptAdd).toSeq
   }
@@ -2754,7 +2764,17 @@ final class LogTable(val path: String,
         if (session.isDefined &&
             snap.adds.size >= parquetCkptThreshold(snap)) "parquet"
         else "jsonl"
-      val state = JObject(List(
+      // sidecar FIRST, header last: the header is the discovery key,
+      // so a reader never resolves a checkpoint whose file-state is
+      // still in flight; the parquet sidecar's writer-unique name is
+      // recorded in the header
+      val tmp = new File(logDir, s".tmp-ckpt-${UUID.randomUUID()}")
+      try {
+        val addsPath: Option[String] =
+          if (fmt == "parquet")
+            Some(writeAddsParquet(session.get, v, snap.adds))
+          else { writeAddsJsonl(v, snap.adds); None }
+        val state = JObject(List(
         "schema" -> JsonMethods.parse(snap.schema.json),
         "partition" -> JArray(snap.partitionCols.toList.map(JString(_))),
         "bloom" -> JArray(snap.bloomCols.toList.map(JString(_))),
@@ -2771,16 +2791,10 @@ final class LogTable(val path: String,
           snap.properties.toList.map { case (k, v) => k -> JString(v) }),
         "transforms" -> JObject(
           snap.transforms.toList.map { case (k, v) => k -> JString(v) }),
-        "refs" -> JObject(
-          snap.refs.toList.map { case (k, v) => k -> JString(v) }),
-        "addsFormat" -> JString(fmt)))
-      val tmp = new File(logDir, s".tmp-ckpt-${UUID.randomUUID()}")
-      try {
-        // sidecar FIRST, header last: the header is the discovery
-        // key, so a reader never resolves a checkpoint whose
-        // file-state is still in flight
-        if (fmt == "parquet") writeAddsParquet(session.get, v, snap.adds)
-        else writeAddsJsonl(v, snap.adds)
+          "refs" -> JObject(
+            snap.refs.toList.map { case (k, v) => k -> JString(v) }),
+          "addsFormat" -> JString(fmt)) ++
+          addsPath.toList.map(p => "addsPath" -> JString(p)))
         Files.writeString(tmp.toPath,
           JsonMethods.compact(JsonMethods.render(state)))
         Files.move(tmp.toPath, ckptFile(v).toPath,
@@ -3976,10 +3990,14 @@ final class LogTable(val path: String,
     // (JSONL file or parquet DIRECTORY) — sweep all of them below
     // the floor, plus any orphaned sidecar whose header write
     // crashed (no header ever resolves it, so it is pure garbage)
-    def ckptVer(name: String): Option[Long] =
-      Seq(".ckpt.json", ".ckpt.adds.jsonl", ".ckpt.parquet")
-        .collectFirst { case suf if name.endsWith(suf) =>
-          name.stripSuffix(suf).toLong }
+    def ckptVer(name: String): Option[Long] = name match {
+      // headers, JSONL sidecars, and parquet sidecar dirs (uuid-
+      // tagged writer-unique names and the legacy fixed form) all
+      // share the zero-padded version prefix
+      case s if s.matches("\\d{20}\\.ckpt\\..+") =>
+        Some(s.take(20).toLong)
+      case _ => None
+    }
     val doomed =
       vs.filter(_ < floor).map(v => logFile(v)) ++
         listLogDir().filter(f => ckptVer(f.getName).exists(_ < floor))
@@ -4656,13 +4674,16 @@ final class LogTable(val path: String,
     * ∝ table (Delta liquid's core promise; a whole-table OPTIMIZE
     * ZORDER is a capital event, not maintenance). The rewrite commit
     * atomically records a layout-epoch marker in TBLPROPERTIES
-    * (`graft.cluster.layoutEpoch` = "cols|basisVersion"); the next
-    * pass skips files that were live at the recorded basis (the
-    * previous generations) plus the marker commit's own outputs, and
-    * rewrites everything else — appends since the epoch, racing
-    * writes the previous pass never saw, and files resurrected by
-    * RESTORE. Different cluster columns, an expired basis, or a
-    * missing marker fall back to the full rebuild. Newly-clustered
+    * (`graft.cluster.layoutEpoch` = "cols|basisVersion") and is
+    * head-pinned to land at basis+1; the next pass skips exactly
+    * the files live AT that marker commit (inductively all
+    * clustered: the pass rewrote everything else, and its skip set
+    * was clustered by the same argument) and rewrites the rest —
+    * appends since the epoch, racing writes the previous pass never
+    * saw, and files a RESTORE resurrected (a rollback's files are
+    * NOT alive at the marker commit, so it never inherits a stale
+    * coverage claim). Different cluster columns, an expired basis,
+    * or a missing/foreign marker fall back to the full rebuild. Newly-clustered
     * files sort among THEMSELVES (their ranges may overlap older
     * generations until a full pass merges them — liquid's same
     * trade: incremental passes keep new data skippable, the
@@ -4694,20 +4715,26 @@ final class LogTable(val path: String,
       throw new IllegalStateException(s"no log table at $path"))
     val snap = snapshotAt(readVersion)
     val colsKey = clusterBy.mkString(",")
+    // Induction invariant: EVERY file live at the marker COMMIT's
+    // version is clustered — the pass rewrote everything outside the
+    // (inductively clustered) previous skip set, and the survivors
+    // were clustered already. So skipped = alive(basis + 1): the
+    // marker commit is PINNED to land exactly at basis+1
+    // (requireHead), which makes the skip set one snapshot resolve
+    // plus ONE commit-file read to confirm the pin (no tail walk),
+    // and makes RESTORE sound for free — rolling back to a
+    // pre-marker version resurrects files that are NOT alive at the
+    // marker commit, so the next pass rewrites them instead of
+    // trusting a stale whole-table coverage claim.
     val skipped: Set[String] =
       snap.properties.get(LogTable.PropClusterEpoch) match {
         case Some(m) if m.takeWhile(_ != '|') == colsKey =>
           try {
             val basis = m.dropWhile(_ != '|').drop(1).toLong
-            // the marker commit (the previous incremental pass) is
-            // the optimize commit in (basis, head] whose properties
-            // action records exactly this marker — its adds are the
-            // previous pass's clustered outputs. Newest-first, one
-            // bounded metadata walk only on explicit OPTIMIZE calls.
-            val markerAdds = (readVersion to (basis + 1) by -1).iterator
-              .map { v =>
-                val as = readActions(logFile(v))
-                val setsMarker = as.exists(j => (j \ "properties") match {
+            val markerV = basis + 1
+            val isMarker = commitOp(markerV) == "optimize" &&
+              readActions(logFile(markerV)).exists(j =>
+                (j \ "properties") match {
                   case JObject(fs) => fs.exists {
                     case (k, JString(vv)) =>
                       k == LogTable.PropClusterEpoch && vv == m
@@ -4715,13 +4742,8 @@ final class LogTable(val path: String,
                   }
                   case _ => false
                 })
-                if (setsMarker && commitOp(v) == "optimize")
-                  Some(as.collect { case j if (j \ "add") != JNothing =>
-                    parseAdd(j \ "add").path })
-                else None
-              }.collectFirst { case Some(ps) => ps }
-              .getOrElse(Seq.empty)
-            snapshotAt(basis).adds.map(_.path).toSet ++ markerAdds
+            if (isMarker) snapshotAt(markerV).adds.map(_.path).toSet
+            else Set.empty[String] // foreign marker → full rebuild
           } catch { case NonFatal(_) => Set.empty } // expired → full
         case _ => Set.empty // no marker / different columns → full
       }

@@ -88,11 +88,17 @@ object GraftReadSubstitution extends Rule[LogicalPlan] {
   private def cachedNeedsBridge(log: LogTable): Boolean = {
     // key on (path, head, table incarnation): a dropped-and-recreated
     // table at the same path must not inherit the old table's cached
-    // decision once the new log reaches the same head — the v0
-    // commit file's mtime changes with every recreation and is one
-    // stat of a known key
-    val born = new java.io.File(log.path,
-      "_log/00000000000000000000.json").lastModified()
+    // decision once the new log reaches the same head. The
+    // incarnation is the _log DIRECTORY's creation time — stable
+    // across commits AND across log expiry (the v0 commit file, the
+    // obvious anchor, is deleted once the expiry floor rises, which
+    // would degenerate the key to 0 for exactly the long-lived
+    // tables that run expiry); a recreate makes a fresh directory.
+    val born = try java.nio.file.Files.readAttributes(
+      new java.io.File(log.path, "_log").toPath,
+      classOf[java.nio.file.attribute.BasicFileAttributes])
+      .creationTime().toMillis
+    catch { case scala.util.control.NonFatal(_) => 0L }
     val key = (log.path, log.currentVersion.getOrElse(-1L), born)
     if (bridgeCache.size > 1024) bridgeCache.clear()
     bridgeCache.computeIfAbsent(key,

@@ -309,6 +309,23 @@ class ClusterBySpec extends SparkSpec {
       "a column change must trigger a full rebuild")
     assert(t.tableProperties(graft.sources.LogTable.PropClusterEpoch)
       .startsWith("v|"))
+    // RESTORE soundness (round-11 review): rolling back to a
+    // pre-marker version resurrects files that were NOT alive at the
+    // marker commit — the next incremental pass must rewrite them
+    // instead of trusting the stale whole-table coverage claim
+    val restoreDir = s"${tmp()}/t"
+    val rt = new LogTable(restoreDir)
+    rt.append(shuffled(0, 99).repartition(1))               // v0
+    rt.clusterIncremental(spark, Seq("k"), 2)               // v1 marker
+    rt.append(shuffled(100, 149).repartition(1))            // v2
+    rt.restore(0L)                                          // v3: F back
+    val resurrected = rt.liveAdds().map(_.path).toSet
+    rt.clusterIncremental(spark, Seq("k"), 2)               // must act
+    assert((rt.liveAdds().map(_.path).toSet
+      intersect resurrected).isEmpty,
+      "restored pre-marker files were skipped as already clustered")
+    assert(rt.load(spark).select("k").as[Long].collect().sorted.toSeq
+      == (0L to 99L))
     // SQL surface: CALL optimize(..., incremental => true) — only
     // the newly-appended file rewrites, prior generation survives
     t.append(shuffled(400, 449).repartition(1))

@@ -146,7 +146,8 @@ class LogTableSpec extends SparkSpec {
     t.restore(2L)                                               // v6 ckpt
     t.append(Seq((5L, "e")).toDF("k", "v"))                     // v7
     val logFiles = new File(dir, "_log").listFiles().map(_.getName)
-    assert(logFiles.exists(_.endsWith(".ckpt.parquet")), logFiles.toSeq)
+    assert(logFiles.exists(
+      _.matches("\\d{20}\\.ckpt\\..+\\.parquet")), logFiles.toSeq)
     assert(!logFiles.exists(_.endsWith(".ckpt.adds.jsonl")))
     // headers are O(schema), never O(#files): no embedded adds
     val header = java.nio.file.Files.readString(
@@ -174,7 +175,7 @@ class LogTableSpec extends SparkSpec {
     s.append(Seq((3L, "z")).toDF("k", "v"))                     // v3
     val names2 = new File(dir2, "_log").listFiles().map(_.getName)
     assert(names2.exists(_.endsWith(".ckpt.adds.jsonl")), names2.toSeq)
-    assert(!names2.exists(_.endsWith(".ckpt.parquet")))
+    assert(!names2.exists(_.matches("\\d{20}\\.ckpt\\..+\\.parquet")))
     val viaJsonl = new LogTable(dir2)
     val raw2 = new LogTable(dir2)
     raw2.ignoreCheckpointsForTest = true
@@ -197,7 +198,8 @@ class LogTableSpec extends SparkSpec {
     }
     t.registerFiles(fakes)                                      // v1 ckpt
     val log = new File(dir, "_log")
-    val pq = log.listFiles().filter(_.getName.endsWith(".ckpt.parquet"))
+    val pq = log.listFiles().filter(
+      _.getName.matches("\\d{20}\\.ckpt\\..+\\.parquet"))
     assert(pq.length == 1, log.listFiles().map(_.getName).toSeq)
     assert(pq.head.isDirectory &&
       pq.head.listFiles().exists(_.getName.endsWith(".parquet")))
