@@ -1330,6 +1330,148 @@ object SparkEntry {
             ORDER BY surface, item, detail""")
     }),
 
+    "log_table_snapshots" -> ((s, d) => {
+      // round-12 inspection surfaces: cat.t.snapshots (one row per
+      // retained commit — parent chain, operation, a SUMMARY map
+      // carrying add/remove counts and the idempotent-txn tag;
+      // Iceberg's snapshots table) and cat.t.all_files (every file
+      // ANY retained version still references, live-flagged — the
+      // vacuum-audit view, assembled from the floor manifest, which
+      // rides the distributed parquet-checkpoint scan above the
+      // threshold, plus the bounded retained commit tail). Injected
+      // clock + single-file commits pin every value; the oracle
+      // recomputes the row sums from the customer table.
+      val tag = java.lang.Integer.toHexString(d.hashCode)
+      val cat = s"gsnap_$tag"
+      if (s.conf.getOption(s"spark.sql.catalog.$cat").isEmpty) {
+        s.conf.set(s"spark.sql.catalog.$cat",
+          classOf[graft.sources.GraftTableCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse",
+          java.nio.file.Files.createTempDirectory("graft_logsnap")
+            .toString)
+      }
+      val tbl = s"t_${System.nanoTime()}"
+      val ticks = Iterator(1000L, 2000L, 3000L, 4000L) ++
+        Iterator.continually(5000L)
+      val lt = new graft.sources.LogTable(
+        s"${s.conf.get(s"spark.sql.catalog.$cat.warehouse")}/$tbl",
+        () => ticks.next())
+      val cust = t(s, d, "customer").select(col("c_custkey").as("k"),
+        col("c_name").as("name"))
+      lt.append(cust.filter(col("k") <= 40).repartition(1))    // v0
+      lt.append(cust.filter(col("k") > 40 && col("k") <= 80)
+        .repartition(1))                                       // v1
+      lt.deleteMor(s, col("k") <= 20)                          // v2 DV
+      lt.overwrite(cust.filter(col("k") > 80 && col("k") <= 90)
+        .repartition(1))                                       // v3
+      lt.appendStreamBatch(cust.filter(col("k") > 90 && col("k") <= 120)
+        .repartition(1), "app1", 5L)                           // v4 txn
+      s.sql(
+        s"""SELECT 'snap' AS surface, CAST(version AS STRING) AS item,
+                   concat(operation,
+                          '|p=', CAST(coalesce(parent, -1) AS STRING),
+                          '|a=', summary['n_added'],
+                          '|r=', summary['n_removed']) AS detail,
+                   committed_at AS num
+            FROM $cat.$tbl.snapshots
+            UNION ALL
+            SELECT 'txn', summary['txn_app'], summary['txn_batch'],
+                   version
+            FROM $cat.$tbl.snapshots
+            WHERE summary['txn_app'] IS NOT NULL
+            UNION ALL
+            SELECT 'all_files', 'live', 'files', count(*)
+            FROM $cat.$tbl.all_files WHERE live
+            UNION ALL
+            SELECT 'all_files', 'live', 'rows', sum(rows)
+            FROM $cat.$tbl.all_files WHERE live
+            UNION ALL
+            SELECT 'all_files', 'retired', 'files', count(*)
+            FROM $cat.$tbl.all_files WHERE NOT live
+            UNION ALL
+            SELECT 'all_files', 'retired', 'rows', sum(rows)
+            FROM $cat.$tbl.all_files WHERE NOT live
+            UNION ALL
+            SELECT 'all_files', 'retired', 'dv_rows',
+                   sum(coalesce(dv_rows, 0))
+            FROM $cat.$tbl.all_files WHERE NOT live
+            ORDER BY surface, item, detail""")
+    }),
+
+    "delta_export" -> ((s, d) => {
+      // round-12 Delta-protocol EXPORT: the snapshot re-emitted as a
+      // spec-compliant _delta_log (protocol + metaData + adds with
+      // Delta stats JSON, parquet checkpoint, _last_checkpoint) that
+      // an external Delta reader could consume in place; verified
+      // here by round-tripping through the library's own import
+      // reader (no Delta binary exists in this offline environment —
+      // the structural spec asserts live in DeltaExportSpec).
+      import s.implicits._
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft_dexpq").toString
+      val lt = new graft.sources.LogTable(s"$wh/t")
+      val cust = t(s, d, "customer").select(col("c_custkey").as("k"),
+        col("c_name").as("name"))
+      lt.append(cust.filter(col("k") <= 120).repartition(2))
+      lt.delete(s, col("k") % 10 === 0)  // CoW — stays exportable
+      graft.sources.DeltaExport.exportDeltaLog(s, lt)
+      graft.sources.DeltaExport.loadDelta(s, lt.path)
+        .select(col("k"), col("name")).orderBy("k")
+    }),
+
+    "log_table_protocol" -> ((s, d) => {
+      // round-12 PROTOCOL / table-feature gating (Delta PROTOCOL.md
+      // discipline): create records a protocol action; the commit
+      // choke point auto-upgrades it when a commit first activates
+      // a gated feature (the first deletion vector, row tracking);
+      // a reader REFUSES a table demanding unknown reader features
+      // by NAME instead of half-reading it, and unknown writer
+      // features fence commits while reads keep working. The row
+      // counts tie every fixture state to the customer table.
+      import s.implicits._
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft_protoq").toString
+      val ticks = Iterator(1000L, 2000L) ++ Iterator.continually(3000L)
+      val lt = new graft.sources.LogTable(s"$wh/t", () => ticks.next())
+      val cust = t(s, d, "customer").select(col("c_custkey").as("k"),
+        col("c_name").as("name"))
+      lt.append(cust.filter(col("k") <= 100).repartition(1))   // v0
+      lt.deleteMor(s, col("k") <= 50)                          // v1 DV
+      lt.enableRowTracking()                                   // v2
+      def feats(v: Long): String = lt.protocolAt(Some(v)).get
+        .readerFeatures.toSeq.sorted.mkString(",")
+      def rowsAt(v: Long): Long = lt.load(s, Some(v)).count()
+      // a FUTURE writer's unknown reader feature → refusal BY NAME
+      val rt = new graft.sources.LogTable(s"$wh/r")
+      rt.append(cust.filter(col("k") <= 10).repartition(1))
+      rt.commitProtocol(graft.sources.Protocol(1, 1,
+        Set("futureFeatureX"), Set.empty))
+      val readerRefused =
+        try { new graft.sources.LogTable(s"$wh/r").load(s).count(); 0L }
+        catch { case e: IllegalStateException
+            if e.getMessage.contains("futureFeatureX") => 1L }
+      // unknown WRITER feature → commits fence, reads keep working
+      val wt = new graft.sources.LogTable(s"$wh/w")
+      wt.append(cust.filter(col("k") <= 20).repartition(1))
+      wt.commitProtocol(graft.sources.Protocol(1, 1,
+        Set.empty, Set("writerFeatureY")))
+      val fresh = new graft.sources.LogTable(s"$wh/w")
+      val writerRefused =
+        try { fresh.append(cust.filter(col("k") === 200L)); 0L }
+        catch { case e: IllegalStateException
+            if e.getMessage.contains("writerFeatureY") => 1L }
+      val stillReadable = fresh.load(s).count()
+      Seq(
+        ("features", "v0", feats(0), rowsAt(0)),
+        ("features", "v1", feats(1), rowsAt(1)),
+        ("features", "v2", feats(2), rowsAt(2)),
+        ("gate", "reader", "refused", readerRefused),
+        ("gate", "writer", "refused", writerRefused),
+        ("gate", "writer", "readable_rows", stillReadable))
+        .toDF("surface", "item", "detail", "num")
+        .orderBy("surface", "item", "detail")
+    }),
+
     "log_table_analyze" -> ((s, d) => {
       // ANALYZE TABLE as data: one distributed pass computes exact
       // per-column NDV / null count / min / max + the table's
@@ -3807,6 +3949,56 @@ object SparkEntry {
          ) AS t(surface, item, detail, num)
          ORDER BY surface, item, detail""",
 
+    "log_table_snapshots" ->
+      """SELECT surface, item, detail, num FROM (
+           VALUES
+             ('snap', '0', 'append|p=-1|a=1|r=0', CAST(1000 AS BIGINT)),
+             ('snap', '1', 'append|p=0|a=1|r=0', CAST(2000 AS BIGINT)),
+             ('snap', '2', 'delete|p=1|a=1|r=1', CAST(3000 AS BIGINT)),
+             ('snap', '3', 'overwrite|p=2|a=1|r=2',
+               CAST(4000 AS BIGINT)),
+             ('snap', '4', 'append|p=3|a=1|r=0', CAST(5000 AS BIGINT)),
+             ('txn', 'app1', '5', CAST(4 AS BIGINT)),
+             ('all_files', 'live', 'files', CAST(2 AS BIGINT)),
+             ('all_files', 'live', 'rows',
+               (SELECT CAST(count(*) AS BIGINT) FROM customer
+                WHERE c_custkey > 80 AND c_custkey <= 120)),
+             ('all_files', 'retired', 'files', CAST(2 AS BIGINT)),
+             ('all_files', 'retired', 'rows',
+               (SELECT CAST(count(*) AS BIGINT) FROM customer
+                WHERE c_custkey <= 80)),
+             ('all_files', 'retired', 'dv_rows',
+               (SELECT CAST(count(*) AS BIGINT) FROM customer
+                WHERE c_custkey <= 20))
+         ) AS t(surface, item, detail, num)
+         ORDER BY surface, item, detail""",
+
+    "delta_export" ->
+      """SELECT c_custkey AS k, c_name AS name
+         FROM customer
+         WHERE c_custkey <= 120 AND c_custkey % 10 <> 0
+         ORDER BY k""",
+
+    "log_table_protocol" ->
+      """SELECT surface, item, detail, num FROM (
+           VALUES
+             ('features', 'v0', '',
+               (SELECT CAST(count(*) AS BIGINT) FROM customer
+                WHERE c_custkey <= 100)),
+             ('features', 'v1', 'deletionVectors',
+               (SELECT CAST(count(*) AS BIGINT) FROM customer
+                WHERE c_custkey > 50 AND c_custkey <= 100)),
+             ('features', 'v2', 'deletionVectors,rowTracking',
+               (SELECT CAST(count(*) AS BIGINT) FROM customer
+                WHERE c_custkey > 50 AND c_custkey <= 100)),
+             ('gate', 'reader', 'refused', CAST(1 AS BIGINT)),
+             ('gate', 'writer', 'refused', CAST(1 AS BIGINT)),
+             ('gate', 'writer', 'readable_rows',
+               (SELECT CAST(count(*) AS BIGINT) FROM customer
+                WHERE c_custkey <= 20))
+         ) AS t(surface, item, detail, num)
+         ORDER BY surface, item, detail""",
+
     "log_table_analyze" ->
       """WITH t AS (
            SELECT c_custkey AS k, CAST(c_nationkey AS BIGINT) AS nat,
@@ -5505,6 +5697,128 @@ object SparkEntry {
 
     // char pairs via list indexing; '|' join is safe at the initial
     // (single-char) vocabulary this entry scores
+    // round-12: bpe_train FLIPS from rows-only to a full oracle —
+    // the iterative argmax IS DuckDB-expressible as a 6-round
+    // cascading CTE: per round, adjacent-pair counts over the
+    // bracketed symbol encoding (the r8 bpe_encode technique), the
+    // same (n DESC, left, right) argmax, and ONE left-to-right
+    // replace() to apply the merge (non-overlapping left-to-right
+    // replacement = greedy BPE application, both engines)
+    "bpe_train" ->
+      """WITH words AS (
+           SELECT w, count(*) AS freq FROM (
+             SELECT unnest(string_split(text, ' ')) AS w
+             FROM documents)
+           WHERE w <> '' GROUP BY w),
+         s0 AS (SELECT freq,
+           '⟨' || array_to_string(string_split(w, ''), '⟩⟨') || '⟩' AS s
+           FROM words),
+         p1 AS (
+           SELECT pr.a AS a, pr.b AS b, CAST(sum(freq) AS BIGINT) AS n
+           FROM (
+             SELECT freq, unnest(list_transform(range(1, len(cs)),
+               i -> {'a': cs[i], 'b': cs[i+1]})) AS pr
+             FROM (SELECT freq,
+                     string_split(trim(s, '⟨⟩'), '⟩⟨') AS cs
+                   FROM s0)
+             WHERE len(cs) >= 2)
+           GROUP BY 1, 2),
+         m1 AS (SELECT a, b, n FROM p1
+                  ORDER BY n DESC, a, b LIMIT 1),
+         s1 AS (SELECT freq, replace(s,
+           '⟨' || (SELECT a FROM m1) || '⟩⟨' ||
+             (SELECT b FROM m1) || '⟩',
+           '⟨' || (SELECT a || b FROM m1) || '⟩') AS s
+           FROM s0),
+         p2 AS (
+           SELECT pr.a AS a, pr.b AS b, CAST(sum(freq) AS BIGINT) AS n
+           FROM (
+             SELECT freq, unnest(list_transform(range(1, len(cs)),
+               i -> {'a': cs[i], 'b': cs[i+1]})) AS pr
+             FROM (SELECT freq,
+                     string_split(trim(s, '⟨⟩'), '⟩⟨') AS cs
+                   FROM s1)
+             WHERE len(cs) >= 2)
+           GROUP BY 1, 2),
+         m2 AS (SELECT a, b, n FROM p2
+                  ORDER BY n DESC, a, b LIMIT 1),
+         s2 AS (SELECT freq, replace(s,
+           '⟨' || (SELECT a FROM m2) || '⟩⟨' ||
+             (SELECT b FROM m2) || '⟩',
+           '⟨' || (SELECT a || b FROM m2) || '⟩') AS s
+           FROM s1),
+         p3 AS (
+           SELECT pr.a AS a, pr.b AS b, CAST(sum(freq) AS BIGINT) AS n
+           FROM (
+             SELECT freq, unnest(list_transform(range(1, len(cs)),
+               i -> {'a': cs[i], 'b': cs[i+1]})) AS pr
+             FROM (SELECT freq,
+                     string_split(trim(s, '⟨⟩'), '⟩⟨') AS cs
+                   FROM s2)
+             WHERE len(cs) >= 2)
+           GROUP BY 1, 2),
+         m3 AS (SELECT a, b, n FROM p3
+                  ORDER BY n DESC, a, b LIMIT 1),
+         s3 AS (SELECT freq, replace(s,
+           '⟨' || (SELECT a FROM m3) || '⟩⟨' ||
+             (SELECT b FROM m3) || '⟩',
+           '⟨' || (SELECT a || b FROM m3) || '⟩') AS s
+           FROM s2),
+         p4 AS (
+           SELECT pr.a AS a, pr.b AS b, CAST(sum(freq) AS BIGINT) AS n
+           FROM (
+             SELECT freq, unnest(list_transform(range(1, len(cs)),
+               i -> {'a': cs[i], 'b': cs[i+1]})) AS pr
+             FROM (SELECT freq,
+                     string_split(trim(s, '⟨⟩'), '⟩⟨') AS cs
+                   FROM s3)
+             WHERE len(cs) >= 2)
+           GROUP BY 1, 2),
+         m4 AS (SELECT a, b, n FROM p4
+                  ORDER BY n DESC, a, b LIMIT 1),
+         s4 AS (SELECT freq, replace(s,
+           '⟨' || (SELECT a FROM m4) || '⟩⟨' ||
+             (SELECT b FROM m4) || '⟩',
+           '⟨' || (SELECT a || b FROM m4) || '⟩') AS s
+           FROM s3),
+         p5 AS (
+           SELECT pr.a AS a, pr.b AS b, CAST(sum(freq) AS BIGINT) AS n
+           FROM (
+             SELECT freq, unnest(list_transform(range(1, len(cs)),
+               i -> {'a': cs[i], 'b': cs[i+1]})) AS pr
+             FROM (SELECT freq,
+                     string_split(trim(s, '⟨⟩'), '⟩⟨') AS cs
+                   FROM s4)
+             WHERE len(cs) >= 2)
+           GROUP BY 1, 2),
+         m5 AS (SELECT a, b, n FROM p5
+                  ORDER BY n DESC, a, b LIMIT 1),
+         s5 AS (SELECT freq, replace(s,
+           '⟨' || (SELECT a FROM m5) || '⟩⟨' ||
+             (SELECT b FROM m5) || '⟩',
+           '⟨' || (SELECT a || b FROM m5) || '⟩') AS s
+           FROM s4),
+         p6 AS (
+           SELECT pr.a AS a, pr.b AS b, CAST(sum(freq) AS BIGINT) AS n
+           FROM (
+             SELECT freq, unnest(list_transform(range(1, len(cs)),
+               i -> {'a': cs[i], 'b': cs[i+1]})) AS pr
+             FROM (SELECT freq,
+                     string_split(trim(s, '⟨⟩'), '⟩⟨') AS cs
+                   FROM s5)
+             WHERE len(cs) >= 2)
+           GROUP BY 1, 2),
+         m6 AS (SELECT a, b, n FROM p6
+                  ORDER BY n DESC, a, b LIMIT 1)
+         SELECT rank, "left", "right", n FROM (
+           SELECT 1 AS rank, a AS "left", b AS "right", n FROM m1
+           UNION ALL SELECT 2 AS rank, a AS "left", b AS "right", n FROM m2
+           UNION ALL SELECT 3 AS rank, a AS "left", b AS "right", n FROM m3
+           UNION ALL SELECT 4 AS rank, a AS "left", b AS "right", n FROM m4
+           UNION ALL SELECT 5 AS rank, a AS "left", b AS "right", n FROM m5
+           UNION ALL SELECT 6 AS rank, a AS "left", b AS "right", n FROM m6)
+         ORDER BY rank""",
+
     "bpe_pair_counts" ->
       """WITH words AS (
            SELECT w, count(*) AS freq FROM (

@@ -171,7 +171,11 @@ private[sources] final class GraftProcedure(catalog: GraftTableCatalog,
         if (ts.matches("-?\\d+")) throw new IllegalArgumentException(
           s"restore timestamp '$ts' is a pure integer — integer " +
             "arguments mean a VERSION; pass it as the version " +
-            "parameter, or give a timestamp string")
+            "parameter, or give a timestamp string. (BREAKING " +
+            "CHANGE, round 11: this argument was previously " +
+            "accepted as epoch MILLIS — callers relying on that " +
+            "should convert with a timestamp string, e.g. " +
+            "from_unixtime(millis / 1000).)")
         val target =
           if (ts.isEmpty) v
           else t.versionAt(LogTable.evalTimestampMillis(spark,

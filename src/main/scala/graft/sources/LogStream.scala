@@ -1,5 +1,7 @@
 package graft.sources
 
+import java.util.UUID
+
 import org.apache.spark.sql.{DataFrame, Dataset, GraftPlanReset, GraftStreamShim, Row, SQLContext}
 import org.apache.spark.sql.execution.streaming.{Offset, Sink, Source}
 import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
@@ -103,11 +105,19 @@ final class LogStreamProvider extends StreamSourceProvider
     else {
       val v = resolve
       fs.mkdirs(dir)
-      val tmp = new Path(dir, s".graft.startingVersion.tmp")
+      // writer-unique tmp name: a FIXED name would let two racing
+      // first starts stage over each other; and rename(2) REPLACES
+      // an existing destination on POSIX filesystems, so "my rename
+      // returned true" does not mean "my value governs". After the
+      // rename, ALWAYS re-read the destination and serve that —
+      // last-writer-wins, but CONSISTENTLY: every racer (and every
+      // restart) reads the same persisted resolution.
+      val tmp = new Path(dir,
+        s".graft.startingVersion.${UUID.randomUUID()}.tmp")
       val out = fs.create(tmp, true)
       try out.write(v.toString.getBytes("UTF-8")) finally out.close()
-      // rename-won-by-someone-else ⇒ their resolution governs
-      if (fs.rename(tmp, file)) v else read()
+      if (!fs.rename(tmp, file)) fs.delete(tmp, false)
+      read()
     }
   }
 
@@ -156,7 +166,9 @@ final class LogStreamProvider extends StreamSourceProvider
         if (ts.matches("-?\\d+")) throw new IllegalArgumentException(
           s"startingTimestamp '$ts' is a pure integer — integer " +
             "arguments mean a VERSION; use startingVersion, or give " +
-            "a timestamp string")
+            "a timestamp string. (BREAKING CHANGE, round 11: this " +
+            "option previously accepted epoch MILLIS — convert with " +
+            "a timestamp string, e.g. from_unixtime(millis / 1000).)")
         val ms = LogTable.evalTimestampMillis(ctx.sparkSession,
           org.apache.spark.sql.catalyst.expressions.Literal(
             org.apache.spark.unsafe.types.UTF8String.fromString(ts),

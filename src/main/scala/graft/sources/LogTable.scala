@@ -67,6 +67,14 @@ private[graft] final case class CkptAdd(idx: Long, path: String,
                                         dvRows: Option[Long],
                                         baseRowId: Option[Long])
 
+/** One partition's result of the DISTRIBUTED pruning walk
+  * ([[LogTable.prunedAdds]]): how many manifest rows the partition
+  * held and which survived file-skipping — collected per partition
+  * so ONE job yields both the survivors and the exact live total
+  * (the skipped-file count row-ops report). */
+private[graft] final case class PrunePart(total: Long,
+                                          keep: Seq[CkptAdd])
+
 /** Commit-layer conflict signal for identity-allocation races: the
   * staged write drew its identity values from a high-water mark
   * another writer advanced first, so the staged files hold
@@ -77,6 +85,20 @@ private[graft] final case class CkptAdd(idx: Long, path: String,
   * "identity". */
 final class IdentityAllocationConflict(msg: String)
   extends java.util.ConcurrentModificationException(msg)
+
+/** Protocol action of a [[LogTable]] — Delta's PROTOCOL.md
+  * discipline, the forward-compatibility gate every production table
+  * format has: a reader REFUSES a table whose `readerFeatures` (or
+  * `minReader`) it does not know, instead of half-reading actions a
+  * future writer meant differently; a writer refuses to COMMIT to a
+  * table demanding unknown `writerFeatures` (reads may still work).
+  * The action carries the FULL post-change state (latest wins
+  * wholesale, like properties) and is auto-upgraded at the commit
+  * choke point whenever a commit first activates a gated feature
+  * (a deletion vector, row tracking, column mapping, ...). */
+final case class Protocol(minReader: Int, minWriter: Int,
+                          readerFeatures: Set[String],
+                          writerFeatures: Set[String])
 
 /** `GENERATED ALWAYS AS IDENTITY` column spec (Delta's identity
   * columns): values start at `start` and advance by `step`;
@@ -299,45 +321,49 @@ final class LogTable(val path: String,
   private final case class CommitMeta(ts: Long, op: String,
                                       cdf: Option[String],
                                       txn: Option[(String, Long)])
-  private final case class Snapshot(schema: StructType, adds: Seq[AddFile],
-                                    partitionCols: Seq[String],
-                                    bloomCols: Seq[String] = Seq.empty,
-                                    constraints: Map[String, String] =
-                                      Map.empty,
-                                    generated: Map[String, String] =
-                                      Map.empty,
-                                    retiredNames: Set[String] = Set.empty,
-                                    tz: Option[String] = None,
-                                    identity: Map[String, IdentitySpec] =
-                                      Map.empty,
-                                    defaults: Map[String, String] =
-                                      Map.empty,
-                                    properties: Map[String, String] =
-                                      Map.empty,
-                                    transforms: Map[String, String] =
-                                      Map.empty,
-                                    refs: Map[String, String] =
-                                      Map.empty)
-
-  private def parseStats(j: JValue): Map[String, ColStats] = j match {
-    case JObject(fields) => fields.map { case (c, v) =>
-      def side(k: String): Option[Any] = (v \ k) match {
-        case JNothing | JNull => None
-        case JInt(i)          => Some(i.toLong)
-        case JLong(l)         => Some(l)
-        case JDouble(d)       => Some(d)
-        case JDecimal(d)      => Some(d.toDouble)
-        case JString(s)       => Some(s)
-        case JBool(b)         => Some(if (b) 1L else 0L)
-        case other => throw new IllegalStateException(s"bad stat: $other")
-      }
-      val nulls = (v \ "nulls") match {
-        case JInt(i) => i.toLong; case JLong(l) => l; case _ => 0L
-      }
-      c -> ColStats(side("min"), side("max"), nulls)
-    }.toMap
-    case _ => Map.empty
+  /** Snapshot state at one version. Metadata (schema, partition
+    * layout, properties, refs, ...) is EAGER — O(checkpointInterval)
+    * small JSON reads. The FILE-STATE is LAZY: `adds` loads the
+    * checkpoint sidecar and folds the commit tail only when a caller
+    * actually plans a scan or a rewrite, so metadata-only operations
+    * (DESCRIBE HISTORY, property commits, schema lookups, refs) on a
+    * million-file table never materialize the manifest at all — and
+    * scan planning above the parquet-checkpoint threshold prefers
+    * [[LogTable.prunedAdds]], which collects only the files that
+    * survive file-skipping instead of forcing this Seq. */
+  private final class Snapshot(val schema: StructType,
+                               addsThunk: () => Seq[AddFile],
+                               val partitionCols: Seq[String],
+                               val bloomCols: Seq[String] = Seq.empty,
+                               val constraints: Map[String, String] =
+                                 Map.empty,
+                               val generated: Map[String, String] =
+                                 Map.empty,
+                               val retiredNames: Set[String] = Set.empty,
+                               val tz: Option[String] = None,
+                               val identity: Map[String, IdentitySpec] =
+                                 Map.empty,
+                               val defaults: Map[String, String] =
+                                 Map.empty,
+                               val properties: Map[String, String] =
+                                 Map.empty,
+                               val transforms: Map[String, String] =
+                                 Map.empty,
+                               val refs: Map[String, String] =
+                                 Map.empty,
+                               val protocol: Option[Protocol] = None) {
+    @volatile private[this] var loaded = false
+    lazy val adds: Seq[AddFile] = {
+      val r = addsThunk(); loaded = true; r
+    }
+    /** Has the file-state already been paid for? (Pruned planning
+      * prefers the in-memory Seq when it exists — a second walk of
+      * a materialized list beats launching a manifest job.) */
+    def addsMaterialized: Boolean = loaded
   }
+
+  private def parseStats(j: JValue): Map[String, ColStats] =
+    LogTable.parseStats(j)
 
   private def renderStats(stats: Map[String, ColStats]): JValue =
     JObject(stats.toList.map { case (c, st) =>
@@ -371,6 +397,25 @@ final class LogTable(val path: String,
         "step" -> JLong(s.step)) ++
         s.highWater.map("highWater" -> JLong(_)))
     })
+
+  private def parseProtocol(j: JValue): Protocol = {
+    def int(k: String, dflt: Int): Int = (j \ k) match {
+      case JInt(i) => i.toInt; case JLong(l) => l.toInt; case _ => dflt
+    }
+    def set(k: String): Set[String] = (j \ k) match {
+      case JArray(a) => a.collect { case JString(s) => s }.toSet
+      case _         => Set.empty
+    }
+    Protocol(int("minReader", 1), int("minWriter", 1),
+      set("readerFeatures"), set("writerFeatures"))
+  }
+
+  private def renderProtocol(p: Protocol): JValue = JObject(List(
+    "minReader" -> JInt(p.minReader), "minWriter" -> JInt(p.minWriter),
+    "readerFeatures" -> JArray(
+      p.readerFeatures.toList.sorted.map(JString(_))),
+    "writerFeatures" -> JArray(
+      p.writerFeatures.toList.sorted.map(JString(_)))))
 
   private def parseAdd(j: JValue): AddFile = AddFile(
     (j \ "path").asInstanceOf[JString].s,
@@ -495,7 +540,7 @@ final class LogTable(val path: String,
     var props: Map[String, String] = Map.empty
     var trans: Map[String, String] = Map.empty
     var refMap: Map[String, String] = Map.empty
-    val live = scala.collection.mutable.LinkedHashMap.empty[String, AddFile]
+    var proto: Option[Protocol] = None
     val from = ckpts match {
       case Some(cv) =>
         val state = JsonMethods.parse(Files.readString(ckptFile(cv).toPath))
@@ -552,27 +597,11 @@ final class LogTable(val path: String,
             case (k, JString(v)) => k -> v }.toMap
           case _ => ()
         }
-        // file-state: new-format checkpoints keep the adds OUT of
-        // the header — parquet read distributed, JSONL parsed line
-        // by line (bounded memory; never one whole-state string);
-        // legacy headers with an embedded adds array still replay
-        (state \ "addsFormat") match {
-          case JString("parquet") =>
-            readAddsParquet(ckptParquetOf(state, cv))
-              .foreach(a => live(a.path) = a)
-          case JString("jsonl") =>
-            // the writer emitted UTF-8 (Files.newBufferedWriter) —
-            // read it back the same way, not in the platform charset
-            val src = scala.io.Source.fromFile(
-              ckptAddsFile(cv))(scala.io.Codec.UTF8)
-            try src.getLines().filter(_.nonEmpty).foreach { line =>
-              val a = parseAdd(JsonMethods.parse(line)); live(a.path) = a
-            } finally src.close()
-          case _ =>
-            (state \ "adds").asInstanceOf[JArray].arr.foreach { j =>
-              val a = parseAdd(j); live(a.path) = a
-            }
-        }
+        if ((state \ "protocol") != JNothing)
+          proto = Some(parseProtocol(state \ "protocol"))
+        // file-state is NOT loaded here — the header carries only
+        // O(schema) metadata, and [[fileStateAt]] resolves the adds
+        // sidecar lazily when (and only when) Snapshot.adds is forced
         cv + 1
       case None =>
         // no checkpoint at-or-before v: replay must start at commit
@@ -651,6 +680,86 @@ final class LogTable(val path: String,
             case (k, JString(v)) => k -> v }.toMap
           case _ => ()
         }
+        // protocol actions carry the FULL post-change feature state
+        // — latest wins wholesale (Delta's PROTOCOL.md rule)
+        if ((j \ "protocol") != JNothing)
+          proto = Some(parseProtocol(j \ "protocol"))
+        // add/remove actions are the FILE-STATE — deferred to
+        // [[fileStateAt]]; this pass is metadata-only
+      }
+    }
+    // READER protocol gate: refuse — by feature NAME — instead of
+    // half-reading a table a future writer extended (Delta's
+    // PROTOCOL.md discipline). Tables without a protocol action
+    // (legacy) read as before.
+    proto.foreach { pr =>
+      val unknown = pr.readerFeatures -- LogTable.SupportedReaderFeatures
+      if (pr.minReader > LogTable.ReaderVersion || unknown.nonEmpty)
+        throw new IllegalStateException(
+          s"cannot read the log table at $path (version $v): " +
+            (if (unknown.nonEmpty)
+              s"its protocol requires reader feature(s) " +
+                s"${unknown.toSeq.sorted.mkString(", ")} this reader " +
+                "does not support"
+            else s"its protocol requires reader version " +
+              s"${pr.minReader} (this reader speaks " +
+              s"${LogTable.ReaderVersion})") +
+            " — upgrade the graft library; refusing to half-read")
+    }
+    new Snapshot(schema.getOrElse(throw new IllegalStateException(
+      s"log at $path has no schema action up to version $v")),
+      () => fileStateAt(ckpts, v),
+      partCols, bloomIdxCols, checks, genCols, retired,
+      zone, idCols, defCols, props, trans, refMap, proto)
+  }
+
+  /** The live file-state at `v`, replayed from the chosen checkpoint
+    * basis — the DEFERRED half of [[computeSnapshotAt]]: the
+    * checkpoint's adds sidecar (parquet via a distributed scan,
+    * JSONL line-streamed, or a legacy embedded array) plus the
+    * add/remove fold of the bounded commit tail. Runs only when a
+    * caller forces `Snapshot.adds`; metadata-only operations never
+    * reach it. */
+  private def fileStateAt(ckpt: Option[Long], v: Long): Seq[AddFile] = {
+    val live = scala.collection.mutable.LinkedHashMap.empty[String, AddFile]
+    val from = ckpt match {
+      case Some(cv) =>
+        val state = JsonMethods.parse(Files.readString(ckptFile(cv).toPath))
+        (state \ "addsFormat") match {
+          case JString("parquet") if SparkSession.getActiveSession
+              .orElse(SparkSession.getDefaultSession).isEmpty =>
+            // session-less reader of a parquet-checkpointed table (a
+            // bare maintenance CLI): fall back to the raw-commit
+            // replay the checkpoint summarizes — slower but always
+            // available while commit 0 is retained; expired logs
+            // refuse with the pointer a caller needs
+            if (!logFile(0L).isFile) throw new IllegalStateException(
+              s"the checkpoint at version $cv of $path stores its " +
+                "file-state as parquet, which needs a SparkSession to " +
+                "read — and the raw commits below it have been " +
+                "expired; open a SparkSession to read this table")
+            return fileStateAt(None, v)
+          case JString("parquet") =>
+            readAddsParquet(ckptParquetOf(state, cv))
+              .foreach(a => live(a.path) = a)
+          case JString("jsonl") =>
+            // the writer emitted UTF-8 (Files.newBufferedWriter) —
+            // read it back the same way, not in the platform charset
+            val src = scala.io.Source.fromFile(
+              ckptAddsFile(cv))(scala.io.Codec.UTF8)
+            try src.getLines().filter(_.nonEmpty).foreach { line =>
+              val a = parseAdd(JsonMethods.parse(line)); live(a.path) = a
+            } finally src.close()
+          case _ =>
+            (state \ "adds").asInstanceOf[JArray].arr.foreach { j =>
+              val a = parseAdd(j); live(a.path) = a
+            }
+        }
+        cv + 1
+      case None => 0L
+    }
+    (from to v).foreach { cv =>
+      readActions(logFile(cv)).foreach { j =>
         if ((j \ "add") != JNothing) {
           val a = parseAdd(j \ "add"); live(a.path) = a
         }
@@ -658,10 +767,7 @@ final class LogTable(val path: String,
           live.remove((j \ "remove" \ "path").asInstanceOf[JString].s)
       }
     }
-    Snapshot(schema.getOrElse(throw new IllegalStateException(
-      s"log at $path has no schema action up to version $v")),
-      live.values.toSeq, partCols, bloomIdxCols, checks, genCols, retired,
-      zone, idCols, defCols, props, trans, refMap)
+    live.values.toSeq
   }
 
   /** Table schema at the current version. */
@@ -746,21 +852,14 @@ final class LogTable(val path: String,
     * against. Never set outside tests. */
   private[graft] var ignoreCheckpointsForTest: Boolean = false
 
-  /** The live-file manifest at `version` as a DISTRIBUTED DataFrame
-    * — the metadata-as-a-relation surface (`SELECT * FROM
-    * cat.t.files`, Iceberg's inspection-table idea). Above the
-    * parquet-checkpoint threshold this never materializes the file
-    * list on the driver: the newest parquet checkpoint is read as an
-    * ordinary distributed scan and only the post-checkpoint commit
-    * TAIL (bounded by checkpointInterval) folds on the driver — at
-    * the 100-TB target the ~1M-row manifest is a table users join
-    * against, not driver state. Columns: path, rows, bytes,
-    * partition_values, dv_path, dv_rows, base_row_id, stats (the
-    * commit log's own JSON rendering). */
-  def addsDF(spark: SparkSession, version: Option[Long] = None)
-      : DataFrame = {
-    val v = version.orElse(currentVersion).getOrElse(
-      throw new IllegalStateException(s"no log table at $path"))
+  /** The manifest at `v` as a typed distributed Dataset — Some only
+    * when a PARQUET checkpoint serves the base (the regime where the
+    * file list must never be driver state): the checkpoint scan plus
+    * a commit-tail fold bounded by checkpointInterval. None below
+    * the threshold (JSONL / no checkpoint yet), where the driver Seq
+    * is small by construction. */
+  private def distributedManifest(spark: SparkSession, v: Long)
+      : Option[org.apache.spark.sql.Dataset[CkptAdd]] = {
     val enc = org.apache.spark.sql.Encoders.product[CkptAdd]
     val ckptBase: Option[(Long, DataFrame)] =
       if (ignoreCheckpointsForTest) None
@@ -773,9 +872,9 @@ final class LogTable(val path: String,
           case _ => None
         }
       }
-    val manifest = ckptBase match {
-      case Some((c, base)) if c == v => base
-      case Some((c, base)) =>
+    ckptBase.map {
+      case (c, base) if c == v => base.as[CkptAdd](enc)
+      case (c, base) =>
         // fold the commit tail: latest action per path wins — a
         // re-added path (DV update, restore) REPLACES its base row,
         // a removed one drops it, everything else carries through
@@ -793,19 +892,180 @@ final class LogTable(val path: String,
         }
         val touched = delta.keys.toSeq
         val alive = delta.values.flatten.toSeq
+        // a small touched set stays a literal NOT-IN (no second
+        // relation in the plan); a FAT post-checkpoint commit (a
+        // full OPTIMIZE rewriting ~1M files right after a
+        // checkpoint) instead anti-joins against a broadcast
+        // touched-paths frame — thousands of literals in one In
+        // would bloat the plan the manifest design exists to avoid
         val kept =
           if (touched.isEmpty) base
-          else base.filter(!col("path").isin(touched: _*))
+          else if (touched.size <= 1000)
+            base.filter(!col("path").isin(touched: _*))
+          else {
+            import spark.implicits._
+            base.join(broadcast(touched.toDF("path")),
+              Seq("path"), "left_anti")
+              // the anti-join reorders columns (join key first) —
+              // restore the manifest column order for the union
+              .select(base.columns.map(col).toIndexedSeq: _*)
+          }
         kept.unionByName(spark.createDataset(
           alive.zipWithIndex.map { case (a, i) =>
             encodeCkptAdd(Long.MaxValue - alive.size + i, a) })(enc)
-          .toDF())
+          .toDF()).as[CkptAdd](enc)
+    }
+  }
+
+  /** How the last [[prunedAdds]] call evaluated: "distributed" (a
+    * Spark job over the parquet-checkpoint manifest, survivors-only
+    * collect) or "driver" (the in-memory Seq walk). Test seam. */
+  @volatile private[graft] var lastPruneMode: String = ""
+
+  /** File-skipping evaluated WHERE THE MANIFEST LIVES. Below the
+    * parquet-checkpoint threshold — or when the snapshot's file list
+    * is already materialized, or nothing can prune — the driver Seq
+    * filters in place. Above it the pruning walk (partition values
+    * ride the same min=max stats; DV bookkeeping rides the manifest
+    * row) runs as ONE Spark job over the distributed manifest and
+    * only the SURVIVING AddFiles are collected: at the 100-TB target
+    * (~1M files × wide stats) a selective scan's driver footprint is
+    * ∝ the matching subset, never the manifest. Bloom sidecars are
+    * driver-filesystem state, so the (small) survivor set re-walks
+    * through the bloom probe on the driver — blooms only ever remove
+    * more files, so the split is sound and results stay identical to
+    * the all-driver walk. Returns (survivors, live-file total). */
+  private[graft] def prunedAdds(spark: SparkSession, version: Long,
+                                base: Seq[expressions.Expression],
+                                derived: Seq[expressions.Expression])
+      : (Seq[AddFile], Long) = {
+    val snap = snapshotAt(version)
+    val dist =
+      if (snap.addsMaterialized || (base.isEmpty && derived.isEmpty)) None
+      else scala.util.Try(distributedManifest(spark, version))
+        .getOrElse(None)
+    dist match {
+      case Some(ds) =>
+        lastPruneMode = "distributed"
+        val baseC = base
+        val derivedC = derived
+        val parts = ds.mapPartitions { it =>
+          val keep = scala.collection.mutable.ArrayBuffer.empty[CkptAdd]
+          var n = 0L
+          it.foreach { c =>
+            n += 1
+            val a = LogTable.decodeCkptAdd(c)
+            if (!LogTable.statsNoMatch(a,
+                baseC ++ LogTable.derivedSafeFor(a, derivedC)))
+              keep += c
+          }
+          Iterator.single(PrunePart(n, keep.toSeq))
+        }(org.apache.spark.sql.Encoders.product[PrunePart]).collect()
+        val total = parts.iterator.map(_.total).sum
+        val survivors = parts.iterator.flatMap(_.keep).toSeq
+          .sortBy(_.idx).map(LogTable.decodeCkptAdd)
+          .filterNot(a =>
+            provablyNoMatch(a, base ++ derivedSafeFor(a, derived)))
+        (survivors, total)
       case None =>
-        // below the threshold (or no parquet checkpoint yet) the
-        // snapshot is small by construction — serve the driver seq
-        spark.createDataset(snapshotAt(v).adds.zipWithIndex
-          .map { case (a, i) => encodeCkptAdd(i.toLong, a) })(enc)
-          .toDF()
+        lastPruneMode = "driver"
+        val adds = snap.adds
+        (adds.filterNot(a =>
+          provablyNoMatch(a, base ++ derivedSafeFor(a, derived))),
+          adds.size.toLong)
+    }
+  }
+
+  /** [[prunedAdds]] from a user predicate — resolves the conjuncts
+    * (generated-column derivation included) and runs the walk. The
+    * spec-facing planning seam; [[loadWhere]] and the row-level ops
+    * go through the same path. */
+  private[graft] def prunedAddsFor(spark: SparkSession, pred: Column,
+                                   version: Option[Long] = None)
+      : (Seq[AddFile], Long) = {
+    val v = version.orElse(currentVersion).getOrElse(
+      throw new IllegalStateException(s"no log table at $path"))
+    val snap = snapshotAt(v)
+    val base = resolvedConjuncts(spark, snap.schema, pred)
+    val derived = derivedConjuncts(spark, snap.generated, snap.tz, base)
+    prunedAdds(spark, v, base, derived)
+  }
+
+  /** Has the snapshot at `version` already materialized its file
+    * list on the driver? Test seam for the lazy-manifest contract:
+    * metadata-only operations must leave this false. */
+  private[graft] def addsMaterializedAt(version: Option[Long] = None)
+      : Boolean =
+    snapshotAt(version.orElse(currentVersion).getOrElse(
+      throw new IllegalStateException(s"no log table at $path")))
+      .addsMaterialized
+
+  /** The table's protocol state at a version (None for legacy
+    * tables that predate protocol actions — they read ungated). */
+  def protocolAt(version: Option[Long] = None): Option[Protocol] =
+    snapshotAt(version.orElse(currentVersion).getOrElse(
+      throw new IllegalStateException(s"no log table at $path")))
+      .protocol
+
+  /** Commit an EXPLICIT protocol state (full replacement) — the
+    * upgrade verb, and the seam the forward-compat specs use to
+    * simulate a FUTURE writer demanding features this build does
+    * not know. The usual writer gate applies against the CURRENT
+    * protocol (an already-foreign table refuses even this). */
+  private[graft] def commitProtocol(p: Protocol): Long =
+    commitRetry(currentVersion, Seq.empty, Seq.empty, "protocol",
+      schemaJson = None, cdfDir = None, protocolJson = Some(p))
+
+  /** Snapshot read with file-skipping applied AT PLANNING: the
+    * manifest is pruned by `pred` (min/max + partition values +
+    * bloom + generated-column derivation) before the scan is
+    * assembled, and above the parquet-checkpoint threshold the
+    * pruning itself runs as a Spark job collecting only survivors
+    * ([[prunedAdds]]). The predicate still applies row-level —
+    * pruning is file-granular, results equal `load(...).filter`. */
+  def loadWhere(spark: SparkSession, pred: Column,
+                version: Option[Long] = None): DataFrame = {
+    val v = version.orElse(currentVersion).getOrElse(
+      throw new IllegalStateException(s"no log table at $path"))
+    val snap = snapshotAt(v)
+    val base = resolvedConjuncts(spark, snap.schema, pred)
+    val derived = derivedConjuncts(spark, snap.generated, snap.tz, base)
+    val (adds, _) = prunedAdds(spark, v, base, derived)
+    val hidden = hiddenColsOf(snap)
+    val out =
+      if (adds.isEmpty)
+        spark.createDataFrame(new java.util.ArrayList[Row](), snap.schema)
+      else if (adds.forall(_.dv.isEmpty))
+        readDataFiles(spark, snap.schema, snap.partitionCols,
+          adds.map(a => absPath(a.path)))
+      else dvAwareRead(spark, snap.schema, snap.partitionCols, adds,
+        keepProvenance = false)
+    val filtered = out.filter(pred)
+    if (hidden.isEmpty) filtered else filtered.drop(hidden: _*)
+  }
+
+  /** The live-file manifest at `version` as a DISTRIBUTED DataFrame
+    * — the metadata-as-a-relation surface (`SELECT * FROM
+    * cat.t.files`, Iceberg's inspection-table idea). Above the
+    * parquet-checkpoint threshold this never materializes the file
+    * list on the driver: the newest parquet checkpoint is read as an
+    * ordinary distributed scan and only the post-checkpoint commit
+    * TAIL (bounded by checkpointInterval) folds on the driver — at
+    * the 100-TB target the ~1M-row manifest is a table users join
+    * against, not driver state. Columns: path, rows, bytes,
+    * partition_values, dv_path, dv_rows, base_row_id, stats (the
+    * commit log's own JSON rendering). */
+  def addsDF(spark: SparkSession, version: Option[Long] = None)
+      : DataFrame = {
+    val v = version.orElse(currentVersion).getOrElse(
+      throw new IllegalStateException(s"no log table at $path"))
+    val enc = org.apache.spark.sql.Encoders.product[CkptAdd]
+    val manifest = distributedManifest(spark, v).map(_.toDF()).getOrElse {
+      // below the threshold (or no parquet checkpoint yet) the
+      // snapshot is small by construction — serve the driver seq
+      spark.createDataset(snapshotAt(v).adds.zipWithIndex
+        .map { case (a, i) => encodeCkptAdd(i.toLong, a) })(enc)
+        .toDF()
     }
     manifest
       .withColumnRenamed("partitionValues", "partition_values")
@@ -2442,7 +2702,8 @@ final class LogTable(val path: String,
                             Option[Map[String, Option[Long]]] = None,
                           propertiesJson: Option[Map[String, String]] = None,
                           transformsJson: Option[Map[String, String]] = None,
-                          refsJson: Option[Map[String, String]] = None)
+                          refsJson: Option[Map[String, String]] = None,
+                          protocolJson: Option[Protocol] = None)
       : Long = {
     ensureLayout()
     var attempts = 0
@@ -2588,6 +2849,50 @@ final class LogTable(val path: String,
           (assigned,
             Some(baseProps + (LogTable.PropRowIdHighWater -> hw.toString)))
         }
+      // WRITER protocol gate + auto-upgrade (Delta's PROTOCOL.md):
+      // refuse to commit to a table demanding writer features this
+      // implementation does not maintain — and when THIS commit
+      // first activates a gated feature (a deletion vector, row
+      // tracking, column mapping, ...), record it in the same
+      // commit so a lesser future reader/writer refuses cleanly
+      // instead of half-reading.
+      val curProto = head.flatMap(v => snapshotAt(v).protocol)
+      curProto.foreach { pr =>
+        val unknownW =
+          pr.writerFeatures -- LogTable.SupportedWriterFeatures
+        if (pr.minWriter > LogTable.WriterVersion || unknownW.nonEmpty)
+          throw new IllegalStateException(
+            s"cannot commit to the log table at $path: " +
+              (if (unknownW.nonEmpty)
+                s"its protocol requires writer feature(s) " +
+                  s"${unknownW.toSeq.sorted.mkString(", ")} this " +
+                  "writer does not support"
+              else s"its protocol requires writer version " +
+                s"${pr.minWriter} (this writer speaks " +
+                s"${LogTable.WriterVersion})") +
+              " — the table stays readable; refusing to write")
+      }
+      val activated: Set[String] = Seq(
+        effAdds.exists(_.dv.isDefined) -> "deletionVectors",
+        schemaJson.exists(_.contains(LogTable.FieldIdKey)) ->
+          "columnMapping",
+        effPropsJson.getOrElse(Map.empty)
+          .get(LogTable.PropRowTracking).contains("true") ->
+          "rowTracking",
+        generatedJson.exists(_.nonEmpty) -> "generatedColumns",
+        identityJson.exists(_.nonEmpty) -> "identityColumns",
+        constraintsJson.exists(_.nonEmpty) -> "checkConstraints",
+        defaultsJson.exists(_.nonEmpty) -> "columnDefaults",
+        transformsJson.exists(_.nonEmpty) -> "hiddenPartitioning"
+      ).collect { case (true, f) => f }.toSet
+      val effProto: Option[Protocol] = protocolJson.orElse {
+        val base = curProto.getOrElse(Protocol(LogTable.ReaderVersion,
+          LogTable.WriterVersion, Set.empty, Set.empty))
+        val up = base.copy(
+          readerFeatures = base.readerFeatures ++ activated,
+          writerFeatures = base.writerFeatures ++ activated)
+        if (curProto.isEmpty || up != base) Some(up) else None
+      }
       val next = head.getOrElse(-1L) + 1L
       // IN-COMMIT monotonic timestamps (Delta's inCommitTimestamps):
       // a commit's recorded instant is never behind its predecessor's,
@@ -2636,6 +2941,8 @@ final class LogTable(val path: String,
         refsJson.map(rs => JsonMethods.compact(JsonMethods.render(
           JObject(List("refs" -> JObject(
             rs.toList.map { case (k, v) => k -> JString(v) })))))) ++
+        effProto.toList.map(pr => JsonMethods.compact(JsonMethods.render(
+          JObject(List("protocol" -> renderProtocol(pr)))))) ++
         removePaths.map(p => JsonMethods.compact(JsonMethods.render(
           JObject(List("remove" -> JObject(List("path" -> JString(p)))))))) ++
         effAdds.map(a => JsonMethods.compact(JsonMethods.render(
@@ -2647,7 +2954,7 @@ final class LogTable(val path: String,
       // existing target on POSIX, which would silently overwrite a
       // racing writer's committed version.
       if (coordinator.claim(tmp, logFile(next))) {
-        maybeCheckpoint(next)
+        maybeCheckpoint(next, removePaths.size + effAdds.size)
         return next
       }
       // lost the race — re-resolve the head and retry
@@ -2656,8 +2963,16 @@ final class LogTable(val path: String,
       s"$attempts attempts")
   }
 
-  private def maybeCheckpoint(v: Long): Unit =
-    if (v > 0 && v % checkpointInterval == 0) writeCheckpoint(v)
+  private def maybeCheckpoint(v: Long, actions: Int = 0): Unit =
+    // the interval cadence, PLUS: a FAT commit (a full OPTIMIZE
+    // rewriting ~1M files right after a checkpoint) checkpoints
+    // immediately — otherwise every addsDF/replay until the next
+    // interval boundary folds that commit's whole action list on
+    // the driver, defeating the distributed-manifest design in
+    // exactly the scenario it targets
+    if (v > 0 && (v % checkpointInterval == 0 ||
+        actions >= LogTable.FatCommitCheckpointActions))
+      writeCheckpoint(v)
 
   /** Smallest snapshot (in live files) whose checkpoint ships as
     * parquet through a Spark job instead of line-streamed JSONL.
@@ -2674,10 +2989,7 @@ final class LogTable(val path: String,
       JsonMethods.compact(JsonMethods.render(renderStats(a.stats))),
       a.partitionValues, a.dv.map(_.path), a.dv.map(_.rows), a.baseRowId)
 
-  private def decodeCkptAdd(c: CkptAdd): AddFile =
-    AddFile(c.path, c.rows, c.bytes,
-      parseStats(JsonMethods.parse(c.statsJson)), c.partitionValues,
-      c.dvPath.map(p => Dv(p, c.dvRows.getOrElse(0L))), c.baseRowId)
+  private def decodeCkptAdd(c: CkptAdd): AddFile = LogTable.decodeCkptAdd(c)
 
   /** Ship the snapshot's file-state as a multi-part parquet
     * directory via a Spark job — one [[CkptAdd]] row per live file,
@@ -2794,6 +3106,7 @@ final class LogTable(val path: String,
           "refs" -> JObject(
             snap.refs.toList.map { case (k, v) => k -> JString(v) }),
           "addsFormat" -> JString(fmt)) ++
+          snap.protocol.toList.map(pr => "protocol" -> renderProtocol(pr)) ++
           addsPath.toList.map(p => "addsPath" -> JString(p)))
         Files.writeString(tmp.toPath,
           JsonMethods.compact(JsonMethods.render(state)))
@@ -3292,108 +3605,9 @@ final class LogTable(val path: String,
     })
 
   private def provablyNoMatch(file: AddFile,
-                              conjuncts: Seq[expressions.Expression]): Boolean = {
-    // the condition comes from an ANALYZED Filter, so attributes are
-    // resolved (possibly under type-widening casts — strip them; the
-    // stats side already stores the widened long/double form) and
-    // literal sides are foldable expressions — evaluate them
-    def numeric(dt: DataType): Boolean = dt match {
-      case ByteType | ShortType | IntegerType | LongType | FloatType |
-           DoubleType => true
-      case _ => false
-    }
-    def nameOf(e: expressions.Expression): Option[String] = e match {
-      case a: expressions.Attribute => Some(a.name)
-      // strip only numeric→numeric widening casts: the stats side
-      // already stores longs/doubles and numeric comparison goes
-      // through BigDecimal — a date→timestamp cast would compare
-      // days against micros and must NOT be stripped
-      case c: expressions.Cast
-          if numeric(c.child.dataType) && numeric(c.dataType) =>
-        nameOf(c.child)
-      case _ => None
-    }
-    def litOf(e: expressions.Expression): Option[Any] =
-      if (!e.foldable) None
-      else Option(e.eval(expressions.EmptyRow)).flatMap(v => e.dataType match {
-        case ByteType | ShortType | IntegerType | LongType =>
-          Some(v.toString.toLong)
-        case FloatType | DoubleType => Some(v.toString.toDouble)
-        case StringType             => Some(v.toString)
-        case BooleanType => Some(if (v.asInstanceOf[Boolean]) 1L else 0L)
-        case DateType               => Some(v.toString.toLong) // days
-        case TimestampType | TimestampNTZType =>
-          Some(v.toString.toLong) // micros
-        case _ => None
-      })
-    def cmp(a: Any, b: Any): Option[Int] = (a, b) match {
-      case (x: Long, y: Long)     => Some(x.compareTo(y))
-      case (x: String, y: String) => Some(x.compareTo(y))
-      case (x: Long, y: Double)   => Some(BigDecimal(x).compare(BigDecimal(y)))
-      case (x: Double, y: Long)   => Some(BigDecimal(x).compare(BigDecimal(y)))
-      case (x: Double, y: Double) => Some(x.compareTo(y))
-      case _                      => None
-    }
-    def boundsOf(attr: String): Option[(Any, Any)] = for {
-      st <- file.stats.get(attr); mn <- st.min; mx <- st.max
-    } yield (mn, mx)
-    // bloom probe, for equality the range could not decide: sound
-    // only on a BARE attribute against a literal of the SAME type —
-    // the sidecar was built over xxhash64 of the raw column values,
-    // so any cast on the attribute side changes the hashed domain
-    // (an analyzer cast on the LITERAL side is fine: it folds to the
-    // attribute's type before hashing). A bloom "definitely absent"
-    // has no false negatives; "maybe present" just declines to skip.
-    def bloomNoMatch(a: expressions.Expression,
-                     v: expressions.Expression): Boolean = (a, v) match {
-      case (attr: expressions.Attribute, lit)
-          if lit.foldable && lit.dataType == attr.dataType =>
-        Option(lit.eval(expressions.EmptyRow)).exists { _ =>
-          bloomFor(new File(file.path).getName, attr.name).exists { bf =>
-            // seed 42 = the xxhash64() SQL function's default, the
-            // hash the sidecar was built over
-            val h = expressions.XxHash64(Seq(lit), 42L)
-              .eval(expressions.EmptyRow).asInstanceOf[Long]
-            !bf.mightContainLong(h)
-          }
-        }
-      case _ => false
-    }
-    def noMatch(c: expressions.Expression): Boolean = c match {
-      case expressions.GreaterThan(l, r) =>
-        (for { a <- nameOf(l); v <- litOf(r); (_, mx) <- boundsOf(a);
-               d <- cmp(mx, v) } yield d <= 0)
-          .orElse(for { a <- nameOf(r); v <- litOf(l); (mn, _) <- boundsOf(a);
-                        d <- cmp(mn, v) } yield d >= 0)
-          .getOrElse(false)
-      case expressions.GreaterThanOrEqual(l, r) =>
-        (for { a <- nameOf(l); v <- litOf(r); (_, mx) <- boundsOf(a);
-               d <- cmp(mx, v) } yield d < 0)
-          .orElse(for { a <- nameOf(r); v <- litOf(l); (mn, _) <- boundsOf(a);
-                        d <- cmp(mn, v) } yield d > 0)
-          .getOrElse(false)
-      case expressions.LessThan(l, r) => noMatch(expressions.GreaterThan(r, l))
-      case expressions.LessThanOrEqual(l, r) =>
-        noMatch(expressions.GreaterThanOrEqual(r, l))
-      case expressions.EqualTo(l, r) =>
-        (for { a <- nameOf(l); v <- litOf(r); (mn, mx) <- boundsOf(a);
-               dl <- cmp(v, mn); dh <- cmp(v, mx) } yield dl < 0 || dh > 0)
-          .orElse(
-            for { a <- nameOf(r); v <- litOf(l); (mn, mx) <- boundsOf(a);
-                  dl <- cmp(v, mn); dh <- cmp(v, mx) } yield dl < 0 || dh > 0)
-          .getOrElse(false) || bloomNoMatch(l, r) || bloomNoMatch(r, l)
-      case expressions.In(l, items) if items.forall(litOf(_).isDefined) =>
-        nameOf(l).exists(a =>
-          items.forall(i => noMatch(expressions.EqualTo(l, i))))
-      case expressions.IsNull(l) =>
-        nameOf(l).exists(a => file.stats.get(a).exists(_.nulls == 0L))
-      case expressions.IsNotNull(l) =>
-        nameOf(l).exists(a =>
-          file.stats.get(a).exists(_.nulls == file.rows) && file.rows > 0)
-      case _ => false
-    }
-    conjuncts.exists(noMatch)
-  }
+                              conjuncts: Seq[expressions.Expression]): Boolean =
+    LogTable.statsNoMatch(file, conjuncts, (f, c) => bloomFor(f, c))
+
 
   private def splitConjuncts(
       e: expressions.Expression): Seq[expressions.Expression] = e match {
@@ -3528,10 +3742,14 @@ final class LogTable(val path: String,
     val snap = snapshotAt(readVersion)
     val base = resolvedConjuncts(spark, snap.schema, pred)
     val derived = derivedConjuncts(spark, snap.generated, snap.tz, base)
-    val (skipped, candidates) = snap.adds.partition(a =>
-      provablyNoMatch(a, base ++ derivedSafeFor(a, derived)))
+    // file-skipping where the manifest lives: above the parquet-
+    // checkpoint threshold only the candidate files are ever
+    // collected to the driver (prunedAdds runs the walk as a job)
+    val (candidates, totalLive) =
+      prunedAdds(spark, readVersion, base, derived)
+    val skippedCount = (totalLive - candidates.size).toInt
     if (candidates.isEmpty)
-      return RowOpResult(readVersion, 0L, skipped.size, 0, 0)
+      return RowOpResult(readVersion, 0L, skippedCount, 0, 0)
 
     // tracked tables thread the effective row id through the match
     // scan so update post-images materialize the matched row's id
@@ -3557,7 +3775,7 @@ final class LogTable(val path: String,
     val uriOf = perFileRaw
       .map(r => LogTable.provPath(r.getString(0)) -> r.getString(0)).toMap
     if (perFile.isEmpty)
-      return RowOpResult(readVersion, 0L, skipped.size, candidates.size, 0)
+      return RowOpResult(readVersion, 0L, skippedCount, candidates.size, 0)
     val touched = candidates.filter(a => perFile.contains(absLivePath(a)))
 
     // change feed, written before the commit that references it —
@@ -3619,7 +3837,7 @@ final class LogTable(val path: String,
           readVersion = Some(readVersion), schemaJson = None,
           cdfDir = Some(cdfRel), extraAdds = reAdds)
     }
-    RowOpResult(v, affected, skipped.size, candidates.size, touched.size)
+    RowOpResult(v, affected, skippedCount, candidates.size, touched.size)
   }
 
   /** Materialize every deletion vector: rewrite JUST the vectored
@@ -3821,9 +4039,7 @@ final class LogTable(val path: String,
     * guard's cost decays as the table churns.) */
   private def derivedSafeFor(file: AddFile,
       derived: Seq[expressions.Expression]): Seq[expressions.Expression] =
-    if (derived.isEmpty) derived
-    else derived.filter(_.references.forall(r =>
-      file.stats.get(r.name).forall(_.nulls == 0L)))
+    LogTable.derivedSafeFor(file, derived)
 
   /** Resolve a user predicate against a schema (an analyzed Filter
     * over an empty local relation): attributes become typed
@@ -3844,10 +4060,14 @@ final class LogTable(val path: String,
     val snap = snapshotAt(readVersion)
     val base = resolvedConjuncts(spark, snap.schema, pred)
     val derived = derivedConjuncts(spark, snap.generated, snap.tz, base)
-    val (skipped, candidates) = snap.adds.partition(a =>
-      provablyNoMatch(a, base ++ derivedSafeFor(a, derived)))
+    // file-skipping where the manifest lives: above the parquet-
+    // checkpoint threshold only the candidate files are ever
+    // collected to the driver (prunedAdds runs the walk as a job)
+    val (candidates, totalLive) =
+      prunedAdds(spark, readVersion, base, derived)
+    val skippedCount = (totalLive - candidates.size).toInt
     if (candidates.isEmpty)
-      return RowOpResult(readVersion, 0L, skipped.size, 0, 0)
+      return RowOpResult(readVersion, 0L, skippedCount, 0, 0)
 
     // which candidate files actually contain a matching row? — one
     // pushdown-friendly scan of the candidates only, minus any
@@ -3859,7 +4079,7 @@ final class LogTable(val path: String,
       .toSet
     val touched = candidates.filter(a => hit.contains(absLivePath(a)))
     if (touched.isEmpty)
-      return RowOpResult(readVersion, 0L, skipped.size, candidates.size, 0)
+      return RowOpResult(readVersion, 0L, skippedCount, candidates.size, 0)
 
     // row-tracked tables rewrite from the id-materializing source so
     // survivors (and update post-images) keep their row ids; the
@@ -3895,13 +4115,15 @@ final class LogTable(val path: String,
       readVersion = Some(readVersion), schemaJson = None,
       cdfDir = Some(cdfRel))
     val rowsBefore = touched.map(_.logicalRows).sum
-    val rowsAfter = snapshotAt(v).adds
-      .filterNot(a => snap.adds.exists(_.path == a.path)).map(_.rows).sum
+    // the rewrite's survivors are exactly OUR commit's added files —
+    // O(commit) from its own log entry, no manifest materialization
+    // (and immune to rows a racing append landed in between)
+    val rowsAfter = addedFiles(v).map(_.rows).sum
     val affected =
       if (op == "delete") rowsBefore - rowsAfter
       else spark.read.parquet(s"$path/$cdfRel")
         .filter(col("_change_type") === "update_preimage").count()
-    RowOpResult(v, affected, skipped.size, candidates.size, touched.size)
+    RowOpResult(v, affected, skippedCount, candidates.size, touched.size)
   }
 
   /** Table-relative paths of the files one commit added. */
@@ -4432,6 +4654,78 @@ final class LogTable(val path: String,
       .toDF("version", "commit_ts", "op", "n_added", "n_removed")
   }
 
+  /** Iceberg's `snapshots` inspection surface: one row per retained
+    * commit with its parent version, wall-clock instant, operation
+    * and a SUMMARY map (add/remove counts, added rows/bytes, the
+    * idempotent-txn tag, change-file presence) — richer than
+    * [[history]]. Driver cost O(retained versions) commit reads,
+    * metadata only; the manifest is never touched. */
+  def snapshotsDF(spark: SparkSession): DataFrame = {
+    val vs = versions
+    val floor = vs.headOption.getOrElse(
+      throw new IllegalStateException(s"no log table at $path"))
+    val rows = vs.map { v =>
+      val actions = readActions(logFile(v))
+      val adds = actions.collect {
+        case j if (j \ "add") != JNothing => parseAdd(j \ "add") }
+      val removed = actions.count(j => (j \ "remove") != JNothing)
+      val meta = commitMeta(v)
+      val summary = Map(
+        "n_added" -> adds.size.toString,
+        "n_removed" -> removed.toString,
+        "added_rows" -> adds.map(_.rows).sum.toString,
+        "added_bytes" -> adds.map(_.bytes).sum.toString) ++
+        meta.txn.map { case (a, b) =>
+          Map("txn_app" -> a, "txn_batch" -> b.toString) }
+          .getOrElse(Map.empty[String, String]) ++
+        (if (meta.cdf.isDefined) Map("has_change_files" -> "true")
+         else Map.empty[String, String])
+      (v, if (v == floor) None else Some(v - 1L), meta.ts, meta.op,
+        summary)
+    }
+    import spark.implicits._
+    rows.toDF("version", "parent", "committed_at", "operation",
+      "summary")
+  }
+
+  /** Iceberg's `all_files`: every file referenced by ANY retained
+    * version — the vacuum-audit view ([[vacuum]] must never delete a
+    * path this relation lists). Assembled DISTRIBUTED where it
+    * counts: the earliest retained version's manifest rides the
+    * parquet checkpoint scan when one serves it; the add actions of
+    * the retained commits above the floor (bounded by retained
+    * history, and fat commits force their own checkpoints) stack on
+    * top; one row per path — the NEWEST entry wins, `live` flags
+    * membership in the head manifest. */
+  def allFilesDF(spark: SparkSession): DataFrame = {
+    val head = currentVersion.getOrElse(
+      throw new IllegalStateException(s"no log table at $path"))
+    val floor = versions.head
+    val enc = org.apache.spark.sql.Encoders.product[CkptAdd]
+    val base = distributedManifest(spark, floor).map(_.toDF()).getOrElse(
+      spark.createDataset(snapshotAt(floor).adds.zipWithIndex
+        .map { case (a, i) => encodeCkptAdd(i.toLong, a) })(enc).toDF())
+    val tail = (floor + 1 to head).flatMap(addedFiles)
+    val tailDf = spark.createDataset(tail.zipWithIndex
+      .map { case (a, i) =>
+        encodeCkptAdd(Long.MaxValue - tail.size + i, a) })(enc).toDF()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("path").orderBy(col("idx").desc)
+    val latest = base.unionByName(tailDf)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+    val liveNow = addsDF(spark, Some(head))
+      .select(col("path"), lit(true).as("live"))
+    latest.join(liveNow, Seq("path"), "left")
+      .withColumn("live", coalesce(col("live"), lit(false)))
+      .withColumnRenamed("partitionValues", "partition_values")
+      .withColumnRenamed("dvPath", "dv_path")
+      .withColumnRenamed("dvRows", "dv_rows")
+      .withColumnRenamed("baseRowId", "base_row_id")
+      .withColumnRenamed("statsJson", "stats")
+      .drop("idx")
+  }
+
   // ---------------------------------------------------------------
   // change feed + maintenance
 
@@ -4532,14 +4826,13 @@ final class LogTable(val path: String,
     val readVersion = currentVersion.getOrElse(
       throw new IllegalStateException(s"no log table at $path"))
     val snap = snapshotAt(readVersion)
-    val (baseConj, derivedConj) = where.map { w =>
+    val inScope = where.map { w =>
       val base = resolvedConjuncts(spark, snap.schema, w)
-      (base, derivedConjuncts(spark, snap.generated, snap.tz, base))
-    }.getOrElse((Seq.empty[expressions.Expression],
-      Seq.empty[expressions.Expression]))
-    val small = snap.adds.filter(a => a.bytes < smallBytes &&
-      ((baseConj.isEmpty && derivedConj.isEmpty) ||
-        !provablyNoMatch(a, baseConj ++ derivedSafeFor(a, derivedConj))))
+      val derived = derivedConjuncts(spark, snap.generated, snap.tz, base)
+      // scoped pass: the skipping walk runs where the manifest lives
+      prunedAdds(spark, readVersion, base, derived)._1
+    }.getOrElse(snap.adds)
+    val small = inScope.filter(_.bytes < smallBytes)
     compactSubset(spark, snap, readVersion, small, targetBytes)
   }
 
@@ -4660,8 +4953,8 @@ final class LogTable(val path: String,
     val scope = where.map { w =>
       val base = resolvedConjuncts(spark, snap.schema, w)
       val derived = derivedConjuncts(spark, snap.generated, snap.tz, base)
-      snap.adds.filter(a =>
-        !provablyNoMatch(a, base ++ derivedSafeFor(a, derived)))
+      // scoped pass: the skipping walk runs where the manifest lives
+      prunedAdds(spark, readVersion, base, derived)._1
     }.getOrElse(snap.adds)
     if (scope.isEmpty) return readVersion
     clusterScope(spark, snap, readVersion, clusterBy, nFiles, scope,
@@ -4952,6 +5245,166 @@ final class LogTable(val path: String,
 }
 
 object LogTable {
+  /** Does `conjuncts` provably match NO row of `file`, judging by
+    * the file's committed min/max/null stats (and, when a probe is
+    * supplied, its bloom sidecars)? Sound only: unparseable
+    * conjuncts or missing bounds contribute nothing. Because a row
+    * matching the predicate must match every conjunct, ONE conjunct
+    * with an empty match set in the file's [min,max]/null profile
+    * skips the whole file. PURE given the probe — safe to evaluate
+    * on executors over the distributed manifest
+    * ([[LogTable.prunedAdds]]), where the probe declines (bloom
+    * sidecars are driver-filesystem state; blooms only ever remove
+    * MORE files, so skipping them distributed is sound). */
+  private[sources] def statsNoMatch(file: AddFile,
+      conjuncts: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
+      bloomProbe: (String, String) =>
+        Option[org.apache.spark.util.sketch.BloomFilter] =
+        (_, _) => None): Boolean = {
+    import org.apache.spark.sql.catalyst.expressions
+    // the condition comes from an ANALYZED Filter, so attributes are
+    // resolved (possibly under type-widening casts — strip them; the
+    // stats side already stores the widened long/double form) and
+    // literal sides are foldable expressions — evaluate them
+    def numeric(dt: DataType): Boolean = dt match {
+      case ByteType | ShortType | IntegerType | LongType | FloatType |
+           DoubleType => true
+      case _ => false
+    }
+    def nameOf(e: expressions.Expression): Option[String] = e match {
+      case a: expressions.Attribute => Some(a.name)
+      // strip only numeric→numeric widening casts: the stats side
+      // already stores longs/doubles and numeric comparison goes
+      // through BigDecimal — a date→timestamp cast would compare
+      // days against micros and must NOT be stripped
+      case c: expressions.Cast
+          if numeric(c.child.dataType) && numeric(c.dataType) =>
+        nameOf(c.child)
+      case _ => None
+    }
+    def litOf(e: expressions.Expression): Option[Any] =
+      if (!e.foldable) None
+      else Option(e.eval(expressions.EmptyRow)).flatMap(v => e.dataType match {
+        case ByteType | ShortType | IntegerType | LongType =>
+          Some(v.toString.toLong)
+        case FloatType | DoubleType => Some(v.toString.toDouble)
+        case StringType             => Some(v.toString)
+        case BooleanType => Some(if (v.asInstanceOf[Boolean]) 1L else 0L)
+        case DateType               => Some(v.toString.toLong) // days
+        case TimestampType | TimestampNTZType =>
+          Some(v.toString.toLong) // micros
+        case _ => None
+      })
+    def cmp(a: Any, b: Any): Option[Int] = (a, b) match {
+      case (x: Long, y: Long)     => Some(x.compareTo(y))
+      case (x: String, y: String) => Some(x.compareTo(y))
+      case (x: Long, y: Double)   => Some(BigDecimal(x).compare(BigDecimal(y)))
+      case (x: Double, y: Long)   => Some(BigDecimal(x).compare(BigDecimal(y)))
+      case (x: Double, y: Double) => Some(x.compareTo(y))
+      case _                      => None
+    }
+    def boundsOf(attr: String): Option[(Any, Any)] = for {
+      st <- file.stats.get(attr); mn <- st.min; mx <- st.max
+    } yield (mn, mx)
+    // bloom probe, for equality the range could not decide: sound
+    // only on a BARE attribute against a literal of the SAME type —
+    // the sidecar was built over xxhash64 of the raw column values,
+    // so any cast on the attribute side changes the hashed domain
+    // (an analyzer cast on the LITERAL side is fine: it folds to the
+    // attribute's type before hashing). A bloom "definitely absent"
+    // has no false negatives; "maybe present" just declines to skip.
+    def bloomNoMatch(a: expressions.Expression,
+                     v: expressions.Expression): Boolean = (a, v) match {
+      case (attr: expressions.Attribute, lit)
+          if lit.foldable && lit.dataType == attr.dataType =>
+        Option(lit.eval(expressions.EmptyRow)).exists { _ =>
+          bloomProbe(new java.io.File(file.path).getName, attr.name).exists { bf =>
+            // seed 42 = the xxhash64() SQL function's default, the
+            // hash the sidecar was built over
+            val h = expressions.XxHash64(Seq(lit), 42L)
+              .eval(expressions.EmptyRow).asInstanceOf[Long]
+            !bf.mightContainLong(h)
+          }
+        }
+      case _ => false
+    }
+    def noMatch(c: expressions.Expression): Boolean = c match {
+      case expressions.GreaterThan(l, r) =>
+        (for { a <- nameOf(l); v <- litOf(r); (_, mx) <- boundsOf(a);
+               d <- cmp(mx, v) } yield d <= 0)
+          .orElse(for { a <- nameOf(r); v <- litOf(l); (mn, _) <- boundsOf(a);
+                        d <- cmp(mn, v) } yield d >= 0)
+          .getOrElse(false)
+      case expressions.GreaterThanOrEqual(l, r) =>
+        (for { a <- nameOf(l); v <- litOf(r); (_, mx) <- boundsOf(a);
+               d <- cmp(mx, v) } yield d < 0)
+          .orElse(for { a <- nameOf(r); v <- litOf(l); (mn, _) <- boundsOf(a);
+                        d <- cmp(mn, v) } yield d > 0)
+          .getOrElse(false)
+      case expressions.LessThan(l, r) => noMatch(expressions.GreaterThan(r, l))
+      case expressions.LessThanOrEqual(l, r) =>
+        noMatch(expressions.GreaterThanOrEqual(r, l))
+      case expressions.EqualTo(l, r) =>
+        (for { a <- nameOf(l); v <- litOf(r); (mn, mx) <- boundsOf(a);
+               dl <- cmp(v, mn); dh <- cmp(v, mx) } yield dl < 0 || dh > 0)
+          .orElse(
+            for { a <- nameOf(r); v <- litOf(l); (mn, mx) <- boundsOf(a);
+                  dl <- cmp(v, mn); dh <- cmp(v, mx) } yield dl < 0 || dh > 0)
+          .getOrElse(false) || bloomNoMatch(l, r) || bloomNoMatch(r, l)
+      case expressions.In(l, items) if items.forall(litOf(_).isDefined) =>
+        nameOf(l).exists(a =>
+          items.forall(i => noMatch(expressions.EqualTo(l, i))))
+      case expressions.IsNull(l) =>
+        nameOf(l).exists(a => file.stats.get(a).exists(_.nulls == 0L))
+      case expressions.IsNotNull(l) =>
+        nameOf(l).exists(a =>
+          file.stats.get(a).exists(_.nulls == file.rows) && file.rows > 0)
+      case _ => false
+    }
+    conjuncts.exists(noMatch)
+  }
+
+  /** Parse the commit log's per-column stats rendering — pure, and
+    * static so the distributed pruning walk can decode manifest rows
+    * on executors without dragging a [[LogTable]] into the closure. */
+  private[sources] def parseStats(j: JValue): Map[String, ColStats] =
+    j match {
+      case JObject(fields) => fields.map { case (c, v) =>
+        def side(k: String): Option[Any] = (v \ k) match {
+          case JNothing | JNull => None
+          case JInt(i)          => Some(i.toLong)
+          case JLong(l)         => Some(l)
+          case JDouble(d)       => Some(d)
+          case JDecimal(d)      => Some(d.toDouble)
+          case JString(s)       => Some(s)
+          case JBool(b)         => Some(if (b) 1L else 0L)
+          case other => throw new IllegalStateException(s"bad stat: $other")
+        }
+        val nulls = (v \ "nulls") match {
+          case JInt(i) => i.toLong; case JLong(l) => l; case _ => 0L
+        }
+        c -> ColStats(side("min"), side("max"), nulls)
+      }.toMap
+      case _ => Map.empty
+    }
+
+  /** One parquet-checkpoint manifest row back to its [[AddFile]] —
+    * static for the same executor-side reason as [[parseStats]]. */
+  private[sources] def decodeCkptAdd(c: CkptAdd): AddFile =
+    AddFile(c.path, c.rows, c.bytes,
+      parseStats(JsonMethods.parse(c.statsJson)), c.partitionValues,
+      c.dvPath.map(p => Dv(p, c.dvRows.getOrElse(0L))), c.baseRowId)
+
+  /** Derived (generated-column) conjuncts are only sound for a file
+    * whose SOURCE columns are null-free there — filter per file.
+    * Pure on (file.stats, derived). */
+  private[sources] def derivedSafeFor(file: AddFile,
+      derived: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : Seq[org.apache.spark.sql.catalyst.expressions.Expression] =
+    if (derived.isEmpty) derived
+    else derived.filter(_.references.forall(r =>
+      file.stats.get(r.name).forall(_.nulls == 0L)))
+
   /** Driver-side canonical form of a scan-time `__file` provenance
     * value (`_metadata.file_path`, a URI like `file:///a/b.parquet`):
     * the absolute filesystem path, comparable with
@@ -4966,6 +5419,30 @@ object LogTable {
     * modified more recently than this are presumed in-flight and
     * never deleted, whatever the log says. */
   val DefaultVacuumRetentionMillis: Long = 7L * 24 * 3600 * 1000
+
+  /** A commit whose action count (adds + removes) reaches this
+    * checkpoints IMMEDIATELY, whatever the interval cadence — the
+    * commit tail every manifest read folds on the driver stays
+    * bounded even when a full OPTIMIZE lands right after a regular
+    * checkpoint. */
+  val FatCommitCheckpointActions: Int = 50000
+
+  /** Protocol versions this implementation speaks (see
+    * [[Protocol]]). */
+  val ReaderVersion: Int = 1
+  val WriterVersion: Int = 1
+
+  /** Table features this READER understands — a table whose protocol
+    * demands anything outside this set refuses to load with a
+    * message naming the missing feature (never a half-read). */
+  val SupportedReaderFeatures: Set[String] = Set(
+    "deletionVectors", "columnMapping", "rowTracking",
+    "generatedColumns", "identityColumns", "checkConstraints",
+    "columnDefaults", "hiddenPartitioning")
+
+  /** Table features this WRITER can maintain — a table demanding
+    * more refuses COMMITS (reads may still be fine). */
+  val SupportedWriterFeatures: Set[String] = SupportedReaderFeatures
 
   /** VACUUM's listing fans out as a Spark job once the data tree
     * has at least this many first-level partition directories (and

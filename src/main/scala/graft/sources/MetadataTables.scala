@@ -31,6 +31,12 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *    against, never driver state.
   *  - `refs`:    live tags and branches with their pinned/head
   *    versions.
+  *  - `snapshots`: one row per retained commit with parent,
+  *    operation and a summary map (Iceberg's `snapshots` table —
+  *    richer than `history`).
+  *  - `all_files`: every file referenced by ANY retained version,
+  *    `live`-flagged — the vacuum-audit view (Iceberg's
+  *    `all_files`), distributed via the floor checkpoint scan.
   *  - `partitions`: per-partition layout census (Iceberg's
   *    `partitions` table) — file count, physical/logical rows and
   *    bytes per hive partition, aggregated DISTRIBUTED from the
@@ -40,7 +46,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 object GraftMetadataTables {
 
   val surfaces: Set[String] =
-    Set("history", "files", "refs", "partitions")
+    Set("history", "files", "refs", "partitions", "snapshots",
+      "all_files")
 
   def apply(name: String, surface: String, log: LogTable): Table =
     surface match {
@@ -52,6 +59,10 @@ object GraftMetadataTables {
         s => refsDF(s, log))
       case "partitions" => new GraftMetadataTable(name,
         partitionsSchema, s => partitionsDF(s, log))
+      case "snapshots" => new GraftMetadataTable(name, snapshotsSchema,
+        s => log.snapshotsDF(s))
+      case "all_files" => new GraftMetadataTable(name, allFilesSchema,
+        s => log.allFilesDF(s))
       case other => throw new IllegalArgumentException(
         s"unknown metadata surface '$other'")
     }
@@ -73,6 +84,19 @@ object GraftMetadataTables {
     StructField("dv_rows", LongType, nullable = true),
     StructField("base_row_id", LongType, nullable = true),
     StructField("stats", StringType, nullable = true)))
+
+  private val snapshotsSchema = StructType(Seq(
+    StructField("version", LongType, nullable = false),
+    StructField("parent", LongType, nullable = true),
+    StructField("committed_at", LongType, nullable = false),
+    StructField("operation", StringType, nullable = false),
+    StructField("summary", MapType(StringType, StringType),
+      nullable = false)))
+
+  private val allFilesSchema = StructType(
+    filesSchema.fields.toSeq :+
+      StructField("live", org.apache.spark.sql.types.BooleanType,
+        nullable = false))
 
   private val refsSchema = StructType(Seq(
     StructField("name", StringType, nullable = false),

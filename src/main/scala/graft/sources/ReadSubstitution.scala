@@ -98,7 +98,12 @@ object GraftReadSubstitution extends Rule[LogicalPlan] {
       new java.io.File(log.path, "_log").toPath,
       classOf[java.nio.file.attribute.BasicFileAttributes])
       .creationTime().toMillis
-    catch { case scala.util.control.NonFatal(_) => 0L }
+    catch { case scala.util.control.NonFatal(_) =>
+      // no incarnation witness → do NOT degrade the key to a
+      // constant (a drop-and-recreate reaching the same head would
+      // inherit the stale decision); skip the cache entirely
+      return GraftLogTableV2.needsV1Bridge(log, None)
+    }
     val key = (log.path, log.currentVersion.getOrElse(-1L), born)
     if (bridgeCache.size > 1024) bridgeCache.clear()
     bridgeCache.computeIfAbsent(key,

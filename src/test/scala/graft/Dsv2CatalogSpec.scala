@@ -248,4 +248,66 @@ class Dsv2CatalogSpec extends SparkSpec {
       .collect().toSeq == Seq(7L),
       "a real table at the physical path must shadow the surface")
   }
+
+  test("round-12 metadata tables: cat.t.snapshots (commit audit with " +
+    "parent + summary map) and cat.t.all_files (every file any " +
+    "retained version references, live-flagged — the vacuum-audit " +
+    "view)") {
+    val wh = tmp("dsv2meta12")
+    val ticks = Iterator(1000L, 2000L, 3000L, 4000L) ++
+      Iterator.continually(5000L)
+    val t = new graft.sources.LogTable(s"$wh/t", () => ticks.next())
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+      .repartition(1))                                       // v0
+    t.append(Seq((3L, "c")).toDF("k", "v").repartition(1))   // v1
+    t.delete(spark, col("k") === 1L)                         // v2 CoW
+    val cat = freshCatalog(wh)
+
+    // snapshots: one row per commit, parent chain + summary map
+    val snaps = spark.sql(
+      s"""SELECT version, parent, committed_at, operation,
+                 summary['n_added'], summary['n_removed']
+          FROM $cat.t.snapshots ORDER BY version""")
+      .as[(Long, Option[Long], Long, String, String, String)]
+      .collect().toSeq
+    assert(snaps.map(_._1) == (0L to 2L))
+    assert(snaps.head._2.isEmpty && snaps(1)._2.contains(0L) &&
+      snaps(2)._2.contains(1L))
+    assert(snaps.map(_._3) == Seq(1000L, 2000L, 3000L))
+    assert(snaps.map(_._4) == Seq("append", "append", "delete"))
+    assert(snaps.head._5 == "1" && snaps.head._6 == "0")
+    // the CoW delete removed one file and added its rewrite
+    assert(snaps(2)._6 == "1")
+    // the idempotent-txn tag rides the summary
+    t.appendStreamBatch(Seq((9L, "z")).toDF("k", "v"), "app1", 7L) // v3
+    assert(spark.sql(s"SELECT summary['txn_app'], " +
+      s"summary['txn_batch'] FROM $cat.t.snapshots WHERE version = 3")
+      .as[(String, String)].head() == ("app1", "7"))
+
+    // all_files: live ∪ retired (the CoW delete's source file is
+    // retired but still referenced by versions 0..1)
+    val af = spark.sql(s"SELECT path, live FROM $cat.t.all_files")
+      .as[(String, Boolean)].collect().toSeq
+    val liveNow = t.liveAdds().map(_.path).toSet
+    assert(af.map(_._1).distinct.size == af.size, "one row per path")
+    assert(af.filter(_._2).map(_._1).toSet == liveNow)
+    val retired = af.filterNot(_._2).map(_._1)
+    assert(retired.nonEmpty, "the CoW-retired file must be listed")
+    // exactly the files a vacuum-audit must protect: every live
+    // file of every retained version
+    val everyReferenced = t.versions
+      .flatMap(v => t.liveAdds(Some(v)).map(_.path)).toSet
+    assert(af.map(_._1).toSet == everyReferenced)
+    // after EXPIRY the audit view tightens to the retained window
+    t.expireSnapshots(retainLast = 2)
+    val afterExpire = spark.sql(
+      s"SELECT path FROM $cat.t.all_files").as[String].collect().toSet
+    val retainedRefs = t.versions
+      .flatMap(v => t.liveAdds(Some(v)).map(_.path)).toSet
+    assert(afterExpire == retainedRefs)
+    // whole-log surfaces refuse a version pin
+    val e = intercept[Exception](spark.sql(
+      s"SELECT * FROM $cat.t.snapshots VERSION AS OF 0").collect())
+    assert(e.getMessage.contains("cannot be pinned"), e.getMessage)
+  }
 }

@@ -1,152 +1,154 @@
 package graft
 
-import java.io.File
+import graft.sources.{LogTable, Protocol}
+import org.apache.spark.sql.functions._
 
-import graft.sources.{LocalFsCommitCoordinator, LogCommitCoordinator, LogTable}
-
-/** The storage contract behind the log-table commit protocol
-  * ([[graft.sources.LogCommitCoordinator]]): one atomic
-  * create-if-absent claim per slot. Proves both directions — the
-  * protocol SURVIVES a forced commit race under the atomic local-FS
-  * binding, and LOSES a committed version under a check-then-write
-  * double (what a conditional-put-less object store would do) — so
-  * the trait boundary is load-bearing, not decorative. */
+/** Protocol / table-feature gating — Delta's PROTOCOL.md discipline
+  * (round-12): a reader REFUSES, by feature name, a table whose
+  * protocol demands features it does not know, instead of silently
+  * carrying unknown actions through a replay; a writer refuses to
+  * commit to a table demanding unknown writer features while reads
+  * keep working; feature-activating commits auto-upgrade the
+  * protocol at the commit choke point. */
 class LogProtocolSpec extends SparkSpec {
   import spark.implicits._
 
   private def tmp(): String =
-    java.nio.file.Files.createTempDirectory("graft_logproto").toString
+    java.nio.file.Files.createTempDirectory("graft_proto").toString
 
-  /** Object-store double WITHOUT conditional put: existence check,
-    * then an unconditional PUT (rename-with-replace). The window
-    * between the two is where a racing writer's commit vanishes;
-    * `onWindow` forces that interleave deterministically. */
-  private final class CheckThenWriteCoordinator(onWindow: () => Unit)
-    extends LogCommitCoordinator {
-    override def claim(tmp: File, target: File): Boolean =
-      if (target.exists()) { tmp.delete(); false }
-      else {
-        onWindow() // another writer claims the slot RIGHT HERE
-        java.nio.file.Files.move(tmp.toPath, target.toPath,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-        true
-      }
+  test("create records a protocol action; feature activation " +
+    "auto-upgrades it in the same commit") {
+    val t = new LogTable(s"${tmp()}/t")
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+      .repartition(1))                                          // v0
+    val p0 = t.protocolAt().get
+    assert(p0.minReader == 1 && p0.minWriter == 1)
+    assert(p0.readerFeatures.isEmpty, p0.toString)
+    // the FIRST deletion vector upgrades the protocol atomically
+    // with the commit that introduces it
+    t.deleteMor(spark, col("k") === 1L)                         // v1
+    assert(t.protocolAt().get.readerFeatures == Set("deletionVectors"))
+    // time travel BEFORE the upgrade serves the old protocol
+    assert(t.protocolAt(Some(0L)).get.readerFeatures.isEmpty)
+    // row tracking adds its feature too; earlier ones persist
+    t.enableRowTracking()                                       // v2
+    assert(t.protocolAt().get.readerFeatures ==
+      Set("deletionVectors", "rowTracking"))
+    // no-op commits don't churn protocol actions: the next plain
+    // append leaves the state identical
+    val before = t.protocolAt().get
+    t.append(Seq((3L, "c")).toDF("k", "v"))
+    assert(t.protocolAt().get == before)
   }
 
-  test("a check-then-write claim (no conditional put) loses a " +
-    "racing writer's committed version — the conflict the " +
-    "coordinator seam exists to prevent") {
-    val path = s"${tmp()}/t"
-    new LogTable(path).append(Seq((0L, "seed")).toDF("k", "v")) // v0
-    var fired = false
-    val broken = new LogTable(path,
-      coordinator = new CheckThenWriteCoordinator(() => {
-        if (!fired) {
-          fired = true
-          // the victim commits v1 inside the check-to-put window
-          new LogTable(path).append(Seq((1L, "victim")).toDF("k", "v"))
-        }
-      }))
-    broken.append(Seq((2L, "attacker")).toDF("k", "v"))
-    // both writers reported success, but the victim's commit was
-    // REPLACED: its row is gone from every readable snapshot even
-    // though its data files sit in data/ — silent data loss
-    val t = new LogTable(path)
-    assert(t.currentVersion.contains(1L))
-    val vs = t.load(spark).select("v").as[String].collect().toSet
-    assert(vs == Set("seed", "attacker"), s"expected lost update, got $vs")
+  test("a table demanding an UNKNOWN reader feature refuses to load " +
+    "with a message naming the feature — no half-read") {
+    val dir = s"${tmp()}/t"
+    val t = new LogTable(dir)
+    t.append(Seq((1L, "a")).toDF("k", "v"))                     // v0
+    // simulate a FUTURE writer: its protocol demands a feature this
+    // build does not know
+    t.commitProtocol(Protocol(1, 1,
+      readerFeatures = Set("vectorIndexV9"),
+      writerFeatures = Set("vectorIndexV9")))                   // v1
+    val fresh = new LogTable(dir)
+    val e = intercept[IllegalStateException](fresh.load(spark))
+    assert(e.getMessage.contains("vectorIndexV9"), e.getMessage)
+    assert(e.getMessage.contains("reader feature"), e.getMessage)
+    // metadata access refuses the same way (the gate is the
+    // snapshot fold itself, not one read path)
+    val e2 = intercept[IllegalStateException](
+      new LogTable(dir).schema)
+    assert(e2.getMessage.contains("vectorIndexV9"))
+    // and writes refuse too (the foreign table is fully fenced)
+    val e3 = intercept[IllegalStateException](
+      new LogTable(dir).append(Seq((2L, "b")).toDF("k", "v")))
+    assert(e3.getMessage.contains("vectorIndexV9"))
+    // TIME TRAVEL to the pre-upgrade version still reads: the gate
+    // is per-snapshot state, exactly Delta's rule
+    assert(new LogTable(dir).load(spark, Some(0L)).count() == 1L)
   }
 
-  test("the atomic local-FS claim under the SAME forced interleave " +
-    "keeps both commits: loser retries onto the next slot") {
-    val path = s"${tmp()}/t"
-    new LogTable(path).append(Seq((0L, "seed")).toDF("k", "v")) // v0
-    var fired = false
-    // the clock fires inside commitRetry after head resolution and
-    // before the slot claim — the same window the double exploits
-    val racer = new LogTable(path, clock = () => {
-      if (!fired) {
-        fired = true
-        new LogTable(path).append(Seq((1L, "victim")).toDF("k", "v"))
-      }
-      System.currentTimeMillis()
-    })
-    racer.append(Seq((2L, "survivor")).toDF("k", "v"))
-    val t = new LogTable(path)
-    assert(t.versions == Seq(0L, 1L, 2L))
-    assert(t.load(spark).select("v").as[String].collect().toSet ==
-      Set("seed", "victim", "survivor"))
-    // the losing attempt's temp file was cleaned up
-    assert(Option(new File(path, "_log").listFiles()).toSeq.flatten
-      .forall(!_.getName.startsWith(".tmp")))
+  test("an unknown WRITER feature fences commits but leaves reads " +
+    "working; a too-new minReader refuses by version") {
+    val dir = s"${tmp()}/t"
+    val t = new LogTable(dir)
+    t.append(Seq((1L, "a")).toDF("k", "v"))                     // v0
+    t.commitProtocol(Protocol(1, 1,
+      readerFeatures = Set.empty,
+      writerFeatures = Set("asyncCompactionV2")))               // v1
+    val fresh = new LogTable(dir)
+    assert(fresh.load(spark).count() == 1L) // reads fine
+    val e = intercept[IllegalStateException](
+      fresh.append(Seq((2L, "b")).toDF("k", "v")))
+    assert(e.getMessage.contains("asyncCompactionV2"), e.getMessage)
+    assert(e.getMessage.contains("writer feature"), e.getMessage)
+    assert(fresh.load(spark).count() == 1L, "table must stay readable")
+
+    val dir2 = s"${tmp()}/t2"
+    val t2 = new LogTable(dir2)
+    t2.append(Seq((1L, "a")).toDF("k", "v"))
+    t2.commitProtocol(Protocol(9, 9, Set.empty, Set.empty))
+    val e2 = intercept[IllegalStateException](
+      new LogTable(dir2).load(spark))
+    assert(e2.getMessage.contains("reader version 9"), e2.getMessage)
   }
 
-  test("round-11 Serializable isolation: the SAME forced interleave " +
-    "— a blind append racing a read-declaring commit — sails under " +
-    "the default WriteSerializable and refuses under Serializable") {
-    // default (WriteSerializable, Delta's level): RESTORE racing an
-    // append retries onto the next slot and commits — the file-level
-    // rule sees no conflict, and the racing append's rows survive
-    // beside the restored snapshot (the write-serial order)
-    val p1 = s"${tmp()}/t"
-    new LogTable(p1).append(Seq((0L, "seed")).toDF("k", "v"))  // v0
-    new LogTable(p1).append(Seq((1L, "later")).toDF("k", "v")) // v1
-    var fired1 = false
-    val ws = new LogTable(p1, clock = () => {
-      if (!fired1) {
-        fired1 = true
-        new LogTable(p1).append(Seq((9L, "racer")).toDF("k", "v"))
-      }
-      System.currentTimeMillis()
-    })
-    ws.restore(0L)
-    assert(new LogTable(p1).load(spark).select("v").as[String]
-      .collect().toSet == Set("seed", "racer"))
-    // Serializable (opt-in TBLPROPERTIES): the transaction declared
-    // a read snapshot, so ANY commit landing after it — the blind
-    // append included — conflicts: the outcome could depend on rows
-    // the transaction never read. The caller re-reads and retries.
-    val p2 = s"${tmp()}/t"
-    new LogTable(p2).append(Seq((0L, "seed")).toDF("k", "v"))  // v0
-    new LogTable(p2).setTableProperties(
-      Map(LogTable.PropIsolation -> "Serializable"))           // v1
-    new LogTable(p2).append(Seq((1L, "later")).toDF("k", "v")) // v2
-    var fired2 = false
-    val ser = new LogTable(p2, clock = () => {
-      if (!fired2) {
-        fired2 = true
-        new LogTable(p2).append(Seq((9L, "racer")).toDF("k", "v"))
-      }
-      System.currentTimeMillis()
-    })
-    val e = intercept[java.util.ConcurrentModificationException](
-      ser.restore(0L))
-    assert(e.getMessage.contains("serializable isolation"),
-      e.getMessage)
-    // blind appends declare no read: conflict-free under BOTH levels
-    new LogTable(p2).append(Seq((2L, "more")).toDF("k", "v"))
-    assert(new LogTable(p2).load(spark).count() == 4L)
-    // and a quiet retry of the refused restore succeeds
-    val t2 = new LogTable(p2)
-    t2.restore(0L)
-    assert(t2.load(spark).select("v").as[String].collect().toSet
-      == Set("seed"))
+  test("protocol rides checkpoints: a replay THROUGH a checkpoint " +
+    "sees the same protocol state as a raw replay, and the gate " +
+    "still fires past one") {
+    val dir = s"${tmp()}/t"
+    val t = new LogTable(dir, checkpointInterval = 2)
+    t.create(org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.StringType))),
+      properties = Map("graft.checkpoint.parquetThreshold" -> "1")) // v0
+    t.append(Seq((1L, "a"), (9L, "x")).toDF("k", "v")
+      .repartition(1))                                          // v1
+    t.deleteMor(spark, col("k") === 1L)                         // v2 ckpt
+    t.append(Seq((2L, "b")).toDF("k", "v"))                     // v3
+    val viaCkpt = new LogTable(dir)
+    val raw = new LogTable(dir)
+    raw.ignoreCheckpointsForTest = true
+    (0L to 3L).foreach { v =>
+      assert(viaCkpt.protocolAt(Some(v)) == raw.protocolAt(Some(v)),
+        s"protocol diverges at v$v")
+    }
+    assert(viaCkpt.protocolAt(Some(3L)).get.readerFeatures
+      .contains("deletionVectors"))
+    // an unknown feature committed AFTER the checkpoint still fences
+    // a checkpoint-based replay (landing on an off-interval version —
+    // the injecting writer itself could not checkpoint a state it
+    // can no longer read)
+    t.append(Seq((3L, "c")).toDF("k", "v"))                     // v4 ckpt
+    t.commitProtocol(Protocol(1, 1, Set("futureThing"), Set.empty)) // v5
+    val e = intercept[IllegalStateException](
+      new LogTable(dir).load(spark))
+    assert(e.getMessage.contains("futureThing"))
   }
 
-  test("claim semantics at the unit level: winner publishes whole " +
-    "content, loser's temp is cleaned and the slot is untouched") {
-    val dir = new File(tmp())
-    val won = new File(dir, ".tmp-w")
-    java.nio.file.Files.writeString(won.toPath, "winner-content")
-    val slot = new File(dir, "00000000000000000000.json")
-    assert(LocalFsCommitCoordinator.claim(won, slot))
-    assert(!won.exists())
-    assert(java.nio.file.Files.readString(slot.toPath) == "winner-content")
-    // a second claim of the same slot loses, cleans up, changes nothing
-    val lost = new File(dir, ".tmp-l")
-    java.nio.file.Files.writeString(lost.toPath, "loser-content")
-    assert(!LocalFsCommitCoordinator.claim(lost, slot))
-    assert(!lost.exists())
-    assert(java.nio.file.Files.readString(slot.toPath) == "winner-content")
+  test("legacy tables without a protocol action keep reading; their " +
+    "next commit records a baseline protocol") {
+    // build a pre-protocol log by writing commits through the seam,
+    // then stripping the protocol lines — the on-disk shape of every
+    // pre-round-12 table
+    val dir = s"${tmp()}/t"
+    val t = new LogTable(dir)
+    t.append(Seq((1L, "a")).toDF("k", "v"))                     // v0
+    val log = new java.io.File(dir, "_log")
+    log.listFiles().filter(_.getName.endsWith(".json")).foreach { f =>
+      val kept = java.nio.file.Files.readString(f.toPath)
+        .linesIterator.filterNot(_.contains("\"protocol\""))
+        .mkString("\n")
+      java.nio.file.Files.writeString(f.toPath, kept)
+    }
+    val legacy = new LogTable(dir)
+    assert(legacy.protocolAt().isEmpty)
+    assert(legacy.load(spark).count() == 1L)
+    legacy.append(Seq((2L, "b")).toDF("k", "v"))                // v1
+    val p = legacy.protocolAt().get
+    assert(p.minReader == 1 && p.readerFeatures.isEmpty)
   }
 }

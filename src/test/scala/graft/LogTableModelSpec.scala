@@ -58,6 +58,7 @@ class LogTableModelSpec extends SparkSpec {
     // ops whose commit metadata expiry later deletes still count
     // toward the op-mix sanity check — capture before the floor rises
     var opsPreExpiry = Set.empty[String]
+    var opsIso = Set.empty[String]
 
     def freshBatch(): Vector[Row2] = {
       val n = 1 + rnd.nextInt(6)
@@ -240,6 +241,20 @@ class LogTableModelSpec extends SparkSpec {
       if (step == 19 && t.exists &&
           t.schema("k").dataType == org.apache.spark.sql.types.IntegerType)
         t.widenColumnType(spark, "k", org.apache.spark.sql.types.LongType)
+      // round-12: a SERIALIZABLE-isolation epoch (steps 23–29): the
+      // strictest conflict rule must be a NO-OP for a sequential
+      // writer — every commit kind in the mix (appends, CoW/MoR
+      // row ops, restores, layout rebuilds, refs, auto-compaction)
+      // runs under it unchanged; the rule's actual conflict
+      // behavior is pinned by the forced-interleave protocol test
+      if (step == 23 && t.exists)
+        t.setTableProperties(
+          Map(LogTable.PropIsolation -> "Serializable"))
+      if (step == 29 && t.exists && t.tableProperties
+          .get(LogTable.PropIsolation).contains("Serializable")) {
+        opsIso += "Serializable"
+        t.unsetTableProperties(Seq(LogTable.PropIsolation))
+      }
       // round-10: EXPIRE SNAPSHOTS mid-sequence — the floor rises
       // (clamped by live tags/forks), below-floor time travel leaves
       // the model's reachable set, restores re-target the retained
@@ -292,6 +307,26 @@ class LogTableModelSpec extends SparkSpec {
       "tblproperties").subsetOf(ops), ops)
     assert(t.earliestVersion.exists(_ > 0L),
       s"expiry never raised the floor: ${t.earliestVersion}")
+    assert(opsIso.contains("Serializable"),
+      "the Serializable epoch never ran")
+
+    // round-12 PROTOCOL gate against the full surviving history: a
+    // FUTURE writer stamps an unknown reader feature — every read
+    // surface then refuses BY NAME, while pre-injection versions
+    // keep replaying their committed states through a fresh handle
+    val headBefore = t.currentVersion.get
+    while ((t.currentVersion.get + 1) % 5 == 0) // keep the injection
+      t.append(freshBatch().toDF("k", "v"))     // off a ckpt boundary
+    t.commitProtocol(graft.sources.Protocol(1, 1,
+      Set("graftFutureFeature"), Set("graftFutureFeature")))
+    val eGate = intercept[IllegalStateException](
+      new LogTable(s"$dir/t").load(spark))
+    assert(eGate.getMessage.contains("graftFutureFeature"),
+      eGate.getMessage)
+    val fresh = new LogTable(s"$dir/t")
+    assert(sortedRows(fresh.load(spark, Some(headBefore))) ==
+      snaps(headBefore.toInt).sorted,
+      "pre-injection snapshots must keep replaying")
   }
 
   test("concurrent writers: racing threads of real mixed commits " +
