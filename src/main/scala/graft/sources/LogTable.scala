@@ -761,7 +761,14 @@ final class LogTable(val path: String,
     (from to v).foreach { cv =>
       readActions(logFile(cv)).foreach { j =>
         if ((j \ "add") != JNothing) {
-          val a = parseAdd(j \ "add"); live(a.path) = a
+          val a = parseAdd(j \ "add")
+          // a RE-ADD (DV update, restore) moves the file to the END
+          // of the manifest — "order = latest action order", the
+          // same rule the distributed manifest's tail fold applies,
+          // so a checkpoint written FROM the distributed manifest is
+          // byte-order-identical to this driver replay
+          live.remove(a.path)
+          live(a.path) = a
         }
         if ((j \ "remove") != JNothing)
           live.remove((j \ "remove" \ "path").asInstanceOf[JString].s)
@@ -883,7 +890,12 @@ final class LogTable(val path: String,
         (c + 1 to v).foreach { cv =>
           readActions(logFile(cv)).foreach { j =>
             if ((j \ "add") != JNothing) {
-              val a = parseAdd(j \ "add"); delta(a.path) = Some(a)
+              val a = parseAdd(j \ "add")
+              // move-to-end on re-add — the SAME order rule the
+              // driver replay applies (fileStateAt), so a checkpoint
+              // written from this manifest replays order-identical
+              delta.remove(a.path)
+              delta(a.path) = Some(a)
             }
             if ((j \ "remove") != JNothing)
               delta((j \ "remove" \ "path")
@@ -987,6 +999,20 @@ final class LogTable(val path: String,
       throw new IllegalStateException(s"no log table at $path"))
     val snap = snapshotAt(v)
     val base = resolvedConjuncts(spark, snap.schema, pred)
+    val derived = derivedConjuncts(spark, snap.generated, snap.tz, base)
+    prunedAdds(spark, v, base, derived)
+  }
+
+  /** [[prunedAdds]] from ALREADY-RESOLVED catalyst conjuncts — the
+    * DSv2 scan-planning seam ([[PruningScanBuilder]] receives the
+    * analyzer's pushed expressions directly). */
+  private[sources] def prunedAddsForExprs(spark: SparkSession,
+      exprs: Seq[expressions.Expression],
+      version: Option[Long]): (Seq[AddFile], Long) = {
+    val v = version.orElse(currentVersion).getOrElse(
+      throw new IllegalStateException(s"no log table at $path"))
+    val snap = snapshotAt(v)
+    val base = exprs.flatMap(splitConjuncts)
     val derived = derivedConjuncts(spark, snap.generated, snap.tz, base)
     prunedAdds(spark, v, base, derived)
   }
@@ -3021,6 +3047,31 @@ final class LogTable(val path: String,
     target.getName
   }
 
+  /** [[writeAddsParquet]] from the DISTRIBUTED manifest instead of a
+    * driver Seq — the WRITER side of the manifest story: once a
+    * table has crossed the parquet threshold, every subsequent
+    * checkpoint is a manifest-to-manifest Spark job (prior
+    * checkpoint scan + bounded commit-tail fold → new sidecar) and
+    * the writer never materializes the file list either. Rows are
+    * re-indexed contiguously in manifest order so chained
+    * checkpoints keep idx unique (tail rows carry Long.MaxValue-area
+    * indices that would otherwise collide across generations). */
+  private def writeAddsParquetFrom(spark: SparkSession, v: Long,
+      ds: org.apache.spark.sql.Dataset[CkptAdd]): String = {
+    val enc = org.apache.spark.sql.Encoders.product[CkptAdd]
+    val normalized = spark.createDataset(
+      ds.orderBy(col("idx")).rdd.zipWithIndex()
+        .map { case (c, i) => c.copy(idx = i) })(enc)
+    val tmp = new File(logDir, s".tmp-ckptpq-${UUID.randomUUID()}")
+    val target = ckptParquetDir(v, UUID.randomUUID().toString.take(8))
+    try {
+      normalized.write.mode("overwrite").parquet(tmp.getPath)
+      Files.move(tmp.toPath, target.toPath,
+        StandardCopyOption.ATOMIC_MOVE)
+    } catch { case NonFatal(e) => deleteRecursive(tmp); throw e }
+    target.getName
+  }
+
   /** Line-stream the adds to a JSONL sidecar — one rendered add per
     * line, bounded memory regardless of file count (never one
     * whole-state string). */
@@ -3072,8 +3123,15 @@ final class LogTable(val path: String,
       // maintenance CLI)
       val session = SparkSession.getActiveSession
         .orElse(SparkSession.getDefaultSession)
+      // once a PRIOR parquet checkpoint serves the manifest, stay
+      // parquet and write manifest-to-manifest — the format decision
+      // itself must not force Snapshot.adds on a million-file table
+      val dist = session.flatMap(sp =>
+        if (ignoreCheckpointsForTest) None
+        else distributedManifest(sp, v))
       val fmt =
-        if (session.isDefined &&
+        if (dist.isDefined) "parquet"
+        else if (session.isDefined &&
             snap.adds.size >= parquetCkptThreshold(snap)) "parquet"
         else "jsonl"
       // sidecar FIRST, header last: the header is the discovery key,
@@ -3083,8 +3141,10 @@ final class LogTable(val path: String,
       val tmp = new File(logDir, s".tmp-ckpt-${UUID.randomUUID()}")
       try {
         val addsPath: Option[String] =
-          if (fmt == "parquet")
-            Some(writeAddsParquet(session.get, v, snap.adds))
+          if (fmt == "parquet") Some(dist match {
+            case Some(ds) => writeAddsParquetFrom(session.get, v, ds)
+            case None     => writeAddsParquet(session.get, v, snap.adds)
+          })
           else { writeAddsJsonl(v, snap.adds); None }
         val state = JObject(List(
         "schema" -> JsonMethods.parse(snap.schema.json),
@@ -4686,6 +4746,36 @@ final class LogTable(val path: String,
     import spark.implicits._
     rows.toDF("version", "parent", "committed_at", "operation",
       "summary")
+  }
+
+  /** Iceberg's `manifests`-shaped view of the CHECKPOINT chain: one
+    * row per retained checkpoint — version, file-state format
+    * (parquet / jsonl / embedded-legacy), sidecar path, part-file
+    * count and total sidecar bytes. Metadata-only driver listing
+    * (O(#checkpoints), bounded by expiry); the audit surface for
+    * "which anchors does replay resolve from, and how big are
+    * they". */
+  def manifestsDF(spark: SparkSession): DataFrame = {
+    val rows = listLogDir().filter(_.getName.endsWith(".ckpt.json"))
+      .sortBy(_.getName).toSeq.map { h =>
+        val v = h.getName.stripSuffix(".ckpt.json").toLong
+        val state = JsonMethods.parse(Files.readString(h.toPath))
+        (state \ "addsFormat") match {
+          case JString("parquet") =>
+            val d = ckptParquetOf(state, v)
+            val parts = Option(d.listFiles()).getOrElse(Array.empty)
+              .filter(_.getName.endsWith(".parquet"))
+            (v, "parquet", s"_log/${d.getName}", parts.length.toLong,
+              parts.map(_.length()).sum)
+          case JString("jsonl") =>
+            val f = ckptAddsFile(v)
+            (v, "jsonl", s"_log/${f.getName}", 1L, f.length())
+          case _ =>
+            (v, "embedded", s"_log/${h.getName}", 1L, h.length())
+        }
+      }
+    import spark.implicits._
+    rows.toDF("version", "format", "path", "parts", "bytes")
   }
 
   /** Iceberg's `all_files`: every file referenced by ANY retained

@@ -96,7 +96,7 @@ final class GraftLogTableV2(tableName: String, log: LogTable)
     if (GraftLogTableV2.needsV1Bridge(log, None))
       new DvScanBuilder(log, None)
     else
-      GraftLogTableV2.scanTable(tableName, log, None).newScanBuilder(options)
+      new PruningScanBuilder(tableName, log, None, options)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new LogWriteBuilder(log, info, overwriteAll = false)
@@ -122,12 +122,14 @@ object GraftLogTableV2 {
     * column set that version actually had, matching
     * [[LogTable.load]]. */
   private[sources] def scanTable(name: String, log: LogTable,
-                                 version: Option[Long]): ParquetTable = {
+                                 version: Option[Long],
+                                 filesOverride: Option[Seq[String]] =
+                                   None): ParquetTable = {
     // a column-mapped snapshot resolves parquet columns by field id,
     // which Spark gates on the session conf — flip it here (and only
     // for mapped tables; see LogTable.enableFieldIds)
     log.ensureFieldIdResolution(SparkSession.active, version)
-    val files = log.liveFiles(version)
+    val files = filesOverride.getOrElse(log.liveFiles(version))
     val paths = if (files.nonEmpty) files else Seq(s"${log.path}/_empty")
     // hive-partitioned tables scan with basePath discovery, so the
     // partition columns resolve from the dirs and predicates on them
@@ -155,7 +157,7 @@ object GraftLogTableV2 {
                               version: Long): Table =
     if (needsV1Bridge(log, Some(version)))
       new DvReadTable(name, log, Some(version))
-    else new GraftReadTable(scanTable(name, log, Some(version)))
+    else new GraftPrunedReadTable(name, log, Some(version))
 
   /** Snapshots the plain parquet scan cannot serve: deletion vectors
     * (the raw file list would resurrect deleted rows), PARTITIONED
@@ -206,6 +208,91 @@ object GraftLogTableV2 {
     case sources.AlwaysFalse()          => lit(false)
     case other => throw new UnsupportedOperationException(
       s"cannot execute pushed filter $other")
+  }
+}
+
+/** Read-only pinned table served through manifest-pruned planning —
+  * the `VERSION AS OF` twin of [[GraftLogTableV2.newScanBuilder]]'s
+  * live path. */
+private[sources] final class GraftPrunedReadTable(
+    tableName: String, log: LogTable, version: Option[Long])
+  extends Table with SupportsRead {
+  override def name(): String = tableName
+  override def schema(): StructType =
+    version.map(log.schemaAt).getOrElse(log.schema)
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+      : ScanBuilder =
+    new PruningScanBuilder(tableName, log, version, options)
+}
+
+/** Filter-aware scan builder for plain-parquet snapshots: the
+  * analyzer's PUSHED filters prune the MANIFEST before the parquet
+  * table is even constructed — [[LogTable.prunedAdds]] evaluates the
+  * file-skipping walk where the manifest lives (a Spark job
+  * collecting only survivors above the parquet-checkpoint threshold,
+  * the driver Seq below it), so a selective SQL query against a
+  * ~1M-file table plans ∝ its match set instead of handing Spark the
+  * full file list. The same pushed expressions are then re-driven
+  * onto Spark's own ParquetScanBuilder over the surviving files
+  * (row-group skipping, column pruning and vectorization are exactly
+  * parquet's), and EVERY filter stays residual above the scan — the
+  * stats walk is sound-or-skip, never load-bearing for correctness.
+  * Uses the same internal SupportsPushDownCatalystFilters seam
+  * Spark's own file sources implement (the public v1-Filter trait is
+  * not consulted for file-source scan builders). Aggregate pushdown
+  * (spark.sql.parquet.aggregatePushdown, default off) is not
+  * forwarded. */
+private[sources] final class PruningScanBuilder(
+    tableName: String, log: LogTable, version: Option[Long],
+    options: CaseInsensitiveStringMap)
+  extends ScanBuilder
+  with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
+  with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
+  import org.apache.spark.sql.catalyst.expressions.Expression
+
+  private var pushedExprs: Seq[Expression] = Nil
+  private var required: Option[StructType] = None
+
+  override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
+    pushedExprs = filters
+    filters // all residual: manifest pruning is advisory, never owed
+  }
+
+  // the delegate's ParquetScan reports ITS accepted set in the plan;
+  // at the wrapper level nothing is guaranteed-pushed
+  override def pushedFilters()
+      : Array[org.apache.spark.sql.connector.expressions.filter.Predicate] =
+    Array.empty
+
+  override def pruneColumns(requiredSchema: StructType): Unit = {
+    required = Some(requiredSchema)
+  }
+
+  override def build(): org.apache.spark.sql.connector.read.Scan = {
+    val spark = SparkSession.active
+    val files: Option[Seq[String]] =
+      if (pushedExprs.isEmpty) None
+      else scala.util.Try(
+        log.prunedAddsForExprs(spark, pushedExprs, version)._1
+          .map(a => log.absLivePath(a))).toOption
+    val delegate = GraftLogTableV2
+      .scanTable(tableName, log, version, files)
+      .newScanBuilder(options)
+    delegate match {
+      case f: org.apache.spark.sql.internal.connector
+          .SupportsPushDownCatalystFilters =>
+        f.pushFilters(pushedExprs); ()
+      case _ => ()
+    }
+    (delegate, required) match {
+      case (c: org.apache.spark.sql.connector.read
+          .SupportsPushDownRequiredColumns, Some(r)) =>
+        c.pruneColumns(r)
+      case _ => ()
+    }
+    delegate.build()
   }
 }
 

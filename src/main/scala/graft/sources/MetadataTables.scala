@@ -37,6 +37,9 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *  - `all_files`: every file referenced by ANY retained version,
   *    `live`-flagged — the vacuum-audit view (Iceberg's
   *    `all_files`), distributed via the floor checkpoint scan.
+  *  - `manifests`: the checkpoint chain (Iceberg's `manifests`
+  *    shape) — version, file-state format, sidecar path, parts,
+  *    bytes.
   *  - `partitions`: per-partition layout census (Iceberg's
   *    `partitions` table) — file count, physical/logical rows and
   *    bytes per hive partition, aggregated DISTRIBUTED from the
@@ -47,7 +50,7 @@ object GraftMetadataTables {
 
   val surfaces: Set[String] =
     Set("history", "files", "refs", "partitions", "snapshots",
-      "all_files")
+      "all_files", "manifests")
 
   def apply(name: String, surface: String, log: LogTable): Table =
     surface match {
@@ -63,6 +66,8 @@ object GraftMetadataTables {
         s => log.snapshotsDF(s))
       case "all_files" => new GraftMetadataTable(name, allFilesSchema,
         s => log.allFilesDF(s))
+      case "manifests" => new GraftMetadataTable(name, manifestsSchema,
+        s => log.manifestsDF(s))
       case other => throw new IllegalArgumentException(
         s"unknown metadata surface '$other'")
     }
@@ -97,6 +102,13 @@ object GraftMetadataTables {
     filesSchema.fields.toSeq :+
       StructField("live", org.apache.spark.sql.types.BooleanType,
         nullable = false))
+
+  private val manifestsSchema = StructType(Seq(
+    StructField("version", LongType, nullable = false),
+    StructField("format", StringType, nullable = false),
+    StructField("path", StringType, nullable = false),
+    StructField("parts", LongType, nullable = false),
+    StructField("bytes", LongType, nullable = false)))
 
   private val refsSchema = StructType(Seq(
     StructField("name", StringType, nullable = false),

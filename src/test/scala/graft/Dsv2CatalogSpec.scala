@@ -309,5 +309,21 @@ class Dsv2CatalogSpec extends SparkSpec {
     val e = intercept[Exception](spark.sql(
       s"SELECT * FROM $cat.t.snapshots VERSION AS OF 0").collect())
     assert(e.getMessage.contains("cannot be pinned"), e.getMessage)
+
+    // manifests: the checkpoint chain as a relation (version,
+    // format, sidecar path, parts, bytes)
+    val ct = new graft.sources.LogTable(s"$wh/ck",
+      checkpointInterval = 2)
+    ct.create(org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType))),
+      properties = Map("graft.checkpoint.parquetThreshold" -> "1"))
+    (1 to 4).foreach(i => ct.append(Seq(i.toLong).toDF("k")))
+    val mf = spark.sql(s"SELECT version, format, parts, bytes FROM " +
+      s"$cat.ck.manifests ORDER BY version")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(mf.map(_._1) == Seq(2L, 4L), mf)
+    assert(mf.forall(_._2 == "parquet"), mf)
+    assert(mf.forall(r => r._3 >= 1L && r._4 > 0L), mf)
   }
 }

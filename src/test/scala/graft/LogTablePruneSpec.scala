@@ -124,6 +124,85 @@ class LogTablePruneSpec extends SparkSpec {
     assert(total == 50001L && s.size == 1)
   }
 
+  test("SQL reads through the catalog prune the MANIFEST at " +
+    "planning: a selective predicate builds the parquet scan over " +
+    "surviving files only, with parquet pushdown intact") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_sqlprune")
+      .toString
+    val t = new LogTable(s"$wh/t", checkpointInterval = 2)
+    t.create(StructType(Seq(StructField("k", LongType),
+      StructField("v", StringType))),
+      properties = Map("graft.checkpoint.parquetThreshold" -> "1")) // v0
+    (1 to 4).foreach { i =>
+      t.append(Seq((i * 10L, s"a$i"), (i * 10L + 1, s"b$i"))
+        .toDF("k", "v").repartition(1))                   // v1..v4
+    }
+    val cat = s"gprune_${System.nanoTime()}"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.GraftTableCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+
+    def scanFiles(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2
+            .BatchScanExec => b.scan match {
+          case p: org.apache.spark.sql.execution.datasources.v2
+              .parquet.ParquetScan => p.fileIndex.inputFiles.length
+        }
+      }.sum
+
+    val sel = spark.sql(s"SELECT k, v FROM $cat.t WHERE k = 30")
+    assert(sel.as[(Long, String)].collect().toSeq == Seq((30L, "a3")))
+    assert(scanFiles(sel) == 1,
+      "selective scan must plan over the single surviving file")
+    val full = spark.sql(s"SELECT k FROM $cat.t")
+    assert(scanFiles(full) == 4)
+    // parquet-level pushdown still present on the pruned scan
+    val plan = sel.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("30"),
+      s"expected parquet pushdown through the pruned scan:\n$plan")
+    // VERSION AS OF routes through the same pruned planning
+    val pinned = spark.sql(
+      s"SELECT k FROM $cat.t VERSION AS OF 2 WHERE k = 20")
+    assert(pinned.as[Long].collect().toSeq == Seq(20L))
+    assert(scanFiles(pinned) == 1)
+  }
+
+  test("checkpoint WRITES above the threshold are manifest-to-" +
+    "manifest: the writer never materializes the file list, chained " +
+    "checkpoints re-index uniquely, and replay is order-identical " +
+    "to raw") {
+    val dir = s"${tmp()}/t"
+    val t = new LogTable(dir, checkpointInterval = 1)
+    t.append(Seq((1L, "a")).toDF("k", "v"))                     // v0
+    t.registerFiles(fakes(20000))       // v1 ckpt — FIRST parquet
+                                        // ckpt (driver Seq, paid once)
+    // v2 re-adds 1000 known paths: the tail fold + the move-to-end
+    // re-add rule both exercise, and THIS checkpoint must write
+    // from the distributed manifest without forcing Snapshot.adds
+    t.registerFiles(fakes(1000))                                // v2 ckpt
+    assert(!t.addsMaterializedAt(Some(2L)),
+      "the v2 checkpoint write materialized the manifest")
+    // a third generation chains off the rewritten sidecar
+    t.registerFiles(fakes(500).map(a =>
+      a.copy(path = a.path.replace("fake-", "late-"))))         // v3 ckpt
+    assert(!t.addsMaterializedAt(Some(3L)))
+    val viaCkpt = new LogTable(dir)
+    val raw = new LogTable(dir)
+    raw.ignoreCheckpointsForTest = true
+    (0L to 3L).foreach { v =>
+      assert(viaCkpt.liveAdds(Some(v)) == raw.liveAdds(Some(v)),
+        s"checkpoint replay diverges from raw replay at v$v")
+    }
+    // idx stays unique after chaining (ties would make file order
+    // ambiguous): the persisted sidecar re-indexed contiguously
+    val idxs = spark.read.parquet(new File(dir, "_log").listFiles()
+      .filter(_.getName.matches("00000000000000000003\\.ckpt\\..+\\.parquet"))
+      .head.getPath).select("idx").as[Long].collect()
+    assert(idxs.length == idxs.distinct.length)
+    assert(idxs.sorted.toSeq == (0L until idxs.length).toSeq)
+  }
+
   test("addsDF tail fold anti-joins a fat touched set instead of one " +
     "giant isin literal list") {
     val dir = s"${tmp()}/t"
