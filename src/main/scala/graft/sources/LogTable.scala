@@ -1003,6 +1003,49 @@ final class LogTable(val path: String,
     prunedAdds(spark, v, base, derived)
   }
 
+  /** The file-state facts the V1-bridge decision needs —
+    * (any deletion vector, any absolute path, the distinct
+    * partition-value keysets) — answered WHERE THE MANIFEST LIVES:
+    * one tiny aggregate job over the distributed manifest above the
+    * parquet-checkpoint threshold (memoized per immutable version),
+    * the driver Seq below it. Without this, every catalog
+    * resolution of a million-file table would collect the manifest
+    * just to decide which scan path serves it. */
+  private val bridgeFactsCache = scala.collection.concurrent.TrieMap
+    .empty[Long, (Boolean, Boolean, Set[Set[String]])]
+
+  private[sources] def bridgeFacts(spark: SparkSession,
+      version: Option[Long]): (Boolean, Boolean, Set[Set[String]]) = {
+    val v = version.orElse(currentVersion).getOrElse(
+      throw new IllegalStateException(s"no log table at $path"))
+    bridgeFactsCache.getOrElseUpdate(v, {
+      val snap = snapshotAt(v)
+      val dist =
+        if (snap.addsMaterialized) None else distributedManifest(spark, v)
+      dist match {
+        case Some(ds) =>
+          val row = ds.toDF().agg(
+            max(col("dvPath").isNotNull).as("anyDv"),
+            max(col("path").startsWith("/")).as("anyAbs"),
+            collect_set(array_sort(map_keys(col("partitionValues"))))
+              .as("keysets")).collect().head
+          // Spark hands collected arrays back as mutable ArraySeq —
+          // type against collection.Seq, never immutable.Seq
+          val keysets = row.getAs[scala.collection.Seq[
+            scala.collection.Seq[String]]]("keysets")
+            .iterator.map(_.toSet).toSet
+          // max() over zero rows is null — null-safe compare to true
+          (row.getAs[Any]("anyDv") == true,
+            row.getAs[Any]("anyAbs") == true, keysets)
+        case None =>
+          val adds = snap.adds
+          (adds.exists(_.dv.isDefined),
+            adds.exists(_.path.startsWith("/")),
+            adds.map(_.partitionValues.keySet).toSet)
+      }
+    })
+  }
+
   /** [[prunedAdds]] from ALREADY-RESOLVED catalyst conjuncts — the
     * DSv2 scan-planning seam ([[PruningScanBuilder]] receives the
     * analyzer's pushed expressions directly). */

@@ -169,19 +169,25 @@ object GraftLogTableV2 {
     * [[DvScanBuilder]] V1 bridge. */
   private[sources] def needsV1Bridge(log: LogTable,
                                      version: Option[Long]): Boolean = {
-    val adds = log.liveAdds(version)
     val snapPartCols = version.map(log.partitionColsAt)
       .getOrElse(log.partitionCols)
     val transforms = version.map(log.partitionTransformsAt)
       .getOrElse(log.partitionTransforms)
-    adds.exists(_.dv.isDefined) ||
-      // hidden partitioning: the synthesized transform column must
-      // not surface through a raw FileTable scan — the bridge
-      // serves `LogTable.load`, which projects it away
-      transforms.nonEmpty ||
-      (snapPartCols.nonEmpty && adds.exists(_.path.startsWith("/"))) ||
-      adds.map(_.partitionValues.keySet).distinct.size > 1 ||
-      adds.exists(_.partitionValues.keySet != snapPartCols.toSet)
+    // hidden partitioning: the synthesized transform column must
+    // not surface through a raw FileTable scan — the bridge
+    // serves `LogTable.load`, which projects it away. Metadata-only
+    // — answered before the file-state facts are even consulted.
+    if (transforms.nonEmpty) return true
+    // file-state facts come from the MANIFEST where it lives (a
+    // tiny aggregate job above the checkpoint threshold, memoized
+    // per immutable version) — a catalog resolution of a
+    // million-file table never collects the file list here
+    val (anyDv, anyAbs, keysets) =
+      log.bridgeFacts(SparkSession.active, version)
+    anyDv ||
+      (snapPartCols.nonEmpty && anyAbs) ||
+      keysets.size > 1 ||
+      keysets.exists(_ != snapPartCols.toSet)
   }
 
   /** v1 pushed filter → Column, for [[SupportsDelete.deleteWhere]].

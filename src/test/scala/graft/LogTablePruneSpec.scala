@@ -166,6 +166,34 @@ class LogTablePruneSpec extends SparkSpec {
       s"SELECT k FROM $cat.t VERSION AS OF 2 WHERE k = 20")
     assert(pinned.as[Long].collect().toSeq == Seq(20L))
     assert(scanFiles(pinned) == 1)
+
+    // white-box, fresh handle: the whole planning chain — the
+    // V1-bridge decision (bridgeFacts) AND the filter prune — runs
+    // off the DISTRIBUTED manifest; the driver file list is never
+    // materialized
+    val fresh = new LogTable(s"$wh/t")
+    val sb = new graft.sources.GraftLogTableV2("t", fresh)
+      .newScanBuilder(
+        org.apache.spark.sql.util.CaseInsensitiveStringMap.empty())
+    val conj = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](),
+      fresh.schema).filter(col("k") === 30L)
+      .queryExecution.analyzed.collectFirst {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+          f.condition
+      }.get
+    sb.asInstanceOf[org.apache.spark.sql.internal.connector
+      .SupportsPushDownCatalystFilters].pushFilters(Seq(conj))
+    val scan = sb.build()
+    assert(scan.isInstanceOf[org.apache.spark.sql.execution
+      .datasources.v2.parquet.ParquetScan])
+    assert(scan.asInstanceOf[org.apache.spark.sql.execution
+      .datasources.v2.parquet.ParquetScan]
+      .fileIndex.inputFiles.length == 1)
+    assert(fresh.lastPruneMode == "distributed",
+      "the SQL planning prune must run over the distributed manifest")
+    assert(!fresh.addsMaterializedAt(),
+      "SQL scan planning materialized the manifest on the driver")
   }
 
   test("checkpoint WRITES above the threshold are manifest-to-" +
