@@ -1419,6 +1419,86 @@ object SparkEntry {
         .select(col("k"), col("name")).orderBy("k")
     }),
 
+    "delta_convert" -> ((s, d) => {
+      // round-13 CONVERT FROM DELTA (metadata-only, in place): fold
+      // a _delta_log into a graft LogTable registering the files by
+      // reference — stats parsed back type-aware, so file-skipping
+      // works from commit one; the result is a full read-write
+      // graft table (the DML below proves it). The fixture Delta
+      // log is built by this library's own exporter, then the graft
+      // log is removed so the convert starts from a PURE Delta
+      // table.
+      import s.implicits._
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft_dconvq").toString
+      val src = new graft.sources.LogTable(s"$wh/t")
+      val cust = t(s, d, "customer").select(col("c_custkey").as("k"),
+        col("c_name").as("name"))
+      src.append(cust.filter(col("k") <= 150).repartition(3))
+      graft.sources.DeltaExport.exportDeltaLog(s, src)
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(s"$wh/t/_log"))
+      val conv = graft.sources.DeltaExport.convertFromDelta(s, s"$wh/t")
+      conv.delete(s, col("k") % 10 === 0) // converted table is LIVE
+      conv.load(s).select(col("k"), col("name")).orderBy("k")
+    }),
+
+    "iceberg_convert" -> ((s, d) => {
+      // round-13 CONVERT FROM ICEBERG metadata (in place): resolve
+      // the current snapshot through the manifest chain, register
+      // the live files by reference (rows from record_count), and
+      // run graft DML on the result.
+      import s.implicits._
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft_iconvq").toString
+      val src = new graft.sources.LogTable(s"$wh/t")
+      val cust = t(s, d, "customer").select(col("c_custkey").as("k"),
+        col("c_name").as("name"))
+      src.append(cust.filter(col("k") <= 150).repartition(3))
+      graft.sources.IcebergExport.exportIcebergMetadata(s, src)
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(s"$wh/t/_log"))
+      val conv = graft.sources.IcebergExport
+        .convertFromIceberg(s, s"$wh/t")
+      conv.delete(s, col("k") % 10 === 0)
+      conv.load(s).select(col("k"), col("name")).orderBy("k")
+    }),
+
+    "iceberg_export" -> ((s, d) => {
+      // round-13 Iceberg metadata EXPORT (public table spec,
+      // format-version 2): vN.metadata.json + manifest-list and
+      // manifest Avro files (raw avro-1.12 API — on Spark's own
+      // classpath) + version-hint.text; sequential exports mirror
+      // the table (snapshots carry forward). Round-tripped through
+      // the library's own reader — no Iceberg runtime exists in
+      // this offline environment; the structural spec asserts live
+      // in IcebergExportSpec.
+      import s.implicits._
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft_iexpq").toString
+      val lt = new graft.sources.LogTable(s"$wh/t")
+      lt.create(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("name",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("seg",
+          org.apache.spark.sql.types.StringType))),
+        partitionBy = Seq("seg"))
+      val cust = t(s, d, "customer").select(col("c_custkey").as("k"),
+        col("c_name").as("name"), col("c_mktsegment").as("seg"))
+      lt.append(cust.filter(col("k") <= 120))
+      graft.sources.IcebergExport.exportIcebergMetadata(s, lt) // v1
+      lt.delete(s, col("k") % 10 === 0)  // CoW — stays exportable
+      graft.sources.IcebergExport.exportIcebergMetadata(s, lt) // v2
+      graft.sources.IcebergExport.loadIceberg(s, lt.path)
+        .select(col("k"), col("name"), col("seg")).orderBy("k")
+    }),
+
     "log_table_protocol" -> ((s, d) => {
       // round-12 PROTOCOL / table-feature gating (Delta PROTOCOL.md
       // discipline): create records a protocol action; the commit
@@ -3977,6 +4057,25 @@ object SparkEntry {
       """SELECT c_custkey AS k, c_name AS name
          FROM customer
          WHERE c_custkey <= 120 AND c_custkey % 10 <> 0
+         ORDER BY k""",
+
+    "iceberg_export" ->
+      """SELECT c_custkey AS k, c_name AS name,
+              c_mktsegment AS seg
+         FROM customer
+         WHERE c_custkey <= 120 AND c_custkey % 10 <> 0
+         ORDER BY k""",
+
+    "delta_convert" ->
+      """SELECT c_custkey AS k, c_name AS name
+         FROM customer
+         WHERE c_custkey <= 150 AND c_custkey % 10 <> 0
+         ORDER BY k""",
+
+    "iceberg_convert" ->
+      """SELECT c_custkey AS k, c_name AS name
+         FROM customer
+         WHERE c_custkey <= 150 AND c_custkey % 10 <> 0
          ORDER BY k""",
 
     "log_table_protocol" ->

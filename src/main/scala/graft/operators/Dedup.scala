@@ -19,6 +19,10 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Default pair budget for the declared-quadratic exact routes
+    * ([[embeddingNearDup]]): 2³³ ≈ 8.6e9 pairs. */
+  val DefaultPairsBudget: Long = 1L << 33
+
   /** Exact dedup: keep the smallest id per identical text.
     *
     * Groups by `(length(text), xxhash64(text))` instead of the raw
@@ -442,11 +446,31 @@ object Dedup {
     * sub-quadratic candidates, identical verify arithmetic.
     *
     * Norms are computed once per vector (not once per pair); per-pair
-    * work is exactly dot/(na·nb), bit-identical to the naive form. */
+    * work is exactly dot/(na·nb), bit-identical to the naive form.
+    *
+    * SCALE-POLICY GATE (round-13): this is the DECLARED-QUADRATIC
+    * exact baseline — a 100-TB user must not trip into n²/2 dot
+    * products silently. One count() estimates the pair volume up
+    * front; past `maxPairsBudget` (default 2³³ ≈ 8.6e9 pairs, ~2
+    * minutes of float-64d dots per 32 cores) the call REFUSES,
+    * naming the sub-quadratic routes. Raise the budget explicitly to
+    * opt into a bigger exact run. */
   def embeddingNearDup(emb: DataFrame, idCol: String = "vec_id",
                        vecCol: String = "embedding",
                        threshold: Double = 0.95,
-                       blocks: Int = 16): DataFrame = {
+                       blocks: Int = 16,
+                       maxPairsBudget: Long = DefaultPairsBudget)
+      : DataFrame = {
+    val n = emb.count()
+    val pairVolume = BigInt(n) * BigInt(math.max(0L, n - 1)) / 2
+    require(pairVolume <= maxPairsBudget,
+      s"embeddingNearDup is the EXACT all-pairs baseline: $n vectors " +
+        s"mean ~$pairVolume candidate pairs, past the " +
+        s"$maxPairsBudget-pair budget. At this scale use " +
+        "embeddingNearDupLsh (SRP-LSH candidates, the high-threshold " +
+        "near-duplicate regime) or semanticDedup (SemDeDup cells), " +
+        "or raise maxPairsBudget explicitly to opt into the " +
+        "quadratic run")
     val e = emb.select(col(idCol).as("__id"), col(vecCol).as("__v"),
       floatNorm(col(vecCol)).as("__n"),
       pmod(xxhash64(col(idCol)), lit(blocks)).cast("int").as("__g"))

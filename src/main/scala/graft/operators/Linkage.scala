@@ -82,7 +82,23 @@ object Linkage {
     * levers, then re-expand. */
   def fuzzyJoinEd(left: DataFrame, lId: String, lName: String,
                   right: DataFrame, rId: String, rName: String,
-                  maxDist: Int): DataFrame = {
+                  maxDist: Int): DataFrame =
+    fuzzyJoinEd(left, lId, lName, right, rId, rName, maxDist, None)
+
+  /** [[fuzzyJoinEd]] with a SCALE-POLICY GATE (round-13): when
+    * `maxCandidateBudget` is set, one cheap pre-pass estimates the
+    * candidate-pair volume from the per-variant-key frequencies
+    * (sum over keys of |left bucket|·|right bucket| — two partial
+    * aggregations and a key join, never the exploded pair space) and
+    * REFUSES past the budget with the short-string remediation
+    * guidance from the boundary note above. The blocking itself is
+    * linear in input rows; the gate exists for registries dominated
+    * by very short codes, where a few hot variant keys pair up
+    * near-quadratically. None (the default) skips the extra pass. */
+  def fuzzyJoinEd(left: DataFrame, lId: String, lName: String,
+                  right: DataFrame, rId: String, rName: String,
+                  maxDist: Int,
+                  maxCandidateBudget: Option[Long]): DataFrame = {
     def side(df: DataFrame, id: String, name: String,
              p: String): DataFrame =
       df.select(col(id).as(s"${p}_id"), col(name).as(s"${p}_name"))
@@ -93,6 +109,24 @@ object Linkage {
           length(col(s"${p}_name")).as(s"__${p}len"))
     val l = side(left, lId, lName, "l")
     val r = side(right, rId, rName, "r")
+    maxCandidateBudget.foreach { budget =>
+      val est = l.groupBy("__vk").agg(count(lit(1)).as("__ln"))
+        .join(r.groupBy("__vk").agg(count(lit(1)).as("__rn")), "__vk")
+        .agg(sum(col("__ln") * col("__rn")).as("__pairs"))
+        .collect().head.getAs[Any]("__pairs") match {
+          case null    => 0L
+          case n: Long => n
+          case n: java.math.BigDecimal => n.longValue()
+          case other   => other.toString.toDouble.toLong
+        }
+      require(est <= budget,
+        s"fuzzy join at edit distance $maxDist would generate ~$est " +
+          s"candidate pairs (budget: $budget) — hot variant keys " +
+          "from very short strings pair near-quadratically; " +
+          "de-duplicate the short-string domain first (it is " +
+          "alphabet-bounded), route hot keys through Skew salting, " +
+          "or raise the budget explicitly")
+    }
     val cand = l.join(r, "__vk")
       .where(abs(col("__llen") - col("__rlen")) <= maxDist)
       .select(col("l_id"), col("l_name"), col("r_id"), col("r_name"))

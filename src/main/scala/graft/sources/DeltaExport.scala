@@ -5,21 +5,42 @@ import java.nio.file.{Files, StandardCopyOption}
 import java.util.UUID
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.functions.{col, lit, to_json}
+import org.apache.spark.sql.types._
 import org.json4s._
 import org.json4s.jackson.JsonMethods
 
-/** One-way EXPORT of a [[LogTable]] snapshot as a spec-compliant
-  * Delta Lake transaction log (`_delta_log/`), per Delta's PUBLIC
-  * protocol spec (delta-io PROTOCOL.md; the design is the published
-  * Delta VLDB'20 paper): a single JSON commit
-  * `00000000000000000000.json` carrying `protocol`, `metaData` and
-  * one `add` per live file (Delta-rendered stats JSON), an optional
-  * single-part parquet CHECKPOINT with the spec's top-level action
-  * columns, and the `_last_checkpoint` pointer. Data files are
-  * referenced IN PLACE (table-relative paths) — the export writes
-  * metadata only, so a external Delta reader pointed at the table
-  * root consumes the same parquet bytes graft wrote.
+/** EXPORT of a [[LogTable]] as a spec-compliant Delta Lake
+  * transaction log (`_delta_log/`), per Delta's PUBLIC protocol spec
+  * (delta-io PROTOCOL.md; the design is the published Delta VLDB'20
+  * paper), in two modes:
+  *
+  *  - [[exportDeltaLog]] — a FULL snapshot: one JSON commit carrying
+  *    `protocol`, `metaData` and one `add` per live file
+  *    (Delta-rendered, TYPE-AWARE stats JSON), a single-part parquet
+  *    CHECKPOINT with the spec's top-level action columns, and the
+  *    `_last_checkpoint` pointer. At version > 0 the checkpoint is
+  *    REQUIRED: without it the exported log would have no version 0
+  *    and no `_last_checkpoint` — no contiguous replay start, which
+  *    a strict reader refuses. (A checkpoint + later commits with
+  *    the early commits absent is a perfectly normal Delta log — the
+  *    state Delta's own log cleanup leaves.)
+  *  - [[exportTail]] — an INCREMENTAL mirror: one contiguous Delta
+  *    commit per graft commit (adds + removes + commitInfo, metaData
+  *    re-emitted when the commit changed it), refusing any gap, so a
+  *    mirror can follow the table commit-by-commit after one full
+  *    export.
+  *
+  * Data files are referenced IN PLACE (table-relative paths) — the
+  * export writes metadata only, so an external Delta reader pointed
+  * at the table root consumes the same parquet bytes graft wrote.
+  *
+  * 100-TB posture: above the parquet-checkpoint threshold the add
+  * actions are RENDERED ON EXECUTORS from the distributed manifest
+  * and streamed into the commit file — the driver never materializes
+  * the file list (the same discipline as checkpoint writes); the
+  * import side folds checkpoints via a slim (path, size) projection,
+  * never `toJSON.collect()` of full stats rows.
   *
   * No Delta implementation exists in this environment (offline — r5
   * verified), so conformance is verified structurally (spec-required
@@ -36,18 +57,100 @@ import org.json4s.jackson.JsonMethods
   * first — the export names the blocker. */
 object DeltaExport {
 
-  /** Export the snapshot at `version` (default: current) into
-    * `<table>/_delta_log/`. Returns the commit file path. */
-  def exportDeltaLog(spark: SparkSession, log: LogTable,
-                     version: Option[Long] = None,
-                     withCheckpoint: Boolean = true): String = {
-    val v = version.orElse(log.currentVersion).getOrElse(
-      throw new IllegalStateException(s"no log table at ${log.path}"))
-    val adds = log.liveAdds(Some(v))
-    require(adds.forall(_.dv.isEmpty),
-      "cannot export a snapshot carrying deletion vectors — graft's " +
-        "DV sidecars are not Delta's format; run purgeDeletes() or " +
-        "OPTIMIZE first")
+  /** Render one stat bound per its column's DELTA stats type: graft
+    * stores dates as epoch days and timestamps as epoch micros
+    * (LogTable's comparable-form projection); Delta's stats schema
+    * carries ISO-8601 strings for those types and JSON booleans for
+    * boolean columns — an external reader doing stats-based skipping
+    * would otherwise fail to parse the bound, or worse, compare a
+    * raw long against a date literal and skip files it must scan.
+    * Static (object-level) so the distributed export path calls it
+    * from executors. */
+  private[sources] def deltaStatValue(dt: Option[DataType],
+                                      v: Any): JValue = (dt, v) match {
+    case (Some(DateType), l: Long) =>
+      JString(java.time.LocalDate.ofEpochDay(l).toString)
+    case (Some(TimestampType), l: Long) =>
+      JString(java.time.format.DateTimeFormatter.ISO_INSTANT.format(
+        java.time.Instant.EPOCH.plus(l,
+          java.time.temporal.ChronoUnit.MICROS)))
+    case (Some(TimestampNTZType), l: Long) =>
+      // no zone suffix: NTZ bounds render as local date-times
+      JString(java.time.LocalDateTime.ofEpochSecond(
+        Math.floorDiv(l, 1000000L),
+        (Math.floorMod(l, 1000000L) * 1000L).toInt,
+        java.time.ZoneOffset.UTC).toString)
+    case (Some(BooleanType), l: Long) => JBool(l != 0L)
+    case (_, l: Long)                 => JLong(l)
+    case (_, d: Double)               => JDouble(d)
+    case (_, s: String)               => JString(s)
+    case (_, o)                       => JString(o.toString)
+  }
+
+  /** Delta stats JSON for one add — numRecords, min/maxValues (typed
+    * per [[deltaStatValue]]), nullCount. Executor-safe. */
+  private[sources] def statsJsonFor(a: AddFile,
+      types: Map[String, DataType]): String = {
+    def side(pick: ColStats => Option[Any]): JValue = JObject(
+      a.stats.toList.flatMap { case (c, st) =>
+        pick(st).map(v => c -> deltaStatValue(types.get(c), v)) })
+    JsonMethods.compact(JsonMethods.render(JObject(List(
+      "numRecords" -> JLong(a.rows),
+      "minValues" -> side(_.min), "maxValues" -> side(_.max),
+      "nullCount" -> JObject(a.stats.toList.map { case (c, st) =>
+        c -> (JLong(st.nulls): JValue) })))))
+  }
+
+  /** One rendered `add` action line. Executor-safe: the distributed
+    * export maps this over the manifest. */
+  private[sources] def addActionLine(a: AddFile,
+      types: Map[String, DataType], modTime: Long): String =
+    JsonMethods.compact(JsonMethods.render(JObject(List(
+      "add" -> JObject(List(
+        "path" -> JString(a.path),
+        "partitionValues" -> JObject(a.partitionValues.toList
+          .map { case (k, pv) => k -> (JString(pv): JValue) }),
+        "size" -> JLong(a.bytes),
+        "modificationTime" -> JLong(modTime),
+        "dataChange" -> JBool(true),
+        "stats" -> JString(statsJsonFor(a, types))))))))
+
+  private def removeActionLine(path: String, ts: Long): String =
+    JsonMethods.compact(JsonMethods.render(JObject(List(
+      "remove" -> JObject(List(
+        "path" -> JString(path),
+        "deletionTimestamp" -> JLong(ts),
+        "dataChange" -> JBool(true)))))))
+
+  private def commitInfoLine(ts: Long, op: String): String =
+    JsonMethods.compact(JsonMethods.render(JObject(List(
+      "commitInfo" -> JObject(List(
+        "timestamp" -> JLong(ts), "operation" -> JString(op)))))))
+
+  private def protocolLine: String =
+    JsonMethods.compact(JsonMethods.render(JObject(List(
+      "protocol" -> JObject(List(
+        "minReaderVersion" -> JInt(1), "minWriterVersion" -> JInt(2)))))))
+
+  private def metaDataLine(schema: StructType, partCols: Seq[String],
+                           createdTime: Long): String =
+    JsonMethods.compact(JsonMethods.render(JObject(List(
+      "metaData" -> JObject(List(
+        "id" -> JString(UUID.randomUUID().toString),
+        "format" -> JObject(List("provider" -> JString("parquet"),
+          "options" -> JObject(Nil))),
+        "schemaString" -> JString(schema.json),
+        "partitionColumns" -> JArray(partCols.toList.map(JString(_))),
+        "configuration" -> JObject(Nil),
+        "createdTime" -> JLong(createdTime)))))))
+
+  private def deleteRecursive(f: File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(deleteRecursive))
+    f.delete(); ()
+  }
+
+  /** Schema / layout gates shared by both export modes. */
+  private def gateMetadata(log: LogTable, v: Long): StructType = {
     require(log.partitionTransformsAt(v).isEmpty,
       "cannot export a hidden-partitioned snapshot — the synthesized " +
         "transform column is not part of the user schema Delta " +
@@ -57,77 +160,172 @@ object DeltaExport {
       _.metadata.contains(LogTable.FieldIdKey)),
       "cannot export a column-mapped snapshot — graft's parquet " +
         "field-id stamps lack Delta's delta.columnMapping.* metadata")
+    schema
+  }
+
+  private def gateAdds(adds: Seq[AddFile], what: String): Unit = {
+    require(adds.forall(_.dv.isEmpty),
+      s"cannot export $what carrying deletion vectors — graft's " +
+        "DV sidecars are not Delta's format; run purgeDeletes() or " +
+        "OPTIMIZE first")
     require(adds.forall(!_.path.startsWith("/")),
-      "cannot export a shallow clone — its snapshot references " +
-        "absolute paths outside this table root")
+      s"cannot export $what — it references absolute paths outside " +
+        "this table root (a shallow clone)")
+  }
+
+  /** Export the FULL snapshot at `version` (default: current) into
+    * `<table>/_delta_log/`. First export only — a log that already
+    * holds commits must be followed with [[exportTail]] (a second
+    * full commit would resurrect files the in-between commits
+    * removed for a reader replaying from the oldest commit). Returns
+    * the commit file path. */
+  def exportDeltaLog(spark: SparkSession, log: LogTable,
+                     version: Option[Long] = None,
+                     withCheckpoint: Boolean = true): String = {
+    val v = version.orElse(log.currentVersion).getOrElse(
+      throw new IllegalStateException(s"no log table at ${log.path}"))
+    val schema = gateMetadata(log, v)
     val partCols = log.partitionColsAt(v)
     val dir = new File(log.path, "_delta_log")
+    val prior = Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.matches("\\d{20}\\.(json|checkpoint\\.parquet)"))
+    require(prior.isEmpty,
+      s"the Delta log at ${log.path} already holds " +
+        s"${prior.map(_.getName).sorted.headOption.getOrElse("")}… — " +
+        "a second full export would resurrect removed files for " +
+        "replaying readers; mirror incrementally with exportTail")
+    // contiguity: at v > 0 a strict reader needs a replay START —
+    // either version 0 (absent by construction here) or a
+    // checkpoint named by _last_checkpoint
+    require(v == 0L || withCheckpoint,
+      s"exporting version $v without a checkpoint leaves a Delta " +
+        "log with no version 0 and no _last_checkpoint — no " +
+        "contiguous replay start; pass withCheckpoint = true (or " +
+        "export at version 0 and follow with exportTail)")
     dir.mkdirs()
 
-    // spec-minimal protocol: plain parquet table, no table features
-    val protocol = JObject(List("protocol" -> JObject(List(
-      "minReaderVersion" -> JInt(1), "minWriterVersion" -> JInt(2)))))
-    val metaData = JObject(List("metaData" -> JObject(List(
-      "id" -> JString(UUID.randomUUID().toString),
-      "format" -> JObject(List("provider" -> JString("parquet"),
-        "options" -> JObject(Nil))),
-      "schemaString" -> JString(schema.json),
-      "partitionColumns" -> JArray(partCols.toList.map(JString(_))),
-      "configuration" -> JObject(Nil),
-      "createdTime" -> JLong(log.commitTime(v))))))
-    def statsJson(a: AddFile): String = {
-      def side(pick: ColStats => Option[Any]): JValue = JObject(
-        a.stats.toList.flatMap { case (c, st) => pick(st).map {
-          case l: Long   => c -> (JLong(l): JValue)
-          case d: Double => c -> (JDouble(d): JValue)
-          case s: String => c -> (JString(s): JValue)
-          case o         => c -> (JString(o.toString): JValue)
-        }})
-      JsonMethods.compact(JsonMethods.render(JObject(List(
-        "numRecords" -> JLong(a.rows),
-        "minValues" -> side(_.min), "maxValues" -> side(_.max),
-        "nullCount" -> JObject(a.stats.toList.map { case (c, st) =>
-          c -> (JLong(st.nulls): JValue) })))))
+    // file-state gates answered WHERE THE MANIFEST LIVES: above the
+    // parquet-checkpoint threshold one tiny aggregate job, never a
+    // driver materialization
+    val dist =
+      if (log.addsMaterializedAt(Some(v))) None
+      else log.distributedManifest(spark, v)
+    dist match {
+      case Some(_) =>
+        val (anyDv, anyAbs, _) = log.bridgeFacts(spark, Some(v))
+        require(!anyDv,
+          "cannot export a snapshot carrying deletion vectors — " +
+            "graft's DV sidecars are not Delta's format; run " +
+            "purgeDeletes() or OPTIMIZE first")
+        require(!anyAbs,
+          "cannot export a shallow clone — its snapshot references " +
+            "absolute paths outside this table root")
+      case None => gateAdds(log.liveAdds(Some(v)), "a snapshot")
     }
-    def addAction(a: AddFile): JObject = {
-      // Delta paths are URL-encoded RELATIVE paths; graft's are
-      // already relative (clones were refused above)
-      JObject(List("add" -> JObject(List(
-        "path" -> JString(a.path),
-        "partitionValues" -> JObject(a.partitionValues.toList
-          .map { case (k, pv) => k -> (JString(pv): JValue) }),
-        "size" -> JLong(a.bytes),
-        "modificationTime" -> JLong(log.commitTime(v)),
-        "dataChange" -> JBool(true),
-        "stats" -> JString(statsJson(a))))))
-    }
+
+    val types = schema.fields.map(f => f.name -> f.dataType).toMap
+    val mt = log.commitTime(v)
     val commit = new File(dir, f"$v%020d.json")
     val tmp = new File(dir, s".tmp-${UUID.randomUUID()}")
-    val lines = (protocol :: metaData ::
-      adds.toList.map(addAction(_): JValue))
-      .map(j => JsonMethods.compact(JsonMethods.render(j)))
+    var nActions = 2L
     val w = Files.newBufferedWriter(tmp.toPath)
-    try lines.foreach { l => w.write(l); w.write("\n") }
-    finally w.close()
+    try {
+      w.write(protocolLine); w.write("\n")
+      w.write(metaDataLine(schema, partCols, mt)); w.write("\n")
+      dist match {
+        case Some(ds) =>
+          // render the add actions ON EXECUTORS, in manifest order,
+          // then stream the part files into the commit — bounded
+          // driver memory at any file count
+          val txt = new File(dir, s".tmp-txt-${UUID.randomUUID()}")
+          try {
+            ds.orderBy(col("idx"))
+              .map(c => addActionLine(LogTable.decodeCkptAdd(c),
+                types, mt))(org.apache.spark.sql.Encoders.STRING)
+              .write.text(txt.getPath)
+            Option(txt.listFiles()).getOrElse(Array.empty)
+              .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+              .foreach { p =>
+                val src = scala.io.Source.fromFile(p)
+                try src.getLines().foreach { l =>
+                  if (l.nonEmpty) { w.write(l); w.write("\n"); nActions += 1 }
+                } finally src.close()
+              }
+          } finally deleteRecursive(txt)
+        case None =>
+          log.liveAdds(Some(v)).foreach { a =>
+            w.write(addActionLine(a, types, mt)); w.write("\n")
+            nActions += 1
+          }
+      }
+    } finally w.close()
     Files.move(tmp.toPath, commit.toPath,
       StandardCopyOption.ATOMIC_MOVE)
 
-    if (withCheckpoint) writeCheckpoint(spark, dir, v, lines)
+    if (withCheckpoint) writeCheckpoint(spark, dir, v, nActions)
     commit.getPath
+  }
+
+  /** Mirror graft commits `[fromVersion, toVersion]` as one Delta
+    * commit each — adds, removes, commitInfo, metaData when the
+    * commit changed it — refusing any numbering gap so the exported
+    * log stays contiguously replayable. Per-commit driver cost is
+    * bounded by the commit's own action count. Returns the commit
+    * file paths. */
+  def exportTail(spark: SparkSession, log: LogTable,
+                 fromVersion: Long, toVersion: Long): Seq[String] = {
+    require(fromVersion <= toVersion,
+      s"exportTail range [$fromVersion, $toVersion] is empty")
+    val dir = new File(log.path, "_delta_log")
+    require(fromVersion == 0L ||
+      new File(dir, f"${fromVersion - 1}%020d.json").isFile ||
+      new File(dir, f"${fromVersion - 1}%020d.checkpoint.parquet").isFile,
+      s"exportTail($fromVersion, $toVersion) would leave a GAP: the " +
+        s"Delta log at ${log.path} has neither commit " +
+        s"${fromVersion - 1} nor a checkpoint there — a strict " +
+        "reader replays contiguously; export the base snapshot " +
+        "first (exportDeltaLog) or start the tail where the log ends")
+    dir.mkdirs()
+    (fromVersion to toVersion).map { cv =>
+      val schema = gateMetadata(log, cv)
+      val adds = log.addedFiles(cv)
+      gateAdds(adds, s"commit $cv")
+      val removes = log.removedPaths(cv)
+      val mt = log.commitTime(cv)
+      val types = schema.fields.map(f => f.name -> f.dataType).toMap
+      val commit = new File(dir, f"$cv%020d.json")
+      require(!commit.isFile,
+        s"commit $cv is already exported at ${log.path}")
+      val tmp = new File(dir, s".tmp-${UUID.randomUUID()}")
+      val w = Files.newBufferedWriter(tmp.toPath)
+      try {
+        if (cv == 0L) { w.write(protocolLine); w.write("\n") }
+        if (cv == 0L || log.commitChangedMetadata(cv)) {
+          w.write(metaDataLine(schema, log.partitionColsAt(cv), mt))
+          w.write("\n")
+        }
+        w.write(commitInfoLine(mt, log.commitOp(cv))); w.write("\n")
+        removes.foreach { p =>
+          w.write(removeActionLine(p, mt)); w.write("\n") }
+        adds.foreach { a =>
+          w.write(addActionLine(a, types, mt)); w.write("\n") }
+      } finally w.close()
+      Files.move(tmp.toPath, commit.toPath,
+        StandardCopyOption.ATOMIC_MOVE)
+      commit.getPath
+    }
   }
 
   /** The spec's checkpoint: one parquet file whose rows each carry
     * exactly one top-level action column (`protocol` / `metaData` /
     * `add`), plus the `_last_checkpoint` pointer `{version, size}`.
-    * Built by reading the commit's own JSON lines back through
-    * Spark's JSON reader so the struct schema mirrors the actions
+    * Built by reading the just-written commit back through Spark's
+    * JSON reader (a distributed read — the action lines never sit
+    * in driver memory), so the struct schema mirrors the actions
     * verbatim — single part, spec name. */
   private def writeCheckpoint(spark: SparkSession, dir: File, v: Long,
-                              actionLines: Seq[String]): Unit = {
-    import spark.implicits._
-    val df = spark.read.json(
-      spark.createDataset(actionLines)(
-        org.apache.spark.sql.Encoders.STRING))
+                              nActions: Long): Unit = {
+    val df = spark.read.json(new File(dir, f"$v%020d.json").getPath)
     val tmp = new File(dir, s".tmp-ckpt-${UUID.randomUUID()}")
     df.coalesce(1).write.mode("overwrite").parquet(tmp.getPath)
     val part = tmp.listFiles().filter(_.getName.endsWith(".parquet"))
@@ -139,7 +337,7 @@ object DeltaExport {
     val last = new File(dir, "_last_checkpoint")
     Files.writeString(last.toPath, JsonMethods.compact(
       JsonMethods.render(JObject(List("version" -> JLong(v),
-        "size" -> JLong(actionLines.size.toLong))))))
+        "size" -> JLong(nActions))))))
     ()
   }
 
@@ -148,9 +346,11 @@ object DeltaExport {
     * format — the round-trip proxy (no external Delta reader exists
     * here), and a one-way metadata-level import for plain-parquet
     * Delta tables (minReaderVersion 1, no table features). Resolves
-    * `_last_checkpoint` when present, replays the JSON commit tail,
-    * folds add/remove with latest-wins, and GATES on the protocol —
-    * an unknown minReaderVersion refuses, never half-reads. */
+    * `_last_checkpoint` when present — folding the checkpoint
+    * DISTRIBUTED through a slim (path, size) projection, never a
+    * full-row collect — then replays the JSON commit tail with
+    * latest-wins add/remove, and GATES on the protocol: an unknown
+    * minReaderVersion refuses, never half-reads. */
   def readDeltaSnapshot(spark: SparkSession, tableRoot: String)
       : (StructType, Seq[String], Seq[(String, Long)]) = {
     val dir = new File(tableRoot, "_delta_log")
@@ -166,24 +366,57 @@ object DeltaExport {
     var schema: Option[StructType] = None
     var partCols: Seq[String] = Seq.empty
     val live = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    def gateProtocol(mr: Long): Unit =
+      if (mr > 1) throw new IllegalStateException(
+        s"the Delta log at $tableRoot requires minReaderVersion " +
+          s"$mr — this import reads protocol 1 (plain parquet) " +
+          "only; refusing to half-read")
+    def applyMeta(schemaString: String,
+                  parts: Seq[String]): Unit = {
+      schema = Some(org.apache.spark.sql.types.DataType
+        .fromJson(schemaString).asInstanceOf[StructType])
+      partCols = parts
+    }
+    ckptV.foreach { cv =>
+      val ckpt = new File(dir, f"$cv%020d.checkpoint.parquet")
+      val df = spark.read.parquet(ckpt.getPath)
+      def has(c: String) = df.columns.contains(c)
+      // protocol gate FIRST — never half-read a too-new log
+      if (has("protocol"))
+        df.filter(col("protocol").isNotNull)
+          .select(col("protocol.minReaderVersion").cast("long"))
+          .collect().foreach(r => gateProtocol(r.getLong(0)))
+      if (has("metaData"))
+        df.filter(col("metaData").isNotNull)
+          .select(col("metaData.schemaString"),
+            col("metaData.partitionColumns"))
+          .collect().headOption.foreach { r =>
+            // Spark hands collected arrays back as mutable ArraySeq
+            applyMeta(r.getString(0),
+              Option(r.getSeq[String](1)).map(_.toSeq)
+                .getOrElse(Seq.empty))
+          }
+      // the file-state folds through a SLIM projection: the driver
+      // holds (path, size) pairs, never stats-fattened action rows
+      if (has("add"))
+        df.filter(col("add").isNotNull)
+          .select(col("add.path"), col("add.size").cast("long"))
+          .collect().foreach(r => live(r.getString(0)) = r.getLong(1))
+      if (has("remove"))
+        df.filter(col("remove").isNotNull).select(col("remove.path"))
+          .collect().foreach(r => { live.remove(r.getString(0)); () })
+    }
     def applyAction(kind: String, j: JValue): Unit = kind match {
       case "protocol" =>
-        val mr = (j \ "minReaderVersion") match {
-          case JInt(i) => i.toInt; case JLong(l) => l.toInt; case _ => 1
-        }
-        if (mr > 1) throw new IllegalStateException(
-          s"the Delta log at $tableRoot requires minReaderVersion " +
-            s"$mr — this import reads protocol 1 (plain parquet) " +
-            "only; refusing to half-read")
+        gateProtocol((j \ "minReaderVersion") match {
+          case JInt(i) => i.toLong; case JLong(l) => l; case _ => 1L
+        })
       case "metaData" =>
-        schema = Some(org.apache.spark.sql.types.DataType.fromJson(
-          (j \ "schemaString").asInstanceOf[JString].s)
-          .asInstanceOf[StructType])
-        (j \ "partitionColumns") match {
-          case JArray(arr) =>
-            partCols = arr.collect { case JString(s) => s }
-          case _ => ()
-        }
+        applyMeta((j \ "schemaString").asInstanceOf[JString].s,
+          (j \ "partitionColumns") match {
+            case JArray(arr) => arr.collect { case JString(s) => s }
+            case _           => Seq.empty
+          })
       case "add" =>
         val p = (j \ "path").asInstanceOf[JString].s
         val size = (j \ "size") match {
@@ -195,15 +428,6 @@ object DeltaExport {
       case _ => () // txn, commitInfo, cdc: no file-state effect
     }
     val kinds = Seq("protocol", "metaData", "add", "remove", "txn")
-    ckptV.foreach { cv =>
-      val ckpt = new File(dir, f"$cv%020d.checkpoint.parquet")
-      // a checkpoint row carries exactly one non-null action column
-      spark.read.parquet(ckpt.getPath).toJSON.collect().foreach { l =>
-        val j = JsonMethods.parse(l)
-        kinds.foreach(k =>
-          if ((j \ k) != JNothing) applyAction(k, j \ k))
-      }
-    }
     val from = ckptV.map(_ + 1).getOrElse(0L)
     val commits = Option(dir.listFiles()).getOrElse(Array.empty)
       .filter(f => f.getName.matches("\\d{20}\\.json"))
@@ -220,6 +444,214 @@ object DeltaExport {
     (schema.getOrElse(throw new IllegalStateException(
       s"the Delta log at $tableRoot has no metaData action")),
       partCols, live.toSeq)
+  }
+
+  /** Reverse of [[deltaStatValue]]: one Delta-rendered stat bound
+    * back to graft's internal encoding (ISO date/timestamp strings →
+    * epoch days/micros, booleans → 0/1, numerics per the column's
+    * Spark type). Unparseable bounds drop (stats only ever PRUNE —
+    * absent is sound). */
+  private def graftStatValue(dt: Option[DataType],
+                             j: JValue): Option[Any] = {
+    def num: Option[BigDecimal] = j match {
+      case JInt(i)     => Some(BigDecimal(i))
+      case JLong(l)    => Some(BigDecimal(l))
+      case JDouble(d)  => Some(BigDecimal(d))
+      case JDecimal(d) => Some(d)
+      case _           => None
+    }
+    (dt, j) match {
+      case (_, JNull) | (_, JNothing) => None
+      case (Some(DateType), JString(s)) =>
+        scala.util.Try(
+          java.time.LocalDate.parse(s).toEpochDay).toOption
+      case (Some(TimestampType), JString(s)) =>
+        scala.util.Try {
+          val i = java.time.Instant.parse(s)
+          i.getEpochSecond * 1000000L + i.getNano / 1000L
+        }.toOption
+      case (Some(TimestampNTZType), JString(s)) =>
+        scala.util.Try {
+          val ldt = java.time.LocalDateTime.parse(s)
+          ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
+            ldt.getNano / 1000L
+        }.toOption
+      case (Some(BooleanType), JBool(b)) => Some(if (b) 1L else 0L)
+      case (Some(ByteType | ShortType | IntegerType | LongType), _) =>
+        num.map(_.toLong)
+      case (Some(FloatType | DoubleType), _) => num.map(_.toDouble)
+      case (Some(StringType), JString(s))    => Some(s)
+      case (None, JString(s))                => Some(s)
+      case (None, _)                         => num.map(_.toLong)
+      case _                                 => None
+    }
+  }
+
+  /** Delta stats JSON string back to (rows, graft ColStats map).
+    * rows = -1 when numRecords is absent (the caller backfills from
+    * parquet footers). */
+  private def parseDeltaStats(statsJson: Option[String],
+      types: Map[String, DataType]): (Long, Map[String, ColStats]) =
+    statsJson.filter(_.nonEmpty) match {
+      case None => (-1L, Map.empty)
+      case Some(s) =>
+        val j = scala.util.Try(JsonMethods.parse(s))
+          .getOrElse(JNothing)
+        val rows = (j \ "numRecords") match {
+          case JInt(i) => i.toLong; case JLong(l) => l; case _ => -1L
+        }
+        def obj(k: String): Map[String, JValue] = (j \ k) match {
+          case JObject(fs) => fs.toMap; case _ => Map.empty
+        }
+        val mins = obj("minValues"); val maxs = obj("maxValues")
+        val nulls = obj("nullCount")
+        val cols = (mins.keySet ++ maxs.keySet ++ nulls.keySet)
+          .filter(types.contains)
+        (rows, cols.map { c =>
+          val dt = types.get(c)
+          c -> ColStats(
+            graftStatValue(dt, mins.getOrElse(c, JNothing)),
+            graftStatValue(dt, maxs.getOrElse(c, JNothing)),
+            (nulls.getOrElse(c, JNothing) match {
+              case JInt(i) => i.toLong; case JLong(l) => l; case _ => 0L
+            }))
+        }.toMap)
+    }
+
+  /** CONVERT FROM DELTA (metadata-only — Delta's own CONVERT shape
+    * in reverse): fold the `_delta_log` at `tableRoot`, parse every
+    * live add's stats back into graft's encoding, create a graft
+    * LogTable IN PLACE at the same root and register the files BY
+    * REFERENCE — zero data movement at any table size, file-skipping
+    * stats preserved, and the result is a full read-write graft
+    * table (time travel, DML, OPTIMIZE all work; the `_delta_log`
+    * stays behind as history). Refuses Delta deletion vectors (a
+    * different encoding this reader cannot subtract) and a root that
+    * already holds a graft log. Files whose adds carry no
+    * numRecords are backfilled with ONE distributed parquet-footer
+    * job (metadata reads, no data scan). */
+  def convertFromDelta(spark: SparkSession,
+                       tableRoot: String): LogTable = {
+    val pre = new LogTable(tableRoot)
+    require(pre.currentVersion.isEmpty,
+      s"a graft log table already exists at $tableRoot")
+    val (schema, partCols, _) = readDeltaSnapshot(spark, tableRoot)
+    val types = schema.fields.map(f => f.name -> f.dataType).toMap
+    val dir = new File(tableRoot, "_delta_log")
+
+    // second fold carrying the FULL add payload (stats included) —
+    // slim typed rows from the checkpoint, JSON tail on top
+    val live = scala.collection.mutable.LinkedHashMap
+      .empty[String, AddFile]
+    def partMap(j: JValue): Map[String, String] = j match {
+      case JObject(fs) => fs.collect {
+        case (k, JString(v)) => k -> v }.toMap
+      case _ => Map.empty
+    }
+    def addOf(path: String, size: Long, pv: Map[String, String],
+              statsJson: Option[String]): AddFile = {
+      val (rows, st) = parseDeltaStats(statsJson, types)
+      AddFile(path, rows, size, st, pv)
+    }
+    val last = new File(dir, "_last_checkpoint")
+    val ckptV: Option[Long] =
+      if (!last.isFile) None
+      else JsonMethods.parse(Files.readString(last.toPath)) \
+        "version" match {
+        case JInt(i) => Some(i.toLong); case JLong(l) => Some(l)
+        case _       => None
+      }
+    ckptV.foreach { cv =>
+      val df = spark.read.parquet(
+        new File(dir, f"$cv%020d.checkpoint.parquet").getPath)
+      if (df.columns.contains("add")) {
+        val addT = df.schema("add").dataType.asInstanceOf[StructType]
+        require(!addT.fieldNames.contains("deletionVector") ||
+          df.filter(col("add.deletionVector").isNotNull).isEmpty,
+          s"the Delta table at $tableRoot carries deletion vectors " +
+            "— this import cannot subtract Delta's DV encoding; " +
+            "purge them Delta-side first")
+        val hasStats = addT.fieldNames.contains("stats")
+        val hasPv = addT.fieldNames.contains("partitionValues")
+        val pvIsMap = addT.fields.find(_.name == "partitionValues")
+          .exists(_.dataType.isInstanceOf[MapType])
+        val rows = df.filter(col("add").isNotNull).select(
+          col("add.path"), col("add.size").cast("long"),
+          if (!hasPv) lit(null).cast("string")
+          else if (pvIsMap) col("add.partitionValues")
+          else to_json(col("add.partitionValues")),
+          if (hasStats) col("add.stats")
+          else lit(null).cast("string")).collect()
+        rows.foreach { r =>
+          val pv =
+            if (pvIsMap)
+              Option(r.getMap[String, String](2))
+                .map(_.toMap).getOrElse(Map.empty[String, String])
+            else Option(r.getString(2)).map(s =>
+              partMap(JsonMethods.parse(s))).getOrElse(Map.empty)
+          live(r.getString(0)) = addOf(r.getString(0), r.getLong(1),
+            pv, Option(r.getString(3)))
+        }
+      }
+    }
+    val from = ckptV.map(_ + 1).getOrElse(0L)
+    Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.matches("\\d{20}\\.json"))
+      .map(f => f.getName.stripSuffix(".json").toLong -> f)
+      .filter(_._1 >= from).sortBy(_._1)
+      .foreach { case (_, f) =>
+        Files.readString(f.toPath).linesIterator.filter(_.nonEmpty)
+          .foreach { l =>
+            val j = JsonMethods.parse(l)
+            (j \ "add") match {
+              case JNothing => ()
+              case a =>
+                require((a \ "deletionVector") == JNothing,
+                  s"the Delta table at $tableRoot carries deletion " +
+                    "vectors — this import cannot subtract Delta's " +
+                    "DV encoding; purge them Delta-side first")
+                val p = (a \ "path").asInstanceOf[JString].s
+                val size = (a \ "size") match {
+                  case JInt(i) => i.toLong; case JLong(l2) => l2
+                  case _       => 0L
+                }
+                live(p) = addOf(p, size, partMap(a \ "partitionValues"),
+                  (a \ "stats") match {
+                    case JString(s) => Some(s); case _ => None
+                  })
+            }
+            (j \ "remove" \ "path") match {
+              case JString(p) => live.remove(p); ()
+              case _          => ()
+            }
+          }
+      }
+
+    // numRecords-less adds: one distributed footer job (metadata
+    // reads only), never a data scan
+    val adds0 = live.values.toSeq
+    val backfilled: Map[String, Long] = {
+      val missing = adds0.filter(_.rows < 0L).map(a =>
+        new File(tableRoot, a.path).getPath)
+      if (missing.isEmpty) Map.empty
+      else spark.sparkContext.parallelize(missing,
+        math.min(missing.size, 64)).map { p =>
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromPath(new org.apache.hadoop.fs.Path(p),
+              new org.apache.hadoop.conf.Configuration())
+          val rd = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try p -> rd.getRecordCount finally rd.close()
+        }.collect().toMap
+    }
+    val adds = adds0.map { a =>
+      if (a.rows >= 0L) a
+      else a.copy(rows = backfilled(new File(tableRoot, a.path).getPath))
+    }
+
+    val t = new LogTable(tableRoot)
+    t.create(schema, partitionBy = partCols)
+    if (adds.nonEmpty) t.registerFiles(adds, op = "convert")
+    t
   }
 
   /** Snapshot DataFrame over an imported Delta log — the round-trip

@@ -726,20 +726,13 @@ final class LogTable(val path: String,
       case Some(cv) =>
         val state = JsonMethods.parse(Files.readString(ckptFile(cv).toPath))
         (state \ "addsFormat") match {
-          case JString("parquet") if SparkSession.getActiveSession
-              .orElse(SparkSession.getDefaultSession).isEmpty =>
-            // session-less reader of a parquet-checkpointed table (a
-            // bare maintenance CLI): fall back to the raw-commit
-            // replay the checkpoint summarizes — slower but always
-            // available while commit 0 is retained; expired logs
-            // refuse with the pointer a caller needs
-            if (!logFile(0L).isFile) throw new IllegalStateException(
-              s"the checkpoint at version $cv of $path stores its " +
-                "file-state as parquet, which needs a SparkSession to " +
-                "read — and the raw commits below it have been " +
-                "expired; open a SparkSession to read this table")
-            return fileStateAt(None, v)
           case JString("parquet") =>
+            // with a session: a distributed scan; without one (a
+            // bare maintenance CLI): a plain parquet-footer walk via
+            // the Group API — either way the checkpoint itself
+            // serves, so an expired log below it stays readable
+            // (round 13; before, session-less readers re-replayed
+            // raw commits and stranded once commit 0 was expired)
             readAddsParquet(ckptParquetOf(state, cv))
               .foreach(a => live(a.path) = a)
           case JString("jsonl") =>
@@ -865,7 +858,7 @@ final class LogTable(val path: String,
     * a commit-tail fold bounded by checkpointInterval. None below
     * the threshold (JSONL / no checkpoint yet), where the driver Seq
     * is small by construction. */
-  private def distributedManifest(spark: SparkSession, v: Long)
+  private[sources] def distributedManifest(spark: SparkSession, v: Long)
       : Option[org.apache.spark.sql.Dataset[CkptAdd]] = {
     val enc = org.apache.spark.sql.Encoders.product[CkptAdd]
     val ckptBase: Option[(Long, DataFrame)] =
@@ -985,6 +978,60 @@ final class LogTable(val path: String,
         (adds.filterNot(a =>
           provablyNoMatch(a, base ++ derivedSafeFor(a, derived))),
           adds.size.toLong)
+    }
+  }
+
+  /** How the last remove-set conflict revalidation resolved its
+    * manifest lookups: "distributed" (one Spark job filtering the
+    * parquet-checkpoint manifest to the remove set, only matches
+    * collected) or "driver" (the in-memory Seq walk). Test seam for
+    * the lazy-manifest contract, mirroring [[lastPruneMode]]. */
+  @volatile private[graft] var lastRevalidateMode: String = ""
+
+  /** The manifest entries for an EXPLICIT path set, answered WHERE
+    * THE MANIFEST LIVES: above the parquet-checkpoint threshold one
+    * Spark job filters the distributed manifest to the requested
+    * paths and collects ONLY the matches — driver cost ∝ the path
+    * set, never the table. Below the threshold, when the snapshot's
+    * file list is already materialized, or with no live session
+    * (session-less maintenance writers), the driver Seq answers.
+    * Conflict revalidation of a commit's remove set rides this
+    * (round 13): before, a conflicted retry on a million-file table
+    * built full `path -> AddFile` maps of BOTH the head and basis
+    * snapshots — the last O(#files) driver path reachable from a
+    * normal write. */
+  private def manifestEntriesFor(v: Long, paths: Seq[String])
+      : Map[String, AddFile] = {
+    val snap = snapshotAt(v)
+    val session = SparkSession.getActiveSession
+      .orElse(SparkSession.getDefaultSession)
+    val dist =
+      if (snap.addsMaterialized || paths.isEmpty) None
+      else session.flatMap(sp =>
+        scala.util.Try(distributedManifest(sp, v)).getOrElse(None))
+    dist match {
+      case Some(ds) =>
+        lastRevalidateMode = "distributed"
+        // a small remove set stays a literal IN; a fat rewrite's
+        // (OPTIMIZE racing an append) semi-joins against a
+        // broadcast paths frame — same plan discipline as the
+        // post-checkpoint tail fold
+        val hits =
+          if (paths.size <= 1000) ds.filter(col("path").isin(paths: _*))
+          else {
+            val sp = session.get
+            import sp.implicits._
+            ds.toDF().join(broadcast(paths.toDF("path")),
+                Seq("path"), "left_semi")
+              .as[CkptAdd](org.apache.spark.sql.Encoders.product[CkptAdd])
+          }
+        hits.collect().iterator
+          .map(c => c.path -> LogTable.decodeCkptAdd(c)).toMap
+      case None =>
+        lastRevalidateMode = "driver"
+        val want = paths.toSet
+        snap.adds.iterator.filter(a => want(a.path))
+          .map(a => a.path -> a).toMap
     }
   }
 
@@ -2825,9 +2872,14 @@ final class LogTable(val path: String,
             s"read snapshot $readVersion and the head $head — " +
             "re-read and retry")
       if (removePaths.nonEmpty && readVersion != head) {
-        val headAdds = snapshotAt(head.getOrElse(-1L)).adds
-          .map(a => a.path -> a).toMap
-        val gone = removePaths.filterNot(headAdds.contains)
+        // only the REMOVE SET's entries are looked up — through the
+        // distributed manifest above the parquet-checkpoint
+        // threshold ([[manifestEntriesFor]]), so a conflicted retry
+        // on a million-file table never materializes either
+        // snapshot's file list on the driver
+        val headEntries =
+          manifestEntriesFor(head.getOrElse(-1L), removePaths)
+        val gone = removePaths.filterNot(headEntries.contains)
         if (gone.nonEmpty) throw new java.util.ConcurrentModificationException(
           s"conflicting commit: files ${gone.mkString(", ")} were removed " +
             s"by another writer between version $readVersion and $head")
@@ -2837,11 +2889,11 @@ final class LogTable(val path: String,
         // this commit was planned against the old rows and would
         // silently UNDO the racing delete (resurrection). Compare
         // the whole entry against the read snapshot.
-        val basisAdds = readVersion
-          .map(v => snapshotAt(v).adds.map(a => a.path -> a).toMap)
+        val basisEntries = readVersion
+          .map(v => manifestEntriesFor(v, removePaths))
           .getOrElse(Map.empty[String, AddFile])
         val changed = removePaths.filter(p =>
-          basisAdds.get(p).exists(b => headAdds(p) != b))
+          basisEntries.get(p).exists(b => headEntries(p) != b))
         if (changed.nonEmpty)
           throw new java.util.ConcurrentModificationException(
             s"conflicting commit: files ${changed.mkString(", ")} were " +
@@ -2957,8 +3009,13 @@ final class LogTable(val path: String,
       val effProto: Option[Protocol] = protocolJson.orElse {
         val base = curProto.getOrElse(Protocol(LogTable.ReaderVersion,
           LogTable.WriterVersion, Set.empty, Set.empty))
+        // reader/writer split per Delta's feature model: only
+        // features a reader must understand to serve correct rows
+        // gate reads; writer-only features (constraints, defaults,
+        // generated/identity columns) gate commits alone
         val up = base.copy(
-          readerFeatures = base.readerFeatures ++ activated,
+          readerFeatures = base.readerFeatures ++
+            (activated & LogTable.ReaderRelevantFeatures),
           writerFeatures = base.writerFeatures ++ activated)
         if (curProto.isEmpty || up != base) Some(up) else None
       }
@@ -3139,18 +3196,25 @@ final class LogTable(val path: String,
     }
 
   /** Read a parquet checkpoint's file-state back: a distributed
-    * parquet scan, decoded row-by-row, re-ordered by the persisted
-    * add index so the replayed snapshot is indistinguishable from a
-    * JSON one. */
+    * parquet scan when a session is live; WITHOUT one (a bare
+    * maintenance CLI — the regime [[writeCheckpoint]] explicitly
+    * supports on the write side) a local parquet-footer walk over
+    * the part files via the Group example API, which ships in
+    * parquet-hadoop on Spark's own classpath. Either way the rows
+    * re-order by the persisted add index so the replayed snapshot
+    * is indistinguishable from a JSON one. */
   private def readAddsParquet(dir: File): Seq[AddFile] = {
-    val spark = SparkSession.getActiveSession
+    val session = SparkSession.getActiveSession
       .orElse(SparkSession.getDefaultSession)
-      .getOrElse(throw new IllegalStateException(
-        s"reading the parquet checkpoint at $dir " +
-          "requires an active SparkSession"))
-    spark.read.parquet(dir.getPath)
-      .as[CkptAdd](org.apache.spark.sql.Encoders.product[CkptAdd])
-      .collect().sortBy(_.idx).iterator.map(decodeCkptAdd).toSeq
+    session match {
+      case Some(spark) =>
+        spark.read.parquet(dir.getPath)
+          .as[CkptAdd](org.apache.spark.sql.Encoders.product[CkptAdd])
+          .collect().sortBy(_.idx).iterator.map(decodeCkptAdd).toSeq
+      case None =>
+        LogTable.readAddsParquetLocal(dir).iterator
+          .map(decodeCkptAdd).toSeq
+    }
   }
 
   private def writeCheckpoint(v: Long): Unit =
@@ -4239,6 +4303,20 @@ final class LogTable(val path: String,
     readActions(logFile(v)).collect {
       case j if (j \ "add") != JNothing => parseAdd(j \ "add") }
 
+  /** Table-relative paths of the files one commit removed — the
+    * remove half of the per-commit delta ([[DeltaExport.exportTail]]
+    * renders these as Delta remove actions). */
+  private[sources] def removedPaths(v: Long): Seq[String] =
+    readActions(logFile(v)).collect {
+      case j if (j \ "remove") != JNothing =>
+        (j \ "remove" \ "path").asInstanceOf[JString].s }
+
+  /** Did this commit carry a schema or partition-layout action? A
+    * mirrored Delta commit must then re-emit metaData. */
+  private[sources] def commitChangedMetadata(v: Long): Boolean =
+    readActions(logFile(v)).exists(j =>
+      (j \ "schema") != JNothing || (j \ "partition") != JNothing)
+
   /** Read ONE commit's added files under `readSchema` — deletion
     * vectors subtracted and data roots grouped, so a clone's seed
     * commit (absolute, possibly vectored references) reads exactly
@@ -4835,9 +4913,22 @@ final class LogTable(val path: String,
       throw new IllegalStateException(s"no log table at $path"))
     val floor = versions.head
     val enc = org.apache.spark.sql.Encoders.product[CkptAdd]
-    val base = distributedManifest(spark, floor).map(_.toDF()).getOrElse(
-      spark.createDataset(snapshotAt(floor).adds.zipWithIndex
-        .map { case (a, i) => encodeCkptAdd(i.toLong, a) })(enc).toDF())
+    // the floor manifest is RE-INDEXED contiguously (exactly as
+    // writeAddsParquetFrom does before persisting) so the tail's
+    // Long.MaxValue-area indices are strictly higher than every
+    // base index: the floor fold's own re-adds also stamp
+    // MaxValue-area indices, and when the fold's alive set is
+    // smaller than the tail an OLDER floor entry would otherwise
+    // outrank a newer tail re-add of the same path — the
+    // newest-entry-wins window below would then serve stale
+    // dv_path/dv_rows/stats in the vacuum-audit view
+    val base = distributedManifest(spark, floor)
+      .map(ds => spark.createDataset(
+        ds.orderBy(col("idx")).rdd.zipWithIndex()
+          .map { case (c, i) => c.copy(idx = i) })(enc).toDF())
+      .getOrElse(
+        spark.createDataset(snapshotAt(floor).adds.zipWithIndex
+          .map { case (a, i) => encodeCkptAdd(i.toLong, a) })(enc).toDF())
     val tail = (floor + 1 to head).flatMap(addedFiles)
     val tailDf = spark.createDataset(tail.zipWithIndex
       .map { case (a, i) =>
@@ -5415,7 +5506,16 @@ object LogTable {
         nameOf(c.child)
       case _ => None
     }
-    def litOf(e: expressions.Expression): Option[Any] =
+    def litOf(e0: expressions.Expression): Option[Any] = {
+      // to_date()/to_timestamp()-style literals analyze as
+      // RuntimeReplaceable wrappers that the OPTIMIZER would replace
+      // — but these conjuncts come from the analyzed plan, so
+      // evaluate through the replacement or the predicate would
+      // silently never prune (round-13 find: a date predicate
+      // written with to_date() skipped nothing)
+      val e = e0.transformUp {
+        case r: expressions.RuntimeReplaceable => r.replacement
+      }
       if (!e.foldable) None
       else Option(e.eval(expressions.EmptyRow)).flatMap(v => e.dataType match {
         case ByteType | ShortType | IntegerType | LongType =>
@@ -5428,6 +5528,7 @@ object LogTable {
           Some(v.toString.toLong) // micros
         case _ => None
       })
+    }
     def cmp(a: Any, b: Any): Option[Int] = (a, b) match {
       case (x: Long, y: Long)     => Some(x.compareTo(y))
       case (x: String, y: String) => Some(x.compareTo(y))
@@ -5521,6 +5622,52 @@ object LogTable {
       case _ => Map.empty
     }
 
+  /** Session-less read of a parquet checkpoint sidecar: a plain
+    * local walk of the part files through parquet-hadoop's Group
+    * example API (no SparkSession, no distributed job) — the read
+    * twin of the JSONL path for bare maintenance CLIs. Sorted by
+    * the persisted idx, exactly as the distributed read sorts. */
+  private[sources] def readAddsParquetLocal(dir: File): Seq[CkptAdd] = {
+    import org.apache.parquet.example.data.Group
+    import org.apache.parquet.hadoop.ParquetReader
+    import org.apache.parquet.hadoop.example.GroupReadSupport
+    def optStr(g: Group, f: String): Option[String] =
+      if (g.getType.containsField(f) && g.getFieldRepetitionCount(f) > 0)
+        Some(g.getString(f, 0)) else None
+    def optLong(g: Group, f: String): Option[Long] =
+      if (g.getType.containsField(f) && g.getFieldRepetitionCount(f) > 0)
+        Some(g.getLong(f, 0)) else None
+    def mapOf(g: Group, f: String): Map[String, String] =
+      if (!g.getType.containsField(f) ||
+          g.getFieldRepetitionCount(f) == 0) Map.empty
+      else {
+        val m = g.getGroup(f, 0)
+        (0 until m.getFieldRepetitionCount("key_value")).map { i =>
+          val kv = m.getGroup("key_value", i)
+          kv.getString("key", 0) -> kv.getString("value", 0)
+        }.toMap
+      }
+    val parts = Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    val out = scala.collection.mutable.ArrayBuffer.empty[CkptAdd]
+    parts.foreach { f =>
+      val rd = ParquetReader.builder(new GroupReadSupport(),
+        new org.apache.hadoop.fs.Path(f.getPath)).build()
+      try {
+        var g = rd.read()
+        while (g != null) {
+          out += CkptAdd(g.getLong("idx", 0), g.getString("path", 0),
+            g.getLong("rows", 0), g.getLong("bytes", 0),
+            g.getString("statsJson", 0), mapOf(g, "partitionValues"),
+            optStr(g, "dvPath"), optLong(g, "dvRows"),
+            optLong(g, "baseRowId"))
+          g = rd.read()
+        }
+      } finally rd.close()
+    }
+    out.sortBy(_.idx).toSeq
+  }
+
   /** One parquet-checkpoint manifest row back to its [[AddFile]] —
     * static for the same executor-side reason as [[parseStats]]. */
   private[sources] def decodeCkptAdd(c: CkptAdd): AddFile =
@@ -5576,6 +5723,17 @@ object LogTable {
   /** Table features this WRITER can maintain — a table demanding
     * more refuses COMMITS (reads may still be fine). */
   val SupportedWriterFeatures: Set[String] = SupportedReaderFeatures
+
+  /** The subset of features a READER must understand to serve
+    * correct rows — these land in `readerFeatures` on auto-upgrade.
+    * The rest (checkConstraints, columnDefaults, generatedColumns,
+    * identityColumns) are WRITER-ONLY in Delta's model: the data
+    * stays readable without understanding them, so stamping them as
+    * reader features would needlessly fence a lighter reader from
+    * tables it reads correctly. */
+  val ReaderRelevantFeatures: Set[String] = Set(
+    "deletionVectors", "columnMapping", "rowTracking",
+    "hiddenPartitioning")
 
   /** VACUUM's listing fans out as a Spark job once the data tree
     * has at least this many first-level partition directories (and

@@ -198,6 +198,21 @@ class DedupSpec extends SparkSpec {
     assert(!phys.contains("BroadcastNestedLoopJoin"), phys.take(500))
   }
 
+  test("embeddingNearDup refuses past the pair budget, NAMING the " +
+    "sub-quadratic routes — and an in-budget run is unchanged") {
+    val emb = (0L until 30L).map(i =>
+      (i, Array(1f + (i % 7), 2f, 3f, 4f))).toDF("vec_id", "embedding")
+    // 30 vectors = 435 pairs: over a 100-pair budget
+    val e = intercept[IllegalArgumentException](
+      Dedup.embeddingNearDup(emb, maxPairsBudget = 100L))
+    assert(e.getMessage.contains("embeddingNearDupLsh") &&
+      e.getMessage.contains("semanticDedup"), e.getMessage)
+    // explicit opt-in (raised budget) and the default both run
+    assert(Dedup.embeddingNearDup(emb, threshold = 0.999,
+      maxPairsBudget = 1000L).count() ==
+      Dedup.embeddingNearDup(emb, threshold = 0.999).count())
+  }
+
   test("semanticDedup collapses planted dups within clusters only") {
     // three well-separated axis clusters of 10 vectors; pairs
     // (i, i+15) for i < 3 are exact duplicates (one per cluster);

@@ -116,6 +116,205 @@ class DeltaExportSpec extends SparkSpec {
     assert(got == Set((1L, "a"), (2L, "a"), (3L, "b")))
   }
 
+  test("date/timestamp/boolean stats render as Delta's TYPED JSON " +
+    "(ISO-8601 strings, booleans) — never graft's raw longs") {
+    val dir = s"${tmp()}/t"
+    val t = new LogTable(dir)
+    t.append(Seq(
+      ("2021-04-01", "2021-04-01 12:30:45.123456", true),
+      ("2023-12-31", "2023-12-31 23:59:59.000001", false))
+      .toDF("ds", "tss", "flag")
+      .select(to_date(col("ds")).as("d"),
+        to_timestamp(col("tss")).as("ts"), col("flag"))
+      .repartition(1))
+    val commit = DeltaExport.exportDeltaLog(spark, t)
+    val add = java.nio.file.Files.readString(new File(commit).toPath)
+      .linesIterator.filter(_.nonEmpty).toSeq.drop(2).head
+    val st = JsonMethods.parse((JsonMethods.parse(add) \ "add" \
+      "stats").asInstanceOf[JString].s)
+    assert((st \ "minValues" \ "d") == JString("2021-04-01"), st)
+    assert((st \ "maxValues" \ "d") == JString("2023-12-31"), st)
+    // timestamps: ISO instants, micro precision, zone-suffixed —
+    // the exact instant is the column's true minimum (tz-independent
+    // check against Spark's own micros)
+    val tsMin = (st \ "minValues" \ "ts").asInstanceOf[JString].s
+    assert(tsMin.endsWith("Z") && tsMin.contains("T"), tsMin)
+    val expMicros = t.load(spark)
+      .agg(min(unix_micros(col("ts")))).as[Long].collect().head
+    assert(java.time.Instant.parse(tsMin) ==
+      java.time.Instant.EPOCH.plus(expMicros,
+        java.time.temporal.ChronoUnit.MICROS), tsMin)
+    assert((st \ "minValues" \ "flag") == JBool(false), st)
+    assert((st \ "maxValues" \ "flag") == JBool(true), st)
+  }
+
+  test("a second FULL export refuses (it would resurrect removed " +
+    "files for replaying readers) and v>0 without a checkpoint " +
+    "refuses (no contiguous replay start)") {
+    val dir = s"${tmp()}/t"
+    val t = new LogTable(dir)
+    t.append(Seq((1L, "a")).toDF("k", "v"))                     // v0
+    t.append(Seq((2L, "b")).toDF("k", "v"))                     // v1
+    val e1 = intercept[IllegalArgumentException](
+      DeltaExport.exportDeltaLog(spark, t, withCheckpoint = false))
+    assert(e1.getMessage.contains("no version 0") &&
+      e1.getMessage.contains("_last_checkpoint"), e1.getMessage)
+    DeltaExport.exportDeltaLog(spark, t) // checkpointed: fine
+    val e2 = intercept[IllegalArgumentException](
+      DeltaExport.exportDeltaLog(spark, t))
+    assert(e2.getMessage.contains("exportTail"), e2.getMessage)
+  }
+
+  test("exportTail mirrors commits gaplessly: one Delta commit per " +
+    "graft commit, removes included, metaData re-emitted on schema " +
+    "change, and the importer replays the tail to the same live set") {
+    val dir = s"${tmp()}/t"
+    val t = new LogTable(dir)
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+      .repartition(1))                                          // v0
+    DeltaExport.exportDeltaLog(spark, t, version = Some(0L))
+    t.append(Seq((3L, "c")).toDF("k", "v"))                     // v1
+    t.delete(spark, col("k") === 1L)                            // v2 CoW
+    t.append(Seq((4L, "d"), (5L, null.asInstanceOf[String]))
+      .toDF("k", "v").withColumn("extra", lit(7L)),
+      mergeSchema = true)                                       // v3
+    // a gap refuses by name
+    val eGap = intercept[IllegalArgumentException](
+      DeltaExport.exportTail(spark, t, 2L, 3L))
+    assert(eGap.getMessage.contains("GAP"), eGap.getMessage)
+    val commits = DeltaExport.exportTail(spark, t, 1L, 3L)
+    assert(commits.size == 3)
+    // gapless numbering on disk: 0..3 all present
+    val names = new File(dir, "_delta_log").listFiles()
+      .map(_.getName).filter(_.matches("\\d{20}\\.json")).sorted
+    assert(names.toSeq == (0L to 3L).map(v => f"$v%020d.json"))
+    // v2 carries the CoW remove + add; v3 re-emits metaData
+    val v2 = java.nio.file.Files.readString(
+      new File(dir, f"_delta_log/${2L}%020d.json").toPath)
+    assert(v2.contains("\"remove\""), v2)
+    val v3 = java.nio.file.Files.readString(
+      new File(dir, f"_delta_log/${3L}%020d.json").toPath)
+    assert(v3.contains("\"metaData\"") && v3.contains("extra"), v3)
+    // the importer's replayed live set is graft's own
+    val (schema, _, files) = DeltaExport.readDeltaSnapshot(spark, dir)
+    assert(schema.fieldNames.contains("extra"))
+    assert(files.map(_._1).toSet == t.liveAdds().map(_.path).toSet)
+    val got = DeltaExport.loadDelta(spark, dir)
+      .select("k").as[Long].collect().toSet
+    assert(got == Set(2L, 3L, 4L, 5L))
+    // re-exporting an already-mirrored commit refuses
+    val eDup = intercept[IllegalArgumentException](
+      DeltaExport.exportTail(spark, t, 3L, 3L))
+    assert(eDup.getMessage.contains("already exported"), eDup.getMessage)
+  }
+
+  test("a 100k-file registered snapshot exports THROUGH the " +
+    "distributed manifest: adds render on executors, the driver " +
+    "never materializes the file list, and the import folds the " +
+    "checkpoint slim") {
+    val dir = s"${tmp()}/t"
+    val t = new LogTable(dir, checkpointInterval = 1)
+    t.append(Seq((1L, "a")).toDF("k", "v").repartition(1))      // v0
+    t.registerFiles((0 until 100000).map { i =>
+      graft.sources.AddFile(f"data/fake-$i%06d.parquet",
+        rows = 10L, bytes = 512L,
+        stats = Map("k" -> graft.sources.ColStats(
+          Some(i * 10L), Some(i * 10L + 9L), 0L)))
+    })                                                          // v1 ckpt
+    val fresh = new LogTable(dir)
+    DeltaExport.exportDeltaLog(spark, fresh)
+    assert(!fresh.addsMaterializedAt(),
+      "the export materialized the 100k-file manifest on the driver")
+    val (_, _, files) = DeltaExport.readDeltaSnapshot(spark, dir)
+    assert(files.size == 100001)
+    val last = JsonMethods.parse(java.nio.file.Files.readString(
+      new File(dir, "_delta_log/_last_checkpoint").toPath))
+    assert((last \ "size") == JInt(BigInt(100003)), last)
+  }
+
+  test("convertFromDelta registers the live files BY REFERENCE with " +
+    "stats parsed back type-aware: file-skipping prunes from commit " +
+    "one, partition values survive, and the result takes graft DML") {
+    val dir = s"${tmp()}/t"
+    val src = new LogTable(dir)
+    src.create(org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("d",
+        org.apache.spark.sql.types.DateType),
+      org.apache.spark.sql.types.StructField("seg",
+        org.apache.spark.sql.types.StringType))),
+      partitionBy = Seq("seg"))
+    src.append(Seq((1L, "2021-01-01", "a"), (2L, "2021-06-01", "a"),
+      (30L, "2023-01-01", "b"), (40L, "2023-06-01", "b"))
+      .toDF("k", "ds", "seg")
+      .select(col("k"), to_date(col("ds")).as("d"), col("seg")))
+    DeltaExport.exportDeltaLog(spark, src)
+    def rm(f: File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(new File(dir, "_log")) // a PURE Delta table remains
+    val conv = DeltaExport.convertFromDelta(spark, dir)
+    assert(conv.load(spark).select("k").as[Long].collect().toSet ==
+      Set(1L, 2L, 30L, 40L))
+    // stats survived the round-trip: a selective predicate PRUNES
+    // (numeric long AND the ISO-rendered date column)
+    val (surv, total) = conv.prunedAddsFor(spark, col("k") === 30L)
+    assert(total >= 2 && surv.size < total,
+      s"no file-skipping after convert: $surv of $total")
+    val (survD, totalD) = conv.prunedAddsFor(spark,
+      col("d") === to_date(lit("2021-01-01")))
+    assert(survD.size < totalD, "date stats lost in conversion")
+    // partition values survived
+    assert(conv.liveAdds().forall(_.partitionValues.contains("seg")))
+    // the converted table is a LIVE graft table
+    conv.delete(spark, col("k") === 2L)
+    assert(conv.load(spark).count() == 3L)
+    assert(conv.commitOp(1L) == "convert")
+  }
+
+  test("convertFromDelta backfills numRecords-less adds with ONE " +
+    "parquet-footer job, and refuses Delta deletion vectors") {
+    val dir = s"${tmp()}/t"
+    val src = new LogTable(dir)
+    src.append(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+      .repartition(2))
+    DeltaExport.exportDeltaLog(spark, src, withCheckpoint = false)
+    def rm(f: File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(new File(dir, "_log"))
+    // strip the stats field from every add (a stats-less writer)
+    val commit = new File(dir, "_delta_log/00000000000000000000.json")
+    val doctored = java.nio.file.Files.readString(commit.toPath)
+      .linesIterator.filter(_.nonEmpty).map { l =>
+        val j = JsonMethods.parse(l)
+        if ((j \ "add") == JNothing) l
+        else JsonMethods.compact(JsonMethods.render(
+          j.removeField { case (n, _) => n == "stats" }))
+      }.mkString("\n")
+    java.nio.file.Files.writeString(commit.toPath, doctored)
+    val conv = DeltaExport.convertFromDelta(spark, dir)
+    assert(conv.liveAdds().map(_.rows).sum == 3L,
+      "footer backfill must recover exact per-file row counts")
+    assert(conv.load(spark).count() == 3L)
+
+    // a DV-carrying add refuses by name
+    val dir2 = s"${tmp()}/t"
+    val src2 = new LogTable(dir2)
+    src2.append(Seq((1L, "a")).toDF("k", "v"))
+    DeltaExport.exportDeltaLog(spark, src2, withCheckpoint = false)
+    rm(new File(dir2, "_log"))
+    val c2 = new File(dir2, "_delta_log/00000000000000000000.json")
+    val withDv = java.nio.file.Files.readString(c2.toPath)
+      .replace("\"dataChange\":true",
+        "\"dataChange\":true,\"deletionVector\":{\"storageType\":\"u\"}")
+    java.nio.file.Files.writeString(c2.toPath, withDv)
+    val e = intercept[IllegalArgumentException](
+      DeltaExport.convertFromDelta(spark, dir2))
+    assert(e.getMessage.contains("deletion vectors"), e.getMessage)
+  }
+
   test("exports refuse state Delta readers would misread, naming " +
     "the blocker; the import reader gates on minReaderVersion") {
     val dir = s"${tmp()}/t"

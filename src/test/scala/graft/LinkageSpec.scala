@@ -76,6 +76,28 @@ class LinkageSpec extends SparkSpec {
     assert(!got.exists(_._2 == 18L))
   }
 
+  test("the candidate budget gate estimates pair volume from key " +
+    "frequencies: a tight budget refuses with the short-string " +
+    "guidance, a generous one changes nothing") {
+    val clean = Seq((1L, "alpha"), (2L, "bravo"), (3L, "ax"),
+      (4L, "by")).toDF("id", "name")
+    val dirty = Seq((10L, "alpha"), (11L, "xy"), (12L, "ab"))
+      .toDF("id", "name")
+    val e = intercept[IllegalArgumentException](
+      Linkage.fuzzyJoinEd(clean, "id", "name", dirty, "id", "name",
+        maxDist = 2, maxCandidateBudget = Some(1L)))
+    assert(e.getMessage.contains("candidate pairs") &&
+      e.getMessage.contains("salting"), e.getMessage)
+    val gated = Linkage.fuzzyJoinEd(clean, "id", "name",
+        dirty, "id", "name", maxDist = 2,
+        maxCandidateBudget = Some(1000000L))
+      .select("l_id", "r_id").as[(Long, Long)].collect().toSet
+    val ungated = Linkage.fuzzyJoinEd(clean, "id", "name",
+        dirty, "id", "name", maxDist = 2)
+      .select("l_id", "r_id").as[(Long, Long)].collect().toSet
+    assert(gated == ungated && gated.nonEmpty)
+  }
+
   test("fuzzy_join plan has no cartesian product") {
     val clean = Seq((1L, "alpha")).toDF("id", "name")
     val plan = Linkage.fuzzyJoinEd1(clean, "id", "name",

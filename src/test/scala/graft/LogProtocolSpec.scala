@@ -16,6 +16,33 @@ class LogProtocolSpec extends SparkSpec {
   private def tmp(): String =
     java.nio.file.Files.createTempDirectory("graft_proto").toString
 
+  test("writer-only features never fence readers: constraints, " +
+    "defaults, generated and identity columns land in " +
+    "writerFeatures ONLY; reader-relevant ones gate both sides") {
+    val t = new LogTable(s"${tmp()}/t")
+    t.create(
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("v",
+          org.apache.spark.sql.types.StringType))),
+      checkConstraints = Map("k_pos" -> "k > 0"),
+      columnDefaults = Map("v" -> "'new'"))
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("k", "v").repartition(1))
+    val p = t.protocolAt().get
+    assert(p.writerFeatures.contains("checkConstraints") &&
+      p.writerFeatures.contains("columnDefaults"), p.toString)
+    // the data is readable without understanding either feature —
+    // a lighter reader must not be fenced (Delta's writer-only rule)
+    assert(!p.readerFeatures.contains("checkConstraints") &&
+      !p.readerFeatures.contains("columnDefaults"), p.toString)
+    // a DV changes what rows a scan must serve: reader-relevant
+    t.deleteMor(spark, col("k") === 1L)
+    val p2 = t.protocolAt().get
+    assert(p2.readerFeatures.contains("deletionVectors"))
+    assert(p2.writerFeatures.contains("deletionVectors"))
+  }
+
   test("create records a protocol action; feature activation " +
     "auto-upgrades it in the same commit") {
     val t = new LogTable(s"${tmp()}/t")

@@ -246,7 +246,8 @@ class LogTableModelSpec extends SparkSpec {
       // writer — every commit kind in the mix (appends, CoW/MoR
       // row ops, restores, layout rebuilds, refs, auto-compaction)
       // runs under it unchanged; the rule's actual conflict
-      // behavior is pinned by the forced-interleave protocol test
+      // behavior is pinned by the forced-interleave test in
+      // LogCoordinatorSpec
       if (step == 23 && t.exists)
         t.setTableProperties(
           Map(LogTable.PropIsolation -> "Serializable"))

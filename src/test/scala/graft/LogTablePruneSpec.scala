@@ -231,6 +231,189 @@ class LogTablePruneSpec extends SparkSpec {
     assert(idxs.sorted.toSeq == (0L until idxs.length).toSeq)
   }
 
+  test("conflict revalidation of a racing rewrite runs DISTRIBUTED: " +
+    "only the remove set is looked up, the manifest never " +
+    "materializes, and accept/refuse decisions match the driver " +
+    "rule — including DV resurrection") {
+    val dir = s"${tmp()}/t"
+    val t = new LogTable(dir, checkpointInterval = 1)
+    // one REAL file holding the rows the rewrites will touch (fake
+    // stats floor at k=0, so negative keys never match a fake)...
+    t.append(Seq((-5L, "a"), (-4L, "b"), (-3L, "c"), (-2L, "d"))
+      .toDF("k", "v").repartition(1))                           // v0
+    // ...under a 100k-file parquet-checkpointed manifest
+    t.registerFiles(fakes(100000))                              // v1 ckpt
+
+    // ACCEPT: a blind append lands between this delete's read
+    // snapshot and its commit — file-level revalidation sees the
+    // remove set intact and the retry commits
+    var fired1 = false
+    val del1 = new LogTable(dir, clock = () => {
+      if (!fired1) {
+        fired1 = true
+        new LogTable(dir).append(Seq((100L, "racer")).toDF("k", "v"))
+      }
+      System.currentTimeMillis()
+    })
+    val r1 = del1.delete(spark, col("k") === -5L)
+    assert(r1.rowsAffected == 1L)
+    assert(del1.lastRevalidateMode == "distributed",
+      "remove-set revalidation must run over the distributed manifest")
+    val head1 = del1.currentVersion.get
+    assert(!del1.addsMaterializedAt(Some(head1)),
+      "conflict revalidation materialized the manifest on the driver")
+
+    // REFUSE (removed): a racing CoW delete rewrites the same file
+    // out from under this one — the retry must see its remove set
+    // gone and refuse, exactly as the driver rule did
+    var fired2 = false
+    val del2 = new LogTable(dir, clock = () => {
+      if (!fired2) {
+        fired2 = true
+        new LogTable(dir).delete(spark, col("k") === -3L)
+      }
+      System.currentTimeMillis()
+    })
+    val e2 = intercept[java.util.ConcurrentModificationException](
+      del2.delete(spark, col("k") === -4L))
+    assert(e2.getMessage.contains("were removed"), e2.getMessage)
+    assert(del2.lastRevalidateMode == "distributed")
+
+    // REFUSE (DV resurrection): a racing MoR delete re-adds the SAME
+    // path with a deletion vector — the path stays live but its row
+    // set changed; committing the planned rewrite would silently
+    // undo the racing delete
+    var fired3 = false
+    val del3 = new LogTable(dir, clock = () => {
+      if (!fired3) {
+        fired3 = true
+        new LogTable(dir).deleteMor(spark, col("k") === -2L)
+      }
+      System.currentTimeMillis()
+    })
+    val e3 = intercept[java.util.ConcurrentModificationException](
+      del3.delete(spark, col("k") === -4L))
+    assert(e3.getMessage.contains("deletion vector"), e3.getMessage)
+    assert(del3.lastRevalidateMode == "distributed")
+
+    // a quiet retry against the settled head succeeds, and the live
+    // rows are exactly the three deletes' combined effect
+    val retry = new LogTable(dir)
+    assert(retry.delete(spark, col("k") === -4L).rowsAffected == 1L)
+    // loadWhere prunes to the REAL files (fake stats floor at k=0);
+    // a full load would try to scan the registered fakes
+    assert(retry.loadWhere(spark, col("k") < 0L).count() == 0L)
+    assert(retry.liveAdds().exists(a =>
+      a.stats.get("k").exists(_.min.contains(100L))),
+      "the racing blind append's file must be live")
+  }
+
+  test("allFilesDF newest-entry-wins survives a floor-fold re-add " +
+    "racing a larger retained tail: the LATEST DV entry serves, " +
+    "never a stale one") {
+    val dir = s"${tmp()}/t"
+    val t = new LogTable(dir, checkpointInterval = 2)
+    t.create(StructType(Seq(StructField("k", LongType),
+      StructField("v", StringType))),
+      properties = Map("graft.checkpoint.parquetThreshold" -> "1")) // v0
+    t.append(Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"))
+      .toDF("k", "v").repartition(1))                            // v1
+    t.append(Seq((10L, "x")).toDF("k", "v").repartition(1))      // v2 ckpt
+    // v3: a post-checkpoint DV re-add of P — once the floor lands
+    // on v3, this entry comes from the FLOOR FOLD's alive set
+    // (size 1, stamped in the Long.MaxValue idx area)
+    t.deleteMor(spark, col("k") === 1L)                          // v3
+    val dv1 = t.liveAdds().find(_.dv.isDefined).get.dv.get.path
+    // the retained tail is LARGER than the floor fold's alive set
+    // and re-adds P again with a newer (merged) vector
+    t.deleteMor(spark, col("k") === 2L)                          // v4 ckpt
+    t.append(Seq((20L, "y")).toDF("k", "v"))                     // v5
+    val dv2 = t.liveAdds().find(_.dv.isDefined).get.dv.get.path
+    val pPath = t.liveAdds().find(_.dv.isDefined).get.path
+    assert(dv1 != dv2, "the second MoR delete must rewrite the vector")
+    // simulate an EXTERNALLY pruned log (a retention tool that
+    // deleted raw commits without anchoring a floor checkpoint —
+    // graft's own expireSnapshots always anchors one first): the
+    // floor manifest is now ckpt(v2) + fold(v3), whose alive set
+    // (1 entry) is smaller than the tail (2 entries) — before the
+    // re-index fix the fold's STALE dv1 entry outranked dv2
+    (0L to 2L).foreach { v =>
+      new File(dir, f"_log/$v%020d.json").delete()
+    }
+    val view = new LogTable(dir).allFilesDF(spark)
+    val served = view.filter(col("path") === pPath)
+      .select("dv_path").as[String].collect()
+    assert(served.length == 1, s"duplicate rows for $pPath")
+    assert(served.head == dv2,
+      s"allFilesDF served the STALE floor-fold entry $dv1 over $dv2")
+  }
+
+  test("a SESSION-LESS JVM reads a parquet-checkpointed table whose " +
+    "raw commits were expired — the Group-API fallback serves the " +
+    "same file-state the distributed read does") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_sessionless").toString
+    val table = s"$dir/t"
+    val t = new LogTable(table, checkpointInterval = 1)
+    // negative keys: the fake stats floor at k=0, so the MoR plan
+    // below never touches a (nonexistent) fake file
+    t.append(Seq((-1L, "a"), (-2L, "b")).toDF("k", "v")
+      .repartition(1))                                          // v0
+    t.registerFiles(fakes(20000))                               // v1 ckpt
+    t.deleteMor(spark, col("k") === -1L)                        // v2 ckpt (DV)
+    // expire the raw commits below the head: a session-less reader
+    // can no longer fall back to raw-commit replay — the parquet
+    // checkpoint itself must serve
+    t.expireSnapshots(retainLast = 1)
+    assert(!new File(table, "_log/00000000000000000000.json").isFile)
+
+    val expected = t.liveAdds().sortBy(_.path).map { a =>
+      s"${a.path}|${a.rows}|${a.bytes}|${a.dv.map(_.path).getOrElse("-")}"
+    }.mkString("\n")
+
+    val out = new File(dir, "sessionless.out")
+    val javaBin = s"${System.getProperty("java.home")}/bin/java"
+    val addOpens = Seq(
+      "java.base/java.lang", "java.base/java.nio", "java.base/java.io",
+      "java.base/java.util", "java.base/sun.nio.ch",
+    ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+    val cmd = Seq(javaBin, "-Xmx1g",
+      "-cp", System.getProperty("java.class.path")) ++ addOpens ++
+      Seq("graft.SessionlessReaderMain", table, out.getPath)
+    val pb = new ProcessBuilder(cmd: _*)
+    pb.redirectErrorStream(true)
+    pb.redirectOutput(new File(dir, "sessionless.log"))
+    val p = pb.start()
+    assert(p.waitFor(180, java.util.concurrent.TimeUnit.SECONDS) &&
+      p.exitValue() == 0,
+      s"session-less reader failed:\n${scala.io.Source.fromFile(
+        new File(dir, "sessionless.log")).mkString.takeRight(2000)}")
+    assert(java.nio.file.Files.readString(out.toPath) == expected,
+      "session-less replay diverges from the in-session one")
+  }
+
+  test("predicates written with to_date()/to_timestamp() PRUNE: " +
+    "RuntimeReplaceable literal wrappers evaluate through their " +
+    "replacement at the stats layer") {
+    val dir = s"${tmp()}/t"
+    val t = new LogTable(dir)
+    def batch(ds: String, k: Long) = Seq((ds, k)).toDF("ds", "k")
+      .select(to_date(col("ds")).as("d"), col("k"),
+        to_timestamp(col("ds")).as("ts")).repartition(1)
+    t.append(batch("2021-01-01", 1L)) // v0: one file
+    t.append(batch("2023-06-01", 2L)) // v1: one file
+    // two files, disjoint date ranges
+    assert(t.liveAdds().size == 2, t.liveAdds().map(_.path))
+    val (s1, n1) = t.prunedAddsFor(spark,
+      col("d") === to_date(lit("2021-01-01")))
+    assert(n1 == 2 && s1.size == 1,
+      s"to_date() equality did not prune: ${s1.size} of $n1")
+    val (s2, n2) = t.prunedAddsFor(spark,
+      col("ts") < to_timestamp(lit("2022-01-01")))
+    assert(n2 == 2 && s2.size == 1,
+      s"to_timestamp() range did not prune: ${s2.size} of $n2")
+  }
+
   test("addsDF tail fold anti-joins a fat touched set instead of one " +
     "giant isin literal list") {
     val dir = s"${tmp()}/t"
