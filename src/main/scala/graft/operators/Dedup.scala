@@ -450,18 +450,20 @@ object Dedup {
     *
     * SCALE-POLICY GATE (round-13): this is the DECLARED-QUADRATIC
     * exact baseline — a 100-TB user must not trip into n²/2 dot
-    * products silently. One count() estimates the pair volume up
-    * front; past `maxPairsBudget` (default 2³³ ≈ 8.6e9 pairs, ~2
-    * minutes of float-64d dots per 32 cores) the call REFUSES,
-    * naming the sub-quadratic routes. Raise the budget explicitly to
-    * opt into a bigger exact run. */
+    * products silently. One COLUMN-PRUNED count (ids only) estimates
+    * the pair volume up front; past `maxPairsBudget` (default 2³³ ≈
+    * 8.6e9 pairs, ~2 minutes of float-64d dots per 32 cores) the
+    * call REFUSES, naming the sub-quadratic routes. The count
+    * executes `emb`'s lineage once — persist the input first if it
+    * is itself an expensive pipeline. Raise the budget explicitly
+    * to opt into a bigger exact run. */
   def embeddingNearDup(emb: DataFrame, idCol: String = "vec_id",
                        vecCol: String = "embedding",
                        threshold: Double = 0.95,
                        blocks: Int = 16,
                        maxPairsBudget: Long = DefaultPairsBudget)
       : DataFrame = {
-    val n = emb.count()
+    val n = emb.select(col(idCol)).count()
     val pairVolume = BigInt(n) * BigInt(math.max(0L, n - 1)) / 2
     require(pairVolume <= maxPairsBudget,
       s"embeddingNearDup is the EXACT all-pairs baseline: $n vectors " +

@@ -107,7 +107,7 @@ object DeltaExport {
       types: Map[String, DataType], modTime: Long): String =
     JsonMethods.compact(JsonMethods.render(JObject(List(
       "add" -> JObject(List(
-        "path" -> JString(a.path),
+        "path" -> JString(encodePath(a.path)),
         "partitionValues" -> JObject(a.partitionValues.toList
           .map { case (k, pv) => k -> (JString(pv): JValue) }),
         "size" -> JLong(a.bytes),
@@ -118,7 +118,7 @@ object DeltaExport {
   private def removeActionLine(path: String, ts: Long): String =
     JsonMethods.compact(JsonMethods.render(JObject(List(
       "remove" -> JObject(List(
-        "path" -> JString(path),
+        "path" -> JString(encodePath(path)),
         "deletionTimestamp" -> JLong(ts),
         "dataChange" -> JBool(true)))))))
 
@@ -133,16 +133,76 @@ object DeltaExport {
         "minReaderVersion" -> JInt(1), "minWriterVersion" -> JInt(2)))))))
 
   private def metaDataLine(schema: StructType, partCols: Seq[String],
-                           createdTime: Long): String =
+                           createdTime: Long, id: String): String =
     JsonMethods.compact(JsonMethods.render(JObject(List(
       "metaData" -> JObject(List(
-        "id" -> JString(UUID.randomUUID().toString),
+        "id" -> JString(id),
         "format" -> JObject(List("provider" -> JString("parquet"),
           "options" -> JObject(Nil))),
         "schemaString" -> JString(schema.json),
         "partitionColumns" -> JArray(partCols.toList.map(JString(_))),
         "configuration" -> JObject(Nil),
         "createdTime" -> JLong(createdTime)))))))
+
+  /** The log's STABLE table id: Delta's `metaData.id` identifies the
+    * table across its whole history — a reader following the log
+    * aborts if it changes ("table was replaced"). Resolved from the
+    * earliest exported commit carrying a metaData action, falling
+    * back to the checkpoint; None on a fresh log (the first export
+    * mints one). */
+  private def existingMetaId(spark: SparkSession,
+                             dir: File): Option[String] = {
+    val commits = Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.matches("\\d{20}\\.json")).sortBy(_.getName)
+    val fromCommit = commits.iterator.flatMap { f =>
+      Files.readString(f.toPath).linesIterator
+        .flatMap(l => JsonMethods.parse(l) \ "metaData" \ "id" match {
+          case JString(id) => Some(id); case _ => None
+        })
+    }.nextOption()
+    fromCommit.orElse {
+      val ckpts = Option(dir.listFiles()).getOrElse(Array.empty)
+        .map(_.getName)
+        .filter(_.matches(
+          "\\d{20}\\.checkpoint(\\.\\d{10}\\.\\d{10})?\\.parquet"))
+        .map(_.take(20).toLong)
+      ckpts.sorted.lastOption.flatMap { cv =>
+        val df = spark.read.parquet(ckptParts(dir, cv): _*)
+        if (!df.columns.contains("metaData")) None
+        else df.filter(col("metaData").isNotNull)
+          .select(col("metaData.id")).collect()
+          .headOption.map(_.getString(0))
+      }
+    }
+  }
+
+  /** Delta paths are URL-ENCODED relative paths (PROTOCOL.md):
+    * encode graft's on-disk relative path for the log, decode a
+    * foreign log's path back to the filesystem form. URI-style
+    * percent escaping (spaces etc.), never form encoding ('+'). */
+  private[sources] def encodePath(p: String): String =
+    new java.net.URI(null, null, p, null).getRawPath
+
+  private[sources] def decodePath(p: String): String =
+    scala.util.Try(new java.net.URI(p).getPath).toOption
+      .filter(_ != null).getOrElse(p)
+
+  /** Resolve a checkpoint's parquet files — the single-part name or
+    * the spec's multi-part `%020d.checkpoint.%010d.%010d.parquet`
+    * form (what real Delta writers emit past their part threshold,
+    * and what [[exportCheckpoint]] writes above `partRows`). */
+  private def ckptParts(dir: File, cv: Long): Seq[String] = {
+    val single = new File(dir, f"$cv%020d.checkpoint.parquet")
+    if (single.isFile) Seq(single.getPath)
+    else Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.matches(f"$cv%020d" +
+        "\\.checkpoint\\.\\d{10}\\.\\d{10}\\.parquet"))
+      .sortBy(_.getName).map(_.getPath).toSeq
+  }
+
+  /** Does ANY checkpoint (either name form) exist at `cv`? */
+  private def hasCkpt(dir: File, cv: Long): Boolean =
+    ckptParts(dir, cv).nonEmpty
 
   private def deleteRecursive(f: File): Unit = {
     Option(f.listFiles()).foreach(_.foreach(deleteRecursive))
@@ -188,7 +248,8 @@ object DeltaExport {
     val partCols = log.partitionColsAt(v)
     val dir = new File(log.path, "_delta_log")
     val prior = Option(dir.listFiles()).getOrElse(Array.empty)
-      .filter(_.getName.matches("\\d{20}\\.(json|checkpoint\\.parquet)"))
+      .filter(_.getName.matches(
+        "\\d{20}\\.(json|checkpoint(\\.\\d{10}\\.\\d{10})?\\.parquet)"))
     require(prior.isEmpty,
       s"the Delta log at ${log.path} already holds " +
         s"${prior.map(_.getName).sorted.headOption.getOrElse("")}… — " +
@@ -231,7 +292,8 @@ object DeltaExport {
     val w = Files.newBufferedWriter(tmp.toPath)
     try {
       w.write(protocolLine); w.write("\n")
-      w.write(metaDataLine(schema, partCols, mt)); w.write("\n")
+      w.write(metaDataLine(schema, partCols, mt,
+        UUID.randomUUID().toString)); w.write("\n")
       dist match {
         case Some(ds) =>
           // render the add actions ON EXECUTORS, in manifest order,
@@ -279,13 +341,17 @@ object DeltaExport {
     val dir = new File(log.path, "_delta_log")
     require(fromVersion == 0L ||
       new File(dir, f"${fromVersion - 1}%020d.json").isFile ||
-      new File(dir, f"${fromVersion - 1}%020d.checkpoint.parquet").isFile,
+      hasCkpt(dir, fromVersion - 1),
       s"exportTail($fromVersion, $toVersion) would leave a GAP: the " +
         s"Delta log at ${log.path} has neither commit " +
         s"${fromVersion - 1} nor a checkpoint there — a strict " +
         "reader replays contiguously; export the base snapshot " +
         "first (exportDeltaLog) or start the tail where the log ends")
     dir.mkdirs()
+    // the table id is STABLE across the log's whole history — a
+    // changed id reads as "table was replaced" to followers
+    lazy val tableId = existingMetaId(spark, dir)
+      .getOrElse(UUID.randomUUID().toString)
     (fromVersion to toVersion).map { cv =>
       val schema = gateMetadata(log, cv)
       val adds = log.addedFiles(cv)
@@ -301,7 +367,8 @@ object DeltaExport {
       try {
         if (cv == 0L) { w.write(protocolLine); w.write("\n") }
         if (cv == 0L || log.commitChangedMetadata(cv)) {
-          w.write(metaDataLine(schema, log.partitionColsAt(cv), mt))
+          w.write(metaDataLine(schema, log.partitionColsAt(cv), mt,
+            tableId))
           w.write("\n")
         }
         w.write(commitInfoLine(mt, log.commitOp(cv))); w.write("\n")
@@ -314,6 +381,122 @@ object DeltaExport {
         StandardCopyOption.ATOMIC_MOVE)
       commit.getPath
     }
+  }
+
+  /** Write the spec checkpoint for version `v` of an
+    * ALREADY-EXPORTED contiguous Delta log, built from the GRAFT
+    * manifest (not a replay of the exported commits): protocol +
+    * metaData + one add per live file, rendered as JSON lines on
+    * executors above the parquet-checkpoint threshold, landed as a
+    * single-part checkpoint below `partRows` actions and as the
+    * spec's MULTI-PART form (`%020d.checkpoint.%010d.%010d.parquet`,
+    * `_last_checkpoint` carrying `parts`) above it. This is what
+    * lets a long-lived [[exportTail]] mirror stay replayable after
+    * Delta-style log cleanup deletes old commits: a strict reader
+    * starts at `_last_checkpoint` and never needs the dropped
+    * files. */
+  def exportCheckpoint(spark: SparkSession, log: LogTable,
+                       version: Option[Long] = None,
+                       partRows: Long = 500000L): String = {
+    val v = version.orElse(log.currentVersion).getOrElse(
+      throw new IllegalStateException(s"no log table at ${log.path}"))
+    val schema = gateMetadata(log, v)
+    val dir = new File(log.path, "_delta_log")
+    require(new File(dir, f"$v%020d.json").isFile,
+      s"version $v is not exported yet — checkpoint only an " +
+        "exported commit (exportDeltaLog / exportTail first)")
+    val dist =
+      if (log.addsMaterializedAt(Some(v))) None
+      else log.distributedManifest(spark, v)
+    dist match {
+      case Some(_) =>
+        val (anyDv, anyAbs, _) = log.bridgeFacts(spark, Some(v))
+        require(!anyDv && !anyAbs,
+          "cannot checkpoint state Delta readers would misread " +
+            "(deletion vectors / absolute-path clone)")
+      case None => gateAdds(log.liveAdds(Some(v)), s"version $v")
+    }
+    val types = schema.fields.map(f => f.name -> f.dataType).toMap
+    val mt = log.commitTime(v)
+    val tableId = existingMetaId(spark, dir)
+      .getOrElse(UUID.randomUUID().toString)
+    val enc = org.apache.spark.sql.Encoders.STRING
+    val header = spark.createDataset(Seq(protocolLine,
+      metaDataLine(schema, log.partitionColsAt(v), mt, tableId)))(enc)
+    val addLines = dist match {
+      case Some(ds) =>
+        ds.map(c => addActionLine(LogTable.decodeCkptAdd(c),
+          types, mt))(enc)
+      case None =>
+        spark.createDataset(log.liveAdds(Some(v))
+          .map(addActionLine(_, types, mt)))(enc)
+    }
+    // render the action lines ONCE (executor-side above the
+    // threshold) into a temp text dir; the count and the
+    // schema-inferred parquet write both read the cheap text back
+    // instead of re-rendering the manifest
+    val txt = new File(dir, s".tmp-ckpttxt-${UUID.randomUUID()}")
+    header.unionAll(addLines).write.text(txt.getPath)
+    val (nActions, df) =
+      try {
+        val lines = spark.read.textFile(txt.getPath)
+        (lines.count(), spark.read.json(lines))
+      } catch { case e: Throwable => deleteRecursive(txt); throw e }
+    val tmp = new File(dir, s".tmp-ckpt-${UUID.randomUUID()}")
+    val nParts = math.max(1L, (nActions + partRows - 1) / partRows).toInt
+    df.repartition(nParts).write.mode("overwrite").parquet(tmp.getPath)
+    val parts = tmp.listFiles().filter(_.getName.endsWith(".parquet"))
+      .sortBy(_.getName)
+    val named =
+      if (nParts == 1)
+        Seq(new File(dir, f"$v%020d.checkpoint.parquet"))
+      else parts.indices.map(i => new File(dir,
+        f"$v%020d.checkpoint.${i + 1}%010d.$nParts%010d.parquet"))
+    parts.zip(named).foreach { case (p, target) =>
+      Files.move(p.toPath, target.toPath,
+        StandardCopyOption.ATOMIC_MOVE)
+    }
+    tmp.listFiles().foreach(_.delete()); tmp.delete()
+    deleteRecursive(txt)
+    Files.writeString(new File(dir, "_last_checkpoint").toPath,
+      JsonMethods.compact(JsonMethods.render(JObject(List(
+        "version" -> JLong(v), "size" -> JLong(nActions)) ++
+        (if (nParts > 1) List("parts" -> JInt(nParts)) else Nil)))))
+    named.head.getPath
+  }
+
+  /** One-call INCREMENTAL MIRROR: bring `<table>/_delta_log` up to
+    * the table's current version — a fresh root gets the full
+    * export, an existing mirror gets `exportTail` from where it
+    * ends, and every `checkpointEvery` commits a checkpoint lands so
+    * log cleanup never strands a strict reader. Returns the range of
+    * versions newly exported (empty when already current). */
+  def mirrorDelta(spark: SparkSession, log: LogTable,
+                  checkpointEvery: Int = 10): Seq[Long] = {
+    val v = log.currentVersion.getOrElse(
+      throw new IllegalStateException(s"no log table at ${log.path}"))
+    val dir = new File(log.path, "_delta_log")
+    val exported = Option(dir.listFiles()).getOrElse(Array.empty)
+      .map(_.getName).filter(_.matches("\\d{20}\\.json"))
+      .map(_.stripSuffix(".json").toLong)
+    val lastCkpt = Option(dir.listFiles()).getOrElse(Array.empty)
+      .map(_.getName)
+      .filter(_.matches("\\d{20}\\.checkpoint(\\.\\d{10}\\.\\d{10})?\\.parquet"))
+      .map(_.take(20).toLong).sorted.lastOption
+    // the mirror's head is the newest commit OR checkpoint: after
+    // Delta-style log cleanup only the checkpoint remains, and that
+    // log is still a live mirror to follow — never a fresh root
+    val head: Option[Long] = (exported ++ lastCkpt).maxOption
+    val newly: Seq[Long] = head match {
+      case None => exportDeltaLog(spark, log); Seq(v)
+      case Some(h) if h >= v => Seq.empty
+      case Some(h) => exportTail(spark, log, h + 1, v); (h + 1) to v
+    }
+    val anchor = lastCkpt.getOrElse(-1L)
+    if (newly.nonEmpty && v - anchor >= checkpointEvery &&
+        !hasCkpt(dir, v))
+      exportCheckpoint(spark, log, Some(v))
+    newly
   }
 
   /** The spec's checkpoint: one parquet file whose rows each carry
@@ -378,8 +561,11 @@ object DeltaExport {
       partCols = parts
     }
     ckptV.foreach { cv =>
-      val ckpt = new File(dir, f"$cv%020d.checkpoint.parquet")
-      val df = spark.read.parquet(ckpt.getPath)
+      val paths = ckptParts(dir, cv)
+      require(paths.nonEmpty,
+        s"_last_checkpoint names version $cv but no checkpoint " +
+          s"parquet exists under $dir")
+      val df = spark.read.parquet(paths: _*)
       def has(c: String) = df.columns.contains(c)
       // protocol gate FIRST — never half-read a too-new log
       if (has("protocol"))
@@ -401,10 +587,12 @@ object DeltaExport {
       if (has("add"))
         df.filter(col("add").isNotNull)
           .select(col("add.path"), col("add.size").cast("long"))
-          .collect().foreach(r => live(r.getString(0)) = r.getLong(1))
+          .collect().foreach(r =>
+            live(decodePath(r.getString(0))) = r.getLong(1))
       if (has("remove"))
         df.filter(col("remove").isNotNull).select(col("remove.path"))
-          .collect().foreach(r => { live.remove(r.getString(0)); () })
+          .collect().foreach(r => {
+            live.remove(decodePath(r.getString(0))); () })
     }
     def applyAction(kind: String, j: JValue): Unit = kind match {
       case "protocol" =>
@@ -418,13 +606,16 @@ object DeltaExport {
             case _           => Seq.empty
           })
       case "add" =>
-        val p = (j \ "path").asInstanceOf[JString].s
+        // Delta paths are URL-encoded relative paths — decode back
+        // to the filesystem form
+        val p = decodePath((j \ "path").asInstanceOf[JString].s)
         val size = (j \ "size") match {
           case JInt(i) => i.toLong; case JLong(l) => l; case _ => 0L
         }
         live(p) = size
       case "remove" =>
-        live.remove((j \ "path").asInstanceOf[JString].s); ()
+        live.remove(
+          decodePath((j \ "path").asInstanceOf[JString].s)); ()
       case _ => () // txn, commitInfo, cdc: no file-state effect
     }
     val kinds = Seq("protocol", "metaData", "add", "remove", "txn")
@@ -562,8 +753,11 @@ object DeltaExport {
         case _       => None
       }
     ckptV.foreach { cv =>
-      val df = spark.read.parquet(
-        new File(dir, f"$cv%020d.checkpoint.parquet").getPath)
+      val paths = ckptParts(dir, cv)
+      require(paths.nonEmpty,
+        s"_last_checkpoint names version $cv but no checkpoint " +
+          s"parquet exists under $dir")
+      val df = spark.read.parquet(paths: _*)
       if (df.columns.contains("add")) {
         val addT = df.schema("add").dataType.asInstanceOf[StructType]
         require(!addT.fieldNames.contains("deletionVector") ||
@@ -589,8 +783,8 @@ object DeltaExport {
                 .map(_.toMap).getOrElse(Map.empty[String, String])
             else Option(r.getString(2)).map(s =>
               partMap(JsonMethods.parse(s))).getOrElse(Map.empty)
-          live(r.getString(0)) = addOf(r.getString(0), r.getLong(1),
-            pv, Option(r.getString(3)))
+          val dp = decodePath(r.getString(0))
+          live(dp) = addOf(dp, r.getLong(1), pv, Option(r.getString(3)))
         }
       }
     }
@@ -610,7 +804,8 @@ object DeltaExport {
                   s"the Delta table at $tableRoot carries deletion " +
                     "vectors — this import cannot subtract Delta's " +
                     "DV encoding; purge them Delta-side first")
-                val p = (a \ "path").asInstanceOf[JString].s
+                val p =
+                  decodePath((a \ "path").asInstanceOf[JString].s)
                 val size = (a \ "size") match {
                   case JInt(i) => i.toLong; case JLong(l2) => l2
                   case _       => 0L
@@ -621,7 +816,7 @@ object DeltaExport {
                   })
             }
             (j \ "remove" \ "path") match {
-              case JString(p) => live.remove(p); ()
+              case JString(p) => live.remove(decodePath(p)); ()
               case _          => ()
             }
           }

@@ -239,6 +239,24 @@ object IcebergExport {
       if (hint.isFile) Files.readString(hint.toPath).trim.toInt else 0
     }
     val n = prevN + 1
+    // table-uuid is STABLE across metadata versions (the spec's
+    // identity check — a refreshing reader throws on a changed
+    // uuid): carry the previous metadata's forward
+    val tableUuid: String =
+      (if (prevN == 0) None
+       else (JsonMethods.parse(Files.readString(
+         new File(metaDir, s"v$prevN.metadata.json").toPath)) \
+         "table-uuid") match {
+         case JString(u) => Some(u); case _ => None
+       }).getOrElse(UUID.randomUUID().toString)
+    // honest snapshot summary.operation per the spec's vocabulary —
+    // incremental-append consumers skip or refuse non-append
+    // snapshots, so a delete exported as "append" double-counts
+    val operation = log.commitOp(v) match {
+      case "append" | "create" | "convert"       => "append"
+      case "optimize" | "cluster" | "compact"    => "replace"
+      case _                                     => "overwrite"
+    }
     val snapshotId = v
     val seq = n.toLong
     val ts = log.commitTime(v)
@@ -340,13 +358,13 @@ object IcebergExport {
       "timestamp-ms" -> JLong(ts),
       "sequence-number" -> JLong(seq),
       "summary" -> JObject(List(
-        "operation" -> JString("append"),
+        "operation" -> JString(operation),
         "graft-version" -> JString(v.toString))),
       "manifest-list" -> JString(listFile.getAbsolutePath),
       "schema-id" -> JInt(0)))
     val meta = JObject(List(
       "format-version" -> JInt(2),
-      "table-uuid" -> JString(UUID.randomUUID().toString),
+      "table-uuid" -> JString(tableUuid),
       "location" -> JString(root),
       "last-sequence-number" -> JLong(seq),
       "last-updated-ms" -> JLong(ts),
@@ -381,13 +399,36 @@ object IcebergExport {
     target.getPath
   }
 
+  /** One manifest-entry partition value back to graft's hive-style
+    * string form, typed by its Avro field schema (date logical type
+    * → ISO date; everything else via toString). */
+  private def partValueString(
+      fieldSchema: org.apache.avro.Schema, v: AnyRef): Option[String] = {
+    if (v == null) return None
+    import scala.jdk.CollectionConverters._
+    val nn =
+      if (fieldSchema.getType == org.apache.avro.Schema.Type.UNION)
+        fieldSchema.getTypes.asScala
+          .find(_.getType != org.apache.avro.Schema.Type.NULL)
+          .getOrElse(fieldSchema)
+      else fieldSchema
+    if (Option(nn.getLogicalType).exists(_.getName == "date"))
+      Some(java.time.LocalDate.ofEpochDay(
+        v.asInstanceOf[Number].longValue()).toString)
+    else Some(v.toString)
+  }
+
   /** Read exported Iceberg metadata back: version-hint → metadata
     * JSON → current snapshot → manifest list → manifests → live
     * files. THIS library's reader for the format (no Iceberg runtime
     * exists here) — the round-trip proxy. Returns (schema, partition
-    * columns, (absolute path, record count) per live file). */
+    * columns, one (absolute path, record count, typed partition
+    * values rendered hive-style) triple per live file). REFUSES
+    * Iceberg v2 DELETE manifests/files (content != 0) by name —
+    * ignoring them would resurrect deleted rows, a half-read. */
   def readIcebergSnapshot(spark: SparkSession, tableRoot: String)
-      : (StructType, Seq[String], Seq[(String, Long)]) = {
+      : (StructType, Seq[String],
+         Seq[(String, Long, Map[String, String])]) = {
     val metaDir = new File(tableRoot, "metadata")
     val hint = new File(metaDir, "version-hint.text")
     require(hint.isFile, s"no metadata/version-hint.text under $tableRoot")
@@ -445,9 +486,25 @@ object IcebergExport {
     val lr = new DataFileReader[GenericRecord](new File(listPath),
       new GenericDatumReader[GenericRecord]())
     try while (lr.hasNext) {
-      manifests += lr.next().get("manifest_path").toString
+      val m = lr.next()
+      // content 1 = a DELETE manifest (v2 position/equality
+      // deletes): this reader cannot subtract delete files —
+      // ignoring them would resurrect deleted rows. Refuse, never
+      // half-read. (v1 manifests lack the field: data by
+      // definition.)
+      val content =
+        if (m.getSchema.getField("content") == null) 0
+        else Option(m.get("content")).map(
+          _.asInstanceOf[Number].intValue()).getOrElse(0)
+      if (content != 0) throw new IllegalStateException(
+        s"the Iceberg table at $tableRoot carries DELETE manifests " +
+          "(v2 position/equality deletes) — this reader cannot " +
+          "subtract them; compact/rewrite the table Iceberg-side " +
+          "first, refusing to half-read")
+      manifests += m.get("manifest_path").toString
     } finally lr.close()
-    val files = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    val files = scala.collection.mutable
+      .ArrayBuffer.empty[(String, Long, Map[String, String])]
     manifests.foreach { mp =>
       val mr = new DataFileReader[GenericRecord](new File(mp),
         new GenericDatumReader[GenericRecord]())
@@ -456,9 +513,29 @@ object IcebergExport {
         val status = e.get("status").asInstanceOf[Integer].intValue()
         if (status != 2) { // 2 = DELETED
           val df = e.get("data_file").asInstanceOf[GenericRecord]
+          val fileContent =
+            if (df.getSchema.getField("content") == null) 0
+            else Option(df.get("content")).map(
+              _.asInstanceOf[Number].intValue()).getOrElse(0)
+          if (fileContent != 0) throw new IllegalStateException(
+            s"the Iceberg table at $tableRoot carries delete FILES " +
+              "(data_file.content != 0) — this reader cannot " +
+              "subtract them; refusing to half-read")
+          // partition values come from the TYPED manifest struct —
+          // never re-parsed from the path (non-hive layouts and
+          // escaped values would mislead)
+          val pvRec = Option(df.get("partition"))
+            .map(_.asInstanceOf[GenericRecord])
+          import scala.jdk.CollectionConverters._
+          val pv: Map[String, String] = pvRec.map { r =>
+            r.getSchema.getFields.asScala.flatMap { f =>
+              partValueString(f.schema(), r.get(f.name()))
+                .map(f.name() -> _)
+            }.toMap
+          }.getOrElse(Map.empty)
           files += ((df.get("file_path").toString,
             df.get("record_count").asInstanceOf[java.lang.Long]
-              .longValue()))
+              .longValue(), pv))
         }
       } finally mr.close()
     }
@@ -483,17 +560,14 @@ object IcebergExport {
       s"a graft log table already exists at $tableRoot")
     val (schema, partCols, files) = readIcebergSnapshot(spark, tableRoot)
     val root = new File(tableRoot).getAbsolutePath
-    val adds = files.map { case (p, n) =>
+    val adds = files.map { case (p, n, pv) =>
       val rel =
         if (p.startsWith(root + "/")) p.substring(root.length + 1)
         else p
-      val pv = rel.split("/").iterator.filter(_.contains("="))
-        .map { seg =>
-          val i = seg.indexOf('=')
-          seg.substring(0, i) -> seg.substring(i + 1)
-        }.filter { case (k, _) => partCols.contains(k) }.toMap
+      // partition values come decoded from the TYPED manifest
+      // struct (readIcebergSnapshot), never re-parsed from the path
       AddFile(rel, n, new File(tableRoot, rel).length(),
-        Map.empty, pv)
+        Map.empty, pv.view.filterKeys(partCols.contains).toMap)
     }
     val t = new LogTable(tableRoot)
     t.create(schema, partitionBy = partCols)
@@ -505,12 +579,13 @@ object IcebergExport {
     * round-trip read (hive partition discovery when partitioned). */
   def loadIceberg(spark: SparkSession, tableRoot: String): DataFrame = {
     val (schema, partCols, files) = readIcebergSnapshot(spark, tableRoot)
-    if (files.isEmpty)
+    val paths = files.map(_._1)
+    if (paths.isEmpty)
       return spark.createDataFrame(
         new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
     val reader = spark.read.schema(schema)
-    if (partCols.isEmpty) reader.parquet(files.map(_._1): _*)
+    if (partCols.isEmpty) reader.parquet(paths: _*)
     else reader.option("basePath", s"$tableRoot/data")
-      .parquet(files.map(_._1): _*)
+      .parquet(paths: _*)
   }
 }

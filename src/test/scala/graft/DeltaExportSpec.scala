@@ -232,6 +232,92 @@ class DeltaExportSpec extends SparkSpec {
     assert((last \ "size") == JInt(BigInt(100003)), last)
   }
 
+  test("mirrorDelta follows the table one call at a time, and " +
+    "exportCheckpoint (multi-part form included) keeps a CLEANED " +
+    "log replayable after old commits are deleted") {
+    val dir = s"${tmp()}/t"
+    val t = new LogTable(dir)
+    t.append(Seq((1L, "a")).toDF("k", "v").repartition(1))      // v0
+    assert(DeltaExport.mirrorDelta(spark, t) == Seq(0L))
+    assert(DeltaExport.mirrorDelta(spark, t).isEmpty) // already current
+    t.append(Seq((2L, "b")).toDF("k", "v").repartition(1))      // v1
+    t.delete(spark, col("k") === 1L)                            // v2
+    assert(DeltaExport.mirrorDelta(spark, t,
+      checkpointEvery = 2) == Seq(1L, 2L))
+    val dlog = new File(dir, "_delta_log")
+    // the sync landed a checkpoint at v2 (2 commits past the anchor)
+    assert(new File(dlog, f"${2L}%020d.checkpoint.parquet").isFile,
+      dlog.listFiles().map(_.getName).sorted.mkString(", "))
+    t.append(Seq((3L, "c"), (4L, "d")).toDF("k", "v")
+      .repartition(1))                                          // v3
+    assert(DeltaExport.mirrorDelta(spark, t,
+      checkpointEvery = 100) == Seq(3L))
+    // force a MULTI-PART checkpoint at the head (partRows = 2 →
+    // ≥2 parts for 2 header + 3 add actions)
+    DeltaExport.exportCheckpoint(spark, t, partRows = 2L)
+    val parts = dlog.listFiles().map(_.getName).filter(
+      _.matches(f"${3L}%020d\\.checkpoint\\.\\d{10}\\.\\d{10}\\.parquet"))
+    assert(parts.length >= 2, dlog.listFiles().map(_.getName).sorted
+      .mkString(", "))
+    val last = JsonMethods.parse(java.nio.file.Files.readString(
+      new File(dlog, "_last_checkpoint").toPath))
+    assert((last \ "version") == JInt(3))
+    assert((last \ "parts") == JInt(BigInt(parts.length)), last)
+    // LOG CLEANUP: drop every commit and checkpoint below the head —
+    // a strict reader must still replay from _last_checkpoint alone
+    (0L to 2L).foreach { v =>
+      new File(dlog, f"$v%020d.json").delete()
+      new File(dlog, f"$v%020d.checkpoint.parquet").delete()
+    }
+    val (_, _, files) = DeltaExport.readDeltaSnapshot(spark, dir)
+    assert(files.map(_._1).toSet == t.liveAdds().map(_.path).toSet)
+    assert(DeltaExport.loadDelta(spark, dir)
+      .select("k").as[Long].collect().toSet == Set(2L, 3L, 4L))
+    // the mirror CONTINUES after cleanup — the checkpoint is the
+    // head, not a fresh root (a full re-export would resurrect
+    // removed files)
+    t.append(Seq((5L, "e")).toDF("k", "v"))                     // v4
+    assert(DeltaExport.mirrorDelta(spark, t,
+      checkpointEvery = 100) == Seq(4L))
+    assert(DeltaExport.loadDelta(spark, dir)
+      .select("k").as[Long].collect().toSet == Set(2L, 3L, 4L, 5L))
+    // metaData.id is STABLE across the whole mirrored log — a
+    // changed id reads as "table was replaced" to followers
+    val ids = dlog.listFiles().filter(_.getName.endsWith(".json"))
+      .flatMap(f => java.nio.file.Files.readString(f.toPath)
+        .linesIterator.flatMap(l =>
+          JsonMethods.parse(l) \ "metaData" \ "id" match {
+            case JString(id) => Some(id); case _ => None
+          })).toSet ++
+      spark.read.parquet(dlog.listFiles()
+        .filter(_.getName.contains(".checkpoint")).map(_.getPath): _*)
+        .filter(col("metaData").isNotNull)
+        .select("metaData.id").as[String].collect().toSet
+    assert(ids.size == 1, s"table id churned: $ids")
+  }
+
+  test("paths URL-encode on export and decode on import: a " +
+    "partition value with a space survives the round trip and the " +
+    "log carries the spec's percent-escaped form") {
+    val dir = s"${tmp()}/t"
+    val t = new LogTable(dir)
+    t.create(org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("seg",
+        org.apache.spark.sql.types.StringType))),
+      partitionBy = Seq("seg"))
+    t.append(Seq((1L, "New York"), (2L, "LA")).toDF("k", "seg"))
+    val commit = DeltaExport.exportDeltaLog(spark, t)
+    val raw = java.nio.file.Files.readString(new File(commit).toPath)
+    if (t.liveAdds().exists(_.path.contains(" ")))
+      assert(raw.contains("%20"),
+        "a space in the on-disk path must percent-escape in the log")
+    val got = DeltaExport.loadDelta(spark, dir)
+      .select("k", "seg").as[(Long, String)].collect().toSet
+    assert(got == Set((1L, "New York"), (2L, "LA")))
+  }
+
   test("convertFromDelta registers the live files BY REFERENCE with " +
     "stats parsed back type-aware: file-skipping prunes from commit " +
     "one, partition values survive, and the result takes graft DML") {

@@ -172,6 +172,54 @@ class IcebergExportSpec extends SparkSpec {
     val got = IcebergExport.loadIceberg(spark, dir)
       .select("k").as[Long].collect().toSet
     assert(got == Set(2L, 3L))
+    // table-uuid is stable across metadata versions (the spec's
+    // identity check a refreshing reader enforces), and the delete
+    // snapshot reports an honest non-append operation
+    val v1m = JsonMethods.parse(java.nio.file.Files.readString(
+      new File(dir, "metadata/v1.metadata.json").toPath))
+    assert((meta \ "table-uuid") == (v1m \ "table-uuid"),
+      "table-uuid churned across sequential exports")
+    val op2 = (meta \ "snapshots")(1) \ "summary" \ "operation"
+    assert(op2 == JString("overwrite"),
+      s"a CoW-delete snapshot must not claim append: $op2")
+  }
+
+  test("a DELETE manifest in the manifest list refuses by name — " +
+    "never a half-read that resurrects deleted rows") {
+    val dir = s"${tmp()}/t"
+    val t = new LogTable(dir)
+    t.append(Seq((1L, "a")).toDF("k", "v"))
+    IcebergExport.exportIcebergMetadata(spark, t)
+    val meta = JsonMethods.parse(java.nio.file.Files.readString(
+      new File(dir, "metadata/v1.metadata.json").toPath))
+    val listPath = ((meta \ "snapshots")(0) \ "manifest-list")
+      .asInstanceOf[JString].s
+    // doctor the manifest list: rewrite its single entry with
+    // content = 1 (a delete manifest, as a real v2 writer with
+    // row-level deletes would emit)
+    val lr = new org.apache.avro.file.DataFileReader[
+      org.apache.avro.generic.GenericRecord](new File(listPath),
+      new org.apache.avro.generic.GenericDatumReader[
+        org.apache.avro.generic.GenericRecord]())
+    val schema = lr.getSchema
+    val rec = lr.next(); lr.close()
+    rec.put("content", Integer.valueOf(1))
+    val doctored = new File(dir, "metadata/doctored-list.avro")
+    val w = new org.apache.avro.file.DataFileWriter[
+      org.apache.avro.generic.GenericRecord](
+      new org.apache.avro.generic.GenericDatumWriter[
+        org.apache.avro.generic.GenericRecord](schema))
+    w.setMeta("format-version", "2")
+    w.create(schema, doctored)
+    w.append(rec); w.close()
+    java.nio.file.Files.writeString(
+      new File(dir, "metadata/v1.metadata.json").toPath,
+      java.nio.file.Files.readString(
+        new File(dir, "metadata/v1.metadata.json").toPath)
+        .replace(listPath, doctored.getAbsolutePath))
+    val e = intercept[IllegalStateException](
+      IcebergExport.loadIceberg(spark, dir))
+    assert(e.getMessage.contains("DELETE manifests"), e.getMessage)
   }
 
   test("a COLUMN-MAPPED table reuses its existing parquet field ids " +
