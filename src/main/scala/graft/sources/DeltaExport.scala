@@ -154,12 +154,19 @@ object DeltaExport {
                              dir: File): Option[String] = {
     val commits = Option(dir.listFiles()).getOrElse(Array.empty)
       .filter(_.getName.matches("\\d{20}\\.json")).sortBy(_.getName)
-    val fromCommit = commits.iterator.flatMap { f =>
-      Files.readString(f.toPath).linesIterator
+    // STREAM the commit — metaData sits in the first lines, and a
+    // full-export commit is the fattest file in the log (one add
+    // per live file); never readString it onto the driver
+    def idIn(f: File): Option[String] = {
+      val src = scala.io.Source.fromFile(f, "UTF-8")
+      try src.getLines()
+        .filter(_.contains("\"metaData\""))
         .flatMap(l => JsonMethods.parse(l) \ "metaData" \ "id" match {
           case JString(id) => Some(id); case _ => None
-        })
-    }.nextOption()
+        }).nextOption()
+      finally src.close()
+    }
+    val fromCommit = commits.iterator.flatMap(idIn(_)).nextOption()
     fromCommit.orElse {
       val ckpts = Option(dir.listFiles()).getOrElse(Array.empty)
         .map(_.getName)
@@ -179,13 +186,53 @@ object DeltaExport {
   /** Delta paths are URL-ENCODED relative paths (PROTOCOL.md):
     * encode graft's on-disk relative path for the log, decode a
     * foreign log's path back to the filesystem form. URI-style
-    * percent escaping (spaces etc.), never form encoding ('+'). */
-  private[sources] def encodePath(p: String): String =
-    new java.net.URI(null, null, p, null).getRawPath
+    * percent escaping (spaces etc.), never form encoding ('+').
+    * Encoding goes through a "./" prefix so a first segment
+    * containing ':' never parses as a scheme (a bare
+    * `new URI(null,null,"a:b",null).getRawPath` is null). */
+  private[graft] def encodePath(p: String): String =
+    new java.net.URI(null, null, "./" + p, null)
+      .getRawPath.stripPrefix("./")
+      // ':' is a legal pchar the URI encoder leaves raw, but a raw
+      // colon in the FIRST segment would parse as a scheme on
+      // decode — escape it everywhere (decode restores it)
+      .replace(":", "%3A")
 
-  private[sources] def decodePath(p: String): String =
-    scala.util.Try(new java.net.URI(p).getPath).toOption
-      .filter(_ != null).getOrElse(p)
+  /** Decode a log path. A FULLY-QUALIFIED URI (the spec allows
+    * absolute `scheme://…` paths, e.g. after a clone) is returned
+    * VERBATIM — stripping its scheme/authority would silently remap
+    * it to a same-named local path; consumers that cannot serve
+    * cross-root URIs gate via [[hasUriScheme]] instead. */
+  private[graft] def decodePath(p: String): String =
+    scala.util.Try(new java.net.URI(p)).toOption match {
+      case Some(u) if u.getScheme != null => p
+      case Some(u) if u.getPath != null   => u.getPath
+      case _                              => p
+    }
+
+  /** Is this log path a fully-qualified URI (has a scheme)? */
+  private[graft] def hasUriScheme(p: String): Boolean =
+    scala.util.Try(new java.net.URI(p)).toOption
+      .exists(_.getScheme != null)
+
+  /** Parse `_last_checkpoint`: (version, declared part count). */
+  private def lastCheckpointInfo(dir: File)
+      : Option[(Long, Option[Int])] = {
+    val last = new File(dir, "_last_checkpoint")
+    if (!last.isFile) None
+    else {
+      val j = JsonMethods.parse(Files.readString(last.toPath))
+      val v = (j \ "version") match {
+        case JInt(i) => Some(i.toLong); case JLong(l) => Some(l)
+        case _       => None
+      }
+      val parts = (j \ "parts") match {
+        case JInt(i) => Some(i.toInt); case JLong(l) => Some(l.toInt)
+        case _       => None
+      }
+      v.map(_ -> parts)
+    }
+  }
 
   /** Resolve a checkpoint's parquet files — the single-part name or
     * the spec's multi-part `%020d.checkpoint.%010d.%010d.parquet`
@@ -444,18 +491,33 @@ object DeltaExport {
       } catch { case e: Throwable => deleteRecursive(txt); throw e }
     val tmp = new File(dir, s".tmp-ckpt-${UUID.randomUUID()}")
     val nParts = math.max(1L, (nActions + partRows - 1) / partRows).toInt
-    df.repartition(nParts).write.mode("overwrite").parquet(tmp.getPath)
-    val parts = tmp.listFiles().filter(_.getName.endsWith(".parquet"))
-      .sortBy(_.getName)
+    val moved = scala.collection.mutable.ArrayBuffer.empty[File]
     val named =
-      if (nParts == 1)
-        Seq(new File(dir, f"$v%020d.checkpoint.parquet"))
-      else parts.indices.map(i => new File(dir,
-        f"$v%020d.checkpoint.${i + 1}%010d.$nParts%010d.parquet"))
-    parts.zip(named).foreach { case (p, target) =>
-      Files.move(p.toPath, target.toPath,
-        StandardCopyOption.ATOMIC_MOVE)
-    }
+      try {
+        df.repartition(nParts).write.mode("overwrite")
+          .parquet(tmp.getPath)
+        val parts = tmp.listFiles()
+          .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+        val targets =
+          if (nParts == 1)
+            Seq(new File(dir, f"$v%020d.checkpoint.parquet"))
+          else parts.indices.map(i => new File(dir,
+            f"$v%020d.checkpoint.${i + 1}%010d.$nParts%010d.parquet"))
+        parts.zip(targets).foreach { case (p, target) =>
+          Files.move(p.toPath, target.toPath,
+            StandardCopyOption.ATOMIC_MOVE)
+          moved += target
+        }
+        targets
+      } catch {
+        case e: Throwable =>
+          // no stranded tmp dirs and no PARTIAL part set left behind
+          // (a partial set would read as a complete checkpoint to
+          // ckptParts-based probes)
+          moved.foreach(_.delete())
+          deleteRecursive(tmp); deleteRecursive(txt)
+          throw e
+      }
     tmp.listFiles().foreach(_.delete()); tmp.delete()
     deleteRecursive(txt)
     Files.writeString(new File(dir, "_last_checkpoint").toPath,
@@ -538,14 +600,8 @@ object DeltaExport {
       : (StructType, Seq[String], Seq[(String, Long)]) = {
     val dir = new File(tableRoot, "_delta_log")
     require(dir.isDirectory, s"no _delta_log under $tableRoot")
-    val last = new File(dir, "_last_checkpoint")
-    val ckptV: Option[Long] =
-      if (!last.isFile) None
-      else JsonMethods.parse(Files.readString(last.toPath)) \
-        "version" match {
-        case JInt(i) => Some(i.toLong); case JLong(l) => Some(l)
-        case _       => None
-      }
+    val lastInfo = lastCheckpointInfo(dir)
+    val ckptV: Option[Long] = lastInfo.map(_._1)
     var schema: Option[StructType] = None
     var partCols: Seq[String] = Seq.empty
     val live = scala.collection.mutable.LinkedHashMap.empty[String, Long]
@@ -565,6 +621,12 @@ object DeltaExport {
       require(paths.nonEmpty,
         s"_last_checkpoint names version $cv but no checkpoint " +
           s"parquet exists under $dir")
+      // a declared multi-part checkpoint must be COMPLETE — reading
+      // a subset would silently drop live files (half-read)
+      lastInfo.flatMap(_._2).foreach(parts =>
+        require(paths.length == parts,
+          s"checkpoint $cv declares $parts parts but " +
+            s"${paths.length} exist — refusing to half-read"))
       val df = spark.read.parquet(paths: _*)
       def has(c: String) = df.columns.contains(c)
       // protocol gate FIRST — never half-read a too-new log
@@ -744,19 +806,17 @@ object DeltaExport {
       val (rows, st) = parseDeltaStats(statsJson, types)
       AddFile(path, rows, size, st, pv)
     }
-    val last = new File(dir, "_last_checkpoint")
-    val ckptV: Option[Long] =
-      if (!last.isFile) None
-      else JsonMethods.parse(Files.readString(last.toPath)) \
-        "version" match {
-        case JInt(i) => Some(i.toLong); case JLong(l) => Some(l)
-        case _       => None
-      }
+    val lastInfo = lastCheckpointInfo(dir)
+    val ckptV: Option[Long] = lastInfo.map(_._1)
     ckptV.foreach { cv =>
       val paths = ckptParts(dir, cv)
       require(paths.nonEmpty,
         s"_last_checkpoint names version $cv but no checkpoint " +
           s"parquet exists under $dir")
+      lastInfo.flatMap(_._2).foreach(parts =>
+        require(paths.length == parts,
+          s"checkpoint $cv declares $parts parts but " +
+            s"${paths.length} exist — refusing to half-read"))
       val df = spark.read.parquet(paths: _*)
       if (df.columns.contains("add")) {
         val addT = df.schema("add").dataType.asInstanceOf[StructType]
@@ -825,6 +885,11 @@ object DeltaExport {
     // numRecords-less adds: one distributed footer job (metadata
     // reads only), never a data scan
     val adds0 = live.values.toSeq
+    adds0.find(a => hasUriScheme(a.path)).foreach(a =>
+      throw new IllegalArgumentException(
+        s"the Delta table at $tableRoot references a fully-qualified " +
+          s"URI (${a.path}) — this import registers table-relative " +
+          "paths only; co-locate the files under the table root first"))
     val backfilled: Map[String, Long] = {
       val missing = adds0.filter(_.rows < 0L).map(a =>
         new File(tableRoot, a.path).getPath)
@@ -854,6 +919,11 @@ object DeltaExport {
     * (hive partition discovery when partitioned). */
   def loadDelta(spark: SparkSession, tableRoot: String): DataFrame = {
     val (schema, partCols, files) = readDeltaSnapshot(spark, tableRoot)
+    files.find(f => hasUriScheme(f._1)).foreach(f =>
+      throw new IllegalStateException(
+        s"the Delta log at $tableRoot references a fully-qualified " +
+          s"URI (${f._1}) — this reader resolves table-relative " +
+          "paths only"))
     val paths = files.map { case (p, _) =>
       new File(tableRoot, p).getPath }
     if (paths.isEmpty)

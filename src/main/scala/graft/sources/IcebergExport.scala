@@ -251,11 +251,36 @@ object IcebergExport {
        }).getOrElse(UUID.randomUUID().toString)
     // honest snapshot summary.operation per the spec's vocabulary —
     // incremental-append consumers skip or refuse non-append
-    // snapshots, so a delete exported as "append" double-counts
-    val operation = log.commitOp(v) match {
-      case "append" | "create" | "convert"       => "append"
-      case "optimize" | "cluster" | "compact"    => "replace"
-      case _                                     => "overwrite"
+    // snapshots, so a delete exported as "append" double-counts.
+    // A snapshot may cover SEVERAL graft commits (sequential mirror
+    // calls can skip versions), so the operation folds over every
+    // commit since the previously exported version: any row-removing
+    // commit makes the whole span "overwrite", a rewrite-only span
+    // is "replace", and an unknowable span (expired commits) is
+    // conservatively "overwrite" — never a false "append".
+    val prevExportedV: Option[Long] =
+      if (prevN == 0) None
+      else (JsonMethods.parse(Files.readString(
+        new File(metaDir, s"v$prevN.metadata.json").toPath)) \
+        "current-snapshot-id") match {
+        case JInt(i) => Some(i.toLong); case JLong(l) => Some(l)
+        case _       => None
+      }
+    val operation: String = {
+      val span = prevExportedV.map(p => (p + 1) to v)
+        .getOrElse(v to v)
+      val retained = log.versions.toSet
+      if (!span.forall(retained.contains)) "overwrite"
+      else {
+        val ops = span.map(log.commitOp).toSet
+        def appendLike(o: String) = Set("append", "create", "convert",
+          "ref", "protocol", "properties", "schema", "analyze")(o)
+        if (ops.forall(appendLike)) "append"
+        else if (ops.forall(o => appendLike(o) || o == "optimize") &&
+          ops.contains("optimize") && !ops.contains("append"))
+          "replace"
+        else "overwrite"
+      }
     }
     val snapshotId = v
     val seq = n.toLong

@@ -296,6 +296,21 @@ class DeltaExportSpec extends SparkSpec {
     assert(ids.size == 1, s"table id churned: $ids")
   }
 
+  test("path codec unit contract: spaces and colons round-trip, " +
+    "fully-qualified URIs pass through verbatim") {
+    import graft.sources.{DeltaExport => DE}
+    for (p <- Seq("data/f x.parquet", "a:b/c.parquet",
+      "data/seg=New York/f.parquet", "data/plain.parquet")) {
+      val enc = DE.encodePath(p)
+      assert(!enc.contains(" ") && DE.decodePath(enc) == p,
+        s"$p -> $enc -> ${DE.decodePath(enc)}")
+    }
+    // a spec-legal absolute URI is preserved, never scheme-stripped
+    val uri = "s3a://bucket/data/f%20x.parquet"
+    assert(DE.decodePath(uri) == uri)
+    assert(DE.hasUriScheme(uri) && !DE.hasUriScheme("data/f.parquet"))
+  }
+
   test("paths URL-encode on export and decode on import: a " +
     "partition value with a space survives the round trip and the " +
     "log carries the spec's percent-escaped form") {
