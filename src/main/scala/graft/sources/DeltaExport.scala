@@ -5,7 +5,8 @@ import java.nio.file.{Files, StandardCopyOption}
 import java.util.UUID
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, lit, to_json}
+import org.apache.spark.sql.functions.{broadcast, col, lit,
+  monotonically_increasing_id, to_json}
 import org.apache.spark.sql.types._
 import org.json4s._
 import org.json4s.jackson.JsonMethods
@@ -771,6 +772,104 @@ object DeltaExport {
         }.toMap)
     }
 
+  /** Percent-decoded `partitionValues` JSON object → string map. */
+  private def partMapOf(j: JValue): Map[String, String] = j match {
+    case JObject(fs) => fs.collect {
+      case (k, JString(v)) => k -> v }.toMap
+    case _ => Map.empty
+  }
+
+  /** Exact row count from ONE parquet footer (a metadata read, no
+    * data scan) — static so the convert fold's executors backfill
+    * numRecords-less adds in place. */
+  private def footerRowCount(p: String): Long = {
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile
+      .fromPath(new org.apache.hadoop.fs.Path(p),
+        new org.apache.hadoop.conf.Configuration())
+    val rd = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try rd.getRecordCount finally rd.close()
+  }
+
+  /** Protocol-gated schema/partition metadata of a foreign Delta log
+    * — the METADATA-ONLY half of [[readDeltaSnapshot]]: checkpoint
+    * `protocol`/`metaData` columns (tiny collects) plus the JSON
+    * tail's latest metaData. The file state is never touched, so the
+    * cost is O(metadata) at any table size. Returns (schema,
+    * partition columns, checkpoint version if one serves). */
+  private def readDeltaMeta(spark: SparkSession, tableRoot: String)
+      : (StructType, Seq[String], Option[Long]) = {
+    val dir = new File(tableRoot, "_delta_log")
+    require(dir.isDirectory, s"no _delta_log under $tableRoot")
+    val lastInfo = lastCheckpointInfo(dir)
+    val ckptV: Option[Long] = lastInfo.map(_._1)
+    var schema: Option[StructType] = None
+    var partCols: Seq[String] = Seq.empty
+    def gateProtocol(mr: Long): Unit =
+      if (mr > 1) throw new IllegalStateException(
+        s"the Delta log at $tableRoot requires minReaderVersion " +
+          s"$mr — this import reads protocol 1 (plain parquet) " +
+          "only; refusing to half-read")
+    def applyMeta(schemaString: String, parts: Seq[String]): Unit = {
+      schema = Some(org.apache.spark.sql.types.DataType
+        .fromJson(schemaString).asInstanceOf[StructType])
+      partCols = parts
+    }
+    ckptV.foreach { cv =>
+      val paths = ckptParts(dir, cv)
+      require(paths.nonEmpty,
+        s"_last_checkpoint names version $cv but no checkpoint " +
+          s"parquet exists under $dir")
+      // a declared multi-part checkpoint must be COMPLETE — reading
+      // a subset would silently drop live files (half-read)
+      lastInfo.flatMap(_._2).foreach(parts =>
+        require(paths.length == parts,
+          s"checkpoint $cv declares $parts parts but " +
+            s"${paths.length} exist — refusing to half-read"))
+      val df = spark.read.parquet(paths: _*)
+      def has(c: String) = df.columns.contains(c)
+      if (has("protocol"))
+        df.filter(col("protocol").isNotNull)
+          .select(col("protocol.minReaderVersion").cast("long"))
+          .collect().foreach(r => gateProtocol(r.getLong(0)))
+      if (has("metaData"))
+        df.filter(col("metaData").isNotNull)
+          .select(col("metaData.schemaString"),
+            col("metaData.partitionColumns"))
+          .collect().headOption.foreach { r =>
+            applyMeta(r.getString(0),
+              Option(r.getSeq[String](1)).map(_.toSeq)
+                .getOrElse(Seq.empty))
+          }
+    }
+    val from = ckptV.map(_ + 1).getOrElse(0L)
+    Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.matches("\\d{20}\\.json"))
+      .map(f => f.getName.stripSuffix(".json").toLong -> f)
+      .filter(_._1 >= from).sortBy(_._1)
+      .foreach { case (_, f) =>
+        Files.readString(f.toPath).linesIterator.filter(_.nonEmpty)
+          .foreach { l =>
+            val j = JsonMethods.parse(l)
+            if ((j \ "protocol") != JNothing)
+              gateProtocol((j \ "protocol" \ "minReaderVersion") match {
+                case JInt(i) => i.toLong; case JLong(v) => v
+                case _       => 1L
+              })
+            if ((j \ "metaData") != JNothing)
+              applyMeta(
+                (j \ "metaData" \ "schemaString")
+                  .asInstanceOf[JString].s,
+                (j \ "metaData" \ "partitionColumns") match {
+                  case JArray(arr) => arr.collect { case JString(s) => s }
+                  case _           => Seq.empty
+                })
+          }
+      }
+    (schema.getOrElse(throw new IllegalStateException(
+      s"the Delta log at $tableRoot has no metaData action")),
+      partCols, ckptV)
+  }
+
   /** CONVERT FROM DELTA (metadata-only — Delta's own CONVERT shape
     * in reverse): fold the `_delta_log` at `tableRoot`, parse every
     * live add's stats back into graft's encoding, create a graft
@@ -778,76 +877,42 @@ object DeltaExport {
     * REFERENCE — zero data movement at any table size, file-skipping
     * stats preserved, and the result is a full read-write graft
     * table (time travel, DML, OPTIMIZE all work; the `_delta_log`
-    * stays behind as history). Refuses Delta deletion vectors (a
-    * different encoding this reader cannot subtract) and a root that
-    * already holds a graft log. Files whose adds carry no
-    * numRecords are backfilled with ONE distributed parquet-footer
-    * job (metadata reads, no data scan). */
+    * stays behind as history). The foreign CHECKPOINT folds as a
+    * SPARK JOB — path decode, type-aware stats re-encode and footer
+    * backfill all run on executors, and the add set commits through
+    * [[LogTable.registerFilesFrom]]'s by-reference sidecar, so the
+    * driver never holds the file list (the round-13 driver
+    * LinkedHashMap fold is gone); only the bounded JSON tail (at
+    * most one Delta checkpoint interval of commits) folds
+    * driver-side. Refuses Delta deletion vectors (a different
+    * encoding this reader cannot subtract), fully-qualified URIs,
+    * and a root that already holds a graft log. */
   def convertFromDelta(spark: SparkSession,
                        tableRoot: String): LogTable = {
     val pre = new LogTable(tableRoot)
     require(pre.currentVersion.isEmpty,
       s"a graft log table already exists at $tableRoot")
-    val (schema, partCols, _) = readDeltaSnapshot(spark, tableRoot)
+    val (schema, partCols, ckptV) = readDeltaMeta(spark, tableRoot)
     val types = schema.fields.map(f => f.name -> f.dataType).toMap
     val dir = new File(tableRoot, "_delta_log")
-
-    // second fold carrying the FULL add payload (stats included) —
-    // slim typed rows from the checkpoint, JSON tail on top
-    val live = scala.collection.mutable.LinkedHashMap
-      .empty[String, AddFile]
-    def partMap(j: JValue): Map[String, String] = j match {
-      case JObject(fs) => fs.collect {
-        case (k, JString(v)) => k -> v }.toMap
-      case _ => Map.empty
-    }
+    val dvMsg = s"the Delta table at $tableRoot carries deletion " +
+      "vectors — this import cannot subtract Delta's DV encoding; " +
+      "purge them Delta-side first"
+    def uriMsg(p: String) =
+      s"the Delta table at $tableRoot references a fully-qualified " +
+        s"URI ($p) — this import registers table-relative paths " +
+        "only; co-locate the files under the table root first"
     def addOf(path: String, size: Long, pv: Map[String, String],
               statsJson: Option[String]): AddFile = {
       val (rows, st) = parseDeltaStats(statsJson, types)
       AddFile(path, rows, size, st, pv)
     }
-    val lastInfo = lastCheckpointInfo(dir)
-    val ckptV: Option[Long] = lastInfo.map(_._1)
-    ckptV.foreach { cv =>
-      val paths = ckptParts(dir, cv)
-      require(paths.nonEmpty,
-        s"_last_checkpoint names version $cv but no checkpoint " +
-          s"parquet exists under $dir")
-      lastInfo.flatMap(_._2).foreach(parts =>
-        require(paths.length == parts,
-          s"checkpoint $cv declares $parts parts but " +
-            s"${paths.length} exist — refusing to half-read"))
-      val df = spark.read.parquet(paths: _*)
-      if (df.columns.contains("add")) {
-        val addT = df.schema("add").dataType.asInstanceOf[StructType]
-        require(!addT.fieldNames.contains("deletionVector") ||
-          df.filter(col("add.deletionVector").isNotNull).isEmpty,
-          s"the Delta table at $tableRoot carries deletion vectors " +
-            "— this import cannot subtract Delta's DV encoding; " +
-            "purge them Delta-side first")
-        val hasStats = addT.fieldNames.contains("stats")
-        val hasPv = addT.fieldNames.contains("partitionValues")
-        val pvIsMap = addT.fields.find(_.name == "partitionValues")
-          .exists(_.dataType.isInstanceOf[MapType])
-        val rows = df.filter(col("add").isNotNull).select(
-          col("add.path"), col("add.size").cast("long"),
-          if (!hasPv) lit(null).cast("string")
-          else if (pvIsMap) col("add.partitionValues")
-          else to_json(col("add.partitionValues")),
-          if (hasStats) col("add.stats")
-          else lit(null).cast("string")).collect()
-        rows.foreach { r =>
-          val pv =
-            if (pvIsMap)
-              Option(r.getMap[String, String](2))
-                .map(_.toMap).getOrElse(Map.empty[String, String])
-            else Option(r.getString(2)).map(s =>
-              partMap(JsonMethods.parse(s))).getOrElse(Map.empty)
-          val dp = decodePath(r.getString(0))
-          live(dp) = addOf(dp, r.getLong(1), pv, Option(r.getString(3)))
-        }
-      }
-    }
+
+    // JSON tail (bounded: at most one Delta checkpoint interval of
+    // commits) — latest wins; REMOVES kept as tombstones so the
+    // distributed base can be filtered by the touched set
+    val tail = scala.collection.mutable.LinkedHashMap
+      .empty[String, Option[AddFile]]
     val from = ckptV.map(_ + 1).getOrElse(0L)
     Option(dir.listFiles()).getOrElse(Array.empty)
       .filter(f => f.getName.matches("\\d{20}\\.json"))
@@ -860,57 +925,141 @@ object DeltaExport {
             (j \ "add") match {
               case JNothing => ()
               case a =>
-                require((a \ "deletionVector") == JNothing,
-                  s"the Delta table at $tableRoot carries deletion " +
-                    "vectors — this import cannot subtract Delta's " +
-                    "DV encoding; purge them Delta-side first")
+                require((a \ "deletionVector") == JNothing, dvMsg)
                 val p =
                   decodePath((a \ "path").asInstanceOf[JString].s)
                 val size = (a \ "size") match {
                   case JInt(i) => i.toLong; case JLong(l2) => l2
                   case _       => 0L
                 }
-                live(p) = addOf(p, size, partMap(a \ "partitionValues"),
+                tail.remove(p)
+                tail(p) = Some(addOf(p, size,
+                  partMapOf(a \ "partitionValues"),
                   (a \ "stats") match {
                     case JString(s) => Some(s); case _ => None
-                  })
+                  }))
             }
             (j \ "remove" \ "path") match {
-              case JString(p) => live.remove(decodePath(p)); ()
-              case _          => ()
+              case JString(p0) =>
+                val p = decodePath(p0)
+                tail.remove(p); tail(p) = None
+              case _ => ()
             }
           }
       }
-
-    // numRecords-less adds: one distributed footer job (metadata
-    // reads only), never a data scan
-    val adds0 = live.values.toSeq
-    adds0.find(a => hasUriScheme(a.path)).foreach(a =>
-      throw new IllegalArgumentException(
-        s"the Delta table at $tableRoot references a fully-qualified " +
-          s"URI (${a.path}) — this import registers table-relative " +
-          "paths only; co-locate the files under the table root first"))
+    val tailAlive0 = tail.values.flatten.toSeq
+    tailAlive0.find(a => hasUriScheme(a.path)).foreach(a =>
+      throw new IllegalArgumentException(uriMsg(a.path)))
+    // tail backfill: tiny (bounded) footer job for stats-less adds
     val backfilled: Map[String, Long] = {
-      val missing = adds0.filter(_.rows < 0L).map(a =>
+      val missing = tailAlive0.filter(_.rows < 0L).map(a =>
         new File(tableRoot, a.path).getPath)
       if (missing.isEmpty) Map.empty
       else spark.sparkContext.parallelize(missing,
-        math.min(missing.size, 64)).map { p =>
-          val in = org.apache.parquet.hadoop.util.HadoopInputFile
-            .fromPath(new org.apache.hadoop.fs.Path(p),
-              new org.apache.hadoop.conf.Configuration())
-          val rd = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-          try p -> rd.getRecordCount finally rd.close()
-        }.collect().toMap
+        math.min(missing.size, 64))
+        .map(p => p -> footerRowCount(p)).collect().toMap
     }
-    val adds = adds0.map { a =>
+    val tailAlive = tailAlive0.map { a =>
       if (a.rows >= 0L) a
       else a.copy(rows = backfilled(new File(tableRoot, a.path).getPath))
     }
 
     val t = new LogTable(tableRoot)
-    t.create(schema, partitionBy = partCols)
-    if (adds.nonEmpty) t.registerFiles(adds, op = "convert")
+    ckptV match {
+      case None =>
+        // no foreign checkpoint: the whole log IS the bounded tail —
+        // the driver Seq is small by construction
+        t.create(schema, partitionBy = partCols)
+        if (tailAlive.nonEmpty) t.registerFiles(tailAlive, op = "convert")
+      case Some(cv) =>
+        // DISTRIBUTED fold: checkpoint add rows → CkptAdd manifest
+        // rows on executors → by-reference commit; the driver holds
+        // only the bounded tail and O(1) aggregates
+        val df = spark.read.parquet(ckptParts(dir, cv): _*)
+        val enc = org.apache.spark.sql.Encoders.product[CkptAdd]
+        val base: org.apache.spark.sql.Dataset[CkptAdd] =
+          if (!df.columns.contains("add"))
+            spark.createDataset(Seq.empty[CkptAdd])(enc)
+          else {
+            val addT =
+              df.schema("add").dataType.asInstanceOf[StructType]
+            require(!addT.fieldNames.contains("deletionVector") ||
+              df.filter(col("add.deletionVector").isNotNull).isEmpty,
+              dvMsg)
+            // URI gate as ONE aggregate: collect at most one
+            // offender, never the path list
+            val offender = df.filter(col("add").isNotNull)
+              .filter(col("add.path")
+                .rlike("^[a-zA-Z][a-zA-Z0-9+.\\-]*:"))
+              .select(col("add.path")).limit(1).collect()
+            offender.headOption.foreach(r =>
+              throw new IllegalArgumentException(uriMsg(r.getString(0))))
+            val hasStats = addT.fieldNames.contains("stats")
+            // partitionValues normalizes to a JSON STRING whatever
+            // the writer's checkpoint encoding (spec map, or the
+            // struct-keyed form JSON-inferring writers emit)
+            val hasPv = addT.fieldNames.contains("partitionValues")
+            val typesB = types // stable closure capture
+            val rootPath = new File(tableRoot).getPath
+            import spark.implicits._
+            df.filter(col("add").isNotNull).select(
+              col("add.path").as("p"),
+              col("add.size").cast("long").as("size"),
+              (if (!hasPv) lit(null).cast("string")
+               else to_json(col("add.partitionValues"))).as("pv"),
+              (if (hasStats) col("add.stats")
+               else lit(null).cast("string")).as("stats"))
+              .withColumn("idx", monotonically_increasing_id())
+              .as[(String, Long, String, String, Long)]
+              .map { case (p0, size, pvJson, statsJson, idx) =>
+                val dp = decodePath(p0)
+                // belt-and-braces for a scheme that only appears
+                // after percent-decoding (the agg above gated the
+                // raw form)
+                if (hasUriScheme(dp))
+                  throw new IllegalArgumentException(
+                    s"fully-qualified URI after decode: $dp")
+                val pv = Option(pvJson)
+                  .map(s => partMapOf(JsonMethods.parse(s)))
+                  .getOrElse(Map.empty[String, String])
+                val (rows0, st) =
+                  parseDeltaStats(Option(statsJson), typesB)
+                val rows =
+                  if (rows0 >= 0L) rows0
+                  else footerRowCount(
+                    new File(rootPath, dp).getPath)
+                CkptAdd(idx, dp, rows, size,
+                  JsonMethods.compact(JsonMethods.render(
+                    LogTable.renderStats(st))), pv, None, None, None)
+              }(enc)
+          }
+        // stitch the bounded tail on top: drop every touched path
+        // from the base (latest wins), append the alive tail entries
+        // ABOVE the base's monotonic-id range so normalization keeps
+        // their order last
+        val touched = tail.keys.toSeq
+        val kept =
+          if (touched.isEmpty) base.toDF()
+          else if (touched.size <= 1000)
+            base.toDF().filter(!col("path").isin(touched: _*))
+          else {
+            import spark.implicits._
+            base.toDF().join(broadcast(touched.toDF("path")),
+              Seq("path"), "left_anti")
+              .select(base.toDF().columns.map(col).toIndexedSeq: _*)
+          }
+        val tailDs = spark.createDataset(
+          tailAlive.zipWithIndex.map { case (a, i) =>
+            CkptAdd(Long.MaxValue - tailAlive.size + i, a.path,
+              a.rows, a.bytes, JsonMethods.compact(JsonMethods.render(
+                LogTable.renderStats(a.stats))), a.partitionValues,
+              a.dv.map(_.path), a.dv.map(_.rows), a.baseRowId)
+          })(enc)
+        t.create(schema, partitionBy = partCols)
+        t.registerFilesFrom(spark,
+          kept.unionByName(tailDs.toDF()).as[CkptAdd](enc),
+          op = "convert")
+    }
     t
   }
 

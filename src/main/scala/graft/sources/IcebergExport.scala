@@ -143,6 +143,17 @@ object IcebergExport {
         s""""default":null,"field-id":${1000 + i}}"""
     }.mkString(",")
 
+  /** An Iceberg map with non-string keys renders in Avro as an
+    * array of key/value records with `logicalType: map` (the spec's
+    * Avro appendix) — the shape of null_value_counts (110) and the
+    * single-value-serialized lower/upper bounds (125/128). */
+  private def kvMapAvro(name: String, keyId: Int, valueType: String,
+                        valueId: Int): String =
+    s"""["null",{"type":"array","logicalType":"map",
+      "items":{"type":"record","name":"$name","fields":[
+        {"name":"key","type":"int","field-id":$keyId},
+        {"name":"value","type":$valueType,"field-id":$valueId}]}}]"""
+
   private def manifestEntrySchema(partCols: Seq[String],
       ids: Seq[(StructField, Int)]): org.apache.avro.Schema =
     new org.apache.avro.Schema.Parser().parse(
@@ -157,9 +168,65 @@ object IcebergExport {
           {"name":"file_format","type":"string","field-id":101},
           {"name":"partition","field-id":102,"type":{"type":"record","name":"r102","fields":[${partitionAvroFields(partCols, ids)}]}},
           {"name":"record_count","type":"long","field-id":103},
-          {"name":"file_size_in_bytes","type":"long","field-id":104}
+          {"name":"file_size_in_bytes","type":"long","field-id":104},
+          {"name":"null_value_counts","type":${kvMapAvro("k121_v122", 121, "\"long\"", 122)},"default":null,"field-id":110},
+          {"name":"lower_bounds","type":${kvMapAvro("k126_v127", 126, "\"bytes\"", 127)},"default":null,"field-id":125},
+          {"name":"upper_bounds","type":${kvMapAvro("k129_v130", 129, "\"bytes\"", 130)},"default":null,"field-id":128}
         ]}}
       ]}""")
+
+  /** Iceberg single-value serialization (spec Appendix D) of one
+    * graft-internal stat bound, typed by the column's Spark type:
+    * little-endian fixed width for numerics/date/timestamps, one
+    * byte for boolean, raw UTF-8 for strings. None for types graft
+    * stats never carry (the bound is simply omitted — absent bounds
+    * only ever cost skipping, never correctness). */
+  private def boundBytes(dt: DataType, v: Any)
+      : Option[java.nio.ByteBuffer] = {
+    import java.nio.{ByteBuffer, ByteOrder}
+    def le(n: Int) = ByteBuffer.allocate(n)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    val buf: Option[ByteBuffer] = (dt, v) match {
+      case (ByteType | ShortType | IntegerType | DateType, l: Long) =>
+        Some(le(4).putInt(l.toInt))
+      case (LongType | TimestampType | TimestampNTZType, l: Long) =>
+        Some(le(8).putLong(l))
+      case (BooleanType, l: Long) =>
+        Some(ByteBuffer.wrap(Array[Byte](if (l != 0L) 1 else 0)))
+      case (FloatType, d: Double)  => Some(le(4).putFloat(d.toFloat))
+      case (DoubleType, d: Double) => Some(le(8).putDouble(d))
+      case (StringType, s: String) => Some(ByteBuffer.wrap(
+        s.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+      case _ => None
+    }
+    buf.map { b => b.rewind(); b }
+  }
+
+  /** Reverse of [[boundBytes]]: one single-value-serialized bound
+    * back to graft's internal stat encoding. Foreign TRUNCATED
+    * string bounds stay sound verbatim (Iceberg writers increment a
+    * truncated upper bound so it still upper-bounds). Unknown or
+    * short payloads decode to None — absent prunes nothing. */
+  private def boundValue(dt: DataType, bytes: Array[Byte])
+      : Option[Any] = {
+    import java.nio.{ByteBuffer, ByteOrder}
+    def le = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    dt match {
+      case ByteType | ShortType | IntegerType | DateType =>
+        if (bytes.length < 4) None else Some(le.getInt.toLong)
+      case LongType | TimestampType | TimestampNTZType =>
+        if (bytes.length < 8) None else Some(le.getLong)
+      case BooleanType =>
+        bytes.headOption.map(b => if (b != 0) 1L else 0L)
+      case FloatType =>
+        if (bytes.length < 4) None else Some(le.getFloat.toDouble)
+      case DoubleType =>
+        if (bytes.length < 8) None else Some(le.getDouble)
+      case StringType => Some(new String(bytes,
+        java.nio.charset.StandardCharsets.UTF_8))
+      case _ => None
+    }
+  }
 
   private val manifestFileSchema: org.apache.avro.Schema =
     new org.apache.avro.Schema.Parser().parse(
@@ -328,6 +395,39 @@ object IcebergExport {
         df.put("partition", part)
         df.put("record_count", java.lang.Long.valueOf(a.rows))
         df.put("file_size_in_bytes", java.lang.Long.valueOf(a.bytes))
+        // column stats ride the manifest (Iceberg's skipping
+        // surface): per-field-id null counts plus single-value-
+        // serialized lower/upper bounds — what lets a FOREIGN
+        // Iceberg reader (and convertFromIceberg's round trip)
+        // prune files from the metadata alone
+        val dfSch = entrySchema.getField("data_file").schema()
+        def itemsOf(field: String): org.apache.avro.Schema =
+          dfSch.getField(field).schema().getTypes.get(1)
+            .getElementType
+        def kvRec(sch: org.apache.avro.Schema, id: Int,
+                  value: AnyRef): GenericRecord = {
+          val r = new GenericData.Record(sch)
+          r.put("key", Integer.valueOf(id)); r.put("value", value); r
+        }
+        val (nSch, loSch, upSch) = (itemsOf("null_value_counts"),
+          itemsOf("lower_bounds"), itemsOf("upper_bounds"))
+        val nulls = new java.util.ArrayList[GenericRecord]()
+        val lows = new java.util.ArrayList[GenericRecord]()
+        val ups = new java.util.ArrayList[GenericRecord]()
+        a.stats.toSeq
+          .flatMap { case (c, st) =>
+            ids.find(_._1.name == c).map(p => (p._2, p._1, st)) }
+          .sortBy(_._1)
+          .foreach { case (id, f, st) =>
+            nulls.add(kvRec(nSch, id, java.lang.Long.valueOf(st.nulls)))
+            st.min.flatMap(boundBytes(f.dataType, _))
+              .foreach(b => lows.add(kvRec(loSch, id, b)))
+            st.max.flatMap(boundBytes(f.dataType, _))
+              .foreach(b => ups.add(kvRec(upSch, id, b)))
+          }
+        df.put("null_value_counts", if (nulls.isEmpty) null else nulls)
+        df.put("lower_bounds", if (lows.isEmpty) null else lows)
+        df.put("upper_bounds", if (ups.isEmpty) null else ups)
         val e = new GenericData.Record(entrySchema)
         e.put("status", Integer.valueOf(1)) // ADDED
         e.put("snapshot_id", java.lang.Long.valueOf(snapshotId))
@@ -451,9 +551,15 @@ object IcebergExport {
     * values rendered hive-style) triple per live file). REFUSES
     * Iceberg v2 DELETE manifests/files (content != 0) by name —
     * ignoring them would resurrect deleted rows, a half-read. */
-  def readIcebergSnapshot(spark: SparkSession, tableRoot: String)
-      : (StructType, Seq[String],
-         Seq[(String, Long, Map[String, String])]) = {
+  /** Driver-side METADATA read of an Iceberg table: version-hint →
+    * current metadata JSON → current snapshot's manifest list —
+    * O(#manifests), per-file entries never touched. Returns (schema
+    * fields with their Iceberg field ids, partition columns,
+    * manifest paths). Refuses DELETE manifests from the list's own
+    * `content` field (v2 position/equality deletes — ignoring them
+    * would resurrect rows). */
+  private def readIcebergMeta(tableRoot: String)
+      : (Seq[(StructField, Int)], Seq[String], Seq[String]) = {
     val metaDir = new File(tableRoot, "metadata")
     val hint = new File(metaDir, "version-hint.text")
     require(hint.isFile, s"no metadata/version-hint.text under $tableRoot")
@@ -479,10 +585,14 @@ object IcebergExport {
         JInt(BigInt(curSchemaId))).getOrElse(ss.head)
       case _ => throw new IllegalStateException("no schemas array")
     }
-    val fields = (schemaJ \ "fields") match {
+    val fields: Seq[(StructField, Int)] = (schemaJ \ "fields") match {
       case JArray(fs) => fs.map { f =>
+        val id = (f \ "id") match {
+          case JInt(i) => i.toInt; case JLong(l) => l.toInt
+          case _       => -1
+        }
         StructField((f \ "name").asInstanceOf[JString].s,
-          sparkType((f \ "type").asInstanceOf[JString].s))
+          sparkType((f \ "type").asInstanceOf[JString].s)) -> id
       }
       case _ => Nil
     }
@@ -528,75 +638,172 @@ object IcebergExport {
           "first, refusing to half-read")
       manifests += m.get("manifest_path").toString
     } finally lr.close()
-    val files = scala.collection.mutable
-      .ArrayBuffer.empty[(String, Long, Map[String, String])]
-    manifests.foreach { mp =>
-      val mr = new DataFileReader[GenericRecord](new File(mp),
-        new GenericDatumReader[GenericRecord]())
-      try while (mr.hasNext) {
-        val e = mr.next()
-        val status = e.get("status").asInstanceOf[Integer].intValue()
-        if (status != 2) { // 2 = DELETED
-          val df = e.get("data_file").asInstanceOf[GenericRecord]
-          val fileContent =
-            if (df.getSchema.getField("content") == null) 0
-            else Option(df.get("content")).map(
-              _.asInstanceOf[Number].intValue()).getOrElse(0)
-          if (fileContent != 0) throw new IllegalStateException(
-            s"the Iceberg table at $tableRoot carries delete FILES " +
-              "(data_file.content != 0) — this reader cannot " +
-              "subtract them; refusing to half-read")
-          // partition values come from the TYPED manifest struct —
-          // never re-parsed from the path (non-hive layouts and
-          // escaped values would mislead)
-          val pvRec = Option(df.get("partition"))
-            .map(_.asInstanceOf[GenericRecord])
-          import scala.jdk.CollectionConverters._
-          val pv: Map[String, String] = pvRec.map { r =>
-            r.getSchema.getFields.asScala.flatMap { f =>
-              partValueString(f.schema(), r.get(f.name()))
-                .map(f.name() -> _)
-            }.toMap
-          }.getOrElse(Map.empty)
-          files += ((df.get("file_path").toString,
-            df.get("record_count").asInstanceOf[java.lang.Long]
-              .longValue(), pv))
+    (fields, partCols, manifests.toSeq)
+  }
+
+  /** One manifest's live entries — (file_path, record_count,
+    * file_size_in_bytes, typed partition values, graft stats decoded
+    * from null counts + single-value bounds). STATIC and
+    * per-manifest so [[convertFromIceberg]] fans the read out to
+    * executors; [[readIcebergSnapshot]] walks the same code on the
+    * driver for the proxy reader. `typeOfId` resolves bound keys. */
+  private def readManifestEntries(tableRoot: String, mp: String,
+      typeOfId: Map[Int, (String, DataType)])
+      : Seq[(String, Long, Long, Map[String, String],
+             Map[String, ColStats])] = {
+    import scala.jdk.CollectionConverters._
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(String, Long, Long, Map[String, String],
+              Map[String, ColStats])]
+    val mr = new DataFileReader[GenericRecord](new File(mp),
+      new GenericDatumReader[GenericRecord]())
+    try while (mr.hasNext) {
+      val e = mr.next()
+      val status = e.get("status").asInstanceOf[Integer].intValue()
+      if (status != 2) { // 2 = DELETED
+        val df = e.get("data_file").asInstanceOf[GenericRecord]
+        val fileContent =
+          if (df.getSchema.getField("content") == null) 0
+          else Option(df.get("content")).map(
+            _.asInstanceOf[Number].intValue()).getOrElse(0)
+        if (fileContent != 0) throw new IllegalStateException(
+          s"the Iceberg table at $tableRoot carries delete FILES " +
+            "(data_file.content != 0) — this reader cannot " +
+            "subtract them; refusing to half-read")
+        // partition values come from the TYPED manifest struct —
+        // never re-parsed from the path (non-hive layouts and
+        // escaped values would mislead)
+        val pvRec = Option(df.get("partition"))
+          .map(_.asInstanceOf[GenericRecord])
+        val pv: Map[String, String] = pvRec.map { r =>
+          r.getSchema.getFields.asScala.flatMap { f =>
+            partValueString(f.schema(), r.get(f.name()))
+              .map(f.name() -> _)
+          }.toMap
+        }.getOrElse(Map.empty)
+        // decode the skipping stats the manifest carries: absent
+        // fields (v1 writers, truncating writers) just mean fewer
+        // prunable columns
+        def kvMap(field: String): Map[Int, AnyRef] =
+          if (df.getSchema.getField(field) == null) Map.empty
+          else Option(df.get(field)) match {
+            case Some(arr: java.util.Collection[_]) =>
+              arr.asScala.map { r0 =>
+                val r = r0.asInstanceOf[GenericRecord]
+                r.get("key").asInstanceOf[Number].intValue() ->
+                  r.get("value").asInstanceOf[AnyRef]
+              }.toMap
+            case Some(m: java.util.Map[_, _]) =>
+              // string-keyed Avro map form some writers emit
+              m.asScala.map { case (k, v) =>
+                k.toString.toInt -> v.asInstanceOf[AnyRef] }.toMap
+            case _ => Map.empty
+          }
+        def bytesOf(v: AnyRef): Array[Byte] = v match {
+          case b: java.nio.ByteBuffer =>
+            val d = b.duplicate(); val a = new Array[Byte](d.remaining())
+            d.get(a); a
+          case a: Array[Byte] => a
+          case other => other.toString
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8)
         }
-      } finally mr.close()
-    }
-    (StructType(fields), partCols, files.toSeq)
+        val nullsBy = kvMap("null_value_counts").map { case (k, v) =>
+          k -> v.asInstanceOf[Number].longValue() }
+        val lowsBy = kvMap("lower_bounds")
+        val upsBy = kvMap("upper_bounds")
+        val stats: Map[String, ColStats] =
+          (lowsBy.keySet ++ upsBy.keySet ++ nullsBy.keySet)
+            .flatMap(id => typeOfId.get(id).map { case (name, dt) =>
+              name -> ColStats(
+                lowsBy.get(id).flatMap(b => boundValue(dt, bytesOf(b))),
+                upsBy.get(id).flatMap(b => boundValue(dt, bytesOf(b))),
+                nullsBy.getOrElse(id, 0L))
+            })
+            .filter(s => s._2.min.isDefined || s._2.max.isDefined ||
+              s._2.nulls > 0L)
+            .toMap
+        out += ((df.get("file_path").toString,
+          df.get("record_count").asInstanceOf[java.lang.Long]
+            .longValue(),
+          Option(df.get("file_size_in_bytes"))
+            .map(_.asInstanceOf[Number].longValue()).getOrElse(0L),
+          pv, stats))
+      }
+    } finally mr.close()
+    out.toSeq
+  }
+
+  def readIcebergSnapshot(spark: SparkSession, tableRoot: String)
+      : (StructType, Seq[String],
+         Seq[(String, Long, Map[String, String])]) = {
+    val (ids, partCols, manifests) = readIcebergMeta(tableRoot)
+    val typeOfId = ids.map { case (f, id) =>
+      id -> (f.name, f.dataType) }.toMap
+    val files = manifests.flatMap(mp =>
+      readManifestEntries(tableRoot, mp, typeOfId)
+        .map(e => (e._1, e._2, e._4)))
+    (StructType(ids.map(_._1)), partCols, files)
   }
 
   /** CONVERT FROM ICEBERG metadata (the reverse of
     * [[exportIcebergMetadata]], Iceberg's own `add_files`/migrate
-    * shape): resolve the current snapshot's live files, create a
-    * graft LogTable IN PLACE at the table root, and register the
-    * files BY REFERENCE — zero data movement, rows from the
-    * manifests' record_count. Column bounds are NOT carried (this
-    * exporter writes none and foreign manifests encode theirs as
-    * optional single-value-serialized binary — skipping simply
-    * starts cold; the next OPTIMIZE/cluster rewrites stats in).
-    * Hive-style partition values parse back from the file paths.
-    * Refuses a root that already holds a graft log. */
+    * shape): resolve the current snapshot's manifests, fan the
+    * per-file entry read out as a SPARK JOB (one task per manifest
+    * group — the driver holds the manifest PATH list, never the
+    * file list), and register the files BY REFERENCE through
+    * [[LogTable.registerFilesFrom]] — zero data movement. Rows come
+    * from the manifests' `record_count`, sizes from the
+    * spec-required `file_size_in_bytes` (no filesystem call per
+    * file), and column bounds decode from the manifests'
+    * single-value-serialized `lower_bounds`/`upper_bounds` (+
+    * `null_value_counts`), so a converted table PRUNES from commit
+    * one. Partition values come typed from the manifest struct.
+    * Refuses a root that already holds a graft log, and file paths
+    * that do not live under the table root (silently re-rooting
+    * them would register dangling references). */
   def convertFromIceberg(spark: SparkSession,
                          tableRoot: String): LogTable = {
     val pre = new LogTable(tableRoot)
     require(pre.currentVersion.isEmpty,
       s"a graft log table already exists at $tableRoot")
-    val (schema, partCols, files) = readIcebergSnapshot(spark, tableRoot)
+    val (ids, partCols, manifests) = readIcebergMeta(tableRoot)
+    val schema = StructType(ids.map(_._1))
+    val typeOfId = ids.map { case (f, id) =>
+      id -> (f.name, f.dataType) }.toMap
+    val partSet = partCols.toSet
     val root = new File(tableRoot).getAbsolutePath
-    val adds = files.map { case (p, n, pv) =>
-      val rel =
-        if (p.startsWith(root + "/")) p.substring(root.length + 1)
-        else p
-      // partition values come decoded from the TYPED manifest
-      // struct (readIcebergSnapshot), never re-parsed from the path
-      AddFile(rel, n, new File(tableRoot, rel).length(),
-        Map.empty, pv.view.filterKeys(partCols.contains).toMap)
-    }
+    val rootB = root // stable closure capture
     val t = new LogTable(tableRoot)
     t.create(schema, partitionBy = partCols)
-    if (adds.nonEmpty) t.registerFiles(adds, op = "convert")
+    if (manifests.nonEmpty) {
+      val enc = org.apache.spark.sql.Encoders.product[CkptAdd]
+      val perManifest = 1L << 40 // entry-index spacing per manifest
+      val ds = spark.createDataset(
+        spark.sparkContext.parallelize(
+          manifests.zipWithIndex,
+          math.min(manifests.size, 64))
+          .flatMap { case (mp, mi) =>
+            readManifestEntries(rootB, mp, typeOfId).iterator
+              .zipWithIndex.map { case ((p, n, bytes, pv, st), i) =>
+                val rel =
+                  if (p.startsWith(rootB + "/"))
+                    p.substring(rootB.length + 1)
+                  else if (p.startsWith("/"))
+                    throw new IllegalArgumentException(
+                      s"the Iceberg table at $rootB references a " +
+                        s"file outside the table root ($p) — this " +
+                        "import registers table-relative paths " +
+                        "only; co-locate the files first")
+                  else p
+                CkptAdd(mi * perManifest + i, rel, n, bytes,
+                  JsonMethods.compact(JsonMethods.render(
+                    LogTable.renderStats(st))),
+                  pv.view.filterKeys(partSet.contains).toMap,
+                  None, None, None)
+              }
+          })(enc)
+      t.registerFilesFrom(spark, ds, op = "convert")
+    }
     t
   }
 

@@ -67,6 +67,22 @@ private[graft] final case class CkptAdd(idx: Long, path: String,
                                         dvRows: Option[Long],
                                         baseRowId: Option[Long])
 
+/** A commit's add set BY REFERENCE — the `addsRef` action: instead
+  * of one inline `add` line per file, the commit names a multi-part
+  * parquet sidecar (one [[CkptAdd]] row per file, written by a Spark
+  * job) plus the O(1) admission facts every metadata surface needs
+  * (file/row/byte totals, DV presence). This is how a CONVERT of a
+  * million-file foreign table commits without the driver ever
+  * holding the file list — the same manifest-to-manifest discipline
+  * checkpoints already follow (Iceberg commits are ALWAYS shaped
+  * like this: a snapshot points at manifests, never inlines files).
+  * Protocol-gated by the `addsRef` reader feature: a reader that
+  * does not understand the action would otherwise serve an empty
+  * table — a half-read the protocol forbids. */
+private[graft] final case class AddsRef(path: String, count: Long,
+                                        rows: Long, bytes: Long,
+                                        anyDv: Boolean)
+
 /** One partition's result of the DISTRIBUTED pruning walk
   * ([[LogTable.prunedAdds]]): how many manifest rows the partition
   * held and which survived file-skipping — collected per partition
@@ -254,6 +270,13 @@ final class LogTable(val path: String,
   // no header resolves, swept with the version at expiry
   private def ckptParquetDir(v: Long, tag: String) =
     new File(logDir, f"$v%020d.ckpt.$tag.parquet")
+  // a by-reference commit's add-set sidecar ([[AddsRef]]): written
+  // BEFORE the commit claims its version, so the name is a uuid,
+  // not a version prefix — the claiming commit records it; a crash
+  // between sidecar and claim leaves garbage no commit references
+  // (swept when its would-be commit range expires)
+  private def addsRefDir(tag: String) =
+    new File(logDir, s"addsref.$tag.parquet")
   private def lastCkptFile = new File(logDir, "_last_checkpoint")
 
   /** Count of full `_log/` directory LISTs this instance has issued
@@ -366,18 +389,7 @@ final class LogTable(val path: String,
     LogTable.parseStats(j)
 
   private def renderStats(stats: Map[String, ColStats]): JValue =
-    JObject(stats.toList.map { case (c, st) =>
-      def side(v: Option[Any]): JValue = v match {
-        case None            => JNull
-        case Some(l: Long)   => JLong(l)
-        case Some(d: Double) => JDouble(d)
-        case Some(s: String) => JString(s)
-        case Some(other) =>
-          throw new IllegalStateException(s"bad stat value: $other")
-      }
-      c -> JObject(List("min" -> side(st.min), "max" -> side(st.max),
-        "nulls" -> JLong(st.nulls)))
-    })
+    LogTable.renderStats(stats)
 
   private def parseIdentity(j: JValue): Map[String, IdentitySpec] = j match {
     case JObject(fields) => fields.map { case (c, v) =>
@@ -451,6 +463,26 @@ final class LogTable(val path: String,
         "path" -> JString(d.path), "rows" -> JLong(d.rows)))) ++
       a.baseRowId.toList.map(b => "baseRowId" -> JLong(b)))
 
+  private def parseAddsRef(j: JValue): AddsRef = {
+    def long(v: JValue): Long = v match {
+      case JInt(i) => i.toLong; case JLong(l) => l; case _ => 0L
+    }
+    AddsRef((j \ "path").asInstanceOf[JString].s, long(j \ "count"),
+      long(j \ "rows"), long(j \ "bytes"),
+      (j \ "anyDv") == JBool(true))
+  }
+
+  private def renderAddsRef(r: AddsRef): JValue =
+    JObject(List("path" -> JString(r.path), "count" -> JLong(r.count),
+      "rows" -> JLong(r.rows), "bytes" -> JLong(r.bytes),
+      "anyDv" -> JBool(r.anyDv)))
+
+  /** The by-reference add set of one commit, if it carries one. */
+  private def commitAddsRef(v: Long): Option[AddsRef] =
+    readActions(logFile(v)).collectFirst {
+      case j if (j \ "addsRef") != JNothing => parseAddsRef(j \ "addsRef")
+    }
+
   private def readActions(f: File): Seq[JValue] =
     Files.readString(f.toPath).linesIterator.filter(_.nonEmpty)
       .map(JsonMethods.parse(_)).toSeq
@@ -468,7 +500,12 @@ final class LogTable(val path: String,
       .getOrElse(throw new IllegalStateException(s"commit $v has no meta"))
     val adds = actions.collect {
       case j if (j \ "add") != JNothing => parseAdd(j \ "add") }
-    (op, adds.size.toLong, adds.map(_.bytes).sum)
+    // a by-reference commit's totals ride the action itself — O(1),
+    // the sidecar is never opened for admission budgeting
+    val ref = actions.collectFirst {
+      case j if (j \ "addsRef") != JNothing => parseAddsRef(j \ "addsRef") }
+    (op, adds.size.toLong + ref.map(_.count).getOrElse(0L),
+      adds.map(_.bytes).sum + ref.map(_.bytes).getOrElse(0L))
   }
 
   /** Commit metadata of one version (wall-clock, op, cdf dir). */
@@ -724,30 +761,7 @@ final class LogTable(val path: String,
     val live = scala.collection.mutable.LinkedHashMap.empty[String, AddFile]
     val from = ckpt match {
       case Some(cv) =>
-        val state = JsonMethods.parse(Files.readString(ckptFile(cv).toPath))
-        (state \ "addsFormat") match {
-          case JString("parquet") =>
-            // with a session: a distributed scan; without one (a
-            // bare maintenance CLI): a plain parquet-footer walk via
-            // the Group API — either way the checkpoint itself
-            // serves, so an expired log below it stays readable
-            // (round 13; before, session-less readers re-replayed
-            // raw commits and stranded once commit 0 was expired)
-            readAddsParquet(ckptParquetOf(state, cv))
-              .foreach(a => live(a.path) = a)
-          case JString("jsonl") =>
-            // the writer emitted UTF-8 (Files.newBufferedWriter) —
-            // read it back the same way, not in the platform charset
-            val src = scala.io.Source.fromFile(
-              ckptAddsFile(cv))(scala.io.Codec.UTF8)
-            try src.getLines().filter(_.nonEmpty).foreach { line =>
-              val a = parseAdd(JsonMethods.parse(line)); live(a.path) = a
-            } finally src.close()
-          case _ =>
-            (state \ "adds").asInstanceOf[JArray].arr.foreach { j =>
-              val a = parseAdd(j); live(a.path) = a
-            }
-        }
+        ckptAddsSeq(cv).foreach(a => live(a.path) = a)
         cv + 1
       case None => 0L
     }
@@ -763,9 +777,48 @@ final class LogTable(val path: String,
           live.remove(a.path)
           live(a.path) = a
         }
+        // a by-reference add set folds exactly like inline adds, in
+        // sidecar idx order — this DRIVER materialization runs only
+        // when a caller forces Snapshot.adds; the distributed
+        // manifest serves the same commit without it
+        if ((j \ "addsRef") != JNothing) {
+          val ref = parseAddsRef(j \ "addsRef")
+          readAddsParquet(new File(logDir, ref.path)).foreach { a =>
+            live.remove(a.path); live(a.path) = a
+          }
+        }
         if ((j \ "remove") != JNothing)
           live.remove((j \ "remove" \ "path").asInstanceOf[JString].s)
       }
+    }
+    live.values.toSeq
+  }
+
+  /** One checkpoint's OWN adds sidecar (no tail fold) — the base of
+    * both the driver replay ([[fileStateAt]]) and the small-seed
+    * distributed fold ([[distributedManifest]]'s below-threshold
+    * by-reference case). Parquet sidecars scan distributed with a
+    * session, footer-walk without one (a bare maintenance CLI) —
+    * either way the checkpoint itself serves, so an expired log
+    * below it stays readable. JSONL line-streams in UTF-8 (the
+    * writer's charset, never the platform's). */
+  private def ckptAddsSeq(cv: Long): Seq[AddFile] = {
+    val state = JsonMethods.parse(Files.readString(ckptFile(cv).toPath))
+    val live = scala.collection.mutable.LinkedHashMap.empty[String, AddFile]
+    (state \ "addsFormat") match {
+      case JString("parquet") =>
+        readAddsParquet(ckptParquetOf(state, cv))
+          .foreach(a => live(a.path) = a)
+      case JString("jsonl") =>
+        val src = scala.io.Source.fromFile(
+          ckptAddsFile(cv))(scala.io.Codec.UTF8)
+        try src.getLines().filter(_.nonEmpty).foreach { line =>
+          val a = parseAdd(JsonMethods.parse(line)); live(a.path) = a
+        } finally src.close()
+      case _ =>
+        (state \ "adds").asInstanceOf[JArray].arr.foreach { j =>
+          val a = parseAdd(j); live(a.path) = a
+        }
     }
     live.values.toSeq
   }
@@ -846,40 +899,136 @@ final class LogTable(val path: String,
     commitRetry(currentVersion, Seq.empty, adds, op,
       schemaJson = None, cdfDir = None)
 
+  /** [[registerFiles]] from a DISTRIBUTED manifest — the scale twin:
+    * the add set arrives as a Dataset (one [[CkptAdd]] row per file,
+    * `idx` = desired manifest order), is normalized and persisted as
+    * a multi-part parquet sidecar by a Spark job, and the commit
+    * carries ONE [[AddsRef]] line naming it — the driver never holds
+    * the file list (Iceberg's add_files-over-manifests shape; what
+    * CONVERT uses to onboard million-file foreign tables). Duplicate
+    * paths refuse (a manifest maps each path to one entry — callers
+    * dedup latest-wins first). A checkpoint lands at the committed
+    * version immediately, so every subsequent read resolves
+    * manifest-to-manifest; even before it (or if its best-effort
+    * write failed), [[distributedManifest]] folds the sidecar as a
+    * distributed segment. Refuses on row-tracking tables (contiguous
+    * base-row-id ranges would force enumerating the set). */
+  private[graft] def registerFilesFrom(spark: SparkSession,
+      ds: org.apache.spark.sql.Dataset[CkptAdd],
+      op: String = "convert"): Long = {
+    ensureLayout()
+    require(!currentVersion.exists(v => snapshotAt(v).properties
+        .get(LogTable.PropRowTracking).contains("true")),
+      "registerFilesFrom cannot assign base row ids on a " +
+        "row-tracking table — register via registerFiles, or " +
+        "disable row tracking first")
+    val enc = org.apache.spark.sql.Encoders.product[CkptAdd]
+    // normalize idx contiguous in the caller's order, persist as the
+    // sidecar — one Spark job; the commit's O(1) admission facts
+    // aggregate from a column-pruned scan of the written parquet
+    val normalized = spark.createDataset(
+      ds.orderBy(col("idx")).rdd.zipWithIndex()
+        .map { case (c, i) => c.copy(idx = i) })(enc)
+    val target = addsRefDir(UUID.randomUUID().toString.take(8))
+    val tmp = new File(logDir, s".tmp-addsref-${UUID.randomUUID()}")
+    try {
+      normalized.write.mode("overwrite").parquet(tmp.getPath)
+      Files.move(tmp.toPath, target.toPath,
+        StandardCopyOption.ATOMIC_MOVE)
+    } catch { case NonFatal(e) => deleteRecursive(tmp); throw e }
+    val facts = spark.read.parquet(target.getPath).agg(
+      count(lit(1)), countDistinct(col("path")),
+      sum(col("rows")), sum(col("bytes")),
+      max(col("dvPath").isNotNull)).collect().head
+    val n = facts.getLong(0)
+    if (n == 0L) {
+      deleteRecursive(target)
+      return currentVersion.getOrElse(throw new IllegalStateException(
+        s"no log table at $path to register into"))
+    }
+    if (facts.getLong(1) != n) {
+      deleteRecursive(target)
+      throw new IllegalArgumentException(
+        s"registerFilesFrom: ${n - facts.getLong(1)} duplicate " +
+          "path(s) in the add set — a manifest maps each path to " +
+          "one entry; dedup (latest wins) before registering")
+    }
+    val ref = AddsRef(target.getName, n, facts.getLong(2),
+      facts.getLong(3), facts.getBoolean(4))
+    val v = commitRetry(currentVersion, Seq.empty, Seq.empty, op,
+      schemaJson = None, cdfDir = None, addsRef = Some(ref))
+    // checkpoint NOW (idempotent — the fat-commit trigger may have
+    // already fired): later readers resolve the parquet manifest
+    // directly instead of re-stitching the sidecar segment
+    writeCheckpoint(v)
+    v
+  }
+
   /** Verification knob: replay snapshots from raw commits ONLY,
     * ignoring every checkpoint — the ground truth the checkpoint
     * equivalence specs compare parquet/JSONL checkpoint replays
     * against. Never set outside tests. */
   private[graft] var ignoreCheckpointsForTest: Boolean = false
 
-  /** The manifest at `v` as a typed distributed Dataset — Some only
-    * when a PARQUET checkpoint serves the base (the regime where the
+  /** The manifest at `v` as a typed distributed Dataset — Some when
+    * a PARQUET checkpoint serves the base (the regime where the
     * file list must never be driver state): the checkpoint scan plus
-    * a commit-tail fold bounded by checkpointInterval. None below
-    * the threshold (JSONL / no checkpoint yet), where the driver Seq
-    * is small by construction. */
+    * a commit-tail fold bounded by checkpointInterval — or when the
+    * replay window holds a BY-REFERENCE commit ([[AddsRef]], a
+    * CONVERT's million-file registration): its parquet sidecar joins
+    * the fold as a distributed segment, so the very first read after
+    * a convert is already manifest-to-manifest. None otherwise
+    * (JSONL / no checkpoint yet), where the driver Seq is small by
+    * construction. */
   private[sources] def distributedManifest(spark: SparkSession, v: Long)
       : Option[org.apache.spark.sql.Dataset[CkptAdd]] = {
     val enc = org.apache.spark.sql.Encoders.product[CkptAdd]
-    val ckptBase: Option[(Long, DataFrame)] =
-      if (ignoreCheckpointsForTest) None
-      else newestCkptAtOrBefore(v).flatMap { c =>
-        val header =
-          JsonMethods.parse(Files.readString(ckptFile(c).toPath))
-        (header \ "addsFormat") match {
-          case JString("parquet") => Some(c ->
-            spark.read.parquet(ckptParquetOf(header, c).getPath))
-          case _ => None
-        }
+    val ckptV: Option[Long] =
+      if (ignoreCheckpointsForTest) None else newestCkptAtOrBefore(v)
+    val parquetBase: Option[(Long, DataFrame)] = ckptV.flatMap { c =>
+      val header =
+        JsonMethods.parse(Files.readString(ckptFile(c).toPath))
+      (header \ "addsFormat") match {
+        case JString("parquet") => Some(c ->
+          spark.read.parquet(ckptParquetOf(header, c).getPath))
+        case _ => None
       }
-    ckptBase.map {
-      case (c, base) if c == v => base.as[CkptAdd](enc)
-      case (c, base) =>
+    }
+    // a table that EVER committed by reference carries the `addsRef`
+    // reader feature — the cheap (metadata-only) signal to probe the
+    // tail for sidecar commits; every other table skips the probe
+    val mayRef = parquetBase.isEmpty && !ignoreCheckpointsForTest &&
+      snapshotAt(v).protocol.exists(_.readerFeatures.contains("addsRef"))
+    val base: Option[(Long, DataFrame)] = parquetBase.orElse {
+      val from = ckptV.map(_ + 1).getOrElse(0L)
+      if (!mayRef ||
+          !(from to v).exists(cv => commitAddsRef(cv).isDefined)) None
+      else {
+        // a by-reference commit sits above a NON-parquet base — a
+        // fresh CONVERT's empty pre-table, or a below-threshold JSONL
+        // checkpoint: small by construction, lifted into a tiny
+        // DataFrame so the fold stays distributed end-to-end
+        val seed = ckptV.map(ckptAddsSeq).getOrElse(Seq.empty)
+        Some((from - 1, spark.createDataset(
+          seed.iterator.zipWithIndex
+            .map { case (a, i) => encodeCkptAdd(i.toLong, a) }.toSeq)(enc)
+          .toDF()))
+      }
+    }
+    base.map {
+      case (c, base0) if c == v => base0.as[CkptAdd](enc)
+      case (c, base0) =>
         // fold the commit tail: latest action per path wins — a
         // re-added path (DV update, restore) REPLACES its base row,
-        // a removed one drops it, everything else carries through
-        val delta = scala.collection.mutable.LinkedHashMap
-          .empty[String, Option[AddFile]]
+        // a removed one drops it, everything else carries through.
+        // Inline actions fold into an ordered driver map (bounded:
+        // normal commits); by-reference sidecars stay DataFrames,
+        // stitched in as ordered segments below.
+        var pos = 0
+        val inline = scala.collection.mutable.LinkedHashMap
+          .empty[String, (Int, Option[AddFile])]
+        val sides = scala.collection.mutable.ArrayBuffer
+          .empty[(Int, String)]
         (c + 1 to v).foreach { cv =>
           readActions(logFile(cv)).foreach { j =>
             if ((j \ "add") != JNothing) {
@@ -887,38 +1036,100 @@ final class LogTable(val path: String,
               // move-to-end on re-add — the SAME order rule the
               // driver replay applies (fileStateAt), so a checkpoint
               // written from this manifest replays order-identical
-              delta.remove(a.path)
-              delta(a.path) = Some(a)
+              pos += 1
+              inline.remove(a.path)
+              inline(a.path) = (pos, Some(a))
             }
-            if ((j \ "remove") != JNothing)
-              delta((j \ "remove" \ "path")
-                .asInstanceOf[JString].s) = None
+            if ((j \ "addsRef") != JNothing) {
+              pos += 1
+              sides += ((pos, parseAddsRef(j \ "addsRef").path))
+            }
+            if ((j \ "remove") != JNothing) {
+              val p = (j \ "remove" \ "path").asInstanceOf[JString].s
+              pos += 1
+              inline.remove(p)
+              inline(p) = (pos, None)
+            }
           }
         }
-        val touched = delta.keys.toSeq
-        val alive = delta.values.flatten.toSeq
         // a small touched set stays a literal NOT-IN (no second
         // relation in the plan); a FAT post-checkpoint commit (a
         // full OPTIMIZE rewriting ~1M files right after a
         // checkpoint) instead anti-joins against a broadcast
         // touched-paths frame — thousands of literals in one In
         // would bloat the plan the manifest design exists to avoid
-        val kept =
-          if (touched.isEmpty) base
-          else if (touched.size <= 1000)
-            base.filter(!col("path").isin(touched: _*))
+        def filterOut(df: DataFrame, paths: Seq[String]): DataFrame =
+          if (paths.isEmpty) df
+          else if (paths.size <= 1000)
+            df.filter(!col("path").isin(paths: _*))
           else {
             import spark.implicits._
-            base.join(broadcast(touched.toDF("path")),
+            df.join(broadcast(paths.toDF("path")),
               Seq("path"), "left_anti")
               // the anti-join reorders columns (join key first) —
               // restore the manifest column order for the union
-              .select(base.columns.map(col).toIndexedSeq: _*)
+              .select(df.columns.map(col).toIndexedSeq: _*)
           }
-        kept.unionByName(spark.createDataset(
-          alive.zipWithIndex.map { case (a, i) =>
-            encodeCkptAdd(Long.MaxValue - alive.size + i, a) })(enc)
-          .toDF()).as[CkptAdd](enc)
+        if (sides.isEmpty) {
+          val touched = inline.keys.toSeq
+          val alive = inline.values.collect {
+            case (_, Some(a)) => a }.toSeq
+          filterOut(base0, touched).unionByName(spark.createDataset(
+            alive.zipWithIndex.map { case (a, i) =>
+              encodeCkptAdd(Long.MaxValue - alive.size + i, a) })(enc)
+            .toDF()).as[CkptAdd](enc)
+        } else {
+          // SEGMENTED fold: base, then — in action order — inline
+          // spans and sidecar frames. "Latest add wins, and moves
+          // the path to the manifest's end" holds across segments:
+          // each earlier segment anti-joins every LATER sidecar
+          // (a sidecar re-add overrides silently-unknown earlier
+          // rows), and each sidecar drops paths later inline
+          // actions touched. idx is re-spaced per segment so the
+          // union's order equals the driver replay's; a checkpoint
+          // written from this manifest stays replay-identical.
+          val SegSpan = 1L << 40
+          val sideDfs = sides.map { case (_, name) =>
+            spark.read.parquet(new File(logDir, name).getPath) }.toSeq
+          def antiSides(df: DataFrame,
+                        later: Seq[DataFrame]): DataFrame =
+            later.foldLeft(df)((acc, s) =>
+              acc.join(s.select("path"), Seq("path"), "left_anti")
+                .select(acc.columns.map(col).toIndexedSeq: _*))
+          val sidePos = sides.map(_._1).toIndexedSeq
+          val entries = inline.toSeq // pos-ascending by construction
+          val segs = scala.collection.mutable.ArrayBuffer
+            .empty[DataFrame]
+          segs += antiSides(
+            filterOut(base0, entries.map(_._1)), sideDfs)
+          var segNo = 1L
+          (0 to sides.length).foreach { i =>
+            // span i: inline adds folded after side i-1, before side
+            // i — overridden only by sidecars i.. (later ones; later
+            // inline actions already displaced them in the map)
+            val alive = entries.collect {
+              case (_, (p, Some(a)))
+                if sidePos.count(_ < p) == i => a }
+            if (alive.nonEmpty) {
+              val df0 = spark.createDataset(
+                alive.zipWithIndex.map { case (a, k) =>
+                  encodeCkptAdd(k.toLong, a) })(enc).toDF()
+              segs += antiSides(df0, sideDfs.drop(i))
+                .withColumn("idx", col("idx") + lit(segNo * SegSpan))
+            }
+            segNo += 1
+            if (i < sides.length) {
+              val laterTouched = entries.collect {
+                case (path, (p, _)) if p > sidePos(i) => path }
+              segs += antiSides(
+                filterOut(sideDfs(i), laterTouched),
+                sideDfs.drop(i + 1))
+                .withColumn("idx", col("idx") + lit(segNo * SegSpan))
+              segNo += 1
+            }
+          }
+          segs.reduce(_.unionByName(_)).as[CkptAdd](enc)
+        }
     }
   }
 
@@ -2819,7 +3030,8 @@ final class LogTable(val path: String,
                           propertiesJson: Option[Map[String, String]] = None,
                           transformsJson: Option[Map[String, String]] = None,
                           refsJson: Option[Map[String, String]] = None,
-                          protocolJson: Option[Protocol] = None)
+                          protocolJson: Option[Protocol] = None,
+                          addsRef: Option[AddsRef] = None)
       : Long = {
     ensureLayout()
     var attempts = 0
@@ -2994,7 +3206,12 @@ final class LogTable(val path: String,
               " — the table stays readable; refusing to write")
       }
       val activated: Set[String] = Seq(
-        effAdds.exists(_.dv.isDefined) -> "deletionVectors",
+        (effAdds.exists(_.dv.isDefined) ||
+          addsRef.exists(_.anyDv)) -> "deletionVectors",
+        // a by-reference add set is a READER-relevant feature: an
+        // older reader ignoring the action would serve the table
+        // WITHOUT the referenced files — a silent half-read
+        addsRef.isDefined -> "addsRef",
         schemaJson.exists(_.contains(LogTable.FieldIdKey)) ->
           "columnMapping",
         effPropsJson.getOrElse(Map.empty)
@@ -3071,6 +3288,11 @@ final class LogTable(val path: String,
           JObject(List("protocol" -> renderProtocol(pr)))))) ++
         removePaths.map(p => JsonMethods.compact(JsonMethods.render(
           JObject(List("remove" -> JObject(List("path" -> JString(p)))))))) ++
+        // the by-reference line folds BEFORE inline adds: a same-
+        // commit inline re-add of a sidecar path wins (line order is
+        // fold order in every replay)
+        addsRef.toList.map(r => JsonMethods.compact(JsonMethods.render(
+          JObject(List("addsRef" -> renderAddsRef(r)))))) ++
         effAdds.map(a => JsonMethods.compact(JsonMethods.render(
           JObject(List("add" -> renderAdd(a))))))
       val tmp = new File(logDir, s".tmp-${UUID.randomUUID()}")
@@ -3080,7 +3302,9 @@ final class LogTable(val path: String,
       // existing target on POSIX, which would silently overwrite a
       // racing writer's committed version.
       if (coordinator.claim(tmp, logFile(next))) {
-        maybeCheckpoint(next, removePaths.size + effAdds.size)
+        maybeCheckpoint(next, removePaths.size + effAdds.size +
+          math.min(addsRef.map(_.count).getOrElse(0L),
+            Int.MaxValue.toLong).toInt)
         return next
       }
       // lost the race — re-resolve the head and retry
@@ -4294,14 +4518,21 @@ final class LogTable(val path: String,
   }
 
   /** Table-relative paths of the files one commit added. */
-  def addedPaths(v: Long): Seq[String] =
-    readActions(logFile(v)).collect {
-      case j if (j \ "add") != JNothing => parseAdd(j \ "add").path }
+  def addedPaths(v: Long): Seq[String] = addedFiles(v).map(_.path)
 
-  /** One commit's ADDED file entries, vectors and all. */
+  /** One commit's ADDED file entries, vectors and all. A
+    * by-reference commit resolves its sidecar here — driver-side,
+    * for callers that genuinely range over one commit's file set
+    * (mirror export, restore diffing); budget/stream admission uses
+    * [[commitAdmission]]'s O(1) facts instead. */
   private[sources] def addedFiles(v: Long): Seq[AddFile] =
-    readActions(logFile(v)).collect {
-      case j if (j \ "add") != JNothing => parseAdd(j \ "add") }
+    readActions(logFile(v)).flatMap { j =>
+      if ((j \ "add") != JNothing) Seq(parseAdd(j \ "add"))
+      else if ((j \ "addsRef") != JNothing)
+        readAddsParquet(new File(logDir,
+          parseAddsRef(j \ "addsRef").path))
+      else Seq.empty
+    }
 
   /** Table-relative paths of the files one commit removed — the
     * remove half of the per-commit delta ([[DeltaExport.exportTail]]
@@ -4401,9 +4632,17 @@ final class LogTable(val path: String,
         Some(s.take(20).toLong)
       case _ => None
     }
+    // a by-reference commit's sidecar dies with its commit — read
+    // the doomed commits' addsRef names BEFORE deleting them (each
+    // sidecar is uuid-unique to one commit, so no retained commit
+    // can share it)
+    val doomedRefs = vs.filter(_ < floor)
+      .flatMap(v => commitAddsRef(v))
+      .map(r => new File(logDir, r.path))
     val doomed =
       vs.filter(_ < floor).map(v => logFile(v)) ++
-        listLogDir().filter(f => ckptVer(f.getName).exists(_ < floor))
+        listLogDir().filter(f => ckptVer(f.getName).exists(_ < floor)) ++
+        doomedRefs
     doomed.foreach(deleteRecursive)
     snapCache.clear()
     doomed.map(_.getName)
@@ -4827,8 +5066,12 @@ final class LogTable(val path: String,
   def history(spark: SparkSession): DataFrame = {
     val rows = versions.map { v =>
       val actions = readActions(logFile(v))
+      val ref = actions.collectFirst {
+        case j if (j \ "addsRef") != JNothing =>
+          parseAddsRef(j \ "addsRef") }
       (v, commitTime(v), commitOp(v),
-        actions.count(j => (j \ "add") != JNothing).toLong,
+        actions.count(j => (j \ "add") != JNothing).toLong +
+          ref.map(_.count).getOrElse(0L),
         actions.count(j => (j \ "remove") != JNothing).toLong)
     }
     spark.createDataFrame(rows)
@@ -4849,13 +5092,21 @@ final class LogTable(val path: String,
       val actions = readActions(logFile(v))
       val adds = actions.collect {
         case j if (j \ "add") != JNothing => parseAdd(j \ "add") }
+      // a by-reference commit's totals ride the action — the
+      // sidecar stays closed for this O(metadata) view
+      val ref = actions.collectFirst {
+        case j if (j \ "addsRef") != JNothing =>
+          parseAddsRef(j \ "addsRef") }
       val removed = actions.count(j => (j \ "remove") != JNothing)
       val meta = commitMeta(v)
       val summary = Map(
-        "n_added" -> adds.size.toString,
+        "n_added" -> (adds.size +
+          ref.map(_.count).getOrElse(0L)).toString,
         "n_removed" -> removed.toString,
-        "added_rows" -> adds.map(_.rows).sum.toString,
-        "added_bytes" -> adds.map(_.bytes).sum.toString) ++
+        "added_rows" -> (adds.map(_.rows).sum +
+          ref.map(_.rows).getOrElse(0L)).toString,
+        "added_bytes" -> (adds.map(_.bytes).sum +
+          ref.map(_.bytes).getOrElse(0L)).toString) ++
         meta.txn.map { case (a, b) =>
           Map("txn_app" -> a, "txn_batch" -> b.toString) }
           .getOrElse(Map.empty[String, String]) ++
@@ -4914,12 +5165,11 @@ final class LogTable(val path: String,
     val floor = versions.head
     val enc = org.apache.spark.sql.Encoders.product[CkptAdd]
     // the floor manifest is RE-INDEXED contiguously (exactly as
-    // writeAddsParquetFrom does before persisting) so the tail's
-    // Long.MaxValue-area indices are strictly higher than every
-    // base index: the floor fold's own re-adds also stamp
-    // MaxValue-area indices, and when the fold's alive set is
-    // smaller than the tail an OLDER floor entry would otherwise
-    // outrank a newer tail re-add of the same path — the
+    // writeAddsParquetFrom does before persisting) so every tail
+    // segment's re-spaced indices are strictly higher than every
+    // base index: the floor fold's own re-adds stamp
+    // Long.MaxValue-area indices, and an OLDER floor entry would
+    // otherwise outrank a newer tail re-add of the same path — the
     // newest-entry-wins window below would then serve stale
     // dv_path/dv_rows/stats in the vacuum-audit view
     val base = distributedManifest(spark, floor)
@@ -4929,10 +5179,38 @@ final class LogTable(val path: String,
       .getOrElse(
         spark.createDataset(snapshotAt(floor).adds.zipWithIndex
           .map { case (a, i) => encodeCkptAdd(i.toLong, a) })(enc).toDF())
-    val tail = (floor + 1 to head).flatMap(addedFiles)
-    val tailDf = spark.createDataset(tail.zipWithIndex
-      .map { case (a, i) =>
-        encodeCkptAdd(Long.MaxValue - tail.size + i, a) })(enc).toDF()
+    // the tail stacks as ordered SEGMENTS: inline add batches (small
+    // driver frames) and by-reference sidecars (distributed parquet
+    // scans — a CONVERT above the floor never lands on the driver),
+    // idx re-spaced per segment so base < every tail segment and
+    // later segments outrank earlier ones in the newest-wins window
+    val SegSpan = 1L << 40
+    var segNo = 1L
+    val parts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    val pending = scala.collection.mutable.ArrayBuffer.empty[AddFile]
+    def flushPending(): Unit = if (pending.nonEmpty) {
+      val batch = pending.toSeq
+      parts += spark.createDataset(batch.zipWithIndex
+        .map { case (a, i) =>
+          encodeCkptAdd(segNo * SegSpan + i, a) })(enc).toDF()
+      segNo += 1; pending.clear()
+    }
+    (floor + 1 to head).foreach { v =>
+      readActions(logFile(v)).foreach { j =>
+        if ((j \ "add") != JNothing) pending += parseAdd(j \ "add")
+        if ((j \ "addsRef") != JNothing) {
+          flushPending()
+          val dir = new File(logDir, parseAddsRef(j \ "addsRef").path)
+          parts += spark.read.parquet(dir.getPath)
+            .withColumn("idx", col("idx") + lit(segNo * SegSpan))
+          segNo += 1
+        }
+      }
+    }
+    flushPending()
+    val tailDf = parts.foldLeft(
+      spark.createDataset(Seq.empty[CkptAdd])(enc).toDF())(
+      _.unionByName(_))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("path").orderBy(col("idx").desc)
     val latest = base.unionByName(tailDf)
@@ -5601,6 +5879,23 @@ object LogTable {
   /** Parse the commit log's per-column stats rendering — pure, and
     * static so the distributed pruning walk can decode manifest rows
     * on executors without dragging a [[LogTable]] into the closure. */
+  /** Graft's stats rendering as a STATIC — executor-side manifest
+    * builders (CONVERT's distributed foreign-checkpoint fold) render
+    * [[CkptAdd.statsJson]] without touching a table instance. */
+  private[sources] def renderStats(stats: Map[String, ColStats]): JValue =
+    JObject(stats.toList.map { case (c, st) =>
+      def side(v: Option[Any]): JValue = v match {
+        case None            => JNull
+        case Some(l: Long)   => JLong(l)
+        case Some(d: Double) => JDouble(d)
+        case Some(s: String) => JString(s)
+        case Some(other) =>
+          throw new IllegalStateException(s"bad stat value: $other")
+      }
+      c -> JObject(List("min" -> side(st.min), "max" -> side(st.max),
+        "nulls" -> JLong(st.nulls)))
+    })
+
   private[sources] def parseStats(j: JValue): Map[String, ColStats] =
     j match {
       case JObject(fields) => fields.map { case (c, v) =>
@@ -5718,7 +6013,7 @@ object LogTable {
   val SupportedReaderFeatures: Set[String] = Set(
     "deletionVectors", "columnMapping", "rowTracking",
     "generatedColumns", "identityColumns", "checkConstraints",
-    "columnDefaults", "hiddenPartitioning")
+    "columnDefaults", "hiddenPartitioning", "addsRef")
 
   /** Table features this WRITER can maintain — a table demanding
     * more refuses COMMITS (reads may still be fine). */
@@ -5733,7 +6028,7 @@ object LogTable {
     * tables it reads correctly. */
   val ReaderRelevantFeatures: Set[String] = Set(
     "deletionVectors", "columnMapping", "rowTracking",
-    "hiddenPartitioning")
+    "hiddenPartitioning", "addsRef")
 
   /** VACUUM's listing fans out as a Spark job once the data tree
     * has at least this many first-level partition directories (and

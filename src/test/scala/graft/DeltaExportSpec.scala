@@ -232,6 +232,35 @@ class DeltaExportSpec extends SparkSpec {
     assert((last \ "size") == JInt(BigInt(100003)), last)
   }
 
+  test("convertFromDelta folds a 100k-file foreign checkpoint as a " +
+    "SPARK JOB: the driver never holds the add set (by-reference " +
+    "commit), and the converted table prunes from commit one") {
+    val dir = s"${tmp()}/t"
+    val t = new LogTable(dir, checkpointInterval = 1)
+    t.append(Seq((1L, "a")).toDF("k", "v").repartition(1))      // v0
+    t.registerFiles((0 until 100000).map { i =>
+      graft.sources.AddFile(f"data/fake-$i%06d.parquet",
+        rows = 10L, bytes = 512L,
+        stats = Map("k" -> graft.sources.ColStats(
+          Some(i * 10L), Some(i * 10L + 9L), 0L)))
+    })                                                          // v1 ckpt
+    DeltaExport.exportDeltaLog(spark, new LogTable(dir))
+    def rm(f: File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(new File(dir, "_log")) // a PURE Delta table remains
+    val conv = DeltaExport.convertFromDelta(spark, dir)
+    assert(!conv.addsMaterializedAt(),
+      "the convert materialized the foreign add set on the driver")
+    assert(conv.commitOp(1L) == "convert")
+    val fresh = new LogTable(dir)
+    val (surv, total) = fresh.prunedAddsFor(spark, col("k") === 54321L)
+    assert(fresh.lastPruneMode == "distributed")
+    assert(total == 100001L)
+    assert(surv.map(_.path) == Seq("data/fake-005432.parquet"))
+    assert(!fresh.addsMaterializedAt())
+  }
+
   test("mirrorDelta follows the table one call at a time, and " +
     "exportCheckpoint (multi-part form included) keeps a CLEANED " +
     "log replayable after old commits are deleted") {

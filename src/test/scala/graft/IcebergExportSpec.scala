@@ -278,6 +278,79 @@ class IcebergExportSpec extends SparkSpec {
     assert(conv.commitOp(1L) == "convert")
   }
 
+  test("convertFromIceberg folds a 100k-file foreign manifest as a " +
+    "SPARK JOB: sizes come from file_size_in_bytes (no per-file " +
+    "filesystem calls), the driver never holds the add set, and the " +
+    "converted table prunes from commit one") {
+    val dir = s"${tmp()}/t"
+    val t = new LogTable(dir, checkpointInterval = 1)
+    t.append(Seq((1L, "a")).toDF("k", "v").repartition(1))      // v0
+    t.registerFiles((0 until 100000).map { i =>
+      graft.sources.AddFile(f"data/fake-$i%06d.parquet",
+        rows = 10L, bytes = 512L,
+        stats = Map("k" -> graft.sources.ColStats(
+          Some(i * 10L), Some(i * 10L + 9L), 0L)))
+    })                                                          // v1 ckpt
+    IcebergExport.exportIcebergMetadata(spark, new LogTable(dir))
+    def rm(f: File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(new File(dir, "_log")) // pure Iceberg metadata remains
+    val conv = IcebergExport.convertFromIceberg(spark, dir)
+    assert(!conv.addsMaterializedAt(),
+      "the convert materialized the foreign add set on the driver")
+    assert(conv.commitOp(1L) == "convert")
+    val fresh = new LogTable(dir)
+    val (surv, total) = fresh.prunedAddsFor(spark, col("k") === 54321L)
+    assert(fresh.lastPruneMode == "distributed")
+    assert(total == 100001L)
+    assert(surv.map(_.path) == Seq("data/fake-005432.parquet"))
+    // the fake files do not exist on disk — a File.length() pass
+    // would have registered bytes = 0; the manifest's spec-required
+    // file_size_in_bytes must carry instead
+    assert(surv.head.bytes == 512L,
+      "file size must come from the manifest, not a filesystem stat")
+    assert(!fresh.addsMaterializedAt())
+  }
+
+  test("column bounds round-trip: the exporter emits single-value-" +
+    "serialized lower/upper bounds + null counts, and a converted " +
+    "table file-skips from commit one (long AND date columns)") {
+    val dir = s"${tmp()}/t"
+    val src = new LogTable(dir)
+    src.create(org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("d",
+        org.apache.spark.sql.types.DateType),
+      org.apache.spark.sql.types.StructField("seg",
+        org.apache.spark.sql.types.StringType))),
+      partitionBy = Seq("seg"))
+    src.append(Seq((1L, "2021-01-01", "a"), (2L, "2021-06-01", "a"),
+      (30L, "2023-01-01", "b"), (40L, "2023-06-01", "b"))
+      .toDF("k", "ds", "seg")
+      .select(col("k"), org.apache.spark.sql.functions
+        .to_date(col("ds")).as("d"), col("seg")))
+    IcebergExport.exportIcebergMetadata(spark, src)
+    def rm(f: File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(new File(dir, "_log"))
+    val conv = IcebergExport.convertFromIceberg(spark, dir)
+    assert(conv.load(spark).select("k").as[Long].collect().toSet ==
+      Set(1L, 2L, 30L, 40L))
+    val (surv, total) = conv.prunedAddsFor(spark, col("k") === 30L)
+    assert(total >= 2 && surv.size < total,
+      s"no file-skipping after convert: ${surv.size} of $total")
+    val (survD, totalD) = conv.prunedAddsFor(spark,
+      col("d") === org.apache.spark.sql.functions.to_date(
+        org.apache.spark.sql.functions.lit("2021-01-01")))
+    assert(survD.size < totalD, "date bounds lost in conversion")
+    // the converted table is live: DML works on top
+    conv.delete(spark, col("k") === 2L)
+    assert(conv.load(spark).count() == 3L)
+  }
+
   test("exports refuse state an Iceberg reader would misread, " +
     "naming the blocker") {
     val d1 = s"${tmp()}/t"
