@@ -110,16 +110,22 @@ object Linkage {
     val l = side(left, lId, lName, "l")
     val r = side(right, rId, rName, "r")
     maxCandidateBudget.foreach { budget =>
-      val est = l.groupBy("__vk").agg(count(lit(1)).as("__ln"))
-        .join(r.groupBy("__vk").agg(count(lit(1)).as("__rn")), "__vk")
-        .agg(sum(col("__ln") * col("__rn")).as("__pairs"))
-        .collect().head.getAs[Any]("__pairs") match {
-          case null    => 0L
-          case n: Long => n
-          case n: java.math.BigDecimal => n.longValue()
-          case other   => other.toString.toDouble.toLong
-        }
-      require(est <= budget,
+      // decimal(38,0) sum, NOT a long sum: in the hot-key regime
+      // this gate exists for, a long product/sum can WRAP negative
+      // with ANSI off and sail under the budget — the overflow
+      // would disarm the gate exactly when it matters
+      val est: BigDecimal =
+        l.groupBy("__vk").agg(count(lit(1)).as("__ln"))
+          .join(r.groupBy("__vk").agg(count(lit(1)).as("__rn")), "__vk")
+          .agg(sum(col("__ln").cast("decimal(38,0)") *
+            col("__rn").cast("decimal(38,0)")).as("__pairs"))
+          .collect().head.getAs[Any]("__pairs") match {
+            case null    => BigDecimal(0)
+            case n: Long => BigDecimal(n)
+            case n: java.math.BigDecimal => BigDecimal(n)
+            case other   => BigDecimal(other.toString)
+          }
+      require(est <= BigDecimal(budget),
         s"fuzzy join at edit distance $maxDist would generate ~$est " +
           s"candidate pairs (budget: $budget) — hot variant keys " +
           "from very short strings pair near-quadratically; " +

@@ -103,9 +103,13 @@ object DeltaExport {
   }
 
   /** One rendered `add` action line. Executor-safe: the distributed
-    * export maps this over the manifest. */
+    * export maps this over the manifest. `dataChange` = false for
+    * rewrite-only commits (OPTIMIZE/cluster) — the protocol's signal
+    * that lets incremental/streaming followers skip the rewrite
+    * instead of double-counting compacted rows. */
   private[sources] def addActionLine(a: AddFile,
-      types: Map[String, DataType], modTime: Long): String =
+      types: Map[String, DataType], modTime: Long,
+      dataChange: Boolean = true): String =
     JsonMethods.compact(JsonMethods.render(JObject(List(
       "add" -> JObject(List(
         "path" -> JString(encodePath(a.path)),
@@ -113,20 +117,63 @@ object DeltaExport {
           .map { case (k, pv) => k -> (JString(pv): JValue) }),
         "size" -> JLong(a.bytes),
         "modificationTime" -> JLong(modTime),
-        "dataChange" -> JBool(true),
+        "dataChange" -> JBool(dataChange),
         "stats" -> JString(statsJsonFor(a, types))))))))
 
-  private def removeActionLine(path: String, ts: Long): String =
+  private def removeActionLine(path: String, ts: Long,
+                               dataChange: Boolean = true): String =
     JsonMethods.compact(JsonMethods.render(JObject(List(
       "remove" -> JObject(List(
         "path" -> JString(encodePath(path)),
         "deletionTimestamp" -> JLong(ts),
-        "dataChange" -> JBool(true)))))))
+        "dataChange" -> JBool(dataChange)))))))
 
   private def commitInfoLine(ts: Long, op: String): String =
     JsonMethods.compact(JsonMethods.render(JObject(List(
       "commitInfo" -> JObject(List(
         "timestamp" -> JLong(ts), "operation" -> JString(op)))))))
+
+  /** The SPEC-SHAPED checkpoint schema — never inferred: JSON schema
+    * inference would type `add.partitionValues` as a struct keyed by
+    * the partition-column names (and DROP it entirely on an
+    * unpartitioned table, along with metaData.format.options /
+    * configuration, since inference prunes empty objects). Delta's
+    * checkpoint contract is `map<string,string>` with the empty map
+    * present — a strict reader starting at `_last_checkpoint` (the
+    * exact post-log-cleanup scenario exportCheckpoint exists for)
+    * reads these columns by that contract. */
+  private val checkpointSchema: StructType = {
+    val ss = MapType(StringType, StringType, valueContainsNull = true)
+    StructType(Seq(
+      StructField("protocol", StructType(Seq(
+        StructField("minReaderVersion", IntegerType),
+        StructField("minWriterVersion", IntegerType)))),
+      StructField("metaData", StructType(Seq(
+        StructField("id", StringType),
+        StructField("name", StringType),
+        StructField("description", StringType),
+        StructField("format", StructType(Seq(
+          StructField("provider", StringType),
+          StructField("options", ss)))),
+        StructField("schemaString", StringType),
+        StructField("partitionColumns", ArrayType(StringType)),
+        StructField("configuration", ss),
+        StructField("createdTime", LongType)))),
+      StructField("add", StructType(Seq(
+        StructField("path", StringType),
+        StructField("partitionValues", ss),
+        StructField("size", LongType),
+        StructField("modificationTime", LongType),
+        StructField("dataChange", BooleanType),
+        StructField("stats", StringType)))),
+      StructField("remove", StructType(Seq(
+        StructField("path", StringType),
+        StructField("deletionTimestamp", LongType),
+        StructField("dataChange", BooleanType)))),
+      StructField("txn", StructType(Seq(
+        StructField("appId", StringType),
+        StructField("version", LongType))))))
+  }
 
   private def protocolLine: String =
     JsonMethods.compact(JsonMethods.render(JObject(List(
@@ -419,11 +466,17 @@ object DeltaExport {
             tableId))
           w.write("\n")
         }
-        w.write(commitInfoLine(mt, log.commitOp(cv))); w.write("\n")
+        val op = log.commitOp(cv)
+        w.write(commitInfoLine(mt, op)); w.write("\n")
+        // rewrite-only commits mirror with dataChange = false (the
+        // protocol's rule): OPTIMIZE moves rows between files, it
+        // does not change table data — a follower that counted the
+        // re-added files would double-count every compacted row
+        val dc = op != "optimize"
         removes.foreach { p =>
-          w.write(removeActionLine(p, mt)); w.write("\n") }
+          w.write(removeActionLine(p, mt, dc)); w.write("\n") }
         adds.foreach { a =>
-          w.write(addActionLine(a, types, mt)); w.write("\n") }
+          w.write(addActionLine(a, types, mt, dc)); w.write("\n") }
       } finally w.close()
       Files.move(tmp.toPath, commit.toPath,
         StandardCopyOption.ATOMIC_MOVE)
@@ -488,7 +541,10 @@ object DeltaExport {
     val (nActions, df) =
       try {
         val lines = spark.read.textFile(txt.getPath)
-        (lines.count(), spark.read.json(lines))
+        // EXPLICIT spec schema — see [[checkpointSchema]]; inference
+        // would mistype partitionValues and drop empty maps
+        (lines.count(),
+          spark.read.schema(checkpointSchema).json(lines))
       } catch { case e: Throwable => deleteRecursive(txt); throw e }
     val tmp = new File(dir, s".tmp-ckpt-${UUID.randomUUID()}")
     val nParts = math.max(1L, (nActions + partRows - 1) / partRows).toInt
@@ -571,7 +627,15 @@ object DeltaExport {
     * verbatim — single part, spec name. */
   private def writeCheckpoint(spark: SparkSession, dir: File, v: Long,
                               nActions: Long): Unit = {
-    val df = spark.read.json(new File(dir, f"$v%020d.json").getPath)
+    // EXPLICIT spec schema (see [[checkpointSchema]]), and the
+    // commit's commitInfo line — schemaless under it — drops: the
+    // spec excludes commitInfo from checkpoints, and an all-null
+    // action row is garbage to a strict reader
+    val df = spark.read.schema(checkpointSchema)
+      .json(new File(dir, f"$v%020d.json").getPath)
+      .filter(col("protocol").isNotNull || col("metaData").isNotNull ||
+        col("add").isNotNull || col("remove").isNotNull ||
+        col("txn").isNotNull)
     val tmp = new File(dir, s".tmp-ckpt-${UUID.randomUUID()}")
     df.coalesce(1).write.mode("overwrite").parquet(tmp.getPath)
     val part = tmp.listFiles().filter(_.getName.endsWith(".parquet"))

@@ -94,9 +94,10 @@ object IcebergExport {
     else schema.fields.toSeq.zipWithIndex.map { case (f, i) =>
       f -> (i + 1) }
 
-  private def icebergSchemaJson(ids: Seq[(StructField, Int)]): JValue =
+  private def icebergSchemaJson(ids: Seq[(StructField, Int)],
+                                schemaId: Int = 0): JValue =
     JObject(List(
-      "type" -> JString("struct"), "schema-id" -> JInt(0),
+      "type" -> JString("struct"), "schema-id" -> JInt(schemaId),
       "fields" -> JArray(ids.toList.map { case (f, id) =>
         JObject(List("id" -> JInt(id), "name" -> JString(f.name),
           "required" -> JBool(false),
@@ -306,16 +307,33 @@ object IcebergExport {
       if (hint.isFile) Files.readString(hint.toPath).trim.toInt else 0
     }
     val n = prevN + 1
+    // the previous metadata JSON, read ONCE — uuid, snapshot carry,
+    // schema/spec history and the duplicate-export check all come
+    // from it
+    val prevMeta: Option[JValue] =
+      if (prevN == 0) None
+      else Some(JsonMethods.parse(Files.readString(
+        new File(metaDir, s"v$prevN.metadata.json").toPath)))
+    // re-exporting the snapshot the mirror already ends on is a
+    // NO-OP (never a duplicate snapshot-id in the snapshots array —
+    // Iceberg readers treat ids as unique); mirrorIceberg leans on
+    // this idempotence
+    prevMeta.foreach { prev =>
+      val already = (prev \ "current-snapshot-id") match {
+        case JInt(i)  => i.toLong == v
+        case JLong(l) => l == v
+        case _        => false
+      }
+      if (already)
+        return new File(metaDir, s"v$prevN.metadata.json").getPath
+    }
     // table-uuid is STABLE across metadata versions (the spec's
     // identity check — a refreshing reader throws on a changed
     // uuid): carry the previous metadata's forward
     val tableUuid: String =
-      (if (prevN == 0) None
-       else (JsonMethods.parse(Files.readString(
-         new File(metaDir, s"v$prevN.metadata.json").toPath)) \
-         "table-uuid") match {
-         case JString(u) => Some(u); case _ => None
-       }).getOrElse(UUID.randomUUID().toString)
+      prevMeta.flatMap(prev => (prev \ "table-uuid") match {
+        case JString(u) => Some(u); case _ => None
+      }).getOrElse(UUID.randomUUID().toString)
     // honest snapshot summary.operation per the spec's vocabulary —
     // incremental-append consumers skip or refuse non-append
     // snapshots, so a delete exported as "append" double-counts.
@@ -326,13 +344,10 @@ object IcebergExport {
     // is "replace", and an unknowable span (expired commits) is
     // conservatively "overwrite" — never a false "append".
     val prevExportedV: Option[Long] =
-      if (prevN == 0) None
-      else (JsonMethods.parse(Files.readString(
-        new File(metaDir, s"v$prevN.metadata.json").toPath)) \
-        "current-snapshot-id") match {
+      prevMeta.flatMap(prev => (prev \ "current-snapshot-id") match {
         case JInt(i) => Some(i.toLong); case JLong(l) => Some(l)
         case _       => None
-      }
+      })
     val operation: String = {
       val span = prevExportedV.map(p => (p + 1) to v)
         .getOrElse(v to v)
@@ -353,6 +368,45 @@ object IcebergExport {
     val seq = n.toLong
     val ts = log.commitTime(v)
 
+    // SCHEMA / PARTITION-SPEC HISTORY (the spec's evolution
+    // contract): prior schemas and specs carry FORWARD with their
+    // ids; the current shape reuses a matching prior id or claims
+    // the next one, and each snapshot is stamped with the schema-id
+    // current at ITS export time — a time-travel reader resolves
+    // historical snapshots against their own schema, never today's.
+    def idIn(j: JValue, key: String): Int = (j \ key) match {
+      case JInt(i) => i.toInt; case JLong(l) => l.toInt; case _ => 0
+    }
+    val prevSchemas: List[JValue] = prevMeta.toList.flatMap(p =>
+      (p \ "schemas") match { case JArray(a) => a; case _ => Nil })
+    val myFields = icebergSchemaJson(ids) \ "fields"
+    val schemaId: Int = prevSchemas
+      .find(s => (s \ "fields") == myFields)
+      .map(idIn(_, "schema-id"))
+      .getOrElse(prevSchemas.map(idIn(_, "schema-id"))
+        .maxOption.map(_ + 1).getOrElse(0))
+    val schemasJson: List[JValue] =
+      if (prevSchemas.exists(s => (s \ "fields") == myFields))
+        prevSchemas
+      else prevSchemas :+ icebergSchemaJson(ids, schemaId)
+    val prevSpecs: List[JValue] = prevMeta.toList.flatMap(p =>
+      (p \ "partition-specs") match { case JArray(a) => a; case _ => Nil })
+    val mySpecFields = specFieldsJson(partCols, ids)
+    val specId: Int = prevSpecs
+      .find(s => (s \ "fields") == mySpecFields)
+      .map(idIn(_, "spec-id"))
+      .getOrElse(prevSpecs.map(idIn(_, "spec-id"))
+        .maxOption.map(_ + 1).getOrElse(0))
+    val specsJson: List[JValue] =
+      if (prevSpecs.exists(s => (s \ "fields") == mySpecFields))
+        prevSpecs
+      else prevSpecs :+ JObject(List("spec-id" -> JInt(specId),
+        "fields" -> mySpecFields))
+    val lastColumnId = (ids.map(_._2).max +:
+      prevMeta.toList.map(idIn(_, "last-column-id"))).max
+    val lastPartitionId = ((999 + partCols.size) +:
+      prevMeta.toList.map(idIn(_, "last-partition-id"))).max
+
     // ---- manifest Avro: one entry per live file, STREAMED from the
     // distributed manifest when one serves (toLocalIterator — the
     // driver holds one partition of rows at a time, never the list)
@@ -366,7 +420,7 @@ object IcebergExport {
       JsonMethods.render(icebergSchemaJson(ids))))
     mw.setMeta("partition-spec", JsonMethods.compact(
       JsonMethods.render(specFieldsJson(partCols, ids))))
-    mw.setMeta("partition-spec-id", "0")
+    mw.setMeta("partition-spec-id", specId.toString)
     mw.setMeta("format-version", "2")
     mw.setMeta("content", "data")
     mw.create(entrySchema, manifestFile)
@@ -451,7 +505,7 @@ object IcebergExport {
       m.put("manifest_path", manifestFile.getAbsolutePath)
       m.put("manifest_length",
         java.lang.Long.valueOf(manifestFile.length()))
-      m.put("partition_spec_id", Integer.valueOf(0))
+      m.put("partition_spec_id", Integer.valueOf(specId))
       m.put("content", Integer.valueOf(0)) // data
       m.put("sequence_number", java.lang.Long.valueOf(seq))
       m.put("min_sequence_number", java.lang.Long.valueOf(seq))
@@ -486,21 +540,19 @@ object IcebergExport {
         "operation" -> JString(operation),
         "graft-version" -> JString(v.toString))),
       "manifest-list" -> JString(listFile.getAbsolutePath),
-      "schema-id" -> JInt(0)))
+      "schema-id" -> JInt(schemaId)))
     val meta = JObject(List(
       "format-version" -> JInt(2),
       "table-uuid" -> JString(tableUuid),
       "location" -> JString(root),
       "last-sequence-number" -> JLong(seq),
       "last-updated-ms" -> JLong(ts),
-      "last-column-id" -> JInt(ids.map(_._2).max),
-      "current-schema-id" -> JInt(0),
-      "schemas" -> JArray(List(icebergSchemaJson(ids))),
-      "default-spec-id" -> JInt(0),
-      "partition-specs" -> JArray(List(JObject(List(
-        "spec-id" -> JInt(0),
-        "fields" -> specFieldsJson(partCols, ids))))),
-      "last-partition-id" -> JInt(999 + partCols.size),
+      "last-column-id" -> JInt(lastColumnId),
+      "current-schema-id" -> JInt(schemaId),
+      "schemas" -> JArray(schemasJson),
+      "default-spec-id" -> JInt(specId),
+      "partition-specs" -> JArray(specsJson),
+      "last-partition-id" -> JInt(lastPartitionId),
       "default-sort-order-id" -> JInt(0),
       "sort-orders" -> JArray(List(JObject(List(
         "order-id" -> JInt(0), "fields" -> JArray(Nil))))),

@@ -232,6 +232,79 @@ class DeltaExportSpec extends SparkSpec {
     assert((last \ "size") == JInt(BigInt(100003)), last)
   }
 
+  test("checkpoints are SPEC-SHAPED, never schema-inferred: " +
+    "partitionValues is map<string,string> and present on an " +
+    "unpartitioned table, format.options/configuration survive " +
+    "empty, and no commitInfo row leaks in") {
+    val dir = s"${tmp()}/t"
+    val t = new LogTable(dir)
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("k", "v").repartition(1))
+    DeltaExport.exportDeltaLog(spark, t) // unpartitioned + checkpoint
+    val ckpt = spark.read.parquet(
+      s"$dir/_delta_log/00000000000000000000.checkpoint.parquet")
+    val addT = ckpt.schema("add").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(addT("partitionValues").dataType ==
+      org.apache.spark.sql.types.MapType(
+        org.apache.spark.sql.types.StringType,
+        org.apache.spark.sql.types.StringType),
+      s"partitionValues must be map<string,string>: $addT")
+    val metaT = ckpt.schema("metaData").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(metaT("configuration").dataType
+      .isInstanceOf[org.apache.spark.sql.types.MapType])
+    assert(metaT("format").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+      .fieldNames.contains("options"))
+    // the empty maps are PRESENT (not null): strict readers read
+    // them by contract
+    val m = ckpt.filter(col("metaData").isNotNull)
+      .select("metaData.configuration").collect().head
+    assert(m.getMap[String, String](0) != null)
+    assert(!ckpt.columns.contains("commitInfo"))
+    // and exportCheckpoint's multi-row path produces the same shape
+    t.append(Seq((3L, "c")).toDF("k", "v").repartition(1))
+    DeltaExport.exportTail(spark, t, 1L, 1L)
+    DeltaExport.exportCheckpoint(spark, t)
+    val ckpt2 = spark.read.parquet(
+      s"$dir/_delta_log/00000000000000000001.checkpoint.parquet")
+    assert(ckpt2.schema("add").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType](
+        "partitionValues").dataType ==
+      org.apache.spark.sql.types.MapType(
+        org.apache.spark.sql.types.StringType,
+        org.apache.spark.sql.types.StringType))
+  }
+
+  test("a mirrored OPTIMIZE commit carries dataChange = false — " +
+    "followers never double-count compacted rows") {
+    val dir = s"${tmp()}/t"
+    val t = new LogTable(dir)
+    (1 to 3).foreach(i =>
+      t.append(Seq((i.toLong, s"v$i")).toDF("k", "v").repartition(1)))
+    DeltaExport.mirrorDelta(spark, t)
+    t.compactFiles(spark, smallBytes = 1L << 20)                // v3
+    assert(t.commitOp(t.currentVersion.get) == "optimize")
+    DeltaExport.mirrorDelta(spark, t)
+    val v3 = java.nio.file.Files.readString(new File(dir,
+      f"_delta_log/${3L}%020d.json").toPath)
+    val actions = v3.linesIterator.filter(_.nonEmpty)
+      .map(JsonMethods.parse(_)).toSeq
+    val adds = actions.filter(j => (j \ "add") != JNothing)
+    val removes = actions.filter(j => (j \ "remove") != JNothing)
+    assert(adds.nonEmpty && removes.nonEmpty)
+    assert(adds.forall(j =>
+      (j \ "add" \ "dataChange") == JBool(false)), v3)
+    assert(removes.forall(j =>
+      (j \ "remove" \ "dataChange") == JBool(false)), v3)
+    // a DATA commit keeps dataChange = true
+    t.append(Seq((9L, "z")).toDF("k", "v").repartition(1))      // v4
+    DeltaExport.mirrorDelta(spark, t)
+    val v4 = java.nio.file.Files.readString(new File(dir,
+      f"_delta_log/${4L}%020d.json").toPath)
+    assert(v4.contains("\"dataChange\":true"), v4)
+  }
+
   test("convertFromDelta folds a 100k-file foreign checkpoint as a " +
     "SPARK JOB: the driver never holds the add set (by-reference " +
     "commit), and the converted table prunes from commit one") {

@@ -184,6 +184,43 @@ class IcebergExportSpec extends SparkSpec {
       s"a CoW-delete snapshot must not claim append: $op2")
   }
 
+  test("schema evolution across sequential exports: prior schemas " +
+    "carry forward with their ids, snapshots are stamped with THEIR " +
+    "schema-id, and re-exporting the same snapshot is a no-op") {
+    val dir = s"${tmp()}/t"
+    val t = new LogTable(dir)
+    t.append(Seq((1L, "a")).toDF("k", "v").repartition(1))      // v0
+    val p1 = IcebergExport.exportIcebergMetadata(spark, t)
+    // duplicate export of the SAME snapshot: no new metadata, no
+    // duplicate snapshot-id
+    assert(IcebergExport.exportIcebergMetadata(spark, t) == p1)
+    assert(java.nio.file.Files.readString(
+      new File(dir, "metadata/version-hint.text").toPath).trim == "1")
+    // evolve the schema, export again
+    t.append(Seq((2L, "b", 7L)).toDF("k", "v", "extra"),
+      mergeSchema = true)                                       // v1
+    val p2 = IcebergExport.exportIcebergMetadata(spark, t)
+    val meta = JsonMethods.parse(
+      java.nio.file.Files.readString(new File(p2).toPath))
+    val schemas = (meta \ "schemas").asInstanceOf[JArray].arr
+    assert(schemas.size == 2, JsonMethods.pretty(JsonMethods.render(meta)))
+    assert(schemas.map(s => s \ "schema-id").toSet ==
+      Set(JInt(0), JInt(1)))
+    assert((meta \ "current-schema-id") == JInt(1))
+    val snaps = (meta \ "snapshots").asInstanceOf[JArray].arr
+    assert((snaps.head \ "schema-id") == JInt(0),
+      "the historical snapshot must keep ITS schema-id")
+    assert((snaps.last \ "schema-id") == JInt(1))
+    // an unchanged follow-up export reuses schema-id 1
+    t.append(Seq((3L, "c", 8L)).toDF("k", "v", "extra"))        // v2
+    val p3 = IcebergExport.exportIcebergMetadata(spark, t)
+    val meta3 = JsonMethods.parse(
+      java.nio.file.Files.readString(new File(p3).toPath))
+    assert((meta3 \ "schemas").asInstanceOf[JArray].arr.size == 2)
+    assert((meta3 \ "current-schema-id") == JInt(1))
+    assert(IcebergExport.loadIceberg(spark, dir).count() == 3L)
+  }
+
   test("a DELETE manifest in the manifest list refuses by name — " +
     "never a half-read that resurrects deleted rows") {
     val dir = s"${tmp()}/t"
