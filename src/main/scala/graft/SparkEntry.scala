@@ -1468,6 +1468,36 @@ object SparkEntry {
       conv.load(s).select(col("k"), col("name")).orderBy("k")
     }),
 
+    "iceberg_mirror" -> ((s, d) => {
+      // round-14 ONE-CALL Iceberg mirror (mirrorDelta's analog):
+      // follow the table one commit at a time — export + retention
+      // in a single call, so a long-lived mirror stays BOUNDED
+      // (metadata files capped at keepMetadata, carried snapshots
+      // at keepSnapshots — the expire-snapshots analog — and Avro
+      // manifests no retained metadata references sweep as
+      // orphans). Idempotent when already current. The final
+      // mirrored state reads back through the library's own
+      // reader.
+      import s.implicits._
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft_imirq").toString
+      val lt = new graft.sources.LogTable(s"$wh/t")
+      val cust = t(s, d, "customer").select(col("c_custkey").as("k"),
+        col("c_name").as("name"))
+      def sync(): Unit = { graft.sources.IcebergExport
+        .mirrorIceberg(s, lt, keepMetadata = 2, keepSnapshots = 2); () }
+      lt.append(cust.filter(col("k") <= 60).repartition(2))     // v0
+      sync()
+      lt.append(cust.filter(col("k") > 60 && col("k") <= 120)
+        .repartition(2))                                        // v1
+      sync()
+      lt.delete(s, col("k") % 10 === 0)                         // v2
+      sync()
+      sync() // already current — a no-op, never a duplicate snapshot
+      graft.sources.IcebergExport.loadIceberg(s, lt.path)
+        .select(col("k"), col("name")).orderBy("k")
+    }),
+
     "iceberg_export" -> ((s, d) => {
       // round-13 Iceberg metadata EXPORT (public table spec,
       // format-version 2): vN.metadata.json + manifest-list and
@@ -4062,6 +4092,12 @@ object SparkEntry {
     "iceberg_export" ->
       """SELECT c_custkey AS k, c_name AS name,
               c_mktsegment AS seg
+         FROM customer
+         WHERE c_custkey <= 120 AND c_custkey % 10 <> 0
+         ORDER BY k""",
+
+    "iceberg_mirror" ->
+      """SELECT c_custkey AS k, c_name AS name
          FROM customer
          WHERE c_custkey <= 120 AND c_custkey % 10 <> 0
          ORDER BY k""",

@@ -427,8 +427,11 @@ object DeltaExport {
     * commit each — adds, removes, commitInfo, metaData when the
     * commit changed it — refusing any numbering gap so the exported
     * log stays contiguously replayable. Per-commit driver cost is
-    * bounded by the commit's own action count. Returns the commit
-    * file paths. */
+    * bounded by the commit's own INLINE action count: a
+    * by-reference commit (a CONVERT's million-file seed) renders
+    * its sidecar's add actions on executors and streams them into
+    * the commit file, exactly like the full export. Returns the
+    * commit file paths. */
   def exportTail(spark: SparkSession, log: LogTable,
                  fromVersion: Long, toVersion: Long): Seq[String] = {
     require(fromVersion <= toVersion,
@@ -449,8 +452,26 @@ object DeltaExport {
       .getOrElse(UUID.randomUUID().toString)
     (fromVersion to toVersion).map { cv =>
       val schema = gateMetadata(log, cv)
-      val adds = log.addedFiles(cv)
+      // by-reference commits (a CONVERT's million-file seed) keep
+      // their add set as a DATASET: gates answer as one aggregate,
+      // action lines render on executors — the driver holds only
+      // the commit's inline actions
+      val (adds, refDs) = log.addedFilesDs(spark, cv)
       gateAdds(adds, s"commit $cv")
+      refDs.foreach { ds =>
+        val g = ds.toDF().agg(
+          org.apache.spark.sql.functions.max(
+            col("dvPath").isNotNull),
+          org.apache.spark.sql.functions.max(
+            col("path").startsWith("/"))).collect().head
+        require(g.getAs[Any](0) != true,
+          s"cannot export commit $cv carrying deletion vectors — " +
+            "graft's DV sidecars are not Delta's format; run " +
+            "purgeDeletes() or OPTIMIZE first")
+        require(g.getAs[Any](1) != true,
+          s"cannot export commit $cv — it references absolute " +
+            "paths outside this table root (a shallow clone)")
+      }
       val removes = log.removedPaths(cv)
       val mt = log.commitTime(cv)
       val types = schema.fields.map(f => f.name -> f.dataType).toMap
@@ -477,6 +498,25 @@ object DeltaExport {
           w.write(removeActionLine(p, mt, dc)); w.write("\n") }
         adds.foreach { a =>
           w.write(addActionLine(a, types, mt, dc)); w.write("\n") }
+        refDs.foreach { ds =>
+          // same executor-render-and-stream pattern as the full
+          // export: bounded driver memory at any file count
+          val txt = new File(dir, s".tmp-txt-${UUID.randomUUID()}")
+          try {
+            ds.orderBy(col("idx"))
+              .map(c => addActionLine(LogTable.decodeCkptAdd(c),
+                types, mt, dc))(org.apache.spark.sql.Encoders.STRING)
+              .write.text(txt.getPath)
+            Option(txt.listFiles()).getOrElse(Array.empty)
+              .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+              .foreach { p =>
+                val src = scala.io.Source.fromFile(p)
+                try src.getLines().foreach { l =>
+                  if (l.nonEmpty) { w.write(l); w.write("\n") }
+                } finally src.close()
+              }
+          } finally deleteRecursive(txt)
+        }
       } finally w.close()
       Files.move(tmp.toPath, commit.toPath,
         StandardCopyOption.ATOMIC_MOVE)
@@ -1129,7 +1169,11 @@ object DeltaExport {
 
   /** Snapshot DataFrame over an imported Delta log — the round-trip
     * read: resolve the live files, scan them with the logged schema
-    * (hive partition discovery when partitioned). */
+    * (hive partition discovery when partitioned). PROXY READER ONLY:
+    * the plan splats one driver-held path per live file, so for big
+    * (>10k-file) foreign tables the documented route is
+    * [[convertFromDelta]] then a LogTable scan — distributed
+    * manifest, file-skipping, no path splat. */
   def loadDelta(spark: SparkSession, tableRoot: String): DataFrame = {
     val (schema, partCols, files) = readDeltaSnapshot(spark, tableRoot)
     files.find(f => hasUriScheme(f._1)).foreach(f =>

@@ -37,16 +37,22 @@ import org.json4s.jackson.JsonMethods
   * `vN.metadata.json`, carrying the previous snapshots and
   * snapshot-log forward, so the Iceberg history follows graft's.
   *
+  * Nested columns (struct/list/map) export per the spec's nested
+  * type JSON with deterministically-allocated field/element/key/
+  * value ids and a nested name mapping; column STATS stay
+  * top-level-primitive (graft collects none for nested columns —
+  * absent bounds only cost skipping, never correctness).
+  *
   * Refused loudly (state an Iceberg reader would misread): deletion
   * vectors (v2 delete FILES are a different encoding), graft hidden
   * partitioning (transform mapping is not implemented — Iceberg
-  * could express it, the translation isn't built), nested column
-  * types (graft stats and this exporter handle flat schemas), and
-  * partition columns outside {string, int, long, date}. */
+  * could express it, the translation isn't built), and partition
+  * columns outside {string, int, long, date}. */
 object IcebergExport {
 
   /** Iceberg primitive type name for a Spark type — the spec's
-    * string forms. Nested / exotic types refuse by column name. */
+    * string forms. Nested types render as objects via
+    * [[icebergTypeJson]]; exotic types refuse by column name. */
   private def icebergType(name: String, dt: DataType): String =
     dt match {
       case ByteType | ShortType | IntegerType => "int"
@@ -62,8 +68,85 @@ object IcebergExport {
       case d: DecimalType => s"decimal(${d.precision}, ${d.scale})"
       case other => throw new IllegalArgumentException(
         s"cannot export column '$name': Iceberg metadata export " +
-          s"handles flat primitive schemas, not ${other.simpleString}")
+          s"handles primitive and struct/list/map columns, not " +
+          s"${other.simpleString}")
     }
+
+  /** One column type as Iceberg schema JSON: primitives as the
+    * spec's string forms, struct/list/map as the spec's nested
+    * objects with `alloc`-assigned field/element/key/value ids.
+    * Allocation order is the DETERMINISTIC depth-first traversal —
+    * the same schema shape renders id-identical across sequential
+    * exports, so the schema-history comparison never mints a
+    * spurious new schema-id. */
+  private def icebergTypeJson(name: String, dt: DataType,
+                              alloc: () => Int): JValue = dt match {
+    case st: StructType => JObject(List(
+      "type" -> JString("struct"),
+      "fields" -> JArray(st.fields.toList.map { f =>
+        val id = alloc()
+        JObject(List("id" -> JInt(id), "name" -> JString(f.name),
+          "required" -> JBool(false),
+          "type" -> icebergTypeJson(s"$name.${f.name}", f.dataType,
+            alloc)))
+      })))
+    case at: ArrayType =>
+      val eid = alloc()
+      JObject(List("type" -> JString("list"),
+        "element-id" -> JInt(eid),
+        "element" -> icebergTypeJson(s"$name.element",
+          at.elementType, alloc),
+        "element-required" -> JBool(!at.containsNull)))
+    case mt: MapType =>
+      val kid = alloc(); val vid = alloc()
+      JObject(List("type" -> JString("map"),
+        "key-id" -> JInt(kid),
+        "key" -> icebergTypeJson(s"$name.key", mt.keyType, alloc),
+        "value-id" -> JInt(vid),
+        "value" -> icebergTypeJson(s"$name.value", mt.valueType,
+          alloc),
+        "value-required" -> JBool(!mt.valueContainsNull)))
+    case prim => JString(icebergType(name, prim))
+  }
+
+  /** Every field id a rendered schema JSON assigned — the
+    * `last-column-id` input (nested ids included). */
+  private def maxFieldId(j: JValue): Int = {
+    def walk(v: JValue): Seq[Int] = v match {
+      case JObject(fs) => fs.flatMap {
+        case (k, JInt(i)) if k == "id" || k == "element-id" ||
+          k == "key-id" || k == "value-id" => Seq(i.toInt)
+        case (_, sub) => walk(sub)
+      }
+      case JArray(a) => a.flatMap(walk)
+      case _         => Seq.empty
+    }
+    walk(j).maxOption.getOrElse(0)
+  }
+
+  /** One Iceberg schema-JSON type back to Spark — string primitives
+    * via [[sparkType]], nested struct/list/map objects recursively
+    * (the readback half of [[icebergTypeJson]]). */
+  private def sparkTypeOf(j: JValue): DataType = j match {
+    case JString(s) => sparkType(s)
+    case obj: JObject => (obj \ "type") match {
+      case JString("struct") => StructType((obj \ "fields") match {
+        case JArray(fs) => fs.map(f => StructField(
+          (f \ "name").asInstanceOf[JString].s,
+          sparkTypeOf(f \ "type")))
+        case _ => Nil
+      })
+      case JString("list") => ArrayType(sparkTypeOf(obj \ "element"),
+        containsNull = (obj \ "element-required") != JBool(true))
+      case JString("map") => MapType(sparkTypeOf(obj \ "key"),
+        sparkTypeOf(obj \ "value"),
+        valueContainsNull = (obj \ "value-required") != JBool(true))
+      case other => throw new IllegalStateException(
+        s"unknown nested Iceberg type in exported metadata: $other")
+    }
+    case other => throw new IllegalStateException(
+      s"unreadable Iceberg type node: $other")
+  }
 
   private def sparkType(t: String): DataType = t match {
     case "int"         => IntegerType
@@ -95,20 +178,58 @@ object IcebergExport {
       f -> (i + 1) }
 
   private def icebergSchemaJson(ids: Seq[(StructField, Int)],
-                                schemaId: Int = 0): JValue =
+                                schemaId: Int = 0): JValue = {
+    // nested ids allocate depth-first AFTER the top-level ids —
+    // deterministic, so the same shape always renders identically
+    var next = ids.map(_._2).maxOption.getOrElse(0) + 1
+    def alloc(): Int = { val i = next; next += 1; i }
     JObject(List(
       "type" -> JString("struct"), "schema-id" -> JInt(schemaId),
       "fields" -> JArray(ids.toList.map { case (f, id) =>
         JObject(List("id" -> JInt(id), "name" -> JString(f.name),
           "required" -> JBool(false),
-          "type" -> JString(icebergType(f.name, f.dataType))))
+          "type" -> icebergTypeJson(f.name, f.dataType, alloc)))
       })))
+  }
 
-  private def nameMappingJson(ids: Seq[(StructField, Int)]): JValue =
-    JArray(ids.toList.map { case (f, id) =>
-      JObject(List("field-id" -> JInt(id),
-        "names" -> JArray(List(JString(f.name)))))
-    })
+  /** Name mapping derived from the RENDERED schema JSON (so nested
+    * ids match the schema's allocation): struct members nest under
+    * `fields`, list/map members map as the spec's `element` /
+    * `key` / `value` names. */
+  private def nameMappingJson(schemaJson: JValue): JValue = {
+    def ofType(t: JValue): List[JValue] = t match {
+      case JString(_) => Nil
+      case obj => (obj \ "type") match {
+        case JString("struct") => (obj \ "fields") match {
+          case JArray(fs) => fs.map(ofField)
+          case _          => Nil
+        }
+        case JString("list") =>
+          List(JObject(List("field-id" -> (obj \ "element-id"),
+            "names" -> JArray(List(JString("element")))) ++
+            nested(obj \ "element")))
+        case JString("map") =>
+          List(JObject(List("field-id" -> (obj \ "key-id"),
+            "names" -> JArray(List(JString("key")))) ++
+            nested(obj \ "key")),
+            JObject(List("field-id" -> (obj \ "value-id"),
+              "names" -> JArray(List(JString("value")))) ++
+              nested(obj \ "value")))
+        case _ => Nil
+      }
+    }
+    def nested(t: JValue): List[(String, JValue)] = {
+      val sub = ofType(t)
+      if (sub.isEmpty) Nil else List("fields" -> JArray(sub))
+    }
+    def ofField(f: JValue): JValue =
+      JObject(List("field-id" -> (f \ "id"),
+        "names" -> JArray(List(f \ "name"))) ++ nested(f \ "type"))
+    (schemaJson \ "fields") match {
+      case JArray(fs) => JArray(fs.map(ofField))
+      case _          => JArray(Nil)
+    }
+  }
 
   /** Partition-spec fields: identity transforms over the hive-style
     * partition columns (field-ids from 1000, the spec's floor). */
@@ -265,9 +386,14 @@ object IcebergExport {
   /** Export the snapshot at `version` (default: current) as the next
     * Iceberg metadata version under `<table>/metadata/`. Returns the
     * metadata JSON path. Sequential calls mirror the table (previous
-    * snapshots carry forward). */
+    * snapshots carry forward; `keepSnapshots` caps how many — the
+    * expire-snapshots analog a long-lived mirror needs to stay
+    * bounded). Re-exporting the already-current snapshot is a no-op
+    * returning the existing metadata path. */
   def exportIcebergMetadata(spark: SparkSession, log: LogTable,
-                            version: Option[Long] = None): String = {
+                            version: Option[Long] = None,
+                            keepSnapshots: Int = Int.MaxValue)
+      : String = {
     val v = version.orElse(log.currentVersion).getOrElse(
       throw new IllegalStateException(s"no log table at ${log.path}"))
     require(log.partitionTransformsAt(v).isEmpty,
@@ -276,7 +402,9 @@ object IcebergExport {
         "implemented; export an identity-partitioned table")
     val schema = log.schemaAt(v)
     val ids = fieldIds(schema)
-    ids.foreach { case (f, _) => icebergType(f.name, f.dataType) }
+    // render the schema once up front — the render IS the type
+    // validation (exotic types refuse by column name)
+    icebergSchemaJson(ids)
     val partCols = log.partitionColsAt(v)
     val byName = schema.fields.map(f => f.name -> f.dataType).toMap
 
@@ -379,7 +507,8 @@ object IcebergExport {
     }
     val prevSchemas: List[JValue] = prevMeta.toList.flatMap(p =>
       (p \ "schemas") match { case JArray(a) => a; case _ => Nil })
-    val myFields = icebergSchemaJson(ids) \ "fields"
+    val mySchemaRender = icebergSchemaJson(ids)
+    val myFields = mySchemaRender \ "fields"
     val schemaId: Int = prevSchemas
       .find(s => (s \ "fields") == myFields)
       .map(idIn(_, "schema-id"))
@@ -402,7 +531,7 @@ object IcebergExport {
         prevSpecs
       else prevSpecs :+ JObject(List("spec-id" -> JInt(specId),
         "fields" -> mySpecFields))
-    val lastColumnId = (ids.map(_._2).max +:
+    val lastColumnId = (maxFieldId(mySchemaRender) +:
       prevMeta.toList.map(idIn(_, "last-column-id"))).max
     val lastPartitionId = ((999 + partCols.size) +:
       prevMeta.toList.map(idIn(_, "last-partition-id"))).max
@@ -417,7 +546,7 @@ object IcebergExport {
     val mw = new DataFileWriter[GenericRecord](
       new GenericDatumWriter[GenericRecord](entrySchema))
     mw.setMeta("schema", JsonMethods.compact(
-      JsonMethods.render(icebergSchemaJson(ids))))
+      JsonMethods.render(icebergSchemaJson(ids, schemaId))))
     mw.setMeta("partition-spec", JsonMethods.compact(
       JsonMethods.render(specFieldsJson(partCols, ids))))
     mw.setMeta("partition-spec-id", specId.toString)
@@ -558,12 +687,14 @@ object IcebergExport {
         "order-id" -> JInt(0), "fields" -> JArray(Nil))))),
       "properties" -> JObject(List(
         "schema.name-mapping.default" -> JString(JsonMethods.compact(
-          JsonMethods.render(nameMappingJson(ids)))))),
+          JsonMethods.render(nameMappingJson(mySchemaRender)))))),
       "current-snapshot-id" -> JLong(snapshotId),
-      "snapshots" -> JArray(prevSnaps :+ snapJson),
-      "snapshot-log" -> JArray(prevLog :+ JObject(List(
+      "snapshots" -> JArray((prevSnaps :+ snapJson)
+        .takeRight(math.max(1, keepSnapshots))),
+      "snapshot-log" -> JArray((prevLog :+ JObject(List(
         "timestamp-ms" -> JLong(ts),
-        "snapshot-id" -> JLong(snapshotId)))),
+        "snapshot-id" -> JLong(snapshotId))))
+        .takeRight(math.max(1, keepSnapshots))),
       "metadata-log" -> JArray(Nil)))
     val target = new File(metaDir, s"v$n.metadata.json")
     val tmp = new File(metaDir, s".tmp-${UUID.randomUUID()}")
@@ -574,6 +705,72 @@ object IcebergExport {
     Files.writeString(new File(metaDir, "version-hint.text").toPath,
       n.toString)
     target.getPath
+  }
+
+  /** One-call INCREMENTAL MIRROR of the table as Iceberg metadata —
+    * the [[DeltaExport.mirrorDelta]] analog: exports the current
+    * snapshot when the mirror is behind (idempotent — a current
+    * mirror is a no-op), then applies RETENTION so a FOLLOWED mirror
+    * stays bounded: at most `keepSnapshots` snapshots carry in the
+    * new metadata (the expire-snapshots analog), at most
+    * `keepMetadata` `vN.metadata.json` files stay on disk (the
+    * `write.metadata.previous-versions-max` analog), and Avro
+    * manifest-lists/manifests that no RETAINED metadata references
+    * sweep as orphans. Returns the newly exported metadata path,
+    * None when the mirror was already current. */
+  def mirrorIceberg(spark: SparkSession, log: LogTable,
+                    keepMetadata: Int = 10,
+                    keepSnapshots: Int = 100): Option[String] = {
+    require(keepMetadata >= 1 && keepSnapshots >= 1,
+      "mirrorIceberg retention needs keepMetadata/keepSnapshots >= 1")
+    val metaDir = new File(log.path, "metadata")
+    val hint = new File(metaDir, "version-hint.text")
+    val prevN: Int =
+      if (hint.isFile) Files.readString(hint.toPath).trim.toInt else 0
+    val p = exportIcebergMetadata(spark, log,
+      keepSnapshots = keepSnapshots)
+    val exported =
+      Files.readString(hint.toPath).trim.toInt != prevN
+    // metadata-file retention: keep the newest `keepMetadata`
+    val metas = Option(metaDir.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.matches("v\\d+\\.metadata\\.json"))
+      .map(f => f.getName.stripPrefix("v")
+        .stripSuffix(".metadata.json").toInt -> f)
+    val keepNs = metas.map(_._1).sorted
+      .takeRight(keepMetadata).toSet
+    metas.filterNot(m => keepNs.contains(m._1)).foreach(_._2.delete())
+    // orphan sweep: an Avro file survives iff SOME retained
+    // metadata's snapshot chain references it (manifest-list
+    // directly, manifest through its list) — expired snapshots'
+    // manifests reclaim, exactly like data-file vacuum
+    val referenced = scala.collection.mutable.Set.empty[String]
+    metas.filter(m => keepNs.contains(m._1)).foreach { case (_, f) =>
+      (JsonMethods.parse(Files.readString(f.toPath)) \
+        "snapshots") match {
+        case JArray(ss) => ss.foreach { s =>
+          (s \ "manifest-list") match {
+            case JString(lp) =>
+              val lf = new File(lp)
+              referenced += lf.getCanonicalPath
+              if (lf.isFile) {
+                val lr = new DataFileReader[GenericRecord](lf,
+                  new GenericDatumReader[GenericRecord]())
+                try while (lr.hasNext) referenced += new File(
+                  lr.next().get("manifest_path").toString)
+                  .getCanonicalPath
+                finally lr.close()
+              }
+            case _ => ()
+          }
+        }
+        case _ => ()
+      }
+    }
+    Option(metaDir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.endsWith(".avro") &&
+        !referenced.contains(f.getCanonicalPath))
+      .foreach(_.delete())
+    if (exported) Some(p) else None
   }
 
   /** One manifest-entry partition value back to graft's hive-style
@@ -644,7 +841,7 @@ object IcebergExport {
           case _       => -1
         }
         StructField((f \ "name").asInstanceOf[JString].s,
-          sparkType((f \ "type").asInstanceOf[JString].s)) -> id
+          sparkTypeOf(f \ "type")) -> id
       }
       case _ => Nil
     }
@@ -860,7 +1057,11 @@ object IcebergExport {
   }
 
   /** Snapshot DataFrame over exported Iceberg metadata — the
-    * round-trip read (hive partition discovery when partitioned). */
+    * round-trip read (hive partition discovery when partitioned).
+    * PROXY READER ONLY: the plan splats one driver-held path per
+    * live file, so for big (>10k-file) foreign tables the
+    * documented route is [[convertFromIceberg]] then a LogTable
+    * scan — distributed manifest, file-skipping, no path splat. */
   def loadIceberg(spark: SparkSession, tableRoot: String): DataFrame = {
     val (schema, partCols, files) = readIcebergSnapshot(spark, tableRoot)
     val paths = files.map(_._1)

@@ -4523,8 +4523,9 @@ final class LogTable(val path: String,
   /** One commit's ADDED file entries, vectors and all. A
     * by-reference commit resolves its sidecar here — driver-side,
     * for callers that genuinely range over one commit's file set
-    * (mirror export, restore diffing); budget/stream admission uses
-    * [[commitAdmission]]'s O(1) facts instead. */
+    * (restore diffing); scale-conscious consumers take the sidecar
+    * as a DATASET via [[addedFilesDs]] (mirror export) and
+    * budget/stream admission uses [[commitAdmission]]'s O(1) facts. */
   private[sources] def addedFiles(v: Long): Seq[AddFile] =
     readActions(logFile(v)).flatMap { j =>
       if ((j \ "add") != JNothing) Seq(parseAdd(j \ "add"))
@@ -4533,6 +4534,26 @@ final class LogTable(val path: String,
           parseAddsRef(j \ "addsRef").path))
       else Seq.empty
     }
+
+  /** One commit's added files SPLIT for scale consumers: the inline
+    * entries (bounded by the commit's own action count, driver Seq)
+    * plus the by-reference sidecar as a DISTRIBUTED dataset when the
+    * commit carries one — what lets a mirror export render a
+    * CONVERT commit's million adds on executors instead of folding
+    * them through the driver. */
+  private[sources] def addedFilesDs(spark: SparkSession, v: Long)
+      : (Seq[AddFile], Option[org.apache.spark.sql.Dataset[CkptAdd]]) = {
+    val actions = readActions(logFile(v))
+    val inline = actions.collect {
+      case j if (j \ "add") != JNothing => parseAdd(j \ "add") }
+    val ref = actions.collectFirst {
+      case j if (j \ "addsRef") != JNothing =>
+        parseAddsRef(j \ "addsRef") }
+    (inline, ref.map { r =>
+      spark.read.parquet(new File(logDir, r.path).getPath)
+        .as[CkptAdd](org.apache.spark.sql.Encoders.product[CkptAdd])
+    })
+  }
 
   /** Table-relative paths of the files one commit removed — the
     * remove half of the per-commit delta ([[DeltaExport.exportTail]]

@@ -334,6 +334,33 @@ class DeltaExportSpec extends SparkSpec {
     assert(!fresh.addsMaterializedAt())
   }
 
+  test("exportTail mirrors a BY-REFERENCE (convert-scale) commit " +
+    "with executor-rendered adds — the driver never materializes " +
+    "the 100k-file set") {
+    val dir = s"${tmp()}/t"
+    val t = new LogTable(dir, checkpointInterval = 100)
+    t.append(Seq((1L, "a")).toDF("k", "v").repartition(1))      // v0
+    DeltaExport.exportDeltaLog(spark, t)                        // mirror v0
+    val refDs = spark.range(100000L).map { i =>
+      graft.sources.CkptAdd(i, f"data/fake-$i%06d.parquet", 10L, 512L,
+        s"""{"k":{"min":${i * 10},"max":${i * 10 + 9},"nulls":0}}""",
+        Map.empty[String, String], None, None, None)
+    }
+    val v = t.registerFilesFrom(spark, refDs)                   // v1
+    DeltaExport.exportTail(spark, t, v, v)
+    assert(!t.addsMaterializedAt(Some(v)),
+      "the tail mirror materialized the by-reference set")
+    // the mirrored commit carries one Delta add line per file
+    val src = scala.io.Source.fromFile(
+      new File(dir, f"_delta_log/$v%020d.json"), "UTF-8")
+    val nAdds = try src.getLines().count(_.contains("\"add\""))
+      finally src.close()
+    assert(nAdds == 100000, s"expected 100000 mirrored adds: $nAdds")
+    // and the import reader replays the mirrored state
+    val (_, _, files) = DeltaExport.readDeltaSnapshot(spark, dir)
+    assert(files.size == 100001)
+  }
+
   test("mirrorDelta follows the table one call at a time, and " +
     "exportCheckpoint (multi-part form included) keeps a CLEANED " +
     "log replayable after old commits are deleted") {

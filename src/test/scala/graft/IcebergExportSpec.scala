@@ -388,6 +388,100 @@ class IcebergExportSpec extends SparkSpec {
     assert(conv.load(spark).count() == 3L)
   }
 
+  test("nested columns (struct + array + map) export per the spec's " +
+    "nested type JSON with unique field ids and a nested name " +
+    "mapping, and round-trip through loadIceberg AND " +
+    "convertFromIceberg") {
+    val dir = s"${tmp()}/t"
+    val t = new LogTable(dir)
+    val df = Seq((1L, "a"), (2L, "b")).toDF("k", "tag")
+      .withColumn("meta", org.apache.spark.sql.functions.struct(
+        col("tag").as("name"), (col("k") * 10).as("score")))
+      .withColumn("tags", org.apache.spark.sql.functions.array(
+        col("tag"), org.apache.spark.sql.functions.lit("x")))
+      .withColumn("props", org.apache.spark.sql.functions.map(
+        org.apache.spark.sql.functions.lit("source"), col("tag")))
+      .drop("tag")
+    t.append(df.repartition(1))
+    IcebergExport.exportIcebergMetadata(spark, t)
+    val meta = JsonMethods.parse(java.nio.file.Files.readString(
+      new File(dir, "metadata/v1.metadata.json").toPath))
+    // every assigned id (top-level + element/key/value/nested
+    // struct) is unique, and last-column-id covers them all
+    def idsIn(v: JValue): Seq[BigInt] = v match {
+      case JObject(fs) => fs.flatMap {
+        case (k, JInt(i)) if Set("id", "element-id", "key-id",
+          "value-id")(k) => Seq(i)
+        case (_, sub) => idsIn(sub)
+      }
+      case JArray(a) => a.flatMap(idsIn)
+      case _         => Seq.empty
+    }
+    val schema0 = (meta \ "schemas").asInstanceOf[JArray].arr.head
+    val allIds = idsIn(schema0 \ "fields")
+    assert(allIds.distinct.size == allIds.size,
+      s"duplicate field ids in nested schema: $allIds")
+    assert((meta \ "last-column-id") == JInt(allIds.max))
+    // nested name mapping rides the same ids
+    val nm = (meta \ "properties" \ "schema.name-mapping.default")
+      .asInstanceOf[JString].s
+    assert(nm.contains("\"element\"") && nm.contains("\"key\""),
+      nm)
+    // readback serves the nested data
+    val got = IcebergExport.loadIceberg(spark, dir)
+    assert(got.select(col("meta.score")).as[Long].collect().toSet ==
+      Set(10L, 20L))
+    // and a CONVERT round-trips into a live graft table
+    def rm(f: File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(new File(dir, "_log"))
+    val conv = IcebergExport.convertFromIceberg(spark, dir)
+    assert(conv.load(spark).select(col("meta.score")).as[Long]
+      .collect().toSet == Set(10L, 20L))
+    assert(conv.load(spark)
+      .select(org.apache.spark.sql.functions.element_at(
+        col("props"), "source")).as[String].collect().toSet ==
+      Set("a", "b"))
+  }
+
+  test("mirrorIceberg follows the table one call at a time, and " +
+    "retention bounds the metadata dir: old vN.metadata.json drop, " +
+    "snapshots cap, orphan manifest Avro sweeps") {
+    val dir = s"${tmp()}/t"
+    val t = new LogTable(dir)
+    t.append(Seq((1L, "a")).toDF("k", "v").repartition(1))      // v0
+    assert(IcebergExport.mirrorIceberg(spark, t).isDefined)
+    assert(IcebergExport.mirrorIceberg(spark, t).isEmpty,
+      "a current mirror must be a no-op")
+    t.append(Seq((2L, "b")).toDF("k", "v").repartition(1))      // v1
+    assert(IcebergExport.mirrorIceberg(spark, t).isDefined)
+    assert(IcebergExport.loadIceberg(spark, dir)
+      .count() == 2L, "the follower must see each mirrored state")
+    // many more commits under tight retention
+    (3 to 6).foreach { i =>
+      t.append(Seq((i.toLong, s"v$i")).toDF("k", "v").repartition(1))
+      IcebergExport.mirrorIceberg(spark, t,
+        keepMetadata = 2, keepSnapshots = 2)
+    }
+    val metaDir = new File(dir, "metadata")
+    val metaFiles = metaDir.listFiles()
+      .filter(_.getName.matches("v\\d+\\.metadata\\.json"))
+    assert(metaFiles.length <= 2,
+      s"metadata files grew unboundedly: ${metaFiles.length}")
+    val newest = JsonMethods.parse(java.nio.file.Files.readString(
+      metaFiles.maxBy(_.getName.stripPrefix("v")
+        .stripSuffix(".metadata.json").toInt).toPath))
+    assert((newest \ "snapshots").asInstanceOf[JArray].arr.size <= 2,
+      "snapshots array grew unboundedly")
+    // each retained snapshot references 1 manifest-list + 1
+    // manifest; everything else swept
+    val avros = metaDir.listFiles().filter(_.getName.endsWith(".avro"))
+    assert(avros.length <= 2 * 2 * 2,
+      s"orphan manifests not swept: ${avros.length}")
+    assert(IcebergExport.loadIceberg(spark, dir).count() == 6L)
+  }
+
   test("exports refuse state an Iceberg reader would misread, " +
     "naming the blocker") {
     val d1 = s"${tmp()}/t"
@@ -414,12 +508,15 @@ class IcebergExportSpec extends SparkSpec {
       IcebergExport.exportIcebergMetadata(spark, t2))
     assert(e2.getMessage.contains("hidden-partitioned"), e2.getMessage)
 
-    // nested types refuse by column name
+    // a type the Iceberg spec cannot express refuses by column
+    // name (nested struct/list/map export since round 14)
     val d3 = s"${tmp()}/t"
     val t3 = new LogTable(d3)
-    t3.append(Seq((1L, Seq("x"))).toDF("k", "tags"))
+    t3.append(Seq(Tuple1(1L)).toDF("k").withColumn("iv",
+      org.apache.spark.sql.functions.expr(
+        "make_ym_interval(1, 2)")))
     val e3 = intercept[IllegalArgumentException](
       IcebergExport.exportIcebergMetadata(spark, t3))
-    assert(e3.getMessage.contains("tags"), e3.getMessage)
+    assert(e3.getMessage.contains("iv"), e3.getMessage)
   }
 }
