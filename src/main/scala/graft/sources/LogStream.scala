@@ -294,8 +294,8 @@ private[sources] final class LogStreamSource(ctx: SQLContext, log: LogTable,
           // appends (and clone/create seeds) always; every commit
           // kind under the change feed
           val counted = op match {
-            case "append" | "create" | "clone" => true
-            case _                             => readChangeFeed
+            case "append" | "create" | "clone" | "convert" => true
+            case _ => readChangeFeed
           }
           val (cf, cb) = if (counted) (f, b) else (0L, 0L)
           if (counted && last > pointer &&
@@ -409,8 +409,10 @@ private[sources] final class LogStreamSource(ctx: SQLContext, log: LogTable,
       .filter { v =>
         log.commitOp(v) match {
           // a shallow clone's seed commit is its initial snapshot —
-          // inserts, like create (absolute, possibly vectored refs)
-          case "append" | "create" | "clone" => true
+          // inserts, like create (absolute, possibly vectored refs);
+          // a CONVERT's by-reference seed is likewise insert-only
+          // (Delta streams a converted table's seed the same way)
+          case "append" | "create" | "clone" | "convert" => true
           // dataChange = false: reorganizations and metadata-only
           // constraint/rename/drop/default/tblproperties/partition-
           // evolution/ref commits (and MV-refresh txn markers)

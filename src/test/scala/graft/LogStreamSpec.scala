@@ -49,6 +49,31 @@ class LogStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("a CONVERTED table streams its seed as inserts (Delta's " +
+    "behavior for CONVERT), then follows appends") {
+    val dir = s"${tmp()}/t"
+    val src = new LogTable(dir)
+    src.append(Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+      .repartition(1))
+    graft.sources.DeltaExport.exportDeltaLog(spark, src)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(new java.io.File(dir, "_log")) // pure Delta table remains
+    val conv = graft.sources.DeltaExport.convertFromDelta(spark, dir)
+    val q = startQuery(dir, "log_stream_convert")
+    try {
+      q.processAllAvailable()
+      assert(spark.table("log_stream_convert")
+        .as[(Long, String)].collect().toSet ==
+        Set((1L, "a"), (2L, "b")),
+        "the conversion seed must stream as inserts")
+      conv.append(Seq((3L, "c")).toDF("k", "v"))
+      q.processAllAvailable()
+      assert(spark.table("log_stream_convert").count() == 3L)
+    } finally q.stop()
+  }
+
   test("streaming from a PARTITIONED log table resolves the " +
     "partition column from the hive dirs") {
     val dir = s"${tmp()}/t"
