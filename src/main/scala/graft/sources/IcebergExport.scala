@@ -43,10 +43,21 @@ import org.json4s.jackson.JsonMethods
   * top-level-primitive (graft collects none for nested columns —
   * absent bounds only cost skipping, never correctness).
   *
+  * HIDDEN partitioning exports as the spec's transforms (round 14):
+  * `years/months/days/hours` map to Iceberg's `year/month/day/hour`
+  * with value conversion (calendar year → years-since-1970,
+  * truncated timestamps → month/hour ordinals, dates → epoch days)
+  * and `truncate(w, c)` maps verbatim (identical semantics for
+  * strings and floor-mod integers); the exported schema is the USER
+  * schema — hidden columns are derived partition fields, never data
+  * columns.
+  *
   * Refused loudly (state an Iceberg reader would misread): deletion
-  * vectors (v2 delete FILES are a different encoding), graft hidden
-  * partitioning (transform mapping is not implemented — Iceberg
-  * could express it, the translation isn't built), and partition
+  * vectors (v2 delete FILES are a different encoding), `bucket`
+  * transforms (graft buckets by Spark's Murmur3; Iceberg's bucket
+  * hash differs — recomputed pruning would skip the wrong files),
+  * session-zoned TIMESTAMP time transforms pinned to a non-UTC zone
+  * (Iceberg's transforms are UTC-defined), and identity partition
   * columns outside {string, int, long, date}. */
 object IcebergExport {
 
@@ -231,17 +242,113 @@ object IcebergExport {
     }
   }
 
-  /** Partition-spec fields: identity transforms over the hive-style
-    * partition columns (field-ids from 1000, the spec's floor). */
-  private def specFieldsJson(partCols: Seq[String],
-      ids: Seq[(StructField, Int)]): JValue =
-    JArray(partCols.toList.zipWithIndex.map { case (c, i) =>
-      val sourceId = ids.find(_._1.name == c).map(_._2).getOrElse(
-        throw new IllegalArgumentException(
-          s"partition column '$c' is not in the schema"))
-      JObject(List("name" -> JString(c),
-        "transform" -> JString("identity"),
-        "source-id" -> JInt(sourceId), "field-id" -> JInt(1000 + i)))
+  /** One partition field of the exported spec: the Iceberg
+    * transform string, the manifest partition struct's Avro type
+    * fragment, and the graft hive-string → typed Iceberg value
+    * mapping. Built by [[icePartFields]] for identity AND hidden
+    * (transform) partition columns. */
+  private final case class IcePartField(name: String,
+      transform: String, sourceId: Int, avroType: String,
+      toTyped: String => AnyRef)
+
+  /** Is this zone id UTC-equivalent? Iceberg's time transforms are
+    * UTC-defined while graft's session-zoned TIMESTAMP transforms
+    * render in the pinned table zone — only UTC makes the two
+    * agree, so anything else refuses at export. */
+  private def isUtc(z: String): Boolean =
+    scala.util.Try(java.time.ZoneId.of(z).normalized()).toOption
+      .contains(java.time.ZoneOffset.UTC)
+
+  /** graft pv strings store RAW hive dir names — timestamps carry
+    * the dir escaping (`10%3A00%3A00`); decode before parsing. */
+  private def ldtOfPv(s: String): java.time.LocalDateTime =
+    java.time.LocalDateTime.parse(s.replace("%3A", ":"),
+      java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss"))
+
+  /** Resolve the table's partition columns — identity AND hidden
+    * transforms — to the Iceberg spec model. Bucket refuses (graft
+    * buckets by Spark's Murmur3, Iceberg's bucket transform is a
+    * different hash — a foreign reader pruning by recomputed
+    * buckets would skip the WRONG files); session-zoned TIMESTAMP
+    * time transforms require the pinned zone be UTC (Iceberg's
+    * transforms are UTC-defined; any other zone would export
+    * shifted partition values). */
+  private def icePartFields(partCols: Seq[String],
+      transforms: Map[String, String],
+      ids: Seq[(StructField, Int)],
+      tableTz: Option[String], sessionTz: String): Seq[IcePartField] =
+    partCols.map { c =>
+      transforms.get(c) match {
+        case None =>
+          val (f, id) = ids.find(_._1.name == c).getOrElse(
+            throw new IllegalArgumentException(
+              s"partition column '$c' is not in the schema"))
+          IcePartField(c, "identity", id,
+            partAvroType(icebergType(c, f.dataType)),
+            v => typedPartValue(f.dataType, v))
+        case Some(spec) =>
+          val t = PartitionTransforms.parse(spec).getOrElse(
+            throw new IllegalStateException(
+              s"unparseable partition transform '$spec'"))
+          val (sf, sid) = ids.find(_._1.name == t.source).getOrElse(
+            throw new IllegalArgumentException(
+              s"transform source column '${t.source}' is not in " +
+                "the schema"))
+          require(t.kind != "bucket",
+            s"cannot export bucket transform '$spec' — graft " +
+              "buckets by Spark's Murmur3 hash, Iceberg's bucket " +
+              "transform uses a different hash function; an " +
+              "external reader pruning by recomputed buckets would " +
+              "skip the WRONG files. OPTIMIZE to an identity or " +
+              "time-transform layout first")
+          if (sf.dataType == TimestampType && t.kind != "truncate") {
+            val z = tableTz.getOrElse(sessionTz)
+            require(isUtc(z),
+              s"cannot export transform '$spec' over a " +
+                s"session-zoned TIMESTAMP pinned to '$z' — " +
+                "Iceberg's time transforms are UTC-defined, so a " +
+                "non-UTC zone would export shifted partition " +
+                "values; rewrite under UTC or use TIMESTAMP_NTZ")
+          }
+          t.kind match {
+            case "years" => IcePartField(c, "year", sid, "\"int\"",
+              s => Integer.valueOf(s.toInt - 1970))
+            case "months" => IcePartField(c, "month", sid, "\"int\"",
+              s => { val d = ldtOfPv(s)
+                Integer.valueOf((d.getYear - 1970) * 12 +
+                  (d.getMonthValue - 1)) })
+            case "days" => IcePartField(c, "day", sid,
+              "{\"type\":\"int\",\"logicalType\":\"date\"}",
+              s => Integer.valueOf(
+                java.time.LocalDate.parse(s).toEpochDay.toInt))
+            case "hours" => IcePartField(c, "hour", sid, "\"int\"",
+              s => Integer.valueOf((ldtOfPv(s)
+                .toEpochSecond(java.time.ZoneOffset.UTC) / 3600L)
+                .toInt))
+            case "truncate" => sf.dataType match {
+              case StringType => IcePartField(c,
+                s"truncate[${t.param.get}]", sid, "\"string\"",
+                s => s)
+              case ByteType | ShortType | IntegerType =>
+                IcePartField(c, s"truncate[${t.param.get}]", sid,
+                  "\"int\"", s => Integer.valueOf(s.toInt))
+              case _ => IcePartField(c, s"truncate[${t.param.get}]",
+                sid, "\"long\"", s => java.lang.Long.valueOf(s.toLong))
+            }
+            case other => throw new IllegalArgumentException(
+              s"unsupported partition transform kind '$other'")
+          }
+      }
+    }
+
+  /** Partition-spec fields JSON from the resolved model (field-ids
+    * from 1000, the spec's floor). */
+  private def specFieldsJsonOf(fields: Seq[IcePartField]): JValue =
+    JArray(fields.toList.zipWithIndex.map { case (f, i) =>
+      JObject(List("name" -> JString(f.name),
+        "transform" -> JString(f.transform),
+        "source-id" -> JInt(f.sourceId), "field-id" -> JInt(1000 + i)))
     })
 
   /** Avro type (JSON fragment) for a partition value of an Iceberg
@@ -256,12 +363,9 @@ object IcebergExport {
         "exportable — supported: string, int, long, date")
   }
 
-  private def partitionAvroFields(partCols: Seq[String],
-      ids: Seq[(StructField, Int)]): String =
-    partCols.zipWithIndex.map { case (c, i) =>
-      val f = ids.find(_._1.name == c).get._1
-      val t = icebergType(c, f.dataType)
-      s"""{"name":"$c","type":["null",${partAvroType(t)}],""" +
+  private def partitionAvroFields(fields: Seq[IcePartField]): String =
+    fields.zipWithIndex.map { case (f, i) =>
+      s"""{"name":"${f.name}","type":["null",${f.avroType}],""" +
         s""""default":null,"field-id":${1000 + i}}"""
     }.mkString(",")
 
@@ -276,8 +380,8 @@ object IcebergExport {
         {"name":"key","type":"int","field-id":$keyId},
         {"name":"value","type":$valueType,"field-id":$valueId}]}}]"""
 
-  private def manifestEntrySchema(partCols: Seq[String],
-      ids: Seq[(StructField, Int)]): org.apache.avro.Schema =
+  private def manifestEntrySchema(
+      partFields: Seq[IcePartField]): org.apache.avro.Schema =
     new org.apache.avro.Schema.Parser().parse(
       s"""{"type":"record","name":"manifest_entry","fields":[
         {"name":"status","type":"int","field-id":0},
@@ -288,7 +392,7 @@ object IcebergExport {
           {"name":"content","type":"int","field-id":134},
           {"name":"file_path","type":"string","field-id":100},
           {"name":"file_format","type":"string","field-id":101},
-          {"name":"partition","field-id":102,"type":{"type":"record","name":"r102","fields":[${partitionAvroFields(partCols, ids)}]}},
+          {"name":"partition","field-id":102,"type":{"type":"record","name":"r102","fields":[${partitionAvroFields(partFields)}]}},
           {"name":"record_count","type":"long","field-id":103},
           {"name":"file_size_in_bytes","type":"long","field-id":104},
           {"name":"null_value_counts","type":${kvMapAvro("k121_v122", 121, "\"long\"", 122)},"default":null,"field-id":110},
@@ -396,17 +500,21 @@ object IcebergExport {
       : String = {
     val v = version.orElse(log.currentVersion).getOrElse(
       throw new IllegalStateException(s"no log table at ${log.path}"))
-    require(log.partitionTransformsAt(v).isEmpty,
-      "cannot export a hidden-partitioned snapshot — mapping graft " +
-        "transforms to Iceberg partition transforms is not " +
-        "implemented; export an identity-partitioned table")
-    val schema = log.schemaAt(v)
+    // HIDDEN partitioning exports as the spec's transforms: the
+    // Iceberg schema is the USER schema (hidden columns are derived
+    // partition fields, never data columns), and each transform
+    // maps to its Iceberg form with value conversion — see
+    // [[icePartFields]] (bucket and non-UTC session-zoned time
+    // transforms refuse by name there)
+    val transforms = log.partitionTransformsAt(v)
+    val schema = log.userSchemaAt(v)
     val ids = fieldIds(schema)
     // render the schema once up front — the render IS the type
     // validation (exotic types refuse by column name)
     icebergSchemaJson(ids)
     val partCols = log.partitionColsAt(v)
-    val byName = schema.fields.map(f => f.name -> f.dataType).toMap
+    val partFields = icePartFields(partCols, transforms, ids,
+      log.tzAt(v), spark.sessionState.conf.sessionLocalTimeZone)
 
     // file-state gates answered where the manifest lives (the same
     // discipline as DeltaExport)
@@ -520,7 +628,7 @@ object IcebergExport {
       else prevSchemas :+ icebergSchemaJson(ids, schemaId)
     val prevSpecs: List[JValue] = prevMeta.toList.flatMap(p =>
       (p \ "partition-specs") match { case JArray(a) => a; case _ => Nil })
-    val mySpecFields = specFieldsJson(partCols, ids)
+    val mySpecFields = specFieldsJsonOf(partFields)
     val specId: Int = prevSpecs
       .find(s => (s \ "fields") == mySpecFields)
       .map(idIn(_, "spec-id"))
@@ -539,7 +647,7 @@ object IcebergExport {
     // ---- manifest Avro: one entry per live file, STREAMED from the
     // distributed manifest when one serves (toLocalIterator — the
     // driver holds one partition of rows at a time, never the list)
-    val entrySchema = manifestEntrySchema(partCols, ids)
+    val entrySchema = manifestEntrySchema(partFields)
     val manifestFile = new File(metaDir, s"${UUID.randomUUID()}-m0.avro")
     var nFiles = 0L
     var nRows = 0L
@@ -548,7 +656,7 @@ object IcebergExport {
     mw.setMeta("schema", JsonMethods.compact(
       JsonMethods.render(icebergSchemaJson(ids, schemaId))))
     mw.setMeta("partition-spec", JsonMethods.compact(
-      JsonMethods.render(specFieldsJson(partCols, ids))))
+      JsonMethods.render(specFieldsJsonOf(partFields))))
     mw.setMeta("partition-spec-id", specId.toString)
     mw.setMeta("format-version", "2")
     mw.setMeta("content", "data")
@@ -571,9 +679,9 @@ object IcebergExport {
         val part = new GenericData.Record(
           entrySchema.getField("data_file").schema()
             .getField("partition").schema())
-        partCols.foreach { c =>
-          part.put(c, a.partitionValues.get(c)
-            .map(pv => typedPartValue(byName(c), pv)).orNull)
+        partFields.foreach { f =>
+          part.put(f.name, a.partitionValues.get(f.name)
+            .map(f.toTyped).orNull)
         }
         df.put("partition", part)
         df.put("record_count", java.lang.Long.valueOf(a.rows))
@@ -795,20 +903,19 @@ object IcebergExport {
   /** Read exported Iceberg metadata back: version-hint → metadata
     * JSON → current snapshot → manifest list → manifests → live
     * files. THIS library's reader for the format (no Iceberg runtime
-    * exists here) — the round-trip proxy. Returns (schema, partition
-    * columns, one (absolute path, record count, typed partition
-    * values rendered hive-style) triple per live file). REFUSES
-    * Iceberg v2 DELETE manifests/files (content != 0) by name —
-    * ignoring them would resurrect deleted rows, a half-read. */
+    * exists here) — the round-trip proxy. */
+  private final case class IceSpecFieldIn(name: String,
+      transform: String, sourceId: Int)
+
   /** Driver-side METADATA read of an Iceberg table: version-hint →
     * current metadata JSON → current snapshot's manifest list —
     * O(#manifests), per-file entries never touched. Returns (schema
-    * fields with their Iceberg field ids, partition columns,
-    * manifest paths). Refuses DELETE manifests from the list's own
-    * `content` field (v2 position/equality deletes — ignoring them
-    * would resurrect rows). */
+    * fields with their Iceberg field ids, the DEFAULT partition
+    * spec's fields, manifest paths). Refuses DELETE manifests from
+    * the list's own `content` field (v2 position/equality deletes —
+    * ignoring them would resurrect rows). */
   private def readIcebergMeta(tableRoot: String)
-      : (Seq[(StructField, Int)], Seq[String], Seq[String]) = {
+      : (Seq[(StructField, Int)], Seq[IceSpecFieldIn], Seq[String]) = {
     val metaDir = new File(tableRoot, "metadata")
     val hint = new File(metaDir, "version-hint.text")
     require(hint.isFile, s"no metadata/version-hint.text under $tableRoot")
@@ -845,15 +952,31 @@ object IcebergExport {
       }
       case _ => Nil
     }
-    val partCols = (meta \ "partition-specs") match {
-      case JArray(specs) => specs.headOption.toList.flatMap(s =>
-        (s \ "fields") match {
-          case JArray(fs) => fs.map(f =>
-            (f \ "name").asInstanceOf[JString].s)
-          case _ => Nil
-        })
-      case _ => Nil
+    // the DEFAULT spec, by id — after partition evolution the specs
+    // array holds history and the head is not necessarily current
+    val defaultSpecId = (meta \ "default-spec-id") match {
+      case JInt(i) => i.toInt; case JLong(l) => l.toInt; case _ => 0
     }
+    val specFields: Seq[IceSpecFieldIn] =
+      (meta \ "partition-specs") match {
+        case JArray(specs) => specs
+          .find(s => (s \ "spec-id") == JInt(BigInt(defaultSpecId)))
+          .orElse(specs.headOption).toList.flatMap(s =>
+            (s \ "fields") match {
+              case JArray(fs) => fs.map { f =>
+                val sid = (f \ "source-id") match {
+                  case JInt(i) => i.toInt; case JLong(l) => l.toInt
+                  case _       => -1
+                }
+                IceSpecFieldIn((f \ "name").asInstanceOf[JString].s,
+                  (f \ "transform") match {
+                    case JString(t) => t; case _ => "identity"
+                  }, sid)
+              }
+              case _ => Nil
+            })
+        case _ => Nil
+      }
     val snap = (meta \ "snapshots") match {
       case JArray(ss) => ss.find { s =>
         (s \ "snapshot-id") match {
@@ -887,8 +1010,40 @@ object IcebergExport {
           "first, refusing to half-read")
       manifests += m.get("manifest_path").toString
     } finally lr.close()
-    (fields, partCols, manifests.toSeq)
+    (fields, specFields, manifests.toSeq)
   }
+
+  /** One typed manifest partition value back to the HIVE STRING
+    * graft stores for the corresponding (identity or hidden)
+    * partition column — the inverse of [[icePartFields]]' toTyped.
+    * Static + string-dispatched so executor tasks carry no closures
+    * beyond a string map. */
+  private def pvString(transform: String,
+      fieldSchema: org.apache.avro.Schema, v: AnyRef)
+      : Option[String] =
+    if (v == null) None
+    else transform match {
+      case "identity" => partValueString(fieldSchema, v)
+      case "year" =>
+        Some((1970 + v.asInstanceOf[Number].intValue()).toString)
+      case "month" =>
+        val m = v.asInstanceOf[Number].intValue()
+        val y = 1970 + java.lang.Math.floorDiv(m, 12)
+        val mo = java.lang.Math.floorMod(m, 12) + 1
+        Some(f"$y%04d-$mo%02d-01 00%%3A00%%3A00")
+      case "day" => Some(java.time.LocalDate
+        .ofEpochDay(v.asInstanceOf[Number].longValue()).toString)
+      case "hour" =>
+        val h = v.asInstanceOf[Number].longValue()
+        Some(java.time.LocalDateTime
+          .ofEpochSecond(h * 3600L, 0, java.time.ZoneOffset.UTC)
+          .format(java.time.format.DateTimeFormatter
+            .ofPattern("yyyy-MM-dd HH:mm:ss"))
+          .replace(":", "%3A"))
+      case t if t.startsWith("truncate") => Some(v.toString)
+      case other => throw new IllegalStateException(
+        s"unsupported partition transform in foreign metadata: $other")
+    }
 
   /** One manifest's live entries — (file_path, record_count,
     * file_size_in_bytes, typed partition values, graft stats decoded
@@ -897,7 +1052,8 @@ object IcebergExport {
     * executors; [[readIcebergSnapshot]] walks the same code on the
     * driver for the proxy reader. `typeOfId` resolves bound keys. */
   private def readManifestEntries(tableRoot: String, mp: String,
-      typeOfId: Map[Int, (String, DataType)])
+      typeOfId: Map[Int, (String, DataType)],
+      pvConv: Map[String, (String, String)])
       : Seq[(String, Long, Long, Map[String, String],
              Map[String, ColStats])] = {
     import scala.jdk.CollectionConverters._
@@ -926,8 +1082,11 @@ object IcebergExport {
           .map(_.asInstanceOf[GenericRecord])
         val pv: Map[String, String] = pvRec.map { r =>
           r.getSchema.getFields.asScala.flatMap { f =>
-            partValueString(f.schema(), r.get(f.name()))
-              .map(f.name() -> _)
+            pvConv.get(f.name()).toSeq.flatMap {
+              case (graftName, transform) =>
+                pvString(transform, f.schema(), r.get(f.name()))
+                  .map(graftName -> _)
+            }
           }.toMap
         }.getOrElse(Map.empty)
         // decode the skipping stats the manifest carries: absent
@@ -982,16 +1141,80 @@ object IcebergExport {
     out.toSeq
   }
 
+  /** Resolve the default spec's fields to (graft partition column
+    * name, transform) per foreign spec-field name, plus the
+    * partitionBy entries a graft re-creation of the layout needs.
+    * Bucket refuses (hash incompatibility — graft writes would
+    * bucket by a DIFFERENT hash than the foreign values, making
+    * the column's stats a mix of two functions: unsound skipping);
+    * timestamptz time transforms require a UTC session (graft pins
+    * the session zone at create; only UTC agrees with Iceberg's
+    * UTC-defined transforms). */
+  private def graftPartLayout(tableRoot: String,
+      ids: Seq[(StructField, Int)], specFields: Seq[IceSpecFieldIn],
+      sessionTz: String)
+      : (Seq[String], Map[String, (String, String)]) = {
+    val byId = ids.map { case (f, id) => id -> f }.toMap
+    val resolved = specFields.map { sf =>
+      val src = byId.getOrElse(sf.sourceId,
+        throw new IllegalStateException(
+          s"partition field '${sf.name}' references unknown " +
+            s"source-id ${sf.sourceId}"))
+      def requireUtc(): Unit =
+        if (src.dataType == TimestampType)
+          require(isUtc(sessionTz),
+            s"cannot import transform '${sf.transform}' over " +
+              s"timestamptz column '${src.name}' under session " +
+              s"zone '$sessionTz' — Iceberg's time transforms are " +
+              "UTC-defined and graft pins the session zone at " +
+              "create; set spark.sql.session.timeZone to UTC")
+      sf.transform match {
+        case "identity" =>
+          (src.name, sf.name -> (src.name, "identity"))
+        case "year" => requireUtc()
+          (s"years(${src.name})",
+            sf.name -> (s"${src.name}_year", "year"))
+        case "month" => requireUtc()
+          (s"months(${src.name})",
+            sf.name -> (s"${src.name}_month", "month"))
+        case "day" => requireUtc()
+          (s"days(${src.name})",
+            sf.name -> (s"${src.name}_day", "day"))
+        case "hour" => requireUtc()
+          (s"hours(${src.name})",
+            sf.name -> (s"${src.name}_hour", "hour"))
+        case t if t.startsWith("truncate[") =>
+          val w = t.stripPrefix("truncate[").stripSuffix("]").toInt
+          (s"truncate($w,${src.name})",
+            sf.name -> (s"${src.name}_trunc_$w", t))
+        case t if t.startsWith("bucket") =>
+          throw new IllegalArgumentException(
+            s"cannot import bucket-partitioned Iceberg metadata at " +
+              s"$tableRoot — Iceberg buckets by its own hash, graft " +
+              "by Spark's Murmur3; future graft writes would bucket " +
+              "the same column differently, making its stats a mix " +
+              "of two hash functions (unsound skipping). Rewrite to " +
+              "an identity/time/truncate layout Iceberg-side first")
+        case other => throw new IllegalArgumentException(
+          s"unsupported Iceberg partition transform '$other' at " +
+            s"$tableRoot")
+      }
+    }
+    (resolved.map(_._1), resolved.map(_._2).toMap)
+  }
+
   def readIcebergSnapshot(spark: SparkSession, tableRoot: String)
       : (StructType, Seq[String],
          Seq[(String, Long, Map[String, String])]) = {
-    val (ids, partCols, manifests) = readIcebergMeta(tableRoot)
+    val (ids, specFields, manifests) = readIcebergMeta(tableRoot)
     val typeOfId = ids.map { case (f, id) =>
       id -> (f.name, f.dataType) }.toMap
+    val (_, pvConv) = graftPartLayout(tableRoot, ids, specFields,
+      spark.sessionState.conf.sessionLocalTimeZone)
     val files = manifests.flatMap(mp =>
-      readManifestEntries(tableRoot, mp, typeOfId)
+      readManifestEntries(tableRoot, mp, typeOfId, pvConv)
         .map(e => (e._1, e._2, e._4)))
-    (StructType(ids.map(_._1)), partCols, files)
+    (StructType(ids.map(_._1)), specFields.map(_.name), files)
   }
 
   /** CONVERT FROM ICEBERG metadata (the reverse of
@@ -1015,15 +1238,22 @@ object IcebergExport {
     val pre = new LogTable(tableRoot)
     require(pre.currentVersion.isEmpty,
       s"a graft log table already exists at $tableRoot")
-    val (ids, partCols, manifests) = readIcebergMeta(tableRoot)
+    val (ids, specFields, manifests) = readIcebergMeta(tableRoot)
     val schema = StructType(ids.map(_._1))
     val typeOfId = ids.map { case (f, id) =>
       id -> (f.name, f.dataType) }.toMap
-    val partSet = partCols.toSet
+    // TRANSFORM layouts re-create as graft hidden partitioning: the
+    // partitionBy specs rebuild the same transforms, and the foreign
+    // manifests' typed partition values convert to the hive strings
+    // graft stores for the hidden columns (bucket refuses — hash
+    // incompatibility; see graftPartLayout)
+    val (partitionBy, pvConv) = graftPartLayout(tableRoot, ids,
+      specFields, spark.sessionState.conf.sessionLocalTimeZone)
+    val partSet = pvConv.values.map(_._1).toSet
     val root = new File(tableRoot).getAbsolutePath
     val rootB = root // stable closure capture
     val t = new LogTable(tableRoot)
-    t.create(schema, partitionBy = partCols)
+    t.create(schema, partitionBy = partitionBy)
     if (manifests.nonEmpty) {
       val enc = org.apache.spark.sql.Encoders.product[CkptAdd]
       val perManifest = 1L << 40 // entry-index spacing per manifest
@@ -1032,7 +1262,7 @@ object IcebergExport {
           manifests.zipWithIndex,
           math.min(manifests.size, 64))
           .flatMap { case (mp, mi) =>
-            readManifestEntries(rootB, mp, typeOfId).iterator
+            readManifestEntries(rootB, mp, typeOfId, pvConv).iterator
               .zipWithIndex.map { case ((p, n, bytes, pv, st), i) =>
                 val rel =
                   if (p.startsWith(rootB + "/"))
@@ -1063,13 +1293,31 @@ object IcebergExport {
     * documented route is [[convertFromIceberg]] then a LogTable
     * scan — distributed manifest, file-skipping, no path splat. */
   def loadIceberg(spark: SparkSession, tableRoot: String): DataFrame = {
-    val (schema, partCols, files) = readIcebergSnapshot(spark, tableRoot)
-    val paths = files.map(_._1)
+    val (ids, specFields, manifests) = readIcebergMeta(tableRoot)
+    val schema = StructType(ids.map(_._1))
+    val typeOfId = ids.map { case (f, id) =>
+      id -> (f.name, f.dataType) }.toMap
+    val (_, pvConv) = graftPartLayout(tableRoot, ids, specFields,
+      spark.sessionState.conf.sessionLocalTimeZone)
+    val paths = manifests.flatMap(mp =>
+      readManifestEntries(tableRoot, mp, typeOfId, pvConv).map(_._1))
     if (paths.isEmpty)
       return spark.createDataFrame(
         new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+    val hasTransform = specFields.exists(_.transform != "identity")
+    val identityCols = specFields.filter(_.transform == "identity")
+    // a TRANSFORM layout's schema columns all live IN the data files
+    // (the hive dirs hold derived values) — read the paths directly,
+    // no partition discovery; identity layouts recover their
+    // partition columns from the dirs as before. A MIXED layout
+    // cannot do both in one proxy scan — convert-then-scan serves it.
+    require(!(hasTransform && identityCols.nonEmpty),
+      s"the Iceberg table at $tableRoot mixes identity and " +
+        "transform partition fields — this proxy reader cannot " +
+        "recover identity values and skip derived dirs in one " +
+        "scan; use convertFromIceberg and read the graft table")
     val reader = spark.read.schema(schema)
-    if (partCols.isEmpty) reader.parquet(paths: _*)
+    if (identityCols.isEmpty) reader.parquet(paths: _*)
     else reader.option("basePath", s"$tableRoot/data")
       .parquet(paths: _*)
   }

@@ -855,6 +855,13 @@ final class LogTable(val path: String,
   def partitionTransformsAt(version: Long): Map[String, String] =
     snapshotAt(version).transforms
 
+  /** The session timezone pinned at create for tz-sensitive
+    * generated/hidden columns (None on zone-independent tables) —
+    * interop exporters gate on it: Iceberg's time transforms are
+    * UTC-defined, graft's render in this zone. */
+  private[sources] def tzAt(version: Long): Option[String] =
+    snapshotAt(version).tz
+
   /** The hidden transform columns of a snapshot — synthesized by
     * the engine, never part of the USER's schema. */
   private def hiddenColsOf(snap: Snapshot): Seq[String] =

@@ -445,6 +445,67 @@ class IcebergExportSpec extends SparkSpec {
       Set("a", "b"))
   }
 
+  test("hidden partitioning exports as Iceberg TRANSFORMS (day, " +
+    "month, truncate) with converted partition values, and the " +
+    "convert round-trip rebuilds the same hidden layout — pruning " +
+    "on the SOURCE column works on both sides") {
+    val dir = s"${tmp()}/t"
+    val t = new LogTable(dir)
+    t.create(org.apache.spark.sql.types.StructType.fromDDL(
+      "k BIGINT, ts TIMESTAMP, name STRING"),
+      partitionBy = Seq("days(ts)", "truncate(3, name)"))
+    t.append(Seq(
+      (1L, "2021-03-15 10:22:33", "alpha"),
+      (2L, "2021-03-15 18:00:00", "alpine"),
+      (3L, "2023-07-04 01:02:03", "beta"))
+      .toDF("k", "s", "name")
+      .select(col("k"), org.apache.spark.sql.functions
+        .to_timestamp(col("s")).as("ts"), col("name")))
+    IcebergExport.exportIcebergMetadata(spark, t)
+    val meta = JsonMethods.parse(java.nio.file.Files.readString(
+      new File(dir, "metadata/v1.metadata.json").toPath))
+    // spec fields carry the Iceberg transform names; the schema is
+    // the USER schema (no hidden ts_day / name_trunc_3 columns)
+    val spec = ((meta \ "partition-specs")(0) \ "fields")
+      .asInstanceOf[JArray].arr
+    assert(spec.map(f => (f \ "transform")) ==
+      List(JString("day"), JString("truncate[3]")), spec)
+    val schemaCols = ((meta \ "schemas")(0) \ "fields")
+      .asInstanceOf[JArray].arr
+      .map(f => (f \ "name").asInstanceOf[JString].s)
+    assert(schemaCols == List("k", "ts", "name"), schemaCols)
+    // the proxy reader serves the data (all columns live in-file)
+    val got = IcebergExport.loadIceberg(spark, dir)
+      .select("k").as[Long].collect().toSet
+    assert(got == Set(1L, 2L, 3L))
+    // convert rebuilds the SAME hidden layout and prunes on the
+    // source column from commit one
+    def rm(f: File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(new File(dir, "_log"))
+    val conv = IcebergExport.convertFromIceberg(spark, dir)
+    assert(conv.partitionTransforms == Map(
+      "ts_day" -> "days(ts)", "name_trunc_3" -> "truncate(3,name)"),
+      conv.partitionTransforms)
+    assert(conv.load(spark).columns.toSeq == Seq("k", "ts", "name"))
+    val (surv, total) = conv.prunedAddsFor(spark,
+      col("ts") === org.apache.spark.sql.functions.to_timestamp(
+        org.apache.spark.sql.functions.lit("2023-07-04 01:02:03")))
+    assert(surv.size < total,
+      s"source-column pruning lost through the round trip: " +
+        s"${surv.size} of $total")
+    // the converted table keeps writing the SAME layout
+    conv.append(Seq((4L, "2024-01-01 00:00:00", "gamma"))
+      .toDF("k", "s", "name")
+      .select(col("k"), org.apache.spark.sql.functions
+        .to_timestamp(col("s")).as("ts"), col("name")))
+    assert(conv.load(spark).count() == 4L)
+    val (s2, t2) = conv.prunedAddsFor(spark,
+      col("name") === "gamma")
+    assert(s2.size < t2)
+  }
+
   test("mirrorIceberg follows the table one call at a time, and " +
     "retention bounds the metadata dir: old vN.metadata.json drop, " +
     "snapshots cap, orphan manifest Avro sweeps") {
@@ -497,6 +558,8 @@ class IcebergExportSpec extends SparkSpec {
     assert(IcebergExport.loadIceberg(spark, d1).count() == 1L)
 
     // hidden partitioning: transform mapping not implemented
+    // bucket transforms refuse by HASH incompatibility (time
+    // transforms export since round 14)
     val d2 = s"${tmp()}/t"
     val t2 = new LogTable(d2)
     t2.create(org.apache.spark.sql.types.StructType(Seq(
@@ -506,7 +569,7 @@ class IcebergExportSpec extends SparkSpec {
     t2.append(Seq(Tuple1(1L), Tuple1(2L)).toDF("k"))
     val e2 = intercept[IllegalArgumentException](
       IcebergExport.exportIcebergMetadata(spark, t2))
-    assert(e2.getMessage.contains("hidden-partitioned"), e2.getMessage)
+    assert(e2.getMessage.contains("Murmur3"), e2.getMessage)
 
     // a type the Iceberg spec cannot express refuses by column
     // name (nested struct/list/map export since round 14)
