@@ -49,13 +49,24 @@ import org.json4s.jackson.JsonMethods
   * round-trip through [[DeltaExport.readDeltaSnapshot]], this
   * library's own reader for the format, as a proxy.
   *
+  * HIDDEN partitioning exports as Delta's GENERATED PARTITION
+  * COLUMNS (round 14): the synthesized column stays in the exported
+  * schema stamped with `delta.generationExpression` = graft's own
+  * Spark SQL derivation — verbatim sound, since Delta writers
+  * evaluate generation with the same Spark engine that computed
+  * graft's values (bucket's `pmod(hash(c), n)` included, unlike the
+  * Iceberg export where the foreign bucket hash differs). The
+  * protocol declares minWriterVersion 4 so lesser writers refuse
+  * instead of appending without the derivation; readers stay at 1.
+  * [[convertFromDelta]] rebuilds the same hidden layout from the
+  * metadata.
+  *
   * Unsupported-by-Delta state refuses loudly rather than exporting a
   * log a Delta reader would misread: deletion vectors (graft's DV
-  * sidecar layout is not Delta's), hidden partitioning (the
-  * synthesized column is not in the user schema), and column
-  * mapping (graft stamps parquet field ids without Delta's
-  * `delta.columnMapping.*` metadata). Run OPTIMIZE/purgeDeletes
-  * first — the export names the blocker. */
+  * sidecar layout is not Delta's) and column mapping (graft stamps
+  * parquet field ids without Delta's `delta.columnMapping.*`
+  * metadata). Run OPTIMIZE/purgeDeletes first — the export names
+  * the blocker. */
 object DeltaExport {
 
   /** Render one stat bound per its column's DELTA stats type: graft
@@ -175,10 +186,16 @@ object DeltaExport {
         StructField("version", LongType))))))
   }
 
-  private def protocolLine: String =
+  /** Protocol action: minWriterVersion 4 when the schema carries
+    * generated columns (Delta's gate for the feature — a lesser
+    * writer must not append without maintaining the derivation);
+    * readers stay at 1 either way (partition values serve from the
+    * log, generation only binds writers). */
+  private def protocolLine(generated: Boolean): String =
     JsonMethods.compact(JsonMethods.render(JObject(List(
       "protocol" -> JObject(List(
-        "minReaderVersion" -> JInt(1), "minWriterVersion" -> JInt(2)))))))
+        "minReaderVersion" -> JInt(1),
+        "minWriterVersion" -> JInt(if (generated) 4 else 2)))))))
 
   private def metaDataLine(schema: StructType, partCols: Seq[String],
                            createdTime: Long, id: String): String =
@@ -304,18 +321,43 @@ object DeltaExport {
     f.delete(); ()
   }
 
-  /** Schema / layout gates shared by both export modes. */
+  /** Delta's generated-column metadata key (PROTOCOL.md): a column
+    * whose values writers must derive from this Spark SQL
+    * expression. Graft hidden partitioning exports as exactly this —
+    * Delta's own idiom for derived partition columns. */
+  private[sources] val GenerationExprKey = "delta.generationExpression"
+
+  /** Schema / layout gates shared by both export modes. HIDDEN
+    * partitioning maps to Delta's generated partition columns: the
+    * synthesized column stays in the exported schema, stamped with
+    * `delta.generationExpression` = graft's own Spark SQL derivation
+    * (VERBATIM sound — Delta writers evaluate generation with the
+    * same Spark engine that computed graft's values, so even
+    * bucket's `pmod(hash(c), n)` matches, unlike the Iceberg
+    * export's foreign-hash refusal). */
   private def gateMetadata(log: LogTable, v: Long): StructType = {
-    require(log.partitionTransformsAt(v).isEmpty,
-      "cannot export a hidden-partitioned snapshot — the synthesized " +
-        "transform column is not part of the user schema Delta " +
-        "readers expect")
     val schema = log.schemaAt(v)
     require(!schema.fields.exists(
       _.metadata.contains(LogTable.FieldIdKey)),
       "cannot export a column-mapped snapshot — graft's parquet " +
         "field-id stamps lack Delta's delta.columnMapping.* metadata")
-    schema
+    val transforms = log.partitionTransformsAt(v)
+    if (transforms.isEmpty) schema
+    else StructType(schema.fields.map { f =>
+      transforms.get(f.name) match {
+        case Some(spec) =>
+          val t = PartitionTransforms.parse(spec).getOrElse(
+            throw new IllegalStateException(
+              s"unparseable partition transform '$spec'"))
+          val src = schema.fields.find(_.name == t.source).getOrElse(
+            throw new IllegalStateException(
+              s"transform source '${t.source}' missing from schema"))
+          f.copy(metadata = new org.apache.spark.sql.types
+            .MetadataBuilder().withMetadata(f.metadata)
+            .putString(GenerationExprKey, t.exprFor(src)).build())
+        case None => f
+      }
+    })
   }
 
   private def gateAdds(adds: Seq[AddFile], what: String): Unit = {
@@ -386,7 +428,8 @@ object DeltaExport {
     var nActions = 2L
     val w = Files.newBufferedWriter(tmp.toPath)
     try {
-      w.write(protocolLine); w.write("\n")
+      w.write(protocolLine(schema.fields.exists(
+        _.metadata.contains(GenerationExprKey)))); w.write("\n")
       w.write(metaDataLine(schema, partCols, mt,
         UUID.randomUUID().toString)); w.write("\n")
       dist match {
@@ -481,7 +524,11 @@ object DeltaExport {
       val tmp = new File(dir, s".tmp-${UUID.randomUUID()}")
       val w = Files.newBufferedWriter(tmp.toPath)
       try {
-        if (cv == 0L) { w.write(protocolLine); w.write("\n") }
+        if (cv == 0L) {
+          w.write(protocolLine(schema.fields.exists(
+            _.metadata.contains(GenerationExprKey))))
+          w.write("\n")
+        }
         if (cv == 0L || log.commitChangedMetadata(cv)) {
           w.write(metaDataLine(schema, log.partitionColsAt(cv), mt,
             tableId))
@@ -562,7 +609,9 @@ object DeltaExport {
     val tableId = existingMetaId(spark, dir)
       .getOrElse(UUID.randomUUID().toString)
     val enc = org.apache.spark.sql.Encoders.STRING
-    val header = spark.createDataset(Seq(protocolLine,
+    val header = spark.createDataset(Seq(
+      protocolLine(schema.fields.exists(
+        _.metadata.contains(GenerationExprKey))),
       metaDataLine(schema, log.partitionColsAt(v), mt, tableId)))(enc)
     val addLines = dist match {
       case Some(ds) =>
@@ -974,6 +1023,29 @@ object DeltaExport {
       partCols, ckptV)
   }
 
+  /** Reverse of [[gateMetadata]]'s generation stamping: one Delta
+    * `delta.generationExpression` back to the graft partition
+    * transform that renders exactly that Spark SQL — how CONVERT
+    * rebuilds hidden partitioning from a mirrored log. None for
+    * derivations graft cannot maintain. */
+  private def exprToTransform(expr: String)
+      : Option[PartitionTransform] = expr.trim match {
+    case s"year(`$c`)" => Some(PartitionTransform("years", c, None))
+    case s"date_trunc('MONTH', `$c`)" =>
+      Some(PartitionTransform("months", c, None))
+    case s"CAST(`$c` AS DATE)" =>
+      Some(PartitionTransform("days", c, None))
+    case s"date_trunc('HOUR', `$c`)" =>
+      Some(PartitionTransform("hours", c, None))
+    case s"pmod(hash(`$c`), $n)" =>
+      n.toIntOption.map(i => PartitionTransform("bucket", c, Some(i)))
+    case s"left(`$c`, $w)" =>
+      w.toIntOption.map(i => PartitionTransform("truncate", c, Some(i)))
+    case s"`$c` - pmod(`$c2`, ${w}L)" if c == c2 =>
+      w.toIntOption.map(i => PartitionTransform("truncate", c, Some(i)))
+    case _ => None
+  }
+
   /** CONVERT FROM DELTA (metadata-only — Delta's own CONVERT shape
     * in reverse): fold the `_delta_log` at `tableRoot`, parse every
     * live add's stats back into graft's encoding, create a graft
@@ -998,6 +1070,51 @@ object DeltaExport {
       s"a graft log table already exists at $tableRoot")
     val (schema, partCols, ckptV) = readDeltaMeta(spark, tableRoot)
     val types = schema.fields.map(f => f.name -> f.dataType).toMap
+    // GENERATED partition columns rebuild as graft hidden
+    // partitioning: the generation expression parses back to the
+    // transform that renders it, the column leaves the user schema,
+    // and its partition values re-key to graft's derived-column
+    // name. A generated partition column whose derivation graft
+    // cannot maintain refuses — converted writes would silently
+    // stop computing it.
+    val transforms: Seq[(String, PartitionTransform)] =
+      partCols.flatMap { c =>
+        schema.fields.find(_.name == c)
+          .filter(_.metadata.contains(GenerationExprKey))
+          .map { f =>
+            val expr = f.metadata.getString(GenerationExprKey)
+            val t = exprToTransform(expr).getOrElse(
+              throw new IllegalArgumentException(
+                s"partition column '$c' of the Delta table at " +
+                  s"$tableRoot is generated by '$expr' — not a " +
+                  "derivation this import can maintain; converted " +
+                  "writes would stop computing it"))
+            require(schema.fieldNames.contains(t.source),
+              s"generated partition column '$c' derives from " +
+                s"'${t.source}', which is not in the schema")
+            if (types(t.source) == TimestampType &&
+                Set("years", "months", "days", "hours")(t.kind))
+              require(scala.util.Try(java.time.ZoneId
+                  .of(spark.sessionState.conf.sessionLocalTimeZone)
+                  .normalized()).toOption
+                  .contains(java.time.ZoneOffset.UTC),
+                s"cannot import time-derived partition column '$c' " +
+                  "over a session-zoned TIMESTAMP under session " +
+                  s"zone '${spark.sessionState.conf
+                    .sessionLocalTimeZone}' — the derivation is " +
+                  "zone-dependent; set spark.sql.session.timeZone " +
+                  "to UTC")
+            (c, t)
+          }
+      }
+    val tmap = transforms.toMap
+    val userSchema = StructType(
+      schema.fields.filterNot(f => tmap.contains(f.name)))
+    val partitionBy = partCols.map(c =>
+      tmap.get(c).map(_.spec).getOrElse(c))
+    // foreign generated-column name → graft hidden-column name
+    val pvRename: Map[String, String] =
+      transforms.map { case (c, t) => c -> t.hiddenCol }.toMap
     val dir = new File(tableRoot, "_delta_log")
     val dvMsg = s"the Delta table at $tableRoot carries deletion " +
       "vectors — this import cannot subtract Delta's DV encoding; " +
@@ -1009,7 +1126,8 @@ object DeltaExport {
     def addOf(path: String, size: Long, pv: Map[String, String],
               statsJson: Option[String]): AddFile = {
       val (rows, st) = parseDeltaStats(statsJson, types)
-      AddFile(path, rows, size, st, pv)
+      AddFile(path, rows, size, st,
+        pv.map { case (k, v) => pvRename.getOrElse(k, k) -> v })
     }
 
     // JSON tail (bounded: at most one Delta checkpoint interval of
@@ -1073,7 +1191,7 @@ object DeltaExport {
       case None =>
         // no foreign checkpoint: the whole log IS the bounded tail —
         // the driver Seq is small by construction
-        t.create(schema, partitionBy = partCols)
+        t.create(userSchema, partitionBy = partitionBy)
         if (tailAlive.nonEmpty) t.registerFiles(tailAlive, op = "convert")
       case Some(cv) =>
         // DISTRIBUTED fold: checkpoint add rows → CkptAdd manifest
@@ -1104,6 +1222,7 @@ object DeltaExport {
             // struct-keyed form JSON-inferring writers emit)
             val hasPv = addT.fieldNames.contains("partitionValues")
             val typesB = types // stable closure capture
+            val pvRenameB = pvRename
             val rootPath = new File(tableRoot).getPath
             import spark.implicits._
             df.filter(col("add").isNotNull).select(
@@ -1126,6 +1245,8 @@ object DeltaExport {
                 val pv = Option(pvJson)
                   .map(s => partMapOf(JsonMethods.parse(s)))
                   .getOrElse(Map.empty[String, String])
+                  .map { case (k, v) =>
+                    pvRenameB.getOrElse(k, k) -> v }
                 val (rows0, st) =
                   parseDeltaStats(Option(statsJson), typesB)
                 val rows =
@@ -1159,7 +1280,7 @@ object DeltaExport {
                 LogTable.renderStats(a.stats))), a.partitionValues,
               a.dv.map(_.path), a.dv.map(_.rows), a.baseRowId)
           })(enc)
-        t.create(schema, partitionBy = partCols)
+        t.create(userSchema, partitionBy = partitionBy)
         t.registerFilesFrom(spark,
           kept.unionByName(tailDs.toDF()).as[CkptAdd](enc),
           op = "convert")

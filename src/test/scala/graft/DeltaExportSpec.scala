@@ -334,6 +334,57 @@ class DeltaExportSpec extends SparkSpec {
     assert(!fresh.addsMaterializedAt())
   }
 
+  test("hidden partitioning exports as Delta GENERATED partition " +
+    "columns (minWriterVersion 4), and convert rebuilds the hidden " +
+    "layout — bucket included (Delta generation runs Spark's own " +
+    "hash)") {
+    val dir = s"${tmp()}/t"
+    val t = new LogTable(dir)
+    t.create(org.apache.spark.sql.types.StructType.fromDDL(
+      "k BIGINT, ts TIMESTAMP, name STRING"),
+      partitionBy = Seq("days(ts)", "bucket(4, k)"))
+    t.append(Seq(
+      (1L, "2021-03-15 10:22:33", "alpha"),
+      (2L, "2021-03-15 18:00:00", "alpine"),
+      (3L, "2023-07-04 01:02:03", "beta"))
+      .toDF("k", "s", "name")
+      .select(col("k"), org.apache.spark.sql.functions
+        .to_timestamp(col("s")).as("ts"), col("name")))
+    DeltaExport.exportDeltaLog(spark, t)
+    val cv = t.currentVersion.get
+    val c0 = java.nio.file.Files.readString(new File(dir,
+      f"_delta_log/$cv%020d.json").toPath)
+    assert(c0.contains("delta.generationExpression"), c0.take(500))
+    assert(c0.contains("\"minWriterVersion\":4"), c0.take(200))
+    // the Delta view serves the hidden columns as REAL generated
+    // partition columns (values from the log's partitionValues)
+    val dl = DeltaExport.loadDelta(spark, dir)
+    assert(dl.columns.toSet ==
+      Set("k", "ts", "name", "ts_day", "k_bucket_4"))
+    assert(dl.count() == 3L)
+    def rm(f: File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(new File(dir, "_log"))
+    val conv = DeltaExport.convertFromDelta(spark, dir)
+    assert(conv.partitionTransforms == Map(
+      "ts_day" -> "days(ts)", "k_bucket_4" -> "bucket(4,k)"),
+      conv.partitionTransforms)
+    // hidden columns leave the USER schema again
+    assert(conv.load(spark).columns.toSeq == Seq("k", "ts", "name"))
+    val (surv, total) = conv.prunedAddsFor(spark,
+      col("ts") === org.apache.spark.sql.functions.to_timestamp(
+        org.apache.spark.sql.functions.lit("2023-07-04 01:02:03")))
+    assert(surv.size < total,
+      s"source-column pruning lost: ${surv.size} of $total")
+    // the converted table keeps writing the SAME layout
+    conv.append(Seq((9L, "2024-01-01 00:00:00", "gamma"))
+      .toDF("k", "s", "name")
+      .select(col("k"), org.apache.spark.sql.functions
+        .to_timestamp(col("s")).as("ts"), col("name")))
+    assert(conv.load(spark).count() == 4L)
+  }
+
   test("exportTail mirrors a BY-REFERENCE (convert-scale) commit " +
     "with executor-rendered adds — the driver never materializes " +
     "the 100k-file set") {
