@@ -4688,20 +4688,78 @@ final class LogTable(val path: String,
     require(versions.contains(version),
       s"no committed version $version to restore to")
     val target = snapshotAt(version)
-    val gone = target.adds.filterNot(a =>
-      new File(absPath(a.path)).isFile) ++
-      target.adds.filter(a => a.dv.exists(d =>
-        !new File(absPath(d.path)).isDirectory))
-    require(gone.isEmpty, s"cannot restore to version $version: files " +
-      s"${gone.map(_.path).mkString(", ")} were vacuumed")
-    val current = snapshotAt(cur)
-    // a file present in both snapshots but with a DIFFERENT deletion
-    // vector must be re-added too, or the restored snapshot would
-    // keep serving the current vector's deletes
-    val adds = target.adds.filterNot(a =>
-      current.adds.exists(c => c.path == a.path && c.dv == a.dv))
-    val removes = current.adds.map(_.path)
-      .filterNot(p => target.adds.exists(_.path == p))
+    // the DIFF is the operation's honest cost (O(changed files) —
+    // what the restore commit must carry anyway); computing it must
+    // not be O(#files) driver state. Above the parquet-checkpoint
+    // threshold both snapshots' manifests serve DISTRIBUTED: the
+    // vacuum check maps over the target manifest on executors, the
+    // add/remove sets come from two anti-joins, and only the diff
+    // is collected. Below it (or session-less) the driver Seq walk
+    // is small by construction.
+    val session = SparkSession.getActiveSession
+      .orElse(SparkSession.getDefaultSession)
+    val dist: Option[(org.apache.spark.sql.Dataset[CkptAdd],
+                      org.apache.spark.sql.Dataset[CkptAdd])] =
+      session.flatMap { sp =>
+        if (target.addsMaterialized ||
+            snapshotAt(cur).addsMaterialized) None
+        else for {
+          t <- scala.util.Try(distributedManifest(sp, version))
+            .getOrElse(None)
+          c <- scala.util.Try(distributedManifest(sp, cur))
+            .getOrElse(None)
+        } yield (t, c)
+      }
+    val (adds: Seq[AddFile], removes: Seq[String]) = dist match {
+      case Some((t, c)) =>
+        val rootB = path
+        // vacuum check WHERE THE MANIFEST LIVES — a bounded sample
+        // of missing files comes back, never the list
+        val gone = t.mapPartitions { it =>
+          it.filter { ca =>
+            def abs(rel: String) =
+              if (rel.startsWith("/")) rel else s"$rootB/$rel"
+            !new File(abs(ca.path)).isFile ||
+              ca.dvPath.exists(dp => !new File(abs(dp)).isDirectory)
+          }.map(_.path)
+        }(org.apache.spark.sql.Encoders.STRING).take(5)
+        require(gone.isEmpty,
+          s"cannot restore to version $version: files " +
+            s"${gone.mkString(", ")}… were vacuumed")
+        // a file present in both snapshots but with a DIFFERENT
+        // deletion vector must be re-added too, or the restored
+        // snapshot would keep serving the current vector's deletes
+        val curSlim = c.toDF().select(col("path").as("__cp"),
+          col("dvPath").as("__cdv"), col("dvRows").as("__cdvr"))
+        val enc = org.apache.spark.sql.Encoders.product[CkptAdd]
+        val addsDiff = t.toDF().join(curSlim,
+          col("path") === col("__cp") &&
+            (col("dvPath") <=> col("__cdv")) &&
+            (col("dvRows") <=> col("__cdvr")), "left_anti")
+          .select(t.toDF().columns.map(col).toIndexedSeq: _*)
+          .as[CkptAdd](enc)
+          .orderBy(col("idx")).collect()
+          .map(LogTable.decodeCkptAdd).toSeq
+        val removesDiff = c.toDF().select(col("path"))
+          .join(t.toDF().select(col("path").as("__tp")),
+            col("path") === col("__tp"), "left_anti")
+          .as[String](org.apache.spark.sql.Encoders.STRING)
+          .collect().toSeq
+        (addsDiff, removesDiff)
+      case None =>
+        val gone = target.adds.filterNot(a =>
+          new File(absPath(a.path)).isFile) ++
+          target.adds.filter(a => a.dv.exists(d =>
+            !new File(absPath(d.path)).isDirectory))
+        require(gone.isEmpty,
+          s"cannot restore to version $version: files " +
+            s"${gone.map(_.path).mkString(", ")} were vacuumed")
+        val current = snapshotAt(cur)
+        (target.adds.filterNot(a =>
+          current.adds.exists(c => c.path == a.path && c.dv == a.dv)),
+          current.adds.map(_.path)
+            .filterNot(p => target.adds.exists(_.path == p)))
+    }
     // the restored state is the TARGET's wholesale — including its
     // layout metadata: rolling back the schema while the (latest-
     // wins) partition/transform/generated actions kept pointing at

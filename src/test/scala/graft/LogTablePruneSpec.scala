@@ -55,6 +55,43 @@ class LogTablePruneSpec extends SparkSpec {
     assert(driverSurvivors == survivors) // full AddFile equality
   }
 
+  test("RESTORE computes its diff WHERE THE MANIFEST LIVES: neither " +
+    "snapshot materializes on the driver, the commit carries only " +
+    "the diff, and the rolled-back state is exact") {
+    val dir = s"${tmp()}/t"
+    val t = new LogTable(dir, checkpointInterval = 1)
+    t.create(StructType(Seq(StructField("k", LongType),
+      StructField("v", StringType))),
+      properties = Map("graft.checkpoint.parquetThreshold" -> "1"))
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("k", "v"))          // v1
+    t.append(Seq((3L, "c")).toDF("k", "v"))                     // v2
+    t.delete(spark, col("k") === 1L)                            // v3
+    val fresh = new LogTable(dir, checkpointInterval = 1)
+    val rv = fresh.restore(1L)                                  // v4
+    // the diff came from manifest anti-joins — neither the target
+    // nor the pre-restore snapshot was forced into a driver Seq
+    assert(!fresh.addsMaterializedAt(Some(1L)),
+      "restore materialized the TARGET snapshot on the driver")
+    assert(!fresh.addsMaterializedAt(Some(3L)),
+      "restore materialized the CURRENT snapshot on the driver")
+    // the restored state is exactly v1's
+    assert(fresh.load(spark).select("k", "v").as[(Long, String)]
+      .collect().toSet == Set((1L, "a"), (2L, "b")))
+    // the commit carries only the DIFF, not either snapshot
+    val nAdds = fresh.addedPaths(rv).size
+    val nRemoves = fresh.history(spark)
+      .filter(col("version") === rv)
+      .select("n_removed").as[Long].head().toInt
+    assert(nAdds >= 1 && nAdds <= 2, s"diff adds: $nAdds")
+    assert(nRemoves >= 1 && nRemoves <= 3, s"diff removes: $nRemoves")
+    // ground truth: the driver-walk restore on a raw-replay twin
+    // produces the same state (full AddFile equality)
+    val raw = new LogTable(dir)
+    raw.ignoreCheckpointsForTest = true
+    assert(raw.liveAdds().toSet ==
+      new LogTable(dir).liveAdds().toSet)
+  }
+
   test("metadata-only operations never materialize the manifest; " +
     "a file-list consumer pays exactly once") {
     val dir = s"${tmp()}/t"
