@@ -103,6 +103,15 @@ private[sources] final class GraftProcedure(catalog: GraftTableCatalog,
       Array(in("table", StringType).build(),
         in("target", StringType).build(),
         in("version", LongType).defaultValue("-1").build())
+    case "mirror_delta" =>
+      Array(in("table", StringType).build(),
+        in("checkpoint_every", IntegerType).defaultValue("10").build())
+    case "mirror_iceberg" =>
+      Array(in("table", StringType).build(),
+        in("keep_metadata", IntegerType).defaultValue("10").build(),
+        in("keep_snapshots", IntegerType).defaultValue("100").build())
+    case "convert_from_delta" | "convert_from_iceberg" =>
+      Array(in("table", StringType).build())
     case other =>
       throw new UnsupportedOperationException(s"procedure $other")
   }
@@ -120,6 +129,12 @@ private[sources] final class GraftProcedure(catalog: GraftTableCatalog,
         StructField("mode", StringType)))
     case "vacuum" =>
       StructType(Seq(StructField("dropped", StringType)))
+    case "mirror_delta" =>
+      StructType(Seq(StructField("exported_version", LongType)))
+    case "mirror_iceberg" =>
+      StructType(Seq(StructField("metadata_path", StringType)))
+    case "convert_from_delta" | "convert_from_iceberg" =>
+      StructType(Seq(StructField("version", LongType)))
     case "expire_snapshots" =>
       StructType(Seq(StructField("expired", StringType)))
     case "show_refs" =>
@@ -154,7 +169,9 @@ private[sources] final class GraftProcedure(catalog: GraftTableCatalog,
 
   override def call(input: InternalRow): JIterator[Scan] = {
     val spark = SparkSession.active
-    val t = catalog.logTableByName(input.getUTF8String(0).toString)
+    // lazy: the convert procedures name a table that does not exist
+    // as a GRAFT log yet — only its foreign metadata does
+    lazy val t = catalog.logTableByName(input.getUTF8String(0).toString)
     val out: Seq[InternalRow] = procName match {
       case "restore" =>
         val v = input.getLong(1)
@@ -301,6 +318,30 @@ private[sources] final class GraftProcedure(catalog: GraftTableCatalog,
         val r = MaterializedAgg.refresh(spark, t.path)
         Seq(row(r.mvVersion, r.fromVersion, r.toVersion,
           UTF8String.fromString(r.mode)))
+      case "mirror_delta" =>
+        // one-call incremental Delta mirror of the named table —
+        // returns the newly exported versions (empty = was current)
+        DeltaExport.mirrorDelta(spark, t,
+          checkpointEvery = input.getInt(1)).map(v => row(v))
+      case "mirror_iceberg" =>
+        // one-call Iceberg metadata mirror + retention — returns
+        // the new metadata path (no rows = was already current)
+        IcebergExport.mirrorIceberg(spark, t,
+          keepMetadata = input.getInt(1),
+          keepSnapshots = input.getInt(2))
+          .map(p => row(UTF8String.fromString(p))).toSeq
+      case "convert_from_delta" =>
+        // in-place CONVERT of a catalog-path Delta table — the graft
+        // table the catalog serves afterwards IS the converted one
+        val target = catalog.newLogTableAt(
+          input.getUTF8String(0).toString)
+        val conv = DeltaExport.convertFromDelta(spark, target.path)
+        Seq(row(conv.currentVersion.getOrElse(-1L)))
+      case "convert_from_iceberg" =>
+        val target = catalog.newLogTableAt(
+          input.getUTF8String(0).toString)
+        val conv = IcebergExport.convertFromIceberg(spark, target.path)
+        Seq(row(conv.currentVersion.getOrElse(-1L)))
       case "analyze_table" =>
         // ANALYZE TABLE ... COMPUTE STATISTICS FOR ALL COLUMNS: one
         // distributed pass, stats committed to TBLPROPERTIES, exact
@@ -327,7 +368,9 @@ private object GraftProcedure {
     Set("restore", "vacuum", "optimize", "purge_deletes", "history",
       "detail", "clone", "create_mv", "refresh_mv", "set_partition",
       "create_tag", "create_branch", "merge_branch", "drop_ref",
-      "drop_branch", "show_refs", "analyze_table", "expire_snapshots")
+      "drop_branch", "show_refs", "analyze_table", "expire_snapshots",
+      "mirror_delta", "mirror_iceberg", "convert_from_delta",
+      "convert_from_iceberg")
 
   private def row(vs: Any*): InternalRow =
     new GenericInternalRow(vs.toArray)

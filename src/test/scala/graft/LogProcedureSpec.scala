@@ -32,6 +32,47 @@ class LogProcedureSpec extends SparkSpec {
     }
   }
 
+  test("CALL mirror_delta / mirror_iceberg / convert_from_delta / " +
+    "convert_from_iceberg: the interop layer is reachable from " +
+    "plain SQL") {
+    withCatalog { (cat, t) =>
+      // mirror the table as a Delta log, one CALL at a time
+      val exported = spark.sql(s"CALL $cat.mirror_delta('t')")
+        .as[Long].collect().toSeq
+      assert(exported == Seq(0L))
+      assert(spark.sql(s"CALL $cat.mirror_delta('t')").count() == 0L,
+        "a current mirror must report no newly exported versions")
+      t.delete(spark, col("k") === 2L) // v1
+      assert(spark.sql(s"CALL $cat.mirror_delta('t')")
+        .as[Long].collect().toSeq == Seq(1L))
+      // and as Iceberg metadata (retention knobs included)
+      val p = spark.sql(
+        s"CALL $cat.mirror_iceberg('t', keep_metadata => 2)")
+        .as[String].head()
+      assert(p.endsWith("v1.metadata.json"), p)
+      assert(spark.sql(s"CALL $cat.mirror_iceberg('t')").count() == 0L)
+      // convert: strip the graft log, CALL rebuilds it in place from
+      // the Delta mirror, and the catalog serves the converted table
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(t.path, "_log"))
+      val cv = spark.sql(s"CALL $cat.convert_from_delta('t')")
+        .as[Long].head()
+      assert(cv == 1L)
+      assert(spark.sql(s"SELECT k FROM $cat.t").as[Long]
+        .collect().toSet == Set(1L, 3L))
+      // and the Iceberg convert path, from the Iceberg metadata
+      rm(new java.io.File(t.path, "_log"))
+      rm(new java.io.File(t.path, "_delta_log"))
+      val cv2 = spark.sql(s"CALL $cat.convert_from_iceberg('t')")
+        .as[Long].head()
+      assert(cv2 == 1L)
+      assert(spark.sql(s"SELECT k FROM $cat.t").as[Long]
+        .collect().toSet == Set(1L, 3L))
+    }
+  }
+
   test("CALL restore rolls back and returns the new version; " +
     "history lists every commit") {
     withCatalog { (cat, t) =>
