@@ -395,6 +395,7 @@ object IcebergExport {
           {"name":"partition","field-id":102,"type":{"type":"record","name":"r102","fields":[${partitionAvroFields(partFields)}]}},
           {"name":"record_count","type":"long","field-id":103},
           {"name":"file_size_in_bytes","type":"long","field-id":104},
+          {"name":"value_counts","type":${kvMapAvro("k119_v120", 119, "\"long\"", 120)},"default":null,"field-id":109},
           {"name":"null_value_counts","type":${kvMapAvro("k121_v122", 121, "\"long\"", 122)},"default":null,"field-id":110},
           {"name":"lower_bounds","type":${kvMapAvro("k126_v127", 126, "\"bytes\"", 127)},"default":null,"field-id":125},
           {"name":"upper_bounds","type":${kvMapAvro("k129_v130", 129, "\"bytes\"", 130)},"default":null,"field-id":128}
@@ -700,8 +701,10 @@ object IcebergExport {
           val r = new GenericData.Record(sch)
           r.put("key", Integer.valueOf(id)); r.put("value", value); r
         }
-        val (nSch, loSch, upSch) = (itemsOf("null_value_counts"),
+        val (vSch, nSch, loSch, upSch) = (itemsOf("value_counts"),
+          itemsOf("null_value_counts"),
           itemsOf("lower_bounds"), itemsOf("upper_bounds"))
+        val vals = new java.util.ArrayList[GenericRecord]()
         val nulls = new java.util.ArrayList[GenericRecord]()
         val lows = new java.util.ArrayList[GenericRecord]()
         val ups = new java.util.ArrayList[GenericRecord]()
@@ -710,12 +713,16 @@ object IcebergExport {
             ids.find(_._1.name == c).map(p => (p._2, p._1, st)) }
           .sortBy(_._1)
           .foreach { case (id, f, st) =>
+            // value_counts = values INCLUDING nulls (the spec's
+            // definition): the file's row count per top-level column
+            vals.add(kvRec(vSch, id, java.lang.Long.valueOf(a.rows)))
             nulls.add(kvRec(nSch, id, java.lang.Long.valueOf(st.nulls)))
             st.min.flatMap(boundBytes(f.dataType, _))
               .foreach(b => lows.add(kvRec(loSch, id, b)))
             st.max.flatMap(boundBytes(f.dataType, _))
               .foreach(b => ups.add(kvRec(upSch, id, b)))
           }
+        df.put("value_counts", if (vals.isEmpty) null else vals)
         df.put("null_value_counts", if (nulls.isEmpty) null else nulls)
         df.put("lower_bounds", if (lows.isEmpty) null else lows)
         df.put("upper_bounds", if (ups.isEmpty) null else ups)
