@@ -159,6 +159,32 @@ class AddsRefSpec extends SparkSpec {
     assert(fresh.liveAdds().size == 1003)
   }
 
+  test("a by-reference registration RACES a concurrent append: both " +
+    "land (blind appends never conflict), the stitched state holds " +
+    "both sets") {
+    val dir = s"${tmp()}/t"
+    new LogTable(dir).append(Seq((1L, "a")).toDF("k", "v"))     // v0
+    val t1 = new LogTable(dir, checkpointInterval = 100)
+    val t2 = new LogTable(dir, checkpointInterval = 100)
+    val others = (0 until 50).map { i =>
+      AddFile(f"data/other-$i%03d.parquet", 10L, 512L,
+        Map("k" -> ColStats(Some(-1000L - i), Some(-1000L - i), 0L)))
+    }
+    @volatile var v1 = -1L
+    @volatile var v2 = -1L
+    val th1 = new Thread(() => v1 = t1.registerFilesFrom(
+      spark, fakeDs(20000)))
+    val th2 = new Thread(() => v2 = t2.registerFiles(others))
+    th1.start(); th2.start(); th1.join(); th2.join()
+    assert(v1 > 0 && v2 > 0 && v1 != v2,
+      s"racing commits collided: $v1 / $v2")
+    val fresh = new LogTable(dir)
+    val (_, total) = fresh.prunedAddsFor(spark, col("k") === 0L)
+    assert(total == 20051L,
+      s"a racing writer's files were lost: $total")
+    assert(fresh.lastPruneMode == "distributed")
+  }
+
   test("duplicate paths refuse; an empty set is a no-op") {
     val dir = s"${tmp()}/t"
     val t = new LogTable(dir)

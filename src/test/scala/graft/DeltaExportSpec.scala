@@ -385,6 +385,57 @@ class DeltaExportSpec extends SparkSpec {
     assert(conv.load(spark).count() == 4L)
   }
 
+  test("every transform kind's generation expression parses back on " +
+    "convert: years/months/hours/truncate-int round-trip the Delta " +
+    "boundary with the hidden layout rebuilt") {
+    def roundTrip(spec: String, hidden: String): Unit = {
+      val dir = s"${tmp()}/t"
+      val t = new LogTable(dir)
+      t.create(org.apache.spark.sql.types.StructType.fromDDL(
+        "k BIGINT, ts TIMESTAMP"), partitionBy = Seq(spec))
+      t.append(Seq((1L, "1969-05-15 10:22:33"),
+        (2L, "2021-03-15 18:45:00"))
+        .toDF("k", "s")
+        .select(col("k"), org.apache.spark.sql.functions
+          .to_timestamp(col("s")).as("ts")))
+      DeltaExport.exportDeltaLog(spark, t)
+      def rm(f: File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new File(dir, "_log"))
+      val conv = DeltaExport.convertFromDelta(spark, dir)
+      assert(conv.partitionTransforms == Map(hidden -> spec),
+        s"$spec: ${conv.partitionTransforms}")
+      assert(conv.load(spark).select("k").as[Long].collect().toSet ==
+        Set(1L, 2L), s"$spec lost rows")
+      conv.append(Seq((3L, "2024-01-01 08:09:10")).toDF("k", "s")
+        .select(col("k"), org.apache.spark.sql.functions
+          .to_timestamp(col("s")).as("ts")))
+      assert(conv.load(spark).count() == 3L)
+    }
+    roundTrip("years(ts)", "ts_year")
+    roundTrip("months(ts)", "ts_month")
+    roundTrip("hours(ts)", "ts_hour")
+
+    // integral truncate: `k - pmod(k, 100L)` parses back too
+    val dir = s"${tmp()}/t"
+    val t = new LogTable(dir)
+    t.create(org.apache.spark.sql.types.StructType.fromDDL(
+      "k BIGINT, v STRING"), partitionBy = Seq("truncate(100, k)"))
+    t.append(Seq((101L, "a"), (250L, "b")).toDF("k", "v"))
+    DeltaExport.exportDeltaLog(spark, t)
+    def rm(f: File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(new File(dir, "_log"))
+    val conv = DeltaExport.convertFromDelta(spark, dir)
+    assert(conv.partitionTransforms ==
+      Map("k_trunc_100" -> "truncate(100,k)"),
+      conv.partitionTransforms)
+    assert(conv.load(spark).select("k").as[Long].collect().toSet ==
+      Set(101L, 250L))
+  }
+
   test("exportTail mirrors a BY-REFERENCE (convert-scale) commit " +
     "with executor-rendered adds — the driver never materializes " +
     "the 100k-file set") {
