@@ -6,7 +6,7 @@ import java.util.UUID
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{broadcast, col, lit,
-  monotonically_increasing_id, to_json}
+  monotonically_increasing_id, to_json, when}
 import org.apache.spark.sql.types._
 import org.json4s._
 import org.json4s.jackson.JsonMethods
@@ -185,6 +185,17 @@ object DeltaExport {
         StructField("appId", StringType),
         StructField("version", LongType))))))
   }
+
+  /** Checkpoint rows carry `dataChange = false` on BOTH add and
+    * remove actions, whatever the originating commit said (the
+    * protocol's checkpoint rule): a checkpoint reconstructs STATE,
+    * not change — a strict incremental consumer bootstrapping from
+    * it must not double-count the whole snapshot as fresh changes. */
+  private def neutralizeDataChange(df: DataFrame): DataFrame = df
+    .withColumn("add", when(col("add").isNotNull,
+      col("add").withField("dataChange", lit(false))))
+    .withColumn("remove", when(col("remove").isNotNull,
+      col("remove").withField("dataChange", lit(false))))
 
   /** Protocol action: minWriterVersion 4 when the schema carries
     * generated columns (Delta's gate for the feature — a lesser
@@ -633,7 +644,8 @@ object DeltaExport {
         // EXPLICIT spec schema — see [[checkpointSchema]]; inference
         // would mistype partitionValues and drop empty maps
         (lines.count(),
-          spark.read.schema(checkpointSchema).json(lines))
+          neutralizeDataChange(
+            spark.read.schema(checkpointSchema).json(lines)))
       } catch { case e: Throwable => deleteRecursive(txt); throw e }
     val tmp = new File(dir, s".tmp-ckpt-${UUID.randomUUID()}")
     val nParts = math.max(1L, (nActions + partRows - 1) / partRows).toInt
@@ -720,11 +732,11 @@ object DeltaExport {
     // commit's commitInfo line — schemaless under it — drops: the
     // spec excludes commitInfo from checkpoints, and an all-null
     // action row is garbage to a strict reader
-    val df = spark.read.schema(checkpointSchema)
+    val df = neutralizeDataChange(spark.read.schema(checkpointSchema)
       .json(new File(dir, f"$v%020d.json").getPath)
       .filter(col("protocol").isNotNull || col("metaData").isNotNull ||
         col("add").isNotNull || col("remove").isNotNull ||
-        col("txn").isNotNull)
+        col("txn").isNotNull))
     val tmp = new File(dir, s".tmp-ckpt-${UUID.randomUUID()}")
     df.coalesce(1).write.mode("overwrite").parquet(tmp.getPath)
     val part = tmp.listFiles().filter(_.getName.endsWith(".parquet"))

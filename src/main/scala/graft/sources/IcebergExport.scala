@@ -1210,6 +1210,38 @@ object IcebergExport {
     (resolved.map(_._1), resolved.map(_._2).toMap)
   }
 
+  /** Normalize one foreign manifest `file_path` to the table-relative
+    * form graft registers. Real Iceberg writers emit absolute paths
+    * or full URIs: a `file:`-scheme URI decodes to its filesystem
+    * form (URI-parsed when well-formed, scheme-stripped when the
+    * writer skipped percent-encoding) and then relativizes like any
+    * absolute path; any OTHER scheme (s3://, hdfs://) refuses —
+    * falling through would register the URI verbatim as a
+    * table-relative path, a dangling reference; an absolute path
+    * outside the table root refuses. Static + executor-safe (the
+    * convert fans manifest reads out as a Spark job). */
+  private[graft] def relativizeForeignPath(root: String,
+                                           p0: String): String = {
+    val p =
+      if (p0.startsWith("file:"))
+        scala.util.Try(
+          new File(new java.net.URI(p0)).getAbsolutePath)
+          .getOrElse(new File(p0.stripPrefix("file:")).getAbsolutePath)
+      else if (DeltaExport.hasUriScheme(p0))
+        throw new IllegalArgumentException(
+          s"the Iceberg table at $root references a fully-qualified " +
+            s"URI ($p0) — this import registers table-relative paths " +
+            "only; co-locate the files under the table root first")
+      else p0
+    if (p.startsWith(root + "/")) p.substring(root.length + 1)
+    else if (p.startsWith("/"))
+      throw new IllegalArgumentException(
+        s"the Iceberg table at $root references a file outside the " +
+          s"table root ($p) — this import registers table-relative " +
+          "paths only; co-locate the files first")
+    else p
+  }
+
   def readIcebergSnapshot(spark: SparkSession, tableRoot: String)
       : (StructType, Seq[String],
          Seq[(String, Long, Map[String, String])]) = {
@@ -1239,7 +1271,9 @@ object IcebergExport {
     * one. Partition values come typed from the manifest struct.
     * Refuses a root that already holds a graft log, and file paths
     * that do not live under the table root (silently re-rooting
-    * them would register dangling references). */
+    * them would register dangling references); `file:`-scheme URIs
+    * (what real Iceberg writers emit) decode to their filesystem
+    * form first, any other scheme (s3://, hdfs://) refuses. */
   def convertFromIceberg(spark: SparkSession,
                          tableRoot: String): LogTable = {
     val pre = new LogTable(tableRoot)
@@ -1270,17 +1304,8 @@ object IcebergExport {
           math.min(manifests.size, 64))
           .flatMap { case (mp, mi) =>
             readManifestEntries(rootB, mp, typeOfId, pvConv).iterator
-              .zipWithIndex.map { case ((p, n, bytes, pv, st), i) =>
-                val rel =
-                  if (p.startsWith(rootB + "/"))
-                    p.substring(rootB.length + 1)
-                  else if (p.startsWith("/"))
-                    throw new IllegalArgumentException(
-                      s"the Iceberg table at $rootB references a " +
-                        s"file outside the table root ($p) — this " +
-                        "import registers table-relative paths " +
-                        "only; co-locate the files first")
-                  else p
+              .zipWithIndex.map { case ((p0, n, bytes, pv, st), i) =>
+                val rel = relativizeForeignPath(rootB, p0)
                 CkptAdd(mi * perManifest + i, rel, n, bytes,
                   JsonMethods.compact(JsonMethods.render(
                     LogTable.renderStats(st))),

@@ -274,7 +274,9 @@ final class LogTable(val path: String,
   // BEFORE the commit claims its version, so the name is a uuid,
   // not a version prefix — the claiming commit records it; a crash
   // between sidecar and claim leaves garbage no commit references
-  // (swept when its would-be commit range expires)
+  // (swept by [[vacuum]] once unreferenced and older than the
+  // retention window; a CLAIMED sidecar instead dies with its
+  // commit at [[expireSnapshots]])
   private def addsRefDir(tag: String) =
     new File(logDir, s"addsref.$tag.parquet")
   private def lastCkptFile = new File(logDir, "_last_checkpoint")
@@ -5826,9 +5828,26 @@ final class LogTable(val path: String,
         !keepNames.exists(n => f.getName.startsWith(n + ".")) &&
         f.lastModified() <= horizon)
     if (!dryRun) droppedBloom.foreach(_.delete())
+    // by-reference add-set sidecars (addsref.<uuid>.parquet under
+    // _log/): each is claimed by exactly ONE commit — a crash
+    // between sidecar write and commit claim leaves an orphan no
+    // commit will ever reference, pure garbage. Claimed sidecars
+    // die with their commit at expiry (expireSnapshots), so here
+    // the keep set is every SURVIVING commit's reference; the
+    // modification-time guard keeps a concurrent registerFilesFrom's
+    // just-written, not-yet-claimed sidecar safe, exactly like
+    // in-flight data files.
+    val keepRefs = vs.flatMap(v => commitAddsRef(v).map(_.path)).toSet
+    val droppedRefs = Option(logDir.listFiles()).toSeq.flatten
+      .filter(d => d.isDirectory &&
+        d.getName.startsWith("addsref.") &&
+        d.getName.endsWith(".parquet") &&
+        !keepRefs.contains(d.getName) && d.lastModified() <= horizon)
+    if (!dryRun) droppedRefs.foreach(deleteRecursive)
     dropped.map(rel) ++ droppedCdf.map(d => s"_cdf/${d.getName}") ++
       droppedDv.map(d => s"_dv/${d.getName}") ++
-      droppedBloom.map(f => s"_bloom/${f.getName}")
+      droppedBloom.map(f => s"_bloom/${f.getName}") ++
+      droppedRefs.map(d => s"_log/${d.getName}")
   }
 }
 

@@ -185,6 +185,42 @@ class AddsRefSpec extends SparkSpec {
     assert(fresh.lastPruneMode == "distributed")
   }
 
+  test("vacuum sweeps a crash-orphaned addsref sidecar no commit " +
+    "claims, keeps the claimed one, and honors the retention guard") {
+    val dir = s"${tmp()}/t"
+    val t = new LogTable(dir, checkpointInterval = 1)
+    t.append(Seq((1L, "a")).toDF("k", "v"))                     // v0
+    t.registerFilesFrom(spark, fakeDs(50))                      // v1
+    val logDir = new File(dir, "_log")
+    val claimed = logDir.listFiles()
+      .filter(_.getName.startsWith("addsref."))
+    assert(claimed.length == 1)
+    // simulate the crash window: a sidecar written but never claimed
+    // by a commit (registerFilesFrom died between write and commit)
+    val orphan = new File(logDir, "addsref.deadbeef.parquet")
+    orphan.mkdirs()
+    java.nio.file.Files.writeString(
+      new File(orphan, "part-0.parquet").toPath, "garbage")
+    // fresh orphan + real retention window: the in-flight guard
+    // keeps it (a concurrent registerFilesFrom's sidecar looks
+    // exactly like this)
+    val kept = t.vacuum(retainLast = 1,
+      retentionMillis = 3600L * 1000L)
+    assert(!kept.exists(_.contains("addsref.deadbeef")), kept)
+    assert(orphan.isDirectory)
+    // expired retention: the orphan sweeps, the claimed sidecar
+    // stays (its commit is live)
+    val dropped = t.vacuum(retainLast = 1, retentionMillis = 0L)
+    assert(dropped.contains("_log/addsref.deadbeef.parquet"), dropped)
+    assert(!orphan.exists())
+    assert(claimed.head.isDirectory,
+      "vacuum deleted a sidecar a live commit references")
+    // the table still serves its by-reference files
+    val fresh = new LogTable(dir)
+    val (_, total) = fresh.prunedAddsFor(spark, col("k") === 0L)
+    assert(total == 51L)
+  }
+
   test("duplicate paths refuse; an empty set is a no-op") {
     val dir = s"${tmp()}/t"
     val t = new LogTable(dir)

@@ -276,6 +276,34 @@ class DeltaExportSpec extends SparkSpec {
         org.apache.spark.sql.types.StringType))
   }
 
+  test("checkpoint rows carry dataChange = false whatever the " +
+    "commit said — a strict consumer bootstrapping from the " +
+    "checkpoint never double-counts the snapshot as changes") {
+    val dir = s"${tmp()}/t"
+    val t = new LogTable(dir)
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("k", "v").repartition(1))
+    DeltaExport.exportDeltaLog(spark, t) // writeCheckpoint path
+    val ckpt = spark.read.parquet(
+      s"$dir/_delta_log/00000000000000000000.checkpoint.parquet")
+    val dcs = ckpt.filter(col("add").isNotNull)
+      .select("add.dataChange").collect().map(_.getBoolean(0))
+    assert(dcs.nonEmpty && dcs.forall(_ == false),
+      s"checkpoint add.dataChange must be false: ${dcs.toSeq}")
+    // the COMMIT keeps dataChange = true (it IS the change record)
+    val v0 = java.nio.file.Files.readString(new File(dir,
+      f"_delta_log/${0L}%020d.json").toPath)
+    assert(v0.contains("\"dataChange\":true"), v0)
+    // exportCheckpoint's path too, over a commit that REMOVED files
+    t.delete(spark, col("k") === 1L)                            // v1
+    DeltaExport.exportTail(spark, t, 1L, 1L)
+    DeltaExport.exportCheckpoint(spark, t)
+    val ckpt2 = spark.read.parquet(
+      s"$dir/_delta_log/00000000000000000001.checkpoint.parquet")
+    val dcs2 = ckpt2.filter(col("add").isNotNull)
+      .select("add.dataChange").collect().map(_.getBoolean(0))
+    assert(dcs2.nonEmpty && dcs2.forall(_ == false), dcs2.toSeq)
+  }
+
   test("a mirrored OPTIMIZE commit carries dataChange = false — " +
     "followers never double-count compacted rows") {
     val dir = s"${tmp()}/t"

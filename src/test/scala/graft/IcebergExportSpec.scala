@@ -639,4 +639,40 @@ class IcebergExportSpec extends SparkSpec {
       IcebergExport.exportIcebergMetadata(spark, t3))
     assert(e3.getMessage.contains("iv"), e3.getMessage)
   }
+
+  test("foreign file_path URI handling: file: schemes decode and " +
+    "relativize, foreign schemes and out-of-root paths refuse") {
+    val root = "/tables/t1"
+    def rel(p: String) = IcebergExport.relativizeForeignPath(root, p)
+    // the forms real writers emit: plain absolute, file:/, file:///
+    assert(rel("/tables/t1/data/f.parquet") == "data/f.parquet")
+    assert(rel("file:/tables/t1/data/f.parquet") == "data/f.parquet")
+    assert(rel("file:///tables/t1/data/f.parquet") == "data/f.parquet")
+    // percent-encoded and raw special chars both decode
+    assert(rel("file:///tables/t1/data/f%20x.parquet") ==
+      "data/f x.parquet")
+    assert(rel("file:/tables/t1/data/f x.parquet") ==
+      "data/f x.parquet")
+    // already-relative passes through
+    assert(rel("data/f.parquet") == "data/f.parquet")
+    // a foreign scheme must refuse, never register verbatim
+    val e1 = intercept[IllegalArgumentException](
+      rel("s3://bucket/tables/t1/data/f.parquet"))
+    assert(e1.getMessage.contains("fully-qualified URI"),
+      e1.getMessage)
+    val e2 = intercept[IllegalArgumentException](
+      rel("hdfs://nn:8020/tables/t1/data/f.parquet"))
+    assert(e2.getMessage.contains("fully-qualified URI"),
+      e2.getMessage)
+    // a decoded file: URI outside the root refuses like any
+    // absolute out-of-root path
+    val e3 = intercept[IllegalArgumentException](
+      rel("file:///elsewhere/data/f.parquet"))
+    assert(e3.getMessage.contains("outside the table root"),
+      e3.getMessage)
+    val e4 = intercept[IllegalArgumentException](
+      rel("/elsewhere/data/f.parquet"))
+    assert(e4.getMessage.contains("outside the table root"),
+      e4.getMessage)
+  }
 }
