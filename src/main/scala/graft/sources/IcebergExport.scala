@@ -85,39 +85,123 @@ object IcebergExport {
 
   /** One column type as Iceberg schema JSON: primitives as the
     * spec's string forms, struct/list/map as the spec's nested
-    * objects with `alloc`-assigned field/element/key/value ids.
-    * Allocation order is the DETERMINISTIC depth-first traversal —
-    * the same schema shape renders id-identical across sequential
-    * exports, so the schema-history comparison never mints a
-    * spurious new schema-id. */
-  private def icebergTypeJson(name: String, dt: DataType,
-                              alloc: () => Int): JValue = dt match {
+    * objects with field/element/key/value ids resolved by dotted
+    * PATH through `idOf` (see [[assignFieldIds]] for the assignment
+    * rules — carried forward across exports, never reused). */
+  private def icebergTypeJson(path: String, dt: DataType,
+                              idOf: String => Int): JValue = dt match {
     case st: StructType => JObject(List(
       "type" -> JString("struct"),
       "fields" -> JArray(st.fields.toList.map { f =>
-        val id = alloc()
-        JObject(List("id" -> JInt(id), "name" -> JString(f.name),
+        val fp = s"$path.${f.name}"
+        JObject(List("id" -> JInt(idOf(fp)), "name" -> JString(f.name),
           "required" -> JBool(false),
-          "type" -> icebergTypeJson(s"$name.${f.name}", f.dataType,
-            alloc)))
+          "type" -> icebergTypeJson(fp, f.dataType, idOf)))
       })))
     case at: ArrayType =>
-      val eid = alloc()
       JObject(List("type" -> JString("list"),
-        "element-id" -> JInt(eid),
-        "element" -> icebergTypeJson(s"$name.element",
-          at.elementType, alloc),
+        "element-id" -> JInt(idOf(s"$path.element")),
+        "element" -> icebergTypeJson(s"$path.element",
+          at.elementType, idOf),
         "element-required" -> JBool(!at.containsNull)))
     case mt: MapType =>
-      val kid = alloc(); val vid = alloc()
       JObject(List("type" -> JString("map"),
-        "key-id" -> JInt(kid),
-        "key" -> icebergTypeJson(s"$name.key", mt.keyType, alloc),
-        "value-id" -> JInt(vid),
-        "value" -> icebergTypeJson(s"$name.value", mt.valueType,
-          alloc),
+        "key-id" -> JInt(idOf(s"$path.key")),
+        "key" -> icebergTypeJson(s"$path.key", mt.keyType, idOf),
+        "value-id" -> JInt(idOf(s"$path.value")),
+        "value" -> icebergTypeJson(s"$path.value", mt.valueType,
+          idOf),
         "value-required" -> JBool(!mt.valueContainsNull)))
-    case prim => JString(icebergType(name, prim))
+    case prim => JString(icebergType(path, prim))
+  }
+
+  /** Field-id assignment for the whole schema tree, keyed by dotted
+    * path (`a`, `a.b`, `a.element`, `a.key`, `a.value`): top-level
+    * columns first, then nested members depth-first per column — the
+    * same deterministic order first exports have always used.
+    * Resolution per path: a parquet field-id STAMP (column-mapped
+    * tables — the ids must match the data files) wins, then the
+    * PRIOR export's assignment for the same path, then a FRESH id
+    * strictly above `priorLastColumnId` and every carried id. The
+    * carry-forward is the spec's evolution contract: ids are
+    * immutable per column and NEVER reused — without it a
+    * rename/drop between exports would re-deal positional ids and
+    * the carried schema history would bind the same id to different
+    * columns across entries. */
+  private def assignFieldIds(schema: StructType,
+      prior: Map[String, Int], priorLastColumnId: Int)
+      : Map[String, Int] = {
+    val stamped: Map[String, Int] = schema.fields.iterator.collect {
+      case f if f.metadata.contains(LogTable.FieldIdKey) =>
+        f.name -> f.metadata.getLong(LogTable.FieldIdKey).toInt
+    }.toMap
+    var next = math.max(priorLastColumnId,
+      (stamped.values ++ prior.values).maxOption.getOrElse(0))
+    val out = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+    def fresh(): Int = { next += 1; next }
+    schema.fields.foreach { f =>
+      out(f.name) = stamped.getOrElse(f.name,
+        prior.getOrElse(f.name, fresh()))
+    }
+    def walk(path: String, dt: DataType): Unit = dt match {
+      case st: StructType => st.fields.foreach { f =>
+        val fp = s"$path.${f.name}"
+        out(fp) = prior.getOrElse(fp, fresh())
+        walk(fp, f.dataType)
+      }
+      case at: ArrayType =>
+        out(s"$path.element") =
+          prior.getOrElse(s"$path.element", fresh())
+        walk(s"$path.element", at.elementType)
+      case mt: MapType =>
+        out(s"$path.key") = prior.getOrElse(s"$path.key", fresh())
+        out(s"$path.value") = prior.getOrElse(s"$path.value", fresh())
+        walk(s"$path.key", mt.keyType)
+        walk(s"$path.value", mt.valueType)
+      case _ => ()
+    }
+    schema.fields.foreach(f => walk(f.name, f.dataType))
+    out.toMap
+  }
+
+  /** The inverse walk of [[icebergTypeJson]]: one schema JSON back
+    * to its path → id assignment — how the PRIOR export's ids carry
+    * into [[assignFieldIds]]. */
+  private def schemaAssignment(schemaJ: JValue): Map[String, Int] = {
+    val out = scala.collection.mutable.Map.empty[String, Int]
+    def intOf(j: JValue): Option[Int] = j match {
+      case JInt(i)  => Some(i.toInt)
+      case JLong(l) => Some(l.toInt)
+      case _        => None
+    }
+    def walkType(path: String, t: JValue): Unit = (t \ "type") match {
+      case JString("struct") => (t \ "fields") match {
+        case JArray(fs) => fs.foreach { f =>
+          val fp = s"$path.${(f \ "name").asInstanceOf[JString].s}"
+          intOf(f \ "id").foreach(out(fp) = _)
+          walkType(fp, f \ "type")
+        }
+        case _ => ()
+      }
+      case JString("list") =>
+        intOf(t \ "element-id").foreach(out(s"$path.element") = _)
+        walkType(s"$path.element", t \ "element")
+      case JString("map") =>
+        intOf(t \ "key-id").foreach(out(s"$path.key") = _)
+        intOf(t \ "value-id").foreach(out(s"$path.value") = _)
+        walkType(s"$path.key", t \ "key")
+        walkType(s"$path.value", t \ "value")
+      case _ => () // primitive (string node has no \ "type")
+    }
+    (schemaJ \ "fields") match {
+      case JArray(fs) => fs.foreach { f =>
+        val p = (f \ "name").asInstanceOf[JString].s
+        intOf(f \ "id").foreach(out(p) = _)
+        walkType(p, f \ "type")
+      }
+      case _ => ()
+    }
+    out.toMap
   }
 
   /** Every field id a rendered schema JSON assigned — the
@@ -178,30 +262,17 @@ object IcebergExport {
       s"unknown Iceberg type in exported metadata: $other")
   }
 
-  /** Field ids: a column-mapped table already stamped parquet field
-    * ids — reuse them so the Iceberg ids MATCH the data files;
-    * otherwise assign 1..n (name mapping covers the id-less files). */
-  private def fieldIds(schema: StructType): Seq[(StructField, Int)] =
-    if (schema.fields.exists(_.metadata.contains(LogTable.FieldIdKey)))
-      schema.fields.toSeq.map(f =>
-        f -> f.metadata.getLong(LogTable.FieldIdKey).toInt)
-    else schema.fields.toSeq.zipWithIndex.map { case (f, i) =>
-      f -> (i + 1) }
-
-  private def icebergSchemaJson(ids: Seq[(StructField, Int)],
-                                schemaId: Int = 0): JValue = {
-    // nested ids allocate depth-first AFTER the top-level ids —
-    // deterministic, so the same shape always renders identically
-    var next = ids.map(_._2).maxOption.getOrElse(0) + 1
-    def alloc(): Int = { val i = next; next += 1; i }
+  private def icebergSchemaJson(schema: StructType,
+                                idOf: Map[String, Int],
+                                schemaId: Int = 0): JValue =
     JObject(List(
       "type" -> JString("struct"), "schema-id" -> JInt(schemaId),
-      "fields" -> JArray(ids.toList.map { case (f, id) =>
-        JObject(List("id" -> JInt(id), "name" -> JString(f.name),
+      "fields" -> JArray(schema.fields.toList.map { f =>
+        JObject(List("id" -> JInt(idOf(f.name)),
+          "name" -> JString(f.name),
           "required" -> JBool(false),
-          "type" -> icebergTypeJson(f.name, f.dataType, alloc)))
+          "type" -> icebergTypeJson(f.name, f.dataType, idOf)))
       })))
-  }
 
   /** Name mapping derived from the RENDERED schema JSON (so nested
     * ids match the schema's allocation): struct members nest under
@@ -342,14 +413,54 @@ object IcebergExport {
       }
     }
 
-  /** Partition-spec fields JSON from the resolved model (field-ids
-    * from 1000, the spec's floor). */
-  private def specFieldsJsonOf(fields: Seq[IcePartField]): JValue =
-    JArray(fields.toList.zipWithIndex.map { case (f, i) =>
+  /** Partition-spec fields JSON from the resolved model and the
+    * EXPLICIT field-ids (assigned by [[assignSpecFieldIds]] — first
+    * export counts from 1000, the spec's floor; later exports carry
+    * each field's prior id and mint fresh ones above
+    * last-partition-id, never reusing an id across spec history). */
+  private def specFieldsJsonOf(fields: Seq[IcePartField],
+                               fieldIds: Seq[Int]): JValue =
+    JArray(fields.toList.zip(fieldIds).map { case (f, id) =>
       JObject(List("name" -> JString(f.name),
         "transform" -> JString(f.transform),
-        "source-id" -> JInt(f.sourceId), "field-id" -> JInt(1000 + i)))
+        "source-id" -> JInt(f.sourceId), "field-id" -> JInt(id)))
     })
+
+  /** Partition-spec field-id assignment with carry-forward: a field
+    * matching a PRIOR spec's (name, transform, source-id) keeps that
+    * id; fresh fields take ids strictly above last-partition-id and
+    * the spec floor (999). Mirrors [[assignFieldIds]]' never-reuse
+    * rule on the partition side. */
+  private def assignSpecFieldIds(fields: Seq[IcePartField],
+      priorSpecs: List[JValue], priorLastPartitionId: Int): Seq[Int] = {
+    def intOf(j: JValue): Option[Int] = j match {
+      case JInt(i)  => Some(i.toInt)
+      case JLong(l) => Some(l.toInt)
+      case _        => None
+    }
+    val prior: Map[(String, String, Int), Int] = priorSpecs.flatMap(s =>
+      (s \ "fields") match {
+        case JArray(fs) => fs.flatMap { f =>
+          for {
+            sid <- intOf(f \ "source-id")
+            fid <- intOf(f \ "field-id")
+            name <- (f \ "name") match {
+              case JString(n) => Some(n); case _ => None
+            }
+            tr <- (f \ "transform") match {
+              case JString(t) => Some(t); case _ => None
+            }
+          } yield (name, tr, sid) -> fid
+        }
+        case _ => Nil
+      }).toMap
+    var next = math.max(math.max(999, priorLastPartitionId),
+      prior.values.maxOption.getOrElse(0))
+    fields.map { f =>
+      prior.getOrElse((f.name, f.transform, f.sourceId),
+        { next += 1; next })
+    }
+  }
 
   /** Avro type (JSON fragment) for a partition value of an Iceberg
     * primitive — nullable union, logicalType on date. */
@@ -363,10 +474,11 @@ object IcebergExport {
         "exportable — supported: string, int, long, date")
   }
 
-  private def partitionAvroFields(fields: Seq[IcePartField]): String =
-    fields.zipWithIndex.map { case (f, i) =>
+  private def partitionAvroFields(fields: Seq[IcePartField],
+                                  fieldIds: Seq[Int]): String =
+    fields.zip(fieldIds).map { case (f, id) =>
       s"""{"name":"${f.name}","type":["null",${f.avroType}],""" +
-        s""""default":null,"field-id":${1000 + i}}"""
+        s""""default":null,"field-id":$id}"""
     }.mkString(",")
 
   /** An Iceberg map with non-string keys renders in Avro as an
@@ -381,7 +493,8 @@ object IcebergExport {
         {"name":"value","type":$valueType,"field-id":$valueId}]}}]"""
 
   private def manifestEntrySchema(
-      partFields: Seq[IcePartField]): org.apache.avro.Schema =
+      partFields: Seq[IcePartField],
+      partFieldIds: Seq[Int]): org.apache.avro.Schema =
     new org.apache.avro.Schema.Parser().parse(
       s"""{"type":"record","name":"manifest_entry","fields":[
         {"name":"status","type":"int","field-id":0},
@@ -392,7 +505,7 @@ object IcebergExport {
           {"name":"content","type":"int","field-id":134},
           {"name":"file_path","type":"string","field-id":100},
           {"name":"file_format","type":"string","field-id":101},
-          {"name":"partition","field-id":102,"type":{"type":"record","name":"r102","fields":[${partitionAvroFields(partFields)}]}},
+          {"name":"partition","field-id":102,"type":{"type":"record","name":"r102","fields":[${partitionAvroFields(partFields, partFieldIds)}]}},
           {"name":"record_count","type":"long","field-id":103},
           {"name":"file_size_in_bytes","type":"long","field-id":104},
           {"name":"value_counts","type":${kvMapAvro("k119_v120", 119, "\"long\"", 120)},"default":null,"field-id":109},
@@ -509,13 +622,7 @@ object IcebergExport {
     // transforms refuse by name there)
     val transforms = log.partitionTransformsAt(v)
     val schema = log.userSchemaAt(v)
-    val ids = fieldIds(schema)
-    // render the schema once up front — the render IS the type
-    // validation (exotic types refuse by column name)
-    icebergSchemaJson(ids)
     val partCols = log.partitionColsAt(v)
-    val partFields = icePartFields(partCols, transforms, ids,
-      log.tzAt(v), spark.sessionState.conf.sessionLocalTimeZone)
 
     // file-state gates answered where the manifest lives (the same
     // discipline as DeltaExport)
@@ -564,6 +671,36 @@ object IcebergExport {
       if (already)
         return new File(metaDir, s"v$prevN.metadata.json").getPath
     }
+    def idIn(j: JValue, key: String): Int = (j \ key) match {
+      case JInt(i) => i.toInt; case JLong(l) => l.toInt; case _ => 0
+    }
+    // FIELD IDS carry forward from the previous export (see
+    // [[assignFieldIds]]): unchanged columns keep their ids, new
+    // columns mint strictly above last-column-id — an evolved
+    // schema can never rebind an id the carried history already
+    // assigned to a different column (Iceberg forbids field-id
+    // reuse, and the single current name-mapping would misbind old
+    // snapshots for foreign readers).
+    val prevSchemas: List[JValue] = prevMeta.toList.flatMap(p =>
+      (p \ "schemas") match { case JArray(a) => a; case _ => Nil })
+    val priorAssign: Map[String, Int] = prevMeta.map { p =>
+      val cur = idIn(p, "current-schema-id")
+      prevSchemas.find(s => idIn(s, "schema-id") == cur)
+        .map(schemaAssignment).getOrElse(Map.empty[String, Int])
+    }.getOrElse(Map.empty)
+    val idMap = assignFieldIds(schema, priorAssign,
+      prevMeta.map(idIn(_, "last-column-id")).getOrElse(0))
+    val ids: Seq[(StructField, Int)] =
+      schema.fields.toSeq.map(f => f -> idMap(f.name))
+    // render the schema once up front — the render IS the type
+    // validation (exotic types refuse by column name)
+    val mySchemaRender = icebergSchemaJson(schema, idMap)
+    val partFields = icePartFields(partCols, transforms, ids,
+      log.tzAt(v), spark.sessionState.conf.sessionLocalTimeZone)
+    val prevSpecs: List[JValue] = prevMeta.toList.flatMap(p =>
+      (p \ "partition-specs") match { case JArray(a) => a; case _ => Nil })
+    val partFieldIds = assignSpecFieldIds(partFields, prevSpecs,
+      prevMeta.map(idIn(_, "last-partition-id")).getOrElse(0))
     // table-uuid is STABLE across metadata versions (the spec's
     // identity check — a refreshing reader throws on a changed
     // uuid): carry the previous metadata's forward
@@ -607,16 +744,12 @@ object IcebergExport {
 
     // SCHEMA / PARTITION-SPEC HISTORY (the spec's evolution
     // contract): prior schemas and specs carry FORWARD with their
-    // ids; the current shape reuses a matching prior id or claims
-    // the next one, and each snapshot is stamped with the schema-id
-    // current at ITS export time — a time-travel reader resolves
-    // historical snapshots against their own schema, never today's.
-    def idIn(j: JValue, key: String): Int = (j \ key) match {
-      case JInt(i) => i.toInt; case JLong(l) => l.toInt; case _ => 0
-    }
-    val prevSchemas: List[JValue] = prevMeta.toList.flatMap(p =>
-      (p \ "schemas") match { case JArray(a) => a; case _ => Nil })
-    val mySchemaRender = icebergSchemaJson(ids)
+    // ids; the current shape — rendered with CARRIED field ids, so
+    // an unchanged shape is bit-identical — reuses a matching prior
+    // id or claims the next one, and each snapshot is stamped with
+    // the schema-id current at ITS export time — a time-travel
+    // reader resolves historical snapshots against their own
+    // schema, never today's.
     val myFields = mySchemaRender \ "fields"
     val schemaId: Int = prevSchemas
       .find(s => (s \ "fields") == myFields)
@@ -626,10 +759,8 @@ object IcebergExport {
     val schemasJson: List[JValue] =
       if (prevSchemas.exists(s => (s \ "fields") == myFields))
         prevSchemas
-      else prevSchemas :+ icebergSchemaJson(ids, schemaId)
-    val prevSpecs: List[JValue] = prevMeta.toList.flatMap(p =>
-      (p \ "partition-specs") match { case JArray(a) => a; case _ => Nil })
-    val mySpecFields = specFieldsJsonOf(partFields)
+      else prevSchemas :+ icebergSchemaJson(schema, idMap, schemaId)
+    val mySpecFields = specFieldsJsonOf(partFields, partFieldIds)
     val specId: Int = prevSpecs
       .find(s => (s \ "fields") == mySpecFields)
       .map(idIn(_, "spec-id"))
@@ -642,22 +773,23 @@ object IcebergExport {
         "fields" -> mySpecFields))
     val lastColumnId = (maxFieldId(mySchemaRender) +:
       prevMeta.toList.map(idIn(_, "last-column-id"))).max
-    val lastPartitionId = ((999 + partCols.size) +:
-      prevMeta.toList.map(idIn(_, "last-partition-id"))).max
+    val lastPartitionId =
+      (math.max(999, partFieldIds.maxOption.getOrElse(999)) +:
+        prevMeta.toList.map(idIn(_, "last-partition-id"))).max
 
     // ---- manifest Avro: one entry per live file, STREAMED from the
     // distributed manifest when one serves (toLocalIterator — the
     // driver holds one partition of rows at a time, never the list)
-    val entrySchema = manifestEntrySchema(partFields)
+    val entrySchema = manifestEntrySchema(partFields, partFieldIds)
     val manifestFile = new File(metaDir, s"${UUID.randomUUID()}-m0.avro")
     var nFiles = 0L
     var nRows = 0L
     val mw = new DataFileWriter[GenericRecord](
       new GenericDatumWriter[GenericRecord](entrySchema))
     mw.setMeta("schema", JsonMethods.compact(
-      JsonMethods.render(icebergSchemaJson(ids, schemaId))))
+      JsonMethods.render(icebergSchemaJson(schema, idMap, schemaId))))
     mw.setMeta("partition-spec", JsonMethods.compact(
-      JsonMethods.render(specFieldsJsonOf(partFields))))
+      JsonMethods.render(mySpecFields)))
     mw.setMeta("partition-spec-id", specId.toString)
     mw.setMeta("format-version", "2")
     mw.setMeta("content", "data")

@@ -675,4 +675,104 @@ class IcebergExportSpec extends SparkSpec {
     assert(e4.getMessage.contains("outside the table root"),
       e4.getMessage)
   }
+
+  test("field ids CARRY FORWARD across exports: evolution keeps " +
+    "unchanged columns' ids, mints new ones above last-column-id " +
+    "(ids are never re-dealt), and partition-spec field-ids " +
+    "continue from last-partition-id instead of restarting at 1000") {
+    val dir = s"${tmp()}/t"
+    val t = new LogTable(dir)
+    t.append(Seq((1L, "a", ("x", 1.0))).toDF("k", "v", "s")
+      .repartition(1))
+    IcebergExport.exportIcebergMetadata(spark, t)
+    def metaN(n: Int) = JsonMethods.parse(
+      java.nio.file.Files.readString(
+        new File(dir, s"metadata/v$n.metadata.json").toPath))
+    def fieldId(schema: JValue, name: String): Int =
+      (schema \ "fields") match {
+        case JArray(fs) => fs.collectFirst {
+          case f if (f \ "name") == JString(name) =>
+            (f \ "id") match { case JInt(i) => i.toInt; case _ => -1 }
+        }.getOrElse(-1)
+        case _ => -1
+      }
+    def currentSchema(m: JValue): JValue = {
+      val cur = (m \ "current-schema-id") match {
+        case JInt(i) => i.toInt; case _ => -1 }
+      (m \ "schemas") match {
+        case JArray(ss) => ss.find(s =>
+          (s \ "schema-id") == JInt(BigInt(cur))).get
+        case _ => JNothing
+      }
+    }
+    val s1 = currentSchema(metaN(1))
+    assert(fieldId(s1, "k") == 1 && fieldId(s1, "v") == 2 &&
+      fieldId(s1, "s") == 3)
+    assert((metaN(1) \ "last-column-id") == JInt(5)) // nested _1/_2
+
+    // ADD a column: carried ids stay, the new column mints ABOVE
+    // every id ever assigned (6, not a re-deal of positions)
+    t.addColumns(Seq(org.apache.spark.sql.types.StructField("w",
+      org.apache.spark.sql.types.StringType)))
+    t.append(Seq((2L, "b", ("y", 2.0), "w2")).toDF("k", "v", "s", "w")
+      .repartition(1))
+    IcebergExport.exportIcebergMetadata(spark, t)
+    val m2 = metaN(2)
+    val s2 = currentSchema(m2)
+    assert(fieldId(s2, "k") == 1 && fieldId(s2, "v") == 2 &&
+      fieldId(s2, "s") == 3, JsonMethods.pretty(JsonMethods.render(s2)))
+    assert(fieldId(s2, "w") == 6,
+      JsonMethods.pretty(JsonMethods.render(s2)))
+    assert((m2 \ "last-column-id") == JInt(6))
+    // BOTH schemas carry in the history, the old one bit-unchanged
+    assert(((m2 \ "schemas"): @unchecked) match {
+      case JArray(ss) => ss.size == 2 &&
+        ss.exists(s => (s \ "fields") == (s1 \ "fields"))
+    })
+
+    // a further ADD keeps minting above the high-water — w keeps 6,
+    // z claims 7 (ids are immutable per column, never re-dealt)
+    t.addColumns(Seq(org.apache.spark.sql.types.StructField("z",
+      org.apache.spark.sql.types.LongType)))
+    t.append(Seq((3L, "c", ("z", 3.0), "w3", 9L))
+      .toDF("k", "v", "s", "w", "z").repartition(1))
+    IcebergExport.exportIcebergMetadata(spark, t)
+    val s3 = currentSchema(metaN(3))
+    assert(fieldId(s3, "z") == 7,
+      JsonMethods.pretty(JsonMethods.render(s3)))
+    assert(fieldId(s3, "k") == 1 && fieldId(s3, "w") == 6)
+
+    // partition-spec field-ids: evolution CONTINUES from
+    // last-partition-id instead of restarting at 1000
+    val d2 = s"${tmp()}/p"
+    val p = new LogTable(d2)
+    p.append(Seq((1L, "r1", "s1")).toDF("k", "region", "seg")
+      .repartition(1))
+    p.setPartitionColumns(Seq("region"))
+    p.append(Seq((2L, "r2", "s2")).toDF("k", "region", "seg")
+      .repartition(1))
+    IcebergExport.exportIcebergMetadata(spark, p)
+    p.setPartitionColumns(Seq("seg"))
+    p.append(Seq((3L, "r3", "s3")).toDF("k", "region", "seg")
+      .repartition(1))
+    IcebergExport.exportIcebergMetadata(spark, p)
+    val pm = JsonMethods.parse(java.nio.file.Files.readString(
+      new File(d2, "metadata/v2.metadata.json").toPath))
+    val specs = (pm \ "partition-specs") match {
+      case JArray(ss) => ss; case _ => Nil }
+    assert(specs.size == 2, JsonMethods.pretty(JsonMethods.render(pm)))
+    def specFieldId(sp: JValue, name: String): Int =
+      (sp \ "fields") match {
+        case JArray(fs) => fs.collectFirst {
+          case f if (f \ "name") == JString(name) =>
+            (f \ "field-id") match {
+              case JInt(i) => i.toInt; case _ => -1 }
+        }.getOrElse(-1)
+        case _ => -1
+      }
+    assert(specs.exists(sp => specFieldId(sp, "region") == 1000))
+    assert(specs.exists(sp => specFieldId(sp, "seg") == 1001),
+      JsonMethods.pretty(JsonMethods.render(pm)))
+    assert((pm \ "last-partition-id") == JInt(1001))
+  }
 }
