@@ -1445,6 +1445,36 @@ object SparkEntry {
       conv.load(s).select(col("k"), col("name")).orderBy("k")
     }),
 
+    "delta_dv_roundtrip" -> ((s, d) => {
+      // round-15 DELETION-VECTOR INTEROP, both directions and no
+      // purge anywhere: merge-on-read deletes export as Delta's
+      // public add.deletionVector encoding (portable roaring
+      // bitmaps, Z85, inline or packed .bin blobs, reader-3/writer-7
+      // protocol), the graft log is stripped to leave a PURE Delta
+      // table with live row-level deletes, convertFromDelta decodes
+      // the foreign vectors back into graft pair form, and a further
+      // MOR delete runs on the converted table — counts stay exact
+      // through every hop or the oracle catches it.
+      import s.implicits._
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft_ddvq").toString
+      val src = new graft.sources.LogTable(s"$wh/t")
+      val cust = t(s, d, "customer").select(col("c_custkey").as("k"),
+        col("c_name").as("name"))
+      src.append(cust.filter(col("k") <= 150).repartition(3))
+      src.deleteMor(s, col("k") % 10 === 0)   // vectors, no rewrite
+      src.deleteMor(s, col("k") > 140)        // vector UNION on touched
+      graft.sources.DeltaExport.mirrorDelta(s, src)
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(s"$wh/t/_log"))
+      rm(new java.io.File(s"$wh/t/_dv"))
+      val conv = graft.sources.DeltaExport.convertFromDelta(s, s"$wh/t")
+      conv.deleteMor(s, col("k") % 7 === 0)   // MOR on the convert
+      conv.load(s).select(col("k"), col("name")).orderBy("k")
+    }),
+
     "iceberg_convert" -> ((s, d) => {
       // round-13 CONVERT FROM ICEBERG metadata (in place): resolve
       // the current snapshot through the manifest chain, register
@@ -4106,6 +4136,13 @@ object SparkEntry {
       """SELECT c_custkey AS k, c_name AS name
          FROM customer
          WHERE c_custkey <= 150 AND c_custkey % 10 <> 0
+         ORDER BY k""",
+
+    "delta_dv_roundtrip" ->
+      """SELECT c_custkey AS k, c_name AS name
+         FROM customer
+         WHERE c_custkey <= 140 AND c_custkey % 10 <> 0
+           AND c_custkey % 7 <> 0
          ORDER BY k""",
 
     "iceberg_convert" ->

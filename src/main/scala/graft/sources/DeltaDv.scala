@@ -325,27 +325,36 @@ object DeltaDv {
         }))
   }
 
+  /** Streaming writer of one spec DV file: the version byte up
+    * front, then each appended bitmap as a length/data/CRC frame —
+    * `append` returns the frame's `offset` for its descriptor. The
+    * export packs a whole shuffle partition's vectors through one
+    * writer, so blob count tracks task count, not file count. */
+  final class DvFileWriter(target: File) {
+    private val out = new java.io.DataOutputStream(
+      new java.io.BufferedOutputStream(
+        new java.io.FileOutputStream(target)))
+    out.writeByte(1) // format version
+    private var pos = 1
+    def append(bitmap: Array[Byte]): Int = {
+      val off = pos
+      val crc = new java.util.zip.CRC32()
+      crc.update(bitmap)
+      out.writeInt(bitmap.length)
+      out.write(bitmap)
+      out.writeInt(crc.getValue.toInt)
+      pos += 4 + bitmap.length + 4
+      off
+    }
+    def close(): Unit = out.close()
+  }
+
   /** Append-write several serialized bitmaps as ONE spec DV file
     * (version byte + length/data/CRC frames), returning each
     * bitmap's `offset`. The caller owns the file name. */
   def writeDvFile(target: File, bitmaps: Seq[Array[Byte]]): Seq[Int] = {
-    val out = new java.io.DataOutputStream(
-      new java.io.BufferedOutputStream(
-        new java.io.FileOutputStream(target)))
-    try {
-      out.writeByte(1) // format version
-      var pos = 1
-      bitmaps.map { b =>
-        val off = pos
-        val crc = new java.util.zip.CRC32()
-        crc.update(b)
-        out.writeInt(b.length)
-        out.write(b)
-        out.writeInt(crc.getValue.toInt)
-        pos += 4 + b.length + 4
-        off
-      }
-    } finally out.close()
+    val w = new DvFileWriter(target)
+    try bitmaps.map(w.append) finally w.close()
   }
 
   /** The spec path of a file-stored DV: `pathOrInlineDv` is

@@ -61,12 +61,18 @@ import org.json4s.jackson.JsonMethods
   * [[convertFromDelta]] rebuilds the same hidden layout from the
   * metadata.
   *
-  * Unsupported-by-Delta state refuses loudly rather than exporting a
-  * log a Delta reader would misread: deletion vectors (graft's DV
-  * sidecar layout is not Delta's) and column mapping (graft stamps
-  * parquet field ids without Delta's `delta.columnMapping.*`
-  * metadata). Run OPTIMIZE/purgeDeletes first — the export names
-  * the blocker. */
+  * DELETION VECTORS cross the boundary in BOTH directions (round
+  * 15): exports render each vectored file's graft `_dv` pairs as
+  * Delta's public encoding — portable roaring bitmaps, Z85, inline
+  * or packed `deletion_vector_<uuid>.bin` blobs (see [[DeltaDv]] /
+  * [[dvDescriptors]]; built on executors, joined into the add
+  * render by path) under a reader-3/writer-7 table-features
+  * protocol — and [[convertFromDelta]] decodes foreign descriptors
+  * back into graft pairs, so row-level deletes mirror and convert
+  * with no purge on either side. Still refused loudly: column
+  * mapping (graft stamps parquet field ids without Delta's
+  * `delta.columnMapping.*` metadata) — the export names the
+  * blocker. */
 object DeltaExport {
 
   /** Render one stat bound per its column's DELTA stats type: graft
@@ -117,10 +123,14 @@ object DeltaExport {
     * export maps this over the manifest. `dataChange` = false for
     * rewrite-only commits (OPTIMIZE/cluster) — the protocol's signal
     * that lets incremental/streaming followers skip the rewrite
-    * instead of double-counting compacted rows. */
+    * instead of double-counting compacted rows. `dvJson`, when the
+    * file carries row-level deletes, is its rendered
+    * `deletionVector` descriptor (see [[DeltaDv]] / [[dvDescriptors]]
+    * — built where the pair files live, joined in by path). */
   private[sources] def addActionLine(a: AddFile,
       types: Map[String, DataType], modTime: Long,
-      dataChange: Boolean = true): String =
+      dataChange: Boolean = true,
+      dvJson: Option[String] = None): String =
     JsonMethods.compact(JsonMethods.render(JObject(List(
       "add" -> JObject(List(
         "path" -> JString(encodePath(a.path)),
@@ -129,7 +139,9 @@ object DeltaExport {
         "size" -> JLong(a.bytes),
         "modificationTime" -> JLong(modTime),
         "dataChange" -> JBool(dataChange),
-        "stats" -> JString(statsJsonFor(a, types))))))))
+        "stats" -> JString(statsJsonFor(a, types))) ++
+        dvJson.map(s =>
+          "deletionVector" -> JsonMethods.parse(s)).toList)))))
 
   private def removeActionLine(path: String, ts: Long,
                                dataChange: Boolean = true): String =
@@ -158,7 +170,9 @@ object DeltaExport {
     StructType(Seq(
       StructField("protocol", StructType(Seq(
         StructField("minReaderVersion", IntegerType),
-        StructField("minWriterVersion", IntegerType)))),
+        StructField("minWriterVersion", IntegerType),
+        StructField("readerFeatures", ArrayType(StringType)),
+        StructField("writerFeatures", ArrayType(StringType))))),
       StructField("metaData", StructType(Seq(
         StructField("id", StringType),
         StructField("name", StringType),
@@ -176,7 +190,13 @@ object DeltaExport {
         StructField("size", LongType),
         StructField("modificationTime", LongType),
         StructField("dataChange", BooleanType),
-        StructField("stats", StringType)))),
+        StructField("stats", StringType),
+        StructField("deletionVector", StructType(Seq(
+          StructField("storageType", StringType),
+          StructField("pathOrInlineDv", StringType),
+          StructField("offset", IntegerType),
+          StructField("sizeInBytes", IntegerType),
+          StructField("cardinality", LongType))))))),
       StructField("remove", StructType(Seq(
         StructField("path", StringType),
         StructField("deletionTimestamp", LongType),
@@ -197,13 +217,27 @@ object DeltaExport {
     .withColumn("remove", when(col("remove").isNotNull,
       col("remove").withField("dataChange", lit(false))))
 
-  /** Protocol action: minWriterVersion 4 when the schema carries
-    * generated columns (Delta's gate for the feature — a lesser
-    * writer must not append without maintaining the derivation);
-    * readers stay at 1 either way (partition values serve from the
-    * log, generation only binds writers). */
-  private def protocolLine(generated: Boolean): String =
-    JsonMethods.compact(JsonMethods.render(JObject(List(
+  /** Protocol action. Legacy versions while the state allows:
+    * minWriterVersion 4 when the schema carries generated columns
+    * (Delta's gate for the feature — a lesser writer must not append
+    * without maintaining the derivation), readers at 1 (partition
+    * values serve from the log, generation only binds writers).
+    * DELETION VECTORS force the table-features form — reader 3 /
+    * writer 7 with explicit `readerFeatures`/`writerFeatures` lists
+    * (the spec's only spelling of the feature), so a DV-blind reader
+    * refuses cleanly instead of serving deleted rows. */
+  private def protocolLine(generated: Boolean,
+                           dv: Boolean = false): String =
+    if (dv) {
+      val writer = List("deletionVectors") ++
+        (if (generated) List("generatedColumns") else Nil)
+      JsonMethods.compact(JsonMethods.render(JObject(List(
+        "protocol" -> JObject(List(
+          "minReaderVersion" -> JInt(3),
+          "minWriterVersion" -> JInt(7),
+          "readerFeatures" -> JArray(List(JString("deletionVectors"))),
+          "writerFeatures" -> JArray(writer.map(JString(_)))))))))
+    } else JsonMethods.compact(JsonMethods.render(JObject(List(
       "protocol" -> JObject(List(
         "minReaderVersion" -> JInt(1),
         "minWriterVersion" -> JInt(if (generated) 4 else 2)))))))
@@ -371,14 +405,152 @@ object DeltaExport {
     })
   }
 
-  private def gateAdds(adds: Seq[AddFile], what: String): Unit = {
-    require(adds.forall(_.dv.isEmpty),
-      s"cannot export $what carrying deletion vectors — graft's " +
-        "DV sidecars are not Delta's format; run purgeDeletes() or " +
-        "OPTIMIZE first")
+  private def gateAdds(adds: Seq[AddFile], what: String): Unit =
     require(adds.forall(!_.path.startsWith("/")),
       s"cannot export $what — it references absolute paths outside " +
         "this table root (a shallow clone)")
+
+  /** The exact URI Spark's `_metadata.file_path` renders for a local
+    * absolute path — graft DV pair files join on this string at scan
+    * time, so pairs an import writes must match it byte-for-byte.
+    * [[convertFromDelta]] verifies the rendering against one real
+    * scan per convert (O(1)) and fails loudly on drift — a silent
+    * mismatch would serve deleted rows. */
+  private[sources] def scanUriOf(abs: String): String =
+    new java.net.URI("file", null, abs, null).toString
+
+  /** (path, dvPath, dvRows) frame of a bounded inline add set — the
+    * driver-Seq twin of the distributed manifest projection
+    * [[dvDescriptors]] consumes. */
+  private def dvdFrameOf(spark: SparkSession,
+                         adds: Seq[AddFile]): DataFrame = {
+    import spark.implicits._
+    adds.flatMap(a => a.dv.map(d => (a.path, d.path, d.rows)))
+      .toDF("path", "dvPath", "dvRows")
+  }
+
+  /** Delta `deletionVector` descriptors for every DV-bearing file of
+    * the given (path, dvPath, dvRows) frame — ONE Spark job,
+    * distributed end-to-end: the graft pair dirs scan as parquet,
+    * each file's pairs (keyed to ITS OWN dir, so a stale subset in a
+    * shared older dir never doubles in) group and serialize as a
+    * portable roaring bitmap on executors, vectors at or under
+    * [[DeltaDv.InlineMaxBytes]] inline into the descriptor, bigger
+    * ones pack into executor-written `deletion_vector_<uuid>.bin`
+    * blobs (one per shuffle partition, the spec's multi-DV frame
+    * layout) — returning (table-relative path, descriptor JSON)
+    * rows. The driver holds the DV DIRECTORY list (one per
+    * merge-on-read commit), never the vectored-file list. Each
+    * export pass that renders DV state writes fresh blobs;
+    * superseded ones stay referenced by the older commits that named
+    * them and reclaim under standard Delta vacuum semantics. */
+  private def dvDescriptors(spark: SparkSession, root: String,
+      dvd: DataFrame): org.apache.spark.sql.Dataset[(String, String)] = {
+    import org.apache.spark.sql.{Encoders => E}
+    val rootAbs = new File(root).getAbsolutePath
+    val enc2 = E.tuple(E.STRING, E.STRING)
+    val dirs = dvd.select(col("dvPath")).distinct()
+      .collect().map(_.getString(0)).toSeq
+    if (dirs.isEmpty)
+      return spark.createDataset(Seq.empty[(String, String)])(enc2)
+    val pairsRaw = spark.read
+      .parquet(dirs.map(d => s"$rootAbs/$d"): _*)
+      .select(col("file").cast("string"),
+        col("idx").cast("long"),
+        col("_metadata.file_path"))
+    // executor-side normalization: pair URI → table-relative data
+    // path, pair part file → its _dv/<uuid> dir
+    val rel = pairsRaw
+      .as[(String, Long, String)](
+        E.tuple(E.STRING, E.scalaLong, E.STRING))
+      .map { case (uri, idx, part) =>
+        def absOf(u: String): String =
+          if (u.startsWith("file:"))
+            new File(new java.net.URI(u)).getAbsolutePath
+          else new File(u).getAbsolutePath
+        val abs = absOf(uri)
+        require(abs.startsWith(rootAbs + "/"),
+          s"DV pair references a file outside the table root: $abs")
+        val dirAbs = new File(absOf(part)).getParent
+        require(dirAbs.startsWith(rootAbs + "/"),
+          s"DV pair dir outside the table root: $dirAbs")
+        (abs.substring(rootAbs.length + 1),
+          dirAbs.substring(rootAbs.length + 1), idx)
+      }(E.tuple(E.STRING, E.STRING, E.scalaLong))
+      .toDF("p", "d", "i")
+    val wanted = dvd.select(col("path").as("__wp"),
+      col("dvPath").as("__wd"), col("dvRows").as("__wr"))
+    rel.join(wanted, col("p") === col("__wp") &&
+        col("d") === col("__wd"))
+      .select(col("p"), col("i"), col("__wr"))
+      .as[(String, Long, Long)](
+        E.tuple(E.STRING, E.scalaLong, E.scalaLong))
+      .groupByKey(_._1)(E.STRING)
+      .mapGroups { (p, it0) =>
+        val rows = it0.toArray
+        val card = rows.head._3
+        val pos = rows.map(_._2).sorted.distinct
+        if (pos.length.toLong != card)
+          throw new IllegalStateException(
+            s"file $p decodes ${pos.length} DV positions but the " +
+              s"manifest declares $card — refusing to export a " +
+              "wrong vector")
+        (p, DeltaDv.serialize(pos), card)
+      }(E.tuple(E.STRING, E.BINARY, E.scalaLong))
+      .mapPartitions { it =>
+        var w: DeltaDv.DvFileWriter = null
+        var uuidEnc: String = null
+        val out = scala.collection.mutable.ArrayBuffer
+          .empty[(String, String)]
+        try {
+          it.foreach { case (p, bytes, card) =>
+            val d =
+              if (bytes.length <= DeltaDv.InlineMaxBytes)
+                DeltaDv.Descriptor("i", DeltaDv.z85Encode(bytes),
+                  None, bytes.length, card)
+              else {
+                if (w == null) {
+                  val u = UUID.randomUUID()
+                  uuidEnc = DeltaDv.encodeUuid(u)
+                  w = new DeltaDv.DvFileWriter(new File(rootAbs,
+                    s"deletion_vector_$u.bin"))
+                }
+                DeltaDv.Descriptor("u", uuidEnc,
+                  Some(w.append(bytes)), bytes.length, card)
+              }
+            out += ((p,
+              JsonMethods.compact(JsonMethods.render(d.json))))
+          }
+        } finally if (w != null) w.close()
+        out.iterator
+      }(enc2)
+  }
+
+  /** Render a manifest Dataset's add actions as JSON lines on
+    * executors, in manifest order, `deletionVector` descriptors
+    * joined in by path when the set carries any — the shared kernel
+    * of the full export, the by-reference tail render, and the
+    * checkpoint. */
+  private def renderAddLines(spark: SparkSession, log: LogTable,
+      ds: org.apache.spark.sql.Dataset[CkptAdd], anyDv: Boolean,
+      types: Map[String, DataType], mt: Long, dc: Boolean)
+      : org.apache.spark.sql.Dataset[String] = {
+    val enc = org.apache.spark.sql.Encoders.STRING
+    if (!anyDv)
+      ds.orderBy(col("idx"))
+        .map(c => addActionLine(LogTable.decodeCkptAdd(c), types, mt,
+          dc))(enc)
+    else {
+      val desc = dvDescriptors(spark, log.path,
+        ds.toDF().filter(col("dvPath").isNotNull)
+          .select(col("path"), col("dvPath"), col("dvRows")))
+      ds.joinWith(desc, ds("path") === desc("_1"), "left_outer")
+        .orderBy(col("_1.idx"))
+        .map { case (c, d) =>
+          addActionLine(LogTable.decodeCkptAdd(c), types, mt, dc,
+            Option(d).map(_._2))
+        }(enc)
+    }
   }
 
   /** Export the FULL snapshot at `version` (default: current) into
@@ -419,17 +591,17 @@ object DeltaExport {
     val dist =
       if (log.addsMaterializedAt(Some(v))) None
       else log.distributedManifest(spark, v)
-    dist match {
+    val anyDv: Boolean = dist match {
       case Some(_) =>
-        val (anyDv, anyAbs, _) = log.bridgeFacts(spark, Some(v))
-        require(!anyDv,
-          "cannot export a snapshot carrying deletion vectors — " +
-            "graft's DV sidecars are not Delta's format; run " +
-            "purgeDeletes() or OPTIMIZE first")
+        val (dv0, anyAbs, _) = log.bridgeFacts(spark, Some(v))
         require(!anyAbs,
           "cannot export a shallow clone — its snapshot references " +
             "absolute paths outside this table root")
-      case None => gateAdds(log.liveAdds(Some(v)), "a snapshot")
+        dv0
+      case None =>
+        val adds0 = log.liveAdds(Some(v))
+        gateAdds(adds0, "a snapshot")
+        adds0.exists(_.dv.isDefined)
     }
 
     val types = schema.fields.map(f => f.name -> f.dataType).toMap
@@ -440,7 +612,7 @@ object DeltaExport {
     val w = Files.newBufferedWriter(tmp.toPath)
     try {
       w.write(protocolLine(schema.fields.exists(
-        _.metadata.contains(GenerationExprKey)))); w.write("\n")
+        _.metadata.contains(GenerationExprKey)), anyDv)); w.write("\n")
       w.write(metaDataLine(schema, partCols, mt,
         UUID.randomUUID().toString)); w.write("\n")
       dist match {
@@ -450,10 +622,8 @@ object DeltaExport {
           // driver memory at any file count
           val txt = new File(dir, s".tmp-txt-${UUID.randomUUID()}")
           try {
-            ds.orderBy(col("idx"))
-              .map(c => addActionLine(LogTable.decodeCkptAdd(c),
-                types, mt))(org.apache.spark.sql.Encoders.STRING)
-              .write.text(txt.getPath)
+            renderAddLines(spark, log, ds, anyDv, types, mt,
+              dc = true).write.text(txt.getPath)
             Option(txt.listFiles()).getOrElse(Array.empty)
               .filter(_.getName.startsWith("part-")).sortBy(_.getName)
               .foreach { p =>
@@ -464,8 +634,15 @@ object DeltaExport {
               }
           } finally deleteRecursive(txt)
         case None =>
-          log.liveAdds(Some(v)).foreach { a =>
-            w.write(addActionLine(a, types, mt)); w.write("\n")
+          val adds0 = log.liveAdds(Some(v))
+          val descMap: Map[String, String] =
+            if (!anyDv) Map.empty
+            else dvDescriptors(spark, log.path,
+              dvdFrameOf(spark, adds0)).collect().toMap
+          adds0.foreach { a =>
+            w.write(addActionLine(a, types, mt, dataChange = true,
+              dvJson = descMap.get(a.path)))
+            w.write("\n")
             nActions += 1
           }
       }
@@ -512,20 +689,24 @@ object DeltaExport {
       // the commit's inline actions
       val (adds, refDs) = log.addedFilesDs(spark, cv)
       gateAdds(adds, s"commit $cv")
-      refDs.foreach { ds =>
+      val refAnyDv: Boolean = refDs.exists { ds =>
         val g = ds.toDF().agg(
           org.apache.spark.sql.functions.max(
             col("dvPath").isNotNull),
           org.apache.spark.sql.functions.max(
             col("path").startsWith("/"))).collect().head
-        require(g.getAs[Any](0) != true,
-          s"cannot export commit $cv carrying deletion vectors — " +
-            "graft's DV sidecars are not Delta's format; run " +
-            "purgeDeletes() or OPTIMIZE first")
         require(g.getAs[Any](1) != true,
           s"cannot export commit $cv — it references absolute " +
             "paths outside this table root (a shallow clone)")
+        g.getAs[Any](0) == true
       }
+      val dvdInline = adds.filter(_.dv.isDefined)
+      val commitHasDv = dvdInline.nonEmpty || refAnyDv
+      // inline descriptors: bounded by the commit's own action count
+      val descMap: Map[String, String] =
+        if (dvdInline.isEmpty) Map.empty
+        else dvDescriptors(spark, log.path,
+          dvdFrameOf(spark, dvdInline)).collect().toMap
       val removes = log.removedPaths(cv)
       val mt = log.commitTime(cv)
       val types = schema.fields.map(f => f.name -> f.dataType).toMap
@@ -535,9 +716,18 @@ object DeltaExport {
       val tmp = new File(dir, s".tmp-${UUID.randomUUID()}")
       val w = Files.newBufferedWriter(tmp.toPath)
       try {
+        val generated = schema.fields.exists(
+          _.metadata.contains(GenerationExprKey))
         if (cv == 0L) {
-          w.write(protocolLine(schema.fields.exists(
-            _.metadata.contains(GenerationExprKey))))
+          w.write(protocolLine(generated, commitHasDv))
+          w.write("\n")
+        } else if (commitHasDv) {
+          // protocol UPGRADE mid-mirror: the first DV-bearing commit
+          // must raise the log to reader 3 / writer 7 with the
+          // feature named — a mirror whose base exported (1, 2)
+          // would otherwise let a DV-blind reader serve deleted
+          // rows. Idempotent on replay (latest protocol wins).
+          w.write(protocolLine(generated, dv = true))
           w.write("\n")
         }
         if (cv == 0L || log.commitChangedMetadata(cv)) {
@@ -555,15 +745,16 @@ object DeltaExport {
         removes.foreach { p =>
           w.write(removeActionLine(p, mt, dc)); w.write("\n") }
         adds.foreach { a =>
-          w.write(addActionLine(a, types, mt, dc)); w.write("\n") }
+          w.write(addActionLine(a, types, mt, dc,
+            descMap.get(a.path)))
+          w.write("\n")
+        }
         refDs.foreach { ds =>
           // same executor-render-and-stream pattern as the full
           // export: bounded driver memory at any file count
           val txt = new File(dir, s".tmp-txt-${UUID.randomUUID()}")
           try {
-            ds.orderBy(col("idx"))
-              .map(c => addActionLine(LogTable.decodeCkptAdd(c),
-                types, mt, dc))(org.apache.spark.sql.Encoders.STRING)
+            renderAddLines(spark, log, ds, refAnyDv, types, mt, dc)
               .write.text(txt.getPath)
             Option(txt.listFiles()).getOrElse(Array.empty)
               .filter(_.getName.startsWith("part-")).sortBy(_.getName)
@@ -607,13 +798,17 @@ object DeltaExport {
     val dist =
       if (log.addsMaterializedAt(Some(v))) None
       else log.distributedManifest(spark, v)
-    dist match {
+    val anyDv: Boolean = dist match {
       case Some(_) =>
-        val (anyDv, anyAbs, _) = log.bridgeFacts(spark, Some(v))
-        require(!anyDv && !anyAbs,
-          "cannot checkpoint state Delta readers would misread " +
-            "(deletion vectors / absolute-path clone)")
-      case None => gateAdds(log.liveAdds(Some(v)), s"version $v")
+        val (dv0, anyAbs, _) = log.bridgeFacts(spark, Some(v))
+        require(!anyAbs,
+          "cannot checkpoint a shallow clone — its snapshot " +
+            "references absolute paths outside this table root")
+        dv0
+      case None =>
+        val adds0 = log.liveAdds(Some(v))
+        gateAdds(adds0, s"version $v")
+        adds0.exists(_.dv.isDefined)
     }
     val types = schema.fields.map(f => f.name -> f.dataType).toMap
     val mt = log.commitTime(v)
@@ -622,15 +817,20 @@ object DeltaExport {
     val enc = org.apache.spark.sql.Encoders.STRING
     val header = spark.createDataset(Seq(
       protocolLine(schema.fields.exists(
-        _.metadata.contains(GenerationExprKey))),
+        _.metadata.contains(GenerationExprKey)), anyDv),
       metaDataLine(schema, log.partitionColsAt(v), mt, tableId)))(enc)
     val addLines = dist match {
       case Some(ds) =>
-        ds.map(c => addActionLine(LogTable.decodeCkptAdd(c),
-          types, mt))(enc)
+        renderAddLines(spark, log, ds, anyDv, types, mt, dc = true)
       case None =>
-        spark.createDataset(log.liveAdds(Some(v))
-          .map(addActionLine(_, types, mt)))(enc)
+        val adds0 = log.liveAdds(Some(v))
+        val descMap: Map[String, String] =
+          if (!anyDv) Map.empty
+          else dvDescriptors(spark, log.path,
+            dvdFrameOf(spark, adds0)).collect().toMap
+        spark.createDataset(adds0.map(a =>
+          addActionLine(a, types, mt, dataChange = true,
+            dvJson = descMap.get(a.path))))(enc)
     }
     // render the action lines ONCE (executor-side above the
     // threshold) into a temp text dir; the count and the
@@ -752,30 +952,55 @@ object DeltaExport {
     ()
   }
 
+  /** Reader features this import serves correctly — `deletionVectors`
+    * since round 15 ([[DeltaDv]] subtracts them). A protocol-3 log
+    * demanding anything else refuses, never half-reads. */
+  private[sources] val ImportReaderFeatures: Set[String] =
+    Set("deletionVectors")
+
+  /** The shared protocol gate of every Delta import surface: legacy
+    * reader 1 (plain parquet) passes, reader 3 (table features)
+    * passes iff its declared `readerFeatures` are all within
+    * [[ImportReaderFeatures]]; reader 2 (column mapping) and a
+    * reader-3 log with no feature list (malformed per the spec)
+    * refuse by name. */
+  private def gateProtocolIn(tableRoot: String, mr: Long,
+                             features: Set[String]): Unit = {
+    if (mr == 3 && features.nonEmpty &&
+        features.subsetOf(ImportReaderFeatures)) return
+    if (mr > 1) throw new IllegalStateException(
+      s"the Delta log at $tableRoot requires minReaderVersion $mr" +
+        (if (features.nonEmpty)
+          s" with readerFeatures ${features.toSeq.sorted.mkString(", ")}"
+        else "") +
+        " — this import reads protocol 1 (plain parquet) and " +
+        s"protocol 3 with ${ImportReaderFeatures.mkString(", ")} " +
+        "only; refusing to half-read")
+  }
+
   /** Read a `_delta_log/` directory back into (schema, partition
-    * columns, live files): THIS library's reader for the exported
+    * columns, live files as (path, size, deletionVector descriptor
+    * JSON when present)): THIS library's reader for the exported
     * format — the round-trip proxy (no external Delta reader exists
     * here), and a one-way metadata-level import for plain-parquet
-    * Delta tables (minReaderVersion 1, no table features). Resolves
+    * Delta tables (minReaderVersion 1, plus protocol-3 logs whose
+    * only reader feature is deletionVectors). Resolves
     * `_last_checkpoint` when present — folding the checkpoint
-    * DISTRIBUTED through a slim (path, size) projection, never a
+    * DISTRIBUTED through a slim (path, size, dv) projection, never a
     * full-row collect — then replays the JSON commit tail with
     * latest-wins add/remove, and GATES on the protocol: an unknown
-    * minReaderVersion refuses, never half-reads. */
+    * minReaderVersion or reader feature refuses, never half-reads. */
   def readDeltaSnapshot(spark: SparkSession, tableRoot: String)
-      : (StructType, Seq[String], Seq[(String, Long)]) = {
+      : (StructType, Seq[String],
+         Seq[(String, Long, Option[String])]) = {
     val dir = new File(tableRoot, "_delta_log")
     require(dir.isDirectory, s"no _delta_log under $tableRoot")
     val lastInfo = lastCheckpointInfo(dir)
     val ckptV: Option[Long] = lastInfo.map(_._1)
     var schema: Option[StructType] = None
     var partCols: Seq[String] = Seq.empty
-    val live = scala.collection.mutable.LinkedHashMap.empty[String, Long]
-    def gateProtocol(mr: Long): Unit =
-      if (mr > 1) throw new IllegalStateException(
-        s"the Delta log at $tableRoot requires minReaderVersion " +
-          s"$mr — this import reads protocol 1 (plain parquet) " +
-          "only; refusing to half-read")
+    val live = scala.collection.mutable.LinkedHashMap
+      .empty[String, (Long, Option[String])]
     def applyMeta(schemaString: String,
                   parts: Seq[String]): Unit = {
       schema = Some(org.apache.spark.sql.types.DataType
@@ -796,10 +1021,21 @@ object DeltaExport {
       val df = spark.read.parquet(paths: _*)
       def has(c: String) = df.columns.contains(c)
       // protocol gate FIRST — never half-read a too-new log
-      if (has("protocol"))
+      if (has("protocol")) {
+        val pT = df.schema("protocol").dataType
+          .asInstanceOf[StructType]
+        val featCol =
+          if (pT.fieldNames.contains("readerFeatures"))
+            col("protocol.readerFeatures")
+          else lit(null).cast("array<string>")
         df.filter(col("protocol").isNotNull)
-          .select(col("protocol.minReaderVersion").cast("long"))
-          .collect().foreach(r => gateProtocol(r.getLong(0)))
+          .select(col("protocol.minReaderVersion").cast("long"),
+            featCol)
+          .collect().foreach(r => gateProtocolIn(tableRoot,
+            r.getLong(0),
+            Option(r.getSeq[String](1)).map(_.toSet)
+              .getOrElse(Set.empty)))
+      }
       if (has("metaData"))
         df.filter(col("metaData").isNotNull)
           .select(col("metaData.schemaString"),
@@ -811,12 +1047,21 @@ object DeltaExport {
                 .getOrElse(Seq.empty))
           }
       // the file-state folds through a SLIM projection: the driver
-      // holds (path, size) pairs, never stats-fattened action rows
-      if (has("add"))
+      // holds (path, size, dv-descriptor) tuples, never
+      // stats-fattened action rows
+      if (has("add")) {
+        val addT = df.schema("add").dataType.asInstanceOf[StructType]
+        val dvCol =
+          if (addT.fieldNames.contains("deletionVector"))
+            to_json(col("add.deletionVector"))
+          else lit(null).cast("string")
         df.filter(col("add").isNotNull)
-          .select(col("add.path"), col("add.size").cast("long"))
+          .select(col("add.path"), col("add.size").cast("long"),
+            dvCol)
           .collect().foreach(r =>
-            live(decodePath(r.getString(0))) = r.getLong(1))
+            live(decodePath(r.getString(0))) =
+              (r.getLong(1), Option(r.getString(2))))
+      }
       if (has("remove"))
         df.filter(col("remove").isNotNull).select(col("remove.path"))
           .collect().foreach(r => {
@@ -824,9 +1069,14 @@ object DeltaExport {
     }
     def applyAction(kind: String, j: JValue): Unit = kind match {
       case "protocol" =>
-        gateProtocol((j \ "minReaderVersion") match {
+        val mr = (j \ "minReaderVersion") match {
           case JInt(i) => i.toLong; case JLong(l) => l; case _ => 1L
-        })
+        }
+        val feats = (j \ "readerFeatures") match {
+          case JArray(a) => a.collect { case JString(s) => s }.toSet
+          case _         => Set.empty[String]
+        }
+        gateProtocolIn(tableRoot, mr, feats)
       case "metaData" =>
         applyMeta((j \ "schemaString").asInstanceOf[JString].s,
           (j \ "partitionColumns") match {
@@ -840,7 +1090,11 @@ object DeltaExport {
         val size = (j \ "size") match {
           case JInt(i) => i.toLong; case JLong(l) => l; case _ => 0L
         }
-        live(p) = size
+        val dv = (j \ "deletionVector") match {
+          case JNothing | JNull => None
+          case d => Some(JsonMethods.compact(JsonMethods.render(d)))
+        }
+        live(p) = (size, dv)
       case "remove" =>
         live.remove(
           decodePath((j \ "path").asInstanceOf[JString].s)); ()
@@ -862,7 +1116,7 @@ object DeltaExport {
     }
     (schema.getOrElse(throw new IllegalStateException(
       s"the Delta log at $tableRoot has no metaData action")),
-      partCols, live.toSeq)
+      partCols, live.toSeq.map { case (p, (sz, dv)) => (p, sz, dv) })
   }
 
   /** Reverse of [[deltaStatValue]]: one Delta-rendered stat bound
@@ -969,11 +1223,6 @@ object DeltaExport {
     val ckptV: Option[Long] = lastInfo.map(_._1)
     var schema: Option[StructType] = None
     var partCols: Seq[String] = Seq.empty
-    def gateProtocol(mr: Long): Unit =
-      if (mr > 1) throw new IllegalStateException(
-        s"the Delta log at $tableRoot requires minReaderVersion " +
-          s"$mr — this import reads protocol 1 (plain parquet) " +
-          "only; refusing to half-read")
     def applyMeta(schemaString: String, parts: Seq[String]): Unit = {
       schema = Some(org.apache.spark.sql.types.DataType
         .fromJson(schemaString).asInstanceOf[StructType])
@@ -992,10 +1241,21 @@ object DeltaExport {
             s"${paths.length} exist — refusing to half-read"))
       val df = spark.read.parquet(paths: _*)
       def has(c: String) = df.columns.contains(c)
-      if (has("protocol"))
+      if (has("protocol")) {
+        val pT = df.schema("protocol").dataType
+          .asInstanceOf[StructType]
+        val featCol =
+          if (pT.fieldNames.contains("readerFeatures"))
+            col("protocol.readerFeatures")
+          else lit(null).cast("array<string>")
         df.filter(col("protocol").isNotNull)
-          .select(col("protocol.minReaderVersion").cast("long"))
-          .collect().foreach(r => gateProtocol(r.getLong(0)))
+          .select(col("protocol.minReaderVersion").cast("long"),
+            featCol)
+          .collect().foreach(r => gateProtocolIn(tableRoot,
+            r.getLong(0),
+            Option(r.getSeq[String](1)).map(_.toSet)
+              .getOrElse(Set.empty)))
+      }
       if (has("metaData"))
         df.filter(col("metaData").isNotNull)
           .select(col("metaData.schemaString"),
@@ -1016,10 +1276,16 @@ object DeltaExport {
           .foreach { l =>
             val j = JsonMethods.parse(l)
             if ((j \ "protocol") != JNothing)
-              gateProtocol((j \ "protocol" \ "minReaderVersion") match {
-                case JInt(i) => i.toLong; case JLong(v) => v
-                case _       => 1L
-              })
+              gateProtocolIn(tableRoot,
+                (j \ "protocol" \ "minReaderVersion") match {
+                  case JInt(i) => i.toLong; case JLong(v) => v
+                  case _       => 1L
+                },
+                (j \ "protocol" \ "readerFeatures") match {
+                  case JArray(a) =>
+                    a.collect { case JString(s) => s }.toSet
+                  case _ => Set.empty[String]
+                })
             if ((j \ "metaData") != JNothing)
               applyMeta(
                 (j \ "metaData" \ "schemaString")
@@ -1072,9 +1338,14 @@ object DeltaExport {
     * driver never holds the file list (the round-13 driver
     * LinkedHashMap fold is gone); only the bounded JSON tail (at
     * most one Delta checkpoint interval of commits) folds
-    * driver-side. Refuses Delta deletion vectors (a different
-    * encoding this reader cannot subtract), fully-qualified URIs,
-    * and a root that already holds a graft log. */
+    * driver-side. Foreign DELETION VECTORS convert (round 15): each
+    * descriptor decodes through [[DeltaDv]] on executors into
+    * graft's `_dv` pair form — keyed by the scan-URI rendering,
+    * verified against one real scan per convert so drift fails
+    * loudly — and the files register with their vectors attached,
+    * so converted row-level deletes keep subtracting with no purge
+    * on either side. Refuses fully-qualified URIs and a root that
+    * already holds a graft log. */
   def convertFromDelta(spark: SparkSession,
                        tableRoot: String): LogTable = {
     val pre = new LogTable(tableRoot)
@@ -1128,25 +1399,33 @@ object DeltaExport {
     val pvRename: Map[String, String] =
       transforms.map { case (c, t) => c -> t.hiddenCol }.toMap
     val dir = new File(tableRoot, "_delta_log")
-    val dvMsg = s"the Delta table at $tableRoot carries deletion " +
-      "vectors — this import cannot subtract Delta's DV encoding; " +
-      "purge them Delta-side first"
+    // ONE graft pair dir holds every imported vector (the convert is
+    // one commit, so one dir is the exact MOR-commit shape)
+    val dvRel = s"_dv/${UUID.randomUUID()}"
     def uriMsg(p: String) =
       s"the Delta table at $tableRoot references a fully-qualified " +
         s"URI ($p) — this import registers table-relative paths " +
         "only; co-locate the files under the table root first"
+    def dvOf(dvJson: Option[String]): Option[Dv] = dvJson.map { s =>
+      Dv(dvRel, DeltaDv.parseDescriptor(JsonMethods.parse(s))
+        .cardinality)
+    }
     def addOf(path: String, size: Long, pv: Map[String, String],
-              statsJson: Option[String]): AddFile = {
+              statsJson: Option[String],
+              dvJson: Option[String]): AddFile = {
       val (rows, st) = parseDeltaStats(statsJson, types)
       AddFile(path, rows, size, st,
-        pv.map { case (k, v) => pvRename.getOrElse(k, k) -> v })
+        pv.map { case (k, v) => pvRename.getOrElse(k, k) -> v },
+        dv = dvOf(dvJson))
     }
 
     // JSON tail (bounded: at most one Delta checkpoint interval of
     // commits) — latest wins; REMOVES kept as tombstones so the
-    // distributed base can be filtered by the touched set
+    // distributed base can be filtered by the touched set. Each
+    // alive entry carries its foreign DV descriptor JSON for the
+    // pair-generation job below.
     val tail = scala.collection.mutable.LinkedHashMap
-      .empty[String, Option[AddFile]]
+      .empty[String, Option[(AddFile, Option[String])]]
     val from = ckptV.map(_ + 1).getOrElse(0L)
     Option(dir.listFiles()).getOrElse(Array.empty)
       .filter(f => f.getName.matches("\\d{20}\\.json"))
@@ -1159,7 +1438,11 @@ object DeltaExport {
             (j \ "add") match {
               case JNothing => ()
               case a =>
-                require((a \ "deletionVector") == JNothing, dvMsg)
+                val dvJson = (a \ "deletionVector") match {
+                  case JNothing | JNull => None
+                  case d => Some(JsonMethods.compact(
+                    JsonMethods.render(d)))
+                }
                 val p =
                   decodePath((a \ "path").asInstanceOf[JString].s)
                 val size = (a \ "size") match {
@@ -1167,11 +1450,11 @@ object DeltaExport {
                   case _       => 0L
                 }
                 tail.remove(p)
-                tail(p) = Some(addOf(p, size,
+                tail(p) = Some((addOf(p, size,
                   partMapOf(a \ "partitionValues"),
                   (a \ "stats") match {
                     case JString(s) => Some(s); case _ => None
-                  }))
+                  }, dvJson), dvJson))
             }
             (j \ "remove" \ "path") match {
               case JString(p0) =>
@@ -1182,20 +1465,67 @@ object DeltaExport {
           }
       }
     val tailAlive0 = tail.values.flatten.toSeq
-    tailAlive0.find(a => hasUriScheme(a.path)).foreach(a =>
-      throw new IllegalArgumentException(uriMsg(a.path)))
+    tailAlive0.find(a => hasUriScheme(a._1.path)).foreach(a =>
+      throw new IllegalArgumentException(uriMsg(a._1.path)))
     // tail backfill: tiny (bounded) footer job for stats-less adds
     val backfilled: Map[String, Long] = {
-      val missing = tailAlive0.filter(_.rows < 0L).map(a =>
-        new File(tableRoot, a.path).getPath)
+      val missing = tailAlive0.filter(_._1.rows < 0L).map(a =>
+        new File(tableRoot, a._1.path).getPath)
       if (missing.isEmpty) Map.empty
       else spark.sparkContext.parallelize(missing,
         math.min(missing.size, 64))
         .map(p => p -> footerRowCount(p)).collect().toMap
     }
-    val tailAlive = tailAlive0.map { a =>
+    val tailAlive: Seq[AddFile] = tailAlive0.map { case (a, _) =>
       if (a.rows >= 0L) a
-      else a.copy(rows = backfilled(new File(tableRoot, a.path).getPath))
+      else a.copy(rows =
+        backfilled(new File(tableRoot, a.path).getPath))
+    }
+    val tailDvRows: Seq[(String, String)] = tailAlive0.collect {
+      case (a, Some(dvJson)) => (a.path, dvJson)
+    }
+
+    val rootAbs = new File(tableRoot).getAbsolutePath
+    val enc2 = org.apache.spark.sql.Encoders.tuple(
+      org.apache.spark.sql.Encoders.STRING,
+      org.apache.spark.sql.Encoders.STRING)
+
+    /** Decode foreign DV descriptors into graft's `_dv` pair form —
+      * one distributed job, run BEFORE any commit references
+      * `dvRel`: each (table-relative path, descriptor JSON) row
+      * explodes to (scan URI, row index) pairs on executors (the
+      * bin-file/inline read and the roaring decode both happen where
+      * the row lands), landed as the pair parquet dvAwareRead
+      * anti-joins at read time. The pair key must match Spark's
+      * `_metadata.file_path` byte-for-byte, so the rendering is
+      * verified against ONE real scan first (O(1)) — drift refuses
+      * instead of silently serving deleted rows. */
+    def writeDvPairs(
+        dvRows: org.apache.spark.sql.Dataset[(String, String)]): Boolean = {
+      val sample = dvRows.take(1)
+      if (sample.isEmpty) return false
+      val sampleAbs = new File(rootAbs, sample.head._1).getPath
+      val actual = spark.read.parquet(sampleAbs)
+        .select(col("_metadata.file_path")).limit(1)
+        .collect().headOption.map(_.getString(0))
+      val expected = scanUriOf(sampleAbs)
+      require(actual.contains(expected),
+        s"scan-URI rendering drift: _metadata.file_path gives " +
+          s"'${actual.orNull}' where this import would key pairs " +
+          s"on '$expected' — refusing to import deletion vectors " +
+          "that would silently not subtract")
+      val rootB = rootAbs
+      val pairs = dvRows.flatMap { case (rel, dvJson) =>
+        val d = DeltaDv.parseDescriptor(JsonMethods.parse(dvJson))
+        val uri = scanUriOf(new File(rootB, rel).getPath)
+        DeltaDv.positions(rootB, d).iterator.map(i => (uri, i))
+      }(org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.scalaLong))
+        .toDF("file", "idx")
+      pairs.repartition(col("file")).write
+        .parquet(s"$tableRoot/$dvRel")
+      true
     }
 
     val t = new LogTable(tableRoot)
@@ -1203,6 +1533,7 @@ object DeltaExport {
       case None =>
         // no foreign checkpoint: the whole log IS the bounded tail —
         // the driver Seq is small by construction
+        writeDvPairs(spark.createDataset(tailDvRows)(enc2))
         t.create(userSchema, partitionBy = partitionBy)
         if (tailAlive.nonEmpty) t.registerFiles(tailAlive, op = "convert")
       case Some(cv) =>
@@ -1211,15 +1542,16 @@ object DeltaExport {
         // only the bounded tail and O(1) aggregates
         val df = spark.read.parquet(ckptParts(dir, cv): _*)
         val enc = org.apache.spark.sql.Encoders.product[CkptAdd]
+        val hasAdd = df.columns.contains("add")
+        val addT: Option[StructType] =
+          if (!hasAdd) None
+          else Some(df.schema("add").dataType.asInstanceOf[StructType])
+        val hasDv = addT.exists(_.fieldNames.contains("deletionVector"))
+        val dvRelB = dvRel
         val base: org.apache.spark.sql.Dataset[CkptAdd] =
-          if (!df.columns.contains("add"))
+          if (!hasAdd)
             spark.createDataset(Seq.empty[CkptAdd])(enc)
           else {
-            val addT =
-              df.schema("add").dataType.asInstanceOf[StructType]
-            require(!addT.fieldNames.contains("deletionVector") ||
-              df.filter(col("add.deletionVector").isNotNull).isEmpty,
-              dvMsg)
             // URI gate as ONE aggregate: collect at most one
             // offender, never the path list
             val offender = df.filter(col("add").isNotNull)
@@ -1228,11 +1560,11 @@ object DeltaExport {
               .select(col("add.path")).limit(1).collect()
             offender.headOption.foreach(r =>
               throw new IllegalArgumentException(uriMsg(r.getString(0))))
-            val hasStats = addT.fieldNames.contains("stats")
+            val hasStats = addT.get.fieldNames.contains("stats")
             // partitionValues normalizes to a JSON STRING whatever
             // the writer's checkpoint encoding (spec map, or the
             // struct-keyed form JSON-inferring writers emit)
-            val hasPv = addT.fieldNames.contains("partitionValues")
+            val hasPv = addT.get.fieldNames.contains("partitionValues")
             val typesB = types // stable closure capture
             val pvRenameB = pvRename
             val rootPath = new File(tableRoot).getPath
@@ -1243,10 +1575,12 @@ object DeltaExport {
               (if (!hasPv) lit(null).cast("string")
                else to_json(col("add.partitionValues"))).as("pv"),
               (if (hasStats) col("add.stats")
-               else lit(null).cast("string")).as("stats"))
+               else lit(null).cast("string")).as("stats"),
+              (if (hasDv) to_json(col("add.deletionVector"))
+               else lit(null).cast("string")).as("dvj"))
               .withColumn("idx", monotonically_increasing_id())
-              .as[(String, Long, String, String, Long)]
-              .map { case (p0, size, pvJson, statsJson, idx) =>
+              .as[(String, Long, String, String, String, Long)]
+              .map { case (p0, size, pvJson, statsJson, dvJson, idx) =>
                 val dp = decodePath(p0)
                 // belt-and-braces for a scheme that only appears
                 // after percent-decoding (the agg above gated the
@@ -1265,9 +1599,13 @@ object DeltaExport {
                   if (rows0 >= 0L) rows0
                   else footerRowCount(
                     new File(rootPath, dp).getPath)
+                val card = Option(dvJson).map(s =>
+                  DeltaDv.parseDescriptor(JsonMethods.parse(s))
+                    .cardinality)
                 CkptAdd(idx, dp, rows, size,
                   JsonMethods.compact(JsonMethods.render(
-                    LogTable.renderStats(st))), pv, None, None, None)
+                    LogTable.renderStats(st))), pv,
+                  card.map(_ => dvRelB), card, None)
               }(enc)
           }
         // stitch the bounded tail on top: drop every touched path
@@ -1275,16 +1613,31 @@ object DeltaExport {
         // ABOVE the base's monotonic-id range so normalization keeps
         // their order last
         val touched = tail.keys.toSeq
-        val kept =
-          if (touched.isEmpty) base.toDF()
+        def dropTouched(frame: DataFrame): DataFrame =
+          if (touched.isEmpty) frame
           else if (touched.size <= 1000)
-            base.toDF().filter(!col("path").isin(touched: _*))
+            frame.filter(!col("path").isin(touched: _*))
           else {
             import spark.implicits._
-            base.toDF().join(broadcast(touched.toDF("path")),
+            frame.join(broadcast(touched.toDF("path")),
               Seq("path"), "left_anti")
-              .select(base.toDF().columns.map(col).toIndexedSeq: _*)
+              .select(frame.columns.map(col).toIndexedSeq: _*)
           }
+        val kept = dropTouched(base.toDF())
+        // the pair-generation inputs: the base's still-live
+        // descriptors (tail-touched paths excluded — latest wins)
+        // plus the tail's own
+        val baseDvRows: org.apache.spark.sql.Dataset[(String, String)] =
+          if (!hasDv) spark.createDataset(Seq.empty[(String, String)])(enc2)
+          else dropTouched(
+            df.filter(col("add").isNotNull &&
+              col("add.deletionVector").isNotNull)
+              .select(col("add.path").as("path"),
+                to_json(col("add.deletionVector")).as("dvj")))
+            .as[(String, String)](enc2)
+            .map { case (p0, j) => (decodePath(p0), j) }(enc2)
+        writeDvPairs(baseDvRows.unionAll(
+          spark.createDataset(tailDvRows)(enc2)))
         val tailDs = spark.createDataset(
           tailAlive.zipWithIndex.map { case (a, i) =>
             CkptAdd(Long.MaxValue - tailAlive.size + i, a.path,
@@ -1302,9 +1655,12 @@ object DeltaExport {
 
   /** Snapshot DataFrame over an imported Delta log — the round-trip
     * read: resolve the live files, scan them with the logged schema
-    * (hive partition discovery when partitioned). PROXY READER ONLY:
-    * the plan splats one driver-held path per live file, so for big
-    * (>10k-file) foreign tables the documented route is
+    * (hive partition discovery when partitioned), files carrying
+    * deletion vectors served MINUS their deleted rows (descriptors
+    * decode through [[DeltaDv]], positions anti-join on the scan's
+    * own provenance). PROXY READER ONLY: the plan splats one
+    * driver-held path per live file and decodes vectors driver-side,
+    * so for big (>10k-file) foreign tables the documented route is
     * [[convertFromDelta]] then a LogTable scan — distributed
     * manifest, file-skipping, no path splat. */
   def loadDelta(spark: SparkSession, tableRoot: String): DataFrame = {
@@ -1314,14 +1670,48 @@ object DeltaExport {
         s"the Delta log at $tableRoot references a fully-qualified " +
           s"URI (${f._1}) — this reader resolves table-relative " +
           "paths only"))
-    val paths = files.map { case (p, _) =>
-      new File(tableRoot, p).getPath }
-    if (paths.isEmpty)
+    if (files.isEmpty)
       return spark.createDataFrame(
         new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
-    val reader = spark.read.schema(schema)
-    if (partCols.isEmpty) reader.parquet(paths: _*)
-    else reader.option("basePath", s"$tableRoot/data")
-      .parquet(paths: _*)
+    def absOf(p: String) = new File(tableRoot, p).getPath
+    def reader = {
+      val r = spark.read.schema(schema)
+      if (partCols.isEmpty) r
+      else r.option("basePath", s"$tableRoot/data")
+    }
+    val (dvd, clean) = files.partition(_._3.isDefined)
+    val cleanDf =
+      if (clean.isEmpty) None
+      else Some(reader.parquet(clean.map(f => absOf(f._1)): _*))
+    val dvdDf =
+      if (dvd.isEmpty) None
+      else {
+        val scanned = reader.parquet(dvd.map(f => absOf(f._1)): _*)
+          .withColumn("__file", col("_metadata.file_path"))
+          .withColumn("__idx", col("_metadata.row_index"))
+        // positions key on the scan's OWN file URIs (collected once,
+        // O(#dv'd files)) — no synthesized rendering to drift
+        val uriByAbs = scanned.select(col("__file")).distinct()
+          .collect().map(_.getString(0))
+          .map(u => LogTable.provPath(u) -> u).toMap
+        import spark.implicits._
+        val pos = dvd.flatMap { case (p, _, dvJson) =>
+          val d = DeltaDv.parseDescriptor(
+            JsonMethods.parse(dvJson.get))
+          val uri = uriByAbs(new File(absOf(p)).getAbsolutePath)
+          DeltaDv.positions(tableRoot, d).map(i => (uri, i))
+        }.toDF("__pf", "__pi")
+        Some(scanned.join(broadcast(pos),
+          col("__file") === col("__pf") &&
+            col("__idx") === col("__pi"), "left_anti")
+          .select(schema.fieldNames.map(col).toIndexedSeq: _*))
+      }
+    (cleanDf, dvdDf) match {
+      case (Some(c), Some(d)) => c.unionByName(d)
+      case (Some(c), None)    => c
+      case (None, Some(d))    => d
+      case (None, None) => spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+    }
   }
 }

@@ -659,7 +659,8 @@ class DeltaExportSpec extends SparkSpec {
       "footer backfill must recover exact per-file row counts")
     assert(conv.load(spark).count() == 3L)
 
-    // a DV-carrying add refuses by name
+    // a MALFORMED DV descriptor refuses by field name, never
+    // half-imports (a real one converts — see the round-trip tests)
     val dir2 = s"${tmp()}/t"
     val src2 = new LogTable(dir2)
     src2.append(Seq((1L, "a")).toDF("k", "v"))
@@ -672,33 +673,160 @@ class DeltaExportSpec extends SparkSpec {
     java.nio.file.Files.writeString(c2.toPath, withDv)
     val e = intercept[IllegalArgumentException](
       DeltaExport.convertFromDelta(spark, dir2))
-    assert(e.getMessage.contains("deletion vectors"), e.getMessage)
+    assert(e.getMessage.contains("deletionVector"), e.getMessage)
   }
 
-  test("exports refuse state Delta readers would misread, naming " +
-    "the blocker; the import reader gates on minReaderVersion") {
+  test("the import protocol gate: reader 3 WITHOUT a feature list " +
+    "(malformed) refuses, reader 3 with an unknown feature refuses " +
+    "by name, legacy reader 2 refuses") {
+    def doctored(repl: String => String): String = {
+      val dir = s"${tmp()}/t"
+      val t = new LogTable(dir)
+      t.append(Seq((1L, "a")).toDF("k", "v"))
+      DeltaExport.exportDeltaLog(spark, t, withCheckpoint = false)
+      val dlog = new File(dir, "_delta_log")
+      val commit = dlog.listFiles()
+        .filter(_.getName.matches("\\d{20}\\.json")).head
+      java.nio.file.Files.writeString(commit.toPath,
+        repl(java.nio.file.Files.readString(commit.toPath)))
+      dir
+    }
+    val d1 = doctored(
+      _.replace("\"minReaderVersion\":1", "\"minReaderVersion\":3"))
+    val e1 = intercept[IllegalStateException](
+      DeltaExport.loadDelta(spark, d1))
+    assert(e1.getMessage.contains("minReaderVersion 3"), e1.getMessage)
+    val d2 = doctored(_.replace("\"minReaderVersion\":1",
+      "\"minReaderVersion\":3,\"readerFeatures\":[\"v2Checkpoint\"]"))
+    val e2 = intercept[IllegalStateException](
+      DeltaExport.loadDelta(spark, d2))
+    assert(e2.getMessage.contains("v2Checkpoint"), e2.getMessage)
+    val d3 = doctored(
+      _.replace("\"minReaderVersion\":1", "\"minReaderVersion\":2"))
+    val e3 = intercept[IllegalStateException](
+      DeltaExport.loadDelta(spark, d3))
+    assert(e3.getMessage.contains("minReaderVersion 2"), e3.getMessage)
+  }
+
+  test("deletion vectors EXPORT: a MOR delete mirrors as " +
+    "add.deletionVector under a reader-3/writer-7 protocol upgrade, " +
+    "the proxy reader subtracts it, and checkpoints carry it") {
     val dir = s"${tmp()}/t"
     val t = new LogTable(dir)
-    t.append(Seq((1L, "a"), (2L, "b")).toDF("k", "v").repartition(1))
-    t.deleteMor(spark, col("k") === 1L) // DV
-    val e = intercept[IllegalArgumentException](
-      DeltaExport.exportDeltaLog(spark, t))
-    assert(e.getMessage.contains("deletion vectors") &&
-      e.getMessage.contains("purgeDeletes"), e.getMessage)
-    t.purgeDeletes(spark)
-    DeltaExport.exportDeltaLog(spark, t) // now exportable
-    assert(DeltaExport.loadDelta(spark, dir).count() == 1L)
+    t.append((1L to 500L).map(i => (i, s"v$i")).toDF("k", "v")
+      .repartition(2))                                          // v0
+    assert(DeltaExport.mirrorDelta(spark, t) == Seq(0L))
+    // base protocol is legacy (1, 2) — no DVs yet
+    val c0 = java.nio.file.Files.readString(new File(dir,
+      f"_delta_log/${0L}%020d.json").toPath)
+    assert(c0.contains("\"minReaderVersion\":1"), c0.take(200))
+    t.deleteMor(spark, col("k") <= 100L)                        // v1
+    assert(DeltaExport.mirrorDelta(spark, t) == Seq(1L))
+    val c1 = java.nio.file.Files.readString(new File(dir,
+      f"_delta_log/${1L}%020d.json").toPath)
+    // the DV-bearing commit upgrades the protocol in-line and
+    // renders the spec descriptor
+    assert(c1.contains("\"minReaderVersion\":3") &&
+      c1.contains("\"deletionVectors\""), c1.take(400))
+    assert(c1.contains("\"deletionVector\""), c1.take(800))
+    val dvs = c1.linesIterator
+      .filter(_.contains("\"deletionVector\""))
+      .map(l => JsonMethods.parse(l) \ "add" \ "deletionVector")
+      .toSeq
+    assert(dvs.nonEmpty)
+    dvs.foreach(dv => assert(Set("i", "u").contains(
+      (dv \ "storageType").asInstanceOf[JString].s), dv))
+    // the delete touched both files — cardinalities SUM to the
+    // matched rows
+    assert(dvs.map(dv => (dv \ "cardinality") match {
+      case JInt(i) => i.toLong; case JLong(l) => l; case _ => 0L
+    }).sum == 100L, dvs)
+    // the proxy reader SUBTRACTS the vector
+    assert(DeltaExport.loadDelta(spark, dir).count() == 400L)
+    assert(DeltaExport.loadDelta(spark, dir)
+      .agg(org.apache.spark.sql.functions.min(col("k")))
+      .as[Long].head() == 101L)
+    // checkpoint: descriptors ride the add rows; replay from the
+    // checkpoint ALONE still subtracts
+    DeltaExport.exportCheckpoint(spark, t)
+    val ckpt = spark.read.parquet(
+      s"$dir/_delta_log/00000000000000000001.checkpoint.parquet")
+    assert(ckpt.filter(col("add.deletionVector").isNotNull)
+      .count() >= 1L)
+    (0L to 1L).foreach(v =>
+      new File(dir, f"_delta_log/$v%020d.json").delete())
+    assert(DeltaExport.loadDelta(spark, dir).count() == 400L)
+  }
 
-    // a future-protocol Delta log refuses on import, never half-read
-    val dlog = new File(dir, "_delta_log")
-    val commit = dlog.listFiles()
-      .filter(_.getName.matches("\\d{20}\\.json")).head
-    val doctored = java.nio.file.Files.readString(commit.toPath)
-      .replace("\"minReaderVersion\":1", "\"minReaderVersion\":3")
-    java.nio.file.Files.writeString(commit.toPath, doctored)
-    new File(dlog, "_last_checkpoint").delete() // force JSON replay
-    val e2 = intercept[IllegalStateException](
-      DeltaExport.loadDelta(spark, dir))
-    assert(e2.getMessage.contains("minReaderVersion 3"), e2.getMessage)
+  test("deletion vectors CONVERT: export → convert round-trips " +
+    "row-level deletes with NO purge on either side — counts exact, " +
+    "vectors serve as graft DVs, further MOR DML works, and the " +
+    "converted table's by-reference commit re-exports its vectors") {
+    val dir = s"${tmp()}/t"
+    val t = new LogTable(dir)
+    t.append((1L to 500L).map(i => (i, s"v$i")).toDF("k", "v")
+      .repartition(2))                                          // v0
+    t.deleteMor(spark, col("k") <= 100L)                        // v1
+    t.deleteMor(spark, col("k") > 490L)                         // v2
+    assert(t.load(spark).count() == 390L)
+    DeltaExport.mirrorDelta(spark, t)
+    def rm(f: File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    // a PURE Delta table remains: data + _delta_log + DV blobs;
+    // graft's own log and pair dirs go away
+    rm(new File(dir, "_log"))
+    rm(new File(dir, "_dv"))
+    val conv = DeltaExport.convertFromDelta(spark, dir)
+    assert(conv.load(spark).count() == 390L)
+    assert(conv.load(spark).agg(
+      org.apache.spark.sql.functions.min(col("k")),
+      org.apache.spark.sql.functions.max(col("k")))
+      .as[(Long, Long)].head() == ((101L, 490L)))
+    assert(conv.liveAdds().exists(_.dv.isDefined),
+      "converted adds must carry their vectors")
+    assert(conv.liveAdds().flatMap(_.dv).map(_.rows).sum == 110L)
+    // further merge-on-read DML on the CONVERTED table
+    conv.deleteMor(spark, col("k") === 250L)
+    assert(conv.load(spark).count() == 389L)
+    // and the converted table's commits — the by-reference convert
+    // seed included — export BACK out with their vectors. The old
+    // foreign log's numbering belongs to the foreign table, so the
+    // re-mirror starts a fresh log: v0 (create) full, then the tail
+    // exercises the by-reference DV render (commit 1 is the convert
+    // seed) and the MOR commit (commit 2).
+    rm(new File(dir, "_delta_log"))
+    DeltaExport.exportDeltaLog(spark, conv, version = Some(0L))
+    DeltaExport.exportTail(spark, conv, 1L, 2L)
+    assert(java.nio.file.Files.readString(new File(dir,
+      f"_delta_log/${1L}%020d.json").toPath)
+      .contains("\"deletionVector\""))
+    assert(DeltaExport.loadDelta(spark, dir).count() == 389L)
+  }
+
+  test("deletion vectors convert under PARTITIONED layouts: pair " +
+    "keys match the scan's own URI rendering for hive dirs with " +
+    "encoded characters") {
+    val dir = s"${tmp()}/t"
+    val t = new LogTable(dir)
+    t.create(org.apache.spark.sql.types.StructType.fromDDL(
+      "k BIGINT, seg STRING"), partitionBy = Seq("seg"))
+    t.append((1L to 200L).map(i =>
+      (i, if (i % 2 == 0) "a b" else "c:d")).toDF("k", "seg"))
+    t.deleteMor(spark, col("k") <= 50L)                         // DV
+    assert(t.load(spark).count() == 150L)
+    DeltaExport.mirrorDelta(spark, t)
+    def rm(f: File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(new File(dir, "_log"))
+    rm(new File(dir, "_dv"))
+    val conv = DeltaExport.convertFromDelta(spark, dir)
+    assert(conv.load(spark).count() == 150L)
+    assert(conv.load(spark).agg(
+      org.apache.spark.sql.functions.min(col("k")))
+      .as[Long].head() == 51L)
+    conv.deleteMor(spark, col("seg") === "a b" && col("k") <= 60L)
+    assert(conv.load(spark).count() == 145L)
   }
 }
