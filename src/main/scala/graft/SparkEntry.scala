@@ -1475,6 +1475,37 @@ object SparkEntry {
       conv.load(s).select(col("k"), col("name")).orderBy("k")
     }),
 
+    "delta_mapping" -> ((s, d) => {
+      // round-15 COLUMN MAPPING (id mode) across the Delta boundary:
+      // a column-mapped graft table — parquet field-id stamps,
+      // renames are pure metadata — exports with the spec's
+      // delta.columnMapping.{mode,id,physicalName} under a reader-2
+      // protocol instead of refusing; the convert translates the ids
+      // back to graft stamps, so the converted table keeps renaming.
+      // Rows written BEFORE the rename must serve under the newest
+      // name at every hop (id resolution) or the oracle catches it.
+      import s.implicits._
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft_dmapq").toString
+      val src = new graft.sources.LogTable(s"$wh/t")
+      src.create(org.apache.spark.sql.types.StructType.fromDDL(
+        "k BIGINT, name STRING"), columnMapping = true)
+      val cust = t(s, d, "customer").select(col("c_custkey").as("k"),
+        col("c_name").as("name"))
+      src.append(cust.filter(col("k") <= 100).repartition(2))
+      src.renameColumn(s, "name", "label")
+      src.append(cust.filter(col("k") > 100 && col("k") <= 150)
+        .withColumnRenamed("name", "label").repartition(2))
+      graft.sources.DeltaExport.mirrorDelta(s, src)
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(s"$wh/t/_log"))
+      val conv = graft.sources.DeltaExport.convertFromDelta(s, s"$wh/t")
+      conv.renameColumn(s, "label", "tag")   // still column-mapped
+      conv.load(s).select(col("k"), col("tag")).orderBy("k")
+    }),
+
     "iceberg_convert" -> ((s, d) => {
       // round-13 CONVERT FROM ICEBERG metadata (in place): resolve
       // the current snapshot through the manifest chain, register
@@ -4136,6 +4167,12 @@ object SparkEntry {
       """SELECT c_custkey AS k, c_name AS name
          FROM customer
          WHERE c_custkey <= 150 AND c_custkey % 10 <> 0
+         ORDER BY k""",
+
+    "delta_mapping" ->
+      """SELECT c_custkey AS k, c_name AS tag
+         FROM customer
+         WHERE c_custkey <= 150
          ORDER BY k""",
 
     "delta_dv_roundtrip" ->

@@ -227,23 +227,33 @@ object DeltaExport {
     * (the spec's only spelling of the feature), so a DV-blind reader
     * refuses cleanly instead of serving deleted rows. */
   private def protocolLine(generated: Boolean,
-                           dv: Boolean = false): String =
+                           dv: Boolean = false,
+                           mapped: Boolean = false): String =
     if (dv) {
-      val writer = List("deletionVectors") ++
+      // table-features form: every active feature named explicitly
+      val reader = List("deletionVectors") ++
+        (if (mapped) List("columnMapping") else Nil)
+      val writer = reader ++
         (if (generated) List("generatedColumns") else Nil)
       JsonMethods.compact(JsonMethods.render(JObject(List(
         "protocol" -> JObject(List(
           "minReaderVersion" -> JInt(3),
           "minWriterVersion" -> JInt(7),
-          "readerFeatures" -> JArray(List(JString("deletionVectors"))),
+          "readerFeatures" -> JArray(reader.map(JString(_))),
           "writerFeatures" -> JArray(writer.map(JString(_)))))))))
     } else JsonMethods.compact(JsonMethods.render(JObject(List(
       "protocol" -> JObject(List(
-        "minReaderVersion" -> JInt(1),
-        "minWriterVersion" -> JInt(if (generated) 4 else 2)))))))
+        // legacy encodings: column mapping is (2, 5) — which also
+        // covers generated columns' writer-4 floor — generated
+        // alone is (1, 4), plain is (1, 2)
+        "minReaderVersion" -> JInt(if (mapped) 2 else 1),
+        "minWriterVersion" -> JInt(
+          if (mapped) 5 else if (generated) 4 else 2)))))))
 
   private def metaDataLine(schema: StructType, partCols: Seq[String],
-                           createdTime: Long, id: String): String =
+                           createdTime: Long, id: String,
+                           config: Map[String, String] = Map.empty)
+      : String =
     JsonMethods.compact(JsonMethods.render(JObject(List(
       "metaData" -> JObject(List(
         "id" -> JString(id),
@@ -251,7 +261,8 @@ object DeltaExport {
           "options" -> JObject(Nil))),
         "schemaString" -> JString(schema.json),
         "partitionColumns" -> JArray(partCols.toList.map(JString(_))),
-        "configuration" -> JObject(Nil),
+        "configuration" -> JObject(config.toList.toList
+          .sortBy(_._1).map { case (k, v) => k -> (JString(v): JValue) }),
         "createdTime" -> JLong(createdTime)))))))
 
   /** The log's STABLE table id: Delta's `metaData.id` identifies the
@@ -372,37 +383,73 @@ object DeltaExport {
     * Delta's own idiom for derived partition columns. */
   private[sources] val GenerationExprKey = "delta.generationExpression"
 
-  /** Schema / layout gates shared by both export modes. HIDDEN
-    * partitioning maps to Delta's generated partition columns: the
-    * synthesized column stays in the exported schema, stamped with
-    * `delta.generationExpression` = graft's own Spark SQL derivation
-    * (VERBATIM sound — Delta writers evaluate generation with the
-    * same Spark engine that computed graft's values, so even
-    * bucket's `pmod(hash(c), n)` matches, unlike the Iceberg
-    * export's foreign-hash refusal). */
-  private def gateMetadata(log: LogTable, v: Long): StructType = {
-    val schema = log.schemaAt(v)
-    require(!schema.fields.exists(
-      _.metadata.contains(LogTable.FieldIdKey)),
-      "cannot export a column-mapped snapshot — graft's parquet " +
-        "field-id stamps lack Delta's delta.columnMapping.* metadata")
-    val transforms = log.partitionTransformsAt(v)
-    if (transforms.isEmpty) schema
-    else StructType(schema.fields.map { f =>
-      transforms.get(f.name) match {
-        case Some(spec) =>
-          val t = PartitionTransforms.parse(spec).getOrElse(
-            throw new IllegalStateException(
-              s"unparseable partition transform '$spec'"))
-          val src = schema.fields.find(_.name == t.source).getOrElse(
-            throw new IllegalStateException(
-              s"transform source '${t.source}' missing from schema"))
-          f.copy(metadata = new org.apache.spark.sql.types
-            .MetadataBuilder().withMetadata(f.metadata)
-            .putString(GenerationExprKey, t.exprFor(src)).build())
-        case None => f
+  /** Delta's column-mapping metadata keys (PROTOCOL.md). */
+  private[sources] val MappingModeKey = "delta.columnMapping.mode"
+  private[sources] val MappingMaxIdKey = "delta.columnMapping.maxColumnId"
+  private[sources] val MappingIdKey = "delta.columnMapping.id"
+  private[sources] val MappingNameKey = "delta.columnMapping.physicalName"
+
+  /** Schema / layout gates shared by both export modes, returning
+    * the exported schema plus the table `configuration` entries it
+    * demands. HIDDEN partitioning maps to Delta's generated
+    * partition columns: the synthesized column stays in the exported
+    * schema, stamped with `delta.generationExpression` = graft's own
+    * Spark SQL derivation (VERBATIM sound — Delta writers evaluate
+    * generation with the same Spark engine that computed graft's
+    * values, so even bucket's `pmod(hash(c), n)` matches, unlike the
+    * Iceberg export's foreign-hash refusal). A COLUMN-MAPPED
+    * snapshot (round 15) exports as Delta's ID-mode column mapping:
+    * each field carries `delta.columnMapping.id` = graft's stamped
+    * parquet field id plus the spec-required `physicalName`, and the
+    * configuration declares `mode = id` with `maxColumnId` from the
+    * field-id high-water (never a reused id). Every graft data file
+    * of a mapped table carries the ids, so an id-resolving Delta
+    * reader serves renames correctly; `physicalName` is the field's
+    * CURRENT name (graft files store the name current at each file's
+    * write time — a reader falling back to name resolution on
+    * id-less files has no such files to fall back on). */
+  private def gateMetadata(log: LogTable, v: Long)
+      : (StructType, Map[String, String]) = {
+    val schema0 = log.schemaAt(v)
+    val mapped = schema0.fields.exists(
+      _.metadata.contains(LogTable.FieldIdKey))
+    val schema1 =
+      if (!mapped) schema0
+      else StructType(schema0.fields.map { f =>
+        val id = f.metadata.getLong(LogTable.FieldIdKey)
+        f.copy(metadata = new org.apache.spark.sql.types
+          .MetadataBuilder().withMetadata(f.metadata)
+          .putLong(MappingIdKey, id)
+          .putString(MappingNameKey, f.name).build())
+      })
+    val config: Map[String, String] =
+      if (!mapped) Map.empty
+      else {
+        val maxId = log.propertiesAt(v)
+          .get(LogTable.PropFieldIdHighWater).map(_.toLong)
+          .getOrElse(schema0.fields
+            .map(_.metadata.getLong(LogTable.FieldIdKey)).max)
+        Map(MappingModeKey -> "id", MappingMaxIdKey -> maxId.toString)
       }
-    })
+    val transforms = log.partitionTransformsAt(v)
+    val schema =
+      if (transforms.isEmpty) schema1
+      else StructType(schema1.fields.map { f =>
+        transforms.get(f.name) match {
+          case Some(spec) =>
+            val t = PartitionTransforms.parse(spec).getOrElse(
+              throw new IllegalStateException(
+                s"unparseable partition transform '$spec'"))
+            val src = schema1.fields.find(_.name == t.source).getOrElse(
+              throw new IllegalStateException(
+                s"transform source '${t.source}' missing from schema"))
+            f.copy(metadata = new org.apache.spark.sql.types
+              .MetadataBuilder().withMetadata(f.metadata)
+              .putString(GenerationExprKey, t.exprFor(src)).build())
+          case None => f
+        }
+      })
+    (schema, config)
   }
 
   private def gateAdds(adds: Seq[AddFile], what: String): Unit =
@@ -564,7 +611,7 @@ object DeltaExport {
                      withCheckpoint: Boolean = true): String = {
     val v = version.orElse(log.currentVersion).getOrElse(
       throw new IllegalStateException(s"no log table at ${log.path}"))
-    val schema = gateMetadata(log, v)
+    val (schema, config) = gateMetadata(log, v)
     val partCols = log.partitionColsAt(v)
     val dir = new File(log.path, "_delta_log")
     val prior = Option(dir.listFiles()).getOrElse(Array.empty)
@@ -612,9 +659,10 @@ object DeltaExport {
     val w = Files.newBufferedWriter(tmp.toPath)
     try {
       w.write(protocolLine(schema.fields.exists(
-        _.metadata.contains(GenerationExprKey)), anyDv)); w.write("\n")
+        _.metadata.contains(GenerationExprKey)), anyDv,
+        mapped = config.nonEmpty)); w.write("\n")
       w.write(metaDataLine(schema, partCols, mt,
-        UUID.randomUUID().toString)); w.write("\n")
+        UUID.randomUUID().toString, config)); w.write("\n")
       dist match {
         case Some(ds) =>
           // render the add actions ON EXECUTORS, in manifest order,
@@ -682,7 +730,7 @@ object DeltaExport {
     lazy val tableId = existingMetaId(spark, dir)
       .getOrElse(UUID.randomUUID().toString)
     (fromVersion to toVersion).map { cv =>
-      val schema = gateMetadata(log, cv)
+      val (schema, config) = gateMetadata(log, cv)
       // by-reference commits (a CONVERT's million-file seed) keep
       // their add set as a DATASET: gates answer as one aggregate,
       // action lines render on executors — the driver holds only
@@ -718,21 +766,25 @@ object DeltaExport {
       try {
         val generated = schema.fields.exists(
           _.metadata.contains(GenerationExprKey))
+        val mapped = config.nonEmpty
         if (cv == 0L) {
-          w.write(protocolLine(generated, commitHasDv))
+          w.write(protocolLine(generated, commitHasDv, mapped))
           w.write("\n")
-        } else if (commitHasDv) {
-          // protocol UPGRADE mid-mirror: the first DV-bearing commit
-          // must raise the log to reader 3 / writer 7 with the
-          // feature named — a mirror whose base exported (1, 2)
-          // would otherwise let a DV-blind reader serve deleted
-          // rows. Idempotent on replay (latest protocol wins).
-          w.write(protocolLine(generated, dv = true))
+        } else if (commitHasDv ||
+            (mapped && log.commitChangedMetadata(cv))) {
+          // protocol UPGRADE mid-mirror — idempotent on replay
+          // (latest protocol wins): the first DV-bearing commit must
+          // raise the log to reader 3 / writer 7 with the feature
+          // named (a mirror whose base exported (1, 2) would
+          // otherwise let a DV-blind reader serve deleted rows), and
+          // a metadata change on a COLUMN-MAPPED table re-emits so
+          // the enable-mapping commit itself carries reader 2+
+          w.write(protocolLine(generated, commitHasDv, mapped))
           w.write("\n")
         }
         if (cv == 0L || log.commitChangedMetadata(cv)) {
           w.write(metaDataLine(schema, log.partitionColsAt(cv), mt,
-            tableId))
+            tableId, config))
           w.write("\n")
         }
         val op = log.commitOp(cv)
@@ -790,7 +842,7 @@ object DeltaExport {
                        partRows: Long = 500000L): String = {
     val v = version.orElse(log.currentVersion).getOrElse(
       throw new IllegalStateException(s"no log table at ${log.path}"))
-    val schema = gateMetadata(log, v)
+    val (schema, config) = gateMetadata(log, v)
     val dir = new File(log.path, "_delta_log")
     require(new File(dir, f"$v%020d.json").isFile,
       s"version $v is not exported yet — checkpoint only an " +
@@ -817,8 +869,10 @@ object DeltaExport {
     val enc = org.apache.spark.sql.Encoders.STRING
     val header = spark.createDataset(Seq(
       protocolLine(schema.fields.exists(
-        _.metadata.contains(GenerationExprKey)), anyDv),
-      metaDataLine(schema, log.partitionColsAt(v), mt, tableId)))(enc)
+        _.metadata.contains(GenerationExprKey)), anyDv,
+        mapped = config.nonEmpty),
+      metaDataLine(schema, log.partitionColsAt(v), mt, tableId,
+        config)))(enc)
     val addLines = dist match {
       case Some(ds) =>
         renderAddLines(spark, log, ds, anyDv, types, mt, dc = true)
@@ -952,31 +1006,62 @@ object DeltaExport {
     ()
   }
 
-  /** Reader features this import serves correctly — `deletionVectors`
-    * since round 15 ([[DeltaDv]] subtracts them). A protocol-3 log
-    * demanding anything else refuses, never half-reads. */
+  /** Reader features this import serves correctly —
+    * `deletionVectors` ([[DeltaDv]] subtracts them) and
+    * `columnMapping` (id mode translates to graft's parquet
+    * field-id stamps; NAME mode refuses at the metadata layer) —
+    * both round 15. A protocol-3 log demanding anything else
+    * refuses, never half-reads. */
   private[sources] val ImportReaderFeatures: Set[String] =
-    Set("deletionVectors")
+    Set("deletionVectors", "columnMapping")
 
   /** The shared protocol gate of every Delta import surface: legacy
-    * reader 1 (plain parquet) passes, reader 3 (table features)
-    * passes iff its declared `readerFeatures` are all within
-    * [[ImportReaderFeatures]]; reader 2 (column mapping) and a
+    * reader 1 (plain parquet) and reader 2 (legacy column mapping —
+    * the metadata layer then refuses NAME mode by name) pass;
+    * reader 3 (table features) passes iff its declared
+    * `readerFeatures` are all within [[ImportReaderFeatures]]; a
     * reader-3 log with no feature list (malformed per the spec)
-    * refuse by name. */
+    * refuses. */
   private def gateProtocolIn(tableRoot: String, mr: Long,
                              features: Set[String]): Unit = {
     if (mr == 3 && features.nonEmpty &&
         features.subsetOf(ImportReaderFeatures)) return
-    if (mr > 1) throw new IllegalStateException(
+    if (mr > 2) throw new IllegalStateException(
       s"the Delta log at $tableRoot requires minReaderVersion $mr" +
         (if (features.nonEmpty)
           s" with readerFeatures ${features.toSeq.sorted.mkString(", ")}"
         else "") +
-        " — this import reads protocol 1 (plain parquet) and " +
-        s"protocol 3 with ${ImportReaderFeatures.mkString(", ")} " +
+        " — this import reads protocols 1-2 and protocol 3 with " +
+        s"${ImportReaderFeatures.toSeq.sorted.mkString(", ")} " +
         "only; refusing to half-read")
   }
+
+  /** Apply a foreign log's column-mapping declaration to its schema:
+    * ID mode translates each field's `delta.columnMapping.id` to
+    * graft's parquet field-id stamp (the reader resolution graft
+    * already speaks — renames keep serving), NAME mode refuses
+    * (graft resolves parquet columns by name-or-id, never by a
+    * physical-name indirection), no mode passes through. */
+  private def applyMappingIn(tableRoot: String, schema: StructType,
+                             config: Map[String, String]): StructType =
+    config.getOrElse(MappingModeKey, "none") match {
+      case "none" => schema
+      case "id" => StructType(schema.fields.map { f =>
+        require(f.metadata.contains(MappingIdKey),
+          s"the Delta table at $tableRoot declares id-mode column " +
+            s"mapping but column '${f.name}' carries no " +
+            s"$MappingIdKey — refusing to half-map")
+        val id = f.metadata.getLong(MappingIdKey)
+        f.copy(metadata = new org.apache.spark.sql.types
+          .MetadataBuilder().withMetadata(f.metadata)
+          .remove(MappingIdKey).remove(MappingNameKey)
+          .putLong(LogTable.FieldIdKey, id).build())
+      })
+      case other => throw new IllegalStateException(
+        s"the Delta table at $tableRoot uses columnMapping mode " +
+          s"'$other' — this import reads id mode only (graft cannot " +
+          "resolve physical-name indirection); refusing to half-read")
+    }
 
   /** Read a `_delta_log/` directory back into (schema, partition
     * columns, live files as (path, size, deletionVector descriptor
@@ -999,13 +1084,15 @@ object DeltaExport {
     val ckptV: Option[Long] = lastInfo.map(_._1)
     var schema: Option[StructType] = None
     var partCols: Seq[String] = Seq.empty
+    var config: Map[String, String] = Map.empty
     val live = scala.collection.mutable.LinkedHashMap
       .empty[String, (Long, Option[String])]
-    def applyMeta(schemaString: String,
-                  parts: Seq[String]): Unit = {
+    def applyMeta(schemaString: String, parts: Seq[String],
+                  conf: Map[String, String]): Unit = {
       schema = Some(org.apache.spark.sql.types.DataType
         .fromJson(schemaString).asInstanceOf[StructType])
       partCols = parts
+      config = conf
     }
     ckptV.foreach { cv =>
       val paths = ckptParts(dir, cv)
@@ -1039,12 +1126,16 @@ object DeltaExport {
       if (has("metaData"))
         df.filter(col("metaData").isNotNull)
           .select(col("metaData.schemaString"),
-            col("metaData.partitionColumns"))
+            col("metaData.partitionColumns"),
+            to_json(col("metaData.configuration")))
           .collect().headOption.foreach { r =>
             // Spark hands collected arrays back as mutable ArraySeq
             applyMeta(r.getString(0),
               Option(r.getSeq[String](1)).map(_.toSeq)
-                .getOrElse(Seq.empty))
+                .getOrElse(Seq.empty),
+              Option(r.getString(2))
+                .map(c => partMapOf(JsonMethods.parse(c)))
+                .getOrElse(Map.empty))
           }
       // the file-state folds through a SLIM projection: the driver
       // holds (path, size, dv-descriptor) tuples, never
@@ -1082,7 +1173,8 @@ object DeltaExport {
           (j \ "partitionColumns") match {
             case JArray(arr) => arr.collect { case JString(s) => s }
             case _           => Seq.empty
-          })
+          },
+          partMapOf(j \ "configuration"))
       case "add" =>
         // Delta paths are URL-encoded relative paths — decode back
         // to the filesystem form
@@ -1114,8 +1206,10 @@ object DeltaExport {
             if ((j \ k) != JNothing) applyAction(k, j \ k))
         }
     }
-    (schema.getOrElse(throw new IllegalStateException(
-      s"the Delta log at $tableRoot has no metaData action")),
+    (applyMappingIn(tableRoot, schema.getOrElse(
+      throw new IllegalStateException(
+        s"the Delta log at $tableRoot has no metaData action")),
+      config),
       partCols, live.toSeq.map { case (p, (sz, dv)) => (p, sz, dv) })
   }
 
@@ -1216,17 +1310,20 @@ object DeltaExport {
     * cost is O(metadata) at any table size. Returns (schema,
     * partition columns, checkpoint version if one serves). */
   private def readDeltaMeta(spark: SparkSession, tableRoot: String)
-      : (StructType, Seq[String], Option[Long]) = {
+      : (StructType, Seq[String], Option[Long], Map[String, String]) = {
     val dir = new File(tableRoot, "_delta_log")
     require(dir.isDirectory, s"no _delta_log under $tableRoot")
     val lastInfo = lastCheckpointInfo(dir)
     val ckptV: Option[Long] = lastInfo.map(_._1)
     var schema: Option[StructType] = None
     var partCols: Seq[String] = Seq.empty
-    def applyMeta(schemaString: String, parts: Seq[String]): Unit = {
+    var config: Map[String, String] = Map.empty
+    def applyMeta(schemaString: String, parts: Seq[String],
+                  conf: Map[String, String]): Unit = {
       schema = Some(org.apache.spark.sql.types.DataType
         .fromJson(schemaString).asInstanceOf[StructType])
       partCols = parts
+      config = conf
     }
     ckptV.foreach { cv =>
       val paths = ckptParts(dir, cv)
@@ -1259,11 +1356,17 @@ object DeltaExport {
       if (has("metaData"))
         df.filter(col("metaData").isNotNull)
           .select(col("metaData.schemaString"),
-            col("metaData.partitionColumns"))
+            col("metaData.partitionColumns"),
+            // JSON-normalized like partitionValues: writers differ
+            // on map-vs-struct checkpoint encodings
+            to_json(col("metaData.configuration")))
           .collect().headOption.foreach { r =>
             applyMeta(r.getString(0),
               Option(r.getSeq[String](1)).map(_.toSeq)
-                .getOrElse(Seq.empty))
+                .getOrElse(Seq.empty),
+              Option(r.getString(2))
+                .map(c => partMapOf(JsonMethods.parse(c)))
+                .getOrElse(Map.empty))
           }
     }
     val from = ckptV.map(_ + 1).getOrElse(0L)
@@ -1293,12 +1396,15 @@ object DeltaExport {
                 (j \ "metaData" \ "partitionColumns") match {
                   case JArray(arr) => arr.collect { case JString(s) => s }
                   case _           => Seq.empty
-                })
+                },
+                partMapOf(j \ "metaData" \ "configuration"))
           }
       }
-    (schema.getOrElse(throw new IllegalStateException(
-      s"the Delta log at $tableRoot has no metaData action")),
-      partCols, ckptV)
+    (applyMappingIn(tableRoot, schema.getOrElse(
+      throw new IllegalStateException(
+        s"the Delta log at $tableRoot has no metaData action")),
+      config),
+      partCols, ckptV, config)
   }
 
   /** Reverse of [[gateMetadata]]'s generation stamping: one Delta
@@ -1351,7 +1457,8 @@ object DeltaExport {
     val pre = new LogTable(tableRoot)
     require(pre.currentVersion.isEmpty,
       s"a graft log table already exists at $tableRoot")
-    val (schema, partCols, ckptV) = readDeltaMeta(spark, tableRoot)
+    val (schema, partCols, ckptV, foreignConfig) =
+      readDeltaMeta(spark, tableRoot)
     val types = schema.fields.map(f => f.name -> f.dataType).toMap
     // GENERATED partition columns rebuild as graft hidden
     // partitioning: the generation expression parses back to the
@@ -1529,12 +1636,21 @@ object DeltaExport {
     }
 
     val t = new LogTable(tableRoot)
+    // an id-mapped foreign table converts COLUMN-MAPPED: the stamps
+    // came through applyMappingIn, and the foreign maxColumnId seeds
+    // graft's field-id high-water so later ADD COLUMNS never reuse a
+    // dropped foreign id
+    val createProps: Map[String, String] =
+      foreignConfig.get(MappingMaxIdKey)
+        .map(m => Map(LogTable.PropFieldIdHighWater -> m))
+        .getOrElse(Map.empty)
     ckptV match {
       case None =>
         // no foreign checkpoint: the whole log IS the bounded tail —
         // the driver Seq is small by construction
         writeDvPairs(spark.createDataset(tailDvRows)(enc2))
-        t.create(userSchema, partitionBy = partitionBy)
+        t.create(userSchema, partitionBy = partitionBy,
+          properties = createProps)
         if (tailAlive.nonEmpty) t.registerFiles(tailAlive, op = "convert")
       case Some(cv) =>
         // DISTRIBUTED fold: checkpoint add rows → CkptAdd manifest
@@ -1645,7 +1761,8 @@ object DeltaExport {
                 LogTable.renderStats(a.stats))), a.partitionValues,
               a.dv.map(_.path), a.dv.map(_.rows), a.baseRowId)
           })(enc)
-        t.create(userSchema, partitionBy = partitionBy)
+        t.create(userSchema, partitionBy = partitionBy,
+          properties = createProps)
         t.registerFilesFrom(spark,
           kept.unionByName(tailDs.toDF()).as[CkptAdd](enc),
           op = "convert")
@@ -1673,6 +1790,11 @@ object DeltaExport {
     if (files.isEmpty)
       return spark.createDataFrame(
         new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+    // an id-mapped log's schema carries parquet field-id stamps —
+    // Spark resolves by id only under the session conf (same
+    // sticky-flag rationale as LogTable.enableFieldIds)
+    if (schema.fields.exists(_.metadata.contains(LogTable.FieldIdKey)))
+      spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
     def absOf(p: String) = new File(tableRoot, p).getPath
     def reader = {
       val r = spark.read.schema(schema)

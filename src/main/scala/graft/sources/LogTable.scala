@@ -2250,6 +2250,12 @@ final class LogTable(val path: String,
   def tableProperties: Map[String, String] = currentVersion
     .map(v => snapshotAt(v).properties).getOrElse(Map.empty)
 
+  /** The property map current at `version` — the version-pinned twin
+    * of [[tableProperties]] (the Delta export reads the field-id
+    * high-water from the snapshot it exports, not today's). */
+  private[sources] def propertiesAt(version: Long): Map[String, String] =
+    snapshotAt(version).properties
+
   /** `ALTER TABLE ... SET TBLPROPERTIES (k = v, ...)` — metadata-only
     * commit of the merged full map (existing keys not named keep
     * their values), head-pinned like the other full-map metadata

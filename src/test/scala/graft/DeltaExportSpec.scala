@@ -678,7 +678,7 @@ class DeltaExportSpec extends SparkSpec {
 
   test("the import protocol gate: reader 3 WITHOUT a feature list " +
     "(malformed) refuses, reader 3 with an unknown feature refuses " +
-    "by name, legacy reader 2 refuses") {
+    "by name, legacy reader 2 (column mapping) passes") {
     def doctored(repl: String => String): String = {
       val dir = s"${tmp()}/t"
       val t = new LogTable(dir)
@@ -701,11 +701,11 @@ class DeltaExportSpec extends SparkSpec {
     val e2 = intercept[IllegalStateException](
       DeltaExport.loadDelta(spark, d2))
     assert(e2.getMessage.contains("v2Checkpoint"), e2.getMessage)
+    // reader 2 is the column-mapping legacy version — accepted (the
+    // metadata layer gates on the MODE; name mode refuses there)
     val d3 = doctored(
       _.replace("\"minReaderVersion\":1", "\"minReaderVersion\":2"))
-    val e3 = intercept[IllegalStateException](
-      DeltaExport.loadDelta(spark, d3))
-    assert(e3.getMessage.contains("minReaderVersion 2"), e3.getMessage)
+    assert(DeltaExport.loadDelta(spark, d3).count() == 1L)
   }
 
   test("deletion vectors EXPORT: a MOR delete mirrors as " +
@@ -828,5 +828,105 @@ class DeltaExportSpec extends SparkSpec {
       .as[Long].head() == 51L)
     conv.deleteMor(spark, col("seg") === "a b" && col("k") <= 60L)
     assert(conv.load(spark).count() == 145L)
+  }
+
+  test("column mapping exports in ID MODE: a renamed mapped table " +
+    "mirrors with delta.columnMapping metadata under a reader-2 " +
+    "protocol, the proxy reader resolves renames by field id, and " +
+    "convert rebuilds a COLUMN-MAPPED graft table") {
+    val dir = s"${tmp()}/t"
+    val t = new LogTable(dir)
+    t.create(org.apache.spark.sql.types.StructType.fromDDL(
+      "k BIGINT, v STRING"), columnMapping = true)
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+      .repartition(1))
+    t.renameColumn(spark, "v", "label")   // pure metadata — old
+    t.append(Seq((3L, "c")).toDF("k", "label").repartition(1))
+    DeltaExport.mirrorDelta(spark, t)
+    val cv = t.currentVersion.get
+    val c0 = java.nio.file.Files.readString(new File(dir,
+      f"_delta_log/$cv%020d.json").toPath)
+    assert(c0.contains("\"minReaderVersion\":2") &&
+      c0.contains("\"minWriterVersion\":5"), c0.take(200))
+    assert(c0.contains("\"delta.columnMapping.mode\":\"id\""),
+      c0.take(600))
+    assert(c0.contains("delta.columnMapping.maxColumnId"), c0.take(600))
+    assert(c0.contains("delta.columnMapping.id") &&
+      c0.contains("delta.columnMapping.physicalName"), c0.take(1200))
+    // the proxy reader serves the RENAMED column from pre-rename
+    // files (id resolution — the files store the old name)
+    val dl = DeltaExport.loadDelta(spark, dir)
+    assert(dl.columns.toSeq == Seq("k", "label"))
+    assert(dl.as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b"), (3L, "c")))
+    def rm(f: File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(new File(dir, "_log"))
+    val conv = DeltaExport.convertFromDelta(spark, dir)
+    assert(conv.load(spark).as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b"), (3L, "c")))
+    // the converted table is itself column-mapped: renames keep
+    // working and the id high-water carried over
+    conv.renameColumn(spark, "label", "tag")
+    assert(conv.load(spark).columns.toSeq == Seq("k", "tag"))
+    assert(conv.load(spark).as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b"), (3L, "c")))
+
+    // NAME mode refuses by name on import
+    val dir2 = s"${tmp()}/t"
+    val t2 = new LogTable(dir2)
+    t2.create(org.apache.spark.sql.types.StructType.fromDDL(
+      "k BIGINT, v STRING"), columnMapping = true)
+    t2.append(Seq((1L, "a")).toDF("k", "v"))
+    val v2 = t2.currentVersion.get
+    DeltaExport.exportDeltaLog(spark, t2)
+    rm(new File(dir2, "_log"))
+    // force JSON replay so the doctored commit is what the import
+    // reads
+    val dlog2 = new File(dir2, "_delta_log")
+    new File(dlog2, "_last_checkpoint").delete()
+    dlog2.listFiles().filter(_.getName.contains(".checkpoint."))
+      .foreach(_.delete())
+    val c2 = new File(dir2, f"_delta_log/$v2%020d.json")
+    java.nio.file.Files.writeString(c2.toPath,
+      java.nio.file.Files.readString(c2.toPath).replace(
+        "\"delta.columnMapping.mode\":\"id\"",
+        "\"delta.columnMapping.mode\":\"name\""))
+    val e = intercept[IllegalStateException](
+      DeltaExport.convertFromDelta(spark, dir2))
+    assert(e.getMessage.contains("'name'") &&
+      e.getMessage.contains("id mode only"), e.getMessage)
+  }
+
+  test("column mapping COMBINES with deletion vectors: a mapped " +
+    "table with MOR deletes exports under reader 3 with BOTH " +
+    "features and round-trips through convert") {
+    val dir = s"${tmp()}/t"
+    val t = new LogTable(dir)
+    t.create(org.apache.spark.sql.types.StructType.fromDDL(
+      "k BIGINT, v STRING"), columnMapping = true)
+    t.append((1L to 100L).map(i => (i, s"v$i")).toDF("k", "v")
+      .repartition(1))
+    t.renameColumn(spark, "v", "label")
+    t.deleteMor(spark, col("k") <= 20L)
+    DeltaExport.mirrorDelta(spark, t)
+    val cv = t.currentVersion.get
+    val c0 = java.nio.file.Files.readString(new File(dir,
+      f"_delta_log/$cv%020d.json").toPath)
+    assert(c0.contains("\"minReaderVersion\":3"), c0.take(300))
+    assert(c0.contains("\"columnMapping\"") &&
+      c0.contains("\"deletionVectors\""), c0.take(400))
+    assert(DeltaExport.loadDelta(spark, dir).count() == 80L)
+    def rm(f: File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(new File(dir, "_log"))
+    rm(new File(dir, "_dv"))
+    val conv = DeltaExport.convertFromDelta(spark, dir)
+    assert(conv.load(spark).count() == 80L)
+    assert(conv.load(spark).columns.toSeq == Seq("k", "label"))
+    conv.deleteMor(spark, col("k") === 99L)
+    assert(conv.load(spark).count() == 79L)
   }
 }
