@@ -78,10 +78,15 @@ private[graft] final case class CkptAdd(idx: Long, path: String,
   * like this: a snapshot points at manifests, never inlines files).
   * Protocol-gated by the `addsRef` reader feature: a reader that
   * does not understand the action would otherwise serve an empty
-  * table — a half-read the protocol forbids. */
+  * table — a half-read the protocol forbids. `rowIdBasis`, on a
+  * ROW-TRACKING table, is the row-id high-water the sidecar's
+  * contiguous `baseRowId` ranges were assigned from — the commit
+  * conflicts if another writer advanced it (same rule as identity
+  * allocation) and advances it by `rows` when it lands. */
 private[graft] final case class AddsRef(path: String, count: Long,
                                         rows: Long, bytes: Long,
-                                        anyDv: Boolean)
+                                        anyDv: Boolean,
+                                        rowIdBasis: Option[Long] = None)
 
 /** One partition's result of the DISTRIBUTED pruning walk
   * ([[LogTable.prunedAdds]]): how many manifest rows the partition
@@ -471,13 +476,18 @@ final class LogTable(val path: String,
     }
     AddsRef((j \ "path").asInstanceOf[JString].s, long(j \ "count"),
       long(j \ "rows"), long(j \ "bytes"),
-      (j \ "anyDv") == JBool(true))
+      (j \ "anyDv") == JBool(true),
+      (j \ "rowIdBasis") match {
+        case JInt(i) => Some(i.toLong); case JLong(l) => Some(l)
+        case _       => None
+      })
   }
 
   private def renderAddsRef(r: AddsRef): JValue =
     JObject(List("path" -> JString(r.path), "count" -> JLong(r.count),
       "rows" -> JLong(r.rows), "bytes" -> JLong(r.bytes),
-      "anyDv" -> JBool(r.anyDv)))
+      "anyDv" -> JBool(r.anyDv)) ++
+      r.rowIdBasis.map(b => "rowIdBasis" -> (JLong(b): JValue)).toList)
 
   /** The by-reference add set of one commit, if it carries one. */
   private def commitAddsRef(v: Long): Option[AddsRef] =
@@ -920,57 +930,112 @@ final class LogTable(val path: String,
     * version immediately, so every subsequent read resolves
     * manifest-to-manifest; even before it (or if its best-effort
     * write failed), [[distributedManifest]] folds the sidecar as a
-    * distributed segment. Refuses on row-tracking tables (contiguous
-    * base-row-id ranges would force enumerating the set). */
+    * distributed segment. On a ROW-TRACKING table (round 15) the
+    * sidecar write ALSO assigns each file's contiguous `baseRowId`
+    * range distributively — a per-partition running total over the
+    * ordered set, offset from the table's row-id high-water, so the
+    * driver still never enumerates the files; the commit declares
+    * the high-water it assigned from and conflicts (then reassigns
+    * and retries, up to 20 attempts) if a racing writer advanced it
+    * — exactly the identity-allocation rule. */
   private[graft] def registerFilesFrom(spark: SparkSession,
       ds: org.apache.spark.sql.Dataset[CkptAdd],
       op: String = "convert"): Long = {
     ensureLayout()
-    require(!currentVersion.exists(v => snapshotAt(v).properties
-        .get(LogTable.PropRowTracking).contains("true")),
-      "registerFilesFrom cannot assign base row ids on a " +
-        "row-tracking table — register via registerFiles, or " +
-        "disable row tracking first")
     val enc = org.apache.spark.sql.Encoders.product[CkptAdd]
-    // normalize idx contiguous in the caller's order, persist as the
-    // sidecar — one Spark job; the commit's O(1) admission facts
-    // aggregate from a column-pruned scan of the written parquet
-    val normalized = spark.createDataset(
-      ds.orderBy(col("idx")).rdd.zipWithIndex()
-        .map { case (c, i) => c.copy(idx = i) })(enc)
-    val target = addsRefDir(UUID.randomUUID().toString.take(8))
-    val tmp = new File(logDir, s".tmp-addsref-${UUID.randomUUID()}")
-    try {
-      normalized.write.mode("overwrite").parquet(tmp.getPath)
-      Files.move(tmp.toPath, target.toPath,
-        StandardCopyOption.ATOMIC_MOVE)
-    } catch { case NonFatal(e) => deleteRecursive(tmp); throw e }
-    val facts = spark.read.parquet(target.getPath).agg(
-      count(lit(1)), countDistinct(col("path")),
-      sum(col("rows")), sum(col("bytes")),
-      max(col("dvPath").isNotNull)).collect().head
-    val n = facts.getLong(0)
-    if (n == 0L) {
-      deleteRecursive(target)
-      return currentVersion.getOrElse(throw new IllegalStateException(
-        s"no log table at $path to register into"))
+    var attempts = 0
+    while (true) {
+      attempts += 1
+      val tracked = currentVersion.exists(v => snapshotAt(v).properties
+        .get(LogTable.PropRowTracking).contains("true"))
+      val basis: Option[Long] =
+        if (!tracked) None
+        else Some(currentVersion.flatMap(v => snapshotAt(v).properties
+          .get(LogTable.PropRowIdHighWater).map(_.toLong))
+          .getOrElse(0L))
+      // normalize idx contiguous in the caller's order — and, when
+      // tracked, assign each file's baseRowId as the running row
+      // total — in ONE partition-offset pass: per-partition
+      // (count, rowSum) collect O(#partitions), then a map stamps
+      // both offsets executor-side
+      val sorted = ds.orderBy(col("idx")).rdd
+      val partAgg = sorted.mapPartitionsWithIndex { (i, it) =>
+        var n = 0L; var r = 0L
+        it.foreach { c => n += 1; r += c.rows }
+        Iterator((i, n, r))
+      }.collect().sortBy(_._1)
+      val idxOffsets = partAgg.scanLeft(0L)(_ + _._2)
+      val rowOffsets = partAgg.scanLeft(basis.getOrElse(0L))(_ + _._3)
+      val trackedB = tracked
+      val normalized = spark.createDataset(
+        sorted.mapPartitionsWithIndex { (i, it) =>
+          var idx = idxOffsets(i)
+          var row = rowOffsets(i)
+          it.map { c =>
+            // carried assignments keep their ids (the commit-loop
+            // rule for inline adds); the running total advances
+            // either way, so fresh ranges never overlap
+            val out = c.copy(idx = idx,
+              baseRowId =
+                if (trackedB) c.baseRowId.orElse(Some(row))
+                else c.baseRowId)
+            idx += 1; row += c.rows
+            out
+          }
+        })(enc)
+      val target = addsRefDir(UUID.randomUUID().toString.take(8))
+      val tmp = new File(logDir, s".tmp-addsref-${UUID.randomUUID()}")
+      try {
+        normalized.write.mode("overwrite").parquet(tmp.getPath)
+        Files.move(tmp.toPath, target.toPath,
+          StandardCopyOption.ATOMIC_MOVE)
+      } catch { case NonFatal(e) => deleteRecursive(tmp); throw e }
+      val facts = spark.read.parquet(target.getPath).agg(
+        count(lit(1)), countDistinct(col("path")),
+        sum(col("rows")), sum(col("bytes")),
+        max(col("dvPath").isNotNull),
+        max(col("baseRowId").isNotNull)).collect().head
+      val n = facts.getLong(0)
+      if (n == 0L) {
+        deleteRecursive(target)
+        return currentVersion.getOrElse(throw new IllegalStateException(
+          s"no log table at $path to register into"))
+      }
+      if (facts.getLong(1) != n) {
+        deleteRecursive(target)
+        throw new IllegalArgumentException(
+          s"registerFilesFrom: ${n - facts.getLong(1)} duplicate " +
+            "path(s) in the add set — a manifest maps each path to " +
+            "one entry; dedup (latest wins) before registering")
+      }
+      if (!tracked && facts.getBoolean(5)) {
+        deleteRecursive(target)
+        throw new IllegalArgumentException(
+          "registerFilesFrom: the add set carries baseRowId " +
+            "assignments but this table does not track row ids — " +
+            "enable row tracking first or strip the ids")
+      }
+      val ref = AddsRef(target.getName, n, facts.getLong(2),
+        facts.getLong(3), facts.getBoolean(4), rowIdBasis = basis)
+      try {
+        val v = commitRetry(currentVersion, Seq.empty, Seq.empty, op,
+          schemaJson = None, cdfDir = None, addsRef = Some(ref))
+        // checkpoint NOW (idempotent — the fat-commit trigger may
+        // have already fired): later readers resolve the parquet
+        // manifest directly instead of re-stitching the sidecar
+        // segment
+        writeCheckpoint(v)
+        return v
+      } catch {
+        case e: java.util.ConcurrentModificationException
+            if tracked && attempts < 20 =>
+          // a racing writer advanced the row-id high-water — the
+          // sidecar's assigned ranges overlap; reassign and retry
+          deleteRecursive(target)
+          snapCache.clear()
+      }
     }
-    if (facts.getLong(1) != n) {
-      deleteRecursive(target)
-      throw new IllegalArgumentException(
-        s"registerFilesFrom: ${n - facts.getLong(1)} duplicate " +
-          "path(s) in the add set — a manifest maps each path to " +
-          "one entry; dedup (latest wins) before registering")
-    }
-    val ref = AddsRef(target.getName, n, facts.getLong(2),
-      facts.getLong(3), facts.getBoolean(4))
-    val v = commitRetry(currentVersion, Seq.empty, Seq.empty, op,
-      schemaJson = None, cdfDir = None, addsRef = Some(ref))
-    // checkpoint NOW (idempotent — the fat-commit trigger may have
-    // already fired): later readers resolve the parquet manifest
-    // directly instead of re-stitching the sidecar segment
-    writeCheckpoint(v)
-    v
+    -1L // unreachable
   }
 
   /** Verification knob: replay snapshots from raw commits ONLY,
@@ -3184,7 +3249,7 @@ final class LogTable(val path: String,
       val baseProps = propertiesJson.getOrElse(headProps)
       val tracked = baseProps.get(LogTable.PropRowTracking)
         .contains("true")
-      val (effAdds, effPropsJson) =
+      val (effAdds, effPropsJson0) =
         if (!tracked || adds.forall(_.baseRowId.isDefined))
           (adds, propertiesJson)
         else {
@@ -3196,6 +3261,28 @@ final class LogTable(val path: String,
           }
           (assigned,
             Some(baseProps + (LogTable.PropRowIdHighWater -> hw.toString)))
+        }
+      // a BY-REFERENCE add set on a row-tracking table declared the
+      // high-water its contiguous baseRowId ranges were assigned
+      // from — the identity-allocation rule: a racing advance means
+      // the sidecar's ids overlap, so surface the conflict (the
+      // register loop reassigns and retries); on success the SAME
+      // commit advances the mark by the set's total rows.
+      val effPropsJson: Option[Map[String, String]] =
+        addsRef.flatMap(_.rowIdBasis) match {
+          case Some(b) if tracked =>
+            val headHw = baseProps.get(LogTable.PropRowIdHighWater)
+              .map(_.toLong).getOrElse(0L)
+            if (headHw != b)
+              throw new java.util.ConcurrentModificationException(
+                s"conflicting commit: the row-id high-water moved " +
+                  s"from $b to $headHw while this by-reference " +
+                  "registration was being written — its assigned " +
+                  "ranges overlap; reassign and retry")
+            Some(effPropsJson0.getOrElse(baseProps) +
+              (LogTable.PropRowIdHighWater ->
+                (b + addsRef.get.rows).toString))
+          case _ => effPropsJson0
         }
       // WRITER protocol gate + auto-upgrade (Delta's PROTOCOL.md):
       // refuse to commit to a table demanding writer features this

@@ -221,6 +221,73 @@ class AddsRefSpec extends SparkSpec {
     assert(total == 51L)
   }
 
+  test("a ROW-TRACKING table takes a by-reference registration: " +
+    "contiguous disjoint base-row-id ranges assign distributively " +
+    "and the high-water advances in the same commit") {
+    val dir = s"${tmp()}/t"
+    val t = new LogTable(dir, checkpointInterval = 1)
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+      .repartition(1))                                          // v0
+    t.enableRowTracking()                                       // v1
+    val hw0 = t.tableProperties(LogTable.PropRowIdHighWater).toLong
+    assert(hw0 == 2L)
+    val v = t.registerFilesFrom(spark, fakeDs(5000))            // v2
+    assert(v == 2L)
+    val fresh = new LogTable(dir)
+    assert(fresh.tableProperties(LogTable.PropRowIdHighWater)
+      .toLong == hw0 + 50000L,
+      "the registration must advance the row-id high-water")
+    assert(!fresh.addsMaterializedAt(),
+      "the tracked registration materialized the set on the driver")
+    val (all, total) = fresh.prunedAddsFor(spark, lit(true))
+    assert(total == 5001L)
+    val fakes = all.filter(_.path.startsWith("data/fake-"))
+    assert(fakes.forall(_.baseRowId.isDefined),
+      "every by-reference file needs its assigned range")
+    // ranges start at the prior high-water, stack contiguously, and
+    // never overlap
+    val ranges = fakes.map(a => (a.baseRowId.get, a.rows))
+      .sortBy(_._1)
+    assert(ranges.head._1 == hw0)
+    ranges.sliding(2).foreach {
+      case scala.collection.Seq((b1, r1), (b2, _)) =>
+        assert(b2 == b1 + r1, s"gap/overlap at $b1+$r1 vs $b2")
+      case _ => ()
+    }
+  }
+
+  test("by-reference registered REAL files serve metadata row ids: " +
+    "unique and contiguous across the table's own rows and the " +
+    "registered set") {
+    val dir = s"${tmp()}/t"
+    val t = new LogTable(dir, checkpointInterval = 1)
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+      .repartition(1))                                          // v0
+    t.enableRowTracking()                                       // v1
+    val staging = s"$dir/data/reg"
+    Seq((10L, "x"), (11L, "y"), (12L, "z")).toDF("k", "v")
+      .repartition(1).write.parquet(staging)
+    val files = new File(staging).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    val ds = spark.createDataset(files.toSeq.zipWithIndex.map {
+      case (f, i) => CkptAdd(i.toLong, s"data/reg/${f.getName}",
+        3L, f.length(), "{}", Map.empty, None, None, None)
+    })
+    t.registerFilesFrom(spark, ds)                              // v2
+    val got = t.loadWithRowIds(spark)
+      .select(col("k"), col("_row_id")).as[(Long, Long)]
+      .collect().toSeq
+    assert(got.map(_._2).distinct.size == 5,
+      s"row ids must be unique: $got")
+    assert(got.map(_._2).toSet == (0L until 5L).toSet, got)
+    // further tracked DML keeps allocating past the advanced mark
+    t.append(Seq((20L, "w")).toDF("k", "v"))
+    val after = t.loadWithRowIds(spark)
+      .select("_row_id").as[Long].collect().toSeq
+    assert(after.distinct.size == 6 && after.toSet == (0L until 6L).toSet,
+      after.sorted)
+  }
+
   test("duplicate paths refuse; an empty set is a no-op") {
     val dir = s"${tmp()}/t"
     val t = new LogTable(dir)
