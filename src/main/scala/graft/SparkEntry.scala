@@ -1529,6 +1529,36 @@ object SparkEntry {
       conv.load(s).select(col("k"), col("name")).orderBy("k")
     }),
 
+    "iceberg_bucket_interop" -> ((s, d) => {
+      // round-15: `iceberg_bucket(n, c)` hidden partitioning — the
+      // Iceberg spec's OWN bucket hash (Appendix B murmur3, seed 0;
+      // graft.plans.IcebergBucketHash, codegen'd) as a graft
+      // transform, so bucketed layouts cross the Iceberg metadata
+      // boundary as a real `bucket[N]` a foreign reader prunes by,
+      // instead of refusing (Spark's hash() differs). Export →
+      // convert → further writes under the SAME hash → DML.
+      import s.implicits._
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft_ibkq").toString
+      val src = new graft.sources.LogTable(s"$wh/t")
+      src.create(org.apache.spark.sql.types.StructType.fromDDL(
+        "k BIGINT, name STRING"),
+        partitionBy = Seq("iceberg_bucket(4, k)"))
+      val cust = t(s, d, "customer").select(col("c_custkey").as("k"),
+        col("c_name").as("name"))
+      src.append(cust.filter(col("k") <= 150))
+      graft.sources.IcebergExport.exportIcebergMetadata(s, src)
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(s"$wh/t/_log"))
+      val conv = graft.sources.IcebergExport
+        .convertFromIceberg(s, s"$wh/t")
+      conv.append(cust.filter(col("k") > 150 && col("k") <= 180))
+      conv.delete(s, col("k") % 10 === 0)
+      conv.load(s).select(col("k"), col("name")).orderBy("k")
+    }),
+
     "iceberg_mirror" -> ((s, d) => {
       // round-14 ONE-CALL Iceberg mirror (mirrorDelta's analog):
       // follow the table one commit at a time — export + retention
@@ -4167,6 +4197,12 @@ object SparkEntry {
       """SELECT c_custkey AS k, c_name AS name
          FROM customer
          WHERE c_custkey <= 150 AND c_custkey % 10 <> 0
+         ORDER BY k""",
+
+    "iceberg_bucket_interop" ->
+      """SELECT c_custkey AS k, c_name AS name
+         FROM customer
+         WHERE c_custkey <= 180 AND c_custkey % 10 <> 0
          ORDER BY k""",
 
     "delta_mapping" ->

@@ -127,6 +127,25 @@ object GraftFunctions {
       TopKPairsSummary(args(0), args(1),
         intLit("graft_topk_pairs", args(2)))
     },
+    // Iceberg's bucket[N] transform (spec Appendix B — standard
+    // murmur3_x86_32 seed 0 over the spec's type encodings): the
+    // hidden-partitioning kernel behind `iceberg_bucket(n, c)`
+    // layouts, which cross the Iceberg metadata boundary with
+    // CORRECT foreign pruning (Spark's own hash() does not)
+    "graft_iceberg_bucket" -> { args =>
+      arity("graft_iceberg_bucket", args, 2)
+      val n = args(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(i,
+          org.apache.spark.sql.types.IntegerType) => i.asInstanceOf[Int]
+        case org.apache.spark.sql.catalyst.expressions.Literal(l,
+          org.apache.spark.sql.types.LongType) =>
+          l.asInstanceOf[Long].toInt
+        case other => throw new IllegalArgumentException(
+          "graft_iceberg_bucket expects an integer literal bucket " +
+            s"count, got $other")
+      }
+      IcebergBucket(args(0), n)
+    },
     "graft_normalize_text" -> { args =>
       arity("graft_normalize_text", args, 2)
       val nfkc = args(1) match {

@@ -440,6 +440,12 @@ object DeltaExport {
             val t = PartitionTransforms.parse(spec).getOrElse(
               throw new IllegalStateException(
                 s"unparseable partition transform '$spec'"))
+            require(t.kind != "iceberg_bucket",
+              s"cannot export transform '$spec' to Delta — its " +
+                "generation expression is graft's own " +
+                "graft_iceberg_bucket, which external Delta writers " +
+                "cannot evaluate; use bucket(n, c) (Spark's hash) " +
+                "for Delta-facing layouts")
             val src = schema1.fields.find(_.name == t.source).getOrElse(
               throw new IllegalStateException(
                 s"transform source '${t.source}' missing from schema"))

@@ -367,13 +367,15 @@ object IcebergExport {
               s"transform source column '${t.source}' is not in " +
                 "the schema"))
           require(t.kind != "bucket",
-            s"cannot export bucket transform '$spec' — graft " +
-              "buckets by Spark's Murmur3 hash, Iceberg's bucket " +
-              "transform uses a different hash function; an " +
-              "external reader pruning by recomputed buckets would " +
-              "skip the WRONG files. OPTIMIZE to an identity or " +
-              "time-transform layout first")
-          if (sf.dataType == TimestampType && t.kind != "truncate") {
+            s"cannot export bucket transform '$spec' — graft's " +
+              "plain bucket uses Spark's Murmur3 hash, Iceberg's " +
+              "bucket transform a different one; an external reader " +
+              "pruning by recomputed buckets would skip the WRONG " +
+              "files. Use iceberg_bucket(n, c) for layouts that " +
+              "must cross this boundary, or OPTIMIZE to an " +
+              "identity/time-transform layout")
+          if (sf.dataType == TimestampType && t.kind != "truncate" &&
+              t.kind != "iceberg_bucket") {
             val z = tableTz.getOrElse(sessionTz)
             require(isUtc(z),
               s"cannot export transform '$spec' over a " +
@@ -397,6 +399,14 @@ object IcebergExport {
               s => Integer.valueOf((ldtOfPv(s)
                 .toEpochSecond(java.time.ZoneOffset.UTC) / 3600L)
                 .toInt))
+            // iceberg_bucket computes the SPEC's own hash
+            // (Appendix B murmur3, seed 0 — graft.plans.
+            // IcebergBucketHash), so the exported transform string
+            // is the real `bucket[N]`: a foreign reader recomputing
+            // buckets prunes to exactly the right files
+            case "iceberg_bucket" => IcePartField(c,
+              s"bucket[${t.param.get}]", sid, "\"int\"",
+              s => Integer.valueOf(s.toInt))
             case "truncate" => sf.dataType match {
               case StringType => IcePartField(c,
                 s"truncate[${t.param.get}]", sid, "\"string\"",
@@ -1180,6 +1190,7 @@ object IcebergExport {
             .ofPattern("yyyy-MM-dd HH:mm:ss"))
           .replace(":", "%3A"))
       case t if t.startsWith("truncate") => Some(v.toString)
+      case t if t.startsWith("bucket") => Some(v.toString)
       case other => throw new IllegalStateException(
         s"unsupported partition transform in foreign metadata: $other")
     }
@@ -1326,14 +1337,14 @@ object IcebergExport {
           val w = t.stripPrefix("truncate[").stripSuffix("]").toInt
           (s"truncate($w,${src.name})",
             sf.name -> (s"${src.name}_trunc_$w", t))
-        case t if t.startsWith("bucket") =>
-          throw new IllegalArgumentException(
-            s"cannot import bucket-partitioned Iceberg metadata at " +
-              s"$tableRoot — Iceberg buckets by its own hash, graft " +
-              "by Spark's Murmur3; future graft writes would bucket " +
-              "the same column differently, making its stats a mix " +
-              "of two hash functions (unsound skipping). Rewrite to " +
-              "an identity/time/truncate layout Iceberg-side first")
+        case t if t.startsWith("bucket[") =>
+          // rebuilt as graft's iceberg_bucket transform: future
+          // graft writes compute the SPEC's hash (IcebergBucketHash)
+          // for the same column, so the hidden column's stats stay
+          // ONE hash function — sound skipping on both sides
+          val n = t.stripPrefix("bucket[").stripSuffix("]").toInt
+          (s"iceberg_bucket($n,${src.name})",
+            sf.name -> (s"${src.name}_ibucket_$n", t))
         case other => throw new IllegalArgumentException(
           s"unsupported Iceberg partition transform '$other' at " +
             s"$tableRoot")

@@ -1511,6 +1511,17 @@ final class LogTable(val path: String,
   private def hasFieldIds(s: StructType): Boolean =
     s.fields.exists(_.metadata.contains(LogTable.FieldIdKey))
 
+  /** Stored generated-column SQL may call graft's OWN functions —
+    * `graft_iceberg_bucket` hidden layouts — which resolve only if
+    * the session has them registered (the extensions route applies
+    * at session build; a plain session has no graft_* entries).
+    * Idempotent and cheap: called wherever a stored expression is
+    * about to analyze. */
+  private def ensureGraftFns(spark: SparkSession,
+                             exprs: Iterable[String]): Unit =
+    if (exprs.exists(_.contains("graft_")))
+      org.apache.spark.sql.GraftSqlFunctions.register(spark)
+
   /** Field-id resolution is session-conf-gated in Spark; flip both
     * flags on when a COLUMN-MAPPED table is touched — and only
     * then, so sessions that never resolve a mapped table keep their
@@ -3796,6 +3807,7 @@ final class LogTable(val path: String,
     // (GENERATED ALWAYS AS); ones it provides are validated by the
     // commit-time stats aggregate instead
     val gen = snapOpt.map(_.generated).getOrElse(Map.empty)
+    ensureGraftFns(df0.sparkSession, gen.values)
     val df = gen.foldLeft(pol) { case (acc, (g, e)) =>
       if (acc.columns.contains(g)) acc else acc.withColumn(g, expr(e))
     }
@@ -3897,6 +3909,7 @@ final class LogTable(val path: String,
           df0.columns.toSet == (snap.schema.fieldNames.toSet -- missing)
       } =>
         val genned = snap.generated.foldLeft(df0) { case (acc, (g, e)) =>
+          ensureGraftFns(df0.sparkSession, Seq(e))
           if (acc.columns.contains(g)) acc else acc.withColumn(g, expr(e))
         }
         (conform(genned, snap.schema), snap.schema, false)
@@ -4120,6 +4133,7 @@ final class LogTable(val path: String,
                                      set: Map[String, Column])
       : Map[String, Column] = {
     val gen = generatedCols
+    ensureGraftFns(spark, gen.values)
     if (gen.isEmpty) set
     else gen.foldLeft(set) { case (acc, (g, e)) =>
       if (acc.contains(g)) acc
@@ -4369,6 +4383,7 @@ final class LogTable(val path: String,
       generated: Map[String, String], tableTz: Option[String],
       conjuncts: Seq[expressions.Expression]): Seq[expressions.Expression] = {
     if (generated.isEmpty || conjuncts.isEmpty) return Seq.empty
+    ensureGraftFns(spark, generated.values)
     // generated values were computed under the table's recorded
     // session timezone; folding an INSTANT transform-of-literal
     // under a different (or unknown) zone shifts date boundaries
@@ -4430,6 +4445,10 @@ final class LogTable(val path: String,
                 case Seq(u: UnresolvedAttribute) => Some((u.name, false))
                 case _ => None
               }
+            // Iceberg-hash bucket: deterministic, NOT order-preserving
+            case ("graft_iceberg_bucket",
+              Seq(u: UnresolvedAttribute, _: expressions.Literal)) =>
+              Some((u.name, false))
             case _ => None
           }
         case _ => None

@@ -38,12 +38,14 @@ private[sources] final case class PartitionTransform(kind: String,
     case "days"     => s"${source}_day"
     case "hours"    => s"${source}_hour"
     case "bucket"   => s"${source}_bucket_${param.get}"
+    case "iceberg_bucket" => s"${source}_ibucket_${param.get}"
     case "truncate" => s"${source}_trunc_${param.get}"
   }
 
   /** Is the transform order-preserving in its source? Decides
     * whether range predicates may derive (bucket may not). */
-  def monotonic: Boolean = kind != "bucket"
+  def monotonic: Boolean =
+    kind != "bucket" && kind != "iceberg_bucket"
 
   /** The hidden column's data type — static per (kind, source type)
     * so table CREATE stays sessionless. Must agree with what
@@ -55,7 +57,7 @@ private[sources] final case class PartitionTransform(kind: String,
       case TimestampNTZType => TimestampNTZType // date_trunc preserves NTZ
       case _                => TimestampType
     }
-    case "bucket" => IntegerType
+    case "bucket" | "iceberg_bucket" => IntegerType
     case "truncate" => f.dataType match {
       case StringType => StringType
       case _          => LongType // `c - pmod(c, wL)` widens to BIGINT
@@ -83,6 +85,24 @@ private[sources] final case class PartitionTransform(kind: String,
         require(param.exists(_ > 0),
           s"bucket transform needs a positive modulus, got $param")
         s"pmod(hash(`$source`), ${param.get})"
+      case "iceberg_bucket" =>
+        // Iceberg's spec bucket hash (Appendix B murmur3, seed 0) —
+        // the layout that crosses the Iceberg metadata boundary with
+        // CORRECT foreign pruning; needs the graft_iceberg_bucket
+        // function (GraftExtensions) registered in the session
+        require(param.exists(_ > 0),
+          s"iceberg_bucket transform needs a positive modulus, " +
+            s"got $param")
+        f.dataType match {
+          case ByteType | ShortType | IntegerType | LongType |
+               DateType | TimestampType | TimestampNTZType |
+               StringType | BinaryType =>
+            s"graft_iceberg_bucket(`$source`, ${param.get})"
+          case other => throw new IllegalArgumentException(
+            s"iceberg_bucket transform needs an int/long/date/" +
+              s"timestamp/string/binary source, but '${f.name}' " +
+              s"is ${other.sql}")
+        }
       case "truncate" =>
         require(param.exists(_ > 0),
           s"truncate transform needs a positive width, got $param")
@@ -102,7 +122,8 @@ private[sources] object PartitionTransforms {
   private val Unary =
     """\s*(years|months|days|hours)\s*\(\s*`?([A-Za-z_][A-Za-z0-9_]*)`?\s*\)\s*""".r
   private val Binary =
-    """\s*(bucket|truncate)\s*\(\s*(\d+)\s*,\s*`?([A-Za-z_][A-Za-z0-9_]*)`?\s*\)\s*""".r
+    ("""\s*(bucket|iceberg_bucket|truncate)""" +
+      """\s*\(\s*(\d+)\s*,\s*`?([A-Za-z_][A-Za-z0-9_]*)`?\s*\)\s*""").r
 
   /** Parse one `partitionBy` entry. A bare column name is identity
     * layout (None); a transform call parses to its model; anything
@@ -116,7 +137,8 @@ private[sources] object PartitionTransforms {
       throw new IllegalArgumentException(
         s"unsupported partition transform '$e' — supported: " +
           "years(c), months(c), days(c), hours(c), bucket(n, c), " +
-          "truncate(w, c), or a bare column name")
+          "iceberg_bucket(n, c), truncate(w, c), or a bare column " +
+          "name")
     case _ => None
   }
 }

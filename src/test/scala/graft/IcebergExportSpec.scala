@@ -775,4 +775,79 @@ class IcebergExportSpec extends SparkSpec {
       JsonMethods.pretty(JsonMethods.render(pm)))
     assert((pm \ "last-partition-id") == JInt(1001))
   }
+
+  test("iceberg_bucket layouts CROSS the boundary: the spec's own " +
+    "hash exports as a real bucket[N] transform, a foreign reader's " +
+    "recomputation names the right files, and convert rebuilds the " +
+    "layout for further writes") {
+    val dir = s"${tmp()}/t"
+    val t = new LogTable(dir)
+    t.create(org.apache.spark.sql.types.StructType.fromDDL(
+      "k BIGINT, name STRING"),
+      partitionBy = Seq("iceberg_bucket(4, k)"))
+    t.append((1L to 40L).map(i => (i, s"n$i")).toDF("k", "name"))
+    // point query on the SOURCE column prunes via the hidden bucket
+    val (surv, total) = t.prunedAddsFor(spark, col("k") === 7L)
+    assert(surv.size < total, s"${surv.size} of $total")
+    val expected = graft.plans.IcebergBucketHash.bucketLong(7L, 4)
+    assert(surv.forall(_.partitionValues.get("k_ibucket_4")
+      .contains(expected.toString)),
+      surv.map(_.partitionValues).mkString(", "))
+
+    IcebergExport.exportIcebergMetadata(spark, t)
+    // the exported spec carries the REAL bucket[4] transform
+    val meta = JsonMethods.parse(java.nio.file.Files.readString(
+      new File(dir, "metadata/v1.metadata.json").toPath))
+    val specFields = (meta \ "partition-specs") match {
+      case JArray(List(sp)) => sp \ "fields"
+      case other => fail(s"one spec expected: $other")
+    }
+    assert((specFields \ "transform") == JString("bucket[4]") ||
+      ((specFields \ "transform") match {
+        case JArray(ts) => ts.contains(JString("bucket[4]"))
+        case _ => false
+      }), JsonMethods.pretty(JsonMethods.render(specFields)))
+    // a FOREIGN reader recomputing the spec hash for k = 7 selects
+    // exactly the files graft wrote for that bucket
+    val (_, _, files) = IcebergExport.readIcebergSnapshot(spark, dir)
+    val wanted = files.filter(_._3.get("k_ibucket_4")
+      .contains(expected.toString))
+      .map(f => new File(f._1).getName).toSet
+    // graft's own pruning is TIGHTER (bucket + per-file k min/max),
+    // so its survivors must sit inside the foreign bucket selection
+    // — and the bucket selection must be a strict subset of all files
+    assert(surv.map(a => new File(a.path).getName).toSet
+      .subsetOf(wanted), s"$wanted vs ${surv.map(_.path)}")
+    assert(wanted.nonEmpty && wanted.size < files.size)
+
+    // convert rebuilds the SAME layout: future writes bucket by the
+    // spec hash, so stats stay one hash function
+    def rm(f: File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(new File(dir, "_log"))
+    val conv = IcebergExport.convertFromIceberg(spark, dir)
+    assert(conv.partitionTransforms ==
+      Map("k_ibucket_4" -> "iceberg_bucket(4,k)"),
+      conv.partitionTransforms)
+    assert(conv.load(spark).count() == 40L)
+    conv.append((41L to 48L).map(i => (i, s"n$i")).toDF("k", "name"))
+    assert(conv.load(spark).count() == 48L)
+    val (surv2, total2) = conv.prunedAddsFor(spark, col("k") === 43L)
+    assert(surv2.size < total2)
+    val exp43 = graft.plans.IcebergBucketHash.bucketLong(43L, 4)
+    assert(surv2.forall(_.partitionValues.get("k_ibucket_4")
+      .contains(exp43.toString)))
+
+    // the SPARK-hash bucket still refuses at this boundary, naming
+    // the working alternative
+    val d2 = s"${tmp()}/t"
+    val t2 = new LogTable(d2)
+    t2.create(org.apache.spark.sql.types.StructType.fromDDL(
+      "k BIGINT, name STRING"), partitionBy = Seq("bucket(4, k)"))
+    t2.append(Seq((1L, "a")).toDF("k", "name"))
+    val e = intercept[IllegalArgumentException](
+      IcebergExport.exportIcebergMetadata(spark, t2))
+    assert(e.getMessage.contains("iceberg_bucket"), e.getMessage)
+  }
 }
