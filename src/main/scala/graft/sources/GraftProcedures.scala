@@ -62,8 +62,16 @@ private[sources] final class GraftProcedure(catalog: GraftTableCatalog,
         in("where", StringType).defaultValue("''").build(),
         in("incremental", BooleanType).defaultValue("false").build())
     case "purge_deletes" | "history" | "detail" | "refresh_mv" |
-         "analyze_table" =>
+         "analyze_table" | "checkpoint" =>
       Array(in("table", StringType).build())
+    case "set_properties" =>
+      // `properties`: comma-separated k=v pairs ("a=1,b=x")
+      Array(in("table", StringType).build(),
+        in("properties", StringType).build())
+    case "unset_properties" =>
+      // `keys`: comma-separated property names
+      Array(in("table", StringType).build(),
+        in("keys", StringType).build())
     case "expire_snapshots" =>
       Array(in("table", StringType).build(),
         in("retain_last", IntegerType).defaultValue("1").build())
@@ -120,7 +128,8 @@ private[sources] final class GraftProcedure(catalog: GraftTableCatalog,
     case "restore" | "purge_deletes" | "optimize" | "clone" |
          "create_mv" | "set_partition" | "create_tag" |
          "create_branch" | "merge_branch" | "drop_ref" |
-         "drop_branch" =>
+         "drop_branch" | "set_properties" | "unset_properties" |
+         "checkpoint" =>
       StructType(Seq(StructField("version", LongType)))
     case "refresh_mv" =>
       StructType(Seq(StructField("version", LongType),
@@ -342,6 +351,25 @@ private[sources] final class GraftProcedure(catalog: GraftTableCatalog,
           input.getUTF8String(0).toString)
         val conv = IcebergExport.convertFromIceberg(spark, target.path)
         Seq(row(conv.currentVersion.getOrElse(-1L)))
+      case "set_properties" =>
+        val props = input.getUTF8String(1).toString
+          .split(",").map(_.trim).filter(_.nonEmpty)
+          .map { kv =>
+            val i = kv.indexOf('=')
+            require(i > 0, s"set_properties expects k=v pairs, got '$kv'")
+            kv.take(i).trim -> kv.drop(i + 1).trim
+          }.toMap
+        require(props.nonEmpty, "set_properties needs at least one k=v")
+        Seq(row(t.setTableProperties(props)))
+      case "unset_properties" =>
+        val keys = input.getUTF8String(1).toString
+          .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        require(keys.nonEmpty, "unset_properties needs at least one key")
+        Seq(row(t.unsetTableProperties(keys)))
+      case "checkpoint" =>
+        // force a checkpoint at the head — the maintenance verb that
+        // bounds every later reader's commit-tail replay
+        Seq(row(t.checkpointNow()))
       case "analyze_table" =>
         // ANALYZE TABLE ... COMPUTE STATISTICS FOR ALL COLUMNS: one
         // distributed pass, stats committed to TBLPROPERTIES, exact
@@ -363,14 +391,15 @@ private[sources] final class GraftProcedure(catalog: GraftTableCatalog,
   }
 }
 
-private object GraftProcedure {
+private[graft] object GraftProcedure {
   val Names: Set[String] =
     Set("restore", "vacuum", "optimize", "purge_deletes", "history",
       "detail", "clone", "create_mv", "refresh_mv", "set_partition",
       "create_tag", "create_branch", "merge_branch", "drop_ref",
       "drop_branch", "show_refs", "analyze_table", "expire_snapshots",
       "mirror_delta", "mirror_iceberg", "convert_from_delta",
-      "convert_from_iceberg")
+      "convert_from_iceberg", "set_properties", "unset_properties",
+      "checkpoint")
 
   private def row(vs: Any*): InternalRow =
     new GenericInternalRow(vs.toArray)

@@ -2326,6 +2326,19 @@ final class LogTable(val path: String,
   def tableProperties: Map[String, String] = currentVersion
     .map(v => snapshotAt(v).properties).getOrElse(Map.empty)
 
+  /** Force a checkpoint at the current version — the maintenance
+    * verb behind `CALL g.checkpoint('t')`: bounds every later
+    * reader's commit-tail replay without waiting for the interval
+    * cadence. Idempotent (an already-checkpointed head is a no-op),
+    * and NOT a commit — the log's version does not move. Returns
+    * the checkpointed version. */
+  def checkpointNow(): Long = {
+    val v = currentVersion.getOrElse(throw new IllegalStateException(
+      s"no log table at $path"))
+    writeCheckpoint(v)
+    v
+  }
+
   /** The property map current at `version` — the version-pinned twin
     * of [[tableProperties]] (the Delta export reads the field-id
     * high-water from the snapshot it exports, not today's). */

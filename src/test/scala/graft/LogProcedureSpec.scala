@@ -172,4 +172,60 @@ class LogProcedureSpec extends SparkSpec {
         s"CALL $cat.restore('t')").collect())
     }
   }
+
+  test("the procedure REGISTRY is pinned: every maintenance verb is " +
+    "CALLable, drift fails here first") {
+    // the full surface, alphabetical — adding a procedure without
+    // extending this list (or vice versa) must fail a test, not ship
+    // silently
+    val expected = Set(
+      "analyze_table", "checkpoint", "clone", "convert_from_delta",
+      "convert_from_iceberg", "create_branch", "create_mv",
+      "create_tag", "detail", "drop_branch", "drop_ref",
+      "expire_snapshots", "history", "merge_branch", "mirror_delta",
+      "mirror_iceberg", "optimize", "purge_deletes", "refresh_mv",
+      "restore", "set_partition", "set_properties", "show_refs",
+      "unset_properties", "vacuum")
+    val names = graft.sources.GraftProcedure.Names
+    assert(names == expected,
+      s"registry drift: +${(names -- expected).toSeq.sorted} " +
+        s"-${(expected -- names).toSeq.sorted}")
+    // and each one BINDS through a real catalog (parameters +
+    // output schema resolve; a typo'd case match would throw here)
+    withCatalog { (cat, t) =>
+      val catalog = spark.sessionState.catalogManager
+        .catalog(cat)
+        .asInstanceOf[org.apache.spark.sql.connector.catalog
+          .ProcedureCatalog]
+      expected.foreach { n =>
+        val proc = catalog.loadProcedure(
+          org.apache.spark.sql.connector.catalog.Identifier
+            .of(Array.empty, n))
+        assert(proc.name() == n)
+      }
+    }
+  }
+
+  test("CALL set_properties / unset_properties / checkpoint: the " +
+    "round-15 maintenance verbs work end to end") {
+    withCatalog { (cat, t) =>
+      val v1 = spark.sql(s"CALL $cat.set_properties('t', " +
+        "'owner=etl, tier=gold')").as[Long].head()
+      assert(v1 == t.currentVersion.get)
+      assert(t.tableProperties.get("owner").contains("etl"))
+      assert(t.tableProperties.get("tier").contains("gold"))
+      val v2 = spark.sql(
+        s"CALL $cat.unset_properties('t', 'tier')").as[Long].head()
+      assert(v2 == v1 + 1)
+      assert(t.tableProperties.get("tier").isEmpty)
+      assert(t.tableProperties.get("owner").contains("etl"))
+      // checkpoint: not a commit — the version does not move, but
+      // the head resolves from the pointer afterwards
+      val v3 = spark.sql(s"CALL $cat.checkpoint('t')").as[Long].head()
+      assert(v3 == v2)
+      assert(t.currentVersion.contains(v2))
+      val fresh = new LogTable(t.path)
+      assert(fresh.load(spark).count() == 3L)
+    }
+  }
 }
