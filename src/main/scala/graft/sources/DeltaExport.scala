@@ -1654,7 +1654,8 @@ object DeltaExport {
       case None =>
         // no foreign checkpoint: the whole log IS the bounded tail —
         // the driver Seq is small by construction
-        writeDvPairs(spark.createDataset(tailDvRows)(enc2))
+        if (tailDvRows.nonEmpty)
+          writeDvPairs(spark.createDataset(tailDvRows)(enc2))
         t.create(userSchema, partitionBy = partitionBy,
           properties = createProps)
         if (tailAlive.nonEmpty) t.registerFiles(tailAlive, op = "convert")
@@ -1749,17 +1750,24 @@ object DeltaExport {
         // the pair-generation inputs: the base's still-live
         // descriptors (tail-touched paths excluded — latest wins)
         // plus the tail's own
-        val baseDvRows: org.apache.spark.sql.Dataset[(String, String)] =
-          if (!hasDv) spark.createDataset(Seq.empty[(String, String)])(enc2)
-          else dropTouched(
-            df.filter(col("add").isNotNull &&
-              col("add.deletionVector").isNotNull)
-              .select(col("add.path").as("path"),
-                to_json(col("add.deletionVector")).as("dvj")))
-            .as[(String, String)](enc2)
-            .map { case (p0, j) => (decodePath(p0), j) }(enc2)
-        writeDvPairs(baseDvRows.unionAll(
-          spark.createDataset(tailDvRows)(enc2)))
+        // short-circuit on SCHEMA, not a scan: a foreign table whose
+        // checkpoint never declared deletionVector (the overwhelming
+        // case) and whose tail carries none must not pay a single
+        // extra job for the DV machinery
+        if (hasDv || tailDvRows.nonEmpty) {
+          val baseDvRows: org.apache.spark.sql.Dataset[(String, String)] =
+            if (!hasDv)
+              spark.createDataset(Seq.empty[(String, String)])(enc2)
+            else dropTouched(
+              df.filter(col("add").isNotNull &&
+                col("add.deletionVector").isNotNull)
+                .select(col("add.path").as("path"),
+                  to_json(col("add.deletionVector")).as("dvj")))
+              .as[(String, String)](enc2)
+              .map { case (p0, j) => (decodePath(p0), j) }(enc2)
+          writeDvPairs(baseDvRows.unionAll(
+            spark.createDataset(tailDvRows)(enc2)))
+        }
         val tailDs = spark.createDataset(
           tailAlive.zipWithIndex.map { case (a, i) =>
             CkptAdd(Long.MaxValue - tailAlive.size + i, a.path,
