@@ -1506,6 +1506,39 @@ object SparkEntry {
       conv.load(s).select(col("k"), col("tag")).orderBy("k")
     }),
 
+    "delta_constraints" -> ((s, d) => {
+      // round-15 CHECK-CONSTRAINT INTEROP: graft CHECK constraints
+      // cross the Delta boundary as the spec's
+      // `delta.constraints.<name>` configuration under a writer-3
+      // protocol floor (legacy ladder), and convertFromDelta carries
+      // them back so the converted table keeps refusing what the
+      // Delta writers refused. The query proves the round trip by
+      // appending MORE rows to the converted table under the
+      // surviving constraint — enforcement (a refused violating
+      // append) is asserted in DeltaExportSpec.
+      import s.implicits._
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft_dconq").toString
+      val src = new graft.sources.LogTable(s"$wh/t")
+      src.create(org.apache.spark.sql.types.StructType.fromDDL(
+        "k BIGINT, name STRING"),
+        checkConstraints = Map("k_nonneg" -> "k >= 0"))
+      val cust = t(s, d, "customer").select(col("c_custkey").as("k"),
+        col("c_name").as("name"))
+      src.append(cust.filter(col("k") <= 100).repartition(2))
+      src.addCheckConstraint(s, "name_ne", "length(name) > 0")
+      graft.sources.DeltaExport.mirrorDelta(s, src)
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(s"$wh/t/_log"))
+      val conv = graft.sources.DeltaExport.convertFromDelta(s, s"$wh/t")
+      require(conv.checkConstraints.keySet == Set("k_nonneg", "name_ne"),
+        s"constraints lost in convert: ${conv.checkConstraints}")
+      conv.append(cust.filter(col("k") > 100 && col("k") <= 150))
+      conv.load(s).select(col("k"), col("name")).orderBy("k")
+    }),
+
     "iceberg_convert" -> ((s, d) => {
       // round-13 CONVERT FROM ICEBERG metadata (in place): resolve
       // the current snapshot through the manifest chain, register
@@ -1556,6 +1589,39 @@ object SparkEntry {
         .convertFromIceberg(s, s"$wh/t")
       conv.append(cust.filter(col("k") > 150 && col("k") <= 180))
       conv.delete(s, col("k") % 10 === 0)
+      conv.load(s).select(col("k"), col("name")).orderBy("k")
+    }),
+
+    "iceberg_dv_roundtrip" -> ((s, d) => {
+      // round-15 POSITION-DELETE INTEROP, both directions and no
+      // purge anywhere (delta_dv_roundtrip's Iceberg twin):
+      // merge-on-read deletes export as the Iceberg spec's own v2
+      // position delete files — (file_path, pos) parquet with the
+      // reserved field ids, global (unpartitioned-spec) with
+      // file_path bounds, in a content=1 delete manifest — the
+      // graft log and pair dirs are stripped to leave a PURE
+      // Iceberg table with live row-level deletes, convertFromIceberg
+      // decodes the foreign deletes back into graft pair form, and
+      // a further MOR delete runs on the converted table — counts
+      // stay exact through every hop or the oracle catches it.
+      import s.implicits._
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft_idvq").toString
+      val src = new graft.sources.LogTable(s"$wh/t")
+      val cust = t(s, d, "customer").select(col("c_custkey").as("k"),
+        col("c_name").as("name"))
+      src.append(cust.filter(col("k") <= 150).repartition(3))
+      src.deleteMor(s, col("k") % 10 === 0)   // vectors, no rewrite
+      src.deleteMor(s, col("k") > 140)        // vector UNION on touched
+      graft.sources.IcebergExport.exportIcebergMetadata(s, src)
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(s"$wh/t/_log"))
+      rm(new java.io.File(s"$wh/t/_dv"))
+      val conv = graft.sources.IcebergExport
+        .convertFromIceberg(s, s"$wh/t")
+      conv.deleteMor(s, col("k") % 7 === 0)   // MOR on the convert
       conv.load(s).select(col("k"), col("name")).orderBy("k")
     }),
 
@@ -4216,6 +4282,19 @@ object SparkEntry {
          FROM customer
          WHERE c_custkey <= 140 AND c_custkey % 10 <> 0
            AND c_custkey % 7 <> 0
+         ORDER BY k""",
+
+    "iceberg_dv_roundtrip" ->
+      """SELECT c_custkey AS k, c_name AS name
+         FROM customer
+         WHERE c_custkey <= 140 AND c_custkey % 10 <> 0
+           AND c_custkey % 7 <> 0
+         ORDER BY k""",
+
+    "delta_constraints" ->
+      """SELECT c_custkey AS k, c_name AS name
+         FROM customer
+         WHERE c_custkey <= 150
          ORDER BY k""",
 
     "iceberg_convert" ->

@@ -228,13 +228,15 @@ object DeltaExport {
     * refuses cleanly instead of serving deleted rows. */
   private def protocolLine(generated: Boolean,
                            dv: Boolean = false,
-                           mapped: Boolean = false): String =
+                           mapped: Boolean = false,
+                           constrained: Boolean = false): String =
     if (dv) {
       // table-features form: every active feature named explicitly
       val reader = List("deletionVectors") ++
         (if (mapped) List("columnMapping") else Nil)
       val writer = reader ++
-        (if (generated) List("generatedColumns") else Nil)
+        (if (generated) List("generatedColumns") else Nil) ++
+        (if (constrained) List("checkConstraints") else Nil)
       JsonMethods.compact(JsonMethods.render(JObject(List(
         "protocol" -> JObject(List(
           "minReaderVersion" -> JInt(3),
@@ -244,11 +246,14 @@ object DeltaExport {
     } else JsonMethods.compact(JsonMethods.render(JObject(List(
       "protocol" -> JObject(List(
         // legacy encodings: column mapping is (2, 5) — which also
-        // covers generated columns' writer-4 floor — generated
-        // alone is (1, 4), plain is (1, 2)
+        // covers generated columns' writer-4 floor and CHECK
+        // constraints' writer-3 floor (the legacy ladder is
+        // cumulative) — generated alone is (1, 4), constraints
+        // alone (1, 3), plain (1, 2)
         "minReaderVersion" -> JInt(if (mapped) 2 else 1),
         "minWriterVersion" -> JInt(
-          if (mapped) 5 else if (generated) 4 else 2)))))))
+          if (mapped) 5 else if (generated) 4
+          else if (constrained) 3 else 2)))))))
 
   private def metaDataLine(schema: StructType, partCols: Seq[String],
                            createdTime: Long, id: String,
@@ -384,6 +389,8 @@ object DeltaExport {
   private[sources] val GenerationExprKey = "delta.generationExpression"
 
   /** Delta's column-mapping metadata keys (PROTOCOL.md). */
+  private[sources] val ConstraintKeyPrefix = "delta.constraints."
+
   private[sources] val MappingModeKey = "delta.columnMapping.mode"
   private[sources] val MappingMaxIdKey = "delta.columnMapping.maxColumnId"
   private[sources] val MappingIdKey = "delta.columnMapping.id"
@@ -422,15 +429,23 @@ object DeltaExport {
           .putLong(MappingIdKey, id)
           .putString(MappingNameKey, f.name).build())
       })
-    val config: Map[String, String] =
-      if (!mapped) Map.empty
-      else {
-        val maxId = log.propertiesAt(v)
-          .get(LogTable.PropFieldIdHighWater).map(_.toLong)
-          .getOrElse(schema0.fields
-            .map(_.metadata.getLong(LogTable.FieldIdKey)).max)
-        Map(MappingModeKey -> "id", MappingMaxIdKey -> maxId.toString)
-      }
+    val config: Map[String, String] = {
+      val mapping: Map[String, String] =
+        if (!mapped) Map.empty
+        else {
+          val maxId = log.propertiesAt(v)
+            .get(LogTable.PropFieldIdHighWater).map(_.toLong)
+            .getOrElse(schema0.fields
+              .map(_.metadata.getLong(LogTable.FieldIdKey)).max)
+          Map(MappingModeKey -> "id", MappingMaxIdKey -> maxId.toString)
+        }
+      // CHECK constraints cross verbatim: graft stores Spark SQL
+      // boolean expressions and Delta's `delta.constraints.<name>`
+      // configuration carries exactly that dialect (writers enforce
+      // with the same engine that validated graft's commits)
+      mapping ++ log.constraintsAt(v).map { case (n, e) =>
+        s"$ConstraintKeyPrefix$n" -> e }
+    }
     val transforms = log.partitionTransformsAt(v)
     val schema =
       if (transforms.isEmpty) schema1
@@ -666,7 +681,9 @@ object DeltaExport {
     try {
       w.write(protocolLine(schema.fields.exists(
         _.metadata.contains(GenerationExprKey)), anyDv,
-        mapped = config.nonEmpty)); w.write("\n")
+        mapped = config.contains(MappingModeKey),
+        constrained = config.keys
+          .exists(_.startsWith(ConstraintKeyPrefix)))); w.write("\n")
       w.write(metaDataLine(schema, partCols, mt,
         UUID.randomUUID().toString, config)); w.write("\n")
       dist match {
@@ -772,12 +789,16 @@ object DeltaExport {
       try {
         val generated = schema.fields.exists(
           _.metadata.contains(GenerationExprKey))
-        val mapped = config.nonEmpty
+        val mapped = config.contains(MappingModeKey)
+        val constrained = config.keys
+          .exists(_.startsWith(ConstraintKeyPrefix))
         if (cv == 0L) {
-          w.write(protocolLine(generated, commitHasDv, mapped))
+          w.write(protocolLine(generated, commitHasDv, mapped,
+            constrained))
           w.write("\n")
         } else if (commitHasDv ||
-            (mapped && log.commitChangedMetadata(cv))) {
+            ((mapped || constrained) &&
+              log.commitChangedMetadata(cv))) {
           // protocol UPGRADE mid-mirror — idempotent on replay
           // (latest protocol wins): the first DV-bearing commit must
           // raise the log to reader 3 / writer 7 with the feature
@@ -785,7 +806,9 @@ object DeltaExport {
           // otherwise let a DV-blind reader serve deleted rows), and
           // a metadata change on a COLUMN-MAPPED table re-emits so
           // the enable-mapping commit itself carries reader 2+
-          w.write(protocolLine(generated, commitHasDv, mapped))
+          // (likewise a constraint ADD raises the writer floor)
+          w.write(protocolLine(generated, commitHasDv, mapped,
+            constrained))
           w.write("\n")
         }
         if (cv == 0L || log.commitChangedMetadata(cv)) {
@@ -876,7 +899,9 @@ object DeltaExport {
     val header = spark.createDataset(Seq(
       protocolLine(schema.fields.exists(
         _.metadata.contains(GenerationExprKey)), anyDv,
-        mapped = config.nonEmpty),
+        mapped = config.contains(MappingModeKey),
+        constrained = config.keys
+          .exists(_.startsWith(ConstraintKeyPrefix))),
       metaDataLine(schema, log.partitionColsAt(v), mt, tableId,
         config)))(enc)
     val addLines = dist match {
@@ -1650,6 +1675,13 @@ object DeltaExport {
       foreignConfig.get(MappingMaxIdKey)
         .map(m => Map(LogTable.PropFieldIdHighWater -> m))
         .getOrElse(Map.empty)
+    // foreign CHECK constraints convert verbatim (the same Spark SQL
+    // dialect both sides enforce) — the converted table keeps
+    // refusing the rows the Delta writers refused; an expression
+    // graft cannot analyze refuses the convert loudly at create
+    val foreignChecks: Map[String, String] = foreignConfig
+      .collect { case (k, v) if k.startsWith(ConstraintKeyPrefix) =>
+        k.stripPrefix(ConstraintKeyPrefix) -> v }
     ckptV match {
       case None =>
         // no foreign checkpoint: the whole log IS the bounded tail —
@@ -1657,7 +1689,7 @@ object DeltaExport {
         if (tailDvRows.nonEmpty)
           writeDvPairs(spark.createDataset(tailDvRows)(enc2))
         t.create(userSchema, partitionBy = partitionBy,
-          properties = createProps)
+          checkConstraints = foreignChecks, properties = createProps)
         if (tailAlive.nonEmpty) t.registerFiles(tailAlive, op = "convert")
       case Some(cv) =>
         // DISTRIBUTED fold: checkpoint add rows → CkptAdd manifest
@@ -1776,7 +1808,7 @@ object DeltaExport {
               a.dv.map(_.path), a.dv.map(_.rows), a.baseRowId)
           })(enc)
         t.create(userSchema, partitionBy = partitionBy,
-          properties = createProps)
+          checkConstraints = foreignChecks, properties = createProps)
         t.registerFilesFrom(spark,
           kept.unionByName(tailDs.toDF()).as[CkptAdd](enc),
           op = "convert")

@@ -7,6 +7,7 @@ import java.util.UUID
 import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
 import org.apache.avro.file.{DataFileReader, DataFileWriter}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types._
 import org.json4s._
 import org.json4s.jackson.JsonMethods
@@ -52,8 +53,17 @@ import org.json4s.jackson.JsonMethods
   * schema — hidden columns are derived partition fields, never data
   * columns.
   *
-  * Refused loudly (state an Iceberg reader would misread): deletion
-  * vectors (v2 delete FILES are a different encoding), `bucket`
+  * DELETION VECTORS export as the spec's own row-level encoding
+  * (round 15): each DV-bearing snapshot writes v2 POSITION DELETE
+  * files — (file_path, pos) parquet with the reserved field ids,
+  * sorted per file, global (unpartitioned-spec) with file_path
+  * bounds for per-data-file pruning — in a content=1 delete
+  * manifest; [[convertFromIceberg]] decodes foreign position
+  * deletes back into graft `_dv` pair form (equality deletes
+  * refuse).
+  *
+  * Refused loudly (state an Iceberg reader would misread):
+  * equality deletes on import, `bucket`
   * transforms (graft buckets by Spark's Murmur3; Iceberg's bucket
   * hash differs — recomputed pruning would skip the wrong files),
   * session-zoned TIMESTAMP time transforms pinned to a non-UTC zone
@@ -611,6 +621,125 @@ object IcebergExport {
           "exportable to Iceberg metadata")
     }
 
+  /** The spec's reserved field ids for position delete file columns
+    * (Int.MaxValue - 101 / - 102): every Iceberg reader resolves
+    * delete parquet columns by THESE ids, so the written files stamp
+    * them explicitly. */
+  private[sources] val DeleteFilePathFieldId = 2147483546
+  private[sources] val DeletePosFieldId = 2147483545
+
+  /** Graft deletion-vector state rendered as Iceberg v2 POSITION
+    * DELETE files — parquet of (`file_path`, `pos`) with the spec's
+    * reserved field ids, rows sorted by (file_path, pos) within each
+    * file, written under `<table>/_ice_deletes/<uuid>/` (outside
+    * `data/`, so graft's own vacuum never mistakes them for
+    * unregistered data files). ONE distributed pipeline: the graft
+    * `_dv` pair dirs scan as parquet, pairs normalize and key to
+    * THEIR OWN dir on executors (a stale subset in a shared older
+    * dir never doubles in), per-file cardinality is validated
+    * against the manifest's declared `dv.rows` as one bounded
+    * aggregate, and the sorted pairs land directly as the delete
+    * parquet — no roaring re-encoding, the pair form IS the spec's
+    * delete-file form. The deletes are written GLOBAL (an
+    * unpartitioned spec): spec-legal for any table layout, and the
+    * returned per-delete-file `file_path` lower/upper bounds let a
+    * foreign reader prune delete files per data file, which is what
+    * keeps global deletes cheap at scale (partition-scoped deletes
+    * are a foreign-writer optimization, not a correctness
+    * requirement). Returns one manifest-entry row per written
+    * delete file: (absolute path, rows, bytes, min file_path,
+    * max file_path) — O(#delete files), bounded by the write's
+    * shuffle partitioning, never O(deleted rows). */
+  private def writePositionDeletes(spark: SparkSession, root: String,
+      dvd: DataFrame): Seq[(String, Long, Long, String, String)] = {
+    import org.apache.spark.sql.{Encoders => E}
+    import org.apache.spark.sql.functions.{concat, count, lit, max, min}
+    val rootAbs = new File(root).getAbsolutePath
+    val dirs = dvd.select(col("dvPath")).distinct()
+      .collect().map(_.getString(0)).toSeq
+    if (dirs.isEmpty) return Nil
+    val pairsRaw = spark.read
+      .parquet(dirs.map(d => s"$rootAbs/$d"): _*)
+      .select(col("file").cast("string"),
+        col("idx").cast("long"),
+        col("_metadata.file_path"))
+    // executor-side normalization: pair URI → table-relative data
+    // path, pair part file → its _dv/<uuid> dir (same kernel as
+    // DeltaExport.dvDescriptors)
+    val rel = pairsRaw
+      .as[(String, Long, String)](
+        E.tuple(E.STRING, E.scalaLong, E.STRING))
+      .map { case (uri, idx, part) =>
+        def absOf(u: String): String =
+          if (u.startsWith("file:"))
+            new File(new java.net.URI(u)).getAbsolutePath
+          else new File(u).getAbsolutePath
+        val abs = absOf(uri)
+        require(abs.startsWith(rootAbs + "/"),
+          s"DV pair references a file outside the table root: $abs")
+        val dirAbs = new File(absOf(part)).getParent
+        require(dirAbs.startsWith(rootAbs + "/"),
+          s"DV pair dir outside the table root: $dirAbs")
+        (abs.substring(rootAbs.length + 1),
+          dirAbs.substring(rootAbs.length + 1), idx)
+      }(E.tuple(E.STRING, E.STRING, E.scalaLong))
+      .toDF("p", "d", "i")
+    val wanted = dvd.select(col("path").as("__wp"),
+      col("dvPath").as("__wd"), col("dvRows").as("__wr"))
+    val pairs = rel.join(wanted, col("p") === col("__wp") &&
+        col("d") === col("__wd"))
+      .select(col("p"), col("i"), col("__wr"))
+    // cardinality gate, ONE bounded aggregate: each file's pair
+    // count must equal the manifest's declared dv.rows — refusing
+    // beats exporting a wrong vector a foreign reader would trust
+    val bad = pairs.groupBy(col("p"), col("__wr"))
+      .agg(count(col("i")).as("n"))
+      .filter(col("n") =!= col("__wr")).limit(1).collect()
+    bad.headOption.foreach { r =>
+      throw new IllegalStateException(
+        s"file ${r.getString(0)} decodes ${r.getLong(2)} DV " +
+          s"positions but the manifest declares ${r.getLong(1)} — " +
+          "refusing to export a wrong delete file")
+    }
+    val outRel = s"_ice_deletes/${UUID.randomUUID()}"
+    val fpMeta = new MetadataBuilder()
+      .putLong("parquet.field.id", DeleteFilePathFieldId.toLong).build()
+    val posMeta = new MetadataBuilder()
+      .putLong("parquet.field.id", DeletePosFieldId.toLong).build()
+    val deleteRows = pairs
+      .select(concat(lit(rootAbs + "/"), col("p"))
+          .as("file_path", fpMeta),
+        col("i").as("pos", posMeta))
+    // the spec's sort contract: rows sorted by file_path then pos
+    // WITHIN each delete file; repartition by file_path keeps one
+    // data file's positions together without a global sort
+    val fieldIdKey = "spark.sql.parquet.fieldId.write.enabled"
+    val saved = spark.conf.getOption(fieldIdKey)
+    spark.conf.set(fieldIdKey, "true")
+    try deleteRows.repartition(col("file_path"))
+      .sortWithinPartitions(col("file_path"), col("pos"))
+      .write.parquet(s"$rootAbs/$outRel")
+    finally saved match {
+      case Some(s) => spark.conf.set(fieldIdKey, s)
+      case None    => spark.conf.unset(fieldIdKey)
+    }
+    // per-delete-file manifest facts, one bounded aggregate over
+    // the written files (counts + file_path bounds)
+    spark.read.parquet(s"$rootAbs/$outRel")
+      .groupBy(col("_metadata.file_path").as("part"))
+      .agg(count(lit(1)).as("n"),
+        min(col("file_path")).as("lo"), max(col("file_path")).as("hi"))
+      .collect().toSeq
+      .map { r =>
+        val abs =
+          if (r.getString(0).startsWith("file:"))
+            new File(new java.net.URI(r.getString(0))).getAbsolutePath
+          else new File(r.getString(0)).getAbsolutePath
+        (abs, r.getLong(1), new File(abs).length(),
+          r.getString(2), r.getString(3))
+      }
+  }
+
   /** Export the snapshot at `version` (default: current) as the next
     * Iceberg metadata version under `<table>/metadata/`. Returns the
     * metadata JSON path. Sequential calls mirror the table (previous
@@ -634,23 +763,16 @@ object IcebergExport {
     val schema = log.userSchemaAt(v)
     val partCols = log.partitionColsAt(v)
 
-    // file-state gates answered where the manifest lives (the same
-    // discipline as DeltaExport)
+    // file-state facts answered where the manifest lives (the same
+    // discipline as DeltaExport); DV-bearing snapshots export their
+    // vectors as v2 POSITION DELETE files (see
+    // [[writePositionDeletes]]) instead of refusing
     val dist =
       if (log.addsMaterializedAt(Some(v))) None
       else log.distributedManifest(spark, v)
-    dist match {
-      case Some(_) =>
-        val (anyDv, _, _) = log.bridgeFacts(spark, Some(v))
-        require(!anyDv,
-          "cannot export a snapshot carrying deletion vectors — " +
-            "Iceberg v2 delete files are a different encoding; run " +
-            "purgeDeletes() or OPTIMIZE first")
-      case None =>
-        require(log.liveAdds(Some(v)).forall(_.dv.isEmpty),
-          "cannot export a snapshot carrying deletion vectors — " +
-            "Iceberg v2 delete files are a different encoding; run " +
-            "purgeDeletes() or OPTIMIZE first")
+    val anyDv = dist match {
+      case Some(_) => log.bridgeFacts(spark, Some(v))._1
+      case None    => log.liveAdds(Some(v)).exists(_.dv.isDefined)
     }
 
     val metaDir = new File(log.path, "metadata")
@@ -879,6 +1001,98 @@ object IcebergExport {
       }
     } finally mw.close()
 
+    // ---- v2 position delete files + their DELETE manifest: the
+    // snapshot's deletion vectors cross the boundary as the spec's
+    // own row-level delete encoding — global (unpartitioned-spec)
+    // deletes with per-file file_path bounds, see
+    // [[writePositionDeletes]]
+    val delEntries: Seq[(String, Long, Long, String, String)] =
+      if (!anyDv) Nil
+      else {
+        import org.apache.spark.sql.{Encoders => E2}
+        val dvd: DataFrame = dist match {
+          case Some(ds) => ds.toDF()
+            .filter(col("dvPath").isNotNull)
+            .select(col("path"), col("dvPath"), col("dvRows"))
+          case None =>
+            val rows = log.liveAdds(Some(v))
+              .flatMap(a => a.dv.map(d => (a.path, d.path, d.rows)))
+            spark.createDataset(rows)(
+              E2.tuple(E2.STRING, E2.STRING, E2.scalaLong))
+              .toDF("path", "dvPath", "dvRows")
+        }
+        writePositionDeletes(spark, log.path, dvd)
+      }
+    // the delete manifest's spec is the UNPARTITIONED one — reuse a
+    // prior metadata's empty-fields spec id or mint the next (for an
+    // unpartitioned table it IS the data spec); global deletes apply
+    // to every data file, pruned by their file_path bounds
+    val (specsJsonAll, deleteSpecId) =
+      if (delEntries.isEmpty || partFields.isEmpty) (specsJson, specId)
+      else specsJson.find(s => (s \ "fields") == JArray(Nil)) match {
+        case Some(s) => (specsJson, idIn(s, "spec-id"))
+        case None =>
+          val nid = specsJson.map(idIn(_, "spec-id")).max + 1
+          (specsJson :+ JObject(List("spec-id" -> JInt(nid),
+            "fields" -> JArray(Nil))), nid)
+      }
+    val delManifest: Option[(File, Long, Long)] =
+      if (delEntries.isEmpty) None
+      else {
+        val dSchema = manifestEntrySchema(Nil, Nil)
+        val dFile = new File(metaDir, s"${UUID.randomUUID()}-d0.avro")
+        val dw = new DataFileWriter[GenericRecord](
+          new GenericDatumWriter[GenericRecord](dSchema))
+        dw.setMeta("schema", JsonMethods.compact(
+          JsonMethods.render(icebergSchemaJson(schema, idMap, schemaId))))
+        dw.setMeta("partition-spec", "[]")
+        dw.setMeta("partition-spec-id", deleteSpecId.toString)
+        dw.setMeta("format-version", "2")
+        dw.setMeta("content", "deletes")
+        dw.create(dSchema, dFile)
+        var dRows = 0L
+        try delEntries.foreach { case (abs, rows, bytes, lo, hi) =>
+          val df = new GenericData.Record(
+            dSchema.getField("data_file").schema())
+          df.put("content", Integer.valueOf(1)) // POSITION_DELETES
+          df.put("file_path", abs)
+          df.put("file_format", "PARQUET")
+          df.put("partition", new GenericData.Record(
+            dSchema.getField("data_file").schema()
+              .getField("partition").schema()))
+          df.put("record_count", java.lang.Long.valueOf(rows))
+          df.put("file_size_in_bytes", java.lang.Long.valueOf(bytes))
+          val dfSch = dSchema.getField("data_file").schema()
+          def itemsOf(field: String): org.apache.avro.Schema =
+            dfSch.getField(field).schema().getTypes.get(1)
+              .getElementType
+          // file_path bounds (the reserved delete-file field id):
+          // what lets a foreign reader prune delete files per data
+          // file instead of opening every global delete
+          def kv(sch: org.apache.avro.Schema,
+                 s: String): java.util.ArrayList[GenericRecord] = {
+            val r = new GenericData.Record(sch)
+            r.put("key", Integer.valueOf(DeleteFilePathFieldId))
+            r.put("value", java.nio.ByteBuffer.wrap(
+              s.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+            val l = new java.util.ArrayList[GenericRecord](); l.add(r); l
+          }
+          df.put("lower_bounds", kv(itemsOf("lower_bounds"), lo))
+          df.put("upper_bounds", kv(itemsOf("upper_bounds"), hi))
+          df.put("value_counts", null)
+          df.put("null_value_counts", null)
+          val e = new GenericData.Record(dSchema)
+          e.put("status", Integer.valueOf(1)) // ADDED
+          e.put("snapshot_id", java.lang.Long.valueOf(snapshotId))
+          e.put("sequence_number", java.lang.Long.valueOf(seq))
+          e.put("file_sequence_number", java.lang.Long.valueOf(seq))
+          e.put("data_file", df)
+          dw.append(e)
+          dRows += rows
+        } finally dw.close()
+        Some((dFile, delEntries.size.toLong, dRows))
+      }
+
     // ---- manifest-list Avro
     val listFile = new File(metaDir,
       s"snap-$snapshotId-1-${UUID.randomUUID()}.avro")
@@ -903,6 +1117,28 @@ object IcebergExport {
       m.put("existing_rows_count", java.lang.Long.valueOf(0L))
       m.put("deleted_rows_count", java.lang.Long.valueOf(0L))
       lw.append(m)
+      // the DELETE manifest rides the same list with content=1 and
+      // the unpartitioned spec; its sequence number equals the data
+      // manifest's, and the spec applies position deletes to data
+      // files of seq ≤ the delete's — equal included, so the
+      // snapshot's vectors subtract from its own files
+      delManifest.foreach { case (dFile, dFiles, dRows) =>
+        val dm = new GenericData.Record(manifestFileSchema)
+        dm.put("manifest_path", dFile.getAbsolutePath)
+        dm.put("manifest_length", java.lang.Long.valueOf(dFile.length()))
+        dm.put("partition_spec_id", Integer.valueOf(deleteSpecId))
+        dm.put("content", Integer.valueOf(1)) // deletes
+        dm.put("sequence_number", java.lang.Long.valueOf(seq))
+        dm.put("min_sequence_number", java.lang.Long.valueOf(seq))
+        dm.put("added_snapshot_id", java.lang.Long.valueOf(snapshotId))
+        dm.put("added_files_count", Integer.valueOf(dFiles.toInt))
+        dm.put("existing_files_count", Integer.valueOf(0))
+        dm.put("deleted_files_count", Integer.valueOf(0))
+        dm.put("added_rows_count", java.lang.Long.valueOf(dRows))
+        dm.put("existing_rows_count", java.lang.Long.valueOf(0L))
+        dm.put("deleted_rows_count", java.lang.Long.valueOf(0L))
+        lw.append(dm)
+      }
     } finally lw.close()
 
     // ---- vN.metadata.json: previous snapshots + snapshot-log carry
@@ -927,6 +1163,30 @@ object IcebergExport {
         "graft-version" -> JString(v.toString))),
       "manifest-list" -> JString(listFile.getAbsolutePath),
       "schema-id" -> JInt(schemaId)))
+    val carriedSnaps: List[JValue] = (prevSnaps :+ snapJson)
+      .takeRight(math.max(1, keepSnapshots))
+    // graft TAGS export as the spec's named refs (plus the required
+    // `main` branch at the current snapshot) — by-name time travel
+    // for foreign readers. Only tags whose pinned version is among
+    // the CARRIED snapshots export (a ref to a snapshot the
+    // metadata does not hold would refuse to load); graft BRANCHES
+    // stay behind — their heads live on their own logs, and a
+    // branch ref pinned at the fork point would misreport the
+    // branch as having no commits of its own.
+    val carriedIds: Set[Long] = carriedSnaps.map(s =>
+      (s \ "snapshot-id") match {
+        case JInt(i) => i.toLong; case JLong(l) => l; case _ => -1L
+      }).toSet
+    val refsJson = JObject(
+      ("main" -> (JObject(List(
+        "snapshot-id" -> JLong(snapshotId),
+        "type" -> JString("branch"))): JValue)) ::
+        log.refsAt(v).toList.sortBy(_._1).collect {
+          case (name, ("tag", ver)) if carriedIds.contains(ver) =>
+            name -> (JObject(List(
+              "snapshot-id" -> JLong(ver),
+              "type" -> JString("tag"))): JValue)
+        })
     val meta = JObject(List(
       "format-version" -> JInt(2),
       "table-uuid" -> JString(tableUuid),
@@ -937,7 +1197,7 @@ object IcebergExport {
       "current-schema-id" -> JInt(schemaId),
       "schemas" -> JArray(schemasJson),
       "default-spec-id" -> JInt(specId),
-      "partition-specs" -> JArray(specsJson),
+      "partition-specs" -> JArray(specsJsonAll),
       "last-partition-id" -> JInt(lastPartitionId),
       "default-sort-order-id" -> JInt(0),
       "sort-orders" -> JArray(List(JObject(List(
@@ -946,8 +1206,8 @@ object IcebergExport {
         "schema.name-mapping.default" -> JString(JsonMethods.compact(
           JsonMethods.render(nameMappingJson(mySchemaRender)))))),
       "current-snapshot-id" -> JLong(snapshotId),
-      "snapshots" -> JArray((prevSnaps :+ snapJson)
-        .takeRight(math.max(1, keepSnapshots))),
+      "refs" -> refsJson,
+      "snapshots" -> JArray(carriedSnaps),
       "snapshot-log" -> JArray((prevLog :+ JObject(List(
         "timestamp-ms" -> JLong(ts),
         "snapshot-id" -> JLong(snapshotId))))
@@ -1001,6 +1261,10 @@ object IcebergExport {
     // directly, manifest through its list) — expired snapshots'
     // manifests reclaim, exactly like data-file vacuum
     val referenced = scala.collection.mutable.Set.empty[String]
+    // delete-file dirs (`_ice_deletes/<uuid>/`) referenced by any
+    // RETAINED delete manifest stay; superseded exports' dirs
+    // reclaim below, exactly like orphan manifests
+    val referencedDelDirs = scala.collection.mutable.Set.empty[String]
     metas.filter(m => keepNs.contains(m._1)).foreach { case (_, f) =>
       (JsonMethods.parse(Files.readString(f.toPath)) \
         "snapshots") match {
@@ -1012,10 +1276,26 @@ object IcebergExport {
               if (lf.isFile) {
                 val lr = new DataFileReader[GenericRecord](lf,
                   new GenericDatumReader[GenericRecord]())
-                try while (lr.hasNext) referenced += new File(
-                  lr.next().get("manifest_path").toString)
-                  .getCanonicalPath
-                finally lr.close()
+                try while (lr.hasNext) {
+                  val entry = lr.next()
+                  val mf = new File(entry.get("manifest_path").toString)
+                  referenced += mf.getCanonicalPath
+                  val content =
+                    if (entry.getSchema.getField("content") == null) 0
+                    else Option(entry.get("content")).map(
+                      _.asInstanceOf[Number].intValue()).getOrElse(0)
+                  if (content == 1 && mf.isFile) {
+                    val dr = new DataFileReader[GenericRecord](mf,
+                      new GenericDatumReader[GenericRecord]())
+                    try while (dr.hasNext) {
+                      val df = dr.next().get("data_file")
+                        .asInstanceOf[GenericRecord]
+                      referencedDelDirs += new File(
+                        df.get("file_path").toString)
+                        .getParentFile.getCanonicalPath
+                    } finally dr.close()
+                  }
+                } finally lr.close()
               }
             case _ => ()
           }
@@ -1027,6 +1307,16 @@ object IcebergExport {
       .filter(f => f.getName.endsWith(".avro") &&
         !referenced.contains(f.getCanonicalPath))
       .foreach(_.delete())
+    val delRoot = new File(log.path, "_ice_deletes")
+    Option(delRoot.listFiles()).getOrElse(Array.empty)
+      .filter(d => d.isDirectory &&
+        !referencedDelDirs.contains(d.getCanonicalPath))
+      .foreach { d =>
+        def rm(f: File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(d)
+      }
     if (exported) Some(p) else None
   }
 
@@ -1064,7 +1354,8 @@ object IcebergExport {
     * the list's own `content` field (v2 position/equality deletes —
     * ignoring them would resurrect rows). */
   private def readIcebergMeta(tableRoot: String)
-      : (Seq[(StructField, Int)], Seq[IceSpecFieldIn], Seq[String]) = {
+      : (Seq[(StructField, Int)], Seq[IceSpecFieldIn], Seq[String],
+         Seq[String]) = {
     val metaDir = new File(tableRoot, "metadata")
     val hint = new File(metaDir, "version-hint.text")
     require(hint.isFile, s"no metadata/version-hint.text under $tableRoot")
@@ -1139,27 +1430,74 @@ object IcebergExport {
     }
     val listPath = (snap \ "manifest-list").asInstanceOf[JString].s
     val manifests = scala.collection.mutable.ArrayBuffer.empty[String]
+    val delManifests = scala.collection.mutable.ArrayBuffer.empty[String]
     val lr = new DataFileReader[GenericRecord](new File(listPath),
       new GenericDatumReader[GenericRecord]())
     try while (lr.hasNext) {
       val m = lr.next()
       // content 1 = a DELETE manifest (v2 position/equality
-      // deletes): this reader cannot subtract delete files —
-      // ignoring them would resurrect deleted rows. Refuse, never
-      // half-read. (v1 manifests lack the field: data by
-      // definition.)
+      // deletes) — returned separately: [[convertFromIceberg]]
+      // decodes POSITION deletes into graft `_dv` pair form
+      // (equality deletes refuse at entry-read time); callers that
+      // cannot subtract ([[loadIceberg]], [[readIcebergSnapshot]])
+      // refuse on a non-empty delete list, never half-read. (v1
+      // manifests lack the field: data by definition.)
       val content =
         if (m.getSchema.getField("content") == null) 0
         else Option(m.get("content")).map(
           _.asInstanceOf[Number].intValue()).getOrElse(0)
-      if (content != 0) throw new IllegalStateException(
-        s"the Iceberg table at $tableRoot carries DELETE manifests " +
-          "(v2 position/equality deletes) — this reader cannot " +
-          "subtract them; compact/rewrite the table Iceberg-side " +
-          "first, refusing to half-read")
-      manifests += m.get("manifest_path").toString
+      if (content == 0) manifests += m.get("manifest_path").toString
+      else delManifests += m.get("manifest_path").toString
     } finally lr.close()
-    (fields, specFields, manifests.toSeq)
+    (fields, specFields, manifests.toSeq, delManifests.toSeq)
+  }
+
+  /** The proxy readers cannot subtract delete files — refuse, never
+    * half-read (resurrecting deleted rows would be silent wrong
+    * results). [[convertFromIceberg]] is the route that CAN. */
+  private def requireNoDeletes(tableRoot: String,
+                               delManifests: Seq[String]): Unit =
+    if (delManifests.nonEmpty) throw new IllegalStateException(
+      s"the Iceberg table at $tableRoot carries DELETE manifests " +
+        "(v2 position/equality deletes) — this reader cannot " +
+        "subtract them; use convertFromIceberg (which decodes " +
+        "position deletes) and read the graft table")
+
+  /** One DELETE manifest's live entries — (delete file path,
+    * record_count). POSITION deletes only: an equality delete
+    * (content=2) refuses — its predicate-based semantics cannot be
+    * decoded into positions without scanning data; a content=0
+    * entry inside a delete manifest is malformed and refuses too. */
+  private def readDeleteManifestEntries(tableRoot: String,
+      mp: String): Seq[(String, Long)] = {
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(String, Long)]
+    val mr = new DataFileReader[GenericRecord](new File(mp),
+      new GenericDatumReader[GenericRecord]())
+    try while (mr.hasNext) {
+      val e = mr.next()
+      val status = e.get("status").asInstanceOf[Integer].intValue()
+      if (status != 2) { // 2 = DELETED
+        val df = e.get("data_file").asInstanceOf[GenericRecord]
+        val content =
+          if (df.getSchema.getField("content") == null) 0
+          else Option(df.get("content")).map(
+            _.asInstanceOf[Number].intValue()).getOrElse(0)
+        content match {
+          case 1 => out += ((df.get("file_path").toString,
+            df.get("record_count").asInstanceOf[java.lang.Long]
+              .longValue()))
+          case 2 => throw new IllegalStateException(
+            s"the Iceberg table at $tableRoot carries EQUALITY " +
+              "delete files — predicate deletes cannot be decoded " +
+              "into positions without scanning data; compact the " +
+              "table Iceberg-side first, refusing to half-read")
+          case other => throw new IllegalStateException(
+            s"malformed delete manifest $mp: entry content=$other")
+        }
+      }
+    } finally mr.close()
+    out.toSeq
   }
 
   /** One typed manifest partition value back to the HIVE STRING
@@ -1388,7 +1726,9 @@ object IcebergExport {
   def readIcebergSnapshot(spark: SparkSession, tableRoot: String)
       : (StructType, Seq[String],
          Seq[(String, Long, Map[String, String])]) = {
-    val (ids, specFields, manifests) = readIcebergMeta(tableRoot)
+    val (ids, specFields, manifests, delManifests) =
+      readIcebergMeta(tableRoot)
+    requireNoDeletes(tableRoot, delManifests)
     val typeOfId = ids.map { case (f, id) =>
       id -> (f.name, f.dataType) }.toMap
     val (_, pvConv) = graftPartLayout(tableRoot, ids, specFields,
@@ -1412,6 +1752,12 @@ object IcebergExport {
     * single-value-serialized `lower_bounds`/`upper_bounds` (+
     * `null_value_counts`), so a converted table PRUNES from commit
     * one. Partition values come typed from the manifest struct.
+    * V2 POSITION DELETES convert too: delete manifests' parquet
+    * files decode on executors into graft `_dv` pair form
+    * (de-duplicated — the spec allows the same position in several
+    * delete files), and each vectored file registers with its pair
+    * reference + cardinality through the same distributed fold.
+    * EQUALITY deletes refuse by name.
     * Refuses a root that already holds a graft log, and file paths
     * that do not live under the table root (silently re-rooting
     * them would register dangling references); `file:`-scheme URIs
@@ -1422,7 +1768,8 @@ object IcebergExport {
     val pre = new LogTable(tableRoot)
     require(pre.currentVersion.isEmpty,
       s"a graft log table already exists at $tableRoot")
-    val (ids, specFields, manifests) = readIcebergMeta(tableRoot)
+    val (ids, specFields, manifests, delManifests) =
+      readIcebergMeta(tableRoot)
     val schema = StructType(ids.map(_._1))
     val typeOfId = ids.map { case (f, id) =>
       id -> (f.name, f.dataType) }.toMap
@@ -1438,6 +1785,82 @@ object IcebergExport {
     val rootB = root // stable closure capture
     val t = new LogTable(tableRoot)
     t.create(schema, partitionBy = partitionBy)
+
+    // foreign POSITION DELETES decode into graft `_dv` pair form
+    // BEFORE any commit references the pair dir (the DeltaExport DV
+    // import discipline): the driver holds the delete-FILE path
+    // list (one string per delete file — row-level content streams
+    // through executors), the pair key is verified against ONE real
+    // scan, and (rel, uri, idx) rows de-duplicate — the spec allows
+    // the same position in several delete files, graft's per-file
+    // cardinality must count it once. Deletes referencing files the
+    // current snapshot no longer carries leave harmless unmatched
+    // pairs (the read-side anti-join never sees their URI).
+    import org.apache.spark.sql.{Encoders => E}
+    import org.apache.spark.sql.functions.{count, lit}
+    val dvState: Option[(String, DataFrame)] =
+      if (delManifests.isEmpty) None
+      else {
+        val delFiles = delManifests.flatMap(mp =>
+          readDeleteManifestEntries(rootB, mp))
+        val absDel = delFiles.map { case (p0, _) =>
+          new File(rootB, relativizeForeignPath(rootB, p0)).getPath }
+        val raw =
+          if (absDel.isEmpty) None
+          else Some(spark.read.parquet(absDel: _*)
+            .select(col("file_path").cast("string"),
+              col("pos").cast("long")))
+        val sample = raw.toSeq
+          .flatMap(_.select(col("file_path")).limit(1).collect())
+        if (sample.isEmpty) None
+        else {
+          val sampleAbs = new File(rootB,
+            relativizeForeignPath(rootB, sample.head.getString(0)))
+            .getPath
+          val actual = spark.read.parquet(sampleAbs)
+            .select(col("_metadata.file_path")).limit(1)
+            .collect().headOption.map(_.getString(0))
+          val expected = DeltaExport.scanUriOf(sampleAbs)
+          require(actual.contains(expected),
+            s"scan-URI rendering drift: _metadata.file_path gives " +
+              s"'${actual.orNull}' where this import would key " +
+              s"pairs on '$expected' — refusing to import position " +
+              "deletes that would silently not subtract")
+          val dvRel = s"_dv/${UUID.randomUUID()}"
+          val rootC = rootB // stable closure capture
+          val pairs = raw.get
+            .as[(String, Long)](E.tuple(E.STRING, E.scalaLong))
+            .map { case (fp, pos) =>
+              val r = relativizeForeignPath(rootC, fp)
+              (r, DeltaExport.scanUriOf(
+                new File(rootC, r).getPath), pos)
+            }(E.tuple(E.STRING, E.STRING, E.scalaLong))
+            .toDF("rel", "file", "idx")
+            .distinct()
+          pairs.select(col("file"), col("idx"))
+            .repartition(col("file"))
+            .write.parquet(s"$rootB/$dvRel")
+          // per-data-file cardinalities from the WRITTEN pairs (the
+          // small side — never a second pass over the foreign
+          // delete files), keyed back to table-relative form
+          val counts = spark.read.parquet(s"$rootB/$dvRel")
+            .select(col("file").cast("string"))
+            .as[String](E.STRING)
+            .map { uri =>
+              val abs =
+                if (uri.startsWith("file:"))
+                  new File(new java.net.URI(uri)).getAbsolutePath
+                else new File(uri).getAbsolutePath
+              require(abs.startsWith(rootC + "/"),
+                s"imported DV pair outside the table root: $abs")
+              abs.substring(rootC.length + 1)
+            }(E.STRING)
+            .toDF("rel")
+            .groupBy(col("rel")).agg(count(lit(1)).as("__dvn"))
+          Some((dvRel, counts))
+        }
+      }
+
     if (manifests.nonEmpty) {
       val enc = org.apache.spark.sql.Encoders.product[CkptAdd]
       val perManifest = 1L << 40 // entry-index spacing per manifest
@@ -1456,7 +1879,28 @@ object IcebergExport {
                   None, None, None)
               }
           })(enc)
-      t.registerFilesFrom(spark, ds, op = "convert")
+      // vectored files take their pair-dir reference + cardinality
+      // through the SAME distributed fold (never a driver pass)
+      val ds2 = dvState match {
+        case None => ds
+        case Some((dvRel, counts)) =>
+          val dvRelB = dvRel
+          ds.joinWith(counts,
+              ds("path") === counts("rel"), "left_outer")
+            .map { case (a, c) =>
+              if (c == null) a
+              else {
+                val nDel = c.getAs[Long]("__dvn")
+                if (nDel > a.rows)
+                  throw new IllegalStateException(
+                    s"file ${a.path} carries $nDel delete positions " +
+                      s"but only ${a.rows} rows — malformed foreign " +
+                      "deletes, refusing to convert")
+                a.copy(dvPath = Some(dvRelB), dvRows = Some(nDel))
+              }
+            }(enc)
+      }
+      t.registerFilesFrom(spark, ds2, op = "convert")
     }
     t
   }
@@ -1468,7 +1912,9 @@ object IcebergExport {
     * documented route is [[convertFromIceberg]] then a LogTable
     * scan — distributed manifest, file-skipping, no path splat. */
   def loadIceberg(spark: SparkSession, tableRoot: String): DataFrame = {
-    val (ids, specFields, manifests) = readIcebergMeta(tableRoot)
+    val (ids, specFields, manifests, delManifests) =
+      readIcebergMeta(tableRoot)
+    requireNoDeletes(tableRoot, delManifests)
     val schema = StructType(ids.map(_._1))
     val typeOfId = ids.map { case (f, id) =>
       id -> (f.name, f.dataType) }.toMap

@@ -2342,6 +2342,9 @@ final class LogTable(val path: String,
   /** The property map current at `version` — the version-pinned twin
     * of [[tableProperties]] (the Delta export reads the field-id
     * high-water from the snapshot it exports, not today's). */
+  private[sources] def constraintsAt(version: Long): Map[String, String] =
+    snapshotAt(version).constraints
+
   private[sources] def propertiesAt(version: Long): Map[String, String] =
     snapshotAt(version).properties
 
@@ -4701,7 +4704,8 @@ final class LogTable(val path: String,
     * mirrored Delta commit must then re-emit metaData. */
   private[sources] def commitChangedMetadata(v: Long): Boolean =
     readActions(logFile(v)).exists(j =>
-      (j \ "schema") != JNothing || (j \ "partition") != JNothing)
+      (j \ "schema") != JNothing || (j \ "partition") != JNothing ||
+        (j \ "constraints") != JNothing)
 
   /** Read ONE commit's added files under `readSchema` — deletion
     * vectors subtracted and data roots grouped, so a clone's seed
@@ -4919,6 +4923,9 @@ final class LogTable(val path: String,
   def refs: Map[String, (String, Long)] = currentVersion
     .map(v => snapshotAt(v).refs.map { case (n, s) => n -> parseRef(s) })
     .getOrElse(Map.empty)
+
+  private[sources] def refsAt(version: Long): Map[String, (String, Long)] =
+    snapshotAt(version).refs.map { case (n, s) => n -> parseRef(s) }
 
   /** Resolve a ref name for `VERSION AS OF '<name>'`: a tag resolves
     * to its pinned version on THIS log; branches resolve through

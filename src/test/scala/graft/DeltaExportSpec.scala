@@ -929,4 +929,55 @@ class DeltaExportSpec extends SparkSpec {
     conv.deleteMor(spark, col("k") === 99L)
     assert(conv.load(spark).count() == 79L)
   }
+
+  test("CHECK constraints cross the boundary both ways: the export " +
+    "stamps delta.constraints.* under a writer-3 floor, and the " +
+    "converted table keeps refusing what the Delta writers refused") {
+    val dir = s"${tmp()}/t"
+    val t = new LogTable(dir)
+    t.create(org.apache.spark.sql.types.StructType.fromDDL(
+      "k BIGINT, v STRING"),
+      checkConstraints = Map("k_pos" -> "k > 0"))
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+    DeltaExport.mirrorDelta(spark, t) // full export at the head
+    import scala.jdk.CollectionConverters._
+    def jsons() = new File(dir, "_delta_log").listFiles()
+      .filter(_.getName.matches("\\d{20}\\.json")).sortBy(_.getName)
+    def lineIn(f: File, key: String): JValue =
+      java.nio.file.Files.readAllLines(f.toPath).asScala
+        .find(_.contains(s""""$key"""")).map(JsonMethods.parse(_))
+        .get \ key
+    // the create-time constraint stamps the config under writer 3
+    val proto = lineIn(jsons().head, "protocol")
+    assert((proto \ "minWriterVersion") == JInt(3),
+      JsonMethods.pretty(JsonMethods.render(proto)))
+    assert((proto \ "minReaderVersion") == JInt(1))
+    assert((lineIn(jsons().head, "metaData") \ "configuration" \
+      "delta.constraints.k_pos") == JString("k > 0"))
+    // a constraint ADD between mirrors re-emits metaData AND the
+    // protocol in ITS commit (the tail export path)
+    t.addCheckConstraint(spark, "v_nonempty", "length(v) > 0")
+    DeltaExport.mirrorDelta(spark, t)
+    val tailJson = jsons().last
+    assert(tailJson != jsons().head)
+    val conf1 = lineIn(tailJson, "metaData") \ "configuration"
+    assert((conf1 \ "delta.constraints.k_pos") == JString("k > 0"))
+    assert((conf1 \ "delta.constraints.v_nonempty") ==
+      JString("length(v) > 0"))
+    assert((lineIn(tailJson, "protocol") \ "minWriterVersion") ==
+      JInt(3))
+    // strip graft, convert: both constraints survive and ENFORCE
+    def rm(f: File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(new File(dir, "_log"))
+    val conv = DeltaExport.convertFromDelta(spark, dir)
+    assert(conv.checkConstraints == Map("k_pos" -> "k > 0",
+      "v_nonempty" -> "length(v) > 0"), conv.checkConstraints)
+    val err = intercept[Exception](
+      conv.append(Seq((-1L, "x")).toDF("k", "v")))
+    assert(err.getMessage.contains("k_pos"), err.getMessage)
+    conv.append(Seq((3L, "c")).toDF("k", "v"))
+    assert(conv.load(spark).count() == 3L)
+  }
 }

@@ -602,18 +602,6 @@ class IcebergExportSpec extends SparkSpec {
 
   test("exports refuse state an Iceberg reader would misread, " +
     "naming the blocker") {
-    val d1 = s"${tmp()}/t"
-    val t1 = new LogTable(d1)
-    t1.append(Seq((1L, "a"), (2L, "b")).toDF("k", "v").repartition(1))
-    t1.deleteMor(spark, col("k") === 1L) // DV
-    val e1 = intercept[IllegalArgumentException](
-      IcebergExport.exportIcebergMetadata(spark, t1))
-    assert(e1.getMessage.contains("deletion vectors") &&
-      e1.getMessage.contains("purgeDeletes"), e1.getMessage)
-    t1.purgeDeletes(spark)
-    IcebergExport.exportIcebergMetadata(spark, t1) // now exportable
-    assert(IcebergExport.loadIceberg(spark, d1).count() == 1L)
-
     // hidden partitioning: transform mapping not implemented
     // bucket transforms refuse by HASH incompatibility (time
     // transforms export since round 14)
@@ -849,5 +837,348 @@ class IcebergExportSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException](
       IcebergExport.exportIcebergMetadata(spark, t2))
     assert(e.getMessage.contains("iceberg_bucket"), e.getMessage)
+  }
+
+  test("deletion vectors export as v2 POSITION DELETE files: the " +
+    "spec's reserved field ids, per-file sort, content=1 delete " +
+    "manifest with file_path bounds, and the proxy reader refuses") {
+    val dir = s"${tmp()}/t"
+    val t = new LogTable(dir)
+    t.append((1L to 100L).map(i => (i, s"n$i")).toDF("k", "v")
+      .repartition(2))
+    t.deleteMor(spark, col("k") % 10 === 0) // 10 rows, MOR
+    IcebergExport.exportIcebergMetadata(spark, t)
+    val meta = JsonMethods.parse(java.nio.file.Files.readString(
+      new File(dir, "metadata/v1.metadata.json").toPath))
+    val listPath = ((meta \ "snapshots")(0) \ "manifest-list")
+      .asInstanceOf[JString].s
+    // manifest list: one data entry + one delete entry
+    val lr = new org.apache.avro.file.DataFileReader[
+      org.apache.avro.generic.GenericRecord](new File(listPath),
+      new org.apache.avro.generic.GenericDatumReader[
+        org.apache.avro.generic.GenericRecord]())
+    val entries = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.avro.generic.GenericRecord]
+    while (lr.hasNext) entries += lr.next()
+    lr.close()
+    assert(entries.map(e => e.get("content")
+      .asInstanceOf[Number].intValue()).sorted == Seq(0, 1), entries)
+    val del = entries.find(_.get("content")
+      .asInstanceOf[Number].intValue() == 1).get
+    assert(del.get("added_rows_count")
+      .asInstanceOf[Number].longValue() == 10L)
+    // the delete manifest: content=1 entries, record counts sum to
+    // the deleted rows, file_path bounds on the reserved field id
+    val dmPath = del.get("manifest_path").toString
+    val dr = new org.apache.avro.file.DataFileReader[
+      org.apache.avro.generic.GenericRecord](new File(dmPath),
+      new org.apache.avro.generic.GenericDatumReader[
+        org.apache.avro.generic.GenericRecord]())
+    assert(new String(dr.getMeta("content"),
+      java.nio.charset.StandardCharsets.UTF_8) == "deletes")
+    var total = 0L
+    val delFiles = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (dr.hasNext) {
+      val e = dr.next()
+      val df = e.get("data_file")
+        .asInstanceOf[org.apache.avro.generic.GenericRecord]
+      assert(df.get("content").asInstanceOf[Number].intValue() == 1)
+      total += df.get("record_count").asInstanceOf[Number].longValue()
+      delFiles += df.get("file_path").toString
+      val lo = df.get("lower_bounds")
+        .asInstanceOf[java.util.Collection[_]]
+      assert(lo != null && lo.size == 1)
+      val kv = lo.iterator.next()
+        .asInstanceOf[org.apache.avro.generic.GenericRecord]
+      assert(kv.get("key").asInstanceOf[Number].intValue() ==
+        2147483546)
+    }
+    dr.close()
+    assert(total == 10L)
+    assert(delFiles.forall(_.contains("_ice_deletes/")), delFiles)
+    // one delete parquet: reserved field ids in the footer, rows
+    // sorted by (file_path, pos)
+    val conf = spark.sessionState.newHadoopConf()
+    val pf = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(delFiles.head), conf))
+    val mt = pf.getFooter.getFileMetaData.getSchema
+    import scala.jdk.CollectionConverters._
+    def idOf(name: String): Int =
+      mt.getFields.asScala.find(_.getName == name).get.getId.intValue
+    assert(idOf("file_path") == 2147483546)
+    assert(idOf("pos") == 2147483545)
+    pf.close()
+    val rows = spark.read.parquet(delFiles.head)
+      .select(col("file_path"), col("pos"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(rows == rows.sortBy(identity), "delete rows not sorted")
+    // the proxy reader cannot subtract — refuses toward convert
+    val e = intercept[IllegalStateException](
+      IcebergExport.loadIceberg(spark, dir))
+    assert(e.getMessage.contains("convertFromIceberg"), e.getMessage)
+  }
+
+  test("position deletes ROUND-TRIP: export a MOR-deleted snapshot, " +
+    "strip the graft state, convertFromIceberg subtracts exactly " +
+    "and the converted table stays writable") {
+    val dir = s"${tmp()}/t"
+    val t = new LogTable(dir)
+    t.append((1L to 150L).map(i => (i, s"n$i")).toDF("k", "v")
+      .repartition(3))
+    t.deleteMor(spark, col("k") % 10 === 0)  // 15 rows
+    t.deleteMor(spark, col("k") > 140)       // 9 more, vector UNION
+    assert(t.load(spark).count() == 126L)
+    IcebergExport.exportIcebergMetadata(spark, t)
+    def rm(f: File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(new File(dir, "_log"))
+    rm(new File(dir, "_dv")) // the foreign table must stand alone
+    val conv = IcebergExport.convertFromIceberg(spark, dir)
+    assert(conv.load(spark).count() == 126L)
+    assert(conv.load(spark).filter(col("k") % 10 === 0).count() == 0L)
+    assert(conv.load(spark).filter(col("k") === 141L).count() == 0L)
+    // the manifest's logical row counts subtract the vectors
+    assert(conv.liveAdds(None).map(_.logicalRows).sum == 126L)
+    // further MOR delete on the CONVERTED table: new vectors union
+    // with the imported ones
+    conv.deleteMor(spark, col("k") <= 5)
+    assert(conv.load(spark).count() == 121L)
+    assert(conv.load(spark).agg(sum(col("k"))).head.getLong(0) ==
+      (1L to 150L).filter(k => k % 10 != 0 && k <= 140 && k > 5).sum)
+  }
+
+  test("position deletes cross a PARTITIONED boundary as GLOBAL " +
+    "(unpartitioned-spec) deletes: a second empty-fields spec " +
+    "carries them, and the converted layout still prunes") {
+    val dir = s"${tmp()}/t"
+    val t = new LogTable(dir)
+    t.create(org.apache.spark.sql.types.StructType.fromDDL(
+      "k BIGINT, p STRING"), partitionBy = Seq("p"))
+    t.append((1L to 60L).map(i => (i, s"p${i % 3}")).toDF("k", "p"))
+    t.deleteMor(spark, col("k") % 4 === 0) // 15 rows across partitions
+    IcebergExport.exportIcebergMetadata(spark, t)
+    val meta = JsonMethods.parse(java.nio.file.Files.readString(
+      new File(dir, "metadata/v1.metadata.json").toPath))
+    val specs = (meta \ "partition-specs").asInstanceOf[JArray].arr
+    assert(specs.size == 2, JsonMethods.pretty(JsonMethods.render(
+      meta \ "partition-specs")))
+    assert(specs.exists(s => (s \ "fields") == JArray(Nil)))
+    assert((meta \ "default-spec-id") == JInt(0))
+    def rm(f: File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(new File(dir, "_log"))
+    rm(new File(dir, "_dv"))
+    val conv = IcebergExport.convertFromIceberg(spark, dir)
+    assert(conv.load(spark).count() == 45L)
+    assert(conv.load(spark).filter(col("p") === "p1").count() ==
+      (1L to 60L).count(i => i % 3 == 1 && i % 4 != 0))
+    // identity partition pruning survives the round trip
+    val (surv, totalFiles) =
+      conv.prunedAddsFor(spark, col("p") === "p1")
+    assert(surv.size < totalFiles)
+  }
+
+  test("duplicate positions across foreign delete files subtract " +
+    "ONCE (the spec allows overlap), and EQUALITY deletes refuse " +
+    "by name") {
+    val dir = s"${tmp()}/t"
+    val t = new LogTable(dir)
+    t.append((1L to 50L).map(i => (i, s"n$i")).toDF("k", "v")
+      .repartition(1))
+    t.deleteMor(spark, col("k") <= 10)
+    IcebergExport.exportIcebergMetadata(spark, t)
+    // doctor the delete manifest: append a SECOND entry referencing
+    // a copy of the same delete parquet — a foreign writer may emit
+    // overlapping delete files
+    val meta = JsonMethods.parse(java.nio.file.Files.readString(
+      new File(dir, "metadata/v1.metadata.json").toPath))
+    val listPath = ((meta \ "snapshots")(0) \ "manifest-list")
+      .asInstanceOf[JString].s
+    val lr = new org.apache.avro.file.DataFileReader[
+      org.apache.avro.generic.GenericRecord](new File(listPath),
+      new org.apache.avro.generic.GenericDatumReader[
+        org.apache.avro.generic.GenericRecord]())
+    var dmPath: String = null
+    while (lr.hasNext) {
+      val e = lr.next()
+      if (e.get("content").asInstanceOf[Number].intValue() == 1)
+        dmPath = e.get("manifest_path").toString
+    }
+    lr.close()
+    val dr = new org.apache.avro.file.DataFileReader[
+      org.apache.avro.generic.GenericRecord](new File(dmPath),
+      new org.apache.avro.generic.GenericDatumReader[
+        org.apache.avro.generic.GenericRecord]())
+    val dSchema = dr.getSchema
+    val first = dr.next()
+    dr.close()
+    val origDf = first.get("data_file")
+      .asInstanceOf[org.apache.avro.generic.GenericRecord]
+    val origPath = new File(origDf.get("file_path").toString)
+    val copy = new File(origPath.getParentFile, "dup-" +
+      origPath.getName)
+    java.nio.file.Files.copy(origPath.toPath, copy.toPath)
+    origDf.put("file_path", copy.getAbsolutePath)
+    val dw = new org.apache.avro.file.DataFileWriter[
+      org.apache.avro.generic.GenericRecord](
+      new org.apache.avro.generic.GenericDatumWriter[
+        org.apache.avro.generic.GenericRecord](dSchema))
+    dw.setMeta("format-version", "2")
+    dw.setMeta("content", "deletes")
+    dw.create(dSchema, new File(dmPath)) // rewrite in place
+    dw.append(first) // now points at the copy
+    val second = new org.apache.avro.generic.GenericData.Record(
+      dSchema)
+    second.put("status", first.get("status"))
+    second.put("snapshot_id", first.get("snapshot_id"))
+    second.put("sequence_number", first.get("sequence_number"))
+    second.put("file_sequence_number",
+      first.get("file_sequence_number"))
+    val df2 = new org.apache.avro.generic.GenericData.Record(
+      origDf.getSchema)
+    origDf.getSchema.getFields.forEach { f =>
+      df2.put(f.name(), origDf.get(f.name()))
+    }
+    df2.put("file_path", origPath.getAbsolutePath)
+    second.put("data_file", df2)
+    dw.append(second)
+    dw.close()
+    def rm(f: File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(new File(dir, "_log"))
+    rm(new File(dir, "_dv"))
+    val conv = IcebergExport.convertFromIceberg(spark, dir)
+    // overlapping delete files: positions subtract ONCE
+    assert(conv.load(spark).count() == 40L)
+    assert(conv.liveAdds(None).map(_.logicalRows).sum == 40L)
+
+    // equality deletes (content=2) refuse by name
+    val d2 = s"${tmp()}/t"
+    val t2 = new LogTable(d2)
+    t2.append((1L to 20L).map(i => (i, s"n$i")).toDF("k", "v")
+      .repartition(1))
+    t2.deleteMor(spark, col("k") === 1L)
+    IcebergExport.exportIcebergMetadata(spark, t2)
+    val meta2 = JsonMethods.parse(java.nio.file.Files.readString(
+      new File(d2, "metadata/v1.metadata.json").toPath))
+    val lp2 = ((meta2 \ "snapshots")(0) \ "manifest-list")
+      .asInstanceOf[JString].s
+    val lr2 = new org.apache.avro.file.DataFileReader[
+      org.apache.avro.generic.GenericRecord](new File(lp2),
+      new org.apache.avro.generic.GenericDatumReader[
+        org.apache.avro.generic.GenericRecord]())
+    var dm2: String = null
+    while (lr2.hasNext) {
+      val e = lr2.next()
+      if (e.get("content").asInstanceOf[Number].intValue() == 1)
+        dm2 = e.get("manifest_path").toString
+    }
+    lr2.close()
+    val dr3 = new org.apache.avro.file.DataFileReader[
+      org.apache.avro.generic.GenericRecord](new File(dm2),
+      new org.apache.avro.generic.GenericDatumReader[
+        org.apache.avro.generic.GenericRecord]())
+    val sch3 = dr3.getSchema
+    val e3 = dr3.next()
+    dr3.close()
+    e3.get("data_file")
+      .asInstanceOf[org.apache.avro.generic.GenericRecord]
+      .put("content", Integer.valueOf(2)) // EQUALITY_DELETES
+    val dw3 = new org.apache.avro.file.DataFileWriter[
+      org.apache.avro.generic.GenericRecord](
+      new org.apache.avro.generic.GenericDatumWriter[
+        org.apache.avro.generic.GenericRecord](sch3))
+    dw3.setMeta("format-version", "2")
+    dw3.setMeta("content", "deletes")
+    dw3.create(sch3, new File(dm2))
+    dw3.append(e3)
+    dw3.close()
+    rm(new File(d2, "_log"))
+    rm(new File(d2, "_dv"))
+    val err = intercept[IllegalStateException](
+      IcebergExport.convertFromIceberg(spark, d2))
+    assert(err.getMessage.contains("EQUALITY"), err.getMessage)
+  }
+
+  test("mirrorIceberg keeps the delete files its retained metadata " +
+    "references and reclaims superseded _ice_deletes dirs") {
+    val dir = s"${tmp()}/t"
+    val t = new LogTable(dir)
+    t.append((1L to 40L).map(i => (i, s"n$i")).toDF("k", "v")
+      .repartition(1))
+    t.deleteMor(spark, col("k") <= 4)
+    assert(IcebergExport.mirrorIceberg(spark, t,
+      keepMetadata = 1, keepSnapshots = 1).isDefined)
+    val delRoot = new File(dir, "_ice_deletes")
+    val firstDirs = delRoot.listFiles().map(_.getName).toSet
+    assert(firstDirs.size == 1)
+    // another MOR delete → another export renders FRESH delete
+    // files; retention keepMetadata=1 reclaims the superseded dir
+    t.deleteMor(spark, col("k") > 36)
+    assert(IcebergExport.mirrorIceberg(spark, t,
+      keepMetadata = 1, keepSnapshots = 1).isDefined)
+    val secondDirs = delRoot.listFiles().map(_.getName).toSet
+    assert(secondDirs.size == 1)
+    assert(secondDirs.intersect(firstDirs).isEmpty,
+      s"superseded delete dir not reclaimed: $firstDirs vs $secondDirs")
+    // the surviving metadata still serves: round-trip via convert
+    def rm(f: File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(new File(dir, "_log"))
+    rm(new File(dir, "_dv"))
+    val conv = IcebergExport.convertFromIceberg(spark, dir)
+    assert(conv.load(spark).count() == 32L)
+  }
+
+  test("graft TAGS export as Iceberg refs (with the main branch at " +
+    "the current snapshot); tags outside the carried snapshots and " +
+    "branches stay behind") {
+    def metaAt(dir: String): JValue = {
+      val n = java.nio.file.Files.readString(
+        new File(dir, "metadata/version-hint.text").toPath).trim.toInt
+      JsonMethods.parse(java.nio.file.Files.readString(
+        new File(dir, s"metadata/v$n.metadata.json").toPath))
+    }
+    val dir = s"${tmp()}/t"
+    val t = new LogTable(dir)
+    t.append(Seq((1L, "a")).toDF("k", "v"))           // v0
+    IcebergExport.mirrorIceberg(spark, t)             // snap 0
+    t.createTag("release-1", Some(0L))                // v1, pins v0
+    t.append(Seq((2L, "b")).toDF("k", "v"))           // v2
+    IcebergExport.mirrorIceberg(spark, t)             // snap 2
+    val refs2 = (metaAt(dir) \ "refs")
+      .asInstanceOf[JObject].obj.toMap
+    assert(refs2.contains("main"))
+    assert((refs2("main") \ "type") == JString("branch"))
+    assert((refs2("main") \ "snapshot-id") ==
+      (metaAt(dir) \ "current-snapshot-id"))
+    // release-1 pins snapshot 0 — carried — exports as a tag ref
+    // (json4s parses numbers back as JInt — compare by value)
+    def idOfRef(j: JValue): Long = (j \ "snapshot-id") match {
+      case JInt(i) => i.toLong; case JLong(l) => l; case _ => -1L
+    }
+    assert(refs2.get("release-1").map(idOfRef).contains(0L),
+      refs2.keys)
+    assert((refs2("release-1") \ "type") == JString("tag"))
+
+    // a tag pinning a version never exported as a snapshot, and a
+    // branch (its head lives on its OWN log), both stay behind; a
+    // tight keepSnapshots carry drops release-1's snapshot too
+    t.createTag("mid", Some(1L))                      // v3, pins v1
+    t.createBranch("dev")                             // v4
+    t.append(Seq((3L, "c")).toDF("k", "v"))           // v5
+    IcebergExport.mirrorIceberg(spark, t,
+      keepSnapshots = 2)                              // carries 2, 5
+    val refs5 = (metaAt(dir) \ "refs")
+      .asInstanceOf[JObject].obj.toMap
+    assert(refs5.contains("main"))
+    assert(!refs5.contains("release-1"), refs5.keys) // snap 0 dropped
+    assert(!refs5.contains("mid"), refs5.keys)       // never a snap
+    assert(!refs5.contains("dev"), refs5.keys)       // branch
   }
 }
