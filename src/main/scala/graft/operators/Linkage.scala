@@ -99,14 +99,21 @@ object Linkage {
                   right: DataFrame, rId: String, rName: String,
                   maxDist: Int,
                   maxCandidateBudget: Option[Long]): DataFrame = {
+    // The exploded side carries ONLY (id, variant hash, length) —
+    // never the name string (guide §2.3: shuffle keys and metadata,
+    // not payloads; names re-attach to the ~|candidates| pair set by
+    // id below). Variant hashes come from the fused kernel — the
+    // same distinct hash SET as `xxhash64` over the declarative
+    // `delNeighborhoodK` variants (LinkageSpec asserts equality), with
+    // zero variant-string allocation. Candidates are verified
+    // exactly afterwards, so the blocking change cannot alter the
+    // result set.
     def side(df: DataFrame, id: String, name: String,
              p: String): DataFrame =
-      df.select(col(id).as(s"${p}_id"), col(name).as(s"${p}_name"))
-        .withColumn("__v",
-          explode(delNeighborhoodK(col(s"${p}_name"), maxDist)))
-        .select(col(s"${p}_id"), col(s"${p}_name"),
-          xxhash64(col("__v")).as("__vk"),
-          length(col(s"${p}_name")).as(s"__${p}len"))
+      df.select(col(id).as(s"${p}_id"),
+        explode(graft.plans.TextHashExpressions.deletionHashes(
+          col(name), maxDist)).as("__vk"),
+        length(col(name)).as(s"__${p}len"))
     val l = side(left, lId, lName, "l")
     val r = side(right, rId, rName, "r")
     maxCandidateBudget.foreach { budget =>
@@ -133,11 +140,24 @@ object Linkage {
           "alphabet-bounded), route hot keys through Skew salting, " +
           "or raise the budget explicitly")
     }
+    // ids are deduplicated BEFORE names re-attach: the distinct runs
+    // over two 8-byte ids instead of two ids + two strings, and the
+    // id joins only touch the candidate pair set (≪ the exploded
+    // variant relation)
     val cand = l.join(r, "__vk")
       .where(abs(col("__llen") - col("__rlen")) <= maxDist)
-      .select(col("l_id"), col("l_name"), col("r_id"), col("r_name"))
+      .select(col("l_id"), col("r_id"))
       .distinct()
+    // distinct on the attach sides keeps the old contract under
+    // duplicate input rows (the prior formulation deduplicated
+    // (id, name) TUPLES; without this a fully-duplicated input row
+    // would double its pairs)
     cand
+      .join(left.select(col(lId).as("l_id"), col(lName).as("l_name"))
+        .distinct(), "l_id")
+      .join(right.select(col(rId).as("r_id"), col(rName).as("r_name"))
+        .distinct(), "r_id")
+      .select(col("l_id"), col("l_name"), col("r_id"), col("r_name"))
       .withColumn("dist", levenshtein(col("l_name"), col("r_name")))
       .where(col("dist") <= maxDist)
   }

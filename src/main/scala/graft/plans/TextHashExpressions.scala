@@ -140,6 +140,74 @@ object TextHash {
     UnsafeArrayData.fromPrimitiveArray(sortedDistinct(hs))
   }
 
+  /** Sorted distinct xxh64 hashes (seed 42 — the same value
+    * `xxhash64(variant)` yields) of every ≤k-deletion variant of
+    * `s`: the string itself, every string with one codepoint
+    * removed, and (k = 2) every string with an unordered PAIR of
+    * codepoints removed. Set-identical to hashing the declarative
+    * `Linkage.delNeighborhoodK` variants (asserted in LinkageSpec),
+    * with zero per-variant string allocation: each variant is at
+    * most three byte ranges of the input, copied into one reused
+    * scratch buffer and hashed in place. The declarative
+    * formulation (`transform(sequence(…))` + nested deletions +
+    * `array_distinct` + `xxhash64`) materializes ~len²/2 string
+    * objects per row through interpreted higher-order functions —
+    * the dominant CPU cost of the fuzzy-join family. */
+  def deletionHashes(s: UTF8String, k: Int): ArrayData = {
+    require(k == 1 || k == 2, s"supported neighborhood depths: 1, 2 (got $k)")
+    val nBytes = s.numBytes()
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    // codepoint start offsets (UTF-8 continuation bytes are 10xxxxxx)
+    val bounds = new Array[Int](nBytes + 1)
+    var m = 0
+    var b = 0
+    while (b < nBytes) {
+      if ((Platform.getByte(base, off + b) & 0xC0) != 0x80) {
+        bounds(m) = b; m += 1
+      }
+      b += 1
+    }
+    bounds(m) = nBytes
+    val count = 1 + m + (if (k >= 2) m * (m - 1) / 2 else 0)
+    val hs = new Array[Long](count)
+    var w = 0
+    hs(w) = XXH64.hashUnsafeBytes(base, off, nBytes, 42L); w += 1
+    val scratch = new Array[Byte](nBytes)
+    var i = 0
+    while (i < m) {
+      // one deletion at i: bytes [0, bounds(i)) ++ [bounds(i+1), end)
+      val headLen = bounds(i)
+      Platform.copyMemory(base, off, scratch, Platform.BYTE_ARRAY_OFFSET,
+        headLen.toLong)
+      val tailLen = nBytes - bounds(i + 1)
+      Platform.copyMemory(base, off + bounds(i + 1), scratch,
+        Platform.BYTE_ARRAY_OFFSET + headLen, tailLen.toLong)
+      hs(w) = XXH64.hashUnsafeBytes(scratch, Platform.BYTE_ARRAY_OFFSET,
+        headLen + tailLen, 42L)
+      w += 1
+      if (k >= 2) {
+        // second deletion at j > i: the head [0, bounds(i)) bytes are
+        // already in place; only the middle and tail segments move
+        var j = i + 1
+        while (j < m) {
+          val seg2 = bounds(j) - bounds(i + 1)
+          Platform.copyMemory(base, off + bounds(i + 1), scratch,
+            Platform.BYTE_ARRAY_OFFSET + headLen, seg2.toLong)
+          val seg3 = nBytes - bounds(j + 1)
+          Platform.copyMemory(base, off + bounds(j + 1), scratch,
+            Platform.BYTE_ARRAY_OFFSET + headLen + seg2, seg3.toLong)
+          hs(w) = XXH64.hashUnsafeBytes(scratch, Platform.BYTE_ARRAY_OFFSET,
+            headLen + seg2 + seg3, 42L)
+          w += 1
+          j += 1
+        }
+      }
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(sortedDistinct(hs))
+  }
+
   /** 64-bit SimHash of a token array in one pass: each token's
     * xxh64 (seed 42) votes +1/−1 per bit position by occurrence
     * (duplicates vote again — same semantics as the exploded
@@ -434,6 +502,27 @@ case class CharNgramHashes(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** Sorted distinct hashed ≤k-deletion variants of a string — see
+  * TextHash.deletionHashes. */
+case class DeletionHashes(child: Expression, k: Int)
+  extends UnaryExpression with LongArrayResult {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"deletion_hashes expects string, got ${other.simpleString}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextHash.deletionHashes(input.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.TextHash.deletionHashes($c, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): DeletionHashes =
+    copy(child = newChild)
+}
+
 /** One-pass 64-bit SimHash of a token array — see TextHash.simHash64. */
 case class SimHash64(child: Expression)
   extends UnaryExpression {
@@ -624,6 +713,12 @@ object TextHashExpressions {
   def charNgramHashes(text: Column, n: Int): Column =
     GraftColumnShim.column(CharNgramHashes(
       GraftColumnShim.expression(text), n))
+
+  /** Sorted distinct xxh64 hashes of the ≤k-deletion neighborhood
+    * of a string column. */
+  def deletionHashes(text: Column, k: Int): Column =
+    GraftColumnShim.column(DeletionHashes(
+      GraftColumnShim.expression(text), k))
 
   /** One-pass 64-bit SimHash of a token-array column. */
   def simHash64(tokens: Column): Column =

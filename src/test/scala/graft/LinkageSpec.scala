@@ -98,6 +98,27 @@ class LinkageSpec extends SparkSpec {
     assert(gated == ungated && gated.nonEmpty)
   }
 
+  test("deletionHashes equals xxhash64 over the declarative " +
+    "deletion neighborhood, for k = 1 and 2, including multi-byte " +
+    "codepoints and degenerate lengths") {
+    val inputs = Seq("abcd", "a", "", "ab", "héllo", "日本語abc",
+      "Customer#000000042")
+    for (k <- Seq(1, 2); s <- inputs) {
+      val fused = Seq(s).toDF("s")
+        .select(graft.plans.TextHashExpressions
+          .deletionHashes(col("s"), k).as("h"))
+        .head().getSeq[Long](0)
+      val declarative = Seq(s).toDF("s")
+        .select(Linkage.delNeighborhoodK(col("s"), k).as("v"))
+        .select(explode(col("v")).as("v"))
+        .select(xxhash64(col("v")).as("h"))
+        .collect().map(_.getLong(0)).toSet
+      assert(fused.toSet == declarative, s"k=$k s='$s'")
+      assert(fused == fused.sorted && fused.distinct == fused,
+        s"sorted distinct contract: k=$k s='$s'")
+    }
+  }
+
   test("fuzzy_join plan has no cartesian product") {
     val clean = Seq((1L, "alpha")).toDF("id", "name")
     val plan = Linkage.fuzzyJoinEd1(clean, "id", "name",
