@@ -35,9 +35,14 @@ object JobProfile {
     val lines = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Long, String)]()
     val listener = new SparkListener {
       override def onJobStart(js: SparkListenerJobStart): Unit = {
-        val site = Option(js.properties)
-          .flatMap(p => Option(p.getProperty("callSite.short")))
-          .getOrElse("?")
+        // AQE submits stages from its thread pool, so the stage NAME
+        // is an anonfun — dig the first graft frame out of the call
+        // site long form (StageInfo.details) for attribution
+        val stage = js.stageInfos.lastOption
+        val name = stage.map(_.name).getOrElse("?")
+        val site = stage.map(_.details).getOrElse("")
+          .linesIterator.find(_.contains("graft."))
+          .map(_.trim.stripPrefix("at ")).getOrElse(name)
         starts.put(js.jobId, (System.nanoTime(), site))
       }
       override def onJobEnd(je: SparkListenerJobEnd): Unit = {

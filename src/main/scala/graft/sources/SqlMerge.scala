@@ -164,6 +164,52 @@ object SqlMerge {
       def l(i: Int): Long = if (r.isNullAt(i)) 0L else r.getLong(i)
       MergeResult(l(1), l(2), l(3), l(4))
     }
+
+    /** [[statsChecked]] fused with the touched-file aggregate: ONE
+      * pass over the labeled join yields the ANSI cardinality check,
+      * all four branch counters, AND the distinct set of target
+      * files containing a changed row — mergeLog's first two join
+      * executions become one. The per-`__tid` level additionally
+      * carries the row's file (a target row lives in exactly one
+      * file; null when the row is unchanged), and the second level
+      * groups those per-tid rows BY FILE — same stage shape as
+      * [[statsChecked]]'s global aggregate, so the fusion is pure
+      * saving. The driver folds the per-file partials (exact long
+      * sums/max — order-free) and reads the touched set off the
+      * non-null file keys; collected rows are bounded by #touched
+      * files + 1, the same driver profile as the old touched-file
+      * collect. Throws on a cardinality violation BEFORE anything
+      * is written, like [[statsChecked]]. */
+    def statsAndTouched(fileCol: Column): (MergeResult, Set[String]) = {
+      val isUpd = col("__branch").isin(updates.map(i => i: Any): _*)
+      val isDel = col("__branch").isin(deletes.map(i => i: Any): _*)
+      val perTid = labeled.groupBy(col("__tid")).agg(
+        sum(when(tPresent && sPresent, 1L).otherwise(0L)).as("__nm"),
+        sum(when(isUpd && tPresent, 1L).otherwise(0L)).as("__u"),
+        sum(when(isDel, 1L).otherwise(0L)).as("__d"),
+        sum(when(isUpd && !tPresent, 1L).otherwise(0L)).as("__i"),
+        sum(when(col("__branch") === -1, 1L).otherwise(0L)).as("__k"),
+        min(when(tPresent && (isUpd || isDel), fileCol)).as("__tf"))
+      val rows = perTid.groupBy(col("__tf")).agg(
+        max(when(col("__tid").isNotNull, col("__nm"))).as("max_match"),
+        sum(col("__u")).as("updated"), sum(col("__d")).as("deleted"),
+        sum(col("__i")).as("inserted"), sum(col("__k")).as("unchanged"))
+        .collect()
+      def l(r: org.apache.spark.sql.Row, n: String): Long = {
+        val i = r.fieldIndex(n)
+        if (r.isNullAt(i)) 0L else r.getLong(i)
+      }
+      if (rows.exists(r => l(r, "max_match") > 1L))
+        throw new IllegalStateException(
+          "MERGE cardinality violation: a target row matched by " +
+            "multiple source rows (as in ANSI/Delta, this is an error)")
+      val touched = rows.iterator.filter(!_.isNullAt(0))
+        .map(_.getString(0)).toSet
+      (MergeResult(rows.map(l(_, "updated")).sum,
+        rows.map(l(_, "deleted")).sum,
+        rows.map(l(_, "inserted")).sum,
+        rows.map(l(_, "unchanged")).sum), touched)
+    }
   }
 
   private def analyze(spark: SparkSession, mergeSql: String,
@@ -301,12 +347,12 @@ object SqlMerge {
     * (rewrite everything) and [[mergeMor]] (rewrite nothing, pay at
     * read) this is the pay-once-proportionally point Delta ships.
     *
-    * Three passes over the (never-materialized) join: the combined
-    * cardinality-check/counters aggregate, the touched-file distinct
-    * (a file-name aggregate that early-outs the no-op merge), and the
-    * rewrite itself. The touched-file set is collected to the driver
-    * (bounded by #files, metadata-scale) and pushed back as an `IN`
-    * filter. */
+    * Two passes over the (never-materialized) join before the change
+    * feed: ONE fused aggregate (cardinality check + branch counters +
+    * touched-file set, [[Core.statsAndTouched]] — it early-outs the
+    * no-op merge) and the rewrite itself. The touched-file set is
+    * collected to the driver (bounded by #touched files,
+    * metadata-scale) and pushed back as an `IN` filter. */
   def mergeLog(spark: SparkSession, mergeSql: String,
                log: LogTable): MergeResult =
     mergeLog(spark, mergeSql, log, txn = None)
@@ -395,13 +441,10 @@ object SqlMerge {
     val snapCols = target.columns.toSeq.filterNot(c =>
       c == "__file" || c == LogTable.RowIdPhysCol)
     val core = analyzeFrame(spark, p, target, snapCols)
-    val stats = core.statsChecked()
-
-    val isChange = col("__branch").isin(
-      (core.updates ++ core.deletes).map(i => i: Any): _*)
-    val touchedNames = core.labeled.filter(core.tPresent && isChange)
-      .select(col(s"${p.targetAlias}.__file").as("__f"))
-      .distinct().collect().map(_.getString(0)).toSet
+    // one fused pass: counters + cardinality check + touched files
+    // (was two full executions of the labeled join)
+    val (stats, touchedNames) =
+      core.statsAndTouched(col(s"${p.targetAlias}.__file"))
     // __file carries the scan-time file-path URI; normalize both
     // sides to absolute paths for the attribution (clone snapshots
     // mix data roots, so bare names could collide across roots)
