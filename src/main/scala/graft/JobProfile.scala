@@ -52,9 +52,29 @@ object JobProfile {
       }
     }
     spark.sparkContext.addSparkListener(listener)
+    // driver-side attribution: sample the main thread's stack while
+    // the query runs and count the deepest graft frame — where the
+    // driver gap (wall time minus job time) is actually spent
+    val mainThread = Thread.currentThread()
+    val samples = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+    @volatile var sampling = true
+    val sampler = new Thread(() => {
+      while (sampling) {
+        val st = mainThread.getStackTrace
+        val frame = st.find(e => e.getClassName.startsWith("graft."))
+          .map(e => s"${e.getClassName}.${e.getMethodName}:${e.getLineNumber}")
+          .getOrElse(st.drop(2).headOption.map(e =>
+            s"${e.getClassName}.${e.getMethodName}").getOrElse("?"))
+        samples.merge(frame, 1, (a, b) => a + b)
+        Thread.sleep(10)
+      }
+    })
+    sampler.setDaemon(true)
+    sampler.start()
     val t0 = System.nanoTime()
     val n = run(SparkEntry.queries(name)(spark, sfDir))
     val total = (System.nanoTime() - t0) / 1e9
+    sampling = false
     Thread.sleep(1000) // let the async listener bus drain
     import scala.jdk.CollectionConverters._
     val all = lines.asScala.toSeq.sortBy(_._1)
@@ -65,6 +85,9 @@ object JobProfile {
     val jobSum = all.map(_._2).sum / 1000.0
     println(f"[jobprofile] job time sum $jobSum%.2f s " +
       f"(driver-side gap ${total - jobSum}%.2f s)")
+    samples.asScala.toSeq.sortBy(-_._2).take(25).foreach { case (f, c) =>
+      println(f"[jobprofile] drv ${c.toInt * 10}%6d ms~ $f")
+    }
     spark.stop()
   }
 }

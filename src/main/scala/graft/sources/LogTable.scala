@@ -4284,21 +4284,30 @@ final class LogTable(val path: String,
       else dvAwareRead(spark, snap.schema, snap.partitionCols,
         candidates, keepProvenance = true)
     val matched = candDf.filter(coalesce(pred, lit(false)))
-    // per-file match counts: ONE aggregate whose result is
-    // O(#touched files) — the only thing that ever reaches the
-    // driver. Keys are the scan-time file-path URIs; driver-side
-    // attribution normalizes both sides to absolute paths (a clone
-    // snapshot mixes data roots, so bare names could collide).
-    val perFileRaw = matched.groupBy(col("__file"))
-      .agg(count(lit(1)).as("n")).collect()
+    // this op's pairs write FIRST, and the per-file match counts
+    // come from reading that (∝ matches) output back — one scan of
+    // the candidate files serves both, where the old shape scanned
+    // them once for a count aggregate and again for the pair write.
+    // Keys are the scan-time file-path URIs; driver-side attribution
+    // normalizes both sides to absolute paths (a clone snapshot
+    // mixes data roots, so bare names could collide).
+    val dvRel = s"_dv/${UUID.randomUUID()}"
+    matched.select(col("__file").as("file"), col("__idx").as("idx"))
+      .repartition(col("file")).write.parquet(s"$path/$dvRel")
+    val perFileRaw = spark.read.parquet(s"$path/$dvRel")
+      .groupBy(col("file")).agg(count(lit(1)).as("n")).collect()
     val perFile = perFileRaw
       .map(r => LogTable.provPath(r.getString(0)) -> r.getLong(1)).toMap
     // scan-side URI of each matched file, for executor-side joins
     // against pair files (which store the URIs the scan emitted)
     val uriOf = perFileRaw
       .map(r => LogTable.provPath(r.getString(0)) -> r.getString(0)).toMap
-    if (perFile.isEmpty)
+    if (perFile.isEmpty) {
+      // nothing matched: reclaim the empty pair directory rather
+      // than leaving an unreferenced orphan for vacuum
+      deleteRecursive(new File(s"$path/$dvRel"))
       return RowOpResult(readVersion, 0L, skippedCount, candidates.size, 0)
+    }
     val touched = candidates.filter(a => perFile.contains(absLivePath(a)))
 
     // change feed, written before the commit that references it —
@@ -4320,26 +4329,23 @@ final class LogTable(val path: String,
           .write.mode("overwrite").parquet(s"$path/$cdfRel")
     }
 
-    // the new vectors: this op's pairs ∪ the touched files' existing
-    // pairs (so each AddFile.dv reference is always complete)
-    val dvRel = s"_dv/${UUID.randomUUID()}"
-    val newPairs = matched.select(col("__file").as("file"),
-      col("__idx").as("idx"))
+    // complete the vector dir: the touched files' EXISTING pairs
+    // append beside this op's pairs (so each AddFile.dv reference
+    // is always complete). Input is the old pair files (∝ prior
+    // deletes), never the candidate data files.
     val oldDirs = touched.flatMap(_.dv.map(_.path)).distinct
     val touchedNames = touched.map(a => uriOf(absLivePath(a)))
-    val allPairs =
-      if (oldDirs.isEmpty) newPairs
-      else {
-        // keep only the touched files' old pairs — as a broadcast
-        // semi-join, not isin: a wide DELETE touches thousands of
-        // files and a literal list that size bloats the plan
-        import spark.implicits._
-        val names = broadcast(touchedNames.toDF("file"))
-        newPairs.unionByName(
-          spark.read.parquet(oldDirs.map(absPath): _*)
-            .join(names, Seq("file"), "left_semi"))
-      }
-    allPairs.repartition(col("file")).write.parquet(s"$path/$dvRel")
+    if (oldDirs.nonEmpty) {
+      // keep only the touched files' old pairs — as a broadcast
+      // semi-join, not isin: a wide DELETE touches thousands of
+      // files and a literal list that size bloats the plan
+      import spark.implicits._
+      val names = broadcast(touchedNames.toDF("file"))
+      spark.read.parquet(oldDirs.map(absPath): _*)
+        .join(names, Seq("file"), "left_semi")
+        .repartition(col("file")).write.mode("append")
+        .parquet(s"$path/$dvRel")
+    }
 
     def cardOf(a: AddFile): Long =
       perFile(absLivePath(a)) + a.dv.map(_.rows).getOrElse(0L)
