@@ -505,34 +505,43 @@ object SqlMerge {
 
     // change feed: pre-images of updated/deleted target rows,
     // post-images of updates, the insert rows — Delta's merge CDF
-    // shape. One more filtered pass over the (never-materialized)
-    // join; Delta folds this into the rewrite job itself, which a
-    // library-level planner cannot, so merge CDF costs one extra
-    // join execution here — documented trade
+    // shape. ONE more execution of the (never-materialized) join:
+    // each joined row emits its 0-2 change images as an array of
+    // structs and explodes, where the old union-of-three-filters
+    // shape re-executed the join (and the merge SOURCE pipeline
+    // under it) once per branch — three scans of the target per CDF
+    // write at a 100 TB target, now one
     val isUpd = col("__branch").isin(core.updates.map(i => i: Any): _*)
     val isDel = col("__branch").isin(core.deletes.map(i => i: Any): _*)
     val targetImage = snapCols.map(c =>
       col(s"${p.targetAlias}.$c").as(c))
-    val pre = core.labeled.filter(core.tPresent && (isUpd || isDel))
-      .select(targetImage :+
-        when(isDel, lit("delete")).otherwise(lit("update_preimage"))
-          .as("_change_type"): _*)
-    val post = core.labeled.filter(core.tPresent && isUpd)
-      .select(core.outCols :+ lit("update_postimage").as("_change_type"): _*)
+    val preStruct = struct(targetImage :+
+      when(isDel, lit("delete")).otherwise(lit("update_preimage"))
+        .as("_change_type"): _*)
+    val postStruct = struct(
+      core.outCols :+ lit("update_postimage").as("_change_type"): _*)
+    val insStruct = struct(
+      core.outCols :+ lit("insert").as("_change_type"): _*)
     // allocated-identity inserts come from the staged files (the
-    // SAME ids the commit publishes); everything else re-executes
-    // the join's insert branch as before
-    val ins = insStaged match {
+    // SAME ids the commit publishes); everything else rides the
+    // fused pass's insert branch
+    val contributes = (core.tPresent && (isUpd || isDel)) ||
+      (lit(!allocates) && !core.tPresent && keep)
+    val fused = core.labeled.filter(contributes)
+      .select(explode(
+        when(core.tPresent && isUpd, array(preStruct, postStruct))
+          .when(core.tPresent && isDel, array(preStruct))
+          .otherwise(array(insStruct))).as("__c"))
+      .select(col("__c.*"))
+    val cdf = insStaged match {
       case Some(dir) =>
-        spark.read.parquet(dir).drop(LogTable.RowIdPhysCol)
-          .withColumn("_change_type", lit("insert"))
-      case None =>
-        core.labeled.filter(!core.tPresent && keep)
-          .select(core.outCols :+ lit("insert").as("_change_type"): _*)
+        fused.unionByName(spark.read.parquet(dir)
+          .drop(LogTable.RowIdPhysCol)
+          .withColumn("_change_type", lit("insert")))
+      case None => fused
     }
     val cdfRel = s"_cdf/${java.util.UUID.randomUUID()}"
-    pre.unionByName(post).unionByName(ins)
-      .write.mode("overwrite").parquet(s"${log.path}/$cdfRel")
+    cdf.write.mode("overwrite").parquet(s"${log.path}/$cdfRel")
 
     // fold the insert staging into the main one for a single commit
     insStaged.foreach { dir =>
