@@ -4284,18 +4284,22 @@ final class LogTable(val path: String,
       else dvAwareRead(spark, snap.schema, snap.partitionCols,
         candidates, keepProvenance = true)
     val matched = candDf.filter(coalesce(pred, lit(false)))
-    // this op's pairs write FIRST, and the per-file match counts
-    // come from reading that (∝ matches) output back — one scan of
-    // the candidate files serves both, where the old shape scanned
-    // them once for a count aggregate and again for the pair write.
-    // Keys are the scan-time file-path URIs; driver-side attribution
-    // normalizes both sides to absolute paths (a clone snapshot
-    // mixes data roots, so bare names could collide).
-    val dvRel = s"_dv/${UUID.randomUUID()}"
-    matched.select(col("__file").as("file"), col("__idx").as("idx"))
-      .repartition(col("file")).write.parquet(s"$path/$dvRel")
-    val perFileRaw = spark.read.parquet(s"$path/$dvRel")
-      .groupBy(col("file")).agg(count(lit(1)).as("n")).collect()
+    // ONE scan of the candidate files serves the WHOLE DML: the
+    // change-feed write runs first and carries each matched row's
+    // (__file, __idx) provenance as extra columns — every CDF reader
+    // loads by explicit schema, so the extras are invisible to them
+    // — and the pair write, the per-file match counts, and (for
+    // UPDATE) the post-image computation, its staging, and its feed
+    // rows all derive from reading that (∝ matched rows) output
+    // back. The old shape re-scanned the candidates once per
+    // consumer: twice for DELETE, four times for UPDATE.
+    val cdfRel = s"_cdf/${UUID.randomUUID()}"
+    matched.withColumn("_change_type",
+        lit(if (op == "update") "update_preimage" else "delete"))
+      .write.mode("overwrite").parquet(s"$path/$cdfRel")
+    val preRead = spark.read.parquet(s"$path/$cdfRel")
+    val perFileRaw = preRead
+      .groupBy(col("__file")).agg(count(lit(1)).as("n")).collect()
     val perFile = perFileRaw
       .map(r => LogTable.provPath(r.getString(0)) -> r.getLong(1)).toMap
     // scan-side URI of each matched file, for executor-side joins
@@ -4303,30 +4307,34 @@ final class LogTable(val path: String,
     val uriOf = perFileRaw
       .map(r => LogTable.provPath(r.getString(0)) -> r.getString(0)).toMap
     if (perFile.isEmpty) {
-      // nothing matched: reclaim the empty pair directory rather
-      // than leaving an unreferenced orphan for vacuum
-      deleteRecursive(new File(s"$path/$dvRel"))
+      // nothing matched: reclaim the empty change-feed directory
+      // rather than leaving an unreferenced orphan for vacuum
+      deleteRecursive(new File(s"$path/$cdfRel"))
       return RowOpResult(readVersion, 0L, skippedCount, candidates.size, 0)
     }
     val touched = candidates.filter(a => perFile.contains(absLivePath(a)))
 
-    // change feed, written before the commit that references it —
-    // the SAME post-image frame also stages below (one callback
-    // invocation, so feed and committed files cannot diverge)
-    val cdfRel = s"_cdf/${UUID.randomUUID()}"
-    val images = matched.drop("__file", "__idx")
+    // pairs come off the feed read-back (∝ matches), never a second
+    // candidate scan. Keys are the scan-time file-path URIs;
+    // driver-side attribution normalizes both sides to absolute
+    // paths (a clone snapshot mixes data roots, so bare names could
+    // collide).
+    val dvRel = s"_dv/${UUID.randomUUID()}"
+    preRead.select(col("__file").as("file"), col("__idx").as("idx"))
+      .repartition(col("file")).write.parquet(s"$path/$dvRel")
+
+    // UPDATE post-images: computed from the feed read-back pre-images
+    // (the same deterministic SET expressions over the same rows the
+    // live scan produced), appended to the feed beside them — the
+    // SAME frame also stages below, so feed and committed files
+    // cannot diverge. Mixed parquet schemas inside the feed dir are
+    // fine: readers select the table schema + _change_type only.
+    val images = preRead.drop("_change_type", "__file", "__idx")
     val post = postImages(images, snap.schema, snap.partitionCols)
-    post match {
-      case None =>
-        images.drop(LogTable.RowIdPhysCol)
-          .withColumn("_change_type", lit("delete"))
-          .write.mode("overwrite").parquet(s"$path/$cdfRel")
-      case Some(p) =>
-        p.drop(LogTable.RowIdPhysCol)
-          .withColumn("_change_type", lit("update_postimage"))
-          .unionByName(images.drop(LogTable.RowIdPhysCol)
-            .withColumn("_change_type", lit("update_preimage")))
-          .write.mode("overwrite").parquet(s"$path/$cdfRel")
+    post.foreach { p =>
+      p.drop(LogTable.RowIdPhysCol)
+        .withColumn("_change_type", lit("update_postimage"))
+        .write.mode("append").parquet(s"$path/$cdfRel")
     }
 
     // complete the vector dir: the touched files' EXISTING pairs
@@ -4633,15 +4641,24 @@ final class LogTable(val path: String,
     val staged = new File(newStagingDir())
     val rewritten = rewrite(matching, touchedDf)
     stagedWriter(rewritten).parquet(staged.toString)
+    var affectedUpd = 0L
     if (op == "update") {
-      val pre = matching.drop(LogTable.RowIdPhysCol)
+      // pre-images scan the touched files once; post-images derive
+      // from READING THE PRE-IMAGES BACK (∝ matched rows — the SET
+      // expressions are deterministic over row values, so applying
+      // them to the read-back rows reproduces the live scan's
+      // post-state exactly) instead of a third touched-file scan.
+      // Mixed parquet schemas inside the feed dir are fine: readers
+      // select the table schema + _change_type only.
+      matching.drop(LogTable.RowIdPhysCol)
         .withColumn("_change_type", lit("update_preimage"))
-      val post = rewrite(matching,
-        touchedDf.filter(coalesce(pred, lit(false))))
-        .drop(LogTable.RowIdPhysCol)
+        .write.mode("overwrite").parquet(s"$path/$cdfRel")
+      val preRead = spark.read.parquet(s"$path/$cdfRel")
+        .drop("_change_type")
+      affectedUpd = preRead.count()
+      rewrite(preRead, preRead)
         .withColumn("_change_type", lit("update_postimage"))
-      pre.unionByName(post).write.mode("overwrite")
-        .parquet(s"$path/$cdfRel")
+        .write.mode("append").parquet(s"$path/$cdfRel")
     }
 
     val v = finalizeStaged(spark, staged, snap.schema,
@@ -4655,8 +4672,7 @@ final class LogTable(val path: String,
     val rowsAfter = addedFiles(v).map(_.rows).sum
     val affected =
       if (op == "delete") rowsBefore - rowsAfter
-      else spark.read.parquet(s"$path/$cdfRel")
-        .filter(col("_change_type") === "update_preimage").count()
+      else affectedUpd
     RowOpResult(v, affected, skippedCount, candidates.size, touched.size)
   }
 
