@@ -277,16 +277,30 @@ object Clustering {
     // rather than escaping the lint.
     val nn = ckpt(nodes.crossJoin(
       broadcast(nodes.agg(count(lit(1)).cast("double").as("n")))))
+    // measured-size broadcast gate (the CC loop's rule): the rank
+    // vector is |V| rows (~28 B each) — under ~3M vertices (~84 MB)
+    // broadcast it AND the per-iteration contrib vector, so each
+    // power iteration is a map-side join over the (never reshuffled)
+    // edge leaf plus ONE dst-keyed partial-aggregated reduce — 3
+    // exchanges per iteration become 1. The count runs over the
+    // ALREADY-MATERIALIZED ckpt leaf (eager localCheckpoint), so it
+    // costs one cached-partition pass, no recompute; past the gate
+    // the shuffled-join shape stands (AQE still converts what fits).
+    // Identical results either way: join strategy moves no values,
+    // and the decimal(38,18) fold is order-independent bitwise.
+    val small = nn.count() < 3000000L
+    def maybeB(df: DataFrame): DataFrame = if (small) broadcast(df) else df
     var rank = nn.select(col("node"), col("n"),
       (lit(1.0) / col("n")).as("rank"))
     for (i <- 1 to iters) {
       val contrib = w
-        .join(rank.select(col("node").as("src"), col("rank")), Seq("src"))
+        .join(maybeB(rank.select(col("node").as("src"), col("rank"))),
+          Seq("src"))
         .groupBy(col("dst").as("cnode"))
         .agg(sum((col("rank") * col("wt")).cast("decimal(38,18)"))
           .cast("double").as("contrib"))
       val next = nn
-        .join(contrib, col("node") === col("cnode"), "left")
+        .join(maybeB(contrib), col("node") === col("cnode"), "left")
         .select(col("node"), col("n"),
           (lit(teleport) / col("n") +
             lit(damping) * coalesce(col("contrib"), lit(0.0)))
