@@ -513,12 +513,17 @@ object DeltaExport {
     * superseded ones stay referenced by the older commits that named
     * them and reclaim under standard Delta vacuum semantics. */
   private def dvDescriptors(spark: SparkSession, root: String,
-      dvd: DataFrame): org.apache.spark.sql.Dataset[(String, String)] = {
+      dvd: DataFrame, knownDirs: Option[Seq[String]] = None)
+      : org.apache.spark.sql.Dataset[(String, String)] = {
     import org.apache.spark.sql.{Encoders => E}
     val rootAbs = new File(root).getAbsolutePath
     val enc2 = E.tuple(E.STRING, E.STRING)
-    val dirs = dvd.select(col("dvPath")).distinct()
-      .collect().map(_.getString(0)).toSeq
+    // callers holding a driver-side add set already KNOW the pair
+    // dirs (one per MOR commit) — skip the distinct+collect job for
+    // them; the distributed-manifest caller still derives dirs with
+    // a job, as it must
+    val dirs = knownDirs.getOrElse(dvd.select(col("dvPath")).distinct()
+      .collect().map(_.getString(0)).toSeq)
     if (dirs.isEmpty)
       return spark.createDataset(Seq.empty[(String, String)])(enc2)
     val pairsRaw = spark.read
@@ -709,7 +714,9 @@ object DeltaExport {
           val descMap: Map[String, String] =
             if (!anyDv) Map.empty
             else dvDescriptors(spark, log.path,
-              dvdFrameOf(spark, adds0)).collect().toMap
+              dvdFrameOf(spark, adds0),
+              Some(adds0.flatMap(_.dv.map(_.path)).distinct))
+              .collect().toMap
           adds0.foreach { a =>
             w.write(addActionLine(a, types, mt, dataChange = true,
               dvJson = descMap.get(a.path)))
@@ -777,7 +784,9 @@ object DeltaExport {
       val descMap: Map[String, String] =
         if (dvdInline.isEmpty) Map.empty
         else dvDescriptors(spark, log.path,
-          dvdFrameOf(spark, dvdInline)).collect().toMap
+          dvdFrameOf(spark, dvdInline),
+          Some(dvdInline.flatMap(_.dv.map(_.path)).distinct))
+          .collect().toMap
       val removes = log.removedPaths(cv)
       val mt = log.commitTime(cv)
       val types = schema.fields.map(f => f.name -> f.dataType).toMap
@@ -912,7 +921,9 @@ object DeltaExport {
         val descMap: Map[String, String] =
           if (!anyDv) Map.empty
           else dvDescriptors(spark, log.path,
-            dvdFrameOf(spark, adds0)).collect().toMap
+            dvdFrameOf(spark, adds0),
+            Some(adds0.flatMap(_.dv.map(_.path)).distinct))
+            .collect().toMap
         spark.createDataset(adds0.map(a =>
           addActionLine(a, types, mt, dataChange = true,
             dvJson = descMap.get(a.path))))(enc)

@@ -651,12 +651,16 @@ object IcebergExport {
     * max file_path) — O(#delete files), bounded by the write's
     * shuffle partitioning, never O(deleted rows). */
   private def writePositionDeletes(spark: SparkSession, root: String,
-      dvd: DataFrame): Seq[(String, Long, Long, String, String)] = {
+      dvd: DataFrame, knownDirs: Option[Seq[String]] = None)
+      : Seq[(String, Long, Long, String, String)] = {
     import org.apache.spark.sql.{Encoders => E}
     import org.apache.spark.sql.functions.{concat, count, lit, max, min}
     val rootAbs = new File(root).getAbsolutePath
-    val dirs = dvd.select(col("dvPath")).distinct()
-      .collect().map(_.getString(0)).toSeq
+    // a caller holding the adds driver-side already KNOWS the pair
+    // dirs (one per MOR commit) — skip the distinct+collect job; the
+    // distributed-manifest caller still derives them with a job
+    val dirs = knownDirs.getOrElse(dvd.select(col("dvPath")).distinct()
+      .collect().map(_.getString(0)).toSeq)
     if (dirs.isEmpty) return Nil
     val pairsRaw = spark.read
       .parquet(dirs.map(d => s"$rootAbs/$d"): _*)
@@ -1010,18 +1014,20 @@ object IcebergExport {
       if (!anyDv) Nil
       else {
         import org.apache.spark.sql.{Encoders => E2}
-        val dvd: DataFrame = dist match {
-          case Some(ds) => ds.toDF()
-            .filter(col("dvPath").isNotNull)
-            .select(col("path"), col("dvPath"), col("dvRows"))
-          case None =>
-            val rows = log.liveAdds(Some(v))
-              .flatMap(a => a.dv.map(d => (a.path, d.path, d.rows)))
-            spark.createDataset(rows)(
-              E2.tuple(E2.STRING, E2.STRING, E2.scalaLong))
-              .toDF("path", "dvPath", "dvRows")
-        }
-        writePositionDeletes(spark, log.path, dvd)
+        val (dvd: DataFrame, knownDirs: Option[Seq[String]]) =
+          dist match {
+            case Some(ds) => (ds.toDF()
+              .filter(col("dvPath").isNotNull)
+              .select(col("path"), col("dvPath"), col("dvRows")), None)
+            case None =>
+              val rows = log.liveAdds(Some(v))
+                .flatMap(a => a.dv.map(d => (a.path, d.path, d.rows)))
+              (spark.createDataset(rows)(
+                E2.tuple(E2.STRING, E2.STRING, E2.scalaLong))
+                .toDF("path", "dvPath", "dvRows"),
+                Some(rows.map(_._2).distinct))
+          }
+        writePositionDeletes(spark, log.path, dvd, knownDirs)
       }
     // the delete manifest's spec is the UNPARTITIONED one — reuse a
     // prior metadata's empty-fields spec id or mint the next (for an
