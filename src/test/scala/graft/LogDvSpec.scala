@@ -140,6 +140,35 @@ class LogDvSpec extends SparkSpec {
       .select("k").as[Long].collect().toSet == Set(1L, 3L))
   }
 
+  test("the change feed's schema is exactly the user schema + " +
+    "_change_type + _commit_version — the DML provenance extras " +
+    "written into the feed files never surface to a reader") {
+    // the single-scan DML shape (r15) writes each matched row's
+    // (__file, __idx) — and on tracked tables the physical row id —
+    // INTO the change-feed parquet, and derives pairs/counts/post-
+    // images from reading it back; this pins the contract that all
+    // feed consumers resolve by explicit schema, so the extras are
+    // invisible at every read surface
+    val t = new LogTable(s"${tmp()}/t")
+    t.append(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+      .repartition(1))
+    t.deleteMor(spark, col("k") === 2L)                         // v1
+    t.updateMor(spark, col("k") === 3L, Map("v" -> lit("z")))   // v2
+    val expected = Seq("k", "v", "_change_type", "_commit_version")
+    assert(t.changes(spark, 0L, 2L).columns.toSeq == expected)
+    // the raw feed files DO carry the provenance extras (that is
+    // what lets the DML scan its candidates once) — assert they are
+    // really there, so this test fails loudly if the write shape
+    // changes and the schema assertion above goes vacuous
+    val feedDirs = new File(t.path, "_cdf").listFiles().toSeq
+    // mergeSchema: the update feed dir legitimately mixes schemas
+    // (pre rows carry the extras, appended post rows do not)
+    val raw = spark.read.option("mergeSchema", "true")
+      .parquet(feedDirs.map(_.getPath): _*)
+    assert(raw.columns.contains("__file") &&
+      raw.columns.contains("__idx"))
+  }
+
   test("time travel and RESTORE see through vectors: a pinned read " +
     "serves the vector state of ITS version") {
     val t = new LogTable(s"${tmp()}/t")
